@@ -1,0 +1,127 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Offload orchestration metadata — the persisted per-table state machine.
+  *
+  * Mirrors `OrchestrationMetadata`
+  * (`src/goe/persistence/orchestration_metadata.py:56-113`): backend
+  * identity, offload type, incremental key + high-water-mark, predicate
+  * state, bucket/sort columns, snapshot id. The reference persists to Oracle
+  * repo tables; here it is a JSON document per table on the metadata path —
+  * swap-in point for a JDBC/Delta-backed store, same interface. Writes are
+  * atomic (temp file + move) because the metadata IS the incremental
+  * correctness contract: a torn HWM would re- or under-offload a slice.
+  */
+final case class OffloadMetadata(
+    sourceTable: String,
+    backendTable: String,
+    offloadType: String,                  // FULL | INCREMENTAL
+    incrementalKey: Seq[String] = Nil,
+    incrementalHighValue: Seq[String] = Nil, // rendered literals, in key order
+    incrementalPredicateType: Option[String] = None,
+    incrementalPredicateValue: Seq[String] = Nil,
+    bucketColumns: Seq[String] = Nil,
+    sortColumns: Seq[String] = Nil,
+    snapshotId: Option[Long] = None)
+
+object MetadataStore {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+  private def arr(xs: Seq[String]): String =
+    xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+
+  def toJson(m: OffloadMetadata): String = {
+    val fields = Seq(
+      "source_table" -> ("\"" + esc(m.sourceTable) + "\""),
+      "backend_table" -> ("\"" + esc(m.backendTable) + "\""),
+      "offload_type" -> ("\"" + esc(m.offloadType) + "\""),
+      "incremental_key" -> arr(m.incrementalKey),
+      "incremental_high_value" -> arr(m.incrementalHighValue),
+      "incremental_predicate_type" ->
+        m.incrementalPredicateType.map(v => "\"" + esc(v) + "\"").getOrElse("null"),
+      "incremental_predicate_value" -> arr(m.incrementalPredicateValue),
+      "bucket_columns" -> arr(m.bucketColumns),
+      "sort_columns" -> arr(m.sortColumns),
+      "snapshot_id" -> m.snapshotId.map(_.toString).getOrElse("null"))
+    fields.map { case (k, v) => "\"" + k + "\": " + v }
+      .mkString("{", ", ", "}")
+  }
+
+  // Minimal JSON reader for the fixed schema above (no external deps).
+  private def strField(js: String, key: String): Option[String] = {
+    val m = ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+    m.findFirstMatchIn(js).map(g => unescape(g.group(1)))
+  }
+  private def arrField(js: String, key: String): Seq[String] = {
+    val m = ("\"" + key + "\"\\s*:\\s*\\[(.*?)\\]").r
+    m.findFirstMatchIn(js).map { g =>
+      val body = g.group(1).trim
+      if (body.isEmpty) Nil
+      else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body)
+        .map(x => unescape(x.group(1))).toSeq
+    }.getOrElse(Nil)
+  }
+  private def longField(js: String, key: String): Option[Long] = {
+    val m = ("\"" + key + "\"\\s*:\\s*(\\d+)").r
+    m.findFirstMatchIn(js).map(_.group(1).toLong)
+  }
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'u' =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case c => sb += c; i += 2
+        }
+      } else { sb += s(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  def fromJson(js: String): OffloadMetadata =
+    OffloadMetadata(
+      sourceTable = strField(js, "source_table").getOrElse(""),
+      backendTable = strField(js, "backend_table").getOrElse(""),
+      offloadType = strField(js, "offload_type").getOrElse("FULL"),
+      incrementalKey = arrField(js, "incremental_key"),
+      incrementalHighValue = arrField(js, "incremental_high_value"),
+      incrementalPredicateType = strField(js, "incremental_predicate_type"),
+      incrementalPredicateValue = arrField(js, "incremental_predicate_value"),
+      bucketColumns = arrField(js, "bucket_columns"),
+      sortColumns = arrField(js, "sort_columns"),
+      snapshotId = longField(js, "snapshot_id"))
+
+  private def fileFor(dir: String, table: String) =
+    Paths.get(dir, table.replaceAll("[^A-Za-z0-9_.]", "_") + ".json")
+
+  def save(dir: String, m: OffloadMetadata): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val target = fileFor(dir, m.sourceTable)
+    val tmp = Paths.get(target.toString + ".tmp")
+    Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def load(dir: String, table: String): Option[OffloadMetadata] = {
+    val p = fileFor(dir, table)
+    if (Files.exists(p))
+      Some(fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    else None
+  }
+}

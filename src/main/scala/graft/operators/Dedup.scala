@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * North-star extensions (no analogue in the reference). Design constraints:
+  *
+  *  - Everything is shuffle-on-key relational algebra — no driver loops, no
+  *    pairwise O(n²) over the full corpus. The only pair-producing joins are
+  *    key-equality joins on shingle / band / simhash-prefix keys, which at
+  *    100 TB shuffle-partition cleanly by key and are robust to skew via AQE.
+  *  - Hashes are md5-based (not Spark's xxhash) so an independent engine
+  *    (the DuckDB verification oracle) can reproduce every signature bit —
+  *    the same cross-engine determinism GOE's validation layer depends on.
+  *  - MinHash signatures use the *lexicographic min of md5 hex strings* per
+  *    seeded hash family: string-min is order- and engine-independent, no
+  *    64-bit integer conversion needed.
+  */
+object Dedup {
+  import TextAnalysis.tokens
+
+  /** Word n-gram shingles (default 3). `sequence` + `transform` + 1-based
+    * `slice` keeps it codegen-friendly. Returns the DISTINCT shingle set. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Exact dedup: group on the normalised-text key, keep the lowest id.
+    * Pure hash aggregation — one shuffle on the key. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("exact_key", TextAnalysis.exactKey(col(textCol)))
+      .groupBy(col("exact_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exploded (id, shingle) relation — the building block for Jaccard and
+    * MinHash. Distinct per doc. */
+  def shingleRelation(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    docs.select(col(idCol).as("sid"),
+                explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** N-gram Jaccard near-dup pairs: inverted-index self-join on shingle,
+    * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale shape: the join key is the shingle (high cardinality ⇒ good
+    * partitioning); only docs sharing ≥1 shingle ever meet, so the pair space
+    * is corpus-driven, not n². Common-shingle skew is the known hazard —
+    * callers should drop ultra-frequent shingles (stopword shingles) before
+    * joining at real scale; AQE skew-join handles the remainder. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 3): DataFrame = {
+    val rel = shingleRelation(docs, idCol, textCol, n)
+    val sizes = rel.groupBy(col("sid")).agg(count(lit(1)).as("set_size"))
+    val a = rel.select(col("sid").as("id_a"), col("shingle"))
+    val b = rel.select(col("sid").as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("sid", "id_a")
+                 .withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("sid", "id_b")
+                 .withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+              col("size_b"), col("jaccard"))
+  }
+
+  /** Seeded hash of a shingle: md5 over "seed|shingle". The per-seed MinHash
+    * is the lexicographic MIN of these hex strings. */
+  def seededHash(seed: Int, shingle: Column): Column =
+    md5(concat(lit(s"$seed|"), shingle))
+
+  /** MinHash signatures: one row per doc, `sig_0..sig_{k-1}` columns.
+    * k seeds ⇒ k independent min-hash functions; agreement probability per
+    * seed equals the Jaccard similarity (Broder's estimator). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 3): DataFrame = {
+    val rel = shingleRelation(docs, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(s =>
+      min(seededHash(s, col("shingle"))).as(s"sig_$s"))
+    rel.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: group the k signature slots into `bands` bands of
+    * k/bands rows each; band key = md5 of the concatenated slice. Docs
+    * sharing any band key are candidate pairs. One shuffle on band key;
+    * bucket sizes are the skew knob (more bands ⇒ higher recall, bigger
+    * buckets). */
+  def lshCandidates(signatures: DataFrame, numHashes: Int = 16,
+                    bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val banded = (0 until bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
+      signatures.select(col("sid"),
+        lit(b).as("band"),
+        md5(concat_ws("|", slice: _*)).as("band_key"))
+    }.reduce(_ unionByName _)
+    val l = banded.select(col("band"), col("band_key"), col("sid").as("id_a"))
+    val r = banded.select(col("band"), col("band_key"), col("sid").as("id_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** SimHash (32-bit, md5-nibble variant): for bit j, take the j-th hex
+    * nibble of md5(token); its high bit votes +1/−1 weighted by presence of
+    * the DISTINCT token; bit j of the signature is the sign of the vote sum.
+    * Widening to 64 bits is the same expression over the nibbles of a second
+    * hash. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    require(bits <= 32, "md5 has 32 hex nibbles")
+    val toks = array_distinct(tokens(text))
+    val perBit: Seq[Column] = (0 until bits).map { j =>
+      // vote_j = sum over tokens of (nibble_j >= 8 ? 1 : -1)
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc +
+          when(instr(lit("0123456789abcdef"),
+                     substring(md5(t), j + 1, 1)) >= 9, lit(1))
+            .otherwise(lit(-1)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    perBit.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
+    *
+    * Candidate generation is an EQUI-join on the low-byte block of the
+    * signature (never an all-pairs comparison): near-identical docs agree on
+    * most bits, so blocking on one byte catches pairs whose differing bits
+    * fall in the high byte; production recall adds a union over a few bit
+    * rotations — identical plan shape, still equi-joins. This keeps the pair
+    * space key-partitioned and 100 TB-shuffleable. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val sigs = docs.select(col(idCol).as("sid"),
+                           simhash(col(textCol)).as("sig"))
+      .withColumn("block", col("sig").bitwiseAND(lit(255L)))
+    val l = sigs.select(col("block"), col("sid").as("id_a"),
+                        col("sig").as("sig_a"))
+    val r = sigs.select(col("block"), col("sid").as("id_b"),
+                        col("sig").as("sig_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"),
+              col("hamming"))
+  }
+}

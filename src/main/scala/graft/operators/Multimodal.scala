@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed by per-partition batch transforms.
+  *
+  * North-star extension. The container has no image/audio codecs, so the
+  * decode kernel is STUBBED with a deterministic fake (clearly marked below);
+  * everything Spark-side — schema, typed Datasets, partition-wise batching,
+  * output shape — is real and tested. Swapping the stub for a JNI/codec call
+  * changes one function.
+  *
+  * Scale shape: `mapPartitions` keeps the decode batched per task (amortises
+  * model/codec init once per partition, the same reason PySpark pipelines use
+  * `mapInPandas`); upstream `repartition(n)` sizes the batches; the binary
+  * payload never passes through a shuffle except when explicitly
+  * repartitioned.
+  */
+object Multimodal {
+
+  /** Typed media row: payload + envelope metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,            // "image" | "audio" | "video"
+      payload: Array[Byte],
+      meta_width: Int,
+      meta_height: Int,
+      meta_sample_rate: Int)
+
+  /** Extracted features per media row. */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      byte_mean: Double,
+      byte_entropy_q: Long,    // quantised entropy proxy (deterministic)
+      thumb_width: Int,
+      thumb_height: Int)
+
+  /** STUB decode: a real implementation would decode the codec here.
+    * Deterministic fake: derives pixel-ish stats from the raw bytes so the
+    * pipeline is testable end-to-end without codecs. */
+  private def decodeStub(payload: Array[Byte]): (Double, Long) = {
+    // ??? <- real codec call goes here (e.g. ImageIO / ffmpeg JNI)
+    var sum = 0L
+    var bits = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      sum += b
+      bits += java.lang.Integer.bitCount(b)
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    (sum.toDouble / n, bits / n)
+  }
+
+  /** Resize stub: target thumbnail box preserving aspect ratio. Pure math —
+    * real at any scale. */
+  def thumbBox(w: Int, h: Int, box: Int = 64): (Int, Int) =
+    if (w <= 0 || h <= 0) (0, 0)
+    else if (w >= h) (box, math.max(1, math.round(box.toDouble * h / w).toInt))
+    else (math.max(1, math.round(box.toDouble * w / h).toInt), box)
+
+  /** Batched feature extraction over the media payload. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens once here (codec/model load in real impl)
+      rows.map { r =>
+        val (mean, entropyQ) = decodeStub(r.payload)
+        val (tw, th) = thumbBox(r.meta_width, r.meta_height)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean,
+          entropyQ, tw, th)
+      }
+    }
+  }
+
+  /** Build a synthetic media table from the documents corpus (text bytes as
+    * the opaque payload) — real pipelines read parquet with true binary. */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("meta_width"),
+        (pmod(col("doc_id") * 7, lit(480)) + 1).cast("int").as("meta_height"),
+        lit(16000).as("meta_sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** End-to-end pipeline: synthesize → batch feature-extract → aggregate by
+    * kind (the aggregation is where the shuffle lives, on a 3-value key —
+    * fine because partial aggregation collapses it map-side). */
+  def pipeline(docs: DataFrame): DataFrame = {
+    val feats = extractFeatures(fromDocuments(docs))
+    feats.groupBy(col("kind")).agg(
+      count(lit(1)).as("n_media"),
+      sum(col("n_bytes")).as("total_bytes"),
+      avg(col("byte_mean")).as("avg_byte_mean"),
+      sum(col("byte_entropy_q")).as("sum_entropy_q"),
+      max(col("thumb_width")).as("max_thumb_w"),
+      max(col("thumb_height")).as("max_thumb_h"))
+  }
+}

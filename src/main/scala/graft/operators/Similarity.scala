@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * North-star extension. Two tiers:
+  *  - [[cosineTopK]]: brute-force scored scan — the exactness baseline. One
+  *    pass over the corpus, no shuffle until the final top-k (which Spark
+  *    executes as per-partition top-k + driver merge via `orderBy.limit`).
+  *  - [[signLshTopK]]: sign-LSH bucketed variant — the scale path. Vectors
+  *    hash to a bucket from the signs of a few fixed projections; the probe
+  *    only scores its own bucket. At 100 TB the bucket key becomes the
+  *    partition key, so a query touches 1/2^b of the data.
+  *
+  * Determinism: all dot products are explicit left-associated chains of
+  * double ops over `CAST(elem AS DOUBLE)` — bit-for-bit reproducible on any
+  * IEEE-754 engine, which lets the DuckDB oracle hash-match scores exactly.
+  */
+object Similarity {
+
+  /** Left-associated dot product of two fixed-dim array columns. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (0 until dim)
+      .map(i => a.getItem(i).cast("double") * b.getItem(i).cast("double"))
+      .reduce(_ + _)
+
+  /** Left-associated squared L2 norm. */
+  def normSq(a: Column, dim: Int): Column =
+    (0 until dim)
+      .map(i => a.getItem(i).cast("double") * a.getItem(i).cast("double"))
+      .reduce(_ + _)
+
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (sqrt(normSq(a, dim)) * sqrt(normSq(b, dim)))
+
+  /** ANSI/DuckDB SQL mirrors (1-based array indexing). */
+  object Sql {
+    def dot(a: String, b: String, dim: Int): String =
+      (1 to dim)
+        .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+        .mkString(" + ")
+    def normSq(a: String, dim: Int): String = dot(a, a, dim)
+    def cosine(a: String, b: String, dim: Int): String =
+      s"(${dot(a, b, dim)}) / (sqrt(${normSq(a, dim)}) * sqrt(${normSq(b, dim)}))"
+  }
+
+  /** Brute-force cosine top-k of the corpus against one query vector
+    * (given as the row with `idCol == queryId`). */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val q = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    embeddings.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", cosine(col(vecCol), col("q_vec"), dim))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket key: one bit per chosen dimension (a fixed, axis-aligned
+    * projection family — deterministic across engines, no RNG needed). */
+  def signBucket(vec: Column, dims: Seq[Int]): Column =
+    dims.zipWithIndex
+      .map { case (d, j) =>
+        when(vec.getItem(d).cast("double") >= 0d, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Bucketed ANN top-k: score only vectors in the query's bucket. Recall is
+    * traded for a 2^|dims| reduction in scored candidates; multi-probe =
+    * union over neighboring buckets (same plan shape). */
+  def signLshTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int,
+                  bucketDims: Seq[Int] = Seq(0, 1, 2, 3),
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val bucketed = embeddings
+      .withColumn("bucket", signBucket(col(vecCol), bucketDims))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col("bucket"), col(vecCol).as("q_vec"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), "bucket")
+      .withColumn("score", cosine(col(vecCol), col("q_vec"), dim))
+      .select(col(idCol), col("bucket"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All near-duplicate pairs with cosine ≥ threshold, bucketed by sign-LSH
+    * so the pair join is an equi-join on bucket (not n²). Exact variant for
+    * verification sets `bucketDims = Nil` (single bucket). */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, dim: Int,
+                   bucketDims: Seq[Int] = Seq(0, 1, 2, 3),
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val withBucket = embeddings.withColumn("bucket",
+      if (bucketDims.isEmpty) lit(0L) else signBucket(col(vecCol), bucketDims))
+    val l = withBucket.select(col("bucket"), col(idCol).as("id_a"),
+                              col(vecCol).as("vec_a"))
+    val r = withBucket.select(col("bucket"), col(idCol).as("id_b"),
+                              col(vecCol).as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("vec_a"), col("vec_b"), dim))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+}

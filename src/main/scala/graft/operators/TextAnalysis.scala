@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  *
+  * Not present in the reference (its compute surface stops at validation
+  * aggregates, SURVEY §2.6) — these are the north-star extensions, built as
+  * pure `Column` expressions so they stay inside whole-stage codegen: at
+  * 100 TB a per-document UDF would be the bottleneck, a codegen'd expression
+  * tree is not. Every function has an exact ANSI-SQL mirror (used by the
+  * DuckDB verification oracle) because determinism across engines is the
+  * same property GOE's cross-DB validation relies on.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. `split(trim(x))` never yields empty tokens on
+    * trimmed input, and matches DuckDB `string_split_regex(trim(x), '\s+')`. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: whitespace tokens plus an extra
+    * unit per 6 chars of long tokens (a cheap, deterministic stand-in for a
+    * real tokenizer's subword splitting). */
+  def approxSubwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(6.0)).cast("long")))
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "on")
+
+  /** Fraction of tokens that are stopwords (quality signal). Exact rational:
+    * computed as double division of two ints — bitwise deterministic. */
+  def stopwordRatio(text: Column,
+                    stopwords: Seq[String] = DefaultStopwords): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    val hits = size(filter(tokens(text), t => array_contains(stops, t)))
+    hits.cast("double") / tokenCount(text).cast("double")
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?'\"()-]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Mean token length (verbosity signal). */
+  def meanTokenLength(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, penalises
+    * stopword-heavy and punctuation-heavy text. All double arithmetic in a
+    * fixed evaluation order so two engines agree bitwise. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopPenalty = stopwordRatio(text) * lit(0.5)
+    val punctPenalty = punctRatio(text) * lit(2.0)
+    greatest(lit(0.0), lenScore - stopPenalty - punctPenalty)
+  }
+
+  /** Per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: language ID at pipeline scale is a
+    * first-pass router, not a classifier. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "con"),
+    "fr" -> Seq("le", "la", "et", "est", "avec"),
+    "de" -> Seq("der", "die", "und", "ist", "mit"))
+
+  /** Marker-hit count for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val set = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** Predicted language = argmax of marker hits, ties broken by lexicon
+    * order, "und" (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, m) => (lang, langScore(text, m)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      // foldRight so earlier lexicons win ties (first match at max score)
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Sorted-token fingerprint: md5 over the sorted distinct token set —
+    * canonicalises word order + repetition, the classic "fingerprint"
+    * clustering key for near-dup detection. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Normalised-text exact-dup key (lowercase, collapse whitespace). */
+  def exactKey(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Convenience: documents frame annotated with all text metrics. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", approxSubwordCount(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("mean_token_len", meanTokenLength(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

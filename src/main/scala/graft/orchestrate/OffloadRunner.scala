@@ -1,0 +1,158 @@
+package graft.orchestrate
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{MetadataStore, OffloadMetadata}
+import graft.plan.Boundary
+import graft.predicate.OffloadPredicate
+import graft.sink.StagedLoad
+import graft.types.TypeMapper
+import graft.verify.CrossValidator
+
+/** Offload orchestration: the step runner + the end-to-end offload command.
+  *
+  * Mirrors the reference's orchestration spine — enumerated steps with
+  * dry-run rendering (`src/goe/orchestration/command_steps.py:29-112`,
+  * `messages.offload_step`), command audit
+  * (`orchestration_runner.py:91-543`) — collapsed onto Spark's driver: each
+  * step is a closure; dry-run records the step without executing, which under
+  * Spark is natural because DataFrame programs are lazy plans until an
+  * action.
+  */
+object OffloadRunner {
+
+  final case class StepResult(name: String, ok: Boolean, detail: String,
+                              millis: Long)
+
+  final class Runner(dryRun: Boolean) {
+    val results: ArrayBuffer[StepResult] = ArrayBuffer.empty
+    def step[T](name: String, render: => String)(body: => T): Option[T] = {
+      val t0 = System.nanoTime()
+      if (dryRun) {
+        results += StepResult(name, ok = true, s"[dry-run] $render", 0L)
+        None
+      } else {
+        try {
+          val out = body
+          results += StepResult(name, ok = true, render,
+            (System.nanoTime() - t0) / 1000000L)
+          Some(out)
+        } catch {
+          case e: Exception =>
+            results += StepResult(name, ok = false,
+              s"$render FAILED: ${e.getMessage}",
+              (System.nanoTime() - t0) / 1000000L)
+            throw e
+        }
+      }
+    }
+  }
+
+  final case class OffloadConfig(
+      sourceTable: String,
+      sourcePath: String,
+      stagingPath: String,
+      finalPath: String,
+      metadataDir: String,
+      predicateDsl: Option[String] = None,
+      incrementalKey: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil,
+      dryRun: Boolean = false)
+
+  /** Full offload command: read → (predicate/HWM filter) → stage → validate →
+    * final load → verify → metadata save. The file-source stand-in for the
+    * JDBC frontend (same planner surface; `TESTDATA.md` tables play Oracle).
+    */
+  def offload(spark: SparkSession, cfg: OffloadConfig): Seq[StepResult] = {
+    val r = new Runner(cfg.dryRun)
+
+    val source: DataFrame = spark.read.parquet(cfg.sourcePath)
+    val predicate = cfg.predicateDsl.map(OffloadPredicate.parseUnsafe)
+
+    val hwm: Option[Seq[Boundary.Bound]] =
+      MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
+        .filter(_.incrementalKey == cfg.incrementalKey)
+        .filter(_.incrementalHighValue.nonEmpty)
+        .map(_.incrementalHighValue.map(v =>
+          Boundary.Value(castHwmLiteral(source, cfg.incrementalKey, v))))
+
+    val planned = r.step("analyze_plan",
+        s"predicate=${cfg.predicateDsl.getOrElse("none")} " +
+        s"hwm=${hwm.map(_.mkString(",")).getOrElse("none")}") {
+      val afterPred = predicate.map(p => source.filter(OffloadPredicate.toColumn(p)))
+        .getOrElse(source)
+      hwm match {
+        case Some(bounds) if cfg.incrementalKey.nonEmpty =>
+          afterPred.filter(Boundary.greaterThan(cfg.incrementalKey, bounds))
+        case _ => afterPred
+      }
+    }
+
+    val schema = planned.map(df => TypeMapper.fromStructType(df.schema))
+      .getOrElse(Nil)
+
+    r.step("stage_and_load",
+        s"staging=${cfg.stagingPath} final=${cfg.finalPath} " +
+        s"partitionBy=${cfg.partitionCols.mkString(",")}") {
+      planned.foreach { df =>
+        StagedLoad.stageAndLoad(df, cfg.stagingPath, cfg.finalPath, schema,
+            cfg.partitionCols) match {
+          case Left(violations) =>
+            throw new IllegalStateException(
+              s"staged-data validation failed: ${violations.count()} rows")
+          case Right(_) => ()
+        }
+      }
+    }
+
+    r.step("verify_counts", "count source slice vs final") {
+      planned.foreach { df =>
+        val target = spark.read.parquet(cfg.finalPath)
+        val (s, t) = CrossValidator.countValidate(df, target)
+        if (s != t)
+          throw new IllegalStateException(s"row count mismatch: $s vs $t")
+      }
+    }
+
+    r.step("save_metadata", s"metadataDir=${cfg.metadataDir}") {
+      planned.foreach { df =>
+        val newHwm: Seq[String] =
+          if (cfg.incrementalKey.nonEmpty)
+            CrossValidator.maxProbe(df, cfg.incrementalKey)
+              .map(_.map(String.valueOf)).getOrElse(Nil)
+          else Nil
+        MetadataStore.save(cfg.metadataDir, OffloadMetadata(
+          sourceTable = cfg.sourceTable,
+          backendTable = cfg.finalPath,
+          offloadType =
+            if (cfg.incrementalKey.nonEmpty) "INCREMENTAL" else "FULL",
+          incrementalKey = cfg.incrementalKey,
+          incrementalHighValue = newHwm,
+          incrementalPredicateType =
+            cfg.predicateDsl.map(_ => "PREDICATE"),
+          incrementalPredicateValue = cfg.predicateDsl.toSeq))
+      }
+    }
+
+    r.results.toSeq
+  }
+
+  /** Parse a rendered HWM literal back to the key column's runtime type. */
+  private def castHwmLiteral(df: DataFrame, keys: Seq[String],
+                             rendered: String): Any = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keys.head).dataType
+    dt match {
+      case LongType => rendered.toLong
+      case IntegerType => rendered.toInt
+      case DoubleType => rendered.toDouble
+      case TimestampType | TimestampNTZType =>
+        java.sql.Timestamp.valueOf(rendered.replace("T", " "))
+      case DateType => java.sql.Date.valueOf(rendered)
+      case _ => rendered
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.plan
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Multi-column lexicographic high-water-mark boundary clauses.
+  *
+  * Incremental (RANGE) offloads track a composite HWM; "rows beyond the HWM"
+  * is the lexicographic comparison expanded to OR-of-ANDs:
+  * `(c1 > h1) OR (c1 = h1 AND c2 > h2) OR ...` — reference
+  * `src/goe/offload/offload_functions.py:199-373` (and the `<` mirror used by
+  * verification, `offload_validation.py:90-256`). MAXVALUE sentinel: a
+  * partition bound of MAXVALUE compares greater than everything
+  * (`offload_functions.py:293-338`).
+  *
+  * Two formulations:
+  *  - [[greaterThan]]/[[lessThan]]: explicit OR-of-ANDs (works everywhere,
+  *    renders to any SQL dialect);
+  *  - [[structGreaterThan]]: `struct(c...) > struct(lit...)` — Catalyst
+  *    compares structs lexicographically natively, which keeps the predicate
+  *    a single comparison node (friendlier to pushdown and codegen).
+  */
+object Boundary {
+
+  sealed trait Bound
+  final case class Value(lit: Any) extends Bound
+  case object MaxValue extends Bound
+
+  private def cmpChain(cols: Seq[String], bounds: Seq[Bound],
+                       strictOp: (Column, Column) => Column): Column = {
+    require(cols.length == bounds.length && cols.nonEmpty)
+    val disjuncts = cols.indices.map { i =>
+      val eqPrefix = (0 until i).map { j =>
+        bounds(j) match {
+          case Value(v) => col(cols(j)) === lit(v)
+          case MaxValue => lit(false) // nothing equals MAXVALUE
+        }
+      }
+      val last = bounds(i) match {
+        case Value(v) => strictOp(col(cols(i)), lit(v))
+        case MaxValue => lit(false) // nothing is beyond MAXVALUE
+      }
+      (eqPrefix :+ last).reduce(_ && _)
+    }
+    disjuncts.reduce(_ || _)
+  }
+
+  /** Rows strictly beyond the HWM (candidates for the next offload). */
+  def greaterThan(cols: Seq[String], bounds: Seq[Bound]): Column =
+    cmpChain(cols, bounds, _ > _)
+
+  /** Rows strictly below the boundary (the already-offloaded slice; the
+    * verification side of the hybrid threshold clause). MAXVALUE ⇒ all rows
+    * qualify at that position. */
+  def lessThan(cols: Seq[String], bounds: Seq[Bound]): Column = {
+    require(cols.length == bounds.length && cols.nonEmpty)
+    val disjuncts = cols.indices.map { i =>
+      val eqPrefix = (0 until i).map { j =>
+        bounds(j) match {
+          case Value(v) => col(cols(j)) === lit(v)
+          case MaxValue => lit(false)
+        }
+      }
+      val last = bounds(i) match {
+        case Value(v) => col(cols(i)) < lit(v)
+        case MaxValue => col(cols(i)).isNotNull // everything is < MAXVALUE
+      }
+      (eqPrefix :+ last).reduce(_ && _)
+    }
+    disjuncts.reduce(_ || _)
+  }
+
+  /** Single-node lexicographic comparison via struct ordering. Only valid
+    * when no bound is MAXVALUE. */
+  def structGreaterThan(cols: Seq[String], values: Seq[Any]): Column =
+    struct(cols.map(col): _*) > struct(values.map(lit): _*)
+
+  /** LIST-partition membership (IN-list boundary,
+    * `offload_functions.py:376-449`). */
+  def inList(column: String, values: Seq[Any]): Column =
+    col(column).isInCollection(values)
+
+  /** ANSI/DuckDB SQL rendering of [[greaterThan]] for the oracle side. */
+  object Sql {
+    def render(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case d: java.time.LocalDate => s"DATE '$d'"
+      case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString.stripSuffix(".0")}'"
+      case other => other.toString
+    }
+    def greaterThan(cols: Seq[String], bounds: Seq[Bound]): String = {
+      val disjuncts = cols.indices.flatMap { i =>
+        val prefixOk = (0 until i).forall(j => bounds(j) != MaxValue)
+        bounds(i) match {
+          case MaxValue => None
+          case Value(v) if prefixOk =>
+            val eqs = (0 until i).map { j =>
+              val Value(w) = bounds(j): @unchecked
+              s"${cols(j)} = ${render(w)}"
+            }
+            Some((eqs :+ s"${cols(i)} > ${render(v)}").mkString("(", " AND ", ")"))
+          case _ => None
+        }
+      }
+      if (disjuncts.isEmpty) "FALSE" else disjuncts.mkString(" OR ")
+    }
+  }
+}

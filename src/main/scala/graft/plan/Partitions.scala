@@ -1,0 +1,140 @@
+package graft.plan
+
+/** Partition planning model + incremental planners.
+  *
+  * Pure-Scala re-expression of the reference's partition algebra: the
+  * `RdbmsPartition`/`OffloadSourcePartitions` model
+  * (`src/goe/offload/offload_source_table.py:121-190`,
+  * `offload_source_data.py:374-709`) and the planner family
+  * (Full / RangeIpa / ListIpa / Predicate —
+  * `offload_source_data.py:138-247` and classes at 1316/1880/2988).
+  *
+  * Planning is metadata-only (no data scan): at 100 TB the planner decides
+  * WHICH partitions to read before any I/O happens, so incremental offloads
+  * touch only the new slice. Data-side pruning then happens again inside
+  * Spark via partition/predicate pushdown — two independent layers of
+  * pruning, same as the reference.
+  */
+final case class SourcePartition(
+    name: String,
+    position: Int,
+    highValues: Seq[Boundary.Bound], // upper-exclusive bound per key column
+    bytes: Long,
+    rows: Long,
+    subpartitions: Seq[String] = Nil)
+
+final case class PartitionChunk(partitions: Seq[SourcePartition]) {
+  def bytes: Long = partitions.map(_.bytes).sum
+  def rows: Long = partitions.map(_.rows).sum
+  def names: Seq[String] = partitions.map(_.name)
+}
+
+object PartitionPlanner {
+  import Boundary._
+
+  /** Order by partition position (the reference keeps catalog order, which
+    * for RANGE partitioning is boundary order). */
+  def sorted(ps: Seq[SourcePartition]): Seq[SourcePartition] =
+    ps.sortBy(_.position)
+
+  private def boundGreater(a: Seq[Bound], b: Seq[Bound]): Boolean = {
+    // lexicographic compare of bound vectors; MAXVALUE > everything
+    (a zip b).foreach {
+      case (MaxValue, MaxValue) => ()
+      case (MaxValue, _) => return true
+      case (_, MaxValue) => return false
+      case (Value(x), Value(y)) =>
+        val c = compareAny(x, y)
+        if (c != 0) return c > 0
+    }
+    false
+  }
+
+  private[plan] def compareAny(x: Any, y: Any): Int = (x, y) match {
+    case (a: java.math.BigDecimal, b: java.math.BigDecimal) => a.compareTo(b)
+    case (a: Number, b: Number) =>
+      java.lang.Double.compare(a.doubleValue, b.doubleValue)
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: Comparable[_], b) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    case _ => throw new IllegalArgumentException(s"incomparable: $x vs $y")
+  }
+
+  /** RANGE incremental planning (`offload_data_detection`,
+    * `offload_source_data.py:1856+`): partitions whose high value exceeds the
+    * already-offloaded HWM, optionally capped by a user `--less-than-value`.
+    */
+  def rangeIpa(
+      all: Seq[SourcePartition],
+      offloadedHwm: Option[Seq[Bound]],
+      lessThan: Option[Seq[Bound]]): Seq[SourcePartition] = {
+    val beyondHwm = offloadedHwm match {
+      case None => sorted(all)
+      case Some(hwm) => sorted(all).filter(p => boundGreater(p.highValues, hwm))
+    }
+    lessThan match {
+      case None => beyondHwm
+      case Some(cap) => beyondHwm.filter(p => !boundGreater(p.highValues, cap))
+    }
+  }
+
+  /** LIST incremental planning: partitions whose value-list is not already in
+    * the offloaded set (set-difference on names/values,
+    * `offload_source_data.py:866-882`). */
+  def listIpa(all: Seq[SourcePartition], offloadedNames: Set[String])
+      : Seq[SourcePartition] =
+    sorted(all).filterNot(p => offloadedNames.contains(p.name))
+
+  /** Greedy chunking under size/count caps, never splitting partitions that
+    * share an identical HWM vector (they must land atomically so metadata can
+    * record a consistent HWM — `offload_source_data.py:1273-1310`). */
+  def chunk(ps: Seq[SourcePartition], maxBytes: Long, maxCount: Int)
+      : Seq[PartitionChunk] = {
+    require(maxBytes > 0 && maxCount > 0)
+    // group partitions that share a HWM (must stay together)
+    val groups: Seq[Seq[SourcePartition]] =
+      sorted(ps).foldLeft(Vector.empty[Vector[SourcePartition]]) {
+        case (acc, p) =>
+          if (acc.nonEmpty && acc.last.head.highValues == p.highValues)
+            acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+      }
+    val chunks = Vector.newBuilder[PartitionChunk]
+    var cur = Vector.empty[SourcePartition]
+    var curBytes = 0L
+    for (g <- groups) {
+      val gBytes = g.map(_.bytes).sum
+      val wouldOverflow =
+        cur.nonEmpty &&
+          (curBytes + gBytes > maxBytes || cur.length + g.length > maxCount)
+      if (wouldOverflow) {
+        chunks += PartitionChunk(cur)
+        cur = Vector.empty; curBytes = 0L
+      }
+      cur ++= g; curBytes += gBytes
+    }
+    if (cur.nonEmpty) chunks += PartitionChunk(cur)
+    chunks.result()
+  }
+}
+
+/** FULL vs INCREMENTAL offload-type state machine
+  * (`offload_source_data.py:291-373`, `goe.py:458-491`): FULL ("100/0")
+  * re-offloads everything; INCREMENTAL ("90/10") appends beyond the HWM.
+  * Transitions INCREMENTAL→FULL are allowed (widen); FULL→INCREMENTAL
+  * requires an explicit reset because it would orphan already-offloaded data.
+  */
+sealed trait OffloadType
+object OffloadType {
+  case object Full extends OffloadType        // "100/0"
+  case object Incremental extends OffloadType // "90/10"
+
+  def transition(from: Option[OffloadType], to: OffloadType,
+                 forceReset: Boolean = false): Either[String, OffloadType] =
+    (from, to) match {
+      case (None, t) => Right(t)
+      case (Some(Full), Incremental) if !forceReset =>
+        Left("FULL->INCREMENTAL requires reset (would orphan offloaded data)")
+      case (Some(_), t) => Right(t)
+    }
+}

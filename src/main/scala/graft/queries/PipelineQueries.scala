@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-pipeline operator queries (dedup / similarity / text analysis /
+  * multimodal) with DuckDB oracles.
+  *
+  * The oracle SQL for signature-based operators (minhash, simhash, cosine)
+  * is GENERATED here from the same parameters as the Spark implementation —
+  * one source of truth for seeds/bands/dims, two engines executing it.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val Dim = 64          // embeddings dimension (FIXTURES.md)
+  val NumHashes = 16    // minhash signature length
+  val Bands = 4         // LSH bands
+  val JaccardThreshold = 0.5
+  val CosineThreshold = 0.45
+  val BucketDims: Seq[Int] = Seq(0, 1, 2, 3)
+
+  // ---------------------------------------------------------------- queries
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"))
+        .orderBy(col("exact_key"))
+    },
+
+    "q27_dedup_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), JaccardThreshold)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "q28_dedup_minhash" -> { (s, dir) =>
+      Dedup.lshCandidates(
+          Dedup.minhashSignatures(t(s, dir, "documents"), NumHashes),
+          NumHashes, Bands)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "q29_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "q30_text_quality" -> { (s, dir) =>
+      TextAnalysis.annotate(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_subwords"),
+                col("stopword_ratio"), col("punct_ratio"),
+                col("mean_token_len"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q31_langid" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+
+    "q32_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("fingerprint"))
+    },
+
+    "q33_cosine_topk" -> { (s, dir) =>
+      Similarity.cosineTopK(t(s, dir, "embeddings"), queryId = 0, k = 10,
+        dim = Dim)
+    },
+
+    "q34_ann_lsh_topk" -> { (s, dir) =>
+      Similarity.signLshTopK(t(s, dir, "embeddings"), queryId = 0, k = 10,
+        dim = Dim, bucketDims = BucketDims)
+    },
+
+    "q35_embed_neardup" -> { (s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), CosineThreshold,
+          dim = Dim, bucketDims = BucketDims)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Rows-only checks (no SQL-expressible oracle):
+    "q36_multimodal" -> { (s, dir) =>
+      Multimodal.pipeline(t(s, dir, "documents"))
+        .orderBy(col("kind"))
+    },
+
+    "q37_offload_e2e" -> { (s, dir) =>
+      import graft.orchestrate.OffloadRunner
+      val base = s"/tmp/graft_offload/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val steps = OffloadRunner.offload(s, OffloadRunner.OffloadConfig(
+        sourceTable = "lineitem",
+        sourcePath = s"$dir/lineitem.parquet",
+        stagingPath = s"$base/staging",
+        finalPath = s"$base/final",
+        metadataDir = s"$base/meta",
+        predicateDsl = Some("(column(l_shipdate) < datetime(1998-01-01))"),
+        incrementalKey = Seq("l_orderkey")))
+      import s.implicits._
+      steps.map(r => (r.name, r.ok, r.detail)).toDF("step", "ok", "detail")
+    })
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared CTE: tokenized documents. */
+  private val toksCte =
+    """docs AS (SELECT doc_id, lang, text,
+         string_split_regex(trim(text), '\s+') AS toks FROM documents)"""
+
+  /** Shared CTE: distinct (doc_id, shingle) for word 3-grams. */
+  private val shingleCte =
+    toksCte + """,
+      sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+          unnest(list_transform(
+            range(1, greatest(len(toks) - 2, 1) + 1),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM docs) u)"""
+
+  private def minhashSigSql: String = {
+    val mins = (0 until NumHashes)
+      .map(s => s"min(md5('$s|' || shingle)) AS sig_$s").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private def bandSql: String = {
+    val rows = NumHashes / Bands
+    val branches = (0 until Bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(i => s"sig_$i")
+      val key = slice.mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS band_key FROM sig"
+    }
+    s"bands AS (${branches.mkString(" UNION ALL ")})"
+  }
+
+  private def simhashSigSql: String = {
+    val votes = (0 until 32).map { j =>
+      s"SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), ${j + 1}, 1)) >= 9 " +
+        s"THEN 1 ELSE -1 END) AS v_$j"
+    }.mkString(", ")
+    val sig = (0 until 32).map { j =>
+      s"(CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""toks2 AS (SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(toks) AS tok FROM docs) u),
+        votes AS (SELECT doc_id, $votes FROM toks2 GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM votes)"""
+  }
+
+  private val qualityComponentsSql =
+    """comp AS (SELECT doc_id, lang, text, toks,
+         len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks,
+           t -> greatest(1, CAST(ceil(length(t) / 6.0) AS BIGINT)))) AS BIGINT)
+           AS n_subwords,
+         CAST(len(list_filter(toks, t -> list_contains(
+           ['the','a','an','of','and','or','to','in','is','on'], t))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         CAST(length(text) - length(regexp_replace(text,
+           '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+           AS punct_ratio,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS mean_token_len
+       FROM docs)"""
+
+  private def langScoreSql(markers: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], t)))"
+
+  private val langIdSql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, m) =>
+      s"${langScoreSql(m)} AS s_$lang"
+    }.mkString(", ")
+    val best = "greatest(" + TextAnalysis.LangMarkers.map("s_" + _._1).mkString(", ") + ")"
+    val pred = TextAnalysis.LangMarkers.map { case (lang, _) =>
+      s"WHEN s_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""scored AS (SELECT doc_id, lang, $scores FROM docs),
+        pred AS (SELECT doc_id, lang,
+          CASE $pred ELSE 'und' END AS lang_pred
+          FROM (SELECT *, $best AS best FROM scored) x)"""
+  }
+
+  /** DuckDB join of embeddings with the fixed query vector (vec_id 0). */
+  private def cosineSql(aVec: String, bVec: String): String =
+    Similarity.Sql.cosine(aVec, bVec, Dim)
+
+  private def bucketSql(vec: String): String =
+    BucketDims.zipWithIndex.map { case (d, j) =>
+      s"(CASE WHEN CAST($vec[${d + 1}] AS DOUBLE) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q26_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+           AS exact_key,
+           MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY exact_key""",
+
+    "q27_dedup_jaccard" ->
+      s"""WITH $shingleCte,
+         sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - inter AS DOUBLE)
+             AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - inter AS DOUBLE)
+           >= $JaccardThreshold
+         ORDER BY id_a, id_b""",
+
+    "q28_dedup_minhash" ->
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b USING (band, band_key)
+         WHERE a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+
+    "q29_dedup_simhash" ->
+      s"""WITH $toksCte, $simhashSigSql
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+         FROM sig a JOIN sig b ON (a.sig & 255) = (b.sig & 255)
+           AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY id_a, id_b""",
+
+    "q30_text_quality" ->
+      s"""WITH $toksCte, $qualityComponentsSql
+         SELECT doc_id, lang, n_tokens, n_subwords, stopword_ratio,
+           punct_ratio, mean_token_len,
+           greatest(0.0,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+               - (stopword_ratio * 0.5) - (punct_ratio * 2.0)) AS quality
+         FROM comp ORDER BY doc_id""",
+
+    "q31_langid" ->
+      s"""WITH $toksCte, $langIdSql
+         SELECT lang, lang_pred, COUNT(*) AS n FROM pred
+         GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
+
+    "q32_fingerprint" ->
+      s"""WITH $toksCte
+         SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+           AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         FROM docs GROUP BY 1 ORDER BY fingerprint""",
+
+    "q33_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+           ${cosineSql("e.embedding", "q.q_vec")} AS score
+         FROM embeddings e, q
+         WHERE e.vec_id <> 0
+         ORDER BY score DESC, e.vec_id LIMIT 10""",
+
+    "q34_ann_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+           ${bucketSql("embedding")} AS bucket FROM embeddings),
+         q AS (SELECT bucket, embedding AS q_vec FROM b WHERE vec_id = 0)
+         SELECT e.vec_id, e.bucket,
+           ${cosineSql("e.embedding", "q.q_vec")} AS score
+         FROM b e JOIN q USING (bucket)
+         WHERE e.vec_id <> 0
+         ORDER BY score DESC, e.vec_id LIMIT 10""",
+
+    "q35_embed_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+           ${bucketSql("embedding")} AS bucket FROM embeddings)
+         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ${cosineSql("a.embedding", "c.embedding")} AS score
+         FROM b a JOIN b c USING (bucket)
+         WHERE a.vec_id < c.vec_id
+           AND ${cosineSql("a.embedding", "c.embedding")} >= $CosineThreshold
+         ORDER BY id_a, id_b""")
+}
