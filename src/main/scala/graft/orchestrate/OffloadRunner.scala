@@ -94,12 +94,16 @@ object OffloadRunner {
     val schema = planned.map(df => TypeMapper.fromStructType(df.schema))
       .getOrElse(Nil)
 
+    // Incremental continuation appends the new slice; first pass (or FULL)
+    // overwrites — mirrors the reference's append-vs-reset semantics.
+    val finalMode = if (hwm.isDefined) "append" else "overwrite"
+
     r.step("stage_and_load",
         s"staging=${cfg.stagingPath} final=${cfg.finalPath} " +
-        s"partitionBy=${cfg.partitionCols.mkString(",")}") {
+        s"mode=$finalMode partitionBy=${cfg.partitionCols.mkString(",")}") {
       planned.foreach { df =>
         StagedLoad.stageAndLoad(df, cfg.stagingPath, cfg.finalPath, schema,
-            cfg.partitionCols) match {
+            cfg.partitionCols, finalMode) match {
           case Left(violations) =>
             throw new IllegalStateException(
               s"staged-data validation failed: ${violations.count()} rows")
@@ -108,10 +112,10 @@ object OffloadRunner {
       }
     }
 
-    r.step("verify_counts", "count source slice vs final") {
+    r.step("verify_counts", "count source slice vs staged slice") {
       planned.foreach { df =>
-        val target = spark.read.parquet(cfg.finalPath)
-        val (s, t) = CrossValidator.countValidate(df, target)
+        val staged = spark.read.parquet(cfg.stagingPath)
+        val (s, t) = CrossValidator.countValidate(df, staged)
         if (s != t)
           throw new IllegalStateException(s"row count mismatch: $s vs $t")
       }
@@ -119,10 +123,13 @@ object OffloadRunner {
 
     r.step("save_metadata", s"metadataDir=${cfg.metadataDir}") {
       planned.foreach { df =>
+        // An empty increment must NOT regress the HWM: keep the previous one.
+        val previousHwm = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
+          .map(_.incrementalHighValue).getOrElse(Nil)
         val newHwm: Seq[String] =
           if (cfg.incrementalKey.nonEmpty)
             CrossValidator.maxProbe(df, cfg.incrementalKey)
-              .map(_.map(String.valueOf)).getOrElse(Nil)
+              .map(_.map(String.valueOf)).getOrElse(previousHwm)
           else Nil
         MetadataStore.save(cfg.metadataDir, OffloadMetadata(
           sourceTable = cfg.sourceTable,

@@ -97,7 +97,10 @@ object PipelineQueries {
 
     "q37_offload_e2e" -> { (s, dir) =>
       import graft.orchestrate.OffloadRunner
-      val base = s"/tmp/graft_offload/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // fresh workspace per invocation: repeated verify runs must not see a
+      // previous run's metadata/HWM (incremental mode would then append)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_offload_e2e").toString
       val steps = OffloadRunner.offload(s, OffloadRunner.OffloadConfig(
         sourceTable = "lineitem",
         sourcePath = s"$dir/lineitem.parquet",

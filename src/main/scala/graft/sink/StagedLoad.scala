@@ -113,7 +113,8 @@ object StagedLoad {
       stagingPath: String,
       finalPath: String,
       schema: Seq[CanonicalColumn],
-      partitionCols: Seq[String] = Nil): Either[DataFrame, Long] = {
+      partitionCols: Seq[String] = Nil,
+      finalMode: String = "overwrite"): Either[DataFrame, Long] = {
     df.write.mode("overwrite").parquet(stagingPath)
     val spark = df.sparkSession
     val staged = spark.read.parquet(stagingPath)
@@ -122,10 +123,10 @@ object StagedLoad {
     if (!bad.isEmpty) Left(bad)
     else {
       val projected = staged.select(castProjection(schema): _*)
-      val writer = projected.write.mode("overwrite")
+      val writer = projected.write.mode(finalMode)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
        else writer).parquet(finalPath)
-      Right(spark.read.parquet(finalPath).count())
+      Right(staged.count())
     }
   }
 }

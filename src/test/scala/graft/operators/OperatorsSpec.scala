@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup collapses normalised duplicates") {
+    val docs = docsOf(
+      1L -> "Hello  World",
+      2L -> "hello world",
+      3L -> "different text")
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccard pairs finds overlapping docs, not disjoint ones") {
+    val docs = docsOf(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",      // shares most 3-grams with 1
+      3L -> "p q r s t u v w")      // disjoint
+    val out = Dedup.jaccardPairs(docs, 0.3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val j = out.head.getAs[Double]("jaccard")
+    assert(j > 0.3 && j < 1.0)
+  }
+
+  test("identical docs have identical minhash signatures; candidates found") {
+    val docs = docsOf(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely unrelated words appear here in this one")
+    val sigs = Dedup.minhashSignatures(docs, numHashes = 16)
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    val cands = Dedup.lshCandidates(sigs, 16, 4).collect()
+    assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash of identical text is equal; hamming to unrelated is large") {
+    val df = docsOf(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "zeta eta theta iota kappa lambda")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 3)
+  }
+
+  test("shingles produce n-grams and deduplicate") {
+    val out = docsOf(1L -> "a b c d")
+      .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+    val short = docsOf(1L -> "a b")
+      .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(short == Seq("a b")) // shorter than n: single truncated shingle
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))). // opposite
+    toDF("vec_id", "embedding")
+
+  test("cosine top-k ranks by true cosine similarity") {
+    val out = Similarity.cosineTopK(vecs, queryId = 0, k = 3, dim = 4).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(out.head.getAs[Double]("score") -
+      (0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1))) < 1e-6) // float32 inputs
+    assert(out(1).getAs[Double]("score") == 0.0)
+    assert(out(2).getAs[Double]("score") == -1.0)
+  }
+
+  test("sign-LSH bucket groups same-sign vectors; top-k searches own bucket") {
+    val out = Similarity.signLshTopK(vecs, queryId = 0, k = 3, dim = 4,
+      bucketDims = Seq(0)).collect()
+    // bucket(bit0 = sign of dim 0): ids 1,2 share the query's bucket; 3 not
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("near-dup pairs with exact (single-bucket) verification") {
+    val out = Similarity.nearDupPairs(vecs, 0.9, dim = 4, bucketDims = Nil)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token metrics on a known sentence") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val row = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.stopwordRatio(col("text")),
+      TextAnalysis.meanTokenLength(col("text"))).head()
+    assert(row.getInt(0) == 6)
+    assert(row.getDouble(1) == 3.0 / 6.0) // the, on, the
+    assert(row.getDouble(2) == 17.0 / 6.0)
+  }
+
+  test("langId picks the dominant marker language, und when none") {
+    val df = Seq(
+      (1L, "the house of the king is old and big"),
+      (2L, "el rey de la casa que habla con todos"),
+      (3L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprint is invariant to word order and repetition") {
+    val df = Seq(
+      (1L, "b a c a b"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("quality score stays in [0,1]") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val bad = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .filter(col("q") < 0.0 || col("q") > 1.0).count()
+    assert(bad == 0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("feature extraction pipeline produces per-kind aggregates") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val out = Multimodal.pipeline(docs).collect()
+    assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    assert(out.map(_.getAs[Long]("n_media")).sum == docs.count())
+  }
+
+  test("thumbBox preserves aspect ratio within the box") {
+    assert(Multimodal.thumbBox(640, 480) == (64, 48))
+    assert(Multimodal.thumbBox(480, 640) == (48, 64))
+    assert(Multimodal.thumbBox(0, 100) == (0, 0))
+    assert(Multimodal.thumbBox(10000, 1) == (64, 1))
+  }
+
+  test("typed feature extraction yields one row per media row") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val media = Multimodal.fromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == docs.count())
+    val f = feats.head()
+    assert(f.n_bytes > 0 && f.byte_mean > 0)
+  }
+}

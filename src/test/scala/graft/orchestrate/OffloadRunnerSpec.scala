@@ -1,0 +1,102 @@
+package graft.orchestrate
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.meta.MetadataStore
+
+/** End-to-end offload scenarios — the local mirror of the reference's
+  * tests/integration/scenarios (test_offload_basic / test_offload_rpa). */
+class OffloadRunnerSpec extends SparkSpec {
+
+  private def tmpBase(): String =
+    Files.createTempDirectory("graft_offload_spec").toString
+
+  test("full offload with predicate: stage, load, verify, metadata") {
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      predicateDsl = Some("(column(l_shipdate) < datetime(1997-01-01))"))
+    val steps = OffloadRunner.offload(spark, cfg)
+    assert(steps.forall(_.ok), steps.mkString("\n"))
+    val loaded = spark.read.parquet(s"$base/final")
+    val expected = spark.read.parquet(cfg.sourcePath)
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")).count()
+    assert(loaded.count() == expected && expected > 0)
+    val meta = MetadataStore.load(s"$base/meta", "lineitem").get
+    assert(meta.offloadType == "FULL")
+    assert(meta.incrementalPredicateType.contains("PREDICATE"))
+  }
+
+  test("incremental offload: second run only moves rows beyond the HWM") {
+    val base = tmpBase()
+    def cfgFor(pred: String) = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      predicateDsl = Some(pred),
+      incrementalKey = Seq("l_orderkey"))
+    // first slice: orderkey < 700 (sf0.001 orderkeys top out ~1500)
+    val s1 = OffloadRunner.offload(spark,
+      cfgFor("(column(l_orderkey) < numeric(700))"))
+    assert(s1.forall(_.ok))
+    val hwm1 = MetadataStore.load(s"$base/meta", "lineitem")
+      .get.incrementalHighValue
+    assert(hwm1.nonEmpty && hwm1.head.toLong < 700)
+    // second run without predicate: should only take rows beyond HWM
+    val s2 = OffloadRunner.offload(spark, cfgFor(
+      "(column(l_orderkey) IS NOT NULL)").copy(predicateDsl = None))
+    assert(s2.forall(_.ok))
+    val hwm2 = MetadataStore.load(s"$base/meta", "lineitem")
+      .get.incrementalHighValue
+    assert(hwm2.head.toLong > hwm1.head.toLong)
+    val total = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .agg(max(col("l_orderkey"))).head().getLong(0)
+    assert(hwm2.head.toLong == total)
+    // append semantics: final table now holds both slices = whole source
+    val finalCount = spark.read.parquet(s"$base/final").count()
+    val sourceCount = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet").count()
+    assert(finalCount == sourceCount)
+    // an empty third increment must not regress the HWM
+    val s3 = OffloadRunner.offload(spark, cfgFor("x").copy(predicateDsl = None))
+    assert(s3.forall(_.ok))
+    val hwm3 = MetadataStore.load(s"$base/meta", "lineitem")
+      .get.incrementalHighValue
+    assert(hwm3 == hwm2)
+  }
+
+  test("dry run renders steps without writing anything") {
+    val base = tmpBase()
+    val steps = OffloadRunner.offload(spark, OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      dryRun = true))
+    assert(steps.forall(s => s.ok && s.detail.startsWith("[dry-run]")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/final")))
+    assert(MetadataStore.load(s"$base/meta", "lineitem").isEmpty)
+  }
+
+  test("metadata json round-trips") {
+    import graft.meta.OffloadMetadata
+    val m = OffloadMetadata("src.t", "backend.t", "INCREMENTAL",
+      incrementalKey = Seq("a", "b"),
+      incrementalHighValue = Seq("2024-01-01", "42"),
+      incrementalPredicateType = Some("PREDICATE"),
+      incrementalPredicateValue = Seq("(column(A) = numeric(1))"),
+      bucketColumns = Seq("a"), sortColumns = Seq("b"),
+      snapshotId = Some(123L))
+    val rt = MetadataStore.fromJson(MetadataStore.toJson(m))
+    assert(rt == m)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.plan
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class BoundarySpec extends SparkSpec {
+  import Boundary._
+  import org.apache.spark.sql.functions._
+
+  test("multi-column greaterThan matches struct comparison") {
+    val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
+    // l_shipdate is TIMESTAMP_NTZ: struct comparison needs an NTZ literal
+    // (LocalDateTime), while the per-column form coerces either way.
+    val ntz = java.time.LocalDateTime.parse("1997-06-30T00:00:00")
+    val ts = java.sql.Timestamp.valueOf("1997-06-30 00:00:00")
+    val viaOr = li.filter(greaterThan(Seq("l_shipdate", "l_orderkey"),
+      Seq(Value(ts), Value(1000L)))).count()
+    val viaStruct = li.filter(structGreaterThan(
+      Seq("l_shipdate", "l_orderkey"), Seq(ntz, 1000L))).count()
+    assert(viaOr == viaStruct)
+    assert(viaOr > 0)
+  }
+
+  test("MAXVALUE bound: nothing is beyond it") {
+    val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
+    val n = li.filter(greaterThan(Seq("l_shipdate"), Seq(MaxValue))).count()
+    assert(n == 0)
+    val all = li.filter(lessThan(Seq("l_shipdate"), Seq(MaxValue))).count()
+    assert(all == li.count())
+  }
+
+  test("greaterThan and lessThan partition the space (minus the boundary)") {
+    val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
+    val ts = java.sql.Timestamp.valueOf("1997-06-30 00:00:00")
+    val gt = li.filter(greaterThan(Seq("l_shipdate"), Seq(Value(ts)))).count()
+    val lt = li.filter(lessThan(Seq("l_shipdate"), Seq(Value(ts)))).count()
+    val eq = li.filter(col("l_shipdate") === lit(ts)).count()
+    assert(gt + lt + eq == li.count())
+  }
+
+  test("SQL rendering mirrors the OR-of-ANDs shape") {
+    val sql = Boundary.Sql.greaterThan(Seq("a", "b"),
+      Seq(Value(1), Value(2)))
+    assert(sql == "(a > 1) OR (a = 1 AND b > 2)")
+  }
+}
+
+class PartitionPlannerSpec extends AnyFunSuite {
+  import Boundary._
+
+  private def part(name: String, pos: Int, hv: Long, bytes: Long = 100L) =
+    SourcePartition(name, pos, Seq(Value(hv)), bytes, rows = 10L)
+
+  test("rangeIpa keeps only partitions beyond the HWM, capped by less-than") {
+    val ps = (1 to 10).map(i => part(s"p$i", i, i * 100L))
+    val out = PartitionPlanner.rangeIpa(ps,
+      offloadedHwm = Some(Seq(Value(300L))),
+      lessThan = Some(Seq(Value(800L))))
+    assert(out.map(_.name) == Seq("p4", "p5", "p6", "p7", "p8"))
+  }
+
+  test("rangeIpa with MAXVALUE partition always includes it") {
+    val ps = (1 to 3).map(i => part(s"p$i", i, i * 100L)) :+
+      SourcePartition("pmax", 4, Seq(MaxValue), 100L, 10L)
+    val out = PartitionPlanner.rangeIpa(ps, Some(Seq(Value(200L))), None)
+    assert(out.map(_.name) == Seq("p3", "pmax"))
+  }
+
+  test("listIpa is a set difference") {
+    val ps = (1 to 4).map(i => part(s"p$i", i, i.toLong))
+    val out = PartitionPlanner.listIpa(ps, Set("p2", "p4"))
+    assert(out.map(_.name) == Seq("p1", "p3"))
+  }
+
+  test("chunking respects caps and never splits equal-HWM groups") {
+    val ps = Seq(
+      part("a1", 1, 100L, 60), part("a2", 2, 100L, 60), // same HWM: atomic
+      part("b", 3, 200L, 60), part("c", 4, 300L, 60))
+    val chunks = PartitionPlanner.chunk(ps, maxBytes = 100L, maxCount = 10)
+    // a1+a2 exceed 100 bytes but must stay together
+    assert(chunks.head.names == Seq("a1", "a2"))
+    assert(chunks.map(_.names).flatten == ps.map(_.name))
+  }
+
+  test("chunk caps hold for randomized partition lists (seeded)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val n = rnd.nextInt(40) + 1
+      val ps = (0 until n).map { i =>
+        // occasional shared HWMs to exercise the atomic-group rule
+        val hv = (i - rnd.nextInt(2)).max(0).toLong
+        part(s"p$i", i, hv, rnd.nextInt(999).toLong + 1)
+      }
+      val chunks = PartitionPlanner.chunk(ps, maxBytes = 2000L, maxCount = 5)
+      assert(chunks.flatMap(_.names) == ps.map(_.name)) // order + coverage
+      chunks.foreach { c =>
+        assert(c.partitions.length <= 5 ||
+          c.partitions.map(_.highValues).distinct.length == 1)
+      }
+    }
+  }
+
+  test("offload type transitions") {
+    import OffloadType._
+    assert(transition(None, Full) == Right(Full))
+    assert(transition(Some(Incremental), Full) == Right(Full))
+    assert(transition(Some(Full), Incremental).isLeft)
+    assert(transition(Some(Full), Incremental, forceReset = true) == Right(Incremental))
+  }
+}
+
+class SyntheticPartitionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("date keys truncate correctly at Y/M/D") {
+    import spark.implicits._
+    val df = Seq("2024-03-15 10:30:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    val row = df.select(
+      SyntheticPartition.dateStringKey(col("ts"), "Y"),
+      SyntheticPartition.dateStringKey(col("ts"), "M"),
+      SyntheticPartition.dateStringKey(col("ts"), "D")).head()
+    assert(row.getString(0) == "2024")
+    assert(row.getString(1) == "2024-03")
+    assert(row.getString(2) == "2024-03-15")
+  }
+
+  test("numeric range key buckets to granularity multiples") {
+    import spark.implicits._
+    val df = Seq(-150.0, -1.0, 0.0, 99.9, 100.0, 250.0).toDF("v")
+    val keys = df.select(SyntheticPartition.numericRangeKey(col("v"), 100L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == Seq(-200L, -100L, 0L, 0L, 100L, 200L))
+  }
+
+  test("hash bucket key is stable and in range") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("id")
+    val buckets = df.select(SyntheticPartition.hashBucketKey(8, col("id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(buckets.forall(b => b >= 0 && b < 8))
+  }
+}

