@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen/JIT, FS metadata) so the first timed query
+    // doesn't absorb startup cost.
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
   *
@@ -58,7 +59,12 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
                    n: Int = 3): DataFrame = {
+    // The shingle index is consumed three times (sizes + both join sides);
+    // persist it so the tokenise/shingle expressions (interpreted HOFs, not
+    // codegen'd) run once. At warehouse scale this is the materialised
+    // inverted index every dedup pass reuses.
     val rel = shingleRelation(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = rel.groupBy(col("sid")).agg(count(lit(1)).as("set_size"))
     val a = rel.select(col("sid").as("id_a"), col("shingle"))
     val b = rel.select(col("sid").as("id_b"), col("shingle"))
@@ -105,12 +111,19 @@ object Dedup {
                     bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val banded = (0 until bands).map { b =>
+    // One pass over the signatures: emit every band key via explode (a
+    // union of per-band selects would recompute the upstream signature
+    // aggregation once per band), then persist — the banded index feeds
+    // both sides of the candidate self-join.
+    val bandStructs = (0 until bands).map { b =>
       val slice = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
-      signatures.select(col("sid"),
-        lit(b).as("band"),
-        md5(concat_ws("|", slice: _*)).as("band_key"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_key"))
+    }
+    val banded = signatures
+      .select(col("sid"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("sid"), col("bk.band").as("band"),
+              col("bk.band_key").as("band_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("band_key"), col("sid").as("id_a"))
     val r = banded.select(col("band"), col("band_key"), col("sid").as("id_b"))
     l.join(r, Seq("band", "band_key"))
@@ -125,13 +138,16 @@ object Dedup {
     * hash. */
   def simhash(text: Column, bits: Int = 32): Column = {
     require(bits <= 32, "md5 has 32 hex nibbles")
-    val toks = array_distinct(tokens(text))
+    // hash each distinct token ONCE; the per-bit folds then only do
+    // substring/instr over the precomputed hex strings (md5 32× per token
+    // was the hot spot at bench scale)
+    val hashes = transform(array_distinct(tokens(text)), t => md5(t))
     val perBit: Seq[Column] = (0 until bits).map { j =>
       // vote_j = sum over tokens of (nibble_j >= 8 ? 1 : -1)
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc +
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc +
           when(instr(lit("0123456789abcdef"),
-                     substring(md5(t), j + 1, 1)) >= 9, lit(1))
+                     substring(h, j + 1, 1)) >= 9, lit(1))
             .otherwise(lit(-1)))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -152,6 +168,9 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("sid"),
                            simhash(col(textCol)).as("sig"))
       .withColumn("block", col("sig").bitwiseAND(lit(255L)))
+      // signature computation (32 interpreted folds) must run once, not
+      // once per join side
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val l = sigs.select(col("block"), col("sid").as("id_a"),
                         col("sig").as("sig_a"))
     val r = sigs.select(col("block"), col("sid").as("id_b"),

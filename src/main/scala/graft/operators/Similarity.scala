@@ -46,16 +46,25 @@ object Similarity {
       s"(${dot(a, b, dim)}) / (sqrt(${normSq(a, dim)}) * sqrt(${normSq(b, dim)}))"
   }
 
+  /** Per-row L2 norm, computed once per vector before any pair join — with N
+    * candidates per probe this turns 3 length-d chains per pair into 1
+    * (`score = dot / (nrm_a * nrm_b)`), same double op order as
+    * `dot/(sqrt(na)*sqrt(nb))` so results stay bitwise identical. */
+  def norm(a: Column, dim: Int): Column = sqrt(normSq(a, dim))
+
   /** Brute-force cosine top-k of the corpus against one query vector
     * (given as the row with `idCol == queryId`). */
   def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int, dim: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val q = embeddings.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"))
-    embeddings.filter(col(idCol) =!= queryId)
+    val withNorm = embeddings
+      .withColumn("nrm", norm(col(vecCol), dim))
+    val q = withNorm.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    withNorm.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("score", cosine(col(vecCol), col("q_vec"), dim))
+      .withColumn("score",
+        dot(col(vecCol), col("q_vec"), dim) / (col("nrm") * col("q_nrm")))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -79,11 +88,13 @@ object Similarity {
       : DataFrame = {
     val bucketed = embeddings
       .withColumn("bucket", signBucket(col(vecCol), bucketDims))
+      .withColumn("nrm", norm(col(vecCol), dim))
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col("bucket"), col(vecCol).as("q_vec"))
+      .select(col("bucket"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
     bucketed.filter(col(idCol) =!= queryId)
       .join(broadcast(q), "bucket")
-      .withColumn("score", cosine(col(vecCol), col("q_vec"), dim))
+      .withColumn("score",
+        dot(col(vecCol), col("q_vec"), dim) / (col("nrm") * col("q_nrm")))
       .select(col(idCol), col("bucket"), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -96,15 +107,18 @@ object Similarity {
                    bucketDims: Seq[Int] = Seq(0, 1, 2, 3),
                    idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val withBucket = embeddings.withColumn("bucket",
-      if (bucketDims.isEmpty) lit(0L) else signBucket(col(vecCol), bucketDims))
+    val withBucket = embeddings
+      .withColumn("bucket",
+        if (bucketDims.isEmpty) lit(0L) else signBucket(col(vecCol), bucketDims))
+      .withColumn("nrm", norm(col(vecCol), dim))
     val l = withBucket.select(col("bucket"), col(idCol).as("id_a"),
-                              col(vecCol).as("vec_a"))
+                              col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
     val r = withBucket.select(col("bucket"), col(idCol).as("id_b"),
-                              col(vecCol).as("vec_b"))
+                              col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("vec_a"), col("vec_b"), dim))
+      .withColumn("score",
+        dot(col("vec_a"), col("vec_b"), dim) / (col("nrm_a") * col("nrm_b")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }

@@ -264,31 +264,46 @@ object PipelineQueries {
            COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
          FROM docs GROUP BY 1 ORDER BY fingerprint""",
 
+    // Norms are precomputed per vector (like the Spark side); score =
+    // dot / (nrm_a * nrm_b) is bitwise-equal to dot/(sqrt(na)*sqrt(nb)).
     "q33_cosine_topk" ->
-      s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+      s"""WITH n AS (SELECT vec_id, embedding,
+           sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS nrm
+           FROM embeddings),
+         q AS (SELECT embedding AS q_vec, nrm AS q_nrm FROM n WHERE vec_id = 0)
          SELECT e.vec_id,
-           ${cosineSql("e.embedding", "q.q_vec")} AS score
-         FROM embeddings e, q
+           (${Similarity.Sql.dot("e.embedding", "q.q_vec", Dim)})
+             / (e.nrm * q.q_nrm) AS score
+         FROM n e, q
          WHERE e.vec_id <> 0
          ORDER BY score DESC, e.vec_id LIMIT 10""",
 
     "q34_ann_lsh_topk" ->
       s"""WITH b AS (SELECT vec_id, embedding,
-           ${bucketSql("embedding")} AS bucket FROM embeddings),
-         q AS (SELECT bucket, embedding AS q_vec FROM b WHERE vec_id = 0)
+           ${bucketSql("embedding")} AS bucket,
+           sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS nrm
+           FROM embeddings),
+         q AS (SELECT bucket, embedding AS q_vec, nrm AS q_nrm
+               FROM b WHERE vec_id = 0)
          SELECT e.vec_id, e.bucket,
-           ${cosineSql("e.embedding", "q.q_vec")} AS score
+           (${Similarity.Sql.dot("e.embedding", "q.q_vec", Dim)})
+             / (e.nrm * q.q_nrm) AS score
          FROM b e JOIN q USING (bucket)
          WHERE e.vec_id <> 0
          ORDER BY score DESC, e.vec_id LIMIT 10""",
 
     "q35_embed_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding,
-           ${bucketSql("embedding")} AS bucket FROM embeddings)
-         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           ${cosineSql("a.embedding", "c.embedding")} AS score
-         FROM b a JOIN b c USING (bucket)
-         WHERE a.vec_id < c.vec_id
-           AND ${cosineSql("a.embedding", "c.embedding")} >= $CosineThreshold
+           ${bucketSql("embedding")} AS bucket,
+           sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS nrm
+           FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             (${Similarity.Sql.dot("a.embedding", "c.embedding", Dim)})
+               / (a.nrm * c.nrm) AS score
+           FROM b a JOIN b c USING (bucket)
+           WHERE a.vec_id < c.vec_id)
+         SELECT id_a, id_b, score FROM scored
+         WHERE score >= $CosineThreshold
          ORDER BY id_a, id_b""")
 }
