@@ -1,0 +1,145 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.plan.SyntheticPartition
+import graft.plans.SyntheticPartitionPruning
+import graft.sink.SchemaSync
+
+/** Coverage queries for the remaining SURVEY §2 operators: synthetic-
+  * partition pruning end-to-end, bucket-column choice, rollup aggregation,
+  * ORC staging, schema evolution. */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dsumSql(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    /** End-to-end synthetic-partition pruning: offload orders partitioned by
+      * the month key, register the Catalyst injection rule, filter on the
+      * SOURCE column only — the derived predicate prunes partitions and the
+      * result must equal filtering the source directly (the oracle). */
+    "q38_partition_prune" -> { (s, dir) =>
+      val base = Files.createTempDirectory("graft_prune_q").toString
+      t(s, dir, "orders")
+        .withColumn("goe_part_m_o_orderdate",
+          SyntheticPartition.dateStringKey(col("o_orderdate"), "M"))
+        .write.partitionBy("goe_part_m_o_orderdate").parquet(s"$base/orders")
+      if (!s.experimental.extraOptimizations.contains(SyntheticPartitionPruning))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SyntheticPartitionPruning
+      s.read.parquet(s"$base/orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("goe_part_m_o_orderdate"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("goe_part_m_o_orderdate"))
+    },
+
+    /** Bucket-hash column choice: pick the highest-NDV candidate
+      * (reference `goe.py:2121-2154`). */
+    "q39_bucket_choice" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("ndv_partkey"),
+          countDistinct(col("l_suppkey")).as("ndv_suppkey"),
+          countDistinct(col("l_returnflag")).as("ndv_returnflag"))
+        .withColumn("chosen",
+          when(col("ndv_partkey") >= col("ndv_suppkey") &&
+               col("ndv_partkey") >= col("ndv_returnflag"), lit("l_partkey"))
+            .when(col("ndv_suppkey") >= col("ndv_returnflag"), lit("l_suppkey"))
+            .otherwise(lit("l_returnflag")))
+    },
+
+    /** Rollup (subtotal) aggregation over the validation group keys. */
+    "q40_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    /** ORC as the second staging format (no Avro module in this build):
+      * write the slice to ORC, read it back, aggregate — the oracle
+      * aggregates the source directly, so the round-trip must be lossless. */
+    "q41_orc_stage" -> { (s, dir) =>
+      val base = Files.createTempDirectory("graft_orc_q").toString
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .write.format("orc").save(s"$base/stage")
+      s.read.format("orc").load(s"$base/stage")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    /** Schema evolution: v1 slice without the derived column, v2 slice with
+      * it; mergeSchema read sees both, old rows null in the new column. */
+    "q42_schema_evolution" -> { (s, dir) =>
+      val base = Files.createTempDirectory("graft_evo_q").toString
+      val orders = t(s, dir, "orders")
+      orders.write.parquet(s"$base/t")
+      val v2 = orders.withColumn("o_prio_digit",
+        substring(col("o_orderpriority"), 1, 1).try_cast("int"))
+      val plan = SchemaSync.analyze(v2, s.read.parquet(s"$base/t"), "t")
+      require(plan.addedColumns.map(_.name) == Seq("o_prio_digit"),
+        s"unexpected evolution plan: $plan")
+      v2.write.mode("append").parquet(s"$base/t")
+      SchemaSync.evolvedRead(s, s"$base/t")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_prio_digit")).as("n_evolved"),
+          sum(col("o_prio_digit")).as("sum_digit"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q38_partition_prune" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS goe_part_m_o_orderdate,
+         COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY goe_part_m_o_orderdate""",
+
+    "q39_bucket_choice" ->
+      """SELECT ndv_partkey, ndv_suppkey, ndv_returnflag,
+           CASE WHEN ndv_partkey >= ndv_suppkey
+                 AND ndv_partkey >= ndv_returnflag THEN 'l_partkey'
+                WHEN ndv_suppkey >= ndv_returnflag THEN 'l_suppkey'
+                ELSE 'l_returnflag' END AS chosen
+         FROM (SELECT COUNT(DISTINCT l_partkey) AS ndv_partkey,
+                      COUNT(DISTINCT l_suppkey) AS ndv_suppkey,
+                      COUNT(DISTINCT l_returnflag) AS ndv_returnflag
+               FROM lineitem) x""",
+
+    "q40_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+           COALESCE(l_linestatus, '(all)') AS l_linestatus,
+           COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q41_orc_stage" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         ${dsumSql("l_extendedprice")} AS sum_price
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q42_schema_evolution" ->
+      """SELECT 2 * COUNT(*) AS n_rows, COUNT(*) AS n_evolved,
+           SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS sum_digit
+         FROM orders""")
+}
