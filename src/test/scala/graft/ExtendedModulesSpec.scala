@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.MetadataStore
+import graft.operators.IvfIndex
+import graft.orchestrate.OffloadLock
+import graft.predicate.{DialectRenderers, OffloadPredicate}
+import graft.source.ExtractionProjection
+import graft.streaming.StreamingOffload
+import graft.types.{CanonicalColumn, CanonicalType}
+
+class DialectRenderersSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val p = OffloadPredicate.parseUnsafe(
+    "((column(Time_Id) >= datetime(2020-01-01)) AND " +
+      "(column(channel_id) IN (numeric(17), numeric(18)))) OR " +
+      "(column(Promo) IS NULL)")
+
+  test("Oracle rendering: upper-cased identifiers, ANSI literals") {
+    assert(DialectRenderers.oracle(p) ==
+      "((TIME_ID >= DATE '2020-01-01' AND CHANNEL_ID IN (17, 18)) " +
+        "OR PROMO IS NULL)")
+  }
+
+  test("BigQuery rendering: lower-cased identifiers, DATETIME literals") {
+    val q = OffloadPredicate.parseUnsafe(
+      "(column(TS) < datetime(2021-06-01 10:00:00))")
+    assert(DialectRenderers.bigquery(q) == "ts < DATETIME '2021-06-01 10:00:00'")
+    assert(DialectRenderers.bigquery(p).startsWith("((time_id >= DATE"))
+  }
+
+  test("string values escape quotes in every dialect") {
+    val q = OffloadPredicate.parseUnsafe("(column(S) = string(\"o'brien\"))")
+    assert(DialectRenderers.oracle(q) == "S = 'o''brien'")
+    assert(DialectRenderers.bigquery(q) == "s = 'o''brien'")
+  }
+}
+
+class ExtractionProjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("NaN policy applies to float columns unless allowed") {
+    val df = Seq((1L, Double.NaN), (2L, 5.5)).toDF("id", "v")
+    val cols = Seq(
+      CanonicalColumn("id", CanonicalType.Integer8),
+      CanonicalColumn("v", CanonicalType.Double8))
+    val strict = ExtractionProjection(df, cols)
+    assert(strict.filter(col("v").isNull).count() == 1)
+    val allowed = ExtractionProjection(df, cols,
+      ExtractionProjection.Policy(allowFloatingPointConversions = true))
+    assert(allowed.filter(isnan(col("v"))).count() == 1)
+  }
+
+  test("TSTZ columns normalise from the source zone to UTC instants") {
+    val df = Seq("2024-01-01 12:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("t"))
+    val cols = Seq(CanonicalColumn("t", CanonicalType.TimestampTz))
+    val shifted = ExtractionProjection(df, cols,
+      ExtractionProjection.Policy(sourceTimeZone = "America/New_York"))
+    val utc = shifted.select(date_format(col("t"), "yyyy-MM-dd HH:mm:ss"))
+      .head().getString(0)
+    assert(utc == "2024-01-01 17:00:00") // EST is UTC-5 in January
+  }
+}
+
+class OffloadLockSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("second acquisition of the same table fails until release") {
+    val dir = Files.createTempDirectory("graft_lock").toString
+    val first = OffloadLock.tryAcquire(dir, "db.t")
+    assert(first.isDefined)
+    assert(OffloadLock.tryAcquire(dir, "db.t").isEmpty)
+    assert(OffloadLock.tryAcquire(dir, "db.other").isDefined)
+    first.get.release()
+    val again = OffloadLock.tryAcquire(dir, "db.t")
+    assert(again.isDefined)
+    again.get.release()
+  }
+
+  test("withLock runs body with a fresh execution id and always releases") {
+    val dir = Files.createTempDirectory("graft_lock2").toString
+    val id1 = OffloadLock.withLock(dir, "t")(identity)
+    val id2 = OffloadLock.withLock(dir, "t")(identity)
+    assert(id1 != id2)
+    intercept[IllegalStateException] {
+      OffloadLock.withLock(dir, "t") { _ =>
+        OffloadLock.withLock(dir, "t")(identity) // nested: must fail fast
+      }
+    }
+  }
+}
+
+class StreamingOffloadSpec extends SparkSpec {
+
+  test("AvailableNow streaming offload appends batches and advances the HWM") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_offload").toString
+    val events = graft.Tables.load(spark, sf("sf0.001"), "events")
+    events.write.parquet(s"$base/source")
+
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/source")
+      .withColumn("hour", date_format(col("ts"), "yyyy-MM-dd-HH"))
+
+    val q = StreamingOffload.start(stream, StreamingOffload.Config(
+      sourceTable = "events_stream",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      hwmColumn = "ts",
+      partitionCols = Seq("hour"),
+      checkpointDir = s"$base/ckpt"))
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(s"$base/final")
+    assert(out.count() == events.count())
+    val meta = MetadataStore.load(s"$base/meta", "events_stream").get
+    assert(meta.offloadType == "INCREMENTAL")
+    val expectedMax = events.agg(max(col("ts"))).head().getTimestamp(0)
+    assert(meta.incrementalHighValue.head == expectedMax.toString)
+    // restart with no new data: no duplicate rows (checkpoint idempotence)
+    val q2 = StreamingOffload.start(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/source")
+        .withColumn("hour", date_format(col("ts"), "yyyy-MM-dd-HH")),
+      StreamingOffload.Config("events_stream", s"$base/final", s"$base/meta",
+        "ts", Seq("hour"), s"$base/ckpt"))
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$base/final").count() == events.count())
+  }
+}
+
+class IvfIndexSpec extends SparkSpec {
+
+  test("IVF probe finds the brute-force top neighbour in nprobe cells") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, dim = 64)
+    assert(model.nlist == 8)
+    val indexed = IvfIndex.assign(emb, model, dim = 64).cache()
+    // every vector lands in exactly one cell
+    assert(indexed.filter(col("ivf_cell") < 0).count() == 0)
+    val cellCount = indexed.select("ivf_cell").distinct().count()
+    assert(cellCount > 1 && cellCount <= 8)
+
+    val query = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val ivfTop = IvfIndex.probe(indexed.filter(col("vec_id") =!= 0), model,
+      query, k = 5, nprobe = 4, dim = 64).collect()
+    assert(ivfTop.length == 5)
+
+    // recall check vs brute force with generous probes
+    val brute = graft.operators.Similarity
+      .cosineTopK(emb, queryId = 0, k = 5, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    val wide = IvfIndex.probe(indexed.filter(col("vec_id") =!= 0), model,
+      query, k = 5, nprobe = 8, dim = 64).collect().map(_.getLong(0)).toSet
+    assert(wide == brute) // nprobe = nlist degenerates to exact search
+  }
+}
