@@ -62,6 +62,36 @@ object SyntheticPartition {
   def hashBucketKey(buckets: Int, cols: Column*): Column =
     pmod(xxhash64(cols: _*), lit(buckets.toLong))
 
+  /** User partition-function transform: a registered (deterministic) UDF
+    * applied as the partition key — the reference's BigQuery-SQL-UDF
+    * partition functions (`backend_table.py:1594-1651`,
+    * `bigquery_backend_api.py:1060-1096`) become registered Spark functions.
+    * [[validatePartitionFunction]] is the registration check
+    * (`check_partition_function` analogue): the function must exist and be
+    * deterministic, else pruning/evolution would be inconsistent. */
+  def functionKey(spark: org.apache.spark.sql.SparkSession, fnName: String,
+                  src: Column): Column = {
+    validatePartitionFunction(spark, fnName).left.foreach(e =>
+      throw new IllegalArgumentException(e))
+    org.apache.spark.sql.functions.call_udf(fnName, src)
+  }
+
+  def validatePartitionFunction(spark: org.apache.spark.sql.SparkSession,
+                                fnName: String): Either[String, Unit] = {
+    if (!spark.catalog.functionExists(fnName))
+      Left(s"partition function $fnName is not registered")
+    else {
+      // resolve through a dummy plan to reach the analyzed Expression
+      val analyzed = spark.range(1)
+        .select(org.apache.spark.sql.functions.call_udf(fnName,
+          org.apache.spark.sql.functions.lit(0)))
+        .queryExecution.analyzed
+      if (!analyzed.expressions.forall(_.deterministic))
+        Left(s"partition function $fnName must be deterministic")
+      else Right(())
+    }
+  }
+
   /** DuckDB/ANSI SQL renderings of the same expressions, for the
     * verification oracle (same AST, two engines — reference keeps a python
     * literal mirror for exactly this reason). */

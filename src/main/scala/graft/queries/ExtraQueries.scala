@@ -89,6 +89,40 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    /** The reference's emitted scalar-function vocabulary (SURVEY §2.6) in
+      * one projection: substr/lpad/length/instr/translate/regexp_replace/
+      * floor/mod/abs/round/base64/case — all codegen'd builtins. */
+    "q43_scalar_funcs" -> { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 300)
+        .select(
+          col("p_partkey"),
+          substring(col("p_type"), 1, 5).as("f_substr"),
+          lpad(col("p_size").cast("string"), 4, "0").as("f_lpad"),
+          length(col("p_name")).as("f_length"),
+          instr(col("p_type"), "a").as("f_instr"),
+          translate(col("p_brand"), "#", "-").as("f_translate"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("f_regexp"),
+          floor(col("p_retailprice") / 100.0).cast("long").as("f_floor"),
+          pmod(col("p_partkey"), lit(7L)).as("f_mod"),
+          abs(col("p_size") - 25).as("f_abs"),
+          round(col("p_retailprice").cast("decimal(12,2)"), 1).as("f_round"),
+          base64(encode(col("p_brand"), "UTF-8")).as("f_base64"),
+          when(col("p_size") > 25, lit("big")).otherwise(lit("small"))
+            .as("f_case"))
+        .orderBy(col("p_partkey"))
+    },
+
+    /** Sliding-window event rates (each event in 4 overlapping windows). */
+    "q44_events_sliding" -> { (s, dir) =>
+      graft.streaming.Events.slidingCounts(t(s, dir, "events"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
     /** Schema evolution: v1 slice without the derived column, v2 slice with
       * it; mergeSchema read sees both, old rows null in the new column. */
     "q42_schema_evolution" -> { (s, dir) =>
@@ -141,5 +175,32 @@ object ExtraQueries {
     "q42_schema_evolution" ->
       """SELECT 2 * COUNT(*) AS n_rows, COUNT(*) AS n_evolved,
            SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS sum_digit
-         FROM orders""")
+         FROM orders""",
+
+    "q43_scalar_funcs" ->
+      """SELECT p_partkey,
+           substr(p_type, 1, 5) AS f_substr,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS f_lpad,
+           length(p_name) AS f_length,
+           instr(p_type, 'a') AS f_instr,
+           translate(p_brand, '#', '-') AS f_translate,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS f_regexp,
+           CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS f_floor,
+           p_partkey % 7 AS f_mod,
+           abs(p_size - 25) AS f_abs,
+           CAST(round(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DECIMAL(12,1))
+             AS f_round,
+           base64(encode(p_brand)) AS f_base64,
+           CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS f_case
+         FROM part WHERE p_partkey < 300 ORDER BY p_partkey""",
+
+    "q44_events_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+         FROM (
+           SELECT e.event_type,
+             time_bucket(INTERVAL '15 minutes', e.ts)
+               - k.k * INTERVAL '15 minutes' AS ws
+           FROM events e, (SELECT unnest(range(0, 4)) AS k) k) w
+         GROUP BY ws, event_type ORDER BY window_start, event_type""")
 }

@@ -114,7 +114,8 @@ object StagedLoad {
       finalPath: String,
       schema: Seq[CanonicalColumn],
       partitionCols: Seq[String] = Nil,
-      finalMode: String = "overwrite"): Either[DataFrame, Long] = {
+      finalMode: String = "overwrite",
+      sortCols: Seq[String] = Nil): Either[DataFrame, Long] = {
     df.write.mode("overwrite").parquet(stagingPath)
     val spark = df.sparkSession
     val staged = spark.read.parquet(stagingPath)
@@ -123,7 +124,14 @@ object StagedLoad {
     if (!bad.isEmpty) Left(bad)
     else {
       val projected = staged.select(castProjection(schema): _*)
-      val writer = projected.write.mode(finalMode)
+      // Sort/cluster columns (reference operation/sort_columns.py; BigQuery
+      // clustering): sortWithinPartitions gives per-file clustering ->
+      // better min/max pruning on the sorted columns, no extra shuffle.
+      val clustered =
+        if (sortCols.nonEmpty)
+          projected.sortWithinPartitions(sortCols.map(col): _*)
+        else projected
+      val writer = clustered.write.mode(finalMode)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
        else writer).parquet(finalPath)
       Right(staged.count())

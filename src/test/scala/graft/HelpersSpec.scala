@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plan.SyntheticPartition
+import graft.sink.{StagedLoad, Views}
+import graft.source.TableStats
+import graft.types.TypeMapper
+
+class TableStatsSpec extends SparkSpec {
+
+  test("path stats report rows, bytes, files") {
+    val stats = TableStats.forPath(spark, sf("sf0.001") + "/orders.parquet")
+    assert(stats.rows == 1500L)
+    assert(stats.bytes > 0 && stats.files >= 1)
+  }
+
+  test("bucket column choice picks highest NDV, exact and approx") {
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+    val cands = Seq("l_partkey", "l_suppkey", "l_returnflag")
+    assert(TableStats.chooseBucketColumn(li, cands) == "l_partkey")
+    assert(TableStats.chooseBucketColumn(li, cands, approx = true) == "l_partkey")
+  }
+
+  test("partition profile feeds the chunker") {
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+      .withColumn("m", SyntheticPartition.dateStringKey(col("l_shipdate"), "M"))
+    val profile = TableStats.partitionProfile(li, "m").collect()
+    assert(profile.map(_.getAs[Long]("rows")).sum == li.count())
+  }
+}
+
+class ViewsSpec extends SparkSpec {
+
+  test("conversion view presents the cast projection") {
+    val orders = Tables.load(spark, sf("sf0.001"), "orders")
+    val schema = TypeMapper.fromStructType(orders.schema)
+    val v = Views.conversionView(spark, orders, schema, "orders_conv")
+    assert(v.count() == orders.count())
+    assert(spark.catalog.tableExists("orders_conv"))
+    Views.drop(spark, "orders_conv")
+    assert(!spark.catalog.tableExists("orders_conv"))
+  }
+
+  test("result cache view is queryable by name") {
+    val agg = Tables.load(spark, sf("sf0.001"), "orders")
+      .groupBy("o_orderstatus").count()
+    Views.resultCacheView(spark, agg, "orders_by_status")
+    val n = spark.sql("SELECT SUM(count) FROM orders_by_status")
+      .head().getLong(0)
+    assert(n == 1500L)
+    Views.drop(spark, "orders_by_status")
+  }
+}
+
+class PartitionFunctionSpec extends SparkSpec {
+
+  test("registered deterministic UDF works as a partition key") {
+    spark.udf.register("price_band",
+      (x: Double) => (math.floor(x / 1000.0) * 1000.0).toLong)
+    val orders = Tables.load(spark, sf("sf0.001"), "orders")
+    val keyed = orders.withColumn("band",
+      SyntheticPartition.functionKey(spark, "price_band", col("o_totalprice")))
+    val bands = keyed.select("band").distinct().count()
+    assert(bands > 10)
+    assert(keyed.filter(col("band") % 1000 =!= 0).count() == 0)
+  }
+
+  test("unregistered partition function is rejected") {
+    assert(SyntheticPartition
+      .validatePartitionFunction(spark, "no_such_fn").isLeft)
+    intercept[IllegalArgumentException] {
+      SyntheticPartition.functionKey(spark, "no_such_fn", col("x"))
+    }
+  }
+}
+
+class SortColumnsSpec extends SparkSpec {
+
+  test("stageAndLoad sortCols clusters files by the sort key") {
+    val base = Files.createTempDirectory("graft_sort").toString
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem").repartition(4)
+    val schema = TypeMapper.fromStructType(li.schema)
+    val out = StagedLoad.stageAndLoad(li, s"$base/stage", s"$base/final",
+      schema, sortCols = Seq("l_orderkey"))
+    assert(out.isRight)
+    // per-file min/max ranges should be narrow after clustering: read each
+    // file and check rows are locally sorted by the key
+    val files = Files.list(java.nio.file.Paths.get(s"$base/final"))
+      .iterator()
+    var checked = 0
+    files.forEachRemaining { f =>
+      if (f.toString.endsWith(".parquet")) {
+        val keys = spark.read.parquet(f.toString)
+          .select("l_orderkey").collect().map(_.getLong(0))
+        assert(keys.sameElements(keys.sorted), s"file $f not clustered")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+}
+
+class CliSpec extends SparkSpec {
+
+  test("offload + status-report commands run end-to-end") {
+    val base = Files.createTempDirectory("graft_cli").toString
+    Cli.main(Array("offload",
+      "--source", sf("sf0.001") + "/orders.parquet",
+      "--table", "orders",
+      "--final", s"$base/final",
+      "--meta", s"$base/meta",
+      "--incremental-key", "o_orderkey"))
+    assert(spark.read.parquet(s"$base/final").count() == 1500L)
+    Cli.main(Array("status-report", "--meta", s"$base/meta"))
+  }
+
+  test("agg-validate validates a table against itself") {
+    val src = sf("sf0.001") + "/orders.parquet"
+    Cli.main(Array("agg-validate", "--left", src, "--right", src,
+      "--group-by", "o_orderstatus", "--columns", "o_totalprice"))
+  }
+
+  test("missing required option is rejected") {
+    intercept[NoSuchElementException] {
+      Cli.main(Array("offload", "--source", "x.parquet")) // no --final/--meta
+    }
+  }
+}
