@@ -20,14 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-associated dot product of two fixed-dim array columns. */
+  /** Dot product — native codegen'd kernel ([[graft.functions.DotProduct]]):
+    * sequential accumulation in element order, bitwise-identical to the
+    * left-associated chain (and to the oracle's explicit SQL chain) for the
+    * fixed-dim vectors this operates on. `dim` documents the contract; the
+    * kernel iterates the arrays. */
   def dot(a: Column, b: Column, dim: Int): Column =
+    graft.functions.VectorFunctions.dotNative(a, b)
+
+  /** Squared L2 norm via the same kernel. */
+  def normSq(a: Column, dim: Int): Column =
+    graft.functions.VectorFunctions.dotNative(a, a)
+
+  /** Expression-chain formulations (pre-kernel): kept for cross-checking
+    * the kernel's bitwise equivalence in specs. */
+  def dotChain(a: Column, b: Column, dim: Int): Column =
     (0 until dim)
       .map(i => a.getItem(i).cast("double") * b.getItem(i).cast("double"))
       .reduce(_ + _)
 
-  /** Left-associated squared L2 norm. */
-  def normSq(a: Column, dim: Int): Column =
+  def normSqChain(a: Column, dim: Int): Column =
     (0 until dim)
       .map(i => a.getItem(i).cast("double") * a.getItem(i).cast("double"))
       .reduce(_ + _)

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("native dot kernel is BITWISE identical to the expression chain") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(
+        VectorFunctions.dotNative(col("embedding"), col("q_vec")).as("native"),
+        Similarity.dotChain(col("embedding"), col("q_vec"), 64).as("chain"))
+      .collect()
+    // bitwise compare via raw long bits, not epsilon
+    val diff = both.count(r =>
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) !=
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    assert(diff == 0 && both.length == 500)
+  }
+
+  test("null element nulls the product; null array nulls the result") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0f), Some(2.0f))), Some(Seq(Some(3.0f), Some(4.0f)))),
+      (2L, Some(Seq(Some(1.0f), None)), Some(Seq(Some(3.0f), Some(4.0f)))),
+      (3L, None, Some(Seq(Some(1.0f), Some(1.0f)))))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      VectorFunctions.dotNative(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).contains(11.0))
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+  }
+
+  test("kernel participates in whole-stage codegen") {
+    // a cross join would plan BroadcastNestedLoopJoin (never codegen'd);
+    // a plain projection shows the expression's own codegen capability
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val scored = emb.select(
+      VectorFunctions.normNative(col("embedding")).as("nrm"))
+    val plan = scored.queryExecution.executedPlan.toString
+    // "*(n)" marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"),
+      s"expected codegen'd projection in plan:\n$plan")
+    assert(scored.filter(col("nrm") > 0).count() == 500)
+  }
+
+  test("mixed float/double arrays and type rejection") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(2.0, 3.0))).toDF("f", "d")
+    val v = df.select(VectorFunctions.dotNative(col("f"), col("d")))
+      .head().getDouble(0)
+    assert(v == 8.0)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFunctions.dotNative(lit("x"), col("d"))).collect()
+    }
+  }
+}
