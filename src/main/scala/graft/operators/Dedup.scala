@@ -22,9 +22,14 @@ import org.apache.spark.storage.StorageLevel
 object Dedup {
   import TextAnalysis.tokens
 
-  /** Word n-gram shingles (default 3). `sequence` + `transform` + 1-based
-    * `slice` keeps it codegen-friendly. Returns the DISTINCT shingle set. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingles (default 3): DISTINCT shingle set via the native
+    * kernel ([[graft.functions.WordShingles]] — one flat eval per row). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextFunctions.wordShingles(text, n)
+
+  /** Composed higher-order-function formulation — kept to spec-check the
+    * native kernel's equivalence. */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val ts = tokens(text)
     array_distinct(
       transform(
@@ -92,14 +97,24 @@ object Dedup {
 
   /** MinHash signatures: one row per doc, `sig_0..sig_{k-1}` columns.
     * k seeds ⇒ k independent min-hash functions; agreement probability per
-    * seed equals the Jaccard similarity (Broder's estimator). */
+    * seed equals the Jaccard similarity (Broder's estimator).
+    *
+    * Computed as per-doc `array_min` over the MATERIALISED shingle array —
+    * a projection with no explode/shuffle/groupBy (the exploded formulation
+    * shuffles |docs|·|shingles| rows to re-group what was already grouped).
+    * The persist is load-bearing, not a cache nicety: projection collapse
+    * would otherwise inline the shingle-construction subtree into all k
+    * signature expressions, and higher-order functions are interpreted with
+    * no common-subexpression elimination — measured 6× slower. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16,
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 3): DataFrame = {
-    val rel = shingleRelation(docs, idCol, textCol, n)
-    val aggs = (0 until numHashes).map(s =>
-      min(seededHash(s, col("shingle"))).as(s"sig_$s"))
-    rel.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+    val withSh = docs.select(col(idCol).as("sid"),
+        shingles(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = (0 until numHashes).map(s =>
+      array_min(transform(col("sh"), x => seededHash(s, x))).as(s"sig_$s"))
+    withSh.select((col("sid") +: sigs): _*)
   }
 
   /** LSH banding: group the k signature slots into `bands` bands of
@@ -138,20 +153,22 @@ object Dedup {
     * hash. */
   def simhash(text: Column, bits: Int = 32): Column = {
     require(bits <= 32, "md5 has 32 hex nibbles")
-    // hash each distinct token ONCE; the per-bit folds then only do
-    // substring/instr over the precomputed hex strings (md5 32× per token
-    // was the hot spot at bench scale)
+    // Single pass: md5 each distinct token ONCE, fold the per-nibble ±1
+    // votes into an array accumulator (the per-bit-folds formulation
+    // duplicates the hashing subtree into every bit's expression — higher-
+    // order functions are interpreted, so no CSE rescues that).
     val hashes = transform(array_distinct(tokens(text)), t => md5(t))
-    val perBit: Seq[Column] = (0 until bits).map { j =>
-      // vote_j = sum over tokens of (nibble_j >= 8 ? 1 : -1)
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc +
-          when(instr(lit("0123456789abcdef"),
-                     substring(h, j + 1, 1)) >= 9, lit(1))
-            .otherwise(lit(-1)))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    perBit.reduce(_ + _)
+    val nibbleVotes: Column => Column = h =>
+      transform(sequence(lit(1), lit(bits)), j =>
+        when(instr(lit("0123456789abcdef"),
+                   substring(h, j, lit(1))) >= 9, lit(1)).otherwise(lit(-1)))
+    val votes = aggregate(hashes,
+      array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, nibbleVotes(h), (a, b) => a + b))
+    val powers = array((0 until bits).map(j => lit(1L << j)): _*)
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist.

@@ -62,6 +62,20 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
     assert(short == Seq("a b")) // shorter than n: single truncated shingle
   }
+
+  test("native shingle kernel matches the HOF formulation on the corpus") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val diff = docs.select(
+        Dedup.shingles(col("text"), 3).as("native"),
+        Dedup.shinglesHof(col("text"), 3).as("hof"))
+      .filter(array_sort(col("native")) =!= array_sort(col("hof")))
+      .count()
+    assert(diff == 0)
+    // exact-ngram boundary: n == token count
+    val eq = docsOf(1L -> "x y z")
+      .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(eq == Seq("x y z"))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
