@@ -27,11 +27,16 @@ object ExtraQueries {
       * SOURCE column only — the derived predicate prunes partitions and the
       * result must equal filtering the source directly (the oracle). */
     "q38_partition_prune" -> { (s, dir) =>
-      val base = Files.createTempDirectory("graft_prune_q").toString
-      t(s, dir, "orders")
-        .withColumn("goe_part_m_o_orderdate",
-          SyntheticPartition.dateStringKey(col("o_orderdate"), "M"))
-        .write.partitionBy("goe_part_m_o_orderdate").parquet(s"$base/orders")
+      // deterministic offloaded copy, reused across invocations in one
+      // process run (keyed by sf dir; rebuilt if absent)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_prune_v1_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!Files.exists(java.nio.file.Paths.get(s"$base/orders/_SUCCESS")))
+        t(s, dir, "orders")
+          .withColumn("goe_part_m_o_orderdate",
+            SyntheticPartition.dateStringKey(col("o_orderdate"), "M"))
+          .write.mode("overwrite").partitionBy("goe_part_m_o_orderdate")
+          .parquet(s"$base/orders")
       if (!s.experimental.extraOptimizations.contains(SyntheticPartitionPruning))
         s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ SyntheticPartitionPruning
@@ -123,6 +128,51 @@ object ExtraQueries {
         .orderBy(col("window_start"), col("event_type"))
     },
 
+    /** CUBE over the validation keys (all grouping-set combinations). */
+    "q45_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("n"), col("sum_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    /** Ordered string aggregation (deterministic listagg). */
+    "q46_string_agg" -> { (s, dir) =>
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("n_name"))))
+            .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    },
+
+    /** SQL-interface query: the engine surface through spark.sql with
+      * registered views (EXISTS + scalar subquery + window in one). */
+    "q47_sql_interface" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+          AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS
+                DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 0.5 FROM orders)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+
     /** Schema evolution: v1 slice without the derived column, v2 slice with
       * it; mergeSchema read sees both, old rows null in the new column. */
     "q42_schema_evolution" -> { (s, dir) =>
@@ -202,5 +252,31 @@ object ExtraQueries {
              time_bucket(INTERVAL '15 minutes', e.ts)
                - k.k * INTERVAL '15 minutes' AS ws
            FROM events e, (SELECT unnest(range(0, 4)) AS k) k) w
-         GROUP BY ws, event_type ORDER BY window_start, event_type""")
+         GROUP BY ws, event_type ORDER BY window_start, event_type""",
+
+    "q45_cube" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+           COALESCE(l_linestatus, '(all)') AS l_linestatus,
+           COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q46_string_agg" ->
+      """SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q47_sql_interface" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+           AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS
+                 DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 0.5 FROM orders)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }
