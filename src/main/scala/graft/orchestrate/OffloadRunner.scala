@@ -60,15 +60,38 @@ object OffloadRunner {
       predicateDsl: Option[String] = None,
       incrementalKey: Seq[String] = Nil,
       partitionCols: Seq[String] = Nil,
-      dryRun: Boolean = false)
+      dryRun: Boolean = false,
+      transforms: Map[String, StagedLoad.Transform] = Map.empty,
+      sortCols: Seq[String] = Nil,
+      extractionPolicy: graft.source.ExtractionProjection.Policy =
+        graft.source.ExtractionProjection.Policy(),
+      withLock: Boolean = false)
 
-  /** Full offload command: read → (predicate/HWM filter) → stage → validate →
-    * final load → verify → metadata save. The file-source stand-in for the
-    * JDBC frontend (same planner surface; `TESTDATA.md` tables play Oracle).
+  /** Full offload command: lock → read → (predicate/HWM filter) →
+    * transforms + extraction projection → stage → validate → final load →
+    * verify → metadata save, with per-task metrics collected. The
+    * file-source stand-in for the JDBC frontend (same planner surface;
+    * `TESTDATA.md` tables play Oracle).
     */
-  def offload(spark: SparkSession, cfg: OffloadConfig): Seq[StepResult] = {
-    val r = new Runner(cfg.dryRun)
+  def offload(spark: SparkSession, cfg: OffloadConfig): Seq[StepResult] =
+    if (cfg.withLock)
+      OffloadLock.withLock(cfg.metadataDir + "/locks", cfg.sourceTable) {
+        _ => runSteps(spark, cfg)
+      }
+    else runSteps(spark, cfg)
 
+  private def runSteps(spark: SparkSession, cfg: OffloadConfig)
+      : Seq[StepResult] = {
+    val r = new Runner(cfg.dryRun)
+    val metrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    try runStepsWithMetrics(spark, cfg, r, metrics)
+    finally spark.sparkContext.removeSparkListener(metrics)
+  }
+
+  private def runStepsWithMetrics(spark: SparkSession, cfg: OffloadConfig,
+                                  r: Runner, metrics: TaskMetricsListener)
+      : Seq[StepResult] = {
     val source: DataFrame = spark.read.parquet(cfg.sourcePath)
     val predicate = cfg.predicateDsl.map(OffloadPredicate.parseUnsafe)
 
@@ -84,11 +107,16 @@ object OffloadRunner {
         s"hwm=${hwm.map(_.mkString(",")).getOrElse("none")}") {
       val afterPred = predicate.map(p => source.filter(OffloadPredicate.toColumn(p)))
         .getOrElse(source)
-      hwm match {
+      val afterHwm = hwm match {
         case Some(bounds) if cfg.incrementalKey.nonEmpty =>
           afterPred.filter(Boundary.greaterThan(cfg.incrementalKey, bounds))
         case _ => afterPred
       }
+      val afterXform =
+        if (cfg.transforms.isEmpty) afterHwm
+        else StagedLoad.applyTransforms(afterHwm, cfg.transforms)
+      graft.source.ExtractionProjection(afterXform,
+        TypeMapper.fromStructType(afterXform.schema), cfg.extractionPolicy)
     }
 
     val schema = planned.map(df => TypeMapper.fromStructType(df.schema))
@@ -103,7 +131,7 @@ object OffloadRunner {
         s"mode=$finalMode partitionBy=${cfg.partitionCols.mkString(",")}") {
       planned.foreach { df =>
         StagedLoad.stageAndLoad(df, cfg.stagingPath, cfg.finalPath, schema,
-            cfg.partitionCols, finalMode) match {
+            cfg.partitionCols, finalMode, cfg.sortCols) match {
           case Left(violations) =>
             throw new IllegalStateException(
               s"staged-data validation failed: ${violations.count()} rows")
@@ -142,6 +170,22 @@ object OffloadRunner {
             cfg.predicateDsl.map(_ => "PREDICATE"),
           incrementalPredicateValue = cfg.predicateDsl.toSeq))
       }
+    }
+
+    // Transport row accounting — what the reference scraped from Spark logs
+    // (`offload_transport.py:1811-1838`), natively from the listener.
+    if (!cfg.dryRun) {
+      // listener events are posted asynchronously; settle briefly
+      var last = -1L
+      var settle = 0
+      while (settle < 20 && metrics.totalRecordsWritten != last) {
+        last = metrics.totalRecordsWritten
+        Thread.sleep(50)
+        settle += 1
+      }
+      r.results += StepResult("task_metrics", ok = true,
+        s"recordsWritten=${metrics.totalRecordsWritten} " +
+          s"tasks=${metrics.snapshot.length}", 0L)
     }
 
     r.results.toSeq

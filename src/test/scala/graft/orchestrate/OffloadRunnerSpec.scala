@@ -73,6 +73,32 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(hwm3 == hwm2)
   }
 
+  test("lock, transforms, sort columns and task metrics ride the offload") {
+    import graft.sink.StagedLoad.Transform
+    val base = tmpBase()
+    val steps = OffloadRunner.offload(spark, OffloadRunner.OffloadConfig(
+      sourceTable = "part",
+      sourcePath = sf("sf0.001") + "/part.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      transforms = Map("p_brand" -> Transform.Translate("#", "_"),
+                       "p_retailprice" -> Transform.Null),
+      sortCols = Seq("p_partkey"),
+      withLock = true))
+    assert(steps.forall(_.ok), steps.mkString("\n"))
+    val m = steps.find(_.name == "task_metrics").get
+    assert(m.detail.matches("recordsWritten=\\d+ tasks=\\d+"))
+    assert(m.detail.replaceAll("\\D+", " ").trim.split(" ").head.toLong > 0)
+    val out = spark.read.parquet(s"$base/final")
+    assert(out.filter(org.apache.spark.sql.functions.col("p_brand")
+      .contains("#")).count() == 0)
+    assert(out.filter(org.apache.spark.sql.functions.col("p_retailprice")
+      .isNotNull).count() == 0)
+    // lock released after the run
+    assert(OffloadLock.tryAcquire(s"$base/meta/locks", "part").isDefined)
+  }
+
   test("dry run renders steps without writing anything") {
     val base = tmpBase()
     val steps = OffloadRunner.offload(spark, OffloadRunner.OffloadConfig(
