@@ -191,6 +191,77 @@ object OffloadRunner {
     r.results.toSeq
   }
 
+  /** Chunked offload: split the planned slice into size/count-capped chunks
+    * on a partition key and run one stage→load→metadata pass per chunk —
+    * the reference's chunk loop (`offload_source_data.py:1273-1310`): each
+    * chunk is an atomic retry unit and the HWM advances chunk-by-chunk, so
+    * a failure mid-table never loses completed chunks.
+    *
+    * `chunkKey` must be a monotone derivation of `hwmCol` (e.g. the month
+    * key of a date column) so per-chunk HWMs are consistent. */
+  def offloadChunked(spark: SparkSession, cfg: OffloadConfig,
+                     chunkKeyCol: String => org.apache.spark.sql.Column,
+                     hwmCol: String,
+                     maxRowsPerChunk: Long): Seq[Seq[StepResult]] = {
+    require(cfg.incrementalKey == Seq(hwmCol),
+      "chunked offload drives the HWM through hwmCol")
+    val source = spark.read.parquet(cfg.sourcePath)
+    // one tiny agg to discover chunk boundaries (metadata-scale, not data)
+    val profile = source
+      .groupBy(chunkKeyCol(hwmCol).as("chunk_key"))
+      .agg(count(lit(1)).as("rows"))
+      .orderBy(col("chunk_key"))
+      .collect()
+    val parts = profile.zipWithIndex.map { case (row, i) =>
+      graft.plan.SourcePartition(
+        name = String.valueOf(row.get(0)), position = i,
+        highValues = Seq(graft.plan.Boundary.Value(String.valueOf(row.get(0)))),
+        bytes = row.getLong(1), rows = row.getLong(1))
+    }
+    val chunks = graft.plan.PartitionPlanner.chunk(
+      parts.toSeq, maxBytes = maxRowsPerChunk, maxCount = Int.MaxValue)
+    chunks.map { chunk =>
+      val keys = chunk.names
+      val chunkCfg = cfg.copy(predicateDsl = None)
+      val r = new Runner(cfg.dryRun)
+      val metrics = new TaskMetricsListener
+      spark.sparkContext.addSparkListener(metrics)
+      try {
+        val slice = source.filter(chunkKeyCol(hwmCol).isInCollection(keys))
+        r.step("chunk_plan", s"keys=${keys.mkString(",")}")(())
+        runChunkSlice(spark, chunkCfg, r, slice)
+        r.results.toSeq
+      } finally spark.sparkContext.removeSparkListener(metrics)
+    }
+  }
+
+  /** Stage/load/verify/metadata for one pre-planned slice. */
+  private def runChunkSlice(spark: SparkSession, cfg: OffloadConfig,
+                            r: Runner, slice: DataFrame): Unit = {
+    val schema = TypeMapper.fromStructType(slice.schema)
+    val alreadyLoaded = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
+      .exists(_.incrementalHighValue.nonEmpty)
+    val mode = if (alreadyLoaded) "append" else "overwrite"
+    r.step("stage_and_load", s"mode=$mode") {
+      StagedLoad.stageAndLoad(slice, cfg.stagingPath, cfg.finalPath, schema,
+          cfg.partitionCols, mode, cfg.sortCols) match {
+        case Left(v) => throw new IllegalStateException(
+          s"staged-data validation failed: ${v.count()} rows")
+        case Right(_) => ()
+      }
+    }
+    r.step("save_metadata", "advance HWM for chunk") {
+      val previous = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
+        .map(_.incrementalHighValue).getOrElse(Nil)
+      val newHwm = CrossValidator.maxProbe(slice, cfg.incrementalKey)
+        .map(_.map(String.valueOf)).getOrElse(previous)
+      MetadataStore.save(cfg.metadataDir, OffloadMetadata(
+        sourceTable = cfg.sourceTable, backendTable = cfg.finalPath,
+        offloadType = "INCREMENTAL", incrementalKey = cfg.incrementalKey,
+        incrementalHighValue = newHwm))
+    }
+  }
+
   /** Parse a rendered HWM literal back to the key column's runtime type. */
   private def castHwmLiteral(df: DataFrame, keys: Seq[String],
                              rendered: String): Any = {

@@ -113,6 +113,28 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(MetadataStore.load(s"$base/meta", "lineitem").isEmpty)
   }
 
+  test("chunked offload moves the table in capped chunks, HWM per chunk") {
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      incrementalKey = Seq("l_shipdate"))
+    val chunkRuns = OffloadRunner.offloadChunked(spark, cfg,
+      c => date_format(col(c), "yyyy-MM"), hwmCol = "l_shipdate",
+      maxRowsPerChunk = 2000L)
+    assert(chunkRuns.length > 1, s"expected multiple chunks: ${chunkRuns.length}")
+    assert(chunkRuns.forall(_.forall(_.ok)))
+    val out = spark.read.parquet(s"$base/final")
+    val src = spark.read.parquet(cfg.sourcePath)
+    assert(out.count() == src.count())
+    val meta = MetadataStore.load(s"$base/meta", "lineitem").get
+    val expectedMax = src.agg(max(col("l_shipdate"))).head().getAs[Any](0)
+    assert(meta.incrementalHighValue.head == String.valueOf(expectedMax))
+  }
+
   test("metadata json round-trips") {
     import graft.meta.OffloadMetadata
     val m = OffloadMetadata("src.t", "backend.t", "INCREMENTAL",
