@@ -63,16 +63,31 @@ object Dedup {
     * joining at real scale; AQE skew-join handles the remainder. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text",
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3,
+                   maxShingleDocFreq: Option[Long] = None): DataFrame = {
     // The shingle index is consumed three times (sizes + both join sides);
     // persist it so the tokenise/shingle expressions (interpreted HOFs, not
     // codegen'd) run once. At warehouse scale this is the materialised
     // inverted index every dedup pass reuses.
     val rel = shingleRelation(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // set sizes BEFORE any frequency pruning: |A| and |B| must stay exact
     val sizes = rel.groupBy(col("sid")).agg(count(lit(1)).as("set_size"))
-    val a = rel.select(col("sid").as("id_a"), col("shingle"))
-    val b = rel.select(col("sid").as("id_b"), col("shingle"))
+    // Hot-shingle cut: a shingle present in k docs contributes k·(k−1)/2
+    // pairs; stopword-like shingles dominate the join at corpus scale.
+    // Dropping them bounds the per-key pair fan-out (the intersection
+    // count becomes a lower bound ⇒ recall-safe thresholds only).
+    val joinRel = maxShingleDocFreq match {
+      case None => rel
+      case Some(cap) =>
+        val hot = rel.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select(col("shingle"))
+        rel.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    val a = joinRel.select(col("sid").as("id_a"), col("shingle"))
+    val b = joinRel.select(col("sid").as("id_b"), col("shingle"))
     val inter = a.join(b, "shingle")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

@@ -32,6 +32,17 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.3 && j < 1.0)
   }
 
+  test("hot-shingle cut prunes the join without dropping near-dup pairs") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val full = Dedup.jaccardPairs(docs, 0.5).count()
+    // cap at 5% of docs: stopword-like shingles leave the join; true
+    // near-dups share many rare shingles so survive at this threshold
+    val pruned = Dedup.jaccardPairs(docs, 0.5,
+      maxShingleDocFreq = Some(docs.count() / 20)).count()
+    assert(pruned <= full)
+    assert(pruned > 0)
+  }
+
   test("identical docs have identical minhash signatures; candidates found") {
     val docs = docsOf(
       1L -> "the quick brown fox jumps over the lazy dog today",
