@@ -1,0 +1,77 @@
+package graft.sink
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalUpdateSpec extends SparkSpec {
+
+  private def partFiles(path: String, partition: String): Set[String] =
+    Files.list(Paths.get(path, partition)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+
+  test("upsert rewrites only affected partitions; deletes and updates land") {
+    val base = Files.createTempDirectory("graft_iu").toString
+    val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")
+      .withColumn("part_m", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.write.partitionBy("part_m").parquet(s"$base/t")
+
+    val months = orders.select("part_m").distinct()
+      .orderBy("part_m").collect().map(_.getString(0))
+    val hotMonth = months.head
+    val coldMonth = months.last
+    val coldBefore = partFiles(s"$base/t", s"part_m=$coldMonth")
+
+    // changes: bump totalprice for 5 orders of hotMonth + 2 brand-new rows
+    val updates = orders.filter(col("part_m") === hotMonth)
+      .orderBy("o_orderkey").limit(5)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000000.0)
+    import spark.implicits._
+    val newRows = Seq(
+      (9000001L, 1L, "O", 42.0, java.sql.Timestamp.valueOf(s"$hotMonth-15 00:00:00"), "1-URGENT", hotMonth),
+      (9000002L, 2L, "O", 43.0, java.sql.Timestamp.valueOf(s"$hotMonth-16 00:00:00"), "1-URGENT", hotMonth))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "part_m")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    val changes = updates.unionByName(newRows.select(updates.columns.map(col): _*))
+
+    // deletes: 3 orders from hotMonth
+    val deleteKeys = orders.filter(col("part_m") === hotMonth)
+      .orderBy(col("o_orderkey").desc).limit(3).select("o_orderkey")
+
+    val before = spark.read.parquet(s"$base/t").count()
+    val stats = IncrementalUpdate.upsertPartitions(spark, s"$base/t",
+      changes, Seq("o_orderkey"), "part_m", Some(deleteKeys))
+
+    assert(stats.affectedPartitions == Seq(hotMonth))
+    assert(stats.upserted == 7 && stats.deleted == 3)
+
+    val after = spark.read.parquet(s"$base/t")
+    assert(after.count() == before + 2 - 3)
+    // updates landed
+    val bumped = after.filter(col("o_totalprice") > 900000.0).count()
+    assert(bumped >= 5)
+    // new rows present, deleted rows gone
+    assert(after.filter(col("o_orderkey") >= 9000001L).count() == 2)
+    val deletedIds = deleteKeys.collect().map(_.getLong(0)).toSet
+    assert(after.filter(col("o_orderkey").isInCollection(deletedIds)).count() == 0)
+    // untouched partition directory is bit-for-bit the same file set
+    assert(partFiles(s"$base/t", s"part_m=$coldMonth") == coldBefore)
+  }
+
+  test("no-op change set touches nothing") {
+    val base = Files.createTempDirectory("graft_iu2").toString
+    val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")
+      .withColumn("part_m", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.write.partitionBy("part_m").parquet(s"$base/t")
+    val empty = orders.limit(0)
+    val stats = IncrementalUpdate.upsertPartitions(spark, s"$base/t",
+      empty, Seq("o_orderkey"), "part_m")
+    assert(stats.affectedPartitions.isEmpty)
+    assert(spark.read.parquet(s"$base/t").count() == orders.count())
+  }
+}
