@@ -88,4 +88,50 @@ object Events {
   def streamDedup(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  // ------------------------------------------------- custom state (GADT)
+
+  final case class UserActivity(
+      user_id: Long, n_events: Long, n_errors: Long,
+      last_seen: java.sql.Timestamp, error_streak: Long, alerted: Boolean)
+
+  /** Custom keyed state via `mapGroupsWithState`: per-user running counters
+    * with an error-streak alarm — the shape watermarked windows can't
+    * express (state depends on event ORDER within the key, and the output
+    * is a continuously-updated profile rather than a closed window).
+    * State per key is O(1); the streak alarm latches via the `alerted`
+    * flag so downstream consumers see each breach once. */
+  def streamUserActivity(stream: DataFrame,
+                         alarmStreak: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val rowEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(stream.schema)
+    implicit val outEnc = Encoders.product[UserActivity]
+    stream.as[Row](rowEnc)
+      .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .mapGroupsWithState[UserActivity, UserActivity](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Row], state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(
+            UserActivity(userId, 0L, 0L, new java.sql.Timestamp(0L), 0L,
+              alerted = false))
+          // order within the batch by event time for a deterministic streak
+          val sorted = rows.toSeq.sortBy(r =>
+            (r.getAs[java.sql.Timestamp]("ts").getTime,
+             r.getAs[Long]("event_id")))
+          val updated = sorted.foldLeft(prev) { (acc, r) =>
+            val isError = r.getAs[String]("event_type") == "error"
+            val streak = if (isError) acc.error_streak + 1 else 0L
+            acc.copy(
+              n_events = acc.n_events + 1,
+              n_errors = acc.n_errors + (if (isError) 1 else 0),
+              last_seen = r.getAs[java.sql.Timestamp]("ts"),
+              error_streak = streak,
+              alerted = acc.alerted || streak >= alarmStreak)
+          }
+          state.update(updated)
+          updated
+      }.toDF()
+  }
 }

@@ -75,6 +75,35 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState tracks per-user counters and latches the alarm") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.streamUserActivity(mem.toDF(), alarmStreak = 2)
+      .writeStream.format("memory").queryName("activity_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Ev(10, ts("2024-01-01 00:01:00"), 7, "error", 1.0),
+        Ev(11, ts("2024-01-01 00:02:00"), 7, "error", 1.0), // streak 2 -> alarm
+        Ev(12, ts("2024-01-01 00:03:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(13, ts("2024-01-01 00:04:00"), 7, "click", 1.0)) // streak resets
+      q.processAllAvailable()
+      val rows = spark.table("activity_out")
+        .orderBy(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+          r.getBoolean(5)))
+      // user 7 after batch 1: 2 events, streak 2, alerted
+      assert(rows.contains((7L, 2L, 2L, true)))
+      // user 7 after batch 2: 3 events, streak reset, alarm stays latched
+      assert(rows.contains((7L, 3L, 0L, true)))
+      // user 8 never alerted
+      assert(rows.contains((8L, 1L, 0L, false)))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
