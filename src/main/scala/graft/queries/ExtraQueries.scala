@@ -224,7 +224,8 @@ object ExtraQueries {
 
     "q42_schema_evolution" ->
       """SELECT 2 * COUNT(*) AS n_rows, COUNT(*) AS n_evolved,
-           SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS sum_digit
+           CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS BIGINT)
+             AS sum_digit
          FROM orders""",
 
     "q43_scalar_funcs" ->

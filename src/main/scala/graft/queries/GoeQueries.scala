@@ -513,11 +513,12 @@ object GoeQueries {
 
     "q21_chunk_plan" ->
       """SELECT part_month, n_rows,
-           SUM(n_rows) OVER (ORDER BY part_month
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
-           CAST(FLOOR((SUM(n_rows) OVER (ORDER BY part_month
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 20000)
-             AS BIGINT) AS chunk
+           CAST(SUM(n_rows) OVER (ORDER BY part_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_rows,
+           CAST(FLOOR((CAST(SUM(n_rows) OVER (ORDER BY part_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1)
+             / 20000) AS BIGINT) AS chunk
          FROM (SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
                       COUNT(*) AS n_rows
                FROM lineitem GROUP BY 1) p
@@ -541,13 +542,14 @@ object GoeQueries {
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
          FROM (
            SELECT user_id, ts, event_id,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_idx
            FROM (
              SELECT user_id, ts, event_id,
-               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-                    THEN 1 ELSE 0 END AS new_s
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
              FROM events) a) b
          GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
 

@@ -45,10 +45,13 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // Gap compared in integer MICROseconds on both engines (oracle uses
+    // epoch_us): second-truncated casts flip sessions whose gap straddles
+    // the boundary by sub-second amounts.
     val newSession =
-      when(col("ts").cast("long") -
-             lag(col("ts"), 1).over(byUser).cast("long") >
-             gapMinutes * 60L, 1L)
+      when(unix_micros(col("ts")) -
+             lag(unix_micros(col("ts")), 1).over(byUser) >
+             gapMinutes * 60L * 1000000L, 1L)
         .otherwise(lit(0L))
     events
       .withColumn("new_s", coalesce(newSession, lit(0L)))

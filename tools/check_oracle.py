@@ -60,6 +60,19 @@ for name, sql in sorted(oracle.items()):
         fails += 1
         continue
     bad = []
+    # The driver hashes stringified values, so an int64-vs-float64 dtype
+    # split (e.g. Spark BIGINT vs DuckDB HUGEINT->float) is a hash FAIL
+    # even when the numbers are equal. Flag dtype kind mismatches.
+    dtype_bad = [
+        (c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+        for c in spark_df.columns
+        if {spark_df[c].dtype.kind, duck_df[c].dtype.kind} == {"f", "i"}
+        or {spark_df[c].dtype.kind, duck_df[c].dtype.kind} == {"f", "u"}
+    ]
+    if dtype_bad:
+        print(f"FAIL {name}: dtype mismatch {dtype_bad}")
+        fails += 1
+        continue
     for col in spark_df.columns:
         sa, da = spark_df[col].tolist(), duck_df[col].tolist()
         for i, (x, y) in enumerate(zip(sa, da)):
