@@ -49,7 +49,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // Mismatched dimensions are a caller bug: a truncated dot product is a
+    // plausible-but-wrong score, so surface it as null, never a number.
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val aF = elemIsFloat(left)
     val bF = elemIsFloat(right)
     var acc = 0.0
@@ -73,11 +76,15 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -99,8 +99,9 @@ object OffloadRunner {
       MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
         .filter(_.incrementalKey == cfg.incrementalKey)
         .filter(_.incrementalHighValue.nonEmpty)
-        .map(_.incrementalHighValue.map(v =>
-          Boundary.Value(castHwmLiteral(source, cfg.incrementalKey, v))))
+        .map(_.incrementalHighValue.zip(cfg.incrementalKey).map {
+          case (v, key) => Boundary.Value(castHwmLiteral(source, key, v))
+        })
 
     val planned = r.step("analyze_plan",
         s"predicate=${cfg.predicateDsl.getOrElse("none")} " +
@@ -205,7 +206,20 @@ object OffloadRunner {
                      maxRowsPerChunk: Long): Seq[Seq[StepResult]] = {
     require(cfg.incrementalKey == Seq(hwmCol),
       "chunked offload drives the HWM through hwmCol")
-    val source = spark.read.parquet(cfg.sourcePath)
+    val raw = spark.read.parquet(cfg.sourcePath)
+    // Resume-at-failed-chunk: a retry after a mid-table failure must not
+    // re-append chunks that already committed their HWM — filter the source
+    // by the persisted HWM BEFORE profiling, so completed chunks vanish
+    // from the plan entirely.
+    val source = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
+      .filter(_.incrementalKey == Seq(hwmCol))
+      .map(_.incrementalHighValue).filter(_.nonEmpty) match {
+        case Some(hwmVals) =>
+          val bounds = hwmVals.map(v =>
+            Boundary.Value(castHwmLiteral(raw, hwmCol, v)))
+          raw.filter(Boundary.greaterThan(Seq(hwmCol), bounds))
+        case None => raw
+      }
     // one tiny agg to discover chunk boundaries (metadata-scale, not data)
     val profile = source
       .groupBy(chunkKeyCol(hwmCol).as("chunk_key"))
@@ -262,17 +276,30 @@ object OffloadRunner {
     }
   }
 
-  /** Parse a rendered HWM literal back to the key column's runtime type. */
-  private def castHwmLiteral(df: DataFrame, keys: Seq[String],
+  /** Parse a rendered HWM literal back to ITS OWN key column's runtime type
+    * (a multi-column key mixes types, e.g. timestamp + long). */
+  private def castHwmLiteral(df: DataFrame, key: String,
                              rendered: String): Any = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(keys.head).dataType
+    val dt = df.schema(key).dataType
     dt match {
       case LongType => rendered.toLong
       case IntegerType => rendered.toInt
       case DoubleType => rendered.toDouble
       case TimestampType | TimestampNTZType =>
-        java.sql.Timestamp.valueOf(rendered.replace("T", " "))
+        // Accept both "yyyy-MM-dd HH:mm:ss[.f]" and the ISO form that
+        // LocalDateTime.toString renders ("yyyy-MM-ddTHH:mm", seconds
+        // omitted when zero) — the HWM is stringified from probe values.
+        val iso = rendered.trim.replace(" ", "T")
+        val ldt =
+          try java.time.LocalDateTime.parse(iso)
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDate.parse(iso).atStartOfDay()
+          }
+        // NTZ columns need an NTZ literal (LocalDateTime), instant columns
+        // a Timestamp — mixing the two would wrap the filter in casts.
+        if (dt == TimestampNTZType) ldt else java.sql.Timestamp.valueOf(ldt)
       case DateType => java.sql.Date.valueOf(rendered)
       case _ => rendered
     }

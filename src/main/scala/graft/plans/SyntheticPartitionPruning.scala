@@ -102,11 +102,23 @@ object SyntheticPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
     (srcType, gran) match {
       case (TimestampType | TimestampNTZType, "y" | "m" | "d") =>
         val micros = l.value.asInstanceOf[Long]
-        val dt = LocalDateTime.ofEpochSecond(
-          Math.floorDiv(micros, 1000000L), 0, ZoneOffset.UTC)
-        Some(dateKeyLiteral(dt.toLocalDate, gran))
+        // TimestampType micros are a UTC instant, but the physical
+        // goe_part_* keys were rendered via date_format = SESSION timezone;
+        // converting with hard-coded UTC would mis-prune rows near y/m/d
+        // boundaries in non-UTC sessions. TimestampNTZ micros are already
+        // wall-clock, so UTC is the identity mapping there.
+        val zone: java.time.ZoneId =
+          if (srcType == TimestampType)
+            java.time.ZoneId.of(org.apache.spark.sql.internal.SQLConf.get
+              .sessionLocalTimeZone)
+          else ZoneOffset.UTC
+        val d = java.time.Instant
+          .ofEpochSecond(Math.floorDiv(micros, 1000000L))
+          .atZone(zone).toLocalDate
+        dateKeyLiteral(d, gran, partType)
       case (DateType, "y" | "m" | "d") =>
-        Some(dateKeyLiteral(LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong), gran))
+        dateKeyLiteral(LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong),
+          gran, partType)
       case (_: NumericType, g) if g.forall(_.isDigit) && g.nonEmpty &&
           (partType == LongType || partType == IntegerType) =>
         // partType can come back as IntegerType: partition columns are
@@ -146,14 +158,25 @@ object SyntheticPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
   private val fmtM = DateTimeFormatter.ofPattern("yyyy-MM")
   private val fmtD = DateTimeFormatter.ofPattern("yyyy-MM-dd")
 
-  private def dateKeyLiteral(d: LocalDate, gran: String): Literal = {
-    val s = gran match {
-      case "y" => d.format(fmtY)
-      case "m" => d.format(fmtM)
-      case "d" => d.format(fmtD)
+  /** The literal must match the PHYSICAL partition column type: partition
+    * columns read back from directory names are type-INFERRED, so a day key
+    * like `2024-03-09` comes back as DateType and a year key as IntegerType
+    * (month keys stay StringType). A string literal against those would
+    * leave the injected comparison unresolved. */
+  private def dateKeyLiteral(d: LocalDate, gran: String,
+                             partType: DataType): Option[Literal] =
+    (gran, partType) match {
+      case ("d", DateType) => Some(Literal(d.toEpochDay.toInt, DateType))
+      case ("y", IntegerType) => Some(Literal(d.getYear, IntegerType))
+      case (_, StringType) =>
+        val s = gran match {
+          case "y" => d.format(fmtY)
+          case "m" => d.format(fmtM)
+          case "d" => d.format(fmtD)
+        }
+        Some(Literal(UTF8String.fromString(s), StringType))
+      case _ => None
     }
-    Literal(UTF8String.fromString(s), StringType)
-  }
 }
 
 /** Session extensions registering the engine's Catalyst customisations.

@@ -54,31 +54,64 @@ object IncrementalUpdate {
     val current = target
       .filter(col(partitionCol).cast("string").isInCollection(affected))
 
-    // 3. merge: changes win over current; deletes drop
+    // 3. merge: changes win over current; deletes drop. Tag provenance so
+    //    upsert/survivor counts come from ONE materialized frame instead of
+    //    re-running the joins per count.
     val survivors = current
       .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
       .join(deleteKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
     val incoming = changes
       .join(deleteKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val merged = survivors.unionByName(incoming.select(current.columns.map(col): _*))
+    val merged = survivors.withColumn("_iu_src", lit("kept"))
+      .unionByName(incoming.select(current.columns.map(col): _*)
+        .withColumn("_iu_src", lit("upserted")))
+      // Materialize BEFORE overwriting: the plan reads targetPath, and a
+      // lazy write that overwrites the path it is reading is committer- and
+      // object-store-dependent (a task retry after commit would re-read
+      // overwritten data). localCheckpoint truncates the lineage so the
+      // write consumes only materialized blocks.
+      .localCheckpoint(true)
+
+    // One metadata-scale aggregate off the checkpoint serves both the
+    // provenance counts and the surviving-partition set.
+    val profile = merged
+      .groupBy(col(partitionCol).cast("string").as("p"), col("_iu_src"))
+      .count().collect()
+    val srcCounts = profile.groupBy(_.getString(1))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    val survivingParts = profile.map(_.getString(0)).toSet
+    val out = merged.drop("_iu_src")
 
     // 4. rewrite exactly the affected partition directories
     val previous = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      merged.write.mode("overwrite").partitionBy(partitionCol)
+      out.write.mode("overwrite").partitionBy(partitionCol)
         .parquet(targetPath)
     } finally previous match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
 
+    // 5. dynamic overwrite only rewrites partitions PRESENT in `out`; an
+    //    affected partition whose every row was deleted never appears there,
+    //    so its stale directory must be removed explicitly.
+    val emptiedParts = affected.filterNot(survivingParts)
+    if (emptiedParts.nonEmpty) {
+      val hadoopPath = new org.apache.hadoop.fs.Path(targetPath)
+      val fs = hadoopPath.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      emptiedParts.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          hadoopPath, s"$partitionCol=$v"), true)
+      }
+    }
+    merged.unpersist()
+
     UpsertStats(
       affectedPartitions = affected,
-      upserted = incoming.count(),
+      upserted = srcCounts.getOrElse("upserted", 0L),
       deleted = deleteKeys.count(),
-      finalRowsInAffected = spark.read.parquet(targetPath)
-        .filter(col(partitionCol).cast("string").isInCollection(affected))
-        .count())
+      finalRowsInAffected = srcCounts.valuesIterator.sum)
   }
 }

@@ -59,11 +59,19 @@ object CrossValidator {
   }
 
   /** Target max probe for HWM detection (`offload_source_data.py:1044-1082`):
-    * one tiny agg job, not a scan-collect. */
+    * one tiny agg job, not a scan-collect.
+    *
+    * Takes the LEXICOGRAPHIC max tuple via `max(struct(keys))`, not
+    * independent per-column maxes — independent maxes can form a composite
+    * HWM that exceeds every real row, so the next increment's
+    * strictly-greater boundary filter would silently skip rows that were
+    * never offloaded. */
   def maxProbe(target: DataFrame, keyCols: Seq[String]): Option[Seq[Any]] = {
-    val row = target.agg(
-      max(col(keyCols.head)).as(keyCols.head),
-      keyCols.tail.map(c => max(col(c)).as(c)): _*).head()
-    if (row.isNullAt(0)) None else Some(keyCols.indices.map(row.get))
+    val row = target.agg(max(struct(keyCols.map(col): _*)).as("hwm")).head()
+    if (row.isNullAt(0)) None
+    else {
+      val s = row.getStruct(0)
+      Some(keyCols.indices.map(s.get))
+    }
   }
 }

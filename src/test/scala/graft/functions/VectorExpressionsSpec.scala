@@ -52,6 +52,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(scored.filter(col("nrm") > 0).count() == 500)
   }
 
+  test("mismatched dimensions yield null, never a truncated score") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("id", "a", "b")
+    // both the interpreted eval and the codegen path
+    val out = df.select(col("id"),
+      VectorFunctions.dotNative(col("a"), col("b")).as("d")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).contains(14.0))
+    assert(out(2L).isEmpty)
+  }
+
   test("mixed float/double arrays and type rejection") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f), Seq(2.0, 3.0))).toDF("f", "d")

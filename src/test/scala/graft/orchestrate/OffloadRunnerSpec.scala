@@ -135,6 +135,28 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(meta.incrementalHighValue.head == String.valueOf(expectedMax))
   }
 
+  test("chunked offload retry resumes at the HWM without re-appending") {
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      incrementalKey = Seq("l_shipdate"))
+    def run() = OffloadRunner.offloadChunked(spark, cfg,
+      c => date_format(col(c), "yyyy-MM"), hwmCol = "l_shipdate",
+      maxRowsPerChunk = 2000L)
+    val first = run()
+    assert(first.length > 1)
+    val n = spark.read.parquet(s"$base/final").count()
+    // a full rerun (the worst-case "retry") must plan ZERO chunks and leave
+    // the target untouched — previously it re-appended the entire table
+    val retry = run()
+    assert(retry.isEmpty, s"retry planned ${retry.length} chunks")
+    assert(spark.read.parquet(s"$base/final").count() == n)
+  }
+
   test("metadata json round-trips") {
     import graft.meta.OffloadMetadata
     val m = OffloadMetadata("src.t", "backend.t", "INCREMENTAL",

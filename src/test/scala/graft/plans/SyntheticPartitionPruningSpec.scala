@@ -96,6 +96,32 @@ class SyntheticPartitionPruningSpec extends SparkSpec {
     }
   }
 
+  test("timestamp literal conversion honors the session timezone") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val base = Files.createTempDirectory("graft_prune_tz").toString
+      // 1710054000 = 2024-03-10 07:00 UTC = 2024-03-09 23:00 LA; the
+      // physical date key (date_format, session TZ) is therefore
+      // 2024-03-09 — a UTC-converted injected literal would say
+      // 2024-03-10 and prune away the matching row.
+      val df = spark.range(1)
+        .select(timestamp_seconds(lit(1710054000L)).as("ts"),
+          lit(1L).as("v"))
+        .withColumn("goe_part_d_ts",
+          SyntheticPartition.dateStringKey(col("ts"), "D"))
+      df.write.partitionBy("goe_part_d_ts").parquet(s"$base/t")
+      val table = spark.read.parquet(s"$base/t")
+      withRule {
+        val q = table.filter(
+          col("ts") === timestamp_seconds(lit(1710054000L)))
+        assert(q.count() == 1)
+        assert(partitionFilters(q).exists(_.contains("2024-03-09")),
+          s"expected session-TZ date key in: ${partitionFilters(q)}")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("rule is idempotent and ignores unrelated filters") {
     val table = spark.read.parquet(monthTablePath)
     withRule {

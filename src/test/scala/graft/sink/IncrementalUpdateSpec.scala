@@ -63,6 +63,33 @@ class IncrementalUpdateSpec extends SparkSpec {
     assert(partFiles(s"$base/t", s"part_m=$coldMonth") == coldBefore)
   }
 
+  test("deleting every row of a partition removes its directory") {
+    val base = Files.createTempDirectory("graft_iu3").toString
+    val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")
+      .withColumn("part_m", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.write.partitionBy("part_m").parquet(s"$base/t")
+
+    val doomedMonth = orders.select("part_m").distinct()
+      .orderBy("part_m").collect().map(_.getString(0)).head
+    val doomedKeys = orders.filter(col("part_m") === doomedMonth)
+      .select("o_orderkey")
+    val nDoomed = doomedKeys.count()
+    assert(nDoomed > 0)
+
+    val stats = IncrementalUpdate.upsertPartitions(spark, s"$base/t",
+      orders.limit(0), Seq("o_orderkey"), "part_m", Some(doomedKeys))
+
+    assert(stats.affectedPartitions == Seq(doomedMonth))
+    assert(stats.deleted == nDoomed && stats.upserted == 0)
+    assert(stats.finalRowsInAffected == 0)
+    // dynamic overwrite can't rewrite a partition with zero surviving rows;
+    // the directory itself must be gone, and no stale rows readable
+    assert(!Files.exists(Paths.get(s"$base/t", s"part_m=$doomedMonth")))
+    val after = spark.read.parquet(s"$base/t")
+    assert(after.filter(col("part_m") === doomedMonth).count() == 0)
+    assert(after.count() == orders.count() - nDoomed)
+  }
+
   test("no-op change set touches nothing") {
     val base = Files.createTempDirectory("graft_iu2").toString
     val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")

@@ -167,4 +167,14 @@ class CrossValidatorSpec extends SparkSpec {
       .filter(col("o_orderkey") < 0)
     assert(CrossValidator.maxProbe(a, Seq("o_orderkey")).isEmpty)
   }
+
+  test("max probe is the lexicographic max TUPLE, not per-column maxes") {
+    import spark.implicits._
+    // per-column maxes would give (3, 9) — a row that does not exist; the
+    // strictly-greater boundary on (3, 9) would then skip real row (3, 5)
+    // forever.
+    val df = Seq((1L, 9L), (3L, 5L), (2L, 7L)).toDF("k1", "k2")
+    val probe = CrossValidator.maxProbe(df, Seq("k1", "k2"))
+    assert(probe.contains(Seq(3L, 5L)))
+  }
 }
