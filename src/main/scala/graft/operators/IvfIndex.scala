@@ -24,17 +24,19 @@ object IvfIndex {
   final case class Model(centroids: Array[Array[Double]]) {
     def nlist: Int = centroids.length
 
-    /** Nearest-centroid ids for a query vector, by cosine. */
+    /** Nearest-centroid ids for a query vector, ranked by `dot/||c||` —
+      * the query norm is a positive constant across centroids, so this is
+      * the cosine ranking; the formula matches [[cellColumn]]'s kernel and
+      * the oracle's SQL chain operation-for-operation (bitwise stable).
+      * Ties keep centroid-index order (stable sort). */
     def nearestCells(q: Array[Double], nprobe: Int): Seq[Int] = {
-      def cos(a: Array[Double], b: Array[Double]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0
+      def score(c: Array[Double]): Double = {
+        var dot = 0.0; var nc = 0.0
         var i = 0
-        while (i < a.length) {
-          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-        }
-        dot / (math.sqrt(na) * math.sqrt(nb))
+        while (i < c.length) { dot += q(i) * c(i); nc += c(i) * c(i); i += 1 }
+        dot / math.sqrt(nc)
       }
-      centroids.indices.sortBy(i => -cos(q, centroids(i))).take(nprobe)
+      centroids.indices.sortBy(i => -score(centroids(i))).take(nprobe)
     }
   }
 
@@ -53,22 +55,18 @@ object IvfIndex {
     Model(model.clusterCenters.map(_.toArray))
   }
 
-  /** Cell assignment as a pure Column expression: argmax of cosine against
-    * each (broadcast, literal) centroid — stays inside codegen, no UDF. */
-  def cellColumn(model: Model, vecCol: Column, dim: Int): Column = {
-    val scored: Seq[(Int, Column)] = model.centroids.zipWithIndex.map {
-      case (ctr, idx) =>
-        val dot = (0 until dim)
-          .map(i => vecCol.getItem(i).cast("double") * lit(ctr(i)))
-          .reduce(_ + _)
-        val cnorm = math.sqrt(ctr.map(x => x * x).sum)
-        (idx, dot / (Similarity.norm(vecCol, dim) * lit(cnorm)))
-    }.toSeq
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit(-1): Column) { case ((idx, s), acc) =>
-      when(s === best, lit(idx)).otherwise(acc)
-    }
-  }
+  /** Cell assignment as a pure Column expression: argmax of `dot/||c||`
+    * (= cosine argmax — the row's own norm is constant) against the literal
+    * centroid table, via the [[graft.functions.NearestCentroid]] kernel.
+    *
+    * Why a kernel and not a chain: per-dimension literal chains are
+    * nlist × dim expression nodes — at nlist=1024, dim=768 that is ~1.6M
+    * nodes and a guaranteed janino 64KB blowout kicking the whole stage out
+    * of codegen. The kernel is a nested loop: O(1) bytecode at any
+    * nlist/dim, one pass, no row blowup, no shuffle. */
+  def cellColumn(model: Model, vecCol: Column, dim: Int): Column =
+    graft.functions.VectorFunctions.nearestCentroid(
+      vecCol, model.centroids.map(_.toSeq).toSeq)
 
   /** Index the corpus: add the `ivf_cell` column (callers then write
     * `partitionBy("ivf_cell")`). */
@@ -82,9 +80,10 @@ object IvfIndex {
             vecCol: String = "embedding"): DataFrame = {
     val cells = model.nearestCells(query, nprobe)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val dot = (0 until dim)
-      .map(i => col(vecCol).getItem(i).cast("double") * lit(query(i)))
-      .reduce(_ + _)
+    // kernel dot against the literal query vector (sequential element-order
+    // accumulation — bitwise-equal to the chain and to the oracle's SQL)
+    val dot = graft.functions.VectorFunctions.dotNative(
+      col(vecCol), typedlit(query.toSeq))
     indexed
       .filter(col("ivf_cell").isInCollection(cells))
       .withColumn("score", dot / (Similarity.norm(col(vecCol), dim) * lit(qNorm)))

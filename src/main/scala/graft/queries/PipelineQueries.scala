@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-pipeline operator queries (dedup / similarity / text analysis /
   * multimodal) with DuckDB oracles.
@@ -24,6 +24,13 @@ object PipelineQueries {
   val JaccardThreshold = 0.5
   val CosineThreshold = 0.45
   val BucketDims: Seq[Int] = Seq(0, 1, 2, 3)
+  /** Hot-shingle document-frequency cap for the capped Jaccard query. The
+    * sf0.01 corpus tops out at df=7, so 3 genuinely exercises the cut. */
+  val ShingleDocFreqCap = 3L
+  /** IVF probe fan-out: centroid seeds, probed cells, result size. */
+  val IvfSeedIds: Seq[Long] = Seq(1L, 2L, 3L, 4L)
+  val IvfNprobe = 2
+  val IvfK = 10
 
   // ---------------------------------------------------------------- queries
 
@@ -87,6 +94,38 @@ object PipelineQueries {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), CosineThreshold,
           dim = Dim, bucketDims = BucketDims)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Hot-shingle cap: the scale-critical fan-out bound of the Jaccard
+    // join (a shingle in k docs yields k·(k−1)/2 pairs) — exercised with a
+    // cap the corpus actually crosses. Set sizes stay exact; the capped
+    // intersection makes jaccard a lower bound (recall-safe).
+    "q48_jaccard_capped" -> { (s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), JaccardThreshold,
+          maxShingleDocFreq = Some(ShingleDocFreqCap))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // IVF probe with FIXED centroids (vectors 1..4, driver-normalised) so
+    // the oracle can mirror the argmax: assignment via the NearestCentroid
+    // kernel, probe scans only the nprobe nearest cells.
+    "q49_ivf_probe" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id").isInCollection(IvfSeedIds))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      // normalise exactly as the oracle does: x / sqrt(Σ x², sequential)
+      val centroids = seeds.map { c =>
+        val nrm = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / nrm)
+      }
+      val model = IvfIndex.Model(centroids)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val indexed = IvfIndex.assign(emb, model, Dim)
+      IvfIndex.probe(indexed.filter(col("vec_id") =!= 0), model, query,
+        k = IvfK, nprobe = IvfNprobe, dim = Dim)
     },
 
     // Rows-only checks (no SQL-expressible oracle):
@@ -291,6 +330,65 @@ object PipelineQueries {
          FROM b e JOIN q USING (bucket)
          WHERE e.vec_id <> 0
          ORDER BY score DESC, e.vec_id LIMIT 10""",
+
+    "q48_jaccard_capped" ->
+      s"""WITH $shingleCte,
+         sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+         hot AS (SELECT shingle FROM sh GROUP BY shingle
+                 HAVING COUNT(*) > $ShingleDocFreqCap),
+         cut AS (SELECT s.* FROM sh s ANTI JOIN hot h USING (shingle)),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           FROM cut a JOIN cut b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - inter AS DOUBLE)
+             AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - inter AS DOUBLE)
+           >= $JaccardThreshold
+         ORDER BY id_a, id_b""",
+
+    // Mirrors q49's fixed-centroid IVF: centroids are vectors 1..4
+    // normalised IN SQL with the same operation order as the Scala driver
+    // (sqrt of the left-assoc Σx² chain, then elementwise divide), cell
+    // assignment is argmax of dot/||c|| (ROW_NUMBER, first cell wins ties),
+    // probe keeps the $IvfNprobe best cells for the query vector.
+    "q49_ivf_probe" -> {
+      val ctrNormSq = Similarity.Sql.normSq("embedding", Dim)
+      val cvecNormSq = Similarity.Sql.normSq("c.cvec", Dim)
+      s"""WITH ctr AS (
+           SELECT CAST(vec_id - 1 AS INT) AS cell,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt($ctrNormSq)) AS cvec
+           FROM embeddings
+           WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+         assigned AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY (${Similarity.Sql.dot("e.embedding", "c.cvec", Dim)})
+                 / sqrt($cvecNormSq) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN ctr c),
+         cells AS (SELECT vec_id, cell FROM assigned WHERE rk = 1),
+         q AS (SELECT embedding AS q_vec,
+                 sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS q_nrm
+               FROM embeddings WHERE vec_id = 0),
+         qcell AS (SELECT c.cell FROM ctr c, q
+           ORDER BY (${Similarity.Sql.dot("q.q_vec", "c.cvec", Dim)})
+             / sqrt($cvecNormSq) DESC, c.cell
+           LIMIT $IvfNprobe)
+         SELECT e.vec_id, cl.cell AS ivf_cell,
+           (${Similarity.Sql.dot("e.embedding", "q.q_vec", Dim)})
+             / (sqrt(${Similarity.Sql.normSq("e.embedding", Dim)}) * q.q_nrm)
+             AS score
+         FROM embeddings e
+         JOIN cells cl USING (vec_id)
+         JOIN qcell USING (cell), q
+         WHERE e.vec_id <> 0
+         ORDER BY score DESC, e.vec_id LIMIT $IvfK"""
+    },
 
     "q35_embed_neardup" ->
       s"""WITH b AS (SELECT vec_id, embedding,

@@ -160,4 +160,47 @@ class IvfIndexSpec extends SparkSpec {
       query, k = 5, nprobe = 8, dim = 64).collect().map(_.getLong(0)).toSet
     assert(wide == brute) // nprobe = nlist degenerates to exact search
   }
+
+  test("cell assignment codegen COMPILES at nlist=256, dim=768") {
+    // the chain formulation was nlist × dim expression nodes — a janino
+    // 64KB blowout at this size; the NearestCentroid kernel must hold.
+    // Compile failures fall back silently, so compile the stage eagerly.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 768
+    val nlist = 256
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() - 0.5)))
+    val centroids = Array.fill(nlist)(Array.fill(dim)(rnd.nextDouble() - 0.5))
+    // through parquet: a projection over an in-memory LocalRelation is
+    // constant-folded by ConvertToLocalRelation and never reaches codegen
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_codegen").toString
+    vecs.toDF("vec_id", "embedding").write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val assigned = IvfIndex.assign(df, IvfIndex.Model(centroids), dim)
+    val compiled = org.apache.spark.sql.graftbridge.CodegenBridge
+      .compileWholeStageCode(assigned.queryExecution.executedPlan)
+    assert(compiled >= 1, "expected at least one whole-stage codegen stage")
+
+    // and the kernel agrees with a driver-side argmax (first index wins)
+    val got = assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("ivf_cell"))).toMap
+    vecs.foreach { case (id, v) =>
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      centroids.indices.foreach { i =>
+        var dot = 0.0; var nc = 0.0
+        var j = 0
+        while (j < dim) {
+          dot += v(j) * centroids(i)(j)
+          nc += centroids(i)(j) * centroids(i)(j)
+          j += 1
+        }
+        val s = dot / math.sqrt(nc)
+        if (s > bestScore) { bestScore = s; best = i }
+      }
+      assert(got(id) == best, s"vec $id: kernel ${got(id)} vs driver $best")
+    }
+  }
 }
