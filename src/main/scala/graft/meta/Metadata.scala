@@ -24,7 +24,13 @@ final case class OffloadMetadata(
     incrementalPredicateValue: Seq[String] = Nil,
     bucketColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil,
-    snapshotId: Option[Long] = None)
+    snapshotId: Option[Long] = None,
+    // In-flight chunk marker: written BEFORE a chunk's final-table append,
+    // cleared by the same save that commits its HWM. A retry that finds a
+    // marker reconciles against the final table instead of re-appending —
+    // closes the append-committed-but-HWM-write-died duplication window.
+    pendingChunkKeys: Seq[String] = Nil,
+    pendingChunkHwm: Seq[String] = Nil)
 
 object MetadataStore {
 
@@ -51,7 +57,9 @@ object MetadataStore {
       "incremental_predicate_value" -> arr(m.incrementalPredicateValue),
       "bucket_columns" -> arr(m.bucketColumns),
       "sort_columns" -> arr(m.sortColumns),
-      "snapshot_id" -> m.snapshotId.map(_.toString).getOrElse("null"))
+      "snapshot_id" -> m.snapshotId.map(_.toString).getOrElse("null"),
+      "pending_chunk_keys" -> arr(m.pendingChunkKeys),
+      "pending_chunk_hwm" -> arr(m.pendingChunkHwm))
     fields.map { case (k, v) => "\"" + k + "\": " + v }
       .mkString("{", ", ", "}")
   }
@@ -104,7 +112,9 @@ object MetadataStore {
       incrementalPredicateValue = arrField(js, "incremental_predicate_value"),
       bucketColumns = arrField(js, "bucket_columns"),
       sortColumns = arrField(js, "sort_columns"),
-      snapshotId = longField(js, "snapshot_id"))
+      snapshotId = longField(js, "snapshot_id"),
+      pendingChunkKeys = arrField(js, "pending_chunk_keys"),
+      pendingChunkHwm = arrField(js, "pending_chunk_hwm"))
 
   private def fileFor(dir: String, table: String) =
     Paths.get(dir, table.replaceAll("[^A-Za-z0-9_.]", "_") + ".json")

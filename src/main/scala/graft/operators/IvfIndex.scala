@@ -63,10 +63,17 @@ object IvfIndex {
     * nlist × dim expression nodes — at nlist=1024, dim=768 that is ~1.6M
     * nodes and a guaranteed janino 64KB blowout kicking the whole stage out
     * of codegen. The kernel is a nested loop: O(1) bytecode at any
-    * nlist/dim, one pass, no row blowup, no shuffle. */
-  def cellColumn(model: Model, vecCol: Column, dim: Int): Column =
+    * nlist/dim, one pass, no row blowup, no shuffle.
+    *
+    * `dim` validates the model: the kernel trusts centroid length, so a
+    * model trained at another dimensionality must fail fast here rather
+    * than score garbage. */
+  def cellColumn(model: Model, vecCol: Column, dim: Int): Column = {
+    require(model.centroids.forall(_.length == dim),
+      s"model dimensionality ${model.centroids.headOption.fold(0)(_.length)} != expected $dim")
     graft.functions.VectorFunctions.nearestCentroid(
       vecCol, model.centroids.map(_.toSeq).toSeq)
+  }
 
   /** Index the corpus: add the `ivf_cell` column (callers then write
     * `partitionBy("ivf_cell")`). */

@@ -206,6 +206,33 @@ object OffloadRunner {
                      maxRowsPerChunk: Long): Seq[Seq[StepResult]] = {
     require(cfg.incrementalKey == Seq(hwmCol),
       "chunked offload drives the HWM through hwmCol")
+    // Reconcile an interrupted chunk: a pending marker means the previous
+    // run died between the final-table append and the HWM commit. Probe the
+    // final table — if rows beyond the committed HWM exist for the pending
+    // chunk's keys, the append DID commit, so commit its HWM now (never
+    // re-append); otherwise clear the marker and let the chunk re-run.
+    MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
+      .filter(_.pendingChunkKeys.nonEmpty).foreach { m =>
+        val appended =
+          try {
+            val fin = spark.read.parquet(cfg.finalPath)
+            val beyond =
+              if (m.incrementalHighValue.nonEmpty) {
+                val bounds = m.incrementalHighValue.map(v =>
+                  Boundary.Value(castHwmLiteral(fin, hwmCol, v)))
+                fin.filter(Boundary.greaterThan(Seq(hwmCol), bounds))
+              } else fin
+            !beyond.filter(
+              chunkKeyCol(hwmCol).isInCollection(m.pendingChunkKeys)).isEmpty
+          } catch {
+            // final table absent: the append never started
+            case _: org.apache.spark.sql.AnalysisException => false
+          }
+        val hwm = if (appended) m.pendingChunkHwm else m.incrementalHighValue
+        MetadataStore.save(cfg.metadataDir, m.copy(
+          incrementalHighValue = hwm,
+          pendingChunkKeys = Nil, pendingChunkHwm = Nil))
+      }
     val raw = spark.read.parquet(cfg.sourcePath)
     // Resume-at-failed-chunk: a retry after a mid-table failure must not
     // re-append chunks that already committed their HWM — filter the source
@@ -243,7 +270,7 @@ object OffloadRunner {
       try {
         val slice = source.filter(chunkKeyCol(hwmCol).isInCollection(keys))
         r.step("chunk_plan", s"keys=${keys.mkString(",")}")(())
-        runChunkSlice(spark, chunkCfg, r, slice)
+        runChunkSlice(spark, chunkCfg, r, slice, keys)
         r.results.toSeq
       } finally spark.sparkContext.removeSparkListener(metrics)
     }
@@ -251,11 +278,27 @@ object OffloadRunner {
 
   /** Stage/load/verify/metadata for one pre-planned slice. */
   private def runChunkSlice(spark: SparkSession, cfg: OffloadConfig,
-                            r: Runner, slice: DataFrame): Unit = {
+                            r: Runner, slice: DataFrame,
+                            chunkKeys: Seq[String]): Unit = {
     val schema = TypeMapper.fromStructType(slice.schema)
-    val alreadyLoaded = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
-      .exists(_.incrementalHighValue.nonEmpty)
+    val prior = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
+    val alreadyLoaded = prior.exists(_.incrementalHighValue.nonEmpty)
     val mode = if (alreadyLoaded) "append" else "overwrite"
+    // Probe the chunk's HWM BEFORE the load and persist a pending-chunk
+    // marker carrying it: if the append commits but the process dies before
+    // save_metadata, the next run's reconcile step commits this HWM from
+    // the marker instead of appending the chunk a second time.
+    val previous = prior.map(_.incrementalHighValue).getOrElse(Nil)
+    // lazy: a dry-run must not execute the probe action
+    lazy val newHwm = CrossValidator.maxProbe(slice, cfg.incrementalKey)
+      .map(_.map(String.valueOf)).getOrElse(previous)
+    r.step("mark_pending_chunk", s"keys=${chunkKeys.mkString(",")}") {
+      MetadataStore.save(cfg.metadataDir, OffloadMetadata(
+        sourceTable = cfg.sourceTable, backendTable = cfg.finalPath,
+        offloadType = "INCREMENTAL", incrementalKey = cfg.incrementalKey,
+        incrementalHighValue = previous,
+        pendingChunkKeys = chunkKeys, pendingChunkHwm = newHwm))
+    }
     r.step("stage_and_load", s"mode=$mode") {
       StagedLoad.stageAndLoad(slice, cfg.stagingPath, cfg.finalPath, schema,
           cfg.partitionCols, mode, cfg.sortCols) match {
@@ -265,10 +308,6 @@ object OffloadRunner {
       }
     }
     r.step("save_metadata", "advance HWM for chunk") {
-      val previous = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
-        .map(_.incrementalHighValue).getOrElse(Nil)
-      val newHwm = CrossValidator.maxProbe(slice, cfg.incrementalKey)
-        .map(_.map(String.valueOf)).getOrElse(previous)
       MetadataStore.save(cfg.metadataDir, OffloadMetadata(
         sourceTable = cfg.sourceTable, backendTable = cfg.finalPath,
         offloadType = "INCREMENTAL", incrementalKey = cfg.incrementalKey,

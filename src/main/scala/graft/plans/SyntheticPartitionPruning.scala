@@ -33,6 +33,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * original predicate keeps; the original predicate still filters exactly.
   * Injection is idempotent (semantic-equality guard) so the rule is safe at
   * fixpoint in resolution or optimisation batches.
+  *
+  * ==Timezone contract==
+  * For instant-typed (`TimestampType`) source columns, the physical
+  * `goe_part_*` date keys were rendered with the WRITE-time session
+  * timezone (`date_format` in [[graft.plan.SyntheticPartition]]); this rule
+  * derives the injected key literal with the READ-time session timezone.
+  * The two MUST match: reading a table under a different
+  * `spark.sql.session.timeZone` than it was written with would inject an
+  * equality conjunct that excludes rows whose wall-clock date differs
+  * between the two zones — wrong results, not merely a missed prune.
+  * Deployments that cannot pin one session TZ should persist the writer TZ
+  * alongside the table (e.g. in [[graft.meta.OffloadMetadata]]) and set the
+  * session to it before reading. `TimestampNTZType` and `DateType` keys are
+  * wall-clock and immune.
   */
 object SyntheticPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
 

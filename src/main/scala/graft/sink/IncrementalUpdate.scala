@@ -101,9 +101,18 @@ object IncrementalUpdate {
       val hadoopPath = new org.apache.hadoop.fs.Path(targetPath)
       val fs = hadoopPath.getFileSystem(
         spark.sessionState.newHadoopConf())
+      // Spark escapes special chars (space, ':', '%', …) in partition dir
+      // names; build the path the same way or the delete silently targets a
+      // directory that does not exist and stale rows stay readable.
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       emptiedParts.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          hadoopPath, s"$partitionCol=$v"), true)
+        val dir = new org.apache.hadoop.fs.Path(
+          hadoopPath,
+          ExternalCatalogUtils.escapePathName(partitionCol) + "=" +
+            ExternalCatalogUtils.escapePathName(v))
+        if (!fs.delete(dir, true) && fs.exists(dir))
+          throw new IllegalStateException(
+            s"failed to delete emptied partition directory $dir")
       }
     }
     merged.unpersist()

@@ -157,6 +157,70 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/final").count() == n)
   }
 
+  test("torn chunk (append committed, HWM write died) is reconciled, not re-appended") {
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      incrementalKey = Seq("l_shipdate"))
+    val src = spark.read.parquet(cfg.sourcePath)
+    val m0 = src.select(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .distinct().orderBy("m").head().getString(0)
+    val slice0 = src.filter(date_format(col("l_shipdate"), "yyyy-MM") === m0)
+    // simulate the torn state: chunk m0's append committed to the final
+    // table, but the process died before save_metadata — only the
+    // pending-chunk marker survives.
+    slice0.write.parquet(s"$base/final")
+    val hwm0 = String.valueOf(
+      slice0.agg(max(col("l_shipdate"))).head().getAs[Any](0))
+    MetadataStore.save(s"$base/meta", graft.meta.OffloadMetadata(
+      sourceTable = "lineitem", backendTable = s"$base/final",
+      offloadType = "INCREMENTAL", incrementalKey = Seq("l_shipdate"),
+      incrementalHighValue = Nil,
+      pendingChunkKeys = Seq(m0), pendingChunkHwm = Seq(hwm0)))
+    // retry: reconcile must commit m0's HWM from the marker and plan only
+    // the REMAINING months — m0 must not be appended a second time.
+    val retry = OffloadRunner.offloadChunked(spark, cfg,
+      c => date_format(col(c), "yyyy-MM"), hwmCol = "l_shipdate",
+      maxRowsPerChunk = 2000L)
+    assert(retry.nonEmpty)
+    val out = spark.read.parquet(s"$base/final")
+    assert(out.count() == src.count(), "duplicate rows after reconcile")
+    assert(out.filter(date_format(col("l_shipdate"), "yyyy-MM") === m0).count()
+      == slice0.count())
+    val meta = MetadataStore.load(s"$base/meta", "lineitem").get
+    assert(meta.pendingChunkKeys.isEmpty && meta.pendingChunkHwm.isEmpty)
+    val expectedMax = src.agg(max(col("l_shipdate"))).head().getAs[Any](0)
+    assert(meta.incrementalHighValue.head == String.valueOf(expectedMax))
+  }
+
+  test("torn chunk whose append never started re-runs cleanly") {
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      incrementalKey = Seq("l_shipdate"))
+    // marker exists but the final table was never written: reconcile must
+    // clear the marker WITHOUT advancing the HWM, and the chunk re-runs.
+    MetadataStore.save(s"$base/meta", graft.meta.OffloadMetadata(
+      sourceTable = "lineitem", backendTable = s"$base/final",
+      offloadType = "INCREMENTAL", incrementalKey = Seq("l_shipdate"),
+      incrementalHighValue = Nil,
+      pendingChunkKeys = Seq("1992-01"), pendingChunkHwm = Seq("1992-01-31 00:00:00")))
+    val runs = OffloadRunner.offloadChunked(spark, cfg,
+      c => date_format(col(c), "yyyy-MM"), hwmCol = "l_shipdate",
+      maxRowsPerChunk = 2000L)
+    assert(runs.nonEmpty && runs.forall(_.forall(_.ok)))
+    val src = spark.read.parquet(cfg.sourcePath)
+    assert(spark.read.parquet(s"$base/final").count() == src.count())
+  }
+
   test("metadata json round-trips") {
     import graft.meta.OffloadMetadata
     val m = OffloadMetadata("src.t", "backend.t", "INCREMENTAL",
@@ -165,7 +229,9 @@ class OffloadRunnerSpec extends SparkSpec {
       incrementalPredicateType = Some("PREDICATE"),
       incrementalPredicateValue = Seq("(column(A) = numeric(1))"),
       bucketColumns = Seq("a"), sortColumns = Seq("b"),
-      snapshotId = Some(123L))
+      snapshotId = Some(123L),
+      pendingChunkKeys = Seq("2024-02"),
+      pendingChunkHwm = Seq("2024-02-29", "43"))
     val rt = MetadataStore.fromJson(MetadataStore.toJson(m))
     assert(rt == m)
   }

@@ -90,6 +90,37 @@ class IncrementalUpdateSpec extends SparkSpec {
     assert(after.count() == orders.count() - nDoomed)
   }
 
+  test("emptied-partition cleanup handles values Spark escapes in dir names") {
+    // timestamp-cast-to-string partition values contain ' ' and ':' which
+    // Spark percent-escapes in directory names; the cleanup must delete the
+    // ESCAPED directory, not a literal-valued path that never existed.
+    val base = Files.createTempDirectory("graft_iu4").toString
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "2024-01-01 00:00:00"),
+      (2L, "b", "2024-01-01 00:00:00"),
+      (3L, "c", "2024-02-01 00:00:00"))
+      .toDF("id", "v", "part_ts")
+    df.write.partitionBy("part_ts").parquet(s"$base/t")
+    // sanity: the physical dir is escaped
+    val dirs = Files.list(Paths.get(s"$base/t")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part_ts=")).toSet
+    assert(dirs.exists(_.contains("%3A")), dirs.toString)
+
+    val doomed = df.filter(col("part_ts") === "2024-01-01 00:00:00")
+      .select("id")
+    val stats = IncrementalUpdate.upsertPartitions(spark, s"$base/t",
+      df.limit(0), Seq("id"), "part_ts", Some(doomed))
+    assert(stats.deleted == 2)
+    val after = spark.read.parquet(s"$base/t")
+    assert(after.count() == 1)
+    assert(after.filter(col("part_ts") === "2024-01-01 00:00:00").count() == 0)
+    // the escaped directory itself is gone
+    val remaining = Files.list(Paths.get(s"$base/t")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part_ts=")).toSet
+    assert(remaining.size == 1 && !remaining.exists(_.contains("2024-01-01")))
+  }
+
   test("no-op change set touches nothing") {
     val base = Files.createTempDirectory("graft_iu2").toString
     val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")
