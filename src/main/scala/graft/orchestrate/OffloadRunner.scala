@@ -65,7 +65,10 @@ object OffloadRunner {
       sortCols: Seq[String] = Nil,
       extractionPolicy: graft.source.ExtractionProjection.Policy =
         graft.source.ExtractionProjection.Policy(),
-      withLock: Boolean = false)
+      withLock: Boolean = false,
+      // per-type-class column overrides (--integer-8-columns etc.) applied
+      // to the canonical schema before the typed load
+      typeOverrides: graft.types.TypeOverrides = graft.types.TypeOverrides())
 
   /** Full offload command: lock → read → (predicate/HWM filter) →
     * transforms + extraction projection → stage → validate → final load →
@@ -120,7 +123,8 @@ object OffloadRunner {
         TypeMapper.fromStructType(afterXform.schema), cfg.extractionPolicy)
     }
 
-    val schema = planned.map(df => TypeMapper.fromStructType(df.schema))
+    val schema = planned.map(df => graft.types.TypeOverrides(
+        TypeMapper.fromStructType(df.schema), cfg.typeOverrides))
       .getOrElse(Nil)
 
     // Incremental continuation appends the new slice; first pass (or FULL)

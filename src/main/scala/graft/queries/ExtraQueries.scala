@@ -173,6 +173,33 @@ object ExtraQueries {
         ORDER BY o_orderpriority""")
     },
 
+    /** Data-type override controls end-to-end: offload orders with
+      * per-type-class column overrides (--integer-4-columns analogue on the
+      * key, DECIMAL(12,2) on the price, --date-columns on the timestamp,
+      * unicode semantics on the status) and read back the final table — the
+      * oracle applies the same conversions in SQL, so the overridden load
+      * must be value- and type-exact. */
+    "q50_type_overrides" -> { (s, dir) =>
+      import graft.types.TypeOverrides
+      val base = Files.createTempDirectory("graft_tov_q").toString
+      val cfg = graft.orchestrate.OffloadRunner.OffloadConfig(
+        sourceTable = "orders_tov",
+        sourcePath = s"$dir/orders.parquet",
+        stagingPath = s"$base/staging",
+        finalPath = s"$base/final",
+        metadataDir = s"$base/meta",
+        typeOverrides = TypeOverrides(
+          integer4 = Seq("o_orderkey"),
+          integer8 = Seq("o_custkey"),
+          decimals = Seq(TypeOverrides.DecimalOverride(
+            Seq("o_totalprice"), 12, 2)),
+          dates = Seq("o_orderdate"),
+          unicodeStrings = Seq("o_order*status"))) // wildcard expansion path
+      val steps = graft.orchestrate.OffloadRunner.offload(s, cfg)
+      require(steps.forall(_.ok), steps.mkString("\n"))
+      s.read.parquet(s"$base/final").orderBy(col("o_orderkey"))
+    },
+
     /** Schema evolution: v1 slice without the derived column, v2 slice with
       * it; mergeSchema read sees both, old rows null in the new column. */
     "q42_schema_evolution" -> { (s, dir) =>
@@ -221,6 +248,15 @@ object ExtraQueries {
          ${dsumSql("l_extendedprice")} AS sum_price
          FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q50_type_overrides" ->
+      """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
 
     "q42_schema_evolution" ->
       """SELECT 2 * COUNT(*) AS n_rows, COUNT(*) AS n_evolved,
