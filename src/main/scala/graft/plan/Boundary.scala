@@ -70,6 +70,21 @@ object Boundary {
     disjuncts.reduce(_ || _)
   }
 
+  /** Rows at or below the boundary — the LIST_AS_RANGE threshold clause,
+    * where the recorded HWM is a like-for-like partition VALUE (inclusive),
+    * not an exclusive RANGE bound (reference
+    * `offload_source_data.py:2988-2994,3167-3177`). Lexicographic `<=`:
+    * strictly below on a prefix, or equal on every column. */
+  def lessOrEqual(cols: Seq[String], bounds: Seq[Bound]): Column = {
+    val allEqual = cols.indices.map { i =>
+      bounds(i) match {
+        case Value(v) => col(cols(i)) === lit(v)
+        case MaxValue => lit(false)
+      }
+    }.reduce(_ && _)
+    lessThan(cols, bounds) || allEqual
+  }
+
   /** Single-node lexicographic comparison via struct ordering. Only valid
     * when no bound is MAXVALUE. */
   def structGreaterThan(cols: Seq[String], values: Seq[Any]): Column =

@@ -21,7 +21,12 @@ final case class SourcePartition(
     highValues: Seq[Boundary.Bound], // upper-exclusive bound per key column
     bytes: Long,
     rows: Long,
-    subpartitions: Seq[String] = Nil)
+    // Composite partitioning: each subpartition carries ITS OWN boundary
+    // (`get_subpartition_boundary_info`,
+    // `oracle_offload_source_table.py:1300-1330`); planners consuming
+    // subpartition grain flatten these (reference `offload_by_subpartition`,
+    // `offload_source_data.py:447-452`).
+    subpartitions: Seq[SourcePartition] = Nil)
 
 final case class PartitionChunk(partitions: Seq[SourcePartition]) {
   def bytes: Long = partitions.map(_.bytes).sum
@@ -84,6 +89,86 @@ object PartitionPlanner {
   def listIpa(all: Seq[SourcePartition], offloadedNames: Set[String])
       : Seq[SourcePartition] =
     sorted(all).filterNot(p => offloadedNames.contains(p.name))
+
+  /** LIST-as-RANGE incremental planning
+    * (`OffloadSourceDataIpaListAsRange`, `offload_source_data.py:2988-3030`):
+    * tables LIST-partitioned to mimic RANGE. Two deltas from [[rangeIpa]],
+    * straight from the reference's class docstring: (1) partitions are
+    * sorted by HIGH VALUE, not catalog position — LIST catalog order is
+    * arbitrary; (2) the HWM match is like-for-like INCLUSIVE
+    * (`offload_source_data.py:3167-3177`: offloaded ⇔ value <= target max)
+    * because a LIST partition's "high value" IS its data, not an exclusive
+    * bound — the derived threshold clause renders `col <= hwm`
+    * ([[Boundary.lessOrEqual]], predicate type LIST_AS_RANGE). The user cap
+    * is `--less-than-value`'s inclusive sibling (`less_or_equal_value`). */
+  def listAsRangeIpa(
+      all: Seq[SourcePartition],
+      offloadedHwm: Option[Seq[Bound]],
+      lessOrEqual: Option[Seq[Bound]]): Seq[SourcePartition] = {
+    val ordered = all.sortWith((a, b) => boundGreater(b.highValues, a.highValues))
+    val beyond = offloadedHwm match {
+      case None => ordered
+      case Some(hwm) => ordered.filter(p => boundGreater(p.highValues, hwm))
+    }
+    lessOrEqual match {
+      case None => beyond
+      case Some(cap) => beyond.filter(p => !boundGreater(p.highValues, cap))
+    }
+  }
+
+  /** Flatten a composite-partitioned catalog to subpartition grain
+    * (reference `offload_by_subpartition`: the planner swaps
+    * `get_partitions` for `get_subpartitions`,
+    * `offload_source_data.py:447-452`). */
+  def subpartitionGrain(all: Seq[SourcePartition]): Seq[SourcePartition] =
+    sorted(all).flatMap(p => sorted(p.subpartitions))
+
+  /** Common-boundary map (`get_subpartition_boundary_info`,
+    * `oracle_offload_source_table.py:1300-1330`): a subpartition HWM vector
+    * is COMMON when every top-level partition contributes a subpartition
+    * with exactly that boundary — only common boundaries are safe
+    * incremental HWMs, because a non-common one would leave some top-level
+    * partitions half-offloaded with no expressible threshold clause. */
+  def commonBoundaries(all: Seq[SourcePartition]): Map[Seq[Bound], Boolean] = {
+    val withSubs = all.filter(_.subpartitions.nonEmpty)
+    val expected = withSubs.size
+    withSubs
+      .flatMap(p => p.subpartitions.map(s => s.highValues -> p.name))
+      .groupBy(_._1)
+      .map { case (hv, pairs) =>
+        hv -> (pairs.map(_._2).distinct.size == expected)
+      }
+  }
+
+  /** Subpartition-granular RANGE planning with the reference's common-
+    * boundary guard (`_check_hwm_is_a_valid_boundary`,
+    * `offload_source_data.py:2196-2250`): plan beyond the HWM at
+    * subpartition grain, then require the implied NEW HWM (highest planned
+    * boundary) to be (a) a common boundary and (b) not the last boundary in
+    * the table — otherwise incremental subpartition offload is unsafe and
+    * the caller must fall back to FULL (the reference raises with exactly
+    * that instruction). */
+  def subpartitionRangeIpa(
+      all: Seq[SourcePartition],
+      offloadedHwm: Option[Seq[Bound]],
+      lessThan: Option[Seq[Bound]]): Either[String, Seq[SourcePartition]] = {
+    val subs = subpartitionGrain(all)
+    val planned = subs.filter { p =>
+      offloadedHwm.forall(hwm => boundGreater(p.highValues, hwm)) &&
+      lessThan.forall(cap => !boundGreater(p.highValues, cap))
+    }
+    if (planned.isEmpty) Right(Nil)
+    else {
+      val newHwm = planned.map(_.highValues)
+        .reduce((a, b) => if (boundGreater(a, b)) a else b)
+      val retained = subs.exists(p => boundGreater(p.highValues, newHwm))
+      val common = commonBoundaries(all).getOrElse(newHwm, false)
+      if (common && retained) Right(planned)
+      else Left(
+        "Table is not valid for range subpartition offloading due to " +
+        "incompatible high value boundaries. Offload with --offload-type=FULL")
+    }
+  }
 
   /** Greedy chunking under size/count caps, never splitting partitions that
     * share an identical HWM vector (they must land atomically so metadata can

@@ -173,6 +173,74 @@ object ExtraQueries {
         ORDER BY o_orderpriority""")
     },
 
+    /** Subpartition-granular offload: a composite catalog (top-level LIST on
+      * l_returnflag, RANGE subpartitions on ship month) is planned at
+      * SUBPARTITION grain with the common-boundary guard, then exactly the
+      * planned subpartitions are offloaded. The catalog probe is ONE
+      * metadata-scale aggregate (flags × months ≈ 250 rows at any SF); the
+      * data scan reads only the planned slice. */
+    "q51_subpart_offload" -> { (s, dir) =>
+      import graft.plan.{Boundary, PartitionPlanner, SourcePartition}
+      import Boundary.{MaxValue, Value}
+      val li = t(s, dir, "lineitem")
+        .withColumn("sub_m", date_format(col("l_shipdate"), "yyyy-MM"))
+      val cat = li.groupBy(col("l_returnflag").as("flag"), col("sub_m"))
+        .agg(count(lit(1)).as("rows")).collect()
+      val parents = cat.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .zipWithIndex.map { case ((flag, rows), i) =>
+          val subs = rows.sortBy(_.getString(1)).zipWithIndex.map {
+            case (r, j) => SourcePartition(s"${flag}_${r.getString(1)}", j,
+              Seq(Value(r.getString(1))), r.getLong(2), r.getLong(2))
+          }
+          SourcePartition(flag, i, Seq(MaxValue), 0L, 0L,
+            subpartitions = subs.toSeq)
+        }
+      val planned = PartitionPlanner.subpartitionRangeIpa(parents,
+        offloadedHwm = Some(Seq(Value("1995-06"))),
+        lessThan = Some(Seq(Value("1997-01")))) match {
+        case Right(p) => p
+        case Left(e) => throw new IllegalStateException(e)
+      }
+      val months = planned.map(_.highValues.head)
+        .collect { case Value(v: String) => v }.distinct
+      li.filter(col("sub_m").isInCollection(months))
+        .groupBy(col("sub_m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("sub_m"))
+    },
+
+    /** LIST-as-RANGE planning: month-valued LIST partitions with scrambled
+      * catalog positions; the planner must sort by HIGH VALUE and treat the
+      * HWM as inclusive (like-for-like), then the planned value set drives
+      * the offload slice. */
+    "q52_list_as_range" -> { (s, dir) =>
+      import graft.plan.{Boundary, PartitionPlanner, SourcePartition}
+      import Boundary.Value
+      val li = t(s, dir, "lineitem")
+        .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+      val cat = li.groupBy(col("m")).agg(count(lit(1)).as("rows")).collect()
+      // catalog position deliberately NOT value order (reverse) — LIST
+      // catalog order is arbitrary and the planner must not trust it
+      val parts = cat.sortBy(_.getString(0)).reverse.zipWithIndex.map {
+        case (r, i) => SourcePartition(s"p_${r.getString(0)}", i,
+          Seq(Value(r.getString(0))), r.getLong(1), r.getLong(1))
+      }
+      val planned = PartitionPlanner.listAsRangeIpa(parts.toSeq,
+        offloadedHwm = Some(Seq(Value("1996-06"))),
+        lessOrEqual = Some(Seq(Value("1998-01"))))
+      val months = planned.map(_.highValues.head)
+        .collect { case Value(v: String) => v }
+      require(months == months.sorted, "planner must emit value order")
+      li.filter(col("m").isInCollection(months))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("m"))
+    },
+
     /** Data-type override controls end-to-end: offload orders with
       * per-type-class column overrides (--integer-4-columns analogue on the
       * key, DECIMAL(12,2) on the price, --date-columns on the timestamp,
@@ -248,6 +316,22 @@ object ExtraQueries {
          ${dsumSql("l_extendedprice")} AS sum_price
          FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q51_subpart_offload" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS sub_m, COUNT(*) AS n,
+           ${dsumSql("l_extendedprice")} AS sum_price
+         FROM lineitem
+         WHERE strftime(l_shipdate, '%Y-%m') > '1995-06'
+           AND strftime(l_shipdate, '%Y-%m') <= '1997-01'
+         GROUP BY 1 ORDER BY sub_m""",
+
+    "q52_list_as_range" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS m, COUNT(*) AS n,
+           ${dsumSql("l_quantity")} AS sum_qty
+         FROM lineitem
+         WHERE strftime(l_shipdate, '%Y-%m') > '1996-06'
+           AND strftime(l_shipdate, '%Y-%m') <= '1998-01'
+         GROUP BY 1 ORDER BY m""",
 
     "q50_type_overrides" ->
       """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,

@@ -39,6 +39,17 @@ class BoundarySpec extends SparkSpec {
     assert(gt + lt + eq == li.count())
   }
 
+  test("lessOrEqual includes the boundary (LIST_AS_RANGE threshold)") {
+    val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
+    // use the actual max so boundary rows are guaranteed to exist
+    val hi = li.agg(max(col("l_shipdate"))).head().getAs[Any](0)
+    val le = li.filter(lessOrEqual(Seq("l_shipdate"), Seq(Value(hi)))).count()
+    val lt = li.filter(lessThan(Seq("l_shipdate"), Seq(Value(hi)))).count()
+    val gt = li.filter(greaterThan(Seq("l_shipdate"), Seq(Value(hi)))).count()
+    assert(le == li.count() && gt == 0)
+    assert(le > lt) // the boundary rows themselves are included
+  }
+
   test("SQL rendering mirrors the OR-of-ANDs shape") {
     val sql = Boundary.Sql.greaterThan(Seq("a", "b"),
       Seq(Value(1), Value(2)))
@@ -107,6 +118,83 @@ class PartitionPlannerSpec extends AnyFunSuite {
     assert(transition(Some(Incremental), Full) == Right(Full))
     assert(transition(Some(Full), Incremental).isLeft)
     assert(transition(Some(Full), Incremental, forceReset = true) == Right(Incremental))
+  }
+
+  test("listAsRangeIpa sorts by HIGH VALUE, not catalog position") {
+    // LIST catalog order is arbitrary: positions scrambled vs values
+    val ps = Seq(part("px", 1, 500L), part("py", 2, 100L),
+      part("pz", 3, 300L), part("pw", 4, 200L), part("pv", 5, 400L))
+    val out = PartitionPlanner.listAsRangeIpa(ps, None, None)
+    assert(out.map(_.name) == Seq("py", "pw", "pz", "pv", "px"))
+  }
+
+  test("listAsRangeIpa HWM is inclusive, cap is less-or-equal") {
+    val ps = (1 to 6).map(i => part(s"p$i", 7 - i, i * 100L)) // reversed positions
+    // hwm = 200 (a partition VALUE): p2 itself is already offloaded
+    // (like-for-like <=), cap 500 keeps p5 (inclusive)
+    val out = PartitionPlanner.listAsRangeIpa(ps,
+      offloadedHwm = Some(Seq(Value(200L))),
+      lessOrEqual = Some(Seq(Value(500L))))
+    assert(out.map(_.name) == Seq("p3", "p4", "p5"))
+  }
+
+  private def subPart(parent: String, hv: Long, bytes: Long = 50L) =
+    SourcePartition(s"${parent}_sp$hv", hv.toInt, Seq(Value(hv)), bytes,
+      rows = 5L)
+
+  private def composite(name: String, pos: Int, subHvs: Seq[Long]) =
+    SourcePartition(name, pos, Seq(MaxValue), bytes = 0L, rows = 0L,
+      subpartitions = subHvs.map(h => subPart(name, h)))
+
+  test("subpartitionGrain flattens composite catalogs in order") {
+    val cat = Seq(
+      composite("pA", 0, Seq(100L, 200L, 300L)),
+      composite("pB", 1, Seq(100L, 200L, 300L)))
+    val subs = PartitionPlanner.subpartitionGrain(cat)
+    assert(subs.length == 6)
+    assert(subs.map(_.name).startsWith(Seq("pA_sp100", "pA_sp200")))
+  }
+
+  test("commonBoundaries flags boundaries present in every parent") {
+    val cat = Seq(
+      composite("pA", 0, Seq(100L, 200L, 300L)),
+      composite("pB", 1, Seq(100L, 300L))) // 200 missing in pB
+    val cb = PartitionPlanner.commonBoundaries(cat)
+    assert(cb(Seq(Value(100L))) && cb(Seq(Value(300L))))
+    assert(!cb(Seq(Value(200L))))
+  }
+
+  test("subpartitionRangeIpa plans at subpartition grain behind a common boundary") {
+    val cat = Seq(
+      composite("pA", 0, Seq(100L, 200L, 300L, 400L)),
+      composite("pB", 1, Seq(100L, 200L, 300L, 400L)))
+    val out = PartitionPlanner.subpartitionRangeIpa(cat,
+      offloadedHwm = Some(Seq(Value(100L))),
+      lessThan = Some(Seq(Value(300L))))
+    assert(out == Right(Seq(
+      subPart("pA", 200L), subPart("pA", 300L),
+      subPart("pB", 200L), subPart("pB", 300L))))
+  }
+
+  test("subpartitionRangeIpa rejects a non-common or terminal HWM") {
+    // 300 exists only in pA: planning up to 300 has a non-common new HWM
+    val ragged = Seq(
+      composite("pA", 0, Seq(100L, 200L, 300L, 400L)),
+      composite("pB", 1, Seq(100L, 200L, 400L)))
+    val bad = PartitionPlanner.subpartitionRangeIpa(ragged,
+      offloadedHwm = None, lessThan = Some(Seq(Value(300L))))
+    assert(bad.isLeft && bad.swap.exists(_.contains("--offload-type=FULL")))
+    // planning through the LAST boundary leaves no retained HWM -> invalid
+    val cat = Seq(
+      composite("pA", 0, Seq(100L, 200L)),
+      composite("pB", 1, Seq(100L, 200L)))
+    val terminal = PartitionPlanner.subpartitionRangeIpa(cat,
+      offloadedHwm = None, lessThan = None)
+    assert(terminal.isLeft)
+    // empty plan is fine (nothing to do)
+    val empty = PartitionPlanner.subpartitionRangeIpa(cat,
+      offloadedHwm = Some(Seq(Value(200L))), lessThan = None)
+    assert(empty == Right(Nil))
   }
 }
 
