@@ -186,14 +186,77 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** 64-bit SimHash: bits 0-31 vote on the nibbles of `md5(token)`, bits
+    * 32-63 on the nibbles of `md5('2#' || token)` — the salted second hash
+    * is an independent family, same cross-engine md5 determinism. */
+  def simhash64(text: Column): Column = {
+    val bits = 32
+    val nibbleVotes: Column => Column = h =>
+      transform(sequence(lit(1), lit(bits)), j =>
+        when(instr(lit("0123456789abcdef"),
+                   substring(h, j, lit(1))) >= 9, lit(1)).otherwise(lit(-1)))
+    def votes(salt: String): Column = {
+      val hashes = transform(array_distinct(tokens(text)),
+        t => md5(if (salt.isEmpty) t else concat(lit(salt), t)))
+      aggregate(hashes, array_repeat(lit(0), bits),
+        (acc, h) => zip_with(acc, nibbleVotes(h), (a, b) => a + b))
+    }
+    val allVotes = concat(votes(""), votes("2#"))
+    val powers = array((0 until 64).map(j => lit(1L << j)): _*)
+    aggregate(
+      zip_with(allVotes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash near-dup pairs at 100 TB: pigeonhole blocking over the 64-bit
+    * signature. The signature splits into 4 disjoint 16-bit chunks; a pair
+    * within Hamming distance ≤ 3 differs in at most 3 chunks, so it agrees
+    * EXACTLY on at least one — the union of 4 equi-joins on
+    * (chunk_index, chunk_value) has perfect recall for maxDist ≤ 3 with
+    * 65,536 keys per chunk. Per-key fan-out is bounded by how many docs
+    * share a 16-bit chunk value (corpus-driven, measured in
+    * [[graft.tools.DedupProfile]]), never n/256 as with single-byte
+    * blocking — that is the difference between a shuffleable join and a
+    * quadratic blow-up at 1B docs. */
+  def simhashPairs64(docs: DataFrame, maxDist: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4-chunk pigeonhole guarantees recall only for Hamming <= 3")
+    val sigs = docs.select(col(idCol).as("sid"),
+                           simhash64(col(textCol)).as("sig"))
+      // two interpreted 32-fold passes per row: must run once, not per side
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val chunks = (0 until 4).map { j =>
+      struct(lit(j).as("ck"),
+        shiftright(col("sig"), 16 * j).bitwiseAND(lit(65535L)).as("cv"))
+    }
+    val blocked = sigs
+      .select(col("sid"), col("sig"), explode(array(chunks: _*)).as("c"))
+      .select(col("sid"), col("sig"),
+              col("c.ck").as("ck"), col("c.cv").as("cv"))
+    val l = blocked.select(col("ck"), col("cv"), col("sid").as("id_a"),
+                           col("sig").as("sig_a"))
+    val r = blocked.select(col("ck"), col("cv"), col("sid").as("id_b"),
+                           col("sig").as("sig_b"))
+    l.join(r, Seq("ck", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair agreeing on k chunks appears k times — dedupe BEFORE scoring
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
     *
     * Candidate generation is an EQUI-join on the low-byte block of the
     * signature (never an all-pairs comparison): near-identical docs agree on
     * most bits, so blocking on one byte catches pairs whose differing bits
     * fall in the high byte; production recall adds a union over a few bit
-    * rotations — identical plan shape, still equi-joins. This keeps the pair
-    * space key-partitioned and 100 TB-shuffleable. */
+    * rotations — identical plan shape, still equi-joins. The 256-key block
+    * space is the known scale ceiling of this variant: per-key fan-out grows
+    * as (n/256)², so beyond ~10M docs use [[simhashPairs64]] (pigeonhole
+    * blocking, 65,536 keys per chunk, exact recall at maxDist ≤ 3). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {

@@ -57,6 +57,14 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Scale-safe SimHash: 64-bit signature + pigeonhole 16-bit chunk
+    // blocking (4 equi-joins' union, exact recall at Hamming <= 3) — the
+    // 100 TB replacement for q29's 256-key single-byte block.
+    "q53_simhash_pigeonhole" -> { (s, dir) =>
+      Dedup.simhashPairs64(t(s, dir, "documents"), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q30_text_quality" -> { (s, dir) =>
       TextAnalysis.annotate(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_subwords"),
@@ -199,6 +207,25 @@ object PipelineQueries {
         sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM votes)"""
   }
 
+  /** 64-bit simhash: votes 0-31 from md5(tok), 32-63 from md5('2#'||tok) —
+    * mirrors [[graft.operators.Dedup.simhash64]] bit-for-bit. */
+  private def simhash64SigSql: String = {
+    def votes(hashExpr: String, base: Int): Seq[String] = (0 until 32).map {
+      j =>
+        s"SUM(CASE WHEN strpos('0123456789abcdef', substr($hashExpr, ${j + 1}, 1)) >= 9 " +
+          s"THEN 1 ELSE -1 END) AS v_${base + j}"
+    }
+    val allVotes =
+      (votes("md5(tok)", 0) ++ votes("md5('2#' || tok)", 32)).mkString(", ")
+    val sig = (0 until 64).map { j =>
+      s"(CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""toks2 AS (SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(toks) AS tok FROM docs) u),
+        votes AS (SELECT doc_id, $allVotes FROM toks2 GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM votes)"""
+  }
+
   private val qualityComponentsSql =
     """comp AS (SELECT doc_id, lang, text, toks,
          len(toks) AS n_tokens,
@@ -280,6 +307,20 @@ object PipelineQueries {
          FROM sig a JOIN sig b ON (a.sig & 255) = (b.sig & 255)
            AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY id_a, id_b""",
+
+    "q53_simhash_pigeonhole" ->
+      s"""WITH $toksCte, $simhash64SigSql,
+         chunks AS (
+           SELECT doc_id, sig, ck,
+             (sig >> CAST(16 * ck AS INT)) & 65535 AS cv
+           FROM sig, (SELECT unnest(range(0, 4)) AS ck) k)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+         FROM chunks a JOIN chunks b USING (ck, cv)
+         WHERE a.doc_id < b.doc_id
+           AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
 
     "q30_text_quality" ->

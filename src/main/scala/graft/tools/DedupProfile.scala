@@ -48,6 +48,36 @@ object DedupProfile {
     time("full q28 again (cached sigs)") {
       Dedup.lshCandidates(Dedup.minhashSignatures(docs, 16), 16, 4).count()
     }
+
+    // Pigeonhole-vs-byte blocking fan-out: the join cost driver is
+    // Σ_key count², so the max/mean docs-per-key bounds the pair blow-up.
+    // 16-bit chunks spread the corpus over 65,536 keys per chunk (corpus-
+    // driven occupancy); the single-byte block forces n/256 per key BY
+    // CONSTRUCTION — at 1B docs that is ~10^13 candidate pairs per block.
+    val sig64 = docs.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("sig")).cache()
+    sig64.count()
+    for (j <- 0 until 4) {
+      val stats = sig64
+        .groupBy(shiftright(col("sig"), 16 * j).bitwiseAND(lit(65535L))
+          .as("cv"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("keys"), max("n").as("max_per_key"),
+          avg("n").as("mean_per_key"),
+          sum(col("n") * col("n")).as("candidate_pairs_bound"))
+        .head()
+      println(f"chunk $j: keys=${stats.getLong(0)} " +
+        f"max/key=${stats.getLong(1)} mean/key=${stats.getDouble(2)}%.1f " +
+        f"pair-bound=${stats.getLong(3)}")
+    }
+    val byteStats = sig64
+      .groupBy(col("sig").bitwiseAND(lit(255L)).as("block"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("keys"), max("n").as("max_per_key"),
+        sum(col("n") * col("n")).as("candidate_pairs_bound"))
+      .head()
+    println(s"byte-block: keys=${byteStats.getLong(0)} " +
+      s"max/key=${byteStats.getLong(1)} pair-bound=${byteStats.getLong(2)}")
     spark.stop()
   }
 }

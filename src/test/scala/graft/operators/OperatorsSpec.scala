@@ -65,6 +65,41 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 3)
   }
 
+  test("simhash64 pigeonhole pairs: exact recall at hamming <= 3") {
+    // identical docs -> hamming 0; the pigeonhole union must find them no
+    // matter which chunk they meet in, and must NOT emit distant pairs
+    val df = docsOf(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "zeta eta theta iota kappa lambda mu nu xi omicron")
+    val pairs = Dedup.simhashPairs64(df, maxDist = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getInt(4) == 0)
+    // 64-bit signature really uses the high half (both halves nonzero for
+    // a typical doc — the salted second family is independent)
+    val sig = df.filter(col("doc_id") === 3L)
+      .select(Dedup.simhash64(col("text"))).head().getLong(0)
+    assert((sig >>> 32) != 0L && (sig & 0xFFFFFFFFL) != 0L)
+  }
+
+  test("pigeonhole recall equals brute force on the corpus sample") {
+    // ground truth: all-pairs hamming <= 3 over a small doc sample must be
+    // exactly what the 4-chunk union returns (the pigeonhole guarantee)
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents").limit(120)
+      .cache()
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val blocked = Dedup.simhashPairs64(docs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty) // the sample genuinely contains near-dups
+  }
+
   test("shingles produce n-grams and deduplicate") {
     val out = docsOf(1L -> "a b c d")
       .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
