@@ -55,7 +55,9 @@ object PartitionPlanner {
     false
   }
 
-  private[plan] def compareAny(x: Any, y: Any): Int = (x, y) match {
+  /** Engine-wide value comparator for partition boundary literals (also
+    * consumed by the status report's retention analysis). */
+  def compareAny(x: Any, y: Any): Int = (x, y) match {
     case (a: java.math.BigDecimal, b: java.math.BigDecimal) => a.compareTo(b)
     case (a: Number, b: Number) =>
       java.lang.Double.compare(a.doubleValue, b.doubleValue)

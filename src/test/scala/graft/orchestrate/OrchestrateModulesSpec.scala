@@ -9,6 +9,14 @@ import graft.sink.{DdlRenderer, SchemaSync}
 import graft.types.{CanonicalColumn, CanonicalType}
 
 class StatusReportSpec extends SparkSpec {
+  import graft.meta.{MetadataStore, OffloadMetadata}
+  import graft.plan.{Boundary, SourcePartition}
+
+  private def cat(hvs: (String, Long)*): Seq[SourcePartition] =
+    hvs.zipWithIndex.map { case ((hv, rows), i) =>
+      SourcePartition(s"p$i", i, Seq(Boundary.Value(hv)), bytes = rows * 100,
+        rows = rows)
+    }
 
   test("status report inventories offloaded tables") {
     val base = Files.createTempDirectory("graft_status").toString
@@ -25,9 +33,81 @@ class StatusReportSpec extends SparkSpec {
     val row = report.head
     assert(row.getAs[String]("source_table") == "orders")
     assert(row.getAs[String]("offload_type") == "INCREMENTAL")
-    assert(row.getAs[Long]("backend_rows") > 0)
-    assert(row.getAs[Long]("backend_bytes") > 0)
+    assert(row.getAs[Boolean]("backend_exists"))
+    assert(row.getAs[Long]("offloaded_rows") > 0)
+    assert(row.getAs[Long]("offloaded_bytes") > 0)
     assert(row.getAs[String]("incremental_high_value").nonEmpty)
+  }
+
+  test("retention analysis splits the catalog at the HWM (metadata only)") {
+    val base = Files.createTempDirectory("graft_status_ret").toString
+    // multi-table metadata dir: one INCREMENTAL, one FULL, one PREDICATE
+    MetadataStore.save(s"$base/meta", OffloadMetadata(
+      sourceTable = "sales", backendTable = s"$base/none1",
+      offloadType = "INCREMENTAL", incrementalKey = Seq("m"),
+      incrementalHighValue = Seq("1996-03")))
+    MetadataStore.save(s"$base/meta", OffloadMetadata(
+      sourceTable = "dim", backendTable = s"$base/none2",
+      offloadType = "FULL"))
+    MetadataStore.save(s"$base/meta", OffloadMetadata(
+      sourceTable = "pred", backendTable = s"$base/none3",
+      offloadType = "FULL",
+      incrementalPredicateType = Some("PREDICATE")))
+    val catalogs = Map(
+      "sales" -> cat("1996-01" -> 10L, "1996-02" -> 20L, "1996-03" -> 30L,
+        "1996-04" -> 40L, "1996-05" -> 50L),
+      "dim" -> cat("a" -> 5L, "b" -> 6L),
+      "pred" -> cat("x" -> 7L))
+    val rows = StatusReport.rows(spark, s"$base/meta", catalogs)
+    val byName = rows.map(r => r.source_table -> r).toMap
+    // INCREMENTAL: parts at/below HWM reclaimable, above retained
+    assert(byName("sales").reclaimable_parts == 3 &&
+           byName("sales").reclaimable_rows == 60 &&
+           byName("sales").retained_parts == 2 &&
+           byName("sales").retained_rows == 90)
+    // FULL without IPA: everything reclaimable
+    assert(byName("dim").reclaimable_parts == 2 &&
+           byName("dim").retained_parts == 0)
+    // PREDICATE: nothing provably reclaimable
+    assert(byName("pred").reclaimable_parts == 0 &&
+           byName("pred").retained_parts == 1)
+    // fleet summary totals
+    val s = StatusReport.summary(rows)
+    assert(s.reclaimable_parts == 5 && s.retained_parts == 3)
+    assert(s.reclaimable_rows == 60 + 11 && s.retained_rows == 90 + 7)
+    assert(s.offloaded_tables == 0) // none of the backend paths exist
+  }
+
+  test("numeric HWM comparison parses literals, not string order") {
+    val meta = OffloadMetadata(
+      sourceTable = "t", backendTable = "/nope",
+      offloadType = "INCREMENTAL", incrementalKey = Seq("k"),
+      incrementalHighValue = Seq("900")) // "1000" < "900" as STRINGS
+    val catalog = cat("900" -> 1L, "1000" -> 2L)
+    val (reclaimable, retained) = StatusReport.reclaim(meta, catalog)
+    assert(reclaimable.map(_.name) == Seq("p0")) // 900 <= 900
+    assert(retained.map(_.name) == Seq("p1"))    // 1000 > 900 numerically
+  }
+
+  test("csv and html renderings carry the retention grid") {
+    val base = Files.createTempDirectory("graft_status_csv").toString
+    MetadataStore.save(s"$base/meta", OffloadMetadata(
+      sourceTable = "sales", backendTable = s"$base/none",
+      offloadType = "INCREMENTAL", incrementalKey = Seq("m"),
+      incrementalHighValue = Seq("1996-02")))
+    val rows = StatusReport.rows(spark, s"$base/meta",
+      Map("sales" -> cat("1996-01" -> 10L, "1996-02" -> 20L, "1996-03" -> 5L)))
+    val csv = StatusReport.toCsv(rows)
+    val lines = csv.trim.split("\n")
+    assert(lines.length == 2)
+    assert(lines.head.startsWith("source_table,backend_table,offload_type"))
+    assert(lines(1).contains("sales") && lines(1).contains("INCREMENTAL"))
+    // reclaimable_rows=30 (2 parts), retained_rows=5 (1 part)
+    assert(lines(1).endsWith("1,5,500,2,30,3000"))
+    val html = StatusReport.toHtml(rows)
+    assert(html.contains("<th>reclaimable_rows</th>"))
+    assert(html.contains("<td>sales</td>"))
+    assert(html.contains("Reclaimable rows</th><td>30</td>"))
   }
 
   test("empty metadata dir yields empty report") {
