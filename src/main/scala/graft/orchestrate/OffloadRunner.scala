@@ -68,7 +68,10 @@ object OffloadRunner {
       withLock: Boolean = false,
       // per-type-class column overrides (--integer-8-columns etc.) applied
       // to the canonical schema before the typed load
-      typeOverrides: graft.types.TypeOverrides = graft.types.TypeOverrides())
+      typeOverrides: graft.types.TypeOverrides = graft.types.TypeOverrides(),
+      // BigQuery final-table sink (assembled always; executed only behind
+      // spark.graft.bigquery.execute — see BigQuerySink)
+      bigquerySink: Option[graft.sink.BigQuerySink.Config] = None)
 
   /** Full offload command: lock → read → (predicate/HWM filter) →
     * transforms + extraction projection → stage → validate → final load →
@@ -141,6 +144,19 @@ object OffloadRunner {
             throw new IllegalStateException(
               s"staged-data validation failed: ${violations.count()} rows")
           case Right(_) => ()
+        }
+      }
+    }
+
+    cfg.bigquerySink.foreach { bq =>
+      r.step("bigquery_load",
+          s"target=${bq.dataset}.${bq.table} method=${bq.writeMethod}") {
+        planned.foreach { df =>
+          val opts = graft.sink.BigQuerySink.load(df, bq,
+            mode = finalMode)
+          r.results += StepResult("bigquery_options", ok = true,
+            opts.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString(" "), 0L)
         }
       }
     }
