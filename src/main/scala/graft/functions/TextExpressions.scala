@@ -75,8 +75,102 @@ case class WordShingles(child: org.apache.spark.sql.catalyst.expressions.Express
   override def prettyName: String = "word_shingles"
 }
 
+/** Native SimHash kernel: one flat Java pass per row — tokenize, distinct,
+  * md5 per token (twice when `wide`), accumulate per-bit votes, assemble the
+  * signature Long.
+  *
+  * Bit-for-bit identical to the composed HOF form in
+  * [[graft.operators.Dedup.simhashHof]]/[[graft.operators.Dedup.simhash64Hof]]
+  * (bit j votes +1 when hex nibble j of the token hash has its high bit set
+  * — `instr('0123456789abcdef', nibble) >= 9`), which is what the DuckDB
+  * oracle reproduces. The HOF form nests two interpreted fold passes per
+  * row (HOFs never enter codegen); this kernel is the shape worth owning
+  * when signing 10¹¹ documents. `wide = true` → 64 bits, the second 32 from
+  * `md5('2#' || token)`; `wide = false` → the 32-bit variant.
+  */
+case class SimHashSignature(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    wide: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash expects STRING, got ${child.dataType.sql}")
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+  @transient private lazy val md5 =
+    // MessageDigest is not thread-safe; one per task thread
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def voteDigest(d: Array[Byte], votes: Array[Int], base: Int)
+      : Unit = {
+    // hex nibble j of the md5 string = high/low half of byte j/2; high bit
+    // of the nibble set <=> nibble value >= 8
+    var j = 0
+    while (j < 32) {
+      val b = d(j >> 1) & 0xFF
+      val nib = if ((j & 1) == 0) b >> 4 else b & 0x0F
+      votes(base + j) += (if (nib >= 8) 1 else -1)
+      j += 1
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.trim
+    val toks = new java.util.LinkedHashSet[String]()
+    ws.split(text).foreach(toks.add)
+    val bits = if (wide) 64 else 32
+    val votes = new Array[Int](bits)
+    val digest = md5.get()
+    val it = toks.iterator()
+    while (it.hasNext) {
+      val t = it.next()
+      digest.reset()
+      voteDigest(digest.digest(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8)), votes, 0)
+      if (wide) {
+        digest.reset()
+        voteDigest(digest.digest(
+          ("2#" + t).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          votes, 32)
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : SimHashSignature = copy(child = newChild)
+
+  override def prettyName: String = if (wide) "simhash64" else "simhash32"
+}
+
 object TextFunctions {
   /** Distinct word n-gram shingles, native kernel. */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** SimHash signatures, native kernel. */
+  def simhash32(text: Column): Column =
+    ColumnBridge.column(SimHashSignature(ColumnBridge.expression(text),
+      wide = false))
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHashSignature(ColumnBridge.expression(text),
+      wide = true))
 }

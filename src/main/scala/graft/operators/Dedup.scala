@@ -164,9 +164,15 @@ object Dedup {
   /** SimHash (32-bit, md5-nibble variant): for bit j, take the j-th hex
     * nibble of md5(token); its high bit votes +1/−1 weighted by presence of
     * the DISTINCT token; bit j of the signature is the sign of the vote sum.
-    * Widening to 64 bits is the same expression over the nibbles of a second
-    * hash. */
-  def simhash(text: Column, bits: Int = 32): Column = {
+    * Evaluated by the native [[graft.functions.SimHashSignature]] kernel —
+    * one flat Java pass per row. */
+  def simhash(text: Column): Column =
+    graft.functions.TextFunctions.simhash32(text)
+
+  /** Composed higher-order-function formulation — kept to spec-check the
+    * native kernel's bit equality (this is also the formulation the DuckDB
+    * oracle mirrors). */
+  def simhashHof(text: Column, bits: Int = 32): Column = {
     require(bits <= 32, "md5 has 32 hex nibbles")
     // Single pass: md5 each distinct token ONCE, fold the per-nibble ±1
     // votes into an array accumulator (the per-bit-folds formulation
@@ -188,8 +194,13 @@ object Dedup {
 
   /** 64-bit SimHash: bits 0-31 vote on the nibbles of `md5(token)`, bits
     * 32-63 on the nibbles of `md5('2#' || token)` — the salted second hash
-    * is an independent family, same cross-engine md5 determinism. */
-  def simhash64(text: Column): Column = {
+    * is an independent family, same cross-engine md5 determinism. Native
+    * kernel; [[simhash64Hof]] is the spec-checked composed equivalent. */
+  def simhash64(text: Column): Column =
+    graft.functions.TextFunctions.simhash64(text)
+
+  /** Composed HOF formulation of [[simhash64]] (bit-equality oracle). */
+  def simhash64Hof(text: Column): Column = {
     val bits = 32
     val nibbleVotes: Column => Column = h =>
       transform(sequence(lit(1), lit(bits)), j =>

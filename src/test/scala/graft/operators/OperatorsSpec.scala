@@ -100,6 +100,22 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // the sample genuinely contains near-dups
   }
 
+  test("native simhash kernels match the HOF formulation on the corpus") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val cmp = docs.select(
+      Dedup.simhash(col("text")).as("k32"),
+      Dedup.simhashHof(col("text")).as("h32"),
+      Dedup.simhash64(col("text")).as("k64"),
+      Dedup.simhash64Hof(col("text")).as("h64"))
+    assert(cmp.filter(col("k32") =!= col("h32") ||
+      col("k64") =!= col("h64")).count() == 0)
+    // and on edge shapes: empty-ish and single-token text
+    val edge = docsOf(1L -> "x", 2L -> "  spaced   out  ")
+      .select(Dedup.simhash64(col("text")).as("k"),
+        Dedup.simhash64Hof(col("text")).as("h"))
+    assert(edge.filter(col("k") =!= col("h")).count() == 0)
+  }
+
   test("shingles produce n-grams and deduplicate") {
     val out = docsOf(1L -> "a b c d")
       .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
