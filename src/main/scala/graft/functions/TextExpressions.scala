@@ -161,10 +161,116 @@ case class SimHashSignature(
   override def prettyName: String = if (wide) "simhash64" else "simhash32"
 }
 
+/** Native MinHash kernel: all `k` seeded signature mins in ONE flat pass
+  * over the shingle array.
+  *
+  * Per seed `s`, the signature slot is the lexicographic MIN of
+  * `md5("s|" || shingle)` hex strings — identical to the composed
+  * `array_min(transform(sh, x => md5(concat('s|', x))))` chain (which the
+  * DuckDB oracle mirrors), but the composed form runs k interpreted folds
+  * per row. Digests are compared as unsigned byte arrays (hex encoding is
+  * order-preserving), hex-rendered once per slot at the end.
+  */
+case class MinHashSigs(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs expects ARRAY<STRING>, got ${other.sql}")
+    }
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    (0 until numHashes).map(s =>
+      (s + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xFF; val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xFF
+      out(2 * i) = hexChars(b >> 4)
+      out(2 * i + 1) = hexChars(b & 0x0F)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[Array[Byte]](numHashes)
+    val digest = md5.get()
+    var i = 0
+    while (i < n) {
+      val shingleBytes = arr.getUTF8String(i).getBytes
+      var s = 0
+      while (s < numHashes) {
+        digest.reset()
+        digest.update(seedPrefixes(s))
+        digest.update(shingleBytes)
+        val d = digest.digest()
+        if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      // empty shingle array: min of nothing is null-ish — render the md5 of
+      // the empty-input sentinel never happens in practice (shingles always
+      // yield >= 1 element); guard anyway
+      out(s) = if (mins(s) == null) UTF8String.fromString("") else hex(mins(s))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : MinHashSigs = copy(child = newChild)
+
+  override def prettyName: String = "minhash_sigs"
+}
+
 object TextFunctions {
   /** Distinct word n-gram shingles, native kernel. */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** All k MinHash signature slots in one pass, native kernel. */
+  def minhashSigs(shingleArray: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigs(ColumnBridge.expression(shingleArray),
+      numHashes))
 
   /** SimHash signatures, native kernel. */
   def simhash32(text: Column): Column =

@@ -124,6 +124,25 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, numHashes: Int = 16,
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 3): DataFrame = {
+    // All k slots in ONE kernel pass over the shingle array (the composed
+    // array_min(transform(...)) × k form runs k interpreted folds per row).
+    // The persist is load-bearing: the banded index downstream extracts k
+    // elements — projection collapse would otherwise inline the kernel (and
+    // the shingle construction feeding it) into every extraction.
+    val withSigs = docs.select(col(idCol).as("sid"),
+        graft.functions.TextFunctions.minhashSigs(
+          shingles(col(textCol), n), numHashes).as("sigs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val slots = (0 until numHashes).map(s =>
+      col("sigs").getItem(s).as(s"sig_$s"))
+    withSigs.select((col("sid") +: slots): _*)
+  }
+
+  /** Composed HOF formulation — kept to spec-check the kernel's equality
+    * (also the formulation the DuckDB oracle mirrors). */
+  def minhashSignaturesHof(docs: DataFrame, numHashes: Int = 16,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = 3): DataFrame = {
     val withSh = docs.select(col(idCol).as("sid"),
         shingles(col(textCol), n).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)

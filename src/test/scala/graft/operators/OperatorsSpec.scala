@@ -100,6 +100,14 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty) // the sample genuinely contains near-dups
   }
 
+  test("native minhash kernel matches the HOF formulation on the corpus") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val k = Dedup.minhashSignatures(docs, 8).orderBy("sid").collect()
+    val h = Dedup.minhashSignaturesHof(docs, 8).orderBy("sid").collect()
+    assert(k.length == h.length)
+    k.zip(h).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("native simhash kernels match the HOF formulation on the corpus") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val cmp = docs.select(
