@@ -21,18 +21,54 @@ import graft.verify.CrossValidator
   */
 object Cli {
 
-  private def parseArgs(args: Seq[String]): Map[String, String] = {
-    val m = scala.collection.mutable.Map.empty[String, String]
+  private def parsePairs(args: Seq[String]): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
     var i = 0
     while (i < args.length) {
       val a = args(i)
       require(a.startsWith("--"), s"expected --option, got $a")
       val key = a.stripPrefix("--")
       if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
-        m(key) = args(i + 1); i += 2
-      } else { m(key) = "true"; i += 1 }
+        out += key -> args(i + 1); i += 2
+      } else { out += key -> "true"; i += 1 }
     }
-    m.toMap
+    out.result()
+  }
+
+  /** Data-type override flags, reference-compatible names (`offload.py:
+    * 532-603`): `--integer-N-columns`, repeatable paired `--decimal-columns`
+    * + `--decimal-columns-type`, `--date-columns`, `--double-columns`,
+    * `--variable-string-columns`, `--timestamp-tz-columns`,
+    * `--unicode-string-columns`. */
+  private[graft] def overridesFrom(pairs: Seq[(String, String)])
+      : graft.types.TypeOverrides = {
+    import graft.types.TypeOverrides
+    def csv(k: String): Seq[String] =
+      pairs.collect { case (`k`, v) => v }.flatMap(_.split(',')).map(_.trim)
+        .filter(_.nonEmpty)
+    val decCols = pairs.collect { case ("decimal-columns", v) => v }
+    val decTypes = pairs.collect { case ("decimal-columns-type", v) => v }
+    require(decCols.length == decTypes.length,
+      "--decimal-columns and --decimal-columns-type must appear in pairs")
+    val decimals = decCols.zip(decTypes).map { case (cols, t) =>
+      val ps = t.split(',').map(_.trim)
+      require(ps.length == 2,
+        s"--decimal-columns-type must be \"precision,scale\": $t")
+      TypeOverrides.DecimalOverride(cols.split(',').toSeq.map(_.trim),
+        ps(0).toInt, ps(1).toInt)
+    }
+    TypeOverrides(
+      integer1 = csv("integer-1-columns"),
+      integer2 = csv("integer-2-columns"),
+      integer4 = csv("integer-4-columns"),
+      integer8 = csv("integer-8-columns"),
+      integer38 = csv("integer-38-columns"),
+      decimals = decimals,
+      dates = csv("date-columns"),
+      doubles = csv("double-columns"),
+      variableStrings = csv("variable-string-columns"),
+      timestampTz = csv("timestamp-tz-columns"),
+      unicodeStrings = csv("unicode-string-columns"))
   }
 
   private def session(): SparkSession = {
@@ -52,7 +88,8 @@ object Cli {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Cli <offload|agg-validate|status-report> ...")
     val cmd = args.head
-    val opts = parseArgs(args.tail.toSeq)
+    val pairs = parsePairs(args.tail.toSeq)
+    val opts = pairs.toMap // last occurrence wins for scalar flags
     // reuse an active session when embedded (tests/notebooks); only stop a
     // session this main itself created
     val reused = SparkSession.getActiveSession
@@ -72,7 +109,8 @@ object Cli {
               .map(_.split(',').toSeq).getOrElse(Nil),
             partitionCols = opts.get("partition-by")
               .map(_.split(',').toSeq).getOrElse(Nil),
-            dryRun = opts.contains("dry-run")))
+            dryRun = opts.contains("dry-run"),
+            typeOverrides = overridesFrom(pairs)))
           steps.foreach(s => println(
             f"${if (s.ok) "ok " else "ERR"} ${s.name}%-18s ${s.millis}%6d ms  ${s.detail}"))
           if (!steps.forall(_.ok)) sys.exit(1)
@@ -95,7 +133,25 @@ object Cli {
           }
 
         case "status-report" =>
-          StatusReport.report(spark, opts("meta")).show(100, truncate = false)
+          val rows = StatusReport.rows(spark, opts("meta"))
+          opts.get("csv").foreach(f => java.nio.file.Files.writeString(
+            java.nio.file.Path.of(f), StatusReport.toCsv(rows)))
+          opts.get("html").foreach(f => java.nio.file.Files.writeString(
+            java.nio.file.Path.of(f), StatusReport.toHtml(rows)))
+          if (!opts.contains("csv") && !opts.contains("html"))
+            StatusReport.report(spark, opts("meta")).show(100, truncate = false)
+
+        case "collect-stats" =>
+          import org.apache.spark.sql.functions.{col, date_format}
+          val df = spark.read.parquet(opts("source"))
+          val key = opts.get("month-key")
+            .map(c => date_format(col(c), "yyyy-MM"))
+          val rec = graft.source.TableStats.collectStats(df,
+            opts.getOrElse("table",
+              opts("source").split('/').last.stripSuffix(".parquet")), key)
+          graft.meta.StatsStore.save(opts("meta"), rec)
+          println(s"stats saved: rows=${rec.numRows} " +
+            s"partitions=${rec.partitions.length}")
 
         case other =>
           System.err.println(s"unknown command: $other")

@@ -208,4 +208,27 @@ object StatsStore {
   /** Chunk plan straight from copied stats (zero I/O planning). */
   def chunkFromStats(r: TableStatsRecord, maxBytes: Long, maxCount: Int) =
     PartitionPlanner.chunk(toCatalog(r), maxBytes, maxCount)
+
+  private def parseLiteral(s: String): Any = {
+    val t = s.trim
+    t.toLongOption.getOrElse(t.toDoubleOption.getOrElse(t): Any)
+  }
+
+  /** Copied partitions strictly beyond a rendered HWM (single-key chunk
+    * plans): literals are parsed before comparison so numeric keys order
+    * numerically, string keys (ISO dates/months) lexicographically. */
+  def partitionsBeyond(r: TableStatsRecord, hwm: Seq[String])
+      : Seq[SourcePartition] = {
+    val cat = toCatalog(r)
+    hwm match {
+      case Seq(h) =>
+        cat.filter(p => p.highValues.headOption.exists {
+          case Boundary.Value(v) =>
+            PartitionPlanner.compareAny(
+              parseLiteral(String.valueOf(v)), parseLiteral(h)) > 0
+          case Boundary.MaxValue => true
+        })
+      case _ => cat // no committed HWM: everything is in scope
+    }
+  }
 }

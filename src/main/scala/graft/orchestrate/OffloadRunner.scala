@@ -223,7 +223,16 @@ object OffloadRunner {
   def offloadChunked(spark: SparkSession, cfg: OffloadConfig,
                      chunkKeyCol: String => org.apache.spark.sql.Column,
                      hwmCol: String,
-                     maxRowsPerChunk: Long): Seq[Seq[StepResult]] = {
+                     maxRowsPerChunk: Long,
+                     // Plan chunks from the copied stats record instead of a
+                     // live profiling aggregate. The copy stores the LAST
+                     // planned slice's per-chunk-key profile (saved
+                     // automatically by the live path below), so this is the
+                     // retry/resume fast path: a rerun plans — and, when
+                     // everything already committed, returns — WITHOUT
+                     // touching the source at all.
+                     planFromCopiedStats: Boolean = false)
+      : Seq[Seq[StepResult]] = {
     require(cfg.incrementalKey == Seq(hwmCol),
       "chunked offload drives the HWM through hwmCol")
     // Reconcile an interrupted chunk: a pending marker means the previous
@@ -253,34 +262,66 @@ object OffloadRunner {
           incrementalHighValue = hwm,
           pendingChunkKeys = Nil, pendingChunkHwm = Nil))
       }
-    val raw = spark.read.parquet(cfg.sourcePath)
-    // Resume-at-failed-chunk: a retry after a mid-table failure must not
-    // re-append chunks that already committed their HWM — filter the source
-    // by the persisted HWM BEFORE profiling, so completed chunks vanish
-    // from the plan entirely.
-    val source = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
+    val committedHwm = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
       .filter(_.incrementalKey == Seq(hwmCol))
-      .map(_.incrementalHighValue).filter(_.nonEmpty) match {
-        case Some(hwmVals) =>
-          val bounds = hwmVals.map(v =>
-            Boundary.Value(castHwmLiteral(raw, hwmCol, v)))
-          raw.filter(Boundary.greaterThan(Seq(hwmCol), bounds))
-        case None => raw
+      .map(_.incrementalHighValue).filter(_.nonEmpty)
+
+    // Chunk-plan input: either the copied stats record (zero source I/O —
+    // planning never reads the table; a fully-committed retry returns
+    // before the source path is even opened) or a live profiling aggregate
+    // (metadata-scale: one count per chunk key), which is then SAVED as the
+    // stats copy so the next retry can plan from it.
+    val parts: Seq[graft.plan.SourcePartition] =
+      (if (planFromCopiedStats)
+         graft.meta.StatsStore.load(cfg.metadataDir, cfg.sourceTable)
+           .filter(_.partitions.nonEmpty)
+           .map(r => graft.meta.StatsStore.partitionsBeyond(
+             r, committedHwm.getOrElse(Nil)))
+       else None) match {
+        case Some(copied) => copied
+        case None =>
+          val raw = spark.read.parquet(cfg.sourcePath)
+          // Resume-at-failed-chunk: filter the source by the persisted HWM
+          // BEFORE profiling, so completed chunks vanish from the plan.
+          val src = committedHwm match {
+            case Some(hwmVals) =>
+              val bounds = hwmVals.map(v =>
+                Boundary.Value(castHwmLiteral(raw, hwmCol, v)))
+              raw.filter(Boundary.greaterThan(Seq(hwmCol), bounds))
+            case None => raw
+          }
+          val profile = src
+            .groupBy(chunkKeyCol(hwmCol).as("chunk_key"))
+            .agg(count(lit(1)).as("rows"))
+            .orderBy(col("chunk_key"))
+            .collect()
+          val live = profile.zipWithIndex.map { case (row, i) =>
+            graft.plan.SourcePartition(
+              name = String.valueOf(row.get(0)), position = i,
+              highValues =
+                Seq(graft.plan.Boundary.Value(String.valueOf(row.get(0)))),
+              bytes = row.getLong(1), rows = row.getLong(1))
+          }.toSeq
+          // free stats copy: the profile IS the partition stats record
+          graft.meta.StatsStore.save(cfg.metadataDir,
+            graft.meta.TableStatsRecord(cfg.sourceTable,
+              numRows = live.map(_.rows).sum,
+              numBytes = live.map(_.bytes).sum, avgRowLen = 0.0,
+              partitions = live.map(p => graft.meta.PartitionStatsRec(
+                p.name, p.name, p.rows, p.bytes))))
+          live
       }
-    // one tiny agg to discover chunk boundaries (metadata-scale, not data)
-    val profile = source
-      .groupBy(chunkKeyCol(hwmCol).as("chunk_key"))
-      .agg(count(lit(1)).as("rows"))
-      .orderBy(col("chunk_key"))
-      .collect()
-    val parts = profile.zipWithIndex.map { case (row, i) =>
-      graft.plan.SourcePartition(
-        name = String.valueOf(row.get(0)), position = i,
-        highValues = Seq(graft.plan.Boundary.Value(String.valueOf(row.get(0)))),
-        bytes = row.getLong(1), rows = row.getLong(1))
+    if (parts.isEmpty) return Seq.empty
+    val raw = spark.read.parquet(cfg.sourcePath)
+    val source = committedHwm match {
+      case Some(hwmVals) =>
+        val bounds = hwmVals.map(v =>
+          Boundary.Value(castHwmLiteral(raw, hwmCol, v)))
+        raw.filter(Boundary.greaterThan(Seq(hwmCol), bounds))
+      case None => raw
     }
     val chunks = graft.plan.PartitionPlanner.chunk(
-      parts.toSeq, maxBytes = maxRowsPerChunk, maxCount = Int.MaxValue)
+      parts, maxBytes = maxRowsPerChunk, maxCount = Int.MaxValue)
     chunks.map { chunk =>
       val keys = chunk.names
       val chunkCfg = cfg.copy(predicateDsl = None)

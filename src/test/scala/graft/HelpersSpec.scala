@@ -128,4 +128,62 @@ class CliSpec extends SparkSpec {
       Cli.main(Array("offload", "--source", "x.parquet")) // no --final/--meta
     }
   }
+
+  test("type-override flags drive an overridden offload") {
+    val base = Files.createTempDirectory("graft_cli_tov").toString
+    Cli.main(Array("offload",
+      "--source", sf("sf0.001") + "/orders.parquet",
+      "--table", "orders",
+      "--final", s"$base/final",
+      "--meta", s"$base/meta",
+      "--integer-4-columns", "o_orderkey",
+      "--decimal-columns", "o_totalprice",
+      "--decimal-columns-type", "12,2",
+      "--date-columns", "o_orderdate"))
+    val out = spark.read.parquet(s"$base/final")
+    val types = out.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(types("o_orderkey") == "INT")
+    assert(types("o_totalprice") == "DECIMAL(12,2)")
+    assert(types("o_orderdate") == "DATE")
+  }
+
+  test("repeatable decimal pairs and csv/html report outputs") {
+    import graft.types.{CanonicalType, TypeOverrides}
+    // two decimal groups with different types, reference-style repetition
+    val o = Cli.overridesFrom(Seq(
+      "decimal-columns-type" -> "18,2", "decimal-columns" -> "price,cost",
+      "decimal-columns-type" -> "6,4", "decimal-columns" -> "ratio"))
+    assert(o.decimals == Seq(
+      TypeOverrides.DecimalOverride(Seq("price", "cost"), 18, 2),
+      TypeOverrides.DecimalOverride(Seq("ratio"), 6, 4)))
+    // unpaired lists are rejected
+    intercept[IllegalArgumentException] {
+      Cli.overridesFrom(Seq("decimal-columns" -> "price"))
+    }
+    // status-report --csv/--html write the rendered files
+    val base = Files.createTempDirectory("graft_cli_csv").toString
+    Cli.main(Array("offload",
+      "--source", sf("sf0.001") + "/nation.parquet",
+      "--table", "nation",
+      "--final", s"$base/final", "--meta", s"$base/meta"))
+    Cli.main(Array("status-report", "--meta", s"$base/meta",
+      "--csv", s"$base/report.csv", "--html", s"$base/report.html"))
+    val csv = Files.readString(java.nio.file.Path.of(s"$base/report.csv"))
+    assert(csv.startsWith("source_table,") && csv.contains("nation"))
+    assert(Files.readString(java.nio.file.Path.of(s"$base/report.html"))
+      .contains("<td>nation</td>"))
+  }
+
+  test("collect-stats persists a plannable stats copy") {
+    val base = Files.createTempDirectory("graft_cli_stats").toString
+    Cli.main(Array("collect-stats",
+      "--source", sf("sf0.001") + "/lineitem.parquet",
+      "--table", "lineitem",
+      "--meta", s"$base/meta",
+      "--month-key", "l_shipdate"))
+    val rec = graft.meta.StatsStore.load(s"$base/meta", "lineitem").get
+    assert(rec.numRows > 0 && rec.partitions.nonEmpty)
+    assert(graft.meta.StatsStore
+      .chunkFromStats(rec, maxBytes = Long.MaxValue, maxCount = 10).nonEmpty)
+  }
 }

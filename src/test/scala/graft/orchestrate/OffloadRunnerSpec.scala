@@ -157,6 +157,36 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/final").count() == n)
   }
 
+  test("retry plans from copied stats without touching the source") {
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      incrementalKey = Seq("l_shipdate"))
+    val first = OffloadRunner.offloadChunked(spark, cfg,
+      c => date_format(col(c), "yyyy-MM"), hwmCol = "l_shipdate",
+      maxRowsPerChunk = 2000L)
+    assert(first.nonEmpty)
+    // the live profiling pass persisted its chunk-key profile as the copy
+    val rec = graft.meta.StatsStore.load(s"$base/meta", "lineitem").get
+    assert(rec.partitions.nonEmpty)
+    // poisoned source path: a fully-committed retry planning from the copy
+    // must return WITHOUT opening the source at all — stats-based planning
+    // is provably zero-scan
+    val poisoned = cfg.copy(sourcePath = s"$base/path_that_does_not_exist")
+    val retry = OffloadRunner.offloadChunked(spark, poisoned,
+      c => date_format(col(c), "yyyy-MM"), hwmCol = "l_shipdate",
+      maxRowsPerChunk = 2000L, planFromCopiedStats = true)
+    assert(retry.isEmpty)
+    // and the copy-planned chunk list matches the live plan shape when
+    // there IS outstanding work (no committed HWM)
+    val fromStats = graft.meta.StatsStore.partitionsBeyond(rec, Nil)
+    assert(fromStats.map(_.name) == rec.partitions.map(_.name))
+  }
+
   test("torn chunk (append committed, HWM write died) is reconciled, not re-appended") {
     val base = tmpBase()
     val cfg = OffloadRunner.OffloadConfig(
