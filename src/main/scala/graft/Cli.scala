@@ -141,6 +141,14 @@ object Cli {
           if (!opts.contains("csv") && !opts.contains("html"))
             StatusReport.report(spark, opts("meta")).show(100, truncate = false)
 
+        case "listen" =>
+          val srv = graft.orchestrate.Listener.start(spark, opts("meta"),
+            port = opts.get("port").map(_.toInt).getOrElse(0),
+            token = opts.get("token"))
+          println(s"listening on http://127.0.0.1:${srv.port}")
+          // foreground server: block until interrupted
+          Thread.currentThread().join()
+
         case "collect-stats" =>
           import org.apache.spark.sql.functions.{col, date_format}
           val df = spark.read.parquet(opts("source"))

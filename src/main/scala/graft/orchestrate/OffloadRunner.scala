@@ -302,11 +302,17 @@ object OffloadRunner {
                 Seq(graft.plan.Boundary.Value(String.valueOf(row.get(0)))),
               bytes = row.getLong(1), rows = row.getLong(1))
           }.toSeq
-          // free stats copy: the profile IS the partition stats record
+          // free stats copy: the profile IS the partition stats record;
+          // keep any column stats a prior collect-stats run gathered
+          val prior = graft.meta.StatsStore.load(cfg.metadataDir,
+            cfg.sourceTable)
           graft.meta.StatsStore.save(cfg.metadataDir,
             graft.meta.TableStatsRecord(cfg.sourceTable,
               numRows = live.map(_.rows).sum,
-              numBytes = live.map(_.bytes).sum, avgRowLen = 0.0,
+              numBytes = live.map(_.bytes).sum,
+              avgRowLen = prior.fold(0.0)(_.avgRowLen),
+              columns = prior.fold(
+                Seq.empty[graft.meta.ColumnStatsRec])(_.columns),
               partitions = live.map(p => graft.meta.PartitionStatsRec(
                 p.name, p.name, p.rows, p.bytes))))
           live

