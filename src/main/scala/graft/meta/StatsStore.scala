@@ -36,7 +36,12 @@ final case class PartitionStatsRec(
     name: String,
     highValue: String, // rendered boundary literal (sortable form)
     rows: Long,
-    bytes: Long)
+    bytes: Long,
+    // observed min/max of the HWM column inside this partition (rendered):
+    // lets chunk slices carry a PUSHABLE range conjunct on the physical
+    // column alongside the non-pushable derived-key filter
+    hwmLow: String = "",
+    hwmHigh: String = "")
 
 final case class TableStatsRecord(
     table: String,
@@ -66,7 +71,8 @@ object StatsStore {
     }.mkString("[", ", ", "]")
     val parts = r.partitions.map { p =>
       s"""{"name": ${q(p.name)}, "high_value": ${q(p.highValue)}, """ +
-      s""""rows": ${p.rows}, "bytes": ${p.bytes}}"""
+      s""""rows": ${p.rows}, "bytes": ${p.bytes}, """ +
+      s""""hwm_low": ${q(p.hwmLow)}, "hwm_high": ${q(p.hwmHigh)}}"""
     }.mkString("[", ", ", "]")
     s"""{"table": ${q(r.table)}, "num_rows": ${r.numRows}, """ +
     s""""num_bytes": ${r.numBytes}, "avg_row_len": ${r.avgRowLen}, """ +
@@ -117,7 +123,9 @@ object StatsStore {
         name = sField(o, "name").getOrElse(""),
         highValue = sField(o, "high_value").getOrElse(""),
         rows = nField(o, "rows").fold(0L)(_.toDouble.toLong),
-        bytes = nField(o, "bytes").fold(0L)(_.toDouble.toLong))
+        bytes = nField(o, "bytes").fold(0L)(_.toDouble.toLong),
+        hwmLow = sField(o, "hwm_low").getOrElse(""),
+        hwmHigh = sField(o, "hwm_high").getOrElse(""))
     }.toSeq
     TableStatsRecord(
       table = sField(js, "table").getOrElse(""),

@@ -271,12 +271,25 @@ object OffloadRunner {
     // before the source path is even opened) or a live profiling aggregate
     // (metadata-scale: one count per chunk key), which is then SAVED as the
     // stats copy so the next retry can plan from it.
-    val parts: Seq[graft.plan.SourcePartition] =
+    // (partition, observed hwm-column min/max — rendered) per chunk key.
+    // The min/max let each chunk slice carry a PUSHABLE range predicate on
+    // the physical HWM column next to the non-pushable derived-key filter:
+    // at 100 TB the derived key (e.g. date_format) prunes nothing at the
+    // scan, but `hwmCol BETWEEN lo AND hi` prunes parquet row groups via
+    // column statistics — each chunk reads its slice, not the table.
+    val (parts, hwmBounds): (Seq[graft.plan.SourcePartition],
+                             Map[String, (String, String)]) =
       (if (planFromCopiedStats)
          graft.meta.StatsStore.load(cfg.metadataDir, cfg.sourceTable)
            .filter(_.partitions.nonEmpty)
-           .map(r => graft.meta.StatsStore.partitionsBeyond(
-             r, committedHwm.getOrElse(Nil)))
+           .map { r =>
+             val beyond = graft.meta.StatsStore.partitionsBeyond(
+               r, committedHwm.getOrElse(Nil))
+             val bounds = r.partitions
+               .filter(p => p.hwmLow.nonEmpty && p.hwmHigh.nonEmpty)
+               .map(p => p.name -> (p.hwmLow, p.hwmHigh)).toMap
+             (beyond, bounds)
+           }
        else None) match {
         case Some(copied) => copied
         case None =>
@@ -292,7 +305,8 @@ object OffloadRunner {
           }
           val profile = src
             .groupBy(chunkKeyCol(hwmCol).as("chunk_key"))
-            .agg(count(lit(1)).as("rows"))
+            .agg(count(lit(1)).as("rows"),
+              min(col(hwmCol)).as("lo"), max(col(hwmCol)).as("hi"))
             .orderBy(col("chunk_key"))
             .collect()
           val live = profile.zipWithIndex.map { case (row, i) =>
@@ -302,6 +316,9 @@ object OffloadRunner {
                 Seq(graft.plan.Boundary.Value(String.valueOf(row.get(0)))),
               bytes = row.getLong(1), rows = row.getLong(1))
           }.toSeq
+          val bounds = profile.map(row =>
+            String.valueOf(row.get(0)) ->
+              (String.valueOf(row.get(2)), String.valueOf(row.get(3)))).toMap
           // free stats copy: the profile IS the partition stats record;
           // keep any column stats a prior collect-stats run gathered
           val prior = graft.meta.StatsStore.load(cfg.metadataDir,
@@ -313,9 +330,12 @@ object OffloadRunner {
               avgRowLen = prior.fold(0.0)(_.avgRowLen),
               columns = prior.fold(
                 Seq.empty[graft.meta.ColumnStatsRec])(_.columns),
-              partitions = live.map(p => graft.meta.PartitionStatsRec(
-                p.name, p.name, p.rows, p.bytes))))
-          live
+              partitions = live.map { p =>
+                val (lo, hi) = bounds(p.name)
+                graft.meta.PartitionStatsRec(p.name, p.name, p.rows, p.bytes,
+                  hwmLow = lo, hwmHigh = hi)
+              }))
+          (live, bounds)
       }
     if (parts.isEmpty) return Seq.empty
     val raw = spark.read.parquet(cfg.sourcePath)
@@ -335,7 +355,20 @@ object OffloadRunner {
       val metrics = new TaskMetricsListener
       spark.sparkContext.addSparkListener(metrics)
       try {
-        val slice = source.filter(chunkKeyCol(hwmCol).isInCollection(keys))
+        val keyed = source.filter(chunkKeyCol(hwmCol).isInCollection(keys))
+        // pushable range conjunct when every key has observed bounds
+        val bs = keys.flatMap(hwmBounds.get)
+        val slice =
+          if (bs.length == keys.length && bs.nonEmpty) {
+            val typed = bs.map { case (lo, hi) =>
+              (castHwmLiteral(raw, hwmCol, lo), castHwmLiteral(raw, hwmCol, hi))
+            }
+            val lo = typed.map(_._1).reduce((a, b) =>
+              if (graft.plan.PartitionPlanner.compareAny(a, b) <= 0) a else b)
+            val hi = typed.map(_._2).reduce((a, b) =>
+              if (graft.plan.PartitionPlanner.compareAny(a, b) >= 0) a else b)
+            keyed.filter(col(hwmCol) >= lit(lo) && col(hwmCol) <= lit(hi))
+          } else keyed
         r.step("chunk_plan", s"keys=${keys.mkString(",")}")(())
         runChunkSlice(spark, chunkCfg, r, slice, keys)
         r.results.toSeq

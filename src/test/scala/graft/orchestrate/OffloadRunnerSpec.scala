@@ -187,6 +187,37 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(fromStats.map(_.name) == rec.partitions.map(_.name))
   }
 
+  test("chunk slices carry a parquet-pushable hwm range next to the key filter") {
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      incrementalKey = Seq("l_shipdate"))
+    val runs = OffloadRunner.offloadChunked(spark, cfg,
+      c => date_format(col(c), "yyyy-MM"), hwmCol = "l_shipdate",
+      maxRowsPerChunk = 2000L)
+    assert(runs.nonEmpty && runs.forall(_.forall(_.ok)))
+    // the stats copy records observed hwm bounds per chunk key
+    val rec = graft.meta.StatsStore.load(s"$base/meta", "lineitem").get
+    assert(rec.partitions.nonEmpty)
+    assert(rec.partitions.forall(p => p.hwmLow.nonEmpty && p.hwmHigh.nonEmpty))
+    // and the conjunct shape the runner adds reaches the parquet scan as a
+    // pushed filter (the derived date_format key alone pushes NOTHING)
+    val raw = spark.read.parquet(cfg.sourcePath)
+    val lo = java.time.LocalDateTime.parse("1995-03-01T00:00")
+    val hi = java.time.LocalDateTime.parse("1995-03-31T00:00")
+    val sliced = raw.filter(
+      date_format(col("l_shipdate"), "yyyy-MM").isInCollection(Seq("1995-03"))
+        && col("l_shipdate") >= lit(lo) && col("l_shipdate") <= lit(hi))
+    sliced.collect()
+    val scan = sliced.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(l_shipdate"), scan)
+  }
+
   test("torn chunk (append committed, HWM write died) is reconciled, not re-appended") {
     val base = tmpBase()
     val cfg = OffloadRunner.OffloadConfig(
