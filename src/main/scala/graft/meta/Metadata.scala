@@ -30,7 +30,13 @@ final case class OffloadMetadata(
     // marker reconciles against the final table instead of re-appending —
     // closes the append-committed-but-HWM-write-died duplication window.
     pendingChunkKeys: Seq[String] = Nil,
-    pendingChunkHwm: Seq[String] = Nil)
+    pendingChunkHwm: Seq[String] = Nil,
+    // Session timezone the table was WRITTEN under. Synthetic date keys on
+    // instant-typed columns are rendered in the writer's session TZ, so a
+    // reader under a different TZ would mis-derive injected partition-key
+    // literals (see SyntheticPartitionPruning's timezone contract) — the
+    // guard in graft.plans.TimeZoneGuard enforces the match.
+    writerTimeZone: Option[String] = None)
 
 object MetadataStore {
 
@@ -59,7 +65,9 @@ object MetadataStore {
       "sort_columns" -> arr(m.sortColumns),
       "snapshot_id" -> m.snapshotId.map(_.toString).getOrElse("null"),
       "pending_chunk_keys" -> arr(m.pendingChunkKeys),
-      "pending_chunk_hwm" -> arr(m.pendingChunkHwm))
+      "pending_chunk_hwm" -> arr(m.pendingChunkHwm),
+      "writer_time_zone" ->
+        m.writerTimeZone.map(v => "\"" + esc(v) + "\"").getOrElse("null"))
     fields.map { case (k, v) => "\"" + k + "\": " + v }
       .mkString("{", ", ", "}")
   }
@@ -114,7 +122,8 @@ object MetadataStore {
       sortColumns = arrField(js, "sort_columns"),
       snapshotId = longField(js, "snapshot_id"),
       pendingChunkKeys = arrField(js, "pending_chunk_keys"),
-      pendingChunkHwm = arrField(js, "pending_chunk_hwm"))
+      pendingChunkHwm = arrField(js, "pending_chunk_hwm"),
+      writerTimeZone = strField(js, "writer_time_zone"))
 
   private def fileFor(dir: String, table: String) =
     Paths.get(dir, table.replaceAll("[^A-Za-z0-9_.]", "_") + ".json")

@@ -189,7 +189,8 @@ object OffloadRunner {
           incrementalHighValue = newHwm,
           incrementalPredicateType =
             cfg.predicateDsl.map(_ => "PREDICATE"),
-          incrementalPredicateValue = cfg.predicateDsl.toSeq))
+          incrementalPredicateValue = cfg.predicateDsl.toSeq,
+          writerTimeZone = Some(graft.plans.TimeZoneGuard.sessionTz(spark))))
       }
     }
 
@@ -397,7 +398,8 @@ object OffloadRunner {
         sourceTable = cfg.sourceTable, backendTable = cfg.finalPath,
         offloadType = "INCREMENTAL", incrementalKey = cfg.incrementalKey,
         incrementalHighValue = previous,
-        pendingChunkKeys = chunkKeys, pendingChunkHwm = newHwm))
+        pendingChunkKeys = chunkKeys, pendingChunkHwm = newHwm,
+        writerTimeZone = Some(graft.plans.TimeZoneGuard.sessionTz(spark))))
     }
     r.step("stage_and_load", s"mode=$mode") {
       StagedLoad.stageAndLoad(slice, cfg.stagingPath, cfg.finalPath, schema,
@@ -411,7 +413,8 @@ object OffloadRunner {
       MetadataStore.save(cfg.metadataDir, OffloadMetadata(
         sourceTable = cfg.sourceTable, backendTable = cfg.finalPath,
         offloadType = "INCREMENTAL", incrementalKey = cfg.incrementalKey,
-        incrementalHighValue = newHwm))
+        incrementalHighValue = newHwm,
+        writerTimeZone = Some(graft.plans.TimeZoneGuard.sessionTz(spark))))
     }
   }
 

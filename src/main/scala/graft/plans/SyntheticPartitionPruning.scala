@@ -43,9 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.sql.session.timeZone` than it was written with would inject an
   * equality conjunct that excludes rows whose wall-clock date differs
   * between the two zones — wrong results, not merely a missed prune.
-  * Deployments that cannot pin one session TZ should persist the writer TZ
-  * alongside the table (e.g. in [[graft.meta.OffloadMetadata]]) and set the
-  * session to it before reading. `TimestampNTZType` and `DateType` keys are
+  * The offload path persists the writer TZ in
+  * [[graft.meta.OffloadMetadata.writerTimeZone]]; [[TimeZoneGuard.check]]
+  * enforces the match at read time and [[TimeZoneGuard.pinned]] runs a read
+  * under the writer's zone. `TimestampNTZType` and `DateType` keys are
   * wall-clock and immune.
   */
 object SyntheticPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
