@@ -97,6 +97,47 @@ object TextAnalysis {
   def exactKey(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer et al., MOSS): hash every k-char
+    * gram of the normalised text, slide a w-gram window, keep each window's
+    * MINIMUM hash — the selected set is a position-robust document sketch
+    * with guaranteed detection of matches ≥ w+k-1 chars. Rolling-hash
+    * selection re-expressed relationally: explode gram positions, one
+    * codegen'd window-min per doc, distinct the survivors. Scale shape: the
+    * only shuffle is the per-doc window partition; rows are O(chars) and
+    * the window is bounded — linear end to end. Docs shorter than one full
+    * window (< k+w-1 chars) have no fingerprint, by construction.
+    * Returns (doc_id, n_fp, fp_min) per qualifying doc. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    winnowFingerprintSet(docs, k, w, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"))
+
+  /** The selected fingerprint SET itself — one (id, fp) row per distinct
+    * survivor; the sketch two documents are compared on. */
+  def winnowFingerprintSet(docs: DataFrame, k: Int = 8, w: Int = 8,
+                           idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(k >= 1 && w >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val grams = docs
+      .select(col(idCol), norm.as("norm"))
+      .filter(length(col("norm")) >= k + w - 1)
+      .select(col(idCol), col("norm"),
+        (length(col("norm")) - k + 1).as("ng"),
+        explode(sequence(lit(1), length(col("norm")) - k + 1)).as("i"))
+      .select(col(idCol), col("ng"), col("i"),
+        md5(col("norm").substr(col("i"), lit(k))).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("i") <= col("ng") - w + 1) // complete windows only
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** Convenience: documents frame annotated with all text metrics. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -31,6 +31,9 @@ object PipelineQueries {
   val IvfSeedIds: Seq[Long] = Seq(1L, 2L, 3L, 4L)
   val IvfNprobe = 2
   val IvfK = 10
+  /** Winnowing gram size / window size. */
+  val WinnowK = 8
+  val WinnowW = 8
 
   // ---------------------------------------------------------------- queries
 
@@ -63,6 +66,15 @@ object PipelineQueries {
     "q53_simhash_pigeonhole" -> { (s, dir) =>
       Dedup.simhashPairs64(t(s, dir, "documents"), maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Winnowing (rolling-hash) fingerprints: k-gram hashes + window-min
+    // selection, the position-robust sketch complementing q32's
+    // sorted-token fingerprint.
+    "q54_winnow_fingerprint" -> { (s, dir) =>
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+          k = WinnowK, w = WinnowW)
+        .orderBy(col("doc_id"))
     },
 
     "q30_text_quality" -> { (s, dir) =>
@@ -322,6 +334,23 @@ object PipelineQueries {
          WHERE a.doc_id < b.doc_id
            AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q54_winnow_fingerprint" ->
+      s"""WITH nd AS (SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+           FROM documents),
+         ok AS (SELECT * FROM nd WHERE length(norm) >= $WinnowK + $WinnowW - 1),
+         pos AS (SELECT doc_id, norm, length(norm) - $WinnowK + 1 AS ng,
+           unnest(range(1, length(norm) - $WinnowK + 2)) AS i FROM ok),
+         grams AS (SELECT doc_id, ng, i,
+           md5(substr(norm, CAST(i AS INT), $WinnowK)) AS h FROM pos),
+         wins AS (SELECT doc_id, ng, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+           FROM grams)
+         SELECT doc_id, COUNT(DISTINCT fp) AS n_fp, MIN(fp) AS fp_min
+         FROM wins WHERE i <= ng - $WinnowW + 1
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q30_text_quality" ->
       s"""WITH $toksCte, $qualityComponentsSql

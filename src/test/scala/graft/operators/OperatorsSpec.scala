@@ -207,6 +207,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("winnowing fingerprints: guarantee and exclusions") {
+    import graft.operators.TextAnalysis
+    val k = 8; val w = 8
+    val common = "the quick brown fox jumps over the lazy dog near the river"
+    val df = Seq(
+      1L -> common,
+      2L -> common,                           // identical
+      3L -> (common + " and beyond the old mill"), // shares a long run
+      4L -> "completely different words entirely unrelated to anything else",
+      5L -> "short")                          // < k+w-1 chars: excluded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(df, k, w).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(!out.contains(5L)) // below one full window: no sketch
+    assert(out(1L) == out(2L)) // identical docs -> identical sketch
+    // winnowing guarantee: docs sharing a substring of length >= w+k-1
+    // share at least one fingerprint; unrelated docs share none here
+    val sets = TextAnalysis.winnowFingerprintSet(df, k, w).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(sets(1L) == sets(2L))
+    assert((sets(1L) intersect sets(3L)).nonEmpty)
+    assert((sets(1L) intersect sets(4L)).isEmpty)
+    assert(out(1L)._1 == sets(1L).size.toLong)
+  }
+
   test("fingerprint is invariant to word order and repetition") {
     val df = Seq(
       (1L, "b a c a b"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
