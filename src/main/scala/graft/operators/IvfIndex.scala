@@ -81,6 +81,58 @@ object IvfIndex {
              vecCol: String = "embedding"): DataFrame =
     embeddings.withColumn("ivf_cell", cellColumn(model, col(vecCol), dim))
 
+  /** Batch probe: top-k per query for a whole DataFrame of query vectors,
+    * in ONE relational pass — the serving shape at scale, where probing one
+    * query at a time from the driver would serialize a million tiny jobs.
+    *
+    * Plan shape: (1) queries × centroids broadcast join (nlist is
+    * broadcast-sized) + per-query window rank → the `nprobe` probe cells
+    * per query; (2) corpus ⋈ probe-cells equi-join on `ivf_cell` — only the
+    * probed cells' rows survive the scan (cell = partition key at rest);
+    * (3) kernel-scored cosine + per-query window top-k. No driver loop, no
+    * per-query job: wall-clock is one shuffle round independent of query
+    * count. Scoring is operation-for-operation the single-query [[probe]]
+    * formula, so results are bitwise comparable with the oracle. */
+  def probeBatch(indexed: DataFrame, model: Model, queries: DataFrame,
+                 k: Int, nprobe: Int, dim: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 queryIdCol: String = "q_id", queryVecCol: String = "q_vec")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val ctr = model.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "cvec")
+    // (1) probe cells per query: rank centroids by dot/||c|| per query
+    val cellScore = graft.functions.VectorFunctions.dotNative(
+      col(queryVecCol), col("cvec")) / Similarity.norm(col("cvec"), dim)
+    val cellRank = Window.partitionBy(col(queryIdCol))
+      .orderBy(cellScore.desc, col("cell"))
+    val probeCells = queries
+      .select(col(queryIdCol), col(queryVecCol))
+      .crossJoin(broadcast(ctr)) // nlist rows, broadcast-sized by design
+      .withColumn("cell_rk", row_number().over(cellRank))
+      .filter(col("cell_rk") <= nprobe)
+      .select(col(queryIdCol), col(queryVecCol).as("__qv"),
+        col("cell").as("ivf_cell"))
+    // (2) candidates: equi-join on the probed cells only
+    val cand = indexed.join(broadcast(probeCells), Seq("ivf_cell"))
+      .filter(col(idCol) =!= col(queryIdCol))
+    // (3) score + per-query top-k
+    val qNorm = Similarity.norm(col("__qv"), dim)
+    val score = graft.functions.VectorFunctions.dotNative(
+      col(vecCol), col("__qv")) / (Similarity.norm(col(vecCol), dim) * qNorm)
+    val topk = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol))
+    cand
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(topk))
+      .filter(col("rk") <= k)
+      .select(col(queryIdCol), col(idCol), col("ivf_cell"), col("score"))
+      .orderBy(col(queryIdCol), col("score").desc, col(idCol))
+  }
+
   /** Probe: top-k by cosine among the nprobe nearest cells only. */
   def probe(indexed: DataFrame, model: Model, query: Array[Double], k: Int,
             nprobe: Int, dim: Int, idCol: String = "vec_id",

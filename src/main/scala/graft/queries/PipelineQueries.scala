@@ -34,6 +34,8 @@ object PipelineQueries {
   /** Winnowing gram size / window size. */
   val WinnowK = 8
   val WinnowW = 8
+  /** Batch-probe query ids (disjoint from the seeds and the q49 query). */
+  val BatchQueryIds: Seq[Long] = Seq(5L, 6L, 7L)
 
   // ---------------------------------------------------------------- queries
 
@@ -145,6 +147,27 @@ object PipelineQueries {
         .map(_.toDouble).toArray
       val indexed = IvfIndex.assign(emb, model, Dim)
       IvfIndex.probe(indexed.filter(col("vec_id") =!= 0), model, query,
+        k = IvfK, nprobe = IvfNprobe, dim = Dim)
+    },
+
+    // Batch ANN: every query probed in ONE relational pass (queries ×
+    // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
+    // top-k per query) — no per-query driver loop.
+    "q55_ivf_batch_probe" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id").isInCollection(IvfSeedIds))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val centroids = seeds.map { c =>
+        val nrm = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / nrm)
+      }
+      val model = IvfIndex.Model(centroids)
+      val indexed = IvfIndex.assign(emb, model, Dim)
+      val queries = emb.filter(col("vec_id").isInCollection(BatchQueryIds))
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("q_vec"))
+      IvfIndex.probeBatch(indexed, model, queries,
         k = IvfK, nprobe = IvfNprobe, dim = Dim)
     },
 
@@ -458,6 +481,51 @@ object PipelineQueries {
          JOIN qcell USING (cell), q
          WHERE e.vec_id <> 0
          ORDER BY score DESC, e.vec_id LIMIT $IvfK"""
+    },
+
+    // Batch IVF probe: q49's fixed-centroid scheme, every query ranked and
+    // scored in one SQL pass — same operation order, bitwise-stable.
+    "q55_ivf_batch_probe" -> {
+      val ctrNormSq = Similarity.Sql.normSq("embedding", Dim)
+      val cvecNormSq = Similarity.Sql.normSq("c.cvec", Dim)
+      s"""WITH ctr AS (
+           SELECT CAST(vec_id - 1 AS INT) AS cell,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt($ctrNormSq)) AS cvec
+           FROM embeddings
+           WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+         assigned AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY (${Similarity.Sql.dot("e.embedding", "c.cvec", Dim)})
+                 / sqrt($cvecNormSq) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN ctr c),
+         cells AS (SELECT vec_id, cell FROM assigned WHERE rk = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+                 sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS q_nrm
+               FROM embeddings
+               WHERE vec_id IN (${BatchQueryIds.mkString(", ")})),
+         qcells AS (SELECT q_id, cell FROM (
+           SELECT q.q_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY (${Similarity.Sql.dot("q.q_vec", "c.cvec", Dim)})
+                 / sqrt($cvecNormSq) DESC, c.cell) AS crk
+           FROM q CROSS JOIN ctr c) x WHERE crk <= $IvfNprobe),
+         cand AS (
+           SELECT qq.q_id, e.vec_id, cl.cell AS ivf_cell,
+             (${Similarity.Sql.dot("e.embedding", "qq.q_vec", Dim)})
+               / (sqrt(${Similarity.Sql.normSq("e.embedding", Dim)})
+                  * qq.q_nrm) AS score
+           FROM embeddings e
+           JOIN cells cl USING (vec_id)
+           JOIN qcells qc ON qc.cell = cl.cell
+           JOIN q qq ON qq.q_id = qc.q_id
+           WHERE e.vec_id <> qq.q_id),
+         ranked AS (SELECT q_id, vec_id, ivf_cell, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY score DESC, vec_id) AS rk FROM cand)
+         SELECT q_id, vec_id, ivf_cell, score FROM ranked WHERE rk <= $IvfK
+         ORDER BY q_id, score DESC, vec_id"""
     },
 
     "q35_embed_neardup" ->

@@ -161,6 +161,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(wide == brute) // nprobe = nlist degenerates to exact search
   }
 
+  test("batch probe equals per-query single probes") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, dim = 64)
+    val indexed = IvfIndex.assign(emb, model, dim = 64).cache()
+    val qids = Seq(5L, 6L, 7L)
+    val queries = emb.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("q_vec"))
+    val batch = IvfIndex.probeBatch(indexed, model, queries,
+      k = 5, nprobe = 3, dim = 64).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(3))).toSeq).toMap
+    qids.foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .head().getSeq[Float](1).map(_.toDouble).toArray
+      val single = IvfIndex.probe(
+          indexed.filter(col("vec_id") =!= qid), model, qv,
+          k = 5, nprobe = 3, dim = 64).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(qid) == single, s"query $qid")
+    }
+  }
+
   test("cell assignment codegen COMPILES at nlist=256, dim=768") {
     // the chain formulation was nlist × dim expression nodes — a janino
     // 64KB blowout at this size; the NearestCentroid kernel must hold.
