@@ -262,6 +262,116 @@ case class MinHashSigs(
   override def prettyName: String = "minhash_sigs"
 }
 
+/** Native winnowing kernel: the whole fingerprint selection for one
+  * document in a single flat pass — normalise, md5 every k-gram, sliding
+  * window-min via a monotonic deque (O(n)), distinct the survivors.
+  *
+  * Semantically identical to the relational formulation
+  * ([[graft.operators.TextAnalysis.winnowFingerprintSetRelational]]:
+  * explode positions + window-min + distinct, which the DuckDB oracle
+  * mirrors) but with ZERO shuffle: the winnowing window never crosses a
+  * document, so exploding 1 row per character through a partition-wide
+  * window sort is pure overhead — at 100 TB that is the difference between
+  * a map-only pass and sorting 10¹² gram rows. Substrings are taken by
+  * CODEPOINT (matching Spark's `substr` semantics on multibyte text).
+  * Returns the distinct fingerprint set; empty array for docs shorter than
+  * one full window.
+  */
+case class WinnowFingerprints(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints expects STRING, got ${child.dataType.sql}")
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xFF
+      out(2 * i) = hexChars(b >> 4)
+      out(2 * i + 1) = hexChars(b & 0x0F)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    // replicate the relational normalisation EXACTLY:
+    // regexp_replace(trim(lower(text)), "\s+", " ") — Spark's trim strips
+    // ONLY the space character (not \t/\n like Java's String.trim), and
+    // lower is locale-independent
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
+    var b = 0; var e = lowered.length
+    while (b < e && lowered.charAt(b) == ' ') b += 1
+    while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
+    val norm = ws.matcher(lowered.substring(b, e)).replaceAll(" ")
+    // codepoint start offsets (UTF-16 indices) — substr-by-codepoint
+    val ncp = norm.codePointCount(0, norm.length)
+    if (ncp < k + w - 1) return new GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](ncp + 1)
+    var ci = 0; var off = 0
+    while (ci < ncp) {
+      starts(ci) = off
+      off += Character.charCount(norm.codePointAt(off))
+      ci += 1
+    }
+    starts(ncp) = norm.length
+    val ngrams = ncp - k + 1
+    val digest = md5.get()
+    val hashes = new Array[String](ngrams)
+    var i = 0
+    while (i < ngrams) {
+      digest.reset()
+      hashes(i) = hex(digest.digest(norm.substring(starts(i), starts(i + k))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    // monotonic deque sliding min over windows of w hashes
+    val out = new java.util.LinkedHashSet[String]()
+    val deque = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < ngrams) {
+      while (!deque.isEmpty && hashes(deque.peekLast()).compareTo(hashes(i)) >= 0)
+        deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) out.add(hashes(deque.peekFirst()))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : WinnowFingerprints = copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object TextFunctions {
   /** Distinct word n-gram shingles, native kernel. */
   def wordShingles(text: Column, n: Int): Column =
@@ -271,6 +381,10 @@ object TextFunctions {
   def minhashSigs(shingleArray: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSigs(ColumnBridge.expression(shingleArray),
       numHashes))
+
+  /** Winnowing fingerprint set, native kernel. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
 
   /** SimHash signatures, native kernel. */
   def simhash32(text: Column): Column =

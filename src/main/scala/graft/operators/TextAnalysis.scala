@@ -110,15 +110,31 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 8,
                          idCol: String = "doc_id", textCol: String = "text")
       : DataFrame =
-    winnowFingerprintSet(docs, k, w, idCol, textCol)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"))
+    docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.winnowFingerprints(
+          col(textCol), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col(idCol), size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"))
 
   /** The selected fingerprint SET itself — one (id, fp) row per distinct
-    * survivor; the sketch two documents are compared on. */
+    * survivor; the sketch two documents are compared on. Kernel-evaluated:
+    * map-only, no shuffle. */
   def winnowFingerprintSet(docs: DataFrame, k: Int = 8, w: Int = 8,
                            idCol: String = "doc_id", textCol: String = "text")
-      : DataFrame = {
+      : DataFrame =
+    docs
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.winnowFingerprints(
+          col(textCol), k, w)).as("fp"))
+
+  /** Relational formulation (explode + window-min + distinct) — kept to
+    * spec-check the kernel's equality; this is also the formulation the
+    * DuckDB oracle mirrors. */
+  def winnowFingerprintSetRelational(
+      docs: DataFrame, k: Int = 8, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && w >= 1)
     import org.apache.spark.sql.expressions.Window
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")

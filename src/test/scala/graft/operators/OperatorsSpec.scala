@@ -233,6 +233,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._1 == sets(1L).size.toLong)
   }
 
+  test("winnowing kernel matches the relational formulation on the corpus") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val kern = TextAnalysis.winnowFingerprintSet(docs, 8, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val rel = TextAnalysis.winnowFingerprintSetRelational(docs, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kern == rel)
+    assert(kern.nonEmpty)
+  }
+
   test("fingerprint is invariant to word order and repetition") {
     val df = Seq(
       (1L, "b a c a b"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
