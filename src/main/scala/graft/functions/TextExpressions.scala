@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * kind of kernel worth owning when shingling 10¹¹ documents.
   */
 case class WordShingles(child: org.apache.spark.sql.catalyst.expressions.Expression,
-                        n: Int)
+                        n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle width must be >= 1")
@@ -43,7 +43,11 @@ case class WordShingles(child: org.apache.spark.sql.catalyst.expressions.Express
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.trim
     val toks = ws.split(text)
-    val out = new java.util.LinkedHashSet[String]()
+    // LinkedHashSet dedupes in first-seen order; the non-distinct mode
+    // (repetition metrics) keeps every occurrence
+    val out: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String]()
+      else new java.util.ArrayList[String]()
     if (toks.length <= n) {
       out.add(String.join(" ", toks: _*))
     } else {
@@ -376,6 +380,11 @@ object TextFunctions {
   /** Distinct word n-gram shingles, native kernel. */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** ALL n-gram occurrences (repetition metrics need the duplicates). */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n,
+      distinct = false))
 
   /** All k MinHash signature slots in one pass, native kernel. */
   def minhashSigs(shingleArray: Column, numHashes: Int): Column =

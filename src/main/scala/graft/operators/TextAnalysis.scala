@@ -154,6 +154,48 @@ object TextAnalysis {
       .select(col(idCol), col("fp")).distinct()
   }
 
+  /** Repetition metrics (the Gopher/C4 quality-filter family): word-bigram
+    * duplication fractions per document. `dup_frac` = share of bigram
+    * occurrences that are repeats (1 − distinct/total); `top_frac` = share
+    * taken by the single most frequent bigram. High values flag boilerplate
+    * and degenerate machine text. Relational shape: explode bigrams, two
+    * hash aggregations — one shuffle on (doc, gram), one on doc. */
+  def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(graft.functions.TextFunctions.wordShinglesAll(
+        col(textCol), 2)).as("gram"))
+    grams
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_2grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_2gram_count"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_distinct").cast("double") /
+          col("n_2grams").cast("double"))
+      .withColumn("top_frac",
+        col("max_2gram_count").cast("double") / col("n_2grams").cast("double"))
+  }
+
+  /** PII/url scrub metrics: match counts for URLs and e-mail addresses plus
+    * the hash of the masked text (the cleaned corpus key). Pure codegen'd
+    * regexp expressions — zero shuffle. */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def piiMetrics(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_count(t, lit(UrlPattern)).as("n_urls"),
+      regexp_count(t, lit(EmailPattern)).as("n_emails"),
+      md5(regexp_replace(regexp_replace(t, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>")).as("masked_key"))
+  }
+
   /** Convenience: documents frame annotated with all text metrics. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -79,6 +79,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher/C4-style repetition filters: word-bigram duplication fractions.
+    "q56_repetition_metrics" -> { (s, dir) =>
+      TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII/url scrub: the corpus carries no PII, so both engines append the
+    // SAME deterministic contact tail per doc — the counts and the masked
+    // hash then verify the scrub end-to-end, not vacuously on zeros.
+    "q57_pii_scrub" -> { (s, dir) =>
+      val augmented = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or "),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("https://ex.org/d/"), col("doc_id").cast("string")))
+            .otherwise(lit("nothing"))))
+      TextAnalysis.piiMetrics(augmented).orderBy(col("doc_id"))
+    },
+
     "q30_text_quality" -> { (s, dir) =>
       TextAnalysis.annotate(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_subwords"),
@@ -357,6 +376,43 @@ object PipelineQueries {
          WHERE a.doc_id < b.doc_id
            AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q56_repetition_metrics" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM docs),
+         c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+           COUNT(*) AS n_distinct, MAX(c) AS max_2gram_count
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, n_2grams, n_distinct, max_2gram_count,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+             AS dup_frac,
+           CAST(max_2gram_count AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+             AS top_frac
+         FROM m ORDER BY doc_id""",
+
+    "q57_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or '
+             || CASE WHEN doc_id % 3 = 0
+                  THEN 'https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+                  ELSE 'nothing' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           md5(regexp_replace(regexp_replace(text,
+             'https?://[^ ]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g')) AS masked_key
+         FROM aug ORDER BY doc_id""",
 
     "q54_winnow_fingerprint" ->
       s"""WITH nd AS (SELECT doc_id,

@@ -233,6 +233,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._1 == sets(1L).size.toLong)
   }
 
+  test("repetition metrics flag degenerate bigram loops") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      1L -> "a b a b a b a b",   // "a b" x4, "b a" x3: heavy repetition
+      2L -> "one two three four five six") // all bigrams unique
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 7 bigrams, 2 distinct, max count 4
+    assert(m(1L).getAs[Long]("n_2grams") == 7)
+    assert(m(1L).getAs[Long]("n_distinct") == 2)
+    assert(m(1L).getAs[Long]("max_2gram_count") == 4)
+    assert(m(1L).getAs[Double]("dup_frac") > 0.7)
+    assert(m(2L).getAs[Double]("dup_frac") == 0.0)
+    assert(m(2L).getAs[Double]("top_frac") == 1.0 / 5.0)
+  }
+
+  test("pii metrics count urls/emails and mask deterministically") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      1L -> "see https://a.io/x and http://b.co contact bob@corp.com",
+      2L -> "plain text with no contact details at all")
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.piiMetrics(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Int]("n_urls") == 2)
+    assert(m(1L).getAs[Int]("n_emails") == 1)
+    assert(m(2L).getAs[Int]("n_urls") == 0 && m(2L).getAs[Int]("n_emails") == 0)
+    // masked key of doc 2 equals the hash of its unmodified text
+    val plainHash = df.filter(col("doc_id") === 2L)
+      .select(md5(col("text"))).head().getString(0)
+    assert(m(2L).getAs[String]("masked_key") == plainHash)
+    assert(m(1L).getAs[String]("masked_key") != plainHash)
+  }
+
   test("winnowing kernel matches the relational formulation on the corpus") {
     import graft.operators.TextAnalysis
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
