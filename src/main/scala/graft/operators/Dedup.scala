@@ -211,6 +211,38 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Benchmark contamination check (decontamination pass): for every
+    * (corpus doc, benchmark doc) pair sharing shingles, the fraction of the
+    * BENCHMARK doc's shingle set present in the corpus doc. Corpus docs
+    * covering ≥ `threshold` of an eval item are contamination — they leak
+    * the benchmark into training data.
+    *
+    * Scale shape: the benchmark is small by nature (eval suites are 10³-10⁵
+    * items vs 10⁹+ corpus docs), so its whole shingle index BROADCASTS —
+    * the corpus side streams map-only through the hash join, aggregates on
+    * (corpus_id, bench_id), and never shuffles the corpus by shingle. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    threshold: Double, n: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val c = shingleRelation(corpus, idCol, textCol, n)
+      .select(col("sid").as("corpus_id"), col("shingle"))
+    val b = shingleRelation(benchmark, idCol, textCol, n)
+      .select(col("sid").as("bench_id"), col("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bSizes = b.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("bench_size"))
+    c.join(broadcast(b), Seq("shingle"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(bSizes), Seq("bench_id"))
+      .withColumn("overlap_frac",
+        col("overlap").cast("double") / col("bench_size").cast("double"))
+      .filter(col("overlap_frac") >= threshold)
+      .select(col("corpus_id"), col("bench_id"), col("overlap"),
+        col("bench_size"), col("overlap_frac"))
+  }
+
   /** 64-bit SimHash: bits 0-31 vote on the nibbles of `md5(token)`, bits
     * 32-63 on the nibbles of `md5('2#' || token)` — the salted second hash
     * is an independent family, same cross-engine md5 determinism. Native

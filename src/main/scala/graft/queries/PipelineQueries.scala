@@ -79,6 +79,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Decontamination: corpus docs covering >= 50% of a benchmark item's
+    // shingles (benchmark = every 100th doc — a deterministic eval stand-in;
+    // its index broadcasts, the corpus never shuffles by shingle).
+    "q58_contamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.contamination(docs,
+          docs.filter(pmod(col("doc_id"), lit(100)) === 0), threshold = 0.5)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    },
+
     // Gopher/C4-style repetition filters: word-bigram duplication fractions.
     "q56_repetition_metrics" -> { (s, dir) =>
       TextAnalysis.repetitionMetrics(t(s, dir, "documents"))
@@ -376,6 +386,22 @@ object PipelineQueries {
          WHERE a.doc_id < b.doc_id
            AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q58_contamination" ->
+      s"""WITH $shingleCte,
+         bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+                   WHERE doc_id % 100 = 0),
+         bsize AS (SELECT bench_id, COUNT(*) AS bench_size FROM bench
+                   GROUP BY bench_id),
+         ov AS (SELECT c.doc_id AS corpus_id, b.bench_id, COUNT(*) AS overlap
+                FROM sh c JOIN bench b USING (shingle)
+                GROUP BY 1, 2)
+         SELECT corpus_id, bench_id, overlap, bench_size,
+           CAST(overlap AS DOUBLE) / CAST(bench_size AS DOUBLE)
+             AS overlap_frac
+         FROM ov JOIN bsize USING (bench_id)
+         WHERE CAST(overlap AS DOUBLE) / CAST(bench_size AS DOUBLE) >= 0.5
+         ORDER BY corpus_id, bench_id""",
 
     "q56_repetition_metrics" ->
       """WITH docs AS (SELECT doc_id,

@@ -233,6 +233,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._1 == sets(1L).size.toLong)
   }
 
+  test("contamination flags corpus docs covering a benchmark item") {
+    val bench = Seq(100L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> "prefix words the quick brown fox jumps over the lazy dog suffix",
+      2L -> "the quick brown fox appears only partially here",
+      3L -> "entirely unrelated content about other things entirely")
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    // doc 1 contains the whole benchmark text -> full coverage
+    assert(out.contains(1L) && out(1L)._2 == 1.0)
+    // doc 2 shares only a prefix (< 50% of the bench shingles), 3 nothing
+    assert(!out.contains(2L) && !out.contains(3L))
+  }
+
   test("repetition metrics flag degenerate bigram loops") {
     import graft.operators.TextAnalysis
     val df = Seq(
