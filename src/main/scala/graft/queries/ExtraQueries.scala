@@ -173,6 +173,43 @@ object ExtraQueries {
         ORDER BY o_orderpriority""")
     },
 
+    /** As-of (temporal) join: each purchase matched to the user's latest
+      * click at or before it — union + carry-forward window (one shuffle on
+      * user_id, linear; never the quadratic per-key fan-out join). */
+    "q59_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val out = graft.operators.Joins.asOfJoin(
+        left = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id"),
+        right = ev.filter(col("event_type") === "click"),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        rightCols = Seq("value"), rightTiebreak = "event_id")
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      out.select(col("user_id"), col("event_id"),
+          date_format(col("ts"), fmt).as("ts"),
+          date_format(col("matched_ts"), fmt).as("matched_ts"),
+          col("matched_event_id"), col("matched_value"))
+        .orderBy(col("event_id"))
+    },
+
+    /** Interval/range join: orders priced into variable-width bands via the
+      * bucketed equi-join (never a nested-loop theta join). */
+    "q60_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(
+        ("micro", 0.0, 50000.0), ("small", 50000.0, 150000.0),
+        ("mid", 150000.0, 300000.0), ("large", 300000.0, 450000.0),
+        ("huge", 450000.0, 600000.0)).toDF("band", "lo", "hi")
+      graft.operators.Joins.rangeJoin(
+          t(s, dir, "orders"), "o_totalprice", bands, "lo", "hi",
+          bucketWidth = 50000.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("band"))
+    },
+
     /** Subpartition-granular offload: a composite catalog (top-level LIST on
       * l_returnflag, RANGE subpartitions on ship month) is planned at
       * SUBPARTITION grain with the common-boundary guard, then exactly the
@@ -316,6 +353,38 @@ object ExtraQueries {
          ${dsumSql("l_extendedprice")} AS sum_price
          FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q59_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id, 1 AS is_left,
+             NULL::BIGINT AS r_event_id, NULL::TIMESTAMP AS r_ts,
+             NULL::DOUBLE AS r_value
+           FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, NULL::BIGINT AS event_id, 0 AS is_left,
+             event_id AS r_event_id, ts AS r_ts, value AS r_value
+           FROM events WHERE event_type = 'click'),
+         u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+         m AS (SELECT *,
+             last_value(r_event_id IGNORE NULLS) OVER w AS matched_event_id,
+             last_value(r_ts IGNORE NULLS) OVER w AS matched_ts,
+             last_value(r_value IGNORE NULLS) OVER w AS matched_value
+           FROM u WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts, is_left, r_event_id ASC NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           strftime(matched_ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+           matched_event_id, matched_value
+         FROM m WHERE is_left = 1 ORDER BY event_id""",
+
+    "q60_range_join" ->
+      s"""WITH bands(band, lo, hi) AS (VALUES
+           ('micro', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+           ('mid', 150000.0, 300000.0), ('large', 300000.0, 450000.0),
+           ('huge', 450000.0, 600000.0))
+         SELECT band, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+         FROM orders JOIN bands
+           ON lo <= o_totalprice AND o_totalprice < hi
+         GROUP BY band ORDER BY band""",
 
     "q51_subpart_offload" ->
       s"""SELECT strftime(l_shipdate, '%Y-%m') AS sub_m, COUNT(*) AS n,
