@@ -141,6 +141,70 @@ object Cli {
           if (!opts.contains("csv") && !opts.contains("html"))
             StatusReport.report(spark, opts("meta")).show(100, truncate = false)
 
+        case "connect" =>
+          // Environment checker (reference `src/goe/connect/*.py`): verify
+          // the session, storage and config are usable BEFORE a long
+          // offload discovers they are not. Each check prints pass/fail;
+          // exit 1 when any fails.
+          val sourceDir = opts.get("source-dir")
+          val metaDir = opts.get("meta")
+          var failures = 0
+          def check(name: String)(body: => String): Unit = {
+            val result =
+              try Right(body)
+              catch { case e: Exception =>
+                Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+            result match {
+              case Right(detail) => println(f"ok  $name%-28s $detail")
+              case Left(err) =>
+                println(f"ERR $name%-28s ${err.linesIterator.take(1).mkString}")
+                failures += 1
+            }
+          }
+          check("spark_session") {
+            s"version=${spark.version} master=${spark.sparkContext.master}"
+          }
+          check("shuffle_partitions") {
+            val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+            val cores = spark.sparkContext.defaultParallelism
+            require(n > 0, "shuffle partitions must be positive")
+            s"partitions=$n cores=$cores" +
+              (if (n < cores) " (WARN: fewer partitions than cores)" else "")
+          }
+          check("session_timezone") {
+            graft.plans.TimeZoneGuard.sessionTz(spark)
+          }
+          check("codegen") {
+            // a whole-stage codegen pipeline must actually compile
+            val df = spark.range(100).selectExpr("sum(id * 2) AS s")
+            require(df.head().getLong(0) == 9900L)
+            "whole-stage codegen executes"
+          }
+          sourceDir.foreach { dir =>
+            check("source_readable") {
+              val tables = new java.io.File(dir).listFiles()
+              require(tables != null && tables.nonEmpty, s"$dir is empty")
+              val n = spark.read.parquet(
+                tables.filter(_.getName.endsWith(".parquet"))
+                  .head.getAbsolutePath).count()
+              s"${tables.length} entries, probe read $n rows"
+            }
+          }
+          metaDir.foreach { dir =>
+            check("metadata_writable") {
+              val probe = graft.meta.OffloadMetadata(
+                "__connect_probe", "none", "FULL")
+              graft.meta.MetadataStore.save(dir, probe)
+              require(graft.meta.MetadataStore
+                .load(dir, "__connect_probe").contains(probe))
+              java.nio.file.Files.deleteIfExists(
+                java.nio.file.Paths.get(dir, "__connect_probe.json"))
+              s"$dir round-trips"
+            }
+          }
+          if (failures > 0) { println(s"$failures check(s) failed"); sys.exit(1) }
+          println("all checks passed")
+
         case "listen" =>
           val srv = graft.orchestrate.Listener.start(spark, opts("meta"),
             port = opts.get("port").map(_.toInt).getOrElse(0),

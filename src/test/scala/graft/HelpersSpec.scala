@@ -174,6 +174,15 @@ class CliSpec extends SparkSpec {
       .contains("<td>nation</td>"))
   }
 
+  test("connect env-checker passes on a healthy environment") {
+    val base = Files.createTempDirectory("graft_cli_connect").toString
+    Cli.main(Array("connect",
+      "--source-dir", sf("sf0.001"),
+      "--meta", s"$base/meta"))
+    // probe metadata cleaned up after itself
+    assert(graft.meta.MetadataStore.load(s"$base/meta", "__connect_probe").isEmpty)
+  }
+
   test("collect-stats persists a plannable stats copy") {
     val base = Files.createTempDirectory("graft_cli_stats").toString
     Cli.main(Array("collect-stats",
