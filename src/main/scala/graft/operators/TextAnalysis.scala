@@ -196,6 +196,37 @@ object TextAnalysis {
         EmailPattern, "<EMAIL>")).as("masked_key"))
   }
 
+  /** Corpus curation verdict: the standard training-data filter chain —
+    * quality floor, repetition ceiling, exact-duplicate removal (lowest id
+    * is canonical) — composed into one keep/drop decision with the FIRST
+    * failing rule as the drop reason (fixed rule order ⇒ deterministic
+    * reasons). Plan shape: quality is a pure projection; repetition is the
+    * two-aggregation bigram pass; canonical-copy detection is one window
+    * min over the exact key — three bounded shuffles total, each on a
+    * high-cardinality key. */
+  def curate(docs: DataFrame, minQuality: Double = 0.3,
+             maxDupFrac: Double = 0.5,
+             idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val annotated = docs
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("exact_key", exactKey(col(textCol)))
+      .withColumn("keep_id",
+        min(col(idCol)).over(Window.partitionBy(col("exact_key"))))
+    val rep = repetitionMetrics(docs, idCol, textCol)
+      .select(col(idCol), col("dup_frac"))
+    annotated.join(rep, Seq(idCol))
+      .withColumn("drop_reason",
+        when(col("quality") < minQuality, lit("low_quality"))
+          .when(col("dup_frac") > maxDupFrac, lit("repetitive"))
+          .when(col(idCol) =!= col("keep_id"), lit("duplicate"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull)
+      .select(col(idCol), col("quality"), col("dup_frac"),
+        col("keep_id"), col("keep"), col("drop_reason"))
+  }
+
   /** Convenience: documents frame annotated with all text metrics. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -79,6 +79,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus curation: the composed keep/drop verdict (quality floor +
+    // repetition ceiling + exact-dup canonicalisation, first-failure
+    // reason) — the end-to-end filter chain a training-data run applies.
+    "q61_corpus_curation" -> { (s, dir) =>
+      TextAnalysis.curate(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
     // Decontamination: corpus docs covering >= 50% of a benchmark item's
     // shingles (benchmark = every 100th doc — a deterministic eval stand-in;
     // its index broadcasts, the corpus never shuffles by shingle).
@@ -386,6 +394,37 @@ object PipelineQueries {
          WHERE a.doc_id < b.doc_id
            AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q61_corpus_curation" ->
+      s"""WITH $toksCte, $qualityComponentsSql,
+         q AS (SELECT doc_id,
+             greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                 - (stopword_ratio * 0.5) - (punct_ratio * 2.0)) AS quality
+           FROM comp),
+         ek AS (SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS exact_key
+           FROM documents),
+         keepers AS (SELECT doc_id, exact_key,
+             MIN(doc_id) OVER (PARTITION BY exact_key) AS keep_id FROM ek),
+         g AS (SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(toks) - 1, 1) + 1),
+             i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM docs),
+         c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         rep AS (SELECT doc_id,
+             1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS dup_frac
+           FROM c GROUP BY doc_id),
+         ver AS (SELECT q.doc_id, q.quality, rep.dup_frac, k.keep_id,
+             CASE WHEN q.quality < 0.3 THEN 'low_quality'
+                  WHEN rep.dup_frac > 0.5 THEN 'repetitive'
+                  WHEN q.doc_id <> k.keep_id THEN 'duplicate'
+                  ELSE NULL END AS drop_reason
+           FROM q JOIN rep USING (doc_id) JOIN keepers k USING (doc_id))
+         SELECT doc_id, quality, dup_frac, keep_id,
+           drop_reason IS NULL AS keep, drop_reason
+         FROM ver ORDER BY doc_id""",
 
     "q58_contamination" ->
       s"""WITH $shingleCte,

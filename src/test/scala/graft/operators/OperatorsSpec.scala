@@ -250,6 +250,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(2L) && !out.contains(3L))
   }
 
+  test("curation verdicts: first failing rule wins, canonical copy survives") {
+    import graft.operators.TextAnalysis
+    // quality's length component wants >= 500 chars: 80 distinct words,
+    // zero stopwords/punctuation -> quality 1.0, all bigrams unique
+    val good = (1 to 80).map(i => f"word$i%03d").mkString(" ")
+    val df = Seq(
+      1L -> good,                       // keeps
+      2L -> good,                       // exact dup of 1 -> "duplicate"
+      3L -> "a b a b a b a b a b a b",  // repetitive (and low quality)
+      4L -> "!!! ??? ... ,,, ;;; :::")  // punct-heavy -> low quality
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.curate(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(4), Option(r.getString(5)))).toMap
+    assert(v(1L) == ((true, None)))
+    assert(v(2L) == ((false, Some("duplicate"))))
+    // rule order: low_quality fires before repetitive for doc 3
+    assert(v(3L)._1 == false &&
+      Seq("low_quality", "repetitive").contains(v(3L)._2.get))
+    assert(v(4L) == ((false, Some("low_quality"))))
+  }
+
   test("repetition metrics flag degenerate bigram loops") {
     import graft.operators.TextAnalysis
     val df = Seq(
