@@ -37,7 +37,12 @@ object IncrementalUpdate {
       changes: DataFrame,
       keyCols: Seq[String],
       partitionCol: String,
-      deletes: Option[DataFrame] = None): UpsertStats = {
+      deletes: Option[DataFrame] = None,
+      // when set, the affected partitions' stats in the copied-stats store
+      // are refreshed from the merge profile ALREADY computed below — the
+      // incremental-stats path costs zero extra scans
+      statsDir: Option[String] = None,
+      statsTable: Option[String] = None): UpsertStats = {
     require(keyCols.nonEmpty)
     val deleteKeys = deletes.getOrElse(changes.limit(0).select(keyCols.map(col): _*))
 
@@ -116,6 +121,28 @@ object IncrementalUpdate {
       }
     }
     merged.unpersist()
+
+    // incremental stats: upsert the affected partitions' row counts from
+    // the profile (survivors per partition), drop emptied ones
+    statsDir.foreach { dir =>
+      val table = statsTable.getOrElse(
+        new org.apache.hadoop.fs.Path(targetPath).getName)
+      val perPart = profile.groupBy(_.getString(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(2)).sum }
+      graft.meta.StatsStore.load(dir, table).foreach { rec =>
+        val untouched = rec.partitions.filterNot(p =>
+          affected.contains(p.highValue))
+        val refreshed = affected.filter(perPart.contains).sorted.map { v =>
+          graft.meta.PartitionStatsRec(s"p_$v", v, perPart(v),
+            (perPart(v) * rec.avgRowLen).toLong)
+        }
+        val parts = (untouched ++ refreshed).sortBy(_.highValue)
+        graft.meta.StatsStore.save(dir, rec.copy(
+          numRows = parts.map(_.rows).sum,
+          numBytes = parts.map(_.bytes).sum,
+          partitions = parts))
+      }
+    }
 
     UpsertStats(
       affectedPartitions = affected,

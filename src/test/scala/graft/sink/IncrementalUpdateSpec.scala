@@ -121,6 +121,39 @@ class IncrementalUpdateSpec extends SparkSpec {
     assert(remaining.size == 1 && !remaining.exists(_.contains("2024-01-01")))
   }
 
+  test("upsert refreshes the copied stats for affected partitions only") {
+    import graft.meta.StatsStore
+    import graft.source.TableStats
+    val base = Files.createTempDirectory("graft_iu5").toString
+    val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")
+      .withColumn("part_m", date_format(col("o_orderdate"), "yyyy-MM"))
+    orders.write.partitionBy("part_m").parquet(s"$base/t")
+    StatsStore.save(s"$base/meta", TableStats.collectStats(
+      orders, "t", partitionKey = Some(col("part_m"))))
+    val before = StatsStore.load(s"$base/meta", "t").get
+
+    val months = orders.select("part_m").distinct()
+      .orderBy("part_m").collect().map(_.getString(0))
+    val hot = months.head
+    val hotRows = orders.filter(col("part_m") === hot).count()
+    val doomed = orders.filter(col("part_m") === hot)
+      .orderBy(col("o_orderkey").desc).limit(3).select("o_orderkey")
+    IncrementalUpdate.upsertPartitions(spark, s"$base/t",
+      orders.limit(0), Seq("o_orderkey"), "part_m", Some(doomed),
+      statsDir = Some(s"$base/meta"), statsTable = Some("t"))
+
+    val after = StatsStore.load(s"$base/meta", "t").get
+    val hotStat = after.partitions.find(_.highValue == hot).get
+    assert(hotStat.rows == hotRows - 3)
+    // untouched partitions keep their original stats
+    val cold = months.last
+    assert(after.partitions.find(_.highValue == cold) ==
+      before.partitions.find(_.highValue == cold))
+    assert(after.numRows == before.numRows - 3)
+    // column stats survive the refresh
+    assert(after.columns == before.columns)
+  }
+
   test("no-op change set touches nothing") {
     val base = Files.createTempDirectory("graft_iu2").toString
     val orders = graft.Tables.load(spark, sf("sf0.001"), "orders")
