@@ -137,4 +137,60 @@ object Events {
           updated
       }.toDF()
   }
+
+  final case class SessionSummary(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, n_errors: Long)
+
+  // public: the state encoder's generated code constructs it reflectively
+  final case class SessionState(
+      start: Long, end: Long, n: Long, errors: Long)
+
+  /** Gap-closed sessions via `flatMapGroupsWithState`: a session's summary
+    * is emitted ONLY when the gap expires — the zero-or-many output shape
+    * `mapGroupsWithState` cannot express (that one emits exactly one row
+    * per key per batch). EVENT-time timeout: the deadline is
+    * `session_end + gap` against the WATERMARK, so session closure is a
+    * deterministic function of the data (reproducible in tests and across
+    * retries — never wall-clock). State is evicted at emission, so state
+    * size tracks ACTIVE sessions, not all users ever seen — the property
+    * that matters when the key space is unbounded. */
+  def streamSessionSummaries(stream: DataFrame,
+                             gapMillis: Long = 30 * 60 * 1000L,
+                             watermarkDelay: String = "10 seconds")
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val rowEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(stream.schema)
+    implicit val outEnc = Encoders.product[SessionSummary]
+    implicit val stateEnc = Encoders.product[SessionState]
+    stream.withWatermark("ts", watermarkDelay).as[Row](rowEnc)
+      .groupByKey(r => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Row], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed session_end + gap: close, emit, evict
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+              s.n, s.errors))
+          } else {
+            val batch = rows.toSeq
+            val ts = batch.map(_.getAs[java.sql.Timestamp]("ts").getTime)
+            val errs = batch.count(_.getAs[String]("event_type") == "error")
+            val merged = state.getOption match {
+              case Some(s) => SessionState(math.min(s.start, ts.min),
+                math.max(s.end, ts.max), s.n + batch.length,
+                s.errors + errs)
+              case None => SessionState(ts.min, ts.max, batch.length, errs)
+            }
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.end + gapMillis)
+            Iterator.empty
+          }
+      }.toDF()
+  }
 }

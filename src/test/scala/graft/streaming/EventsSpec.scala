@@ -104,6 +104,36 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits session summaries on gap timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Events.streamSessionSummaries(mem.toDF(),
+        gapMillis = 30 * 60 * 1000L) // 30-minute event-time gap
+      .writeStream.format("memory").queryName("session_summaries")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:00:10"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 00:00:20"), 1, "error", 1.0))
+      q.processAllAvailable()
+      // session still open: nothing emitted yet (append-mode, zero rows)
+      assert(spark.table("session_summaries").count() == 0)
+      // an event far past the gap advances the WATERMARK beyond
+      // session_end + gap; the next batch sweeps the expired state —
+      // deterministic event-time closure, no wall-clock involved
+      mem.addData(Ev(3, ts("2024-01-01 09:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, ts("2024-01-01 09:00:01"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_summaries").collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getLong(4)))
+      assert(rows.toSeq == Seq(
+        (1L, "2024-01-01 00:00:10.0", "2024-01-01 00:00:20.0", 2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
