@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-preparation operators: deterministic splits and sequence
+  * packing — the last mile between a curated corpus and a training run.
+  */
+object DatasetOps {
+
+  /** Deterministic hash split (train/val/test): a doc's fate is a pure
+    * function of (salt, id) — stable across runs, machines and engines, so
+    * a re-run never leaks validation docs into training. The uniform draw
+    * is the first 8 md5 hex digits compared AS A STRING against hex
+    * thresholds (lowercase hex orders lexicographically = numerically —
+    * no integer parsing, so any SQL engine reproduces it). Fractions must
+    * sum to 1; labels assign in the given order. Zero shuffle. */
+  def hashSplit(docs: DataFrame,
+                fractions: Seq[(String, Double)] =
+                  Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                salt: String = "split",
+                idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must be positive and sum to 1")
+    val draw = substring(md5(concat(lit(salt + "|"),
+      col(idCol).cast("string"))), 1, 8)
+    // cumulative thresholds as 8-digit hex strings
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = cum.init.map(f => // last bucket takes the remainder
+      f"${math.floor(f * (1L << 32)).toLong}%08x")
+    val labeled = fractions.init.zip(thresholds)
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((label, _), th), rest) => when(draw < lit(th), label)
+          .otherwise(rest)
+      }
+    docs.withColumn("split", labeled)
+  }
+
+  /** Sequence packing: group consecutive documents into bins of at most
+    * `tokenBudget` tokens (greedy first-fit in id order WITHIN each
+    * `packKey` group). The bin id is a closed form over the running token
+    * total — `floor((cumsum - n_tokens) / budget)` — so packing is one
+    * window pass, no iterative loop. Scale shape: the window partitions by
+    * `packKey` (e.g. language), so packing parallelises across groups and
+    * no single sort sees the whole corpus; a doc longer than the budget
+    * occupies its own bin(s) boundary-aligned. */
+  def packSequences(docs: DataFrame, tokenBudget: Long,
+                    packKey: String, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(tokenBudget > 0)
+    val w = Window.partitionBy(col(packKey)).orderBy(col(idCol))
+    docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol))
+        .cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / tokenBudget)
+          .cast("long"))
+      .select(col(packKey), col(idCol), col("n_tokens"), col("cum_tokens"),
+        col("bin"))
+  }
+}

@@ -79,6 +79,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic train/val/test split: md5-hex threshold draw, a pure
+    // function of (salt, id) — stable across runs and engines.
+    "q62_hash_split" -> { (s, dir) =>
+      graft.operators.DatasetOps.hashSplit(t(s, dir, "documents"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))
+    },
+
+    // Sequence packing: token-budget bins per language via the closed-form
+    // window cumsum (no iterative packing loop).
+    "q63_sequence_packing" -> { (s, dir) =>
+      graft.operators.DatasetOps.packSequences(t(s, dir, "documents"),
+          tokenBudget = 500L, packKey = "lang")
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
     // Corpus curation: the composed keep/drop verdict (quality floor +
     // repetition ceiling + exact-dup canonicalisation, first-failure
     // reason) — the end-to-end filter chain a training-data run applies.
@@ -394,6 +413,34 @@ object PipelineQueries {
          WHERE a.doc_id < b.doc_id
            AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q62_hash_split" -> {
+      // same thresholds as DatasetOps.hashSplit's defaults
+      val th1 = f"${math.floor(0.9 * (1L << 32)).toLong}%08x"
+      val th2 = f"${math.floor(0.95 * (1L << 32)).toLong}%08x"
+      s"""WITH d AS (SELECT doc_id,
+           substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+           FROM documents),
+         s AS (SELECT doc_id,
+           CASE WHEN draw < '$th1' THEN 'train'
+                WHEN draw < '$th2' THEN 'val'
+                ELSE 'test' END AS split FROM d)
+         SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id
+         FROM s GROUP BY split ORDER BY split"""
+    },
+
+    "q63_sequence_packing" ->
+      """WITH t AS (SELECT lang, doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           FROM documents),
+         c AS (SELECT lang, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         b AS (SELECT lang, doc_id, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 500.0) AS BIGINT) AS bin FROM c)
+         SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+         FROM b GROUP BY 1, 2 ORDER BY lang, bin""",
 
     "q61_corpus_curation" ->
       s"""WITH $toksCte, $qualityComponentsSql,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DatasetOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is deterministic, exhaustive and roughly proportional") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val a = DatasetOps.hashSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = DatasetOps.hashSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // pure function of (salt, id)
+    val n = docs.count()
+    assert(a.values.sum == n) // every doc gets exactly one label
+    assert(a("train").toDouble / n > 0.8 && a("train").toDouble / n < 0.97)
+    // a different salt reshuffles membership but keeps determinism
+    val c = DatasetOps.hashSplit(docs, salt = "other")
+      .filter(col("split") === "train").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val aTrain = DatasetOps.hashSplit(docs)
+      .filter(col("split") === "train").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(c != aTrain)
+    intercept[IllegalArgumentException] {
+      DatasetOps.hashSplit(docs, fractions = Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("packSequences: contiguous bins, budget respected, oversized isolated") {
+    val docs = Seq(
+      (1L, "en", "a b c"),            // 3 tokens
+      (2L, "en", "d e f g"),          // 4 -> cum 7
+      (3L, "en", (1 to 12).map(i => s"w$i").mkString(" ")), // 12 -> cum 19
+      (4L, "en", "x y"),              // 2 -> cum 21
+      (5L, "fr", "un deux trois"))    // separate pack key
+      .toDF("doc_id", "lang", "text")
+    val out = DatasetOps.packSequences(docs, tokenBudget = 10L,
+        packKey = "lang")
+      .collect().map(r => r.getLong(1) -> (r.getString(0), r.getLong(4)))
+      .toMap
+    // bins: doc1 starts at 0 -> bin 0; doc2 starts at 3 -> bin 0;
+    // doc3 starts at 7 -> bin 0 (greedy first-fit: starts in the open bin);
+    // doc4 starts at 19 -> bin 1; fr doc packs independently from 0
+    assert(out(1L) == (("en", 0L)) && out(2L) == (("en", 0L)))
+    assert(out(3L) == (("en", 0L)))
+    assert(out(4L) == (("en", 1L)))
+    assert(out(5L) == (("fr", 0L)))
+    // bins are contiguous in id order per key
+    val bins = DatasetOps.packSequences(docs, 10L, "lang")
+      .filter(col("lang") === "en").orderBy("doc_id")
+      .collect().map(_.getLong(4))
+    assert(bins.sameElements(bins.sorted))
+  }
+}
