@@ -38,6 +38,25 @@ object DatasetOps {
     docs.withColumn("split", labeled)
   }
 
+  /** Balanced subsample: cap every group (language, domain, source) at
+    * `perGroupQuota` documents, selected by a DETERMINISTIC hash rank —
+    * the data-mixing primitive that stops one over-represented domain from
+    * dominating a training mix. Selection is a pure function of
+    * (salt, id): re-runs, engines and resumed jobs agree on the kept set.
+    * One window rank per group — parallel across groups, no global sort. */
+  def balancedSample(docs: DataFrame, groupCol: String, perGroupQuota: Long,
+                     salt: String = "balance",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(perGroupQuota > 0)
+    val draw = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(draw.asc, col(idCol).asc)
+    docs
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perGroupQuota)
+      .drop("sample_rank")
+  }
+
   /** Sequence packing: group consecutive documents into bins of at most
     * `tokenBudget` tokens (greedy first-fit in id order WITHIN each
     * `packKey` group). The bin id is a closed form over the running token

@@ -98,6 +98,16 @@ object PipelineQueries {
         .orderBy(col("lang"), col("bin"))
     },
 
+    // Domain balancing: deterministic per-language quota subsample.
+    "q64_balanced_sample" -> { (s, dir) =>
+      graft.operators.DatasetOps.balancedSample(t(s, dir, "documents"),
+          groupCol = "lang", perGroupQuota = 40L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
     // Corpus curation: the composed keep/drop verdict (quality floor +
     // repetition ceiling + exact-dup canonicalisation, first-failure
     // reason) — the end-to-end filter chain a training-data run applies.
@@ -413,6 +423,18 @@ object PipelineQueries {
          WHERE a.doc_id < b.doc_id
            AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q64_balanced_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+           md5('balance|' || CAST(doc_id AS VARCHAR)) AS draw
+           FROM documents),
+         r AS (SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id)
+             AS sample_rank FROM d)
+         SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+         FROM r WHERE sample_rank <= 40
+         GROUP BY lang ORDER BY lang""",
 
     "q62_hash_split" -> {
       // same thresholds as DatasetOps.hashSplit's defaults

@@ -30,6 +30,27 @@ class DatasetOpsSpec extends SparkSpec {
     }
   }
 
+  test("balancedSample caps each group deterministically") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val quota = 7L
+    val kept = DatasetOps.balancedSample(docs, "lang", quota)
+    val perLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(n == math.min(quota, totals(lang)), lang)
+    }
+    // deterministic: same ids on a re-run; different salt -> different set
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = DatasetOps.balancedSample(docs, "lang", quota)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    val other = DatasetOps.balancedSample(docs, "lang", quota, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != ids1)
+  }
+
   test("packSequences: contiguous bins, budget respected, oversized isolated") {
     val docs = Seq(
       (1L, "en", "a b c"),            // 3 tokens
