@@ -211,6 +211,51 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Connected components over a near-dup pair list: transitive closure of
+    * the pairwise matches into cluster ids (cluster id = smallest doc id in
+    * the component) — the step that turns pair output (minhash/simhash/
+    * jaccard) into actual dedup GROUPS.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * label among itself and its neighbours; rounds ≤ component diameter
+    * (near-dup clusters are shallow), each round is one equi-join + one
+    * aggregation — all shuffle-on-key, no driver-side graph. The
+    * convergence check is a metadata-scale count per round. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25)
+      : DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): each round's plan would otherwise
+    // embed the whole previous round's tree — lineage and plan-string size
+    // grow exponentially with iterations. Checkpointing materializes the
+    // round AND truncates the plan, keeping every round's query constant
+    // size — mandatory for any iterative DataFrame algorithm.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighbourLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(neighbourLabels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.withColumnRenamed("label", "new_label")
+        .join(labels, Seq("id"))
+        .filter(col("new_label") =!= col("label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Benchmark contamination check (decontamination pass): for every
     * (corpus doc, benchmark doc) pair sharing shingles, the fraction of the
     * BENCHMARK doc's shingle set present in the corpus doc. Corpus docs

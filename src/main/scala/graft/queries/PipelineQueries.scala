@@ -98,6 +98,16 @@ object PipelineQueries {
         .orderBy(col("lang"), col("bin"))
     },
 
+    // Transitive dedup clusters: LSH candidate pairs closed into connected
+    // components (cluster id = min doc id in the component).
+    "q65_dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(t(s, dir, "documents"), NumHashes),
+        NumHashes, Bands)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("doc_id"))
+    },
+
     // Domain balancing: deterministic per-language quota subsample.
     "q64_balanced_sample" -> { (s, dir) =>
       graft.operators.DatasetOps.balancedSample(t(s, dir, "documents"),
@@ -423,6 +433,20 @@ object PipelineQueries {
          WHERE a.doc_id < b.doc_id
            AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q65_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, MIN(label) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
 
     "q64_balanced_sample" ->
       """WITH d AS (SELECT lang, doc_id,

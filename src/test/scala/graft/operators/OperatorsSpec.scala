@@ -56,6 +56,24 @@ class DedupSpec extends SparkSpec {
     assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("connectedComponents closes pair lists transitively") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), separate pair 10-11, star 20-{21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+    // a long path still converges (diameter rounds)
+    val chain = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ccChain = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(ccChain.sameElements(Array(1L)))
+  }
+
   test("simhash of identical text is equal; hamming to unrelated is large") {
     val df = docsOf(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
       3L -> "zeta eta theta iota kappa lambda")
