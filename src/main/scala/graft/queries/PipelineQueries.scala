@@ -247,6 +247,20 @@ object PipelineQueries {
         k = IvfK, nprobe = IvfNprobe, dim = Dim)
     },
 
+    // Multimodal metadata path with a REAL oracle: the envelope metadata,
+    // payload byte counts and thumbnail math are deterministic — only the
+    // codec stub's pixel stats stay rows-only (q36).
+    "q66_multimodal_meta" -> { (s, dir) =>
+      val feats = Multimodal.extractFeatures(
+        Multimodal.fromDocuments(t(s, dir, "documents")))
+      feats.groupBy(col("kind")).agg(
+          count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("total_bytes"),
+          max(col("thumb_width")).as("max_thumb_w"),
+          max(col("thumb_height")).as("max_thumb_h"))
+        .orderBy(col("kind"))
+    },
+
     // Rows-only checks (no SQL-expressible oracle):
     "q36_multimodal" -> { (s, dir) =>
       Multimodal.pipeline(t(s, dir, "documents"))
@@ -433,6 +447,27 @@ object PipelineQueries {
          WHERE a.doc_id < b.doc_id
            AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q66_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(doc_id % 640 + 1 AS INT) AS w,
+           CAST((doc_id * 7) % 480 + 1 AS INT) AS h
+           FROM documents),
+         t AS (SELECT *,
+           CASE WHEN w >= h THEN 64
+                ELSE greatest(1, CAST(round(64.0 * w / h) AS INT)) END AS tw,
+           CASE WHEN w >= h
+                THEN greatest(1, CAST(round(64.0 * h / w) AS INT))
+                ELSE 64 END AS th
+           FROM m)
+         SELECT kind, COUNT(*) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           MAX(tw) AS max_thumb_w, MAX(th) AS max_thumb_h
+         FROM t GROUP BY kind ORDER BY kind""",
 
     "q65_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte, $minhashSigSql, $bandSql,
