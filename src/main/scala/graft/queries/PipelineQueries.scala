@@ -281,8 +281,11 @@ object PipelineQueries {
         metadataDir = s"$base/meta",
         predicateDsl = Some("(column(l_shipdate) < datetime(1998-01-01))"),
         incrementalKey = Seq("l_orderkey")))
+      // the step sequence and outcomes are the deterministic contract (the
+      // oracle pins them); details carry run-specific paths/timings
       import s.implicits._
-      steps.map(r => (r.name, r.ok, r.detail)).toDF("step", "ok", "detail")
+      steps.zipWithIndex.map { case (r, i) => (i, r.name, r.ok) }
+        .toDF("step_order", "step", "ok")
     })
 
   // ---------------------------------------------------------------- oracles
@@ -447,6 +450,16 @@ object PipelineQueries {
          WHERE a.doc_id < b.doc_id
            AND bit_count(xor(a.sig, b.sig)) <= 3
          ORDER BY id_a, id_b""",
+
+    "q37_offload_e2e" ->
+      """SELECT * FROM (VALUES
+           (0, 'analyze_plan', true),
+           (1, 'stage_and_load', true),
+           (2, 'verify_counts', true),
+           (3, 'save_metadata', true),
+           (4, 'task_metrics', true))
+         AS t(step_order, step, ok)
+         ORDER BY step_order""",
 
     "q66_multimodal_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
