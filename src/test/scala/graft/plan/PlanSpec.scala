@@ -50,6 +50,32 @@ class BoundarySpec extends SparkSpec {
     assert(le > lt) // the boundary rows themselves are included
   }
 
+  test("boundary clauses agree with tuple comparison on random data (seeded)") {
+    // property: for random multi-column rows and bounds, the OR-of-ANDs
+    // clauses classify rows exactly like lexicographic tuple comparison
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(8).toLong,
+      rnd.nextInt(8).toLong))
+    val df = rows.toDF("a", "b", "c").cache()
+    (1 to 12).foreach { _ =>
+      val bound = (rnd.nextInt(8).toLong, rnd.nextInt(8).toLong,
+        rnd.nextInt(8).toLong)
+      val bounds = Seq(Value(bound._1), Value(bound._2), Value(bound._3))
+      val cols = Seq("a", "b", "c")
+      import scala.math.Ordering.Implicits._
+      val expGt = rows.count(r =>
+        (r._1, r._2, r._3) > bound)
+      val expLe = rows.count(r =>
+        (r._1, r._2, r._3) <= bound)
+      val expLt = rows.count(r =>
+        (r._1, r._2, r._3) < bound)
+      assert(df.filter(greaterThan(cols, bounds)).count() == expGt)
+      assert(df.filter(lessOrEqual(cols, bounds)).count() == expLe)
+      assert(df.filter(lessThan(cols, bounds)).count() == expLt)
+    }
+  }
+
   test("SQL rendering mirrors the OR-of-ANDs shape") {
     val sql = Boundary.Sql.greaterThan(Seq("a", "b"),
       Seq(Value(1), Value(2)))
