@@ -11,7 +11,9 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q01_pricing_summary", "q02_predicate_dsl",
                          "q04_multi_join", "q27_dedup_jaccard",
-                         "q33_cosine_topk")
+                         "q33_cosine_topk", "q53_simhash_pigeonhole",
+                         "q55_ivf_batch_probe", "q59_asof_join",
+                         "q60_range_join", "q65_dedup_clusters")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
