@@ -302,7 +302,13 @@ object ExtraQueries {
           unicodeStrings = Seq("o_order*status"))) // wildcard expansion path
       val steps = graft.orchestrate.OffloadRunner.offload(s, cfg)
       require(steps.forall(_.ok), steps.mkString("\n"))
-      s.read.parquet(s"$base/final").orderBy(col("o_orderkey"))
+      // The load stores DECIMAL(12,2) (that IS the override feature); the
+      // comparison surface casts back to DOUBLE because the driver hashes
+      // stringified values and decimal readback renders trailing-zero cents
+      // ('205941.60') where the oracle's float64 fetch gives '205941.6'.
+      s.read.parquet(s"$base/final")
+        .withColumn("o_totalprice", col("o_totalprice").cast("double"))
+        .orderBy(col("o_orderkey"))
     },
 
     /** Schema evolution: v1 slice without the derived column, v2 slice with
@@ -406,7 +412,7 @@ object ExtraQueries {
       """SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
            CAST(o_custkey AS BIGINT) AS o_custkey,
            o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
            CAST(o_orderdate AS DATE) AS o_orderdate,
            o_orderpriority
          FROM orders ORDER BY o_orderkey""",
