@@ -354,18 +354,16 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist.
-    *
-    * Candidate generation is an EQUI-join on the low-byte block of the
-    * signature (never an all-pairs comparison): near-identical docs agree on
-    * most bits, so blocking on one byte catches pairs whose differing bits
-    * fall in the high byte; production recall adds a union over a few bit
-    * rotations — identical plan shape, still equi-joins. The 256-key block
-    * space is the known scale ceiling of this variant: per-key fan-out grows
-    * as (n/256)², so beyond ~10M docs use [[simhashPairs64]] (pigeonhole
-    * blocking, 65,536 keys per chunk, exact recall at maxDist ≤ 3). */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text")
+  /** SMALL-CORPUS SimHash near-dup pairs (32-bit signature, single-byte
+    * block). NOT the default — use [[simhashPairs64]] for anything that
+    * might grow: the 256-key block space here caps the blocking keys, so
+    * per-key fan-out grows as (n/256)² and the join goes quadratic beyond
+    * ~10M docs. This variant stays for corpora known to be small (≤1M docs)
+    * where the cheaper 32-bit signature wins; candidate generation is still
+    * an equi-join, never all-pairs. */
+  def simhashPairsSmallCorpus(docs: DataFrame, maxDist: Int = 3,
+                              idCol: String = "doc_id",
+                              textCol: String = "text")
       : DataFrame = {
     val sigs = docs.select(col(idCol).as("sid"),
                            simhash(col(textCol)).as("sig"))

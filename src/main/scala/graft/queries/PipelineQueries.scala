@@ -57,8 +57,13 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // The default-named simhash dedup drives the scale-safe pigeonhole
+    // plan (4×16-bit chunk equi-joins, 65,536 keys/chunk — per-chunk
+    // fan-out measured in graft.tools.DedupProfile); the legacy 256-key
+    // single-byte block survives only as Dedup.simhashPairsSmallCorpus.
+    // maxDist=2 here (q53 exercises the same path at the recall bound 3).
     "q29_dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxDist = 3)
+      Dedup.simhashPairs64(t(s, dir, "documents"), maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -321,20 +326,6 @@ object PipelineQueries {
     s"bands AS (${branches.mkString(" UNION ALL ")})"
   }
 
-  private def simhashSigSql: String = {
-    val votes = (0 until 32).map { j =>
-      s"SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), ${j + 1}, 1)) >= 9 " +
-        s"THEN 1 ELSE -1 END) AS v_$j"
-    }.mkString(", ")
-    val sig = (0 until 32).map { j =>
-      s"(CASE WHEN v_$j > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""toks2 AS (SELECT DISTINCT doc_id, tok FROM (
-          SELECT doc_id, unnest(toks) AS tok FROM docs) u),
-        votes AS (SELECT doc_id, $votes FROM toks2 GROUP BY doc_id),
-        sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM votes)"""
-  }
-
   /** 64-bit simhash: votes 0-31 from md5(tok), 32-63 from md5('2#'||tok) —
     * mirrors [[graft.operators.Dedup.simhash64]] bit-for-bit. */
   private def simhash64SigSql: String = {
@@ -428,13 +419,17 @@ object PipelineQueries {
          ORDER BY id_a, id_b""",
 
     "q29_dedup_simhash" ->
-      s"""WITH $toksCte, $simhashSigSql
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      s"""WITH $toksCte, $simhash64SigSql,
+         chunks AS (
+           SELECT doc_id, sig, ck,
+             (sig >> CAST(16 * ck AS INT)) & 65535 AS cv
+           FROM sig, (SELECT unnest(range(0, 4)) AS ck) k)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            a.sig AS sig_a, b.sig AS sig_b,
            bit_count(xor(a.sig, b.sig)) AS hamming
-         FROM sig a JOIN sig b ON (a.sig & 255) = (b.sig & 255)
-           AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         FROM chunks a JOIN chunks b USING (ck, cv)
+         WHERE a.doc_id < b.doc_id
+           AND bit_count(xor(a.sig, b.sig)) <= 2
          ORDER BY id_a, id_b""",
 
     "q53_simhash_pigeonhole" ->

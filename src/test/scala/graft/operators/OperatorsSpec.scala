@@ -83,6 +83,14 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 3)
   }
 
+  test("small-corpus simhash variant still finds identical docs") {
+    // demoted path: 32-bit sig, 256-key block — kept for tiny corpora only
+    val df = docsOf(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "zeta eta theta iota kappa lambda mu nu")
+    val pairs = Dedup.simhashPairsSmallCorpus(df, maxDist = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("simhash64 pigeonhole pairs: exact recall at hamming <= 3") {
     // identical docs -> hamming 0; the pigeonhole union must find them no
     // matter which chunk they meet in, and must NOT emit distant pairs
