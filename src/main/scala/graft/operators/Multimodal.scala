@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by per-partition batch transforms.
   *
-  * North-star extension. The container has no image/audio codecs, so the
-  * decode kernel is STUBBED with a deterministic fake (clearly marked below);
-  * everything Spark-side — schema, typed Datasets, partition-wise batching,
-  * output shape — is real and tested. Swapping the stub for a JNI/codec call
-  * changes one function.
+  * North-star extension. IMAGE decode is REAL — the JDK's `javax.imageio`
+  * reads PNG/JPEG/GIF/BMP with no extra dependency, so image rows get true
+  * width/height/pixel stats ([[decodeImage]]). Audio/video codecs do not
+  * ship with the JDK, so those kinds keep a deterministic byte-stat STUB
+  * (clearly marked below); everything Spark-side — schema, typed Datasets,
+  * partition-wise batching, output shape — is real and tested. Swapping the
+  * remaining stub for an ffmpeg JNI call changes one function.
   *
   * Scale shape: `mapPartitions` keeps the decode batched per task (amortises
   * model/codec init once per partition, the same reason PySpark pipelines use
@@ -37,13 +39,48 @@ object Multimodal {
       byte_mean: Double,
       byte_entropy_q: Long,    // quantised entropy proxy (deterministic)
       thumb_width: Int,
-      thumb_height: Int)
+      thumb_height: Int,
+      decoded: Boolean,        // true iff a real codec parsed the payload
+      img_width: Int,          // decoded dimensions (-1 when not decoded)
+      img_height: Int,
+      pixel_mean: Double)      // mean RGB channel value (-1.0 when not decoded)
 
-  /** STUB decode: a real implementation would decode the codec here.
-    * Deterministic fake: derives pixel-ish stats from the raw bytes so the
-    * pipeline is testable end-to-end without codecs. */
+  /** Decoded-image stats (real codec output). */
+  final case class ImageStats(width: Int, height: Int, pixelMean: Double)
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * zero new dependencies). Returns None when the payload is not a
+    * decodable image, which routes the row to the byte-stat fallback. The
+    * reader is instantiated per call; ImageIO's plugin registry lookup is
+    * cached JVM-wide so per-row cost is the decode itself. */
+  def decodeImage(payload: Array[Byte]): Option[ImageStats] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    Option(img).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(w, h, sum.toDouble / (3.0 * w * h))
+    }
+  }
+
+  /** STUB decode for kinds whose codecs the JDK lacks (audio/video), and
+    * the fallback for undecodable image payloads. Deterministic fake:
+    * derives pixel-ish stats from the raw bytes so the pipeline is testable
+    * end-to-end without codecs. */
   private def decodeStub(payload: Array[Byte]): (Double, Long) = {
-    // ??? <- real codec call goes here (e.g. ImageIO / ffmpeg JNI)
+    // ??? <- real codec call goes here (ffmpeg JNI for audio/video)
     var sum = 0L
     var bits = 0L
     var i = 0
@@ -64,16 +101,24 @@ object Multimodal {
     else if (w >= h) (box, math.max(1, math.round(box.toDouble * h / w).toInt))
     else (math.max(1, math.round(box.toDouble * w / h).toInt), box)
 
-  /** Batched feature extraction over the media payload. */
+  /** Batched feature extraction over the media payload. Image rows run the
+    * real ImageIO decode; when it succeeds, thumbnail math uses the TRUE
+    * decoded dimensions instead of the envelope metadata. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init happens once here (codec/model load in real impl)
       rows.map { r =>
         val (mean, entropyQ) = decodeStub(r.payload)
-        val (tw, th) = thumbBox(r.meta_width, r.meta_height)
+        val img = if (r.kind == "image") decodeImage(r.payload) else None
+        val (w, h) = img.map(s => (s.width, s.height))
+          .getOrElse((r.meta_width, r.meta_height))
+        val (tw, th) = thumbBox(w, h)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean,
-          entropyQ, tw, th)
+          entropyQ, tw, th, img.isDefined,
+          img.map(_.width).getOrElse(-1),
+          img.map(_.height).getOrElse(-1),
+          img.map(_.pixelMean).getOrElse(-1.0))
       }
     }
   }
@@ -105,6 +150,7 @@ object Multimodal {
       avg(col("byte_mean")).as("avg_byte_mean"),
       sum(col("byte_entropy_q")).as("sum_entropy_q"),
       max(col("thumb_width")).as("max_thumb_w"),
-      max(col("thumb_height")).as("max_thumb_h"))
+      max(col("thumb_height")).as("max_thumb_h"),
+      sum(col("decoded").cast("long")).as("n_decoded"))
   }
 }

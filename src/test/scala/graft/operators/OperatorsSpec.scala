@@ -384,5 +384,52 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == docs.count())
     val f = feats.head()
     assert(f.n_bytes > 0 && f.byte_mean > 0)
+    // synthetic text payloads are not decodable images — all stub-routed
+    assert(feats.filter(_.decoded).count() == 0)
+  }
+
+  /** Golden 2×2 PNG: pixels (255,0,0),(0,255,0),(0,0,255),(255,255,255).
+    * PNG is lossless, so decode must return EXACT dimensions and the exact
+    * channel mean: (255*3 + 255*3) / (3*4) = 127.5... compute precisely. */
+  private def goldenPng(): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, 0xff0000)
+    im.setRGB(1, 0, 0x00ff00)
+    im.setRGB(0, 1, 0x0000ff)
+    im.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real ImageIO decode: golden 2x2 PNG gives exact pixel stats") {
+    val stats = Multimodal.decodeImage(goldenPng()).get
+    assert(stats.width == 2 && stats.height == 2)
+    // channel sum: 255 (red) + 255 (green) + 255 (blue) + 765 (white) = 1530
+    assert(stats.pixelMean == 1530.0 / 12.0)
+    // garbage payloads must route to the fallback, not throw
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("image rows with real payloads decode through the full pipeline") {
+    import spark.implicits._
+    val png = goldenPng()
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, 9999, 9999, 0),
+      Multimodal.MediaRow(2L, "image", "junk".getBytes, 320, 240, 0),
+      Multimodal.MediaRow(3L, "audio", png, 0, 0, 16000)).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // decoded image: TRUE dims (2x2) win over envelope lies (9999x9999)
+    assert(feats(1L).decoded && feats(1L).img_width == 2 &&
+      feats(1L).img_height == 2 && feats(1L).thumb_width == 64)
+    assert(feats(1L).pixel_mean == 1530.0 / 12.0)
+    // undecodable image: envelope dims drive the thumbnail, stub stats
+    assert(!feats(2L).decoded && feats(2L).img_width == -1 &&
+      feats(2L).thumb_width == 64 && feats(2L).thumb_height == 48)
+    // audio kind never routes through ImageIO even with a PNG payload
+    assert(!feats(3L).decoded)
   }
 }
