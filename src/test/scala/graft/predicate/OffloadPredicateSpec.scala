@@ -109,4 +109,61 @@ class OffloadPredicateExecSpec extends SparkSpec {
     val direct = li.filter(OffloadPredicate.toColumn(p)).count()
     assert(viaBinds == direct && direct > 0)
   }
+
+  test("teradata rendering: quoted-upper idents, typed date literals") {
+    import DialectRenderers._
+    val p = OffloadPredicate.parseUnsafe(
+      "((column(OrderDate) >= datetime(2020-01-02)) AND " +
+        "(column(status) IN (string(\"a'b\"), string(\"c\"))))")
+    assert(teradata(p) ==
+      "(\"ORDERDATE\" >= DATE '2020-01-02' AND " +
+        "\"STATUS\" IN ('a''b', 'c'))")
+    // timestamps keep at least one fractional digit, trailing zeros gone
+    val t1 = OffloadPredicate.parseUnsafe(
+      "(column(T) < datetime(2020-01-02 10:30:00))")
+    assert(teradata(t1) == "\"T\" < TIMESTAMP '2020-01-02 10:30:00.0'")
+    val t2 = OffloadPredicate.parseUnsafe(
+      "(column(T) < datetime(2020-01-02 10:30:00.123000))")
+    assert(teradata(t2) == "\"T\" < TIMESTAMP '2020-01-02 10:30:00.123'")
+  }
+
+  test("synapse rendering: bracket idents, bare quoted date strings") {
+    import DialectRenderers._
+    val p = OffloadPredicate.parseUnsafe(
+      "((column(OrderDate) >= datetime(2020-01-02)) OR " +
+        "(column(N) IS NULL))")
+    // no DATE/DATETIME keyword — the Synapse literal dialect is bare strings
+    assert(synapse(p) ==
+      "([OrderDate] >= '2020-01-02' OR [N] IS NULL)")
+    val t = OffloadPredicate.parseUnsafe(
+      "(column(T) <= datetime(2020-01-02 10:30:00.500000))")
+    assert(synapse(t) == "[T] <= '2020-01-02 10:30:00.5'")
+  }
+
+  test("teradata/synapse bind mode uses positional markers") {
+    import DialectRenderers._
+    val p = OffloadPredicate.parseUnsafe(
+      "((column(A) >= numeric(3)) AND (column(B) IN (string(\"x\"), string(\"y\"))))")
+    val td = teradataBinds(p)
+    assert(td.sql == "(\"A\" >= ? AND \"B\" IN (?, ?))")
+    val syn = synapseBinds(p)
+    assert(syn.sql == "([A] >= ? AND [B] IN (?, ?))")
+    // ordered binds ARE the positional parameter list, same typed values
+    assert(td.binds == oracleBinds(p).binds && syn.binds == td.binds)
+  }
+
+  test("limitSelect emits dialect-correct TOP-N syntax") {
+    import DialectRenderers._
+    assert(limitSelect(Teradata, "1", "\"S\".\"T\"", None, 1) ==
+      "SELECT TOP 1 1 FROM \"S\".\"T\"")
+    assert(limitSelect(Synapse, "*", "[s].[t]", Some("[x] > 0"), 5) ==
+      "SELECT TOP(5) * FROM [s].[t] WHERE [x] > 0")
+    assert(limitSelect(Oracle, "*", "S.T", None, 10) ==
+      "SELECT * FROM S.T FETCH FIRST 10 ROWS ONLY")
+    assert(limitSelect(BigQuery, "*", "d.t", None, 10) ==
+      "SELECT * FROM d.t LIMIT 10")
+    intercept[IllegalArgumentException] {
+      limitSelect(Teradata, "*", "t", None, 0)
+    }
+  }
 }
