@@ -18,6 +18,10 @@ import graft.meta.{MetadataStore, StatsStore}
   *   - `GET /api/system/status/` — liveness + inventory counts
   *   - `GET /api/system/schemas/{table}/columns/` — copied column stats
   *   - `GET /api/system/schemas/{table}/partitions/` — copied partition stats
+  *   - `GET /api/system/views/{table}/` — hybrid/conversion view info:
+  *     view names plus the offloaded/residual boundary clauses derived from
+  *     the incremental HWM (the reference's hybrid-view service,
+  *     `conductor/hybrid_view_service.py:1-334`)
   *   - `GET /api/orchestration/offloads/` — offload metadata inventory
   *   - `GET /api/orchestration/offloads/{table}/` — one table's metadata
   *   - `POST /api/orchestration/offload/` — run an offload (JSON body:
@@ -110,6 +114,39 @@ object Listener {
                 s""""rows": ${p.rows}, "bytes": ${p.bytes}}""").mkString("[", ", ", "]")
               respond(ex, 200, parts)
             case None => respond(ex, 404, """{"detail": "no stats"}""")
+          }
+
+        case ("GET", List("api", "system", "views", table)) =>
+          MetadataStore.load(metadataDir, table) match {
+            case Some(m) =>
+              // Hybrid-view semantics: residual rows live where the key is
+              // ABOVE the HWM; offloaded rows are the complement. A
+              // predicate-based offload's clause is its stored predicate;
+              // a FULL offload has no residual at all.
+              val (offloaded, residual) =
+                if (m.incrementalKey.nonEmpty &&
+                    m.incrementalHighValue.nonEmpty) {
+                  val gt = graft.plan.Boundary.Sql.greaterThanLiterals(
+                    m.incrementalKey, m.incrementalHighValue)
+                  (s"NOT ($gt)", gt)
+                } else if (m.incrementalPredicateValue.nonEmpty) {
+                  val p = m.incrementalPredicateValue
+                    .map(v => s"(${graft.predicate.OffloadPredicate.toSql(
+                      graft.predicate.OffloadPredicate.parseUnsafe(v))})")
+                    .mkString(" OR ")
+                  (p, s"NOT ($p)")
+                } else ("TRUE", "FALSE")
+              respond(ex, 200,
+                s"""{"source_table": ${q(m.sourceTable)}, """ +
+                s""""backend_table": ${q(m.backendTable)}, """ +
+                s""""hybrid_view": ${q(m.sourceTable + "_hv")}, """ +
+                s""""conversion_view": ${q(m.sourceTable + "_conv")}, """ +
+                s""""offload_type": ${q(m.offloadType)}, """ +
+                s""""incremental_key": ${m.incrementalKey.map(q)
+                  .mkString("[", ", ", "]")}, """ +
+                s""""offloaded_clause": ${q(offloaded)}, """ +
+                s""""residual_clause": ${q(residual)}}""")
+            case None => respond(ex, 404, """{"detail": "not offloaded"}""")
           }
 
         case ("GET", List("api", "orchestration", "offloads")) =>

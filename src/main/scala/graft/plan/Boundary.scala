@@ -103,6 +103,23 @@ object Boundary {
       case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString.stripSuffix(".0")}'"
       case other => other.toString
     }
+    /** Tuple-greater-than over ALREADY-RENDERED literals (the form
+      * metadata persists in `incremental_high_value`): the residual-side
+      * clause of a hybrid view. MAXVALUE literals mark the slot unbounded. */
+    def greaterThanLiterals(cols: Seq[String], lits: Seq[String]): String = {
+      require(cols.length == lits.length && cols.nonEmpty,
+        s"keys/values mismatch: $cols vs $lits")
+      val disjuncts = cols.indices.flatMap { i =>
+        val prefixOk = (0 until i).forall(j => lits(j) != "MAXVALUE")
+        if (lits(i) == "MAXVALUE" || !prefixOk) None
+        else {
+          val eqs = (0 until i).map(j => s"${cols(j)} = ${lits(j)}")
+          Some((eqs :+ s"${cols(i)} > ${lits(i)}").mkString("(", " AND ", ")"))
+        }
+      }
+      if (disjuncts.isEmpty) "FALSE" else disjuncts.mkString(" OR ")
+    }
+
     def greaterThan(cols: Seq[String], bounds: Seq[Bound]): String = {
       val disjuncts = cols.indices.flatMap { i =>
         val prefixOk = (0 until i).forall(j => bounds(j) != MaxValue)

@@ -63,6 +63,50 @@ class ListenerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("views endpoint serves hybrid-view info with boundary clauses") {
+    import graft.meta.{MetadataStore, OffloadMetadata}
+    val base = Files.createTempDirectory("graft_listener_views").toString
+    // incremental table: residual clause must come from the HWM tuple
+    MetadataStore.save(s"$base/meta", OffloadMetadata(
+      sourceTable = "orders", backendTable = "orders_b",
+      offloadType = "INCREMENTAL",
+      incrementalKey = Seq("o_orderdate", "o_orderkey"),
+      incrementalHighValue = Seq("DATE '1998-01-01'", "15000")))
+    // full-offloaded table: everything offloaded, no residual
+    MetadataStore.save(s"$base/meta", OffloadMetadata(
+      sourceTable = "nation", backendTable = "nation_b",
+      offloadType = "FULL"))
+    // predicate-based offload: the stored DSL is the offloaded clause
+    MetadataStore.save(s"$base/meta", OffloadMetadata(
+      sourceTable = "li", backendTable = "li_b",
+      offloadType = "INCREMENTAL",
+      incrementalPredicateType = Some("PREDICATE"),
+      incrementalPredicateValue =
+        Seq("(column(l_returnflag) = string(\"A\"))")))
+
+    val srv = Listener.start(spark, s"$base/meta")
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val inc = get(s"$root/api/system/views/orders/")
+      assert(inc.statusCode() == 200, inc.body())
+      assert(inc.body().contains("\"hybrid_view\": \"orders_hv\""))
+      assert(inc.body().contains(
+        "\"residual_clause\": \"(o_orderdate > DATE '1998-01-01') OR " +
+        "(o_orderdate = DATE '1998-01-01' AND o_orderkey > 15000)\""))
+      assert(inc.body().contains("\"offloaded_clause\": \"NOT ("))
+
+      val full = get(s"$root/api/system/views/nation/")
+      assert(full.statusCode() == 200)
+      assert(full.body().contains("\"offloaded_clause\": \"TRUE\"") &&
+        full.body().contains("\"residual_clause\": \"FALSE\""))
+
+      val pred = get(s"$root/api/system/views/li/")
+      assert(pred.statusCode() == 200, pred.body())
+      assert(pred.body().contains("l_returnflag = 'A'"))
+      assert(get(s"$root/api/system/views/ghost/").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("token auth guards every route; POST offload runs end-to-end") {
     val base = Files.createTempDirectory("graft_listener_post").toString
     val srv = Listener.start(spark, s"$base/meta", token = Some("s3cret"))
