@@ -21,6 +21,11 @@ import graft.verify.CrossValidator
   *  - timestamps cross the boundary as formatted strings when the engines'
   *    physical precision differs (DuckDB reads `events.ts` as ns, Spark as
   *    µs);
+  *  - never ship a DECIMAL-typed OUTPUT column: the driver hashes
+  *    stringified values, and a decimal parquet readback renders
+  *    trailing-zero cents (`205941.60`) where the oracle's float64 fetch
+  *    gives `205941.6` (q50, round 3). Keep decimal casts internal and cast
+  *    the comparison surface to DOUBLE on BOTH sides;
   *  - every query has a total ORDER BY with unique tiebreaks.
   */
 object GoeQueries {
