@@ -256,6 +256,33 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Survivorship: turn near-dup clusters into a KEEP decision — one
+    * canonical document per cluster (highest `keepScore`, ties to the
+    * smallest id), everything else marked duplicate. This is the step a
+    * training-data run actually executes after pair generation + connected
+    * components: dedup means "keep the best copy", not "drop everything".
+    *
+    * Docs absent from `clusters` (never matched any pair) are singleton
+    * clusters of themselves. One shuffle on cluster_id; the per-cluster
+    * window is bounded by cluster size (near-dup clusters are small —
+    * the giant-component case is a salting problem upstream in pair
+    * generation, not here). */
+  def canonicalize(docs: DataFrame, clusters: DataFrame, keepScore: Column,
+                   idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol), keepScore.as("keep_score"))
+      .join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("keep_score").desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    scored.withColumn("canonical_id", first(col(idCol)).over(w))
+      .withColumn("is_canonical", col("canonical_id") === col(idCol))
+      .select(col(idCol), col("cluster_id"), col("keep_score"),
+        col("canonical_id"), col("is_canonical"))
+  }
+
   /** Benchmark contamination check (decontamination pass): for every
     * (corpus doc, benchmark doc) pair sharing shingles, the fraction of the
     * BENCHMARK doc's shingle set present in the corpus doc. Corpus docs

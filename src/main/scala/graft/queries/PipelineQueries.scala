@@ -113,6 +113,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Survivorship: clusters → one canonical doc each (longest text wins,
+    // ties to smallest id) — the keep/drop decision an actual dedup run
+    // emits. Keep-score = whitespace token count (deterministic on both
+    // engines).
+    "q67_dedup_canonical" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
+      Dedup.canonicalize(docs, Dedup.connectedComponents(pairs),
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+
     // Domain balancing: deterministic per-language quota subsample.
     "q64_balanced_sample" -> { (s, dir) =>
       graft.operators.DatasetOps.balancedSample(t(s, dir, "documents"),
@@ -490,6 +503,34 @@ object PipelineQueries {
            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS doc_id, MIN(label) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q67_dedup_canonical" ->
+      s"""WITH RECURSIVE $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY id),
+         scored AS (SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS keep_score
+           FROM documents d LEFT JOIN clusters c USING (doc_id)),
+         ranked AS (SELECT *,
+             FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+               ORDER BY keep_score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS canonical_id
+           FROM scored)
+         SELECT doc_id, cluster_id, keep_score, canonical_id,
+           (doc_id = canonical_id) AS is_canonical
+         FROM ranked ORDER BY doc_id""",
 
     "q64_balanced_sample" ->
       """WITH d AS (SELECT lang, doc_id,

@@ -83,6 +83,26 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 3)
   }
 
+  test("canonicalize keeps best-scored doc per cluster, singletons stay") {
+    import spark.implicits._
+    val docs = docsOf(
+      1L -> "short",                      // cluster {1,2,3}
+      2L -> "much longer text here",      // highest score -> canonical
+      3L -> "middling text",
+      10L -> "same len a", 11L -> "same len b", // tie -> min id wins
+      20L -> "lone doc")                  // no pair -> own cluster
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.canonicalize(docs, clusters,
+        size(split(trim(col("text")), "\\s+")).cast("long")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((1L, 2L, false)) && out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((1L, 2L, false)))
+    assert(out(10L) == ((10L, 10L, true)) && out(11L) == ((10L, 10L, false)))
+    assert(out(20L) == ((20L, 20L, true)))
+  }
+
   test("small-corpus simhash variant still finds identical docs") {
     // demoted path: 32-bit sig, 256-key block — kept for tiny corpora only
     val df = docsOf(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
