@@ -326,6 +326,23 @@ object GoeQueries {
              countDistinct(col("user_id")).as("n_users"),
              sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("event_type"))
+    },
+
+    // Interval join (click→purchase attribution): same-user clicks in the
+    // 30-min lookback before each purchase, aggregated per purchase. The
+    // pair operator runs identically as a Structured Streaming
+    // stream-stream join (batch≡stream spec in EventsSpec).
+    "q68_interval_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      graft.streaming.Events.attributionPairs(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"), lookbackMinutes = 30)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          max(col("click_id")).as("last_click_id"),
+          sum(col("click_value").cast("decimal(18,2)")).cast("double")
+            .as("sum_click_value"))
+        .orderBy(col("purchase_id"))
     })
 
   // --------------------------------------------------------------- oracles
@@ -563,5 +580,19 @@ object GoeQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM (SELECT * FROM events QUALIFY ROW_NUMBER() OVER (
                  PARTITION BY event_id ORDER BY ts) = 1) d
-         GROUP BY event_type ORDER BY event_type""")
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q68_interval_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS c_ts,
+             value AS click_value
+           FROM events WHERE event_type = 'click')
+         SELECT purchase_id, COUNT(*) AS n_clicks,
+           MAX(click_id) AS last_click_id,
+           CAST(SUM(CAST(click_value AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_click_value
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c_ts < p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTE
+         GROUP BY purchase_id ORDER BY purchase_id""")
 }

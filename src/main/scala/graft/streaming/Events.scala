@@ -70,6 +70,29 @@ object Events {
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** Interval (time-bounded) join: each purchase pairs with the same
+    * user's clicks inside the lookback window `[p_ts - lookback, p_ts)` —
+    * click-to-purchase attribution. Batch + streaming: the condition is an
+    * equi-key plus a bounded time range, exactly the shape Structured
+    * Streaming's stream-stream join supports (the bound is what lets the
+    * engine evict state — without it, both sides buffer forever).
+    *
+    * Scale shape: ONE shuffle on user_id per side; the range predicate
+    * evaluates inside the joined partition. Never a broadcast nested loop. */
+  def attributionPairs(purchases: DataFrame, clicks: DataFrame,
+                       lookbackMinutes: Int = 30): DataFrame = {
+    val p = purchases.select(col("user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val c = clicks.select(col("user_id").as("c_user_id"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"),
+      col("value").as("click_value"))
+    p.join(c, col("user_id") === col("c_user_id") &&
+        col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("click_id"), col("c_ts"), col("click_value"))
+  }
+
   // ------------------------------------------------------ streaming wrappers
 
   /** Streaming tumbling aggregate with watermark — append-mode capable. */
@@ -91,6 +114,28 @@ object Events {
   def streamDedup(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream attribution join. Watermarks on BOTH sides plus the
+    * time-bound join condition let Spark evict buffered rows once the
+    * watermark passes `p_ts` (click side) / `p_ts + lookback` (purchase
+    * side) — state is bounded by watermark delay + lookback, not stream
+    * length. */
+  def streamAttribution(purchases: DataFrame, clicks: DataFrame,
+                        lookbackMinutes: Int = 30,
+                        watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.select(col("user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user_id"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"),
+      col("value").as("click_value"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, col("user_id") === col("c_user_id") &&
+        col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("click_id"), col("c_ts"), col("click_value"))
+  }
 
   // ------------------------------------------------- custom state (GADT)
 

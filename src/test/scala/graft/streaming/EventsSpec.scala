@@ -75,6 +75,40 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      Ev(100, ts("2024-01-01 01:00:00"), 1, "purchase", 9.0),
+      Ev(101, ts("2024-01-01 02:00:00"), 2, "purchase", 9.0))
+    val clicks = Seq(
+      Ev(1, ts("2024-01-01 00:40:00"), 1, "click", 1.0), // in window of 100
+      Ev(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0), // outside (40m before)
+      Ev(3, ts("2024-01-01 01:00:00"), 1, "click", 3.0), // NOT < p_ts
+      Ev(4, ts("2024-01-01 01:50:00"), 2, "click", 4.0), // in window of 101
+      Ev(5, ts("2024-01-01 01:45:00"), 3, "click", 5.0)) // other user
+    val memP = MemoryStream[Ev]
+    val memC = MemoryStream[Ev]
+    val q = Events.streamAttribution(memP.toDF(), memC.toDF(),
+        lookbackMinutes = 30, watermark = "10 hours")
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      memP.addData(purchases: _*)
+      memC.addData(clicks: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_out")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Events.attributionPairs(purchases.toDF(), clicks.toDF(),
+          lookbackMinutes = 30)
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == Set((100L, 1L), (101L, 4L)))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState tracks per-user counters and latches the alarm") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
