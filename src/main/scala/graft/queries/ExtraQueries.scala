@@ -311,6 +311,23 @@ object ExtraQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    /** Z-order clustering: Morton code of (custkey, orderkey), bucketed —
+      * the multi-dim layout key behind [[graft.plan.ZOrder.zorderWrite]].
+      * The five-op bit spread runs verbatim in the DuckDB oracle, pinning
+      * the interleave cross-engine. */
+    "q69_zorder" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.withColumn("zval",
+          graft.plan.ZOrder.zvalue2(col("o_custkey"), col("o_orderkey")))
+        .groupBy(shiftrightunsigned(col("zval"), 20).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          min(col("o_orderkey")).as("min_ord"),
+          max(col("o_orderkey")).as("max_ord"))
+        .orderBy(col("zbucket"))
+    },
+
     /** Schema evolution: v1 slice without the derived column, v2 slice with
       * it; mergeSchema read sees both, old rows null in the new column. */
     "q42_schema_evolution" -> { (s, dir) =>
@@ -416,6 +433,16 @@ object ExtraQueries {
            CAST(o_orderdate AS DATE) AS o_orderdate,
            o_orderpriority
          FROM orders ORDER BY o_orderkey""",
+
+    "q69_zorder" ->
+      s"""SELECT (zval >> 20) AS zbucket, COUNT(*) AS n,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(o_orderkey) AS min_ord, MAX(o_orderkey) AS max_ord
+         FROM (SELECT *,
+             ${graft.plan.ZOrder.zvalue2Sql("o_custkey", "o_orderkey")}
+               AS zval
+           FROM orders) z
+         GROUP BY 1 ORDER BY zbucket""",
 
     "q42_schema_evolution" ->
       """SELECT 2 * COUNT(*) AS n_rows, COUNT(*) AS n_evolved,
