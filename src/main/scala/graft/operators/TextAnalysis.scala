@@ -29,6 +29,19 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + greatest(lit(1L), ceil(length(t) / lit(6.0)).cast("long")))
 
+  /** Corpus vocabulary: token frequency table, descending, deterministic
+    * tiebreak on the token itself — the first step of tokenizer/BPE
+    * training and OOV analysis. Scale shape: explode + groupBy(token) is
+    * map-side partially aggregated (the heavy hitters collapse per
+    * partition before the shuffle), and the top-k is a TakeOrdered — only
+    * k rows ever reach the driver. */
+  def vocabulary(docs: DataFrame, k: Int,
+                 textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(k)
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "on")
 

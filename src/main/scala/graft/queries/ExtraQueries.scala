@@ -328,6 +328,13 @@ object ExtraQueries {
         .orderBy(col("zbucket"))
     },
 
+    /** Exact quantile column stats per priority class — equi-height
+      * histogram boundaries (TableStats.quantileProfile, exact mode). */
+    "q71_quantile_stats" -> { (s, dir) =>
+      graft.source.TableStats.quantileProfile(
+        t(s, dir, "orders"), "o_totalprice", "o_orderpriority")
+    },
+
     /** Schema evolution: v1 slice without the derived column, v2 slice with
       * it; mergeSchema read sees both, old rows null in the new column. */
     "q42_schema_evolution" -> { (s, dir) =>
@@ -443,6 +450,14 @@ object ExtraQueries {
                AS zval
            FROM orders) z
          GROUP BY 1 ORDER BY zbucket""",
+
+    "q71_quantile_stats" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.95) AS p95
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q42_schema_evolution" ->
       """SELECT 2 * COUNT(*) AS n_rows, COUNT(*) AS n_evolved,

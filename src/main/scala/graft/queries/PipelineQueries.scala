@@ -75,6 +75,13 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Corpus vocabulary: token frequency top-k with deterministic tiebreak
+    // — tokenizer/BPE-training prep. Partial-aggregated groupBy + a
+    // TakeOrdered: only k rows reach the driver.
+    "q70_token_vocab" -> { (s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), k = 50)
+    },
+
     // Winnowing (rolling-hash) fingerprints: k-gram hashes + window-min
     // selection, the position-robust sketch complementing q32's
     // sorted-token fingerprint.
@@ -655,6 +662,13 @@ object PipelineQueries {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
              'g')) AS masked_key
          FROM aug ORDER BY doc_id""",
+
+    "q70_token_vocab" ->
+      """SELECT tok, COUNT(*) AS n
+         FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                 AS tok
+               FROM documents) t
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
 
     "q54_winnow_fingerprint" ->
       s"""WITH nd AS (SELECT doc_id,

@@ -39,6 +39,30 @@ object TableStats {
       .agg(count(lit(1)).as("rows"))
       .orderBy(col(keyCol))
 
+  /** Equi-height quantile profile of a numeric column per key — the
+    * histogram boundaries the reference's stats layer stops short of
+    * (it gathers only low/high), and what chunk sizing and skew detection
+    * actually want. `exact=true` uses `percentile` (sort-in-buffer, fine
+    * at planning scale and oracle-matchable); at 100 TB pass
+    * `exact=false` for `approx_percentile` — same call shape, map-side
+    * sketch merge, no full sort. */
+  def quantileProfile(df: DataFrame, valueCol: String, keyCol: String,
+                      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                      exact: Boolean = true): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1))
+    val aggs = ps.map { p =>
+      val label = s"p${(p * 100).round}"
+      val c =
+        if (exact) expr(s"percentile($valueCol, $p)")
+        else expr(s"approx_percentile($valueCol, $p, 10000)")
+      c.as(label)
+    }
+    val allAggs = count(lit(1)).as("n") +: aggs
+    df.groupBy(col(keyCol))
+      .agg(allAggs.head, allAggs.tail: _*)
+      .orderBy(col(keyCol))
+  }
+
   /** Collect the full copyable stats record in TWO aggregate jobs (one
     * table/column pyramid, one partition profile) — the Spark-native
     * restatement of the reference's stats gather

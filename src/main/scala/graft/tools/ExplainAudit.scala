@@ -13,7 +13,10 @@ object ExplainAudit {
                          "q04_multi_join", "q27_dedup_jaccard",
                          "q33_cosine_topk", "q53_simhash_pigeonhole",
                          "q55_ivf_batch_probe", "q59_asof_join",
-                         "q60_range_join", "q65_dedup_clusters")
+                         "q60_range_join", "q65_dedup_clusters",
+                         "q67_dedup_canonical", "q68_interval_join",
+                         "q69_zorder", "q70_token_vocab",
+                         "q71_quantile_stats")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
