@@ -225,6 +225,19 @@ object Cli {
           println(s"stats saved: rows=${rec.numRows} " +
             s"partitions=${rec.partitions.length}")
 
+        case "curate" =>
+          // end-to-end corpus curation: verdicts -> near-dup survivorship
+          // -> deterministic split, written partitioned by split
+          val docs = spark.read.parquet(opts("source"))
+          val (out, summary) = graft.operators.Curation.run(docs,
+            minQuality = opts.get("min-quality").map(_.toDouble)
+              .getOrElse(0.3),
+            maxDupFrac = opts.get("max-dup-frac").map(_.toDouble)
+              .getOrElse(0.5))
+          out.write.mode("overwrite").partitionBy("split")
+            .parquet(opts("out"))
+          println(summary.toJson)
+
         case other =>
           System.err.println(s"unknown command: $other")
           sys.exit(2)

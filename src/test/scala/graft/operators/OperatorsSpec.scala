@@ -83,6 +83,26 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 3)
   }
 
+  test("curation pipeline accounts every document exactly once") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val (out, s) = Curation.run(docs)
+    assert(s.total == docs.count())
+    assert(s.total == s.droppedLowQuality + s.droppedRepetitive +
+      s.droppedExactDup + s.droppedNearDup + s.kept)
+    assert(s.kept == s.splits.values.sum && s.kept > 0)
+    // first-failure attribution: an exact dup that also fails quality
+    // counts as low_quality, so per-reason counts are >= 0, and the
+    // pipeline must drop SOMETHING on this corpus (it contains dups)
+    assert(s.droppedNearDup >= 0 && s.droppedExactDup >= 0)
+    assert(s.kept < s.total)
+    // output carries the original columns plus quality + split
+    assert(out.columns.toSet ==
+      (docs.columns.toSet ++ Set("quality", "split")))
+    // deterministic: a second run is identical
+    val (_, s2) = Curation.run(docs)
+    assert(s == s2)
+  }
+
   test("canonicalize keeps best-scored doc per cluster, singletons stay") {
     import spark.implicits._
     val docs = docsOf(
