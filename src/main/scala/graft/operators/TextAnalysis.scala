@@ -42,6 +42,24 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
 
+  /** Grouped top-k vocabulary: token ranks WITHIN each group (language,
+    * domain) — the window runs after the partial-aggregated groupBy, so
+    * the shape is shuffle-on-(group,token) then shuffle-on-group, never a
+    * global sort; each group's ranking is independent and parallel. */
+  def vocabularyByGroup(docs: DataFrame, k: Int,
+                        groupCol: String = "lang",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol), explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col("tok").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy(col(groupCol), col("rk"))
+  }
+
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "on")
 

@@ -335,6 +335,48 @@ object ExtraQueries {
         t(s, dir, "orders"), "o_totalprice", "o_orderpriority")
     },
 
+    /** Salted two-phase aggregation produces results identical to the
+      * direct groupBy — the oracle IS the direct aggregation, so the skew
+      * tooling's algebraic-composition contract is hash-checked, not just
+      * spec-asserted. Sums ride an exact decimal cast through both phases. */
+    "q73_salted_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty_dec", col("l_quantity").cast("decimal(18,2)"))
+      graft.plan.Salting.saltedAgg(li, Seq("l_returnflag"),
+          sumCols = Seq("qty_dec"), minMaxCols = Seq("l_extendedprice"))
+        .select(col("l_returnflag"), col("n"),
+          col("sum_qty_dec").cast("double").as("sum_qty"),
+          col("min_l_extendedprice").as("min_price"),
+          col("max_l_extendedprice").as("max_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    /** Incremental Update end-to-end with a REAL oracle: write a
+      * month-partitioned target, apply an upsert (every 97th key's price
+      * doubled) plus deletes (every 101st key), read the final table back —
+      * the oracle computes the same final state relationally. Delete wins
+      * over change for keys hit by both. */
+    "q74_incremental_update" -> { (s, dir) =>
+      val base = Files.createTempDirectory("graft_iu_q").toString
+      // year granularity: the upsert's changed keys touch every period, so
+      // partition count drives nothing but file churn here
+      val orders = t(s, dir, "orders")
+        .withColumn("om", date_format(col("o_orderdate"), "yyyy"))
+      orders.write.partitionBy("om").parquet(s"$base/t")
+      val changes = orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val deletes = orders.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .select(col("o_orderkey"))
+      graft.sink.IncrementalUpdate.upsertPartitions(s, s"$base/t",
+        changes, Seq("o_orderkey"), "om", Some(deletes))
+      s.read.parquet(s"$base/t")
+        .groupBy(col("om"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("om"))
+    },
+
     /** Schema evolution: v1 slice without the derived column, v2 slice with
       * it; mergeSchema read sees both, old rows null in the new column. */
     "q42_schema_evolution" -> { (s, dir) =>
@@ -458,6 +500,24 @@ object ExtraQueries {
            quantile_cont(o_totalprice, 0.75) AS p75,
            quantile_cont(o_totalprice, 0.95) AS p95
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q73_salted_agg" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+           ${dsumSql("l_quantity")} AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q74_incremental_update" ->
+      s"""WITH o AS (SELECT *, strftime(o_orderdate, '%Y') AS om
+           FROM orders),
+         f AS (SELECT om,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS p
+           FROM o WHERE o_orderkey % 101 <> 0)
+         SELECT om, COUNT(*) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM f GROUP BY om ORDER BY om""",
 
     "q42_schema_evolution" ->
       """SELECT 2 * COUNT(*) AS n_rows, COUNT(*) AS n_evolved,

@@ -82,6 +82,13 @@ object PipelineQueries {
       TextAnalysis.vocabulary(t(s, dir, "documents"), k = 50)
     },
 
+    // Grouped top-k vocabulary: per-language token ranks — window AFTER
+    // the partial-agg groupBy, each group ranked independently (never a
+    // global sort).
+    "q72_vocab_by_lang" -> { (s, dir) =>
+      TextAnalysis.vocabularyByGroup(t(s, dir, "documents"), k = 10)
+    },
+
     // Winnowing (rolling-hash) fingerprints: k-gram hashes + window-min
     // selection, the position-robust sketch complementing q32's
     // sorted-token fingerprint.
@@ -669,6 +676,17 @@ object PipelineQueries {
                  AS tok
                FROM documents) t
          GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
+
+    "q72_vocab_by_lang" ->
+      """SELECT lang, tok, n, rk FROM (
+           SELECT lang, tok, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY COUNT(*) DESC, tok) AS rk
+           FROM (SELECT lang,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             FROM documents) t
+           GROUP BY lang, tok) x
+         WHERE rk <= 10 ORDER BY lang, rk""",
 
     "q54_winnow_fingerprint" ->
       s"""WITH nd AS (SELECT doc_id,
