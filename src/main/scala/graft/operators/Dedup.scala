@@ -105,6 +105,27 @@ object Dedup {
               col("size_b"), col("jaccard"))
   }
 
+  /** Broder similarity estimate for candidate pairs: the fraction of
+    * agreeing MinHash slots is an unbiased estimator of J(A,B) — the number
+    * a production dedup uses to rank candidates WITHOUT touching the raw
+    * text again. Joining the exact Jaccard back (as q75 does) quantifies
+    * the sketch error. Pure projections over the signature table; the
+    * estimate is k small-int comparisons / k — bitwise deterministic. */
+  def minhashEstimate(signatures: DataFrame, pairs: DataFrame,
+                      numHashes: Int): DataFrame = {
+    val sa = signatures.select(col("sid").as("id_a") +:
+      (0 until numHashes).map(i => col(s"sig_$i").as(s"a_$i")): _*)
+    val sb = signatures.select(col("sid").as("id_b") +:
+      (0 until numHashes).map(i => col(s"sig_$i").as(s"b_$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        agree.cast("double") / lit(numHashes.toDouble))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** Seeded hash of a shingle: md5 over "seed|shingle". The per-seed MinHash
     * is the lexicographic MIN of these hex strings. */
   def seededHash(seed: Int, shingle: Column): Column =

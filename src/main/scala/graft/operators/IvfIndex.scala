@@ -41,6 +41,23 @@ object IvfIndex {
   }
 
   /** Train centroids on (a sample of) the corpus. Deterministic via seed. */
+  /** Persist the trained model: a broadcast-sized (cell_id, centroid)
+    * parquet next to the indexed corpus — train once, probe from any
+    * session. One file; the model is metadata, not data. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                path: String): Unit = {
+    import spark.implicits._
+    model.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model =
+    Model(spark.read.parquet(path).orderBy(col("cell_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+
   def train(embeddings: DataFrame, nlist: Int, dim: Int,
             vecCol: String = "embedding", seed: Long = 42L,
             sampleFraction: Double = 1.0): Model = {

@@ -82,6 +82,21 @@ object PipelineQueries {
       TextAnalysis.vocabulary(t(s, dir, "documents"), k = 50)
     },
 
+    // Sketch accuracy: MinHash slot-agreement estimate vs the exact
+    // Jaccard for every LSH candidate pair — signatures are never
+    // re-derived from text, mirroring a production candidate-ranking pass.
+    "q75_minhash_estimate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, NumHashes)
+      val pairs = Dedup.lshCandidates(sigs, NumHashes, Bands)
+        .select(col("id_a"), col("id_b"))
+      val truth = Dedup.jaccardPairs(docs, threshold = 0.0)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      Dedup.minhashEstimate(sigs, pairs, NumHashes)
+        .join(truth, Seq("id_a", "id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Grouped top-k vocabulary: per-language token ranks — window AFTER
     // the partial-agg groupBy, each group ranked independently (never a
     // global sort).
@@ -676,6 +691,32 @@ object PipelineQueries {
                  AS tok
                FROM documents) t
          GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
+
+    "q75_minhash_estimate" -> {
+      val agree = (0 until NumHashes)
+        .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         est AS (SELECT id_a, id_b,
+             CAST($agree AS DOUBLE) / ${NumHashes}.0 AS est_jaccard
+           FROM pairs JOIN sig sa ON sa.doc_id = pairs.id_a
+             JOIN sig sb ON sb.doc_id = pairs.id_b),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS icnt
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT e.id_a, e.id_b, e.est_jaccard,
+           CAST(icnt AS DOUBLE) / CAST(za.sz + zb.sz - icnt AS DOUBLE)
+             AS jaccard
+         FROM est e
+           JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+           JOIN sizes za ON za.doc_id = e.id_a
+           JOIN sizes zb ON zb.doc_id = e.id_b
+         ORDER BY e.id_a, e.id_b""" },
 
     "q72_vocab_by_lang" ->
       """SELECT lang, tok, n, rk FROM (

@@ -161,6 +161,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(wide == brute) // nprobe = nlist degenerates to exact search
   }
 
+  test("model save/load round-trips and probes identically") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_model")
+      .toString
+    IvfIndex.saveModel(spark, model, s"$dir/model")
+    val loaded = IvfIndex.loadModel(spark, s"$dir/model")
+    assert(loaded.nlist == model.nlist)
+    model.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    // probing through the loaded model gives identical results
+    val indexed = IvfIndex.assign(emb, model, dim = 64).cache()
+    val query = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val a = IvfIndex.probe(indexed, model, query, k = 5, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = IvfIndex.probe(indexed, loaded, query, k = 5, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
+
   test("batch probe equals per-query single probes") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val model = IvfIndex.train(emb, nlist = 8, dim = 64)
