@@ -238,6 +238,16 @@ object Cli {
             .parquet(opts("out"))
           println(summary.toJson)
 
+        case "compact" =>
+          val res = graft.sink.Compaction.compact(spark, opts("path"),
+            targetBytes = opts.get("target-bytes").map(_.toLong)
+              .getOrElse(128L * 1024 * 1024),
+            sortCols = opts.get("sort-by")
+              .map(_.split(',').toSeq).getOrElse(Nil))
+          println(s"""{"files_before": ${res.filesBefore}, """ +
+            s""""files_after": ${res.filesAfter}, """ +
+            s""""bytes": ${res.bytes}, "rows": ${res.rows}}""")
+
         case other =>
           System.err.println(s"unknown command: $other")
           sys.exit(2)

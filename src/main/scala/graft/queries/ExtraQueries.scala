@@ -335,6 +335,31 @@ object ExtraQueries {
         t(s, dir, "orders"), "o_totalprice", "o_orderpriority")
     },
 
+    /** Offload-type state machine pinned as a VALUES oracle (the q37
+      * treatment): every (from, to, forceReset) transition the reference
+      * allows or refuses, evaluated through the real code path. */
+    "q76_offload_type_fsm" -> { (s, dir) =>
+      import graft.plan.OffloadType
+      import graft.plan.OffloadType.{Full, Incremental}
+      val cases: Seq[(String, String, Boolean)] = Seq(
+        ("none", "FULL", false), ("none", "INCREMENTAL", false),
+        ("FULL", "FULL", false), ("FULL", "INCREMENTAL", false),
+        ("FULL", "INCREMENTAL", true), ("INCREMENTAL", "FULL", false),
+        ("INCREMENTAL", "INCREMENTAL", false))
+      def parse(v: String): Option[graft.plan.OffloadType] = v match {
+        case "none" => None
+        case "FULL" => Some(Full)
+        case "INCREMENTAL" => Some(Incremental)
+      }
+      import s.implicits._
+      cases.map { case (f, t, r) =>
+        val out = OffloadType.transition(parse(f),
+          if (t == "FULL") Full else Incremental, r)
+        (f, t, r, out.isRight)
+      }.toDF("from_state", "to_state", "force_reset", "allowed")
+        .orderBy(col("from_state"), col("to_state"), col("force_reset"))
+    },
+
     /** Salted two-phase aggregation produces results identical to the
       * direct groupBy — the oracle IS the direct aggregation, so the skew
       * tooling's algebraic-composition contract is hash-checked, not just
@@ -500,6 +525,18 @@ object ExtraQueries {
            quantile_cont(o_totalprice, 0.75) AS p75,
            quantile_cont(o_totalprice, 0.95) AS p95
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q76_offload_type_fsm" ->
+      """SELECT * FROM (VALUES
+           ('FULL', 'FULL', false, true),
+           ('FULL', 'INCREMENTAL', false, false),
+           ('FULL', 'INCREMENTAL', true, true),
+           ('INCREMENTAL', 'FULL', false, true),
+           ('INCREMENTAL', 'INCREMENTAL', false, true),
+           ('none', 'FULL', false, true),
+           ('none', 'INCREMENTAL', false, true))
+         AS t(from_state, to_state, force_reset, allowed)
+         ORDER BY from_state, to_state, force_reset""",
 
     "q73_salted_agg" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,

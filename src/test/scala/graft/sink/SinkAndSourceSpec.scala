@@ -134,6 +134,45 @@ class JdbcSplitSpec extends SparkSpec {
   }
 }
 
+class CompactionSpec extends SparkSpec {
+
+  test("compaction collapses small files, preserves data, swaps safely") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 64 tiny files
+    (1 to 4096).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+      .repartition(64).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val sumBefore = before.agg(sum($"v")).head().getDouble(0)
+
+    val res = Compaction.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(res.filesBefore == 64)
+    assert(res.filesAfter < res.filesBefore)
+    assert(res.rows == 4096L)
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 4096L)
+    assert(after.agg(sum($"v")).head().getDouble(0) == sumBefore)
+    // no leftover temp/old dirs
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("__compact")))
+  }
+
+  test("compaction with sort columns keeps in-file ordering") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_s").toString + "/t"
+    (1 to 1000).map(i => ((i * 7919) % 1000).toLong).toDF("k")
+      .repartition(16).write.parquet(dir)
+    Compaction.compact(spark, dir, targetBytes = 1L << 30,
+      sortCols = Seq("k"))
+    // single output file, globally sorted within it
+    val vals = spark.read.parquet(dir).collect().map(_.getLong(0))
+    assert(vals.length == 1000)
+    // read order within one parquet file follows row order
+    assert(vals.sameElements(vals.sorted))
+  }
+}
+
 /** Live execution of the JDBC read path against an in-process Derby
   * database (the jars ship with Spark) — every split shape opens real
   * cursors and must reassemble the exact table. */
