@@ -360,6 +360,28 @@ object ExtraQueries {
         .orderBy(col("from_state"), col("to_state"), col("force_reset"))
     },
 
+    /** DDL type-mapping contract pinned as a VALUES oracle: the canonical
+      * type → SparkSQL / BigQuery DDL rendering for every interesting
+      * type, incl. the NUMERIC/BIGNUMERIC precision-scale boundary. */
+    "q77_ddl_types" -> { (s, dir) =>
+      import graft.types.{CanonicalColumn, CanonicalType => CT}
+      import graft.sink.DdlRenderer
+      val cases: Seq[(String, CT)] = Seq(
+        "binary" -> CT.Binary, "bool" -> CT.Boolean1,
+        "date" -> CT.Date, "dec_12_2" -> CT.Decimal(Some(12), Some(2)),
+        "dec_38_10" -> CT.Decimal(Some(38), Some(10)),
+        "double" -> CT.Double8, "int38" -> CT.Integer38,
+        "int4" -> CT.Integer4, "string" -> CT.VariableString,
+        "ts" -> CT.Timestamp, "tstz" -> CT.TimestampTz)
+      import s.implicits._
+      cases.map { case (label, t) =>
+        val c = CanonicalColumn(label, t)
+        (label, DdlRenderer.renderType(c, DdlRenderer.Dialect.SparkSql),
+          DdlRenderer.renderType(c, DdlRenderer.Dialect.BigQuery))
+      }.toDF("t", "spark_sql", "bigquery")
+        .orderBy(col("t"))
+    },
+
     /** Salted two-phase aggregation produces results identical to the
       * direct groupBy — the oracle IS the direct aggregation, so the skew
       * tooling's algebraic-composition contract is hash-checked, not just
@@ -525,6 +547,22 @@ object ExtraQueries {
            quantile_cont(o_totalprice, 0.75) AS p75,
            quantile_cont(o_totalprice, 0.95) AS p95
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q77_ddl_types" ->
+      """SELECT * FROM (VALUES
+           ('binary', 'BINARY', 'BYTES'),
+           ('bool', 'BOOLEAN', 'BOOL'),
+           ('date', 'DATE', 'DATE'),
+           ('dec_12_2', 'DECIMAL(12,2)', 'NUMERIC(12, 2)'),
+           ('dec_38_10', 'DECIMAL(38,10)', 'BIGNUMERIC(38, 10)'),
+           ('double', 'DOUBLE', 'FLOAT64'),
+           ('int38', 'DECIMAL(38,0)', 'BIGNUMERIC(38, 0)'),
+           ('int4', 'INT', 'INT64'),
+           ('string', 'STRING', 'STRING'),
+           ('ts', 'TIMESTAMP_NTZ', 'DATETIME'),
+           ('tstz', 'TIMESTAMP', 'TIMESTAMP'))
+         AS t(t, spark_sql, bigquery)
+         ORDER BY t""",
 
     "q76_offload_type_fsm" ->
       """SELECT * FROM (VALUES

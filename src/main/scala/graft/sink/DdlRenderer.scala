@@ -42,6 +42,13 @@ object DdlRenderer {
     }
   }
 
+  /** Public type-rendering seam (also the q77 contract surface). */
+  def renderType(c: CanonicalColumn, dialect: Dialect): String =
+    dialect match {
+      case Dialect.SparkSql => sparkType(c)
+      case Dialect.BigQuery => bigqueryType(c)
+    }
+
   def createTable(
       table: String,
       cols: Seq[CanonicalColumn],
