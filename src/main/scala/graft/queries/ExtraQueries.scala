@@ -360,6 +360,23 @@ object ExtraQueries {
         .orderBy(col("from_state"), col("to_state"), col("force_reset"))
     },
 
+    /** Hybrid-view boundary-clause builder pinned as a VALUES oracle:
+      * tuple-greater-than over rendered HWM literals, MAXVALUE slots
+      * unbounded — the clause the listener's views endpoint serves. */
+    "q78_boundary_literals" -> { (s, dir) =>
+      import graft.plan.Boundary
+      val cases = Seq(
+        ("single", Seq("k"), Seq("10")),
+        ("tuple", Seq("d", "k"), Seq("DATE '1998-01-01'", "15000")),
+        ("max_first", Seq("a", "b"), Seq("MAXVALUE", "5")),
+        ("max_second", Seq("a", "b"), Seq("10", "MAXVALUE")),
+        ("triple", Seq("a", "b", "c"), Seq("1", "2", "3")))
+      import s.implicits._
+      cases.map { case (label, cols, lits) =>
+        (label, Boundary.Sql.greaterThanLiterals(cols, lits))
+      }.toDF("c", "clause").orderBy(col("c"))
+    },
+
     /** DDL type-mapping contract pinned as a VALUES oracle: the canonical
       * type → SparkSQL / BigQuery DDL rendering for every interesting
       * type, incl. the NUMERIC/BIGNUMERIC precision-scale boundary. */
@@ -547,6 +564,18 @@ object ExtraQueries {
            quantile_cont(o_totalprice, 0.75) AS p75,
            quantile_cont(o_totalprice, 0.95) AS p95
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q78_boundary_literals" ->
+      """SELECT * FROM (VALUES
+           ('max_first', 'FALSE'),
+           ('max_second', '(a > 10)'),
+           ('single', '(k > 10)'),
+           ('triple',
+            '(a > 1) OR (a = 1 AND b > 2) OR (a = 1 AND b = 2 AND c > 3)'),
+           ('tuple',
+            '(d > DATE ''1998-01-01'') OR (d = DATE ''1998-01-01'' AND k > 15000)'))
+         AS t(c, clause)
+         ORDER BY c""",
 
     "q77_ddl_types" ->
       """SELECT * FROM (VALUES
