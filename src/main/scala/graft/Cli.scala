@@ -238,6 +238,30 @@ object Cli {
             .parquet(opts("out"))
           println(summary.toJson)
 
+        case "schema-sync" =>
+          // detect source-side schema drift vs an offloaded target and
+          // print the evolution plan (ALTERs for DDL-applying engines);
+          // --apply appends a zero-row typed slice so the parquet target's
+          // merged schema picks the new columns up immediately
+          val source = spark.read.parquet(opts("source"))
+          val target = spark.read.parquet(opts("target"))
+          val plan = graft.sink.SchemaSync.analyze(source, target,
+            opts.getOrElse("table", "target"))
+          plan.addedColumns.foreach(f =>
+            println(s"ADD    ${f.name} ${f.dataType.sql}"))
+          plan.removedColumns.foreach(f =>
+            println(s"GONE   ${f.name} ${f.dataType.sql} (not auto-dropped)"))
+          plan.alterStatements.foreach(println)
+          if (plan.addedColumns.isEmpty && plan.removedColumns.isEmpty)
+            println("schemas in sync")
+          if (opts.contains("apply") && plan.addedColumns.nonEmpty) {
+            import org.apache.spark.sql.functions.lit
+            val widened = plan.addedColumns.foldLeft(target)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+            widened.limit(0).write.mode("append").parquet(opts("target"))
+            println(s"applied: ${plan.addedColumns.length} column(s)")
+          }
+
         case "compact" =>
           val res = graft.sink.Compaction.compact(spark, opts("path"),
             targetBytes = opts.get("target-bytes").map(_.toLong)

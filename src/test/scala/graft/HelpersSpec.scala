@@ -117,6 +117,24 @@ class CliSpec extends SparkSpec {
     Cli.main(Array("status-report", "--meta", s"$base/meta"))
   }
 
+  test("schema-sync detects drift and --apply widens the target") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_cli_sync").toString
+    val orders = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+    orders.write.parquet(s"$base/target")
+    val drifted = orders.withColumn("o_prio_digit",
+      substring(col("o_orderpriority"), 1, 1).try_cast("int"))
+    drifted.write.parquet(s"$base/source")
+    Cli.main(Array("schema-sync",
+      "--source", s"$base/source", "--target", s"$base/target",
+      "--table", "orders_b", "--apply", "true"))
+    // merged read now exposes the new column, null on old rows
+    val evolved = graft.sink.SchemaSync.evolvedRead(spark, s"$base/target")
+    assert(evolved.columns.contains("o_prio_digit"))
+    assert(evolved.filter(col("o_prio_digit").isNotNull).count() == 0)
+    assert(evolved.count() == orders.count())
+  }
+
   test("agg-validate validates a table against itself") {
     val src = sf("sf0.001") + "/orders.parquet"
     Cli.main(Array("agg-validate", "--left", src, "--right", src,
