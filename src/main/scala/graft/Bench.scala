@@ -64,7 +64,9 @@ object Bench {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // Millisecond precision keeps the one-line JSON short enough that log
     // tail capture retains the whole line, "metric":"total" included.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => k -> e }

@@ -236,6 +236,7 @@ object Cli {
               .getOrElse(0.5))
           out.write.mode("overwrite").partitionBy("split")
             .parquet(opts("out"))
+          out.unpersist()
           println(summary.toJson)
 
         case "schema-sync" =>
@@ -244,7 +245,10 @@ object Cli {
           // --apply appends a zero-row typed slice so the parquet target's
           // merged schema picks the new columns up immediately
           val source = spark.read.parquet(opts("source"))
-          val target = spark.read.parquet(opts("target"))
+          // mergeSchema: a previously-applied zero-row widening slice must
+          // be visible to drift detection, or --apply never converges
+          val target = spark.read.option("mergeSchema", "true")
+            .parquet(opts("target"))
           val plan = graft.sink.SchemaSync.analyze(source, target,
             opts.getOrElse("table", "target"))
           plan.addedColumns.foreach(f =>

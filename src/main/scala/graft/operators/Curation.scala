@@ -67,15 +67,20 @@ object Curation {
     val pairs = Dedup.lshCandidates(
       Dedup.minhashSignatures(kept0, numHashes, idCol = idCol),
       numHashes, bands)
-    val canon = Dedup.canonicalize(kept0,
-      Dedup.connectedComponents(pairs), col("quality"), idCol)
+    // connectedComponents emits its id column as literal "doc_id"
+    val clusters = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val canon = Dedup.canonicalize(kept0, clusters, col("quality"), idCol)
     val keptIds = canon.filter(col("is_canonical")).select(col(idCol))
 
-    // stage 3: deterministic split over the final keep set
+    // stage 3: deterministic split over the final keep set. The result is
+    // returned PERSISTED (counted once here) so the caller's write does
+    // not recompute the whole pipeline; callers unpersist when done.
     val out = DatasetOps.hashSplit(
       docs.join(keptIds, Seq(idCol))
         .join(verdicts.select(col(idCol), col("quality")), Seq(idCol)),
       fractions, idCol = idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val splitCounts = out.groupBy(col("split")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val kept = splitCounts.values.sum

@@ -40,7 +40,6 @@ object IvfIndex {
     }
   }
 
-  /** Train centroids on (a sample of) the corpus. Deterministic via seed. */
   /** Persist the trained model: a broadcast-sized (cell_id, centroid)
     * parquet next to the indexed corpus — train once, probe from any
     * session. One file; the model is metadata, not data. */
@@ -58,6 +57,7 @@ object IvfIndex {
     Model(spark.read.parquet(path).orderBy(col("cell_id")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray))
 
+  /** Train centroids on (a sample of) the corpus. Deterministic via seed. */
   def train(embeddings: DataFrame, nlist: Int, dim: Int,
             vecCol: String = "embedding", seed: Long = 42L,
             sampleFraction: Double = 1.0): Model = {

@@ -53,7 +53,16 @@ object Multimodal {
     * decodable image, which routes the row to the byte-stat fallback. The
     * reader is instantiated per call; ImageIO's plugin registry lookup is
     * cached JVM-wide so per-row cost is the decode itself. */
+  // ImageIO's default stream cache spills every payload to a temp FILE;
+  // for in-memory byte[] decoding that is one create/write/delete per row.
+  // JVM-wide setter, applied once on first decode per executor.
+  private lazy val imageIoMemoryOnly: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
   def decodeImage(payload: Array[Byte]): Option[ImageStats] = {
+    imageIoMemoryOnly: Unit
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: java.io.IOException | _: RuntimeException => null }

@@ -120,21 +120,27 @@ object Listener {
           MetadataStore.load(metadataDir, table) match {
             case Some(m) =>
               // Hybrid-view semantics: residual rows live where the key is
-              // ABOVE the HWM; offloaded rows are the complement. A
-              // predicate-based offload's clause is its stored predicate;
-              // a FULL offload has no residual at all.
+              // ABOVE the HWM; offloaded rows are the complement. NULL
+              // keys make BOTH k>hwm and NOT(k>hwm) non-true, so they are
+              // explicitly assigned to the residual side — the two clauses
+              // must partition the table (offloaded UNION residual =
+              // source). A predicate-based offload's clause is its stored
+              // predicate (residual keeps predicate-NULL rows the same
+              // way); a FULL offload has no residual at all.
               val (offloaded, residual) =
                 if (m.incrementalKey.nonEmpty &&
                     m.incrementalHighValue.nonEmpty) {
                   val gt = graft.plan.Boundary.Sql.greaterThanLiterals(
                     m.incrementalKey, m.incrementalHighValue)
-                  (s"NOT ($gt)", gt)
+                  val k0 = m.incrementalKey.head
+                  (s"NOT ($gt) AND $k0 IS NOT NULL",
+                   s"($gt) OR $k0 IS NULL")
                 } else if (m.incrementalPredicateValue.nonEmpty) {
                   val p = m.incrementalPredicateValue
                     .map(v => s"(${graft.predicate.OffloadPredicate.toSql(
                       graft.predicate.OffloadPredicate.parseUnsafe(v))})")
                     .mkString(" OR ")
-                  (p, s"NOT ($p)")
+                  (p, s"NOT COALESCE($p, FALSE)")
                 } else ("TRUE", "FALSE")
               respond(ex, 200,
                 s"""{"source_table": ${q(m.sourceTable)}, """ +

@@ -36,6 +36,18 @@ object Compaction {
     (fs, buf.result())
   }
 
+  /** Hive-style partition columns inferred from the directory layout
+    * (`k=v` path segments of the first data file, in order). A compaction
+    * that flattened these would silently destroy partition pruning. */
+  private def partitionColsOf(dir: Path,
+      files: Seq[org.apache.hadoop.fs.LocatedFileStatus]): Seq[String] =
+    files.headOption.toSeq.flatMap { f =>
+      val rel = f.getPath.toUri.getPath
+        .stripPrefix(dir.toUri.getPath).stripPrefix("/")
+      rel.split('/').dropRight(1).toSeq
+        .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    }
+
   /** Compact `path` in place. `sortCols` re-establishes in-file ordering
     * (e.g. the z-value or sort columns) — a plain repartition would
     * destroy min/max locality. */
@@ -50,14 +62,21 @@ object Compaction {
 
     val df = spark.read.parquet(path)
     val rows = df.count()
+    // preserve a Hive-partitioned layout: flattening k=v directories into
+    // plain files would silently break partition pruning for readers
+    val partCols = partitionColsOf(dir, files)
     val rewritten = {
-      val rep = df.repartition(nFiles)
+      val rep =
+        if (partCols.isEmpty) df.repartition(nFiles)
+        else df.repartition(nFiles, partCols.map(col): _*)
       if (sortCols.isEmpty) rep
       else rep.sortWithinPartitions(sortCols.map(col): _*)
     }
     val tmp = new Path(dir.getParent, dir.getName + "__compact_tmp")
     fs.delete(tmp, true)
-    rewritten.write.parquet(tmp.toString)
+    val writer = rewritten.write
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(tmp.toString)
 
     // swap: old dir out of the way first, new dir in, then drop the old —
     // a failure between the renames leaves a recoverable __compact_old

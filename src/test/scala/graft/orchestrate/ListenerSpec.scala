@@ -90,10 +90,14 @@ class ListenerSpec extends SparkSpec {
       val inc = get(s"$root/api/system/views/orders/")
       assert(inc.statusCode() == 200, inc.body())
       assert(inc.body().contains("\"hybrid_view\": \"orders_hv\""))
+      // NULL-key rows must land on exactly one side (residual) or the
+      // offloaded/residual pair would not partition the table
       assert(inc.body().contains(
-        "\"residual_clause\": \"(o_orderdate > DATE '1998-01-01') OR " +
-        "(o_orderdate = DATE '1998-01-01' AND o_orderkey > 15000)\""))
+        "\"residual_clause\": \"((o_orderdate > DATE '1998-01-01') OR " +
+        "(o_orderdate = DATE '1998-01-01' AND o_orderkey > 15000)) " +
+        "OR o_orderdate IS NULL\""))
       assert(inc.body().contains("\"offloaded_clause\": \"NOT ("))
+      assert(inc.body().contains("AND o_orderdate IS NOT NULL"))
 
       val full = get(s"$root/api/system/views/nation/")
       assert(full.statusCode() == 200)

@@ -158,6 +158,22 @@ class CompactionSpec extends SparkSpec {
     assert(!parent.listFiles().exists(_.getName.contains("__compact")))
   }
 
+  test("compaction preserves a hive-partitioned layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_p").toString + "/t"
+    (1 to 600).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+      .repartition(8).write.partitionBy("g").parquet(dir)
+    val res = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(res.rows == 600L)
+    // k=v directories survive, pruning still works
+    val sub = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("g=")).sorted
+    assert(sub.sameElements(Array("g=g0", "g=g1", "g=g2")))
+    val pruned = spark.read.parquet(dir).filter($"g" === "g1")
+    assert(pruned.count() == 200L)
+    assert(spark.read.parquet(dir).select("id").distinct().count() == 600L)
+  }
+
   test("compaction with sort columns keeps in-file ordering") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_compact_s").toString + "/t"
