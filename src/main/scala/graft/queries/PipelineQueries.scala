@@ -241,6 +241,17 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Semantic dedup clusters: embedding-cosine near-dup pairs closed into
+    // components — the text-side q65 composition applied to the embedding
+    // side (same CC operator, same scale shape).
+    "q79_embed_dedup_clusters" -> { (s, dir) =>
+      val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
+        CosineThreshold, dim = Dim, bucketDims = BucketDims)
+      Dedup.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy(col("vec_id"))
+    },
+
     // Hot-shingle cap: the scale-critical fan-out bound of the Jaccard
     // join (a shingle in k docs yields k·(k−1)/2 pairs) — exercised with a
     // cap the corpus actually crosses. Set sizes stay exact; the capped
@@ -912,5 +923,27 @@ object PipelineQueries {
            WHERE a.vec_id < c.vec_id)
          SELECT id_a, id_b, score FROM scored
          WHERE score >= $CosineThreshold
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+
+    "q79_embed_dedup_clusters" ->
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
+           ${bucketSql("embedding")} AS bucket,
+           sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS nrm
+           FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             (${Similarity.Sql.dot("a.embedding", "c.embedding", Dim)})
+               / (a.nrm * c.nrm) AS score
+           FROM b a JOIN b c USING (bucket)
+           WHERE a.vec_id < c.vec_id),
+         pairs AS (SELECT id_a, id_b FROM scored
+           WHERE score >= $CosineThreshold),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS vec_id, MIN(label) AS cluster_id
+         FROM reach GROUP BY id ORDER BY vec_id""")
 }
