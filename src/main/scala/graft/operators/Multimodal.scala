@@ -84,6 +84,26 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 2×2 RGB PNG whose pixel values derive from `seed` —
+    * all four pixels are (seed%256, (seed*7)%256, (seed*13)%256). Lets a
+    * query round-trip REAL payloads through the production decode and
+    * compare exact pixel stats against an arithmetic oracle (q80): the
+    * encoder's byte output may vary, but PNG is lossless so the DECODED
+    * stats are a pure function of the seed. */
+  def syntheticPng(seed: Long): Array[Byte] = {
+    val r = (seed % 256).toInt
+    val g = ((seed * 7) % 256).toInt
+    val b = ((seed * 13) % 256).toInt
+    val rgb = (r << 16) | (g << 8) | b
+    val im = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    im.setRGB(0, 0, rgb); im.setRGB(1, 0, rgb)
+    im.setRGB(0, 1, rgb); im.setRGB(1, 1, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
   /** STUB decode for kinds whose codecs the JDK lacks (audio/video), and
     * the fallback for undecodable image payloads. Deterministic fake:
     * derives pixel-ish stats from the raw bytes so the pipeline is testable

@@ -308,6 +308,26 @@ object PipelineQueries {
     // Multimodal metadata path with a REAL oracle: the envelope metadata,
     // payload byte counts and thumbnail math are deterministic — only the
     // codec stub's pixel stats stay rows-only (q36).
+    // REAL codec path with a REAL oracle: synthesize a deterministic 2×2
+    // PNG per doc (pixels a pure function of doc_id), round-trip through
+    // the production ImageIO decode, and report exact decoded stats — PNG
+    // is lossless, so the oracle predicts them arithmetically. The decode
+    // runs distributed inside extractFeatures' mapPartitions.
+    "q80_multimodal_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id),
+            9999, 9999, 0)
+        }
+      Multimodal.extractFeatures(media)
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"), col("img_width"),
+          col("img_height"), col("pixel_mean"),
+          col("thumb_width"), col("thumb_height"))
+        .orderBy(col("doc_id"))
+    },
+
     "q66_multimodal_meta" -> { (s, dir) =>
       val feats = Multimodal.extractFeatures(
         Multimodal.fromDocuments(t(s, dir, "documents")))
@@ -924,6 +944,17 @@ object PipelineQueries {
          SELECT id_a, id_b, score FROM scored
          WHERE score >= $CosineThreshold
          ORDER BY id_a, id_b""",
+
+    "q80_multimodal_decode" ->
+      """SELECT doc_id,
+           CAST(2 AS INTEGER) AS img_width,
+           CAST(2 AS INTEGER) AS img_height,
+           CAST(4 * ((doc_id % 256) + ((doc_id * 7) % 256)
+                     + ((doc_id * 13) % 256)) AS DOUBLE) / 12.0
+             AS pixel_mean,
+           CAST(64 AS INTEGER) AS thumb_width,
+           CAST(64 AS INTEGER) AS thumb_height
+         FROM documents ORDER BY doc_id""",
 
     "q79_embed_dedup_clusters" ->
       s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
