@@ -80,4 +80,28 @@ object DatasetOps {
       .select(col(packKey), col(idCol), col("n_tokens"), col("cum_tokens"),
         col("bin"))
   }
+
+  /** Deterministic corpus shuffle + batch assignment: global training
+    * order = rank by `md5(salt|id)` (a seeded permutation that every
+    * engine, run and resumed job agrees on), batch = rank / batchSize.
+    * This is how a training run fixes its data order WITHOUT a
+    * nondeterministic `ORDER BY rand()`: change the salt to get an
+    * independent epoch order.
+    *
+    * Scale note: the rank is one global sort on a uniformly-distributed
+    * hash key (range partitioner splits it evenly — no skew by
+    * construction); at 100 TB, write `partitionBy(epoch_batch)` and
+    * readers stream batches in file order without re-sorting. */
+  def deterministicShuffle(docs: DataFrame, batchSize: Long,
+                           salt: String = "epoch0",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(batchSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    val draw = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val w = Window.orderBy(draw, col(idCol))
+    docs.select(col(idCol), draw.as("draw"))
+      .withColumn("shuffle_rank", row_number().over(w).cast("long"))
+      .withColumn("epoch_batch",
+        ((col("shuffle_rank") - 1) / batchSize).cast("long"))
+  }
 }
