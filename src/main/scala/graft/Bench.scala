@@ -74,6 +74,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, None)) => v }.sum
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$es,"failed":${errs.size},"sf":"$sfDir"}""")
+    // The per-query line grows with every query added; log-tail capture has
+    // truncated its head two rounds running, losing the totals. A short
+    // trailing summary line is always the LAST thing printed, so any tail
+    // window retains it regardless of how long the detail line gets.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"slowest":${ms(results.collect { case (_, (v, None)) => v }.foldLeft(0.0)(math.max))},"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -36,9 +36,34 @@ import graft.meta.{MetadataStore, StatsStore}
   */
 object Listener {
 
-  final case class Server(http: HttpServer) {
+  final case class Server(http: HttpServer,
+                          pool: java.util.concurrent.ExecutorService,
+                          bus: ProgressBus) {
     def port: Int = http.getAddress.getPort
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = { http.stop(0); pool.shutdownNow(); () }
+  }
+
+  /** In-process progress bus — the reference streams live command progress
+    * over a Redis pub/sub channel (`util/redis_tools.py:1-443`,
+    * `listener/services/heartbeat.py:1-115`); a library embedded in the
+    * Spark driver needs only a fan-out queue: publishers are the offload
+    * runner's step observers, subscribers are open SSE responses. Slow
+    * consumers are bounded (1024 events) and drop oldest-first rather than
+    * back-pressuring the offload. */
+  final class ProgressBus {
+    import java.util.concurrent.{CopyOnWriteArrayList, LinkedBlockingQueue}
+    private val subs =
+      new CopyOnWriteArrayList[LinkedBlockingQueue[String]]()
+    def publish(json: String): Unit =
+      subs.forEach { q =>
+        while (!q.offer(json)) q.poll()
+      }
+    def subscribe(): LinkedBlockingQueue[String] = {
+      val q = new LinkedBlockingQueue[String](1024)
+      subs.add(q)
+      q
+    }
+    def unsubscribe(q: LinkedBlockingQueue[String]): Unit = { subs.remove(q); () }
   }
 
   private def esc(s: String): String =
@@ -65,6 +90,25 @@ object Listener {
       .findFirstMatchIn(js).map(_.group(1)
         .replace("\\\"", "\"").replace("\\\\", "\\"))
 
+  /** One persisted command run (begin/end + per-step + per-chunk rows) as
+    * JSON — the audit history the reference serves from its repo tables. */
+  private def runJson(r: graft.meta.CommandAudit.CommandRun): String = {
+    val steps = r.steps.map(s =>
+      s"""{"step": ${q(s.step)}, "status": ${q(s.status)}, """ +
+      s""""start_ts": ${s.startTs}, "end_ts": ${s.endTs.getOrElse(-1L)}, """ +
+      s""""details": ${q(s.details)}}""").mkString("[", ", ", "]")
+    val chunks = r.chunks.map(c =>
+      s"""{"chunk_number": ${c.chunkNumber}, "status": ${q(c.status)}, """ +
+      s""""partitions": ${c.partitions.map(q).mkString("[", ", ", "]")}, """ +
+      s""""row_count": ${c.rowCount.getOrElse(-1L)}}""").mkString("[", ", ", "]")
+    s"""{"execution_id": ${q(r.executionId)}, """ +
+    s""""command_type": ${q(r.commandType)}, """ +
+    s""""command_input": ${q(r.commandInput)}, """ +
+    s""""status": ${q(r.status)}, "start_ts": ${r.startTs}, """ +
+    s""""end_ts": ${r.endTs.getOrElse(-1L)}, """ +
+    s""""steps": $steps, "chunks": $chunks}"""
+  }
+
   private def listTables(metadataDir: String): Seq[String] = {
     val dir = java.nio.file.Paths.get(metadataDir)
     if (!java.nio.file.Files.isDirectory(dir)) Nil
@@ -80,6 +124,11 @@ object Listener {
   def start(spark: SparkSession, metadataDir: String, port: Int = 0,
             token: Option[String] = None): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // the default executor is the single dispatcher thread — an open SSE
+    // stream would starve every other route; hand requests to a pool
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    http.setExecutor(pool)
+    val bus = new ProgressBus
 
     def authed(ex: HttpExchange): Boolean =
       token.forall(t =>
@@ -155,6 +204,45 @@ object Listener {
             case None => respond(ex, 404, """{"detail": "not offloaded"}""")
           }
 
+        case ("GET", List("api", "orchestration", "progress")) =>
+          // Server-sent events: one `data:` frame per published step event.
+          // The stream ends on a command_end frame or after 15 s idle —
+          // clients reconnect (standard SSE semantics).
+          val sub = bus.subscribe()
+          // headers are committed before the loop, so a failure here must
+          // not fall through to the outer respond(500) (headers already
+          // sent): a disconnected client just ends the stream
+          try {
+            ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+            ex.getResponseHeaders.set("Cache-Control", "no-cache")
+            ex.sendResponseHeaders(200, 0)
+            val os = ex.getResponseBody
+            var open = true
+            while (open) {
+              val msg = sub.poll(15, java.util.concurrent.TimeUnit.SECONDS)
+              if (msg == null) open = false
+              else {
+                os.write(("data: " + msg + "\n\n")
+                  .getBytes(StandardCharsets.UTF_8))
+                os.flush()
+                if (msg.contains("\"event\":\"command_end\"")) open = false
+              }
+            }
+            os.close()
+          } catch {
+            case _: java.io.IOException => ()
+          } finally bus.unsubscribe(sub)
+
+        case ("GET", List("api", "orchestration", "runs")) =>
+          respond(ex, 200, graft.meta.CommandAudit.open(metadataDir)
+            .runs().map(runJson).mkString("[", ", ", "]"))
+
+        case ("GET", List("api", "orchestration", "runs", executionId)) =>
+          graft.meta.CommandAudit.open(metadataDir).run(executionId) match {
+            case Some(r) => respond(ex, 200, runJson(r))
+            case None => respond(ex, 404, """{"detail": "no such run"}""")
+          }
+
         case ("GET", List("api", "orchestration", "offloads")) =>
           val all = listTables(metadataDir)
             .flatMap(t => MetadataStore.load(metadataDir, t))
@@ -172,9 +260,11 @@ object Listener {
             StandardCharsets.UTF_8)
           (strField(body, "source"), strField(body, "final")) match {
             case (Some(source), Some(finalPath)) =>
+              val table = strField(body, "table").getOrElse(
+                source.split('/').last.stripSuffix(".parquet"))
+              val execId = graft.meta.CommandAudit.newExecutionId()
               val cfg = OffloadRunner.OffloadConfig(
-                sourceTable = strField(body, "table").getOrElse(
-                  source.split('/').last.stripSuffix(".parquet")),
+                sourceTable = table,
                 sourcePath = source,
                 stagingPath = strField(body, "staging")
                   .getOrElse(finalPath + "_staging"),
@@ -182,8 +272,22 @@ object Listener {
                 metadataDir = strField(body, "meta").getOrElse(metadataDir),
                 predicateDsl = strField(body, "predicate"),
                 incrementalKey = strField(body, "incremental_key")
-                  .map(_.split(',').toSeq).getOrElse(Nil))
-              val steps = OffloadRunner.offload(spark, cfg)
+                  .map(_.split(',').toSeq).getOrElse(Nil),
+                dryRun = strField(body, "dry_run").contains("true"),
+                executionId = Some(execId),
+                // live heartbeat: every step lands on the progress bus as
+                // it completes, while the command is still running
+                progress = Some(sr => bus.publish(
+                  s"""{"event":"step","execution_id":${q(execId)},""" +
+                  s""""table":${q(table)},"step":${q(sr.name)},""" +
+                  s""""ok":${sr.ok},"millis":${sr.millis},""" +
+                  s""""detail":${q(sr.detail)}}""")))
+              bus.publish(s"""{"event":"command_begin",""" +
+                s""""execution_id":${q(execId)},"table":${q(table)}}""")
+              val steps =
+                try OffloadRunner.offload(spark, cfg)
+                finally bus.publish(s"""{"event":"command_end",""" +
+                  s""""execution_id":${q(execId)},"table":${q(table)}}""")
               val js = steps.map(s =>
                 s"""{"step": ${q(s.name)}, "ok": ${s.ok}, """ +
                 s""""detail": ${q(s.detail)}, "millis": ${s.millis}}""")
@@ -202,6 +306,6 @@ object Listener {
 
     http.createContext("/", handle(_))
     http.start()
-    Server(http)
+    Server(http, pool, bus)
   }
 }

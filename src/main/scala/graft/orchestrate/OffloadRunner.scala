@@ -27,24 +27,46 @@ object OffloadRunner {
   final case class StepResult(name: String, ok: Boolean, detail: String,
                               millis: Long)
 
-  final class Runner(dryRun: Boolean) {
+  /** Persisted-audit hookup: when present, every [[Runner.step]] writes
+    * step_begin/step_end rows into the metadata store's command audit —
+    * the reference's `start_command_step`/`end_command_step`
+    * (`orchestration_repo_client.py:331-353`). */
+  final case class AuditContext(audit: graft.meta.CommandAudit,
+                                executionId: String, commandType: String)
+
+  final class Runner(dryRun: Boolean, auditCtx: Option[AuditContext] = None) {
     val results: ArrayBuffer[StepResult] = ArrayBuffer.empty
+    // observers receive each StepResult as it lands (live-progress feed)
+    val observers: ArrayBuffer[StepResult => Unit] = ArrayBuffer.empty
+    private def record(r: StepResult): Unit = {
+      results += r
+      observers.foreach(f => f(r))
+    }
     def step[T](name: String, render: => String)(body: => T): Option[T] = {
       val t0 = System.nanoTime()
+      val stepId = auditCtx.map(a =>
+        a.audit.startStep(a.executionId, a.commandType, name))
       if (dryRun) {
-        results += StepResult(name, ok = true, s"[dry-run] $render", 0L)
+        record(StepResult(name, ok = true, s"[dry-run] $render", 0L))
+        auditCtx.foreach(a => a.audit.endStep(stepId.get,
+          graft.meta.CommandAudit.Success, "[dry-run]"))
         None
       } else {
         try {
           val out = body
-          results += StepResult(name, ok = true, render,
-            (System.nanoTime() - t0) / 1000000L)
+          val detail = render
+          record(StepResult(name, ok = true, detail,
+            (System.nanoTime() - t0) / 1000000L))
+          auditCtx.foreach(a => a.audit.endStep(stepId.get,
+            graft.meta.CommandAudit.Success, detail))
           Some(out)
         } catch {
           case e: Exception =>
-            results += StepResult(name, ok = false,
+            record(StepResult(name, ok = false,
               s"$render FAILED: ${e.getMessage}",
-              (System.nanoTime() - t0) / 1000000L)
+              (System.nanoTime() - t0) / 1000000L))
+            auditCtx.foreach(a => a.audit.endStep(stepId.get,
+              graft.meta.CommandAudit.Error, String.valueOf(e.getMessage)))
             throw e
         }
       }
@@ -71,7 +93,13 @@ object OffloadRunner {
       typeOverrides: graft.types.TypeOverrides = graft.types.TypeOverrides(),
       // BigQuery final-table sink (assembled always; executed only behind
       // spark.graft.bigquery.execute — see BigQuerySink)
-      bigquerySink: Option[graft.sink.BigQuerySink.Config] = None)
+      bigquerySink: Option[graft.sink.BigQuerySink.Config] = None,
+      // Orchestration execution id (the reference's ExecutionId UUID,
+      // `execution_id.py`); generated per command when absent. All audit
+      // rows of one command invocation share it.
+      executionId: Option[String] = None,
+      // live step-progress observer (the listener's SSE feed taps in here)
+      progress: Option[StepResult => Unit] = None)
 
   /** Full offload command: lock → read → (predicate/HWM filter) →
     * transforms + extraction projection → stage → validate → final load →
@@ -80,15 +108,47 @@ object OffloadRunner {
     * `TESTDATA.md` tables play Oracle).
     */
   def offload(spark: SparkSession, cfg: OffloadConfig): Seq[StepResult] =
-    if (cfg.withLock)
-      OffloadLock.withLock(cfg.metadataDir + "/locks", cfg.sourceTable) {
-        _ => runSteps(spark, cfg)
-      }
-    else runSteps(spark, cfg)
+    audited(cfg, "OFFLOAD") { ctx =>
+      if (cfg.withLock)
+        OffloadLock.withLock(cfg.metadataDir + "/locks", cfg.sourceTable) {
+          _ => runSteps(spark, cfg, ctx)
+        }
+      else runSteps(spark, cfg, ctx)
+    }
 
-  private def runSteps(spark: SparkSession, cfg: OffloadConfig)
+  /** Command begin/end audit bracket — the reference's `_command_begin` /
+    * `_command_end` / `_command_fail` (`orchestration_runner.py:139-226`):
+    * one command_begin row up front, a command_end row with
+    * SUCCESS/ERROR when the body returns/throws. */
+  private def audited(cfg: OffloadConfig, commandType: String)
+                     (body: AuditContext => Seq[StepResult])
       : Seq[StepResult] = {
-    val r = new Runner(cfg.dryRun)
+    import graft.meta.CommandAudit
+    val audit = CommandAudit.open(cfg.metadataDir)
+    val execId = cfg.executionId.getOrElse(CommandAudit.newExecutionId())
+    val ctx = AuditContext(audit, execId, commandType)
+    val cid = audit.startCommand(execId, commandType,
+      commandInput = cfg.sourceTable,
+      parameters = Map(
+        "source_path" -> cfg.sourcePath, "final_path" -> cfg.finalPath,
+        "dry_run" -> cfg.dryRun.toString,
+        "incremental_key" -> cfg.incrementalKey.mkString(",")))
+    try {
+      val res = body(ctx)
+      audit.endCommand(cid,
+        if (res.forall(_.ok)) CommandAudit.Success else CommandAudit.Error)
+      res
+    } catch {
+      case e: Throwable =>
+        audit.endCommand(cid, CommandAudit.Error)
+        throw e
+    }
+  }
+
+  private def runSteps(spark: SparkSession, cfg: OffloadConfig,
+                       ctx: AuditContext): Seq[StepResult] = {
+    val r = new Runner(cfg.dryRun, Some(ctx))
+    cfg.progress.foreach(r.observers += _)
     val metrics = new TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
     try runStepsWithMetrics(spark, cfg, r, metrics)
@@ -205,9 +265,9 @@ object OffloadRunner {
         Thread.sleep(50)
         settle += 1
       }
-      r.results += StepResult("task_metrics", ok = true,
+      r.step("task_metrics",
         s"recordsWritten=${metrics.totalRecordsWritten} " +
-          s"tasks=${metrics.snapshot.length}", 0L)
+          s"tasks=${metrics.snapshot.length}")(())
     }
 
     r.results.toSeq
@@ -233,6 +293,36 @@ object OffloadRunner {
                      // everything already committed, returns — WITHOUT
                      // touching the source at all.
                      planFromCopiedStats: Boolean = false)
+      : Seq[Seq[StepResult]] = {
+    import graft.meta.CommandAudit
+    val audit = CommandAudit.open(cfg.metadataDir)
+    val execId = cfg.executionId.getOrElse(CommandAudit.newExecutionId())
+    val ctx = AuditContext(audit, execId, "OFFLOAD")
+    val cid = audit.startCommand(execId, "OFFLOAD",
+      commandInput = cfg.sourceTable,
+      parameters = Map(
+        "source_path" -> cfg.sourcePath, "final_path" -> cfg.finalPath,
+        "chunked" -> "true", "max_rows_per_chunk" -> maxRowsPerChunk.toString))
+    try {
+      val res = offloadChunkedBody(spark, cfg, chunkKeyCol, hwmCol,
+        maxRowsPerChunk, planFromCopiedStats, ctx)
+      audit.endCommand(cid,
+        if (res.forall(_.forall(_.ok))) CommandAudit.Success
+        else CommandAudit.Error)
+      res
+    } catch {
+      case e: Throwable =>
+        audit.endCommand(cid, CommandAudit.Error)
+        throw e
+    }
+  }
+
+  private def offloadChunkedBody(spark: SparkSession, cfg: OffloadConfig,
+                                 chunkKeyCol: String => org.apache.spark.sql.Column,
+                                 hwmCol: String,
+                                 maxRowsPerChunk: Long,
+                                 planFromCopiedStats: Boolean,
+                                 ctx: AuditContext)
       : Seq[Seq[StepResult]] = {
     require(cfg.incrementalKey == Seq(hwmCol),
       "chunked offload drives the HWM through hwmCol")
@@ -349,12 +439,15 @@ object OffloadRunner {
     }
     val chunks = graft.plan.PartitionPlanner.chunk(
       parts, maxBytes = maxRowsPerChunk, maxCount = Int.MaxValue)
-    chunks.map { chunk =>
+    chunks.zipWithIndex.map { case (chunk, chunkIdx) =>
       val keys = chunk.names
       val chunkCfg = cfg.copy(predicateDsl = None)
-      val r = new Runner(cfg.dryRun)
+      val r = new Runner(cfg.dryRun, Some(ctx))
+      cfg.progress.foreach(r.observers += _)
       val metrics = new TaskMetricsListener
       spark.sparkContext.addSparkListener(metrics)
+      // start_offload_chunk/end_offload_chunk, chunk_number starts at 1
+      val chunkId = ctx.audit.startChunk(ctx.executionId, chunkIdx + 1, keys)
       try {
         val keyed = source.filter(chunkKeyCol(hwmCol).isInCollection(keys))
         // pushable range conjunct when every key has observed bounds
@@ -372,7 +465,13 @@ object OffloadRunner {
           } else keyed
         r.step("chunk_plan", s"keys=${keys.mkString(",")}")(())
         runChunkSlice(spark, chunkCfg, r, slice, keys)
+        ctx.audit.endChunk(chunkId, graft.meta.CommandAudit.Success,
+          rowCount = Some(metrics.totalRecordsWritten))
         r.results.toSeq
+      } catch {
+        case e: Throwable =>
+          ctx.audit.endChunk(chunkId, graft.meta.CommandAudit.Error)
+          throw e
       } finally spark.sparkContext.removeSparkListener(metrics)
     }
   }

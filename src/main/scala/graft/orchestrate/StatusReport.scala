@@ -148,6 +148,25 @@ object StatusReport {
     }
   }
 
+  /** Persisted run history (the reference reports command executions from
+    * its repo tables; here they come from the metadata store's command
+    * audit). One row per command execution, newest first. */
+  final case class RunRow(
+      execution_id: String, command_type: String, command_input: String,
+      status: String, start_ts: Long, end_ts: Long,
+      steps: Long, failed_steps: Long, chunks: Long, rows_written: Long)
+
+  def runHistory(metadataDir: String): Seq[RunRow] =
+    graft.meta.CommandAudit.open(metadataDir).runs().map { r =>
+      RunRow(r.executionId, r.commandType, r.commandInput, r.status,
+        r.startTs, r.endTs.getOrElse(-1L),
+        steps = r.steps.length,
+        failed_steps =
+          r.steps.count(_.status == graft.meta.CommandAudit.Error),
+        chunks = r.chunks.length,
+        rows_written = r.chunks.flatMap(_.rowCount).sum)
+    }
+
   /** Fleet totals (the reference's SUMMARY_KEYS block). */
   def summary(rows: Seq[StatusRow]): Summary =
     Summary(

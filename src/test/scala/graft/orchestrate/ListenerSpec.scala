@@ -111,6 +111,33 @@ class ListenerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("runs endpoint serves persisted command audit history") {
+    val base = Files.createTempDirectory("graft_listener_runs").toString
+    val steps = OffloadRunner.offload(spark, OffloadRunner.OffloadConfig(
+      sourceTable = "region",
+      sourcePath = sf("sf0.001") + "/region.parquet",
+      stagingPath = s"$base/staging", finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      executionId = Some("exec-listener-1")))
+    assert(steps.forall(_.ok))
+
+    val srv = Listener.start(spark, s"$base/meta")
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val all = get(s"$root/api/orchestration/runs/")
+      assert(all.statusCode() == 200, all.body())
+      assert(all.body().contains("\"execution_id\": \"exec-listener-1\""))
+      assert(all.body().contains("\"command_type\": \"OFFLOAD\""))
+      assert(all.body().contains("\"status\": \"SUCCESS\""))
+      assert(all.body().contains("\"step\": \"stage_and_load\""))
+
+      val one = get(s"$root/api/orchestration/runs/exec-listener-1/")
+      assert(one.statusCode() == 200)
+      assert(one.body().contains("\"command_input\": \"region\""))
+      assert(get(s"$root/api/orchestration/runs/ghost/").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("token auth guards every route; POST offload runs end-to-end") {
     val base = Files.createTempDirectory("graft_listener_post").toString
     val srv = Listener.start(spark, s"$base/meta", token = Some("s3cret"))

@@ -282,6 +282,76 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/final").count() == src.count())
   }
 
+  test("command audit persists begin/end/step rows across store re-opens") {
+    import graft.meta.CommandAudit
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "region",
+      sourcePath = sf("sf0.001") + "/region.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      executionId = Some("exec-spec-1"))
+    val steps = OffloadRunner.offload(spark, cfg)
+    assert(steps.forall(_.ok))
+    // re-open the store fresh — the audit must come from disk, not memory
+    // (the reference's repo outlives any one process; so does this file)
+    val runs = CommandAudit.open(s"$base/meta").runs()
+    assert(runs.length == 1)
+    val run = runs.head
+    assert(run.executionId == "exec-spec-1")
+    assert(run.commandType == "OFFLOAD")
+    assert(run.commandInput == "region")
+    assert(run.status == CommandAudit.Success)
+    assert(run.endTs.exists(_ >= run.startTs))
+    assert(run.steps.map(_.step) == steps.map(_.name))
+    assert(run.steps.forall(_.status == CommandAudit.Success))
+    assert(run.steps.forall(s => s.endTs.exists(_ >= s.startTs)))
+  }
+
+  test("failed command audits ERROR on the failing step and the command") {
+    import graft.meta.CommandAudit
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "missing",
+      sourcePath = s"$base/no_such.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta")
+    intercept[Exception] { OffloadRunner.offload(spark, cfg) }
+    val runs = CommandAudit.open(s"$base/meta").runs()
+    assert(runs.length == 1)
+    assert(runs.head.status == CommandAudit.Error)
+  }
+
+  test("chunked offload audits one chunk row per chunk with row counts") {
+    import graft.meta.CommandAudit
+    val base = tmpBase()
+    val cfg = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = s"$base/meta",
+      incrementalKey = Seq("l_shipdate"))
+    val chunkRuns = OffloadRunner.offloadChunked(spark, cfg,
+      c => date_format(col(c), "yyyy-MM"), hwmCol = "l_shipdate",
+      maxRowsPerChunk = 2000L)
+    assert(chunkRuns.length > 1)
+    val run = CommandAudit.open(s"$base/meta").runs().head
+    assert(run.status == CommandAudit.Success)
+    assert(run.chunks.length == chunkRuns.length)
+    assert(run.chunks.map(_.chunkNumber) == (1 to chunkRuns.length))
+    assert(run.chunks.forall(_.status == CommandAudit.Success))
+    assert(run.chunks.forall(_.partitions.nonEmpty))
+    // recordsWritten per chunk: staging + final writes — strictly positive
+    assert(run.chunks.forall(_.rowCount.exists(_ > 0)))
+    // run history summary rolls the same rows up
+    val hist = StatusReport.runHistory(s"$base/meta")
+    assert(hist.length == 1 && hist.head.chunks == chunkRuns.length)
+    assert(hist.head.rows_written > 0 && hist.head.failed_steps == 0)
+  }
+
   test("metadata json round-trips") {
     import graft.meta.OffloadMetadata
     val m = OffloadMetadata("src.t", "backend.t", "INCREMENTAL",
