@@ -43,10 +43,23 @@ object CommandAudit {
       startTs: Long, endTs: Option[Long],
       steps: Seq[StepRun], chunks: Seq[ChunkRun])
 
-  def open(dir: String): CommandAudit = new CommandAudit(dir)
+  /** One instance per metadata dir, process-wide. Two concurrent commands
+    * (the listener's thread pool locks per-*table*, so offloads of
+    * different tables into one metadata dir overlap) must share the id
+    * counter and the append lock — separate instances would seed the same
+    * max id from the file and emit colliding event ids, cross-wiring run
+    * histories when `runs()` folds end events by id. Keyed on the
+    * canonical absolute path so `dir` spelling variants can't split. */
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[String, CommandAudit]()
+
+  def open(dir: String): CommandAudit = {
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString
+    instances.computeIfAbsent(key, k => new CommandAudit(k))
+  }
 }
 
-final class CommandAudit(dir: String) {
+final class CommandAudit private (dir: String) {
   import CommandAudit._
 
   private val path = Paths.get(dir, "command_audit.jsonl")

@@ -88,20 +88,46 @@ object DatasetOps {
     * nondeterministic `ORDER BY rand()`: change the salt to get an
     * independent epoch order.
     *
-    * Scale note: the rank is one global sort on a uniformly-distributed
-    * hash key (range partitioner splits it evenly — no skew by
-    * construction); at 100 TB, write `partitionBy(epoch_batch)` and
-    * readers stream batches in file order without re-sorting. */
+    * Scale shape: the global rank is computed WITHOUT a global sort or an
+    * unpartitioned window (either would serialize the corpus through one
+    * task). The first 8 hex digits of the draw split the hash space into
+    * `shuffleBuckets` ordered, uniformly-filled ranges (lowercase hex
+    * orders lexicographically = numerically, so bucket boundaries respect
+    * draw order). Rank = per-bucket `row_number` (parallel across
+    * buckets) + the running offset of earlier buckets' counts — the
+    * offset table is `shuffleBuckets` rows, broadcast back. The result is
+    * identical to `row_number() OVER (ORDER BY draw, id)` on any engine
+    * and any partition layout. At 100 TB, write
+    * `partitionBy(epoch_batch)` and readers stream batches in file order
+    * without re-sorting. */
   def deterministicShuffle(docs: DataFrame, batchSize: Long,
                            salt: String = "epoch0",
-                           idCol: String = "doc_id"): DataFrame = {
-    require(batchSize > 0)
-    import org.apache.spark.sql.expressions.Window
+                           idCol: String = "doc_id",
+                           shuffleBuckets: Int = 256): DataFrame = {
+    require(batchSize > 0 && shuffleBuckets > 0)
     val draw = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
-    val w = Window.orderBy(draw, col(idCol))
-    docs.select(col(idCol), draw.as("draw"))
-      .withColumn("shuffle_rank", row_number().over(w).cast("long"))
+    // bucket = floor(prefix32 / 2^32 * buckets): a pure function of the
+    // draw, monotone in draw order — never of the physical partitioning
+    val keyed = docs.select(col(idCol), draw.as("draw"))
+      .withColumn("bucket",
+        (conv(substring(col("draw"), 1, 8), 16, 10).cast("long")
+          * shuffleBuckets / 4294967296L).cast("int"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // counts is `shuffleBuckets` rows (metadata scale) — the unpartitioned
+    // running-sum window over it is bounded by construction
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_offset", sum(col("n")).over(wOff) - col("n"))
+      .select(col("bucket"), col("bucket_offset"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("draw"), col(idCol))
+    keyed
+      .withColumn("bucket_rank", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("shuffle_rank", col("bucket_offset") + col("bucket_rank"))
       .withColumn("epoch_batch",
         ((col("shuffle_rank") - 1) / batchSize).cast("long"))
+      .select(col(idCol), col("draw"), col("shuffle_rank"), col("epoch_batch"))
   }
 }

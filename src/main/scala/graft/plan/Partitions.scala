@@ -225,3 +225,49 @@ object OffloadType {
       case (Some(_), t) => Right(t)
     }
 }
+
+/** Cumulative chunk planning over an ordered partition catalog, computed
+  * WITHOUT an unpartitioned window (which would serialize the whole catalog
+  * through one task — fine at 83 partitions, not at 100k).
+  *
+  * Shape: running sums are taken per `groupOf(key)` (a fixed-length key
+  * prefix by default — monotone in key order, so group order == key order),
+  * in parallel across groups; the per-group running offset is a window over
+  * the group-totals AGGREGATE (group-count rows, metadata scale) broadcast
+  * back. Result is identical to `SUM(n) OVER (ORDER BY key)` on any engine
+  * and layout. Mirrors the reference's chunking of the partition catalog
+  * (`offload_source_data.py:374-709`) which pages through partitions
+  * without ever sorting them in one place.
+  */
+object CumulativeChunks {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  /** @param parts one row per source partition: (keyCol, nCol)
+    * @param groupOf MUST be monotone non-decreasing in `keyCol` order
+    *                (a fixed-length prefix is, for equal-length keys). */
+  def plan(parts: DataFrame, keyCol: String, nCol: String,
+           maxRowsPerChunk: Long,
+           groupOf: Column => Column = substring(_, 1, 4)): DataFrame = {
+    require(maxRowsPerChunk > 0)
+    val grouped = parts.withColumn("part_group", groupOf(col(keyCol)))
+    val wIn = Window.partitionBy(col("part_group")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("part_group"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = grouped.groupBy(col("part_group"))
+      .agg(sum(col(nCol)).as("group_n"))
+      .withColumn("group_offset",
+        sum(col("group_n")).over(wOff) - col("group_n"))
+      .select(col("part_group"), col("group_offset"))
+    grouped
+      .withColumn("cum_in_group", sum(col(nCol)).over(wIn))
+      .join(broadcast(offsets), "part_group")
+      .withColumn("cum_rows",
+        (col("group_offset") + col("cum_in_group")).cast("long"))
+      .withColumn("chunk",
+        floor((col("cum_rows") - 1) / maxRowsPerChunk).cast("long"))
+      .drop("part_group", "cum_in_group", "group_offset")
+  }
+}

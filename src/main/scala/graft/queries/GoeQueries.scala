@@ -280,17 +280,16 @@ object GoeQueries {
         count(lit(1)).as("n_rows"))
     },
 
+    // Cumulative chunk plan over the partition catalog — per-group (year
+    // prefix) running sums + a broadcast running offset, never an
+    // unpartitioned window: the same plan holds on a 100k-partition
+    // catalog (CumulativeChunksSpec proves equality at that scale).
     "q21_chunk_plan" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val parts = t(s, dir, "lineitem")
         .groupBy(SyntheticPartition.dateStringKey(col("l_shipdate"), "M")
           .as("part_month"))
         .agg(count(lit(1)).as("n_rows"))
-      val w = Window.orderBy(col("part_month"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      parts
-        .withColumn("cum_rows", sum(col("n_rows")).over(w))
-        .withColumn("chunk", floor((col("cum_rows") - 1) / lit(20000)))
+      graft.plan.CumulativeChunks.plan(parts, "part_month", "n_rows", 20000L)
         .orderBy(col("part_month"))
     },
 

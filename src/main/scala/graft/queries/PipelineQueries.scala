@@ -132,6 +132,21 @@ object PipelineQueries {
         .orderBy(col("lang"), col("bin"))
     },
 
+    // Deterministic epoch shuffle: seeded md5 permutation → batch ids,
+    // computed with bucketed per-partition ranks + a broadcast running
+    // offset (never a global sort / unpartitioned window) — identical to
+    // ROW_NUMBER() OVER (ORDER BY draw, id) on any engine or layout.
+    "q81_deterministic_shuffle" -> { (s, dir) =>
+      graft.operators.DatasetOps.deterministicShuffle(
+          t(s, dir, "documents"), batchSize = 64L)
+        .groupBy(col("epoch_batch"))
+        .agg(count(lit(1)).as("n"),
+          min(col("shuffle_rank")).as("min_rank"),
+          max(col("shuffle_rank")).as("max_rank"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("epoch_batch"))
+    },
+
     // Transitive dedup clusters: LSH candidate pairs closed into connected
     // components (cluster id = min doc id in the component).
     "q65_dedup_clusters" -> { (s, dir) =>
@@ -618,6 +633,20 @@ object PipelineQueries {
          SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id
          FROM s GROUP BY split ORDER BY split"""
     },
+
+    "q81_deterministic_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+           md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS draw
+           FROM documents),
+         r AS (SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY draw, doc_id) AS shuffle_rank
+           FROM d)
+         SELECT CAST(FLOOR((shuffle_rank - 1) / 64.0) AS BIGINT)
+             AS epoch_batch,
+           COUNT(*) AS n, MIN(shuffle_rank) AS min_rank,
+           MAX(shuffle_rank) AS max_rank,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM r GROUP BY 1 ORDER BY epoch_batch""",
 
     "q63_sequence_packing" ->
       """WITH t AS (SELECT lang, doc_id,

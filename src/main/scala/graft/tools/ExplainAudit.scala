@@ -1,11 +1,63 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical._
 
-/** Plan auditor: prints the formatted physical plan of selected queries so
-  * pushdown / broadcast / partition-count properties can be reviewed (and
-  * regressions spotted) without a cluster run. */
+/** Plan auditor: mechanical checks for the scale-unsafe shapes that pass a
+  * small-SF correctness gate but serialize or explode on a real cluster —
+  * cartesian products between row-scale inputs, and unpartitioned windows
+  * whose input is not provably bounded (an unpartitioned window moves its
+  * ENTIRE input through one task).
+  *
+  * Used two ways: `ExplainAuditSpec` runs [[audit]] over every
+  * `SparkEntry.queries` plan in CI, and [[main]] prints formatted plans for
+  * eyeball review of pushdown / broadcast / partition-count properties.
+  *
+  * Broadcast choice is deliberately NOT audited here: the Catalyst planner
+  * broadcasts any equi-join side whose estimated size is below
+  * `spark.sql.autoBroadcastJoinThreshold`, and AQE re-plans at runtime from
+  * observed sizes — flagging SortMergeJoins on estimated stats would only
+  * second-guess the engine with weaker information.
+  */
 object ExplainAudit {
+
+  final case class Finding(query: String, kind: String, detail: String) {
+    override def toString: String = s"[$query] $kind: $detail"
+  }
+
+  /** Audit the optimized logical plan for scale-unsafe shapes. */
+  def audit(df: DataFrame, name: String): Seq[Finding] = {
+    val findings = Seq.newBuilder[Finding]
+    df.queryExecution.optimizedPlan.foreach {
+      // an explicit broadcast hint marks a reviewed choice (e.g. q33
+      // fanning one query vector across the corpus): shuffle-free and
+      // linear in the big side, not a cartesian blow-up
+      case j: Join if j.condition.isEmpty
+          && !(bounded(j.left) || bounded(j.right))
+          && !Seq(j.hint.leftHint, j.hint.rightHint).flatten
+            .exists(_.strategy.contains(BROADCAST)) =>
+        findings += Finding(name, "cartesian_product", j.simpleString(120))
+      case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        findings += Finding(name, "global_window", w.simpleString(120))
+      case _ =>
+    }
+    findings.result()
+  }
+
+  /** Is this subtree's row count bounded by construction — i.e. has every
+    * row already passed through an aggregation / limit / literal relation
+    * (metadata scale), with no downstream re-inflation? Conservative:
+    * generators and expansions reset to unbounded; leaves other than
+    * literal relations are unbounded. */
+  private def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case _: GlobalLimit | _: LocalLimit => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case _: Generate | _: Expand => false
+    case j: Join => bounded(j.left) && bounded(j.right)
+    case _ => p.children.nonEmpty && p.children.forall(bounded)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -26,9 +78,10 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      println(graft.SparkEntry.queries(n)(spark, dir)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      audit(df, n).foreach(f => println(s"!! $f"))
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

@@ -51,6 +51,40 @@ class DatasetOpsSpec extends SparkSpec {
     assert(other != ids1)
   }
 
+  test("deterministicShuffle equals the global rank on any partition layout") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    // the reference semantics: one global row_number over (draw, id) —
+    // correct but single-task; the operator must reproduce it exactly
+    val draw = md5(concat(lit("epoch0|"), col("doc_id").cast("string")))
+    val naive = docs.select(col("doc_id"), draw.as("draw"))
+      .withColumn("shuffle_rank",
+        row_number().over(Window.orderBy(col("draw"), col("doc_id")))
+          .cast("long"))
+      .withColumn("epoch_batch",
+        ((col("shuffle_rank") - 1) / 64).cast("long"))
+      .select("doc_id", "shuffle_rank", "epoch_batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def got(df: org.apache.spark.sql.DataFrame, buckets: Int) =
+      DatasetOps.deterministicShuffle(df, 64L, shuffleBuckets = buckets)
+        .select("doc_id", "shuffle_rank", "epoch_batch")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    assert(got(docs, 256).sameElements(naive))
+    // partition layout must not change the permutation
+    assert(got(docs.repartition(7), 256).sameElements(naive))
+    assert(got(docs.repartition(1), 256).sameElements(naive))
+    // bucket count is an internal knob, not a semantic one
+    assert(got(docs, 3).sameElements(naive))
+    assert(got(docs, 100000).sameElements(naive))
+    // scale shape: no unpartitioned window over a row-scale input — the
+    // only global window allowed is the one over the bucket-count agg
+    val audited = graft.tools.ExplainAudit.audit(
+      DatasetOps.deterministicShuffle(docs, 64L), "deterministic_shuffle")
+    assert(audited.isEmpty, audited.mkString("\n"))
+  }
+
   test("packSequences: contiguous bins, budget respected, oversized isolated") {
     val docs = Seq(
       (1L, "en", "a b c"),            // 3 tokens

@@ -352,6 +352,45 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(hist.head.rows_written > 0 && hist.head.failed_steps == 0)
   }
 
+  test("concurrent offloads of different tables keep uncrossed audit histories") {
+    import graft.meta.CommandAudit
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val base = tmpBase()
+    def cfgFor(table: String) = OffloadRunner.OffloadConfig(
+      sourceTable = table,
+      sourcePath = sf("sf0.001") + s"/$table.parquet",
+      stagingPath = s"$base/staging/$table",
+      finalPath = s"$base/final/$table",
+      metadataDir = s"$base/meta")
+    // the listener's pool locks per-table, so two offloads of DIFFERENT
+    // tables into one metadata dir genuinely overlap — this used to seed
+    // two CommandAudit instances with the same max id and cross-wire the
+    // folded run histories (a step/end from command A landing on B)
+    val fa = Future(OffloadRunner.offload(spark, cfgFor("region")))
+    val fb = Future(OffloadRunner.offload(spark, cfgFor("nation")))
+    val (sa, sb) = (Await.result(fa, 180.seconds), Await.result(fb, 180.seconds))
+    assert(sa.forall(_.ok), sa.mkString("\n"))
+    assert(sb.forall(_.ok), sb.mkString("\n"))
+    val runs = CommandAudit.open(s"$base/meta").runs()
+    assert(runs.length == 2)
+    assert(runs.map(_.commandInput).toSet == Set("region", "nation"))
+    runs.foreach { r =>
+      assert(r.status == CommandAudit.Success, r.toString)
+      assert(r.endTs.exists(_ >= r.startTs))
+      assert(r.steps.nonEmpty && r.steps.forall(_.status == CommandAudit.Success))
+    }
+    // every event id in the shared log is unique — the collision fixed by
+    // the per-dir singleton in CommandAudit.open
+    val ids = runs.flatMap(r =>
+      r.commandId +: (r.steps.map(_.stepId) ++ r.chunks.map(_.chunkId)))
+    assert(ids.distinct.length == ids.length, s"duplicate event ids: $ids")
+    // step lists are per-execution and must not leak across commands
+    val steps = runs.map(r => r.executionId -> r.steps.map(_.step)).toMap
+    assert(steps.size == 2 && steps.values.forall(_.nonEmpty))
+  }
+
   test("metadata json round-trips") {
     import graft.meta.OffloadMetadata
     val m = OffloadMetadata("src.t", "backend.t", "INCREMENTAL",
