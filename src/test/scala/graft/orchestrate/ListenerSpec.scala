@@ -138,6 +138,77 @@ class ListenerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("SSE progress stream delivers step frames before command_end") {
+    val base = Files.createTempDirectory("graft_listener_sse").toString
+    val srv = Listener.start(spark, s"$base/meta")
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      // open the stream first; the handler subscribes to the bus BEFORE
+      // committing response headers, so once sendAsync completes (headers
+      // received) the subscription is live and no published frame can be
+      // missed by this client
+      val resp = client.sendAsync(
+        HttpRequest.newBuilder(URI.create(s"$root/api/orchestration/progress/"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofLines()).join()
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Content-Type")
+        .orElse("").startsWith("text/event-stream"))
+      val frames = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val reader = new Thread(() =>
+        resp.body().forEach(l => if (l.startsWith("data: ")) {
+          frames.add(l.stripPrefix("data: ")); ()
+        }))
+      reader.setDaemon(true)
+      reader.start()
+
+      // a dry-run offload publishes begin, per-step and end frames live
+      val posted = post(s"$root/api/orchestration/offload/",
+        s"""{"source": "${sf("sf0.001")}/region.parquet",
+           | "table": "region",
+           | "final": "$base/final",
+           | "meta": "$base/meta",
+           | "dry_run": "true"}""".stripMargin)
+      assert(posted.statusCode() == 200, posted.body())
+
+      val seen = scala.collection.mutable.Buffer[String]()
+      var done = false
+      while (!done) {
+        val f = frames.poll(20, java.util.concurrent.TimeUnit.SECONDS)
+        assert(f != null, s"stream stalled after: ${seen.mkString("; ")}")
+        seen += f
+        if (f.contains("\"event\":\"command_end\"")) done = true
+      }
+      reader.join(5000)
+
+      assert(seen.head.contains("\"event\":\"command_begin\""))
+      val stepIdx = seen.indexWhere(_.contains("\"event\":\"step\""))
+      val endIdx = seen.indexWhere(_.contains("\"event\":\"command_end\""))
+      assert(stepIdx > 0, s"no step frame in: ${seen.mkString("; ")}")
+      assert(stepIdx < endIdx, "step frames must precede command_end")
+      assert(endIdx == seen.length - 1, "stream must close at command_end")
+      assert(seen(stepIdx).contains("\"table\":\"region\"") &&
+        seen(stepIdx).contains("\"ok\":true"))
+    } finally srv.stop()
+  }
+
+  test("progress bus bounds slow consumers: 1024 events, drop oldest") {
+    val bus = new Listener.ProgressBus
+    val sub = bus.subscribe()
+    (1 to 1500).foreach(i => bus.publish(s"e$i"))
+    assert(sub.size() == 1024)
+    // the 476 oldest events were dropped; the head is e477, tail e1500
+    assert(sub.peek() == "e477")
+    val drained = new java.util.ArrayList[String]()
+    sub.drainTo(drained)
+    assert(drained.get(drained.size() - 1) == "e1500")
+    // a fresh subscriber sees nothing retroactively
+    val late = bus.subscribe()
+    bus.publish("post")
+    assert(late.poll() == "post" && late.poll() == null)
+    bus.unsubscribe(sub); bus.unsubscribe(late)
+  }
+
   test("token auth guards every route; POST offload runs end-to-end") {
     val base = Files.createTempDirectory("graft_listener_post").toString
     val srv = Listener.start(spark, s"$base/meta", token = Some("s3cret"))
