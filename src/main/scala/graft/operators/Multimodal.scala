@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * North-star extension. IMAGE decode is REAL — the JDK's `javax.imageio`
   * reads PNG/JPEG/GIF/BMP with no extra dependency, so image rows get true
-  * width/height/pixel stats ([[decodeImage]]). Audio/video codecs do not
-  * ship with the JDK, so those kinds keep a deterministic byte-stat STUB
-  * (clearly marked below); everything Spark-side — schema, typed Datasets,
-  * partition-wise batching, output shape — is real and tested. Swapping the
-  * remaining stub for an ffmpeg JNI call changes one function.
+  * width/height/pixel stats ([[decodeImage]]). AUDIO decode is REAL for the
+  * formats the JDK ships codecs for — WAV/AIFF/AU via `javax.sound.sampled`
+  * ([[decodeAudio]]): true sample rate, channel count, frame count and
+  * sample RMS. Video codecs do not ship with the JDK, so that kind keeps a
+  * deterministic byte-stat STUB (clearly marked below); everything
+  * Spark-side — schema, typed Datasets, partition-wise batching, output
+  * shape — is real and tested. Swapping the remaining stub for an ffmpeg
+  * JNI call changes one function.
   *
   * Scale shape: `mapPartitions` keeps the decode batched per task (amortises
   * model/codec init once per partition, the same reason PySpark pipelines use
@@ -43,7 +46,11 @@ object Multimodal {
       decoded: Boolean,        // true iff a real codec parsed the payload
       img_width: Int,          // decoded dimensions (-1 when not decoded)
       img_height: Int,
-      pixel_mean: Double)      // mean RGB channel value (-1.0 when not decoded)
+      pixel_mean: Double,      // mean RGB channel value (-1.0 when not decoded)
+      aud_sample_rate: Int,    // decoded audio stats (-1 when not decoded)
+      aud_channels: Int,
+      aud_frames: Long,
+      aud_rms: Double)         // RMS over 16-bit PCM samples
 
   /** Decoded-image stats (real codec output). */
   final case class ImageStats(width: Int, height: Int, pixelMean: Double)
@@ -104,12 +111,82 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB decode for kinds whose codecs the JDK lacks (audio/video), and
-    * the fallback for undecodable image payloads. Deterministic fake:
+  /** Decoded-audio stats (real codec output). */
+  final case class AudioStats(sampleRate: Int, channels: Int, frames: Long,
+                              rms: Double)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU —
+    * zero new dependencies). The stream is normalized to 16-bit signed
+    * little-endian PCM first so the RMS math is uniform across encodings
+    * (8-bit, big-endian, u-law). Returns None when the payload is not a
+    * decodable audio file, routing the row to the byte-stat fallback. */
+  def decodeAudio(payload: Array[Byte]): Option[AudioStats] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val raw =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => null
+      }
+    Option(raw).flatMap { in =>
+      try {
+        val fmt = in.getFormat
+        val ch = fmt.getChannels
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, ch, ch * 2, fmt.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val samples = bytes.length / 2
+        var sumSq = 0.0
+        var i = 0
+        while (i < samples) {
+          val s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+          sumSq += s.toDouble * s.toDouble
+          i += 1
+        }
+        val frames = samples.toLong / math.max(ch, 1)
+        if (frames <= 0) None
+        else Some(AudioStats(fmt.getSampleRate.toInt, ch, frames,
+          math.sqrt(sumSq / samples)))
+      } catch { case _: Exception => None }
+      finally in.close()
+    }
+  }
+
+  /** Deterministic mono 16-bit 8 kHz WAV whose decoded stats derive from
+    * `seed`: `160 + (seed%16)*10` frames of an alternating ±amplitude
+    * square wave with `amplitude = (seed%1000)+100`. PCM is lossless, so
+    * the DECODED frame count is the frame count and the sample RMS is
+    * exactly the amplitude — an arithmetic oracle can predict both (q82),
+    * mirroring [[syntheticPng]]/q80. */
+  def syntheticWav(seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val amp = ((seed % 1000) + 100).toInt
+    val frames = (160 + (seed % 16) * 10).toInt
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = if (i % 2 == 0) amp else -amp
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** STUB decode for kinds whose codecs the JDK lacks (video), and the
+    * fallback for undecodable image/audio payloads. Deterministic fake:
     * derives pixel-ish stats from the raw bytes so the pipeline is testable
     * end-to-end without codecs. */
   private def decodeStub(payload: Array[Byte]): (Double, Long) = {
-    // ??? <- real codec call goes here (ffmpeg JNI for audio/video)
+    // ??? <- real codec call goes here (ffmpeg JNI for video)
     var sum = 0L
     var bits = 0L
     var i = 0
@@ -131,8 +208,9 @@ object Multimodal {
     else (math.max(1, math.round(box.toDouble * w / h).toInt), box)
 
   /** Batched feature extraction over the media payload. Image rows run the
-    * real ImageIO decode; when it succeeds, thumbnail math uses the TRUE
-    * decoded dimensions instead of the envelope metadata. */
+    * real ImageIO decode, audio rows the real javax.sound decode; when a
+    * decode succeeds, thumbnail math uses the TRUE decoded dimensions
+    * instead of the envelope metadata. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -140,14 +218,19 @@ object Multimodal {
       rows.map { r =>
         val (mean, entropyQ) = decodeStub(r.payload)
         val img = if (r.kind == "image") decodeImage(r.payload) else None
+        val aud = if (r.kind == "audio") decodeAudio(r.payload) else None
         val (w, h) = img.map(s => (s.width, s.height))
           .getOrElse((r.meta_width, r.meta_height))
         val (tw, th) = thumbBox(w, h)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean,
-          entropyQ, tw, th, img.isDefined,
+          entropyQ, tw, th, img.isDefined || aud.isDefined,
           img.map(_.width).getOrElse(-1),
           img.map(_.height).getOrElse(-1),
-          img.map(_.pixelMean).getOrElse(-1.0))
+          img.map(_.pixelMean).getOrElse(-1.0),
+          aud.map(_.sampleRate).getOrElse(-1),
+          aud.map(_.channels).getOrElse(-1),
+          aud.map(_.frames).getOrElse(-1L),
+          aud.map(_.rms).getOrElse(-1.0))
       }
     }
   }

@@ -343,6 +343,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL audio-codec path with a REAL oracle (mirror of q80): synthesize
+    // a deterministic square-wave WAV per doc (amplitude and frame count
+    // pure functions of doc_id), round-trip through the production
+    // javax.sound decode, and report exact decoded stats — PCM is
+    // lossless, so RMS == amplitude and the oracle predicts everything
+    // arithmetically. The decode runs distributed inside extractFeatures.
+    "q82_audio_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          Multimodal.MediaRow(id, "audio", Multimodal.syntheticWav(id),
+            0, 0, 0)
+        }
+      Multimodal.extractFeatures(media)
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"),
+          col("aud_sample_rate").as("sample_rate"),
+          col("aud_channels").as("channels"),
+          col("aud_frames").as("frames"),
+          (col("aud_frames") * 1000000L / col("aud_sample_rate"))
+            .cast("long").as("duration_us"),
+          round(col("aud_rms")).cast("long").as("rms"))
+        .orderBy(col("doc_id"))
+    },
+
     "q66_multimodal_meta" -> { (s, dir) =>
       val feats = Multimodal.extractFeatures(
         Multimodal.fromDocuments(t(s, dir, "documents")))
@@ -983,6 +1008,15 @@ object PipelineQueries {
              AS pixel_mean,
            CAST(64 AS INTEGER) AS thumb_width,
            CAST(64 AS INTEGER) AS thumb_height
+         FROM documents ORDER BY doc_id""",
+
+    "q82_audio_decode" ->
+      """SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(160 + (doc_id % 16) * 10 AS BIGINT) AS frames,
+           CAST((160 + (doc_id % 16) * 10) * 125 AS BIGINT) AS duration_us,
+           CAST((doc_id % 1000) + 100 AS BIGINT) AS rms
          FROM documents ORDER BY doc_id""",
 
     "q79_embed_dedup_clusters" ->

@@ -472,4 +472,36 @@ class MultimodalSpec extends SparkSpec {
     // audio kind never routes through ImageIO even with a PNG payload
     assert(!feats(3L).decoded)
   }
+
+  test("real javax.sound decode: synthetic WAV gives exact audio stats") {
+    // seed 42: amplitude 142, frames 160 + (42%16)*10 = 260
+    val stats = Multimodal.decodeAudio(Multimodal.syntheticWav(42L)).get
+    assert(stats.sampleRate == 8000 && stats.channels == 1)
+    assert(stats.frames == 260L)
+    // alternating ±142 square wave: RMS is exactly the amplitude
+    assert(stats.rms == 142.0)
+    // garbage payloads must route to the fallback, not throw
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Array.empty[Byte]).isEmpty)
+    // a PNG is not audio either
+    assert(Multimodal.decodeAudio(goldenPng()).isEmpty)
+  }
+
+  test("audio rows with real WAV payloads decode through the full pipeline") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(7L, "audio", Multimodal.syntheticWav(7L), 0, 0, 0),
+      Multimodal.MediaRow(8L, "audio", "junk".getBytes, 0, 0, 16000),
+      // image kind never routes through the audio codec, even with WAV bytes
+      Multimodal.MediaRow(9L, "image", Multimodal.syntheticWav(9L), 1, 1, 0))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // seed 7: amplitude 107, frames 160 + 7*10 = 230
+    assert(feats(7L).decoded && feats(7L).aud_sample_rate == 8000 &&
+      feats(7L).aud_channels == 1 && feats(7L).aud_frames == 230L &&
+      feats(7L).aud_rms == 107.0)
+    assert(!feats(8L).decoded && feats(8L).aud_frames == -1L)
+    assert(!feats(9L).decoded && feats(9L).aud_frames == -1L)
+  }
 }
