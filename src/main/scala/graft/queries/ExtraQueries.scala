@@ -399,6 +399,33 @@ object ExtraQueries {
         .orderBy(col("t"))
     },
 
+    /** Legacy-backend DDL render surface pinned as a VALUES oracle: the
+      * canonical type → Hive / Snowflake DDL rendering, incl. the Hive
+      * BIGINT integer collapse, the even-scale decimal UDF alignment
+      * (hadoop_backend_api.py:259-302) and Snowflake's NUMBER precision
+      * pinning (snowflake_backend_api.py:2169-2208). The backend *APIs*
+      * stay a documented non-goal (goe.py:2689-2691); the DDL text is the
+      * part a change-controlled legacy warehouse still needs. */
+    "q83_ddl_legacy" -> { (s, dir) =>
+      import graft.types.{CanonicalColumn, CanonicalType => CT}
+      import graft.sink.DdlRenderer
+      val cases: Seq[(String, CT)] = Seq(
+        "binary" -> CT.Binary, "bool" -> CT.Boolean1,
+        "date" -> CT.Date, "dec_10_3" -> CT.Decimal(Some(10), Some(3)),
+        "dec_38_10" -> CT.Decimal(Some(38), Some(10)),
+        "double" -> CT.Double8, "int38" -> CT.Integer38,
+        "int4" -> CT.Integer4, "interval_ds" -> CT.IntervalDs,
+        "string" -> CT.VariableString, "time" -> CT.Time,
+        "ts" -> CT.Timestamp, "tstz" -> CT.TimestampTz)
+      import s.implicits._
+      cases.map { case (label, tp) =>
+        val c = CanonicalColumn(label, tp)
+        (label, DdlRenderer.renderType(c, DdlRenderer.Dialect.Hive),
+          DdlRenderer.renderType(c, DdlRenderer.Dialect.Snowflake))
+      }.toDF("t", "hive", "snowflake")
+        .orderBy(col("t"))
+    },
+
     /** Salted two-phase aggregation produces results identical to the
       * direct groupBy — the oracle IS the direct aggregation, so the skew
       * tooling's algebraic-composition contract is hash-checked, not just
@@ -576,6 +603,24 @@ object ExtraQueries {
             '(d > DATE ''1998-01-01'') OR (d = DATE ''1998-01-01'' AND k > 15000)'))
          AS t(c, clause)
          ORDER BY c""",
+
+    "q83_ddl_legacy" ->
+      """SELECT * FROM (VALUES
+           ('binary', 'BINARY', 'BINARY'),
+           ('bool', 'BOOLEAN', 'BOOLEAN'),
+           ('date', 'DATE', 'DATE'),
+           ('dec_10_3', 'DECIMAL(18,4)', 'NUMBER(10,3)'),
+           ('dec_38_10', 'DECIMAL(38,10)', 'NUMBER(38,10)'),
+           ('double', 'DOUBLE', 'FLOAT'),
+           ('int38', 'DECIMAL(38,0)', 'NUMBER(38,0)'),
+           ('int4', 'BIGINT', 'NUMBER(10,0)'),
+           ('interval_ds', 'STRING', 'TEXT'),
+           ('string', 'STRING', 'TEXT'),
+           ('time', 'STRING', 'TIME'),
+           ('ts', 'TIMESTAMP', 'TIMESTAMP_NTZ'),
+           ('tstz', 'TIMESTAMP', 'TIMESTAMP_TZ'))
+         AS t(t, hive, snowflake)
+         ORDER BY t""",
 
     "q77_ddl_types" ->
       """SELECT * FROM (VALUES

@@ -6,6 +6,17 @@ import graft.types.{CanonicalColumn, CanonicalType, TypeMapper}
   * instead of executing it — the reference's `--ddl-file` path
   * (`src/goe/offload/operation/ddl_file.py`, `offload.py:66-87`), kept
   * because change-controlled environments apply DDL out-of-band.
+  *
+  * Legacy-backend decision (reference `goe.py:2689-2691` lists BigQuery as
+  * the only non-legacy backend): the Hive and Snowflake backend *APIs*
+  * (DML, stats, UDFs, transport) are a documented non-goal, but their DDL
+  * **render surface** is kept behind this seam because the `--ddl-file`
+  * workflow is exactly the case where a user still targets a legacy
+  * warehouse out-of-band. Type mappings mirror
+  * `hadoop/hadoop_backend_api.py:1639-1780` (`from_canonical_column`) and
+  * `snowflake/snowflake_backend_api.py:2119-2244`; CREATE TABLE shapes
+  * mirror `hadoop/hive_backend_api.py:244-339` and
+  * `snowflake/snowflake_backend_api.py:728-795`.
   */
 object DdlRenderer {
 
@@ -13,6 +24,8 @@ object DdlRenderer {
   object Dialect {
     case object SparkSql extends Dialect
     case object BigQuery extends Dialect
+    case object Hive extends Dialect
+    case object Snowflake extends Dialect
   }
 
   private def sparkType(c: CanonicalColumn): String =
@@ -42,11 +55,74 @@ object DdlRenderer {
     }
   }
 
-  /** Public type-rendering seam (also the q77 contract surface). */
+  /** Hive decimal UDF alignment (reference
+    * `hadoop_backend_api.py:259-302`): scale rounds up to even (UDFs exist
+    * for even scales only), precision absorbs the bump, then precision
+    * lands on 18 or 38.
+    */
+  private[sink] def hiveAlignedDecimal(p: Option[Int], s: Option[Int]): (Int, Int) = {
+    val prec0 = p.getOrElse(38)
+    val sc0 = s.getOrElse(0)
+    val (prec1, sc1) =
+      if (prec0 < 38) (prec0 + sc0 % 2, sc0 + sc0 % 2) else (prec0, sc0)
+    val prec2 = if (prec1 < 19) math.max(prec1, 18) else math.max(prec1, 38)
+    (prec2, sc1)
+  }
+
+  private def hiveType(c: CanonicalColumn): String = {
+    import CanonicalType._
+    c.ctype match {
+      // all strings widen to STRING; TIME and intervals have no Hive type
+      // (hadoop_backend_api.py:1670-1776)
+      case FixedString | VariableString | LargeString => "STRING"
+      case Binary | LargeBinary => "BINARY"
+      // all four native integer widths map to BIGINT on Hadoop
+      // (hadoop_backend_api.py:1697-1700 — override path excepted)
+      case Integer1 | Integer2 | Integer4 | Integer8 => "BIGINT"
+      case Integer38 => "DECIMAL(38,0)"
+      case Decimal(p, s) =>
+        val (prec, sc) = hiveAlignedDecimal(p, s)
+        s"DECIMAL($prec,$sc)"
+      case Float4 => "FLOAT"
+      case Double8 => "DOUBLE"
+      case Date => "DATE"
+      case Time => "STRING"
+      case Timestamp | TimestampTz => "TIMESTAMP"
+      case IntervalDs | IntervalYm => "STRING"
+      case Boolean1 => "BOOLEAN"
+    }
+  }
+
+  private def snowflakeType(c: CanonicalColumn): String = {
+    import CanonicalType._
+    c.ctype match {
+      case FixedString | VariableString | LargeString => "TEXT"
+      case Binary | LargeBinary => "BINARY"
+      // integer widths pin NUMBER precision (snowflake_backend_api.py:2169-2208)
+      case Integer1 => "NUMBER(3,0)"
+      case Integer2 => "NUMBER(5,0)"
+      case Integer4 => "NUMBER(10,0)"
+      case Integer8 => "NUMBER(19,0)"
+      case Integer38 => "NUMBER(38,0)"
+      case Decimal(p, s) => s"NUMBER(${p.getOrElse(38)},${s.getOrElse(0)})"
+      case Float4 | Double8 => "FLOAT"
+      case Date => "DATE"
+      case Time => "TIME"
+      case Timestamp => "TIMESTAMP_NTZ"
+      case TimestampTz => "TIMESTAMP_TZ"
+      // intervals carry as TEXT, flagged unsafe (snowflake_backend_api.py:2238-2241)
+      case IntervalDs | IntervalYm => "TEXT"
+      case Boolean1 => "BOOLEAN"
+    }
+  }
+
+  /** Public type-rendering seam (also the q77/q83 contract surface). */
   def renderType(c: CanonicalColumn, dialect: Dialect): String =
     dialect match {
       case Dialect.SparkSql => sparkType(c)
       case Dialect.BigQuery => bigqueryType(c)
+      case Dialect.Hive => hiveType(c)
+      case Dialect.Snowflake => snowflakeType(c)
     }
 
   def createTable(
@@ -55,11 +131,15 @@ object DdlRenderer {
       dialect: Dialect,
       partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil): String = {
-    val typeOf: CanonicalColumn => String = dialect match {
-      case Dialect.SparkSql => sparkType
-      case Dialect.BigQuery => bigqueryType
+    val typeOf: CanonicalColumn => String = renderType(_, dialect)
+    // Hive moves partition keys out of the column list into PARTITIONED BY
+    // with their types (hive_backend_api.py:275-306); other dialects keep
+    // them in the projection.
+    val projected = dialect match {
+      case Dialect.Hive => cols.filterNot(c => partitionBy.contains(c.name))
+      case _ => cols
     }
-    val colDefs = cols.map { c =>
+    val colDefs = projected.map { c =>
       val nn = if (c.nullable) "" else " NOT NULL"
       s"  ${c.name} ${typeOf(c)}$nn"
     }.mkString(",\n")
@@ -82,6 +162,30 @@ object DdlRenderer {
           // operation/sort_columns.py)
           else s"\nCLUSTER BY ${clusterBy.take(4).mkString(", ")}"
         s"CREATE TABLE $table (\n$colDefs\n)$part$clust;"
+      case Dialect.Hive =>
+        // PARTITIONED BY carries the column type; storage format defaults to
+        // ORC (hive_backend_api.py:305-306, default_storage_format)
+        val byName = cols.map(c => c.name -> c).toMap
+        val part =
+          if (partitionBy.isEmpty) ""
+          else {
+            val pairs = partitionBy.map { p =>
+              val c = byName.getOrElse(p, throw new IllegalArgumentException(
+                s"Partition column is not in table columns: $p"))
+              s"$p ${hiveType(c)}"
+            }
+            s"\nPARTITIONED BY (${pairs.mkString(", ")})"
+          }
+        s"CREATE TABLE $table (\n$colDefs\n)$part\nSTORED AS ORC;"
+      case Dialect.Snowflake =>
+        // Snowflake has no column partitioning (snowflake_backend_api.py:761-763);
+        // sort columns become CLUSTER BY (…) (":773-777")
+        require(partitionBy.isEmpty,
+          "Partitioning by column is not supported in Snowflake")
+        val clust =
+          if (clusterBy.isEmpty) ""
+          else s"\nCLUSTER BY (${clusterBy.mkString(", ")})"
+        s"CREATE TABLE $table (\n$colDefs\n)$clust;"
     }
   }
 }

@@ -180,6 +180,93 @@ class DdlRendererSpec extends SparkSpec {
     assert(ddl.contains("CLUSTER BY c1, c2, c3, c4"))
     assert(!ddl.contains("c5,"))
   }
+
+  test("Hive DDL golden: partition column leaves the projection, STORED AS ORC") {
+    val ddl = DdlRenderer.createTable("db.t", cols, DdlRenderer.Dialect.Hive,
+      partitionBy = Seq("ts"))
+    assert(ddl ==
+      """CREATE TABLE db.t (
+        |  id BIGINT NOT NULL,
+        |  amount DECIMAL(18,2),
+        |  big DECIMAL(38,10),
+        |  name STRING
+        |)
+        |PARTITIONED BY (ts TIMESTAMP)
+        |STORED AS ORC;""".stripMargin)
+  }
+
+  test("Hive type matrix: BIGINT collapse, UDF-aligned decimals, TIME/interval as STRING") {
+    import DdlRenderer.{renderType, Dialect}
+    def r(t: CanonicalType) = renderType(CanonicalColumn("c", t), Dialect.Hive)
+    assert(r(Integer1) == "BIGINT" && r(Integer2) == "BIGINT" &&
+      r(Integer4) == "BIGINT" && r(Integer8) == "BIGINT")
+    assert(r(Integer38) == "DECIMAL(38,0)")
+    // odd scale rounds to even, precision absorbs the bump then lands on 18
+    // (hadoop_backend_api.py:259-302)
+    assert(r(Decimal(Some(10), Some(3))) == "DECIMAL(18,4)")
+    assert(r(Decimal(Some(20), Some(4))) == "DECIMAL(38,4)")
+    assert(r(Decimal(Some(38), Some(9))) == "DECIMAL(38,9)") // at max: no bump
+    assert(r(Time) == "STRING" && r(IntervalDs) == "STRING")
+    assert(r(TimestampTz) == "TIMESTAMP")
+  }
+
+  test("Snowflake DDL golden: CLUSTER BY, no partitioning") {
+    val ddl = DdlRenderer.createTable("db.t", cols, DdlRenderer.Dialect.Snowflake,
+      clusterBy = Seq("id", "ts"))
+    assert(ddl ==
+      """CREATE TABLE db.t (
+        |  id NUMBER(19,0) NOT NULL,
+        |  amount NUMBER(10,2),
+        |  big NUMBER(38,10),
+        |  ts TIMESTAMP_NTZ,
+        |  name TEXT
+        |)
+        |CLUSTER BY (id, ts);""".stripMargin)
+    intercept[IllegalArgumentException] {
+      DdlRenderer.createTable("db.t", cols, DdlRenderer.Dialect.Snowflake,
+        partitionBy = Seq("ts"))
+    }
+  }
+}
+
+class BackendLiteralsSpec extends SparkSpec {
+  import java.time.{LocalDate, LocalDateTime, LocalTime}
+  import graft.types.{BackendLiterals => L}
+  import CanonicalType._
+
+  test("Hive literal matrix (hive_literal.py:46-91)") {
+    assert(L.hive(null) == "NULL")
+    assert(L.hive("it's") == "'it''s'")
+    assert(L.hive(BigDecimal("12.30")) == "12.30")
+    assert(L.hive(LocalDate.of(2030, 1, 2), Some(Date)) == "date '2030-01-02'")
+    // date bound for a timestamp column renders midnight, zero fraction trimmed
+    assert(L.hive(LocalDate.of(2030, 1, 2)) == "timestamp '2030-01-02 00:00:00'")
+    // trailing fractional zeros stripped entirely (trim_unnecessary_subseconds)
+    assert(L.hive(LocalDateTime.of(2030, 1, 2, 0, 0, 0, 3000)) ==
+      "timestamp '2030-01-02 00:00:00.000003'")
+    assert(L.hive(LocalDateTime.of(2030, 1, 2, 12, 30, 45)) ==
+      "timestamp '2030-01-02 12:30:45'")
+    // no Hive TIME type: plain string
+    assert(L.hive(LocalTime.of(7, 8, 9)) == "'07:08:09'")
+  }
+
+  test("Snowflake literal matrix (snowflake_literal.py:47-124)") {
+    assert(L.snowflake(null) == "NULL")
+    assert(L.snowflake("x") == "'x'")
+    assert(L.snowflake(LocalDate.of(2030, 1, 2)) == "'2030-01-02'::DATE")
+    // NTZ keeps at least one fractional digit after stripping
+    assert(L.snowflake(LocalDateTime.of(2030, 1, 2, 0, 0, 0, 3000)) ==
+      "'2030-01-02 00:00:00.000003'::TIMESTAMP_NTZ")
+    assert(L.snowflake(LocalDateTime.of(2030, 1, 2, 12, 30, 45)) ==
+      "'2030-01-02 12:30:45'::TIMESTAMP_NTZ")
+    // TZ-less value bound for TIMESTAMP_TZ assumes UTC with HH:MM offset
+    assert(L.snowflake(LocalDateTime.of(2030, 1, 2, 12, 30, 45), Some(TimestampTz)) ==
+      "'2030-01-02 12:30:45.000000 +00:00'::TIMESTAMP_TZ")
+    assert(L.snowflake(LocalTime.of(7, 8, 9), Some(Time)) ==
+      "'07:08:09.000000'::TIME")
+    assert(L.snowflake(LocalDateTime.of(2030, 1, 2, 7, 8, 9), Some(Date)) ==
+      "'2030-01-02'::DATE")
+  }
 }
 
 class SchemaSyncSpec extends SparkSpec {
