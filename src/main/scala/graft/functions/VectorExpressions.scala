@@ -219,11 +219,90 @@ case class NearestCentroid(left: Expression, right: Expression)
   override def prettyName: String = "graft_nearest_centroid"
 }
 
+/** Exact integer dot product over `array<int>` → long.
+  *
+  * The int8-quantization scale path ([[graft.operators.Quantize]]) scores
+  * candidates on quantized vectors: 4× less memory traffic than float32
+  * and exact 64-bit integer accumulation — no float rounding at all, so
+  * ranking is trivially reproducible on any engine (the DuckDB oracle
+  * sums BIGINTs). Same loop-kernel rationale as [[DotProduct]]: O(1)
+  * bytecode for any dimension, whole-stage-codegen friendly.
+  *
+  * Null semantics match [[DotProduct]]: null array, null element, or a
+  * dimension mismatch yields null.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int_dot_product expects array<int>, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_int_dot"
+}
+
 object VectorFunctions {
   /** Dot product as a Column — codegen'd loop, order-identical to the
     * left-associated expression chain. */
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(expr(a), expr(b)))
+
+  /** Exact integer dot product over `array<int>` (quantized vectors). */
+  def intDotNative(a: Column, b: Column): Column =
+    ColumnBridge.column(IntDotProduct(expr(a), expr(b)))
 
   /** L2 norm via the same kernel (`sqrt(dot(a, a))`). */
   def normNative(a: Column): Column =

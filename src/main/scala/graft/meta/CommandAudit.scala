@@ -1,8 +1,12 @@
 package graft.meta
 
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
 
 /** Persisted orchestration command audit — the reference's command-execution
   * history (`orchestration/orchestration_runner.py:139-226` begin/end/fail,
@@ -75,12 +79,9 @@ final class CommandAudit private (dir: String) {
     }
   private def q(s: String): String = "\"" + esc(s) + "\""
 
-  private val nextId: AtomicLong = {
-    val seed =
-      if (Files.exists(path)) readEvents().map(id).foldLeft(0L)(math.max)
-      else 0L
-    new AtomicLong(seed + 1)
-  }
+  // seeded from the existing file at the END of the class body, after the
+  // fold-index fields below are initialized
+  private val nextId: AtomicLong = new AtomicLong(1)
 
   private def append(fields: Seq[(String, String)]): Long = synchronized {
     Files.createDirectories(Paths.get(dir))
@@ -91,6 +92,9 @@ final class CommandAudit private (dir: String) {
       .mkString("{", ",", "}") + "\n"
     Files.write(path, line.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // fold the event straight into the in-memory index (reads only the
+    // bytes this append produced)
+    ingestNew()
     eid
   }
 
@@ -173,68 +177,126 @@ final class CommandAudit private (dir: String) {
   }
   private def id(js: String): Long = longField(js, "id").getOrElse(0L)
 
-  private def readEvents(): Seq[String] =
-    if (!Files.exists(path)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      // a crash mid-append can tear the LAST line only; skip unparseable
-      Files.readAllLines(path, StandardCharsets.UTF_8).asScala.toSeq
-        .filter(l => l.startsWith("{") && l.endsWith("}"))
+  // ---- incremental fold index ----
+  //
+  // `runs()` used to re-read and re-parse the entire JSONL per call — O(full
+  // history) per listener GET, flagged before any long-lived deployment.
+  // Instead the instance keeps a fold of everything ingested so far and a
+  // byte offset into the file; each call reads only appended bytes. Begin
+  // events insert EXECUTING records; end events overwrite their record's
+  // status in place (ids only increase, so an end always follows its begin
+  // in file order). Guarded by the instance lock shared with [[append]].
+  private var ingestedOffset: Long = 0L
+  private var pendingTail: Array[Byte] = Array.emptyByteArray
+  private var maxSeenId: Long = 0L
+  private val cmds = mutable.LinkedHashMap.empty[Long, CommandRun]
+  private val stepsById = mutable.LinkedHashMap.empty[Long, StepRun]
+  private val chunksById = mutable.LinkedHashMap.empty[Long, ChunkRun]
+  private val stepIdsByExec =
+    mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
+  private val chunkIdsByExec =
+    mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
+
+  /** Bytes of the audit file folded into the index so far (test seam). */
+  private[meta] def ingestedBytes: Long = synchronized(ingestedOffset)
+
+  /** Read file bytes past `ingestedOffset`, fold complete lines into the
+    * index. A partial final line (torn by a crash, or mid-append from
+    * another JVM) is carried in `pendingTail` until its newline arrives —
+    * '\n' cannot occur inside a UTF-8 multibyte sequence, so splitting on
+    * bytes before decoding is safe. */
+  private def ingestNew(): Unit = synchronized {
+    if (!Files.exists(path)) return
+    val ch = FileChannel.open(path, StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      if (size <= ingestedOffset) return
+      val buf = ByteBuffer.allocate((size - ingestedOffset).toInt)
+      ch.position(ingestedOffset)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      ingestedOffset = size
+      val bytes = pendingTail ++ buf.array()
+      var from = 0
+      var nl = bytes.indexOf('\n'.toByte, from)
+      while (nl >= 0) {
+        ingestLine(new String(bytes, from, nl - from, StandardCharsets.UTF_8))
+        from = nl + 1
+        nl = bytes.indexOf('\n'.toByte, from)
+      }
+      pendingTail = bytes.drop(from)
+    } finally ch.close()
+  }
+
+  private def ingestLine(raw: String): Unit = {
+    val js = raw.stripSuffix("\r")
+    // a torn line is unparseable; skip it (same tolerance as before)
+    if (!(js.startsWith("{") && js.endsWith("}"))) return
+    val eid = id(js)
+    maxSeenId = math.max(maxSeenId, eid)
+    def exec = strField(js, "execution_id").getOrElse("")
+    def ts = longField(js, "ts").getOrElse(0L)
+    strField(js, "kind").getOrElse("") match {
+      case "command_begin" =>
+        cmds(eid) = CommandRun(
+          commandId = eid, executionId = exec,
+          commandType = strField(js, "command_type").getOrElse(""),
+          commandInput = strField(js, "command_input").getOrElse(""),
+          status = Executing, startTs = ts, endTs = None,
+          steps = Nil, chunks = Nil)
+      case "command_end" =>
+        for (cid <- longField(js, "command_id"); c <- cmds.get(cid))
+          cmds(cid) = c.copy(
+            status = strField(js, "status").getOrElse(Executing),
+            endTs = Some(ts))
+      case "step_begin" =>
+        stepsById(eid) = StepRun(
+          stepId = eid, step = strField(js, "step").getOrElse(""),
+          status = Executing, startTs = ts, endTs = None, details = "")
+        stepIdsByExec.getOrElseUpdate(exec, mutable.ArrayBuffer.empty) += eid
+      case "step_end" =>
+        for (sid <- longField(js, "step_id"); s <- stepsById.get(sid))
+          stepsById(sid) = s.copy(
+            status = strField(js, "status").getOrElse(Executing),
+            endTs = Some(ts),
+            details = strField(js, "details").getOrElse(""))
+      case "chunk_begin" =>
+        chunksById(eid) = ChunkRun(
+          chunkId = eid,
+          chunkNumber = longField(js, "chunk_number").getOrElse(0L).toInt,
+          partitions = arrField(js, "partitions"),
+          status = Executing, rowCount = None, startTs = ts, endTs = None)
+        chunkIdsByExec.getOrElseUpdate(exec, mutable.ArrayBuffer.empty) += eid
+      case "chunk_end" =>
+        for (cid <- longField(js, "chunk_id"); c <- chunksById.get(cid))
+          chunksById(cid) = c.copy(
+            status = strField(js, "status").getOrElse(Executing),
+            rowCount = longField(js, "row_count"),
+            endTs = Some(ts))
+      case _ => ()
     }
+  }
 
-  /** Fold the event log into per-command run histories, newest first. A
-    * command with no `command_end` event is still `EXECUTING` (or was
-    * killed — exactly the reference's semantics, where an abandoned run
-    * stays EXECUTING until reconciled). */
-  def runs(): Seq[CommandRun] = {
-    val events = readEvents()
-    def kind(js: String) = strField(js, "kind").getOrElse("")
-    val stepEnds = events.filter(kind(_) == "step_end")
-      .flatMap(e => longField(e, "step_id").map(_ -> e)).toMap
-    val chunkEnds = events.filter(kind(_) == "chunk_end")
-      .flatMap(e => longField(e, "chunk_id").map(_ -> e)).toMap
-    val commandEnds = events.filter(kind(_) == "command_end")
-      .flatMap(e => longField(e, "command_id").map(_ -> e)).toMap
-
-    val stepsByExec = events.filter(kind(_) == "step_begin").map { e =>
-      val end = stepEnds.get(id(e))
-      strField(e, "execution_id").getOrElse("") -> StepRun(
-        stepId = id(e),
-        step = strField(e, "step").getOrElse(""),
-        status = end.flatMap(strField(_, "status")).getOrElse(Executing),
-        startTs = longField(e, "ts").getOrElse(0L),
-        endTs = end.flatMap(longField(_, "ts")),
-        details = end.flatMap(strField(_, "details")).getOrElse(""))
-    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-
-    val chunksByExec = events.filter(kind(_) == "chunk_begin").map { e =>
-      val end = chunkEnds.get(id(e))
-      strField(e, "execution_id").getOrElse("") -> ChunkRun(
-        chunkId = id(e),
-        chunkNumber = longField(e, "chunk_number").getOrElse(0L).toInt,
-        partitions = arrField(e, "partitions"),
-        status = end.flatMap(strField(_, "status")).getOrElse(Executing),
-        rowCount = end.flatMap(longField(_, "row_count")),
-        startTs = longField(e, "ts").getOrElse(0L),
-        endTs = end.flatMap(longField(_, "ts")))
-    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-
-    events.filter(kind(_) == "command_begin").map { e =>
-      val exec = strField(e, "execution_id").getOrElse("")
-      val end = commandEnds.get(id(e))
-      CommandRun(
-        commandId = id(e),
-        executionId = exec,
-        commandType = strField(e, "command_type").getOrElse(""),
-        commandInput = strField(e, "command_input").getOrElse(""),
-        status = end.flatMap(strField(_, "status")).getOrElse(Executing),
-        startTs = longField(e, "ts").getOrElse(0L),
-        endTs = end.flatMap(longField(_, "ts")),
-        steps = stepsByExec.getOrElse(exec, Nil).sortBy(_.stepId),
-        chunks = chunksByExec.getOrElse(exec, Nil).sortBy(_.chunkId))
+  /** Per-command run histories, newest first. A command with no
+    * `command_end` event is still `EXECUTING` (or was killed — exactly the
+    * reference's semantics, where an abandoned run stays EXECUTING until
+    * reconciled). Cost: bytes appended since the last call, plus assembly
+    * over live records — never a full-file re-read. */
+  def runs(): Seq[CommandRun] = synchronized {
+    ingestNew()
+    cmds.values.toSeq.map { c =>
+      c.copy(
+        steps = stepIdsByExec.getOrElse(c.executionId, Nil)
+          .map(stepsById).toSeq.sortBy(_.stepId),
+        chunks = chunkIdsByExec.getOrElse(c.executionId, Nil)
+          .map(chunksById).toSeq.sortBy(_.chunkId))
     }.sortBy(-_.commandId)
   }
 
   def run(executionId: String): Option[CommandRun] =
     runs().find(_.executionId == executionId)
+
+  // constructor tail: fold any existing file and seed the id sequence so
+  // ids keep increasing across restarts (reference repo-sequence semantics)
+  ingestNew()
+  nextId.set(maxSeenId + 1)
 }

@@ -430,4 +430,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"),
               col("hamming"))
   }
+
+  /** C4-style line-level dedup: drop every line that occurs in at least
+    * `minDocFreq` distinct documents (boilerplate headers, navigation,
+    * cookie banners), keeping each document's surviving lines in order.
+    *
+    * The C4 pipeline removed 3-sentence-boilerplate this way; the operator
+    * takes the corpus-wide view (a line is judged by its global document
+    * frequency, not within-document repetition — that is
+    * `TextAnalysis.repetitionMetrics`).
+    *
+    * 100 TB shape: one shuffle keyed on the line text for the frequency
+    * count, a shuffle equi-join (left_anti) to drop hot lines — never a
+    * broadcast, the hot-line set is unbounded — and one shuffle on the doc
+    * id to reassemble. Per-doc state is bounded by document size
+    * (collect_list of that doc's lines only).
+    *
+    * Output: `idCol`, `text_clean` (empty string when every line was
+    * boilerplate), `n_lines` (before), `n_kept` (after).
+    */
+  def lineDedup(docs: DataFrame, minDocFreq: Int = 2,
+                idCol: String = "doc_id", textCol: String = "text",
+                sep: String = "\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= minDocFreq)
+      .select("line")
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        sep).as("text_clean"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), sepLit)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

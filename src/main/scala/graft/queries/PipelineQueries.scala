@@ -147,6 +147,33 @@ object PipelineQueries {
         .orderBy(col("epoch_batch"))
     },
 
+    // C4-style line-level dedup: documents are deterministically
+    // line-ified (3-token lines — the corpus has no newlines, and 3-token
+    // lines actually collide across docs), then every line present in ≥2
+    // distinct docs is dropped and docs are reassembled in order. The
+    // boilerplate-removal pass of a web-corpus pipeline.
+    "q84_line_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val nl = ((size(toks) + lit(2)) / lit(3)).cast("int")
+      val lineified = docs.select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), nl - 1),
+            i => array_join(slice(toks, i * 3 + 1, lit(3)), " ")),
+          "\n").as("text"))
+      Dedup.lineDedup(lineified, minDocFreq = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // Int8-quantized ANN: per-vector max-abs scalar quantization, then
+    // brute-force top-10 by quantized cosine — exact integer dot products
+    // via the IntDotProduct kernel, so the ranking is reproducible
+    // bit-for-bit on any engine (the oracle sums BIGINTs).
+    "q85_quantized_ann" -> { (s, dir) =>
+      graft.operators.Quantize.quantizedTopK(t(s, dir, "embeddings"),
+        queryId = 0, k = 10)
+    },
+
     // Transitive dedup clusters: LSH candidate pairs closed into connected
     // components (cluster id = min doc id in the component).
     "q65_dedup_clusters" -> { (s, dir) =>
@@ -672,6 +699,46 @@ object PipelineQueries {
            MAX(shuffle_rank) AS max_rank,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM r GROUP BY 1 ORDER BY epoch_batch""",
+
+    "q84_line_dedup" ->
+      """WITH split AS (SELECT doc_id, string_split(text, ' ') AS ts
+           FROM documents),
+         toks AS (SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS INT) AS i
+           FROM split, LATERAL unnest(range(1, len(ts)+1)) AS t(i)),
+         lines0 AS (SELECT doc_id, (i-1)//3 AS lineno,
+             string_agg(tok, ' ' ORDER BY i) AS line
+           FROM toks GROUP BY doc_id, (i-1)//3),
+         hot AS (SELECT line FROM lines0 GROUP BY line
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         kept AS (SELECT l.* FROM lines0 l ANTI JOIN hot h USING (line)),
+         totals AS (SELECT doc_id, COUNT(*) AS n_lines
+           FROM lines0 GROUP BY doc_id),
+         rebuilt AS (SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY lineno) AS text_clean,
+             COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+           t.n_lines, coalesce(r.n_kept, 0) AS n_kept
+         FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY t.doc_id""",
+
+    "q85_quantized_ann" -> {
+      import graft.operators.Quantize.{Sql => QS}
+      s"""WITH q0 AS (SELECT vec_id, embedding,
+           ${QS.maxAbs("embedding")} AS max_abs FROM embeddings),
+         qv AS (SELECT vec_id, ${QS.qvec("embedding", "max_abs")} AS qvec
+           FROM q0),
+         qq AS (SELECT qvec AS q_vec FROM qv WHERE vec_id = 0)
+         SELECT e.vec_id,
+           CAST(${QS.intDot("e.qvec", "qq.q_vec", Dim)} AS BIGINT) AS qdot,
+           CAST(${QS.intDot("e.qvec", "qq.q_vec", Dim)} AS DOUBLE)
+             / (sqrt(CAST(${QS.intDot("e.qvec", "e.qvec", Dim)} AS DOUBLE))
+                * sqrt(CAST(${QS.intDot("qq.q_vec", "qq.q_vec", Dim)} AS DOUBLE)))
+             AS score
+         FROM qv e, qq
+         WHERE e.vec_id <> 0
+         ORDER BY score DESC, e.vec_id LIMIT 10"""
+    },
 
     "q63_sequence_packing" ->
       """WITH t AS (SELECT lang, doc_id,

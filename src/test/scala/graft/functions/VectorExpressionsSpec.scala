@@ -77,4 +77,49 @@ class VectorExpressionsSpec extends SparkSpec {
       df.select(VectorFunctions.dotNative(lit("x"), col("d"))).collect()
     }
   }
+
+  test("int dot kernel: exact sums, matches the HOF formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(127, -127, 50), Seq(127, 127, 2)),
+      (2L, Seq(0, 0, 0), Seq(1, 2, 3)))
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      VectorFunctions.intDotNative(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x).as("hof"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 127L * 127 - 127L * 127 + 100L, 100L),
+      (2L, 0L, 0L)))
+  }
+
+  test("int dot kernel: null element and dim mismatch yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(Option(1), None)), Some(Seq(Option(1), Option(2)))),
+      (2L, Some(Seq(Option(1), Option(2))), Some(Seq(Option(3)))))
+      .toDF("id", "a", "b")
+    val out = df.select(
+      VectorFunctions.intDotNative(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFunctions.intDotNative(lit("x"), col("a"))).collect()
+    }
+  }
+
+  test("int dot kernel participates in whole-stage codegen") {
+    // literal-only input constant-folds to a LocalTableScan; quantize the
+    // corpus so the projection stays live
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val scored = graft.operators.Quantize.int8(emb).select(
+      VectorFunctions.intDotNative(col("qvec"), col("qvec")).as("d"))
+    val plan = scored.queryExecution.executedPlan.toString
+    // the quantize HOFs (transform/aggregate) are CodegenFallback and split
+    // the stage; the kernel's own projection must still be starred
+    assert("""\*\(\d+\) Project \[graft_int_dot""".r
+      .findFirstIn(plan).isDefined,
+      s"expected codegen'd int-dot projection in plan:\n$plan")
+    assert(scored.filter(col("d") >= 0).count() == 500)
+  }
 }

@@ -247,6 +247,81 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 quantization: known values, symmetric rounding, zero guard") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f, 0.0f))) // all-zero: no 0/0 NaN
+      .toDF("vec_id", "embedding")
+    val out = Quantize.int8(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("max_abs"),
+          r.getSeq[Int](r.fieldIndex("qvec")).toList)).toMap
+    assert(out(1L)._1 == 1.0)
+    // 0.5*127+0.5=64.0 → 64; 0.25*127+0.5=32.25 → 32; -1 → -127
+    assert(out(1L)._2 == List(127, -127, 64, 32, 0))
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == List(0, 0, 0, 0, 0))
+  }
+
+  test("quantized top-k recall vs the float baseline on the corpus") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val exact = Similarity.cosineTopK(emb, queryId = 0, k = 10, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Quantize.quantizedTopK(emb, queryId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // int8 max-abs quantization on 64-dim unit-ish vectors: ranks move a
+    // little, the top set barely does
+    assert((exact intersect quant).size >= 8,
+      s"recall too low: exact=$exact quant=$quant")
+  }
+
+  test("quantized scoring is pure integer arithmetic (exact, stable)") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val a = Quantize.quantizedTopK(emb, queryId = 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Quantize.quantizedTopK(
+        emb.repartition(7), queryId = 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b)) // layout-invariant: exact integer dots
+  }
+}
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lines in >=2 docs drop; order and empty docs survive") {
+    val docs = Seq(
+      (1L, "keep me\nshared banner\nunique tail"),
+      (2L, "shared banner\nother text"),
+      (3L, "shared banner")) // nothing left after dedup
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_clean"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept"))).toMap
+    assert(out(1L) == (("keep me\nunique tail", 3L, 2L)))
+    assert(out(2L) == (("other text", 2L, 1L)))
+    assert(out(3L) == (("", 1L, 0L)))
+  }
+
+  test("minDocFreq raises the bar; within-doc repetition alone survives") {
+    val docs = Seq(
+      (1L, "x\nx\nx"),      // repeated within ONE doc only
+      (2L, "y\nz"),
+      (3L, "y\nw"),
+      (4L, "y\nv"))          // y in 3 docs
+      .toDF("doc_id", "text")
+    val out3 = Dedup.lineDedup(docs, minDocFreq = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean"))
+      .toMap
+    // only y (3 docs) crosses minDocFreq=3; x repeats but in one doc
+    assert(out3(1L) == "x\nx\nx")
+    assert(out3(2L) == "z" && out3(3L) == "w" && out3(4L) == "v")
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
