@@ -150,6 +150,45 @@ object IvfIndex {
       .orderBy(col(queryIdCol), col("score").desc, col(idCol))
   }
 
+  /** IVF probe scored on int8-quantized vectors — the IVF × [[Quantize]]
+    * composition: cell pruning happens against the float centroids
+    * (metadata-scale — nlist vectors), candidate scoring reads ONLY the
+    * quantized `array<int>` column via exact integer dot products.
+    *
+    * At rest the corpus stores `(id, ivf_cell, qvec)`; the float embedding
+    * is needed once at index time. A probe then touches nprobe/nlist of
+    * the data AND a quarter of the bytes per row — the two scale levers
+    * compose. The per-vector scales cancel in cosine, so ranking needs no
+    * float data at all; the DuckDB oracle reproduces it exactly (q86).
+    *
+    * `indexedQ` must carry `ivf_cell` ([[assign]]) and `qvecCol`
+    * ([[Quantize.int8]]). The query is quantized driver-side with the
+    * same exact-double formula. */
+  def probeQuantized(indexedQ: DataFrame, model: Model,
+                     query: Array[Double], k: Int, nprobe: Int,
+                     idCol: String = "vec_id",
+                     qvecCol: String = "qvec"): DataFrame = {
+    val cells = model.nearestCells(query, nprobe)
+    val maxAbs = query.foldLeft(0.0)((acc, x) => math.max(acc, math.abs(x)))
+    val qq: Seq[Int] =
+      if (maxAbs == 0.0) Seq.fill(query.length)(0)
+      else query.toSeq.map(x => math.floor(x * 127.0 / maxAbs + 0.5).toInt)
+    val qNorm = math.sqrt(qq.map(x => x.toLong * x.toLong).sum.toDouble)
+    val qdot = graft.functions.VectorFunctions.intDotNative(
+      col(qvecCol), typedlit(qq))
+    val qnormSelf = org.apache.spark.sql.functions.sqrt(
+      graft.functions.VectorFunctions.intDotNative(col(qvecCol), col(qvecCol))
+        .cast("double"))
+    indexedQ
+      .filter(col("ivf_cell").isInCollection(cells))
+      .withColumn("qdot", qdot)
+      .withColumn("score",
+        col("qdot").cast("double") / (qnormSelf * lit(qNorm)))
+      .select(col(idCol), col("ivf_cell"), col("qdot"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Probe: top-k by cosine among the nprobe nearest cells only. */
   def probe(indexed: DataFrame, model: Model, query: Array[Double], k: Int,
             nprobe: Int, dim: Int, idCol: String = "vec_id",

@@ -326,6 +326,28 @@ object PipelineQueries {
         k = IvfK, nprobe = IvfNprobe, dim = Dim)
     },
 
+    // IVF × int8: q49's fixed-centroid cell pruning, but candidate scoring
+    // reads ONLY the quantized array<int> column — exact integer dots, the
+    // two scale levers (cell pruning × quarter-width rows) composed.
+    "q86_ivf_quantized" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id").isInCollection(IvfSeedIds))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val centroids = seeds.map { c =>
+        val nrm = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / nrm)
+      }
+      val model = IvfIndex.Model(centroids)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val indexed = IvfIndex.assign(
+        graft.operators.Quantize.int8(emb), model, Dim)
+      IvfIndex.probeQuantized(indexed.filter(col("vec_id") =!= 0), model,
+        query, k = IvfK, nprobe = IvfNprobe)
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1002,6 +1024,47 @@ object PipelineQueries {
          FROM embeddings e
          JOIN cells cl USING (vec_id)
          JOIN qcell USING (cell), q
+         WHERE e.vec_id <> 0
+         ORDER BY score DESC, e.vec_id LIMIT $IvfK"""
+    },
+
+    // IVF × int8: q49's cell scheme + q85's quantization, scored in BIGINT.
+    "q86_ivf_quantized" -> {
+      import graft.operators.Quantize.{Sql => QS}
+      val ctrNormSq = Similarity.Sql.normSq("embedding", Dim)
+      val cvecNormSq = Similarity.Sql.normSq("c.cvec", Dim)
+      s"""WITH ctr AS (
+           SELECT CAST(vec_id - 1 AS INT) AS cell,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt($ctrNormSq)) AS cvec
+           FROM embeddings
+           WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+         assigned AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY (${Similarity.Sql.dot("e.embedding", "c.cvec", Dim)})
+                 / sqrt($cvecNormSq) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN ctr c),
+         cells AS (SELECT vec_id, cell FROM assigned WHERE rk = 1),
+         q0 AS (SELECT vec_id, embedding,
+             ${QS.maxAbs("embedding")} AS max_abs FROM embeddings),
+         qv AS (SELECT vec_id, ${QS.qvec("embedding", "max_abs")} AS qvec
+           FROM q0),
+         q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+         qq AS (SELECT qvec AS q_qvec FROM qv WHERE vec_id = 0),
+         qcell AS (SELECT c.cell FROM ctr c, q
+           ORDER BY (${Similarity.Sql.dot("q.q_vec", "c.cvec", Dim)})
+             / sqrt($cvecNormSq) DESC, c.cell
+           LIMIT $IvfNprobe)
+         SELECT e.vec_id, cl.cell AS ivf_cell,
+           CAST(${QS.intDot("e.qvec", "qq.q_qvec", Dim)} AS BIGINT) AS qdot,
+           CAST(${QS.intDot("e.qvec", "qq.q_qvec", Dim)} AS DOUBLE)
+             / (sqrt(CAST(${QS.intDot("e.qvec", "e.qvec", Dim)} AS DOUBLE))
+                * sqrt(CAST(${QS.intDot("qq.q_qvec", "qq.q_qvec", Dim)} AS DOUBLE)))
+             AS score
+         FROM qv e
+         JOIN cells cl USING (vec_id)
+         JOIN qcell USING (cell), qq
          WHERE e.vec_id <> 0
          ORDER BY score DESC, e.vec_id LIMIT $IvfK"""
     },

@@ -277,6 +277,27 @@ class QuantizeSpec extends SparkSpec {
       s"recall too low: exact=$exact quant=$quant")
   }
 
+  test("IVF quantized probe tracks the float probe on the corpus") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, dim = 64)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+      .map(_.toDouble).toArray
+    val floatTop = IvfIndex.probe(
+        IvfIndex.assign(emb, model, 64).filter(col("vec_id") =!= 0),
+        model, query, k = 10, nprobe = 4, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    val quantTop = IvfIndex.probeQuantized(
+        IvfIndex.assign(Quantize.int8(emb), model, 64)
+          .filter(col("vec_id") =!= 0),
+        model, query, k = 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    // same probed cells (pruning is float either way); int8 scoring may
+    // swap a rank or two at the boundary
+    assert((floatTop intersect quantTop).size >= 8,
+      s"float=$floatTop quant=$quantTop")
+  }
+
   test("quantized scoring is pure integer arithmetic (exact, stable)") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val a = Quantize.quantizedTopK(emb, queryId = 0, k = 5)
