@@ -57,6 +57,42 @@ object DatasetOps {
       .drop("sample_rank")
   }
 
+  /** Mixture sampling: downsample each group (language, domain, source) to
+    * a TARGET RATE — the data-mixing primitive for hitting a training-mix
+    * recipe ("60% en, 30% de, 15% everything else") rather than a fixed
+    * per-group quota ([[balancedSample]]). Selection is a deterministic
+    * hash rank: a doc is kept iff its rank within its group (ordered by
+    * `md5(salt|id)`) is ≤ `ceil(rate × group_size)`, so re-runs, engines
+    * and resumed jobs agree on the kept set, and the kept subset of a
+    * group is a prefix of the same permutation [[balancedSample]] uses —
+    * recipes compose.
+    *
+    * Scale shape: one shuffle on the group key; the rank window and the
+    * group-count window share that partitioning (groups are domains /
+    * languages — bounded cardinality, each group parallel). A single
+    * mega-group is the known hazard: at 100 TB, pre-split a dominant
+    * group with a salted sub-key, sample each sub-group at the same rate,
+    * and the union still hits the target rate in expectation. */
+  def mixtureSample(docs: DataFrame, groupCol: String,
+                    rates: Map[String, Double], defaultRate: Double,
+                    salt: String = "mix",
+                    idCol: String = "doc_id"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r > 0 && r <= 1),
+      "rates must be in (0, 1]")
+    val draw = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    val wRank = Window.partitionBy(col(groupCol))
+      .orderBy(draw.asc, col(idCol).asc)
+    val wCount = Window.partitionBy(col(groupCol))
+    docs
+      .withColumn("grp_n", count(lit(1)).over(wCount))
+      .withColumn("mix_rank", row_number().over(wRank))
+      .filter(col("mix_rank") <= ceil(col("grp_n") * rate))
+      .drop("grp_n", "mix_rank")
+  }
+
   /** Sequence packing: group consecutive documents into bins of at most
     * `tokenBudget` tokens (greedy first-fit in id order WITHIN each
     * `packKey` group). The bin id is a closed form over the running token

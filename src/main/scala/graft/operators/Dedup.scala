@@ -105,6 +105,37 @@ object Dedup {
               col("size_b"), col("jaccard"))
   }
 
+  /** Duplicate-span coverage: for each document, the fraction of its
+    * distinct word n-grams that occur in at least `minDocs` OTHER corpus
+    * documents — the n-gram-granularity answer to "how much of this doc is
+    * copied text?" (cf. Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": heavily-covered docs are boilerplate /
+    * near-dups that pair-level Jaccard only catches against one partner at
+    * a time). A doc can be 90% duplicated SPANS while no single pair
+    * crosses a Jaccard threshold — this metric catches exactly that.
+    *
+    * Scale shape: document frequency is one partial-agg shuffle on the
+    * shingle key (an aggregation, NOT a pair join — hot shingles cost one
+    * combiner row, never k² pairs), one equi-join of the shingle relation
+    * back to the df table, one groupBy doc. O(total shingles), no pair
+    * space at all — this is the dedup metric that stays cheap at 100 TB. */
+  def duplicateSpanCoverage(docs: DataFrame, n: Int = 3, minDocs: Long = 2,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would count a doc's own occurrence")
+    val rel = shingleRelation(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val df_ = rel.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    rel.join(df_, "shingle")
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        col("n_dup").cast("double") / col("n_shingles").cast("double"))
+      .select(col("sid").as(idCol), col("n_shingles"), col("n_dup"),
+              col("dup_ratio"))
+  }
+
   /** Broder similarity estimate for candidate pairs: the fraction of
     * agreeing MinHash slots is an unbiased estimator of J(A,B) — the number
     * a production dedup uses to rank candidates WITHOUT touching the raw

@@ -348,6 +348,50 @@ object PipelineQueries {
         query, k = IvfK, nprobe = IvfNprobe)
     },
 
+    // Mixture sampling: per-language target rates (60% en / 30% de / 15%
+    // rest) via deterministic hash rank — the training-mix recipe
+    // primitive (rate-based, vs q64's fixed per-group quota). The kept
+    // set is pinned exactly by (count, id_sum, min_id) per group.
+    "q87_mixture_sample" -> { (s, dir) =>
+      graft.operators.DatasetOps.mixtureSample(
+          t(s, dir, "documents"), groupCol = "lang",
+          rates = Map("en" -> 0.6, "de" -> 0.3), defaultRate = 0.15)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    },
+
+    // HTML extraction: documents wrapped in deterministic markup (script
+    // block, style block, entities) then cleaned by the C4-style regexp
+    // chain — the oracle rebuilds the same markup and the same chain, so
+    // the cleaner is pinned byte-for-byte (the q80 arithmetic-PNG scheme,
+    // applied to markup).
+    "q88_html_clean" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><body><h1>"), col("source"),
+        lit("</h1><script type=\"text/javascript\">var x = "),
+        col("doc_id").cast("string"),
+        lit(";</script><p class=\"main\">"), col("text"),
+        lit(" &amp; &lt;tail&gt; &quot;q&#39;s&quot;&nbsp;end</p>" +
+          "<style>p { color: red; }</style></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.cleanHtml(html).as("text_clean"))
+        .withColumn("n_chars_clean", length(col("text_clean")))
+        .orderBy(col("doc_id"))
+    },
+
+    // Duplicate-span coverage: fraction of each doc's distinct 3-gram
+    // shingles occurring in ≥2 corpus docs — the span-granularity dup
+    // metric (Lee et al.) that pair-level Jaccard misses. df is an
+    // aggregation on the shingle key, never a pair join.
+    "q89_dup_span_coverage" -> { (s, dir) =>
+      Dedup.duplicateSpanCoverage(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1068,6 +1112,54 @@ object PipelineQueries {
          WHERE e.vec_id <> 0
          ORDER BY score DESC, e.vec_id LIMIT $IvfK"""
     },
+
+    "q87_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+           COUNT(*) OVER (PARTITION BY lang) AS grp_n,
+           ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum, MIN(doc_id) AS min_id
+         FROM d
+         WHERE rk <= CEIL(grp_n * CASE WHEN lang = 'en' THEN 0.6
+                                       WHEN lang = 'de' THEN 0.3
+                                       ELSE 0.15 END)
+         GROUP BY lang ORDER BY lang""",
+
+    "q88_html_clean" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><body><h1>' || source ||
+           '</h1><script type="text/javascript">var x = ' ||
+           CAST(doc_id AS VARCHAR) || ';</script><p class="main">' || text ||
+           ' &amp; &lt;tail&gt; &quot;q&#39;s&quot;&nbsp;end</p>' ||
+           '<style>p { color: red; }</style></body></html>' AS html
+           FROM documents),
+         c1 AS (SELECT doc_id, regexp_replace(html,
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         c2 AS (SELECT doc_id, regexp_replace(t,
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM c1),
+         c3 AS (SELECT doc_id, regexp_replace(t,
+           '<[^>]+>', ' ', 'g') AS t FROM c2),
+         c4 AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(t,
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&amp;', '&') AS t FROM c3),
+         c5 AS (SELECT doc_id,
+           trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean FROM c4)
+         SELECT doc_id, text_clean, length(text_clean) AS n_chars_clean
+         FROM c5 ORDER BY doc_id""",
+
+    "q89_dup_span_coverage" ->
+      s"""WITH $shingleCte,
+         df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+         SELECT s.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+         FROM sh s JOIN df d USING (shingle)
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
 
     // Batch IVF probe: q49's fixed-centroid scheme, every query ranked and
     // scored in one SQL pass — same operation order, bitwise-stable.

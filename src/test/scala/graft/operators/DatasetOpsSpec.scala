@@ -30,6 +30,35 @@ class DatasetOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample hits per-group target rates, deterministically") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Map("en" -> 0.6, "de" -> 0.3)
+    val kept = DatasetOps.mixtureSample(docs, "lang", rates, 0.15)
+    val perLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val rate = rates.getOrElse(lang, 0.15)
+      assert(perLang.getOrElse(lang, 0L) == math.ceil(n * rate).toLong,
+        s"$lang: ${perLang.get(lang)} of $n at rate $rate")
+    }
+    // deterministic: a second run keeps the same ids
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = DatasetOps.mixtureSample(docs, "lang", rates, 0.15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // rate monotonicity: a lower rate keeps a PREFIX of the same
+    // permutation — recipes compose without reshuffling membership
+    val half = DatasetOps.mixtureSample(docs, "lang",
+        Map("en" -> 0.3, "de" -> 0.15), 0.075)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(ids1))
+    intercept[IllegalArgumentException] {
+      DatasetOps.mixtureSample(docs, "lang", Map("en" -> 1.5), 0.1)
+    }
+  }
+
   test("balancedSample caps each group deterministically") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val quota = 7L

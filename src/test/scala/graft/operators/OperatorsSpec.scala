@@ -32,6 +32,27 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.3 && j < 1.0)
   }
 
+  test("duplicateSpanCoverage counts corpus-shared n-gram spans per doc") {
+    val docs = docsOf(
+      1L -> "a b c d e",            // shingles: abc bcd cde
+      2L -> "a b c x y",            // shares abc with 1
+      3L -> "p q r s t")            // all spans unique
+    val out = Dedup.duplicateSpanCoverage(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup"),
+         r.getAs[Double]("dup_ratio"))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    // a doc duplicated wholesale is 100% covered
+    val dup = Dedup.duplicateSpanCoverage(docsOf(
+      1L -> "a b c d e", 2L -> "a b c d e")).collect()
+    assert(dup.forall(_.getAs[Double]("dup_ratio") == 1.0))
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpanCoverage(docs, minDocs = 1)
+    }
+  }
+
   test("hot-shingle cut prunes the join without dropping near-dup pairs") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val full = Dedup.jaccardPairs(docs, 0.5).count()
@@ -367,6 +388,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == "en")
     assert(out(2L) == "es")
     assert(out(3L) == "und")
+  }
+
+  test("cleanHtml strips script/style/tags, decodes entities, collapses ws") {
+    val df = Seq(
+      (1L, "<html><head><style>body { color: red; }</style>" +
+        "<script src=\"a.js\">var x = '<p>';</script></head>" +
+        "<body><h1>Title</h1><p class=\"x\">Hello &amp; welcome," +
+        "&nbsp;&quot;friends&quot; &lt;here&gt;.</p>\n<div>Bye</div>" +
+        "</body></html>"),
+      (2L, "no markup at   all"),
+      (3L, "broken <tag and <b>bold</b> &#39;quoted&#39;")
+    ).toDF("doc_id", "html")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.cleanHtml(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Title Hello & welcome, \"friends\" <here>. Bye")
+    assert(out(2L) == "no markup at all")
+    // the unclosed "<tag and <b>" span is one tag per the tolerant grammar
+    assert(out(3L) == "broken bold 'quoted'")
   }
 
   test("winnowing fingerprints: guarantee and exclusions") {
