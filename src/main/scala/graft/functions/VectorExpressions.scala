@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -294,6 +294,152 @@ case class IntDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_int_dot"
 }
 
+/** Product-quantization code assignment: split the vector into `m` equal
+  * subspaces (m = codebooks.length) and emit, per subspace, the index of
+  * the L2-nearest codeword — `array<int>` of length m. This is the encode
+  * step of PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search"): m·log2(k) bits replace dim·32 per stored vector.
+  *
+  * `right` must be a FOLDABLE `array<array<array<double>>>` shaped
+  * [m][k][dim/m] — the codebook is kilobytes, a literal broadcast into the
+  * generated code, never a join. Distances accumulate in element order
+  * (left-associated) and ties keep the LOWEST code index, so an external
+  * SQL engine reproduces the assignment bit-for-bit.
+  *
+  * Null semantics: null vector / null element / a dimension mismatch
+  * (vec length ≠ m × subDim, or ragged codebooks) yields null.
+  */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vecOk = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val cbOk = right.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) =>
+        right.foldable
+      case _ => false
+    }
+    if (vecOk && cbOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "pq_encode expects (array<float|double>, foldable " +
+          s"array<array<array<double>>>), got ${left.dataType.sql} " +
+          s"and ${right.dataType.sql}")
+  }
+
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, cbsAny: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val cbs = cbsAny.asInstanceOf[ArrayData]
+    val m = cbs.numElements()
+    if (m == 0) return null
+    val subDim = {
+      val cb0 = cbs.getArray(0)
+      if (cb0.numElements() == 0) return null
+      cb0.getArray(0).numElements()
+    }
+    if (vec.numElements() != m * subDim) return null
+    val vF = vecIsFloat
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = cbs.getArray(j)
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.numElements()) {
+        val cw = cb.getArray(c)
+        if (cw.numElements() != subDim) return null
+        var dist = 0.0
+        var d = 0
+        while (d < subDim) {
+          val off = j * subDim + d
+          if (vec.isNullAt(off)) return null
+          val x = if (vF) vec.getFloat(off).toDouble else vec.getDouble(off)
+          val diff = x - cw.getDouble(d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      if (best < 0) return null
+      codes(j) = best
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val vGet = if (vecIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (v, cbs) => {
+      val m = ctx.freshName("m")
+      val subDim = ctx.freshName("subDim")
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val off = ctx.freshName("off")
+      val cb = ctx.freshName("cb")
+      val cw = ctx.freshName("cw")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val dist = ctx.freshName("dist")
+      val diff = ctx.freshName("diff")
+      val arrayData = classOf[ArrayData].getName
+      val genericArrayData = classOf[GenericArrayData].getName
+      s"""
+         |int $m = $cbs.numElements();
+         |int $subDim = ($m == 0 || $cbs.getArray(0).numElements() == 0)
+         |  ? -1 : $cbs.getArray(0).getArray(0).numElements();
+         |if ($subDim < 0 || $v.numElements() != $m * $subDim) {
+         |  ${ev.isNull} = true;
+         |}
+         |int[] $codes = new int[$m < 0 ? 0 : $m];
+         |for (int $j = 0; !${ev.isNull} && $j < $m; $j++) {
+         |  $arrayData $cb = $cbs.getArray($j);
+         |  int $best = -1;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; !${ev.isNull} && $c < $cb.numElements(); $c++) {
+         |    $arrayData $cw = $cb.getArray($c);
+         |    if ($cw.numElements() != $subDim) { ${ev.isNull} = true; break; }
+         |    double $dist = 0.0;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      int $off = $j * $subDim + $d;
+         |      if ($v.isNullAt($off)) { ${ev.isNull} = true; break; }
+         |      double $diff = ((double) $v.$vGet($off)) - $cw.getDouble($d);
+         |      $dist += $diff * $diff;
+         |    }
+         |    if (!${ev.isNull} && $dist < $bestD) { $bestD = $dist; $best = $c; }
+         |  }
+         |  if ($best < 0) { ${ev.isNull} = true; }
+         |  $codes[$j] = $best < 0 ? 0 : $best;
+         |}
+         |${ev.value} = new $genericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_pq_encode"
+}
+
 object VectorFunctions {
   /** Dot product as a Column — codegen'd loop, order-identical to the
     * left-associated expression chain. */
@@ -307,6 +453,12 @@ object VectorFunctions {
   /** L2 norm via the same kernel (`sqrt(dot(a, a))`). */
   def normNative(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotNative(a, a))
+
+  /** PQ codes: per-subspace index of the L2-nearest codeword (lowest code
+    * wins ties). `codebooks` is [m][k][dim/m], embedded as a literal. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqEncode(expr(vec),
+      expr(org.apache.spark.sql.functions.typedlit(codebooks))))
 
   /** Index of the nearest centroid (argmax of `dot/||c||`, first wins). */
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =

@@ -31,6 +31,9 @@ object PipelineQueries {
   val IvfSeedIds: Seq[Long] = Seq(1L, 2L, 3L, 4L)
   val IvfNprobe = 2
   val IvfK = 10
+  /** PQ layout: 8 subspaces × 8 dims, codewords from seeds 1..8. */
+  val PqM = 8
+  val PqSeedIds: Seq[Long] = (1L to 8L)
   /** Winnowing gram size / window size. */
   val WinnowK = 8
   val WinnowW = 8
@@ -346,6 +349,24 @@ object PipelineQueries {
         graft.operators.Quantize.int8(emb), model, Dim)
       IvfIndex.probeQuantized(indexed.filter(col("vec_id") =!= 0), model,
         query, k = IvfK, nprobe = IvfNprobe)
+    },
+
+    // Product quantization ADC: vectors stored as 8 codes (32× shrink),
+    // probed via a broadcast query-to-codeword lookup table — the float
+    // corpus is never read at probe time. Codes AND scores oracle-pinned.
+    "q90_pq_ann" -> { (s, dir) =>
+      import graft.operators.ProductQuantizer
+      val emb = t(s, dir, "embeddings")
+      val model = ProductQuantizer.train(emb, PqSeedIds, m = PqM, dim = Dim)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      ProductQuantizer.adcTopK(
+          ProductQuantizer.encode(emb, model).filter(col("vec_id") =!= 0),
+          model, query, kTop = IvfK)
+        // the driver's comparator hashes scalars — pin the code array as a
+        // canonical string
+        .withColumn("pq_codes", array_join(col("pq_codes"), ","))
     },
 
     // Mixture sampling: per-language target rates (60% en / 30% de / 15%
@@ -1111,6 +1132,32 @@ object PipelineQueries {
          JOIN qcell USING (cell), qq
          WHERE e.vec_id <> 0
          ORDER BY score DESC, e.vec_id LIMIT $IvfK"""
+    },
+
+    "q90_pq_ann" -> {
+      import graft.operators.ProductQuantizer.{Sql => PQ}
+      val subDim = Dim / PqM
+      s"""WITH ${PQ.codebookCte(PqSeedIds, PqM, subDim)},
+         assigned AS (
+           SELECT e.vec_id, cb.j, cb.c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+               ORDER BY ${PQ.subDistChain("e.embedding", "cb.j", "cb.cw", subDim)} ASC,
+                 cb.c) AS rk
+           FROM embeddings e, cb),
+         codes AS (SELECT vec_id, j, c FROM assigned WHERE rk = 1),
+         recon AS (
+           SELECT codes.vec_id,
+             flatten(list(cb.cw ORDER BY codes.j)) AS r,
+             array_to_string(list(codes.c ORDER BY codes.j), ',') AS pq_codes
+           FROM codes JOIN cb ON cb.j = codes.j AND cb.c = codes.c
+           GROUP BY codes.vec_id),
+         q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+         SELECT r.vec_id, r.pq_codes,
+           ${PQ.adcScoreChain("q.q_vec", "r.r", PqM, subDim)} AS pq_score
+         FROM recon r, q
+         WHERE r.vec_id <> 0
+         ORDER BY pq_score DESC, r.vec_id
+         LIMIT $IvfK"""
     },
 
     "q87_mixture_sample" ->

@@ -319,6 +319,51 @@ class QuantizeSpec extends SparkSpec {
       s"float=$floatTop quant=$quantTop")
   }
 
+  test("PQ: encode matches a reference argmin, ADC matches reconstruction") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val model = ProductQuantizer.train(emb, (1L to 8L), m = 8, dim = 64)
+    assert(model.m == 8 && model.k == 8 && model.subDim == 8)
+    val encoded = ProductQuantizer.encode(emb, model)
+      .select(col("vec_id"), col("embedding"), col("pq_codes"))
+      .collect()
+    // every code in range; kernel assignment equals a driver-side argmin
+    encoded.take(50).foreach { r =>
+      val vec = r.getSeq[Float](1).map(_.toDouble).toArray
+      val codes = r.getSeq[Int](2)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 8))
+      val expect = (0 until 8).map { j =>
+        (0 until 8).minBy { c =>
+          var s = 0.0
+          (0 until 8).foreach { d =>
+            val diff = vec(j * 8 + d) - model.codebooks(j)(c)(d)
+            s += diff * diff
+          }
+          s
+        }
+      }
+      assert(codes == expect, s"vec ${r.getLong(0)}: $codes vs $expect")
+    }
+    // ADC score == dot(query, reconstructed codeword concat)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+      .map(_.toDouble).toArray
+    val top = ProductQuantizer.adcTopK(
+      ProductQuantizer.encode(emb, model).filter(col("vec_id") =!= 0),
+      model, query, kTop = 10).collect()
+    assert(top.length == 10)
+    top.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val recon = (0 until 8).flatMap(j => model.codebooks(j)(codes(j)))
+      val ip = query.zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(r.getDouble(2) - ip) < 1e-9)
+    }
+    // determinism across runs
+    val again = ProductQuantizer.adcTopK(
+      ProductQuantizer.encode(emb, model).filter(col("vec_id") =!= 0),
+      model, query, kTop = 10).collect()
+    assert(top.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("quantized scoring is pure integer arithmetic (exact, stable)") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val a = Quantize.quantizedTopK(emb, queryId = 0, k = 5)
