@@ -369,6 +369,35 @@ object PipelineQueries {
         .withColumn("pq_codes", array_join(col("pq_codes"), ","))
     },
 
+    // IVF-PQ: the production ANN composition — IVF cell pruning (touch
+    // nprobe/nlist of the corpus) × PQ ADC scoring (32×-compressed codes,
+    // no float reads at probe time). At rest the corpus is (id, cell,
+    // codes): ~5 bytes of index per 256-byte vector.
+    "q91_ivfpq_ann" -> { (s, dir) =>
+      import graft.operators.ProductQuantizer
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id").isInCollection(IvfSeedIds))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val centroids = seeds.map { c =>
+        val nrm = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / nrm)
+      }
+      val ivf = IvfIndex.Model(centroids)
+      val pq = ProductQuantizer.train(emb, PqSeedIds, m = PqM, dim = Dim)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val indexed = IvfIndex.assign(
+        ProductQuantizer.encode(emb, pq), ivf, Dim)
+      val cells = ivf.nearestCells(query, IvfNprobe)
+      ProductQuantizer.adcTopK(
+          indexed.filter(col("ivf_cell").isInCollection(cells)
+            && col("vec_id") =!= 0),
+          pq, query, kTop = IvfK)
+        .withColumn("pq_codes", array_join(col("pq_codes"), ","))
+    },
+
     // Mixture sampling: per-language target rates (60% en / 30% de / 15%
     // rest) via deterministic hash rank — the training-mix recipe
     // primitive (rate-based, vs q64's fixed per-group quota). The kept
@@ -1132,6 +1161,54 @@ object PipelineQueries {
          JOIN qcell USING (cell), qq
          WHERE e.vec_id <> 0
          ORDER BY score DESC, e.vec_id LIMIT $IvfK"""
+    },
+
+    "q91_ivfpq_ann" -> {
+      import graft.operators.ProductQuantizer.{Sql => PQ}
+      val subDim = Dim / PqM
+      val ctrNormSq = Similarity.Sql.normSq("embedding", Dim)
+      val cvecNormSq = Similarity.Sql.normSq("c.cvec", Dim)
+      s"""WITH ctr AS (
+           SELECT CAST(vec_id - 1 AS INT) AS cell,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt($ctrNormSq)) AS cvec
+           FROM embeddings
+           WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+         iassigned AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY (${Similarity.Sql.dot("e.embedding", "c.cvec", Dim)})
+                 / sqrt($cvecNormSq) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN ctr c),
+         icells AS (SELECT vec_id, cell FROM iassigned WHERE rk = 1),
+         qcell AS (SELECT c.cell FROM ctr c,
+             (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0) q
+           ORDER BY (${Similarity.Sql.dot("q.q_vec", "c.cvec", Dim)})
+             / sqrt($cvecNormSq) DESC, c.cell
+           LIMIT $IvfNprobe),
+         ${PQ.codebookCte(PqSeedIds, PqM, subDim)},
+         passigned AS (
+           SELECT e.vec_id, cb.j, cb.c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+               ORDER BY ${PQ.subDistChain("e.embedding", "cb.j", "cb.cw", subDim)} ASC,
+                 cb.c) AS rk
+           FROM embeddings e, cb),
+         codes AS (SELECT vec_id, j, c FROM passigned WHERE rk = 1),
+         recon AS (
+           SELECT codes.vec_id,
+             flatten(list(cb.cw ORDER BY codes.j)) AS r,
+             array_to_string(list(codes.c ORDER BY codes.j), ',') AS pq_codes
+           FROM codes JOIN cb ON cb.j = codes.j AND cb.c = codes.c
+           GROUP BY codes.vec_id),
+         q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0)
+         SELECT r.vec_id, r.pq_codes,
+           ${PQ.adcScoreChain("q.q_vec", "r.r", PqM, subDim)} AS pq_score
+         FROM recon r
+         JOIN icells ic USING (vec_id)
+         JOIN qcell USING (cell), q
+         WHERE r.vec_id <> 0
+         ORDER BY pq_score DESC, r.vec_id
+         LIMIT $IvfK"""
     },
 
     "q90_pq_ann" -> {

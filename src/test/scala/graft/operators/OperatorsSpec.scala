@@ -364,6 +364,29 @@ class QuantizeSpec extends SparkSpec {
     assert(top.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("IVF-PQ: cell pruning composes with ADC without changing scores") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val ivf = IvfIndex.train(emb, nlist = 8, dim = 64)
+    val pq = ProductQuantizer.train(emb, (1L to 8L), m = 8, dim = 64)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+      .map(_.toDouble).toArray
+    val indexed = IvfIndex.assign(ProductQuantizer.encode(emb, pq), ivf, 64)
+      .filter(col("vec_id") =!= 0)
+    val cells = ivf.nearestCells(query, nprobe = 4)
+    val out = ProductQuantizer.adcTopK(
+      indexed.filter(col("ivf_cell").isInCollection(cells)),
+      pq, query, kTop = 10).collect()
+    assert(out.length == 10)
+    // pruning only removes candidates — surviving scores are the full
+    // PQ scores, bit-for-bit
+    val full = ProductQuantizer.adcTopK(
+        ProductQuantizer.encode(emb, pq).filter(col("vec_id") =!= 0),
+        pq, query, kTop = 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.foreach(r => assert(full(r.getLong(0)) == r.getDouble(2)))
+  }
+
   test("quantized scoring is pure integer arithmetic (exact, stable)") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val a = Quantize.quantizedTopK(emb, queryId = 0, k = 5)
