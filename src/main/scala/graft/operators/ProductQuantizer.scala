@@ -56,6 +56,80 @@ object ProductQuantizer {
     }
   }
 
+  /** Trained codebooks: one KMeans per subspace over the sliced
+    * subvectors (MLlib — sampled, seeded, bounded iterations). This is
+    * the production-quality trainer; [[train]]'s seed-pick stays as the
+    * oracle-reproducible scheme. m small fits over dim/m-dimensional
+    * points — training cost is bounded by `sampleFraction`, independent
+    * of corpus size. */
+  def trainKMeans(emb: DataFrame, k: Int, m: Int, dim: Int,
+                  embCol: String = "embedding", seed: Long = 42L,
+                  sampleFraction: Double = 1.0, maxIter: Int = 20): Model = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val base =
+      if (sampleFraction >= 1.0) emb
+      else emb.sample(withReplacement = false, sampleFraction, seed)
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = base.select(
+        org.apache.spark.ml.functions.array_to_vector(
+          slice(col(embCol).cast("array<double>"), j * subDim + 1, subDim))
+          .as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed + j).setMaxIter(maxIter)
+        .setFeaturesCol("features")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    Model(codebooks)
+  }
+
+  /** Persist the codebooks: (j, c, codeword) parquet — kilobytes; train
+    * once, encode/probe from any session (parity with IvfIndex models). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                path: String): Unit = {
+    import spark.implicits._
+    (for {
+      j <- 0 until model.m
+      c <- 0 until model.k
+    } yield (j, c, model.codebooks(j)(c).toSeq))
+      .toDF("j", "c", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    val rows = spark.read.parquet(path).orderBy(col("j"), col("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[Double]]("codeword").toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cbs = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (j, c, cw) => cbs(j)(c) = cw }
+    Model(cbs.map(_.toArray))
+  }
+
+  /** Mean per-vector quantization error (Σ_j min_c L2²) — the objective
+    * KMeans minimizes; use it to compare trainers. Driver-side over a
+    * collected sample. */
+  def quantizationError(model: Model, vecs: Array[Array[Double]]): Double = {
+    require(vecs.nonEmpty)
+    vecs.map { v =>
+      (0 until model.m).map { j =>
+        (0 until model.k).map { c =>
+          var s = 0.0
+          var d = 0
+          while (d < model.subDim) {
+            val diff = v(j * model.subDim + d) - model.codebooks(j)(c)(d)
+            s += diff * diff
+            d += 1
+          }
+          s
+        }.min
+      }.sum
+    }.sum / vecs.length
+  }
+
   /** Deterministic "training": codeword c of subspace j = seed c's j-th
     * subvector, seeds in ascending id order. Seeds are a driver-side
     * collect of |seedIds| rows — metadata scale. */

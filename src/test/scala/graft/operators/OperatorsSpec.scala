@@ -364,6 +364,25 @@ class QuantizeSpec extends SparkSpec {
     assert(top.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("PQ kmeans trainer beats seed-pick on its own objective; model round-trips") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val seedPick = ProductQuantizer.train(emb, (1L to 8L), m = 8, dim = 64)
+    val trained = ProductQuantizer.trainKMeans(emb, k = 8, m = 8, dim = 64)
+    assert(trained.m == 8 && trained.k == 8 && trained.subDim == 8)
+    val eSeed = ProductQuantizer.quantizationError(seedPick, vecs)
+    val eTrained = ProductQuantizer.quantizationError(trained, vecs)
+    assert(eTrained <= eSeed,
+      s"kmeans error $eTrained worse than seed-pick $eSeed")
+    // persistence round-trip is exact
+    val dir = java.nio.file.Files.createTempDirectory("pqmodel").toString
+    ProductQuantizer.saveModel(spark, trained, s"$dir/model")
+    val back = ProductQuantizer.loadModel(spark, s"$dir/model")
+    assert(back.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      trained.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("IVF-PQ: cell pruning composes with ADC without changing scores") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val ivf = IvfIndex.train(emb, nlist = 8, dim = 64)
