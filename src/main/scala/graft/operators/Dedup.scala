@@ -367,6 +367,34 @@ object Dedup {
         col("bench_size"), col("overlap_frac"))
   }
 
+  /** Corpus-side span contamination: for each CORPUS doc, the fraction of
+    * its distinct n-grams that appear anywhere in the benchmark — the
+    * removal criterion of a decontamination pass ([[contamination]] is the
+    * complementary bench-side view: how much of each BENCHMARK doc leaked).
+    * A doc quoting one benchmark item heavily and another doc spreading
+    * thin quotes across many items score the same here — that is the
+    * point; eval-taint is about the corpus doc's content, not the pairing.
+    *
+    * Scale shape: the benchmark shingle set is eval-suite-sized and
+    * broadcasts; the corpus side is a map-side left join + one groupBy
+    * doc. O(corpus shingles), zero pair space. */
+  def contaminationCoverage(corpus: DataFrame, benchmark: DataFrame,
+                            n: Int = 3, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val c = shingleRelation(corpus, idCol, textCol, n)
+    val bench = shingleRelation(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("tainted", lit(1L))
+    c.join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("tainted"), lit(0L))).as("n_tainted"))
+      .withColumn("taint_ratio",
+        col("n_tainted").cast("double") / col("n_shingles").cast("double"))
+      .select(col("sid").as(idCol), col("n_shingles"), col("n_tainted"),
+              col("taint_ratio"))
+  }
+
   /** 64-bit SimHash: bits 0-31 vote on the nibbles of `md5(token)`, bits
     * 32-63 on the nibbles of `md5('2#' || token)` — the salted second hash
     * is an independent family, same cross-engine md5 determinism. Native

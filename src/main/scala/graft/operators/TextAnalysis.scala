@@ -92,6 +92,29 @@ object TextAnalysis {
     greatest(lit(0.0), lenScore - stopPenalty - punctPenalty)
   }
 
+  /** Quality-weighted sampling (cf. CCNet's perplexity buckets / the
+    * "sample high-quality data at higher rates" recipe): each doc is kept
+    * with probability `floorRate + quality × span`, decided by comparing a
+    * deterministic per-doc uniform draw (first 8 md5 hex digits of
+    * salt|id) against a per-doc hex threshold derived from its own quality
+    * score. Map-only — each doc's fate is a pure function of (salt, id,
+    * text), no shuffle, no RNG state; re-runs and external engines agree
+    * on the exact kept set. `floorRate + span` must stay < 1 so the
+    * threshold fits 8 hex digits. */
+  def qualityWeightedSample(docs: DataFrame, floorRate: Double = 0.05,
+                            span: Double = 0.9, salt: String = "qw",
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(floorRate > 0 && span >= 0 && floorRate + span < 1.0,
+      "need 0 < floorRate and floorRate + span < 1")
+    val rate = lit(floorRate) + qualityScore(col(textCol)) * lit(span)
+    val threshold = lower(lpad(
+      hex(floor(rate * lit(4294967296.0d)).cast("long")), 8, "0"))
+    val draw = substring(
+      md5(concat(lit(salt + "|"), col(idCol).cast("string"))), 1, 8)
+    docs.withColumn("keep_rate", rate).filter(draw < threshold)
+  }
+
   /** Per-language marker lexicons for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny: language ID at pipeline scale is a
     * first-pass router, not a classifier. */

@@ -442,6 +442,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-weighted sampling: keep-probability = 0.05 + quality × 0.9,
+    // decided by a deterministic per-doc draw vs a per-doc hex threshold —
+    // map-only, exact kept set pinned per language.
+    "q92_quality_sample" -> { (s, dir) =>
+      TextAnalysis.qualityWeightedSample(t(s, dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    },
+
+    // Corpus-side span contamination vs the q58 benchmark stand-in (every
+    // 100th doc): fraction of each corpus doc's 3-grams present anywhere
+    // in the benchmark — the decontamination removal criterion.
+    "q93_contamination_span" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationCoverage(docs,
+          docs.filter(pmod(col("doc_id"), lit(100)) === 0))
+        .orderBy(col("doc_id"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1273,6 +1295,33 @@ object PipelineQueries {
            trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean FROM c4)
          SELECT doc_id, text_clean, length(text_clean) AS n_chars_clean
          FROM c5 ORDER BY doc_id""",
+
+    "q92_quality_sample" ->
+      s"""WITH $toksCte, $qualityComponentsSql,
+         q AS (SELECT doc_id, lang,
+             greatest(0.0, least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+               - (stopword_ratio * 0.5) - (punct_ratio * 2.0)) AS quality
+           FROM comp),
+         s AS (SELECT doc_id, lang,
+             substr(md5('qw|' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw,
+             lower(lpad(to_hex(CAST(floor((0.05 + quality * 0.9)
+               * 4294967296.0) AS BIGINT)), 8, '0')) AS th
+           FROM q)
+         SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum, MIN(doc_id) AS min_id
+         FROM s WHERE draw < th
+         GROUP BY lang ORDER BY lang""",
+
+    "q93_contamination_span" ->
+      s"""WITH $shingleCte,
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0)
+         SELECT s.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_tainted,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS taint_ratio
+         FROM sh s LEFT JOIN bench b USING (shingle)
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
 
     "q89_dup_span_coverage" ->
       s"""WITH $shingleCte,

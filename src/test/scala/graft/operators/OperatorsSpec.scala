@@ -53,6 +53,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationCoverage scores corpus docs against a benchmark set") {
+    val bench = docsOf(10L -> "a b c d e")
+    val corpus = docsOf(
+      1L -> "a b c d e",        // full copy: all 3 shingles tainted
+      2L -> "a b c x y",        // shares abc only
+      3L -> "p q r s t")        // clean
+    val out = Dedup.contaminationCoverage(corpus, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_tainted"),
+         r.getAs[Double]("taint_ratio"))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+  }
+
   test("hot-shingle cut prunes the join without dropping near-dup pairs") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val full = Dedup.jaccardPairs(docs, 0.5).count()
@@ -475,6 +490,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == "en")
     assert(out(2L) == "es")
     assert(out(3L) == "und")
+  }
+
+  test("qualityWeightedSample keeps better docs at higher rates, deterministically") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val kept = TextAnalysis.qualityWeightedSample(docs)
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.qualityWeightedSample(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.nonEmpty)
+    // empirical monotonicity: keep-rate of the top quality quartile beats
+    // the bottom quartile
+    val scored = docs
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("quartile", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("q"))))
+      .select(col("doc_id"), col("quartile")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def rate(quartile: Int): Double = {
+      val members = scored.filter(_._2 == quartile).keySet
+      members.count(ids1).toDouble / members.size
+    }
+    assert(rate(4) > rate(1),
+      s"top-quartile keep rate ${rate(4)} <= bottom ${rate(1)}")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityWeightedSample(docs, floorRate = 0.5, span = 0.6)
+    }
   }
 
   test("cleanHtml strips script/style/tags, decodes entities, collapses ws") {
