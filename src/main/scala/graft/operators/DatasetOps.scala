@@ -117,6 +117,50 @@ object DatasetOps {
         col("bin"))
   }
 
+  /** Token-budget selection: keep the highest-quality documents until a
+    * token budget is exhausted — the "best N tokens" data-selection step
+    * of a training run. Quality is bucketed (`floor(q × buckets)`, best
+    * bucket first), so selection needs NO global sort: per-bucket token
+    * totals are `buckets` rows (metadata scale — the bounded running-sum
+    * window over them is the q81 offset scheme), and within a bucket docs
+    * fill greedily by deterministic hash order. A doc is kept iff the
+    * tokens of all better buckets plus its own bucket's running prefix
+    * fit the budget — a pure function of (salt, corpus), reproducible on
+    * any engine or partition layout.
+    *
+    * Scale shape: one shuffle on the bucket key for the within-bucket
+    * prefix sums; buckets bound the quality resolution AND the per-task
+    * serial work — raise `buckets` if one quality band dominates. */
+  def tokenBudgetSelect(docs: DataFrame, tokenBudget: Long,
+                        buckets: Int = 1024, salt: String = "sel",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(tokenBudget > 0 && buckets > 0)
+    val q = TextAnalysis.qualityScore(col(textCol))
+    val scored = docs
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol))
+        .cast("long"))
+      .withColumn("q_bucket",
+        least(floor(q * lit(buckets.toDouble)).cast("int"),
+          lit(buckets - 1)))
+    val wOff = Window.orderBy(col("q_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `buckets` rows — the unpartitioned window is bounded by construction
+    val offsets = scored.groupBy(col("q_bucket"))
+      .agg(sum(col("n_tokens")).as("btoks"))
+      .withColumn("before_toks", sum(col("btoks")).over(wOff) - col("btoks"))
+      .select(col("q_bucket"), col("before_toks"))
+    val draw = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val wIn = Window.partitionBy(col("q_bucket"))
+      .orderBy(draw.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("bucket_cum", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(offsets), "q_bucket")
+      .filter(col("before_toks") + col("bucket_cum") <= tokenBudget)
+      .drop("bucket_cum", "before_toks")
+  }
+
   /** Deterministic corpus shuffle + batch assignment: global training
     * order = rank by `md5(salt|id)` (a seeded permutation that every
     * engine, run and resumed job agrees on), batch = rank / batchSize.

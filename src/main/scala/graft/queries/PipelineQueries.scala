@@ -464,6 +464,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Token-budget selection: best-quality docs until 12k tokens (~44% of
+    // the corpus) — bucketed quality, q81-style bounded offsets, no
+    // global sort. Membership pinned per language.
+    "q94_token_budget" -> { (s, dir) =>
+      graft.operators.DatasetOps.tokenBudgetSelect(
+          t(s, dir, "documents"), tokenBudget = 12000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_tokens")).as("tok_sum"))
+        .orderBy(col("lang"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1295,6 +1308,34 @@ object PipelineQueries {
            trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean FROM c4)
          SELECT doc_id, text_clean, length(text_clean) AS n_chars_clean
          FROM c5 ORDER BY doc_id""",
+
+    "q94_token_budget" ->
+      s"""WITH $toksCte, $qualityComponentsSql,
+         scored AS (SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             LEAST(CAST(floor(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                 - (stopword_ratio * 0.5) - (punct_ratio * 2.0)) * 1024.0)
+               AS INT), 1023) AS q_bucket
+           FROM comp),
+         bsum AS (SELECT q_bucket, SUM(n_tokens) AS btoks FROM scored
+           GROUP BY q_bucket),
+         brun AS (SELECT q_bucket,
+             SUM(btoks) OVER (ORDER BY q_bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - btoks
+               AS before_toks
+           FROM bsum),
+         ranked AS (SELECT s.doc_id, s.lang, s.n_tokens, b.before_toks,
+             SUM(s.n_tokens) OVER (PARTITION BY s.q_bucket
+               ORDER BY md5('sel|' || CAST(s.doc_id AS VARCHAR)), s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bucket_cum
+           FROM scored s JOIN brun b USING (q_bucket))
+         SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+         FROM ranked WHERE before_toks + bucket_cum <= 12000
+         GROUP BY lang ORDER BY lang""",
 
     "q92_quality_sample" ->
       s"""WITH $toksCte, $qualityComponentsSql,

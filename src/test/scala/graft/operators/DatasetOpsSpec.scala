@@ -59,6 +59,35 @@ class DatasetOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSelect: budget respected, best buckets fill first") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val budget = 12000L
+    val kept = DatasetOps.tokenBudgetSelect(docs, budget).collect()
+    val total = kept.map(_.getAs[Long]("n_tokens")).sum
+    assert(total <= budget && total > budget / 2, s"kept $total of $budget")
+    // deterministic
+    val again = DatasetOps.tokenBudgetSelect(docs, budget).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet ==
+      again.map(_.getAs[Long]("doc_id")).toSet)
+    // bucket structure: full buckets from the top, at most one partial,
+    // none below it
+    val keptByBucket = kept.groupBy(_.getAs[Int]("q_bucket"))
+      .view.mapValues(_.length).toMap
+    val allByBucket = DatasetOps
+      .tokenBudgetSelect(docs, Long.MaxValue).collect()
+      .groupBy(_.getAs[Int]("q_bucket")).view.mapValues(_.length).toMap
+    val partials = allByBucket.keys.toSeq.sorted(Ordering.Int.reverse)
+      .map(b => (b, keptByBucket.getOrElse(b, 0), allByBucket(b)))
+    val firstNotFull = partials.indexWhere { case (_, k, n) => k < n }
+    assert(firstNotFull >= 0)
+    partials.take(firstNotFull).foreach { case (b, k, n) =>
+      assert(k == n, s"bucket $b not fully kept above the cutoff")
+    }
+    partials.drop(firstNotFull + 1).foreach { case (b, k, _) =>
+      assert(k == 0, s"bucket $b kept docs below the cutoff")
+    }
+  }
+
   test("balancedSample caps each group deterministically") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val quota = 7L
