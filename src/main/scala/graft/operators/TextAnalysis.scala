@@ -92,6 +92,36 @@ object TextAnalysis {
     greatest(lit(0.0), lenScore - stopPenalty - punctPenalty)
   }
 
+  /** Lexical-surprisal scoring — the perplexity-filter stand-in (cf.
+    * CCNet's KenLM buckets) that needs NO language model and NO floating
+    * transcendentals: a token's "information" is the bit-width of its
+    * corpus frequency, `length(bin(tf))` = floor(log2(tf)) + 1 — an exact
+    * INTEGER on every engine, so per-doc means (int sum / int count) are
+    * bit-reproducible where a real log-prob would drift in the last ulp.
+    * High mean bits = stopword-heavy fluent text; low = rare-token noise;
+    * both tails are the filter candidates, exactly like perplexity
+    * bucketing.
+    *
+    * Scale shape: corpus term frequencies are one partial-agg shuffle on
+    * the token key; the join back is a token equi-join (high cardinality,
+    * well partitioned); one groupBy doc. Occurrences, not distinct — a
+    * doc repeating "the" 100× scores 100 common tokens. */
+  def lexicalSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("sid"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(tf, "tok")
+      .withColumn("bits", length(bin(col("tf"))).cast("long"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(col("bits")).as("total_bits"))
+      .withColumn("mean_bits",
+        col("total_bits").cast("double") / col("n_tokens").cast("double"))
+      .select(col("sid").as(idCol), col("n_tokens"), col("total_bits"),
+              col("mean_bits"))
+  }
+
   /** Quality-weighted sampling (cf. CCNet's perplexity buckets / the
     * "sample high-quality data at higher rates" recipe): each doc is kept
     * with probability `floorRate + quality × span`, decided by comparing a

@@ -477,6 +477,34 @@ object PipelineQueries {
         .orderBy(col("lang"))
     },
 
+    // Lexical surprisal: per-doc mean bit-width of corpus term
+    // frequencies — the perplexity-filter proxy with integer-exact
+    // cross-engine arithmetic (length(bin(tf)), no libm).
+    "q95_lexical_surprisal" -> { (s, dir) =>
+      TextAnalysis.lexicalSurprisal(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
+    // JSONL round-trip: corpus → JSONL files → schema-first PERMISSIVE
+    // read-back (corrupt-record quarantine) → per-language aggregate; the
+    // oracle computes the same aggregate from the parquet source, so any
+    // loss or corruption in the interchange hop fails the hash.
+    "q96_jsonl_roundtrip" -> { (s, dir) =>
+      import graft.source.TextIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val path = "/tmp/graft_q96_jsonl"
+      TextIngest.writeJsonl(docs, path)
+      val (good, bad) = TextIngest.readJsonl(s, path, docs.schema)
+      require(bad.isEmpty, "round-trip produced corrupt records")
+      good.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("chars_sum"))
+        .orderBy(col("lang"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1308,6 +1336,23 @@ object PipelineQueries {
            trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean FROM c4)
          SELECT doc_id, text_clean, length(text_clean) AS n_chars_clean
          FROM c5 ORDER BY doc_id""",
+
+    "q95_lexical_surprisal" ->
+      s"""WITH $toksCte,
+         occ AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+         tf AS (SELECT tok, COUNT(*) AS tf FROM occ GROUP BY tok)
+         SELECT o.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(length(bin(t.tf))) AS BIGINT) AS total_bits,
+           CAST(SUM(length(bin(t.tf))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_bits
+         FROM occ o JOIN tf t USING (tok)
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
+
+    "q96_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS chars_sum
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "q94_token_budget" ->
       s"""WITH $toksCte, $qualityComponentsSql,

@@ -1,0 +1,45 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSONL corpus ingest/egress — the lingua franca of training-data
+  * interchange (one JSON object per line, splittable, append-friendly).
+  *
+  * Reading is schema-FIRST: crawl-scale JSONL always contains malformed
+  * lines, and schema inference over 100 TB is two full passes; a declared
+  * schema + PERMISSIVE mode makes the read one pass and routes broken
+  * lines into a quarantine frame instead of failing the job. The good/bad
+  * split shares one scan via caching (Spark cannot filter on the corrupt
+  * column of an uncached JSON scan — SPARK-26243); at warehouse scale
+  * persist to DISK_ONLY or land the raw read to parquet once and split
+  * from there.
+  */
+object TextIngest {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Read JSONL with corrupt-record quarantine: returns (good, bad). The
+    * good frame has exactly `schema`'s columns; the bad frame is the raw
+    * offending lines — keep them, a dropped-on-the-floor parse error at
+    * ingest is how corpora silently shrink. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .cache()
+    val good = raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val bad = raw.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
+    (good, bad)
+  }
+
+  /** Write a corpus as JSONL, one file per partition (splittable,
+    * order-stable within a partition). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

@@ -492,6 +492,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("lexicalSurprisal: exact bit-width means on a known corpus") {
+    val docs = Seq(
+      (1L, "a a a a"),     // "a" tf=5 -> bin "101" -> 3 bits each
+      (2L, "a b"),         // "b" tf=1 -> 1 bit; "a" -> 3 bits
+      (3L, "c")            // "c" tf=1 -> 1 bit
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalSurprisal(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+         r.getAs[Double]("mean_bits"))).toMap
+    assert(out(1L) == ((4L, 12L, 3.0)))
+    assert(out(2L) == ((2L, 4L, 2.0)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("qualityWeightedSample keeps better docs at higher rates, deterministically") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val kept = TextAnalysis.qualityWeightedSample(docs)
