@@ -208,28 +208,62 @@ object Dedup {
     * sharing any band key are candidate pairs. One shuffle on band key;
     * bucket sizes are the skew knob (more bands ⇒ higher recall, bigger
     * buckets). */
-  def lshCandidates(signatures: DataFrame, numHashes: Int = 16,
-                    bands: Int = 4): DataFrame = {
+  /** Banded (sid, band, band_key) relation — one pass over the signature
+    * table via explode (a union of per-band selects would recompute the
+    * upstream signature aggregation once per band). This IS the persisted
+    * LSH index: at scale it lives as a parquet table keyed by
+    * (band, band_key) and new batches probe it ([[lshCandidatesIncremental]]). */
+  def bandRelation(signatures: DataFrame, numHashes: Int = 16,
+                   bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // One pass over the signatures: emit every band key via explode (a
-    // union of per-band selects would recompute the upstream signature
-    // aggregation once per band), then persist — the banded index feeds
-    // both sides of the candidate self-join.
     val bandStructs = (0 until bands).map { b =>
       val slice = (b * rows until (b + 1) * rows).map(i => col(s"sig_$i"))
       struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("band_key"))
     }
-    val banded = signatures
+    signatures
       .select(col("sid"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("sid"), col("bk.band").as("band"),
               col("bk.band_key").as("band_key"))
+  }
+
+  def lshCandidates(signatures: DataFrame, numHashes: Int = 16,
+                    bands: Int = 4): DataFrame = {
+    // persist — the banded index feeds both sides of the candidate self-join
+    val banded = bandRelation(signatures, numHashes, bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("band_key"), col("sid").as("id_a"))
     val r = banded.select(col("band"), col("band_key"), col("sid").as("id_b"))
     l.join(r, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Incremental LSH: candidate pairs for a NEW batch against an EXISTING
+    * corpus index, plus within-batch pairs — the operational dedup shape:
+    * arriving data probes the stored band index and the existing corpus is
+    * NEVER re-paired with itself (at 100 TB that self-join dwarfs the
+    * batch probe by the corpus/batch ratio, and it was already done).
+    * Signatures are per-doc (independent of the rest of the corpus), so
+    * batch signatures computed in isolation equal a full recompute.
+    * Output (id_a, id_b), a < b, distinct; every pair has ≥1 batch doc. */
+  def lshCandidatesIncremental(existingSigs: DataFrame, freshSigs: DataFrame,
+                               numHashes: Int = 16,
+                               bands: Int = 4): DataFrame = {
+    val eb = bandRelation(existingSigs, numHashes, bands)
+    val fb = bandRelation(freshSigs, numHashes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cross = fb.select(col("band"), col("band_key"), col("sid").as("id_f"))
+      .join(eb.select(col("band"), col("band_key"), col("sid").as("id_e")),
+        Seq("band", "band_key"))
+      .select(least(col("id_f"), col("id_e")).as("id_a"),
+              greatest(col("id_f"), col("id_e")).as("id_b"))
+    val within = fb.select(col("band"), col("band_key"), col("sid").as("id_a"))
+      .join(fb.select(col("band"), col("band_key"), col("sid").as("id_b")),
+        Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    cross.union(within).distinct()
   }
 
   /** SimHash (32-bit, md5-nibble variant): for bit j, take the j-th hex

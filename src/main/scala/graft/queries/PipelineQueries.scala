@@ -505,6 +505,41 @@ object PipelineQueries {
         .orderBy(col("lang"))
     },
 
+    // Incremental dedup: a new batch (doc_id ≥ 400) probes the existing
+    // corpus band index + itself; the existing corpus is never re-paired
+    // with itself. Same LSH scheme as q28 — the result is q28's pairs
+    // restricted to those touching the batch.
+    "q97_incremental_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val existing = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") < 400), NumHashes)
+      val fresh = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") >= 400), NumHashes)
+      Dedup.lshCandidatesIncremental(existing, fresh, NumHashes, Bands)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Split-leakage audit: near-dup candidate pairs crossing the
+    // train/val/test boundary — the eval-integrity check a training run
+    // does after splitting (a leaked near-dup inflates eval).
+    "q98_split_leakage" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val split = graft.operators.DatasetOps.hashSplit(docs)
+        .select(col("doc_id"), col("split"))
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
+      pairs
+        .join(split.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("id_a")).as("min_id_a"))
+        .orderBy(col("split_a"), col("split_b"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1336,6 +1371,37 @@ object PipelineQueries {
            trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean FROM c4)
          SELECT doc_id, text_clean, length(text_clean) AS n_chars_clean
          FROM c5 ORDER BY doc_id""",
+
+    "q97_incremental_dedup" ->
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b USING (band, band_key)
+         WHERE a.doc_id < b.doc_id
+           AND (a.doc_id >= 400 OR b.doc_id >= 400)
+         ORDER BY id_a, id_b""",
+
+    "q98_split_leakage" -> {
+      val th1 = f"${math.floor(0.9 * (1L << 32)).toLong}%08x"
+      val th2 = f"${math.floor(0.95 * (1L << 32)).toLong}%08x"
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         sp AS (SELECT doc_id,
+             CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '$th1' THEN 'train'
+                  WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '$th2' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT sa.split AS split_a, sb.split AS split_b,
+           COUNT(*) AS n_pairs, MIN(p.id_a) AS min_id_a
+         FROM pairs p
+         JOIN sp sa ON sa.doc_id = p.id_a
+         JOIN sp sb ON sb.doc_id = p.id_b
+         WHERE sa.split <> sb.split
+         GROUP BY 1, 2 ORDER BY split_a, split_b"""
+    },
 
     "q95_lexical_surprisal" ->
       s"""WITH $toksCte,

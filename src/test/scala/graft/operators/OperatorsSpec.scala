@@ -53,6 +53,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH equals full LSH restricted to batch-touching pairs") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val cut = 400L
+    val full = Dedup.lshCandidates(Dedup.minhashSignatures(docs, 16), 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.lshCandidatesIncremental(
+        Dedup.minhashSignatures(docs.filter(col("doc_id") < cut), 16),
+        Dedup.minhashSignatures(docs.filter(col("doc_id") >= cut), 16),
+        16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a >= cut || b >= cut }
+    assert(inc == expected, s"inc ${inc.size} vs expected ${expected.size}")
+    // and it never emits an existing×existing pair
+    assert(inc.forall { case (a, b) => a >= cut || b >= cut })
+  }
+
   test("contaminationCoverage scores corpus docs against a benchmark set") {
     val bench = docsOf(10L -> "a b c d e")
     val corpus = docsOf(
