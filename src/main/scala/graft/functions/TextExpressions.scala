@@ -376,7 +376,57 @@ case class WinnowFingerprints(
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Unicode NFC normalization (canonical composition): `e` + combining
+  * acute → `é`, fullwidth/compatibility forms left alone (that is NFKC —
+  * deliberately not done here, it is lossy). Crawled text mixes composed
+  * and decomposed forms, so EVERY hash-keyed dedup (exact keys, shingles,
+  * MinHash, fingerprints) silently misses duplicates until the corpus is
+  * normalized — this is the first map-only pass of a text pipeline.
+  * Wraps the JDK's `java.text.Normalizer` (Unicode-conformant, zero
+  * dependencies); codegen emits the direct static call. External engines
+  * agree because NFC is a Unicode standard, not an implementation choice
+  * (the q99 oracle uses DuckDB's `nfc_normalize`).
+  */
+case class NfcNormalize(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        "java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : NfcNormalize = copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
 object TextFunctions {
+  /** Unicode NFC normalization, native kernel. */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
   /** Distinct word n-gram shingles, native kernel. */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))

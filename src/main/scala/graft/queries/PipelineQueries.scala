@@ -540,6 +540,21 @@ object PipelineQueries {
         .orderBy(col("split_a"), col("split_b"))
     },
 
+    // Unicode NFC normalization: decomposed combining marks composed (the
+    // prerequisite of every hash-keyed dedup), compatibility forms left
+    // alone (NFC, not lossy NFKC). Kernel vs DuckDB's nfc_normalize —
+    // both implement the same Unicode standard, pinned by md5.
+    "q99_nfc_normalize" -> { (s, dir) =>
+      val suffix = " café naïve ﬁn façade"
+      val raw = concat(col("text"), lit(suffix))
+      val norm = graft.functions.TextFunctions.nfcNormalize(raw)
+      t(s, dir, "documents").select(col("doc_id"),
+          length(raw).as("n_chars_raw"),
+          length(norm).as("n_chars_norm"),
+          md5(norm).as("norm_key"))
+        .orderBy(col("doc_id"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1371,6 +1386,15 @@ object PipelineQueries {
            trim(regexp_replace(t, '\s+', ' ', 'g')) AS text_clean FROM c4)
          SELECT doc_id, text_clean, length(text_clean) AS n_chars_clean
          FROM c5 ORDER BY doc_id""",
+
+    "q99_nfc_normalize" -> {
+      val suffix = " café naïve ﬁn façade"
+      s"""SELECT doc_id,
+           length(text || '$suffix') AS n_chars_raw,
+           length(nfc_normalize(text || '$suffix')) AS n_chars_norm,
+           md5(nfc_normalize(text || '$suffix')) AS norm_key
+         FROM documents ORDER BY doc_id"""
+    },
 
     "q97_incremental_dedup" ->
       s"""WITH $shingleCte, $minhashSigSql, $bandSql

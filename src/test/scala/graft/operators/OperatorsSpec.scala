@@ -508,6 +508,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("NFC normalization composes marks, preserves compatibility forms") {
+    import graft.functions.TextFunctions.nfcNormalize
+    val df = Seq(
+      (1L, "café"),          // e + combining acute -> é
+      (2L, "café"),           // already composed
+      (3L, "ﬁne"),            // fi ligature: NFC leaves it (NFKC wouldn't)
+      (4L, "naïve")          // i + combining diaeresis -> ï
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), nfcNormalize(col("text")).as("n"),
+        length(nfcNormalize(col("text"))).as("len"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == (("café", 4)))
+    assert(out(2L) == (("café", 4)))
+    assert(out(1L)._1 == out(2L)._1) // dedup keys now agree
+    assert(out(3L) == (("ﬁne", 3)))
+    assert(out(4L) == (("naïve", 5)))
+  }
+
   test("lexicalSurprisal: exact bit-width means on a known corpus") {
     val docs = Seq(
       (1L, "a a a a"),     // "a" tf=5 -> bin "101" -> 3 bits each
