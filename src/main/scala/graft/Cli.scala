@@ -239,6 +239,35 @@ object Cli {
           out.unpersist()
           println(summary.toJson)
 
+        case "mix" =>
+          // rate-based mixture sampling to a training-mix recipe:
+          //   mix --source <parquet> --out <path> [--group-col lang]
+          //       [--rates "en=0.6,de=0.3"] [--default-rate 0.15]
+          val docs = spark.read.parquet(opts("source"))
+          val rates = opts.get("rates")
+            .map(_.split(",").map { kv =>
+              val Array(k, v) = kv.split("=", 2); k -> v.toDouble
+            }.toMap).getOrElse(Map.empty[String, Double])
+          graft.operators.DatasetOps.mixtureSample(docs,
+              groupCol = opts.getOrElse("group-col", "lang"), rates,
+              defaultRate = opts.get("default-rate").map(_.toDouble)
+                .getOrElse(0.15))
+            .write.mode("overwrite").parquet(opts("out"))
+          println(s"""{"kept": ${
+            spark.read.parquet(opts("out")).count()}, "of": ${docs.count()}}""")
+
+        case "select-tokens" =>
+          // quality-ranked selection under a token budget:
+          //   select-tokens --source <parquet> --out <path> --budget <n>
+          val docs = spark.read.parquet(opts("source"))
+          graft.operators.DatasetOps.tokenBudgetSelect(docs,
+              tokenBudget = opts("budget").toLong)
+            .write.mode("overwrite").parquet(opts("out"))
+          val kept = spark.read.parquet(opts("out"))
+          println(s"""{"kept": ${kept.count()}, "tokens": ${
+            kept.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+              .head().getLong(0)}}""")
+
         case "schema-sync" =>
           // detect source-side schema drift vs an offloaded target and
           // print the evolution plan (ALTERs for DDL-applying engines);

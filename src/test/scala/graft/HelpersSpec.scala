@@ -135,6 +135,21 @@ class CliSpec extends SparkSpec {
     assert(evolved.count() == orders.count())
   }
 
+  test("mix and select-tokens commands write sampled corpora") {
+    val base = Files.createTempDirectory("graft_cli_mix").toString
+    val src = sf("sf0.001") + "/documents.parquet"
+    Cli.main(Array("mix", "--source", src, "--out", s"$base/mixed",
+      "--rates", "en=0.5,de=0.25", "--default-rate", "0.1"))
+    val mixed = spark.read.parquet(s"$base/mixed")
+    assert(mixed.count() > 0 && mixed.count() <
+      spark.read.parquet(src).count())
+    Cli.main(Array("select-tokens", "--source", src,
+      "--out", s"$base/sel", "--budget", "5000"))
+    val sel = spark.read.parquet(s"$base/sel")
+    import org.apache.spark.sql.functions.sum
+    assert(sel.agg(sum("n_tokens")).head().getLong(0) <= 5000L)
+  }
+
   test("agg-validate validates a table against itself") {
     val src = sf("sf0.001") + "/orders.parquet"
     Cli.main(Array("agg-validate", "--left", src, "--right", src,
