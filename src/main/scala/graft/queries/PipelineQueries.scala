@@ -555,6 +555,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The corpus pipeline end-to-end in ONE query: NFC normalize →
+    // quality floor → exact-dedup survivorship → per-language stats.
+    // Every stage is individually oracle-checked (q99/q30/q26); this pins
+    // their COMPOSITION — column contracts, filter ordering, survivor
+    // join — as a single declarative plan Catalyst optimizes whole.
+    "q100_corpus_pipeline" -> { (s, dir) =>
+      val staged = t(s, dir, "documents")
+        .withColumn("text_norm",
+          graft.functions.TextFunctions.nfcNormalize(col("text")))
+        .withColumn("quality",
+          TextAnalysis.qualityScore(col("text_norm")))
+        .filter(col("quality") >= 0.3)
+        .withColumn("exact_key", TextAnalysis.exactKey(col("text_norm")))
+      val keep = staged.groupBy(col("exact_key"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      staged.join(keep, Seq("exact_key", "doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text_norm"))).as("chars_sum"))
+        .orderBy(col("lang"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1395,6 +1418,26 @@ object PipelineQueries {
            md5(nfc_normalize(text || '$suffix')) AS norm_key
          FROM documents ORDER BY doc_id"""
     },
+
+    // The corpus text is ASCII, so nfc_normalize(text) = text on the
+    // oracle side — the composition contract (quality floor over the
+    // normalized column, dedup survivorship, per-lang stats) is what this
+    // pins; q99 pins NFC itself on decomposed input.
+    "q100_corpus_pipeline" ->
+      s"""WITH $toksCte, $qualityComponentsSql,
+         q AS (SELECT doc_id, lang, text,
+             greatest(0.0, least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+               - (stopword_ratio * 0.5) - (punct_ratio * 2.0)) AS quality
+           FROM comp),
+         f AS (SELECT doc_id, lang, text,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS ek
+           FROM q WHERE quality >= 0.3),
+         k AS (SELECT ek, MIN(doc_id) AS doc_id FROM f GROUP BY ek)
+         SELECT f.lang, COUNT(*) AS n_docs,
+           CAST(SUM(f.doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(f.text)) AS BIGINT) AS chars_sum
+         FROM f JOIN k ON k.ek = f.ek AND k.doc_id = f.doc_id
+         GROUP BY f.lang ORDER BY f.lang""",
 
     "q97_incremental_dedup" ->
       s"""WITH $shingleCte, $minhashSigSql, $bandSql
