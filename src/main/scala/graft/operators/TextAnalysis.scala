@@ -108,8 +108,12 @@ object TextAnalysis {
     * doc repeating "the" 100× scores 100 common tokens. */
   def lexicalSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
+    // the exploded occurrence relation feeds BOTH the tf aggregation and
+    // the join side — persist it so tokenisation runs once (same
+    // materialised-index rationale as jaccardPairs)
     val toks = docs.select(col(idCol).as("sid"),
       explode(tokens(col(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     toks.join(tf, "tok")
       .withColumn("bits", length(bin(col("tf"))).cast("long"))
