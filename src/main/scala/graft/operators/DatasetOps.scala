@@ -117,6 +117,37 @@ object DatasetOps {
         col("bin"))
   }
 
+  /** Document chunking: split each document into overlapping token
+    * windows of `chunkTokens` tokens with `overlap` tokens shared between
+    * consecutive chunks — the prep step before embedding (models have a
+    * context limit; overlap keeps boundary-spanning passages retrievable).
+    * Chunk count is pure integer arithmetic
+    * (`ceil(max(n−overlap,1)/stride)`, stride = chunkTokens−overlap), so
+    * chunk ids and boundaries are engine-exact. Map-only: one explode per
+    * doc, fan-out ≈ n/stride rows — no shuffle, embarrassingly parallel,
+    * and the chunk relation partitions however the corpus did. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlap: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    // integer ceil: (max(n - overlap, 1) + stride - 1) / stride — Spark's
+    // `/` is double division, so divide then truncate (positive ⇒ floor)
+    val nChunks = ((greatest(n - overlap, lit(1)) + lit(stride - 1))
+      / lit(stride)).cast("int")
+    docs
+      .select(col(idCol), toks.as("toks"), n.as("n_toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("toks"), col("chunk_id") * stride + 1,
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(col("n_toks") - col("chunk_id") * stride, lit(chunkTokens))
+          .as("n_chunk_tokens"))
+  }
+
   /** Token-budget selection: keep the highest-quality documents until a
     * token budget is exhausted — the "best N tokens" data-selection step
     * of a training run. Quality is bucketed (`floor(q × buckets)`, best

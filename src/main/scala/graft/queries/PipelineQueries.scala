@@ -578,6 +578,16 @@ object PipelineQueries {
         .orderBy(col("lang"))
     },
 
+    // Document chunking: overlapping 40-token windows (8-token overlap) —
+    // the embed-prep fan-out, map-only, chunk boundaries integer-exact.
+    "q101_doc_chunks" -> { (s, dir) =>
+      graft.operators.DatasetOps.chunkDocuments(
+          t(s, dir, "documents"), chunkTokens = 40, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_key"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1418,6 +1428,18 @@ object PipelineQueries {
            md5(nfc_normalize(text || '$suffix')) AS norm_key
          FROM documents ORDER BY doc_id"""
     },
+
+    "q101_doc_chunks" ->
+      s"""WITH $toksCte,
+         c AS (SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, (greatest(len(toks) - 8, 1) + 31) // 32))
+               AS chunk_id
+           FROM docs)
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(least(n - chunk_id * 32, 40) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(toks[CAST(chunk_id * 32 + 1 AS INT)
+             : CAST(chunk_id * 32 + 40 AS INT)], ' ')) AS chunk_key
+         FROM c ORDER BY doc_id, chunk_id""",
 
     // The corpus text is ASCII, so nfc_normalize(text) = text on the
     // oracle side — the composition contract (quality floor over the

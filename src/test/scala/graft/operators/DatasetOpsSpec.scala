@@ -88,6 +88,35 @@ class DatasetOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: exact boundaries, overlap, lossless coverage") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks, chunk 8 ov 2
+      (2L, "a b c"),                           // shorter than one chunk
+      (3L, "x")                                // single token
+    ).toDF("doc_id", "text")
+    val out = DatasetOps.chunkDocuments(docs, chunkTokens = 8, overlap = 2)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("chunk_id"))
+        .map(r => (r.getAs[String]("chunk_text"),
+          r.getAs[Int]("n_chunk_tokens"))).toSeq).toMap
+    assert(out(1L) == Seq(
+      ("t1 t2 t3 t4 t5 t6 t7 t8", 8),
+      ("t7 t8 t9 t10", 4)))         // starts at stride 6, overlaps t7 t8
+    assert(out(2L) == Seq(("a b c", 3)))
+    assert(out(3L) == Seq(("x", 1)))
+    // coverage: dropping each chunk's first `overlap` tokens (except the
+    // first chunk) and concatenating reconstructs the document
+    val rebuilt = out(1L).zipWithIndex.map { case ((t, _), i) =>
+      val toks = t.split(" ")
+      if (i == 0) toks else toks.drop(2)
+    }.flatten.mkString(" ")
+    assert(rebuilt == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+    intercept[IllegalArgumentException] {
+      DatasetOps.chunkDocuments(docs, chunkTokens = 8, overlap = 8)
+    }
+  }
+
   test("balancedSample caps each group deterministically") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val quota = 7L
