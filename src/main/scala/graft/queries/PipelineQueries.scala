@@ -588,6 +588,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // ANN quality monitoring: recall@10 of the PQ ADC probe against the
+    // brute-force float baseline — the metric an ANN deployment watches
+    // (compression/recall trade-off), as a query. Both top-k sets are
+    // independently oracle-pinned (q33, q90); this pins their overlap.
+    "q102_ann_recall" -> { (s, dir) =>
+      import graft.operators.ProductQuantizer
+      val emb = t(s, dir, "embeddings")
+      val brute = Similarity.cosineTopK(emb, queryId = 0, k = IvfK,
+        dim = Dim).select(col("vec_id"))
+      val model = ProductQuantizer.train(emb, PqSeedIds, m = PqM, dim = Dim)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val pq = ProductQuantizer.adcTopK(
+          ProductQuantizer.encode(emb, model).filter(col("vec_id") =!= 0),
+          model, query, kTop = IvfK)
+        .select(col("vec_id"))
+      pq.join(brute, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(IvfK).as("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(IvfK.toDouble))
+            .as("recall"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1427,6 +1451,44 @@ object PipelineQueries {
            length(nfc_normalize(text || '$suffix')) AS n_chars_norm,
            md5(nfc_normalize(text || '$suffix')) AS norm_key
          FROM documents ORDER BY doc_id"""
+    },
+
+    "q102_ann_recall" -> {
+      import graft.operators.ProductQuantizer.{Sql => PQ}
+      val subDim = Dim / PqM
+      s"""WITH n AS (SELECT vec_id, embedding,
+           sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS nrm
+           FROM embeddings),
+         qn AS (SELECT embedding AS q_vec, nrm AS q_nrm FROM n
+           WHERE vec_id = 0),
+         brute AS (SELECT e.vec_id
+           FROM n e, qn q
+           WHERE e.vec_id <> 0
+           ORDER BY (${Similarity.Sql.dot("e.embedding", "q.q_vec", Dim)})
+             / (e.nrm * q.q_nrm) DESC, e.vec_id
+           LIMIT $IvfK),
+         ${PQ.codebookCte(PqSeedIds, PqM, subDim)},
+         passigned AS (
+           SELECT e.vec_id, cb.j, cb.c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+               ORDER BY ${PQ.subDistChain("e.embedding", "cb.j", "cb.cw", subDim)} ASC,
+                 cb.c) AS rk
+           FROM embeddings e, cb),
+         codes AS (SELECT vec_id, j, c FROM passigned WHERE rk = 1),
+         recon AS (
+           SELECT codes.vec_id, flatten(list(cb.cw ORDER BY codes.j)) AS r
+           FROM codes JOIN cb ON cb.j = codes.j AND cb.c = codes.c
+           GROUP BY codes.vec_id),
+         q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+         pqtop AS (SELECT r.vec_id
+           FROM recon r, q
+           WHERE r.vec_id <> 0
+           ORDER BY ${PQ.adcScoreChain("q.q_vec", "r.r", PqM, subDim)} DESC,
+             r.vec_id
+           LIMIT $IvfK)
+         SELECT $IvfK AS k, COUNT(*) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / $IvfK.0 AS recall
+         FROM pqtop JOIN brute USING (vec_id)"""
     },
 
     "q101_doc_chunks" ->
