@@ -1,7 +1,5 @@
 package graft.streaming
 
-import scala.util.Try
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -49,7 +47,14 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val fresh = Dedup.minhashSignatures(batch, cfg.numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val existing = Try(spark.read.parquet(cfg.indexPath)).toOption
+    // explicit existence check — a swallow-all Try would treat a CORRUPT
+    // index as absent and silently emit wrong pairs; a real read error
+    // must fail the batch (and be retried by the stream)
+    val indexFs = new org.apache.hadoop.fs.Path(cfg.indexPath)
+    val exists = indexFs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(indexFs)
+    val existing =
+      if (exists) Some(spark.read.parquet(cfg.indexPath)) else None
     val pairs = existing match {
       case Some(idx) =>
         Dedup.lshCandidatesIncremental(idx, fresh, cfg.numHashes, cfg.bands)
