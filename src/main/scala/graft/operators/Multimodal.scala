@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * width/height/pixel stats ([[decodeImage]]). AUDIO decode is REAL for the
   * formats the JDK ships codecs for — WAV/AIFF/AU via `javax.sound.sampled`
   * ([[decodeAudio]]): true sample rate, channel count, frame count and
-  * sample RMS. Video codecs do not ship with the JDK, so that kind keeps a
-  * deterministic byte-stat STUB (clearly marked below); everything
-  * Spark-side — schema, typed Datasets, partition-wise batching, output
-  * shape — is real and tested. Swapping the remaining stub for an ffmpeg
-  * JNI call changes one function.
+  * sample RMS. VIDEO decode is REAL for MJPEG-in-AVI — the RIFF container
+  * is demuxed here and Motion-JPEG frames are ordinary JPEGs ImageIO reads
+  * ([[decodeVideo]]): true dimensions, frame count, frame rate, duration,
+  * first-frame pixel stats. Inter-frame codecs (H.264/VP9/AV1) ship no JDK
+  * decoder — those payloads route to the deterministic byte-stat fallback;
+  * swapping in an ffmpeg JNI call changes one function.
   *
   * Scale shape: `mapPartitions` keeps the decode batched per task (amortises
   * model/codec init once per partition, the same reason PySpark pipelines use
@@ -50,7 +51,13 @@ object Multimodal {
       aud_sample_rate: Int,    // decoded audio stats (-1 when not decoded)
       aud_channels: Int,
       aud_frames: Long,
-      aud_rms: Double)         // RMS over 16-bit PCM samples
+      aud_rms: Double,         // RMS over 16-bit PCM samples
+      vid_width: Int,          // demuxed video stats (-1 when not decoded)
+      vid_height: Int,
+      vid_frames: Int,
+      vid_us_per_frame: Int,
+      vid_duration_ms: Long,
+      vid_pixel_mean: Double)  // decoded FIRST frame (JPEG — lossy)
 
   /** Decoded-image stats (real codec output). */
   final case class ImageStats(width: Int, height: Int, pixelMean: Double)
@@ -181,12 +188,101 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB decode for kinds whose codecs the JDK lacks (video), and the
-    * fallback for undecodable image/audio payloads. Deterministic fake:
-    * derives pixel-ish stats from the raw bytes so the pipeline is testable
-    * end-to-end without codecs. */
+  /** Decoded-video stats (real container demux + first-frame decode). */
+  final case class VideoStats(width: Int, height: Int, nFrames: Int,
+                              usPerFrame: Int, durationMs: Long,
+                              firstFramePixelMean: Double)
+
+  /** REAL video decode for MJPEG-in-AVI — the one video format the JDK
+    * can fully handle with zero new dependencies: the AVI container is
+    * plain RIFF (walked here), and Motion-JPEG frames are ordinary JPEGs
+    * (`javax.imageio`). Header truth (dimensions, frame count, frame
+    * rate, duration) comes from the demuxed `avih` chunk; pixel stats
+    * from the decoded FIRST frame. Non-MJPEG codecs (H.264 etc.) ship no
+    * JDK decoder — those payloads return None and route to the byte-stat
+    * fallback, same contract as undecodable images/audio. */
+  def decodeVideo(payload: Array[Byte]): Option[VideoStats] = {
+    def u32(off: Int): Long =
+      if (off + 4 > payload.length) -1L
+      else ((payload(off) & 0xffL)) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    def cc(off: Int): String =
+      if (off + 4 > payload.length) ""
+      else new String(payload, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (payload.length < 24 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    var avih: Option[(Int, Int, Int, Int)] = None // us/frame, frames, w, h
+    var firstFrame: Option[Array[Byte]] = None
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end && (avih.isEmpty || firstFrame.isEmpty)) {
+        val ck = cc(pos)
+        val sz = u32(pos + 4)
+        if (sz < 0 || pos + 8 + sz > end) return // malformed size: abort
+        val dataOff = pos + 8
+        ck match {
+          case "LIST" if sz >= 4 =>
+            walk(dataOff + 4, dataOff + sz.toInt)
+          case "avih" if sz >= 40 && avih.isEmpty =>
+            avih = Some((u32(dataOff).toInt, u32(dataOff + 16).toInt,
+              u32(dataOff + 32).toInt, u32(dataOff + 36).toInt))
+          case "00dc" | "00db" if firstFrame.isEmpty && sz > 0 =>
+            firstFrame = Some(java.util.Arrays.copyOfRange(
+              payload, dataOff, dataOff + sz.toInt))
+          case _ => ()
+        }
+        pos = dataOff + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, payload.length)
+    avih.map { case (us, frames, w, h) =>
+      val mean = firstFrame.flatMap(decodeImage).map(_.pixelMean)
+        .getOrElse(-1.0)
+      VideoStats(w, h, frames, us, frames.toLong * us / 1000L, mean)
+    }
+  }
+
+  /** Deterministic MJPEG-AVI whose CONTAINER stats are pure functions of
+    * `seed`: `3 + seed%5` frames at `20000 + (seed%10)×1000` µs/frame,
+    * `(2+seed%7)×(2+seed%5)` solid-gray frames. JPEG is lossy, so pixel
+    * means are spec-checked with tolerance; the header fields are exact
+    * and the q103 oracle predicts them arithmetically (the q80/q82
+    * scheme, applied to the demuxer). */
+  def syntheticAvi(seed: Long): Array[Byte] = {
+    val nFrames = (3 + seed % 5).toInt
+    val usPerFrame = (20000 + (seed % 10) * 1000).toInt
+    val w = (2 + seed % 7).toInt
+    val h = (2 + seed % 5).toInt
+    val gray = ((seed * 11) % 256).toInt
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", jb)
+    val jpeg = jb.toByteArray
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("ISO-8859-1") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("ISO-8859-1") ++ body)
+    val avih = chunk("avih",
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte))
+    val movi = list("movi",
+      Array.concat(Seq.fill(nFrames)(chunk("00dc", jpeg)): _*))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ list("hdrl", avih) ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  /** Byte-stat fallback for payloads no JDK codec decodes (H.264 video,
+    * exotic image/audio formats). Deterministic: derives pixel-ish stats
+    * from the raw bytes so the pipeline is testable end-to-end. */
   private def decodeStub(payload: Array[Byte]): (Double, Long) = {
-    // ??? <- real codec call goes here (ffmpeg JNI for video)
     var sum = 0L
     var bits = 0L
     var i = 0
@@ -219,18 +315,27 @@ object Multimodal {
         val (mean, entropyQ) = decodeStub(r.payload)
         val img = if (r.kind == "image") decodeImage(r.payload) else None
         val aud = if (r.kind == "audio") decodeAudio(r.payload) else None
+        val vid = if (r.kind == "video") decodeVideo(r.payload) else None
         val (w, h) = img.map(s => (s.width, s.height))
+          .orElse(vid.map(s => (s.width, s.height)))
           .getOrElse((r.meta_width, r.meta_height))
         val (tw, th) = thumbBox(w, h)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean,
-          entropyQ, tw, th, img.isDefined || aud.isDefined,
+          entropyQ, tw, th,
+          img.isDefined || aud.isDefined || vid.isDefined,
           img.map(_.width).getOrElse(-1),
           img.map(_.height).getOrElse(-1),
           img.map(_.pixelMean).getOrElse(-1.0),
           aud.map(_.sampleRate).getOrElse(-1),
           aud.map(_.channels).getOrElse(-1),
           aud.map(_.frames).getOrElse(-1L),
-          aud.map(_.rms).getOrElse(-1.0))
+          aud.map(_.rms).getOrElse(-1.0),
+          vid.map(_.width).getOrElse(-1),
+          vid.map(_.height).getOrElse(-1),
+          vid.map(_.nFrames).getOrElse(-1),
+          vid.map(_.usPerFrame).getOrElse(-1),
+          vid.map(_.durationMs).getOrElse(-1L),
+          vid.map(_.firstFramePixelMean).getOrElse(-1.0))
       }
     }
   }

@@ -612,6 +612,29 @@ object PipelineQueries {
             .as("recall"))
     },
 
+    // REAL video-demux path with a REAL oracle (mirror of q80/q82):
+    // synthesize a deterministic MJPEG-AVI per doc (container fields pure
+    // functions of doc_id), round-trip through the RIFF demuxer, and
+    // report the demuxed header truth — exact, so the oracle predicts it
+    // arithmetically. First-frame JPEG decode is real but lossy, so pixel
+    // means are spec-checked, not oracle-hashed.
+    "q103_video_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          Multimodal.MediaRow(id, "video", Multimodal.syntheticAvi(id),
+            0, 0, 0)
+        }
+      Multimodal.extractFeatures(media)
+        .filter(col("decoded"))
+        .select(col("media_id").as("doc_id"),
+          col("vid_width").as("width"), col("vid_height").as("height"),
+          col("vid_frames").as("n_frames"),
+          col("vid_us_per_frame").as("us_per_frame"),
+          col("vid_duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))
+    },
+
     // Batch ANN: every query probed in ONE relational pass (queries ×
     // centroids broadcast-rank, corpus ⋈ probed-cells equi-join, windowed
     // top-k per query) — no per-query driver loop.
@@ -1452,6 +1475,16 @@ object PipelineQueries {
            md5(nfc_normalize(text || '$suffix')) AS norm_key
          FROM documents ORDER BY doc_id"""
     },
+
+    "q103_video_decode" ->
+      """SELECT doc_id,
+           CAST(2 + doc_id % 7 AS INT) AS width,
+           CAST(2 + doc_id % 5 AS INT) AS height,
+           CAST(3 + doc_id % 5 AS INT) AS n_frames,
+           CAST(20000 + (doc_id % 10) * 1000 AS INT) AS us_per_frame,
+           CAST((3 + doc_id % 5) * (20000 + (doc_id % 10) * 1000) // 1000
+             AS BIGINT) AS duration_ms
+         FROM documents ORDER BY doc_id""",
 
     "q102_ann_recall" -> {
       import graft.operators.ProductQuantizer.{Sql => PQ}

@@ -800,6 +800,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(goldenPng()).isEmpty)
   }
 
+  test("real MJPEG-AVI demux: container truth exact, first frame decoded") {
+    // seed 42: 3 + 42%5 = 5 frames, 20000 + 2*1000 = 22000 us/frame,
+    // 2+42%7 = 2 wide, 2+42%5 = 4 high, gray (42*11)%256 = 206
+    val stats = Multimodal.decodeVideo(Multimodal.syntheticAvi(42L)).get
+    assert(stats.width == 2 && stats.height == 4)
+    assert(stats.nFrames == 5 && stats.usPerFrame == 22000)
+    assert(stats.durationMs == 5L * 22000 / 1000)
+    // JPEG is lossy: the decoded solid-gray mean lands near 206
+    assert(math.abs(stats.firstFramePixelMean - 206.0) < 8.0,
+      s"pixel mean ${stats.firstFramePixelMean}")
+    // malformed payloads route to the fallback, never throw
+    assert(Multimodal.decodeVideo("not a riff".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeVideo(goldenPng()).isEmpty)
+    // truncated AVI (sizes run past the buffer) aborts cleanly
+    val avi = Multimodal.syntheticAvi(7L)
+    assert(Multimodal.decodeVideo(
+      java.util.Arrays.copyOfRange(avi, 0, 20)).isEmpty)
+  }
+
+  test("video rows with real AVI payloads decode through the full pipeline") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(7L, "video", Multimodal.syntheticAvi(7L), 0, 0, 0),
+      Multimodal.MediaRow(8L, "video", "junk".getBytes, 9, 9, 0),
+      // image kind never routes through the demuxer, even with AVI bytes
+      Multimodal.MediaRow(9L, "image", Multimodal.syntheticAvi(9L), 1, 1, 0))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    // seed 7: 3+7%5=5 frames, 20000+7000 us, w=2+7%7=2... 7%7=0 -> w=2, h=2+7%5=4
+    assert(feats(7L).decoded && feats(7L).vid_frames == 5 &&
+      feats(7L).vid_us_per_frame == 27000 && feats(7L).vid_width == 2 &&
+      feats(7L).vid_height == 4 &&
+      feats(7L).vid_duration_ms == 5L * 27000 / 1000)
+    // demuxed dimensions drive the thumbnail, not the envelope
+    assert(feats(7L).thumb_width > 0)
+    assert(!feats(8L).decoded && feats(8L).vid_frames == -1)
+    assert(!feats(9L).decoded && feats(9L).vid_frames == -1)
+  }
+
   test("audio rows with real WAV payloads decode through the full pipeline") {
     import spark.implicits._
     val media = Seq(
