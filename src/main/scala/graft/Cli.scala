@@ -264,8 +264,11 @@ object Cli {
               tokenBudget = opts("budget").toLong)
             .write.mode("overwrite").parquet(opts("out"))
           val kept = spark.read.parquet(opts("out"))
+          // coalesce: sum over an empty selection is NULL, not 0
           println(s"""{"kept": ${kept.count()}, "tokens": ${
-            kept.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+            kept.agg(org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum("n_tokens"),
+                org.apache.spark.sql.functions.lit(0L)))
               .head().getLong(0)}}""")
 
         case "schema-sync" =>

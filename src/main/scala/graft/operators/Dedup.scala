@@ -106,8 +106,10 @@ object Dedup {
   }
 
   /** Duplicate-span coverage: for each document, the fraction of its
-    * distinct word n-grams that occur in at least `minDocs` OTHER corpus
-    * documents — the n-gram-granularity answer to "how much of this doc is
+    * distinct word n-grams that occur in at least `minDocs` corpus
+    * documents INCLUDING this one (document frequency ≥ minDocs, i.e. at
+    * least minDocs−1 others) — the n-gram-granularity answer to "how much
+    * of this doc is
     * copied text?" (cf. Lee et al., "Deduplicating Training Data Makes
     * Language Models Better": heavily-covered docs are boilerplate /
     * near-dups that pair-level Jaccard only catches against one partner at

@@ -181,6 +181,10 @@ object IvfIndex {
         .cast("double"))
     indexedQ
       .filter(col("ivf_cell").isInCollection(cells))
+      // zero-norm guard: an all-zero vector quantizes to all zeros and
+      // would score 0/0 = NaN, which sorts FIRST descending
+      .filter(graft.functions.VectorFunctions
+        .intDotNative(col(qvecCol), col(qvecCol)) > 0)
       .withColumn("qdot", qdot)
       .withColumn("score",
         col("qdot").cast("double") / (qnormSelf * lit(qNorm)))

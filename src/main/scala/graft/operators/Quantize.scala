@@ -50,7 +50,11 @@ object Quantize {
     val q = int8(df, embCol)
     val query = q.filter(col(idCol) === queryId)
       .select(col("qvec").as("q_vec"))
+    // an all-zero embedding quantizes to all zeros → 0/0 = NaN score, and
+    // NaN sorts GREATEST descending — drop zero-norm vectors before ranking
+    // (a zero vector has no cosine direction; the oracle filters the same)
     q.filter(col(idCol) =!= queryId)
+      .filter(VectorFunctions.intDotNative(col("qvec"), col("qvec")) > 0)
       .crossJoin(broadcast(query))
       .withColumn("qdot", VectorFunctions.intDotNative(col("qvec"), col("q_vec")))
       .withColumn("score",

@@ -40,6 +40,11 @@ object PipelineQueries {
   /** Batch-probe query ids (disjoint from the seeds and the q49 query). */
   val BatchQueryIds: Seq[Long] = Seq(5L, 6L, 7L)
 
+  /** q96 JSONL round-trip landing dir: per-process unique so concurrent
+    * suite runs never clobber each other's interchange files. */
+  private lazy val q96JsonlPath: String =
+    java.nio.file.Files.createTempDirectory("graft_q96_jsonl_").toString
+
   // ---------------------------------------------------------------- queries
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -494,15 +499,23 @@ object PipelineQueries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
-      val path = "/tmp/graft_q96_jsonl"
-      TextIngest.writeJsonl(docs, path)
-      val (good, bad) = TextIngest.readJsonl(s, path, docs.schema)
-      require(bad.isEmpty, "round-trip produced corrupt records")
-      good.groupBy(col("lang"))
+      // per-process unique path: concurrent suite runs must not clobber
+      // each other's round-trip data (and testdata dirs are read-only)
+      TextIngest.writeJsonl(docs, q96JsonlPath)
+      val rt = TextIngest.readJsonl(s, q96JsonlPath, docs.schema)
+      require(rt.bad.isEmpty, "round-trip produced corrupt records")
+      val agg = rt.good.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("id_sum"),
           sum(length(col("text"))).as("chars_sum"))
         .orderBy(col("lang"))
+      // materialize the per-lang aggregate (metadata scale) so the cached
+      // raw scan can be released before the frame is handed back
+      val rows = agg.collect().toSeq
+      rt.unpersist()
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), agg.schema)
     },
 
     // Incremental dedup: a new batch (doc_id ≥ 400) probes the existing
@@ -1046,6 +1059,7 @@ object PipelineQueries {
              AS score
          FROM qv e, qq
          WHERE e.vec_id <> 0
+           AND ${QS.intDot("e.qvec", "e.qvec", Dim)} > 0
          ORDER BY score DESC, e.vec_id LIMIT 10"""
     },
 
@@ -1353,6 +1367,7 @@ object PipelineQueries {
          JOIN cells cl USING (vec_id)
          JOIN qcell USING (cell), qq
          WHERE e.vec_id <> 0
+           AND ${QS.intDot("e.qvec", "e.qvec", Dim)} > 0
          ORDER BY score DESC, e.vec_id LIMIT $IvfK"""
     },
 

@@ -62,7 +62,11 @@ object DdlRenderer {
     */
   private[sink] def hiveAlignedDecimal(p: Option[Int], s: Option[Int]): (Int, Int) = {
     val prec0 = p.getOrElse(38)
-    val sc0 = s.getOrElse(0)
+    // bare DECIMAL (no precision, no scale) is the reference's "default
+    // numeric column": precision 38, scale 18 (columns.py
+    // gen_default_numeric_column, data_scale=18) — NOT (38,0), which would
+    // silently truncate fractional digits
+    val sc0 = s.getOrElse(if (p.isEmpty) 18 else 0)
     val (prec1, sc1) =
       if (prec0 < 38) (prec0 + sc0 % 2, sc0 + sc0 % 2) else (prec0, sc0)
     val prec2 = if (prec1 < 19) math.max(prec1, 18) else math.max(prec1, 38)
@@ -104,7 +108,9 @@ object DdlRenderer {
       case Integer4 => "NUMBER(10,0)"
       case Integer8 => "NUMBER(19,0)"
       case Integer38 => "NUMBER(38,0)"
-      case Decimal(p, s) => s"NUMBER(${p.getOrElse(38)},${s.getOrElse(0)})"
+      // bare DECIMAL → (38,18), the reference's default numeric column
+      case Decimal(p, s) =>
+        s"NUMBER(${p.getOrElse(38)},${s.getOrElse(if (p.isEmpty) 18 else 0)})"
       case Float4 | Double8 => "FLOAT"
       case Date => "DATE"
       case Time => "TIME"

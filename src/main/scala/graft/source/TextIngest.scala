@@ -20,12 +20,20 @@ object TextIngest {
 
   val CorruptCol = "_corrupt_record"
 
-  /** Read JSONL with corrupt-record quarantine: returns (good, bad). The
-    * good frame has exactly `schema`'s columns; the bad frame is the raw
-    * offending lines — keep them, a dropped-on-the-floor parse error at
-    * ingest is how corpora silently shrink. */
+  /** A quarantined JSONL read: `good` has exactly the declared columns,
+    * `bad` is the raw offending lines. Both views share one cached scan —
+    * call [[unpersist]] once the consumer has materialized what it needs,
+    * or the cached raw read pins executor memory for the session. */
+  case class JsonlRead(good: DataFrame, bad: DataFrame,
+                       private val raw: DataFrame) {
+    def unpersist(): Unit = { raw.unpersist(); () }
+  }
+
+  /** Read JSONL with corrupt-record quarantine. Keep the bad frame — a
+    * dropped-on-the-floor parse error at ingest is how corpora silently
+    * shrink. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType)
-      : (DataFrame, DataFrame) = {
+      : JsonlRead = {
     val raw = spark.read
       .schema(schema.add(CorruptCol, StringType))
       .option("mode", "PERMISSIVE")
@@ -35,7 +43,7 @@ object TextIngest {
     val good = raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
-    (good, bad)
+    JsonlRead(good, bad, raw)
   }
 
   /** Write a corpus as JSONL, one file per partition (splittable,

@@ -317,6 +317,21 @@ class QuantizeSpec extends SparkSpec {
     assert(out(2L)._1 == 0.0 && out(2L)._2 == List(0, 0, 0, 0, 0))
   }
 
+  test("zero-norm vectors never rank in quantized top-k (no NaN-first)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: 0/0 = NaN score
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Quantize.quantizedTopK(vecs, queryId = 0, k = 4)
+      .collect()
+    // the zero vector is dropped, not ranked first on a NaN score
+    assert(!out.map(_.getLong(0)).contains(2L))
+    assert(out.head.getLong(0) == 1L)
+    assert(out.forall(r => !r.getAs[Double]("score").isNaN))
+  }
+
   test("quantized top-k recall vs the float baseline on the corpus") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val exact = Similarity.cosineTopK(emb, queryId = 0, k = 10, dim = 64)

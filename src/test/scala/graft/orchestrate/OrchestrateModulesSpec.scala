@@ -206,6 +206,11 @@ class DdlRendererSpec extends SparkSpec {
     assert(r(Decimal(Some(10), Some(3))) == "DECIMAL(18,4)")
     assert(r(Decimal(Some(20), Some(4))) == "DECIMAL(38,4)")
     assert(r(Decimal(Some(38), Some(9))) == "DECIMAL(38,9)") // at max: no bump
+    // bare DECIMAL = the reference's default numeric column (38,18), not
+    // (38,0) which would silently truncate fractions
+    assert(r(Decimal(None, None)) == "DECIMAL(38,18)")
+    assert(renderType(CanonicalColumn("c", Decimal(None, None)),
+      Dialect.Snowflake) == "NUMBER(38,18)")
     assert(r(Time) == "STRING" && r(IntervalDs) == "STRING")
     assert(r(TimestampTz) == "TIMESTAMP")
   }

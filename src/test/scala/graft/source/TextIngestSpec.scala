@@ -23,14 +23,15 @@ class TextIngestSpec extends SparkSpec {
         """{"doc_id": 2, "text": "broken line""",        // truncated JSON
         """not json at all""",
         """{"doc_id": 3, "text": "bonjour", "lang": "fr"}"""))
-    val (good, bad) = TextIngest.readJsonl(spark, dir, schema)
-    assert(good.count() == 2)
-    assert(good.columns.toSeq == Seq("doc_id", "text", "lang"))
-    assert(good.select("doc_id").collect().map(_.getLong(0)).toSet ==
+    val rt = TextIngest.readJsonl(spark, dir, schema)
+    assert(rt.good.count() == 2)
+    assert(rt.good.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(rt.good.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 3L))
-    val badLines = bad.collect().map(_.getString(0))
+    val badLines = rt.bad.collect().map(_.getString(0))
     assert(badLines.length == 2)
     assert(badLines.exists(_.contains("not json at all")))
+    rt.unpersist()
   }
 
   test("write/read round-trip is lossless for a clean corpus") {
@@ -38,11 +39,12 @@ class TextIngestSpec extends SparkSpec {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
       .select(col("doc_id"), col("text"), col("lang"))
     TextIngest.writeJsonl(docs, dir)
-    val (good, bad) = TextIngest.readJsonl(spark, dir, docs.schema)
-    assert(bad.isEmpty)
-    assert(good.count() == docs.count())
+    val rt = TextIngest.readJsonl(spark, dir, docs.schema)
+    assert(rt.bad.isEmpty)
+    assert(rt.good.count() == docs.count())
     val a = docs.orderBy("doc_id").collect().map(_.toSeq)
-    val b = good.orderBy("doc_id").collect().map(_.toSeq)
+    val b = rt.good.orderBy("doc_id").collect().map(_.toSeq)
     assert(a.sameElements(b))
+    rt.unpersist()
   }
 }
