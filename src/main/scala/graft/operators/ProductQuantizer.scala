@@ -70,17 +70,23 @@ object ProductQuantizer {
     val base =
       if (sampleFraction >= 1.0) emb
       else emb.sample(withReplacement = false, sampleFraction, seed)
-    val codebooks = Array.tabulate(m) { j =>
-      val sub = base.select(
-        org.apache.spark.ml.functions.array_to_vector(
-          slice(col(embCol).cast("array<double>"), j * subDim + 1, subDim))
-          .as("features"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(k).setSeed(seed + j).setMaxIter(maxIter)
-        .setFeaturesCol("features")
-        .fit(sub).clusterCenters.map(_.toArray)
-    }
-    Model(codebooks)
+    // ONE corpus scan: all m subvector slices are materialized together
+    // and cached across the m per-subspace fits — m KMeans over an
+    // in-memory (sample × m·subDim) projection, not m re-reads of a
+    // 100 TB embedding column.
+    val sliced = base.select((0 until m).map { j =>
+      org.apache.spark.ml.functions.array_to_vector(
+        slice(col(embCol).cast("array<double>"), j * subDim + 1, subDim))
+        .as(s"f$j")
+    }: _*).cache()
+    try {
+      Model(Array.tabulate(m) { j =>
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(k).setSeed(seed + j).setMaxIter(maxIter)
+          .setFeaturesCol(s"f$j")
+          .fit(sliced).clusterCenters.map(_.toArray)
+      })
+    } finally { sliced.unpersist(); () }
   }
 
   /** Persist the codebooks: (j, c, codeword) parquet — kilobytes; train
@@ -190,6 +196,24 @@ object ProductQuantizer {
                FROM embeddings
                WHERE vec_id IN (${seedIds.mkString(", ")})) s,
               (SELECT unnest(range(0, $m)) AS j) j)"""
+
+    /** Codebook CTE from TRAINED codewords, rendered as literals: the
+      * oracle engine cannot run KMeans, so the model the Spark side
+      * trained is pinned into the SQL verbatim. Doubles render in their
+      * shortest round-trip form with a forced exponent (a bare decimal
+      * literal would parse as DECIMAL and lose ulps), so both engines
+      * score against bit-identical codewords. */
+    def literalCodebookCte(codebooks: Seq[Seq[Seq[Double]]]): String = {
+      def dlit(d: Double): String = {
+        val s = d.toString
+        if (s.contains('E') || s.contains('e')) s else s + "e0"
+      }
+      val rows = for {
+        (cb, j) <- codebooks.zipWithIndex
+        (cw, c) <- cb.zipWithIndex
+      } yield s"($j, $c, [${cw.map(dlit).mkString(", ")}])"
+      s"cb AS (SELECT * FROM (VALUES ${rows.mkString(", ")}) AS cbv(j, c, cw))"
+    }
 
     /** Left-associated chain for the L2² distance between a vector's j-th
       * subvector and a codeword (j is a column, element index literal). */

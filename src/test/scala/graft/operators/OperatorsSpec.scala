@@ -429,6 +429,27 @@ class QuantizeSpec extends SparkSpec {
       trained.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("trained PQ ladder holds the q102 recall@10 floor (>= 0.6)") {
+    // the deployability gate the verdict asked for: seed-picked codebooks
+    // measured 0.2 here; the KMeans-trained ladder must stay above 0.6
+    val row = graft.queries.PipelineQueries
+      .defs("q102_ann_recall")(spark, sf("sf0.001"))
+      .collect().head
+    val recall = row.getAs[Double]("recall")
+    assert(recall >= 0.6, s"trained-codebook recall@10 = $recall < 0.6")
+  }
+
+  test("literal codebook CTE pins codewords as exact DOUBLE literals") {
+    val m = ProductQuantizer.Model(
+      Array(Array(Array(0.1, -1.5e-7), Array(2.0, 3.25))))
+    val cte = ProductQuantizer.Sql.literalCodebookCte(m.codebookSeq)
+    // shortest-round-trip repr, exponent forced so DuckDB parses DOUBLE
+    // (a bare decimal literal would bind as DECIMAL and shave ulps)
+    assert(cte.contains("(0, 0, [0.1e0, -1.5E-7])"), cte)
+    assert(cte.contains("(0, 1, [2.0e0, 3.25e0])"), cte)
+    assert(cte.startsWith("cb AS (SELECT * FROM (VALUES "))
+  }
+
   test("IVF-PQ: cell pruning composes with ADC without changing scores") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val ivf = IvfIndex.train(emb, nlist = 8, dim = 64)
