@@ -2,9 +2,12 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.operators.Dedup
 
 final case class Doc(doc_id: Long, text: String)
 
@@ -37,8 +40,12 @@ class StreamingDedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Long]("batch_id"))).toSet
     assert(p2 == Set((1L, 2L, 0L), (1L, 4L, 1L), (2L, 4L, 1L)))
-    // the index accumulated all five signatures
-    assert(spark.read.parquet(c.indexPath).count() == 5L)
+    // the index accumulated all five docs' band rows (bands per doc)
+    val idx = spark.read.parquet(c.indexPath)
+    assert(idx.select("sid").distinct().count() == 5L)
+    assert(idx.count() == 5L * c.bands)
+    // index is physically partitioned on the band-key bucket
+    assert(idx.columns.contains("bucket"))
   }
 
   test("streaming end-to-end over MemoryStream") {
@@ -55,6 +62,64 @@ class StreamingDedupSpec extends SparkSpec {
     val pairs = spark.read.parquet(c.pairsPath).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((10L, 11L)))
-    assert(spark.read.parquet(c.indexPath).count() == 3L)
+    assert(spark.read.parquet(c.indexPath)
+      .select("sid").distinct().count() == 3L)
+  }
+
+  test("bucket pruning keeps probe file reads flat as the index grows") {
+    val base = Files.createTempDirectory("sdedup_prune").toString
+    val c = cfg(base)
+    StreamingDedup.processBatch(Seq(
+      Doc(1, "seed corpus document one with plenty of words"),
+      Doc(2, "seed corpus document two entirely different body")).toDF(),
+      0L, c)
+
+    // the probe whose file footprint we track across index growth
+    val probeDocs = Seq(
+      Doc(100, "probe document alpha with its own wording"),
+      Doc(101, "probe document beta nothing like the others")).toDF()
+    val probeBand = StreamingDedup.bandedWithBucket(
+      Dedup.minhashSignatures(probeDocs, c.numHashes), c)
+    val probeBuckets = probeBand.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+
+    // count index files the probe's scan selects after partition pruning
+    // (AQE off so the plan exposes its FileSourceScanExec directly)
+    def probeScanFiles(): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try StreamingDedup.probeIndex(spark, c, probeBand)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths
+                .exists(_.toString.contains("index")) =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.sum
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val before = probeScanFiles()
+    assert(before > 0)
+
+    // filler batches engineered to land OUTSIDE the probe's buckets: the
+    // index grows, the probe's pruned footprint must not
+    val candidates = (0 until 80).map(i =>
+      Doc(1000 + i, s"filler number $i body ${i * 7} tail ${i * 13} pad"))
+    val clashing = StreamingDedup.bandedWithBucket(
+        Dedup.minhashSignatures(candidates.toDF(), c.numHashes), c)
+      .filter(col("bucket").isInCollection(probeBuckets.toSeq))
+      .select("sid").distinct().collect().map(_.getLong(0)).toSet
+    val fillers = candidates.filterNot(d => clashing(d.doc_id))
+    assert(fillers.size >= 5, s"only ${fillers.size} bucket-disjoint fillers")
+    StreamingDedup.processBatch(fillers.take(5).toDF(), 1L, c)
+    StreamingDedup.processBatch(
+      fillers.take(5).map(d => d.copy(doc_id = d.doc_id + 10000)).toDF(),
+      2L, c)
+
+    val after = probeScanFiles()
+    assert(after == before,
+      s"probe scan grew with unrelated index growth: $before -> $after")
+    // and the pruning is real: the index holds more files than the probe reads
+    val totalFiles = spark.read.parquet(c.indexPath).inputFiles.length.toLong
+    assert(totalFiles > after,
+      s"no pruning: probe reads all $totalFiles index files")
   }
 }
