@@ -400,12 +400,14 @@ object ExtraQueries {
     },
 
     /** Legacy-backend DDL render surface pinned as a VALUES oracle: the
-      * canonical type → Hive / Snowflake DDL rendering, incl. the Hive
-      * BIGINT integer collapse, the even-scale decimal UDF alignment
-      * (hadoop_backend_api.py:259-302) and Snowflake's NUMBER precision
-      * pinning (snowflake_backend_api.py:2169-2208). The backend *APIs*
-      * stay a documented non-goal (goe.py:2689-2691); the DDL text is the
-      * part a change-controlled legacy warehouse still needs. */
+      * canonical type → Hive / Snowflake / Synapse DDL rendering, incl.
+      * the Hive BIGINT integer collapse, the even-scale decimal UDF
+      * alignment (hadoop_backend_api.py:259-302), Snowflake's NUMBER
+      * precision pinning (snowflake_backend_api.py:2169-2208) and the
+      * Synapse T-SQL matrix (synapse_backend_api.py:2648-2768). The
+      * backend *APIs* stay a documented non-goal (goe.py:2689-2691); the
+      * DDL text is the part a change-controlled legacy warehouse still
+      * needs. */
     "q83_ddl_legacy" -> { (s, dir) =>
       import graft.types.{CanonicalColumn, CanonicalType => CT}
       import graft.sink.DdlRenderer
@@ -421,8 +423,10 @@ object ExtraQueries {
       cases.map { case (label, tp) =>
         val c = CanonicalColumn(label, tp)
         (label, DdlRenderer.renderType(c, DdlRenderer.Dialect.Hive),
-          DdlRenderer.renderType(c, DdlRenderer.Dialect.Snowflake))
-      }.toDF("t", "hive", "snowflake")
+          DdlRenderer.renderType(c, DdlRenderer.Dialect.Snowflake),
+          DdlRenderer.renderType(c, DdlRenderer.Dialect.Synapse),
+          DdlRenderer.renderType(c, DdlRenderer.Dialect.Impala))
+      }.toDF("t", "hive", "snowflake", "synapse", "impala")
         .orderBy(col("t"))
     },
 
@@ -606,20 +610,20 @@ object ExtraQueries {
 
     "q83_ddl_legacy" ->
       """SELECT * FROM (VALUES
-           ('binary', 'BINARY', 'BINARY'),
-           ('bool', 'BOOLEAN', 'BOOLEAN'),
-           ('date', 'DATE', 'DATE'),
-           ('dec_10_3', 'DECIMAL(18,4)', 'NUMBER(10,3)'),
-           ('dec_38_10', 'DECIMAL(38,10)', 'NUMBER(38,10)'),
-           ('double', 'DOUBLE', 'FLOAT'),
-           ('int38', 'DECIMAL(38,0)', 'NUMBER(38,0)'),
-           ('int4', 'BIGINT', 'NUMBER(10,0)'),
-           ('interval_ds', 'STRING', 'TEXT'),
-           ('string', 'STRING', 'TEXT'),
-           ('time', 'STRING', 'TIME'),
-           ('ts', 'TIMESTAMP', 'TIMESTAMP_NTZ'),
-           ('tstz', 'TIMESTAMP', 'TIMESTAMP_TZ'))
-         AS t(t, hive, snowflake)
+           ('binary', 'BINARY', 'BINARY', 'VARBINARY(max)', 'STRING'),
+           ('bool', 'BOOLEAN', 'BOOLEAN', 'BIT', 'BOOLEAN'),
+           ('date', 'DATE', 'DATE', 'DATE', 'DATE'),
+           ('dec_10_3', 'DECIMAL(18,4)', 'NUMBER(10,3)', 'NUMERIC(10,3)', 'DECIMAL(18,4)'),
+           ('dec_38_10', 'DECIMAL(38,10)', 'NUMBER(38,10)', 'NUMERIC(38,10)', 'DECIMAL(38,10)'),
+           ('double', 'DOUBLE', 'FLOAT', 'FLOAT', 'DOUBLE'),
+           ('int38', 'DECIMAL(38,0)', 'NUMBER(38,0)', 'NUMERIC(38,0)', 'DECIMAL(38,0)'),
+           ('int4', 'BIGINT', 'NUMBER(10,0)', 'INT', 'BIGINT'),
+           ('interval_ds', 'STRING', 'TEXT', 'VARCHAR(100)', 'STRING'),
+           ('string', 'STRING', 'TEXT', 'VARCHAR(max)', 'STRING'),
+           ('time', 'STRING', 'TIME', 'TIME', 'STRING'),
+           ('ts', 'TIMESTAMP', 'TIMESTAMP_NTZ', 'DATETIME2', 'TIMESTAMP'),
+           ('tstz', 'TIMESTAMP', 'TIMESTAMP_TZ', 'DATETIMEOFFSET', 'TIMESTAMP'))
+         AS t(t, hive, snowflake, synapse, impala)
          ORDER BY t""",
 
     "q77_ddl_types" ->

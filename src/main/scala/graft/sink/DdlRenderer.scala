@@ -26,6 +26,8 @@ object DdlRenderer {
     case object BigQuery extends Dialect
     case object Hive extends Dialect
     case object Snowflake extends Dialect
+    case object Synapse extends Dialect
+    case object Impala extends Dialect
   }
 
   private def sparkType(c: CanonicalColumn): String =
@@ -97,6 +99,18 @@ object DdlRenderer {
     }
   }
 
+  /** Impala shares the Hadoop canonical mapping with Hive except binaries:
+    * Impala has no usable BINARY type, so both binary widths carry as
+    * STRING (`impala_backend_api.py:484-489` — the only override of the
+    * shared `from_canonical_column`). */
+  private def impalaType(c: CanonicalColumn): String = {
+    import CanonicalType._
+    c.ctype match {
+      case Binary | LargeBinary => "STRING"
+      case _ => hiveType(c)
+    }
+  }
+
   private def snowflakeType(c: CanonicalColumn): String = {
     import CanonicalType._
     c.ctype match {
@@ -122,6 +136,40 @@ object DdlRenderer {
     }
   }
 
+  /** Synapse (T-SQL) types, mirroring
+    * `microsoft/synapse_backend_api.py:2648-2768` (`from_canonical_column`)
+    * and `synapse_column.py:100-124` (`(max)` rendering for unlengthed
+    * variable types). The canonical model carries no char lengths, so
+    * variable strings/binaries render at `(max)` — the reference's shape
+    * for a length-less column. */
+  private def synapseType(c: CanonicalColumn): String = {
+    import CanonicalType._
+    c.ctype match {
+      case FixedString => "CHAR"
+      case VariableString | LargeString => "VARCHAR(max)"
+      case Binary | LargeBinary => "VARBINARY(max)"
+      // tinyint is UNSIGNED on the MSSQL family — INTEGER_1 must widen to
+      // smallint or negative byte values overflow (":2676-2678")
+      case Integer1 | Integer2 => "SMALLINT"
+      case Integer4 => "INT"
+      case Integer8 => "BIGINT"
+      case Integer38 => "NUMERIC(38,0)"
+      // bare DECIMAL → (38,18), the reference's default numeric column
+      case Decimal(p, s) =>
+        s"NUMERIC(${p.getOrElse(38)},${s.getOrElse(if (p.isEmpty) 18 else 0)})"
+      case Float4 => "REAL"
+      // T-SQL FLOAT is the 8-byte type (REAL is the 4-byte one)
+      case Double8 => "FLOAT"
+      case Date => "DATE"
+      case Time => "TIME"
+      case Timestamp => "DATETIME2"
+      case TimestampTz => "DATETIMEOFFSET"
+      // intervals carry as bounded VARCHAR, flagged unsafe (":2762-2765")
+      case IntervalDs | IntervalYm => "VARCHAR(100)"
+      case Boolean1 => "BIT"
+    }
+  }
+
   /** Public type-rendering seam (also the q77/q83 contract surface). */
   def renderType(c: CanonicalColumn, dialect: Dialect): String =
     dialect match {
@@ -129,6 +177,8 @@ object DdlRenderer {
       case Dialect.BigQuery => bigqueryType(c)
       case Dialect.Hive => hiveType(c)
       case Dialect.Snowflake => snowflakeType(c)
+      case Dialect.Synapse => synapseType(c)
+      case Dialect.Impala => impalaType(c)
     }
 
   def createTable(
@@ -136,18 +186,32 @@ object DdlRenderer {
       cols: Seq[CanonicalColumn],
       dialect: Dialect,
       partitionBy: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): String = {
+      clusterBy: Seq[String] = Nil,
+      /** Synapse-only: DISTRIBUTION option (`ROUND_ROBIN`, `HASH(col)`,
+        * `REPLICATE`) — the MPP placement axis, orthogonal to sort order
+        * (`synapse_backend_table.py` creates with
+        * `WITH (DISTRIBUTION = ROUND_ROBIN)` by default). */
+      distribution: Option[String] = None): String = {
+    require(distribution.isEmpty || dialect == Dialect.Synapse,
+      "distribution is a Synapse-only table option")
     val typeOf: CanonicalColumn => String = renderType(_, dialect)
     // Hive moves partition keys out of the column list into PARTITIONED BY
     // with their types (hive_backend_api.py:275-306); other dialects keep
     // them in the projection.
     val projected = dialect match {
-      case Dialect.Hive => cols.filterNot(c => partitionBy.contains(c.name))
+      case Dialect.Hive | Dialect.Impala =>
+        cols.filterNot(c => partitionBy.contains(c.name))
       case _ => cols
+    }
+    // Synapse encloses identifiers in brackets (synapse_backend_api.py
+    // enclose_identifier, ":1271-1274"); other dialects emit bare names
+    val identOf: String => String = dialect match {
+      case Dialect.Synapse => n => s"[${n.replace("]", "]]")}]"
+      case _ => identity
     }
     val colDefs = projected.map { c =>
       val nn = if (c.nullable) "" else " NOT NULL"
-      s"  ${c.name} ${typeOf(c)}$nn"
+      s"  ${identOf(c.name)} ${typeOf(c)}$nn"
     }.mkString(",\n")
     dialect match {
       case Dialect.SparkSql =>
@@ -168,9 +232,10 @@ object DdlRenderer {
           // operation/sort_columns.py)
           else s"\nCLUSTER BY ${clusterBy.take(4).mkString(", ")}"
         s"CREATE TABLE $table (\n$colDefs\n)$part$clust;"
-      case Dialect.Hive =>
-        // PARTITIONED BY carries the column type; storage format defaults to
-        // ORC (hive_backend_api.py:305-306, default_storage_format)
+      case Dialect.Hive | Dialect.Impala =>
+        // PARTITIONED BY carries the column type; storage format defaults
+        // to ORC on Hive and PARQUET on Impala (hive_backend_api.py:359,
+        // impala_backend_api.py:426 — default_storage_format)
         val byName = cols.map(c => c.name -> c).toMap
         val part =
           if (partitionBy.isEmpty) ""
@@ -178,11 +243,12 @@ object DdlRenderer {
             val pairs = partitionBy.map { p =>
               val c = byName.getOrElse(p, throw new IllegalArgumentException(
                 s"Partition column is not in table columns: $p"))
-              s"$p ${hiveType(c)}"
+              s"$p ${typeOf(c)}"
             }
             s"\nPARTITIONED BY (${pairs.mkString(", ")})"
           }
-        s"CREATE TABLE $table (\n$colDefs\n)$part\nSTORED AS ORC;"
+        val fmt = if (dialect == Dialect.Impala) "PARQUET" else "ORC"
+        s"CREATE TABLE $table (\n$colDefs\n)$part\nSTORED AS $fmt;"
       case Dialect.Snowflake =>
         // Snowflake has no column partitioning (snowflake_backend_api.py:761-763);
         // sort columns become CLUSTER BY (…) (":773-777")
@@ -192,6 +258,20 @@ object DdlRenderer {
           if (clusterBy.isEmpty) ""
           else s"\nCLUSTER BY (${clusterBy.mkString(", ")})"
         s"CREATE TABLE $table (\n$colDefs\n)$clust;"
+      case Dialect.Synapse =>
+        // No column partitioning on Synapse (synapse_backend_api.py:393-396
+        // raises NotImplementedError); sort columns become a CLUSTERED
+        // COLUMNSTORE INDEX ORDER and distribution joins them in ONE
+        // WITH (...) options clause (":404-443")
+        require(partitionBy.isEmpty,
+          "Partitioning by column is not supported for Synapse")
+        val withClauses =
+          (if (clusterBy.isEmpty) Nil
+           else Seq("CLUSTERED COLUMNSTORE INDEX ORDER " +
+             s"(${clusterBy.map(c => s"[$c]").mkString(", ")})")) ++
+          Seq(s"DISTRIBUTION = ${distribution.getOrElse("ROUND_ROBIN")}")
+        s"CREATE TABLE $table (\n$colDefs\n)\nWITH (\n    " +
+          withClauses.mkString("\n,   ") + "\n);"
     }
   }
 }

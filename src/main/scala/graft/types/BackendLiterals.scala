@@ -20,12 +20,16 @@ import java.time.format.DateTimeFormatter
   *    least one digit (`snowflake_literal.py:50-57`); a TZ-less timestamp
   *    bound for TIMESTAMP_TZ assumes UTC rendered as an HH:MM offset —
   *    Snowflake rejects named zones (`snowflake_literal.py:84-96`).
+  *  - Impala: bare quoted strings with NO keyword prefix — `data_type` is
+  *    ignored entirely (`impala_literal.py:42-58`): even a bare date
+  *    renders its midnight time part, with zero subseconds trimmed.
   */
 object BackendLiterals {
 
   sealed trait Backend
   case object Hive extends Backend
   case object Snowflake extends Backend
+  case object Impala extends Backend
 
   private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
   private val secFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
@@ -74,6 +78,15 @@ object BackendLiterals {
         // Hive has no TIME type; TIME canonicals carry as plain strings
         quote(stripScale(t.format(timeFmt) + fraction(t.getNano), trimAll = true))
 
+      // Impala ignores the declared type: every temporal renders as a bare
+      // quoted timestamp-ish string (impala_literal.py:42-58)
+      case (d: LocalDate, Impala) =>
+        quote(d.format(dateFmt) + " 00:00:00")
+      case (t: LocalDateTime, Impala) =>
+        quote(stripScale(t.format(secFmt) + fraction(t.getNano), trimAll = true))
+      case (t: LocalTime, Impala) =>
+        quote(stripScale(t.format(timeFmt) + fraction(t.getNano), trimAll = true))
+
       case (d: LocalDate, Snowflake) =>
         ctype match {
           case Some(CanonicalType.TimestampTz) =>
@@ -111,4 +124,6 @@ object BackendLiterals {
     render(v, Hive, ctype)
   def snowflake(v: Any, ctype: Option[CanonicalType] = None): String =
     render(v, Snowflake, ctype)
+  def impala(v: Any, ctype: Option[CanonicalType] = None): String =
+    render(v, Impala, ctype)
 }

@@ -110,6 +110,43 @@ class StatusReportSpec extends SparkSpec {
     assert(html.contains("Reclaimable rows</th><td>30</td>"))
   }
 
+  test("html report is well-formed XML with exact row/cell parity to csv") {
+    val base = Files.createTempDirectory("graft_status_html").toString
+    // two tables, one with markup-hostile characters in its name
+    MetadataStore.save(s"$base/meta", OffloadMetadata(
+      sourceTable = "sales<&>", backendTable = s"$base/none",
+      offloadType = "INCREMENTAL", incrementalKey = Seq("m"),
+      incrementalHighValue = Seq("1996-02")))
+    MetadataStore.save(s"$base/meta", OffloadMetadata(
+      sourceTable = "dim", backendTable = s"$base/none2",
+      offloadType = "FULL", incrementalKey = Nil,
+      incrementalHighValue = Nil))
+    val rows = StatusReport.rows(spark, s"$base/meta",
+      Map("sales<&>" -> cat("1996-01" -> 10L, "1996-03" -> 5L),
+          "dim" -> cat("all" -> 3L)))
+    val html = StatusReport.toHtml(rows)
+    // well-formedness: a DOM consumer can parse the whole document
+    val doc = scala.xml.XML.loadString(html)
+    assert((doc \\ "style").nonEmpty) // self-contained, no external assets
+    val tables = doc \\ "table"
+    assert(tables.exists(t => (t \ "@class").text == "summary"))
+    val detail = tables.find(t => (t \ "@class").text == "detail").get
+    val trs = (detail \ "tr").toList
+    // row parity: header + one tr per csv data line
+    val csvLines = StatusReport.toCsv(rows).trim.split("\n").toList
+    assert(trs.length == csvLines.length)
+    assert((trs.head \ "th").map(_.text) ==
+      csvLines.head.split(",").toSeq)
+    // cell parity, unescaped text vs csv cells (no commas in this fixture's
+    // values, so the csv line splits cleanly)
+    val htmlCells = trs.tail.map(tr => (tr \ "td").map(_.text))
+    val csvCells = csvLines.tail.map(_.split(",").toSeq)
+    assert(htmlCells.map(_.mkString("|")).sorted ==
+      csvCells.map(_.mkString("|")).sorted)
+    // the hostile name survived escaping and round-trips exactly
+    assert(htmlCells.exists(_.head == "sales<&>"))
+  }
+
   test("empty metadata dir yields empty report") {
     val base = Files.createTempDirectory("graft_status_empty").toString
     assert(StatusReport.report(spark, base).count() == 0)
@@ -215,6 +252,69 @@ class DdlRendererSpec extends SparkSpec {
     assert(r(TimestampTz) == "TIMESTAMP")
   }
 
+  test("Impala matrix: Hive mapping except binaries as STRING; parquet storage") {
+    import DdlRenderer.{renderType, Dialect}
+    def r(t: CanonicalType) = renderType(CanonicalColumn("c", t), Dialect.Impala)
+    // the single divergence from Hive (impala_backend_api.py:484-489)
+    assert(r(Binary) == "STRING" && r(LargeBinary) == "STRING")
+    // everything else shares the Hadoop mapping
+    assert(r(Integer4) == "BIGINT")
+    assert(r(Decimal(Some(10), Some(3))) == "DECIMAL(18,4)")
+    assert(r(Timestamp) == "TIMESTAMP" && r(TimestampTz) == "TIMESTAMP")
+    val ddl = DdlRenderer.createTable("db.t", cols, Dialect.Impala,
+      partitionBy = Seq("ts"))
+    assert(ddl.endsWith("STORED AS PARQUET;"), ddl)
+    assert(ddl.contains("PARTITIONED BY (ts TIMESTAMP)"))
+  }
+
+  test("Synapse type matrix: smallint widening, (max) strings, datetime2") {
+    import DdlRenderer.{renderType, Dialect}
+    def r(t: CanonicalType) = renderType(CanonicalColumn("c", t), Dialect.Synapse)
+    // tinyint is unsigned on the MSSQL family: INTEGER_1 must widen
+    // (synapse_backend_api.py:2676-2678)
+    assert(r(Integer1) == "SMALLINT" && r(Integer2) == "SMALLINT")
+    assert(r(Integer4) == "INT" && r(Integer8) == "BIGINT")
+    assert(r(Integer38) == "NUMERIC(38,0)")
+    assert(r(Decimal(Some(20), Some(4))) == "NUMERIC(20,4)")
+    assert(r(Decimal(None, None)) == "NUMERIC(38,18)") // default numeric
+    assert(r(VariableString) == "VARCHAR(max)")
+    assert(r(LargeBinary) == "VARBINARY(max)")
+    assert(r(Float4) == "REAL" && r(Double8) == "FLOAT")
+    assert(r(Timestamp) == "DATETIME2" && r(TimestampTz) == "DATETIMEOFFSET")
+    assert(r(Time) == "TIME" && r(Boolean1) == "BIT")
+    assert(r(IntervalDs) == "VARCHAR(100)")
+  }
+
+  test("Synapse DDL golden: WITH options, CCI ORDER, no partitioning") {
+    val ddl = DdlRenderer.createTable("db.t", cols, DdlRenderer.Dialect.Synapse,
+      clusterBy = Seq("id", "ts"), distribution = Some("HASH([id])"))
+    assert(ddl ==
+      """CREATE TABLE db.t (
+        |  [id] BIGINT NOT NULL,
+        |  [amount] NUMERIC(10,2),
+        |  [big] NUMERIC(38,10),
+        |  [ts] DATETIME2,
+        |  [name] VARCHAR(max)
+        |)
+        |WITH (
+        |    CLUSTERED COLUMNSTORE INDEX ORDER ([id], [ts])
+        |,   DISTRIBUTION = HASH([id])
+        |);""".stripMargin)
+    // default distribution is ROUND_ROBIN (synapse_backend_table.py:1452-1453)
+    val plain = DdlRenderer.createTable("db.t", cols, DdlRenderer.Dialect.Synapse)
+    assert(plain.contains("DISTRIBUTION = ROUND_ROBIN"))
+    assert(!plain.contains("COLUMNSTORE INDEX ORDER"))
+    intercept[IllegalArgumentException] {
+      DdlRenderer.createTable("db.t", cols, DdlRenderer.Dialect.Synapse,
+        partitionBy = Seq("ts"))
+    }
+    // distribution is Synapse-only
+    intercept[IllegalArgumentException] {
+      DdlRenderer.createTable("db.t", cols, DdlRenderer.Dialect.Hive,
+        distribution = Some("REPLICATE"))
+    }
+  }
+
   test("Snowflake DDL golden: CLUSTER BY, no partitioning") {
     val ddl = DdlRenderer.createTable("db.t", cols, DdlRenderer.Dialect.Snowflake,
       clusterBy = Seq("id", "ts"))
@@ -253,6 +353,20 @@ class BackendLiteralsSpec extends SparkSpec {
       "timestamp '2030-01-02 12:30:45'")
     // no Hive TIME type: plain string
     assert(L.hive(LocalTime.of(7, 8, 9)) == "'07:08:09'")
+  }
+
+  test("Impala literal matrix (impala_literal.py:42-58): bare temporals, type ignored") {
+    assert(L.impala(null) == "NULL")
+    assert(L.impala("it's") == "'it''s'")
+    // no keyword prefix, and even a DATE-typed date carries its midnight
+    // time part (data_type is ignored for Impala)
+    assert(L.impala(LocalDate.of(2030, 1, 2), Some(Date)) ==
+      "'2030-01-02 00:00:00'")
+    assert(L.impala(LocalDateTime.of(2030, 1, 2, 0, 0, 0, 3000)) ==
+      "'2030-01-02 00:00:00.000003'")
+    assert(L.impala(LocalDateTime.of(2030, 1, 2, 12, 30, 45)) ==
+      "'2030-01-02 12:30:45'")
+    assert(L.impala(LocalTime.of(7, 8, 9)) == "'07:08:09'")
   }
 
   test("Snowflake literal matrix (snowflake_literal.py:47-124)") {
