@@ -43,17 +43,34 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_BENCH_REPS=n: per-query MEDIAN of n runs. The in-run
+    // outlier re-run below rescues one-off stalls, but it cannot rescue a
+    // fully contended machine — repeated-median runs can. Default 1 keeps
+    // the driver's wall-clock budget unchanged; the artifact schema is
+    // identical either way.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+    def runMedian(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) =
+      if (reps == 1) runOne(fn)
+      else {
+        val runs = Seq.fill(reps)(runOne(fn))
+        val ok = runs.collect { case (t, None) => t }.sorted
+        if (ok.isEmpty) runs.head else (ok(ok.length / 2), None)
+      }
+
     val first = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      (name, fn, runOne(fn))
+      (name, fn, runMedian(fn))
     }
     // One-off I/O stalls (page-cache eviction, JIT deopt) record a number
     // that is not the query's cost: any success exceeding 3x the median is
     // re-run once and the faster time kept (min — the stall is the outlier,
-    // not the work).
+    // not the work). With reps > 1 the per-query median already absorbed
+    // outliers, so the extra re-run is skipped.
     val okTimes = first.collect { case (_, _, (t, None)) => t }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
     val results = first.map {
-      case (name, fn, (t, None)) if median > 0 && t > 3 * median =>
+      case (name, fn, (t, None)) if reps == 1 && median > 0 && t > 3 * median =>
         val (t2, err2) = runOne(fn)
         if (err2.isEmpty) name -> (math.min(t, t2), None)
         else name -> (t, None) // flaky rerun: keep the first, valid result

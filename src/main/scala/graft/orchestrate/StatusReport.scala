@@ -210,8 +210,12 @@ object StatusReport {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** Minimal HTML rendering (`_gen_html_report`): a summary block plus the
-    * per-table detail grid. */
+  /** Self-contained HTML rendering mirroring the reference's status-report
+    * template (`offload_status_report.py` `_gen_html_report` +
+    * `templates/offload_status_report/`): one document, inline style, no
+    * external assets — a summary block plus the per-table detail grid with
+    * exactly [[toCsv]]'s columns and rows (parity is spec-asserted, and
+    * the output is well-formed XML so any DOM consumer can ingest it). */
   def toHtml(rows: Seq[StatusRow], title: String = "Offload Status Report")
       : String = {
     val s = summary(rows)
@@ -237,7 +241,14 @@ object StatusReport {
         r.reclaimable_bytes.toString)
       cells.map(c => s"<td>${esc(c)}</td>").mkString("<tr>", "", "</tr>")
     }.mkString("\n")
-    s"""<html><head><title>${esc(title)}</title></head><body>
+    val style =
+      """body { font-family: sans-serif; margin: 2em; }
+        |table { border-collapse: collapse; margin-bottom: 1.5em; }
+        |th, td { border: 1px solid #999; padding: 4px 8px; text-align: left; }
+        |table.summary th { background: #eee; }
+        |table.detail tr:nth-child(odd) td { background: #f6f6f6; }""".stripMargin
+    s"""<html><head><title>${esc(title)}</title>
+       |<style>$style</style></head><body>
        |<h1>${esc(title)}</h1>
        |$summaryHtml
        |<table class="detail"><tr>$header</tr>
