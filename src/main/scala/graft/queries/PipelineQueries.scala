@@ -83,6 +83,17 @@ object PipelineQueries {
   /** Winnowing gram size / window size. */
   val WinnowK = 8
   val WinnowW = 8
+  /** q104 probe-width sweep — the operating curve an IVF deployment tunes. */
+  val IvfSweepNprobes: Seq[Int] = Seq(1, 2, 4)
+
+  /** q100 non-ASCII injection: DECOMPOSED combining sequences (e +
+    * U+0301 etc.) appended to every document, so `nfc_normalize` does
+    * real work inside the composed pipeline — the corpus fixture itself
+    * is ASCII, which previously made normalization an identity there
+    * (q99 pins the NFC kernel; this pins its place in the composition).
+    * chars_sum shifts by the 4 composed marks per doc, so an engine or
+    * oracle that skipped/diverged on NFC hash-mismatches immediately. */
+  val Q100Suffix = " cafe\u0301 nai\u0308ve re\u0301sume\u0301"
   /** Batch-probe query ids (disjoint from the seeds and the q49 query). */
   val BatchQueryIds: Seq[Long] = Seq(5L, 6L, 7L)
 
@@ -621,8 +632,10 @@ object PipelineQueries {
     // join — as a single declarative plan Catalyst optimizes whole.
     "q100_corpus_pipeline" -> { (s, dir) =>
       val staged = t(s, dir, "documents")
+        // decomposed suffix: NFC must actually compose characters here
         .withColumn("text_norm",
-          graft.functions.TextFunctions.nfcNormalize(col("text")))
+          graft.functions.TextFunctions.nfcNormalize(
+            concat(col("text"), lit(Q100Suffix))))
         .withColumn("quality",
           TextAnalysis.qualityScore(col("text_norm")))
         .filter(col("quality") >= 0.3)
@@ -669,6 +682,40 @@ object PipelineQueries {
         .select(lit(IvfK).as("k"), col("n_overlap"),
           (col("n_overlap").cast("double") / lit(IvfK.toDouble))
             .as("recall"))
+    },
+
+    // ANN operating curve: recall@10 of the IVF float probe at nprobe ∈
+    // {1,2,4} against the brute-force baseline — q102 monitors one point
+    // of the compression/recall trade-off, this sweeps the probe-width
+    // curve a deployment actually tunes. The brute top-k is computed ONCE
+    // and carried as a 10-id literal into each sweep branch (no
+    // re-derivation per nprobe).
+    "q104_ivf_recall_sweep" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id").isInCollection(IvfSeedIds))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val centroids = seeds.map { c =>
+        val nrm = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / nrm)
+      }
+      val model = IvfIndex.Model(centroids)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val indexed = IvfIndex.assign(emb, model, Dim)
+      val bruteIds = Similarity.cosineTopK(emb, queryId = 0, k = IvfK,
+        dim = Dim).select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      IvfSweepNprobes.map { np =>
+        IvfIndex.probe(indexed.filter(col("vec_id") =!= 0), model, query,
+            k = IvfK, nprobe = np, dim = Dim)
+          .filter(col("vec_id").isInCollection(bruteIds))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(np).as("nprobe"), lit(IvfK).as("k"),
+            col("n_overlap"),
+            (col("n_overlap").cast("double") / lit(IvfK.toDouble))
+              .as("recall"))
+      }.reduce(_.union(_)).orderBy(col("nprobe"))
     },
 
     // REAL video-demux path with a REAL oracle (mirror of q80/q82):
@@ -1378,6 +1425,63 @@ object PipelineQueries {
          ORDER BY score DESC, e.vec_id LIMIT $IvfK"""
     },
 
+    // q49's cell scheme swept over nprobe ∈ {1,2,4}: per-width top-10 vs
+    // the brute-force top-10, one recall row per width.
+    "q104_ivf_recall_sweep" -> {
+      val ctrNormSq = Similarity.Sql.normSq("embedding", Dim)
+      val cvecNormSq = Similarity.Sql.normSq("c.cvec", Dim)
+      s"""WITH ctr AS (
+           SELECT CAST(vec_id - 1 AS INT) AS cell,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt($ctrNormSq)) AS cvec
+           FROM embeddings
+           WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+         assigned AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY (${Similarity.Sql.dot("e.embedding", "c.cvec", Dim)})
+                 / sqrt($cvecNormSq) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN ctr c),
+         cells AS (SELECT vec_id, cell FROM assigned WHERE rk = 1),
+         q AS (SELECT embedding AS q_vec,
+                 sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS q_nrm
+               FROM embeddings WHERE vec_id = 0),
+         brute AS (SELECT e.vec_id FROM embeddings e, q
+           WHERE e.vec_id <> 0
+           ORDER BY (${Similarity.Sql.dot("e.embedding", "q.q_vec", Dim)})
+             / (sqrt(${Similarity.Sql.normSq("e.embedding", Dim)}) * q.q_nrm)
+             DESC, e.vec_id
+           LIMIT $IvfK),
+         qrank AS (SELECT c.cell,
+             ROW_NUMBER() OVER (
+               ORDER BY (${Similarity.Sql.dot("q.q_vec", "c.cvec", Dim)})
+                 / sqrt($cvecNormSq) DESC, c.cell) AS rk
+           FROM ctr c, q),
+         np AS (SELECT CAST(unnest([${IvfSweepNprobes.mkString(", ")}]) AS INT)
+             AS nprobe),
+         ranked AS (
+           SELECT np.nprobe, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY np.nprobe
+               ORDER BY (${Similarity.Sql.dot("e.embedding", "q.q_vec", Dim)})
+                 / (sqrt(${Similarity.Sql.normSq("e.embedding", Dim)})
+                    * q.q_nrm) DESC, e.vec_id) AS prk
+           FROM np
+           CROSS JOIN embeddings e
+           JOIN cells cl USING (vec_id)
+           JOIN qrank qr ON qr.cell = cl.cell AND qr.rk <= np.nprobe
+           CROSS JOIN q
+           WHERE e.vec_id <> 0),
+         overlap AS (SELECT r.nprobe, COUNT(*) AS n
+           FROM ranked r JOIN brute USING (vec_id)
+           WHERE r.prk <= $IvfK
+           GROUP BY r.nprobe)
+         SELECT np.nprobe, CAST($IvfK AS INT) AS k,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(o.n, 0) AS DOUBLE) / $IvfK.0 AS recall
+         FROM np LEFT JOIN overlap o USING (nprobe)
+         ORDER BY np.nprobe"""
+    },
+
     // IVF × int8: q49's cell scheme + q85's quantization, scored in BIGINT.
     "q86_ivf_quantized" -> {
       import graft.operators.Quantize.{Sql => QS}
@@ -1600,12 +1704,18 @@ object PipelineQueries {
              : CAST(chunk_id * 32 + 40 AS INT)], ' ')) AS chunk_key
          FROM c ORDER BY doc_id, chunk_id""",
 
-    // The corpus text is ASCII, so nfc_normalize(text) = text on the
-    // oracle side — the composition contract (quality floor over the
-    // normalized column, dedup survivorship, per-lang stats) is what this
-    // pins; q99 pins NFC itself on decomposed input.
+    // Every document gets the DECOMPOSED Q100Suffix appended, so
+    // nfc_normalize does real composition work inside the pipeline on
+    // both engines — the composition contract (quality floor over the
+    // normalized column, dedup survivorship, per-lang stats) is pinned on
+    // genuinely non-ASCII input; q99 pins the NFC kernel itself.
     "q100_corpus_pipeline" ->
-      s"""WITH $toksCte, $qualityComponentsSql,
+      s"""WITH docs AS (SELECT doc_id, lang,
+           nfc_normalize(text || '$Q100Suffix') AS text,
+           string_split_regex(trim(nfc_normalize(text || '$Q100Suffix')),
+             '\\s+') AS toks
+         FROM documents),
+         $qualityComponentsSql,
          q AS (SELECT doc_id, lang, text,
              greatest(0.0, least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
                - (stopword_ratio * 0.5) - (punct_ratio * 2.0)) AS quality
