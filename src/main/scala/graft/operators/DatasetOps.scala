@@ -38,6 +38,59 @@ object DatasetOps {
     docs.withColumn("split", labeled)
   }
 
+  /** Exact-proportion stratified split: [[hashSplit]]'s thresholds give
+    * each doc an independent draw, so a small stratum (a rare language, a
+    * tiny domain) can land entirely in `train` by chance — a 5% val
+    * fraction means val is EMPTY for any stratum under ~20 docs half the
+    * time. This variant ranks docs WITHIN each stratum by the same
+    * deterministic md5 draw and cuts at floor(cumFraction × n), so every
+    * stratum honours the requested proportions to ±1 doc, and membership
+    * is still a pure function of (salt, ids in the stratum) — engines and
+    * re-runs agree exactly. The cut itself is EXACT INTEGER arithmetic:
+    * fractions become parts-per-million on the driver and the comparison
+    * is `rank × 1e6 ≤ n × ppm` — no floating floor whose last ulp could
+    * disagree between an IEEE engine and a decimal one.
+    *
+    * Scale shape: one shuffle on the stratum key; rank + count are two
+    * window frames over the SAME partitioning (one exchange). A
+    * mega-stratum serialises its rank into one task — same hazard and
+    * same remedy as `mixtureSample` (pre-split giant strata on a salted
+    * subkey, or fall back to [[hashSplit]] for strata above a count
+    * threshold, where the law of large numbers already guarantees the
+    * proportions the ranking buys). */
+  def stratifiedSplit(docs: DataFrame, strataCol: String,
+                      fractions: Seq[(String, Double)] =
+                        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                      salt: String = "strat",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must be positive and sum to 1")
+    val draw = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val byStratum = Window.partitionBy(col(strataCol))
+    val rank = row_number().over(byStratum.orderBy(draw.asc, col(idCol).asc))
+    val n = count(lit(1)).over(byStratum)
+    val labeled = fractions.init.zip(stratifiedCutpointsPpm(fractions))
+      .foldRight(lit(fractions.last._1): Column) {
+        case (((label, _), (_, ppm)), rest) =>
+          when(col("strat_rank") * lit(1000000L) <=
+            col("strat_n") * lit(ppm), label).otherwise(rest)
+      }
+    docs.withColumn("strat_rank", rank).withColumn("strat_n", n)
+      .withColumn("split", labeled)
+      .drop("strat_rank", "strat_n")
+  }
+
+  /** Cumulative cut fractions as exact parts-per-million (one per label
+    * except the last, which takes the remainder) — the single source of
+    * truth for [[stratifiedSplit]] and its cross-engine oracle SQL. */
+  def stratifiedCutpointsPpm(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    fractions.init.zip(cum.init).map { case ((label, _), c) =>
+      (label, math.round(c * 1e6))
+    }
+  }
+
   /** Balanced subsample: cap every group (language, domain, source) at
     * `perGroupQuota` documents, selected by a DETERMINISTIC hash rank —
     * the data-mixing primitive that stops one over-represented domain from

@@ -336,6 +336,90 @@ object TextAnalysis {
         col("keep_id"), col("keep"), col("drop_reason"))
   }
 
+  /** Integer-exact TF-IDF retrieval: score every document against a bag of
+    * query terms with Σ tf × idf_bits, where idf_bits =
+    * `length(bin(N div df))` = floor(log2(N/df)) + 1 — the same bit-width
+    * trick as [[lexicalSurprisal]], so the score is an exact BIGINT on
+    * every engine (no libm, no last-ulp drift). BM25's saturation and
+    * length terms are deliberately dropped: they need non-terminating
+    * division, and the bit-width idf preserves the property that matters
+    * for a corpus-curation ranker — rare terms outweigh common ones
+    * exponentially (a df=N term scores 1 bit, a df=N/16 term 5).
+    *
+    * Scale shape: tokenisation is filtered to the query-term set BEFORE
+    * any shuffle, so the non-matching bulk of the corpus never leaves the
+    * map side; tf is one shuffle keyed (doc, term) bounded by matches; df
+    * and the corpus count are term-cardinality / single-row aggregates
+    * (broadcast — `ExplainAudit.bounded` proves the condition-less join
+    * safe); the top-k is a TakeOrdered, k rows to the driver, no global
+    * sort. */
+  def tfIdfSearch(docs: DataFrame, queryTerms: Seq[String], k: Int,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val occ = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    // tf feeds BOTH the scoring join and the df aggregation — persist the
+    // (tiny, post-filter) relation so the corpus is scanned once, not
+    // twice (same materialised-index rationale as lexicalSurprisal)
+    val tf = occ.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_bits",
+        length(bin(expr("n_docs div df"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf_bits")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Canonical URL for web-corpus dedup: the same page crawled as
+    * `HTTPS://WWW.Site.com:443/a/?utm_source=feed#top` and
+    * `https://site.com/a` must collapse to one key before URL-keyed
+    * dedup. Normalisations, in order: fragment off; scheme/host/port
+    * lowercased (path case PRESERVED — it is significant per RFC 3986);
+    * `www.` and explicit default ports (:80/:443) dropped; tracking
+    * params (`utm_*`, `gclid`, `fbclid`) stripped with separator repair;
+    * trailing slash dropped. A pure codegen'd regexp chain — zero
+    * shuffle, and every step has an exact DuckDB mirror (RE2-safe
+    * patterns, no lookarounds; only the replacement backref syntax
+    * differs, `$1` vs `\1`). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // authority = scheme://host[:port], everything before the first
+    // path slash; lowercased + www./default-port stripped
+    val auth = regexp_extract(noFrag, "^[^/]*//[^/]*", 0)
+    val authCanon = regexp_replace(
+      regexp_replace(lower(auth), "^(https?://)www\\.", "$1"),
+      ":(443|80)$", "")
+    val rest = noFrag.substr(length(auth) + lit(1), length(noFrag))
+    val noTrack = regexp_replace(rest,
+      "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    // separator repair: dangling '?'/'&' when the last param was
+    // stripped, '?&' when the first was
+    val repaired = regexp_replace(
+      regexp_replace(noTrack, "[?&]+$", ""), "\\?&", "?")
+    concat(authCanon, regexp_replace(repaired, "/$", ""))
+  }
+
+  /** URL-keyed dedup: group by [[canonicalizeUrl]], keep the lowest id as
+    * canonical. One projection + one shuffle on the canonical key — the
+    * cheapest dedup pass a web pipeline runs, ahead of any content
+    * hashing. */
+  def urlDedup(docs: DataFrame, urlCol: String,
+               idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_variants"))
+
   /** Convenience: documents frame annotated with all text metrics. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -102,6 +102,36 @@ object PipelineQueries {
   private lazy val q96JsonlPath: String =
     java.nio.file.Files.createTempDirectory("graft_q96_jsonl_").toString
 
+  /** q105 retrieval bag: 'dup' is the one rare term in the synthetic
+    * vocabulary (df≈25 of 500 → 4 idf bits at sf0.01) against three
+    * common ~df=390 terms (1 bit) — the ranking must surface docs heavy
+    * in the rare term. */
+  val TfIdfTerms: Seq[String] = Seq("dup", "vector", "merge", "window")
+  val TfIdfK = 10
+
+  /** q106 stratified-split recipe (cut fractions become exact ppm). */
+  val StratFractions: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** q107's synthesized noisy URL: every component a pure function of
+    * doc_id, mirrored term-for-term in the oracle SQL — collisions are by
+    * construction (40 hosts × 5 paths over 500 docs). */
+  private def q107Url: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+    when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+    lit("Site"), (col("doc_id") % 40).cast("string"), lit(".Example.com"),
+    when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+    lit("/Docs/"), (col("doc_id") % 5).cast("string"),
+    when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+        concat(lit("?utm_source=feed&page="),
+          (col("doc_id") % 3).cast("string")))
+      .when(col("doc_id") % 7 === 1,
+        concat(lit("?page="), (col("doc_id") % 3).cast("string"),
+          lit("&utm_campaign=x")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 8 === 0, lit("#frag")).otherwise(lit("")))
+
   // ---------------------------------------------------------------- queries
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -827,6 +857,38 @@ object PipelineQueries {
         .orderBy(col("kind"))
     },
 
+    // Integer-exact TF-IDF retrieval: rare query terms dominate common
+    // ones exponentially via bit-width idf ('dup' df≈25 scores 5 bits vs
+    // 1 bit for df≈390 terms) — the corpus-search/quality-ranking
+    // primitive, with a BIGINT score both engines compute bit-identically.
+    "q105_tfidf_search" -> { (s, dir) =>
+      TextAnalysis.tfIdfSearch(t(s, dir, "documents"), TfIdfTerms,
+        k = TfIdfK)
+    },
+
+    // Exact-proportion stratified split: per-stratum ranks cut at ppm
+    // boundaries — every language honours 80/10/10 to ±1 doc, where
+    // hashSplit's independent draws can empty a small stratum's val set.
+    "q106_stratified_split" -> { (s, dir) =>
+      graft.operators.DatasetOps.stratifiedSplit(
+          t(s, dir, "documents"), strataCol = "lang",
+          fractions = StratFractions)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"), col("split"))
+    },
+
+    // Canonical-URL dedup: synthesized noisy URL variants (scheme/host
+    // case, www., :443, tracking params, fragments, trailing slash — all
+    // pure functions of doc_id, the q88 synthesis scheme) collapse to one
+    // canonical key; keep-lowest-id per key.
+    "q107_url_dedup" -> { (s, dir) =>
+      val urls = t(s, dir, "documents")
+        .select(col("doc_id"), q107Url.as("url"))
+      TextAnalysis.urlDedup(urls, "url")
+        .orderBy(col("canonical_url"))
+    },
+
     "q37_offload_e2e" -> { (s, dir) =>
       import graft.orchestrate.OffloadRunner
       // fresh workspace per invocation: repeated verify runs must not see a
@@ -946,6 +1008,81 @@ object PipelineQueries {
   // query run trained ([[pqCbCte]]), so the map must re-render at dump
   // time — Verify reads it AFTER running the queries
   def oracles: Map[String, String] = Map(
+    "q105_tfidf_search" ->
+      s"""WITH occ AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         FROM documents),
+         hit AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ
+           WHERE term IN (${TfIdfTerms.map("'" + _ + "'").mkString(", ")})
+           GROUP BY doc_id, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM hit GROUP BY term),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT h.doc_id,
+           CAST(SUM(h.tf * length(bin(n.n_docs // d.df))) AS BIGINT)
+             AS score,
+           COUNT(*) AS n_terms_hit
+         FROM hit h JOIN dfreq d USING (term) CROSS JOIN n
+         GROUP BY h.doc_id
+         ORDER BY score DESC, h.doc_id LIMIT $TfIdfK""",
+
+    "q106_stratified_split" -> {
+      val cases = graft.operators.DatasetOps
+        .stratifiedCutpointsPpm(StratFractions)
+        .map { case (label, ppm) =>
+          s"WHEN rk * 1000000 <= n * $ppm THEN '$label'"
+        }.mkString(" ")
+      s"""WITH ranked AS (SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS rk,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+         FROM documents),
+         lab AS (SELECT doc_id, lang,
+           CASE $cases ELSE '${StratFractions.last._1}' END AS split
+         FROM ranked)
+         SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM lab GROUP BY lang, split ORDER BY lang, split"""
+    },
+
+    // the canonicalisation chain mirrors TextAnalysis.canonicalizeUrl
+    // step-for-step; only the backref syntax differs (RE2 '\1' vs Java
+    // '$1') and DuckDB needs the explicit 'g' flag
+    "q107_url_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+           'Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.com' ||
+           (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+           '/Docs/' || CAST(doc_id % 5 AS VARCHAR) ||
+           (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id % 7 = 0
+              THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
+              WHEN doc_id % 7 = 1
+              THEN '?page=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+              ELSE '' END) ||
+           (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END) AS url
+         FROM documents),
+         nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u
+           FROM raw),
+         au AS (SELECT doc_id, u,
+           regexp_extract(u, '^[^/]*//[^/]*') AS auth FROM nf),
+         canon AS (SELECT doc_id,
+           regexp_replace(regexp_replace(lower(auth),
+               '^(https?://)www\.', '\1'), ':(443|80)$', '') ||
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(substr(u, length(auth) + 1, length(u)),
+                   '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+                 '[?&]+$', ''),
+               '\?&', '?', 'g'),
+             '/$', '') AS canonical_url
+         FROM au)
+         SELECT canonical_url, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_variants
+         FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
+
     "q26_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
            AS exact_key,

@@ -30,6 +30,39 @@ class DatasetOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSplit holds exact per-stratum proportions") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val split = DatasetOps.stratifiedSplit(docs, "lang")
+    assert(split.count() == docs.count()) // exhaustive, one label per doc
+    val per = split.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    n.foreach { case (lang, cnt) =>
+      val train = per.getOrElse((lang, "train"), 0L)
+      val vali = per.getOrElse((lang, "val"), 0L)
+      // exact ppm cuts: train = floor(0.8n), train+val = floor(0.9n)
+      assert(train == cnt * 800000L / 1000000L, s"train cut off for $lang")
+      assert(train + vali == cnt * 900000L / 1000000L, s"val cut off for $lang")
+      // the property hashSplit cannot give: every stratum of >=10 docs
+      // has a non-empty val AND test set
+      if (cnt >= 10) {
+        assert(vali >= 1 && per.getOrElse((lang, "test"), 0L) >= 1)
+      }
+    }
+    // pure function of (salt, id): re-runs agree row-for-row
+    val a = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = DatasetOps.stratifiedSplit(docs, "lang")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      DatasetOps.stratifiedSplit(docs, "lang",
+        fractions = Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("mixtureSample hits per-group target rates, deterministically") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val totals = docs.groupBy("lang").count().collect()

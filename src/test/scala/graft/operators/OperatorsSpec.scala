@@ -577,6 +577,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 1.0)))
   }
 
+  test("tfIdfSearch: exact integer scores, rare terms dominate") {
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "common"),
+      (4L, "rare rare common"),
+      (5L, "filler words here"),
+      (6L, "common filler"),
+      (7L, "filler"),
+      (8L, "filler two")
+    ).toDF("doc_id", "text")
+    // N=8; df(rare)=2 -> 8 div 2 = 4 -> 3 idf bits; df(common)=5 -> 1 bit
+    val top = TextAnalysis.tfIdfSearch(docs, Seq("rare", "common"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top(0) == ((4L, 2 * 3 + 1 * 1, 2L))) // 2×rare + 1×common = 7
+    assert(top(1) == ((1L, 1 * 3 + 2 * 1, 2L))) // 1×rare + 2×common = 5
+    assert(top(2) == ((2L, 3L, 1L)))            // 3×common
+    // case-insensitive on both sides
+    val upper = TextAnalysis.tfIdfSearch(docs, Seq("RARE", "Common"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(upper.toSeq == top.toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tfIdfSearch(docs, Seq.empty, k = 3)
+    }
+  }
+
+  test("canonicalizeUrl collapses crawl variants, preserves path case") {
+    val urls = Seq(
+      "HTTPS://WWW.Site.Example.com:443/Docs/A/?utm_source=f&page=2#top",
+      "https://site.example.com/Docs/A/?page=2&utm_campaign=x",
+      "http://Host.com:80/",
+      "http://host.com",
+      "https://h.com/p/?utm_campaign=x",
+      "https://h.com/p"
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val canon = urls.select(col("doc_id"),
+        TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // authority lowercased + www./:443 dropped, tracking params stripped
+    // with separator repair, fragment off — path case preserved
+    assert(canon(0L) == "https://site.example.com/Docs/A/?page=2")
+    assert(canon(0L) == canon(1L))
+    // default :80 and the bare trailing slash both normalise away
+    assert(canon(2L) == "http://host.com")
+    assert(canon(2L) == canon(3L))
+    // stripping the only param leaves no dangling '?' and the trailing
+    // slash then falls at end-of-string
+    assert(canon(4L) == "https://h.com/p")
+    assert(canon(4L) == canon(5L))
+    // urlDedup groups on the canonical key, keeps the lowest id
+    val out = TextAnalysis.urlDedup(urls, "url").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("http://host.com") == ((2L, 2L)))
+    assert(out("https://h.com/p") == ((4L, 2L)))
+  }
+
   test("qualityWeightedSample keeps better docs at higher rates, deterministically") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val kept = TextAnalysis.qualityWeightedSample(docs)
