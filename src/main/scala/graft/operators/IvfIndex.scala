@@ -98,6 +98,32 @@ object IvfIndex {
              vecCol: String = "embedding"): DataFrame =
     embeddings.withColumn("ivf_cell", cellColumn(model, col(vecCol), dim))
 
+  /** Persist the indexed corpus PARTITIONED BY CELL: the cell directory
+    * is the physical pruning unit — a probe's `ivf_cell IN (...)` filter
+    * becomes partition pruning at file-listing time, so a probe reads
+    * ~nprobe/nlist of the FILES, not merely of the rows. */
+  def writeIndex(indexed: DataFrame, path: String): Unit =
+    indexed.write.partitionBy("ivf_cell").mode("overwrite").parquet(path)
+
+  /** Incremental append: assign a NEW batch with the SAME model and
+    * append its rows to the store. Touched cells gain a file; untouched
+    * cells are never read or rewritten; nothing rebuilds. With a
+    * persisted model ([[saveModel]]) this is the steady-state ingest
+    * path — train once, then index arriving embeddings at O(batch) cost
+    * forever (the IVF analogue of the streaming-dedup band index). Cells
+    * accumulating many small files are reclaimed by the standard
+    * compaction pass, not by the ingest path. */
+  def appendIndex(batch: DataFrame, model: Model, dim: Int, path: String,
+                  vecCol: String = "embedding"): Unit =
+    assign(batch, model, dim, vecCol).write.partitionBy("ivf_cell")
+      .mode("append").parquet(path)
+
+  /** Read a persisted index back; `ivf_cell` returns as the partition
+    * column, so probe filters on the result prune files, not just rows. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Batch probe: top-k per query for a whole DataFrame of query vectors,
     * in ONE relational pass — the serving shape at scale, where probing one
     * query at a time from the driver would serialize a million tiny jobs.

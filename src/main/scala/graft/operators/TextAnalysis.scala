@@ -420,6 +420,32 @@ object TextAnalysis {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_variants"))
 
+  /** Corpus data card: the per-(source, language) summary a dataset ships
+    * with (Datasheets-for-Datasets style) — document and token volumes,
+    * character mass, how much of the slice is textually unique, and the
+    * id range for provenance. All metrics are exact integers, so the card
+    * is bit-reproducible across engines and re-runs — a card that drifts
+    * between builds is worse than no card.
+    *
+    * Scale shape: one groupBy on the (low-cardinality) slice key with
+    * partial aggregation; the distinct-text count is exact
+    * (count_distinct over the md5 key — a second partial-agg pass, not a
+    * pair join). */
+  def dataCard(docs: DataFrame,
+               groupCols: Seq[String] = Seq("source", "lang"),
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__ntok", tokenCount(col(textCol)))
+      .withColumn("__ekey", exactKey(col(textCol)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("tok_sum"),
+        sum(length(col(textCol))).as("chars_sum"),
+        countDistinct(col("__ekey")).as("n_unique_texts"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+
   /** Convenience: documents frame annotated with all text metrics. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

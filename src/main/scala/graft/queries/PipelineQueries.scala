@@ -889,6 +889,13 @@ object PipelineQueries {
         .orderBy(col("canonical_url"))
     },
 
+    // Corpus data card: the per-(source, lang) summary a dataset ships
+    // with — all-integer metrics so the card is bit-reproducible.
+    "q108_data_card" -> { (s, dir) =>
+      TextAnalysis.dataCard(t(s, dir, "documents"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     "q37_offload_e2e" -> { (s, dir) =>
       import graft.orchestrate.OffloadRunner
       // fresh workspace per invocation: repeated verify runs must not see a
@@ -1082,6 +1089,18 @@ object PipelineQueries {
          SELECT canonical_url, MIN(doc_id) AS keep_id,
            COUNT(*) AS n_variants
          FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
+
+    "q108_data_card" ->
+      """WITH d AS (SELECT source, lang, doc_id, length(text) AS nch,
+           len(string_split_regex(trim(text), '\s+')) AS ntok,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS ekey
+         FROM documents)
+         SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS tok_sum,
+           CAST(SUM(nch) AS BIGINT) AS chars_sum,
+           COUNT(DISTINCT ekey) AS n_unique_texts,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM d GROUP BY source, lang ORDER BY source, lang""",
 
     "q26_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

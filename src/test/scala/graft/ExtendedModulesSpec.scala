@@ -183,6 +183,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("persisted index: incremental append equals full rebuild and probes prune files") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+      .toString
+    val path = s"$dir/index"
+    // build in two increments against the same model...
+    IvfIndex.writeIndex(
+      IvfIndex.assign(emb.filter(col("vec_id") % 2 === 0), model, dim = 64),
+      path)
+    IvfIndex.appendIndex(emb.filter(col("vec_id") % 2 === 1), model,
+      dim = 64, path)
+    val query = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    // ...and the probe cannot tell it from a one-shot build
+    val fromDisk = IvfIndex.probe(
+        IvfIndex.readIndex(spark, path).filter(col("vec_id") =!= 0),
+        model, query, k = 5, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val oneShot = IvfIndex.probe(
+        IvfIndex.assign(emb, model, dim = 64).filter(col("vec_id") =!= 0),
+        model, query, k = 5, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(fromDisk == oneShot)
+
+    // the pruning is physical: the probe's scan selects only the probed
+    // cells' files (AQE off so the plan exposes FileSourceScanExec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probed = IvfIndex.probe(IvfIndex.readIndex(spark, path), model,
+        query, k = 5, nprobe = 2, dim = 64)
+      val scanned = probed.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+      val total = IvfIndex.readIndex(spark, path).inputFiles.length.toLong
+      assert(scanned > 0 && scanned < total,
+        s"no file pruning: probe reads $scanned of $total index files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("batch probe equals per-query single probes") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val model = IvfIndex.train(emb, nlist = 8, dim = 64)

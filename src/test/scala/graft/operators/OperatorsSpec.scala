@@ -634,6 +634,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("https://h.com/p") == ((4L, 2L)))
   }
 
+  test("dataCard: exact integer summary per slice") {
+    val docs = Seq(
+      (1L, "alpha beta", "web", "en"),
+      (2L, "alpha  BETA", "web", "en"),  // exact-dup of 1 after normalise
+      (3L, "gamma", "web", "en"),
+      (4L, "delta epsilon zeta", "books", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val card = TextAnalysis.dataCard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getLong(6), r.getLong(7))).toMap
+    // web/en: 3 docs, 2+2+1 tokens, 10+11+5 chars, 2 unique texts, ids 1..3
+    assert(card(("web", "en")) == ((3L, 5L, 26L, 2L, 1L, 3L)))
+    assert(card(("books", "de")) == ((1L, 3L, 18L, 1L, 4L, 4L)))
+  }
+
   test("qualityWeightedSample keeps better docs at higher rates, deterministically") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val kept = TextAnalysis.qualityWeightedSample(docs)
