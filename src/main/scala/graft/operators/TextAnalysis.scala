@@ -420,6 +420,41 @@ object TextAnalysis {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_variants"))
 
+  /** Bigram conditional surprisal: [[lexicalSurprisal]] scores a token by
+    * its corpus frequency alone; this scores it IN CONTEXT — a token's
+    * information is the bit-width of `starts(prev) / count(prev, cur)`,
+    * the integer-exact proxy for -log2 p(cur | prev) under the corpus
+    * bigram model (`starts(a) = Σ_b count(a,b)`, so the conditional is
+    * proper and the ratio is always ≥ 1). Fluent text rides high-count
+    * bigrams (low bits); scrambled or boilerplate-stitched text pays full
+    * width — the next rung of the perplexity-filter ladder, still with no
+    * libm and no cross-engine ulp drift.
+    *
+    * Scale shape: the exploded bigram relation feeds three consumers
+    * (bigram counts, start counts, the join-back), so it is persisted and
+    * the corpus is tokenised once; both count tables shuffle on
+    * high-cardinality keys; the join-back is two equi-joins. Per-doc
+    * aggregation is the final keyed shuffle. */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("sid"),
+        explode(graft.functions.TextFunctions.wordShinglesAll(
+          col(textCol), 2)).as("gram"))
+      .withColumn("prev", split(col("gram"), " ").getItem(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = grams.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
+    val cu = grams.groupBy(col("prev")).agg(count(lit(1)).as("cu_starts"))
+    grams.join(cb, "gram").join(cu, "prev")
+      .withColumn("bits",
+        length(bin(expr("cu_starts div cb"))).cast("long"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("total_bits"),
+        (sum(col("bits")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_bits"))
+      .withColumnRenamed("sid", idCol)
+  }
+
   /** Corpus data card: the per-(source, language) summary a dataset ships
     * with (Datasheets-for-Datasets style) — document and token volumes,
     * character mass, how much of the slice is textually unique, and the

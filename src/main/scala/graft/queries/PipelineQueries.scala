@@ -889,6 +889,14 @@ object PipelineQueries {
         .orderBy(col("canonical_url"))
     },
 
+    // Bigram conditional surprisal: q95 scores tokens by frequency alone,
+    // this scores them in context — the next rung of the perplexity-
+    // filter ladder, integer-exact across engines.
+    "q109_bigram_surprisal" -> { (s, dir) =>
+      TextAnalysis.bigramSurprisal(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus data card: the per-(source, lang) summary a dataset ships
     // with — all-integer metrics so the card is bit-reproducible.
     "q108_data_card" -> { (s, dir) =>
@@ -1089,6 +1097,24 @@ object PipelineQueries {
          SELECT canonical_url, MIN(doc_id) AS keep_id,
            COUNT(*) AS n_variants
          FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
+
+    "q109_bigram_surprisal" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM docs),
+         gp AS (SELECT doc_id, gram, split_part(gram, ' ', 1) AS prev
+           FROM g),
+         cb AS (SELECT gram, COUNT(*) AS cb FROM gp GROUP BY gram),
+         cu AS (SELECT prev, COUNT(*) AS cu_starts FROM gp GROUP BY prev)
+         SELECT gp.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(length(bin(cu.cu_starts // cb.cb))) AS BIGINT)
+             AS total_bits,
+           CAST(SUM(length(bin(cu.cu_starts // cb.cb))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_bits
+         FROM gp JOIN cb USING (gram) JOIN cu USING (prev)
+         GROUP BY gp.doc_id ORDER BY gp.doc_id""",
 
     "q108_data_card" ->
       """WITH d AS (SELECT source, lang, doc_id, length(text) AS nch,

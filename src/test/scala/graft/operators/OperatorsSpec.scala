@@ -634,6 +634,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("https://h.com/p") == ((4L, 2L)))
   }
 
+  test("bigramSurprisal: exact conditional bit-widths on a known corpus") {
+    val docs = Seq(
+      (1L, "a b a c"),  // "a b", "b a", "a c"
+      (2L, "a b"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    // starts(a)=4, starts(b)=1; cb("a b")=3, cb("b a")=1, cb("a c")=1
+    // bits: "a b" -> 4 div 3 = 1 -> 1; "b a" -> 1; "a c" -> 4 -> 3
+    val out = TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("total_bits"),
+         r.getAs[Double]("mean_bits"))).toMap
+    assert(out(1L) == ((3L, 5L, 5.0 / 3.0)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+    // the common continuation scores fewer bits than the rare one: doc 1
+    // (with the rare "a c") reads higher than the pure "a b" docs
+    assert(out(1L)._3 > out(2L)._3)
+  }
+
   test("dataCard: exact integer summary per slice") {
     val docs = Seq(
       (1L, "alpha beta", "web", "en"),

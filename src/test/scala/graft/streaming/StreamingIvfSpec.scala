@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.IvfIndex
+
+final case class Emb(vec_id: Long, embedding: Seq[Float])
+
+class StreamingIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed batches append to the index; probes equal a one-shot build") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, dim = 64)
+    val base = Files.createTempDirectory("sivf").toString
+    IvfIndex.saveModel(spark, model, s"$base/model")
+    val cfg = StreamingIvf.Config(
+      indexPath = s"$base/index", checkpointDir = s"$base/ckpt",
+      modelPath = s"$base/model", dim = 64)
+
+    // two micro-batches covering the corpus, streamed via MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = emb.select(col("vec_id"), col("embedding")).as[Emb]
+      .collect().toSeq
+    val (b1, b2) = rows.partition(_.vec_id % 2 == 0)
+    val mem = MemoryStream[Emb]
+    mem.addData(b1: _*)
+    mem.addData(b2: _*)
+    StreamingIvf.start(mem.toDF(), cfg).awaitTermination()
+
+    val stored = IvfIndex.readIndex(spark, cfg.indexPath)
+    assert(stored.count() == rows.size.toLong)
+    // a probe over the streamed store equals the one-shot in-memory build
+    val query = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val streamed = IvfIndex.probe(stored.filter(col("vec_id") =!= 0),
+        model, query, k = 5, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val oneShot = IvfIndex.probe(
+        IvfIndex.assign(emb, model, dim = 64).filter(col("vec_id") =!= 0),
+        model, query, k = 5, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(streamed == oneShot)
+    // the store is physically partitioned by cell (pruning unit)
+    assert(stored.columns.contains("ivf_cell"))
+    assert(IvfIndex.readIndex(spark, cfg.indexPath)
+      .inputFiles.forall(_.contains("ivf_cell=")))
+  }
+}
