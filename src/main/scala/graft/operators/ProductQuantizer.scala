@@ -182,6 +182,34 @@ object ProductQuantizer {
       .limit(kTop)
   }
 
+  /** ADC shortlist + exact re-rank — the production serving shape. The
+    * compressed scan ranks EVERY row with m table lookups ([[adcTopK]]);
+    * the float corpus is then consulted for only the `shortlist`
+    * survivors (an id equi-join against a LIMIT-bounded side — at rest a
+    * handful of point reads, never a scan); the final top-k is exact
+    * cosine. Compression errors that perturb the near-tie ordering are
+    * repaired whenever the true top-k survives into the shortlist, so
+    * recall climbs from the pure-ADC curve toward 1.0 at shortlist/k of
+    * 4–8 for the cost of `shortlist` float-row fetches. */
+  def adcRerankTopK(encoded: DataFrame, embeddings: DataFrame,
+                    model: Model, query: Array[Double], kTop: Int,
+                    shortlist: Int, dim: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    codesCol: String = "pq_codes"): DataFrame = {
+    require(shortlist >= kTop, "shortlist must cover kTop")
+    val cand = adcTopK(encoded, model, query, kTop = shortlist,
+      idCol = idCol, codesCol = codesCol).select(col(idCol))
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val dot = VectorFunctions.dotNative(col(vecCol), typedlit(query.toSeq))
+    embeddings.join(broadcast(cand), Seq(idCol))
+      .withColumn("score",
+        dot / (Similarity.norm(col(vecCol), dim) * lit(qNorm)))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(kTop)
+  }
+
   /** SQL mirrors for the DuckDB oracle (1-based, end-inclusive slices). */
   object Sql {
     /** Codebook CTE: (j, c, cw) — subspace j, code c = dense seed rank,

@@ -113,6 +113,11 @@ object PipelineQueries {
   val StratFractions: Seq[(String, Double)] =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** q110 re-rank shortlist: 5× the served k — the true top-k must only
+    * survive into the compressed top-50 for the exact pass to repair
+    * ADC's ordering errors. */
+  val PqRerankShortlist = 50
+
   /** q107's synthesized noisy URL: every component a pure function of
     * doc_id, mirrored term-for-term in the oracle SQL — collisions are by
     * construction (40 hosts × 5 paths over 500 docs). */
@@ -887,6 +892,23 @@ object PipelineQueries {
         .select(col("doc_id"), q107Url.as("url"))
       TextAnalysis.urlDedup(urls, "url")
         .orderBy(col("canonical_url"))
+    },
+
+    // ADC shortlist + exact re-rank: the production PQ serving shape —
+    // compressed scan ranks everything, the float corpus is consulted for
+    // only the shortlist survivors, final top-k is exact cosine (q33's
+    // arithmetic, so scores hash-match the float oracle chain).
+    "q110_pq_rerank" -> { (s, dir) =>
+      import graft.operators.ProductQuantizer
+      val emb = t(s, dir, "embeddings")
+      val model = PqModels.trained(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      ProductQuantizer.adcRerankTopK(
+        ProductQuantizer.encode(emb, model).filter(col("vec_id") =!= 0),
+        emb, model, query, kTop = IvfK, shortlist = PqRerankShortlist,
+        dim = Dim)
     },
 
     // Bigram conditional surprisal: q95 scores tokens by frequency alone,
@@ -1777,6 +1799,43 @@ object PipelineQueries {
          FROM recon r, q
          WHERE r.vec_id <> 0
          ORDER BY pq_score DESC, r.vec_id
+         LIMIT $IvfK"""
+    },
+
+    // q90's ADC chain produces the shortlist; the survivors re-rank by
+    // the exact cosine chain (q33's arithmetic, bit-stable).
+    "q110_pq_rerank" -> {
+      import graft.operators.ProductQuantizer.{Sql => PQ}
+      val subDim = Dim / PqM
+      s"""WITH $pqCbCte,
+         assigned AS (
+           SELECT e.vec_id, cb.j, cb.c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+               ORDER BY ${PQ.subDistChain("e.embedding", "cb.j", "cb.cw", subDim)} ASC,
+                 cb.c) AS rk
+           FROM embeddings e, cb),
+         codes AS (SELECT vec_id, j, c FROM assigned WHERE rk = 1),
+         recon AS (
+           SELECT codes.vec_id,
+             flatten(list(cb.cw ORDER BY codes.j)) AS r
+           FROM codes JOIN cb ON cb.j = codes.j AND cb.c = codes.c
+           GROUP BY codes.vec_id),
+         q AS (SELECT embedding AS q_vec,
+                 sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS q_nrm
+               FROM embeddings WHERE vec_id = 0),
+         short AS (
+           SELECT r.vec_id,
+             ${PQ.adcScoreChain("q.q_vec", "r.r", PqM, subDim)} AS pq_score
+           FROM recon r, q
+           WHERE r.vec_id <> 0
+           ORDER BY pq_score DESC, r.vec_id
+           LIMIT $PqRerankShortlist)
+         SELECT e.vec_id,
+           (${Similarity.Sql.dot("e.embedding", "q.q_vec", Dim)})
+             / (sqrt(${Similarity.Sql.normSq("e.embedding", Dim)}) * q.q_nrm)
+             AS score
+         FROM embeddings e JOIN short USING (vec_id), q
+         ORDER BY score DESC, e.vec_id
          LIMIT $IvfK"""
     },
 

@@ -365,6 +365,37 @@ class QuantizeSpec extends SparkSpec {
       s"float=$floatTop quant=$quantTop")
   }
 
+  test("PQ re-rank: full shortlist equals brute force, narrow beats pure ADC") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val model = ProductQuantizer.trainKMeans(emb, k = 16, m = 8, dim = 64)
+    val encoded = ProductQuantizer.encode(emb, model)
+      .filter(col("vec_id") =!= 0).cache()
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+      .map(_.toDouble).toArray
+    val brute = graft.operators.Similarity
+      .cosineTopK(emb, queryId = 0, k = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // shortlist = whole corpus -> the exact pass IS brute force
+    val n = emb.count().toInt
+    val full = ProductQuantizer.adcRerankTopK(encoded, emb, model, query,
+        kTop = 10, shortlist = n, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute)
+    // a narrow shortlist's recall must not drop below pure ADC's
+    val bruteIds = brute.map(_._1).toSet
+    val adcIds = ProductQuantizer.adcTopK(encoded, model, query, kTop = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rrIds = ProductQuantizer.adcRerankTopK(encoded, emb, model, query,
+        kTop = 10, shortlist = 50, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert((rrIds & bruteIds).size >= (adcIds & bruteIds).size)
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.adcRerankTopK(encoded, emb, model, query,
+        kTop = 10, shortlist = 5, dim = 64)
+    }
+  }
+
   test("PQ: encode matches a reference argmin, ADC matches reconstruction") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val model = ProductQuantizer.train(emb, (1L to 8L), m = 8, dim = 64)
