@@ -224,6 +224,34 @@ class IvfIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("index compaction shrinks files, preserves probes and pruning") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val model = IvfIndex.train(emb, nlist = 8, dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cmp")
+      .toString
+    val path = s"$dir/index"
+    // five small appends — the steady-state ingest pattern that accretes
+    // small files per cell
+    val batches = (0 until 5).map(i => emb.filter(col("vec_id") % 5 === i))
+    IvfIndex.writeIndex(IvfIndex.assign(batches.head, model, dim = 64), path)
+    batches.tail.foreach(b => IvfIndex.appendIndex(b, model, dim = 64, path))
+    val query = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    def probeIds() = IvfIndex.probe(
+        IvfIndex.readIndex(spark, path).filter(col("vec_id") =!= 0),
+        model, query, k = 5, nprobe = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val before = probeIds()
+    val res = graft.sink.Compaction.compact(spark, path)
+    assert(res.filesAfter < res.filesBefore,
+      s"no shrink: ${res.filesBefore} -> ${res.filesAfter}")
+    // identical probe results, and the cell directories survived (the
+    // physical pruning unit is preserved, not flattened)
+    assert(probeIds() == before)
+    assert(IvfIndex.readIndex(spark, path)
+      .inputFiles.forall(_.contains("ivf_cell=")))
+  }
+
   test("batch probe equals per-query single probes") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val model = IvfIndex.train(emb, nlist = 8, dim = 64)
