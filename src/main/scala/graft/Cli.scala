@@ -271,6 +271,41 @@ object Cli {
                 org.apache.spark.sql.functions.lit(0L)))
               .head().getLong(0)}}""")
 
+        case "stratify" =>
+          // exact-proportion stratified split to partitioned parquet:
+          //   stratify --source <parquet> --out <path> [--strata-col lang]
+          //            [--fractions "train=0.8,val=0.1,test=0.1"]
+          val docs = spark.read.parquet(opts("source"))
+          val fractions = opts.get("fractions")
+            .map(_.split(",").toSeq.map { kv =>
+              val Array(k, v) = kv.split("=", 2); k -> v.toDouble
+            })
+            .getOrElse(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          graft.operators.DatasetOps.stratifiedSplit(docs,
+              strataCol = opts.getOrElse("strata-col", "lang"),
+              fractions = fractions)
+            .write.mode("overwrite").partitionBy("split")
+            .parquet(opts("out"))
+          val counts = spark.read.parquet(opts("out"))
+            .groupBy("split").count().collect()
+            .map(r => s""""${r.getString(0)}": ${r.getLong(1)}""")
+            .sorted.mkString(", ")
+          println(s"{$counts}")
+
+        case "datacard" =>
+          // per-slice corpus summary card:
+          //   datacard --source <parquet> [--group-cols source,lang]
+          //            [--out <path>]
+          val docs = spark.read.parquet(opts("source"))
+          val card = graft.operators.TextAnalysis.dataCard(docs,
+            groupCols = opts.getOrElse("group-cols", "source,lang")
+              .split(",").toSeq.map(_.trim))
+          opts.get("out").foreach(p =>
+            card.coalesce(1).write.mode("overwrite").parquet(p))
+          card.orderBy(card.columns.take(2).map(
+              org.apache.spark.sql.functions.col): _*)
+            .collect().foreach(r => println(r.mkString("\t")))
+
         case "schema-sync" =>
           // detect source-side schema drift vs an offloaded target and
           // print the evolution plan (ALTERs for DDL-applying engines);

@@ -150,6 +150,25 @@ class CliSpec extends SparkSpec {
     assert(sel.agg(sum("n_tokens")).head().getLong(0) <= 5000L)
   }
 
+  test("stratify and datacard commands run end-to-end") {
+    val base = Files.createTempDirectory("graft_cli_strat").toString
+    val src = sf("sf0.001") + "/documents.parquet"
+    Cli.main(Array("stratify", "--source", src, "--out", s"$base/split",
+      "--strata-col", "lang"))
+    val out = spark.read.parquet(s"$base/split")
+    assert(out.count() == spark.read.parquet(src).count())
+    // split is the partition column of the landed layout
+    assert(out.inputFiles.forall(_.contains("split=")))
+    assert(out.select("split").distinct().count() == 3)
+    Cli.main(Array("datacard", "--source", src,
+      "--out", s"$base/card"))
+    val card = spark.read.parquet(s"$base/card")
+    assert(card.columns.toSeq ==
+      Seq("source", "lang", "n_docs", "tok_sum", "chars_sum",
+        "n_unique_texts", "min_id", "max_id"))
+    assert(card.count() > 0)
+  }
+
   test("agg-validate validates a table against itself") {
     val src = sf("sf0.001") + "/orders.parquet"
     Cli.main(Array("agg-validate", "--left", src, "--right", src,
