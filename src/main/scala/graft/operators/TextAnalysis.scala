@@ -455,6 +455,46 @@ object TextAnalysis {
       .withColumnRenamed("sid", idCol)
   }
 
+  /** Train a unigram reference LM: the (token, tf) relation over a
+    * REFERENCE corpus — persist it and score any other corpus against it
+    * with [[lmScore]]. This is the operational split the in-corpus
+    * surprisal queries don't cover: quality filtering à la CCNet trains
+    * the model on a trusted corpus (Wikipedia) and scores the crawl, so
+    * the crawl's own junk can't normalise itself. One partial-agg shuffle
+    * on the token key; the model is Zipf-small relative to its corpus. */
+  def lmTrain(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+
+  /** Score documents against a stored reference LM: a token's surprisal
+    * is the bit-width of `N / tf` (N = reference token mass) — the
+    * integer-exact proxy for -log2 p(tok), properly oriented (rare = many
+    * bits), with unseen tokens costing `length(bin(N))` bits via
+    * `coalesce(tf, 1)` — exactly the 1/N floor a smoothed LM assigns, no
+    * special case. Reports the OOV count separately: a high-OOV doc is a
+    * domain mismatch, not necessarily junk.
+    *
+    * Scale shape: one equi-join occurrence⋈model on the token key (left,
+    * to keep OOV), the reference mass is a single-row broadcast, one
+    * groupBy doc — the scored corpus never joins itself. */
+  def lmScore(docs: DataFrame, lm: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col(idCol).as("sid"),
+      explode(tokens(col(textCol))).as("tok"))
+    val mass = lm.agg(sum(col("tf")).as("n_lm"))
+    occ.join(lm, Seq("tok"), "left")
+      .crossJoin(broadcast(mass))
+      .withColumn("bits",
+        length(bin(expr("n_lm div coalesce(tf, 1)"))).cast("long"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tf").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("bits")).as("total_bits"),
+        (sum(col("bits")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_bits"))
+      .withColumnRenamed("sid", idCol)
+  }
+
   /** Corpus data card: the per-(source, language) summary a dataset ships
     * with (Datasheets-for-Datasets style) — document and token volumes,
     * character mass, how much of the slice is textually unique, and the

@@ -911,6 +911,17 @@ object PipelineQueries {
         dim = Dim)
     },
 
+    // Reference-LM scoring: train the unigram model on the 80% split,
+    // score the held-out 20% against it (CCNet's quality-filter shape —
+    // the scored corpus can't normalise itself). Unseen tokens cost
+    // length(bin(N)) bits via the coalesce(tf,1) floor.
+    "q111_lm_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.lmTrain(docs.filter(col("doc_id") % 5 =!= 0))
+      TextAnalysis.lmScore(docs.filter(col("doc_id") % 5 === 0), lm)
+        .orderBy(col("doc_id"))
+    },
+
     // Bigram conditional surprisal: q95 scores tokens by frequency alone,
     // this scores them in context — the next rung of the perplexity-
     // filter ladder, integer-exact across engines.
@@ -1119,6 +1130,25 @@ object PipelineQueries {
          SELECT canonical_url, MIN(doc_id) AS keep_id,
            COUNT(*) AS n_variants
          FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
+
+    "q111_lm_score" ->
+      """WITH tr AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+             AS tok
+           FROM documents WHERE doc_id % 5 <> 0),
+         lm AS (SELECT tok, COUNT(*) AS tf FROM tr GROUP BY tok),
+         n AS (SELECT COUNT(*) AS n_lm FROM tr),
+         occ AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents WHERE doc_id % 5 = 0)
+         SELECT o.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN l.tf IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(length(bin(n.n_lm // COALESCE(l.tf, 1)))) AS BIGINT)
+             AS total_bits,
+           CAST(SUM(length(bin(n.n_lm // COALESCE(l.tf, 1)))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_bits
+         FROM occ o LEFT JOIN lm l USING (tok) CROSS JOIN n
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
 
     "q109_bigram_surprisal" ->
       """WITH docs AS (SELECT doc_id,

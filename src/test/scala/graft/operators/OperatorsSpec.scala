@@ -685,6 +685,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._3 > out(2L)._3)
   }
 
+  test("lmScore: exact reference-model surprisal with OOV floor") {
+    val ref = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.lmTrain(ref) // N=4, tf(a)=3, tf(b)=1
+    val scored = Seq((10L, "a b c")).toDF("doc_id", "text")
+    // bits: a -> 4 div 3 = 1 -> 1; b -> 4 -> 3; OOV c -> 4 div 1 -> 3
+    val out = TextAnalysis.lmScore(scored, lm).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+         r.getAs[Long]("total_bits"), r.getAs[Double]("mean_bits"))).toMap
+    assert(out(10L) == ((3L, 1L, 7L, 7.0 / 3.0)))
+    // a doc made of reference-frequent tokens scores fewer bits than an
+    // OOV-heavy one — the filter orientation
+    val pair = TextAnalysis.lmScore(
+        Seq((20L, "a a a"), (21L, "x y z")).toDF("doc_id", "text"), lm)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_bits")).toMap
+    assert(pair(20L) < pair(21L))
+  }
+
   test("dataCard: exact integer summary per slice") {
     val docs = Seq(
       (1L, "alpha beta", "web", "en"),
