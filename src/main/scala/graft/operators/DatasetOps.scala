@@ -264,6 +264,65 @@ object DatasetOps {
     * and any partition layout. At 100 TB, write
     * `partitionBy(epoch_batch)` and readers stream batches in file order
     * without re-sorting. */
+  /** Shard-manifest export: assign the corpus (in a deterministic seeded
+    * order — the [[deterministicShuffle]] permutation) to fixed-size
+    * output shards of ~`shardTokens` tokens each, and emit the manifest a
+    * training loader consumes: per shard, the doc/token volume, the
+    * global-order range it covers, and an md5 checksum over the ordered
+    * id list — the integrity record that catches a dropped or re-ordered
+    * shard before a training run does. Shard id is the closed form
+    * `floor((cum_tokens − n_tokens) / shardTokens)` over the global
+    * running token total, so a doc straddling a boundary starts the next
+    * shard (same convention as [[packSequences]] bins).
+    *
+    * Scale shape: the global token cumsum is computed WITHOUT a global
+    * sort — the md5 draw's leading 8 hex digits split the hash space into
+    * `shuffleBuckets` ordered ranges; per-bucket token prefix sums run in
+    * parallel and a `shuffleBuckets`-row broadcast offset table makes
+    * them global (the q81 scheme, summing tokens instead of counting
+    * rows). The manifest aggregation shuffles once on the shard id;
+    * per-shard state is the shard's own id list (bounded by
+    * shardTokens / min-doc-tokens). At 100 TB, write the assignment
+    * `partitionBy(shard_id)` and shards land as contiguous files. */
+  def shardManifest(docs: DataFrame, shardTokens: Long,
+                    salt: String = "shard0", idCol: String = "doc_id",
+                    textCol: String = "text",
+                    shuffleBuckets: Int = 256): DataFrame = {
+    require(shardTokens > 0 && shuffleBuckets > 0)
+    val draw = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val keyed = docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        draw.as("draw"))
+      .withColumn("bucket",
+        (conv(substring(col("draw"), 1, 8), 16, 10).cast("long")
+          * shuffleBuckets / 4294967296L).cast("int"))
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `shuffleBuckets` rows — bounded by construction (ExplainAudit-safe)
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btoks"))
+      .withColumn("tok_offset", sum(col("btoks")).over(wOff) - col("btoks"))
+      .select(col("bucket"), col("tok_offset"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("draw"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("bucket_cum", sum(col("n_tokens")).over(wIn))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("cum_tokens", col("tok_offset") + col("bucket_cum"))
+      .withColumn("shard_id",
+        expr(s"(cum_tokens - n_tokens) div $shardTokens"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tok_sum"),
+        min(col("cum_tokens") - col("n_tokens")).as("start_tokens"),
+        max(col("cum_tokens")).as("end_tokens"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("cum_tokens"), col(idCol)))),
+            s => s.getField(idCol).cast("string")))).as("id_checksum"))
+  }
+
   def deterministicShuffle(docs: DataFrame, batchSize: Long,
                            salt: String = "epoch0",
                            idCol: String = "doc_id",

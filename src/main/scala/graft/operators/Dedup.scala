@@ -138,6 +138,86 @@ object Dedup {
               col("dup_ratio"))
   }
 
+  /** Duplicated-span REMOVAL plan (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" — the ExactSubstr policy,
+    * re-expressed at word-n-gram granularity): every positional n-gram
+    * whose shingle also occurs in another document is a duplicate
+    * occurrence UNLESS this doc is the shingle's first owner (global min
+    * doc id) — first occurrence stays in the corpus, every later copy is
+    * marked for removal. Overlapping and adjacent marked intervals merge
+    * into maximal spans, so the output is the edit list a removal pass
+    * applies: one row per (doc, span) with token boundaries.
+    * [[duplicateSpanCoverage]] measures how duplicated a doc is; this
+    * emits WHICH tokens to cut and keeps one canonical copy of every
+    * span, the part a measurement can't do.
+    *
+    * Scale shape: ownership is one partial-agg shuffle on the shingle key
+    * (min doc id — never a pair join); the join back is a shingle
+    * equi-join; the interval merge is a per-doc window (state bounded by
+    * doc length). O(total shingles) end to end — no pair space.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 3,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // positional (not distinct) shingles: pos is the 0-based token index
+    // of the n-gram's first token
+    val rel = docs.select(col(idCol).as("sid"),
+        posexplode(graft.functions.TextFunctions.wordShinglesAll(
+          col(textCol), n)).as(Seq("pos", "shingle")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val owner = rel.groupBy(col("shingle"))
+      .agg(min(col("sid")).as("first_sid"))
+    val dup = rel.join(owner, "shingle")
+      .filter(col("sid") =!= col("first_sid"))
+      .select(col("sid"), col("pos"),
+        (col("pos") + lit(n - 1)).cast("long").as("endp"))
+    // merge overlapping/adjacent intervals: a row starts a new island iff
+    // its start is beyond (running max end) + 1
+    val byDoc = Window.partitionBy(col("sid")).orderBy(col("pos"))
+    val prevMax = max(col("endp")).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(col("pos") > coalesce(prevMax, lit(-1L)) + 1, 1L)
+      .otherwise(0L)
+    dup
+      .withColumn("island", sum(isNew).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("sid"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+           max(col("endp")).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col("sid").as(idCol), col("span_start"), col("span_end"),
+              col("span_tokens"))
+  }
+
+  /** N-gram novelty: the fraction of a document's DISTINCT n-grams whose
+    * first corpus occurrence (min doc id) is this document — "how much
+    * text does this doc contribute that the corpus (in id order) hasn't
+    * already seen?" The complement of [[duplicateSpanCoverage]]'s
+    * duplication view, and the deduplicated-token accounting a data-mix
+    * report quotes (novel tokens per source, not raw tokens).
+    *
+    * Scale shape: identical to coverage — one partial-agg shuffle on the
+    * shingle key for ownership, one equi-join back, one groupBy doc.
+    * No pair space. */
+  def noveltyScores(docs: DataFrame, n: Int = 3,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val rel = shingleRelation(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val owner = rel.groupBy(col("shingle"))
+      .agg(min(col("sid")).as("first_sid"))
+    rel.join(owner, "shingle")
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("first_sid") === col("sid"), 1L).otherwise(0L))
+             .as("n_novel"))
+      .withColumn("novelty_ratio",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .select(col("sid").as(idCol), col("n_shingles"), col("n_novel"),
+              col("novelty_ratio"))
+  }
+
   /** Broder similarity estimate for candidate pairs: the fraction of
     * agreeing MinHash slots is an unbiased estimator of J(A,B) — the number
     * a production dedup uses to rank candidates WITHOUT touching the raw

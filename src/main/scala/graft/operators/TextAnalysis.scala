@@ -420,6 +420,164 @@ object TextAnalysis {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_variants"))
 
+  /** Registered domain of a URL (host with scheme/userinfo/port/path and a
+    * leading `www.` stripped, lowercased) — the grouping key of per-site
+    * corpus policy: crawl budgets, blocklists, per-domain mixing caps.
+    * Pure codegen'd regexp, zero shuffle, exact DuckDB mirror. */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+      "^www\\.|:[0-9]+$", "")
+
+  /** Per-domain corpus statistics: doc/token volume and id range per
+    * registered domain — the table a crawl-curation review reads first
+    * (which sites dominate, which to cap). One partial-agg shuffle on the
+    * (bounded-cardinality) domain key. */
+  def domainStats(docs: DataFrame, urlCol: String,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("domain", urlDomain(col(urlCol)))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("tok_sum"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+
+  /** Domain blocklist filter: drop every doc whose [[urlDomain]] appears
+    * in the blocklist relation (column `domain`). The blocklist is
+    * policy-sized (10³-10⁶ rows ≪ corpus), so it BROADCASTS and the
+    * corpus streams map-only through the anti-join — never shuffled. */
+  def domainBlocklistFilter(docs: DataFrame, blocklist: DataFrame,
+                            urlCol: String): DataFrame =
+    docs.withColumn("domain", urlDomain(col(urlCol)))
+      .join(broadcast(blocklist.select(col("domain")).distinct()),
+        Seq("domain"), "left_anti")
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score each corpus doc
+    * by how much more likely its tokens are under a TARGET distribution
+    * (the domain you want more of) than under the corpus's own proposal
+    * distribution — `log p_target(doc) − log p_proposal(doc)`, re-expressed
+    * in exact integer bits: per token occurrence,
+    * `bits_proposal − bits_target` where `bits_X = length(bin(N_X div
+    * max(tf_X, 1)))` (the [[lmScore]] surprisal, unseen tokens floored at
+    * the full `bin(N)` width). Positive total = target-like doc; rank
+    * descending and keep the head to tilt a mixture toward the target
+    * without a trained classifier.
+    *
+    * Scale shape: two unigram models (one partial-agg shuffle each — the
+    * target is reference-sized, the proposal is the corpus's own vocab,
+    * both Zipf-small); the corpus occurrence relation left-joins both on
+    * the token key; masses are single-row broadcasts; one groupBy doc.
+    * The corpus never joins itself. */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val occ = corpus.select(col(idCol).as("sid"),
+      explode(tokens(col(textCol))).as("tok"))
+    val prop = lmTrain(corpus, textCol).withColumnRenamed("tf", "tf_p")
+    val targ = lmTrain(target, textCol).withColumnRenamed("tf", "tf_t")
+    val massP = prop.agg(sum(col("tf_p")).as("n_prop"))
+    val massT = targ.agg(sum(col("tf_t")).as("n_targ"))
+    occ.join(prop, Seq("tok"), "left")
+      .join(targ, Seq("tok"), "left")
+      .crossJoin(broadcast(massP))
+      .crossJoin(broadcast(massT))
+      .withColumn("bits_p",
+        length(bin(expr("n_prop div coalesce(tf_p, 1)"))).cast("long"))
+      .withColumn("bits_t",
+        length(bin(expr("n_targ div coalesce(tf_t, 1)"))).cast("long"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits_p") - col("bits_t")).as("weight_bits"),
+        (sum(col("bits_p") - col("bits_t")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_weight_bits"))
+      .withColumnRenamed("sid", idCol)
+  }
+
+  /** Trigram stupid-backoff surprisal (Brants et al., "Large Language
+    * Models in Machine Translation"): score a held-out corpus against
+    * trigram/bigram/unigram count tables from a reference corpus, backing
+    * off a level whenever the higher-order count is absent. Integer-exact
+    * throughout: a seen trigram costs `bits(starts3(ctx) div c3)` (the
+    * proper conditional — `starts3(a b) = Σ_c count(a b c)`); an unseen
+    * trigram backs off to the bigram conditional plus a 1-bit penalty
+    * (backoff α = 0.5, so the penalty is EXACTLY one bit — no float α);
+    * unseen bigrams back off again to the unigram floor plus 2 bits.
+    * This is the full n-gram-LM quality-filter shape (CCNet uses KenLM
+    * 5-grams; the ladder q95 → q109 → here climbs orders) with zero libm
+    * and zero cross-engine drift.
+    *
+    * Scale shape: the reference builds three count tables (trigram,
+    * bigram, unigram — each one partial-agg shuffle on a high-cardinality
+    * key; the gram relations persist so the reference tokenises once per
+    * order); the scored side explodes trigram occurrences ONCE and
+    * left-joins the five lookups on their keys; the model mass is a
+    * single-row broadcast; one groupBy doc. Scored corpus never joins
+    * itself. */
+  def backoffSurprisal(docs: DataFrame, reference: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def gramRel(d: DataFrame, n: Int): DataFrame =
+      d.select(explode(graft.functions.TextFunctions.wordShinglesAll(
+        col(textCol), n)).as("gram"))
+    // reference count tables
+    val g3 = gramRel(reference, 3)
+      .withColumn("ctx",
+        concat_ws(" ", slice(split(col("gram"), " "), 1, 2)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c3 = g3.groupBy(col("gram")).agg(count(lit(1)).as("c3"))
+      .withColumnRenamed("gram", "g3")
+    val c3s = g3.groupBy(col("ctx")).agg(count(lit(1)).as("c3s"))
+    val g2 = gramRel(reference, 2)
+      .withColumn("prev", split(col("gram"), " ").getItem(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c2 = g2.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+      .withColumnRenamed("gram", "g2")
+    val c2s = g2.groupBy(col("prev")).agg(count(lit(1)).as("c2s"))
+    val c1 = lmTrain(reference, textCol)
+    val mass = c1.agg(sum(col("tf")).as("n1"))
+    // scored occurrences: one trigram explode; per-level keys are pure
+    // string projections of the gram
+    val parts = split(col("g3"), " ")
+    val occ = docs.select(col(idCol).as("sid"),
+        explode(graft.functions.TextFunctions.wordShinglesAll(
+          col(textCol), 3)).as("g3"))
+      .withColumn("ctx", concat_ws(" ", slice(parts, 1, 2)))
+      .withColumn("g2", concat_ws(" ", slice(parts, 2, 2)))
+      // partial grams (< 3 tokens) have no predicted token: guard the
+      // element_at so ANSI mode can't throw (the oracle's CASE mirrors)
+      .withColumn("tok", when(size(parts) >= 3, element_at(parts, 3)))
+    val bits = when(col("c3").isNotNull,
+        length(bin(expr("c3s div c3"))).cast("long"))
+      .when(col("c2").isNotNull,
+        lit(1L) + length(bin(expr("c2s div c2"))).cast("long"))
+      .otherwise(
+        lit(2L) + length(bin(expr("n1 div coalesce(tf, 1)"))).cast("long"))
+    val level = when(col("c3").isNotNull, lit(3))
+      .when(col("c2").isNotNull, lit(2)).otherwise(lit(1))
+    occ.join(c3, Seq("g3"), "left")
+      .join(c3s, Seq("ctx"), "left")
+      .join(c2, Seq("g2"), "left")
+      .join(c2s.withColumnRenamed("prev", "g2_prev"),
+        col("g2_prev") === split(col("g2"), " ").getItem(0), "left")
+      .join(c1, Seq("tok"), "left")
+      .crossJoin(broadcast(mass))
+      .withColumn("bits", bits)
+      .withColumn("lvl", level)
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        sum(col("bits")).as("total_bits"),
+        (sum(col("bits")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_bits"))
+      .withColumnRenamed("sid", idCol)
+  }
+
   /** Bigram conditional surprisal: [[lexicalSurprisal]] scores a token by
     * its corpus frequency alone; this scores it IN CONTEXT — a token's
     * information is the bit-width of `starts(prev) / count(prev, cur)`,

@@ -937,6 +937,64 @@ object PipelineQueries {
         .orderBy(col("source"), col("lang"))
     },
 
+    // Duplicated-span REMOVAL (Lee et al. ExactSubstr at n-gram
+    // granularity): the edit list a dedup pass applies — maximal token
+    // spans of each doc whose 3-grams all first occurred in an earlier
+    // doc; the first owner keeps its copy.
+    "q112_dup_spans" -> { (s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), n = 3)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // Per-domain corpus stats behind a blocklist: the crawl-curation
+    // first-look (which sites dominate) with policy domains dropped
+    // before counting; urls synthesized per the q107 scheme.
+    "q113_domain_stats" -> { (s, dir) =>
+      import s.implicits._
+      val urls = t(s, dir, "documents")
+        .withColumn("url", q107Url)
+      val blocked = BlockedDomains.toDF("domain")
+      TextAnalysis.domainStats(
+          TextAnalysis.domainBlocklistFilter(urls, blocked, "url"),
+          urlCol = "url")
+        .orderBy(col("domain"))
+    },
+
+    // DSIR importance weights: target = the src0/src1 slice, proposal =
+    // the whole corpus; positive bits = target-like doc.
+    "q114_importance_weights" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.importanceWeights(docs,
+          docs.filter(col("source").isin("src0", "src1")))
+        .orderBy(col("doc_id"))
+    },
+
+    // Trigram stupid-backoff surprisal: reference = doc_id % 5 != 0,
+    // scored = the held-out 20% (the q111 split), backoff penalty 1 bit
+    // per level (α = 0.5).
+    "q115_backoff_surprisal" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.backoffSurprisal(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0))
+        .orderBy(col("doc_id"))
+    },
+
+    // N-gram novelty: fraction of each doc's distinct 3-grams first seen
+    // in this doc (corpus in id order) — novel-token accounting.
+    "q116_novelty" -> { (s, dir) =>
+      Dedup.noveltyScores(t(s, dir, "documents"), n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // Shard manifest: deterministic-order token shards + per-shard id
+    // checksum — the integrity record a training loader verifies.
+    "q117_shard_manifest" -> { (s, dir) =>
+      graft.operators.DatasetOps.shardManifest(
+          t(s, dir, "documents"), shardTokens = ShardTokens)
+        .orderBy(col("shard_id"))
+    },
+
     "q37_offload_e2e" -> { (s, dir) =>
       import graft.orchestrate.OffloadRunner
       // fresh workspace per invocation: repeated verify runs must not see a
@@ -957,6 +1015,14 @@ object PipelineQueries {
       steps.zipWithIndex.map { case (r, i) => (i, r.name, r.ok) }
         .toDF("step_order", "step", "ok")
     })
+
+  /** q113 blocklist (mirrored as literals in the oracle SQL). */
+  val BlockedDomains: Seq[String] =
+    Seq("site0.example.com", "site1.example.com")
+
+  /** q117 shard size in tokens (small enough that sf0.01 yields many
+    * shards, large enough that each holds multiple docs). */
+  val ShardTokens = 2000L
 
   // ---------------------------------------------------------------- oracles
 
@@ -1130,6 +1196,192 @@ object PipelineQueries {
          SELECT canonical_url, MIN(doc_id) AS keep_id,
            COUNT(*) AS n_variants
          FROM canon GROUP BY canonical_url ORDER BY canonical_url""",
+
+    // positional 3-grams mirror wordShinglesAll (partial gram for docs
+    // under 3 tokens, same greatest() guard as the q109 bigram oracle)
+    "q112_dup_spans" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+             FROM docs)),
+         own AS (SELECT shingle, MIN(doc_id) AS first_sid
+           FROM g GROUP BY shingle),
+         d AS (SELECT g.doc_id, g.pos, g.pos + 2 AS endp
+           FROM g JOIN own USING (shingle)
+           WHERE g.doc_id <> own.first_sid),
+         m AS (SELECT doc_id, pos, endp,
+             MAX(endp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM d),
+         isl AS (SELECT doc_id, pos, endp,
+             SUM(CASE WHEN pos > COALESCE(prev_max, -1) + 1
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM m)
+         SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(endp) AS BIGINT) AS span_end,
+           CAST(MAX(endp) - MIN(pos) + 1 AS BIGINT) AS span_tokens
+         FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+
+    // raw-URL synthesis copied from the q107 oracle; domain extraction
+    // mirrors TextAnalysis.urlDomain (DuckDB needs the explicit 'g' flag
+    // because www. and :port can BOTH match)
+    "q113_domain_stats" ->
+      """WITH raw AS (SELECT doc_id, text,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+           'Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.com' ||
+           (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+           '/Docs/' || CAST(doc_id % 5 AS VARCHAR) ||
+           (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN doc_id % 7 = 0
+              THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
+              WHEN doc_id % 7 = 1
+              THEN '?page=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+              ELSE '' END) ||
+           (CASE WHEN doc_id % 8 = 0 THEN '#frag' ELSE '' END) AS url
+         FROM documents),
+         dom AS (SELECT doc_id, text,
+           regexp_replace(
+             regexp_extract(lower(url),
+               '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+             '^www\.|:[0-9]+$', '', 'g') AS domain
+           FROM raw),
+         kept AS (SELECT * FROM dom
+           WHERE domain NOT IN ('site0.example.com', 'site1.example.com'))
+         SELECT domain, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS tok_sum,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM kept GROUP BY domain ORDER BY domain""",
+
+    "q114_importance_weights" ->
+      """WITH occ AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         prop AS (SELECT tok, COUNT(*) AS tf_p FROM occ GROUP BY tok),
+         np AS (SELECT COUNT(*) AS n_prop FROM occ),
+         tocc AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+             AS tok
+           FROM documents WHERE source IN ('src0', 'src1')),
+         targ AS (SELECT tok, COUNT(*) AS tf_t FROM tocc GROUP BY tok),
+         nt AS (SELECT COUNT(*) AS n_targ FROM tocc)
+         SELECT o.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(length(bin(np.n_prop // COALESCE(p.tf_p, 1)))
+             - length(bin(nt.n_targ // COALESCE(t.tf_t, 1)))) AS BIGINT)
+             AS weight_bits,
+           CAST(SUM(length(bin(np.n_prop // COALESCE(p.tf_p, 1)))
+             - length(bin(nt.n_targ // COALESCE(t.tf_t, 1)))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_weight_bits
+         FROM occ o
+         LEFT JOIN prop p USING (tok)
+         LEFT JOIN targ t USING (tok)
+         CROSS JOIN np CROSS JOIN nt
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
+
+    // per-level keys derive from the gram STRING exactly as the engine's
+    // slice/element_at chain does, so partial grams (< 3 tokens) agree
+    "q115_backoff_surprisal" ->
+      """WITH rt AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id % 5 <> 0),
+         g3r AS (SELECT array_to_string(toks[i:i+2], ' ') AS g3
+           FROM (SELECT toks,
+               unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+             FROM rt)),
+         g3p AS (SELECT g3,
+             array_to_string(string_split(g3, ' ')[1:2], ' ') AS ctx
+           FROM g3r),
+         c3 AS (SELECT g3, COUNT(*) AS c3 FROM g3p GROUP BY g3),
+         c3s AS (SELECT ctx, COUNT(*) AS c3s FROM g3p GROUP BY ctx),
+         g2r AS (SELECT array_to_string(toks[i:i+1], ' ') AS g2
+           FROM (SELECT toks,
+               unnest(range(1, greatest(len(toks) - 1, 1) + 1)) AS i
+             FROM rt)),
+         g2p AS (SELECT g2, string_split(g2, ' ')[1] AS prev FROM g2r),
+         c2 AS (SELECT g2, COUNT(*) AS c2 FROM g2p GROUP BY g2),
+         c2s AS (SELECT prev, COUNT(*) AS c2s FROM g2p GROUP BY prev),
+         u AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents WHERE doc_id % 5 <> 0),
+         c1 AS (SELECT tok, COUNT(*) AS tf FROM u GROUP BY tok),
+         n1 AS (SELECT COUNT(*) AS n1 FROM u),
+         st AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE doc_id % 5 = 0),
+         so AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g3
+           FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+             FROM st)),
+         sk AS (SELECT doc_id, g3,
+             array_to_string(string_split(g3, ' ')[1:2], ' ') AS ctx,
+             array_to_string(string_split(g3, ' ')[2:3], ' ') AS g2,
+             CASE WHEN len(string_split(g3, ' ')) >= 3
+               THEN string_split(g3, ' ')[3] ELSE NULL END AS tok
+           FROM so),
+         j AS (SELECT sk.doc_id,
+             CASE WHEN c3.c3 IS NOT NULL
+                 THEN length(bin(c3s.c3s // c3.c3))
+               WHEN c2.c2 IS NOT NULL
+                 THEN 1 + length(bin(c2s.c2s // c2.c2))
+               ELSE 2 + length(bin(n1.n1 // COALESCE(c1.tf, 1)))
+             END AS bits,
+             CASE WHEN c3.c3 IS NOT NULL THEN 3
+               WHEN c2.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl
+           FROM sk
+           LEFT JOIN c3 USING (g3)
+           LEFT JOIN c3s USING (ctx)
+           LEFT JOIN c2 USING (g2)
+           LEFT JOIN c2s ON c2s.prev = string_split(sk.g2, ' ')[1]
+           LEFT JOIN c1 ON c1.tok = sk.tok
+           CROSS JOIN n1)
+         SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tri,
+           CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bi,
+           CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_uni,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_bits
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
+    "q116_novelty" ->
+      s"""WITH $shingleCte,
+         own AS (SELECT shingle, MIN(doc_id) AS first_sid
+           FROM sh GROUP BY shingle)
+         SELECT doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first_sid = doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN first_sid = doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+         FROM sh JOIN own USING (shingle)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // the global ORDER BY draw here is the oracle-side equivalent of the
+    // engine's bucketed prefix-sum scheme (q81 equality argument)
+    "q117_shard_manifest" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens,
+           md5('shard0|' || CAST(doc_id AS VARCHAR)) AS draw
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY draw, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d),
+         a AS (SELECT doc_id, n_tokens, cum,
+             CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id FROM c)
+         SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+           CAST(MIN(cum - n_tokens) AS BIGINT) AS start_tokens,
+           CAST(MAX(cum) AS BIGINT) AS end_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY cum))
+             AS id_checksum
+         FROM a GROUP BY shard_id ORDER BY shard_id""",
 
     "q111_lm_score" ->
       """WITH tr AS (SELECT unnest(string_split_regex(trim(text), '\s+'))

@@ -205,6 +205,58 @@ class DatasetOpsSpec extends SparkSpec {
     assert(audited.isEmpty, audited.mkString("\n"))
   }
 
+  test("shardManifest equals the global-order manifest; volumes conserved") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val shardTokens = 500L
+    val got = DatasetOps.shardManifest(docs, shardTokens)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // reference semantics: one global cumsum over (draw, id) — correct
+    // but single-task; the bucketed operator must reproduce it exactly
+    val draw = md5(concat(lit("shard0|"), col("doc_id").cast("string")))
+    val w = Window.orderBy(col("draw"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        draw.as("draw"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id", expr(s"(cum - n_tokens) div $shardTokens"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
+        min(col("cum") - col("n_tokens")).as("start_tokens"),
+        max(col("cum")).as("end_tokens"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("cum"), col("doc_id")))),
+          s => s.getField("doc_id").cast("string")))).as("id_checksum"))
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.sameElements(naive))
+    // conservation: every doc and token lands in exactly one shard
+    assert(got.map(_._2).sum == docs.count())
+    val totalToks = docs.agg(sum(TextAnalysis.tokenCount(col("text"))))
+      .head().getLong(0)
+    assert(got.map(_._3).sum == totalToks)
+    // shard ids are contiguous from 0 and each shard STARTS inside its
+    // own token range (a straddling doc may push end_tokens past it)
+    assert(got.map(_._1).sameElements(got.indices.map(_.toLong)))
+    got.foreach { case (id, _, _, start, _, _) =>
+      assert(start >= id * shardTokens && start < (id + 1) * shardTokens)
+    }
+    // partition layout must not change the manifest
+    val reparted = DatasetOps.shardManifest(docs.repartition(7), shardTokens)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(reparted.sameElements(naive))
+    // scale shape: only the bounded bucket-agg window is global
+    val audited = graft.tools.ExplainAudit.audit(
+      DatasetOps.shardManifest(docs, shardTokens), "shard_manifest")
+    assert(audited.isEmpty, audited.mkString("\n"))
+  }
+
   test("packSequences: contiguous bins, budget respected, oversized isolated") {
     val docs = Seq(
       (1L, "en", "a b c"),            // 3 tokens

@@ -53,6 +53,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans merges overlapping dup n-grams, keeps first owner") {
+    val docs = docsOf(
+      1L -> "a b c d e",        // owns abc bcd cde
+      2L -> "a b c d x",        // abc@0 bcd@1 dup -> one span [0,3]
+      3L -> "z a b c d e q")    // abc@1 bcd@2 cde@3 dup -> span [1,5]
+    val out = Dedup.duplicateSpans(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens")))
+      .sortBy(t => (t._1, t._2))
+    // doc 1 is every shared shingle's first owner: no spans at all
+    assert(out.sameElements(Seq((2L, 0L, 3L, 4L), (3L, 1L, 5L, 5L))))
+    // non-adjacent duplicated regions stay separate spans
+    val split = Dedup.duplicateSpans(docsOf(
+      1L -> "a b c", 2L -> "x y z", 3L -> "a b c p q r x y z")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).sortBy(t => (t._1, t._2))
+    assert(split.sameElements(Seq((3L, 0L, 2L), (3L, 6L, 8L))))
+  }
+
+  test("noveltyScores attribute each n-gram to its first corpus occurrence") {
+    val docs = docsOf(
+      1L -> "a b c d e",        // first: all 3 of its shingles novel
+      2L -> "a b c d x",        // abc bcd seen in 1; cdx novel
+      3L -> "p q r s t")        // disjoint: all novel
+    val out = Dedup.noveltyScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+         r.getAs[Double]("novelty_ratio"))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+  }
+
   test("incremental LSH equals full LSH restricted to batch-touching pairs") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val cut = 400L
@@ -702,6 +735,68 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Double]("mean_bits")).toMap
     assert(pair(20L) < pair(21L))
+  }
+
+  test("urlDomain + domainStats + blocklist: per-site policy keys") {
+    val docs = Seq(
+      (1L, "HTTPS://WWW.Foo.COM:443/Path", "one two"),
+      (2L, "http://foo.com/x", "three"),
+      (3L, "https://bar.org:8080/y?z=1", "four five six"),
+      (4L, "https://www.baz.net", "seven")
+    ).toDF("doc_id", "url", "text")
+    val doms = docs.select(col("doc_id"),
+        TextAnalysis.urlDomain(col("url")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(doms == Map(1L -> "foo.com", 2L -> "foo.com",
+      3L -> "bar.org", 4L -> "baz.net"))
+    val blocked = Seq("bar.org").toDF("domain")
+    val stats = TextAnalysis.domainStats(
+        TextAnalysis.domainBlocklistFilter(docs, blocked, "url"), "url")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats == Map(
+      "foo.com" -> ((2L, 3L, 1L, 2L)),
+      "baz.net" -> ((1L, 1L, 4L, 4L))))
+  }
+
+  test("importanceWeights: exact bit-width log-ratio, target-oriented") {
+    val corpus = Seq((1L, "a a b"), (2L, "c c c")).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 1L)
+    // proposal: N=6, tf a=2 b=1 c=3 -> bits a=2 b=3 c=2
+    // target:   N=3, tf a=2 b=1; OOV c floors at 3 div 1
+    //           -> bits a=1 b=2 c=2
+    val out = TextAnalysis.importanceWeights(corpus, target).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_bits"),
+         r.getAs[Double]("mean_weight_bits"))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))    // (2-1)+(2-1)+(3-2)
+    assert(out(2L) == ((3L, 0L, 0.0)))    // (2-2)*3
+    // orientation: the target-like doc outranks the off-target one
+    assert(out(1L)._3 > out(2L)._3)
+  }
+
+  test("backoffSurprisal: trigram hit, bigram backoff, unigram floor") {
+    val ref = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    // trigrams: abc bca cab abc -> c3(abc)=2 ctx counts: "a b"=2 "b c"=1 "c a"=1
+    // bigrams: ab bc ca ab bc -> c2(ab)=2 c2(bc)=2 c2(ca)=1; starts a=2 b=2 c=1
+    // unigrams: a=2 b=2 c=2, N1=6
+    val scored = Seq(
+      (10L, "a b c"),   // trigram hit: bin(2 div 2)=1 bit, lvl 3
+      (11L, "b c b"),   // no tri "b c b", no bi "c b": 2+bin(6 div 2)=4, lvl 1
+      (14L, "x a b")    // no tri, bi "a b": 1+bin(2 div 2)=2 bits, lvl 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.backoffSurprisal(scored, ref).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_tri"),
+         r.getAs[Long]("n_bi"), r.getAs[Long]("n_uni"),
+         r.getAs[Long]("total_bits"))).toMap
+    assert(out(10L) == ((1L, 1L, 0L, 0L, 1L)))
+    assert(out(11L) == ((1L, 0L, 0L, 1L, 4L)))
+    assert(out(14L) == ((1L, 0L, 1L, 0L, 2L)))
+    // OOV floor: wholly unseen text pays the full width at every gram
+    val oov = TextAnalysis.backoffSurprisal(
+        Seq((20L, "p q r")).toDF("doc_id", "text"), ref).collect()
+    assert(oov.head.getAs[Long]("total_bits") == 2L + 3L) // 2 + bin(6 div 1)
   }
 
   test("dataCard: exact integer summary per slice") {
