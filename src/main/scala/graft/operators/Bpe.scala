@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding merge training — the tokenizer-training step of a
+  * training-data pipeline (Sennrich et al., "Neural Machine Translation of
+  * Rare Words with Subword Units"). Each round counts adjacent symbol
+  * pairs across the corpus vocabulary (weighted by word frequency), picks
+  * the most frequent pair (ties to the lexicographically smallest), and
+  * merges it everywhere; the learned merge list IS the tokenizer.
+  *
+  * Representation: a word's symbol sequence is one string with every
+  * symbol wrapped in `` sentinels — `"abc"` → `␁a␁␁b␁␁c␁` — so a
+  * merge is a plain non-overlapping left-to-right `replace(␁x␁␁y␁ → ␁xy␁)`
+  * (each symbol carries its own delimiters, so consecutive matches never
+  * share a separator) and both engines agree byte-for-byte. Whitespace
+  * tokenization means symbols never contain spaces, so `"x y"` is a safe
+  * pair key.
+  *
+  * Scale shape: the corpus is touched ONCE (the word-frequency aggregate —
+  * one shuffle on the token key, Zipf-small output, persisted); every
+  * round then runs on the vocabulary relation: a pair explode + partial-agg
+  * shuffle on the pair key and a driver fetch of exactly ONE row (the
+  * argmax — metadata-scale by construction). Merges apply map-only. Cost
+  * per round is O(vocab), independent of corpus size — at 100 TB the
+  * vocabulary is still millions of rows, not billions.
+  *
+  * Reference surface: the reference has no tokenizer trainer; this is part
+  * of the LLM-pipeline extension (SURVEY §2 north star).
+  */
+object Bpe {
+
+  val Delim = ""
+
+  final case class Merge(merge_round: Int, lhs: String, rhs: String,
+                         merged: String, pair_count: Long)
+
+  /** Initial symbol representation: every character wrapped in sentinels. */
+  private def initialRep(tok: Column): Column =
+    regexp_replace(tok, "(.)", Delim + "$1" + Delim)
+
+  /** Adjacent symbol pairs (`"x y"`) of a wrapped representation. */
+  private def pairsOf(rep: Column): Column = {
+    val syms = split(regexp_replace(rep, s"^$Delim|$Delim$$", ""),
+      Delim + Delim)
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train `rounds` merges over the whitespace-token vocabulary of
+    * `docs(textCol)`. Tokens containing the sentinel are excluded (none
+    * exist in text corpora; the filter makes the contract explicit).
+    * Returns the merge list in order; stops early if the vocabulary runs
+    * out of adjacent pairs. */
+  def train(docs: DataFrame, rounds: Int,
+            textCol: String = "text"): Seq[Merge] = {
+    require(rounds > 0)
+    val vocab = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(!col("tok").contains(Delim))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(initialRep(col("tok")).as("rep"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = Seq.newBuilder[Merge]
+      var rep = vocab
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val top = rep
+          .select(explode(pairsOf(col("rep"))).as("pair"), col("n"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val Array(x, y) = pair.split(" ", 2)
+          out += Merge(r, x, y, x + y, cnt)
+          rep = rep.withColumn("rep",
+            regexp_replace(col("rep"),
+              java.util.regex.Pattern.quote(Delim + x + Delim + Delim + y + Delim),
+              java.util.regex.Matcher.quoteReplacement(Delim + x + y + Delim)))
+          r += 1
+        }
+      }
+      out.result()
+    } finally vocab.unpersist()
+  }
+
+  /** [[train]] as a DataFrame (the q119 query surface). */
+  def merges(spark: SparkSession, docs: DataFrame, rounds: Int,
+             textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    train(docs, rounds, textCol)
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** DuckDB oracle: the same `rounds` merges as an unrolled CTE chain —
+    * per round, the pair count, the argmax (same `cnt DESC, pair ASC`
+    * tie-break), and the sentinel-wrapped replace. Callers prepend the
+    * tokenized-corpus CTE providing `tok` rows. */
+  def oracleSql(rounds: Int): String = {
+    val base =
+      """c0 AS (SELECT regexp_replace(tok, '(.)', chr(1)||'\1'||chr(1), 'g')
+           AS rep, COUNT(*) AS n
+         FROM toks WHERE NOT contains(tok, chr(1)) GROUP BY tok)"""
+    val perRound = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT string_split(trim(rep, chr(1)), chr(1)||chr(1))
+             AS sy, n, rep FROM c${r - 1}),
+         p$r AS (SELECT sy[i] || ' ' || sy[i+1] AS pair, SUM(n) AS cnt
+           FROM (SELECT sy, n, unnest(range(1, len(sy))) AS i FROM s$r)
+           GROUP BY pair),
+         t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         c$r AS (SELECT replace(rep,
+             chr(1) || split_part(pair, ' ', 1) || chr(1) ||
+               chr(1) || split_part(pair, ' ', 2) || chr(1),
+             chr(1) || split_part(pair, ' ', 1) ||
+               split_part(pair, ' ', 2) || chr(1)) AS rep, n
+           FROM c${r - 1}, t$r)"""
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT $r AS merge_round, split_part(pair, ' ', 1) AS lhs,
+           split_part(pair, ' ', 2) AS rhs,
+           replace(pair, ' ', '') AS merged,
+           CAST(cnt AS BIGINT) AS pair_count FROM t$r"""
+    }.mkString(" UNION ALL ")
+    s"$base,\n$perRound,\n merges AS ($rows)\n" +
+      "SELECT * FROM merges ORDER BY merge_round"
+  }
+}

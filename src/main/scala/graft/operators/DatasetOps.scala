@@ -146,6 +146,41 @@ object DatasetOps {
       .drop("grp_n", "mix_rank")
   }
 
+  /** Temperature-scaled mixture sampling: downsample groups so kept
+    * volumes follow `n_g^α` with α = 0.5 (temperature 2 — the flattening
+    * exponent multilingual mixes use, cf. the XLM-R sampling scheme)
+    * instead of the raw `n_g`. The smallest group keeps EVERYTHING and
+    * every larger group keeps `k_g = floor(sqrt(n_min · n_g))` docs —
+    * `n_min ≤ k_g ≤ n_g`, and kept counts are proportional to `sqrt(n_g)`
+    * up to the integer floor, so a 100× larger group contributes only 10×
+    * the docs. Selection is the same deterministic `md5(salt|id)` rank
+    * permutation as [[balancedSample]]/[[mixtureSample]] — recipes
+    * compose, and the kept set is a pure function of (salt, ids).
+    * `sqrt` over a BIGINT product is IEEE-exact in every engine while
+    * `n_min · n_g < 2^52` (per-group counts to ~10⁷ × 10⁸); past that,
+    * compute `k_g` in DECIMAL — documented bound, not a silent error.
+    *
+    * Scale shape: one shuffle on the group key; the count and rank
+    * windows share that partitioning; `n_min` is a one-row broadcast.
+    * Mega-group hazard and salted-subkey remedy as [[mixtureSample]]. */
+  def temperatureSample(docs: DataFrame, groupCol: String,
+                        salt: String = "temp",
+                        idCol: String = "doc_id"): DataFrame = {
+    val draw = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val wCount = Window.partitionBy(col(groupCol))
+    val wRank = Window.partitionBy(col(groupCol))
+      .orderBy(draw.asc, col(idCol).asc)
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("grp_n"))
+    val nMin = counts.agg(min(col("grp_n")).as("n_min"))
+    docs
+      .withColumn("grp_n", count(lit(1)).over(wCount))
+      .withColumn("temp_rank", row_number().over(wRank))
+      .crossJoin(broadcast(nMin))
+      .filter(col("temp_rank") <=
+        floor(sqrt((col("n_min") * col("grp_n")).cast("double"))))
+      .drop("grp_n", "temp_rank", "n_min")
+  }
+
   /** Sequence packing: group consecutive documents into bins of at most
     * `tokenBudget` tokens (greedy first-fit in id order WITHIN each
     * `packKey` group). The bin id is a closed form over the running token

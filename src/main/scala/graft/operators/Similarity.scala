@@ -134,4 +134,35 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
+
+  /** Embedding-space decontamination: for every corpus vector, the maximum
+    * cosine against a benchmark embedding set and whether it crosses the
+    * contamination threshold — the semantic complement of the n-gram
+    * checks ([[graft.operators.Dedup.contamination]] catches verbatim
+    * leaks; this catches paraphrased eval items that share no n-grams).
+    * `nearest_bench_id` ties break to the larger id (the `max(struct)`
+    * order, mirrored by the oracle's `score DESC, bench_id DESC` rank).
+    *
+    * Scale shape: the benchmark is eval-sized (10³–10⁶ rows ≪ corpus), so
+    * it BROADCASTS and the corpus streams map-only through the scoring
+    * join; the per-corpus-row max is a partial aggregation, so the one
+    * shuffle carries exactly one row per corpus vector — never the
+    * pair space. */
+  def embeddingContamination(corpus: DataFrame, benchmark: DataFrame,
+                             threshold: Double, dim: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.withColumn("nrm", norm(col(vecCol), dim))
+    val b = benchmark
+      .select(col(idCol).as("bench_id"), col(vecCol).as("b_vec"))
+      .withColumn("b_nrm", norm(col("b_vec"), dim))
+    c.crossJoin(broadcast(b))
+      .withColumn("score",
+        dot(col(vecCol), col("b_vec"), dim) / (col("nrm") * col("b_nrm")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("score"), col("bench_id"))).as("m"))
+      .select(col(idCol), col("m.score").as("max_score"),
+        col("m.bench_id").as("nearest_bench_id"),
+        (col("m.score") >= threshold).as("contaminated"))
+  }
 }

@@ -995,6 +995,39 @@ object PipelineQueries {
         .orderBy(col("shard_id"))
     },
 
+    // Embedding-space decontamination: max cosine of each corpus vector
+    // against the benchmark slice (every 50th vec) — catches paraphrased
+    // eval leakage the n-gram checks (q58/q93) can't see.
+    "q118_embed_decontam" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingContamination(
+          emb.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          threshold = CosineThreshold, dim = Dim)
+        .orderBy(col("vec_id"))
+    },
+
+    // BPE merge training: the first rounds of the tokenizer a pipeline
+    // trains on its own corpus — most-frequent adjacent symbol pair per
+    // round, ties to the smallest pair, merged everywhere.
+    "q119_bpe_merges" -> { (s, dir) =>
+      graft.operators.Bpe.merges(s, t(s, dir, "documents"),
+          rounds = BpeRounds)
+        .orderBy(col("merge_round"))
+    },
+
+    // Temperature-scaled mixing (α = 0.5): kept volume per source follows
+    // sqrt(n) — the multilingual flattening recipe; smallest source keeps
+    // everything.
+    "q120_temperature_mix" -> { (s, dir) =>
+      graft.operators.DatasetOps.temperatureSample(
+          t(s, dir, "documents"), groupCol = "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    },
+
     "q37_offload_e2e" -> { (s, dir) =>
       import graft.orchestrate.OffloadRunner
       // fresh workspace per invocation: repeated verify runs must not see a
@@ -1023,6 +1056,9 @@ object PipelineQueries {
   /** q117 shard size in tokens (small enough that sf0.01 yields many
     * shards, large enough that each holds multiple docs). */
   val ShardTokens = 2000L
+
+  /** q119 BPE merge rounds (enough to see a multi-char symbol re-merge). */
+  val BpeRounds = 6
 
   // ---------------------------------------------------------------- oracles
 
@@ -1382,6 +1418,46 @@ object PipelineQueries {
            md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY cum))
              AS id_checksum
          FROM a GROUP BY shard_id ORDER BY shard_id""",
+
+    // max(struct(score, bench_id)) = rank by score DESC, bench_id DESC
+    "q118_embed_decontam" ->
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding,
+           sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS b_nrm
+           FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, embedding,
+           sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS nrm
+           FROM embeddings WHERE vec_id % 50 <> 0),
+         scored AS (SELECT c.vec_id, b.bench_id,
+             (${Similarity.Sql.dot("c.embedding", "b.embedding", Dim)})
+               / (c.nrm * b.b_nrm) AS score
+           FROM c, b),
+         r AS (SELECT vec_id, bench_id, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, bench_id DESC) AS rn
+           FROM scored)
+         SELECT vec_id, score AS max_score, bench_id AS nearest_bench_id,
+           score >= $CosineThreshold AS contaminated
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
+
+    "q119_bpe_merges" ->
+      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+             AS tok FROM documents),
+         ${graft.operators.Bpe.oracleSql(BpeRounds)}""",
+
+    "q120_temperature_mix" ->
+      """WITH cnt AS (SELECT source, COUNT(*) AS grp_n
+           FROM documents GROUP BY source),
+         mn AS (SELECT MIN(grp_n) AS n_min FROM cnt),
+         r AS (SELECT d.doc_id, d.source, cnt.grp_n,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+               ORDER BY md5('temp|' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rk
+           FROM documents d JOIN cnt USING (source)),
+         kept AS (SELECT r.doc_id, r.source FROM r, mn
+           WHERE rk <= floor(sqrt(CAST(mn.n_min * r.grp_n AS DOUBLE))))
+         SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+         FROM kept GROUP BY source ORDER BY source""",
 
     "q111_lm_score" ->
       """WITH tr AS (SELECT unnest(string_split_regex(trim(text), '\s+'))

@@ -257,6 +257,37 @@ class DatasetOpsSpec extends SparkSpec {
     assert(audited.isEmpty, audited.mkString("\n"))
   }
 
+  test("temperatureSample keeps floor(sqrt(n_min·n_g)) per group") {
+    import spark.implicits._
+    // groups of 100 / 25 / 4 docs → n_min = 4 → keep 20 / 10 / 4
+    val docs = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 125L).map(i => (i, "b")) ++
+      (126L to 129L).map(i => (i, "c"))).toDF("doc_id", "grp")
+    val kept = DatasetOps.temperatureSample(docs, "grp")
+    val counts = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 20L, "b" -> 10L, "c" -> 4L))
+    // the kept set is the same rank-permutation prefix balancedSample
+    // uses: quota = k_g with the same salt reproduces it exactly
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    val viaQuota =
+      DatasetOps.balancedSample(docs.filter(col("grp") === "a"), "grp",
+        perGroupQuota = 20L, salt = "temp")
+        .unionByName(DatasetOps.balancedSample(
+          docs.filter(col("grp") === "b"), "grp", 10L, salt = "temp"))
+        .unionByName(DatasetOps.balancedSample(
+          docs.filter(col("grp") === "c"), "grp", 4L, salt = "temp"))
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids == viaQuota)
+    // deterministic under physical layout changes
+    val again = DatasetOps.temperatureSample(docs.repartition(7), "grp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    val audited = graft.tools.ExplainAudit.audit(
+      DatasetOps.temperatureSample(docs, "grp"), "temperature_sample")
+    assert(audited.isEmpty, audited.mkString("\n"))
+  }
+
   test("packSequences: contiguous bins, budget respected, oversized isolated") {
     val docs = Seq(
       (1L, "en", "a b c"),            // 3 tokens

@@ -330,6 +330,60 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
+
+  test("embeddingContamination: max cosine vs benchmark, threshold flag") {
+    val bench = vecs.filter(col("vec_id").isin(0L, 2L))
+    val corpus = vecs.filter(col("vec_id").isin(1L, 3L))
+    val out = Similarity.embeddingContamination(corpus, bench,
+        threshold = 0.9, dim = 4).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("max_score"),
+        r.getAs[Long]("nearest_bench_id"),
+        r.getAs[Boolean]("contaminated"))).toMap
+    // id 1 ≈ 0.9938 vs bench 0 (contaminated); id 3: −1 vs 0, 0 vs 2 →
+    // max 0.0 at bench 2, clean
+    assert(out(1L)._2 == 0L && out(1L)._3 &&
+      math.abs(out(1L)._1 - 0.9 / math.sqrt(0.82)) < 1e-6)
+    assert(out(3L) == ((0.0, 2L, false)))
+    // plan: benchmark broadcasts, per-vector max is one partial agg
+    val audited = graft.tools.ExplainAudit.audit(
+      Similarity.embeddingContamination(corpus, bench, 0.9, 4),
+      "embed_decontam")
+    assert(audited.isEmpty, audited.mkString("\n"))
+  }
+}
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(words: (String, Int)*) =
+    words.zipWithIndex.map { case ((w, n), i) =>
+      (i.toLong, (s"$w " * n).trim)
+    }.toDF("doc_id", "text")
+
+  test("BPE merges follow weighted pair counts; merged symbols re-merge") {
+    // the classic subword example: hug×10 pug×5 pun×12 bun×4 hugs×5
+    val docs = corpus("hug" -> 10, "pug" -> 5, "pun" -> 12,
+      "bun" -> 4, "hugs" -> 5)
+    val got = Bpe.train(docs, rounds = 3)
+    assert(got == Seq(
+      Bpe.Merge(1, "u", "g", "ug", 20),
+      Bpe.Merge(2, "u", "n", "un", 16),
+      Bpe.Merge(3, "h", "ug", "hug", 15)))   // 3-char symbol from a merge
+  }
+
+  test("BPE tie-break is the lexicographically smallest pair") {
+    val got = Bpe.train(corpus("ab" -> 3, "cd" -> 3), rounds = 2)
+    assert(got.map(m => (m.lhs, m.rhs, m.pair_count)) ==
+      Seq(("a", "b", 3L), ("c", "d", 3L)))
+  }
+
+  test("BPE stops early when no pairs remain; layout-invariant") {
+    // every word collapses to one symbol after 2 merges
+    val docs = corpus("ab" -> 2, "cd" -> 1)
+    assert(Bpe.train(docs, rounds = 5).size == 2)
+    assert(Bpe.train(docs.repartition(7), rounds = 2) ==
+      Bpe.train(docs, rounds = 2))
+  }
 }
 
 class QuantizeSpec extends SparkSpec {
