@@ -101,14 +101,59 @@ object Bpe {
       .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Apply a learned merge list: per document, the whitespace token count
+    * and the SUBWORD count after the merges — the number a token-budget
+    * or sequence-packing pass actually needs once the tokenizer is real.
+    *
+    * Scale shape: merges apply to word TYPES, so the replace chain runs
+    * map-only over the distinct-token vocabulary (Zipf-small), never the
+    * corpus; the corpus-scale work is one distinct and one equi-join on
+    * the token key plus a per-doc partial agg. */
+  def encode(docs: DataFrame, merges: Seq[Merge],
+             idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val occ = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(!col("tok").contains(Delim))
+    val vocab0 = occ.select(col("tok")).distinct()
+      .withColumn("rep", initialRep(col("tok")))
+    val vocab = merges.foldLeft(vocab0) { (v, m) =>
+      v.withColumn("rep", regexp_replace(col("rep"),
+        java.util.regex.Pattern.quote(
+          Delim + m.lhs + Delim + Delim + m.rhs + Delim),
+        java.util.regex.Matcher.quoteReplacement(
+          Delim + m.merged + Delim)))
+    }.withColumn("n_sym",
+      size(split(regexp_replace(col("rep"), s"^$Delim|$Delim$$", ""),
+        Delim + Delim)).cast("long"))
+    occ.join(vocab.select(col("tok"), col("n_sym")), "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(col("n_sym")).as("subword_tokens"))
+  }
+
   /** DuckDB oracle: the same `rounds` merges as an unrolled CTE chain —
     * per round, the pair count, the argmax (same `cnt DESC, pair ASC`
     * tie-break), and the sentinel-wrapped replace. Callers prepend the
     * tokenized-corpus CTE providing `tok` rows. */
   def oracleSql(rounds: Int): String = {
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT $r AS merge_round, split_part(pair, ' ', 1) AS lhs,
+           split_part(pair, ' ', 2) AS rhs,
+           replace(pair, ' ', '') AS merged,
+           CAST(cnt AS BIGINT) AS pair_count FROM t$r"""
+    }.mkString(" UNION ALL ")
+    s"${chainCtes(rounds)},\n merges AS ($rows)\n" +
+      "SELECT * FROM merges ORDER BY merge_round"
+  }
+
+  /** The shared merge-chain CTEs (`c0..c$rounds`, `t1..t$rounds`) over a
+    * caller-provided `toks(tok)` CTE. */
+  private def chainCtes(rounds: Int): String = {
     val base =
-      """c0 AS (SELECT regexp_replace(tok, '(.)', chr(1)||'\1'||chr(1), 'g')
-           AS rep, COUNT(*) AS n
+      """c0 AS (SELECT tok,
+           regexp_replace(tok, '(.)', chr(1)||'\1'||chr(1), 'g') AS rep,
+           COUNT(*) AS n
          FROM toks WHERE NOT contains(tok, chr(1)) GROUP BY tok)"""
     val perRound = (1 to rounds).map { r =>
       s"""s$r AS (SELECT string_split(trim(rep, chr(1)), chr(1)||chr(1))
@@ -117,20 +162,28 @@ object Bpe {
            FROM (SELECT sy, n, unnest(range(1, len(sy))) AS i FROM s$r)
            GROUP BY pair),
          t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-         c$r AS (SELECT replace(rep,
+         c$r AS (SELECT tok, replace(rep,
              chr(1) || split_part(pair, ' ', 1) || chr(1) ||
                chr(1) || split_part(pair, ' ', 2) || chr(1),
              chr(1) || split_part(pair, ' ', 1) ||
                split_part(pair, ' ', 2) || chr(1)) AS rep, n
            FROM c${r - 1}, t$r)"""
     }.mkString(",\n")
-    val rows = (1 to rounds).map { r =>
-      s"""SELECT $r AS merge_round, split_part(pair, ' ', 1) AS lhs,
-           split_part(pair, ' ', 2) AS rhs,
-           replace(pair, ' ', '') AS merged,
-           CAST(cnt AS BIGINT) AS pair_count FROM t$r"""
-    }.mkString(" UNION ALL ")
-    s"$base,\n$perRound,\n merges AS ($rows)\n" +
-      "SELECT * FROM merges ORDER BY merge_round"
+    s"$base,\n$perRound"
+  }
+
+  /** DuckDB oracle for [[encode]]: the same merge chain, then symbol
+    * counts joined back to per-document token occurrences. Callers
+    * prepend CTEs `toks(tok)` (the vocabulary source) and
+    * `occ(doc_id, tok)` (per-doc occurrences, sentinel-filtered). */
+  def encodeOracleSql(rounds: Int): String = {
+    s"""${chainCtes(rounds)},
+       enc AS (SELECT tok,
+           len(string_split(trim(rep, chr(1)), chr(1)||chr(1))) AS n_sym
+         FROM c$rounds)
+       SELECT occ.doc_id, COUNT(*) AS ws_tokens,
+         CAST(SUM(n_sym) AS BIGINT) AS subword_tokens
+       FROM occ JOIN enc USING (tok)
+       GROUP BY occ.doc_id ORDER BY occ.doc_id"""
   }
 }

@@ -420,6 +420,30 @@ object TextAnalysis {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_variants"))
 
+  /** Intra-document line deduplication (C4's within-page repeated-line
+    * removal — the boilerplate case [[graft.operators.Dedup.lineDedup]]'s
+    * CORPUS-level frequency test can't catch: a navbar repeated ten times
+    * inside ONE page): keep the FIRST occurrence of every line, preserve
+    * order, report the volumes and an md5 of the rebuilt text.
+    *
+    * Scale shape: pure higher-order expressions over each row's own line
+    * array — ZERO shuffle, embarrassingly parallel, per-row state bounded
+    * by the doc's distinct-line count. The O(kept²) `array_contains` scan
+    * is bounded by lines-per-doc, not corpus size. */
+  def intraDocLineDedup(docs: DataFrame, linesCol: String = "lines",
+                        idCol: String = "doc_id"): DataFrame = {
+    val kept = aggregate(col(linesCol),
+      array().cast("array<string>"),
+      (acc, x) => when(array_contains(acc, x), acc)
+        .otherwise(concat(acc, array(x))))
+    docs
+      .withColumn("kept", kept)
+      .select(col(idCol),
+        size(col(linesCol)).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), "\n")).as("text_md5"))
+  }
+
   /** Registered domain of a URL (host with scheme/userinfo/port/path and a
     * leading `www.` stripped, lowercased) — the grouping key of per-site
     * corpus policy: crawl budgets, blocklists, per-domain mixing caps.

@@ -1016,6 +1016,47 @@ object PipelineQueries {
         .orderBy(col("merge_round"))
     },
 
+    // BPE encoding: apply the q119-trained merges — per doc, whitespace
+    // vs subword token counts (the volumes a packing/budget pass uses
+    // once the tokenizer is real).
+    "q121_bpe_encode" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Bpe.encode(docs,
+          graft.operators.Bpe.train(docs, rounds = BpeRounds))
+        .orderBy(col("doc_id"))
+    },
+
+    // Cross-source duplicate matrix: q28's LSH candidate pairs grouped by
+    // unordered source pair — which sources copy from which (the
+    // data-governance view of near-duplication).
+    "q122_cross_source_dups" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("id_a", "src_a"), "id_a")
+        .join(src.toDF("id_b", "src_b"), "id_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
+          greatest(col("src_a"), col("src_b")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_lo"), col("src_hi"))
+    },
+
+    // Intra-doc line dedup: the q84 3-token lineification with the FIRST
+    // line repeated at the end (so every doc has a real intra-doc dup),
+    // deduplicated order-preserving with zero shuffle.
+    "q123_intradoc_dedup" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nl = ((size(toks) + lit(2)) / lit(3)).cast("int")
+      val lines = transform(sequence(lit(0), nl - 1),
+        i => array_join(slice(toks, i * 3 + 1, lit(3)), " "))
+      val lineified = t(s, dir, "documents").select(col("doc_id"),
+        concat(lines, slice(lines, 1, 1)).as("lines"))
+      TextAnalysis.intraDocLineDedup(lineified)
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature-scaled mixing (α = 0.5): kept volume per source follows
     // sqrt(n) — the multilingual flattening recipe; smallest source keeps
     // everything.
@@ -1443,6 +1484,49 @@ object PipelineQueries {
       s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
              AS tok FROM documents),
          ${graft.operators.Bpe.oracleSql(BpeRounds)}""",
+
+    "q121_bpe_encode" ->
+      s"""WITH occ AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           FROM documents),
+         toks AS (SELECT tok FROM occ),
+         ${graft.operators.Bpe.encodeOracleSql(BpeRounds)}""",
+
+    "q122_cross_source_dups" ->
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         lab AS (SELECT least(da.source, db.source) AS src_lo,
+             greatest(da.source, db.source) AS src_hi
+           FROM cand
+           JOIN documents da ON da.doc_id = cand.id_a
+           JOIN documents db ON db.doc_id = cand.id_b)
+         SELECT src_lo, src_hi, COUNT(*) AS n_pairs
+         FROM lab GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""",
+
+    // q84's lineification + the first line appended at the end; first
+    // occurrence kept (MIN lineno), order preserved in the md5
+    "q123_intradoc_dedup" ->
+      """WITH split AS (SELECT doc_id, string_split(text, ' ') AS ts
+           FROM documents),
+         toks AS (SELECT doc_id, ts[CAST(i AS INT)] AS tok, CAST(i AS INT) AS i
+           FROM split, LATERAL unnest(range(1, len(ts)+1)) AS t(i)),
+         lines0 AS (SELECT doc_id, (i-1)//3 AS lineno,
+             string_agg(tok, ' ' ORDER BY i) AS line
+           FROM toks GROUP BY doc_id, (i-1)//3),
+         aug AS (SELECT doc_id, lineno, line FROM lines0
+           UNION ALL
+           SELECT doc_id, 1000000000 AS lineno, line FROM lines0
+           WHERE lineno = 0),
+         firsts AS (SELECT doc_id, line, MIN(lineno) AS keep_at
+           FROM aug GROUP BY doc_id, line),
+         tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM aug
+           GROUP BY doc_id)
+         SELECT t.doc_id, t.n_lines, COUNT(*) AS n_kept,
+           md5(string_agg(f.line, chr(10) ORDER BY f.keep_at)) AS text_md5
+         FROM firsts f JOIN tot t USING (doc_id)
+         GROUP BY t.doc_id, t.n_lines ORDER BY t.doc_id""",
 
     "q120_temperature_mix" ->
       """WITH cnt AS (SELECT source, COUNT(*) AS grp_n

@@ -377,6 +377,18 @@ class BpeSpec extends SparkSpec {
       Seq(("a", "b", 3L), ("c", "d", 3L)))
   }
 
+  test("BPE encode counts subwords per doc under the learned merges") {
+    val docs = corpus("hug" -> 10, "pug" -> 5, "pun" -> 12,
+      "bun" -> 4, "hugs" -> 5)
+    val merges = Bpe.train(docs, rounds = 3)
+    // post-merge reps: hug=[hug] pug=[p,ug] pun=[p,un] bun=[b,un]
+    // hugs=[hug,s]
+    val out = Bpe.encode(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(0L -> ((10L, 10L)), 1L -> ((5L, 10L)),
+      2L -> ((12L, 24L)), 3L -> ((4L, 8L)), 4L -> ((5L, 10L))))
+  }
+
   test("BPE stops early when no pairs remain; layout-invariant") {
     // every word collapses to one symbol after 2 merges
     val docs = corpus("ab" -> 2, "cd" -> 1)
@@ -789,6 +801,23 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Double]("mean_bits")).toMap
     assert(pair(20L) < pair(21L))
+  }
+
+  test("intraDocLineDedup keeps first occurrences in order, zero shuffle") {
+    val docs = Seq(
+      (1L, Seq("a b", "c d", "a b", "e")),
+      (2L, Seq("x"))).toDF("doc_id", "lines")
+    val out = TextAnalysis.intraDocLineDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((4L, 3L, m("a b\nc d\ne"))))
+    assert(out(2L) == ((1L, 1L, m("x"))))
+    // zero-shuffle plan: no Exchange anywhere
+    val plan = TextAnalysis.intraDocLineDedup(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("urlDomain + domainStats + blocklist: per-site policy keys") {
