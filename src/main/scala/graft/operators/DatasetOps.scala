@@ -146,6 +146,29 @@ object DatasetOps {
       .drop("grp_n", "mix_rank")
   }
 
+  /** Corpus snapshot diff: classify every document across two corpus
+    * versions as added / removed / changed / unchanged by CONTENT HASH —
+    * the dataset-versioning primitive behind reproducible training runs
+    * (pin the snapshot a model trained on; audit what moved between
+    * releases; drive [[graft.sink.IncrementalUpdate]]-style backfills
+    * from the changed set).
+    *
+    * Scale shape: each side reduces to (id, md5) BEFORE the join, so the
+    * one full-outer equi-join on the id key carries 32-byte hashes, never
+    * document text; the classification is a pure projection. At 100 TB
+    * both hash projections stream map-only out of their scans. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    oldSnap.select(col(idCol), md5(col(textCol)).as("h_old"))
+      .join(newSnap.select(col(idCol), md5(col(textCol)).as("h_new")),
+        Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+
   /** Temperature-scaled mixture sampling: downsample groups so kept
     * volumes follow `n_g^α` with α = 0.5 (temperature 2 — the flattening
     * exponent multilingual mixes use, cf. the XLM-R sampling scheme)

@@ -218,6 +218,51 @@ object Dedup {
               col("novelty_ratio"))
   }
 
+  /** Duplication centrality: integer PageRank over the near-duplicate
+    * candidate graph — which documents are duplication HUBS (templates,
+    * boilerplate, mirror pages). [[connectedComponents]] says which docs
+    * are transitively related; this ranks how central each one is, the
+    * signal a curation pass uses to pick what to inspect or drop first.
+    *
+    * Fixed-point arithmetic throughout: ranks are BIGINTs scaled by 10¹²,
+    * each round is `rank' = 0.15·SCALE + Σ_in (85·(rank div deg)) div 100`
+    * with INTEGER division — no float sum whose accumulation order could
+    * differ between engines or runs, so results are bit-reproducible and
+    * the DuckDB oracle hash-matches. Damping 0.85 is the exact rational
+    * 85/100.
+    *
+    * Scale shape: each round is one equi-join of the edge relation to the
+    * rank relation on the source key plus one partial-agg shuffle on the
+    * destination key — shuffle-on-key only, no driver-side graph, state
+    * per round is one row per node. Rounds are fixed (not run to
+    * convergence): the use case is a centrality ORDERING, which
+    * stabilises in a few rounds on shallow dedup graphs. */
+  def duplicationRank(pairs: DataFrame, rounds: Int = 3,
+                      aCol: String = "id_a", bCol: String = "id_b")
+      : DataFrame = {
+    require(rounds >= 1)
+    val Scale = 1000000000000L
+    val Base = Scale * 15L / 100L
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var rank = nodes.withColumn("rank", lit(Scale))
+    (1 to rounds).foreach { _ =>
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(rank.select(col("doc_id").as("src"), col("rank")), "src")
+        .select(col("dst").as("doc_id"),
+          expr("(85 * (rank div deg)) div 100").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("in_sum"))
+      rank = nodes.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+    }
+    rank
+  }
+
   /** Broder similarity estimate for candidate pairs: the fraction of
     * agreeing MinHash slots is an unbiased estimator of J(A,B) — the number
     * a production dedup uses to rank candidates WITHOUT touching the raw

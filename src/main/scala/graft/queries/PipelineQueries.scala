@@ -1057,6 +1057,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Duplication centrality: integer PageRank over the LSH candidate
+    // graph — which docs are duplication hubs (templates, mirrors).
+    "q124_dup_rank" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.duplicationRank(
+          Dedup.lshCandidates(
+            Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands),
+          rounds = PrRounds)
+        .orderBy(col("doc_id"))
+    },
+
+    // Snapshot diff: version B synthesized deterministically from the
+    // corpus (drop %17, edit %13, add %19 under shifted ids) — the
+    // added/removed/changed/unchanged audit between releases.
+    "q125_snapshot_diff" -> { (s, dir) =>
+      val a = t(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)),
+          allowMissingColumns = false)
+      graft.operators.DatasetOps.snapshotDiff(a, b)
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature-scaled mixing (α = 0.5): kept volume per source follows
     // sqrt(n) — the multilingual flattening recipe; smallest source keeps
     // everything.
@@ -1100,6 +1126,34 @@ object PipelineQueries {
 
   /** q119 BPE merge rounds (enough to see a multi-char symbol re-merge). */
   val BpeRounds = 6
+
+  /** q124 PageRank rounds (a centrality ordering stabilises fast on
+    * shallow dedup graphs). */
+  val PrRounds = 3
+
+  /** q124 oracle: the unrolled integer-PageRank CTE chain over a
+    * caller-provided `cand(id_a, id_b)` pair relation — same fixed-point
+    * arithmetic as [[graft.operators.Dedup.duplicationRank]]. */
+  private def prRoundCtes(rounds: Int): String = {
+    val Scale = 1000000000000L
+    val Base = Scale * 15L / 100L
+    val chain = (1 to rounds).map { r =>
+      s"""pc$r AS (SELECT e.dst AS doc_id,
+           SUM((85 * (pr${r - 1}.rank // deg.deg)) // 100) AS s
+         FROM e JOIN deg USING (src)
+         JOIN pr${r - 1} ON pr${r - 1}.doc_id = e.src
+         GROUP BY e.dst),
+         pr$r AS (SELECT n.doc_id,
+           CAST($Base + COALESCE(pc$r.s, 0) AS BIGINT) AS rank
+         FROM n LEFT JOIN pc$r USING (doc_id))"""
+    }.mkString(",\n")
+    s"""e AS (SELECT id_a AS src, id_b AS dst FROM cand
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM cand),
+       deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       n AS (SELECT DISTINCT src AS doc_id FROM e),
+       pr0 AS (SELECT doc_id, CAST($Scale AS BIGINT) AS rank FROM n),
+       $chain"""
+  }
 
   // ---------------------------------------------------------------- oracles
 
@@ -1527,6 +1581,32 @@ object PipelineQueries {
            md5(string_agg(f.line, chr(10) ORDER BY f.keep_at)) AS text_md5
          FROM firsts f JOIN tot t USING (doc_id)
          GROUP BY t.doc_id, t.n_lines ORDER BY t.doc_id""",
+
+    "q124_dup_rank" ->
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         ${prRoundCtes(PrRounds)}
+         SELECT doc_id, rank FROM pr$PrRounds ORDER BY doc_id""",
+
+    "q125_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+             AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id % 19 = 0),
+         ha AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+         hb AS (SELECT doc_id, md5(text) AS h_new FROM b)
+         SELECT COALESCE(ha.doc_id, hb.doc_id) AS doc_id,
+           CASE WHEN ha.doc_id IS NULL THEN 'added'
+             WHEN hb.doc_id IS NULL THEN 'removed'
+             WHEN h_old = h_new THEN 'unchanged'
+             ELSE 'changed' END AS status
+         FROM ha FULL OUTER JOIN hb ON ha.doc_id = hb.doc_id
+         ORDER BY doc_id""",
 
     "q120_temperature_mix" ->
       """WITH cnt AS (SELECT source, COUNT(*) AS grp_n

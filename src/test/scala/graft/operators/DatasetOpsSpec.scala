@@ -257,6 +257,16 @@ class DatasetOpsSpec extends SparkSpec {
     assert(audited.isEmpty, audited.mkString("\n"))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged by hash") {
+    import spark.implicits._
+    val a = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val b = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = DatasetOps.snapshotDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("temperatureSample keeps floor(sqrt(n_min·n_g)) per group") {
     import spark.implicits._
     // groups of 100 / 25 / 4 docs → n_min = 4 → keep 20 / 10 / 4

@@ -86,6 +86,20 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3L, 1.0)))
   }
 
+  test("duplicationRank: fixed-point PageRank matches hand computation") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicationRank(pairs, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path graph 1–2–3: hub 2 accumulates, leaves symmetric (hand-run of
+    // rank' = 0.15·10¹² + Σ (85·(rank div deg)) div 100, 3 rounds)
+    assert(got == Map(1L -> 629187500000L, 2L -> 1741625000000L,
+      3L -> 629187500000L))
+    // layout-invariant (integer sums commute)
+    val again = Dedup.duplicationRank(pairs.repartition(5), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("incremental LSH equals full LSH restricted to batch-touching pairs") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val cut = 400L
