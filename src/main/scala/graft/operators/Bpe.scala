@@ -41,15 +41,30 @@ object Bpe {
   private def initialRep(tok: Column): Column =
     regexp_replace(tok, "(.)", Delim + "$1" + Delim)
 
+  /** Symbol array of a wrapped representation. */
+  private def symbolsOf(rep: Column): Column =
+    split(regexp_replace(rep, s"^$Delim|$Delim$$", ""), Delim + Delim)
+
   /** Adjacent symbol pairs (`"x y"`) of a wrapped representation. */
   private def pairsOf(rep: Column): Column = {
-    val syms = split(regexp_replace(rep, s"^$Delim|$Delim$$", ""),
-      Delim + Delim)
+    val syms = symbolsOf(rep)
     when(size(syms) >= 2,
       transform(sequence(lit(1), size(syms) - 1),
         i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Fold a merge list over a `rep` column (literal sentinel-wrapped
+    * replaces, leftmost non-overlapping — the same semantics training
+    * used). */
+  private def applyMerges(df: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(df) { (v, m) =>
+      v.withColumn("rep", regexp_replace(col("rep"),
+        java.util.regex.Pattern.quote(
+          Delim + m.lhs + Delim + Delim + m.rhs + Delim),
+        java.util.regex.Matcher.quoteReplacement(
+          Delim + m.merged + Delim)))
+    }
 
   /** Train `rounds` merges over the whitespace-token vocabulary of
     * `docs(textCol)`. Tokens containing the sentinel are excluded (none
@@ -115,17 +130,10 @@ object Bpe {
     val occ = docs.select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .filter(!col("tok").contains(Delim))
-    val vocab0 = occ.select(col("tok")).distinct()
-      .withColumn("rep", initialRep(col("tok")))
-    val vocab = merges.foldLeft(vocab0) { (v, m) =>
-      v.withColumn("rep", regexp_replace(col("rep"),
-        java.util.regex.Pattern.quote(
-          Delim + m.lhs + Delim + Delim + m.rhs + Delim),
-        java.util.regex.Matcher.quoteReplacement(
-          Delim + m.merged + Delim)))
-    }.withColumn("n_sym",
-      size(split(regexp_replace(col("rep"), s"^$Delim|$Delim$$", ""),
-        Delim + Delim)).cast("long"))
+    val vocab = applyMerges(
+      occ.select(col("tok")).distinct()
+        .withColumn("rep", initialRep(col("tok"))), merges)
+      .withColumn("n_sym", size(symbolsOf(col("rep"))).cast("long"))
     occ.join(vocab.select(col("tok"), col("n_sym")), "tok")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("ws_tokens"),
@@ -171,6 +179,33 @@ object Bpe {
     }.mkString(",\n")
     s"$base,\n$perRound"
   }
+
+  /** The vocabulary after the merges: every distinct symbol with its
+    * weighted corpus occurrence count — the artifact a tokenizer ships
+    * alongside the merge list (symbols absorbed entirely into larger
+    * merges drop out; single chars that still occur stand-alone stay).
+    * Same scale shape as [[train]]: vocabulary-relation work only. */
+  def vocabulary(docs: DataFrame, merges: Seq[Merge],
+                 textCol: String = "text"): DataFrame = {
+    val wf = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(!col("tok").contains(Delim))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rep", initialRep(col("tok")))
+    applyMerges(wf, merges)
+      .select(explode(symbolsOf(col("rep"))).as("symbol"), col("n"))
+      .groupBy(col("symbol")).agg(sum(col("n")).as("occurrences"))
+  }
+
+  /** DuckDB oracle for [[vocabulary]]: the merge chain, then exploded
+    * symbol counts. Caller prepends `toks(tok)`. */
+  def vocabOracleSql(rounds: Int): String =
+    s"""${chainCtes(rounds)},
+       sy AS (SELECT unnest(string_split(trim(rep, chr(1)),
+           chr(1)||chr(1))) AS symbol, n
+         FROM c$rounds)
+       SELECT symbol, CAST(SUM(n) AS BIGINT) AS occurrences
+       FROM sy GROUP BY symbol ORDER BY symbol"""
 
   /** DuckDB oracle for [[encode]]: the same merge chain, then symbol
     * counts joined back to per-document token occurrences. Callers

@@ -146,6 +146,48 @@ object DatasetOps {
       .drop("grp_n", "mix_rank")
   }
 
+  /** Epoch upsampling: the REPEAT side of data mixing ([[mixtureSample]]
+    * downsamples; DoReMi/Pile-style recipes also repeat scarce sources
+    * for multiple epochs). Rates are parts-per-million and may exceed
+    * 10⁶: a doc in group g with rate `ppm` appears `ppm div 10⁶` times,
+    * plus once more if its deterministic rank falls inside the
+    * fractional remainder — so the group's total kept volume is EXACTLY
+    * `round-down(n_g · ppm / 10⁶)` docs (±0, integer arithmetic), and
+    * the fractional slice is the same md5 rank prefix the other
+    * samplers use. Each copy carries `epoch` (0-based) so a training
+    * loader can interleave epochs rather than replay them back-to-back.
+    *
+    * Scale shape: one shuffle on the group key for the rank/count
+    * windows, then a map-only `explode(sequence(...))` — output size is
+    * the recipe's, no join, no driver loop. Mega-group hazard and
+    * salted-subkey remedy as [[mixtureSample]]. */
+  def upsampleMixture(docs: DataFrame, groupCol: String,
+                      ratesPpm: Map[String, Long], defaultPpm: Long,
+                      salt: String = "epoch",
+                      idCol: String = "doc_id"): DataFrame = {
+    require((ratesPpm.values ++ Seq(defaultPpm)).forall(_ > 0),
+      "ppm rates must be positive")
+    val draw = md5(concat(lit(salt + "|"), col(idCol).cast("string")))
+    val ppm = ratesPpm.foldLeft(lit(defaultPpm): Column) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    val wRank = Window.partitionBy(col(groupCol))
+      .orderBy(draw.asc, col(idCol).asc)
+    val wCount = Window.partitionBy(col(groupCol))
+    docs
+      .withColumn("grp_n", count(lit(1)).over(wCount))
+      .withColumn("mix_rank", row_number().over(wRank))
+      .withColumn("mix_ppm", ppm)
+      .withColumn("n_copies",
+        expr("mix_ppm div 1000000") +
+          when(col("mix_rank") * lit(1000000L) <=
+            col("grp_n") * expr("mix_ppm % 1000000"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("grp_n", "mix_rank", "mix_ppm", "n_copies")
+  }
+
   /** Corpus snapshot diff: classify every document across two corpus
     * versions as added / removed / changed / unchanged by CONTENT HASH —
     * the dataset-versioning primitive behind reproducible training runs

@@ -1057,6 +1057,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Epoch upsampling: src0 at 2.5 epochs, src1 at 0.4, everything else
+    // 1.0 — the repeat side of a mixing recipe; per-source kept volumes
+    // and epoch spread.
+    "q126_epoch_upsample" -> { (s, dir) =>
+      graft.operators.DatasetOps.upsampleMixture(
+          t(s, dir, "documents"), groupCol = "source",
+          ratesPpm = UpsamplePpm, defaultPpm = 1000000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("epoch")).as("max_epoch"))
+        .orderBy(col("source"))
+    },
+
+    // BPE vocabulary: the symbol table after the q119 merges — the
+    // artifact a tokenizer ships next to its merge list.
+    "q127_bpe_vocab" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Bpe.vocabulary(docs,
+          graft.operators.Bpe.train(docs, rounds = BpeRounds))
+        .orderBy(col("symbol"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -1130,6 +1153,11 @@ object PipelineQueries {
   /** q124 PageRank rounds (a centrality ordering stabilises fast on
     * shallow dedup graphs). */
   val PrRounds = 3
+
+  /** q126 recipe: src0 repeated 2.5 epochs, src1 thinned to 0.4, rest
+    * kept whole (ppm, mirrored as literals in the oracle). */
+  val UpsamplePpm: Map[String, Long] =
+    Map("src0" -> 2500000L, "src1" -> 400000L)
 
   /** q124 oracle: the unrolled integer-PageRank CTE chain over a
     * caller-provided `cand(id_a, id_b)` pair relation — same fixed-point
@@ -1581,6 +1609,36 @@ object PipelineQueries {
            md5(string_agg(f.line, chr(10) ORDER BY f.keep_at)) AS text_md5
          FROM firsts f JOIN tot t USING (doc_id)
          GROUP BY t.doc_id, t.n_lines ORDER BY t.doc_id""",
+
+    // copies = ppm div 1e6, +1 inside the fractional rank prefix; epochs
+    // 0..copies-1 per kept doc
+    "q126_epoch_upsample" ->
+      """WITH rates AS (SELECT * FROM (VALUES
+           ('src0', 2500000), ('src1', 400000)) AS t(source, ppm)),
+         r AS (SELECT d.doc_id, d.source,
+             COALESCE(rates.ppm, 1000000) AS ppm,
+             COUNT(*) OVER (PARTITION BY d.source) AS grp_n,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+               ORDER BY md5('epoch|' || CAST(d.doc_id AS VARCHAR)),
+                 d.doc_id) AS rk
+           FROM documents d LEFT JOIN rates USING (source)),
+         c AS (SELECT doc_id, source,
+             (ppm // 1000000) +
+               (CASE WHEN rk * 1000000 <= grp_n * (ppm % 1000000)
+                THEN 1 ELSE 0 END) AS n_copies
+           FROM r),
+         x AS (SELECT doc_id, source,
+             unnest(range(0, CAST(n_copies AS BIGINT))) AS epoch
+           FROM c WHERE n_copies > 0)
+         SELECT source, COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(MAX(epoch) AS BIGINT) AS max_epoch
+         FROM x GROUP BY source ORDER BY source""",
+
+    "q127_bpe_vocab" ->
+      s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+             AS tok FROM documents),
+         ${graft.operators.Bpe.vocabOracleSql(BpeRounds)}""",
 
     "q124_dup_rank" ->
       s"""WITH $shingleCte, $minhashSigSql, $bandSql,

@@ -257,6 +257,34 @@ class DatasetOpsSpec extends SparkSpec {
     assert(audited.isEmpty, audited.mkString("\n"))
   }
 
+  test("upsampleMixture: exact copy counts, 0-based epochs, volumes") {
+    import spark.implicits._
+    val docs = ((1L to 4L).map(i => (i, "a")) ++
+      (5L to 9L).map(i => (i, "b")) ++
+      (10L to 12L).map(i => (i, "c"))).toDF("doc_id", "grp")
+    val out = DatasetOps.upsampleMixture(docs, "grp",
+      ratesPpm = Map("a" -> 2500000L, "b" -> 400000L),
+      defaultPpm = 1000000L)
+    val byGrp = out.groupBy("grp")
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col("doc_id")).as("docs"),
+        max(col("epoch")).as("maxe"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // a: 4·2 whole + floor(4·0.5) fractional = 10 rows over all 4 docs,
+    // the 2 prefix docs at 3 copies (max epoch 2)
+    assert(byGrp("a") == ((10L, 4L, 2L)))
+    // b: floor(5·0.4) = 2 rows, 2 docs, epoch 0 only
+    assert(byGrp("b") == ((2L, 2L, 0L)))
+    // c: identity — every doc exactly once
+    assert(byGrp("c") == ((3L, 3L, 0L)))
+    // per-doc epochs are dense from 0
+    val epochs = out.filter(col("grp") === "a")
+      .groupBy("doc_id").agg(collect_list(col("epoch")).as("es"))
+      .collect().map(_.getSeq[Long](1).sorted)
+    assert(epochs.forall(es => es == (0L until es.size).toSeq))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged by hash") {
     import spark.implicits._
     val a = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")

@@ -403,6 +403,15 @@ class BpeSpec extends SparkSpec {
       2L -> ((12L, 24L)), 3L -> ((4L, 8L)), 4L -> ((5L, 10L))))
   }
 
+  test("BPE vocabulary: weighted symbol counts after the merges") {
+    val docs = corpus("hug" -> 10, "pug" -> 5, "pun" -> 12,
+      "bun" -> 4, "hugs" -> 5)
+    val got = Bpe.vocabulary(docs, Bpe.train(docs, rounds = 3)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hug" -> 15L, "p" -> 17L, "ug" -> 5L,
+      "un" -> 16L, "b" -> 4L, "s" -> 5L))
+  }
+
   test("BPE stops early when no pairs remain; layout-invariant") {
     // every word collapses to one symbol after 2 merges
     val docs = corpus("ab" -> 2, "cd" -> 1)
