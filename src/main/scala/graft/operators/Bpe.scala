@@ -221,4 +221,18 @@ object Bpe {
        FROM occ JOIN enc USING (tok)
        GROUP BY occ.doc_id ORDER BY occ.doc_id"""
   }
+
+  /** DuckDB CTEs through `perdoc(doc_id, ws_tokens, subword_tokens)` —
+    * the composable form of [[encodeOracleSql]] for queries that
+    * aggregate the per-document encode further (fertility by source).
+    * Same prepended-CTE contract as [[encodeOracleSql]]. */
+  def encodePerDocCtes(rounds: Int): String =
+    s"""${chainCtes(rounds)},
+       enc AS (SELECT tok,
+           len(string_split(trim(rep, chr(1)), chr(1)||chr(1))) AS n_sym
+         FROM c$rounds),
+       perdoc AS (SELECT occ.doc_id, COUNT(*) AS ws_tokens,
+           CAST(SUM(n_sym) AS BIGINT) AS subword_tokens
+         FROM occ JOIN enc USING (tok)
+         GROUP BY occ.doc_id)"""
 }

@@ -305,6 +305,34 @@ object TextAnalysis {
         EmailPattern, "<EMAIL>")).as("masked_key"))
   }
 
+  /** Encoding-anomaly (mojibake) detection: counts of the three signatures
+    * of a broken decode pipeline — U+FFFD replacement characters (a decoder
+    * already gave up), classic UTF-8-read-as-Latin-1 digraphs (`Ã`/`Â`
+    * followed by a continuation-looking character, the `â€` smart-quote
+    * prefix), and bare C1 control characters (Windows-1252 bytes that
+    * survived a bad transcode). A crawl pipeline drops or re-decodes
+    * flagged documents before they poison the token distribution.
+    *
+    * Pure codegen'd regexp projections appended to the input — zero
+    * shuffle, composes with any downstream filter. */
+  val ReplacementPattern = "\uFFFD"
+  val MojibakePattern = "\u00C3.|\u00C2.|\u00E2\u20AC"
+  val C1ControlPattern = "[\u0080-\u009F]"
+
+  def encodingAnomalies(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_replacement",
+        regexp_count(t, lit(ReplacementPattern)).cast("long"))
+      .withColumn("n_mojibake",
+        regexp_count(t, lit(MojibakePattern)).cast("long"))
+      .withColumn("n_ctrl",
+        regexp_count(t, lit(C1ControlPattern)).cast("long"))
+      .withColumn("encoding_flagged",
+        col("n_replacement") + col("n_mojibake") + col("n_ctrl") > 0)
+  }
+
   /** Corpus curation verdict: the standard training-data filter chain —
     * quality floor, repetition ceiling, exact-duplicate removal (lowest id
     * is canonical) — composed into one keep/drop decision with the FIRST

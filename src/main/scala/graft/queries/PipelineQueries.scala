@@ -1080,6 +1080,77 @@ object PipelineQueries {
         .orderBy(col("symbol"))
     },
 
+    // Naive Bayes self-classification confusion matrix: train on the
+    // corpus's own source labels, score every doc, report actual ×
+    // predicted — the "are my source labels even learnable" diagnostic.
+    // Integer-bits arithmetic end to end, so the matrix is bit-exact.
+    "q128_nb_confusion" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Classifier.nbSelfClassify(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cost_bits")).as("cost_sum"))
+        .orderBy(col("source"), col("predicted"))
+    },
+
+    // Encoding-anomaly scan: mojibake digraphs, U+FFFD, C1 controls —
+    // per-source damage report. The fixture is ASCII, so the query
+    // injects a deterministic mojibake suffix on doc_id % 7 = 0 (same
+    // augmentation scheme as q57's PII fixture).
+    "q129_mojibake" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(MojiSuffix))).otherwise(col("text")))
+      TextAnalysis.encodingAnomalies(docs)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("encoding_flagged"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("n_replacement")).as("replacement_sum"),
+          sum(col("n_mojibake")).as("mojibake_sum"),
+          sum(col("n_ctrl")).as("ctrl_sum"))
+        .orderBy(col("source"))
+    },
+
+    // BPE fertility: subword tokens per whitespace word by source — the
+    // tokenizer-efficiency report (fertility >> 1 on a source means the
+    // merges don't cover its vocabulary).
+    "q130_bpe_fertility" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Bpe.encode(docs,
+          graft.operators.Bpe.train(docs, rounds = BpeRounds))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("subword_tokens")).as("subword_tokens"))
+        .withColumn("fertility",
+          col("subword_tokens").cast("double") /
+            col("ws_tokens").cast("double"))
+        .orderBy(col("source"))
+    },
+
+    // Dedup cluster-size histogram: connected components over the LSH
+    // candidate graph, singletons included — the shape report that tells
+    // a dedup run whether it is facing long-tail near-dups or a few
+    // giant template clusters.
+    "q131_cluster_sizes" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
+      docs.select(col("doc_id"))
+        .join(Dedup.connectedComponents(pairs), Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -1158,6 +1229,13 @@ object PipelineQueries {
     * kept whole (ppm, mirrored as literals in the oracle). */
   val UpsamplePpm: Map[String, Long] =
     Map("src0" -> 2500000L, "src1" -> 400000L)
+
+  /** q129 injected damage: one `Ã`-digraph, one `â€` smart-quote prefix,
+    * one C1 control (NEL) and one U+FFFD — each flagged doc scores
+    * n_mojibake=2, n_ctrl=1, n_replacement=1. Kept free of characters
+    * Java and RE2 treat differently after `.` (no `Ã` precedes a line
+    * terminator). */
+  val MojiSuffix = " na\u00C3\u00AFve \u00E2\u20AC\u201D x\u0085 caf\uFFFD"
 
   /** q124 oracle: the unrolled integer-PageRank CTE chain over a
     * caller-provided `cand(id_a, id_b)` pair relation — same fixed-point
@@ -1639,6 +1717,75 @@ object PipelineQueries {
       s"""WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
              AS tok FROM documents),
          ${graft.operators.Bpe.vocabOracleSql(BpeRounds)}""",
+
+    "q128_nb_confusion" ->
+      s"""WITH ${graft.operators.Classifier.selfClassifyOracleCtes}
+         SELECT d.source, p.predicted, COUNT(*) AS n_docs,
+           CAST(SUM(p.cost_bits) AS BIGINT) AS cost_sum
+         FROM pred p JOIN documents d USING (doc_id)
+         GROUP BY d.source, p.predicted
+         ORDER BY d.source, p.predicted""",
+
+    "q129_mojibake" ->
+      s"""WITH aug AS (SELECT doc_id, source,
+           CASE WHEN doc_id % 7 = 0 THEN text || '$MojiSuffix'
+                ELSE text END AS text
+           FROM documents),
+         m AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text,
+               '${TextAnalysis.ReplacementPattern}')) AS BIGINT)
+               AS n_replacement,
+             CAST(len(regexp_extract_all(text,
+               '${TextAnalysis.MojibakePattern}')) AS BIGINT)
+               AS n_mojibake,
+             CAST(len(regexp_extract_all(text,
+               '${TextAnalysis.C1ControlPattern}')) AS BIGINT) AS n_ctrl
+           FROM aug)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_replacement + n_mojibake + n_ctrl > 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(n_replacement) AS BIGINT) AS replacement_sum,
+           CAST(SUM(n_mojibake) AS BIGINT) AS mojibake_sum,
+           CAST(SUM(n_ctrl) AS BIGINT) AS ctrl_sum
+         FROM m GROUP BY source ORDER BY source""",
+
+    "q130_bpe_fertility" ->
+      s"""WITH occ AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           FROM documents),
+         toks AS (SELECT tok FROM occ),
+         ${graft.operators.Bpe.encodePerDocCtes(BpeRounds)},
+         ag AS (SELECT d.source,
+             CAST(SUM(p.ws_tokens) AS BIGINT) AS ws_tokens,
+             CAST(SUM(p.subword_tokens) AS BIGINT) AS subword_tokens
+           FROM perdoc p JOIN documents d USING (doc_id)
+           GROUP BY d.source)
+         SELECT source, ws_tokens, subword_tokens,
+           CAST(subword_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
+             AS fertility
+         FROM ag ORDER BY source""",
+
+    "q131_cluster_sizes" ->
+      s"""WITH RECURSIVE $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY id),
+         lab AS (SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN clusters c USING (doc_id)),
+         cs AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           FROM lab GROUP BY cluster_id)
+         SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
 
     "q124_dup_rank" ->
       s"""WITH $shingleCte, $minhashSigSql, $bandSql,

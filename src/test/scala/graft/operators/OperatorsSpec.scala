@@ -697,6 +697,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("encodingAnomalies counts mojibake digraphs, U+FFFD, C1 controls") {
+    val df = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad d�code �"),                  // 2 replacements
+      (3L, "naÃ¯ve cafÃ©"),        // 2 Ã-digraphs
+      (4L, "smart â€œquoteâ€"), // 2 â€ + 1 C1
+      (5L, "nel hereandthere"))            // 2 C1 controls
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.encodingAnomalies(df)
+      .select("doc_id", "n_replacement", "n_mojibake", "n_ctrl",
+        "encoding_flagged")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, false)))
+    assert(out(2L) == ((2L, 0L, 0L, true)))
+    assert(out(3L) == ((0L, 2L, 0L, true)))
+    // doc 4: the U+009D after "quote" is C1; both â€ digraphs count
+    assert(out(4L) == ((0L, 2L, 1L, true)))
+    assert(out(5L) == ((0L, 0L, 2L, true)))
+  }
+
   test("NFC normalization composes marks, preserves compatibility forms") {
     import graft.functions.TextFunctions.nfcNormalize
     val df = Seq(
