@@ -284,6 +284,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Exact shingle overlap for a CANDIDATE pair relation: `(id_a, id_b,
+    * inter, size_a, size_b)` with `inter = 0` kept for candidates sharing
+    * no shingle at all (an LSH collision) — the ground-truth side of any
+    * LSH quality audit, and the input to containment analysis (a pair
+    * with `inter = size_a` means A's shingle set is a subset of B's: a
+    * quote / template / mirror, invisible to symmetric Jaccard when B is
+    * much larger).
+    *
+    * Scale shape: cost is bounded by the CANDIDATE relation, never the
+    * corpus pair space — shingles of A reach the join keyed on id_a, B's
+    * side is an (id_b, shingle) equi-join; set sizes are one partial-agg
+    * shuffle. No all-pairs formulation anywhere. */
+  def candidateOverlap(docs: DataFrame, pairs: DataFrame, n: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val rel = shingleRelation(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = rel.groupBy(col("sid")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(rel.select(col("sid").as("id_a"), col("shingle")), "id_a")
+      .join(rel.select(col("sid").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.withColumnRenamed("sid", "id_a")
+                 .withColumnRenamed("sz", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("sid", "id_b")
+                 .withColumnRenamed("sz", "size_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+              col("size_b"))
+  }
+
   /** Seeded hash of a shingle: md5 over "seed|shingle". The per-seed MinHash
     * is the lexicographic MIN of these hex strings. */
   def seededHash(seed: Int, shingle: Column): Column =

@@ -1151,6 +1151,89 @@ object PipelineQueries {
         .orderBy(col("cluster_size"))
     },
 
+    // LSH precision audit: bucket candidate pairs by minhash agreement
+    // (0..16) and score each bucket against EXACT shingle overlap — the
+    // operating-curve that tells a dedup deployment whether its band
+    // count is paying for itself. All-integer truth (2·inter ≥ union ⟺
+    // jaccard ≥ 0.5), so the audit is bit-exact.
+    "q132_lsh_precision" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, NumHashes)
+      val cand = Dedup.lshCandidates(sigs, NumHashes, Bands)
+        .select(col("id_a"), col("id_b"))
+      val est = Dedup.minhashEstimate(sigs, cand, NumHashes)
+        .withColumn("n_match",
+          (col("est_jaccard") * NumHashes).cast("long"))
+      est.join(Dedup.candidateOverlap(docs, cand), Seq("id_a", "id_b"))
+        .withColumn("uni", col("size_a") + col("size_b") - col("inter"))
+        .groupBy(col("n_match"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("inter") * 2 >= col("uni"), 1L).otherwise(0L))
+            .as("n_true"),
+          sum(col("inter")).as("inter_sum"),
+          sum(col("uni")).as("union_sum"))
+        .withColumn("bucket_precision",
+          col("n_true").cast("double") / col("n_pairs").cast("double"))
+        .orderBy(col("n_match"))
+    },
+
+    // Containment analysis: asymmetric overlap over LSH candidates —
+    // inter/|A| catches quotes, templates and mirrors that symmetric
+    // Jaccard misses when one side is much larger.
+    "q133_containment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
+        .select(col("id_a"), col("id_b"))
+      Dedup.candidateOverlap(docs, cand)
+        .withColumn("cont_a",
+          col("inter").cast("double") / col("size_a").cast("double"))
+        .withColumn("cont_b",
+          col("inter").cast("double") / col("size_b").cast("double"))
+        .withColumn("is_subset",
+          col("inter") === least(col("size_a"), col("size_b")))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Sequence-length histogram: power-of-two token-count buckets per
+    // source (bucket = bit width of n_tokens) — the packing diagnostic
+    // that sizes chunk/pack parameters before a training run.
+    "q134_length_histogram" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("bucket", length(bin(col("n_tokens"))).cast("long"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_sum"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(col("source"), col("bucket"))
+    },
+
+    // Data-card drift: the per-slice delta report between two corpus
+    // snapshots (prev = doc_id % 10 <> 0) — what a dataset release
+    // review reads before shipping a new crawl.
+    "q135_card_drift" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      def card(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("n_tokens",
+            TextAnalysis.tokenCount(col("text")).cast("long"))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+      card(docs.filter(col("doc_id") % 10 =!= 0))
+        .withColumnRenamed("n_docs", "docs_prev")
+        .withColumnRenamed("toks", "toks_prev")
+        .join(card(docs)
+          .withColumnRenamed("n_docs", "docs_curr")
+          .withColumnRenamed("toks", "toks_curr"),
+          Seq("source", "lang"), "full_outer")
+        .na.fill(0L, Seq("docs_prev", "toks_prev", "docs_curr", "toks_curr"))
+        .withColumn("docs_delta", col("docs_curr") - col("docs_prev"))
+        .withColumn("toks_delta", col("toks_curr") - col("toks_prev"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -1764,6 +1847,97 @@ object PipelineQueries {
            CAST(subword_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
              AS fertility
          FROM ag ORDER BY source""",
+
+    "q132_lsh_precision" -> {
+      val agree = (0 until NumHashes)
+        .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         ag AS (SELECT pairs.id_a, pairs.id_b,
+             CAST($agree AS BIGINT) AS n_match
+           FROM pairs JOIN sig sa ON sa.doc_id = pairs.id_a
+             JOIN sig sb ON sb.doc_id = pairs.id_b),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         icte AS (SELECT p.id_a, p.id_b, COUNT(*) AS icnt
+           FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+             JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           GROUP BY p.id_a, p.id_b),
+         ov AS (SELECT g.n_match, COALESCE(i.icnt, 0) AS inter,
+             za.sz AS size_a, zb.sz AS size_b
+           FROM ag g
+             LEFT JOIN icte i ON i.id_a = g.id_a AND i.id_b = g.id_b
+             JOIN sizes za ON za.doc_id = g.id_a
+             JOIN sizes zb ON zb.doc_id = g.id_b),
+         bk AS (SELECT n_match, COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN inter * 2 >= size_a + size_b - inter
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             CAST(SUM(inter) AS BIGINT) AS inter_sum,
+             CAST(SUM(size_a + size_b - inter) AS BIGINT) AS union_sum
+           FROM ov GROUP BY n_match)
+         SELECT n_match, n_pairs, n_true, inter_sum, union_sum,
+           CAST(n_true AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+             AS bucket_precision
+         FROM bk ORDER BY n_match""" },
+
+    "q133_containment" ->
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         icte AS (SELECT p.id_a, p.id_b, COUNT(*) AS icnt
+           FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+             JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           GROUP BY p.id_a, p.id_b),
+         ov AS (SELECT p.id_a, p.id_b, COALESCE(i.icnt, 0) AS inter,
+             za.sz AS size_a, zb.sz AS size_b
+           FROM pairs p
+             LEFT JOIN icte i ON i.id_a = p.id_a AND i.id_b = p.id_b
+             JOIN sizes za ON za.doc_id = p.id_a
+             JOIN sizes zb ON zb.doc_id = p.id_b)
+         SELECT id_a, id_b, inter, size_a, size_b,
+           CAST(inter AS DOUBLE) / CAST(size_a AS DOUBLE) AS cont_a,
+           CAST(inter AS DOUBLE) / CAST(size_b AS DOUBLE) AS cont_b,
+           (inter = least(size_a, size_b)) AS is_subset
+         FROM ov ORDER BY id_a, id_b""",
+
+    "q134_length_histogram" ->
+      """WITH d AS (SELECT source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+           FROM documents),
+         b AS (SELECT source,
+             CAST(length(bin(n_tokens)) AS BIGINT) AS bucket, n_tokens
+           FROM d)
+         SELECT source, bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+         FROM b GROUP BY source, bucket ORDER BY source, bucket""",
+
+    "q135_card_drift" ->
+      """WITH tok AS (SELECT doc_id, source, lang,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+           FROM documents),
+         prev AS (SELECT source, lang, COUNT(*) AS docs_prev,
+             CAST(SUM(n_tokens) AS BIGINT) AS toks_prev
+           FROM tok WHERE doc_id % 10 <> 0 GROUP BY source, lang),
+         curr AS (SELECT source, lang, COUNT(*) AS docs_curr,
+             CAST(SUM(n_tokens) AS BIGINT) AS toks_curr
+           FROM tok GROUP BY source, lang)
+         SELECT source, lang,
+           COALESCE(docs_prev, 0) AS docs_prev,
+           COALESCE(toks_prev, 0) AS toks_prev,
+           COALESCE(docs_curr, 0) AS docs_curr,
+           COALESCE(toks_curr, 0) AS toks_curr,
+           COALESCE(docs_curr, 0) - COALESCE(docs_prev, 0) AS docs_delta,
+           COALESCE(toks_curr, 0) - COALESCE(toks_prev, 0) AS toks_delta
+         FROM prev FULL OUTER JOIN curr USING (source, lang)
+         ORDER BY source, lang""",
 
     "q131_cluster_sizes" ->
       s"""WITH RECURSIVE $shingleCte, $minhashSigSql, $bandSql,

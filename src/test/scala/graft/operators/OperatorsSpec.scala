@@ -32,6 +32,21 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.3 && j < 1.0)
   }
 
+  test("candidateOverlap: exact inter/sizes, zero-overlap candidates kept") {
+    val docs = docsOf(
+      1L -> "a b c d",              // shingles: "a b c", "b c d"
+      2L -> "a b c d e",            // + "c d e" → superset of 1's
+      3L -> "x y z w")              // disjoint
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.candidateOverlap(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (1,2): both shingles of doc 1 occur in doc 2 → containment subset
+    assert(out((1L, 2L)) == ((2L, 2L, 3L)))
+    // (1,3): an LSH collision with no shared shingle survives with inter=0
+    assert(out((1L, 3L)) == ((0L, 2L, 2L)))
+  }
+
   test("duplicateSpanCoverage counts corpus-shared n-gram spans per doc") {
     val docs = docsOf(
       1L -> "a b c d e",            // shingles: abc bcd cde
