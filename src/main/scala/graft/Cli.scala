@@ -256,6 +256,27 @@ object Cli {
           println(s"""{"kept": ${
             spark.read.parquet(opts("out")).count()}, "of": ${docs.count()}}""")
 
+        case "classify" =>
+          // Naive Bayes train-and-score (integer-bits, bit-reproducible):
+          //   classify --train <parquet> --score <parquet> --out <path>
+          //            [--label-col source] [--model-out <path>]
+          val train = spark.read.parquet(opts("train"))
+          val labelCol = opts.getOrElse("label-col", "source")
+          val model = graft.operators.Classifier.nbTrain(train, labelCol)
+          val priors = graft.operators.Classifier.nbPriors(train, labelCol)
+          opts.get("model-out").foreach { p =>
+            model.write.mode("overwrite").parquet(s"$p/model")
+            priors.write.mode("overwrite").parquet(s"$p/priors")
+          }
+          graft.operators.Classifier
+            .nbScore(spark.read.parquet(opts("score")), model, priors)
+            .write.mode("overwrite").parquet(opts("out"))
+          val byClass = spark.read.parquet(opts("out"))
+            .groupBy("predicted").count().collect()
+            .map(r => s""""${r.getString(0)}": ${r.getLong(1)}""")
+            .sorted.mkString(", ")
+          println(s"""{"predicted": {$byClass}}""")
+
         case "select-tokens" =>
           // quality-ranked selection under a token budget:
           //   select-tokens --source <parquet> --out <path> --budget <n>

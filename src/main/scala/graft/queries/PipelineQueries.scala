@@ -102,6 +102,10 @@ object PipelineQueries {
   private lazy val q96JsonlPath: String =
     java.nio.file.Files.createTempDirectory("graft_q96_jsonl_").toString
 
+  /** q136 CSV round-trip landing dir (same per-process contract). */
+  private lazy val q136CsvPath: String =
+    java.nio.file.Files.createTempDirectory("graft_q136_csv_").toString
+
   /** q105 retrieval bag: 'dup' is the one rare term in the synthetic
     * vocabulary (df≈25 of 500 → 4 idf bits at sf0.01) against three
     * common ~df=390 terms (1 bit) — the ranking must surface docs heavy
@@ -1234,6 +1238,74 @@ object PipelineQueries {
         .orderBy(col("source"), col("lang"))
     },
 
+    // CSV interchange round-trip with corrupt-record quarantine: write
+    // the corpus as RFC-4180 CSV (quoted embedded newlines), inject a
+    // malformed file, read back — the bad row lands in quarantine, the
+    // good rows aggregate identically to the source of truth.
+    "q136_csv_roundtrip" -> { (s, dir) =>
+      import graft.source.TextIngest
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      TextIngest.writeCsv(docs, q136CsvPath)
+      // injected damage: uncastable doc_id → PERMISSIVE quarantine
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(q136CsvPath, "part-injected-bad.csv"),
+        "doc_id,text,lang,source,n_chars\nnotanumber,oops,xx,srcX,12\n"
+          .getBytes("UTF-8"))
+      val rt = TextIngest.readCsv(s, q136CsvPath, docs.schema)
+      require(rt.bad.count() == 1,
+        "expected exactly the injected corrupt row in quarantine")
+      val agg = rt.good.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("chars_sum"))
+        .orderBy(col("lang"))
+      val rows = agg.collect().toSeq
+      rt.unpersist()
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), agg.schema)
+    },
+
+    // Retention-cohort triangle over the events stream: first-activity
+    // week × week offset × active users.
+    "q137_retention_cohorts" -> { (s, dir) =>
+      graft.streaming.Events.retentionCohorts(t(s, dir, "events"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // Shipping-priority revenue (TPC-H Q3 shape): segment-filtered
+    // customer ⋈ orders ⋈ lineitem, top revenue orders — the canonical
+    // 3-way join+agg the offloaded warehouse serves. Deterministic
+    // top-10 via the unique orderkey tie-break.
+    "q138_ship_priority" -> { (s, dir) =>
+      val cut = lit("1995-03-15").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -1847,6 +1919,41 @@ object PipelineQueries {
            CAST(subword_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
              AS fertility
          FROM ag ORDER BY source""",
+
+    "q136_csv_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS chars_sum
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q137_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+           (CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS week
+           FROM events),
+         coh AS (SELECT user_id, MIN(week) AS cohort_week
+           FROM act GROUP BY user_id)
+         SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+           CAST(a.week - c.cohort_week AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+         FROM act a JOIN coh c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    "q138_ship_priority" ->
+      """SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o_orderdate ASC, l.l_orderkey ASC
+         LIMIT 10""",
 
     "q132_lsh_precision" -> {
       val agree = (0 until NumHashes)

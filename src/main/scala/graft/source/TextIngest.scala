@@ -50,4 +50,39 @@ object TextIngest {
     * order-stable within a partition). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** CSV read with the same corrupt-record quarantine contract as
+    * [[readJsonl]]: declared schema, PERMISSIVE mode, malformed rows
+    * (unbalanced quotes, uncastable cells, wrong arity) land in `bad`
+    * instead of failing the job or silently nulling out.
+    *
+    * `multiLine = true` is required when quoted fields contain embedded
+    * newlines (document text does) — the DOCUMENTED cost is that
+    * multi-line CSV files are not splittable (one file = one task), so a
+    * 100 TB corpus should land either as many mid-size files (the writer
+    * below produces one per partition, which preserves parallelism) or in
+    * a line-safe encoding (JSONL / parquet). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType)
+      : JsonlRead = {
+    val raw = spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+      .cache()
+    val good = raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val bad = raw.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
+    JsonlRead(good, bad, raw)
+  }
+
+  /** Write a corpus as headered CSV, RFC-4180 quoting (`""` escapes),
+    * one file per partition. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(path)
 }

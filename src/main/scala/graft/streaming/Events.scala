@@ -65,6 +65,31 @@ object Events {
         max(col("ts")).as("session_end"))
   }
 
+  /** Retention-cohort matrix: users grouped by first-activity week, each
+    * cohort's active-user count at every later week offset — the classic
+    * product-analytics triangle, and a shape the reference's validation
+    * aggregates can't express (two chained aggregations over the same
+    * scan).
+    *
+    * Weeks are integer epoch-day sevenths anchored on a Monday
+    * (1970-01-05), so both engines bucket identically with no timezone
+    * or week-of-year convention in play. Scale shape: distinct
+    * (user, week) is one partial-agg shuffle; cohorts are a min-agg on
+    * the user key; the offset join is user-key equi; the matrix agg
+    * output is cohorts × offsets — metadata scale. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val week = floor(
+      datediff(to_date(col("ts")), lit("1970-01-05").cast("date")) / 7)
+      .cast("long")
+    val activity = events.select(col("user_id"), week.as("week")).distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    activity.join(cohorts, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   /** Exactly-once style dedup on event_id (batch mirror of
     * `dropDuplicates` within watermark). */
   def dedupEvents(events: DataFrame): DataFrame =

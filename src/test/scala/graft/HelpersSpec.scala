@@ -150,6 +150,21 @@ class CliSpec extends SparkSpec {
     assert(sel.agg(sum("n_tokens")).head().getLong(0) <= 5000L)
   }
 
+  test("classify command trains, persists and scores") {
+    val base = Files.createTempDirectory("graft_cli_classify").toString
+    val src = sf("sf0.001") + "/documents.parquet"
+    Cli.main(Array("classify", "--train", src, "--score", src,
+      "--out", s"$base/scored", "--model-out", s"$base/nb"))
+    val scored = spark.read.parquet(s"$base/scored")
+    val n = spark.read.parquet(src).count()
+    assert(scored.count() == n)
+    assert(scored.columns.toSet ==
+      Set("doc_id", "predicted", "cost_bits"))
+    // persisted model artifacts exist and are loadable
+    assert(spark.read.parquet(s"$base/nb/model").count() > 0)
+    assert(spark.read.parquet(s"$base/nb/priors").count() > 0)
+  }
+
   test("stratify and datacard commands run end-to-end") {
     val base = Files.createTempDirectory("graft_cli_strat").toString
     val src = sf("sf0.001") + "/documents.parquet"

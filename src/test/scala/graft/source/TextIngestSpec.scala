@@ -47,4 +47,23 @@ class TextIngestSpec extends SparkSpec {
     assert(a.sameElements(b))
     rt.unpersist()
   }
+
+  test("CSV round-trip preserves embedded newlines/quotes; bad rows quarantined") {
+    val dir = Files.createTempDirectory("csv_rt").toString + "/out"
+    val docs = Seq(
+      (1L, "line one\nline two", "en"),
+      (2L, "has \"quotes\" and, commas", "fr"),
+      (3L, "plain", "de")).toDF("doc_id", "text", "lang")
+    TextIngest.writeCsv(docs, dir)
+    Files.write(java.nio.file.Paths.get(dir, "part-bad.csv"),
+      java.util.Arrays.asList("doc_id,text,lang",
+        "notanumber,oops,xx"))      // uncastable doc_id → quarantine
+    val rt = TextIngest.readCsv(spark, dir, docs.schema)
+    assert(rt.bad.count() == 1)
+    assert(rt.good.count() == 3)
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = rt.good.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    rt.unpersist()
+  }
 }

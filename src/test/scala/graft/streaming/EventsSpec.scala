@@ -41,6 +41,27 @@ class EventsSpec extends SparkSpec {
     assert(out((2L, 0L)) == 2L)
   }
 
+  test("retentionCohorts builds the first-week × offset triangle") {
+    import spark.implicits._
+    // user 1 starts week of Jan 1 2024 (Mon), returns 2 weeks later;
+    // user 2 starts the same week, never returns; user 3 starts a week in
+    val evs = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-02 10:00:00"), 1, "click", 1.0), // same week
+      Ev(3, ts("2024-01-15 10:00:00"), 1, "click", 1.0), // +2 weeks
+      Ev(4, ts("2024-01-03 10:00:00"), 2, "view", 1.0),
+      Ev(5, ts("2024-01-08 10:00:00"), 3, "view", 1.0),
+      Ev(6, ts("2024-01-09 10:00:00"), 3, "view", 1.0)   // same week
+    ).toDF()
+    val out = Events.retentionCohorts(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w0 = (java.time.LocalDate.of(2024, 1, 1).toEpochDay - 4) / 7
+    assert(out == Map(
+      (w0, 0L) -> 2L,      // users 1 and 2 active in their cohort week
+      (w0, 2L) -> 1L,      // user 1 returns at offset 2
+      (w0 + 1, 0L) -> 1L)) // user 3's cohort
+  }
+
   test("streaming tumbling aggregation over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
