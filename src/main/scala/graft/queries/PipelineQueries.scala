@@ -1306,6 +1306,54 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // Count-min frequency sketch: fixed-size cell relation over token
+    // occurrences, probed for known-common / rare / absent tokens —
+    // estimate ≥ truth always, equality when cells are collision-free.
+    "q139_countmin" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val cells = graft.operators.Sketches.countMin(
+        docs, CmsDepth, CmsHexChars)
+      val probes = CmsProbeTokens.toDF("tok")
+      val truth = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+      graft.operators.Sketches
+        .cmsEstimate(cells, probes, CmsDepth, CmsHexChars)
+        .join(truth, Seq("tok"), "left")
+        .na.fill(0L, Seq("true_count"))
+        .withColumn("overestimate",
+          col("cms_estimate") - col("true_count"))
+        .select(col("tok"), col("true_count"), col("cms_estimate"),
+          col("overestimate"))
+        .orderBy(col("tok"))
+    },
+
+    // Bloom-filter decontamination prefilter: benchmark shingles →
+    // kilobyte bit-set, corpus probed map-side; flagged docs carry the
+    // exact-truth columns so the false-positive rate is measured, not
+    // assumed (the exact pass q58 then confirms only flagged docs).
+    "q140_bloom_decontam" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      val bits = graft.operators.Sketches.bloomBits(
+        bench, BloomDepth, BloomHexChars)
+      val probed = graft.operators.Sketches.bloomProbe(
+        docs, bits, BloomDepth, BloomHexChars)
+      val benchSh = bench
+        .select(explode(Dedup.shingles(col("text"))).as("shingle"))
+        .distinct()
+      val truth = docs.select(col("doc_id"),
+          explode(Dedup.shingles(col("text"))).as("shingle"))
+        .join(benchSh, Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_true"))
+      probed.join(truth, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_true"))
+        .withColumn("n_false_pos", col("n_maybe") - col("n_true"))
+        .filter(col("n_maybe") > 0)
+        .orderBy(col("doc_id"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -1384,6 +1432,19 @@ object PipelineQueries {
     * kept whole (ppm, mirrored as literals in the oracle). */
   val UpsamplePpm: Map[String, Long] =
     Map("src0" -> 2500000L, "src1" -> 400000L)
+
+  /** q139 count-min layout (depth × 16² cells) and probe bag: common
+    * terms, the rare 'dup', and one absent token (estimate must still be
+    * ≥ 0 = its truth). */
+  val CmsDepth = 4
+  val CmsHexChars = 2
+  val CmsProbeTokens: Seq[String] =
+    Seq("the", "dup", "vector", "window", "zzz_absent_token")
+
+  /** q140 Bloom layout: 3 hash-family members × 16³ cells — sized so the
+    * synthetic benchmark yields a measurable (but small) FP rate. */
+  val BloomDepth = 3
+  val BloomHexChars = 3
 
   /** q129 injected damage: one `Ã`-digraph, one `â€` smart-quote prefix,
     * one C1 control (NEL) and one U+FFFD — each flagged doc scores
@@ -1954,6 +2015,64 @@ object PipelineQueries {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderdate ASC, l.l_orderkey ASC
          LIMIT 10""",
+
+    "q139_countmin" -> {
+      val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")
+      val probeVals = CmsProbeTokens.map(t => s"('$t')").mkString(",")
+      s"""WITH occ AS (SELECT
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           FROM documents),
+         cells AS (SELECT seed, cell, COUNT(*) AS cnt FROM (
+             SELECT s.seed,
+               substr(md5(CAST(s.seed AS VARCHAR) || '|' || occ.tok),
+                 1, $CmsHexChars) AS cell
+             FROM occ CROSS JOIN (VALUES $seeds) s(seed)) x
+           GROUP BY seed, cell),
+         probes(tok) AS (VALUES $probeVals),
+         fan AS (SELECT p.tok, s.seed,
+             substr(md5(CAST(s.seed AS VARCHAR) || '|' || p.tok),
+               1, $CmsHexChars) AS cell
+           FROM probes p CROSS JOIN (VALUES $seeds) s(seed)),
+         est AS (SELECT f.tok,
+             MIN(COALESCE(c.cnt, 0)) AS cms_estimate
+           FROM fan f LEFT JOIN cells c USING (seed, cell)
+           GROUP BY f.tok),
+         tr AS (SELECT tok, COUNT(*) AS true_count FROM occ GROUP BY tok)
+         SELECT e.tok, COALESCE(t.true_count, 0) AS true_count,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(e.cms_estimate - COALESCE(t.true_count, 0) AS BIGINT)
+             AS overestimate
+         FROM est e LEFT JOIN tr t USING (tok) ORDER BY e.tok""" },
+
+    "q140_bloom_decontam" -> {
+      val seeds = (0 until BloomDepth).map(s => s"($s)").mkString(",")
+      s"""WITH $shingleCte,
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+         bits AS (SELECT DISTINCT s.seed,
+             substr(md5(CAST(s.seed AS VARCHAR) || '|' || b.shingle),
+               1, $BloomHexChars) AS cell
+           FROM bench b CROSS JOIN (VALUES $seeds) s(seed)),
+         fan AS (SELECT sh.doc_id, sh.shingle, s.seed,
+             substr(md5(CAST(s.seed AS VARCHAR) || '|' || sh.shingle),
+               1, $BloomHexChars) AS cell
+           FROM sh CROSS JOIN (VALUES $seeds) s(seed)),
+         mb AS (SELECT f.doc_id, f.shingle,
+             (SUM(CASE WHEN b.cell IS NOT NULL THEN 1 ELSE 0 END)
+               = $BloomDepth) AS maybe
+           FROM fan f LEFT JOIN bits b
+             ON b.seed = f.seed AND b.cell = f.cell
+           GROUP BY f.doc_id, f.shingle),
+         pr AS (SELECT doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_maybe
+           FROM mb GROUP BY doc_id),
+         tr AS (SELECT sh.doc_id, COUNT(*) AS n_true
+           FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id)
+         SELECT p.doc_id, p.n_shingles, p.n_maybe,
+           COALESCE(t.n_true, 0) AS n_true,
+           p.n_maybe - COALESCE(t.n_true, 0) AS n_false_pos
+         FROM pr p LEFT JOIN tr t USING (doc_id)
+         WHERE p.n_maybe > 0 ORDER BY p.doc_id""" },
 
     "q132_lsh_precision" -> {
       val agree = (0 until NumHashes)

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min estimates dominate truth; exact without collisions") {
+    val docs = Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val cells = Sketches.countMin(docs, depth = 4, hexChars = 2)
+    // total mass per row of the sketch equals total occurrences
+    val mass = cells.groupBy("seed").agg(sum("cnt").as("m"))
+      .collect().map(_.getLong(1))
+    assert(mass.length == 4 && mass.forall(_ == 7L))
+    val probes = Seq("a", "b", "c", "zzz").toDF("tok")
+    val est = Sketches.cmsEstimate(cells, probes, depth = 4, hexChars = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 distinct tokens in 256 cells: collision-free w.h.p. — and the CMS
+    // guarantee (≥ truth) holds regardless
+    assert(est("a") >= 4L && est("b") >= 2L && est("c") >= 1L)
+    assert(est("zzz") >= 0L)
+    // the min over 4 independent rows of a 3-token sketch is exact here
+    assert(est == Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "zzz" -> 0L))
+  }
+
+  test("bloom probe: no false negatives; full containment flags all") {
+    val bench = Seq((100L, "w x y z q")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "w x y z q"),                  // identical → all shingles maybe
+      (2L, "completely different words here")) // disjoint
+      .toDF("doc_id", "text")
+    val bits = Sketches.bloomBits(bench)
+    val out = Sketches.bloomProbe(corpus, bits)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // doc 1: every shingle is IN the benchmark — Bloom must flag all
+    assert(out(1L)._1 == out(1L)._2)
+    // doc 2: n_maybe bounded by its shingle count (may include FPs)
+    assert(out(2L)._2 <= out(2L)._1)
+  }
+}
