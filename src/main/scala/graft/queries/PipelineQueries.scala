@@ -1354,6 +1354,82 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Dedup-graph shape stats: nodes / edges / max degree / triangles
+    // over the LSH candidate graph — triangle density distinguishes
+    // template clusters (cliques) from chain-like false-positive paths.
+    "q141_graph_stats" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val e = Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.select(col("id_a").as("id"))
+        .unionByName(e.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      // triangles a<b<c: each counted exactly once via canonical edge
+      // orientation — three key-equi joins over the (small) edge relation
+      val tri = e.toDF("a", "b")
+        .join(e.toDF("b", "c"), "b")
+        .join(e.toDF("a", "c"), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+          col("n_triangles"))
+    },
+
+    // Conversion funnel: view → click → purchase in strict temporal
+    // order per user, all timestamps compared as integer microseconds
+    // (both engines see the same µs values).
+    "q142_event_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("v_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("c_us"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    },
+
+    // Local-supplier volume (TPC-H Q5 shape): the 6-way star join with
+    // the customer-nation = supplier-nation constraint — revenue per
+    // nation in one region.
+    "q143_local_supplier" -> { (s, dir) =>
+      val lo = lit("1994-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_suppkey"), col("l_extendedprice"), col("l_discount")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -2015,6 +2091,57 @@ object PipelineQueries {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderdate ASC, l.l_orderkey ASC
          LIMIT 10""",
+
+    "q141_graph_stats" ->
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         deg AS (SELECT id, COUNT(*) AS deg FROM (
+             SELECT id_a AS id FROM pairs
+             UNION ALL SELECT id_b FROM pairs) u GROUP BY id),
+         tri AS (SELECT COUNT(*) AS n_triangles
+           FROM pairs e1
+             JOIN pairs e2 ON e2.id_a = e1.id_b
+             JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+         SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM pairs) AS n_edges,
+           (SELECT MAX(deg) FROM deg) AS max_degree,
+           (SELECT n_triangles FROM tri) AS n_triangles""",
+
+    "q142_event_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         v AS (SELECT user_id, MIN(us) AS v_us FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.us) AS c_us
+           FROM ev e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.us > v.v_us
+           GROUP BY e.user_id),
+         p AS (SELECT e.user_id FROM ev e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > c.c_us
+           GROUP BY e.user_id)
+         SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel""",
+
+    "q143_local_supplier" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+             AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
 
     "q139_countmin" -> {
       val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")
