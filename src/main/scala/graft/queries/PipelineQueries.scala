@@ -1430,6 +1430,50 @@ object PipelineQueries {
         .orderBy(col("n_name"))
     },
 
+    // Time-series smoothing: daily purchase revenue with a 7-day moving
+    // average and day-over-day delta — ordered window frames over an
+    // aggregated (bounded) daily relation, never over raw events.
+    "q144_moving_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        // DECIMAL-exact window sum, then one double division — decimal
+        // division scale rules differ across engines, double division
+        // of exact operands does not
+        .withColumn("ma7", sum(col("revenue")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+        .withColumn("prev_revenue",
+          lag(col("revenue"), 1).over(Window.orderBy(col("day"))))
+        .withColumn("delta", (col("revenue") -
+          coalesce(col("prev_revenue"), col("revenue")))
+          .cast("decimal(18,2)"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("revenue").cast("double").as("revenue"), col("n"),
+          col("ma7"), col("delta").cast("double").as("delta"))
+        .orderBy(col("day"))
+    },
+
+    // Pivot by conditional aggregation: events per day × type as
+    // columns — the portable pivot shape (identical in any engine).
+    "q145_event_pivot" -> { (s, dir) =>
+      def cnt(tpe: String) =
+        sum(when(col("event_type") === tpe, 1L).otherwise(0L))
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(cnt("view").as("n_view"), cnt("click").as("n_click"),
+          cnt("purchase").as("n_purchase"), cnt("signup").as("n_signup"),
+          cnt("error").as("n_error"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_view"), col("n_click"), col("n_purchase"),
+          col("n_signup"), col("n_error"))
+        .orderBy(col("day"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -2091,6 +2135,38 @@ object PipelineQueries {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderdate ASC, l.l_orderkey ASC
          LIMIT 10""",
+
+    "q144_moving_avg" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) AS revenue, COUNT(*) AS n
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         wd AS (SELECT day, revenue, n,
+             CAST(SUM(revenue) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+             CAST(COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS ma7,
+             LAG(revenue, 1) OVER (ORDER BY day) AS prev_revenue
+           FROM daily)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(revenue AS DOUBLE) AS revenue, n, ma7,
+           CAST(CAST(revenue - COALESCE(prev_revenue, revenue)
+             AS DECIMAL(18,2)) AS DOUBLE) AS delta
+         FROM wd ORDER BY day""",
+
+    "q145_event_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_error
+         FROM events GROUP BY 1 ORDER BY day""",
 
     "q141_graph_stats" ->
       s"""WITH $shingleCte, $minhashSigSql, $bandSql,
