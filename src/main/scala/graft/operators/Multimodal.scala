@@ -118,6 +118,77 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic `size`×`size` grayscale-pattern PNG:
+    * `gray(x,y) = (seed·31 + x·7 + y·13) mod 256` on all three channels.
+    * Like [[syntheticPng]] the ENCODED bytes may vary by encoder, but PNG
+    * is lossless so decoded pixels are a pure function of (seed, x, y) —
+    * an arithmetic oracle can predict any pixel-derived signature. */
+  def syntheticPatternPng(seed: Long, size: Int = 8): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        val g = (((seed * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual average-hash of a decoded image as a row-major bit
+    * STRING (`size²` chars of '0'/'1') — near-duplicate images (crops,
+    * re-encodes, brightness shifts smaller than the mean gap) collide or
+    * land within small Hamming distance. All-integer arithmetic:
+    * per-pixel luma `(299r + 587g + 114b) div 1000` (exact identity on
+    * gray pixels), block-average downsample when the image is an exact
+    * multiple of `size`, strict `> mean` threshold on the integer mean —
+    * every bit reproducible by an independent engine. Returns None when
+    * the payload doesn't decode or the shape doesn't block-divide. */
+  def averageHashBits(payload: Array[Byte], size: Int = 8)
+      : Option[String] = {
+    imageIoMemoryOnly: Unit
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    Option(img).filter(im =>
+        im.getWidth >= size && im.getHeight >= size &&
+        im.getWidth % size == 0 && im.getHeight % size == 0)
+      .map { im =>
+        val bw = im.getWidth / size
+        val bh = im.getHeight / size
+        val cell = new Array[Long](size * size)
+        var y = 0
+        while (y < im.getHeight) {
+          var x = 0
+          while (x < im.getWidth) {
+            val rgb = im.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            cell((y / bh) * size + (x / bw)) += luma
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        var sum = 0L
+        val px = bw.toLong * bh
+        while (i < cell.length) { cell(i) /= px; sum += cell(i); i += 1 }
+        val mean = sum / (size * size)
+        val sb = new java.lang.StringBuilder(size * size)
+        i = 0
+        while (i < cell.length) {
+          sb.append(if (cell(i) > mean) '1' else '0'); i += 1
+        }
+        sb.toString
+      }
+  }
+
   /** Decoded-audio stats (real codec output). */
   final case class AudioStats(sampleRate: Int, channels: Int, frames: Long,
                               rms: Double)

@@ -1474,6 +1474,22 @@ object PipelineQueries {
         .orderBy(col("day"))
     },
 
+    // Perceptual image near-dup: REAL PNG decode → integer average-hash
+    // bit string → hash-equality grouping. Seeds collide mod 50, so the
+    // hash groups recover exactly the duplicated patterns.
+    "q146_image_hash" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hashes = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.averageHashBits(
+            Multimodal.syntheticPatternPng(id % 50)).get)
+        }).toDF("doc_id", "ahash")
+      hashes.withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("ahash"))))
+        .orderBy(col("doc_id"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -2135,6 +2151,23 @@ object PipelineQueries {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderdate ASC, l.l_orderkey ASC
          LIMIT 10""",
+
+    "q146_image_hash" ->
+      """WITH cells AS (SELECT d.doc_id, rx.x, ry.y,
+           ((d.doc_id % 50) * 31 + rx.x * 7 + ry.y * 13) % 256 AS gray
+           FROM documents d
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS x) rx
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ry),
+         m AS (SELECT doc_id, SUM(gray) // 64 AS mean
+           FROM cells GROUP BY doc_id),
+         b AS (SELECT c.doc_id, c.y * 8 + c.x AS pos,
+             CASE WHEN c.gray > m.mean THEN '1' ELSE '0' END AS bit
+           FROM cells c JOIN m USING (doc_id)),
+         h AS (SELECT doc_id, string_agg(bit, '' ORDER BY pos) AS ahash
+           FROM b GROUP BY doc_id)
+         SELECT doc_id, ahash,
+           COUNT(*) OVER (PARTITION BY ahash) AS n_same
+         FROM h ORDER BY doc_id""",
 
     "q144_moving_avg" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,

@@ -1132,6 +1132,30 @@ class TextAnalysisSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
+  test("averageHashBits: decode-exact bits, same-seed collision, block downsample") {
+    // decoded pattern pixels are a pure function of the seed: recompute
+    // the expected bits arithmetically
+    def expected(seed: Long): String = {
+      val gray = for (y <- 0 until 8; x <- 0 until 8)
+        yield (seed * 31 + x * 7 + y * 13) % 256
+      val mean = gray.sum / 64
+      gray.map(g => if (g > mean) '1' else '0').mkString
+    }
+    val h7 = Multimodal.averageHashBits(
+      Multimodal.syntheticPatternPng(7L)).get
+    assert(h7 == expected(7L))
+    assert(h7.length == 64 && h7.exists(_ == '1') && h7.exists(_ == '0'))
+    // identical seeds → identical hashes (the near-dup grouping key)
+    assert(Multimodal.averageHashBits(
+      Multimodal.syntheticPatternPng(7L)).get == h7)
+    // a 16×16 render of the same pattern block-averages to exact cells
+    val big = Multimodal.averageHashBits(
+      Multimodal.syntheticPatternPng(7L, size = 16))
+    assert(big.isDefined && big.get.length == 64)
+    // non-image payloads and non-divisible shapes are rejected, not wrong
+    assert(Multimodal.averageHashBits("not a png".getBytes).isEmpty)
+  }
+
   test("feature extraction pipeline produces per-kind aggregates") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val out = Multimodal.pipeline(docs).collect()
