@@ -315,6 +315,40 @@ object DatasetOps {
     * Scale shape: one shuffle on the bucket key for the within-bucket
     * prefix sums; buckets bound the quality resolution AND the per-task
     * serial work — raise `buckets` if one quality band dominates. */
+  /** Largest-remainder (Hamilton) apportionment of a token budget over
+    * per-group weights — the step that TURNS corpus statistics INTO the
+    * ppm recipe the samplers ([[mixtureSample]], [[upsampleMixture]])
+    * consume. Exact: allocations sum to `budget` precisely, each group
+    * gets `floor(budget·w_g / W)` plus one of the `budget − Σfloor`
+    * leftover seats in largest-remainder order (ties to the smaller
+    * group name) — all 64-bit integer arithmetic, bit-identical on any
+    * engine. Documented bound: `budget · max(weight) < 2^63` — pre-scale
+    * weights (divide by a common factor) when budgets and corpus sizes
+    * both exceed ~10⁹.
+    *
+    * Scale shape: `stats` is a per-group aggregate (bounded cardinality
+    * by construction); the total is a one-row cross join and the seat
+    * rank a window over the group relation — metadata-scale end to end. */
+  def allocateBudget(stats: DataFrame, budget: Long,
+                     groupCol: String = "source",
+                     weightCol: String = "n_tokens"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val tot = stats.agg(sum(col(weightCol)).as("w_total"),
+      count(lit(1)).as("n_groups"))
+    val base = stats.crossJoin(broadcast(tot))
+      .withColumn("q", expr(s"$budget * $weightCol div w_total"))
+      .withColumn("r", expr(s"$budget * $weightCol % w_total"))
+    val wSeat = Window.orderBy(col("r").desc, col(groupCol).asc)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("leftover", lit(budget) - sum(col("q")).over(wAll))
+      .withColumn("seat", row_number().over(wSeat))
+      .withColumn("alloc",
+        col("q") + when(col("seat") <= col("leftover"), 1L).otherwise(0L))
+      .select(col(groupCol), col(weightCol), col("alloc"))
+  }
+
   def tokenBudgetSelect(docs: DataFrame, tokenBudget: Long,
                         buckets: Int = 1024, salt: String = "sel",
                         idCol: String = "doc_id",

@@ -1490,6 +1490,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Budget apportionment: corpus stats → exact per-source token
+    // allocation (largest remainder) — the step that produces the ppm
+    // recipes the mixture samplers consume; allocations sum to the
+    // budget EXACTLY.
+    "q147_budget_allocation" -> { (s, dir) =>
+      val stats = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      graft.operators.DatasetOps.allocateBudget(stats, AllocBudget)
+        .orderBy(col("source"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -1568,6 +1581,9 @@ object PipelineQueries {
     * kept whole (ppm, mirrored as literals in the oracle). */
   val UpsamplePpm: Map[String, Long] =
     Map("src0" -> 2500000L, "src1" -> 400000L)
+
+  /** q147 token budget: odd so fractional remainders decide seats. */
+  val AllocBudget = 49999L
 
   /** q139 count-min layout (depth × 16² cells) and probe bag: common
     * terms, the rare 'dup', and one absent token (estimate must still be
@@ -2151,6 +2167,25 @@ object PipelineQueries {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderdate ASC, l.l_orderkey ASC
          LIMIT 10""",
+
+    "q147_budget_allocation" ->
+      s"""WITH st AS (SELECT source,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+             AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS w_total FROM st),
+         base AS (SELECT st.source, st.n_tokens,
+             ($AllocBudget * st.n_tokens) // t.w_total AS q,
+             ($AllocBudget * st.n_tokens) % t.w_total AS r
+           FROM st CROSS JOIN tot t),
+         x AS (SELECT source, n_tokens, q,
+             ROW_NUMBER() OVER (ORDER BY r DESC, source ASC) AS seat,
+             $AllocBudget - SUM(q) OVER () AS leftover
+           FROM base)
+         SELECT source, n_tokens,
+           CAST(q + CASE WHEN seat <= leftover THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc
+         FROM x ORDER BY source""",
 
     "q146_image_hash" ->
       """WITH cells AS (SELECT d.doc_id, rx.x, ry.y,

@@ -285,6 +285,23 @@ class DatasetOpsSpec extends SparkSpec {
     assert(epochs.forall(es => es == (0L until es.size).toSeq))
   }
 
+  test("allocateBudget: exact Hamilton apportionment, sums to budget") {
+    import spark.implicits._
+    val stats = Seq(("a", 5L), ("b", 3L), ("c", 2L))
+      .toDF("source", "n_tokens")
+    val out = DatasetOps.allocateBudget(stats, budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // quotas 3/2/1 (sum 6), remainders 5/1/4 → the single leftover seat
+    // goes to a (largest remainder)
+    assert(out == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    assert(out.values.sum == 7L)
+    // remainder ties break to the smaller group name
+    val tied = DatasetOps.allocateBudget(
+      Seq(("x", 1L), ("y", 1L)).toDF("source", "n_tokens"), budget = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tied == Map("x" -> 2L, "y" -> 1L))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged by hash") {
     import spark.implicits._
     val a = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
