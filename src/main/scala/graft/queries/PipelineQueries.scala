@@ -1503,6 +1503,31 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical (TF-IDF)
+    // and vector (cosine) rankings — the RAG hybrid-search shape, in
+    // exact integer arithmetic (10⁶ div (60 + rank)).
+    "q148_hybrid_fusion" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val text = TextAnalysis.tfIdfSearch(
+          t(s, dir, "documents"), TfIdfTerms, k = FusionK)
+        .withColumn("r_text", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+        .select(col("doc_id"), col("r_text"))
+      val vec = Similarity.cosineTopK(
+          t(s, dir, "embeddings"), queryId = 0, k = FusionK, dim = Dim)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(col("score").desc, col("vec_id").asc))
+          .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      text.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("fused",
+          coalesce(expr(s"1000000 div ($RrfK + r_text)"), lit(0L)) +
+            coalesce(expr(s"1000000 div ($RrfK + r_vec)"), lit(0L)))
+        .orderBy(col("fused").desc, col("doc_id").asc)
+        .limit(10)
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -1584,6 +1609,11 @@ object PipelineQueries {
 
   /** q147 token budget: odd so fractional remainders decide seats. */
   val AllocBudget = 49999L
+
+  /** q148 fusion: per-system candidate depth and the standard RRF
+    * damping constant. */
+  val FusionK = 20
+  val RrfK = 60
 
   /** q139 count-min layout (depth × 16² cells) and probe bag: common
     * terms, the rare 'dup', and one absent token (estimate must still be
@@ -2167,6 +2197,44 @@ object PipelineQueries {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderdate ASC, l.l_orderkey ASC
          LIMIT 10""",
+
+    "q148_hybrid_fusion" ->
+      s"""WITH occ AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         FROM documents),
+         hit AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ
+           WHERE term IN (${TfIdfTerms.map("'" + _ + "'").mkString(", ")})
+           GROUP BY doc_id, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM hit GROUP BY term),
+         nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+         ttop AS (SELECT h.doc_id,
+             CAST(SUM(h.tf * length(bin(nn.n_docs // d.df))) AS BIGINT)
+               AS score
+           FROM hit h JOIN dfreq d USING (term) CROSS JOIN nn
+           GROUP BY h.doc_id
+           ORDER BY score DESC, h.doc_id LIMIT $FusionK),
+         tr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+             (ORDER BY score DESC, doc_id) AS BIGINT) AS r_text
+           FROM ttop),
+         en AS (SELECT vec_id, embedding,
+           sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS nrm
+           FROM embeddings),
+         q AS (SELECT embedding AS q_vec, nrm AS q_nrm
+           FROM en WHERE vec_id = 0),
+         vtop AS (SELECT e.vec_id,
+             (${Similarity.Sql.dot("e.embedding", "q.q_vec", Dim)})
+               / (e.nrm * q.q_nrm) AS score
+           FROM en e, q WHERE e.vec_id <> 0
+           ORDER BY score DESC, e.vec_id LIMIT $FusionK),
+         vr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER
+             (ORDER BY score DESC, vec_id) AS BIGINT) AS r_vec
+           FROM vtop)
+         SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id,
+           tr.r_text, vr.r_vec,
+           COALESCE(1000000 // ($RrfK + tr.r_text), 0) +
+             COALESCE(1000000 // ($RrfK + vr.r_vec), 0) AS fused
+         FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+         ORDER BY fused DESC, doc_id LIMIT 10""",
 
     "q147_budget_allocation" ->
       s"""WITH st AS (SELECT source,
