@@ -1528,6 +1528,35 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // Source-overlap matrix via a typed Aggregator UDAF: the minhash of
+    // a UNION is the slot-wise min of member signatures, so group
+    // signatures aggregate associatively — source×source estimated
+    // Jaccard with NO doc-pair join anywhere.
+    "q149_source_similarity" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, NumHashes)
+        .join(docs.select(col("doc_id").as("sid"), col("source")), "sid")
+        .withColumn("sigs",
+          array((0 until NumHashes).map(i => col(s"sig_$i")): _*))
+      val minSig = udaf(new graft.functions.MinSigAggregator(NumHashes))
+      val bySource = sigs.groupBy(col("source"))
+        .agg(minSig(col("sigs")).as("gsig"))
+      val a = bySource.select(col("source").as("src_a"),
+        col("gsig").as("ga"))
+      val b = bySource.select(col("source").as("src_b"),
+        col("gsig").as("gb"))
+      val nMatch = (0 until NumHashes).map(i =>
+        when(col("ga").getItem(i) === col("gb").getItem(i), 1L)
+          .otherwise(0L)).reduce(_ + _)
+      a.crossJoin(b).filter(col("src_a") < col("src_b"))
+        .withColumn("n_match", nMatch)
+        .withColumn("est_jaccard",
+          col("n_match").cast("double") / lit(NumHashes.toDouble))
+        .select(col("src_a"), col("src_b"), col("n_match"),
+          col("est_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -2197,6 +2226,22 @@ object PipelineQueries {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderdate ASC, l.l_orderkey ASC
          LIMIT 10""",
+
+    "q149_source_similarity" -> {
+      val mins = (0 until NumHashes)
+        .map(i => s"MIN(sig_$i) AS sig_$i").mkString(", ")
+      val agree = (0 until NumHashes)
+        .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shingleCte, $minhashSigSql,
+         gs AS (SELECT d.source, $mins
+           FROM sig JOIN documents d USING (doc_id)
+           GROUP BY d.source)
+         SELECT a.source AS src_a, b.source AS src_b,
+           CAST($agree AS BIGINT) AS n_match,
+           CAST($agree AS DOUBLE) / ${NumHashes}.0 AS est_jaccard
+         FROM gs a JOIN gs b ON a.source < b.source
+         ORDER BY src_a, src_b""" },
 
     "q148_hybrid_fusion" ->
       s"""WITH occ AS (SELECT doc_id,
