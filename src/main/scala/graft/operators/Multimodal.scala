@@ -41,6 +41,7 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       byte_mean: Double,
+      byte_sum: Long,          // exact integer byte mass (oracle-exact)
       byte_entropy_q: Long,    // quantised entropy proxy (deterministic)
       thumb_width: Int,
       thumb_height: Int,
@@ -353,7 +354,7 @@ object Multimodal {
   /** Byte-stat fallback for payloads no JDK codec decodes (H.264 video,
     * exotic image/audio formats). Deterministic: derives pixel-ish stats
     * from the raw bytes so the pipeline is testable end-to-end. */
-  private def decodeStub(payload: Array[Byte]): (Double, Long) = {
+  private def decodeStub(payload: Array[Byte]): (Double, Long, Long) = {
     var sum = 0L
     var bits = 0L
     var i = 0
@@ -364,7 +365,7 @@ object Multimodal {
       i += 1
     }
     val n = math.max(payload.length, 1)
-    (sum.toDouble / n, bits / n)
+    (sum.toDouble / n, sum, bits / n)
   }
 
   /** Resize stub: target thumbnail box preserving aspect ratio. Pure math —
@@ -383,7 +384,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init happens once here (codec/model load in real impl)
       rows.map { r =>
-        val (mean, entropyQ) = decodeStub(r.payload)
+        val (mean, byteSum, entropyQ) = decodeStub(r.payload)
         val img = if (r.kind == "image") decodeImage(r.payload) else None
         val aud = if (r.kind == "audio") decodeAudio(r.payload) else None
         val vid = if (r.kind == "video") decodeVideo(r.payload) else None
@@ -392,7 +393,7 @@ object Multimodal {
           .getOrElse((r.meta_width, r.meta_height))
         val (tw, th) = thumbBox(w, h)
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, mean,
-          entropyQ, tw, th,
+          byteSum, entropyQ, tw, th,
           img.isDefined || aud.isDefined || vid.isDefined,
           img.map(_.width).getOrElse(-1),
           img.map(_.height).getOrElse(-1),

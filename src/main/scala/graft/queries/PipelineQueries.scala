@@ -1557,6 +1557,23 @@ object PipelineQueries {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    // Media byte-stat pipeline, oracle-exact: the integer projections of
+    // the q36 fallback path (byte mass, quantised entropy, decode
+    // verdicts) aggregated per kind — DuckDB recomputes every number
+    // from the ASCII payload bytes, closing the one formerly rows-only
+    // surface with an exact check (float byte_mean stays q36-only).
+    "q150_media_bytes" -> { (s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.fromDocuments(t(s, dir, "documents")))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("byte_sum")).as("byte_sum"),
+          sum(col("byte_entropy_q")).as("sum_entropy_q"),
+          sum(col("decoded").cast("long")).as("n_decoded"))
+        .orderBy(col("kind"))
+    },
+
     // Duplication centrality: integer PageRank over the LSH candidate
     // graph — which docs are duplication hubs (templates, mirrors).
     "q124_dup_rank" -> { (s, dir) =>
@@ -2226,6 +2243,26 @@ object PipelineQueries {
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderdate ASC, l.l_orderkey ASC
          LIMIT 10""",
+
+    "q150_media_bytes" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents),
+         per AS (SELECT doc_id, CAST(SUM(ascii(c)) AS BIGINT) AS bsum,
+             CAST(SUM(bit_count(ascii(c))) AS BIGINT) AS bits,
+             COUNT(*) AS n
+           FROM ch GROUP BY doc_id),
+         m AS (SELECT p.doc_id,
+             CASE WHEN p.doc_id % 3 = 0 THEN 'image'
+                  WHEN p.doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             p.n, p.bsum, p.bits // p.n AS eq
+           FROM per p)
+         SELECT kind, COUNT(*) AS n_media,
+           CAST(SUM(n) AS BIGINT) AS total_bytes,
+           CAST(SUM(bsum) AS BIGINT) AS byte_sum,
+           CAST(SUM(eq) AS BIGINT) AS sum_entropy_q,
+           CAST(0 AS BIGINT) AS n_decoded
+         FROM m GROUP BY kind ORDER BY kind""",
 
     "q149_source_similarity" -> {
       val mins = (0 until NumHashes)
