@@ -333,6 +333,42 @@ object TextAnalysis {
         col("n_replacement") + col("n_mojibake") + col("n_ctrl") > 0)
   }
 
+  /** Compression-ratio quality signal (deflate level 6): boilerplate and
+    * template-heavy documents compress far below prose, and the ratio is
+    * the cheap single-number proxy several published curation stacks
+    * filter on. One `mapPartitions` pass with ONE `Deflater` reused
+    * (reset) per task — codec init amortised exactly like the multimodal
+    * decodes; no shuffle.
+    *
+    * Determinism: byte-exact for a fixed deflate level on a fixed zlib
+    * implementation (the JDK's). No independent engine can be asked to
+    * reproduce zlib output, so the registered query is a rows-only check
+    * (q36 precedent) and the ORDERING properties — repetitive ≪ prose,
+    * stability across runs — are spec-pinned instead. */
+  def compressionMetrics(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val defl = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          defl.reset()
+          defl.setInput(raw)
+          defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          (id, raw.length.toLong, n)
+        }
+      }
+      .toDF(idCol, "n_raw", "n_deflated")
+      .withColumn("ratio",
+        col("n_deflated").cast("double") / col("n_raw").cast("double"))
+  }
+
   /** Corpus curation verdict: the standard training-data filter chain —
     * quality floor, repetition ceiling, exact-duplicate removal (lowest id
     * is canonical) — composed into one keep/drop decision with the FIRST

@@ -866,6 +866,22 @@ object PipelineQueries {
         .orderBy(col("kind"))
     },
 
+    // Compression-ratio quality signal: zlib output is not reproducible
+    // by an independent engine, so this stays rows-only (q36 precedent);
+    // ordering/stability properties are spec-pinned.
+    "q151_compression_ratio" -> { (s, dir) =>
+      TextAnalysis.compressionMetrics(t(s, dir, "documents"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_raw")).as("raw_sum"),
+          sum(col("n_deflated")).as("deflated_sum"))
+        .withColumn("ratio", col("deflated_sum").cast("double") /
+          col("raw_sum").cast("double"))
+        .orderBy(col("source"))
+    },
+
     // Integer-exact TF-IDF retrieval: rare query terms dominate common
     // ones exponentially via bit-width idf ('dup' df≈25 scores 5 bits vs
     // 1 bit for df≈390 terms) — the corpus-search/quality-ranking

@@ -712,6 +712,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("compressionMetrics: repetitive text compresses far below prose; stable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the " * 500),                                   // degenerate
+      (2L, (1 to 500).map(i => s"w${i * 7919 % 977}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionMetrics(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._3 < 0.05)              // "the the the..." ≈ free
+    assert(out(2L)._3 > 5 * out(1L)._3)    // varied text costs real bits
+    assert(out.values.forall(v => v._2 > 0 && v._2 <= v._1 + 64))
+    // byte-exact stability across runs (fixed level, fixed JDK zlib)
+    val again = TextAnalysis.compressionMetrics(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(again == out)
+  }
+
   test("encodingAnomalies counts mojibake digraphs, U+FFFD, C1 controls") {
     val df = Seq(
       (1L, "clean ascii text"),
