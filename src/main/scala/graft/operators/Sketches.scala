@@ -66,6 +66,21 @@ object Sketches {
       .agg(min(col("cnt")).as("cms_estimate"))
   }
 
+  /** Merge count-min sketches: cells ADD — the sketch of a corpus union
+    * is the cell-wise sum of the parts' sketches, so incremental
+    * maintenance is one bounded-size aggregation per batch (a streaming
+    * `foreachBatch` appends the batch sketch and compacts), never a
+    * corpus re-scan. `SketchesSpec` pins batch-merge ≡ one-shot. */
+  def mergeCms(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("seed"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Merge Bloom bit-sets: bits UNION — same incremental contract as
+    * [[mergeCms]] for membership. */
+  def mergeBloom(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _).distinct()
+
   /** Bloom bit-set over the DISTINCT shingles of a benchmark corpus:
     * the `(seed, cell)` relation with `depth × 16^hexChars` rows max —
     * kilobytes for any benchmark, broadcast everywhere. */

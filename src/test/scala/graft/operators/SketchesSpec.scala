@@ -25,6 +25,24 @@ class SketchesSpec extends SparkSpec {
     assert(est == Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "zzz" -> 0L))
   }
 
+  test("batch-built sketches merge to the one-shot sketch (incremental path)") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .limit(60)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    val merged = Sketches.mergeCms(
+      Sketches.countMin(a), Sketches.countMin(b))
+    assert(cellMap(merged) == cellMap(Sketches.countMin(docs)))
+    def bitSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val mergedBits = Sketches.mergeBloom(
+      Sketches.bloomBits(a), Sketches.bloomBits(b))
+    assert(bitSet(mergedBits) == bitSet(Sketches.bloomBits(docs)))
+  }
+
   test("bloom probe: no false negatives; full containment flags all") {
     val bench = Seq((100L, "w x y z q")).toDF("doc_id", "text")
     val corpus = Seq(
