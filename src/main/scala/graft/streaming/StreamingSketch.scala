@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Sketches
+
+/** Continuously-maintained count-min sketch over a document stream — the
+  * streaming face of [[graft.operators.Sketches]]: because CMS cells ADD,
+  * each micro-batch contributes its own (bounded, depth × width) sketch
+  * and the store is one merge + swap per batch, NEVER a corpus re-scan.
+  * The resident sketch answers "how often has this token ever occurred"
+  * at any moment, in fixed space, for the full history of the stream.
+  *
+  * Replay safety: CMS addition is NOT idempotent (a replayed batch would
+  * double-count), so the store carries a high-water batch id and
+  * `processBatch` skips ids at or below it — the same monotone-HWM
+  * contract the offload path uses. The swap is the aside-rename scheme
+  * of [[graft.sink.Compaction]]: a crash leaves the old or the new
+  * sketch, never a mix.
+  */
+object StreamingSketch {
+
+  final case class Config(sketchDir: String, checkpointDir: String,
+                          depth: Int = 4, hexChars: Int = 2)
+
+  def start(docs: DataFrame, cfg: Config): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, cfg)
+      }
+      .start()
+
+  private def hwmPath(cfg: Config) = new Path(cfg.sketchDir, "_hwm")
+
+  private[streaming] def lastBatch(spark: org.apache.spark.sql.SparkSession,
+                                   cfg: Config): Long = {
+    val fs = new Path(cfg.sketchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hwmPath(cfg))) -1L
+    else {
+      val in = fs.open(hwmPath(cfg))
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+                                      cfg: Config): Unit = {
+    val spark = batch.sparkSession
+    if (batchId <= lastBatch(spark, cfg)) return // replayed batch: no-op
+    val fs = new Path(cfg.sketchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = new Path(cfg.sketchDir, "cells")
+    val fresh = Sketches.countMin(batch, cfg.depth, cfg.hexChars)
+    val merged =
+      if (fs.exists(cells))
+        Sketches.mergeCms(spark.read.parquet(cells.toString), fresh)
+      else fresh
+    val tmp = new Path(cfg.sketchDir, "cells__tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(cfg.sketchDir, "cells__old")
+    fs.delete(old, true)
+    if (fs.exists(cells) && !fs.rename(cells, old))
+      throw new IllegalStateException(s"sketch swap: cannot move $cells")
+    if (!fs.rename(tmp, cells)) {
+      if (fs.exists(old)) fs.rename(old, cells) // roll back
+      throw new IllegalStateException(s"sketch swap: cannot install $tmp")
+    }
+    fs.delete(old, true)
+    val out = fs.create(hwmPath(cfg), true)
+    try out.write(batchId.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The resident sketch (empty relation when nothing has arrived). */
+  def read(spark: org.apache.spark.sql.SparkSession,
+           cfg: Config): DataFrame = {
+    val fs = new Path(cfg.sketchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = new Path(cfg.sketchDir, "cells")
+    if (fs.exists(cells)) spark.read.parquet(cells.toString)
+    else spark.emptyDataFrame
+      .select(org.apache.spark.sql.functions.lit(0).as("seed"),
+        org.apache.spark.sql.functions.lit("").as("cell"),
+        org.apache.spark.sql.functions.lit(0L).as("cnt"))
+      .limit(0)
+  }
+}
