@@ -96,6 +96,83 @@ object Sketches {
       .distinct()
   }
 
+  /** KMV hash-space parameters: 14 hex chars = a 56-bit hash, chosen so
+    * the estimator's numerator `(k−1) · 2^56` stays inside a signed
+    * 64-bit integer for k ≤ 128 — both engines then compute the estimate
+    * with EXACT integer division, no floats anywhere. */
+  val KmvHexChars = 14
+  val KmvSpace: Long = 1L << (4 * KmvHexChars) // 2^56
+
+  /** 56-bit value hash for the KMV sketch: the first 14 hex chars of
+    * md5, converted to a BIGINT — engine-portable (any SQL engine
+    * reproduces it digit by digit; see [[kmvHashSql]]). */
+  def kmvHash(x: Column): Column =
+    conv(substring(md5(x), 1, KmvHexChars), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[kmvHash]]: an unrolled positional hex→int
+    * sum (DuckDB has no hex-to-integer cast) — 14 exact BIGINT terms. */
+  def kmvHashSql(x: String): String =
+    (0 until KmvHexChars).map { i =>
+      val pow = 1L << (4 * (KmvHexChars - 1 - i))
+      s"(CAST(strpos('0123456789abcdef', substr(md5($x), ${i + 1}, 1)) " +
+        s"AS BIGINT) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** KMV (k-minimum-values) distinct-count sketch per group: the k
+    * smallest distinct 56-bit value hashes, as one `(group, hs)` row per
+    * group — the MERGEABLE cardinality sketch (union = bottom-k of the
+    * parts' slots, [[mergeKmv]]).
+    *
+    * Scale shape: ONE partial-agg shuffle. [[graft.functions.BottomKAggregator]]
+    * is associative with state bounded at k longs, so Spark map-side
+    * combines — each partition contributes at most k values per group to
+    * the shuffle, never its distinct-value relation. The relational
+    * alternative (distinct + per-group rank window) sorts every distinct
+    * hash; at 100 TB that is billions of rows per group for a 64-slot
+    * answer. Cf. Bar-Yossef et al., "Counting Distinct Elements in a
+    * Data Stream" (RANDOM 2002). */
+  def kmvSketch(df: DataFrame, k: Int, groupCol: String = "source",
+                valueCol: String = "text"): DataFrame = {
+    require(k >= 2 && k <= 128, "need 2 <= k <= 128 (estimator range)")
+    val bottomK = udaf(new graft.functions.BottomKAggregator(k))
+    df.select(col(groupCol), kmvHash(col(valueCol)).as("h"))
+      .groupBy(col(groupCol))
+      .agg(bottomK(col("h")).as("hs"))
+  }
+
+  /** Cardinality estimate from a KMV sketch: with fewer than k distinct
+    * hashes the sketch IS the distinct set (estimate exact); at k slots,
+    * the classic unbiased estimator `(k−1) · SPACE / h_(k)` — here in
+    * exact 64-bit integer arithmetic (numerator < 2^63 by the
+    * [[KmvHexChars]] choice), so DuckDB reproduces every digit. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 128, "need 2 <= k <= 128 (estimator range)")
+    val num = (k - 1).toLong * KmvSpace
+    sketch
+      .withColumn("n_hashes", size(col("hs")).cast("long"))
+      .withColumn("kth_hash",
+        when(col("n_hashes") === k, element_at(col("hs"), k))
+          .otherwise(lit(0L)))
+      .withColumn("distinct_est",
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(expr(s"${num}L div greatest(kth_hash, 1L)")))
+      .drop("hs")
+  }
+
+  /** Merge KMV sketches (schema `(group, hs)`, group = first column):
+    * slots union, bottom-k re-taken — the sketch of a corpus union, so
+    * incremental maintenance appends a batch sketch and compacts
+    * (bounded work per batch), never re-scans the corpus. `SketchesSpec`
+    * pins batch-merge ≡ one-shot. */
+  def mergeKmv(k: Int, parts: DataFrame*): DataFrame = {
+    val u = parts.reduce(_ unionByName _)
+    val g = u.columns.head
+    val bottomK = udaf(new graft.functions.BottomKAggregator(k))
+    u.select(col(g), explode(col("hs")).as("h"))
+      .groupBy(col(g))
+      .agg(bottomK(col("h")).as("hs"))
+  }
+
   /** Probe a corpus against a Bloom bit-set: per document, how many of
     * its distinct shingles are MAYBE in the benchmark (all `depth` bits
     * set — the Bloom positive, which may include false positives: that

@@ -27,6 +27,11 @@ object PipelineQueries {
   /** Hot-shingle document-frequency cap for the capped Jaccard query. The
     * sf0.01 corpus tops out at df=7, so 3 genuinely exercises the cut. */
   val ShingleDocFreqCap = 3L
+  /** KMV cardinality-sketch size (q152): the 64 smallest distinct 56-bit
+    * content hashes per source. */
+  val KmvK = 64
+  /** Percentile set for the exact-quantile report (q153). */
+  val QuantilePcts: Seq[Int] = Seq(25, 50, 75, 90, 99)
   /** IVF probe fan-out: centroid seeds, probed cells, result size. */
   val IvfSeedIds: Seq[Long] = Seq(1L, 2L, 3L, 4L)
   val IvfNprobe = 2
@@ -879,6 +884,61 @@ object PipelineQueries {
           sum(col("n_deflated")).as("deflated_sum"))
         .withColumn("ratio", col("deflated_sum").cast("double") /
           col("raw_sum").cast("double"))
+        .orderBy(col("source"))
+    },
+
+    // KMV distinct-count sketch: the 64 smallest distinct content hashes
+    // per source, the MERGEABLE cardinality sketch — estimate vs exact
+    // truth, with the estimator in exact 64-bit integer arithmetic so
+    // DuckDB reproduces every digit.
+    "q152_kmv_distinct" -> { (s, dir) =>
+      import graft.operators.Sketches
+      val docs = t(s, dir, "documents")
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(docs, KmvK, "source", "text"), KmvK)
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("n_distinct"))
+      est.join(exact, "source")
+        .select(col("source"), col("n_distinct"), col("n_hashes"),
+          col("kth_hash"), col("distinct_est"))
+        .orderBy(col("source"))
+    },
+
+    // Exact order-value percentiles WITHOUT a global sort: bucketed
+    // histogram + bounded prefix sums + rank-within-owning-bucket — the
+    // data-card percentile line, exact at any scale.
+    "q153_exact_quantiles" -> { (s, dir) =>
+      val cents = t(s, dir, "orders")
+        .select((col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.Quantiles
+        .exactQuantiles(cents, "cents", QuantilePcts,
+          bucketWidth = 1000000L)
+        .orderBy(col("pct"))
+    },
+
+    // Per-source token-length quartiles + Tukey-fence outlier counts
+    // (integer fence: p75 + 3·IQR/2) — the length-anomaly report a
+    // curation pass reads before setting truncation policy.
+    "q154_length_outliers" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      val wide = graft.operators.Quantiles
+        .exactGroupQuantiles(toks, "source", "n_tokens", Seq(25, 50, 75),
+          bucketWidth = 16L)
+        .groupBy(col("source"))
+        .agg(max(when(col("pct") === 25, col("value"))).as("p25"),
+          max(when(col("pct") === 50, col("value"))).as("p50"),
+          max(when(col("pct") === 75, col("value"))).as("p75"))
+        .withColumn("fence",
+          col("p75") + expr("(3 * (p75 - p25)) div 2"))
+      toks.join(broadcast(wide), "source")
+        .groupBy(col("source"))
+        .agg(max(col("p25")).as("p25"), max(col("p50")).as("p50"),
+          max(col("p75")).as("p75"),
+          sum(when(col("n_tokens") > col("fence"), 1L).otherwise(0L))
+            .as("n_outliers"))
         .orderBy(col("source"))
     },
 
@@ -2452,6 +2512,64 @@ object PipelineQueries {
            AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name ORDER BY n_name""",
+
+    "q152_kmv_distinct" -> {
+      import graft.operators.Sketches
+      val num = (KmvK - 1).toLong * Sketches.KmvSpace
+      val kth = s"COALESCE(MAX(CASE WHEN rn = $KmvK THEN h END), 0)"
+      s"""WITH hh AS (SELECT DISTINCT source,
+           ${Sketches.kmvHashSql("text")} AS h
+           FROM documents),
+         r AS (SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS nd
+           FROM hh),
+         sk AS (SELECT source,
+             CAST(LEAST(MAX(nd), $KmvK) AS BIGINT) AS n_hashes,
+             CAST($kth AS BIGINT) AS kth_hash,
+             CAST(CASE WHEN MAX(nd) < $KmvK THEN MAX(nd)
+               ELSE $num // GREATEST($kth, 1) END AS BIGINT)
+               AS distinct_est
+           FROM r GROUP BY source),
+         x AS (SELECT source,
+             CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+           FROM documents GROUP BY source)
+         SELECT source, x.n_distinct, sk.n_hashes, sk.kth_hash,
+           sk.distinct_est
+         FROM sk JOIN x USING (source) ORDER BY source""" },
+
+    "q153_exact_quantiles" -> {
+      val pv = QuantilePcts.map(p => s"($p)").mkString(", ")
+      s"""WITH v AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS v
+           FROM orders),
+         n AS (SELECT COUNT(*) AS n FROM v),
+         t AS (SELECT pv.p AS pct, (n.n * pv.p + 99) // 100 AS tr
+           FROM n, (VALUES $pv) pv(p)),
+         r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
+         SELECT t.pct, r.v AS value
+         FROM t JOIN r ON r.rn = t.tr ORDER BY pct""" },
+
+    "q154_length_outliers" ->
+      """WITH d AS (SELECT source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS v
+           FROM documents),
+         r AS (SELECT source, v,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+           FROM d),
+         q AS (SELECT source,
+             MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END) AS p25,
+             MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
+             MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END) AS p75
+           FROM r GROUP BY source),
+         o AS (SELECT d.source,
+             CAST(SUM(CASE WHEN d.v > q.p75 + (3 * (q.p75 - q.p25)) // 2
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           FROM d JOIN q USING (source) GROUP BY d.source)
+         SELECT source, q.p25, q.p50, q.p75,
+           COALESCE(o.n_outliers, 0) AS n_outliers
+         FROM q LEFT JOIN o USING (source) ORDER BY source""",
 
     "q139_countmin" -> {
       val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")

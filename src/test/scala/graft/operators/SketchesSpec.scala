@@ -58,4 +58,40 @@ class SketchesSpec extends SparkSpec {
     // doc 2: n_maybe bounded by its shingle count (may include FPs)
     assert(out(2L)._2 <= out(2L)._1)
   }
+
+  test("kmv: exact below k, re-observation dedups, slots sorted") {
+    // 5 distinct values observed with heavy repetition, k = 8 > 5:
+    // the sketch IS the distinct hash set and the estimate is exact
+    val df = (1 to 50).map(i => ("g", s"v${i % 5}")).toDF("source", "text")
+    val sk = Sketches.kmvSketch(df, k = 8)
+    val hs = sk.collect().head.getSeq[Long](1)
+    assert(hs.length == 5 && hs == hs.sorted && hs.distinct == hs)
+    val est = Sketches.kmvEstimate(sk, k = 8).collect().head
+    assert(est.getLong(est.fieldIndex("n_hashes")) == 5L)
+    assert(est.getLong(est.fieldIndex("kth_hash")) == 0L)
+    assert(est.getLong(est.fieldIndex("distinct_est")) == 5L)
+  }
+
+  test("kmv estimate lands near truth at k slots (deterministic md5)") {
+    val n = 1000
+    val df = (1 to n).map(i => ("g", s"value-$i")).toDF("source", "text")
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(df, k = 64), k = 64)
+      .collect().head
+    val e = est.getLong(est.fieldIndex("distinct_est"))
+    // fixed hash family ⇒ this is a constant, pinned loosely: the
+    // (k−1)/h_k estimator's σ ≈ n/√k ≈ 12.5% here
+    assert(e > n / 2 && e < n * 2, s"estimate $e far from $n")
+    assert(est.getLong(est.fieldIndex("n_hashes")) == 64L)
+  }
+
+  test("kmv batch-merge equals the one-shot sketch (incremental path)") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    def slots(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val merged = Sketches.mergeKmv(16,
+      Sketches.kmvSketch(a, 16), Sketches.kmvSketch(b, 16))
+    assert(slots(merged) == slots(Sketches.kmvSketch(docs, 16)))
+  }
 }
