@@ -1382,6 +1382,73 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // Join-key skew profile: the diagnostic that DECIDES when to salt
+    // (plan.Salting) — per-key frequencies, their exact percentiles via
+    // the no-global-sort quantile operator, and the hottest key's share
+    // of all rows in exact ppm.
+    "q155_skew_profile" -> { (s, dir) =>
+      val cnts = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val qwide = graft.operators.Quantiles
+        .exactQuantiles(cnts, "cnt", Seq(50, 90, 99), bucketWidth = 4L)
+        .agg(max(when(col("pct") === 50, col("value"))).as("p50"),
+          max(when(col("pct") === 90, col("value"))).as("p90"),
+          max(when(col("pct") === 99, col("value"))).as("p99"))
+      cnts
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total_rows"),
+          max(col("cnt")).as("max_cnt"))
+        .crossJoin(qwide)
+        .withColumn("top_share_ppm",
+          expr("max_cnt * 1000000L div total_rows"))
+    },
+
+    // Returned-item revenue (TPC-H Q10 shape): which customers returned
+    // the most value in a quarter — join-heavy agg with DECIMAL-exact
+    // revenue and a deterministic top-20.
+    "q156_returned_revenue" -> { (s, dir) =>
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+
+    // Large-volume orders (TPC-H Q18 shape): orders whose total line
+    // quantity clears a threshold — the agg-then-rejoin pattern (the
+    // HAVING subquery), integer-exact quantities.
+    "q157_large_orders" -> { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("long")
+          .as("total_qty"))
+        .filter(col("total_qty") > 250L)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    },
+
     // Count-min frequency sketch: fixed-size cell relation over token
     // occurrences, probed for known-common / rare / absent tokens —
     // estimate ≥ truth always, equality when cells are collision-free.
@@ -2570,6 +2637,57 @@ object PipelineQueries {
          SELECT source, q.p25, q.p50, q.p75,
            COALESCE(o.n_outliers, 0) AS n_outliers
          FROM q LEFT JOIN o USING (source) ORDER BY source""",
+
+    "q155_skew_profile" ->
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+           GROUP BY o_custkey),
+         n AS (SELECT COUNT(*) AS nk, CAST(SUM(cnt) AS BIGINT) AS tot,
+             MAX(cnt) AS mx
+           FROM c),
+         r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt) AS rn FROM c),
+         q AS (SELECT
+             MAX(CASE WHEN r.rn = (n.nk * 50 + 99) // 100 THEN r.cnt END)
+               AS p50,
+             MAX(CASE WHEN r.rn = (n.nk * 90 + 99) // 100 THEN r.cnt END)
+               AS p90,
+             MAX(CASE WHEN r.rn = (n.nk * 99 + 99) // 100 THEN r.cnt END)
+               AS p99
+           FROM r, n)
+         SELECT n.nk AS n_keys, n.tot AS total_rows,
+           CAST(n.mx AS BIGINT) AS max_cnt, q.p50, q.p90, q.p99,
+           CAST(n.mx * 1000000 // n.tot AS BIGINT) AS top_share_ppm
+         FROM n, q""",
+
+    "q156_returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+         FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, c.c_custkey ASC
+         LIMIT 20""",
+
+    "q157_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT)
+             AS total_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT)
+             > 250)
+         SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice, big.total_qty
+         FROM orders o
+           JOIN big ON o.o_orderkey = big.l_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+         LIMIT 20""",
 
     "q139_countmin" -> {
       val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")
