@@ -1449,6 +1449,30 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // Event-transition matrix (first-order Markov counts): which event
+    // follows which per user, with the transition rate in exact ppm —
+    // the sequence-mining primitive behind path analysis. The lag window
+    // is partitioned per user (bounded by a user's history); the ppm
+    // window runs over the types² aggregate.
+    "q158_event_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val tr = ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumnRenamed("event_type", "next_type")
+      val wTot = Window.partitionBy(col("prev_type"))
+      tr.withColumn("tot", sum(col("n")).over(wTot))
+        .withColumn("ppm", expr("n * 1000000L div tot"))
+        .drop("tot")
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+
     // Count-min frequency sketch: fixed-size cell relation over token
     // occurrences, probed for known-common / rare / absent tokens —
     // estimate ≥ truth always, equality when cells are collision-free.
@@ -2688,6 +2712,23 @@ object PipelineQueries {
            JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
          LIMIT 20""",
+
+    "q158_event_transitions" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+           epoch_us(ts) AS us
+           FROM events),
+         lagd AS (SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS prev_type
+           FROM ev),
+         tr AS (SELECT prev_type, event_type AS next_type,
+             COUNT(*) AS n
+           FROM lagd WHERE prev_type IS NOT NULL
+           GROUP BY prev_type, event_type)
+         SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 //
+             SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
+         FROM tr ORDER BY prev_type, next_type""",
 
     "q139_countmin" -> {
       val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")
