@@ -1473,6 +1473,52 @@ object PipelineQueries {
         .orderBy(col("prev_type"), col("next_type"))
     },
 
+    // Quality-decile calibration: exact decile boundaries of the quality
+    // score (integer-scaled, via the no-global-sort quantile operator) ×
+    // exact-dup incidence per decile — does the score actually separate
+    // boilerplate? The curation-policy sanity check.
+    "q159_quality_calibration" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (TextAnalysis.qualityScore(col("text")) * lit(1000000.0))
+            .cast("long").as("q6"))
+      val deciles = (1 to 9).map(_ * 10)
+      val pivoted = (1 to 9).map(d =>
+        max(when(col("pct") === d * 10, col("value"))).as(s"b$d"))
+      val bounds = graft.operators.Quantiles
+        .exactQuantiles(scored, "q6", deciles, bucketWidth = 50000L)
+        .agg(pivoted.head, pivoted.tail: _*)
+      val dup = scored.groupBy(col("text")).agg(count(lit(1)).as("c"))
+      val decile = (1 to 9)
+        .map(d => when(col("q6") > col(s"b$d"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      scored.join(dup, "text")
+        .crossJoin(broadcast(bounds))
+        .withColumn("decile", decile)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dups"))
+        .withColumn("dup_ppm", expr("n_dups * 1000000L div n_docs"))
+        .orderBy(col("decile"))
+    },
+
+    // Cumulative user-growth curve: per day, first-time users and the
+    // running total — first-activity is a min-agg on the user key, the
+    // cumsum runs over the BOUNDED daily aggregate.
+    "q160_user_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val first = t(s, dir, "events")
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd")
+          .as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      val daily = first.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_users", sum(col("n_new_users")).over(w))
+        .orderBy(col("day"))
+    },
+
     // Count-min frequency sketch: fixed-size cell relation over token
     // occurrences, probed for known-common / rare / absent tokens —
     // estimate ≥ truth always, equality when cells are collision-free.
@@ -2729,6 +2775,44 @@ object PipelineQueries {
            CAST(n * 1000000 //
              SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
          FROM tr ORDER BY prev_type, next_type""",
+
+    "q159_quality_calibration" -> {
+      val boundCols = (1 to 9).map(d =>
+        s"MAX(CASE WHEN rn = (n.n * ${d * 10} + 99) // 100 THEN q6 END) " +
+          s"AS b$d").mkString(", ")
+      val decileExpr = (1 to 9)
+        .map(i => s"(CASE WHEN q6 > b.b$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $toksCte, $qualityComponentsSql,
+         s AS (SELECT doc_id, text,
+             CAST(trunc(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                 - (stopword_ratio * 0.5) - (punct_ratio * 2.0))
+               * 1000000) AS BIGINT) AS q6
+           FROM comp),
+         n AS (SELECT COUNT(*) AS n FROM s),
+         r AS (SELECT q6, ROW_NUMBER() OVER (ORDER BY q6) AS rn FROM s),
+         b AS (SELECT $boundCols FROM r, n),
+         dup AS (SELECT text, COUNT(*) AS c FROM s GROUP BY text),
+         d AS (SELECT s.q6, (dup.c > 1) AS is_dup
+           FROM s JOIN dup USING (text)),
+         dd AS (SELECT 1 + $decileExpr AS decile, is_dup FROM d, b)
+         SELECT decile, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dups,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS dup_ppm
+         FROM dd GROUP BY decile ORDER BY decile""" },
+
+    "q160_user_growth" ->
+      """WITH f AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+           FROM events GROUP BY user_id),
+         d AS (SELECT day, COUNT(*) AS n_new_users FROM f GROUP BY day)
+         SELECT day, n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+         FROM d ORDER BY day""",
 
     "q139_countmin" -> {
       val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")
