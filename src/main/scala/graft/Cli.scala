@@ -327,6 +327,41 @@ object Cli {
               org.apache.spark.sql.functions.col): _*)
             .collect().foreach(r => println(r.mkString("\t")))
 
+        case "skew" =>
+          // join-key skew profile (the salting decision input):
+          //   skew --source <parquet> --key <col> [--bucket-width 4]
+          import org.apache.spark.sql.functions._
+          val cnts = spark.read.parquet(opts("source"))
+            .groupBy(col(opts("key"))).agg(count(lit(1)).as("cnt"))
+          val q = graft.operators.Quantiles
+            .exactQuantiles(cnts, "cnt", Seq(50, 90, 99),
+              opts.getOrElse("bucket-width", "4").toLong)
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val row = cnts.agg(count(lit(1)).as("nk"),
+            sum(col("cnt")).as("tot"), max(col("cnt")).as("mx")).head()
+          val (nk, tot, mx) =
+            (row.getLong(0), row.getLong(1), row.getLong(2))
+          println(s"""{"n_keys": $nk, "total_rows": $tot,""" +
+            s""" "max_cnt": $mx, "p50": ${q(50)}, "p90": ${q(90)},""" +
+            s""" "p99": ${q(99)},""" +
+            s""" "top_share_ppm": ${mx * 1000000L / tot}}""")
+
+        case "distinct" =>
+          // KMV distinct-count estimates per group:
+          //   distinct --source <parquet> [--group-col source]
+          //            [--value-col text] [--k 64]
+          import graft.operators.Sketches
+          val k = opts.getOrElse("k", "64").toInt
+          val est = Sketches.kmvEstimate(
+            Sketches.kmvSketch(spark.read.parquet(opts("source")), k,
+              opts.getOrElse("group-col", "source"),
+              opts.getOrElse("value-col", "text")), k)
+          val parts = est.collect()
+            .map(r => s""""${r.get(0)}": ${
+              r.getLong(r.fieldIndex("distinct_est"))}""")
+            .sorted.mkString(", ")
+          println(s"{$parts}")
+
         case "schema-sync" =>
           // detect source-side schema drift vs an offloaded target and
           // print the evolution plan (ALTERs for DDL-applying engines);

@@ -184,6 +184,29 @@ class CliSpec extends SparkSpec {
     assert(card.count() > 0)
   }
 
+  test("skew and distinct commands print sane profiles") {
+    val src = sf("sf0.001") + "/orders.parquet"
+    val outCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outCap, true, "UTF-8")) {
+      Cli.main(Array("skew", "--source", src, "--key", "o_custkey"))
+      Cli.main(Array("distinct", "--source",
+        sf("sf0.001") + "/documents.parquet", "--group-col", "source",
+        "--k", "8"))
+    }
+    val Array(skewLine, distinctLine) =
+      outCap.toString("UTF-8").trim.split("\n").takeRight(2)
+    // skew: percentiles ordered, hottest-key share within (0, 1e6] ppm
+    assert(skewLine.contains("\"n_keys\"") &&
+      skewLine.contains("\"top_share_ppm\""))
+    val ppm = "\"top_share_ppm\": (\\d+)".r
+      .findFirstMatchIn(skewLine).get.group(1).toLong
+    assert(ppm > 0L && ppm <= 1000000L)
+    // distinct: one estimate per source, all positive
+    val ests = "\": (\\d+)".r.findAllMatchIn(distinctLine)
+      .map(_.group(1).toLong).toSeq
+    assert(ests.nonEmpty && ests.forall(_ > 0L))
+  }
+
   test("agg-validate validates a table against itself") {
     val src = sf("sf0.001") + "/orders.parquet"
     Cli.main(Array("agg-validate", "--left", src, "--right", src,
