@@ -95,7 +95,12 @@ object Bench {
     // truncated its head two rounds running, losing the totals. A short
     // trailing summary line is always the LAST thing printed, so any tail
     // window retains it regardless of how long the detail line gets.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"slowest":${ms(results.collect { case (_, (v, None)) => v }.foldLeft(0.0)(math.max))},"sf":"$sfDir"}""")
+    // Top-5 slowest BY NAME: the stored tail has twice truncated the long
+    // per-query line, leaving the slowest query anonymous in the verdict.
+    val top5 = results.collect { case (k, (v, None)) => k -> v }
+      .sortBy(-_._2).take(5)
+      .map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"top5_slowest":$top5,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -13,17 +13,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`: the
-    * `events` table carries TIMESTAMP(NANOS) which Spark has no native type
-    * for; it then arrives as nanos-since-epoch LONG and is normalised here to
-    * a microsecond timestamp (integer `div` — a double division would lose
-    * precision above 2^53 ns). */
+  /** Normalise the `events.ts` column to session TimestampType regardless of
+    * its physical parquet representation, so every downstream operator sees
+    * one timestamp type. Three representations occur in practice:
+    *
+    *  - TIMESTAMP(NANOS): Spark has no native type; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
+    *    nanos-since-epoch LONG and is converted here (integer `div` — a
+    *    double division would lose precision above 2^53 ns);
+    *  - `timestamp[us]` with isAdjustedToUTC=false: arrives as
+    *    TIMESTAMP_NTZ and is cast to TimestampType — the session timezone is
+    *    pinned to UTC by every entrypoint, so the instant is deterministic;
+    *  - UTC-adjusted `timestamp[us]`: already TimestampType, passthrough.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(df)
+  }
+
+  /** Exposed separately so callers holding an events-shaped frame from any
+    * source (not just parquet) can apply the same timestamp contract. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts") match {
-      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+      case Some(f) if f.dataType == LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions
           .expr("timestamp_micros(ts div 1000)"))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .col("ts").cast(TimestampType))
       case _ => df
     }
   }

@@ -101,6 +101,12 @@ object Bpe {
             regexp_replace(col("rep"),
               java.util.regex.Pattern.quote(Delim + x + Delim + Delim + y + Delim),
               java.util.regex.Matcher.quoteReplacement(Delim + x + y + Delim)))
+          // The replace chain grows one regexp per round; checkpoint every
+          // 8 rounds so plan size (and re-execution from the corpus scan)
+          // stays bounded when callers train real vocab sizes. The
+          // vocabulary relation is Zipf-small, so the materialisation is
+          // metadata-scale.
+          if (r % 8 == 0) rep = rep.localCheckpoint(true)
           r += 1
         }
       }

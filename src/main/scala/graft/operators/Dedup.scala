@@ -249,6 +249,10 @@ object Dedup {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     var rank = nodes.withColumn("rank", lit(Scale))
+    // localCheckpoint per round (same precedent as connectedComponents):
+    // without it the rank lineage nests one join-agg layer per round and
+    // re-executes from the source at every action — fine at 3 rounds,
+    // quadratic re-work when a caller raises `rounds`.
     (1 to rounds).foreach { _ =>
       val contrib = edges
         .join(outdeg, "src")
@@ -259,6 +263,7 @@ object Dedup {
       rank = nodes.join(contrib, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
     }
     rank
   }

@@ -164,6 +164,32 @@ object Events {
 
   // ------------------------------------------------- custom state (GADT)
 
+  /** Representation-agnostic event-time accessor for keyed-state operators:
+    * a Row's `ts` field surfaces as `java.sql.Timestamp` (TimestampType),
+    * `java.time.Instant` (java8 datetime API), or `java.time.LocalDateTime`
+    * (TIMESTAMP_NTZ — interpreted at UTC, matching the pinned session TZ).
+    * Returns epoch MICROseconds so no sub-millisecond precision is lost. */
+  private[graft] def tsMicros(r: org.apache.spark.sql.Row,
+                              field: String = "ts"): Long =
+    r.get(r.fieldIndex(field)) match {
+      case t: java.sql.Timestamp =>
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case l: java.time.LocalDateTime =>
+        val i = l.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case other => throw new IllegalArgumentException(
+        s"unsupported timestamp representation for '$field': " +
+          s"${if (other == null) "null" else other.getClass.getName}")
+    }
+
+  private def microsToTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+    t
+  }
+
   final case class UserActivity(
       user_id: Long, n_events: Long, n_errors: Long,
       last_seen: java.sql.Timestamp, error_streak: Long, alerted: Boolean)
@@ -191,15 +217,14 @@ object Events {
               alerted = false))
           // order within the batch by event time for a deterministic streak
           val sorted = rows.toSeq.sortBy(r =>
-            (r.getAs[java.sql.Timestamp]("ts").getTime,
-             r.getAs[Long]("event_id")))
+            (tsMicros(r), r.getAs[Long]("event_id")))
           val updated = sorted.foldLeft(prev) { (acc, r) =>
             val isError = r.getAs[String]("event_type") == "error"
             val streak = if (isError) acc.error_streak + 1 else 0L
             acc.copy(
               n_events = acc.n_events + 1,
               n_errors = acc.n_errors + (if (isError) 1 else 0),
-              last_seen = r.getAs[java.sql.Timestamp]("ts"),
+              last_seen = microsToTimestamp(tsMicros(r)),
               error_streak = streak,
               alerted = acc.alerted || streak >= alarmStreak)
           }
@@ -249,7 +274,7 @@ object Events {
               s.n, s.errors))
           } else {
             val batch = rows.toSeq
-            val ts = batch.map(_.getAs[java.sql.Timestamp]("ts").getTime)
+            val ts = batch.map(r => Math.floorDiv(tsMicros(r), 1000L))
             val errs = batch.count(_.getAs[String]("event_type") == "error")
             val merged = state.getOption match {
               case Some(s) => SessionState(math.min(s.start, ts.min),
