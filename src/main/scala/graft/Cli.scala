@@ -35,6 +35,22 @@ object Cli {
     out.result()
   }
 
+  /** `--ddl-dialect` values → renderer dialects. */
+  private[graft] def dialectOf(name: String): graft.sink.DdlRenderer.Dialect = {
+    import graft.sink.DdlRenderer.Dialect
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "spark" | "sparksql" => Dialect.SparkSql
+      case "bigquery" | "bq"    => Dialect.BigQuery
+      case "hive"               => Dialect.Hive
+      case "snowflake"          => Dialect.Snowflake
+      case "synapse"            => Dialect.Synapse
+      case "impala"             => Dialect.Impala
+      case other => throw new IllegalArgumentException(
+        s"unknown --ddl-dialect: $other " +
+          "(spark|bigquery|hive|snowflake|synapse|impala)")
+    }
+  }
+
   /** Data-type override flags, reference-compatible names (`offload.py:
     * 532-603`): `--integer-N-columns`, repeatable paired `--decimal-columns`
     * + `--decimal-columns-type`, `--date-columns`, `--double-columns`,
@@ -110,6 +126,9 @@ object Cli {
             partitionCols = opts.get("partition-by")
               .map(_.split(',').toSeq).getOrElse(Nil),
             dryRun = opts.contains("dry-run"),
+            ddlFile = opts.get("ddl-file"),
+            ddlDialect = opts.get("ddl-dialect").map(dialectOf)
+              .getOrElse(graft.sink.DdlRenderer.Dialect.SparkSql),
             typeOverrides = overridesFrom(pairs)))
           steps.foreach(s => println(
             f"${if (s.ok) "ok " else "ERR"} ${s.name}%-18s ${s.millis}%6d ms  ${s.detail}"))

@@ -16,6 +16,10 @@ import graft.meta.{MetadataStore, StatsStore}
   * Endpoint surface mirrors the reference's routers
   * (`api/routes/system.py`, `api/routes/orchestration.py`):
   *   - `GET /api/system/status/` — liveness + inventory counts
+  *   - `GET /api/system/heartbeat/` — heartbeat freshness (uptime, last
+  *     beat, alive ⇔ beat within 2× interval — the reference's
+  *     `listener/services/heartbeat.py` TTL contract); the same frame is
+  *     published periodically on the SSE stream
   *   - `GET /api/system/schemas/{table}/columns/` — copied column stats
   *   - `GET /api/system/schemas/{table}/partitions/` — copied partition stats
   *   - `GET /api/system/views/{table}/` — hybrid/conversion view info:
@@ -38,9 +42,12 @@ object Listener {
 
   final case class Server(http: HttpServer,
                           pool: java.util.concurrent.ExecutorService,
-                          bus: ProgressBus) {
+                          bus: ProgressBus,
+                          beater: java.util.concurrent.ScheduledExecutorService) {
     def port: Int = http.getAddress.getPort
-    def stop(): Unit = { http.stop(0); pool.shutdownNow(); () }
+    def stop(): Unit = {
+      beater.shutdownNow(); http.stop(0); pool.shutdownNow(); ()
+    }
   }
 
   /** In-process progress bus — the reference streams live command progress
@@ -122,13 +129,37 @@ object Listener {
   }
 
   def start(spark: SparkSession, metadataDir: String, port: Int = 0,
-            token: Option[String] = None): Server = {
+            token: Option[String] = None,
+            heartbeatSeconds: Int = 5): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // the default executor is the single dispatcher thread — an open SSE
     // stream would starve every other route; hand requests to a pool
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
     http.setExecutor(pool)
     val bus = new ProgressBus
+
+    // Heartbeat — the reference's ListenerHeartbeat publishes a liveness
+    // record with TTL = 2× interval to Redis (`listener/services/
+    // heartbeat.py:98-112`, `periodic_tasks.py:36-46`); in-process the
+    // record is an AtomicLong and the publication is a bus frame, with the
+    // same freshness contract: alive ⇔ last beat within 2× interval.
+    val startedAtMillis = System.currentTimeMillis()
+    val listenerId = java.util.UUID.randomUUID().toString
+    val lastBeat =
+      new java.util.concurrent.atomic.AtomicLong(startedAtMillis)
+    val beater =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "listener-heartbeat"); t.setDaemon(true); t
+      }
+    beater.scheduleAtFixedRate(
+      () => {
+        val now = System.currentTimeMillis()
+        lastBeat.set(now)
+        bus.publish(s"""{"event":"heartbeat","listener_id":${q(listenerId)},""" +
+          s""""ts_ms":$now,"uptime_s":${(now - startedAtMillis) / 1000}}""")
+      },
+      heartbeatSeconds.toLong, heartbeatSeconds.toLong,
+      java.util.concurrent.TimeUnit.SECONDS)
 
     def authed(ex: HttpExchange): Boolean =
       token.forall(t =>
@@ -139,6 +170,18 @@ object Listener {
       val path = ex.getRequestURI.getPath.stripSuffix("/")
       val method = ex.getRequestMethod
       (method, path.split('/').toList.filter(_.nonEmpty)) match {
+        case ("GET", List("api", "system", "heartbeat")) =>
+          val now = System.currentTimeMillis()
+          val beat = lastBeat.get()
+          val alive = now - beat <= 2000L * heartbeatSeconds
+          respond(ex, 200,
+            s"""{"status": ${q(if (alive) "ok" else "stale")}, """ +
+            s""""listener_id": ${q(listenerId)}, """ +
+            s""""uptime_s": ${(now - startedAtMillis) / 1000}, """ +
+            s""""last_beat_ms": $beat, """ +
+            s""""interval_s": $heartbeatSeconds, """ +
+            s""""alive": $alive}""")
+
         case ("GET", List("api", "system", "status")) =>
           val tables = listTables(metadataDir)
           respond(ex, 200,
@@ -306,6 +349,6 @@ object Listener {
 
     http.createContext("/", handle(_))
     http.start()
-    Server(http, pool, bus)
+    Server(http, pool, bus, beater)
   }
 }

@@ -94,6 +94,14 @@ object OffloadRunner {
       // BigQuery final-table sink (assembled always; executed only behind
       // spark.graft.bigquery.execute — see BigQuerySink)
       bigquerySink: Option[graft.sink.BigQuerySink.Config] = None,
+      // DDL-file emission (`--ddl-file`): when set, the rendered
+      // final-table DDL is written to this path (or AUTO → a timestamped
+      // file under <metadataDir>/log) as the execution artifact and NO
+      // table is created/loaded — the reference's ddl_file operation
+      // forces execute off (`operation/ddl_file.py`, `offload.py:66-87`).
+      ddlFile: Option[String] = None,
+      ddlDialect: graft.sink.DdlRenderer.Dialect =
+        graft.sink.DdlRenderer.Dialect.SparkSql,
       // Orchestration execution id (the reference's ExecutionId UUID,
       // `execution_id.py`); generated per command when absent. All audit
       // rows of one command invocation share it.
@@ -189,6 +197,22 @@ object OffloadRunner {
     val schema = planned.map(df => graft.types.TypeOverrides(
         TypeMapper.fromStructType(df.schema), cfg.typeOverrides))
       .getOrElse(Nil)
+
+    // DDL-file mode: write the rendered DDL artifact and stop — no staging,
+    // no load, no metadata. The artifact IS the command's output.
+    if (cfg.ddlFile.isDefined) {
+      val raw = cfg.ddlFile.get
+      r.step("ddl_file", s"requested=$raw dialect=${cfg.ddlDialect}") {
+        val path = graft.sink.DdlFile.resolve(
+          raw, cfg.sourceTable, cfg.metadataDir + "/log")
+        val ddl = graft.sink.DdlRenderer.createTable(
+          cfg.finalPath, schema, cfg.ddlDialect,
+          partitionBy = cfg.partitionCols, clusterBy = cfg.sortCols)
+        val written = graft.sink.DdlFile.write(path, Seq(ddl))
+        r.results += StepResult("ddl_file_path", ok = true, written, 0L)
+      }
+      return r.results.toSeq
+    }
 
     // Incremental continuation appends the new slice; first pass (or FULL)
     // overwrites — mirrors the reference's append-vs-reset semantics.
