@@ -444,6 +444,56 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 ranking over query terms, fully integer-exact. The standard
+    * k1=1.2, b=0.75 parameters are rationals (6/5, 3/4), so the per-term
+    * saturation factor
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * reduces — after multiplying through by `20·L` with `avgdl = L/N`
+    * (L = corpus token count, N = doc count) — to the integer ratio
+    * `44·tf·L / (20·L·tf + 6·L + 18·dl·N)`.
+    * Scored as `ppm(ratio) · idf_bits` per term with one integral divide
+    * (DECIMAL(38,0) intermediates: at 100 TB, L ~ 10^13 would overflow the
+    * 64-bit product), then summed per doc — both engines compute the same
+    * digits. IDF is [[tfIdfSearch]]'s bit-length weight.
+    *
+    * Scale shape: the doc-length relation is one map pass; corpus stats
+    * and per-term document frequencies are broadcast; the only shuffles
+    * are the tf aggregation (query-term hits only) and the doc-key join
+    * back to lengths. */
+  def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val lens = docs.select(col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("corpus_len"))
+    val occ = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = occ.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .join(lens, "doc_id")
+      .withColumn("idf_bits",
+        length(bin(expr("n_docs div df"))).cast("long"))
+      .withColumn("term_score_ppm", expr(
+        """(cast(1000000 as decimal(38,0)) * idf_bits * 44 * tf * corpus_len)
+           div
+           (cast(20 as decimal(38,0)) * corpus_len * tf
+             + cast(6 as decimal(38,0)) * corpus_len
+             + cast(18 as decimal(38,0)) * dl * n_docs)"""))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score_ppm")).as("score_ppm"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Canonical URL for web-corpus dedup: the same page crawled as
     * `HTTPS://WWW.Site.com:443/a/?utm_source=feed#top` and
     * `https://site.com/a` must collapse to one key before URL-keyed

@@ -1519,6 +1519,102 @@ object PipelineQueries {
         .orderBy(col("day"))
     },
 
+    // Session-duration profile over the sessionizer output: sessions
+    // bucketed by event count with total/mean/max duration in exact µs
+    // integers — the engagement read-out a product team runs daily, and a
+    // second oracle-checked consumer of the (round-9-normalised)
+    // event-time path. Per-user lag/cumsum windows, then a bounded
+    // (n_events-keyed) aggregate.
+    "q161_session_stats" -> { (s, dir) =>
+      graft.streaming.Events.sessionizeBatch(t(s, dir, "events"))
+        .select(col("n_events"),
+          (unix_micros(col("session_end")) -
+            unix_micros(col("session_start"))).as("dur_us"))
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("dur_us")).as("total_dur_us"),
+          max(col("dur_us")).as("max_dur_us"))
+        .withColumn("mean_dur_us", expr("total_dur_us div n_sessions"))
+        .orderBy(col("n_events"))
+    },
+
+    // BM25 retrieval, integer-exact (see TextAnalysis.bm25Search for the
+    // rational reduction of k1=1.2, b=0.75): the lexical-ranking upgrade
+    // over q105's TF-IDF — same broadcastable statistics, plus the
+    // doc-length saturation that makes BM25 the default lexical ranker.
+    "q162_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25Search(t(s, dir, "documents"), TfIdfTerms,
+        k = TfIdfK)
+    },
+
+    // Promo revenue share (TPC-H Q14 shape): conditional aggregation over
+    // the part join with the share in exact ppm — revenue is scaled to
+    // e4 integers (price cents × discount hundredths) so the ratio is one
+    // integral divide, not a float.
+    "q163_promo_revenue" -> { (s, dir) =>
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-03-01").cast("timestamp")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)")) *
+            lit(10000)).cast("decimal(38,0)").as("rev_e4"))
+      li.join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_e4"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("promo_e4"),
+          sum(col("rev_e4")).as("total_e4"))
+        .select(
+          (col("promo_e4") / lit(10000)).cast("double")
+            .as("promo_revenue"),
+          (col("total_e4") / lit(10000)).cast("double")
+            .as("total_revenue"),
+          expr("promo_e4 * 1000000 div total_e4").as("promo_ppm"))
+    },
+
+    // Returned-order priority counts (TPC-H Q4 shape): orders in a
+    // quarter having at least one returned line, counted by priority —
+    // the EXISTS/semi-join pattern (never a row-multiplying inner join:
+    // an order with 5 returned lines counts once).
+    "q164_priority_returns" -> { (s, dir) =>
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1996-04-01").cast("timestamp")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      ord.join(returned, col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Inter-event gap quantiles: exact p50/p90/p99 of same-user event
+    // gaps (µs) via the no-global-sort quantile operator — the number
+    // that PICKS the sessionization gap threshold, closing the loop with
+    // q24/q161. Per-user lag windows (bounded by a user's history) feed
+    // the bucketed two-phase selection; no global sort anywhere.
+    "q165_gap_quantiles" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+      graft.operators.Quantiles
+        .exactQuantiles(gaps, "gap_us", Seq(50, 90, 99),
+          bucketWidth = 60L * 1000000L)
+        .orderBy(col("pct"))
+    },
+
     // Count-min frequency sketch: fixed-size cell relation over token
     // occurrences, probed for known-common / rare / absent tokens —
     // estimate ≥ truth always, equality when cells are collision-free.
@@ -2813,6 +2909,97 @@ object PipelineQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_users
          FROM d ORDER BY day""",
+
+    "q161_session_stats" ->
+      """WITH sess AS (
+           SELECT user_id, session_idx, COUNT(*) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+           FROM (
+             SELECT user_id, ts, event_id,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_idx
+             FROM (
+               SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+               FROM events) a) b
+           GROUP BY user_id, session_idx)
+         SELECT n_events, COUNT(*) AS n_sessions,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(MAX(dur_us) AS BIGINT) AS max_dur_us,
+           CAST(SUM(dur_us) // COUNT(*) AS BIGINT) AS mean_dur_us
+         FROM sess GROUP BY n_events ORDER BY n_events""",
+
+    "q162_bm25" ->
+      s"""WITH d2 AS (SELECT doc_id, lower(text) AS ltext,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS dl
+           FROM documents),
+         corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS corpus_len
+           FROM d2),
+         occ AS (SELECT doc_id,
+             unnest(string_split_regex(trim(ltext), '\\s+')) AS term
+           FROM d2),
+         hit AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ
+           WHERE term IN (${TfIdfTerms.map("'" + _ + "'").mkString(", ")})
+           GROUP BY doc_id, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM hit GROUP BY term)
+         SELECT h.doc_id,
+           CAST(SUM((1000000::HUGEINT
+               * length(bin(n.n_docs // d.df)) * 44 * h.tf * n.corpus_len)
+             // (20::HUGEINT * n.corpus_len * h.tf
+               + 6::HUGEINT * n.corpus_len
+               + 18::HUGEINT * l.dl * n.n_docs)) AS BIGINT) AS score_ppm,
+           COUNT(*) AS n_terms_hit
+         FROM hit h JOIN dfreq d USING (term) CROSS JOIN corpus n
+           JOIN d2 l ON h.doc_id = l.doc_id
+         GROUP BY h.doc_id
+         ORDER BY score_ppm DESC, h.doc_id LIMIT $TfIdfK""",
+
+    "q163_promo_revenue" ->
+      """WITH j AS (SELECT
+           CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l.l_discount AS DECIMAL(12,2))) * 10000
+             AS HUGEINT) AS rev_e4,
+           p.p_type
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l.l_shipdate < TIMESTAMP '1996-03-01 00:00:00'),
+         a AS (SELECT
+             SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4
+               ELSE 0::HUGEINT END) AS promo_e4,
+             SUM(rev_e4) AS total_e4
+           FROM j)
+         SELECT CAST(promo_e4 AS DOUBLE) / 10000 AS promo_revenue,
+           CAST(total_e4 AS DOUBLE) / 10000 AS total_revenue,
+           CAST(promo_e4 * 1000000 // total_e4 AS BIGINT) AS promo_ppm
+         FROM a""",
+
+    "q164_priority_returns" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+
+    "q165_gap_quantiles" ->
+      """WITH g AS (SELECT
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id)) AS v
+         FROM events),
+         v AS (SELECT v FROM g WHERE v IS NOT NULL),
+         n AS (SELECT COUNT(*) AS n FROM v),
+         t AS (SELECT pv.p AS pct, (n.n * pv.p + 99) // 100 AS tr
+           FROM n, (VALUES (50), (90), (99)) pv(p)),
+         r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
+         SELECT t.pct, r.v AS value
+         FROM t JOIN r ON r.rn = t.tr ORDER BY pct""",
 
     "q139_countmin" -> {
       val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")
