@@ -159,6 +159,71 @@ object Sketches {
       .drop("hs")
   }
 
+  /** HyperLogLog register relation per group: `(grp, register, rho_max)`
+    * with at most `16^regHex` rows per group — the register-based
+    * cardinality sketch (Flajolet et al., AofA 2007) joining the family:
+    * CMS = frequency, Bloom = membership, KMV = bottom-k cardinality,
+    * HLL = register cardinality with O(m) state independent of k.
+    *
+    * Cross-engine determinism scheme as everywhere in this file: the
+    * register is the md5 hex PREFIX; rho (1 + leading zero BITS of the
+    * next `windowHex` hex chars) is derived from hex-char string ops
+    * (regexp leading-zero count + a 15-way CASE on the first non-zero
+    * digit) — never platform hashes or float math, so DuckDB reproduces
+    * every register.
+    *
+    * Scale shape: one map pass + ONE partial-agg shuffle on the
+    * (grp, register) key with max() combine; the result is
+    * broadcast-sized by construction (m rows per group). Merge of two
+    * sketches = max per register — same shape as [[mergeKmv]]. */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+                   regHex: Int = 2, windowHex: Int = 12): DataFrame = {
+    require(regHex >= 1 && regHex <= 4, "need 1 <= regHex <= 4")
+    require(windowHex >= 4 && windowHex <= 15,
+      "need 4 <= windowHex <= 15 (rho fits int, window inside md5)")
+    val h = md5(col(valueCol).cast("string"))
+    df.select(col(groupCol).as("grp"),
+        substring(h, 1, regHex).as("register"),
+        substring(h, regHex + 1, windowHex).as("w"))
+      .withColumn("z", length(regexp_extract(col("w"), "^(0*)", 1)))
+      .withColumn("rho",
+        when(col("z") === windowHex, lit(4 * windowHex + 1))
+          .otherwise(col("z") * 4 + lit(1) + expr(
+            """case substring(w, z + 1, 1)
+                 when '1' then 3
+                 when '2' then 2 when '3' then 2
+                 when '4' then 1 when '5' then 1
+                 when '6' then 1 when '7' then 1
+                 else 0 end""")))
+      .groupBy(col("grp"), col("register"))
+      .agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Cardinality estimate from an HLL register relation — the RAW
+    * harmonic-mean estimator in exact fixed-point integers (documented
+    * variant: no small-range linear-counting branch, which needs a log;
+    * callers needing the small regime have [[kmvSketch]]). The harmonic
+    * sum is scaled by `2^K` (K = max rho) so every term is an integer:
+    * absent registers contribute `2^K`, present ones `2^(K−rho)`. Alpha
+    * is the standard `0.7213/(1 + 1.079/m)` as an exact rational
+    * `7213000·m / (10000·(1000·m + 1079))`; the final divide runs in
+    * DECIMAL(38,0) — both engines produce identical digits. */
+  def hllEstimate(regs: DataFrame, regHex: Int = 2,
+                  windowHex: Int = 12): DataFrame = {
+    val m = 1L << (4 * regHex)
+    val kBits = 4 * windowHex + 1
+    val pow2K = 1L << kBits
+    val alphaNum = 7213000L * m
+    val alphaDen = 10000L * (1000L * m + 1079L)
+    regs.groupBy(col("grp"))
+      .agg((sum(expr(s"shiftleft(1L, $kBits - rho_max)")) +
+        (lit(m) - count(lit(1))) * lit(pow2K)).as("s_scaled"))
+      .withColumn("hll_estimate", expr(
+        s"""(cast(${alphaNum}L as decimal(38,0)) * $m * $m * ${pow2K}L)
+            div (cast(${alphaDen}L as decimal(38,0)) * s_scaled)"""))
+      .drop("s_scaled")
+  }
+
   /** Merge KMV sketches (schema `(group, hs)`, group = first column):
     * slots union, bottom-k re-taken — the sketch of a corpus union, so
     * incremental maintenance appends a batch sketch and compacts

@@ -1615,6 +1615,28 @@ object PipelineQueries {
         .orderBy(col("pct"))
     },
 
+    // HLL register-sketch cardinality per return flag, with the exact
+    // distinct count and the error in ppm alongside — the fourth sketch
+    // family member (registers), every register and the fixed-point
+    // estimate reproduced digit-for-digit by the oracle. m = 256
+    // registers ⇒ one broadcast-sized relation per group regardless of
+    // corpus size; the only shuffle is the (grp, register) max-combine.
+    "q166_hll_distinct" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"))
+      val est = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(
+          li, "l_returnflag", "l_partkey"))
+      val exact = li.groupBy(col("l_returnflag").as("grp"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      est.join(exact, "grp")
+        .select(col("grp").as("l_returnflag"), col("hll_estimate"),
+          col("exact_distinct"),
+          expr("abs(hll_estimate - exact_distinct) * 1000000 " +
+            "div exact_distinct").as("err_ppm"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Count-min frequency sketch: fixed-size cell relation over token
     // occurrences, probed for known-common / rare / absent tokens —
     // estimate ≥ truth always, equality when cells are collision-free.
@@ -3000,6 +3022,41 @@ object PipelineQueries {
          r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
          SELECT t.pct, r.v AS value
          FROM t JOIN r ON r.rn = t.tr ORDER BY pct""",
+
+    "q166_hll_distinct" ->
+      """WITH v AS (SELECT l_returnflag AS grp,
+           md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+         w AS (SELECT grp, substr(h, 1, 2) AS register,
+           substr(h, 3, 12) AS w FROM v),
+         z AS (SELECT grp, register, w,
+           length(regexp_extract(w, '^(0*)', 1)) AS z FROM w),
+         r AS (SELECT grp, register,
+           CASE WHEN z = 12 THEN 49
+                ELSE 4 * z + 1 + (CASE substr(w, z + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0 END) END AS rho
+           FROM z),
+         mx AS (SELECT grp, register, MAX(rho) AS rho_max FROM r
+           GROUP BY grp, register),
+         s AS (SELECT grp,
+             SUM(1::BIGINT << (49 - rho_max))
+               + (256 - COUNT(*)) * (1::BIGINT << 49) AS s_scaled
+           FROM mx GROUP BY grp),
+         e AS (SELECT grp,
+             CAST((1846528000::HUGEINT * 256 * 256 * (1::HUGEINT << 49))
+               // (2570790000::HUGEINT * s_scaled) AS BIGINT)
+               AS hll_estimate
+           FROM s),
+         x AS (SELECT l_returnflag AS grp,
+             COUNT(DISTINCT l_partkey) AS exact_distinct
+           FROM lineitem GROUP BY 1)
+         SELECT e.grp AS l_returnflag, e.hll_estimate, x.exact_distinct,
+           CAST(abs(e.hll_estimate - x.exact_distinct) * 1000000
+             // x.exact_distinct AS BIGINT) AS err_ppm
+         FROM e JOIN x USING (grp) ORDER BY l_returnflag""",
 
     "q139_countmin" -> {
       val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")

@@ -94,4 +94,36 @@ class SketchesSpec extends SparkSpec {
       Sketches.kmvSketch(a, 16), Sketches.kmvSketch(b, 16))
     assert(slots(merged) == slots(Sketches.kmvSketch(docs, 16)))
   }
+
+  test("hll estimate lands near truth; rho bounds hold") {
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"value-$i")).toDF("grp", "v")
+    val regs = Sketches.hllRegisters(df, "grp", "v")
+    val rows = regs.collect()
+    // at most m = 256 registers, rho in [1, 49]
+    assert(rows.length <= 256)
+    assert(rows.forall { r =>
+      val rho = r.getInt(r.fieldIndex("rho_max")); rho >= 1 && rho <= 49
+    })
+    val est = Sketches.hllEstimate(regs).collect().head
+    val e = est.getLong(est.fieldIndex("hll_estimate"))
+    // fixed hash family ⇒ constant; raw estimator σ ≈ 1.04/√256 = 6.5%,
+    // pinned loosely at ±20%
+    assert(e > n * 8 / 10 && e < n * 12 / 10, s"estimate $e far from $n")
+  }
+
+  test("hll register merge (max per register) equals the one-shot sketch") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(lit("g").as("grp"), col("text"))
+    val a = docs.filter(length(col("text")) % 2 === 0)
+    val b = docs.filter(length(col("text")) % 2 =!= 0)
+    val merged = Sketches.hllRegisters(a, "grp", "text")
+      .unionByName(Sketches.hllRegisters(b, "grp", "text"))
+      .groupBy(col("grp"), col("register"))
+      .agg(max(col("rho_max")).as("rho_max"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getInt(r.fieldIndex("rho_max"))).toMap
+    assert(m(merged) == m(Sketches.hllRegisters(docs, "grp", "text")))
+  }
 }
