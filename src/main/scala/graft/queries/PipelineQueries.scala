@@ -72,6 +72,26 @@ object PipelineQueries {
     /** The model trained by the most recent query run, if any. */
     def current: Option[graft.operators.ProductQuantizer.Model] =
       cached.map(_._2)
+
+    @volatile private var cachedEnc: Option[(String, DataFrame)] = None
+    /** The encoded PQ index for a data dir — built ONCE and persisted,
+      * then reused by every probe (q90/q91/q102/q110): the at-rest
+      * `(id, codes)` relation is an index ARTIFACT like the trained
+      * codebooks, not per-query work. At 100 TB this is the difference
+      * between one index build and a full corpus re-encode per query. */
+    def encoded(s: SparkSession, dir: String): DataFrame = synchronized {
+      cachedEnc match {
+        case Some((d, df)) if d == dir => df
+        case _ =>
+          val m = trained(s, dir)
+          val df = graft.operators.ProductQuantizer
+            .encode(t(s, dir, "embeddings"), m)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count() // materialise: the BUILD is here, probes are lookups
+          cachedEnc.foreach(_._2.unpersist())
+          cachedEnc = Some((dir, df)); df
+      }
+    }
   }
 
   /** The `cb` CTE for the PQ oracles, resolved at RENDER time ([[oracles]]
@@ -468,7 +488,7 @@ object PipelineQueries {
         .select(col("embedding")).head().getSeq[Float](0)
         .map(_.toDouble).toArray
       ProductQuantizer.adcTopK(
-          ProductQuantizer.encode(emb, model).filter(col("vec_id") =!= 0),
+          PqModels.encoded(s, dir).filter(col("vec_id") =!= 0),
           model, query, kTop = IvfK)
         // the driver's comparator hashes scalars — pin the code array as a
         // canonical string
@@ -495,7 +515,7 @@ object PipelineQueries {
         .select(col("embedding")).head().getSeq[Float](0)
         .map(_.toDouble).toArray
       val indexed = IvfIndex.assign(
-        ProductQuantizer.encode(emb, pq), ivf, Dim)
+        PqModels.encoded(s, dir), ivf, Dim)
       val cells = ivf.nearestCells(query, IvfNprobe)
       ProductQuantizer.adcTopK(
           indexed.filter(col("ivf_cell").isInCollection(cells)
@@ -718,7 +738,7 @@ object PipelineQueries {
         .select(col("embedding")).head().getSeq[Float](0)
         .map(_.toDouble).toArray
       val pq = ProductQuantizer.adcTopK(
-          ProductQuantizer.encode(emb, model).filter(col("vec_id") =!= 0),
+          PqModels.encoded(s, dir).filter(col("vec_id") =!= 0),
           model, query, kTop = IvfK)
         .select(col("vec_id"))
       pq.join(brute, "vec_id")
@@ -986,7 +1006,7 @@ object PipelineQueries {
         .select(col("embedding")).head().getSeq[Float](0)
         .map(_.toDouble).toArray
       ProductQuantizer.adcRerankTopK(
-        ProductQuantizer.encode(emb, model).filter(col("vec_id") =!= 0),
+        PqModels.encoded(s, dir).filter(col("vec_id") =!= 0),
         emb, model, query, kTop = IvfK, shortlist = PqRerankShortlist,
         dim = Dim)
     },
