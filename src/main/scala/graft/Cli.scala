@@ -366,15 +366,23 @@ object Cli {
             s""" "top_share_ppm": ${mx * 1000000L / tot}}""")
 
         case "distinct" =>
-          // KMV distinct-count estimates per group:
+          // Distinct-count estimates per group:
           //   distinct --source <parquet> [--group-col source]
-          //            [--value-col text] [--k 64]
+          //            [--value-col text] [--k 64] [--method kmv|hll]
+          // kmv (default): exact below k, (k−1)·SPACE/h_k at k slots.
+          // hll: 256-register raw harmonic estimator (large cardinalities).
           import graft.operators.Sketches
-          val k = opts.getOrElse("k", "64").toInt
-          val est = Sketches.kmvEstimate(
-            Sketches.kmvSketch(spark.read.parquet(opts("source")), k,
-              opts.getOrElse("group-col", "source"),
-              opts.getOrElse("value-col", "text")), k)
+          val gc = opts.getOrElse("group-col", "source")
+          val vc = opts.getOrElse("value-col", "text")
+          val src = spark.read.parquet(opts("source"))
+          val est = opts.getOrElse("method", "kmv") match {
+            case "hll" =>
+              Sketches.hllEstimate(Sketches.hllRegisters(src, gc, vc))
+                .withColumnRenamed("hll_estimate", "distinct_est")
+            case _ =>
+              val k = opts.getOrElse("k", "64").toInt
+              Sketches.kmvEstimate(Sketches.kmvSketch(src, k, gc, vc), k)
+          }
           val parts = est.collect()
             .map(r => s""""${r.get(0)}": ${
               r.getLong(r.fieldIndex("distinct_est"))}""")

@@ -205,6 +205,18 @@ class CliSpec extends SparkSpec {
     val ests = "\": (\\d+)".r.findAllMatchIn(distinctLine)
       .map(_.group(1).toLong).toSeq
     assert(ests.nonEmpty && ests.forall(_ > 0L))
+
+    // --method hll takes the register-sketch path
+    val hllCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(hllCap, true, "UTF-8")) {
+      Cli.main(Array("distinct", "--source",
+        sf("sf0.001") + "/documents.parquet", "--group-col", "source",
+        "--method", "hll"))
+    }
+    val hllEsts = "\": (\\d+)".r
+      .findAllMatchIn(hllCap.toString("UTF-8").trim.linesIterator.toSeq.last)
+      .map(_.group(1).toLong).toSeq
+    assert(hllEsts.nonEmpty && hllEsts.forall(_ > 0L))
   }
 
   test("agg-validate validates a table against itself") {
