@@ -32,12 +32,20 @@ object Sketches {
     * shuffle on the (seed, cell) key; the result is broadcast-sized by
     * construction. */
   def countMin(docs: DataFrame, depth: Int = 4, hexChars: Int = 2,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text"): DataFrame =
+    countMinValues(docs.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("tok")),
+      "tok", depth, hexChars)
+
+  /** Count-min over a value column directly (one occurrence per row) —
+    * the generic form [[countMin]] specialises for token streams. Also
+    * the sketch a JOIN-SIZE estimate needs: CMS of each side's key
+    * column, combined via [[cmsInnerProduct]]. */
+  def countMinValues(df: DataFrame, valueCol: String, depth: Int = 4,
+                     hexChars: Int = 2): DataFrame = {
     require(depth >= 1 && hexChars >= 1 && hexChars <= 8,
       "need 1 <= depth, 1 <= hexChars <= 8")
-    val occ = docs.select(
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    occ
+    df.select(col(valueCol).cast("string").as("tok"))
       .select(explode(array((0 until depth).map(s =>
         struct(lit(s).as("seed"),
           cellKey(s, col("tok"), hexChars).as("cell"))): _*)).as("sc"))
@@ -45,6 +53,23 @@ object Sketches {
       .groupBy(col("seed"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Equi-join cardinality estimate from two CMS relations over the join
+    * keys: `|A ⋈ B| = Σ_v fA(v)·fB(v)`, estimated per hash row as the
+    * cell-wise inner product and MINIMISED over the depth rows — the
+    * classic CMS inner-product estimator (Cormode & Muthukrishnan 2005):
+    * an upper bound on the true size, tight when cells are
+    * collision-free. The join-PLANNING diagnostic: a skewed or
+    * exploding join announces itself in two broadcast-sized sketches
+    * without executing the join — at 100 TB the sketches cost two map
+    * passes; the join they predict may cost hours. */
+  def cmsInnerProduct(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA.select(col("seed"), col("cell"), col("cnt").as("cnt_a"))
+      .join(cellsB.select(col("seed"), col("cell"), col("cnt").as("cnt_b")),
+        Seq("seed", "cell"))
+      .groupBy(col("seed"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("join_size_est"))
 
   /** Point-estimate probe: for each probe token, `min` over the sketch
     * rows it hashes to — the classic CMS upper bound (estimate ≥ truth,

@@ -1657,6 +1657,46 @@ object PipelineQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // CMS inner-product join-size estimate: predict |clicks ⋈ purchases|
+    // on user_id from two broadcast-sized sketches — the join-PLANNING
+    // diagnostic beside q155's skew profile (estimate ≥ truth, the
+    // Cormode–Muthukrishnan bound). The exact join size alongside
+    // quantifies the bound; at 100 TB the sketches are two map passes
+    // where the join they predict may be hours.
+    "q167_join_size_estimate" -> { (s, dir) =>
+      import graft.operators.Sketches
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val est = Sketches.cmsInnerProduct(
+        Sketches.countMinValues(clicks, "user_id", CmsDepth, CmsHexChars),
+        Sketches.countMinValues(purchases, "user_id", CmsDepth,
+          CmsHexChars))
+      val exact = clicks.select(col("user_id"))
+        .join(purchases.select(col("user_id").as("p_user_id")),
+          col("user_id") === col("p_user_id"))
+        .agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(exact)
+        .withColumn("overestimate",
+          col("join_size_est") - col("exact_join_size"))
+    },
+
+    // Forecast-revenue delta (TPC-H Q6 shape): the pure scan-filter-agg
+    // query — no join, no shuffle beyond the final agg; the plan should
+    // be one WholeStageCodegen span over the parquet scan with every
+    // predicate pushed. DECIMAL-exact revenue.
+    "q168_forecast_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          expr("cast(l_discount as decimal(12,2)) between 0.05 and 0.07") &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(12,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // Count-min frequency sketch: fixed-size cell relation over token
     // occurrences, probed for known-common / rare / absent tokens —
     // estimate ≥ truth always, equality when cells are collision-free.
@@ -3077,6 +3117,44 @@ object PipelineQueries {
            CAST(abs(e.hll_estimate - x.exact_distinct) * 1000000
              // x.exact_distinct AS BIGINT) AS err_ppm
          FROM e JOIN x USING (grp) ORDER BY l_returnflag""",
+
+    "q167_join_size_estimate" -> {
+      val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")
+      s"""WITH seeds(seed) AS (VALUES $seeds),
+         ca AS (SELECT s.seed,
+             substr(md5(CAST(s.seed AS VARCHAR) || '|' ||
+               CAST(e.user_id AS VARCHAR)), 1, $CmsHexChars) AS cell,
+             COUNT(*) AS cnt
+           FROM events e CROSS JOIN seeds s
+           WHERE e.event_type = 'click' GROUP BY 1, 2),
+         cb AS (SELECT s.seed,
+             substr(md5(CAST(s.seed AS VARCHAR) || '|' ||
+               CAST(e.user_id AS VARCHAR)), 1, $CmsHexChars) AS cell,
+             COUNT(*) AS cnt
+           FROM events e CROSS JOIN seeds s
+           WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+         ip AS (SELECT ca.seed, SUM(ca.cnt * cb.cnt) AS ip
+           FROM ca JOIN cb ON ca.seed = cb.seed AND ca.cell = cb.cell
+           GROUP BY ca.seed),
+         est AS (SELECT CAST(MIN(ip) AS BIGINT) AS join_size_est FROM ip),
+         x AS (SELECT COUNT(*) AS exact_join_size
+           FROM (SELECT user_id FROM events WHERE event_type = 'click') a
+             JOIN (SELECT user_id FROM events
+               WHERE event_type = 'purchase') b
+             ON a.user_id = b.user_id)
+         SELECT est.join_size_est, x.exact_join_size,
+           est.join_size_est - x.exact_join_size AS overestimate
+         FROM est, x""" },
+
+    "q168_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
 
     "q139_countmin" -> {
       val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")
