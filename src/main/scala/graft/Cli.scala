@@ -365,6 +365,41 @@ object Cli {
             s""" "p99": ${q(99)},""" +
             s""" "top_share_ppm": ${mx * 1000000L / tot}}""")
 
+        case "search" =>
+          // Lexical retrieval over a document table:
+          //   search --source <parquet> --terms a,b,c [--k 10]
+          //          [--method bm25|tfidf] [--id-col doc_id] [--text-col text]
+          val terms = opts("terms").split(',').toSeq.map(_.trim)
+            .filter(_.nonEmpty)
+          val k = opts.getOrElse("k", "10").toInt
+          val src = spark.read.parquet(opts("source"))
+          val idc = opts.getOrElse("id-col", "doc_id")
+          val tc = opts.getOrElse("text-col", "text")
+          val hits = opts.getOrElse("method", "bm25") match {
+            case "tfidf" => graft.operators.TextAnalysis
+              .tfIdfSearch(src, terms, k, idc, tc)
+            case _ => graft.operators.TextAnalysis
+              .bm25Search(src, terms, k, idc, tc)
+          }
+          hits.collect().foreach { r =>
+            println(s"${r.get(0)}\t${r.get(1)}\t${r.get(2)}")
+          }
+
+        case "join-size" =>
+          // CMS inner-product equi-join cardinality estimate (no join run):
+          //   join-size --left <parquet> --right <parquet>
+          //             --left-key <col> --right-key <col>
+          //             [--depth 4] [--hex-chars 3]
+          import graft.operators.Sketches
+          val depth = opts.getOrElse("depth", "4").toInt
+          val hex = opts.getOrElse("hex-chars", "3").toInt
+          val est = Sketches.cmsInnerProduct(
+            Sketches.countMinValues(spark.read.parquet(opts("left")),
+              opts("left-key"), depth, hex),
+            Sketches.countMinValues(spark.read.parquet(opts("right")),
+              opts("right-key"), depth, hex)).head()
+          println(s"""{"join_size_est": ${est.getLong(0)}}""")
+
         case "distinct" =>
           // Distinct-count estimates per group:
           //   distinct --source <parquet> [--group-col source]

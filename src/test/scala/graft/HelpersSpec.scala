@@ -219,6 +219,28 @@ class CliSpec extends SparkSpec {
     assert(hllEsts.nonEmpty && hllEsts.forall(_ > 0L))
   }
 
+  test("search and join-size commands run the retrieval/estimator paths") {
+    val docs = sf("sf0.001") + "/documents.parquet"
+    val orders = sf("sf0.001") + "/orders.parquet"
+    val cap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap, true, "UTF-8")) {
+      Cli.main(Array("search", "--source", docs,
+        "--terms", "dup,vector", "--k", "5"))
+      Cli.main(Array("join-size", "--left", orders, "--right", orders,
+        "--left-key", "o_custkey", "--right-key", "o_custkey"))
+    }
+    val lines = cap.toString("UTF-8").trim.split("\n").toSeq
+    // search: up to k tab-separated (id, score, n_terms_hit) rows
+    val hits = lines.dropRight(1)
+    assert(hits.nonEmpty && hits.forall(_.split("\t").length == 3))
+    // join-size: the self-join estimate dominates the key count and is
+    // bounded by n^2
+    val est = "\"join_size_est\": (\\d+)".r
+      .findFirstMatchIn(lines.last).get.group(1).toLong
+    val n = spark.read.parquet(orders).count()
+    assert(est >= n && est <= n * n)
+  }
+
   test("agg-validate validates a table against itself") {
     val src = sf("sf0.001") + "/orders.parquet"
     Cli.main(Array("agg-validate", "--left", src, "--right", src,
