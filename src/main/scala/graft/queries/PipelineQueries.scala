@@ -1681,6 +1681,36 @@ object PipelineQueries {
           col("join_size_est") - col("exact_join_size"))
     },
 
+    // Embedding-space diversity per label: mean pairwise dot product via
+    // the CENTROID TRICK — Σ_{i≠j} dot(q_i,q_j) = Σ_d S_d² − Σ_i ||q_i||²
+    // — so the all-pairs statistic costs one per-dimension sum (N·dim
+    // rows, map-side combined) instead of an N² pair join. Components are
+    // scaled to e3 integers first (trunc, deterministic in both
+    // engines), making every sum exact; the S_d² square runs in
+    // DECIMAL(38,0) because at 100 TB a per-dimension sum is ~1e12 and
+    // its square overflows a long. The mode-collapse / duplication
+    // signal an embedding-quality audit reads per source.
+    "q169_embedding_diversity" -> { (s, dir) =>
+      val scaled = t(s, dir, "embeddings")
+        .select(col("label"),
+          expr("transform(embedding, " +
+            "x -> cast(cast(x as double) * 1000 as bigint))").as("q"))
+      val perRow = scaled.withColumn("sq",
+        expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+      val sums = perRow
+        .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("label"), col("d")).agg(sum(col("v")).as("s_d"))
+        .groupBy(col("label"))
+        .agg(sum(expr("cast(s_d as decimal(38,0)) * s_d")).as("sum_sd2"))
+      val tots = perRow.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("sq")).as("t"))
+      sums.join(tots, "label")
+        .filter(col("n") > 1)
+        .select(col("label"), col("n"),
+          expr("(sum_sd2 - t) div (n * (n - 1))").as("mean_pair_dot_e6"))
+        .orderBy(col("label"))
+    },
+
     // Forecast-revenue delta (TPC-H Q6 shape): the pure scan-filter-agg
     // query — no join, no shuffle beyond the final agg; the plan should
     // be one WholeStageCodegen span over the parquet scan with every
@@ -3155,6 +3185,28 @@ object PipelineQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q169_embedding_diversity" ->
+      s"""WITH s AS (SELECT label,
+           list_transform(embedding,
+             x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         FROM embeddings),
+         pr AS (SELECT label, q,
+             list_sum(list_transform(q, x -> x * x)) AS sq
+           FROM s),
+         dims AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+         dv AS (SELECT label, d.d, pr.q[d.d] AS v
+           FROM pr CROSS JOIN dims d),
+         sd AS (SELECT label, d, SUM(v) AS s_d FROM dv GROUP BY label, d),
+         s2 AS (SELECT label, SUM(s_d::HUGEINT * s_d) AS sum_sd2
+           FROM sd GROUP BY label),
+         tt AS (SELECT label, COUNT(*) AS n, SUM(sq) AS t FROM pr
+           GROUP BY label)
+         SELECT s2.label, tt.n,
+           CAST((s2.sum_sd2 - tt.t) // (tt.n * (tt.n - 1)) AS BIGINT)
+             AS mean_pair_dot_e6
+         FROM s2 JOIN tt ON s2.label = tt.label
+         WHERE tt.n > 1 ORDER BY s2.label""",
 
     "q139_countmin" -> {
       val seeds = (0 until CmsDepth).map(s => s"($s)").mkString(",")
