@@ -1711,6 +1711,38 @@ object PipelineQueries {
         .orderBy(col("label"))
     },
 
+    // Embedding centroid drift between snapshots: per label, the squared
+    // L2 distance between snapshot A's and B's centroids (A/B split by
+    // vec_id parity, the q125 synthesis convention) — the embedding-space
+    // member of the drift family (q125 corpus diff, q135 card drift): an
+    // encoder change or corpus shift announces itself here before any
+    // downstream ANN metric moves. Per-dim means are e6-scaled integers
+    // (component e3 scale × 1000, integral `div` n), so the distance is
+    // exact and engine-portable. One per-dimension partial-agg shuffle,
+    // outputs labels × 1 rows.
+    "q170_centroid_drift" -> { (s, dir) =>
+      val scaled = t(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2 === 0).as("snap_a"),
+          expr("transform(embedding, " +
+            "x -> cast(cast(x as double) * 1000 as bigint))").as("q"))
+      val dimSums = scaled
+        .select(col("label"), col("snap_a"),
+          posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("label"), col("snap_a"), col("d"))
+        .agg(sum(col("v")).as("s_d"), count(lit(1)).as("n"))
+        .withColumn("m_d", expr("(s_d * 1000) div n"))
+      val a = dimSums.filter(col("snap_a"))
+        .select(col("label"), col("d"), col("m_d").as("ma"), col("n").as("na"))
+      val b = dimSums.filter(!col("snap_a"))
+        .select(col("label"), col("d"), col("m_d").as("mb"), col("n").as("nb"))
+      a.join(b, Seq("label", "d"))
+        .groupBy(col("label"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(expr("cast(ma - mb as decimal(38,0)) * (ma - mb)"))
+            .cast("long").as("drift_l2sq_e12"))
+        .orderBy(col("label"))
+    },
+
     // Forecast-revenue delta (TPC-H Q6 shape): the pure scan-filter-agg
     // query — no join, no shuffle beyond the final agg; the plan should
     // be one WholeStageCodegen span over the parquet scan with every
@@ -3185,6 +3217,26 @@ object PipelineQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q170_centroid_drift" ->
+      s"""WITH s AS (SELECT label, (vec_id % 2 = 0) AS snap_a,
+           list_transform(embedding,
+             x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         FROM embeddings),
+         dims AS (SELECT unnest(range(1, ${Dim + 1})) AS d),
+         dv AS (SELECT label, snap_a, d.d, s.q[d.d] AS v
+           FROM s CROSS JOIN dims d),
+         ds AS (SELECT label, snap_a, d, SUM(v) AS s_d, COUNT(*) AS n
+           FROM dv GROUP BY label, snap_a, d),
+         m AS (SELECT label, snap_a, d, (s_d * 1000) // n AS m_d, n
+           FROM ds),
+         a AS (SELECT label, d, m_d AS ma, n AS na FROM m WHERE snap_a),
+         b AS (SELECT label, d, m_d AS mb, n AS nb FROM m WHERE NOT snap_a)
+         SELECT a.label, MAX(a.na) AS n_a, MAX(b.nb) AS n_b,
+           CAST(SUM((a.ma - b.mb)::HUGEINT * (a.ma - b.mb)) AS BIGINT)
+             AS drift_l2sq_e12
+         FROM a JOIN b ON a.label = b.label AND a.d = b.d
+         GROUP BY a.label ORDER BY a.label""",
 
     "q169_embedding_diversity" ->
       s"""WITH s AS (SELECT label,
