@@ -74,6 +74,54 @@ object Quantiles {
       .select(col("pct"), col("v").as("value"))
   }
 
+  /** Exact WEIGHTED percentiles: the smallest value whose cumulative
+    * weight reaches `ceil(p/100 · W)` (W = total weight) — e.g. the doc
+    * length below which p% of the corpus's TOKENS lie, the number a
+    * truncation/packing policy actually needs (doc-count percentiles
+    * over-weight short docs).
+    *
+    * Same two-phase selection as [[exactQuantiles]] with weight sums in
+    * place of counts, plus one strengthening: the within-bucket phase
+    * first aggregates per VALUE, so the only window runs over ≤
+    * `bucketWidth` rows per percentile — bounded by construction, and
+    * tie-handling is definitionally exact (cumulative weight of all rows
+    * with value ≤ v, no per-row order ambiguity). Weights must be ≥ 0;
+    * zero-weight values are never selected (their weight span is empty).
+    */
+  def exactWeightedQuantiles(df: DataFrame, valueCol: String,
+                             weightCol: String, pcts: Seq[Int],
+                             bucketWidth: Long): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val v = df.select(col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("b", expr(s"v div ${bucketWidth}L"))
+    val wOff = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = v.groupBy(col("b")).agg(sum(col("w")).as("bw"))
+      .withColumn("cum", sum(col("bw")).over(wOff))
+      .withColumn("cum_prev", col("cum") - col("bw"))
+    val targets = v.agg(sum(col("w")).as("n"))
+      .select(col("n"),
+        explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      .withColumn("target", targetRank(col("n"), col("pct")))
+    val owner = targets.join(offs,
+        col("target") > col("cum_prev") && col("target") <= col("cum"))
+      .select(col("pct"), col("target"), col("b"), col("cum_prev"))
+    // per-value weight sums inside the owning bucket: ≤ bucketWidth rows
+    // per percentile partition, the crossing value is the answer
+    val byVal = v.join(broadcast(owner), Seq("b"))
+      .groupBy(col("pct"), col("target"), col("cum_prev"), col("v"))
+      .agg(sum(col("w")).as("vw"))
+    val wIn = Window.partitionBy(col("pct")).orderBy(col("v"))
+    byVal
+      .withColumn("cw", col("cum_prev") + sum(col("vw")).over(wIn))
+      .filter(col("cw") >= col("target") &&
+        col("cw") - col("vw") < col("target"))
+      .select(col("pct"), col("v").as("value"))
+  }
+
   /** Per-group exact percentiles — same two-phase selection with the
     * group key carried through every stage (histogram on (group, bucket),
     * offsets windowed per group over the bounded relation, final rank

@@ -1743,6 +1743,21 @@ object PipelineQueries {
         .orderBy(col("label"))
     },
 
+    // Token-weighted doc-length percentiles: the doc length below which
+    // p% of the corpus's TOKENS (not docs) lie — what a truncation or
+    // packing policy actually needs, since doc-count percentiles (q154)
+    // over-weight short docs. Exact weighted two-phase selection, the
+    // only window bounded by bucketWidth per percentile.
+    "q171_token_weighted_lengths" -> { (s, dir) =>
+      val lens = t(s, dir, "documents")
+        .select(TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      graft.operators.Quantiles
+        .exactWeightedQuantiles(lens.withColumn("w", col("n_tokens")),
+          "n_tokens", "w", Seq(50, 90, 99), bucketWidth = 64L)
+        .orderBy(col("pct"))
+    },
+
     // Forecast-revenue delta (TPC-H Q6 shape): the pure scan-filter-agg
     // query — no join, no shuffle beyond the final agg; the plan should
     // be one WholeStageCodegen span over the parquet scan with every
@@ -3217,6 +3232,19 @@ object PipelineQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q171_token_weighted_lengths" ->
+      """WITH v AS (SELECT
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+         FROM documents),
+         n AS (SELECT SUM(v) AS n FROM v),
+         t AS (SELECT pv.p AS pct, (n.n * pv.p + 99) // 100 AS tr
+           FROM n, (VALUES (50), (90), (99)) pv(p)),
+         g AS (SELECT v, SUM(v) AS vw FROM v GROUP BY v),
+         r AS (SELECT v, vw, SUM(vw) OVER (ORDER BY v) AS cw FROM g)
+         SELECT t.pct, r.v AS value
+         FROM t JOIN r ON r.cw >= t.tr AND r.cw - r.vw < t.tr
+         ORDER BY pct""",
 
     "q170_centroid_drift" ->
       s"""WITH s AS (SELECT label, (vec_id % 2 = 0) AS snap_a,

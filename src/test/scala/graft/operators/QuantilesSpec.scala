@@ -51,6 +51,40 @@ class QuantilesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  /** Reference weighted quantile: smallest v whose cumulative weight
+    * (over values ≤ v) reaches ceil(p·W/100). */
+  private def refWeighted(vw: Seq[(Long, Long)], p: Int): Long = {
+    val total = vw.map(_._2).sum
+    val target = (total * p + 99) / 100
+    val byV = vw.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    var cum = 0L
+    byV.collectFirst { case (v, w) if { cum += w; cum >= target } => v }.get
+  }
+
+  test("weighted quantiles match the cumulative-weight definition " +
+       "and reduce to unweighted at w=1") {
+    val vw = values.zipWithIndex.map { case (v, i) => (v, (i % 7 + 1).toLong) }
+    val df = vw.toDF("v", "w")
+    val pcts = Seq(10, 50, 90, 100)
+    val got = Quantiles
+      .exactWeightedQuantiles(df, "v", "w", pcts, bucketWidth = 64L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == pcts.map(p => p -> refWeighted(vw, p)).toMap)
+    // w ≡ 1 degenerates to the unweighted operator
+    val ones = values.map((_, 1L)).toDF("v", "w")
+    val unw = Quantiles.exactQuantiles(values.toDF("v"), "v", pcts, 64L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wgt = Quantiles.exactWeightedQuantiles(ones, "v", "w", pcts, 64L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(wgt == unw)
+    // bucket-width invariance holds for the weighted form too
+    def run(width: Long) = Quantiles
+      .exactWeightedQuantiles(df, "v", "w", Seq(50), width)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(run(1L) == run(1000000000L) && run(37L) == run(1L))
+  }
+
   test("plans carry no scale-unsafe shapes (audit clean)") {
     val df = values.toDF("v")
     val grouped = values.zipWithIndex
@@ -60,7 +94,11 @@ class QuantilesSpec extends SparkSpec {
         Quantiles.exactQuantiles(df, "v", Seq(50), 64L), "quantiles") ++
       graft.tools.ExplainAudit.audit(
         Quantiles.exactGroupQuantiles(grouped, "src", "v", Seq(50), 64L),
-        "group_quantiles")
+        "group_quantiles") ++
+      graft.tools.ExplainAudit.audit(
+        Quantiles.exactWeightedQuantiles(
+          values.map((_, 2L)).toDF("v", "w"), "v", "w", Seq(50), 64L),
+        "weighted_quantiles")
     assert(findings.isEmpty, findings.mkString("; "))
   }
 }
