@@ -122,6 +122,46 @@ object Quantiles {
       .select(col("pct"), col("v").as("value"))
   }
 
+  /** Per-group exact WEIGHTED percentiles — [[exactWeightedQuantiles]]
+    * with the group key carried through every stage, same bounded-window
+    * guarantees per (group, pct). Output: `(group, pct, value)`. */
+  def exactGroupWeightedQuantiles(df: DataFrame, groupCol: String,
+                                  valueCol: String, weightCol: String,
+                                  pcts: Seq[Int],
+                                  bucketWidth: Long): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val v = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("b", expr(s"v div ${bucketWidth}L"))
+    val wOff = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = v.groupBy(col("g"), col("b")).agg(sum(col("w")).as("bw"))
+      .withColumn("cum", sum(col("bw")).over(wOff))
+      .withColumn("cum_prev", col("cum") - col("bw"))
+    val targets = v.groupBy(col("g")).agg(sum(col("w")).as("n"))
+      .select(col("g"), col("n"),
+        explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      .withColumn("target", targetRank(col("n"), col("pct")))
+    val owner = targets.join(offs.withColumnRenamed("g", "og"),
+        col("g") === col("og") &&
+          col("target") > col("cum_prev") && col("target") <= col("cum"))
+      .select(col("g"), col("pct"), col("target"), col("b"),
+        col("cum_prev"))
+    val byVal = v.join(broadcast(owner), Seq("g", "b"))
+      .groupBy(col("g"), col("pct"), col("target"), col("cum_prev"),
+        col("v"))
+      .agg(sum(col("w")).as("vw"))
+    val wIn = Window.partitionBy(col("g"), col("pct")).orderBy(col("v"))
+    byVal
+      .withColumn("cw", col("cum_prev") + sum(col("vw")).over(wIn))
+      .filter(col("cw") >= col("target") &&
+        col("cw") - col("vw") < col("target"))
+      .select(col("g").as(groupCol), col("pct"), col("v").as("value"))
+  }
+
   /** Per-group exact percentiles — same two-phase selection with the
     * group key carried through every stage (histogram on (group, bucket),
     * offsets windowed per group over the bounded relation, final rank

@@ -1758,6 +1758,21 @@ object PipelineQueries {
         .orderBy(col("pct"))
     },
 
+    // Per-source token-weighted length medians/p90: q171's policy number
+    // split by source — each source's truncation bound from ITS token
+    // mass, the per-domain policy knob (q113's table decides inclusion,
+    // this decides the cut).
+    "q172_source_weighted_lengths" -> { (s, dir) =>
+      val lens = t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("w", col("n_tokens"))
+      graft.operators.Quantiles
+        .exactGroupWeightedQuantiles(lens, "source", "n_tokens", "w",
+          Seq(50, 90), bucketWidth = 64L)
+        .orderBy(col("source"), col("pct"))
+    },
+
     // Forecast-revenue delta (TPC-H Q6 shape): the pure scan-filter-agg
     // query — no join, no shuffle beyond the final agg; the plan should
     // be one WholeStageCodegen span over the parquet scan with every
@@ -3232,6 +3247,22 @@ object PipelineQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q172_source_weighted_lengths" ->
+      """WITH v AS (SELECT source AS g,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+         FROM documents),
+         n AS (SELECT g, SUM(v) AS n FROM v GROUP BY g),
+         t AS (SELECT n.g, pv.p AS pct, (n.n * pv.p + 99) // 100 AS tr
+           FROM n, (VALUES (50), (90)) pv(p)),
+         gr AS (SELECT g, v, SUM(v) AS vw FROM v GROUP BY g, v),
+         r AS (SELECT g, v, vw,
+             SUM(vw) OVER (PARTITION BY g ORDER BY v) AS cw
+           FROM gr)
+         SELECT t.g AS source, t.pct, r.v AS value
+         FROM t JOIN r ON t.g = r.g
+           AND r.cw >= t.tr AND r.cw - r.vw < t.tr
+         ORDER BY source, pct""",
 
     "q171_token_weighted_lengths" ->
       """WITH v AS (SELECT

@@ -85,6 +85,22 @@ class QuantilesSpec extends SparkSpec {
     assert(run(1L) == run(1000000000L) && run(37L) == run(1L))
   }
 
+  test("per-group weighted quantiles equal the global operator per group") {
+    val vw = values.zipWithIndex
+      .map { case (v, i) => (s"g${i % 3}", v, (i % 5 + 1).toLong) }
+    val df = vw.toDF("src", "v", "w")
+    val pcts = Seq(50, 90)
+    val got = Quantiles
+      .exactGroupWeightedQuantiles(df, "src", "v", "w", pcts, 64L)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val expected = (0 until 3).flatMap { g =>
+      val part = vw.collect { case (s, v, w) if s == s"g$g" => (v, w) }
+      pcts.map(p => (s"g$g", p) -> refWeighted(part, p))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("plans carry no scale-unsafe shapes (audit clean)") {
     val df = values.toDF("v")
     val grouped = values.zipWithIndex
