@@ -365,6 +365,36 @@ object Cli {
             s""" "p99": ${q(99)},""" +
             s""" "top_share_ppm": ${mx * 1000000L / tot}}""")
 
+        case "quantiles" =>
+          // Exact no-global-sort percentiles of a long column:
+          //   quantiles --source <parquet> --column <col> [--pcts 50,90,99]
+          //             [--weight-col <col>] [--group-col <col>]
+          //             [--bucket-width 64]
+          val pcts = opts.getOrElse("pcts", "50,90,99")
+            .split(',').toSeq.map(_.trim.toInt)
+          val width = opts.getOrElse("bucket-width", "64").toLong
+          val src = spark.read.parquet(opts("source"))
+          val vc = opts("column")
+          import graft.operators.Quantiles
+          val out = (opts.get("group-col"), opts.get("weight-col")) match {
+            case (Some(g), Some(w)) =>
+              Quantiles.exactGroupWeightedQuantiles(src, g, vc, w, pcts,
+                width).orderBy(org.apache.spark.sql.functions.col(g),
+                  org.apache.spark.sql.functions.col("pct"))
+            case (Some(g), None) =>
+              Quantiles.exactGroupQuantiles(src, g, vc, pcts, width)
+                .orderBy(org.apache.spark.sql.functions.col(g),
+                  org.apache.spark.sql.functions.col("pct"))
+            case (None, Some(w)) =>
+              Quantiles.exactWeightedQuantiles(src, vc, w, pcts, width)
+                .orderBy(org.apache.spark.sql.functions.col("pct"))
+            case (None, None) =>
+              Quantiles.exactQuantiles(src, vc, pcts, width)
+                .orderBy(org.apache.spark.sql.functions.col("pct"))
+          }
+          out.collect().foreach(r =>
+            println(r.toSeq.mkString("\t")))
+
         case "search" =>
           // Lexical retrieval over a document table:
           //   search --source <parquet> --terms a,b,c [--k 10]

@@ -241,6 +241,24 @@ class CliSpec extends SparkSpec {
     assert(est >= n && est <= n * n)
   }
 
+  test("quantiles command covers all four operator forms") {
+    val orders = sf("sf0.001") + "/orders.parquet"
+    def run(extra: String*): Seq[String] = {
+      val cap = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(cap, true, "UTF-8")) {
+        Cli.main(Array("quantiles", "--source", orders,
+          "--column", "o_custkey", "--pcts", "50,90") ++ extra)
+      }
+      cap.toString("UTF-8").trim.split("\n").toSeq
+    }
+    assert(run().length == 2)                                   // plain
+    assert(run("--weight-col", "o_orderkey").length == 2)       // weighted
+    val grouped = run("--group-col", "o_orderstatus")           // grouped
+    assert(grouped.length >= 2 && grouped.forall(_.split("\t").length == 3))
+    assert(run("--group-col", "o_orderstatus",
+      "--weight-col", "o_orderkey").length == grouped.length)   // both
+  }
+
   test("agg-validate validates a table against itself") {
     val src = sf("sf0.001") + "/orders.parquet"
     Cli.main(Array("agg-validate", "--left", src, "--right", src,
