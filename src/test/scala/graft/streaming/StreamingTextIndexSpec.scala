@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+
+final case class IdxDoc(doc_id: Long, text: String)
+
+class StreamingTextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg(base: String) = StreamingTextIndex.Config(
+    indexPath = s"$base/postings", lengthsPath = s"$base/lengths",
+    totalsPath = s"$base/totals", checkpointDir = s"$base/ckpt")
+
+  private val corpus = Seq(
+    IdxDoc(1, "dup dup vector merge window over data"),
+    IdxDoc(2, "vector vector vector search with window"),
+    IdxDoc(3, "merge sort and shuffle with no query words"),
+    IdxDoc(4, "dup window dup window dup window"),
+    IdxDoc(5, "entirely unrelated body of text here"))
+  private val terms = Seq("dup", "vector", "merge", "window")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0),
+      r.getLong(r.fieldIndex("score_ppm")),
+      r.getLong(r.fieldIndex("n_terms_hit")))).toSeq
+
+  test("batch-incremental index serves digit-identical BM25; replay " +
+       "is skipped via the load-bearing HWM") {
+    val base = Files.createTempDirectory("stidx").toString
+    val c = cfg(base)
+    val (b1, b2) = corpus.splitAt(2)
+    StreamingTextIndex.processBatch(b1.toDF(), 0L, c)
+    StreamingTextIndex.processBatch(b2.toDF(), 1L, c)
+
+    val expected = rows(TextAnalysis.bm25Search(corpus.toDF(), terms, 10))
+    assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) == expected)
+
+    // replayed batch: appends would double postings — HWM must skip it
+    StreamingTextIndex.processBatch(b2.toDF(), 1L, c)
+    assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) == expected)
+    assert(StreamingTextIndex.readTotals(spark, c)._1 == corpus.length)
+  }
+
+  test("streaming end-to-end over MemoryStream") {
+    val base = Files.createTempDirectory("stidx_e2e").toString
+    val c = cfg(base)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IdxDoc]
+    mem.addData(corpus.take(3): _*)
+    val q = StreamingTextIndex.start(mem.toDF(), c)
+    try {
+      q.processAllAvailable()
+      mem.addData(corpus.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) ==
+      rows(TextAnalysis.bm25Search(corpus.toDF(), terms, 10)))
+  }
+
+  test("bucket pruning keeps query file reads flat as the index grows") {
+    val base = Files.createTempDirectory("stidx_prune").toString
+    val c = cfg(base)
+    StreamingTextIndex.processBatch(corpus.toDF(), 0L, c)
+
+    def queryScanFiles(): Long = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try StreamingTextIndex.prunedPostings(spark, c, terms)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths
+                .exists(_.toString.contains("postings")) =>
+            f.selectedPartitions.totalNumberOfFiles
+        }.sum
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val before = queryScanFiles()
+    assert(before > 0)
+
+    // filler batches whose words hash OUTSIDE the query's buckets: the
+    // index grows, the query's pruned footprint must not
+    val queryBuckets = terms.toDF("term")
+      .select(StreamingTextIndex.bucketCol(c.termBuckets))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val candidates = (0 until 120)
+      .map(i => IdxDoc(1000L + i, s"filler$i pad${i * 7} tail${i * 13}"))
+    val clashing = StreamingTextIndex.postings(candidates.toDF(), c)
+      .filter(col("bucket").isInCollection(queryBuckets.toSeq))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val fillers = candidates.filterNot(d => clashing(d.doc_id))
+    assert(fillers.size >= 10, s"only ${fillers.size} bucket-disjoint fillers")
+    StreamingTextIndex.processBatch(fillers.take(5).toDF(), 1L, c)
+    StreamingTextIndex.processBatch(
+      fillers.slice(5, 10).map(d => d.copy(doc_id = d.doc_id + 10000)).toDF(),
+      2L, c)
+
+    val after = queryScanFiles()
+    assert(after == before,
+      s"query scan grew with unrelated index growth: $before -> $after")
+    val totalFiles = spark.read.parquet(c.indexPath).inputFiles.length.toLong
+    assert(totalFiles > after,
+      s"no pruning: query reads all $totalFiles index files")
+  }
+}
