@@ -1773,6 +1773,40 @@ object PipelineQueries {
         .orderBy(col("source"), col("pct"))
     },
 
+    // Per-doc percentile-rank normalization: each doc's token count as
+    // an exact ppm percentile rank WITHIN its source — the
+    // score-normalization primitive that makes quality cutoffs
+    // comparable across sources with different length profiles.
+    // Scale shape: the rank is NOT a per-row window — cumulative counts
+    // run over the (source, value) aggregate (bounded by distinct
+    // values), and docs join back by value key. Top-5 per source keeps
+    // the output bounded.
+    "q173_length_percentile_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      val byVal = docs.groupBy(col("source"), col("n_tokens"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = byVal
+        .withColumn("cum_le", sum(col("c")).over(wCum))
+      val totals = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val wTop = Window.partitionBy(col("source"))
+        .orderBy(col("pct_rank_ppm").desc, col("doc_id").asc)
+      docs.join(ranked, Seq("source", "n_tokens"))
+        .join(broadcast(totals), "source")
+        .withColumn("pct_rank_ppm", expr("cum_le * 1000000L div n"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("pct_rank_ppm"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // Forecast-revenue delta (TPC-H Q6 shape): the pure scan-filter-agg
     // query — no join, no shuffle beyond the final agg; the plan should
     // be one WholeStageCodegen span over the parquet scan with every
@@ -3247,6 +3281,31 @@ object PipelineQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q173_length_percentile_rank" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents),
+         bv AS (SELECT source, n_tokens, COUNT(*) AS c FROM d
+           GROUP BY source, n_tokens),
+         r AS (SELECT source, n_tokens,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_le
+           FROM bv),
+         n AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+         j AS (SELECT d.source, d.doc_id, d.n_tokens,
+             r.cum_le * 1000000 // n.n AS pct_rank_ppm
+           FROM d JOIN r ON d.source = r.source
+             AND d.n_tokens = r.n_tokens
+           JOIN n ON d.source = n.source),
+         top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY pct_rank_ppm DESC, doc_id ASC) AS rk
+           FROM j)
+         SELECT source, doc_id, n_tokens,
+           CAST(pct_rank_ppm AS BIGINT) AS pct_rank_ppm
+         FROM top WHERE rk <= 5 ORDER BY source, doc_id""",
 
     "q172_source_weighted_lengths" ->
       """WITH v AS (SELECT source AS g,
