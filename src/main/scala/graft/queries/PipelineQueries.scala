@@ -1807,6 +1807,37 @@ object PipelineQueries {
         .orderBy(col("source"), col("doc_id"))
     },
 
+    // Benford first-digit audit: observed vs expected leading-digit
+    // frequency of order totals, deviations in exact ppm — the classic
+    // fabricated-data / unit-mix-up detector for a financial column.
+    // Expected Benford frequencies log10(1+1/d) are FIXED integer ppm
+    // constants (no runtime float); the digit comes from the integer
+    // cents' decimal string (identical in both engines — q153's proven
+    // cents cast). One partial-agg shuffle to 9 rows.
+    "q174_benford_audit" -> { (s, dir) =>
+      val expected = Seq(301030, 176091, 124939, 96910, 79181, 66947,
+        57992, 51153, 45757)
+      val expectedExpr = expected.zipWithIndex
+        .map { case (ppm, i) => s"WHEN ${i + 1} THEN ${ppm}L" }
+        .mkString("CASE d ", " ", " ELSE 0L END")
+      val cents = t(s, dir, "orders")
+        .select((col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+      val digits = cents
+        .withColumn("d",
+          expr("cast(substring(cast(cents as string), 1, 1) as int)"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      val total = cents.agg(count(lit(1)).as("total"))
+      digits.crossJoin(broadcast(total))
+        .withColumn("observed_ppm", expr("n * 1000000L div total"))
+        .withColumn("expected_ppm", expr(expectedExpr))
+        .withColumn("dev_ppm",
+          abs(col("observed_ppm") - col("expected_ppm")))
+        .select(col("d"), col("n"), col("observed_ppm"),
+          col("expected_ppm"), col("dev_ppm"))
+        .orderBy(col("d"))
+    },
+
     // Forecast-revenue delta (TPC-H Q6 shape): the pure scan-filter-agg
     // query — no join, no shuffle beyond the final agg; the plan should
     // be one WholeStageCodegen span over the parquet scan with every
@@ -3281,6 +3312,26 @@ object PipelineQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q174_benford_audit" ->
+      """WITH c AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents
+           FROM orders WHERE CAST(o_totalprice * 100 AS BIGINT) > 0),
+         dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+             AS d, COUNT(*) AS n
+           FROM c GROUP BY 1),
+         t AS (SELECT COUNT(*) AS total FROM c)
+         SELECT dg.d, dg.n,
+           CAST(dg.n * 1000000 // t.total AS BIGINT) AS observed_ppm,
+           CAST(CASE dg.d WHEN 1 THEN 301030 WHEN 2 THEN 176091
+             WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+             WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+             WHEN 9 THEN 45757 ELSE 0 END AS BIGINT) AS expected_ppm,
+           CAST(abs(dg.n * 1000000 // t.total - (CASE dg.d
+             WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+             WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+             WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757
+             ELSE 0 END)) AS BIGINT) AS dev_ppm
+         FROM dg CROSS JOIN t ORDER BY dg.d""",
 
     "q173_length_percentile_rank" ->
       """WITH d AS (SELECT doc_id, source,
