@@ -1838,6 +1838,32 @@ object PipelineQueries {
         .orderBy(col("d"))
     },
 
+    // Session-scoped conversion funnel: view→click→purchase ordered
+    // WITHIN one session (q142's user-level convention, session-scoped
+    // via the shared assignSessions definition) — the product-analytics
+    // number that distinguishes "converted eventually" from "converted
+    // in the visit". Per-(user, session) keyed aggregates only; output
+    // is one row of four counts.
+    "q175_session_funnel" -> { (s, dir) =>
+      val ev = graft.streaming.Events.assignSessions(t(s, dir, "events"))
+        .select(col("user_id"), col("session_idx"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val keys = Seq("user_id", "session_idx")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(keys.map(col): _*).agg(min(col("us")).as("v_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, keys).filter(col("us") > col("v_us"))
+        .groupBy(keys.map(col): _*).agg(min(col("us")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, keys).filter(col("us") > col("c_us"))
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("np"))
+      ev.select(keys.map(col): _*).distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(v.agg(count(lit(1)).as("n_view")))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    },
+
     // Forecast-revenue delta (TPC-H Q6 shape): the pure scan-filter-agg
     // query — no join, no shuffle beyond the final agg; the plan should
     // be one WholeStageCodegen span over the parquet scan with every
@@ -3312,6 +3338,40 @@ object PipelineQueries {
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
            AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+
+    "q175_session_funnel" ->
+      """WITH se AS (
+           SELECT user_id, session_idx, event_type, us FROM (
+             SELECT user_id, event_type, epoch_us(ts) AS us,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_idx
+             FROM (
+               SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                        > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+               FROM events) a) b),
+         v AS (SELECT user_id, session_idx, MIN(us) AS v_us FROM se
+           WHERE event_type = 'view' GROUP BY 1, 2),
+         c AS (SELECT se.user_id, se.session_idx, MIN(se.us) AS c_us
+           FROM se JOIN v ON se.user_id = v.user_id
+             AND se.session_idx = v.session_idx
+           WHERE se.event_type = 'click' AND se.us > v.v_us
+           GROUP BY 1, 2),
+         p AS (SELECT se.user_id, se.session_idx
+           FROM se JOIN c ON se.user_id = c.user_id
+             AND se.session_idx = c.session_idx
+           WHERE se.event_type = 'purchase' AND se.us > c.c_us
+           GROUP BY 1, 2),
+         t AS (SELECT COUNT(*) AS n_sessions FROM
+           (SELECT DISTINCT user_id, session_idx FROM se) x)
+         SELECT t.n_sessions,
+           (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+         FROM t""",
 
     "q174_benford_audit" ->
       """WITH c AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents

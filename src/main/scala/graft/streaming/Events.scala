@@ -38,10 +38,11 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
-  /** Batch sessionization: 30-min-gap sessions per user via the classic
-    * lag/flag/cumsum window program — the batch mirror of
-    * `session_window` (which needs a streaming query). */
-  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** Per-event session assignment: each event gains its `session_idx`
+    * (30-min-gap, per user) via the classic lag/flag/cumsum window
+    * program — exposed so session-SCOPED analyses (per-session funnels,
+    * q175) share one session definition with [[sessionizeBatch]]. */
+  def assignSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -58,12 +59,18 @@ object Events {
       .withColumn("session_idx",
         sum(col("new_s")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("new_s")
+  }
+
+  /** Batch sessionization: 30-min-gap sessions per user — the batch
+    * mirror of `session_window` (which needs a streaming query). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    assignSessions(events, gapMinutes)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
-  }
 
   /** Retention-cohort matrix: users grouped by first-activity week, each
     * cohort's active-user count at every later week offset — the classic
