@@ -241,6 +241,23 @@ class CliSpec extends SparkSpec {
     assert(est >= n && est <= n * n)
   }
 
+  test("offload --ddl-file flows through the CLI to the artifact") {
+    val base = java.nio.file.Files
+      .createTempDirectory("cli_ddl_file").toString
+    val ddl = s"$base/nation.sql"
+    Cli.main(Array("offload",
+      "--source", sf("sf0.001") + "/nation.parquet",
+      "--final", s"$base/final", "--meta", s"$base/meta",
+      "--ddl-file", ddl, "--ddl-dialect", "snowflake"))
+    val written = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(ddl)), "UTF-8")
+    assert(written.contains("CREATE TABLE"))
+    // snowflake dialect renders NUMBER types, and no table was created
+    assert(written.contains("NUMBER"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/final")))
+  }
+
   test("quantiles command covers all four operator forms") {
     val orders = sf("sf0.001") + "/orders.parquet"
     def run(extra: String*): Seq[String] = {
