@@ -69,7 +69,9 @@ object Sketches {
         Seq("seed", "cell"))
       .groupBy(col("seed"))
       .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
-      .agg(min(col("ip")).as("join_size_est"))
+      // disjoint key sets → the cell join is empty and min is NULL; the
+      // semantically-correct estimate is 0 (no shared cells ⇒ bound 0)
+      .agg(coalesce(min(col("ip")), lit(0L)).as("join_size_est"))
 
   /** Point-estimate probe: for each probe token, `min` over the sketch
     * rows it hashes to — the classic CMS upper bound (estimate ≥ truth,

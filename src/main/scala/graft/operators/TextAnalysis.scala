@@ -465,9 +465,11 @@ object TextAnalysis {
                  textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
     val terms = queryTerms.map(_.toLowerCase).distinct
+    // not persisted: the cheap (id, token-count) projection feeds exactly
+    // two consumers, and a persist here would leak one cached
+    // corpus-scale relation per invocation (nothing unpersists it)
     val lens = docs.select(col(idCol).as("doc_id"),
-        tokenCount(col(textCol)).cast("long").as("dl"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tokenCount(col(textCol)).cast("long").as("dl"))
     val corpus = lens.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("corpus_len"))
     val occ = docs.select(col(idCol).as("doc_id"),
@@ -476,9 +478,21 @@ object TextAnalysis {
     val tf = occ.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(corpus))
-      .join(lens, "doc_id")
+    bm25ScoreTopK(
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(corpus))
+        .join(lens, "doc_id"),
+      k)
+  }
+
+  /** The SHARED integer BM25 scoring stage: input must carry
+    * `doc_id, tf, df, n_docs, corpus_len, dl`; output is the
+    * `(doc_id, score_ppm, n_terms_hit)` top-k. Both [[bm25Search]] and
+    * the streaming index's query path end here, so the rational
+    * reduction lives in exactly one place and "digit-identical" holds
+    * by construction. */
+  private[graft] def bm25ScoreTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
       .withColumn("idf_bits",
         length(bin(expr("n_docs div df"))).cast("long"))
       .withColumn("term_score_ppm", expr(
@@ -492,7 +506,6 @@ object TextAnalysis {
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score_ppm").desc, col("doc_id").asc)
       .limit(k)
-  }
 
   /** Canonical URL for web-corpus dedup: the same page crawled as
     * `HTTPS://WWW.Site.com:443/a/?utm_source=feed#top` and

@@ -3038,7 +3038,7 @@ object PipelineQueries {
 
     "q153_exact_quantiles" -> {
       val pv = QuantilePcts.map(p => s"($p)").mkString(", ")
-      s"""WITH v AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS v
+      s"""WITH v AS (SELECT CAST(trunc(o_totalprice * 100) AS BIGINT) AS v
            FROM orders),
          n AS (SELECT COUNT(*) AS n FROM v),
          t AS (SELECT pv.p AS pct, (n.n * pv.p + 99) // 100 AS tr
@@ -3319,7 +3319,7 @@ object PipelineQueries {
          ip AS (SELECT ca.seed, SUM(ca.cnt * cb.cnt) AS ip
            FROM ca JOIN cb ON ca.seed = cb.seed AND ca.cell = cb.cell
            GROUP BY ca.seed),
-         est AS (SELECT CAST(MIN(ip) AS BIGINT) AS join_size_est FROM ip),
+         est AS (SELECT CAST(COALESCE(MIN(ip), 0) AS BIGINT) AS join_size_est FROM ip),
          x AS (SELECT COUNT(*) AS exact_join_size
            FROM (SELECT user_id FROM events WHERE event_type = 'click') a
              JOIN (SELECT user_id FROM events
@@ -3374,8 +3374,8 @@ object PipelineQueries {
          FROM t""",
 
     "q174_benford_audit" ->
-      """WITH c AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents
-           FROM orders WHERE CAST(o_totalprice * 100 AS BIGINT) > 0),
+      """WITH c AS (SELECT CAST(trunc(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE CAST(trunc(o_totalprice * 100) AS BIGINT) > 0),
          dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
              AS d, COUNT(*) AS n
            FROM c GROUP BY 1),

@@ -54,12 +54,29 @@ object StreamingHll {
       .groupBy(col("grp"), col("register"))
       .agg(max(col("rho_max")).as("rho_max"))
 
+  /** Crash-window recovery for the aside-rename swap: if a prior run
+    * died between `rename(cur → old)` and `rename(tmp → cur)`, the store
+    * is missing but the full state survives in `__old` — restore it
+    * BEFORE any read or merge, or the replayed batch would rebuild the
+    * store from one batch's data and the cleanup would then delete the
+    * only copy of history. */
+  private[streaming] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                     dir: String, name: String): Unit = {
+    val cur = new Path(dir, name)
+    val old = new Path(dir, name + "__old")
+    if (!fs.exists(cur) && fs.exists(old)) {
+      if (!fs.rename(old, cur))
+        throw new IllegalStateException(s"swap recovery failed: $old")
+    }
+  }
+
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
     if (batchId <= lastBatch(spark, cfg)) return // replay: skip the work
     val fs = new Path(cfg.sketchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, cfg.sketchDir, "registers")
     val regs = new Path(cfg.sketchDir, "registers")
     val fresh = Sketches.hllRegisters(batch, cfg.groupCol, cfg.valueCol,
       cfg.regHex, cfg.windowHex)
@@ -88,6 +105,7 @@ object StreamingHll {
            cfg: Config): DataFrame = {
     val fs = new Path(cfg.sketchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, cfg.sketchDir, "registers")
     val regs = new Path(cfg.sketchDir, "registers")
     if (fs.exists(regs)) spark.read.parquet(regs.toString)
     else spark.emptyDataFrame

@@ -55,6 +55,7 @@ object StreamingKmv {
     if (batchId <= lastBatch(spark, cfg)) return // replay: skip the work
     val fs = new Path(cfg.sketchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingHll.recoverSwap(fs, cfg.sketchDir, "slots")
     val slots = new Path(cfg.sketchDir, "slots")
     val fresh = Sketches.kmvSketch(batch, cfg.k, cfg.groupCol, cfg.valueCol)
     val merged =
@@ -84,6 +85,7 @@ object StreamingKmv {
            cfg: Config): DataFrame = {
     val fs = new Path(cfg.sketchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingHll.recoverSwap(fs, cfg.sketchDir, "slots")
     val slots = new Path(cfg.sketchDir, "slots")
     if (fs.exists(slots)) spark.read.parquet(slots.toString)
     else {

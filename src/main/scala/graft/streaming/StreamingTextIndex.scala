@@ -9,24 +9,27 @@ import graft.operators.TextAnalysis
 
 /** Continuously-maintained inverted index for lexical (BM25) serving —
   * the retrieval counterpart of [[StreamingDedup]]'s band index: each
-  * micro-batch appends its postings `(term, doc_id, tf)` PARTITIONED BY
-  * `bucket = hash(term) mod termBuckets`, its doc lengths, and a merged
-  * one-row totals relation. A query then reads ONLY the buckets its
-  * terms hash to — partition pruning keeps query cost proportional to
-  * the query's term footprint, not the corpus (machine-checked by the
-  * flat-file-reads spec, same scheme as the dedup index).
+  * micro-batch writes its postings `(term, doc_id, tf)` PARTITIONED BY
+  * `(batch_id, bucket)` where `bucket = hash(term) mod termBuckets`, its
+  * doc lengths, and a one-row per-batch totals relation. A query then
+  * reads ONLY the buckets its terms hash to — partition pruning keeps
+  * query cost proportional to the query's term footprint, not the
+  * corpus (machine-checked by the flat-file-reads spec, same scheme as
+  * the dedup index).
   *
   * [[query]] reproduces [[TextAnalysis.bm25Search]] digit-for-digit on
   * the same corpus (spec-pinned): document frequency comes from the
   * pruned postings, lengths from the doc-key join against candidates
-  * only, and the integer BM25 arithmetic is shared.
+  * only, and the integer BM25 arithmetic is the SHARED
+  * [[TextAnalysis.bm25ScoreTopK]] scoring stage.
   *
-  * Replay semantics: postings/length appends are NOT idempotent, so the
-  * high-water batch id is LOAD-BEARING here (as in [[StreamingSketch]],
-  * unlike the max/union sketches) — a replayed batch is skipped before
-  * any write; the totals swap is the aside-rename scheme, so a crash
-  * leaves the old or the new totals, never a mix.
-  */
+  * Replay semantics: every write is scoped to the batch's own
+  * `batch_id=N` partitions and uses DYNAMIC partition overwrite, so a
+  * replayed batch — including one that crashed MID-WRITE, after some
+  * appends but before the high-water mark — simply rewrites its own
+  * partitions: the store is idempotent by construction, with no swap
+  * window at all. The high-water batch id only skips wasted work on
+  * replay of a fully-committed batch. */
 object StreamingTextIndex {
 
   final case class Config(indexPath: String, lengthsPath: String,
@@ -77,43 +80,43 @@ object StreamingTextIndex {
     val t = new Path(cfg.totalsPath, "totals")
     if (!fs.exists(t)) (0L, 0L)
     else {
-      val r = spark.read.parquet(t.toString).head()
-      (r.getAs[Long]("n_docs"), r.getAs[Long]("corpus_len"))
+      val r = spark.read.parquet(t.toString)
+        .agg(sum(col("n_docs")), sum(col("corpus_len"))).head()
+      (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+       Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
   }
+
+  /** Batch-scoped dynamic-overwrite writer: rewrites only this batch's
+    * partitions, making a (partial-)replay a clean rewrite. */
+  private def writeBatchPartitions(df: DataFrame, parts: Seq[String],
+                                   path: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(parts: _*).parquet(path)
 
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastBatch(spark, cfg)) return // replay: load-bearing skip
+    if (batchId <= lastBatch(spark, cfg)) return // replay: skip the work
     val fs = new Path(cfg.totalsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!batch.isEmpty) {
-      postings(batch, cfg)
-        .write.mode("append").partitionBy("bucket").parquet(cfg.indexPath)
+      writeBatchPartitions(
+        postings(batch, cfg).withColumn("batch_id", lit(batchId)),
+        Seq("batch_id", "bucket"), cfg.indexPath)
       val lengths = batch.select(col(cfg.idCol).as("doc_id"),
         TextAnalysis.tokenCount(col(cfg.textCol)).cast("long").as("dl"))
-      lengths.write.mode("append").parquet(cfg.lengthsPath)
-      val (n0, l0) = readTotals(spark, cfg)
+      writeBatchPartitions(lengths.withColumn("batch_id", lit(batchId)),
+        Seq("batch_id"), cfg.lengthsPath)
       val agg = lengths.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
         .head()
       import spark.implicits._
-      val merged = Seq((n0 + agg.getLong(0),
-        l0 + Option(agg.getAs[Long]("l")).getOrElse(0L)))
-        .toDF("n_docs", "corpus_len")
-      val tmp = new Path(cfg.totalsPath, "totals__tmp")
-      fs.delete(tmp, true)
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val cur = new Path(cfg.totalsPath, "totals")
-      val old = new Path(cfg.totalsPath, "totals__old")
-      fs.delete(old, true)
-      if (fs.exists(cur) && !fs.rename(cur, old))
-        throw new IllegalStateException(s"totals swap: cannot move $cur")
-      if (!fs.rename(tmp, cur)) {
-        if (fs.exists(old)) fs.rename(old, cur) // roll back
-        throw new IllegalStateException(s"totals swap: cannot install $tmp")
-      }
-      fs.delete(old, true)
+      writeBatchPartitions(
+        Seq((agg.getLong(0),
+          Option(agg.getAs[Long]("l")).getOrElse(0L), batchId))
+          .toDF("n_docs", "corpus_len", "batch_id"),
+        Seq("batch_id"), new Path(cfg.totalsPath, "totals").toString)
     }
     val out = fs.create(hwmPath(cfg), true)
     try out.write(batchId.toString.getBytes("UTF-8"))
@@ -132,9 +135,9 @@ object StreamingTextIndex {
   }
 
   /** BM25 top-k against the maintained index — digit-identical to
-    * [[TextAnalysis.bm25Search]] over the same corpus; query cost is the
-    * pruned postings + a candidate-only doc-length join, never a corpus
-    * scan. */
+    * [[TextAnalysis.bm25Search]] over the same corpus (shared scoring
+    * stage); query cost is the pruned postings + a candidate-only
+    * doc-length join, never a corpus scan. */
   def query(spark: SparkSession, cfg: Config, queryTerms: Seq[String],
             k: Int): DataFrame = {
     require(queryTerms.nonEmpty && k > 0, "need query terms and k > 0")
@@ -144,22 +147,12 @@ object StreamingTextIndex {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val (nDocs, corpusLen) = readTotals(spark, cfg)
     val lens = spark.read.parquet(cfg.lengthsPath)
-    tf.join(broadcast(dfreq), "term")
-      .withColumn("n_docs", lit(nDocs))
-      .withColumn("corpus_len", lit(corpusLen))
-      .join(lens, "doc_id")
-      .withColumn("idf_bits",
-        length(bin(expr("n_docs div df"))).cast("long"))
-      .withColumn("term_score_ppm", expr(
-        """(cast(1000000 as decimal(38,0)) * idf_bits * 44 * tf * corpus_len)
-           div
-           (cast(20 as decimal(38,0)) * corpus_len * tf
-             + cast(6 as decimal(38,0)) * corpus_len
-             + cast(18 as decimal(38,0)) * dl * n_docs)"""))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("term_score_ppm")).as("score_ppm"),
-        count(lit(1)).as("n_terms_hit"))
-      .orderBy(col("score_ppm").desc, col("doc_id").asc)
-      .limit(k)
+      .select(col("doc_id"), col("dl"))
+    TextAnalysis.bm25ScoreTopK(
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("corpus_len", lit(corpusLen))
+        .join(lens, "doc_id"),
+      k)
   }
 }

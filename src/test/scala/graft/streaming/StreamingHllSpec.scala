@@ -46,6 +46,26 @@ class StreamingHllSpec extends SparkSpec {
     assert(est == estOf(oneShot(all)))
   }
 
+  test("crash between the two swap renames is recovered, not reset") {
+    val base = Files.createTempDirectory("shll_crash").toString
+    val c = cfg(base)
+    val b1 = Seq(SrcDoc("web", "alpha"), SrcDoc("book", "gamma")).toDF()
+    val b2 = Seq(SrcDoc("web", "delta")).toDF()
+    StreamingHll.processBatch(b1, 0L, c)
+    // simulate dying after rename(cur → old), before rename(tmp → cur):
+    // the store is missing and the only full state lives in __old
+    val fs = new org.apache.hadoop.fs.Path(c.sketchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(c.sketchDir, "registers"),
+      new org.apache.hadoop.fs.Path(c.sketchDir, "registers__old")))
+    // both the read path and the next batch must restore history first
+    assert(regs(StreamingHll.read(spark, c)) == regs(oneShot(b1)))
+    StreamingHll.processBatch(b2, 1L, c)
+    assert(regs(StreamingHll.read(spark, c)) ==
+      regs(oneShot(b1.unionByName(b2))))
+  }
+
   test("streaming end-to-end over MemoryStream") {
     val base = Files.createTempDirectory("shll_e2e").toString
     val c = cfg(base)

@@ -42,7 +42,17 @@ class StreamingTextIndexSpec extends SparkSpec {
     val expected = rows(TextAnalysis.bm25Search(corpus.toDF(), terms, 10))
     assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) == expected)
 
-    // replayed batch: appends would double postings — HWM must skip it
+    // replayed batch: HWM skips it
+    StreamingTextIndex.processBatch(b2.toDF(), 1L, c)
+    assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) == expected)
+    assert(StreamingTextIndex.readTotals(spark, c)._1 == corpus.length)
+
+    // MID-BATCH CRASH replay: simulate a batch that wrote its data but
+    // died before the HWM (delete the HWM, re-process) — the
+    // batch-scoped dynamic overwrite must rewrite, never duplicate
+    val fs = new org.apache.hadoop.fs.Path(c.totalsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(c.totalsPath, "_hwm"), false)
     StreamingTextIndex.processBatch(b2.toDF(), 1L, c)
     assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) == expected)
     assert(StreamingTextIndex.readTotals(spark, c)._1 == corpus.length)

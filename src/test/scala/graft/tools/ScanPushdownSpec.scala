@@ -46,8 +46,10 @@ class ScanPushdownSpec extends SparkSpec {
     // lineitem: only the three referenced columns, never the full width
     assert(schemas.contains("l_orderkey"), schemas)
     assert(!schemas.contains("l_shipdate"), schemas)
-    // customer: name + key only
-    assert(!schemas.contains("c_address") || !schemas.contains("o_comment"),
+    // customer: name + key only — the unreferenced wide columns that DO
+    // exist in this dataset must be pruned out of the read schema
+    assert(schemas.contains("c_name"), schemas)
+    assert(!schemas.contains("c_acctbal") && !schemas.contains("c_mktsegment"),
       schemas)
   }
 }
