@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtraQueries, GoeQueries, PipelineQueries}
+import graft.queries.{CurationExtras, ExtraQueries, GoeQueries, PipelineQueries, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    GoeQueries.defs ++ PipelineQueries.defs ++ ExtraQueries.defs
+    GoeQueries.defs ++ PipelineQueries.defs ++ ExtraQueries.defs ++
+      TpchShapes.defs ++ CurationExtras.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    GoeQueries.oracles ++ PipelineQueries.oracles ++ ExtraQueries.oracles
+    GoeQueries.oracles ++ PipelineQueries.oracles ++ ExtraQueries.oracles ++
+      TpchShapes.oracles ++ CurationExtras.oracles
 }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the TPC-H remainder shapes (q176–q187) and the
+  * curation extras (q188–q190) — properties the DuckDB hash gate can't
+  * state (cross-row conservation, determinism across runs, per-group
+  * caps). Oracle equivalence itself is covered by the driver gate. */
+class TpchShapesSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q176: every returned part is at its type's minimum retail price") {
+    val out = TpchShapes.defs("q176_min_price_supplier")(spark, dir)
+    val mins = graft.Tables.load(spark, dir, "part")
+      .groupBy(col("p_type").as("t")).agg(min(col("p_retailprice")).as("m"))
+    val priced = out
+      .join(graft.Tables.load(spark, dir, "part")
+        .select(col("p_partkey").as("pk"), col("p_retailprice")),
+        col("p_partkey") === col("pk"))
+      .join(mins, col("p_type") === col("t"))
+    assert(priced.filter(col("p_retailprice") =!= col("m")).count() === 0L)
+  }
+
+  test("q181: high + low line counts conserve the joined row count") {
+    val out = TpchShapes.defs("q181_priority_class_matrix")(spark, dir)
+      .agg(sum(col("high_line_count") + col("low_line_count"))).head.getLong(0)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val joined = graft.Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(graft.Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(out === joined)
+  }
+
+  test("q182: custdist conserves the customer universe, zero bucket included") {
+    val out = TpchShapes.defs("q182_order_count_distribution")(spark, dir)
+    val total = out.agg(sum(col("custdist"))).head.getLong(0)
+    assert(total === graft.Tables.load(spark, dir, "customer").count())
+  }
+
+  test("q183: the top supplier's revenue is the global max") {
+    val out = TpchShapes.defs("q183_top_supplier")(spark, dir)
+    assert(out.count() >= 1L)
+    assert(out.select(countDistinct(col("total_revenue"))).head.getLong(0)
+      === 1L)
+  }
+
+  test("q186: sole-returned suppliers carry positive waits") {
+    val out = TpchShapes.defs("q186_sole_returned_supplier")(spark, dir)
+    assert(out.filter(col("numwait") <= 0).count() === 0L)
+  }
+
+  test("q188: fuzzy pairs are ordered, blocked, and within distance") {
+    val out = CurationExtras.defs("q188_fuzzy_name_match")(spark, dir)
+    assert(out.filter(col("name_a") >= col("name_b")).count() === 0L)
+    assert(out.filter(col("dist") > CurationExtras.FuzzyMaxDist).count()
+      === 0L)
+    // blocked on the noun: both names end in the same second token
+    assert(out.filter(
+      split(col("name_a"), " ").getItem(1) =!=
+        split(col("name_b"), " ").getItem(1)).count() === 0L)
+  }
+
+  test("q189: hash sample is capped per source and run-deterministic") {
+    val a = CurationExtras.defs("q189_hash_sample")(spark, dir)
+    val perSource = a.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    assert(perSource.filter(
+      col("n") > CurationExtras.SamplePerSource).count() === 0L)
+    val b = CurationExtras.defs("q189_hash_sample")(spark, dir)
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
+
+  test("q190: semdedup keep/drop conserves every cell's vector count") {
+    val out = CurationExtras.defs("q190_semdedup")(spark, dir)
+    assert(out.filter(col("n_kept") + col("n_dropped") =!=
+      col("n_vectors")).count() === 0L)
+    val total = out.agg(sum(col("n_vectors"))).head.getLong(0)
+    assert(total ===
+      graft.Tables.load(spark, dir, "embeddings").count())
+  }
+}
