@@ -22,6 +22,11 @@ object CurationExtras {
   /** q189: deterministic sample size per source stratum. */
   val SamplePerSource = 5
   /** q190 reuses the q49 fixed-centroid IVF scheme + CosineThreshold. */
+  /** q193 anomaly fences: high = 3× trailing median, low = ⅛ of it. */
+  val AnomalyHighX = 3L
+  val AnomalyLowDiv = 8L
+  /** q194: Zipf rank·frequency spread over the top-N vocabulary. */
+  val ZipfTopN = 1000L
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -111,9 +116,231 @@ object CurationExtras {
           (col("n_vectors") - coalesce(col("n_dropped"), lit(0L)))
             .as("n_kept"))
         .orderBy(col("ivf_cell"))
+    },
+
+    // Event-rate overdispersion (Fano factor) per event type: daily
+    // counts → variance-to-mean in exact rational arithmetic
+    // (var/mean = (n·Σx² − (Σx)²) / ((n−1)·Σx), one integral divide to
+    // ppm). Fano ≫ 1e6 means bursty arrivals (bot storms, replays);
+    // ≈ 1e6 is Poisson-like. Daily relation is bounded (days, not
+    // events); the only O(events) work is the first count.
+    "q191_event_overdispersion" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x")).as("total"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sum_sq"))
+        .withColumn("var_num",
+          col("n_days").cast("decimal(38,0)") * col("sum_sq") -
+            col("total").cast("decimal(38,0)") *
+              col("total").cast("decimal(38,0)"))
+        .select(col("event_type"), col("n_days"), col("total"),
+          expr("CAST(var_num * 1000000 div " +
+            "((n_days - 1) * CAST(total AS DECIMAL(38,0))) AS BIGINT)")
+            .as("fano_ppm"))
+        .orderBy(col("event_type"))
+    },
+
+    // KMV pairwise source similarity: per-source bottom-k sketches over
+    // the 3-gram shingle space, merged per source PAIR into union /
+    // intersection / Jaccard estimates — the content-overlap matrix
+    // between corpus slices from sketches alone (Beyer et al., SIGMOD
+    // 2007). At 100 TB each source contributes ONE k-slot row to the
+    // pair stage regardless of its size; the pair join is
+    // sketch×sketch (metadata scale), and with < k distinct shingles
+    // the sketch IS the set, so small sources are exact.
+    "q192_kmv_source_similarity" -> { (s, dir) =>
+      import graft.operators.{Dedup, Sketches}
+      val k = PipelineQueries.KmvK
+      val num = (k - 1).toLong * Sketches.KmvSpace
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      val sk = Sketches.kmvSketch(sh, k, "source", "shingle")
+      val a = sk.select(col("source").as("src_lo"), col("hs").as("hs_a"))
+      val b = sk.select(col("source").as("src_hi"), col("hs").as("hs_b"))
+      a.join(b, col("src_lo") < col("src_hi"))
+        .withColumn("merged",
+          expr(s"slice(array_sort(array_union(hs_a, hs_b)), 1, $k)"))
+        .withColumn("n_u", size(col("merged")).cast("long"))
+        .withColumn("kth",
+          expr(s"CASE WHEN n_u = $k THEN element_at(merged, $k) " +
+            "ELSE 0L END"))
+        .withColumn("union_est",
+          expr(s"CASE WHEN n_u < $k THEN n_u " +
+            s"ELSE ${num}L div greatest(kth, 1L) END"))
+        .withColumn("inter_cnt",
+          size(expr("array_intersect(merged, array_intersect(hs_a, hs_b))"))
+            .cast("long"))
+        .select(col("src_lo"), col("src_hi"), col("n_u"),
+          col("union_est"), col("inter_cnt"),
+          expr("inter_cnt * 1000000 div n_u").as("jaccard_ppm"),
+          expr("inter_cnt * union_est div n_u").as("inter_est"))
+        .orderBy(col("src_lo"), col("src_hi"))
+    },
+
+    // Daily revenue anomaly flags: each day vs the exact LOWER MEDIAN of
+    // its trailing 7 calendar days — integral fences (3× above, ⅛
+    // below), no float division deciding membership. The day relation is
+    // an aggregate (bounded); the trailing join and median window run
+    // over days, never orders.
+    "q193_daily_anomaly" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val day = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("day"),
+          (col("o_totalprice").cast("decimal(12,2)") * lit(100))
+            .cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("rev_e2"))
+      val tr = day.join(
+        day.select(col("day").as("d2"), col("rev_e2").as("r2")),
+        col("d2") >= date_sub(col("day"), 7) && col("d2") < col("day"))
+      val w = Window.partitionBy(col("day")).orderBy(col("r2"), col("d2"))
+      val wc = Window.partitionBy(col("day"))
+      val med = tr
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("cnt") >= 4 &&
+          col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("day"), col("rev_e2"), col("r2").as("med_e2"))
+      med
+        .filter(col("rev_e2") > col("med_e2") * AnomalyHighX ||
+          col("rev_e2") * AnomalyLowDiv < col("med_e2"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          (col("rev_e2") / lit(100)).cast("double").as("revenue"),
+          (col("med_e2") / lit(100)).cast("double")
+            .as("trailing_median"),
+          when(col("rev_e2") > col("med_e2") * AnomalyHighX, lit("high"))
+            .otherwise(lit("low")).as("direction"))
+        .orderBy(col("day"))
+    },
+
+    // Zipf rank·frequency spread: over the top-N vocabulary, the
+    // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
+    // a wide spread flags template/boilerplate-dominated corpora. All
+    // windows run over the vocabulary AGGREGATE (Zipf-small), never
+    // the token stream.
+    "q194_zipf_spread" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TextAnalysis
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val ranked = vocab
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("token"))))
+        .filter(col("rank") <= ZipfTopN)
+        .select((col("rank") * col("freq")).as("product"))
+      graft.operators.Quantiles
+        .exactQuantiles(ranked, "product", Seq(25, 50, 75),
+          bucketWidth = 1000L)
+        .orderBy(col("pct"))
     })
 
   def oracles: Map[String, String] = Map(
+
+    "q192_kmv_source_similarity" -> {
+      import graft.operators.Sketches
+      val k = PipelineQueries.KmvK
+      val num = (k - 1).toLong * Sketches.KmvSpace
+      val unionEst =
+        s"CASE WHEN n_u < $k THEN n_u ELSE $num // GREATEST(kth, 1) END"
+      s"""WITH docs AS (SELECT source,
+           string_split_regex(trim(text), '\\s+') AS toks
+         FROM documents),
+         sh AS (SELECT DISTINCT source, shingle FROM (
+           SELECT source,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+           FROM docs) u),
+         hh AS (SELECT DISTINCT source,
+           ${Sketches.kmvHashSql("shingle")} AS h FROM sh),
+         slots AS (SELECT source, h FROM (
+           SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+           FROM hh) x WHERE rn <= $k),
+         srcs AS (SELECT DISTINCT source FROM hh),
+         p AS (SELECT a.source AS src_lo, b.source AS src_hi
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+         m AS (SELECT p.src_lo, p.src_hi, s.h,
+             MAX(CASE WHEN s.source = p.src_lo THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.source = p.src_hi THEN 1 ELSE 0 END) AS in_b
+           FROM p JOIN slots s
+             ON s.source = p.src_lo OR s.source = p.src_hi
+           GROUP BY 1, 2, 3),
+         r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_lo, src_hi
+             ORDER BY h) AS rn FROM m),
+         agg AS (SELECT src_lo, src_hi,
+             CAST(COUNT(*) AS BIGINT) AS n_u,
+             COALESCE(MAX(CASE WHEN rn = $k THEN h END), 0) AS kth,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS inter_cnt
+           FROM r2 WHERE rn <= $k GROUP BY 1, 2)
+         SELECT src_lo, src_hi, n_u,
+           CAST($unionEst AS BIGINT) AS union_est,
+           inter_cnt,
+           CAST(inter_cnt * 1000000 // n_u AS BIGINT) AS jaccard_ppm,
+           CAST(inter_cnt * ($unionEst) // n_u AS BIGINT) AS inter_est
+         FROM agg ORDER BY src_lo, src_hi"""
+    },
+
+    "q193_daily_anomaly" ->
+      s"""WITH day AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             AS rev_e2
+         FROM orders GROUP BY 1),
+         tr AS (SELECT a.day, a.rev_e2, b.rev_e2 AS r2, b.day AS d2
+           FROM day a JOIN day b
+             ON b.day >= a.day - 7 AND b.day < a.day),
+         r AS (SELECT day, rev_e2, r2,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY r2, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY day) AS cnt
+           FROM tr),
+         med AS (SELECT day, rev_e2, r2 AS med_e2 FROM r
+           WHERE cnt >= 4 AND rn = (cnt + 1) // 2)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(rev_e2 AS DOUBLE) / 100 AS revenue,
+           CAST(med_e2 AS DOUBLE) / 100 AS trailing_median,
+           CASE WHEN rev_e2 > med_e2 * $AnomalyHighX THEN 'high'
+             ELSE 'low' END AS direction
+         FROM med
+         WHERE rev_e2 > med_e2 * $AnomalyHighX
+            OR rev_e2 * $AnomalyLowDiv < med_e2
+         ORDER BY day""",
+
+    "q194_zipf_spread" ->
+      s"""WITH toks AS (SELECT
+           string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         tok AS (SELECT unnest(toks) AS token FROM toks),
+         v AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
+         rk AS (SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+           FROM v),
+         pr AS (SELECT rank * freq AS v FROM rk WHERE rank <= $ZipfTopN),
+         n AS (SELECT COUNT(*) AS n FROM pr),
+         t AS (SELECT pv.p AS pct, (n.n * pv.p + 99) // 100 AS tr
+           FROM n, (VALUES (25), (50), (75)) pv(p)),
+         r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM pr)
+         SELECT t.pct, CAST(r.v AS BIGINT) AS value
+         FROM t JOIN r ON r.rn = t.tr ORDER BY pct""",
+
+    "q191_event_overdispersion" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS x
+         FROM events GROUP BY 1, 2),
+         a AS (SELECT event_type, COUNT(*) AS n_days, SUM(x) AS total,
+             SUM(CAST(x AS HUGEINT) * x) AS sum_sq
+           FROM daily GROUP BY 1)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(total AS BIGINT) AS total,
+           CAST((CAST(n_days AS HUGEINT) * sum_sq
+               - CAST(total AS HUGEINT) * total) * 1000000
+             // ((n_days - 1) * CAST(total AS HUGEINT)) AS BIGINT)
+             AS fano_ppm
+         FROM a ORDER BY event_type""",
 
     "q188_fuzzy_name_match" ->
       s"""WITH names AS (SELECT p_name, COUNT(*) AS cnt,

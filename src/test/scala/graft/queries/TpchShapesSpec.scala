@@ -75,6 +75,42 @@ class TpchShapesSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
 
+  test("q191: overdispersion totals conserve the event count") {
+    val out = CurationExtras.defs("q191_event_overdispersion")(spark, dir)
+    assert(out.agg(sum(col("total"))).head.getLong(0) ===
+      graft.Tables.load(spark, dir, "events").count())
+    assert(out.filter(col("fano_ppm") < 0).count() === 0L)
+  }
+
+  test("q192: KMV pair estimates respect sketch-algebra bounds") {
+    val out = CurationExtras.defs("q192_kmv_source_similarity")(spark, dir)
+    val nSrc = graft.Tables.load(spark, dir, "documents")
+      .select(col("source")).distinct().count()
+    assert(out.count() === nSrc * (nSrc - 1) / 2)
+    assert(out.filter(col("inter_cnt") > col("n_u")).count() === 0L)
+    assert(out.filter(col("jaccard_ppm") > 1000000L).count() === 0L)
+    assert(out.filter(col("inter_est") > col("union_est")).count() === 0L)
+  }
+
+  test("q193: every anomaly clears its integral fence") {
+    val out = CurationExtras.defs("q193_daily_anomaly")(spark, dir)
+    val bad = out.filter(
+      (col("direction") === "high" &&
+        !(col("revenue") > col("trailing_median") *
+          CurationExtras.AnomalyHighX)) ||
+      (col("direction") === "low" &&
+        !(col("revenue") * CurationExtras.AnomalyLowDiv <
+          col("trailing_median"))))
+    assert(bad.count() === 0L)
+  }
+
+  test("q194: zipf spread quartiles are ordered") {
+    val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
+      .orderBy(col("pct")).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("q190: semdedup keep/drop conserves every cell's vector count") {
     val out = CurationExtras.defs("q190_semdedup")(spark, dir)
     assert(out.filter(col("n_kept") + col("n_dropped") =!=
