@@ -159,7 +159,9 @@ object CurationExtras {
       val sh = t(s, dir, "documents")
         .select(col("source"),
           explode(Dedup.shingles(col("text"), 3)).as("shingle"))
-      val sk = Sketches.kmvSketch(sh, k, "source", "shingle")
+      // persist: k slots per source — without it the corpus-scale
+      // shingle+sketch pass runs once per join side
+      val sk = Sketches.kmvSketch(sh, k, "source", "shingle").persist()
       val a = sk.select(col("source").as("src_lo"), col("hs").as("hs_a"))
       val b = sk.select(col("source").as("src_hi"), col("hs").as("hs_b"))
       a.join(b, col("src_lo") < col("src_hi"))

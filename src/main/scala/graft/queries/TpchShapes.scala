@@ -199,10 +199,13 @@ object TpchShapes {
     // made data-adaptive). Integral restatement:
     // value_e4 · 2 · n_parts > 3 · total_e4.
     "q180_important_parts" -> { (s, dir) =>
+      // persist: the per-part aggregate (dimension-scale) feeds both the
+      // scalar and the probe — without it the fact scan runs twice
       val vals = t(s, dir, "lineitem")
         .select(col("l_partkey"), revE4.as("rev_e4"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("rev_e4")).as("value_e4"))
+        .persist()
       val total = vals.agg(sum(col("value_e4")).as("total_e4"),
         count(lit(1)).as("n_parts"))
       vals.crossJoin(broadcast(total))
@@ -261,6 +264,7 @@ object TpchShapes {
         .select(col("l_suppkey"), revE4.as("rev_e4"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("rev_e4")).as("supp_e4"))
+        .persist() // supplier-scale aggregate read by both MAX and probe
       val mx = rev.agg(max(col("supp_e4")).as("max_e4"))
       rev.crossJoin(broadcast(mx))
         .filter(col("supp_e4") === col("max_e4"))
