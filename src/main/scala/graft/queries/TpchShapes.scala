@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** The remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q17/Q19/
-  * Q21/Q22), adapted to the driver star schema (no partsupp table — the
+/** The remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
+  * Q19/Q20/Q21/Q22), adapted to the driver star schema (no partsupp — the
   * part↔supplier relation is derived as `SELECT DISTINCT l_partkey,
   * l_suppkey FROM lineitem`; no ship/commit/receipt-date triple — Q21's
   * "kept waiting" becomes "sole returned supplier").
@@ -391,6 +391,57 @@ object TpchShapes {
         .agg(count(lit(1)).as("numcust"),
           (sum(col("bal_e2")) / lit(100)).cast("double").as("totacctbal"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // Parts-supplier relationship count (TPC-H Q16 shape): distinct
+    // supplier counts per (brand, size) over the derived part↔supplier
+    // relation, with the NOT-IN exclusion (negative-balance suppliers)
+    // as a broadcast anti-join.
+    "q195_part_supplier_counts" -> { (s, dir) =>
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      ps
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 5, 10, 15, 20, 25))
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(20)
+    },
+
+    // Dominant suppliers (TPC-H Q20 shape): suppliers holding over 4× the
+    // fair per-supplier share of some part's shipped quantity, restricted
+    // to the AMERICA region — the nested semi-join chain (share test →
+    // distinct supplier set → region probe), all comparisons integral.
+    "q196_dominant_suppliers" -> { (s, dir) =>
+      val sq = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"),
+          (col("l_quantity").cast("decimal(12,2)") * lit(100))
+            .cast("long").as("qty_e2"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("qty_e2")).as("sq_e2"))
+      val pq = sq.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("sq_e2")).as("pq_e2"), count(lit(1)).as("n_supp"))
+      val dom = sq.join(pq, col("l_partkey") === col("pk"))
+        .filter(col("sq_e2") * col("n_supp") > col("pq_e2") * lit(4))
+        .select(col("l_suppkey")).distinct()
+      val amer = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      t(s, dir, "supplier")
+        .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(amer), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("s_suppkey"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -580,5 +631,37 @@ object TpchShapes {
            AND NOT EXISTS (SELECT 1 FROM orders o
              WHERE o.o_custkey = c.c_custkey
                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1""",
+
+    "q195_part_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+         WHERE p.p_type <> 'PROMO'
+           AND p.p_size IN (1, 5, 10, 15, 20, 25)
+           AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             WHERE s_acctbal < 0)
+         GROUP BY 1, 2
+         ORDER BY supplier_cnt DESC, p.p_brand, p.p_size LIMIT 20""",
+
+    "q196_dominant_suppliers" ->
+      """WITH sq AS (SELECT l_suppkey, l_partkey,
+           SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+             AS sq_e2
+         FROM lineitem GROUP BY 1, 2),
+         pq AS (SELECT l_partkey, SUM(sq_e2) AS pq_e2,
+             COUNT(*) AS n_supp
+           FROM sq GROUP BY 1),
+         dom AS (SELECT DISTINCT sq.l_suppkey
+           FROM sq JOIN pq ON sq.l_partkey = pq.l_partkey
+           WHERE sq.sq_e2 * pq.n_supp > pq.pq_e2 * 4),
+         amer AS (SELECT n_nationkey, n_name FROM nation
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'AMERICA')
+         SELECT s.s_suppkey, s.s_name, a.n_name
+         FROM supplier s
+         JOIN amer a ON s.s_nationkey = a.n_nationkey
+         WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+         ORDER BY s.s_suppkey""")
 }

@@ -75,6 +75,23 @@ class TpchShapesSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
 
+  test("q195: supplier counts never exceed the non-excluded universe") {
+    val out = TpchShapes.defs("q195_part_supplier_counts")(spark, dir)
+    val good = graft.Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") >= 0).count()
+    assert(out.filter(col("supplier_cnt") > good).count() === 0L)
+  }
+
+  test("q196: every dominant supplier sits in the AMERICA region") {
+    val out = TpchShapes.defs("q196_dominant_suppliers")(spark, dir)
+    val amer = graft.Tables.load(spark, dir, "nation")
+      .join(graft.Tables.load(spark, dir, "region")
+        .filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"))
+    assert(out.join(amer, Seq("n_name"), "left_anti").count() === 0L)
+  }
+
   test("q191: overdispersion totals conserve the event count") {
     val out = CurationExtras.defs("q191_event_overdispersion")(spark, dir)
     assert(out.agg(sum(col("total"))).head.getLong(0) ===
