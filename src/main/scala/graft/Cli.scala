@@ -454,6 +454,42 @@ object Cli {
             .sorted.mkString(", ")
           println(s"{$parts}")
 
+        case "sample" =>
+          // Deterministic stratified hash sample (reproducible; change
+          // --salt to redraw):
+          //   sample --source <parquet> [--k 5] [--strata-col source]
+          //          [--id-col doc_id] [--salt smp] [--out <path>]
+          val out = graft.operators.DatasetOps.hashSample(
+            spark.read.parquet(opts("source")),
+            k = opts.getOrElse("k", "5").toInt,
+            salt = opts.getOrElse("salt", "smp"),
+            strataCol = opts.getOrElse("strata-col", "source"),
+            idCol = opts.getOrElse("id-col", "doc_id"))
+          opts.get("out").foreach(p =>
+            out.write.mode("overwrite").parquet(p))
+          out.orderBy(out.columns.map(
+              org.apache.spark.sql.functions.col): _*)
+            .collect().foreach(r => println(r.mkString("\t")))
+
+        case "overlap" =>
+          // Pairwise group content overlap from KMV shingle sketches
+          // (union / intersection / Jaccard estimates, no pair scan):
+          //   overlap --source <parquet> [--group-col source]
+          //           [--text-col text] [--k 64] [--ngram 3]
+          import graft.operators.{Dedup, Sketches}
+          import org.apache.spark.sql.functions.{col, explode}
+          val k = opts.getOrElse("k", "64").toInt
+          val gc = opts.getOrElse("group-col", "source")
+          val sh = spark.read.parquet(opts("source"))
+            .select(col(gc),
+              explode(Dedup.shingles(
+                col(opts.getOrElse("text-col", "text")),
+                opts.getOrElse("ngram", "3").toInt)).as("shingle"))
+          val sk = Sketches.kmvSketch(sh, k, gc, "shingle").persist()
+          Sketches.kmvPairSimilarity(sk, k, gc)
+            .orderBy(col("src_lo"), col("src_hi"))
+            .collect().foreach(r => println(r.mkString("\t")))
+
         case "schema-sync" =>
           // detect source-side schema drift vs an offloaded target and
           // print the evolution plan (ALTERs for DDL-applying engines);

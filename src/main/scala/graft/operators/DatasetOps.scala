@@ -487,4 +487,23 @@ object DatasetOps {
         ((col("shuffle_rank") - 1) / batchSize).cast("long"))
       .select(col(idCol), col("draw"), col("shuffle_rank"), col("epoch_batch"))
   }
+
+  /** Deterministic stratified hash sample: the k rows per stratum whose
+    * salted md5 ranks lowest — the same rows every run, every engine, any
+    * partitioning (the reproducible replacement for rand() sampling;
+    * changing the salt redraws). Per-stratum top-k windows, so at scale
+    * this is a partial top-k per group, never a global sort. */
+  def hashSample(docs: DataFrame, k: Int, salt: String = "smp",
+                 strataCol: String = "source",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "need k > 0")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), col(strataCol))
+      .withColumn("h",
+        md5(concat(lit(salt + "|"), col(idCol).cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(strataCol), col(idCol), col("rk").cast("long").as("rk"))
+  }
 }

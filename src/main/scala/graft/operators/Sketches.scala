@@ -256,6 +256,43 @@ object Sketches {
     * incremental maintenance appends a batch sketch and compacts
     * (bounded work per batch), never re-scans the corpus. `SketchesSpec`
     * pins batch-merge ≡ one-shot. */
+  /** Pairwise set-operation estimates from per-group KMV sketches
+    * (Beyer et al., SIGMOD 2007): for every unordered group pair, the
+    * union slots are the bottom-k of the two slot arrays, the union
+    * estimate the standard `(k−1)·SPACE / h_(k)` (exact when the merged
+    * slots ARE the union set), and the intersection count the union
+    * slots present in BOTH sketches — yielding `jaccard_ppm` and
+    * `inter_est` with one integral divide each.
+    *
+    * Scale shape: input is one k-slot row per group, so the pair stage
+    * is sketch×sketch — metadata scale no matter how large the groups
+    * were. Callers persist the sketch relation (both join sides read
+    * it). */
+  def kmvPairSimilarity(sketch: DataFrame, k: Int,
+                        groupCol: String = "source"): DataFrame = {
+    require(k >= 2 && k <= 128, "need 2 <= k <= 128 (estimator range)")
+    val num = (k - 1).toLong * KmvSpace
+    val a = sketch.select(col(groupCol).as("src_lo"), col("hs").as("hs_a"))
+    val b = sketch.select(col(groupCol).as("src_hi"), col("hs").as("hs_b"))
+    a.join(b, col("src_lo") < col("src_hi"))
+      .withColumn("merged",
+        expr(s"slice(array_sort(array_union(hs_a, hs_b)), 1, $k)"))
+      .withColumn("n_u", size(col("merged")).cast("long"))
+      .withColumn("kth",
+        expr(s"CASE WHEN n_u = $k THEN element_at(merged, $k) " +
+          "ELSE 0L END"))
+      .withColumn("union_est",
+        expr(s"CASE WHEN n_u < $k THEN n_u " +
+          s"ELSE ${num}L div greatest(kth, 1L) END"))
+      .withColumn("inter_cnt",
+        size(expr("array_intersect(merged, array_intersect(hs_a, hs_b))"))
+          .cast("long"))
+      .select(col("src_lo"), col("src_hi"), col("n_u"),
+        col("union_est"), col("inter_cnt"),
+        expr("inter_cnt * 1000000 div n_u").as("jaccard_ppm"),
+        expr("inter_cnt * union_est div n_u").as("inter_est"))
+  }
+
   def mergeKmv(k: Int, parts: DataFrame*): DataFrame = {
     val u = parts.reduce(_ unionByName _)
     val g = u.columns.head

@@ -61,17 +61,8 @@ object CurationExtras {
     // the salt). The rank window is per-source and the sample is top-k,
     // so at scale this is a partial top-k per group, not a global sort.
     "q189_hash_sample" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("h"), col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("source"))
-        .withColumn("h",
-          md5(concat(lit("smp|"), col("doc_id").cast("string"))))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= SamplePerSource)
-        .select(col("source"), col("doc_id"),
-          col("rk").cast("long").as("rk"))
+      graft.operators.DatasetOps
+        .hashSample(t(s, dir, "documents"), SamplePerSource)
         .orderBy(col("source"), col("rk"))
     },
 
@@ -155,32 +146,13 @@ object CurationExtras {
     "q192_kmv_source_similarity" -> { (s, dir) =>
       import graft.operators.{Dedup, Sketches}
       val k = PipelineQueries.KmvK
-      val num = (k - 1).toLong * Sketches.KmvSpace
       val sh = t(s, dir, "documents")
         .select(col("source"),
           explode(Dedup.shingles(col("text"), 3)).as("shingle"))
       // persist: k slots per source — without it the corpus-scale
       // shingle+sketch pass runs once per join side
       val sk = Sketches.kmvSketch(sh, k, "source", "shingle").persist()
-      val a = sk.select(col("source").as("src_lo"), col("hs").as("hs_a"))
-      val b = sk.select(col("source").as("src_hi"), col("hs").as("hs_b"))
-      a.join(b, col("src_lo") < col("src_hi"))
-        .withColumn("merged",
-          expr(s"slice(array_sort(array_union(hs_a, hs_b)), 1, $k)"))
-        .withColumn("n_u", size(col("merged")).cast("long"))
-        .withColumn("kth",
-          expr(s"CASE WHEN n_u = $k THEN element_at(merged, $k) " +
-            "ELSE 0L END"))
-        .withColumn("union_est",
-          expr(s"CASE WHEN n_u < $k THEN n_u " +
-            s"ELSE ${num}L div greatest(kth, 1L) END"))
-        .withColumn("inter_cnt",
-          size(expr("array_intersect(merged, array_intersect(hs_a, hs_b))"))
-            .cast("long"))
-        .select(col("src_lo"), col("src_hi"), col("n_u"),
-          col("union_est"), col("inter_cnt"),
-          expr("inter_cnt * 1000000 div n_u").as("jaccard_ppm"),
-          expr("inter_cnt * union_est div n_u").as("inter_est"))
+      Sketches.kmvPairSimilarity(sk, k)
         .orderBy(col("src_lo"), col("src_hi"))
     },
 

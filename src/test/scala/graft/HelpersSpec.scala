@@ -184,6 +184,27 @@ class CliSpec extends SparkSpec {
     assert(card.count() > 0)
   }
 
+  test("sample and overlap commands print deterministic output") {
+    val docs = sf("sf0.001") + "/documents.parquet"
+    def run(args: String*): Seq[String] = {
+      val cap = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(cap, true, "UTF-8")) {
+        Cli.main(args.toArray)
+      }
+      cap.toString("UTF-8").trim.split("\n").toSeq
+    }
+    val s1 = run("sample", "--source", docs, "--k", "3")
+    val s2 = run("sample", "--source", docs, "--k", "3")
+    assert(s1 === s2)                       // same draw every run
+    assert(s1.nonEmpty && s1.forall(_.split("\t").length == 3))
+    val redraw = run("sample", "--source", docs, "--k", "3",
+      "--salt", "other")
+    assert(redraw !== s1)                   // salt changes the draw
+    val ov = run("overlap", "--source", docs, "--k", "16")
+    // every pair line: src_lo src_hi n_u union_est inter_cnt jacc inter
+    assert(ov.nonEmpty && ov.forall(_.split("\t").length == 7))
+  }
+
   test("skew and distinct commands print sane profiles") {
     val src = sf("sf0.001") + "/orders.parquet"
     val outCap = new java.io.ByteArrayOutputStream()
