@@ -162,32 +162,9 @@ object CurationExtras {
     // an aggregate (bounded); the trailing join and median window run
     // over days, never orders.
     "q193_daily_anomaly" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val day = t(s, dir, "orders")
-        .select(to_date(col("o_orderdate")).as("day"),
-          (col("o_totalprice").cast("decimal(12,2)") * lit(100))
-            .cast("long").as("cents"))
-        .groupBy(col("day")).agg(sum(col("cents")).as("rev_e2"))
-      val tr = day.join(
-        day.select(col("day").as("d2"), col("rev_e2").as("r2")),
-        col("d2") >= date_sub(col("day"), 7) && col("d2") < col("day"))
-      val w = Window.partitionBy(col("day")).orderBy(col("r2"), col("d2"))
-      val wc = Window.partitionBy(col("day"))
-      val med = tr
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt", count(lit(1)).over(wc))
-        .filter(col("cnt") >= 4 &&
-          col("rn") === expr("(cnt + 1) div 2"))
-        .select(col("day"), col("rev_e2"), col("r2").as("med_e2"))
-      med
-        .filter(col("rev_e2") > col("med_e2") * AnomalyHighX ||
-          col("rev_e2") * AnomalyLowDiv < col("med_e2"))
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          (col("rev_e2") / lit(100)).cast("double").as("revenue"),
-          (col("med_e2") / lit(100)).cast("double")
-            .as("trailing_median"),
-          when(col("rev_e2") > col("med_e2") * AnomalyHighX, lit("high"))
-            .otherwise(lit("low")).as("direction"))
+      graft.operators.TimeSeries.anomalyFlags(
+          graft.operators.TimeSeries.dailyTotals(t(s, dir, "orders")),
+          AnomalyHighX, AnomalyLowDiv)
         .orderBy(col("day"))
     },
 
