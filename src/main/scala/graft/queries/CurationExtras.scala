@@ -168,6 +168,44 @@ object CurationExtras {
         .orderBy(col("day"))
     },
 
+    // Session co-occurrence with lift: which event types appear in the
+    // SAME session more (or less) often than independence predicts —
+    // the market-basket primitive (support + lift in exact ppm), order-
+    // free where q158's transitions are ordered. The per-session type
+    // set is tiny (≤ #types), so the within-session self-join fans out
+    // at most types² per session; all denominators are exact integers.
+    "q197_session_cooccurrence" -> { (s, dir) =>
+      val se = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .select(col("user_id"), col("session_idx"), col("event_type"))
+        .distinct()
+        .persist() // session-type presence feeds counts and both pair sides
+      val nSessions = se.select(col("user_id"), col("session_idx"))
+        .distinct().agg(count(lit(1)).as("n_sessions"))
+      val tc = se.groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("n_t"))
+      val pairs = se
+        .join(se.select(col("user_id").as("u2"),
+            col("session_idx").as("s2"), col("event_type").as("type_b")),
+          col("user_id") === col("u2") &&
+            col("session_idx") === col("s2") &&
+            col("event_type") < col("type_b"))
+        .groupBy(col("event_type").as("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(tc.select(col("t").as("ta"),
+          col("n_t").as("n_a"))), col("type_a") === col("ta"))
+        .join(broadcast(tc.select(col("t").as("tb"),
+          col("n_t").as("n_b"))), col("type_b") === col("tb"))
+        .crossJoin(broadcast(nSessions))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          col("n_a"), col("n_b"), col("n_sessions"),
+          expr("n_ab * 1000000 div n_sessions").as("support_ppm"),
+          expr("CAST(n_ab AS DECIMAL(38,0)) * n_sessions * 1000000 div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -261,6 +299,43 @@ object CurationExtras {
          WHERE rev_e2 > med_e2 * $AnomalyHighX
             OR rev_e2 * $AnomalyLowDiv < med_e2
          ORDER BY day""",
+
+    "q197_session_cooccurrence" ->
+      """WITH se0 AS (
+           SELECT user_id, event_type,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx
+           FROM (
+             SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+             FROM events) a),
+         sp AS (SELECT DISTINCT user_id, session_idx, event_type
+           FROM se0),
+         n AS (SELECT COUNT(*) AS n_sessions FROM
+           (SELECT DISTINCT user_id, session_idx FROM sp) x),
+         tc AS (SELECT event_type AS t, COUNT(*) AS n_t FROM sp
+           GROUP BY 1),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_ab
+           FROM sp a JOIN sp b
+             ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT pr.type_a, pr.type_b, pr.n_ab,
+           ta.n_t AS n_a, tb.n_t AS n_b, n.n_sessions,
+           CAST(pr.n_ab * 1000000 // n.n_sessions AS BIGINT)
+             AS support_ppm,
+           CAST(CAST(pr.n_ab AS HUGEINT) * n.n_sessions * 1000000
+             // (CAST(ta.n_t AS HUGEINT) * tb.n_t) AS BIGINT) AS lift_ppm
+         FROM pr
+         JOIN tc ta ON pr.type_a = ta.t
+         JOIN tc tb ON pr.type_b = tb.t
+         CROSS JOIN n
+         ORDER BY type_a, type_b""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

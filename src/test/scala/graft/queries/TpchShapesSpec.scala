@@ -121,6 +121,13 @@ class TpchShapesSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("q197: co-occurrence counts stay within their marginals") {
+    val out = CurationExtras.defs("q197_session_cooccurrence")(spark, dir)
+    assert(out.filter(col("n_ab") > col("n_a") ||
+      col("n_ab") > col("n_b")).count() === 0L)
+    assert(out.filter(col("support_ppm") > 1000000L).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
