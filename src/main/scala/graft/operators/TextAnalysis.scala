@@ -460,6 +460,39 @@ object TextAnalysis {
     * and per-term document frequencies are broadcast; the only shuffles
     * are the tf aggregation (query-term hits only) and the doc-key join
     * back to lengths. */
+  /** Exact-phrase search: documents containing `phrase` as CONSECUTIVE
+    * tokens, with the occurrence count — the position-aware retrieval
+    * step bag-of-words scoring (tfIdf/bm25) cannot express ("table hash"
+    * must not match "hash table").
+    *
+    * Scale shape: the positional relation is filtered to the phrase's
+    * terms BEFORE any join, so join inputs are term-sparse slices of the
+    * corpus, and each successive term binds by (doc, pos+i) key equi-join
+    * — |phrase|−1 keyed joins, no window, no corpus² stage. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty && k > 0, "need phrase terms and k > 0")
+    val words = phrase.map(_.toLowerCase)
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(words.distinct: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = pos.filter(col("tok") === words.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = words.zipWithIndex.tail.foldLeft(base) {
+      case (acc, (w, i)) =>
+        acc.join(pos.filter(col("tok") === w)
+            .select(col("doc_id").as("d2"), col("pos").as("p2")),
+          col("doc_id") === col("d2") && col("p2") === col("pos") + i)
+          .drop("d2", "p2")
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int,
                  idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {

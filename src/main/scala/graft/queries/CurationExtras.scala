@@ -27,6 +27,9 @@ object CurationExtras {
   val AnomalyLowDiv = 8L
   /** q194: Zipf rank·frequency spread over the top-N vocabulary. */
   val ZipfTopN = 1000L
+  /** q198: the exact phrase the positional search must match in order. */
+  val PhraseTerms: Seq[String] = Seq("table", "hash")
+  val PhraseK = 10
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -206,6 +209,16 @@ object CurationExtras {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // Exact-phrase search: position-aware retrieval (consecutive-token
+    // match) that bag-of-words BM25/TF-IDF cannot express — "table hash"
+    // must not match "hash table". Positions are filtered to the
+    // phrase's terms before any join; each term binds by (doc, pos+i)
+    // key equi-join.
+    "q198_phrase_search" -> { (s, dir) =>
+      graft.operators.TextAnalysis.phraseSearch(
+        t(s, dir, "documents"), PhraseTerms, PhraseK)
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -336,6 +349,23 @@ object CurationExtras {
          JOIN tc tb ON pr.type_b = tb.t
          CROSS JOIN n
          ORDER BY type_a, type_b""",
+
+    "q198_phrase_search" -> {
+      val conds = PhraseTerms.zipWithIndex.tail.map { case (w, i) =>
+        s"JOIN pos t$i ON t$i.doc_id = t0.doc_id AND t$i.p = t0.p + $i AND t$i.tok = '$w'"
+      }.mkString("\n         ")
+      s"""WITH toks AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') AS ts
+         FROM documents),
+         pos AS (SELECT doc_id, unnest(ts) AS tok,
+           unnest(range(1, len(ts) + 1)) AS p FROM toks),
+         m AS (SELECT t0.doc_id FROM pos t0
+         $conds
+         WHERE t0.tok = '${PhraseTerms.head}')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         FROM m GROUP BY 1
+         ORDER BY n_occurrences DESC, doc_id LIMIT $PhraseK"""
+    },
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

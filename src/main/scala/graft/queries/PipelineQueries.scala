@@ -1953,6 +1953,37 @@ object PipelineQueries {
           col("n_triangles"))
     },
 
+    // Per-node clustering coefficient over the LSH candidate graph:
+    // 2·tri(v) / (deg(v)·(deg(v)−1)) in exact ppm — ~1e6 marks template
+    // CLIQUES (every neighbor also near-duplicates every other), low
+    // values mark hub-like false-positive chains; the node-level
+    // companion to q141's global triangle count. Same canonical a<b<c
+    // enumeration, exploded to member nodes.
+    "q199_clustering_coefficient" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val e = Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.select(col("id_a").as("id"))
+        .unionByName(e.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val tri = e.toDF("a", "b")
+        .join(e.toDF("b", "c"), "b")
+        .join(e.toDF("a", "c"), Seq("a", "c"))
+      val triPerNode = tri.select(explode(array(col("a"), col("b"),
+          col("c"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(triPerNode, Seq("id"), "left_outer")
+        .select(col("id").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("coalesce(n_tri, 0L) * 2 * 1000000 div (deg * (deg - 1))")
+            .as("coeff_ppm"))
+        .orderBy(col("coeff_ppm").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Conversion funnel: view → click → purchase in strict temporal
     // order per user, all timestamps compared as integer microseconds
     // (both engines see the same µs values).
@@ -2976,6 +3007,30 @@ object PipelineQueries {
            (SELECT COUNT(*) FROM pairs) AS n_edges,
            (SELECT MAX(deg) FROM deg) AS max_degree,
            (SELECT n_triangles FROM tri) AS n_triangles""",
+
+    "q199_clustering_coefficient" ->
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         deg AS (SELECT id, COUNT(*) AS deg FROM (
+             SELECT id_a AS id FROM pairs
+             UNION ALL SELECT id_b FROM pairs) u GROUP BY id),
+         tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+           FROM pairs e1
+             JOIN pairs e2 ON e2.id_a = e1.id_b
+             JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         tn AS (SELECT id, COUNT(*) AS n_tri FROM (
+             SELECT a AS id FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) u GROUP BY id)
+         SELECT deg.id AS doc_id, deg.deg,
+           COALESCE(tn.n_tri, 0) AS n_tri,
+           CAST(COALESCE(tn.n_tri, 0) * 2 * 1000000
+             // (deg.deg * (deg.deg - 1)) AS BIGINT) AS coeff_ppm
+         FROM deg LEFT JOIN tn ON tn.id = deg.id
+         WHERE deg.deg >= 2
+         ORDER BY coeff_ppm DESC, doc_id LIMIT 20""",
 
     "q142_event_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us

@@ -128,6 +128,23 @@ class TpchShapesSpec extends SparkSpec {
     assert(out.filter(col("support_ppm") > 1000000L).count() === 0L)
   }
 
+  test("q198: every phrase hit contains the phrase verbatim") {
+    val out = CurationExtras.defs("q198_phrase_search")(spark, dir)
+    val phrase = CurationExtras.PhraseTerms.mkString(" ")
+    val withText = out.join(
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")), "doc_id")
+    assert(withText.filter(!col("text").contains(phrase)).count() === 0L)
+    assert(out.filter(col("n_occurrences") <= 0).count() === 0L)
+  }
+
+  test("q199: clustering coefficients stay in [0, 1e6] ppm") {
+    val out = PipelineQueries.defs("q199_clustering_coefficient")(spark, dir)
+    assert(out.filter(col("coeff_ppm") < 0 ||
+      col("coeff_ppm") > 1000000L).count() === 0L)
+    assert(out.filter(col("deg") < 2).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
