@@ -219,6 +219,33 @@ object CurationExtras {
         t(s, dir, "documents"), PhraseTerms, PhraseK)
     },
 
+    // Point-in-time features: each order enriched with its customer's
+    // STRICTLY PRIOR history (order count, cumulative spend) under the
+    // total order (o_orderdate, o_orderkey) — the leakage-free feature
+    // materialization a training pipeline needs (a feature computed at
+    // time t must not see t or later). Windows are per customer, bounded
+    // by one customer's history; spend in exact cents.
+    "q200_pit_features" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          (col("o_totalprice").cast("decimal(12,2)") * lit(100))
+            .cast("long").as("cents"))
+        .withColumn("prior_orders",
+          count(lit(1)).over(w).cast("long"))
+        .withColumn("prior_spend_e2",
+          coalesce(sum(col("cents")).over(w), lit(0L)))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("prior_orders"),
+          (col("prior_spend_e2") / lit(100)).cast("double")
+            .as("prior_spend"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -366,6 +393,25 @@ object CurationExtras {
          FROM m GROUP BY 1
          ORDER BY n_occurrences DESC, doc_id LIMIT $PhraseK"""
     },
+
+    "q200_pit_features" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+         f AS (SELECT o_orderkey, o_custkey,
+             CAST(COUNT(*) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT) AS prior_orders,
+             COALESCE(SUM(cents) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior_spend_e2
+           FROM o)
+         SELECT o_orderkey, o_custkey, prior_orders,
+           CAST(prior_spend_e2 AS DOUBLE) / 100 AS prior_spend
+         FROM f ORDER BY o_orderkey LIMIT 100""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

@@ -145,6 +145,15 @@ class TpchShapesSpec extends SparkSpec {
     assert(out.filter(col("deg") < 2).count() === 0L)
   }
 
+  test("q200: a customer's first order has an empty prior history") {
+    val out = CurationExtras.defs("q200_pit_features")(spark, dir)
+    // monotone within customer: prior_orders = 0 implies prior_spend = 0
+    assert(out.filter(col("prior_orders") === 0 &&
+      col("prior_spend") =!= 0.0).count() === 0L)
+    assert(out.filter(col("prior_orders") < 0 ||
+      col("prior_spend") < 0).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
