@@ -246,6 +246,61 @@ object CurationExtras {
         .limit(100)
     },
 
+    // Functional-dependency audit: does column A determine column B?
+    // One group-by per candidate FD (n_keys, violating keys, holds) —
+    // the schema-inference signal an offload pass uses to pick natural
+    // keys and spot denormalization bugs. Each check is one keyed
+    // aggregate; the report is four rows.
+    "q201_fd_audit" -> { (s, dir) =>
+      def fd(df: DataFrame, a: String, bcol: String): DataFrame =
+        df.groupBy(col(a))
+          .agg(countDistinct(col(bcol)).as("nd"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(s"$a->$bcol").as("fd"), col("n_keys"),
+            col("n_violating"),
+            (col("n_violating") === 0L).as("holds"))
+      fd(t(s, dir, "lineitem"), "l_orderkey", "l_returnflag")
+        .unionByName(fd(t(s, dir, "part"), "p_partkey", "p_brand"))
+        .unionByName(fd(t(s, dir, "part"), "p_brand", "p_type"))
+        .unionByName(fd(t(s, dir, "nation"), "n_nationkey", "n_regionkey"))
+        .orderBy(col("fd"))
+    },
+
+    // Referential-integrity audit: per FK relationship, child rows,
+    // orphans (anti-join count) and parent coverage in exact ppm — the
+    // validation family's structural member beside the count/aggregate
+    // validators. Each relationship costs one anti-join + two distinct
+    // aggregates, all on the key.
+    "q202_integrity_audit" -> { (s, dir) =>
+      def rel(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child.select(col(ck))
+          .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val referenced = child.select(col(ck)).distinct()
+          .join(parent.select(col(pk)), col(ck) === col(pk), "left_semi")
+          .agg(count(lit(1)).as("n_ref"))
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(broadcast(orphans))
+          .crossJoin(broadcast(referenced))
+          .crossJoin(broadcast(parent.agg(count(lit(1)).as("n_parents"))))
+          .select(lit(name).as("relationship"), col("n_child"),
+            col("n_orphans"),
+            expr("n_ref * 1000000 div n_parents")
+              .as("parent_coverage_ppm"))
+      }
+      rel("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(rel("lineitem->part", t(s, dir, "lineitem"),
+          "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(rel("lineitem->supplier", t(s, dir, "lineitem"),
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(rel("orders->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .orderBy(col("relationship"))
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -412,6 +467,75 @@ object CurationExtras {
          SELECT o_orderkey, o_custkey, prior_orders,
            CAST(prior_spend_e2 AS DOUBLE) / 100 AS prior_spend
          FROM f ORDER BY o_orderkey LIMIT 100""",
+
+    "q201_fd_audit" ->
+      """WITH f1 AS (SELECT 'l_orderkey->l_returnflag' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating
+         FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nd
+           FROM lineitem GROUP BY 1) x),
+         f2 AS (SELECT 'p_partkey->p_brand' AS fd,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN nd > 1 THEN 1
+             ELSE 0 END) AS BIGINT)
+         FROM (SELECT p_partkey, COUNT(DISTINCT p_brand) AS nd
+           FROM part GROUP BY 1) x),
+         f3 AS (SELECT 'p_brand->p_type' AS fd,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN nd > 1 THEN 1
+             ELSE 0 END) AS BIGINT)
+         FROM (SELECT p_brand, COUNT(DISTINCT p_type) AS nd
+           FROM part GROUP BY 1) x),
+         f4 AS (SELECT 'n_nationkey->n_regionkey' AS fd,
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(CASE WHEN nd > 1 THEN 1
+             ELSE 0 END) AS BIGINT)
+         FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS nd
+           FROM nation GROUP BY 1) x),
+         u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+           UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+         SELECT fd, n_keys, n_violating, n_violating = 0 AS holds
+         FROM u ORDER BY fd""",
+
+    "q202_integrity_audit" ->
+      """WITH r1 AS (SELECT 'lineitem->orders' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+               WHERE EXISTS (SELECT 1 FROM orders o
+                 WHERE o.o_orderkey = l.l_orderkey)) * 1000000
+             // (SELECT COUNT(*) FROM orders) AS BIGINT)
+             AS parent_coverage_ppm),
+         r2 AS (SELECT 'lineitem->part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+               WHERE p.p_partkey = l.l_partkey)),
+           CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem l
+               WHERE EXISTS (SELECT 1 FROM part p
+                 WHERE p.p_partkey = l.l_partkey)) * 1000000
+             // (SELECT COUNT(*) FROM part) AS BIGINT)),
+         r3 AS (SELECT 'lineitem->supplier',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+               WHERE s.s_suppkey = l.l_suppkey)),
+           CAST((SELECT COUNT(DISTINCT l_suppkey) FROM lineitem l
+               WHERE EXISTS (SELECT 1 FROM supplier s
+                 WHERE s.s_suppkey = l.l_suppkey)) * 1000000
+             // (SELECT COUNT(*) FROM supplier) AS BIGINT)),
+         r4 AS (SELECT 'orders->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+               WHERE c.c_custkey = o.o_custkey)),
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders o
+               WHERE EXISTS (SELECT 1 FROM customer c
+                 WHERE c.c_custkey = o.o_custkey)) * 1000000
+             // (SELECT COUNT(*) FROM customer) AS BIGINT)),
+         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+         SELECT * FROM u ORDER BY relationship""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

@@ -154,6 +154,22 @@ class TpchShapesSpec extends SparkSpec {
       col("prior_spend") < 0).count() === 0L)
   }
 
+  test("q201: FD audit separates holding from violated dependencies") {
+    val rows = CurationExtras.defs("q201_fd_audit")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(rows("p_partkey->p_brand") === true)      // PK determines
+    assert(rows("n_nationkey->n_regionkey") === true)
+    assert(rows("p_brand->p_type") === false)        // genuinely violated
+  }
+
+  test("q202: integrity audit reports zero orphans on the clean star") {
+    val out = CurationExtras.defs("q202_integrity_audit")(spark, dir)
+    assert(out.count() === 4L)
+    assert(out.filter(col("n_orphans") =!= 0L).count() === 0L)
+    assert(out.filter(col("parent_coverage_ppm") > 1000000L).count()
+      === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
