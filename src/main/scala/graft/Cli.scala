@@ -408,11 +408,13 @@ object Cli {
           val hits = opts.getOrElse("method", "bm25") match {
             case "tfidf" => graft.operators.TextAnalysis
               .tfIdfSearch(src, terms, k, idc, tc)
+            case "phrase" => graft.operators.TextAnalysis
+              .phraseSearch(src, terms, k, idc, tc) // terms IN ORDER
             case _ => graft.operators.TextAnalysis
               .bm25Search(src, terms, k, idc, tc)
           }
           hits.collect().foreach { r =>
-            println(s"${r.get(0)}\t${r.get(1)}\t${r.get(2)}")
+            println(r.toSeq.mkString("\t"))
           }
 
         case "join-size" =>
@@ -453,6 +455,47 @@ object Cli {
               r.getLong(r.fieldIndex("distinct_est"))}""")
             .sorted.mkString(", ")
           println(s"{$parts}")
+
+        case "anomaly" =>
+          // Daily-total anomaly flags vs the trailing-median fence:
+          //   anomaly --source <parquet> [--ts-col o_orderdate]
+          //           [--amount-col o_totalprice] [--high-x 3] [--low-div 8]
+          import graft.operators.TimeSeries
+          val flags = TimeSeries.anomalyFlags(
+            TimeSeries.dailyTotals(spark.read.parquet(opts("source")),
+              opts.getOrElse("ts-col", "o_orderdate"),
+              opts.getOrElse("amount-col", "o_totalprice")),
+            opts.getOrElse("high-x", "3").toLong,
+            opts.getOrElse("low-div", "8").toLong)
+          flags.orderBy(org.apache.spark.sql.functions.col("day"))
+            .collect().foreach(r => println(r.mkString("\t")))
+
+        case "fd" =>
+          // Functional-dependency check (does A determine B?):
+          //   fd --source <parquet> --from <colA> --to <colB>
+          import org.apache.spark.sql.functions._
+          val res = spark.read.parquet(opts("source"))
+            .groupBy(col(opts("from")))
+            .agg(countDistinct(col(opts("to"))).as("nd"))
+            .agg(count(lit(1)).as("nk"),
+              sum(when(col("nd") > 1, 1L).otherwise(0L)).as("nv")).head()
+          println(s"""{"n_keys": ${res.getLong(0)},""" +
+            s""" "n_violating": ${res.getLong(1)},""" +
+            s""" "holds": ${res.getLong(1) == 0L}}""")
+
+        case "orphans" =>
+          // Referential-integrity orphan count (child keys with no parent):
+          //   orphans --child <parquet> --child-key <col>
+          //           --parent <parquet> --parent-key <col>
+          import org.apache.spark.sql.functions._
+          val n = spark.read.parquet(opts("child"))
+            .select(col(opts("child-key")))
+            .join(spark.read.parquet(opts("parent"))
+                .select(col(opts("parent-key"))),
+              col(opts("child-key")) === col(opts("parent-key")),
+              "left_anti")
+            .count()
+          println(s"""{"n_orphans": $n}""")
 
         case "sample" =>
           // Deterministic stratified hash sample (reproducible; change

@@ -205,6 +205,33 @@ class CliSpec extends SparkSpec {
     assert(ov.nonEmpty && ov.forall(_.split("\t").length == 7))
   }
 
+  test("anomaly, fd, orphans and phrase-search commands run end-to-end") {
+    val orders = sf("sf0.001") + "/orders.parquet"
+    val li = sf("sf0.001") + "/lineitem.parquet"
+    val docs = sf("sf0.001") + "/documents.parquet"
+    def run(args: String*): Seq[String] = {
+      val cap = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(cap, true, "UTF-8")) {
+        Cli.main(args.toArray)
+      }
+      cap.toString("UTF-8").trim.split("\n").toSeq.filter(_.nonEmpty)
+    }
+    val an = run("anomaly", "--source", orders)
+    assert(an.forall(_.split("\t").length == 4))
+    val fdHolds = run("fd", "--source", orders,
+      "--from", "o_orderkey", "--to", "o_custkey").last
+    assert(fdHolds.contains("\"holds\": true"))
+    val fdViolated = run("fd", "--source", li,
+      "--from", "l_orderkey", "--to", "l_returnflag").last
+    assert(fdViolated.contains("\"holds\": false"))
+    val orp = run("orphans", "--child", li, "--child-key", "l_orderkey",
+      "--parent", orders, "--parent-key", "o_orderkey").last
+    assert(orp.contains("\"n_orphans\": 0"))
+    val ph = run("search", "--source", docs, "--method", "phrase",
+      "--terms", "table,hash", "--k", "3")
+    assert(ph.nonEmpty && ph.forall(_.split("\t").length == 2))
+  }
+
   test("skew and distinct commands print sane profiles") {
     val src = sf("sf0.001") + "/orders.parquet"
     val outCap = new java.io.ByteArrayOutputStream()
