@@ -456,6 +456,20 @@ object Cli {
             .sorted.mkString(", ")
           println(s"{$parts}")
 
+        case "advise-join" =>
+          // Pre-flight join strategy advice (sizes + CMS cardinality
+          // bound + skew shares -> broadcast | sort_merge[_salted]):
+          //   advise-join --left <parquet> --right <parquet>
+          //               --left-key <col> --right-key <col>
+          //               [--broadcast-rows 500000] [--skew-ppm 100000]
+          val advice = graft.plan.JoinAdvisor.advise(
+            spark.read.parquet(opts("left")), opts("left-key"),
+            spark.read.parquet(opts("right")), opts("right-key"),
+            broadcastRowLimit =
+              opts.getOrElse("broadcast-rows", "500000").toLong,
+            skewSharePpm = opts.getOrElse("skew-ppm", "100000").toLong)
+          println(graft.plan.JoinAdvisor.renderJson(advice))
+
         case "anomaly" =>
           // Daily-total anomaly flags vs the trailing-median fence:
           //   anomaly --source <parquet> [--ts-col o_orderdate]

@@ -1,0 +1,75 @@
+package graft.plan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantiles, Sketches}
+
+/** Pre-flight join advisor: composes the engine's own diagnostics —
+  * relation sizes, the CMS inner-product join-cardinality bound
+  * (q167's estimator) and the hottest-key skew share (q155's profile)
+  * — into one strategy recommendation, BEFORE the join runs. At 100 TB
+  * the diagnostics are two map passes and two keyed aggregates; the
+  * join they advise on may be hours, so this is the cheap probe that
+  * decides between broadcast, plain sort-merge, and salted sort-merge
+  * (`Salting.saltedJoin`).
+  *
+  * Thresholds are explicit inputs (defaults mirror Spark's 10 MB
+  * autoBroadcastJoinThreshold and a 10% hottest-key share): the advisor
+  * is deterministic given its inputs, so its decisions are auditable.
+  */
+object JoinAdvisor {
+
+  final case class Advice(leftRows: Long, rightRows: Long,
+                          joinSizeEst: Long, maxKeyShareL_ppm: Long,
+                          maxKeyShareR_ppm: Long, recommendation: String)
+
+  def advise(left: DataFrame, leftKey: String,
+             right: DataFrame, rightKey: String,
+             broadcastRowLimit: Long = 500000L,
+             skewSharePpm: Long = 100000L,
+             cmsDepth: Int = 4, cmsHexChars: Int = 3): Advice = {
+
+    def profile(df: DataFrame, key: String): (Long, Long) = {
+      val cnts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      val row = cnts.agg(sum(col("cnt")).as("total"),
+        max(col("cnt")).as("mx")).head()
+      if (row.isNullAt(0)) (0L, 0L)
+      else (row.getLong(0), row.getLong(1) * 1000000L / row.getLong(0))
+    }
+
+    val (lRows, lShare) = profile(left, leftKey)
+    val (rRows, rShare) = profile(right, rightKey)
+    val est = Sketches.cmsInnerProduct(
+        Sketches.countMinValues(left, leftKey, cmsDepth, cmsHexChars),
+        Sketches.countMinValues(right, rightKey, cmsDepth, cmsHexChars))
+      .head().getLong(0)
+
+    val rec =
+      if (lRows == 0L || rRows == 0L) "empty_side"
+      else if (rRows <= broadcastRowLimit && rRows <= lRows)
+        "broadcast_right"
+      else if (lRows <= broadcastRowLimit) "broadcast_left"
+      else if (lShare > skewSharePpm || rShare > skewSharePpm)
+        "sort_merge_salted"
+      else "sort_merge"
+
+    Advice(lRows, rRows, est, lShare, rShare, rec)
+  }
+
+  /** Quantile view of a key's frequency distribution (feeds the skew
+    * report beside the single hottest-key share). */
+  def keyQuantiles(df: DataFrame, key: String,
+                   pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    Quantiles.exactQuantiles(
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt")),
+      "cnt", pcts, bucketWidth = 4L)
+
+  /** One-line JSON for the CLI. */
+  def renderJson(a: Advice): String =
+    s"""{"left_rows": ${a.leftRows}, "right_rows": ${a.rightRows},""" +
+      s""" "join_size_est": ${a.joinSizeEst},""" +
+      s""" "max_key_share_l_ppm": ${a.maxKeyShareL_ppm},""" +
+      s""" "max_key_share_r_ppm": ${a.maxKeyShareR_ppm},""" +
+      s""" "recommendation": "${a.recommendation}"}"""
+}
