@@ -146,6 +146,21 @@ object Bpe {
         sum(col("n_sym")).as("subword_tokens"))
   }
 
+  /** Per-token subword segmentation after `merges`: (tok, symbols).
+    * Concatenating the symbols MUST reproduce the token — BPE merging
+    * is lossless by construction (a merge only fuses adjacent symbols,
+    * never rewrites characters); the round-trip spec pins this, which
+    * is the detokenization guarantee a serving pipeline relies on. */
+  def segmentation(docs: DataFrame, merges: Seq[Merge],
+                   textCol: String = "text"): DataFrame = {
+    val vocabToks = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(!col("tok").contains(Delim)).distinct()
+    applyMerges(vocabToks.withColumn("rep", initialRep(col("tok"))),
+        merges)
+      .select(col("tok"), symbolsOf(col("rep")).as("symbols"))
+  }
+
   /** DuckDB oracle: the same `rounds` merges as an unrolled CTE chain —
     * per round, the pair count, the argmax (same `cnt DESC, pair ASC`
     * tie-break), and the sentinel-wrapped replace. Callers prepend the

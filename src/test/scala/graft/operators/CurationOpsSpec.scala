@@ -69,6 +69,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(out === Map(2L -> 1L))
   }
 
+  test("BPE segmentation round-trips every token losslessly") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val merges = Bpe.train(docs, rounds = 6)
+    val seg = Bpe.segmentation(docs, merges)
+    // detokenization guarantee: concat(symbols) == token, for EVERY token
+    assert(seg.filter(concat_ws("", col("symbols")) =!= col("tok"))
+      .count() === 0L)
+    // and the merges actually fused something (multi-char symbols exist)
+    assert(seg.filter(exists(col("symbols"), s => length(s) > 1))
+      .count() > 0L)
+  }
+
   test("mergeDaily is associative-equivalent to one-shot totals") {
     def mk(rows: Seq[(String, Double)]) =
       rows.map { case (d, v) =>
