@@ -301,6 +301,41 @@ object CurationExtras {
         .orderBy(col("relationship"))
     },
 
+    // Rolling 7-day distinct users per day, twice: exactly (windowed
+    // distinct over the bounded daily (day, user) relation) and from
+    // MERGED HLL register sketches (max-combine of the window's daily
+    // registers) — the sketch-algebra-over-time demonstration: at
+    // 100 TB the exact path windows a day×users relation, the sketch
+    // path windows day×256 registers, and re-windowing (1/7/30-day)
+    // needs no second corpus pass.
+    "q203_rolling_distinct" -> { (s, dir) =>
+      val dayUser = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .persist() // feeds the day list, the exact path and the sketch
+      val days = dayUser.select(col("day").as("d2")).distinct()
+      val exact = dayUser
+        .join(days, col("day") >= date_sub(col("d2"), 6) &&
+          col("day") <= col("d2"))
+        .groupBy(col("d2"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val daily = graft.operators.Sketches.hllRegisters(
+        dayUser, "day", "user_id")
+      val est = graft.operators.Sketches.hllEstimate(
+        daily
+          .join(days, col("grp") >= date_sub(col("d2"), 6) &&
+            col("grp") <= col("d2"))
+          .groupBy(col("d2").as("grp2"), col("register"))
+          .agg(max(col("rho_max")).as("rho_max"))
+          .withColumnRenamed("grp2", "grp"))
+      exact.join(est, col("d2") === col("grp"))
+        .select(date_format(col("d2"), "yyyy-MM-dd").as("day"),
+          col("exact_distinct"), col("hll_estimate"),
+          expr("abs(hll_estimate - exact_distinct) * 1000000 " +
+            "div exact_distinct").as("err_ppm"))
+        .orderBy(col("day"))
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -536,6 +571,49 @@ object CurationExtras {
          u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
            UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
          SELECT * FROM u ORDER BY relationship""",
+
+    "q203_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+           FROM events),
+         days AS (SELECT DISTINCT day AS d2 FROM du),
+         x AS (SELECT d.d2, COUNT(DISTINCT u.user_id) AS exact_distinct
+           FROM days d JOIN du u
+             ON u.day >= d.d2 - 6 AND u.day <= d.d2
+           GROUP BY 1),
+         v AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+         w AS (SELECT day, substr(h, 1, 2) AS register,
+           substr(h, 3, 12) AS w FROM v),
+         z AS (SELECT day, register, w,
+           length(regexp_extract(w, '^(0*)', 1)) AS z FROM w),
+         r AS (SELECT day, register,
+           CASE WHEN z = 12 THEN 49
+                ELSE 4 * z + 1 + (CASE substr(w, z + 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1
+                  WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0 END) END AS rho
+           FROM z),
+         dr AS (SELECT day, register, MAX(rho) AS rho_max FROM r
+           GROUP BY 1, 2),
+         wr AS (SELECT d.d2, dr.register, MAX(dr.rho_max) AS rho_max
+           FROM days d JOIN dr
+             ON dr.day >= d.d2 - 6 AND dr.day <= d.d2
+           GROUP BY 1, 2),
+         sc AS (SELECT d2,
+             SUM(1::BIGINT << (49 - rho_max))
+               + (256 - COUNT(*)) * (1::BIGINT << 49) AS s_scaled
+           FROM wr GROUP BY 1),
+         e AS (SELECT d2,
+             CAST((1846528000::HUGEINT * 256 * 256 * (1::HUGEINT << 49))
+               // (2570790000::HUGEINT * s_scaled) AS BIGINT)
+               AS hll_estimate
+           FROM sc)
+         SELECT strftime(x.d2, '%Y-%m-%d') AS day,
+           x.exact_distinct, e.hll_estimate,
+           CAST(abs(e.hll_estimate - x.exact_distinct) * 1000000
+             // x.exact_distinct AS BIGINT) AS err_ppm
+         FROM x JOIN e USING (d2) ORDER BY day""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

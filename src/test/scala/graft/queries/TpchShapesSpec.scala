@@ -170,6 +170,19 @@ class TpchShapesSpec extends SparkSpec {
       === 0L)
   }
 
+  test("q203: the rolling window never shrinks below the single day") {
+    val out = CurationExtras.defs("q203_rolling_distinct")(spark, dir)
+    val daily = graft.Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("one_day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("one_day"))
+    // 7-day distinct ⊇ that day's distinct, for every day
+    assert(out.join(daily, "day")
+      .filter(col("exact_distinct") < col("one_day")).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
