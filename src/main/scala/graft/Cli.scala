@@ -492,7 +492,8 @@ object Cli {
             .groupBy(col(opts("from")))
             .agg(countDistinct(col(opts("to"))).as("nd"))
             .agg(count(lit(1)).as("nk"),
-              sum(when(col("nd") > 1, 1L).otherwise(0L)).as("nv")).head()
+              coalesce(sum(when(col("nd") > 1, 1L).otherwise(0L)),
+                lit(0L)).as("nv")).head()
           println(s"""{"n_keys": ${res.getLong(0)},""" +
             s""" "n_violating": ${res.getLong(1)},""" +
             s""" "holds": ${res.getLong(1) == 0L}}""")

@@ -43,7 +43,10 @@ object CurationExtras {
       val names = t(s, dir, "part")
         .groupBy(col("p_name"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("noun", split(col("p_name"), " ").getItem(1))
+        // DuckDB's split_part returns '' out of range; match it so a
+        // single-token name blocks on '' instead of vanishing via NULL
+        .withColumn("noun",
+          coalesce(split(col("p_name"), " ").getItem(1), lit("")))
       val a = names.select(col("noun"), col("p_name").as("name_a"),
         col("cnt").as("parts_a"))
       val b = names.select(col("noun").as("noun_b"),
@@ -86,8 +89,11 @@ object CurationExtras {
         c.map(_ / nrm)
       }
       val dim = PipelineQueries.Dim
+      // persist: the corpus-scale assignment feeds both pair sides and
+      // the per-cell count — without it the kernel pass runs three times
       val assigned = IvfIndex.assign(emb, IvfIndex.Model(centroids), dim)
         .withColumn("nrm", Similarity.norm(col("embedding"), dim))
+        .persist()
       val a = assigned.select(col("ivf_cell"), col("vec_id").as("id_a"),
         col("embedding").as("va"), col("nrm").as("na"))
       val b = assigned.select(col("ivf_cell").as("cell_b"),
@@ -127,6 +133,9 @@ object CurationExtras {
         .agg(count(lit(1)).as("n_days"),
           sum(col("x")).as("total"),
           sum(col("x").cast("decimal(38,0)") * col("x")).as("sum_sq"))
+        // Fano is undefined for a single observation; the guard also
+        // keeps the (n_days - 1) denominator away from zero under ANSI
+        .filter(col("n_days") >= 2)
         .withColumn("var_num",
           col("n_days").cast("decimal(38,0)") * col("sum_sq") -
             col("total").cast("decimal(38,0)") *
@@ -637,7 +646,8 @@ object CurationExtras {
          FROM events GROUP BY 1, 2),
          a AS (SELECT event_type, COUNT(*) AS n_days, SUM(x) AS total,
              SUM(CAST(x AS HUGEINT) * x) AS sum_sq
-           FROM daily GROUP BY 1)
+           FROM daily GROUP BY 1
+           HAVING COUNT(*) >= 2)
          SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
            CAST(total AS BIGINT) AS total,
            CAST((CAST(n_days AS HUGEINT) * sum_sq

@@ -292,6 +292,9 @@ object TpchShapes {
             .cast("long").as("qty_e2"),
           (col("l_extendedprice").cast("decimal(12,2)") * lit(100))
             .cast("decimal(38,0)").as("price_e2"))
+      // li is a FACT-scale slice: deliberately rescanned (column-pruned)
+      // rather than persisted — caching a brand's share of a 100 TB fact
+      // would spill; two pruned scans are the standard Q17 trade
       val avgQty = li.groupBy(col("l_partkey").as("ak"))
         .agg(sum(col("qty_e2")).as("sum_qty_e2"),
           count(lit(1)).as("n_lines_part"))
@@ -427,6 +430,7 @@ object TpchShapes {
             .cast("long").as("qty_e2"))
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(col("qty_e2")).as("sq_e2"))
+        .persist() // derived partsupp-scale aggregate, read twice
       val pq = sq.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("sq_e2")).as("pq_e2"), count(lit(1)).as("n_supp"))
       val dom = sq.join(pq, col("l_partkey") === col("pk"))

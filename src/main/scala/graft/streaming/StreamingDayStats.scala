@@ -38,7 +38,14 @@ object StreamingDayStats {
       }
       .start()
 
-  private def hwmPath(cfg: Config) = new Path(cfg.storeDir, "_hwm")
+  // The HWM lives INSIDE the days directory (underscore-prefixed, so the
+  // parquet reader ignores it) and is written into the tmp directory
+  // BEFORE the atomic rename: store and HWM always travel together, so
+  // there is no crash window where the new sums are installed but the
+  // stale HWM re-admits the same batch on replay (which, with additive
+  // merges, would double-count).
+  private def hwmPath(cfg: Config) =
+    new Path(new Path(cfg.storeDir, "days"), "_hwm")
 
   private[streaming] def lastBatch(spark: SparkSession,
                                    cfg: Config): Long = {
@@ -69,6 +76,10 @@ object StreamingDayStats {
     val tmp = new Path(cfg.storeDir, "days__tmp")
     fs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
+    // HWM rides the same rename as the data it describes
+    val hwmOut = fs.create(new Path(tmp, "_hwm"), true)
+    try hwmOut.write(batchId.toString.getBytes("UTF-8"))
+    finally hwmOut.close()
     val old = new Path(cfg.storeDir, "days__old")
     fs.delete(old, true)
     if (fs.exists(days) && !fs.rename(days, old))
@@ -78,9 +89,6 @@ object StreamingDayStats {
       throw new IllegalStateException(s"daystats swap: cannot install $tmp")
     }
     fs.delete(old, true)
-    val out = fs.create(hwmPath(cfg), true)
-    try out.write(batchId.toString.getBytes("UTF-8"))
-    finally out.close()
   }
 
   /** The resident day relation (empty when nothing has arrived). */

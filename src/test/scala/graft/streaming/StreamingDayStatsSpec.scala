@@ -42,6 +42,14 @@ class StreamingDayStatsSpec extends SparkSpec {
     StreamingDayStats.processBatch(b2, 1L, c)
     assert(daysOf(StreamingDayStats.read(spark, c)) ==
       daysOf(TimeSeries.dailyTotals(all)))
+    // the HWM travels INSIDE the days dir (atomic with the data it
+    // describes — no window where new sums pair with a stale HWM), and
+    // the parquet reader ignores the underscore file
+    assert(StreamingDayStats.lastBatch(spark, c) === 1L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/days/days/_hwm")))
   }
 
   test("streamed anomalies match the batch q193 definition") {
