@@ -39,6 +39,32 @@ class ScanPushdownSpec extends SparkSpec {
     assert(pushed.contains("l_returnflag"), pushed)
   }
 
+  test("q177 (TPC-H Q7 shape): dims broadcast, fact predicates pushed") {
+    val plan = formattedPlan("q177_volume_shipping")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters:")).mkString("\n")
+    assert(pushed.contains("l_shipdate"), pushed)
+  }
+
+  test("q185 (TPC-H Q19 shape): the implied envelope prunes BOTH scans") {
+    val plan = formattedPlan("q185_disjunctive_revenue")
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters:")).mkString("\n")
+    // the disjunction itself can't push, but its envelope must:
+    assert(pushed.contains("l_quantity"), pushed)   // qty ∈ [1, 30]
+    assert(pushed.contains("p_brand"), pushed)      // brand ∈ {1,2,3}
+    assert(pushed.contains("p_size"), pushed)       // size ∈ [1, 35]
+  }
+
+  test("q196 (TPC-H Q20 shape): the nested chain stays broadcast+semi") {
+    val plan = formattedPlan("q196_dominant_suppliers")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q156 (TPC-H Q10 shape): column pruning reaches every scan") {
     val plan = formattedPlan("q156_returned_revenue")
     val schemas = plan.linesIterator
