@@ -69,6 +69,27 @@ class StreamingDayStatsSpec extends SparkSpec {
       r.getString(0) == "2001-02-09" && r.getString(3) == "high"))
   }
 
+  test("a crash mid-swap (old moved aside, new not installed) recovers") {
+    val base = Files.createTempDirectory("sday_crash").toString
+    val c = cfg(base)
+    val b1 = Seq(Txn(ts("2001-04-01"), 3.00)).toDF()
+    StreamingDayStats.processBatch(b1, 0L, c)
+    val before = daysOf(StreamingDayStats.read(spark, c))
+    // manufacture the interrupted state: days renamed aside, no days
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val days = new org.apache.hadoop.fs.Path(s"$base/days/days")
+    val old = new org.apache.hadoop.fs.Path(s"$base/days/days__old")
+    assert(fs.rename(days, old))
+    // read() must roll the aside copy back — data AND its riding HWM
+    assert(daysOf(StreamingDayStats.read(spark, c)) === before)
+    assert(StreamingDayStats.lastBatch(spark, c) === 0L)
+    // and processing resumes where it left off
+    StreamingDayStats.processBatch(
+      Seq(Txn(ts("2001-04-02"), 4.00)).toDF(), 1L, c)
+    assert(StreamingDayStats.read(spark, c).count() === 2L)
+  }
+
   test("streaming end-to-end over MemoryStream; empty store reads empty") {
     val base = Files.createTempDirectory("sday_e2e").toString
     val c = cfg(base)
