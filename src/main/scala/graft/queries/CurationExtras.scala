@@ -345,6 +345,34 @@ object CurationExtras {
         .orderBy(col("day"))
     },
 
+    // Association audit: is `lang` independent of `source`? Per
+    // contingency cell, the observed count scaled by N against the
+    // margin product (E·N = r·c), deviation in exact ppm — the
+    // stratification diagnostic that catches a source pinned to one
+    // language (mix-planning would then confound the two). Margins are
+    // broadcast-sized; the only corpus pass is the first group-by.
+    "q204_association_audit" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val cells = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("observed"))
+        .persist() // margins and the cell report both read it
+      val langM = cells.groupBy(col("lang").as("l2"))
+        .agg(sum(col("observed")).as("r"))
+      val srcM = cells.groupBy(col("source").as("s2"))
+        .agg(sum(col("observed")).as("c"))
+      val n = cells.agg(sum(col("observed")).as("n_total"))
+      cells
+        .join(broadcast(langM), col("lang") === col("l2"))
+        .join(broadcast(srcM), col("source") === col("s2"))
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("observed"),
+          col("r"), col("c"), col("n_total"),
+          expr("abs(observed * n_total - r * c) * 1000000 div (r * c)")
+            .as("dev_ppm"))
+        .orderBy(col("dev_ppm").desc, col("lang"), col("source"))
+        .limit(20)
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -623,6 +651,24 @@ object CurationExtras {
            CAST(abs(e.hll_estimate - x.exact_distinct) * 1000000
              // x.exact_distinct AS BIGINT) AS err_ppm
          FROM x JOIN e USING (d2) ORDER BY day""",
+
+    "q204_association_audit" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS observed
+           FROM documents GROUP BY 1, 2),
+         lm AS (SELECT lang, SUM(observed) AS r FROM cells GROUP BY 1),
+         sm AS (SELECT source, SUM(observed) AS c FROM cells GROUP BY 1),
+         n AS (SELECT SUM(observed) AS n_total FROM cells)
+         SELECT cells.lang, cells.source,
+           CAST(cells.observed AS BIGINT) AS observed,
+           CAST(lm.r AS BIGINT) AS r, CAST(sm.c AS BIGINT) AS c,
+           CAST(n.n_total AS BIGINT) AS n_total,
+           CAST(abs(cells.observed * n.n_total - lm.r * sm.c) * 1000000
+             // (lm.r * sm.c) AS BIGINT) AS dev_ppm
+         FROM cells
+         JOIN lm USING (lang)
+         JOIN sm USING (source)
+         CROSS JOIN n
+         ORDER BY dev_ppm DESC, lang, source LIMIT 20""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

@@ -183,6 +183,14 @@ class TpchShapesSpec extends SparkSpec {
       .filter(col("exact_distinct") < col("one_day")).count() === 0L)
   }
 
+  test("q204: contingency margins conserve the corpus") {
+    val out = CurationExtras.defs("q204_association_audit")(spark, dir)
+    val n = graft.Tables.load(spark, dir, "documents").count()
+    assert(out.filter(col("n_total") =!= n).count() === 0L)
+    assert(out.filter(col("observed") > col("r") ||
+      col("observed") > col("c")).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
