@@ -373,6 +373,46 @@ object CurationExtras {
         .limit(20)
     },
 
+    // Diversified top-k: the globally highest-value orders subject to a
+    // per-customer quota (at most 2 each) — the diversity-constrained
+    // ranking a feed/search layer applies so one hot key cannot fill the
+    // page. Per-customer quota via a bounded per-key window; the global
+    // cut is a top-k, never a full sort of the survivors.
+    "q205_diversified_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val perCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("cust_rank", row_number().over(perCust))
+        .filter(col("cust_rank") <= 2)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("cust_rank").cast("long")
+            .as("cust_rank"))
+    },
+
+    // Sessionized bounce rate per day: share of sessions with exactly
+    // one event, by session-start day, in exact ppm — the engagement
+    // health metric beside q161's duration profile. Session aggregates
+    // are per (user, session); the day report is bounded.
+    "q206_bounce_rate" -> { (s, dir) =>
+      val sessions = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(to_date(col("ts"))).as("day"))
+      sessions.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .as("n_bounces"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_sessions"), col("n_bounces"),
+          expr("n_bounces * 1000000 div n_sessions").as("bounce_ppm"))
+        .orderBy(col("day"))
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -669,6 +709,43 @@ object CurationExtras {
          JOIN sm USING (source)
          CROSS JOIN n
          ORDER BY dev_ppm DESC, lang, source LIMIT 20""",
+
+    "q205_diversified_topk" ->
+      """WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+             AS cust_rank
+         FROM orders)
+         SELECT o_orderkey, o_custkey, o_totalprice, cust_rank
+         FROM r WHERE cust_rank <= 2
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+
+    "q206_bounce_rate" ->
+      """WITH se AS (
+           SELECT user_id,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx,
+             ts
+           FROM (
+             SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+             FROM events) a),
+         s AS (SELECT user_id, session_idx, COUNT(*) AS n_events,
+             MIN(CAST(ts AS DATE)) AS day
+           FROM se GROUP BY 1, 2),
+         d AS (SELECT day, COUNT(*) AS n_sessions,
+             SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces
+           FROM s GROUP BY 1)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(n_bounces AS BIGINT) AS n_bounces,
+           CAST(n_bounces * 1000000 // n_sessions AS BIGINT)
+             AS bounce_ppm
+         FROM d ORDER BY day""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

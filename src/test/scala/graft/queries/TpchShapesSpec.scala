@@ -191,6 +191,19 @@ class TpchShapesSpec extends SparkSpec {
       col("observed") > col("c")).count() === 0L)
   }
 
+  test("q205: the quota holds — no customer appears more than twice") {
+    val out = CurationExtras.defs("q205_diversified_topk")(spark, dir)
+    assert(out.groupBy(col("o_custkey")).count()
+      .filter(col("count") > 2).count() === 0L)
+    assert(out.filter(col("cust_rank") > 2).count() === 0L)
+  }
+
+  test("q206: bounce rate stays within [0, 1e6] and conserves sessions") {
+    val out = CurationExtras.defs("q206_bounce_rate")(spark, dir)
+    assert(out.filter(col("n_bounces") > col("n_sessions")).count() === 0L)
+    assert(out.filter(col("bounce_ppm") > 1000000L).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
