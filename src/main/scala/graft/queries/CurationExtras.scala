@@ -413,6 +413,87 @@ object CurationExtras {
         .orderBy(col("day"))
     },
 
+    // Ratio-to-report: each nation's revenue as an exact-ppm share of
+    // its region and of the world — the classic warehouse reporting
+    // shape (share windows run over the bounded (region, nation)
+    // aggregate, never the fact).
+    "q207_revenue_shares" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nat = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+      val rev = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)")) *
+            lit(10000)).cast("decimal(38,0)").as("rev_e4"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("rev_e4")).as("rev_e4"))
+      val wr = Window.partitionBy(col("r_name"))
+      val ww = Window.partitionBy()
+      rev
+        .withColumn("region_e4", sum(col("rev_e4")).over(wr))
+        .withColumn("world_e4", sum(col("rev_e4")).over(ww))
+        .select(col("r_name"), col("n_name"),
+          (col("rev_e4") / lit(10000)).cast("double").as("revenue"),
+          expr("rev_e4 * 1000000 div region_e4").as("region_share_ppm"),
+          expr("rev_e4 * 1000000 div world_e4").as("world_share_ppm"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Robust spread (MAD): per source, the exact median token count and
+    // the exact median absolute deviation — the outlier fence that one
+    // extreme doc cannot drag (unlike q154's IQR it is 50%-breakdown).
+    // Two no-global-sort quantile passes over integer lengths.
+    "q208_mad_lengths" -> { (s, dir) =>
+      import graft.operators.{Quantiles, TextAnalysis}
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+        .persist() // both quantile passes and the deviation read it
+      val med = Quantiles
+        .exactGroupQuantiles(toks, "source", "v", Seq(50), 16L)
+        .select(col("source").as("ms"), col("value").as("median"))
+      val dev = toks.join(broadcast(med), col("source") === col("ms"))
+        .select(col("source"), abs(col("v") - col("median")).as("v"))
+      Quantiles.exactGroupQuantiles(dev, "source", "v", Seq(50), 16L)
+        .select(col("source"), col("value").as("mad"))
+        .join(broadcast(med), col("source") === col("ms"))
+        .select(col("source"), col("median"), col("mad"))
+        .orderBy(col("source"))
+    },
+
+    // Longest same-type streak per (user, event type): the
+    // gaps-and-islands pattern — islands from the difference of two
+    // per-user row numbers, island length by count, and a deterministic
+    // top-15. Both windows are per-user (bounded by one user's
+    // history); no global sort before the final top-k.
+    "q209_event_streaks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("island",
+          row_number().over(wAll) - row_number().over(wTyp))
+        .groupBy(col("user_id"), col("event_type"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("len")).as("longest_streak"))
+        .orderBy(col("longest_streak").desc, col("user_id"),
+          col("event_type"))
+        .limit(15)
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -746,6 +827,67 @@ object CurationExtras {
            CAST(n_bounces * 1000000 // n_sessions AS BIGINT)
              AS bounce_ppm
          FROM d ORDER BY day""",
+
+    "q207_revenue_shares" ->
+      """WITH rev AS (SELECT r.r_name, n.n_name,
+           SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l.l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT))
+             AS rev_e4
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY 1, 2),
+         w AS (SELECT *,
+           SUM(rev_e4) OVER (PARTITION BY r_name) AS region_e4,
+           SUM(rev_e4) OVER () AS world_e4
+         FROM rev)
+         SELECT r_name, n_name,
+           CAST(rev_e4 AS DOUBLE) / 10000 AS revenue,
+           CAST(rev_e4 * 1000000 // region_e4 AS BIGINT)
+             AS region_share_ppm,
+           CAST(rev_e4 * 1000000 // world_e4 AS BIGINT)
+             AS world_share_ppm
+         FROM w ORDER BY r_name, n_name""",
+
+    "q208_mad_lengths" ->
+      """WITH d AS (SELECT source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS v
+         FROM documents),
+         n AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+         r AS (SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY v) AS rn FROM d),
+         med AS (SELECT r.source, r.v AS median
+           FROM r JOIN n USING (source)
+           WHERE r.rn = (n.n * 50 + 99) // 100),
+         dev AS (SELECT d.source, abs(d.v - med.median) AS v
+           FROM d JOIN med USING (source)),
+         r2 AS (SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY v) AS rn FROM dev),
+         mad AS (SELECT r2.source, r2.v AS mad
+           FROM r2 JOIN n USING (source)
+           WHERE r2.rn = (n.n * 50 + 99) // 100)
+         SELECT med.source, med.median, mad.mad
+         FROM med JOIN mad USING (source) ORDER BY source""",
+
+    "q209_event_streaks" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+           epoch_us(ts) AS us FROM events),
+         w AS (SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY us, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             ORDER BY us, event_id) AS island
+         FROM e),
+         isl AS (SELECT user_id, event_type, island, COUNT(*) AS len
+           FROM w GROUP BY 1, 2, 3),
+         mx AS (SELECT user_id, event_type,
+             CAST(MAX(len) AS BIGINT) AS longest_streak
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id, event_type, longest_streak FROM mx
+         ORDER BY longest_streak DESC, user_id, event_type LIMIT 15""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

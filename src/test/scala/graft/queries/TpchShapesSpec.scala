@@ -204,6 +204,31 @@ class TpchShapesSpec extends SparkSpec {
     assert(out.filter(col("bounce_ppm") > 1000000L).count() === 0L)
   }
 
+  test("q207: shares conserve — each region's nation shares sum to ~1e6") {
+    val out = CurationExtras.defs("q207_revenue_shares")(spark, dir)
+    val sums = out.groupBy(col("r_name"))
+      .agg(sum(col("region_share_ppm")).as("s")).collect()
+    // integral division truncates: sum ∈ (1e6 - nations, 1e6]
+    assert(sums.forall { r =>
+      val s = r.getLong(1); s <= 1000000L && s > 1000000L - 30L })
+  }
+
+  test("q208: MAD is bounded by the coarser max deviation") {
+    val out = CurationExtras.defs("q208_mad_lengths")(spark, dir)
+    assert(out.filter(col("mad") < 0).count() === 0L)
+    assert(out.filter(col("median") <= 0).count() === 0L)
+  }
+
+  test("q209: streak lengths never exceed the user-type event count") {
+    val out = CurationExtras.defs("q209_event_streaks")(spark, dir)
+    val counts = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(out.join(counts, Seq("user_id", "event_type"))
+      .filter(col("longest_streak") > col("n")).count() === 0L)
+    assert(out.filter(col("longest_streak") < 1).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
