@@ -494,6 +494,53 @@ object CurationExtras {
         .limit(15)
     },
 
+    // Time-to-convert quantiles: µs from a session's first view to its
+    // first later purchase, exact p50/p90 via the no-global-sort
+    // quantile operator — the funnel-latency number that sits beside
+    // q175's conversion counts. Per-session aggregates only.
+    "q210_time_to_convert" -> { (s, dir) =>
+      val ev = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .select(col("user_id"), col("session_idx"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .persist() // view-min and purchase-probe both read it
+      val keys = Seq("user_id", "session_idx")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(keys.map(col): _*).agg(min(col("us")).as("v_us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(v, keys).filter(col("us") > col("v_us"))
+        .groupBy(keys.map(col): _*)
+        .agg((min(col("us")) - first(col("v_us"))).as("lat_us"))
+      graft.operators.Quantiles
+        .exactQuantiles(conv, "lat_us", Seq(50, 90),
+          bucketWidth = 60L * 1000000L)
+        .orderBy(col("pct"))
+    },
+
+    // First-touch attribution: every purchase credited to its session's
+    // FIRST event type — purchase counts by entry channel, the
+    // attribution primitive. The session-entry relation is one min-agg;
+    // the credit join is keyed per session.
+    "q211_first_touch" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .select(col("user_id"), col("session_idx"), col("event_type"),
+          col("event_id"), unix_micros(col("ts")).as("us"))
+        .persist() // entry ranking and the purchase probe both read it
+      val wFirst = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("us"), col("event_id"))
+      val entry = ev.withColumn("rn", row_number().over(wFirst))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("session_idx"),
+          col("event_type").as("entry_type"))
+      ev.filter(col("event_type") === "purchase")
+        .join(entry, Seq("user_id", "session_idx"))
+        .groupBy(col("entry_type"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("entry_type"))
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -888,6 +935,58 @@ object CurationExtras {
            FROM isl GROUP BY 1, 2)
          SELECT user_id, event_type, longest_streak FROM mx
          ORDER BY longest_streak DESC, user_id, event_type LIMIT 15""",
+
+    "q210_time_to_convert" ->
+      """WITH se AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx
+           FROM (
+             SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+             FROM events) a),
+         v AS (SELECT user_id, session_idx, MIN(us) AS v_us FROM se
+           WHERE event_type = 'view' GROUP BY 1, 2),
+         conv AS (SELECT se.user_id, se.session_idx,
+             MIN(se.us) - MIN(v.v_us) AS v
+           FROM se JOIN v ON se.user_id = v.user_id
+             AND se.session_idx = v.session_idx
+           WHERE se.event_type = 'purchase' AND se.us > v.v_us
+           GROUP BY 1, 2),
+         n AS (SELECT COUNT(*) AS n FROM conv),
+         t AS (SELECT pv.p AS pct, (n.n * pv.p + 99) // 100 AS tr
+           FROM n, (VALUES (50), (90)) pv(p)),
+         r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM conv)
+         SELECT t.pct, r.v AS value
+         FROM t JOIN r ON r.rn = t.tr ORDER BY pct""",
+
+    "q211_first_touch" ->
+      """WITH se AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx
+           FROM (
+             SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+             FROM events) a),
+         entry AS (SELECT user_id, session_idx, event_type AS entry_type
+           FROM (SELECT user_id, session_idx, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                 ORDER BY us, event_id) AS rn
+             FROM se) x WHERE rn = 1)
+         SELECT e.entry_type, COUNT(*) AS n_purchases
+         FROM se p JOIN entry e ON p.user_id = e.user_id
+           AND p.session_idx = e.session_idx
+         WHERE p.event_type = 'purchase'
+         GROUP BY 1 ORDER BY entry_type""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

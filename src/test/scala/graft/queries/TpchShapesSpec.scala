@@ -229,6 +229,23 @@ class TpchShapesSpec extends SparkSpec {
     assert(out.filter(col("longest_streak") < 1).count() === 0L)
   }
 
+  test("q210: conversion latencies are positive and p50 <= p90") {
+    val rows = CurationExtras.defs("q210_time_to_convert")(spark, dir)
+      .orderBy(col("pct")).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getLong(1) > 0L))
+    assert(rows(0).getLong(1) <= rows(1).getLong(1))
+  }
+
+  test("q211: attribution conserves in-session purchases") {
+    val out = CurationExtras.defs("q211_first_touch")(spark, dir)
+    val attributed = out.agg(sum(col("n_purchases"))).head.getLong(0)
+    val total = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase").count()
+    // every purchase sits in exactly one session with one entry event
+    assert(attributed === total)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
