@@ -541,6 +541,86 @@ object CurationExtras {
         .orderBy(col("entry_type"))
     },
 
+    // Weekday seasonality: order count + revenue share per day-of-week
+    // (0 = Sunday, matching DuckDB's dayofweek) in exact ppm — the
+    // seasonality profile a forecast or staffing pass reads. Seven-row
+    // report from one keyed aggregate.
+    "q212_weekday_profile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val day = t(s, dir, "orders")
+        .select((dayofweek(col("o_orderdate")) - lit(1)).cast("long")
+            .as("dow"),
+          (col("o_totalprice").cast("decimal(12,2)") * lit(100))
+            .cast("long").as("cents"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_e2"))
+      day.withColumn("total_e2",
+          sum(col("rev_e2")).over(Window.partitionBy()))
+        .select(col("dow"), col("n_orders"),
+          (col("rev_e2") / lit(100)).cast("double").as("revenue"),
+          expr("rev_e2 * 1000000 div total_e2").as("rev_share_ppm"))
+        .orderBy(col("dow"))
+    },
+
+    // Revenue concentration by decile (the Lorenz table): order-value
+    // decile boundaries from the no-global-sort quantiles, every order
+    // bucketed against the broadcast boundary row, revenue share per
+    // decile in exact ppm — "the top decile carries X% of revenue".
+    "q213_revenue_concentration" -> { (s, dir) =>
+      val cents = t(s, dir, "orders")
+        .select((col("o_totalprice").cast("decimal(12,2)") * lit(100))
+          .cast("long").as("cents"))
+        .persist() // boundary pass and bucketing pass both read it
+      val bCols = (10 to 90 by 10).map(p =>
+        max(when(col("pct") === p, col("value"))).as(s"b$p"))
+      val bounds = graft.operators.Quantiles
+        .exactQuantiles(cents, "cents", (10 to 90 by 10), 100000L)
+        .groupBy()
+        .agg(bCols.head, bCols.tail: _*)
+      val decile = (10 to 90 by 10)
+        .map(p => when(col("cents") > col(s"b$p"), 1L).otherwise(0L))
+        .reduce(_ + _) + lit(1L)
+      val per = cents.crossJoin(broadcast(bounds))
+        .select(decile.as("decile"), col("cents"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_e2"))
+      per.crossJoin(broadcast(
+          per.agg(sum(col("rev_e2")).as("total_e2"))))
+        .select(col("decile"), col("n_orders"),
+          expr("rev_e2 * 1000000 div total_e2").as("rev_share_ppm"))
+        .orderBy(col("decile"))
+    },
+
+    // Supplier concentration (HHI) per part type: the sum of squared
+    // truncated-ppm revenue shares, scaled back to ppm — the market-
+    // concentration diagnostic (1e6 = monopoly, 1e6/n = perfectly
+    // even). Shares are integral, so both engines square identical
+    // numbers; the supplier relation per type is an aggregate.
+    "q214_supplier_hhi" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") -
+              col("l_discount").cast("decimal(12,2)")) *
+            lit(10000)).cast("decimal(38,0)").as("rev_e4"))
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("l_suppkey"))
+        .agg(sum(col("rev_e4")).as("rev_e4"))
+      val tot = rev.groupBy(col("p_type").as("t2"))
+        .agg(sum(col("rev_e4")).as("tot_e4"))
+      rev.join(broadcast(tot), col("p_type") === col("t2"))
+        .select(col("p_type"),
+          expr("CAST(rev_e4 * 1000000 div tot_e4 AS DECIMAL(38,0))")
+            .as("share_ppm"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)")
+            .as("hhi_ppm"))
+        .orderBy(col("p_type"))
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -987,6 +1067,71 @@ object CurationExtras {
            AND p.session_idx = e.session_idx
          WHERE p.event_type = 'purchase'
          GROUP BY 1 ORDER BY entry_type""",
+
+    "q212_weekday_profile" ->
+      """WITH d AS (SELECT dayofweek(o_orderdate) AS dow,
+           COUNT(*) AS n_orders,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             AS rev_e2
+         FROM orders GROUP BY 1),
+         t AS (SELECT SUM(rev_e2) AS total_e2 FROM d)
+         SELECT CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.n_orders AS BIGINT) AS n_orders,
+           CAST(d.rev_e2 AS DOUBLE) / 100 AS revenue,
+           CAST(d.rev_e2 * 1000000 // t.total_e2 AS BIGINT)
+             AS rev_share_ppm
+         FROM d, t ORDER BY dow""",
+
+    "q213_revenue_concentration" -> {
+      val pv = (10 to 90 by 10).map(p => s"($p)").mkString(", ")
+      val cmp = (10 to 90 by 10)
+        .map(p => s"(CASE WHEN c.cents > b.b$p THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val bcols = (10 to 90 by 10)
+        .map(p => s"MAX(CASE WHEN pct = $p THEN value END) AS b$p")
+        .mkString(", ")
+      s"""WITH c AS (SELECT
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+         n AS (SELECT COUNT(*) AS n FROM c),
+         t AS (SELECT pv.p AS pct, (n.n * pv.p + 99) // 100 AS tr
+           FROM n, (VALUES $pv) pv(p)),
+         r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn
+           FROM c),
+         q AS (SELECT t.pct, r.cents AS value
+           FROM t JOIN r ON r.rn = t.tr),
+         b AS (SELECT $bcols FROM q),
+         dec AS (SELECT 1 + $cmp AS decile, c.cents
+           FROM c CROSS JOIN b),
+         per AS (SELECT decile, COUNT(*) AS n_orders,
+             SUM(cents) AS rev_e2
+           FROM dec GROUP BY 1),
+         tot AS (SELECT SUM(rev_e2) AS total_e2 FROM per)
+         SELECT CAST(per.decile AS BIGINT) AS decile,
+           CAST(per.n_orders AS BIGINT) AS n_orders,
+           CAST(per.rev_e2 * 1000000 // tot.total_e2 AS BIGINT)
+             AS rev_share_ppm
+         FROM per, tot ORDER BY decile"""
+    },
+
+    "q214_supplier_hhi" ->
+      """WITH rev AS (SELECT p.p_type, l.l_suppkey,
+           SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(12,2)) -
+              CAST(l.l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT))
+             AS rev_e4
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2),
+         tot AS (SELECT p_type, SUM(rev_e4) AS tot_e4 FROM rev
+           GROUP BY 1),
+         sh AS (SELECT rev.p_type,
+             rev.rev_e4 * 1000000 // tot.tot_e4 AS share_ppm
+           FROM rev JOIN tot USING (p_type))
+         SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT)
+             AS hhi_ppm
+         FROM sh GROUP BY 1 ORDER BY p_type""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

@@ -246,6 +246,34 @@ class TpchShapesSpec extends SparkSpec {
     assert(attributed === total)
   }
 
+  test("q212: weekday shares conserve orders and revenue") {
+    val out = CurationExtras.defs("q212_weekday_profile")(spark, dir)
+    assert(out.count() <= 7L)
+    assert(out.agg(sum(col("n_orders"))).head.getLong(0) ===
+      graft.Tables.load(spark, dir, "orders").count())
+    val s = out.agg(sum(col("rev_share_ppm"))).head.getLong(0)
+    assert(s <= 1000000L && s > 1000000L - 10L)
+  }
+
+  test("q213: deciles partition the orders; shares increase") {
+    val out = CurationExtras.defs("q213_revenue_concentration")(spark, dir)
+      .orderBy(col("decile")).collect()
+    assert(out.map(_.getLong(1)).sum ===
+      graft.Tables.load(spark, dir, "orders").count())
+    // revenue share grows with the decile (by construction: higher
+    // deciles hold higher-value orders)
+    val shares = out.map(_.getLong(2))
+    assert(shares.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("q214: HHI stays within [1e6/n, 1e6]") {
+    val out = CurationExtras.defs("q214_supplier_hhi")(spark, dir)
+    assert(out.filter(col("hhi_ppm") > 1000000L).count() === 0L)
+    // even split lower bound (with truncation slack of n ppm)
+    assert(out.filter(col("hhi_ppm") * col("n_suppliers") <
+      lit(1000000L) - col("n_suppliers") * 2).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
