@@ -621,6 +621,52 @@ object CurationExtras {
         .orderBy(col("p_type"))
     },
 
+    // Growth accounting: every active (user, day) classified as new /
+    // retained / resurrected, plus the day's churn (active yesterday,
+    // gone today) — the canonical DAU decomposition whose identity
+    // active = new + retained + resurrected is spec-pinned. All joins
+    // are keyed on (user, day) over the bounded daily-distinct
+    // relation.
+    "q215_growth_accounting" -> { (s, dir) =>
+      val du = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .persist() // five readers: firsts, prev, flags, churn, days
+      val firsts = du.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      val prev = du.select(col("user_id"),
+        date_add(col("day"), 1).as("day"))
+      val flags = du
+        .join(firsts, "user_id")
+        .join(prev.withColumn("was_prev", lit(1L)),
+          Seq("user_id", "day"), "left_outer")
+        .select(col("day"),
+          when(col("day") === col("first_day"), lit(1L)).otherwise(0L)
+            .as("is_new"),
+          when(col("day") =!= col("first_day") &&
+            col("was_prev").isNotNull, lit(1L)).otherwise(0L)
+            .as("is_retained"),
+          when(col("day") =!= col("first_day") &&
+            col("was_prev").isNull, lit(1L)).otherwise(0L)
+            .as("is_resurrected"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(col("is_new")).as("n_new"),
+          sum(col("is_retained")).as("n_retained"),
+          sum(col("is_resurrected")).as("n_resurrected"))
+      val churn = prev
+        .join(du, Seq("user_id", "day"), "left_anti")
+        .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+      flags.join(churn, Seq("day"), "full_outer")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("day"))
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -1132,6 +1178,40 @@ object CurationExtras {
            CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT)
              AS hhi_ppm
          FROM sh GROUP BY 1 ORDER BY p_type""",
+
+    "q215_growth_accounting" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         firsts AS (SELECT user_id, MIN(day) AS first_day FROM du
+           GROUP BY 1),
+         prev AS (SELECT user_id, day + 1 AS day FROM du),
+         flags AS (SELECT du.day,
+             CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN du.day <> f.first_day AND p.user_id IS NOT NULL
+               THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN du.day <> f.first_day AND p.user_id IS NULL
+               THEN 1 ELSE 0 END AS is_resurrected
+           FROM du
+           JOIN firsts f ON du.user_id = f.user_id
+           LEFT JOIN prev p ON du.user_id = p.user_id
+             AND du.day = p.day),
+         act AS (SELECT day, COUNT(*) AS n_active, SUM(is_new) AS n_new,
+             SUM(is_retained) AS n_retained,
+             SUM(is_resurrected) AS n_resurrected
+           FROM flags GROUP BY 1),
+         churn AS (SELECT p.day, COUNT(*) AS n_churned
+           FROM prev p LEFT JOIN du
+             ON du.user_id = p.user_id AND du.day = p.day
+           WHERE du.user_id IS NULL GROUP BY 1)
+         SELECT strftime(COALESCE(a.day, c.day), '%Y-%m-%d') AS day,
+           CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+           CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(a.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(COALESCE(a.n_resurrected, 0) AS BIGINT)
+             AS n_resurrected,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+         FROM act a FULL OUTER JOIN churn c ON a.day = c.day
+         ORDER BY day""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

@@ -274,6 +274,17 @@ class TpchShapesSpec extends SparkSpec {
       lit(1000000L) - col("n_suppliers") * 2).count() === 0L)
   }
 
+  test("q215: the growth identity holds on every day") {
+    val out = CurationExtras.defs("q215_growth_accounting")(spark, dir)
+    // active = new + retained + resurrected, day by day
+    assert(out.filter(col("n_active") =!= col("n_new") +
+      col("n_retained") + col("n_resurrected")).count() === 0L)
+    // total new across all days = user universe
+    assert(out.agg(sum(col("n_new"))).head.getLong(0) ===
+      graft.Tables.load(spark, dir, "events")
+        .select(col("user_id")).distinct().count())
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
