@@ -667,6 +667,27 @@ object CurationExtras {
         .orderBy(col("day"))
     },
 
+    // Token burstiness (Church–Gale): collection frequency over document
+    // frequency — a token occurring 100× in 5 docs (bursty, topical)
+    // versus 100× in 100 docs (dispersed, functional). Exact ppm ratio
+    // over the vocabulary aggregate; the top of the list is the
+    // topical-keyword extractor that needs no model.
+    "q216_token_burstiness" -> { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val occ = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val perDoc = occ.groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      perDoc.groupBy(col("token"))
+        .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .select(col("token"), col("cf"), col("df"),
+          expr("cf * 1000000 div df").as("burst_ppm"))
+        .orderBy(col("burst_ppm").desc, col("token"))
+        .limit(20)
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -1212,6 +1233,19 @@ object CurationExtras {
            CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
          FROM act a FULL OUTER JOIN churn c ON a.day = c.day
          ORDER BY day""",
+
+    "q216_token_burstiness" ->
+      """WITH occ AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS token
+         FROM documents),
+         pd AS (SELECT token, doc_id, COUNT(*) AS tf FROM occ
+           GROUP BY 1, 2),
+         v AS (SELECT token, SUM(tf) AS cf, COUNT(*) AS df FROM pd
+           GROUP BY 1)
+         SELECT token, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+           CAST(cf * 1000000 // df AS BIGINT) AS burst_ppm
+         FROM v WHERE df >= 5
+         ORDER BY burst_ppm DESC, token LIMIT 20""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

@@ -285,6 +285,12 @@ class TpchShapesSpec extends SparkSpec {
         .select(col("user_id")).distinct().count())
   }
 
+  test("q216: burstiness is at least 1x — cf can never undershoot df") {
+    val out = CurationExtras.defs("q216_token_burstiness")(spark, dir)
+    assert(out.filter(col("cf") < col("df")).count() === 0L)
+    assert(out.filter(col("burst_ppm") < 1000000L).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
