@@ -688,6 +688,65 @@ object CurationExtras {
         .limit(20)
     },
 
+    // Half-life decayed popularity: each shipped quantity halved once
+    // per week of age (integer shift — no float pow, bit-identical on
+    // both engines), summed per part — the freshness-weighted ranking a
+    // trending list uses. The anchor is the corpus max ship date
+    // (broadcast scalar), so the query is deterministic at any run
+    // time.
+    "q217_decayed_popularity" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_shipdate"),
+          (col("l_quantity").cast("decimal(12,2)") * lit(100))
+            .cast("long").as("qty_e2"))
+      val anchor = li.agg(max(col("l_shipdate")).as("max_date"))
+      li.crossJoin(broadcast(anchor))
+        .withColumn("age_weeks",
+          expr("datediff(max_date, l_shipdate) div 7"))
+        // beyond 62 halvings a long is zero anyway; cap keeps shift legal
+        .withColumn("decayed_e2",
+          expr("CASE WHEN age_weeks >= 62 THEN 0L " +
+            "ELSE shiftright(qty_e2, CAST(age_weeks AS INT)) END"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("decayed_e2")).as("decayed_qty_e2"),
+          sum(col("qty_e2")).as("raw_qty_e2"))
+        .filter(col("decayed_qty_e2") > 0)
+        .orderBy(col("decayed_qty_e2").desc, col("l_partkey"))
+        .limit(15)
+    },
+
+    // Ordered pair support: for each ordered type pair (a, b), the
+    // sessions where SOME a precedes SOME b — the order-sensitive
+    // companion completing the sequence trio (q158 adjacent
+    // transitions, q197 unordered co-occurrence). Per-session type
+    // min/max bounds make the pair join types² per session, never
+    // events².
+    "q218_ordered_pair_support" -> { (s, dir) =>
+      val bounds = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .select(col("user_id"), col("session_idx"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy(col("user_id"), col("session_idx"), col("event_type"))
+        .agg(min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+        .persist() // both pair sides and the session total read it
+      val n = bounds.select(col("user_id"), col("session_idx"))
+        .distinct().agg(count(lit(1)).as("n_sessions"))
+      bounds
+        .join(bounds.select(col("user_id").as("u2"),
+            col("session_idx").as("s2"),
+            col("event_type").as("type_b"), col("max_us").as("b_max")),
+          col("user_id") === col("u2") &&
+            col("session_idx") === col("s2") &&
+            col("event_type") =!= col("type_b") &&
+            col("min_us") < col("b_max"))
+        .groupBy(col("event_type").as("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_support"))
+        .crossJoin(broadcast(n))
+        .select(col("type_a"), col("type_b"), col("n_support"),
+          expr("n_support * 1000000 div n_sessions").as("support_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // Zipf rank·frequency spread: over the top-N vocabulary, the
     // quartiles of rank×freq — flat spread ⇒ Zipfian (r·f ≈ C);
     // a wide spread flags template/boilerplate-dominated corpora. All
@@ -1246,6 +1305,57 @@ object CurationExtras {
            CAST(cf * 1000000 // df AS BIGINT) AS burst_ppm
          FROM v WHERE df >= 5
          ORDER BY burst_ppm DESC, token LIMIT 20""",
+
+    "q217_decayed_popularity" ->
+      """WITH li AS (SELECT l_partkey, l_shipdate,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS qty_e2
+         FROM lineitem),
+         a AS (SELECT MAX(l_shipdate) AS max_date FROM li),
+         d AS (SELECT li.l_partkey, li.qty_e2,
+             date_diff('day', CAST(li.l_shipdate AS DATE),
+               CAST(a.max_date AS DATE)) // 7 AS age_weeks
+           FROM li CROSS JOIN a),
+         dec AS (SELECT l_partkey, qty_e2,
+             CASE WHEN age_weeks >= 62 THEN 0
+               ELSE qty_e2 >> CAST(age_weeks AS INT) END AS decayed_e2
+           FROM d),
+         g AS (SELECT l_partkey,
+             CAST(SUM(decayed_e2) AS BIGINT) AS decayed_qty_e2,
+             CAST(SUM(qty_e2) AS BIGINT) AS raw_qty_e2
+           FROM dec GROUP BY 1)
+         SELECT * FROM g WHERE decayed_qty_e2 > 0
+         ORDER BY decayed_qty_e2 DESC, l_partkey LIMIT 15""",
+
+    "q218_ordered_pair_support" ->
+      """WITH se AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx
+           FROM (
+             SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+             FROM events) a),
+         b AS (SELECT user_id, session_idx, event_type,
+             MIN(us) AS min_us, MAX(us) AS max_us
+           FROM se GROUP BY 1, 2, 3),
+         n AS (SELECT COUNT(*) AS n_sessions FROM
+           (SELECT DISTINCT user_id, session_idx FROM b) x),
+         p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+             COUNT(*) AS n_support
+           FROM b x JOIN b y
+             ON x.user_id = y.user_id AND x.session_idx = y.session_idx
+             AND x.event_type <> y.event_type AND x.min_us < y.max_us
+           GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b,
+           CAST(p.n_support AS BIGINT) AS n_support,
+           CAST(p.n_support * 1000000 // n.n_sessions AS BIGINT)
+             AS support_ppm
+         FROM p, n ORDER BY type_a, type_b""",
 
     "q194_zipf_spread" ->
       s"""WITH toks AS (SELECT

@@ -291,6 +291,28 @@ class TpchShapesSpec extends SparkSpec {
     assert(out.filter(col("burst_ppm") < 1000000L).count() === 0L)
   }
 
+  test("q217: decay never inflates — decayed mass is bounded by raw") {
+    val out = CurationExtras.defs("q217_decayed_popularity")(spark, dir)
+    assert(out.filter(col("decayed_qty_e2") > col("raw_qty_e2")).count()
+      === 0L)
+    assert(out.filter(col("decayed_qty_e2") <= 0).count() === 0L)
+  }
+
+  test("q218: ordered support is bounded by unordered co-occurrence") {
+    val ordered = CurationExtras
+      .defs("q218_ordered_pair_support")(spark, dir)
+      .select(least(col("type_a"), col("type_b")).as("lo"),
+        greatest(col("type_a"), col("type_b")).as("hi"),
+        col("n_support"))
+    val unordered = CurationExtras
+      .defs("q197_session_cooccurrence")(spark, dir)
+      .select(col("type_a").as("lo"), col("type_b").as("hi"),
+        col("n_ab"))
+    // a-before-b requires both in the session: support(a,b) ≤ co(a,b)
+    assert(ordered.join(unordered, Seq("lo", "hi"))
+      .filter(col("n_support") > col("n_ab")).count() === 0L)
+  }
+
   test("q194: zipf spread quartiles are ordered") {
     val rows = CurationExtras.defs("q194_zipf_spread")(spark, dir)
       .orderBy(col("pct")).collect()
