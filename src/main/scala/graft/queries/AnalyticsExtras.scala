@@ -1,0 +1,533 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Round-nine analytics wave: corpus-quality gating (Gopher-style rules),
+  * Kneser–Ney continuation counts, a Markov stationary distribution by
+  * integer power iteration, hard-negative mining for contrastive training,
+  * Unicode script-mix profiling, SCD-2 run materialization, Heaps'-law
+  * vocabulary growth, and histogram-exact latency quantiles.
+  *
+  * Every metric is integer (ppm / e2 fixed-point) or per-row-deterministic
+  * double, so results are bit-identical between Spark and the DuckDB oracle
+  * at any partitioning. Reference provenance: the quality-gate / curation
+  * surface extends /root/reference's offload validation idea (cross-engine
+  * agreement on derived relations) to corpus curation.
+  */
+object AnalyticsExtras {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q219 gate thresholds (Gopher-style, Rae et al. 2021 shapes scaled to
+    * the synthetic corpus): token count bounds, mean word length bounds
+    * (e2 fixed point = chars×100), minimum alphabetic-token share (pct),
+    * minimum distinct stopwords present. */
+  val GopherMinTok = 10L
+  val GopherMaxTok = 10000L
+  val GopherMinMwlE2 = 300L
+  val GopherMaxMwlE2 = 1000L
+  val GopherMinAlphaPct = 80L
+  val GopherStopwords: Seq[String] = Seq("the", "and", "of", "to", "in")
+  val GopherMinStopwords = 2
+
+  /** q220: report the top-N tokens by continuation count. */
+  val ContinuationTopN = 20
+  /** q221: fixed power-iteration rounds (bounded lineage, no convergence
+    * loop — deterministic in both engines). */
+  val MarkovRounds = 3
+  /** q222: query vectors and per-query negative count. */
+  val HardNegQueryIds: Seq[Long] = Seq(0L, 1L, 2L)
+  val HardNegK = 3
+  /** q223: a doc is "mixed-script" when non-ASCII chars exceed 5%. */
+  val ScriptMixDen = 20L
+  /** q224: value→tier cut points (ints — `value` is compared exactly). */
+  val TierMid = 10d
+  val TierHigh = 100d
+  /** q224: deterministic user slice keeping the output audit-sized. */
+  val ScdUserMod = 50L
+  /** q225: vocabulary-growth checkpoints (deciles of the doc_id range). */
+  val HeapsBuckets = 10L
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style quality gate: every rule is computed per-row with
+    // higher-order array functions (transform/filter/aggregate) — a
+    // map-only pass with NO explode and no shuffle until the per-source
+    // report aggregate. At 100 TB that is the difference between one
+    // narrow scan and a token-level shuffle 100× the corpus.
+    "q219_gopher_rules" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("toks", toks(col("text")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("mwl_e2",
+          expr("(aggregate(toks, 0L, (a, x) -> a + length(x)) * 100)" +
+            " div n_tok"))
+        .withColumn("n_alpha",
+          expr("size(filter(toks, x -> x rlike '[A-Za-z]'))").cast("long"))
+        .withColumn("n_stop",
+          size(array_intersect(
+            expr("transform(toks, x -> lower(x))"),
+            array(GopherStopwords.map(lit): _*))).cast("long"))
+        .withColumn("pass_len",
+          (col("n_tok") >= GopherMinTok && col("n_tok") <= GopherMaxTok)
+            .cast("long"))
+        .withColumn("pass_mwl",
+          (col("mwl_e2") >= GopherMinMwlE2 && col("mwl_e2") <= GopherMaxMwlE2)
+            .cast("long"))
+        .withColumn("pass_alpha",
+          (col("n_alpha") * 100 >= col("n_tok") * GopherMinAlphaPct)
+            .cast("long"))
+        .withColumn("pass_stop",
+          (col("n_stop") >= GopherMinStopwords).cast("long"))
+        .withColumn("pass_all",
+          (col("pass_len") * col("pass_mwl") * col("pass_alpha") *
+            col("pass_stop")).cast("long"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pass_len")).as("n_pass_len"),
+          sum(col("pass_mwl")).as("n_pass_mwl"),
+          sum(col("pass_alpha")).as("n_pass_alpha"),
+          sum(col("pass_stop")).as("n_pass_stop"),
+          sum(col("pass_all")).as("n_pass_all"))
+        .withColumn("pass_ppm",
+          expr("n_pass_all * 1000000 div n_docs"))
+        .orderBy(col("source"))
+    },
+
+    // Kneser–Ney continuation counts: how many DISTINCT left contexts a
+    // token appears after — the KN ingredient that separates "Francisco"
+    // (frequent, one context) from genuinely productive tokens. The only
+    // corpus-scale stage is the distinct over bigram TYPES; everything
+    // after runs on the (Zipf-small) type relation.
+    "q220_continuation_prob" -> { (s, dir) =>
+      val bi = t(s, dir, "documents")
+        .withColumn("toks", toks(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i - 1] AS prev, toks[i] AS nxt))")).as("b"))
+        .select(col("b.prev").as("prev"), col("b.nxt").as("nxt"))
+        .distinct()
+      val total = bi.agg(count(lit(1)).as("n_bigram_types"))
+      bi.groupBy(col("nxt").as("token"))
+        .agg(count(lit(1)).as("n_contexts"))
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("n_contexts"), col("n_bigram_types"),
+          expr("n_contexts * 1000000 div n_bigram_types")
+            .as("continuation_ppm"))
+        .orderBy(col("n_contexts").desc, col("token"))
+        .limit(ContinuationTopN)
+    },
+
+    // Markov stationary distribution: integer ppm power iteration over the
+    // per-user event-type transition matrix (the q158 relation). The
+    // matrix and the mass vector are both types-sized aggregates, so every
+    // iteration is a broadcast-scale join — the corpus is read once to
+    // count transitions. Mass at states with no outgoing edges drains
+    // (documented absorbing loss; identical in both engines).
+    "q221_markov_stationary" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val tr = ev
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val outTot = tr.groupBy(col("a"))
+        .agg(sum(col("cnt")).as("out_cnt"))
+      val tppm = tr.join(outTot, "a")
+        .select(col("a"), col("b"),
+          expr("cnt * 1000000 div out_cnt").as("t_ppm"))
+      val states = ev.select(col("event_type").as("state")).distinct()
+      val n = states.count()
+      var p = states.select(col("state"),
+        lit(1000000L / n).as("p_ppm"))
+      for (_ <- 1 to MarkovRounds) {
+        p = p.join(tppm, col("state") === col("a"))
+          .groupBy(col("b"))
+          .agg(sum(col("p_ppm") * col("t_ppm")).as("mass"))
+          .select(col("b").as("state"),
+            expr("mass div 1000000").as("p_ppm"))
+      }
+      states.join(p, Seq("state"), "left")
+        .select(col("state").as("event_type"),
+          coalesce(col("p_ppm"), lit(0L)).as("stationary_ppm"))
+        .orderBy(col("event_type"))
+    },
+
+    // Hard-negative mining: for each anchor vector, the top-k most-similar
+    // embeddings with a DIFFERENT label — the contrastive-training batch
+    // builder. Anchors broadcast (a handful of rows); at 100 TB the
+    // candidate side swaps to the IVF shortlist (q110 precedent) with the
+    // same scoring expression.
+    "q222_hard_negatives" -> { (s, dir) =>
+      val dim = PipelineQueries.Dim
+      val withNorm = t(s, dir, "embeddings")
+        .withColumn("nrm", Similarity.norm(col("embedding"), dim))
+      val anchors = withNorm
+        .filter(col("vec_id").isin(HardNegQueryIds: _*))
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+      val scored = withNorm.crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("score",
+          Similarity.dot(col("embedding"), col("q_vec"), dim) /
+            (col("nrm") * col("q_nrm")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= HardNegK)
+        .select(col("q_id"), col("rk"), col("vec_id"),
+          col("label"), col("score"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+
+    // Unicode script-mix profile: per language, how much of the text is
+    // non-ASCII / digits / uppercase, and how many docs exceed the 5%
+    // non-ASCII line. Regex counts run per-row (codegen'd), one aggregate
+    // per lang — the langid sanity check that catches mislabeled or
+    // transliterated slices.
+    "q223_script_mix" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("n_chars_l", length(col("text")).cast("long"))
+        .withColumn("n_nonascii",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[\\x00-\\x7F]", "")))
+            .cast("long"))
+        .withColumn("n_digit",
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+        .withColumn("n_upper",
+          length(regexp_replace(col("text"), "[^A-Z]", "")).cast("long"))
+        .withColumn("is_mixed",
+          (col("n_nonascii") * ScriptMixDen > col("n_chars_l")).cast("long"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_mixed")).as("n_mixed_docs"),
+          sum(col("n_nonascii")).as("nonascii_chars"),
+          sum(col("n_chars_l")).as("chars_sum"),
+          sum(col("n_digit")).as("digit_sum"),
+          sum(col("n_upper")).as("upper_sum"))
+        .select(col("lang"), col("n_docs"), col("n_mixed_docs"),
+          col("nonascii_chars"),
+          expr("nonascii_chars * 1000000 div chars_sum")
+            .as("nonascii_ppm"),
+          expr("digit_sum * 1000000 div chars_sum").as("digit_ppm"),
+          expr("upper_sum * 1000000 div chars_sum").as("upper_ppm"))
+        .orderBy(col("lang"))
+    },
+
+    // SCD Type-2 materialization: collapse each user's event stream into
+    // value-tier runs with [eff_from, eff_to) validity — the
+    // change-data-capture → versioned-dimension build. Runs are found with
+    // the gaps-and-islands window (partitioned per user, bounded by one
+    // key's history); a deterministic user_id slice keeps the dump
+    // audit-sized without changing the plan shape.
+    "q224_scd2_tiers" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .filter(col("user_id") % ScdUserMod === 0)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          when(col("value") < TierMid, "low")
+            .when(col("value") < TierHigh, "mid")
+            .otherwise("high").as("tier"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val runs = ev
+        .withColumn("chg",
+          when(lag(col("tier"), 1).over(w).isNull ||
+            lag(col("tier"), 1).over(w) =!= col("tier"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("tier")).as("tier"),
+          min(col("us")).as("eff_from_us"),
+          count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+      runs
+        .withColumn("eff_to_us", lead(col("eff_from_us"), 1).over(w2))
+        .withColumn("is_current",
+          col("eff_to_us").isNull.cast("long"))
+        .select(col("user_id"), col("run_id"), col("tier"),
+          col("eff_from_us"), col("eff_to_us"), col("n_events"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("run_id"))
+    },
+
+    // Heaps'-law vocabulary growth: cumulative vocabulary size vs
+    // cumulative token count at doc_id-decile checkpoints. One token pass
+    // builds (first_doc per type, tf per decile); the cumulative curve is
+    // a 10-row window over the decile AGGREGATE — no corpus re-scan per
+    // checkpoint, no order-dependent running distinct.
+    "q225_heaps_law" -> { (s, dir) =>
+      val occ = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      val maxId = occ.agg(max(col("doc_id")).as("max_id"))
+      val bucketed = occ.crossJoin(broadcast(maxId))
+        .withColumn("bucket",
+          expr(s"(doc_id * $HeapsBuckets + max_id - 1) div max_id"))
+      val tokensPerBucket = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val firstBucket = bucketed.groupBy(col("token"))
+        .agg(min(col("bucket")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_new_types"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokensPerBucket
+        .join(firstBucket, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("vocab", sum(col("n_new_types")).over(w))
+        .withColumn("heaps_ppm",
+          expr("vocab * 1000000 div cum_tokens"))
+        .select(col("bucket"), col("cum_tokens"), col("vocab"),
+          col("heaps_ppm"))
+        .orderBy(col("bucket"))
+    },
+
+    // Histogram-exact latency quantiles: order→ship delay p50/p90 per
+    // order priority WITHOUT sorting the fact — delays are small integers,
+    // so the exact quantile comes from a cumulative window over the
+    // (priority × delay) histogram, which is bounded by construction. The
+    // same shape gives exact quantiles over any low-cardinality measure at
+    // any corpus size.
+    "q226_ship_delay_quantiles" -> { (s, dir) =>
+      val delays = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("delay_days"))
+      val hist = delays.groupBy(col("o_orderpriority"), col("delay_days"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = hist.groupBy(col("o_orderpriority"))
+        .agg(sum(col("cnt")).as("total"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("delay_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .join(tot, "o_orderpriority")
+      cum.groupBy(col("o_orderpriority"))
+        .agg(max(col("total")).as("n_items"),
+          min(when(col("cum") * 2 >= col("total"), col("delay_days")))
+            .as("p50_days"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("delay_days")))
+            .as("p90_days"))
+        .orderBy(col("o_orderpriority"))
+    })
+
+  private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
+
+  def oracles: Map[String, String] = Map(
+
+    "q219_gopher_rules" ->
+      s"""WITH d AS (SELECT source,
+           string_split_regex(trim(text), '\\s+') AS toks
+         FROM documents),
+         m AS (SELECT source, len(toks) AS n_tok,
+             list_sum(list_transform(toks, x -> length(x))) * 100
+               // len(toks) AS mwl_e2,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_intersect(list_transform(toks, x -> lower(x)),
+               [$stopList])) AS n_stop
+           FROM d),
+         f AS (SELECT source,
+             CASE WHEN n_tok >= $GopherMinTok AND n_tok <= $GopherMaxTok
+               THEN 1 ELSE 0 END AS pass_len,
+             CASE WHEN mwl_e2 >= $GopherMinMwlE2
+               AND mwl_e2 <= $GopherMaxMwlE2 THEN 1 ELSE 0 END AS pass_mwl,
+             CASE WHEN n_alpha * 100 >= n_tok * $GopherMinAlphaPct
+               THEN 1 ELSE 0 END AS pass_alpha,
+             CASE WHEN n_stop >= $GopherMinStopwords THEN 1 ELSE 0 END
+               AS pass_stop
+           FROM m)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(pass_len) AS BIGINT) AS n_pass_len,
+           CAST(SUM(pass_mwl) AS BIGINT) AS n_pass_mwl,
+           CAST(SUM(pass_alpha) AS BIGINT) AS n_pass_alpha,
+           CAST(SUM(pass_stop) AS BIGINT) AS n_pass_stop,
+           CAST(SUM(pass_len * pass_mwl * pass_alpha * pass_stop) AS BIGINT)
+             AS n_pass_all,
+           CAST(SUM(pass_len * pass_mwl * pass_alpha * pass_stop)
+             * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
+         FROM f GROUP BY source ORDER BY source""",
+
+    "q220_continuation_prob" ->
+      s"""WITH d AS (SELECT string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+         bi AS (SELECT DISTINCT toks[i] AS prev, toks[i + 1] AS nxt
+           FROM d, unnest(range(1, len(toks))) t(i)
+           WHERE len(toks) >= 2),
+         tot AS (SELECT COUNT(*) AS n_bigram_types FROM bi),
+         c AS (SELECT nxt AS token, COUNT(*) AS n_contexts FROM bi
+           GROUP BY 1)
+         SELECT c.token, c.n_contexts, tot.n_bigram_types,
+           CAST(c.n_contexts * 1000000 // tot.n_bigram_types AS BIGINT)
+             AS continuation_ppm
+         FROM c, tot
+         ORDER BY c.n_contexts DESC, c.token LIMIT $ContinuationTopN""",
+
+    "q221_markov_stationary" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+           event_id FROM events),
+         tr0 AS (SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS b
+           FROM ev),
+         tr AS (SELECT a, b, COUNT(*) AS cnt FROM tr0
+           WHERE b IS NOT NULL GROUP BY 1, 2),
+         ot AS (SELECT a, SUM(cnt) AS out_cnt FROM tr GROUP BY 1),
+         tp AS (SELECT tr.a, tr.b,
+             CAST(tr.cnt * 1000000 // ot.out_cnt AS BIGINT) AS t_ppm
+           FROM tr JOIN ot USING (a)),
+         st AS (SELECT DISTINCT event_type AS state FROM ev),
+         n AS (SELECT COUNT(*) AS n FROM st),
+         p0 AS (SELECT st.state, CAST(1000000 // n.n AS BIGINT) AS p_ppm
+           FROM st, n),
+         p1 AS (SELECT tp.b AS state,
+             CAST(SUM(p0.p_ppm * tp.t_ppm) // 1000000 AS BIGINT) AS p_ppm
+           FROM p0 JOIN tp ON p0.state = tp.a GROUP BY 1),
+         p2 AS (SELECT tp.b AS state,
+             CAST(SUM(p1.p_ppm * tp.t_ppm) // 1000000 AS BIGINT) AS p_ppm
+           FROM p1 JOIN tp ON p1.state = tp.a GROUP BY 1),
+         p3 AS (SELECT tp.b AS state,
+             CAST(SUM(p2.p_ppm * tp.t_ppm) // 1000000 AS BIGINT) AS p_ppm
+           FROM p2 JOIN tp ON p2.state = tp.a GROUP BY 1)
+         SELECT st.state AS event_type,
+           CAST(COALESCE(p3.p_ppm, 0) AS BIGINT) AS stationary_ppm
+         FROM st LEFT JOIN p3 USING (state)
+         ORDER BY event_type""",
+
+    "q222_hard_negatives" -> {
+      val dim = PipelineQueries.Dim
+      val ids = HardNegQueryIds.mkString(", ")
+      s"""WITH nrm AS (SELECT vec_id, label, embedding,
+           sqrt(${Similarity.Sql.normSq("embedding", dim)}) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, label AS q_label,
+             embedding AS q_vec, nrm AS q_nrm
+           FROM nrm WHERE vec_id IN ($ids)),
+         sc AS (SELECT q.q_id, e.vec_id, e.label,
+             (${Similarity.Sql.dot("e.embedding", "q.q_vec", dim)})
+               / (e.nrm * q.q_nrm) AS score
+           FROM nrm e CROSS JOIN q
+           WHERE e.label <> q.q_label),
+         rk AS (SELECT q_id, vec_id, label, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY score DESC, vec_id) AS BIGINT) AS rk
+           FROM sc)
+         SELECT q_id, rk, vec_id, label, score FROM rk
+         WHERE rk <= $HardNegK ORDER BY q_id, rk"""
+    },
+
+    "q223_script_mix" ->
+      s"""WITH d AS (SELECT lang, length(text) AS n_chars_l,
+           length(text) - length(regexp_replace(text,
+             '[\\x00-\\x7F]', '', 'g')) AS n_nonascii,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+         FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_nonascii * $ScriptMixDen > n_chars_l
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed_docs,
+           CAST(SUM(n_nonascii) AS BIGINT) AS nonascii_chars,
+           CAST(SUM(n_nonascii) * 1000000 // SUM(n_chars_l) AS BIGINT)
+             AS nonascii_ppm,
+           CAST(SUM(n_digit) * 1000000 // SUM(n_chars_l) AS BIGINT)
+             AS digit_ppm,
+           CAST(SUM(n_upper) * 1000000 // SUM(n_chars_l) AS BIGINT)
+             AS upper_ppm
+         FROM d GROUP BY lang ORDER BY lang""",
+
+    "q224_scd2_tiers" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+           CASE WHEN value < $TierMid THEN 'low'
+             WHEN value < $TierHigh THEN 'mid' ELSE 'high' END AS tier
+         FROM events WHERE user_id % $ScdUserMod = 0),
+         chg AS (SELECT user_id, us, event_id, tier,
+             CASE WHEN LAG(tier) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) IS DISTINCT FROM tier
+               THEN 1 ELSE 0 END AS chg
+           FROM ev),
+         runs0 AS (SELECT user_id, us, tier,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS run_id
+           FROM chg),
+         runs AS (SELECT user_id, run_id, MIN(tier) AS tier,
+             MIN(us) AS eff_from_us, COUNT(*) AS n_events
+           FROM runs0 GROUP BY 1, 2)
+         SELECT user_id, run_id, tier,
+           CAST(eff_from_us AS BIGINT) AS eff_from_us,
+           CAST(LEAD(eff_from_us) OVER (PARTITION BY user_id
+             ORDER BY run_id) AS BIGINT) AS eff_to_us,
+           CAST(n_events AS BIGINT) AS n_events,
+           CASE WHEN LEAD(eff_from_us) OVER (PARTITION BY user_id
+             ORDER BY run_id) IS NULL THEN 1 ELSE 0 END AS is_current
+         FROM runs ORDER BY user_id, run_id""",
+
+    "q225_heaps_law" ->
+      s"""WITH occ AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS token
+         FROM documents),
+         mx AS (SELECT MAX(doc_id) AS max_id FROM occ),
+         b AS (SELECT (occ.doc_id * $HeapsBuckets + mx.max_id - 1)
+             // mx.max_id AS bucket, occ.token
+           FROM occ, mx),
+         tpb AS (SELECT bucket, COUNT(*) AS n_tokens FROM b GROUP BY 1),
+         fb AS (SELECT bucket, COUNT(*) AS n_new_types FROM
+           (SELECT token, MIN(bucket) AS bucket FROM b GROUP BY 1) x
+           GROUP BY 1),
+         j AS (SELECT COALESCE(tpb.bucket, fb.bucket) AS bucket,
+             COALESCE(tpb.n_tokens, 0) AS n_tokens,
+             COALESCE(fb.n_new_types, 0) AS n_new_types
+           FROM tpb FULL OUTER JOIN fb ON tpb.bucket = fb.bucket),
+         c AS (SELECT bucket,
+             CAST(SUM(n_tokens) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens,
+             CAST(SUM(n_new_types) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS vocab
+           FROM j)
+         SELECT bucket, cum_tokens, vocab,
+           CAST(vocab * 1000000 // cum_tokens AS BIGINT) AS heaps_ppm
+         FROM c ORDER BY bucket""",
+
+    "q226_ship_delay_quantiles" ->
+      """WITH d AS (SELECT o.o_orderpriority,
+           date_diff('day', CAST(o.o_orderdate AS DATE),
+             CAST(l.l_shipdate AS DATE)) AS delay_days
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         h AS (SELECT o_orderpriority, delay_days, COUNT(*) AS cnt
+           FROM d GROUP BY 1, 2),
+         tt AS (SELECT o_orderpriority, SUM(cnt) AS total FROM h
+           GROUP BY 1),
+         c AS (SELECT h.o_orderpriority, h.delay_days, tt.total,
+             SUM(h.cnt) OVER (PARTITION BY h.o_orderpriority
+               ORDER BY h.delay_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM h JOIN tt USING (o_orderpriority))
+         SELECT o_orderpriority, CAST(MAX(total) AS BIGINT) AS n_items,
+           CAST(MIN(CASE WHEN cum * 2 >= total THEN delay_days END)
+             AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN delay_days END)
+             AS BIGINT) AS p90_days
+         FROM c GROUP BY 1 ORDER BY o_orderpriority""")
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the analytics wave (q219–q226) — cross-row
+  * conservation and ordering properties the DuckDB hash gate can't state.
+  * Oracle equivalence itself is covered by the driver gate. */
+class AnalyticsExtrasSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q219: composite pass count is bounded by every individual rule") {
+    val out = AnalyticsExtras.defs("q219_gopher_rules")(spark, dir)
+    val bad = out.filter(
+      col("n_pass_all") > col("n_pass_len") ||
+        col("n_pass_all") > col("n_pass_mwl") ||
+        col("n_pass_all") > col("n_pass_alpha") ||
+        col("n_pass_all") > col("n_pass_stop") ||
+        col("pass_ppm") > 1000000L)
+    assert(bad.count() === 0L)
+  }
+
+  test("q220: continuation counts never exceed the bigram-type universe") {
+    val out = AnalyticsExtras.defs("q220_continuation_prob")(spark, dir)
+    assert(out.filter(col("n_contexts") > col("n_bigram_types")).count()
+      === 0L)
+    assert(out.count() <= AnalyticsExtras.ContinuationTopN.toLong)
+  }
+
+  test("q221: stationary mass is conserved up to integer-floor drain") {
+    val out = AnalyticsExtras.defs("q221_markov_stationary")(spark, dir)
+    val mass = out.agg(sum(col("stationary_ppm"))).head.getLong(0)
+    // Each div floors (≤ types·rounds ppm lost) and states without
+    // outgoing edges drain; mass can only shrink, never grow.
+    assert(mass <= 1000000L)
+    assert(mass > 0L)
+    val states = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type")).distinct().count()
+    assert(out.count() === states)
+  }
+
+  test("q222: k hard negatives per anchor, none sharing the anchor label") {
+    val out = AnalyticsExtras.defs("q222_hard_negatives")(spark, dir)
+    val perQ = out.groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+    assert(perQ.filter(col("n") > AnalyticsExtras.HardNegK).count() === 0L)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"))
+    val shared = out.join(emb, col("q_id") === col("a_id"))
+      .filter(col("label") === col("a_label"))
+    assert(shared.count() === 0L)
+    assert(out.filter(col("score") > 1.0000001 || col("score") < -1.0000001)
+      .count() === 0L)
+  }
+
+  test("q223: per-lang char ratios stay inside [0, 1e6]") {
+    val out = AnalyticsExtras.defs("q223_script_mix")(spark, dir)
+    val bad = out.filter(
+      col("nonascii_ppm") > 1000000L || col("digit_ppm") > 1000000L ||
+        col("upper_ppm") > 1000000L || col("n_mixed_docs") > col("n_docs"))
+    assert(bad.count() === 0L)
+  }
+
+  test("q224: SCD-2 ranges chain with no gaps and one open run per user") {
+    val out = AnalyticsExtras.defs("q224_scd2_tiers")(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    val chained = out
+      .withColumn("next_from", lead(col("eff_from_us"), 1).over(w))
+    // eff_to of run i must equal eff_from of run i+1 (half-open chain).
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("eff_to_us") =!= col("next_from")).count() === 0L)
+    val open = out.filter(col("is_current") === 1L)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    assert(open.filter(col("n") =!= 1L).count() === 0L)
+    // Adjacent runs always change tier (maximal runs).
+    val tierChain = out
+      .withColumn("next_tier", lead(col("tier"), 1).over(w))
+    assert(tierChain.filter(col("next_tier").isNotNull &&
+      col("tier") === col("next_tier")).count() === 0L)
+  }
+
+  test("q225: vocabulary growth is monotone and bounded by token growth") {
+    val out = AnalyticsExtras.defs("q225_heaps_law")(spark, dir).collect()
+    val byBucket = out.sortBy(_.getAs[Long]("bucket"))
+    byBucket.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_tokens") <= b.getAs[Long]("cum_tokens"))
+        assert(a.getAs[Long]("vocab") <= b.getAs[Long]("vocab"))
+      case _ =>
+    }
+    assert(byBucket.forall(r =>
+      r.getAs[Long]("vocab") <= r.getAs[Long]("cum_tokens")))
+  }
+
+  test("q226: histogram quantiles are ordered and inside the delay range") {
+    val out = AnalyticsExtras.defs("q226_ship_delay_quantiles")(spark, dir)
+    assert(out.filter(col("p50_days") > col("p90_days")).count() === 0L)
+    val bounds = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+        .as("d"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi")).head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    assert(out.filter(col("p50_days") < lo || col("p90_days") > hi)
+      .count() === 0L)
+  }
+}
