@@ -230,9 +230,10 @@ object AnalyticsExtras {
 
     // SCD Type-2 materialization: collapse each user's event stream into
     // value-tier runs with [eff_from, eff_to) validity — the
-    // change-data-capture → versioned-dimension build. Runs are found with
-    // the gaps-and-islands window (partitioned per user, bounded by one
-    // key's history); a deterministic user_id slice keeps the dump
+    // change-data-capture → versioned-dimension build (delegates to
+    // operators.Scd; streaming.StreamingScd maintains the same relation
+    // incrementally). Windows are partitioned per user, bounded by one
+    // key's history; a deterministic user_id slice keeps the dump
     // audit-sized without changing the plan shape.
     "q224_scd2_tiers" -> { (s, dir) =>
       val ev = t(s, dir, "events")
@@ -242,23 +243,7 @@ object AnalyticsExtras {
           when(col("value") < TierMid, "low")
             .when(col("value") < TierHigh, "mid")
             .otherwise("high").as("tier"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      val runs = ev
-        .withColumn("chg",
-          when(lag(col("tier"), 1).over(w).isNull ||
-            lag(col("tier"), 1).over(w) =!= col("tier"), 1L).otherwise(0L))
-        .withColumn("run_id", sum(col("chg")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("run_id"))
-        .agg(min(col("tier")).as("tier"),
-          min(col("us")).as("eff_from_us"),
-          count(lit(1)).as("n_events"))
-      val w2 = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
-      runs
-        .withColumn("eff_to_us", lead(col("eff_from_us"), 1).over(w2))
-        .withColumn("is_current",
-          col("eff_to_us").isNull.cast("long"))
+      graft.operators.Scd.runs(ev)
         .select(col("user_id"), col("run_id"), col("tier"),
           col("eff_from_us"), col("eff_to_us"), col("n_events"),
           col("is_current"))
