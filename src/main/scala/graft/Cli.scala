@@ -575,6 +575,33 @@ object Cli {
             println(s"applied: ${plan.addedColumns.length} column(s)")
           }
 
+        case "scd-merge" =>
+          // Merge one batch of change events into the bucketed SCD-2 run
+          // store (idempotent per --batch-id; late events quarantined):
+          //   scd-merge --events <parquet> --store <dir> [--batch-id 0]
+          //             [--buckets 16]
+          val cfg = graft.streaming.StreamingScd.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt",
+            buckets = opts.getOrElse("buckets", "16").toInt)
+          graft.streaming.StreamingScd.mergeBatch(
+            spark.read.parquet(opts("events")),
+            opts.getOrElse("batch-id", "0").toLong, cfg)
+          val n = graft.streaming.StreamingScd.read(spark, cfg).count()
+          println(s"""{"runs": $n, "buckets": ${cfg.buckets}}""")
+
+        case "scd-history" =>
+          // One key's version history from the SCD-2 store (reads exactly
+          // one bucket): scd-history --store <dir> --user <id>
+          //              [--buckets 16]
+          val cfg = graft.streaming.StreamingScd.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt",
+            buckets = opts.getOrElse("buckets", "16").toInt)
+          graft.streaming.StreamingScd
+            .userHistory(spark, cfg, opts("user").toLong)
+            .collect().foreach(r => println(r.mkString("\t")))
+
         case "compact" =>
           val res = graft.sink.Compaction.compact(spark, opts("path"),
             targetBytes = opts.get("target-bytes").map(_.toLong)

@@ -40,9 +40,13 @@ object StreamingScd {
       tierMid: Double = 10d,
       tierHigh: Double = 100d)
 
-  /** events (event_id, ts, user_id, value) → the Scd.runs input shape. */
+  /** events (event_id, ts, user_id, value) → the Scd.runs input shape.
+    * Normalizes `ts` first so a raw frame in any physical timestamp
+    * representation (nanos-long / TIMESTAMP_NTZ / TIMESTAMP) works — the
+    * operator-boundary contract, not just the Tables.load path. */
   private[streaming] def prepare(batch: DataFrame, cfg: Config): DataFrame =
-    batch.select(col("user_id"), col("event_id"),
+    graft.Tables.normalizeTs(batch)
+      .select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("us"),
       when(col("value") < cfg.tierMid, "low")
         .when(col("value") < cfg.tierHigh, "mid")
@@ -85,6 +89,11 @@ object StreamingScd {
       finally in.close()
     }
   }
+
+  /** One-shot merge of a batch of change events — the CLI / batch-job
+    * face of the foreachBatch sink (same HWM idempotence per batchId). */
+  def mergeBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit =
+    processBatch(batch, batchId, cfg)
 
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {

@@ -390,6 +390,38 @@ class CliSpec extends SparkSpec {
     assert(graft.meta.MetadataStore.load(s"$base/meta", "__connect_probe").isEmpty)
   }
 
+  test("scd-merge and scd-history maintain and query the run store") {
+    val store = java.nio.file.Files.createTempDirectory("scdcli").toString
+    val events = sf("sf0.001") + "/events.parquet"
+    val mergeCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(mergeCap, true, "UTF-8")) {
+      Cli.main(Array("scd-merge", "--events", events, "--store", store,
+        "--batch-id", "0", "--buckets", "4"))
+    }
+    val mergeLine = mergeCap.toString("UTF-8").trim.linesIterator.toSeq.last
+    val runs = "\"runs\": (\\d+)".r
+      .findFirstMatchIn(mergeLine).get.group(1).toLong
+    assert(runs > 0L)
+    // replay with the same batch id: run count unchanged (per-bucket HWM)
+    val replayCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(replayCap, true, "UTF-8")) {
+      Cli.main(Array("scd-merge", "--events", events, "--store", store,
+        "--batch-id", "0", "--buckets", "4"))
+    }
+    val runs2 = "\"runs\": (\\d+)".r.findFirstMatchIn(
+      replayCap.toString("UTF-8").trim.linesIterator.toSeq.last)
+      .get.group(1).toLong
+    assert(runs2 === runs)
+    val uid = spark.read.parquet(events)
+      .agg(org.apache.spark.sql.functions.min("user_id")).head.getLong(0)
+    val histCap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(histCap, true, "UTF-8")) {
+      Cli.main(Array("scd-history", "--store", store,
+        "--user", uid.toString, "--buckets", "4"))
+    }
+    assert(histCap.toString("UTF-8").trim.linesIterator.nonEmpty)
+  }
+
   test("collect-stats persists a plannable stats copy") {
     val base = Files.createTempDirectory("graft_cli_stats").toString
     Cli.main(Array("collect-stats",
