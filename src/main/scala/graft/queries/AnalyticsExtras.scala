@@ -56,6 +56,16 @@ object AnalyticsExtras {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** q227: winsorization percentile bounds (p10 / p90). */
+  val WinsorLoPct = 10L
+  val WinsorHiPct = 90L
+  /** q228: sample stride and neighbor rank for distance calibration. */
+  val KnnSampleMod = 29L
+  val KnnRank = 5
+  /** q229: path prefix length and report size. */
+  val PathLen = 3
+  val PathTopN = 15
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Gopher-style quality gate: every rule is computed per-row with
@@ -284,6 +294,98 @@ object AnalyticsExtras {
         .orderBy(col("bucket"))
     },
 
+    // Winsorized robust mean: per-source doc-length mean with the tails
+    // clamped at histogram-exact p10/p90 — the outlier-resistant length
+    // signal beside q208's MAD. BOTH the thresholds and the clamped mean
+    // come from the (source × length) HISTOGRAM, so the corpus is scanned
+    // once and every window runs over a relation bounded by value
+    // cardinality, not row count.
+    "q227_winsorized_lengths" -> { (s, dir) =>
+      val hist = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+        .join(tot, "source")
+      val cuts = cum.groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          min(when(col("cum") * 100 >= col("n") * WinsorLoPct,
+            col("n_chars"))).as("p10_chars"),
+          min(when(col("cum") * 100 >= col("n") * WinsorHiPct,
+            col("n_chars"))).as("p90_chars"))
+      hist.join(cuts, "source")
+        .withColumn("clamped",
+          greatest(least(col("n_chars"), col("p90_chars")),
+            col("p10_chars")))
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("p10_chars")).as("p10_chars"),
+          max(col("p90_chars")).as("p90_chars"),
+          expr("sum(n_chars * cnt) * 100 div sum(cnt)").as("mean_e2"),
+          expr("sum(clamped * cnt) * 100 div sum(cnt)")
+            .as("winsor_mean_e2"))
+        .orderBy(col("source"))
+    },
+
+    // k-NN distance calibration: the 5th-neighbor cosine similarity for a
+    // deterministic vector sample — the curve that picks a near-dup /
+    // DBSCAN threshold empirically instead of by folklore. Sample
+    // broadcasts; the rank filter lowers to WindowGroupLimit (map-side
+    // per-anchor top-k); at corpus scale the candidate side swaps to the
+    // IVF shortlist like q222.
+    "q228_knn_calibration" -> { (s, dir) =>
+      val dim = PipelineQueries.Dim
+      val withNorm = t(s, dir, "embeddings")
+        .withColumn("nrm", Similarity.norm(col("embedding"), dim))
+      val sample = withNorm.filter(col("vec_id") % KnnSampleMod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      withNorm.crossJoin(broadcast(sample))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score",
+          Similarity.dot(col("embedding"), col("q_vec"), dim) /
+            (col("nrm") * col("q_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === KnnRank)
+        .select(col("q_id"),
+          expr("CAST(FLOOR(score * 1000000) AS BIGINT)")
+            .as(s"knn${KnnRank}_sim_e6"))
+        .orderBy(col("q_id"))
+    },
+
+    // Top session paths: the first-3-event-type signature per session,
+    // ranked by frequency — the macroscopic "how do sessions start"
+    // companion to q142's fixed funnel. Windows are per session (bounded);
+    // the path aggregate is signature-cardinality-scale.
+    "q229_session_paths" -> { (s, dir) =>
+      val se = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .select(col("user_id"), col("session_idx"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("us"), col("event_id"))
+      val total = se.select(col("user_id"), col("session_idx")).distinct()
+        .agg(count(lit(1)).as("n_sessions_total"))
+      se.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= PathLen)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(rk, event_type)))," +
+            " x -> x.event_type)"), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(broadcast(total))
+        .select(col("path"), col("n_sessions"),
+          expr("n_sessions * 1000000 div n_sessions_total")
+            .as("share_ppm"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(PathTopN)
+    },
+
     // Histogram-exact latency quantiles: order→ship delay p50/p90 per
     // order priority WITHOUT sorting the fact — delays are small integers,
     // so the exact quantile comes from a cumulative window over the
@@ -494,6 +596,82 @@ object AnalyticsExtras {
          SELECT bucket, cum_tokens, vocab,
            CAST(vocab * 1000000 // cum_tokens AS BIGINT) AS heaps_ppm
          FROM c ORDER BY bucket""",
+
+    "q227_winsorized_lengths" ->
+      s"""WITH h AS (SELECT source, n_chars, COUNT(*) AS cnt
+           FROM documents GROUP BY 1, 2),
+         t AS (SELECT source, SUM(cnt) AS n FROM h GROUP BY 1),
+         c AS (SELECT h.source, h.n_chars, h.cnt, t.n,
+             SUM(h.cnt) OVER (PARTITION BY h.source ORDER BY h.n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM h JOIN t USING (source)),
+         cuts AS (SELECT source, MAX(n) AS n_docs,
+             MIN(CASE WHEN cum * 100 >= n * $WinsorLoPct
+               THEN n_chars END) AS p10_chars,
+             MIN(CASE WHEN cum * 100 >= n * $WinsorHiPct
+               THEN n_chars END) AS p90_chars
+           FROM c GROUP BY 1)
+         SELECT h.source, CAST(MAX(cuts.n_docs) AS BIGINT) AS n_docs,
+           MAX(cuts.p10_chars) AS p10_chars,
+           MAX(cuts.p90_chars) AS p90_chars,
+           CAST(SUM(h.n_chars * h.cnt) * 100 // SUM(h.cnt) AS BIGINT)
+             AS mean_e2,
+           CAST(SUM(GREATEST(LEAST(h.n_chars, cuts.p90_chars),
+               cuts.p10_chars) * h.cnt) * 100 // SUM(h.cnt) AS BIGINT)
+             AS winsor_mean_e2
+         FROM h JOIN cuts USING (source)
+         GROUP BY h.source ORDER BY h.source""",
+
+    "q228_knn_calibration" -> {
+      val dim = PipelineQueries.Dim
+      s"""WITH nrm AS (SELECT vec_id, embedding,
+           sqrt(${Similarity.Sql.normSq("embedding", dim)}) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm
+           FROM nrm WHERE vec_id % $KnnSampleMod = 0),
+         sc AS (SELECT q.q_id, e.vec_id,
+             (${Similarity.Sql.dot("e.embedding", "q.q_vec", dim)})
+               / (e.nrm * q.q_nrm) AS score
+           FROM nrm e CROSS JOIN q
+           WHERE e.vec_id <> q.q_id),
+         rk AS (SELECT q_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY score DESC, vec_id) AS rk
+           FROM sc)
+         SELECT q_id, CAST(FLOOR(score * 1000000) AS BIGINT)
+           AS knn${KnnRank}_sim_e6
+         FROM rk WHERE rk = $KnnRank ORDER BY q_id"""
+    },
+
+    "q229_session_paths" ->
+      s"""WITH se AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx
+           FROM (
+             SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+             FROM events) a),
+         rk AS (SELECT user_id, session_idx, event_type, us, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+               ORDER BY us, event_id) AS rk
+           FROM se),
+         paths AS (SELECT user_id, session_idx,
+             string_agg(event_type, '>' ORDER BY rk) AS path
+           FROM rk WHERE rk <= $PathLen GROUP BY 1, 2),
+         tot AS (SELECT COUNT(*) AS n_sessions_total FROM
+           (SELECT DISTINCT user_id, session_idx FROM se) x),
+         pc AS (SELECT path, COUNT(*) AS n_sessions FROM paths
+           GROUP BY 1)
+         SELECT pc.path, pc.n_sessions,
+           CAST(pc.n_sessions * 1000000 // tot.n_sessions_total AS BIGINT)
+             AS share_ppm
+         FROM pc, tot
+         ORDER BY pc.n_sessions DESC, pc.path LIMIT $PathTopN""",
 
     "q226_ship_delay_quantiles" ->
       """WITH d AS (SELECT o.o_orderpriority,

@@ -94,6 +94,35 @@ class AnalyticsExtrasSpec extends SparkSpec {
       r.getAs[Long]("vocab") <= r.getAs[Long]("cum_tokens")))
   }
 
+  test("q227: winsorized mean sits inside the clamp bounds") {
+    val out = AnalyticsExtras.defs("q227_winsorized_lengths")(spark, dir)
+    val bad = out.filter(col("p10_chars") > col("p90_chars") ||
+      col("winsor_mean_e2") < col("p10_chars") * 100 ||
+      col("winsor_mean_e2") > col("p90_chars") * 100)
+    assert(bad.count() === 0L)
+  }
+
+  test("q228: one calibration row per sampled vector, cosine-bounded") {
+    val out = AnalyticsExtras.defs("q228_knn_calibration")(spark, dir)
+    val nSample = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % AnalyticsExtras.KnnSampleMod === 0).count()
+    assert(out.count() === nSample)
+    val simCol = col(s"knn${AnalyticsExtras.KnnRank}_sim_e6")
+    assert(out.filter(simCol > 1000000L || simCol < -1000000L)
+      .count() === 0L)
+  }
+
+  test("q229: path shares are bounded and paths are well-formed") {
+    val out = AnalyticsExtras.defs("q229_session_paths")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+    assert(out.forall(_.getAs[String]("path").nonEmpty))
+    assert(out.forall(r =>
+      r.getAs[String]("path").split(">").length <=
+        AnalyticsExtras.PathLen))
+  }
+
   test("q226: histogram quantiles are ordered and inside the delay range") {
     val out = AnalyticsExtras.defs("q226_ship_delay_quantiles")(spark, dir)
     assert(out.filter(col("p50_days") > col("p90_days")).count() === 0L)
