@@ -578,15 +578,18 @@ object Cli {
         case "scd-merge" =>
           // Merge one batch of change events into the bucketed SCD-2 run
           // store (idempotent per --batch-id; late events quarantined):
-          //   scd-merge --events <parquet> --store <dir> [--batch-id 0]
+          //   scd-merge --events <parquet> --store <dir> --batch-id <n>
           //             [--buckets 16]
+          // --batch-id is REQUIRED: a default would make a second merge
+          // with the same implicit id silently skip every bucket while
+          // still printing a success-looking count.
           val cfg = graft.streaming.StreamingScd.Config(
             storeDir = opts("store"),
             checkpointDir = opts("store") + "/_ckpt",
             buckets = opts.getOrElse("buckets", "16").toInt)
           graft.streaming.StreamingScd.mergeBatch(
             spark.read.parquet(opts("events")),
-            opts.getOrElse("batch-id", "0").toLong, cfg)
+            opts("batch-id").toLong, cfg)
           val n = graft.streaming.StreamingScd.read(spark, cfg).count()
           println(s"""{"runs": $n, "buckets": ${cfg.buckets}}""")
 

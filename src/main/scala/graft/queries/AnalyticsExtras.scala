@@ -46,9 +46,10 @@ object AnalyticsExtras {
   val HardNegK = 3
   /** q223: a doc is "mixed-script" when non-ASCII chars exceed 5%. */
   val ScriptMixDen = 20L
-  /** q224: value→tier cut points (ints — `value` is compared exactly). */
-  val TierMid = 10d
-  val TierHigh = 100d
+  /** q224: value→tier cut points — single source of truth in
+    * [[graft.operators.Scd]], shared with StreamingScd and the oracle. */
+  val TierMid: Double = graft.operators.Scd.TierMid
+  val TierHigh: Double = graft.operators.Scd.TierHigh
   /** q224: deterministic user slice keeping the output audit-sized. */
   val ScdUserMod = 50L
   /** q225: vocabulary-growth checkpoints (deciles of the doc_id range). */
@@ -250,9 +251,8 @@ object AnalyticsExtras {
         .filter(col("user_id") % ScdUserMod === 0)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"),
-          when(col("value") < TierMid, "low")
-            .when(col("value") < TierHigh, "mid")
-            .otherwise("high").as("tier"))
+          graft.operators.Scd.tierOf(col("value"), TierMid, TierHigh)
+            .as("tier"))
       graft.operators.Scd.runs(ev)
         .select(col("user_id"), col("run_id"), col("tier"),
           col("eff_from_us"), col("eff_to_us"), col("n_events"),
@@ -301,26 +301,27 @@ object AnalyticsExtras {
     // once and every window runs over a relation bounded by value
     // cardinality, not row count.
     "q227_winsorized_lengths" -> { (s, dir) =>
-      val hist = t(s, dir, "documents")
-        .groupBy(col("source"), col("n_chars"))
+      import graft.operators.Quantiles
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      // Thresholds come from the SHARED two-phase exact-quantile operator
+      // (same rank semantics as the oracle's cumulative-histogram cut:
+      // value at rank ceil(n·pct/100)); the winsorized mean then runs
+      // over the (source × length) histogram.
+      val cuts = Quantiles.exactGroupQuantiles(d, "source", "n_chars",
+          Seq(WinsorLoPct.toInt, WinsorHiPct.toInt), bucketWidth = 64L)
+        .groupBy(col("source"))
+        .agg(max(when(col("pct") === WinsorLoPct, col("value")))
+            .as("p10_chars"),
+          max(when(col("pct") === WinsorHiPct, col("value")))
+            .as("p90_chars"))
+      val hist = d.groupBy(col("source"), col("n_chars"))
         .agg(count(lit(1)).as("cnt"))
-      val tot = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
-      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-        .join(tot, "source")
-      val cuts = cum.groupBy(col("source"))
-        .agg(max(col("n")).as("n_docs"),
-          min(when(col("cum") * 100 >= col("n") * WinsorLoPct,
-            col("n_chars"))).as("p10_chars"),
-          min(when(col("cum") * 100 >= col("n") * WinsorHiPct,
-            col("n_chars"))).as("p90_chars"))
       hist.join(cuts, "source")
         .withColumn("clamped",
           greatest(least(col("n_chars"), col("p90_chars")),
             col("p10_chars")))
         .groupBy(col("source"))
-        .agg(max(col("n_docs")).as("n_docs"),
+        .agg(sum(col("cnt")).as("n_docs"),
           max(col("p10_chars")).as("p10_chars"),
           max(col("p90_chars")).as("p90_chars"),
           expr("sum(n_chars * cnt) * 100 div sum(cnt)").as("mean_e2"),
@@ -393,28 +394,26 @@ object AnalyticsExtras {
     // same shape gives exact quantiles over any low-cardinality measure at
     // any corpus size.
     "q226_ship_delay_quantiles" -> { (s, dir) =>
+      import graft.operators.Quantiles
       val delays = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderpriority"),
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
             .as("delay_days"))
-      val hist = delays.groupBy(col("o_orderpriority"), col("delay_days"))
-        .agg(count(lit(1)).as("cnt"))
-      val tot = hist.groupBy(col("o_orderpriority"))
-        .agg(sum(col("cnt")).as("total"))
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("delay_days"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .join(tot, "o_orderpriority")
-      cum.groupBy(col("o_orderpriority"))
-        .agg(max(col("total")).as("n_items"),
-          min(when(col("cum") * 2 >= col("total"), col("delay_days")))
-            .as("p50_days"),
-          min(when(col("cum") * 10 >= col("total") * 9, col("delay_days")))
-            .as("p90_days"))
+      // Delegates to the shared two-phase exact-quantile operator (rank
+      // ceil(n·pct/100) — identical to the oracle's cumulative-histogram
+      // cut) instead of a third hand-rolled histogram window.
+      val cuts = Quantiles.exactGroupQuantiles(delays, "o_orderpriority",
+          "delay_days", Seq(50, 90), bucketWidth = 8L)
+        .groupBy(col("o_orderpriority"))
+        .agg(max(when(col("pct") === 50, col("value"))).as("p50_days"),
+          max(when(col("pct") === 90, col("value"))).as("p90_days"))
+      delays.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"))
+        .join(cuts, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_items"), col("p50_days"),
+          col("p90_days"))
         .orderBy(col("o_orderpriority"))
     })
 

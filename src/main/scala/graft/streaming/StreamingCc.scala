@@ -50,6 +50,17 @@ object StreamingCc {
   private def labelsRoot(cfg: Config) = new Path(cfg.storeDir, "labels")
   private def aliasDir(cfg: Config) = new Path(cfg.storeDir, "aliases")
 
+  /** Crash recovery for [[compact]]'s aside-rename: a death between the
+    * two renames leaves labels__old but no labels — without this, every
+    * reader would silently see an EMPTY store and the next merge would
+    * discard the entire component history. */
+  private def recoverLabels(fs: FileSystem, cfg: Config): Unit = {
+    val cur = labelsRoot(cfg)
+    val old = new Path(cfg.storeDir, "labels__old")
+    if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
+      throw new IllegalStateException(s"cc swap recovery failed: $old")
+  }
+
   /** Transitive closure of the alias relation: (old_root, final_root).
     * Runs entirely on the merge-event-sized relation. */
   private[streaming] def aliasClosure(aliases: DataFrame,
@@ -70,6 +81,13 @@ object StreamingCc {
       closed = step.drop("moved")
       i += 1
     }
+    // A silently-truncated closure would hand out NON-terminal roots —
+    // wrong labels now, and a second outgoing alias per root later
+    // (compounding corruption). Fail loudly; the operator needs compact().
+    if (!done)
+      throw new IllegalStateException(
+        s"alias closure did not converge within $maxChase hops — " +
+          "run StreamingCc.compact() to fold chains")
     closed
   }
 
@@ -89,6 +107,7 @@ object StreamingCc {
     val spark = batch.sparkSession
     val fs = labelsRoot(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverLabels(fs, cfg)
     val pairs = batch.select(col("id_a").cast("long"),
         col("id_b").cast("long"))
       .filter(col("id_a") =!= col("id_b"))
@@ -179,6 +198,7 @@ object StreamingCc {
   def resolved(spark: SparkSession, cfg: Config): DataFrame = {
     val fs = labelsRoot(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverLabels(fs, cfg)
     if (!fs.exists(labelsRoot(cfg)))
       return spark.emptyDataFrame
         .select(lit(0L).as("node"), lit(0L).as("root")).limit(0)
@@ -205,6 +225,7 @@ object StreamingCc {
   def compact(spark: SparkSession, cfg: Config): Unit = {
     val fs = labelsRoot(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverLabels(fs, cfg)
     if (!fs.exists(labelsRoot(cfg)) || !fs.exists(aliasDir(cfg))) return
     val folded = resolved(spark, cfg)
       .select(col("node"), col("root").as("root0"),

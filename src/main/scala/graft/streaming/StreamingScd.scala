@@ -37,8 +37,8 @@ object StreamingScd {
       /** user_id-mod partition count; lookups and batch writes prune to
         * touched buckets. */
       buckets: Int = 16,
-      tierMid: Double = 10d,
-      tierHigh: Double = 100d)
+      tierMid: Double = Scd.TierMid,
+      tierHigh: Double = Scd.TierHigh)
 
   /** events (event_id, ts, user_id, value) → the Scd.runs input shape.
     * Normalizes `ts` first so a raw frame in any physical timestamp
@@ -48,9 +48,7 @@ object StreamingScd {
     graft.Tables.normalizeTs(batch)
       .select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("us"),
-      when(col("value") < cfg.tierMid, "low")
-        .when(col("value") < cfg.tierHigh, "mid")
-        .otherwise("high").as("tier"))
+      Scd.tierOf(col("value"), cfg.tierMid, cfg.tierHigh).as("tier"))
 
   def start(events: DataFrame, cfg: Config): StreamingQuery =
     events.writeStream
@@ -168,17 +166,37 @@ object StreamingScd {
         .select(lit(0L).as("user_id"), lit(0L).as("run_id"),
           lit("").as("tier"), lit(0L).as("eff_from_us"),
           lit(null).cast("long").as("eff_to_us"), lit(0L).as("n_events"),
-          lit(0L).as("last_us"), lit(0L).as("is_current"),
-          lit(0).as("bucket"))
+          lit(0L).as("last_us"), lit(0L).as("last_eid"),
+          lit(0L).as("is_current"), lit(0).as("bucket"))
         .limit(0)
   }
 
   /** One key's version history — prunes to a single bucket (the point of
-    * the layout: a dimension lookup reads 1/buckets of the store). */
+    * the layout: a dimension lookup reads 1/buckets of the store).
+    * floorMod, NOT `%`: writes bucket with pmod, and Scala `%` of a
+    * negative key would probe a bucket that cannot exist. */
   def userHistory(spark: SparkSession, cfg: Config,
                   userId: Long): DataFrame =
     read(spark, cfg)
-      .filter(col("bucket") === (userId % cfg.buckets).toInt &&
+      .filter(col("bucket") ===
+          java.lang.Math.floorMod(userId, cfg.buckets.toLong).toInt &&
         col("user_id") === userId)
       .orderBy(col("run_id"))
+
+  /** The late-event audit relation, deduplicated: a crash between the
+    * quarantine append and the bucket swap replays the bucket and
+    * re-appends an IDENTICAL (batch_id, event) row, so at-least-once
+    * duplicates carry no information and `distinct` restores
+    * exactly-once semantics (same consumer contract as StreamingDedup's
+    * batch-tagged pairs). */
+  def lateEvents(spark: SparkSession, cfg: Config): DataFrame = {
+    val p = new Path(cfg.storeDir, "late")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString).distinct()
+    else spark.emptyDataFrame
+      .select(lit(0L).as("user_id"), lit(0L).as("event_id"),
+        lit(0L).as("us"), lit("").as("tier"), lit(0L).as("batch_id"),
+        lit(0).as("bucket"))
+      .limit(0)
+  }
 }

@@ -44,7 +44,7 @@ class StreamingScdSpec extends SparkSpec {
     val got = StreamingScd.read(spark, c)
       .select(col("user_id"), col("run_id"), col("tier"),
         col("eff_from_us"), col("eff_to_us"), col("n_events"),
-        col("last_us"), col("is_current"))
+        col("last_us"), col("last_eid"), col("is_current"))
     val want = Scd.runs(StreamingScd.prepare(events, c))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     assert(got.count() === want.count())
@@ -98,8 +98,42 @@ class StreamingScdSpec extends SparkSpec {
     val got = StreamingScd.read(spark, c)
       .select(col("user_id"), col("run_id"), col("tier"),
         col("eff_from_us"), col("eff_to_us"), col("n_events"),
-        col("last_us"), col("is_current"))
+        col("last_us"), col("last_eid"), col("is_current"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("same-us events straddling a batch boundary merge, not quarantine") {
+    val c = cfg()
+    import spark.implicits._
+    def ev(eid: Long, uid: Long, value: Double) =
+      Seq((eid, "2024-01-01 00:00:00", uid, value))
+        .toDF("event_id", "ts_s", "user_id", "value")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+          col("user_id"), col("value"))
+    // Batch 0: event 1 (tier low). Batch 1: event 2 at the SAME
+    // timestamp (tier high) — the (us, event_id) watermark must admit it.
+    StreamingScd.processBatch(ev(1L, 7L, 5.0), 0L, c)
+    StreamingScd.processBatch(ev(2L, 7L, 500.0), 1L, c)
+    val runs = StreamingScd.read(spark, c)
+      .filter(col("user_id") === 7L).orderBy(col("run_id")).collect()
+    assert(runs.length === 2)
+    assert(runs.map(_.getAs[String]("tier")).toSeq === Seq("low", "high"))
+    // And a genuinely-late event (same us, SMALLER event_id) quarantines.
+    StreamingScd.processBatch(ev(0L, 7L, 50.0), 2L, c)
+    assert(StreamingScd.read(spark, c)
+      .filter(col("user_id") === 7L).count() === 2L)
+    assert(StreamingScd.lateEvents(spark, c).count() === 1L)
+  }
+
+  test("negative keys bucket consistently between write and lookup") {
+    val c = cfg()
+    import spark.implicits._
+    val b = Seq((1L, "2024-01-01 00:00:00", -7L, 5.0))
+      .toDF("event_id", "ts_s", "user_id", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("value"))
+    StreamingScd.processBatch(b, 0L, c)
+    assert(StreamingScd.userHistory(spark, c, -7L).count() === 1L)
   }
 
   test("a point lookup reads exactly one bucket partition") {
