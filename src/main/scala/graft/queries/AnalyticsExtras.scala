@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Round-nine analytics wave: corpus-quality gating (Gopher-style rules),
   * Kneser–Ney continuation counts, a Markov stationary distribution by
@@ -57,6 +57,8 @@ object AnalyticsExtras {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** q230: a sentence is "long" above this many characters. */
+  val LongSentenceChars = 200L
   /** q227: winsorization percentile bounds (p10 / p90). */
   val WinsorLoPct = 10L
   val WinsorHiPct = 90L
@@ -387,6 +389,56 @@ object AnalyticsExtras {
         .limit(PathTopN)
     },
 
+    // Sentence segmentation stats: per-source sentence counts, mean
+    // sentence length and long-sentence share — the segmentation-level
+    // quality profile beside the token-level q30/q219 gates. All per-row
+    // higher-order array work (split on terminal punctuation, trim,
+    // filter blanks) — no explode, one per-source aggregate.
+    "q230_sentence_stats" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("sent", split(col("text"), "[.!?]+"))
+        .withColumn("n_sent",
+          expr("size(filter(sent, x -> length(trim(x)) > 0))")
+            .cast("long"))
+        .withColumn("sent_chars",
+          expr("aggregate(sent, 0L, (a, x) -> a + length(trim(x)))"))
+        .withColumn("n_long",
+          expr(s"size(filter(sent, x -> length(trim(x)) > " +
+            s"$LongSentenceChars))").cast("long"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sent")).as("n_sentences"),
+          sum(col("sent_chars")).as("sent_chars"),
+          sum(col("n_long")).as("n_long"))
+        .select(col("source"), col("n_docs"), col("n_sentences"),
+          expr("sent_chars * 100 div greatest(n_sentences, 1)")
+            .as("mean_sent_chars_e2"),
+          expr("n_long * 1000000 div greatest(n_sentences, 1)")
+            .as("long_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // LSH pair budget: predicted candidate-pair volume per band from the
+    // band-key histogram (Σ c·(c−1)/2) BEFORE running the self-join — the
+    // pre-flight cost probe for dedup, the q167/advise-join idea applied
+    // to the LSH self-join. Hot keys surface as max_key_docs; everything
+    // is aggregate-scale.
+    "q231_lsh_pair_budget" -> { (s, dir) =>
+      val band = Dedup.bandRelation(
+        Dedup.minhashSignatures(t(s, dir, "documents"),
+          PipelineQueries.NumHashes),
+        PipelineQueries.NumHashes, PipelineQueries.Bands)
+      band.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_keys"),
+          expr("sum(c * (c - 1) div 2)").as("n_pairs"),
+          max(col("c")).as("max_key_docs"))
+        .select(col("band").cast("long").as("band"), col("n_keys"),
+          col("n_pairs"), col("max_key_docs"))
+        .orderBy(col("band"))
+    },
+
     // Histogram-exact latency quantiles: order→ship delay p50/p90 per
     // order priority WITHOUT sorting the fact — delays are small integers,
     // so the exact quantile comes from a cumulative window over the
@@ -595,6 +647,35 @@ object AnalyticsExtras {
          SELECT bucket, cum_tokens, vocab,
            CAST(vocab * 1000000 // cum_tokens AS BIGINT) AS heaps_ppm
          FROM c ORDER BY bucket""",
+
+    "q230_sentence_stats" ->
+      s"""WITH d AS (SELECT source,
+           string_split_regex(text, '[.!?]+') AS sent FROM documents),
+         m AS (SELECT source,
+             len(list_filter(sent, x -> length(trim(x)) > 0)) AS n_sent,
+             list_sum(list_transform(sent, x -> length(trim(x))))
+               AS sent_chars,
+             len(list_filter(sent,
+               x -> length(trim(x)) > $LongSentenceChars)) AS n_long
+           FROM d)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_sent) AS BIGINT) AS n_sentences,
+           CAST(SUM(sent_chars) * 100
+             // GREATEST(SUM(n_sent), 1) AS BIGINT) AS mean_sent_chars_e2,
+           CAST(SUM(n_long) * 1000000
+             // GREATEST(SUM(n_sent), 1) AS BIGINT) AS long_ppm
+         FROM m GROUP BY source ORDER BY source""",
+
+    "q231_lsh_pair_budget" ->
+      s"""WITH ${PipelineQueries.shingleCte},
+         ${PipelineQueries.minhashSigSql},
+         ${PipelineQueries.bandSql},
+         kc AS (SELECT band, band_key, COUNT(*) AS c FROM bands
+           GROUP BY 1, 2)
+         SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_keys,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_pairs,
+           CAST(MAX(c) AS BIGINT) AS max_key_docs
+         FROM kc GROUP BY band ORDER BY band""",
 
     "q227_winsorized_lengths" ->
       s"""WITH h AS (SELECT source, n_chars, COUNT(*) AS cnt

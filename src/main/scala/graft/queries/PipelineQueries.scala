@@ -2318,7 +2318,7 @@ object PipelineQueries {
          string_split_regex(trim(text), '\s+') AS toks FROM documents)"""
 
   /** Shared CTE: distinct (doc_id, shingle) for word 3-grams. */
-  private val shingleCte =
+  private[queries] val shingleCte =
     toksCte + """,
       sh AS (SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
@@ -2327,13 +2327,13 @@ object PipelineQueries {
             i -> array_to_string(toks[i:i+2], ' '))) AS shingle
         FROM docs) u)"""
 
-  private def minhashSigSql: String = {
+  private[queries] def minhashSigSql: String = {
     val mins = (0 until NumHashes)
       .map(s => s"min(md5('$s|' || shingle)) AS sig_$s").mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
   }
 
-  private def bandSql: String = {
+  private[queries] def bandSql: String = {
     val rows = NumHashes / Bands
     val branches = (0 until Bands).map { b =>
       val slice = (b * rows until (b + 1) * rows).map(i => s"sig_$i")

@@ -123,6 +123,27 @@ class AnalyticsExtrasSpec extends SparkSpec {
         AnalyticsExtras.PathLen))
   }
 
+  test("q230: sentence shares bounded; sentences imply characters") {
+    val out = AnalyticsExtras.defs("q230_sentence_stats")(spark, dir)
+    val bad = out.filter(col("long_ppm") > 1000000L ||
+      (col("n_sentences") > 0 && col("mean_sent_chars_e2") <= 0))
+    assert(bad.count() === 0L)
+  }
+
+  test("q231: pair budget upper-bounds the realized LSH candidate count") {
+    val out = AnalyticsExtras.defs("q231_lsh_pair_budget")(spark, dir)
+      .agg(sum(col("n_pairs"))).head.getLong(0)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val realized = graft.operators.Dedup.lshCandidates(
+      graft.operators.Dedup.minhashSignatures(docs,
+        PipelineQueries.NumHashes),
+      PipelineQueries.NumHashes, PipelineQueries.Bands).count()
+    // Budget counts per-band multiplicity; the realized set is distinct
+    // pairs — the budget must dominate it.
+    assert(out >= realized)
+    assert(realized > 0L)
+  }
+
   test("q226: histogram quantiles are ordered and inside the delay range") {
     val out = AnalyticsExtras.defs("q226_ship_delay_quantiles")(spark, dir)
     assert(out.filter(col("p50_days") > col("p90_days")).count() === 0L)

@@ -94,6 +94,43 @@ class StreamingCcSpec extends SparkSpec {
     assert(bucketFiles(1) > 0L)
   }
 
+  test("continuous dedup: StreamingDedup pairs stream into StreamingCc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = Files.createTempDirectory("ccpipe").toString
+    val dcfg = StreamingDedup.Config(indexPath = s"$base/index",
+      pairsPath = s"$base/pairs", checkpointDir = s"$base/dckpt")
+    val c = StreamingCc.Config(storeDir = s"$base/cc",
+      checkpointDir = s"$base/cckpt", buckets = 4)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(
+      Doc(10, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(11, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(12, "unrelated words here that match nothing else"))
+    StreamingDedup.start(mem.toDF(), dcfg).awaitTermination()
+    mem.addData(
+      Doc(13, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(14, "unrelated words here that match nothing else"))
+    StreamingDedup.start(mem.toDF(), dcfg).awaitTermination()
+    // The pairs TABLE is itself the stream feeding label maintenance —
+    // the full continuous-dedup composition: docs → pairs → components.
+    val pairsStream = spark.readStream
+      .schema(spark.read.parquet(dcfg.pairsPath).schema)
+      .parquet(dcfg.pairsPath)
+    StreamingCc.start(pairsStream, c).awaitTermination()
+    val got = StreamingCc.resolved(spark, c)
+      .select(col("node").as("doc_id"), col("root").as("cluster_id"))
+    val want = Dedup.connectedComponents(
+      spark.read.parquet(dcfg.pairsPath))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // And the cluster content is right: the three copies share a root.
+    val m = StreamingCc.resolved(spark, c).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(11L) === 10L && m(13L) === 10L)
+    assert(m(14L) === 12L)
+  }
+
   test("compact folds aliases into labels without changing resolution") {
     val c = cfg()
     StreamingCc.mergeBatch(pairsDf(Seq((3L, 4L))), c)
