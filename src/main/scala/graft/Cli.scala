@@ -605,6 +605,34 @@ object Cli {
             .userHistory(spark, cfg, opts("user").toLong)
             .collect().foreach(r => println(r.mkString("\t")))
 
+        case "cc-merge" =>
+          // Merge a batch of candidate pairs into the incremental
+          // connected-components store (idempotent — min-union needs no
+          // batch id): cc-merge --pairs <parquet> --store <dir>
+          //             [--buckets 16]
+          val cfg = graft.streaming.StreamingCc.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt",
+            buckets = opts.getOrElse("buckets", "16").toInt)
+          graft.streaming.StreamingCc.mergeBatch(
+            spark.read.parquet(opts("pairs")), cfg)
+          val labels = graft.streaming.StreamingCc.resolved(spark, cfg)
+          val parts = labels.select(org.apache.spark.sql.functions
+            .countDistinct(org.apache.spark.sql.functions.col("root")))
+            .head.getLong(0)
+          println(s"""{"nodes": ${labels.count()}, """ +
+            s""""components": $parts}""")
+
+        case "cc-compact" =>
+          // Fold alias chains into the label relation:
+          //   cc-compact --store <dir> [--buckets 16]
+          val cfg = graft.streaming.StreamingCc.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt",
+            buckets = opts.getOrElse("buckets", "16").toInt)
+          graft.streaming.StreamingCc.compact(spark, cfg)
+          println(s"""{"compacted": true}""")
+
         case "compact" =>
           val res = graft.sink.Compaction.compact(spark, opts("path"),
             targetBytes = opts.get("target-bytes").map(_.toLong)

@@ -439,6 +439,36 @@ object AnalyticsExtras {
         .orderBy(col("band"))
     },
 
+    // Dedup-cluster purity: for every multi-doc near-dup cluster, how
+    // concentrated its members are in one source (and how many langs it
+    // spans) — the audit that distinguishes template boilerplate
+    // (cross-source clusters) from same-source re-posts before choosing a
+    // survivorship policy. Cluster relation from the standard LSH → CC
+    // path; everything after is cluster-keyed aggregates.
+    "q232_cluster_purity" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs, PipelineQueries.NumHashes),
+          PipelineQueries.NumHashes, PipelineQueries.Bands))
+      val joined = clusters.join(docs.select(col("doc_id"), col("source"),
+        col("lang")), "doc_id")
+      val perSrc = joined.groupBy(col("cluster_id"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val agg = perSrc.groupBy(col("cluster_id"))
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          max(col("c")).as("max_src_docs"))
+      val langs = joined.groupBy(col("cluster_id"))
+        .agg(countDistinct(col("lang")).as("n_langs"))
+      agg.join(langs, "cluster_id")
+        .filter(col("n_docs") >= 2)
+        .select(col("cluster_id"), col("n_docs"), col("n_sources"),
+          col("n_langs"),
+          expr("max_src_docs * 1000000 div n_docs").as("purity_ppm"))
+        .orderBy(col("cluster_id"))
+    },
+
     // Histogram-exact latency quantiles: order→ship delay p50/p90 per
     // order priority WITHOUT sorting the fact — delays are small integers,
     // so the exact quantile comes from a cumulative window over the
@@ -647,6 +677,38 @@ object AnalyticsExtras {
          SELECT bucket, cum_tokens, vocab,
            CAST(vocab * 1000000 // cum_tokens AS BIGINT) AS heaps_ppm
          FROM c ORDER BY bucket""",
+
+    "q232_cluster_purity" ->
+      s"""WITH RECURSIVE ${PipelineQueries.shingleCte},
+         ${PipelineQueries.minhashSigSql},
+         ${PipelineQueries.bandSql},
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e
+             ON e.src = r.id),
+         clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY id),
+         j AS (SELECT c.cluster_id, d.source, d.lang
+           FROM clusters c JOIN documents d USING (doc_id)),
+         ps AS (SELECT cluster_id, source, COUNT(*) AS c FROM j
+           GROUP BY 1, 2),
+         a AS (SELECT cluster_id, SUM(c) AS n_docs,
+             COUNT(*) AS n_sources, MAX(c) AS max_src_docs
+           FROM ps GROUP BY 1),
+         lg AS (SELECT cluster_id, COUNT(DISTINCT lang) AS n_langs
+           FROM j GROUP BY 1)
+         SELECT a.cluster_id, CAST(a.n_docs AS BIGINT) AS n_docs,
+           a.n_sources, lg.n_langs,
+           CAST(a.max_src_docs * 1000000 // a.n_docs AS BIGINT)
+             AS purity_ppm
+         FROM a JOIN lg USING (cluster_id)
+         WHERE a.n_docs >= 2 ORDER BY a.cluster_id""",
 
     "q230_sentence_stats" ->
       s"""WITH d AS (SELECT source,

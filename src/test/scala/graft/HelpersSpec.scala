@@ -422,6 +422,32 @@ class CliSpec extends SparkSpec {
     assert(histCap.toString("UTF-8").trim.linesIterator.nonEmpty)
   }
 
+  test("cc-merge and cc-compact maintain the component store") {
+    val store = java.nio.file.Files.createTempDirectory("cccli").toString
+    val pairs = java.nio.file.Files.createTempDirectory("ccpairs")
+      .toString + "/pairs.parquet"
+    import spark.implicits._
+    Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(pairs)
+    val cap1 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap1, true, "UTF-8")) {
+      Cli.main(Array("cc-merge", "--pairs", pairs, "--store", store,
+        "--buckets", "4"))
+    }
+    assert(cap1.toString("UTF-8").contains("\"components\": 2"))
+    // A bridging pair merges the components; compact then folds aliases.
+    Seq((2L, 3L)).toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(pairs)
+    val cap2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap2, true, "UTF-8")) {
+      Cli.main(Array("cc-merge", "--pairs", pairs, "--store", store,
+        "--buckets", "4"))
+      Cli.main(Array("cc-compact", "--store", store, "--buckets", "4"))
+    }
+    assert(cap2.toString("UTF-8").contains("\"components\": 1"))
+    assert(cap2.toString("UTF-8").contains("\"compacted\": true"))
+  }
+
   test("collect-stats persists a plannable stats copy") {
     val base = Files.createTempDirectory("graft_cli_stats").toString
     Cli.main(Array("collect-stats",

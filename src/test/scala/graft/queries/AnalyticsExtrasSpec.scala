@@ -144,6 +144,18 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(realized > 0L)
   }
 
+  test("q232: cluster purity is a valid majority share") {
+    val out = AnalyticsExtras.defs("q232_cluster_purity")(spark, dir)
+    val bad = out.filter(col("n_docs") < 2 ||
+      col("purity_ppm") > 1000000L ||
+      // majority share can't be below an even split across sources
+      // (floor slack: each of the k shares loses < 1 ppm to truncation)
+      col("purity_ppm") * col("n_sources") <
+        lit(1000000L) - col("n_sources") ||
+      col("n_langs") < 1 || col("n_sources") < 1)
+    assert(bad.count() === 0L)
+  }
+
   test("q226: histogram quantiles are ordered and inside the delay range") {
     val out = AnalyticsExtras.defs("q226_ship_delay_quantiles")(spark, dir)
     assert(out.filter(col("p50_days") > col("p90_days")).count() === 0L)
