@@ -469,6 +469,60 @@ object AnalyticsExtras {
         .orderBy(col("cluster_id"))
     },
 
+    // Semi-structured props extraction: parse the JSON `props` column and
+    // profile the extracted field per event type — the metadata-parsing
+    // step every event pipeline runs before anything else. get_json_object
+    // is a per-row codegen'd path expression (no shuffle until the
+    // aggregate); rows with missing/corrupt JSON surface as n_missing_k
+    // instead of silently vanishing.
+    "q233_props_extraction" -> { (s, dir) =>
+      val d = t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k").isNull.cast("long")).as("n_missing_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // Error share by hour of day: the ops-dashboard heat strip (UTC hour
+    // is deterministic under the pinned session TZ). One keyed aggregate.
+    "q234_error_rate_by_hour" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(hour(col("ts")).cast("long").as("hour_utc"),
+          (col("event_type") === "error").cast("long").as("is_err"))
+        .groupBy(col("hour_utc"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("is_err")).as("n_errors"))
+        .select(col("hour_utc"), col("n_events"), col("n_errors"),
+          expr("n_errors * 1000000 div n_events").as("error_ppm"))
+        .orderBy(col("hour_utc"))
+    },
+
+    // Brand price spread: exact p25/p75/IQR of retail price (integer
+    // cents) per brand — the shared no-sort quantile operator applied to
+    // the catalog dimension.
+    "q235_brand_price_spread" -> { (s, dir) =>
+      import graft.operators.Quantiles
+      val prices = t(s, dir, "part")
+        .select(col("p_brand"),
+          (col("p_retailprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("price_e2"))
+      val cuts = Quantiles.exactGroupQuantiles(prices, "p_brand",
+          "price_e2", Seq(25, 75), bucketWidth = 1000L)
+        .groupBy(col("p_brand"))
+        .agg(max(when(col("pct") === 25, col("value"))).as("p25_e2"),
+          max(when(col("pct") === 75, col("value"))).as("p75_e2"))
+      prices.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+        .join(cuts, "p_brand")
+        .select(col("p_brand"), col("n_parts"), col("p25_e2"),
+          col("p75_e2"), (col("p75_e2") - col("p25_e2")).as("iqr_e2"))
+        .orderBy(col("p_brand"))
+    },
+
     // Histogram-exact latency quantiles: order→ship delay p50/p90 per
     // order priority WITHOUT sorting the fact — delays are small integers,
     // so the exact quantile comes from a cumulative window over the
@@ -677,6 +731,47 @@ object AnalyticsExtras {
          SELECT bucket, cum_tokens, vocab,
            CAST(vocab * 1000000 // cum_tokens AS BIGINT) AS heaps_ppm
          FROM c ORDER BY bucket""",
+
+    "q233_props_extraction" ->
+      """WITH d AS (SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+         SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT k) AS n_distinct_k
+         FROM d GROUP BY event_type ORDER BY event_type""",
+
+    "q234_error_rate_by_hour" ->
+      """WITH d AS (SELECT CAST(hour(ts) AS BIGINT) AS hour_utc,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+         FROM events)
+         SELECT hour_utc, COUNT(*) AS n_events,
+           CAST(SUM(is_err) AS BIGINT) AS n_errors,
+           CAST(SUM(is_err) * 1000000 // COUNT(*) AS BIGINT)
+             AS error_ppm
+         FROM d GROUP BY hour_utc ORDER BY hour_utc""",
+
+    "q235_brand_price_spread" ->
+      """WITH p AS (SELECT p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_e2
+         FROM part),
+         t AS (SELECT p_brand, COUNT(*) AS n FROM p GROUP BY 1),
+         r AS (SELECT p_brand, price_e2,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY price_e2) AS rn
+           FROM p),
+         cuts AS (SELECT t.p_brand,
+             MAX(CASE WHEN r.rn = (t.n * 25 + 99) // 100
+               THEN r.price_e2 END) AS p25_e2,
+             MAX(CASE WHEN r.rn = (t.n * 75 + 99) // 100
+               THEN r.price_e2 END) AS p75_e2
+           FROM t JOIN r USING (p_brand) GROUP BY 1)
+         SELECT t.p_brand, t.n AS n_parts, c.p25_e2, c.p75_e2,
+           c.p75_e2 - c.p25_e2 AS iqr_e2
+         FROM t JOIN cuts c USING (p_brand) ORDER BY t.p_brand""",
 
     "q232_cluster_purity" ->
       s"""WITH RECURSIVE ${PipelineQueries.shingleCte},

@@ -156,6 +156,34 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("q233: extracted-field accounting conserves the event count") {
+    val out = AnalyticsExtras.defs("q233_props_extraction")(spark, dir)
+    val bad = out.filter(col("n_missing_k") > col("n_events") ||
+      col("min_k") > col("max_k") ||
+      col("n_distinct_k") > col("n_events") - col("n_missing_k"))
+    assert(bad.count() === 0L)
+    val total = out.agg(sum(col("n_events"))).head.getLong(0)
+    assert(total ===
+      graft.Tables.load(spark, dir, "events").count())
+  }
+
+  test("q234: hourly error shares are bounded and conserve errors") {
+    val out = AnalyticsExtras.defs("q234_error_rate_by_hour")(spark, dir)
+    assert(out.filter(col("error_ppm") > 1000000L ||
+      col("n_errors") > col("n_events")).count() === 0L)
+    val errs = out.agg(sum(col("n_errors"))).head.getLong(0)
+    assert(errs === graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "error").count())
+  }
+
+  test("q235: brand quartiles are ordered with non-negative IQR") {
+    val out = AnalyticsExtras.defs("q235_brand_price_spread")(spark, dir)
+    assert(out.filter(col("p25_e2") > col("p75_e2") ||
+      col("iqr_e2") < 0).count() === 0L)
+    assert(out.count() === graft.Tables.load(spark, dir, "part")
+      .select(col("p_brand")).distinct().count())
+  }
+
   test("q226: histogram quantiles are ordered and inside the delay range") {
     val out = AnalyticsExtras.defs("q226_ship_delay_quantiles")(spark, dir)
     assert(out.filter(col("p50_days") > col("p90_days")).count() === 0L)
