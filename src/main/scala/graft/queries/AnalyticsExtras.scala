@@ -523,6 +523,31 @@ object AnalyticsExtras {
         .orderBy(col("p_brand"))
     },
 
+    // Integer-exact covariance: does discount move with quantity, per
+    // return flag — the cross-moment statistic (n·Σxy − Σx·Σy) from ONE
+    // aggregate pass, no mean-centering second pass, exact at any
+    // partitioning. Fixed-point units: discount e4, quantity e2 (sums fit
+    // long at bench scale; the 100 TB path lifts the sums to DECIMAL(38)
+    // — same expression shape, still exact).
+    "q236_discount_quantity_cov" -> { (s, dir) =>
+      val d = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (col("l_discount").cast("decimal(12,4)") * 10000)
+            .cast("long").as("x_e4"),
+          (col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("long").as("y_e2"))
+      d.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("x_e4")).as("sx"), sum(col("y_e2")).as("sy"),
+          sum(col("x_e4") * col("y_e2")).as("sxy"))
+        .select(col("l_returnflag"), col("n_lines"),
+          (col("n_lines") * col("sxy") - col("sx") * col("sy"))
+            .as("cov_num_e6"),
+          expr("(n_lines * sxy - sx * sy) div (n_lines * n_lines)")
+            .as("cov_e6"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Histogram-exact latency quantiles: order→ship delay p50/p90 per
     // order priority WITHOUT sorting the fact — delays are small integers,
     // so the exact quantile comes from a cumulative window over the
@@ -731,6 +756,23 @@ object AnalyticsExtras {
          SELECT bucket, cum_tokens, vocab,
            CAST(vocab * 1000000 // cum_tokens AS BIGINT) AS heaps_ppm
          FROM c ORDER BY bucket""",
+
+    "q236_discount_quantity_cov" ->
+      """WITH d AS (SELECT l_returnflag,
+           CAST(CAST(l_discount AS DECIMAL(12,4)) * 10000 AS BIGINT)
+             AS x_e4,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS y_e2
+         FROM lineitem),
+         a AS (SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x_e4) AS sx, SUM(y_e2) AS sy,
+             SUM(CAST(x_e4 AS HUGEINT) * y_e2) AS sxy
+           FROM d GROUP BY 1)
+         SELECT l_returnflag, n AS n_lines,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num_e6,
+           CAST((n * sxy - sx * sy) // (CAST(n AS HUGEINT) * n)
+             AS BIGINT) AS cov_e6
+         FROM a ORDER BY l_returnflag""",
 
     "q233_props_extraction" ->
       """WITH d AS (SELECT event_type,

@@ -184,6 +184,29 @@ class AnalyticsExtrasSpec extends SparkSpec {
       .select(col("p_brand")).distinct().count())
   }
 
+  test("q236: covariance numerator matches the two-pass definition") {
+    val out = AnalyticsExtras.defs("q236_discount_quantity_cov")(spark, dir)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        r.getAs[Long]("cov_num_e6")).toMap
+    // Independent two-pass check: n·Σ(x−x̄)(y−ȳ) over exact rationals
+    // equals the one-pass numerator (×n to stay integral).
+    val d = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_discount").cast("decimal(12,4)") * 10000)
+          .cast("long").as("x"),
+        (col("l_quantity").cast("decimal(12,2)") * 100)
+          .cast("long").as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+    d.foreach { case (flag, rows) =>
+      val xs = rows.map(_.getAs[Long]("x").toDouble)
+      val ys = rows.map(_.getAs[Long]("y").toDouble)
+      val n = rows.length.toDouble
+      val num = n * (xs, ys).zipped.map(_ * _).sum - xs.sum * ys.sum
+      assert(math.abs(num - out(flag).toDouble) < math.abs(num) * 1e-9 + 1)
+    }
+  }
+
   test("q226: histogram quantiles are ordered and inside the delay range") {
     val out = AnalyticsExtras.defs("q226_ship_delay_quantiles")(spark, dir)
     assert(out.filter(col("p50_days") > col("p90_days")).count() === 0L)
