@@ -548,6 +548,45 @@ object AnalyticsExtras {
         .orderBy(col("l_returnflag"))
     },
 
+    // Product stickiness (DAU/WAU): each active (user, day) contributes
+    // to the 7 report days it covers — one bounded 7× expansion of the
+    // DISTINCT activity relation, never a per-day re-scan; exact counts,
+    // ppm ratio. Report days are the observed active days.
+    "q237_stickiness" -> { (s, dir) =>
+      val du = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .persist() // feeds DAU, the 7-day expansion, and the day filter
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day") // only observed days report
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          expr("dau * 1000000 div wau").as("stickiness_ppm"))
+        .orderBy(col("day"))
+    },
+
+    // Column null/blank profile: the first-look data-quality audit —
+    // per-column missing-value accounting for the documents table, one
+    // conditional aggregate pass (the structural companion to q201/q202).
+    "q238_null_profile" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(
+          count(lit(1)).as("n_rows"),
+          sum((col("text").isNull || length(trim(col("text"))) === 0)
+            .cast("long")).as("blank_text"),
+          sum(col("lang").isNull.cast("long")).as("null_lang"),
+          sum(col("source").isNull.cast("long")).as("null_source"),
+          sum((col("n_chars").isNull || col("n_chars") < 0).cast("long"))
+            .as("bad_n_chars"),
+          sum((length(col("text")) =!= col("n_chars")).cast("long"))
+            .as("n_chars_mismatch"))
+    },
+
     // Histogram-exact latency quantiles: order→ship delay p50/p90 per
     // order priority WITHOUT sorting the fact — delays are small integers,
     // so the exact quantile comes from a cumulative window over the
@@ -756,6 +795,34 @@ object AnalyticsExtras {
          SELECT bucket, cum_tokens, vocab,
            CAST(vocab * 1000000 // cum_tokens AS BIGINT) AS heaps_ppm
          FROM c ORDER BY bucket""",
+
+    "q237_stickiness" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+         ex AS (SELECT DISTINCT du.user_id,
+             du.day + CAST(x.i AS INTEGER) AS day
+           FROM du, (SELECT unnest(range(0, 7)) AS i) x),
+         wau AS (SELECT day, COUNT(*) AS wau FROM ex GROUP BY 1)
+         SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+           dau.dau, wau.wau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT)
+             AS stickiness_ppm
+         FROM dau JOIN wau USING (day) ORDER BY day""",
+
+    "q238_null_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS blank_text,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_lang,
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS null_source,
+           CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS bad_n_chars,
+           CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_chars_mismatch
+         FROM documents""",
 
     "q236_discount_quantity_cov" ->
       """WITH d AS (SELECT l_returnflag,

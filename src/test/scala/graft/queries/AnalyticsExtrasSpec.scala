@@ -207,6 +207,26 @@ class AnalyticsExtrasSpec extends SparkSpec {
     }
   }
 
+  test("q237: stickiness is a valid ratio and WAU dominates DAU") {
+    val out = AnalyticsExtras.defs("q237_stickiness")(spark, dir)
+    assert(out.filter(col("dau") > col("wau") ||
+      col("stickiness_ppm") > 1000000L).count() === 0L)
+    // WAU for a day is bounded by the 7-day union of DAUs.
+    assert(out.count() > 0)
+  }
+
+  test("q238: null profile bounds hold on the synthetic corpus") {
+    val out = AnalyticsExtras.defs("q238_null_profile")(spark, dir)
+      .head()
+    val n = out.getAs[Long]("n_rows")
+    assert(n === graft.Tables.load(spark, dir, "documents").count())
+    Seq("blank_text", "null_lang", "null_source", "bad_n_chars",
+      "n_chars_mismatch").foreach { c =>
+      val v = out.getAs[Long](c)
+      assert(v >= 0L && v <= n, s"$c = $v outside [0, $n]")
+    }
+  }
+
   test("q226: histogram quantiles are ordered and inside the delay range") {
     val out = AnalyticsExtras.defs("q226_ship_delay_quantiles")(spark, dir)
     assert(out.filter(col("p50_days") > col("p90_days")).count() === 0L)
