@@ -633,6 +633,39 @@ object Cli {
           graft.streaming.StreamingCc.compact(spark, cfg)
           println(s"""{"compacted": true}""")
 
+        case "hist-merge" =>
+          // Merge a batch of rows into the streaming histogram store
+          // (idempotent per --batch-id):
+          //   hist-merge --source <parquet> --store <dir> --value-col <c>
+          //              --batch-id <n> [--bucket-width 100]
+          val cfg = graft.streaming.StreamingHistogram.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt",
+            valueCol = opts("value-col"),
+            bucketWidth = opts.getOrElse("bucket-width", "100").toLong)
+          graft.streaming.StreamingHistogram.mergeBatch(
+            spark.read.parquet(opts("source")),
+            opts("batch-id").toLong, cfg)
+          val n = graft.streaming.StreamingHistogram.read(spark, cfg)
+            .agg(org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("cnt")))
+            .head.getLong(0)
+          println(s"""{"rows": $n}""")
+
+        case "hist-quantiles" =>
+          // Percentile bounds from the resident histogram (error ≤ one
+          // bucket width): hist-quantiles --store <dir> --value-col <c>
+          //               [--pcts 25,50,90] [--bucket-width 100]
+          val cfg = graft.streaming.StreamingHistogram.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt",
+            valueCol = opts.getOrElse("value-col", "v"),
+            bucketWidth = opts.getOrElse("bucket-width", "100").toLong)
+          graft.streaming.StreamingHistogram.quantileBounds(spark, cfg,
+              opts.getOrElse("pcts", "25,50,90").split(',')
+                .toSeq.map(_.trim.toInt))
+            .collect().foreach(r => println(r.mkString("\t")))
+
         case "compact" =>
           val res = graft.sink.Compaction.compact(spark, opts("path"),
             targetBytes = opts.get("target-bytes").map(_.toLong)

@@ -60,6 +60,11 @@ object StreamingHistogram {
       .select(expr(s"v div ${cfg.bucketWidth}L").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** One-shot merge — the CLI / batch-job face of the foreachBatch sink
+    * (same HWM idempotence per batchId). */
+  def mergeBatch(batch: DataFrame, batchId: Long, cfg: Config): Unit =
+    processBatch(batch, batchId, cfg)
+
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession

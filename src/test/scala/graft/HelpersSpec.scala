@@ -448,6 +448,27 @@ class CliSpec extends SparkSpec {
     assert(cap2.toString("UTF-8").contains("\"compacted\": true"))
   }
 
+  test("hist-merge and hist-quantiles serve bounded percentiles") {
+    val store = java.nio.file.Files.createTempDirectory("histcli").toString
+    val docs = sf("sf0.001") + "/documents.parquet"
+    val cap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap, true, "UTF-8")) {
+      Cli.main(Array("hist-merge", "--source", docs, "--store", store,
+        "--value-col", "n_chars", "--batch-id", "0",
+        "--bucket-width", "64"))
+      Cli.main(Array("hist-quantiles", "--store", store,
+        "--pcts", "50,90", "--bucket-width", "64"))
+    }
+    val lines = cap.toString("UTF-8").trim.linesIterator.toSeq
+    val nRows = "\"rows\": (\\d+)".r
+      .findFirstMatchIn(lines.head).get.group(1).toLong
+    assert(nRows === spark.read.parquet(docs).count())
+    // two percentile rows, each lo <= hi with width-1 span
+    val qs = lines.tail.map(_.split("\t").map(_.toLong))
+    assert(qs.length === 2)
+    assert(qs.forall(r => r(2) - r(1) === 63L))
+  }
+
   test("collect-stats persists a plannable stats copy") {
     val base = Files.createTempDirectory("graft_cli_stats").toString
     Cli.main(Array("collect-stats",
