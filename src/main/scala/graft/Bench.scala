@@ -43,38 +43,46 @@ object Bench {
       }
     }
 
-    // SPARK_GRAFT_BENCH_REPS=n: per-query MEDIAN of n runs. The in-run
-    // outlier re-run below rescues one-off stalls, but it cannot rescue a
-    // fully contended machine — repeated-median runs can. Default 1 keeps
-    // the driver's wall-clock budget unchanged; the artifact schema is
-    // identical either way.
+    // SPARK_GRAFT_BENCH_REPS=n: per-query MEDIAN of n runs. Default 3 —
+    // same-JVM contention across a 230+-query run produced 3-4× phantom
+    // regressions in code that hadn't changed (round-9 adjudication); a
+    // single-sample number cannot distinguish a real regression from one
+    // noisy run, a median of three can. The artifact schema is unchanged;
+    // per-query spread (max/min of successful runs) is emitted on the
+    // trailing summary line so residual noise is visible, not inferred.
     val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     def runMedian(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) =
-      if (reps == 1) runOne(fn)
+        : ((Double, Option[String]), Double) =
+      if (reps == 1) (runOne(fn), 1.0)
       else {
         val runs = Seq.fill(reps)(runOne(fn))
         val ok = runs.collect { case (t, None) => t }.sorted
-        if (ok.isEmpty) runs.head else (ok(ok.length / 2), None)
+        if (ok.isEmpty) (runs.head, 1.0)
+        else ((ok(ok.length / 2), None), ok.last / math.max(ok.head, 1e-9))
       }
 
     val first = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      (name, fn, runMedian(fn))
+      val (r, spread) = runMedian(fn)
+      (name, fn, r, spread)
     }
     // One-off I/O stalls (page-cache eviction, JIT deopt) record a number
     // that is not the query's cost: any success exceeding 3x the median is
     // re-run once and the faster time kept (min — the stall is the outlier,
     // not the work). With reps > 1 the per-query median already absorbed
     // outliers, so the extra re-run is skipped.
-    val okTimes = first.collect { case (_, _, (t, None)) => t }.sorted
+    val okTimes = first.collect { case (_, _, (t, None), _) => t }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
     val results = first.map {
-      case (name, fn, (t, None)) if reps == 1 && median > 0 && t > 3 * median =>
+      case (name, fn, (t, None), _)
+          if reps == 1 && median > 0 && t > 3 * median =>
         val (t2, err2) = runOne(fn)
         if (err2.isEmpty) name -> (math.min(t, t2), None)
         else name -> (t, None) // flaky rerun: keep the first, valid result
-      case (name, _, r) => name -> r
+      case (name, _, r, _) => name -> r
+    }
+    val spreads = first.collect {
+      case (name, _, (_, None), s) if reps > 1 => name -> s
     }
 
     def jstr(s: String): String =
@@ -100,7 +108,11 @@ object Bench {
     val top5 = results.collect { case (k, (v, None)) => k -> v }
       .sortBy(-_._2).take(5)
       .map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"top5_slowest":$top5,"sf":"$sfDir"}""")
+    // Noisiest 5 by run-to-run spread (max/min across the reps): a query
+    // here with a big median jump is contention, not a plan change.
+    val noisy5 = spreads.sortBy(-_._2).take(5)
+      .map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -57,6 +57,50 @@ object JoinAdvisor {
     Advice(lRows, rRows, est, lShare, rShare, rec)
   }
 
+  /** [[advise]] + execution: the advisor's recommendation actually
+    * drives the join it was computed for. The result is row-identical to
+    * `left.join(right, Seq(key), joinType)` under every strategy —
+    * broadcast and salting change the physical plan, never the rows —
+    * so callers adopt the advised plan with no semantic review.
+    *
+    *  - `broadcast_*`: explicit `broadcast()` hint on the small side
+    *    (a hint Spark cannot honor, e.g. broadcast-left under a left
+    *    join, silently degrades to sort-merge — still correct).
+    *  - `sort_merge_salted`: [[Salting.saltedJoin]] when the SKEWED side
+    *    is one salting can fix (left skew, or either side under an inner
+    *    join — the sides swap, then columns restore to plain-join
+    *    order); otherwise plain sort-merge, where AQE's skew splitting
+    *    still applies.
+    *  - `sort_merge` / `empty_side`: the plain join.
+    */
+  def adviseAndJoin(left: DataFrame, right: DataFrame, key: String,
+                    joinType: String = "inner",
+                    broadcastRowLimit: Long = 500000L,
+                    skewSharePpm: Long = 100000L,
+                    saltBuckets: Int = 16): (DataFrame, Advice) = {
+    val a = advise(left, key, right, key, broadcastRowLimit, skewSharePpm)
+    val jt = joinType.toLowerCase.replace("_", "")
+    val plainOrder: Seq[String] =
+      (key +: (left.columns.filterNot(_ == key) ++
+        right.columns.filterNot(_ == key)).toSeq).distinct
+    val joined = a.recommendation match {
+      case "broadcast_right" =>
+        left.join(broadcast(right), Seq(key), joinType)
+      case "broadcast_left" =>
+        broadcast(left).join(right, Seq(key), joinType)
+      case "sort_merge_salted"
+          if a.maxKeyShareL_ppm > skewSharePpm && (jt == "inner" ||
+            jt == "left" || jt == "leftouter") =>
+        Salting.saltedJoin(left, right, Seq(key), joinType, saltBuckets)
+      case "sort_merge_salted" if jt == "inner" =>
+        // right-side skew, inner join: salt the right side, swap back
+        Salting.saltedJoin(right, left, Seq(key), joinType, saltBuckets)
+          .select(plainOrder.map(col): _*)
+      case _ => left.join(right, Seq(key), joinType)
+    }
+    (joined, a)
+  }
+
   /** Quantile view of a key's frequency distribution (feeds the skew
     * report beside the single hottest-key share). */
   def keyQuantiles(df: DataFrame, key: String,

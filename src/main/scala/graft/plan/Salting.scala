@@ -49,4 +49,34 @@ object Salting {
       .groupBy(keyCols.map(col): _*)
       .agg(phase2Aggs.head, phase2Aggs.tail: _*)
   }
+
+  /** Salted equi-join: split each LEFT key into `saltBuckets` sub-keys,
+    * replicate the right side once per salt value, join on
+    * (keys, salt). Result is row-identical to
+    * `left.join(right, keys, joinType)` — every left row still meets
+    * exactly the right rows sharing its key — but the hot key's rows
+    * spread over `saltBuckets` reducers instead of one straggler.
+    *
+    * Inner and left joins only: replicating the right side makes
+    * unmatched-RIGHT accounting ambiguous (an unmatched right row would
+    * surface `saltBuckets` times), so right/full-outer callers must use
+    * the plain join (AQE skew splitting still applies there).
+    *
+    * Cost model: the replicated side shuffles `saltBuckets`× its size —
+    * worth it only when the skewed side dwarfs it; [[graft.plan.JoinAdvisor
+    * .adviseAndJoin]] makes that call from measured inputs. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 joinType: String = "inner",
+                 saltBuckets: Int = 16): DataFrame = {
+    require(keys.nonEmpty && saltBuckets > 1)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"saltedJoin supports inner/left joins, not $joinType")
+    val saltedL = left.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets.toLong)))
+    val replR = right.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
+    saltedL.join(replR, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -526,10 +526,13 @@ object AnalyticsExtras {
     // Integer-exact covariance: does discount move with quantity, per
     // return flag — the cross-moment statistic (n·Σxy − Σx·Σy) from ONE
     // aggregate pass, no mean-centering second pass, exact at any
-    // partitioning. Fixed-point units: discount e4, quantity e2 (sums fit
-    // long at bench scale; the 100 TB path lifts the sums to DECIMAL(38)
-    // — same expression shape, still exact).
+    // partitioning. Fixed-point units: discount e4, quantity e2; the
+    // cross terms (n·Σxy, Σx·Σy) are computed in DECIMAL(38,0) — Long
+    // would wrap silently (non-ANSI) around sf1-2 — then the numerator
+    // and the n²-normalized covariance are cast back to BIGINT (the
+    // quotient always fits; the oracle's HUGEINT path is identical).
     "q236_discount_quantity_cov" -> { (s, dir) =>
+      val dec = "decimal(38,0)"
       val d = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           (col("l_discount").cast("decimal(12,4)") * 10000)
@@ -538,12 +541,16 @@ object AnalyticsExtras {
             .cast("long").as("y_e2"))
       d.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("x_e4")).as("sx"), sum(col("y_e2")).as("sy"),
-          sum(col("x_e4") * col("y_e2")).as("sxy"))
+          sum(col("x_e4")).cast(dec).as("sx"),
+          sum(col("y_e2")).cast(dec).as("sy"),
+          sum(col("x_e4") * col("y_e2")).cast(dec).as("sxy"))
+        .withColumn("num",
+          col("n_lines").cast(dec) * col("sxy") - col("sx") * col("sy"))
         .select(col("l_returnflag"), col("n_lines"),
-          (col("n_lines") * col("sxy") - col("sx") * col("sy"))
-            .as("cov_num_e6"),
-          expr("(n_lines * sxy - sx * sy) div (n_lines * n_lines)")
+          col("num").cast("long").as("cov_num_e6"),
+          // div (IntegralDivide) truncates toward zero over decimals and
+          // returns BIGINT — same semantics as the oracle's HUGEINT `//`
+          expr("num div (CAST(n_lines AS DECIMAL(38,0)) * n_lines)")
             .as("cov_e6"))
         .orderBy(col("l_returnflag"))
     },
@@ -615,6 +622,28 @@ object AnalyticsExtras {
         .select(col("o_orderpriority"), col("n_items"), col("p50_days"),
           col("p90_days"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Advisor-driven enrich: events joined to their per-type totals
+    // through JoinAdvisor.adviseAndJoin — the pre-flight diagnostics
+    // (sizes, CMS join bound, hottest-key share) pick the physical
+    // strategy, HERE the salted sort-merge (event_type carries ~20% hot
+    // keys and the broadcast fence is forced shut), and the salted
+    // rewrite is row-identical to the plain join the oracle runs. The
+    // executed-not-just-reported advisor is the point: at 100 TB the
+    // probe is two map passes, the join it reshapes is hours.
+    "q239_advised_type_enrich" -> { (s, dir) =>
+      import graft.plan.JoinAdvisor
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_total"))
+      val (joined, _) = JoinAdvisor.adviseAndJoin(ev, dim, "event_type",
+        broadcastRowLimit = 0L)
+      joined.groupBy(col("event_type"), col("type_total"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -1038,5 +1067,14 @@ object AnalyticsExtras {
              AS BIGINT) AS p50_days,
            CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN delay_days END)
              AS BIGINT) AS p90_days
-         FROM c GROUP BY 1 ORDER BY o_orderpriority""")
+         FROM c GROUP BY 1 ORDER BY o_orderpriority""",
+
+    "q239_advised_type_enrich" ->
+      """WITH dim AS (SELECT event_type, COUNT(*) AS type_total
+           FROM events GROUP BY 1)
+         SELECT e.event_type, dim.type_total,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+         FROM events e JOIN dim USING (event_type)
+         GROUP BY 1, 2 ORDER BY e.event_type""")
 }

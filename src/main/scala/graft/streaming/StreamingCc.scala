@@ -211,8 +211,12 @@ object StreamingCc {
           cfg.maxChase)
       else spark.emptyDataFrame
         .select(lit(0L).as("old_root"), lit(0L).as("new_root")).limit(0)
+    // No forced broadcast: the alias closure is usually tiny (AQE will
+    // broadcast it), but if compact() hasn't run and the merge history
+    // grew past the broadcast threshold, a hint would OOM the build side
+    // — compact() must stay an optimization, never a correctness gate.
     labels
-      .join(broadcast(closure.withColumnRenamed("old_root", "root0")),
+      .join(closure.withColumnRenamed("old_root", "root0"),
         Seq("root0"), "left")
       .select(col("node"),
         coalesce(col("new_root"), col("root0")).as("root"))

@@ -54,10 +54,18 @@ object StreamingHistogram {
     }
   }
 
+  /** Floor-division bucketing: `div` truncates toward zero, which would
+    * make bucket 0 span (-width, width) and shift every negative bucket —
+    * the quantile bound lo = bucket*width is only exact for all signs
+    * with floor semantics, so negatives subtract one when not on a
+    * boundary (exact integer arithmetic, no double round-trip). */
   private[streaming] def bucketize(batch: DataFrame,
                                    cfg: Config): DataFrame =
     batch.select(col(cfg.valueCol).cast("long").as("v"))
-      .select(expr(s"v div ${cfg.bucketWidth}L").as("bucket"))
+      .select(expr(
+        s"v div ${cfg.bucketWidth}L - " +
+          s"(CASE WHEN v < 0L AND v % ${cfg.bucketWidth}L != 0L " +
+          "THEN 1L ELSE 0L END)").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** One-shot merge — the CLI / batch-job face of the foreachBatch sink

@@ -53,4 +53,62 @@ class JoinAdvisorSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(q(50) === 1L && q(99) === 8L)
   }
+
+  // ---- execution wiring: the advice drives the join it scored ----
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.columns.toSeq === b.columns.toSeq)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("saltedJoin is row-identical to the plain join, inner and left") {
+    // hot key 7 (60% of rows), keys 900+ unmatched on the right
+    val left = (Seq.fill(300)(7L) ++ (1L to 200L) ++ (901L to 920L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "lv")
+    val right = (1L to 500L).map(k => (k, k * 10)).toDF("k", "rv")
+    sameRows(graft.plan.Salting.saltedJoin(left, right, Seq("k")),
+      left.join(right, Seq("k"), "inner"))
+    sameRows(graft.plan.Salting.saltedJoin(left, right, Seq("k"), "left"),
+      left.join(right, Seq("k"), "left"))
+    intercept[IllegalArgumentException] {
+      graft.plan.Salting.saltedJoin(left, right, Seq("k"), "full")
+    }
+  }
+
+  test("adviseAndJoin: a skewed fixture takes the salted path and " +
+      "matches the plain join hash-for-hash") {
+    val left = (Seq.fill(300)(7L) ++ (1L to 200L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "lv")
+    val right = (1L to 500L).map(k => (k, k * 10)).toDF("k", "rv")
+    val (joined, a) = JoinAdvisor.adviseAndJoin(left, right, "k",
+      broadcastRowLimit = 10L)
+    assert(a.recommendation === "sort_merge_salted")
+    // the salted rewrite is structurally present (salt column in plan)
+    assert(joined.queryExecution.analyzed.toString.contains("__salt"))
+    sameRows(joined, left.join(right, Seq("k"), "inner"))
+  }
+
+  test("adviseAndJoin: right-side skew under an inner join salts the " +
+      "swapped sides and restores plain-join column order") {
+    val left = (1L to 500L).map(k => (k, k + 1000)).toDF("k", "lv")
+    val right = (Seq.fill(300)(7L) ++ (1L to 200L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "rv")
+    val (joined, a) = JoinAdvisor.adviseAndJoin(left, right, "k",
+      broadcastRowLimit = 10L)
+    assert(a.recommendation === "sort_merge_salted" &&
+      a.maxKeyShareR_ppm > 100000L)
+    sameRows(joined, left.join(right, Seq("k"), "inner"))
+  }
+
+  test("adviseAndJoin: a small right side executes as a broadcast join") {
+    val left = (1L to 1000L).map(k => (k, k)).toDF("k", "lv")
+    val right = (1L to 10L).map(k => (k, k * 10)).toDF("k", "rv")
+    val (joined, a) = JoinAdvisor.adviseAndJoin(left, right, "k",
+      broadcastRowLimit = 100L)
+    assert(a.recommendation === "broadcast_right")
+    assert(joined.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"))
+    sameRows(joined, left.join(right, Seq("k"), "inner"))
+  }
 }

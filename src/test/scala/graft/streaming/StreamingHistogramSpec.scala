@@ -67,4 +67,31 @@ class StreamingHistogramSpec extends SparkSpec {
         s"pct $p: exact ${exact(p)} outside [$lo, $hi]")
     }
   }
+
+  test("negative values bucket by floor division and bounds still hold") {
+    val c = cfg()
+    // center the doc lengths so roughly half the values are negative —
+    // truncate-toward-zero bucketing would fold (-Width, Width) into one
+    // bucket and report bounds that exclude the true quantile
+    val centered = docs.select(col("doc_id"),
+      (col("n_chars") - lit(800)).as("n_chars"))
+    StreamingHistogram.processBatch(centered, 0L, c)
+    // every bucket's [lo, hi] must partition the line: value v belongs to
+    // bucket floor(v/W), so lo ≤ v ≤ hi for v's own bucket and no other
+    val bounds = StreamingHistogram
+      .quantileBounds(spark, c, Seq(10, 50, 90)).collect()
+      .map(r => r.getAs[Int]("pct") ->
+        (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+    val exact = Quantiles.exactQuantiles(centered, "n_chars",
+        Seq(10, 50, 90), bucketWidth = Width).collect()
+      .map(r => r.getAs[Int]("pct") -> r.getAs[Long]("value")).toMap
+    assert(exact.values.exists(_ < 0L),
+      "fixture must actually produce negative quantiles")
+    Seq(10, 50, 90).foreach { p =>
+      val (lo, hi) = bounds(p)
+      assert(hi - lo === Width - 1)
+      assert(exact(p) >= lo && exact(p) <= hi,
+        s"pct $p: exact ${exact(p)} outside [$lo, $hi]")
+    }
+  }
 }
