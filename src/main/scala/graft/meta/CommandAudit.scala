@@ -53,17 +53,48 @@ object CommandAudit {
     * counter and the append lock — separate instances would seed the same
     * max id from the file and emit colliding event ids, cross-wiring run
     * histories when `runs()` folds end events by id. Keyed on the
-    * canonical absolute path so `dir` spelling variants can't split. */
+    * canonical absolute path so `dir` spelling variants can't split.
+    *
+    * A `jdbc:` URL instead of a directory selects the transactional
+    * repository backend ([[JdbcMetaRepo]]) — the reference's GOE_REPO
+    * tables — where id uniqueness comes from database identity columns
+    * rather than this JVM's counter, so MULTIPLE driver processes can
+    * share one store. */
   private val instances =
     new java.util.concurrent.ConcurrentHashMap[String, CommandAudit]()
 
   def open(dir: String): CommandAudit = {
-    val key = Paths.get(dir).toAbsolutePath.normalize.toString
-    instances.computeIfAbsent(key, k => new CommandAudit(k))
+    val key =
+      if (JdbcMetaRepo.isJdbc(dir)) dir
+      else Paths.get(dir).toAbsolutePath.normalize.toString
+    instances.computeIfAbsent(key, k =>
+      if (JdbcMetaRepo.isJdbc(k)) new JdbcCommandAudit(k)
+      else new FileCommandAudit(k))
   }
 }
 
-final class CommandAudit private (dir: String) {
+/** The audit surface both backends serve — the reference repo-client
+  * API (`persistence/orchestration_repo_client.py:306-390`). */
+abstract class CommandAudit {
+  import CommandAudit._
+  def startCommand(executionId: String, commandType: String,
+                   commandInput: String,
+                   parameters: Map[String, String] = Map.empty): Long
+  def endCommand(commandId: Long, status: String): Unit
+  def startStep(executionId: String, commandType: String,
+                step: String): Long
+  def endStep(stepId: Long, status: String, details: String = ""): Unit
+  def startChunk(executionId: String, chunkNumber: Int,
+                 partitions: Seq[String]): Long
+  def endChunk(chunkId: Long, status: String,
+               rowCount: Option[Long] = None): Unit
+  def runs(): Seq[CommandRun]
+  def run(executionId: String): Option[CommandRun] =
+    runs().find(_.executionId == executionId)
+}
+
+final class FileCommandAudit private[meta] (dir: String)
+    extends CommandAudit {
   import CommandAudit._
 
   private val path = Paths.get(dir, "command_audit.jsonl")
@@ -99,9 +130,9 @@ final class CommandAudit private (dir: String) {
   }
 
   /** `start_command` — returns the history-record id for [[endCommand]]. */
-  def startCommand(executionId: String, commandType: String,
-                   commandInput: String,
-                   parameters: Map[String, String] = Map.empty): Long =
+  override def startCommand(executionId: String, commandType: String,
+                            commandInput: String,
+                            parameters: Map[String, String]): Long =
     append(Seq(
       "kind" -> q("command_begin"),
       "execution_id" -> q(executionId),
@@ -110,31 +141,32 @@ final class CommandAudit private (dir: String) {
       "parameters" -> parameters.toSeq.sortBy(_._1)
         .map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")))
 
-  def endCommand(commandId: Long, status: String): Unit =
+  override def endCommand(commandId: Long, status: String): Unit =
     append(Seq("kind" -> q("command_end"),
       "command_id" -> commandId.toString, "status" -> q(status)))
 
   /** `start_command_step` — returns the step-record id for [[endStep]]. */
-  def startStep(executionId: String, commandType: String,
-                step: String): Long =
+  override def startStep(executionId: String, commandType: String,
+                         step: String): Long =
     append(Seq("kind" -> q("step_begin"),
       "execution_id" -> q(executionId),
       "command_type" -> q(commandType), "step" -> q(step)))
 
-  def endStep(stepId: Long, status: String, details: String = ""): Unit =
+  override def endStep(stepId: Long, status: String,
+                       details: String): Unit =
     append(Seq("kind" -> q("step_end"), "step_id" -> stepId.toString,
       "status" -> q(status), "details" -> q(details)))
 
   /** `start_offload_chunk` — returns the chunk-record id for [[endChunk]]. */
-  def startChunk(executionId: String, chunkNumber: Int,
-                 partitions: Seq[String]): Long =
+  override def startChunk(executionId: String, chunkNumber: Int,
+                          partitions: Seq[String]): Long =
     append(Seq("kind" -> q("chunk_begin"),
       "execution_id" -> q(executionId),
       "chunk_number" -> chunkNumber.toString,
       "partitions" -> partitions.map(q).mkString("[", ",", "]")))
 
-  def endChunk(chunkId: Long, status: String,
-               rowCount: Option[Long] = None): Unit =
+  override def endChunk(chunkId: Long, status: String,
+                        rowCount: Option[Long]): Unit =
     append(Seq("kind" -> q("chunk_end"), "chunk_id" -> chunkId.toString,
       "status" -> q(status),
       "row_count" -> rowCount.map(_.toString).getOrElse("null")))
@@ -281,7 +313,7 @@ final class CommandAudit private (dir: String) {
     * reference's semantics, where an abandoned run stays EXECUTING until
     * reconciled). Cost: bytes appended since the last call, plus assembly
     * over live records — never a full-file re-read. */
-  def runs(): Seq[CommandRun] = synchronized {
+  override def runs(): Seq[CommandRun] = synchronized {
     ingestNew()
     cmds.values.toSeq.map { c =>
       c.copy(
@@ -291,9 +323,6 @@ final class CommandAudit private (dir: String) {
           .map(chunksById).toSeq.sortBy(_.chunkId))
     }.sortBy(-_.commandId)
   }
-
-  def run(executionId: String): Option[CommandRun] =
-    runs().find(_.executionId == executionId)
 
   // constructor tail: fold any existing file and seed the id sequence so
   // ids keep increasing across restarts (reference repo-sequence semantics)

@@ -51,6 +51,13 @@ object MetadataStore {
   private def arr(xs: Seq[String]): String =
     xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
 
+  // Array-of-strings codec shared with the JDBC backend (multi-column
+  // incremental keys / HWM tuples ride one repo column, same shape as
+  // the reference's delimited offload_key / offload_high_value).
+  private[meta] def renderArr(xs: Seq[String]): String = arr(xs)
+  private[meta] def parseArr(s: String): Seq[String] =
+    arrField("{\"a\": " + s + "}", "a")
+
   def toJson(m: OffloadMetadata): String = {
     val fields = Seq(
       "source_table" -> ("\"" + esc(m.sourceTable) + "\""),
@@ -128,19 +135,29 @@ object MetadataStore {
   private def fileFor(dir: String, table: String) =
     Paths.get(dir, table.replaceAll("[^A-Za-z0-9_.]", "_") + ".json")
 
-  def save(dir: String, m: OffloadMetadata): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val target = fileFor(dir, m.sourceTable)
-    val tmp = Paths.get(target.toString + ".tmp")
-    Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Persist one table's offload metadata. `dir` selects the backend:
+    * a filesystem path → one atomically-renamed JSON document per table;
+    * a `jdbc:` URL → the transactional repository ([[JdbcMetaRepo]],
+    * the reference's OFFLOAD_METADATA table) where the HWM commit is a
+    * single-row transaction shared safely by multiple driver processes. */
+  def save(dir: String, m: OffloadMetadata): Unit =
+    if (JdbcMetaRepo.isJdbc(dir)) JdbcMetaRepo.forUrl(dir).saveMetadata(m)
+    else {
+      Files.createDirectories(Paths.get(dir))
+      val target = fileFor(dir, m.sourceTable)
+      val tmp = Paths.get(target.toString + ".tmp")
+      Files.write(tmp, toJson(m).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
 
-  def load(dir: String, table: String): Option[OffloadMetadata] = {
-    val p = fileFor(dir, table)
-    if (Files.exists(p))
-      Some(fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
-    else None
-  }
+  def load(dir: String, table: String): Option[OffloadMetadata] =
+    if (JdbcMetaRepo.isJdbc(dir)) JdbcMetaRepo.forUrl(dir).loadMetadata(table)
+    else {
+      val p = fileFor(dir, table)
+      if (Files.exists(p))
+        Some(fromJson(
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      else None
+    }
 }

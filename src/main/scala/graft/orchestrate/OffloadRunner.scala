@@ -118,7 +118,11 @@ object OffloadRunner {
   def offload(spark: SparkSession, cfg: OffloadConfig): Seq[StepResult] =
     audited(cfg, "OFFLOAD") { ctx =>
       if (cfg.withLock)
-        OffloadLock.withLock(cfg.metadataDir + "/locks", cfg.sourceTable) {
+        // fsScratch: lock files need a filesystem even when the metadata
+        // "dir" is a JDBC repository URL
+        OffloadLock.withLock(
+          graft.meta.JdbcMetaRepo.fsScratch(cfg.metadataDir) + "/locks",
+          cfg.sourceTable) {
           _ => runSteps(spark, cfg, ctx)
         }
       else runSteps(spark, cfg, ctx)
@@ -204,7 +208,8 @@ object OffloadRunner {
       val raw = cfg.ddlFile.get
       r.step("ddl_file", s"requested=$raw dialect=${cfg.ddlDialect}") {
         val path = graft.sink.DdlFile.resolve(
-          raw, cfg.sourceTable, cfg.metadataDir + "/log")
+          raw, cfg.sourceTable,
+          graft.meta.JdbcMetaRepo.fsScratch(cfg.metadataDir) + "/log")
         val ddl = graft.sink.DdlRenderer.createTable(
           cfg.finalPath, schema, cfg.ddlDialect,
           partitionBy = cfg.partitionCols, clusterBy = cfg.sortCols)

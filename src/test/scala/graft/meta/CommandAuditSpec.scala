@@ -13,7 +13,8 @@ class CommandAuditSpec extends AnyFunSuite {
   }
 
   test("runs() reads only appended bytes, not the whole file per call") {
-    val (audit, _) = freshAudit()
+    val (audit0, _) = freshAudit()
+    val audit = audit0.asInstanceOf[FileCommandAudit]
     val exec = CommandAudit.newExecutionId()
     val cid = audit.startCommand(exec, "OFFLOAD", "t1")
     val sid = audit.startStep(exec, "OFFLOAD", "stage")

@@ -405,4 +405,78 @@ class OffloadRunnerSpec extends SparkSpec {
     val rt = MetadataStore.fromJson(MetadataStore.toJson(m))
     assert(rt == m)
   }
+
+  test("full offload against the JDBC repository backend: metadata, " +
+      "incremental HWM, and audit all live in the database") {
+    import graft.meta.CommandAudit
+    val base = tmpBase()
+    val url = s"jdbc:derby:$base/repo"
+    def cfgFor(pred: Option[String]) = OffloadRunner.OffloadConfig(
+      sourceTable = "lineitem",
+      sourcePath = sf("sf0.001") + "/lineitem.parquet",
+      stagingPath = s"$base/staging",
+      finalPath = s"$base/final",
+      metadataDir = url, // the ONLY change vs the file-backend runs
+      predicateDsl = pred,
+      incrementalKey = Seq("l_orderkey"))
+    val s1 = OffloadRunner.offload(spark,
+      cfgFor(Some("(column(l_orderkey) < numeric(700))")))
+    assert(s1.forall(_.ok), s1.mkString("\n"))
+    val hwm1 = MetadataStore.load(url, "lineitem")
+      .get.incrementalHighValue
+    assert(hwm1.nonEmpty && hwm1.head.toLong < 700)
+    // incremental second run reads its HWM from the database
+    val s2 = OffloadRunner.offload(spark, cfgFor(None))
+    assert(s2.forall(_.ok), s2.mkString("\n"))
+    val hwm2 = MetadataStore.load(url, "lineitem")
+      .get.incrementalHighValue
+    assert(hwm2.head.toLong > hwm1.head.toLong)
+    val total = spark.read.parquet(s"$base/final").count()
+    assert(total === spark.read.parquet(cfgFor(None).sourcePath).count())
+    // both commands audited in the repo with their own step lists
+    val runs = CommandAudit.open(url).runs()
+    assert(runs.length === 2)
+    assert(runs.forall(_.status == CommandAudit.Success))
+    assert(runs.forall(_.steps.nonEmpty))
+    assert(runs.map(_.commandId).distinct.length === 2)
+  }
+
+  test("two CONCURRENT offloads share one JDBC repository: atomic HWM " +
+      "commits, database-allocated ids never cross-wire") {
+    import graft.meta.CommandAudit
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val base = tmpBase()
+    val url = s"jdbc:derby:$base/repo"
+    def cfgFor(table: String) = OffloadRunner.OffloadConfig(
+      sourceTable = table,
+      sourcePath = sf("sf0.001") + s"/$table.parquet",
+      stagingPath = s"$base/staging/$table",
+      finalPath = s"$base/final/$table",
+      metadataDir = url)
+    val fa = Future(OffloadRunner.offload(spark, cfgFor("region")))
+    val fb = Future(OffloadRunner.offload(spark, cfgFor("nation")))
+    val (sa, sb) =
+      (Await.result(fa, 180.seconds), Await.result(fb, 180.seconds))
+    assert(sa.forall(_.ok), sa.mkString("\n"))
+    assert(sb.forall(_.ok), sb.mkString("\n"))
+    // each table's metadata row committed whole
+    Seq("region", "nation").foreach { t =>
+      val m = MetadataStore.load(url, t).get
+      assert(m.sourceTable == t && m.offloadType == "FULL")
+    }
+    val runs = CommandAudit.open(url).runs()
+    assert(runs.length === 2)
+    assert(runs.map(_.commandInput).toSet === Set("region", "nation"))
+    runs.foreach { r =>
+      assert(r.status == CommandAudit.Success, r.toString)
+      assert(r.steps.nonEmpty &&
+        r.steps.forall(_.status == CommandAudit.Success))
+    }
+    // identity-column ids: unique across the two interleaved commands
+    val ids = runs.flatMap(r => r.steps.map(_.stepId))
+    assert(ids.distinct.length === ids.length)
+    assert(runs.map(_.commandId).distinct.length === 2)
+  }
 }
