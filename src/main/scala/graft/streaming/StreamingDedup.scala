@@ -94,7 +94,11 @@ object StreamingDedup {
     try {
       // explicit existence check — a swallow-all Try would treat a CORRUPT
       // index as absent and silently emit wrong pairs; a real read error
-      // must fail the batch (and be retried by the stream)
+      // must fail the batch (and be retried by the stream). recover()
+      // first: a compaction that crashed mid-swap leaves the index
+      // aside-renamed, and mistaking that for "no index yet" would
+      // silently drop every cross-batch pair
+      graft.sink.Compaction.recover(spark, cfg.indexPath)
       val indexFs = new org.apache.hadoop.fs.Path(cfg.indexPath)
       val exists = indexFs
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,4 +120,17 @@ object StreamingDedup {
         .write.mode("append").partitionBy("bucket").parquet(cfg.indexPath)
     } finally { freshBand.unpersist(); () }
   }
+
+  /** Reclaim the per-batch small files the append-only ingest accretes:
+    * the generic [[graft.sink.Compaction]] pass, which preserves the
+    * `bucket=` directory layout (the probe's pruning unit) while
+    * rewriting each bucket's accumulated appends into full-size files.
+    * Probe cost depends on FILES in the probed buckets, so without a
+    * periodic fold it grows with batch count even though pruned rows
+    * stay flat. Maintenance only — [[probeIndex]] is correct (just
+    * slower) without it, and a crashed pass is healed by the
+    * `recover()` call on the ingest/probe paths. */
+  def compactIndex(spark: SparkSession, cfg: Config)
+      : graft.sink.Compaction.CompactionResult =
+    graft.sink.Compaction.compact(spark, cfg.indexPath)
 }

@@ -77,6 +77,8 @@ object StreamingTextIndex {
                                     cfg: Config): (Long, Long) = {
     val fs = new Path(cfg.totalsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sink.Compaction.recover(spark,
+      new Path(cfg.totalsPath, "totals").toString)
     val t = new Path(cfg.totalsPath, "totals")
     if (!fs.exists(t)) (0L, 0L)
     else {
@@ -101,6 +103,12 @@ object StreamingTextIndex {
     if (batchId <= lastBatch(spark, cfg)) return // replay: skip the work
     val fs = new Path(cfg.totalsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed compact left the root aside-renamed: restore BEFORE any
+    // write, or the fresh root would shadow the old data and the next
+    // recover() would drop it
+    Seq(cfg.indexPath, cfg.lengthsPath,
+      new Path(cfg.totalsPath, "totals").toString)
+      .foreach(graft.sink.Compaction.recover(spark, _))
     if (!batch.isEmpty) {
       writeBatchPartitions(
         postings(batch, cfg).withColumn("batch_id", lit(batchId)),
@@ -127,11 +135,73 @@ object StreamingTextIndex {
   private[streaming] def prunedPostings(spark: SparkSession, cfg: Config,
                                         terms: Seq[String]): DataFrame = {
     import spark.implicits._
+    graft.sink.Compaction.recover(spark, cfg.indexPath)
     val buckets = terms.toDF("term").select(bucketCol(cfg.termBuckets))
       .distinct().collect().map(_.getInt(0)).toSeq
     spark.read.parquet(cfg.indexPath)
       .filter(col("bucket").isInCollection(buckets) &&
         col("term").isin(terms: _*))
+  }
+
+  /** Fold the per-batch partition dimension away: every committed
+    * batch's postings rewrite into ONE `batch_id=-1` partition, still
+    * partitioned by term `bucket` (the pruning unit — a compaction that
+    * flattened it would turn every query into an index scan); lengths
+    * and totals fold the same way (totals to a single summed row). Run
+    * periodically: the ingest path appends one partition set per batch,
+    * so file count grows with batch count until a fold, exactly like
+    * [[StreamingCc.compact]] for the label store. Maintenance only —
+    * queries are correct, just slower, without it.
+    *
+    * Replay-safe: the high-water mark rides `_hwm` BESIDE the swapped
+    * `totals` directory and is untouched, so a replayed batch id still
+    * skips; new batches (id > HWM > -1) write their own partitions and
+    * never collide with the folded one. Crash-safe by the standard
+    * aside-rename swap; readers call [[graft.sink.Compaction.recover]]
+    * first, so an interrupted fold can never make the index look empty. */
+  def compact(spark: SparkSession, cfg: Config): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    def swapIn(root: String)(write: String => Unit): Unit = {
+      graft.sink.Compaction.recover(spark, root)
+      val dir = new Path(root)
+      val fs = dir.getFileSystem(hc)
+      if (!fs.exists(dir)) return
+      val tmp = new Path(dir.getParent, dir.getName + "__compact_tmp")
+      val old = new Path(dir.getParent, dir.getName + "__compact_old")
+      fs.delete(tmp, true)
+      write(tmp.toString)
+      fs.delete(old, true)
+      if (!fs.rename(dir, old))
+        throw new IllegalStateException(s"compact: cannot move $dir aside")
+      if (!fs.rename(tmp, dir)) {
+        fs.rename(old, dir) // roll back
+        throw new IllegalStateException(s"compact: cannot install $tmp")
+      }
+      fs.delete(old, true)
+      ()
+    }
+    swapIn(cfg.indexPath) { tmp =>
+      spark.read.parquet(cfg.indexPath)
+        .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
+        .withColumn("batch_id", lit(-1L))
+        .repartition(col("bucket")) // one file per bucket after the fold
+        .write.partitionBy("batch_id", "bucket").parquet(tmp)
+    }
+    swapIn(cfg.lengthsPath) { tmp =>
+      spark.read.parquet(cfg.lengthsPath)
+        .select(col("doc_id"), col("dl"))
+        .withColumn("batch_id", lit(-1L))
+        .repartition(col("doc_id")) // file sizing via shuffle.partitions
+        .write.partitionBy("batch_id").parquet(tmp)
+    }
+    swapIn(new Path(cfg.totalsPath, "totals").toString) { tmp =>
+      spark.read.parquet(new Path(cfg.totalsPath, "totals").toString)
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("corpus_len")).as("corpus_len"))
+        .withColumn("batch_id", lit(-1L))
+        .coalesce(1)
+        .write.partitionBy("batch_id").parquet(tmp)
+    }
   }
 
   /** BM25 top-k against the maintained index — digit-identical to
@@ -146,6 +216,7 @@ object StreamingTextIndex {
       .select(col("doc_id"), col("term"), col("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val (nDocs, corpusLen) = readTotals(spark, cfg)
+    graft.sink.Compaction.recover(spark, cfg.lengthsPath)
     val lens = spark.read.parquet(cfg.lengthsPath)
       .select(col("doc_id"), col("dl"))
     TextAnalysis.bm25ScoreTopK(

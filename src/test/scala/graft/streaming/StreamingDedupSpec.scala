@@ -122,4 +122,60 @@ class StreamingDedupSpec extends SparkSpec {
     assert(totalFiles > after,
       s"no pruning: probe reads all $totalFiles index files")
   }
+
+  test("compactIndex collapses per-batch appends; probe results, bucket " +
+      "layout, and crash recovery preserved") {
+    val base = Files.createTempDirectory("sdedup_compact").toString
+    val c = cfg(base)
+    val docs = (0 until 12).map(i =>
+      Doc(i.toLong, s"body number $i filler ${i % 3} tail ${i % 4} pad"))
+    // one doc per batch: worst-case file accretion in every touched bucket
+    docs.zipWithIndex.foreach { case (d, i) =>
+      StreamingDedup.processBatch(Seq(d).toDF(), i.toLong, c)
+    }
+    val probeBand = StreamingDedup.bandedWithBucket(
+      Dedup.minhashSignatures(
+        Seq(Doc(100, "body number 3 filler 0 tail 3 pad")).toDF(),
+        c.numHashes), c)
+    def probePairs(): Set[(Long, Long)] =
+      StreamingDedup.probeIndex(spark, c, probeBand).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = probePairs()
+    assert(expected.nonEmpty)
+    val filesBefore = spark.read.parquet(c.indexPath).inputFiles.length
+
+    val res = StreamingDedup.compactIndex(spark, c)
+    assert(res.filesAfter < res.filesBefore &&
+      spark.read.parquet(c.indexPath).inputFiles.length < filesBefore)
+    assert(probePairs() == expected)
+    // the bucket= layout survived: pruning still reads a strict subset
+    // (selectedPartitions, not inputFiles — the latter ignores filters)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prunedAfter = try spark.read.parquet(c.indexPath)
+      .filter(col("bucket").isInCollection(
+        probeBand.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq))
+      .queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(prunedAfter > 0 &&
+      prunedAfter < spark.read.parquet(c.indexPath).inputFiles.length)
+
+    // crash window: index aside-renamed; the next batch must recover it
+    // rather than probing "no index" and silently dropping pairs
+    val fs = new org.apache.hadoop.fs.Path(c.indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(c.indexPath),
+      new org.apache.hadoop.fs.Path(c.indexPath + "__compact_old")))
+    StreamingDedup.processBatch(
+      Seq(Doc(200, "body number 3 filler 0 tail 3 pad")).toDF(), 50L, c)
+    val pairs = spark.read.parquet(c.pairsPath)
+      .filter(col("batch_id") === 50L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists { case (a, b) => a == 3L && b == 200L },
+      s"recovered index should pair doc 200 with doc 3; got $pairs")
+  }
 }

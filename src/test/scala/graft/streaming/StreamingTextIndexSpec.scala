@@ -117,4 +117,59 @@ class StreamingTextIndexSpec extends SparkSpec {
     assert(totalFiles > after,
       s"no pruning: query reads all $totalFiles index files")
   }
+
+  test("compact folds per-batch partitions: file count drops, results " +
+      "and bucket pruning hold, later batches still land") {
+    val base = Files.createTempDirectory("stidx_compact").toString
+    val c = cfg(base)
+    // one doc per batch — the worst-case partition accretion
+    corpus.zipWithIndex.foreach { case (d, i) =>
+      StreamingTextIndex.processBatch(Seq(d).toDF(), i.toLong, c)
+    }
+    val expected = rows(StreamingTextIndex.query(spark, c, terms, 10))
+    val totalsBefore = StreamingTextIndex.readTotals(spark, c)
+    def storeFiles(): Int =
+      spark.read.parquet(c.indexPath).inputFiles.length +
+        spark.read.parquet(c.lengthsPath).inputFiles.length
+    val filesBefore = storeFiles()
+
+    StreamingTextIndex.compact(spark, c)
+
+    assert(storeFiles() < filesBefore,
+      s"compaction did not shrink the store: $filesBefore -> ${storeFiles()}")
+    assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) == expected)
+    assert(StreamingTextIndex.readTotals(spark, c) === totalsBefore)
+    // pruning preserved: the folded index still carries bucket partitions
+    // the query scan can skip (selectedPartitions, not inputFiles — the
+    // latter reports the whole relation regardless of filters)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val pruned = try StreamingTextIndex.prunedPostings(spark, c, terms)
+      .queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(pruned > 0 &&
+      pruned < spark.read.parquet(c.indexPath).inputFiles.length)
+
+    // a batch arriving after the fold (id above the untouched HWM) lands
+    // beside the batch_id=-1 partition and serves combined results
+    val extra = IdxDoc(6, "vector window vector window fresh arrival")
+    StreamingTextIndex.processBatch(Seq(extra).toDF(), 10L, c)
+    assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) ==
+      rows(TextAnalysis.bm25Search((corpus :+ extra).toDF(), terms, 10)))
+  }
+
+  test("a compaction crash between the swap renames heals on next read") {
+    val base = Files.createTempDirectory("stidx_crash").toString
+    val c = cfg(base)
+    StreamingTextIndex.processBatch(corpus.toDF(), 0L, c)
+    val expected = rows(StreamingTextIndex.query(spark, c, terms, 10))
+    // simulate the crash window: index root renamed aside, nothing installed
+    val fs = new org.apache.hadoop.fs.Path(c.indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(c.indexPath),
+      new org.apache.hadoop.fs.Path(c.indexPath + "__compact_old")))
+    assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) == expected)
+  }
 }
