@@ -666,6 +666,40 @@ object Cli {
                 .toSeq.map(_.trim.toInt))
             .collect().foreach(r => println(r.mkString("\t")))
 
+        case "audit-rotate" =>
+          // Seal the active command-audit segment (reference bin/logmgr):
+          //   audit-rotate --meta <dir>
+          graft.meta.CommandAudit.open(opts("meta")) match {
+            case f: graft.meta.FileCommandAudit =>
+              f.rotate()
+              println(s"""{"rotated": true}""")
+            case _ =>
+              // a JDBC repository has no log segments to manage
+              println(s"""{"rotated": false, "backend": "jdbc"}""")
+          }
+
+        case "text-index-compact" =>
+          // Fold the streaming text index's per-batch partitions:
+          //   text-index-compact --index <dir> --lengths <dir>
+          //                      --totals <dir> [--term-buckets 64]
+          val cfg = graft.streaming.StreamingTextIndex.Config(
+            indexPath = opts("index"), lengthsPath = opts("lengths"),
+            totalsPath = opts("totals"),
+            checkpointDir = opts("totals") + "/_ckpt",
+            termBuckets = opts.getOrElse("term-buckets", "64").toInt)
+          graft.streaming.StreamingTextIndex.compact(spark, cfg)
+          println(s"""{"compacted": true, "index_files": ${
+            spark.read.parquet(opts("index")).inputFiles.length}}""")
+
+        case "dedup-index-compact" =>
+          // Reclaim the streaming dedup band index's per-batch appends:
+          //   dedup-index-compact --index <dir> [--target-bytes N]
+          val res = graft.sink.Compaction.compact(spark, opts("index"),
+            targetBytes = opts.get("target-bytes").map(_.toLong)
+              .getOrElse(128L * 1024 * 1024))
+          println(s"""{"files_before": ${res.filesBefore}, """ +
+            s""""files_after": ${res.filesAfter}, "rows": ${res.rows}}""")
+
         case "compact" =>
           val res = graft.sink.Compaction.compact(spark, opts("path"),
             targetBytes = opts.get("target-bytes").map(_.toLong)

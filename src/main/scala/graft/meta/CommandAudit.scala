@@ -97,7 +97,55 @@ final class FileCommandAudit private[meta] (dir: String)
     extends CommandAudit {
   import CommandAudit._
 
+  // Active segment plus rotated, immutable predecessors (the reference's
+  // `bin/logmgr` log-management analogue): `command_audit.jsonl` takes
+  // appends; [[rotate]] seals it as `command_audit.NNNNNN.jsonl`. The id
+  // sequence is global across segments — a reopen seeds past the max id
+  // found in ANY segment, so ids stay monotone over rotations and
+  // restarts, and `runs()` folds rotated history and active appends into
+  // one timeline.
   private val path = Paths.get(dir, "command_audit.jsonl")
+  private val SegName = """command_audit\.(\d{6})\.jsonl""".r
+
+  /** Auto-rotation fence (bytes); Long.MaxValue = manual [[rotate]] only.
+    * Read once per instance from `graft.audit.segment.bytes`. */
+  private val maxSegmentBytes: Long =
+    sys.props.get("graft.audit.segment.bytes").map(_.toLong)
+      .getOrElse(Long.MaxValue)
+
+  private def segmentPaths(): Seq[java.nio.file.Path] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => SegName.pattern.matcher(p.getFileName.toString)
+            .matches())
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+  }
+
+  /** Seal the active segment: fold any unread bytes, then atomically
+    * rename it to the next numbered segment. The next append starts a
+    * fresh active file; event ids keep counting (the in-memory sequence
+    * is untouched, and a later reopen re-seeds from all segments). A
+    * torn trailing line (crash evidence) blocks rotation — sealing it
+    * would strand the fragment where its continuation can never land. */
+  def rotate(): Unit = synchronized {
+    ingestNew()
+    if (!Files.exists(path) || Files.size(path) == 0) return
+    if (pendingTail.nonEmpty) return
+    val seq = segmentPaths().lastOption
+      .map(_.getFileName.toString match {
+        case SegName(n) => n.toInt + 1
+      }).getOrElse(1)
+    Files.move(path, Paths.get(dir, f"command_audit.$seq%06d.jsonl"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ingestedOffset = 0L
+  }
 
   private def esc(s: String): String =
     s.flatMap {
@@ -126,6 +174,7 @@ final class FileCommandAudit private[meta] (dir: String)
     // fold the event straight into the in-memory index (reads only the
     // bytes this append produced)
     ingestNew()
+    if (Files.size(path) >= maxSegmentBytes) rotate()
     eid
   }
 
@@ -324,8 +373,14 @@ final class FileCommandAudit private[meta] (dir: String)
     }.sortBy(-_.commandId)
   }
 
-  // constructor tail: fold any existing file and seed the id sequence so
-  // ids keep increasing across restarts (reference repo-sequence semantics)
+  // constructor tail: fold rotated segments (immutable, whole-file) then
+  // the active file, and seed the id sequence past the max id seen in ANY
+  // segment so ids keep increasing across rotations and restarts
+  // (reference repo-sequence semantics)
+  segmentPaths().foreach { p =>
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.foreach(ingestLine)
+  }
   ingestNew()
   nextId.set(maxSeenId + 1)
 }

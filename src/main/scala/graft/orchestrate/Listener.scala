@@ -170,6 +170,43 @@ object Listener {
       val path = ex.getRequestURI.getPath.stripSuffix("/")
       val method = ex.getRequestMethod
       (method, path.split('/').toList.filter(_.nonEmpty)) match {
+        case ("GET", List("api", "docs")) =>
+          // Self-describing route inventory — the reference serves
+          // OpenAPI docs endpoints (`listener/api/routes/docs.py`); here
+          // a minimal OpenAPI-shaped document listing every route this
+          // listener dispatches, so a client can discover the surface
+          // without reading source.
+          def entry(m: String, p: String, summary: String): String =
+            q(p) + s""": {${q(m.toLowerCase)}: {"summary": ${q(summary)}}}"""
+          val paths = Seq(
+            entry("GET", "/api/docs", "this route inventory"),
+            entry("GET", "/api/system/heartbeat",
+              "listener liveness (alive ⇔ beat within 2× interval)"),
+            entry("GET", "/api/system/status",
+              "offloaded-table count"),
+            entry("GET", "/api/system/schemas/{table}/columns",
+              "stored column stats"),
+            entry("GET", "/api/system/schemas/{table}/partitions",
+              "stored partition stats"),
+            entry("GET", "/api/system/views/{table}",
+              "hybrid/conversion view clauses"),
+            entry("GET", "/api/orchestration/progress",
+              "server-sent step events for the running command"),
+            entry("GET", "/api/orchestration/runs",
+              "command run histories, newest first"),
+            entry("GET", "/api/orchestration/runs/{executionId}",
+              "one command run by execution id"),
+            entry("GET", "/api/orchestration/offloads",
+              "all offload metadata documents"),
+            entry("GET", "/api/orchestration/offloads/{table}",
+              "one table's offload metadata"),
+            entry("POST", "/api/orchestration/offload",
+              "run an offload (json body: source, final, ...)"))
+            .mkString("{", ", ", "}")
+          respond(ex, 200,
+            s"""{"openapi": "3.0.0", "info": {"title": ${q("graft listener")}, """ +
+            s""""version": "1"}, "paths": $paths}""")
+
         case ("GET", List("api", "system", "heartbeat")) =>
           val now = System.currentTimeMillis()
           val beat = lastBeat.get()

@@ -84,4 +84,66 @@ class CommandAuditSpec extends AnyFunSuite {
     val cid = audit.startCommand("e2", "OFFLOAD", "t2")
     assert(cid > 1000)
   }
+
+  test("rotation seals numbered segments; reads span every segment and " +
+      "the id sequence stays monotone across rotations and reopens") {
+    val dir = Files.createTempDirectory("graft_audit_rot").toString
+    val audit = new FileCommandAudit(dir)
+    def oneCommand(n: Int): Long = {
+      val exec = CommandAudit.newExecutionId()
+      val cid = audit.startCommand(exec, "OFFLOAD", s"t$n")
+      val sid = audit.startStep(exec, "OFFLOAD", s"step$n")
+      audit.endStep(sid, CommandAudit.Success)
+      audit.endCommand(cid, CommandAudit.Success)
+      cid
+    }
+    val c1 = oneCommand(1)
+    audit.rotate()
+    val c2 = oneCommand(2)
+    audit.rotate()
+    val c3 = oneCommand(3)
+    assert(Files.exists(Paths.get(dir, "command_audit.000001.jsonl")))
+    assert(Files.exists(Paths.get(dir, "command_audit.000002.jsonl")))
+    assert(c1 < c2 && c2 < c3) // monotone across seals
+    // one timeline across segments + active file
+    val runs = audit.runs()
+    assert(runs.map(_.commandInput).sorted == Seq("t1", "t2", "t3"))
+    assert(runs.forall(r => r.status == CommandAudit.Success &&
+      r.steps.nonEmpty))
+    // an end event in a LATER segment resolves a begin sealed earlier
+    val exec4 = CommandAudit.newExecutionId()
+    val c4 = audit.startCommand(exec4, "OFFLOAD", "t4")
+    audit.rotate()
+    audit.endCommand(c4, CommandAudit.Success)
+    assert(audit.run(exec4).get.status == CommandAudit.Success)
+    // restart: a fresh instance folds all segments and seeds past them
+    val reopened = new FileCommandAudit(dir)
+    assert(reopened.runs().map(_.commandInput).sorted ==
+      Seq("t1", "t2", "t3", "t4"))
+    val next = reopened.startCommand("e5", "OFFLOAD", "t5")
+    assert(next > reopened.runs().flatMap(r =>
+      r.commandId +: r.steps.map(_.stepId)).filter(_ != next).max)
+  }
+
+  test("size-based auto-rotation seals segments as the fence is crossed") {
+    val dir = Files.createTempDirectory("graft_audit_auto").toString
+    sys.props("graft.audit.segment.bytes") = "256"
+    try {
+      val audit = new FileCommandAudit(dir)
+      (1 to 8).foreach { i =>
+        val cid = audit.startCommand(
+          CommandAudit.newExecutionId(), "OFFLOAD", s"cmd$i")
+        audit.endCommand(cid, CommandAudit.Success)
+      }
+      val segs = Files.list(Paths.get(dir)).iterator()
+      var n = 0
+      while (segs.hasNext) {
+        if (segs.next().getFileName.toString
+            .matches("command_audit\\.\\d{6}\\.jsonl")) n += 1
+      }
+      assert(n >= 2, s"expected auto-sealed segments, found $n")
+      assert(audit.runs().size == 8)
+      assert(audit.runs().forall(_.status == CommandAudit.Success))
+    } finally { sys.props -= "graft.audit.segment.bytes"; () }
+  }
 }

@@ -60,6 +60,19 @@ class ListenerSpec extends SparkSpec {
         cols.body().contains("\"name\": \"n_name\""))
       val parts = get(s"$root/api/system/schemas/nation/partitions/")
       assert(parts.statusCode() == 200 && parts.body().contains("\"rows\":"))
+
+      // docs route: an OpenAPI-shaped inventory naming every route the
+      // dispatcher serves (reference listener/api/routes/docs.py)
+      val docs = get(s"$root/api/docs/")
+      assert(docs.statusCode() == 200)
+      assert(docs.body().contains("\"openapi\""))
+      Seq("/api/system/heartbeat", "/api/system/status",
+        "/api/system/schemas/{table}/columns",
+        "/api/system/views/{table}", "/api/orchestration/progress",
+        "/api/orchestration/runs", "/api/orchestration/offloads",
+        "/api/orchestration/offload").foreach { p =>
+        assert(docs.body().contains("\"" + p + "\""), s"docs missing $p")
+      }
     } finally srv.stop()
   }
 
