@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsExtras, CurationExtras, ExtraQueries, GoeQueries, PipelineQueries, TpchShapes}
+import graft.queries.{AnalyticsExtras, CurationExtras, DsShapes, ExtraQueries, GoeQueries, PipelineQueries, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GoeQueries.defs ++ PipelineQueries.defs ++ ExtraQueries.defs ++
-      TpchShapes.defs ++ CurationExtras.defs ++ AnalyticsExtras.defs
+      TpchShapes.defs ++ CurationExtras.defs ++ AnalyticsExtras.defs ++
+      DsShapes.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     GoeQueries.oracles ++ PipelineQueries.oracles ++ ExtraQueries.oracles ++
-      TpchShapes.oracles ++ CurationExtras.oracles ++ AnalyticsExtras.oracles
+      TpchShapes.oracles ++ CurationExtras.oracles ++
+      AnalyticsExtras.oracles ++ DsShapes.oracles
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** TPC-DS-style decision-support shapes over the driver star schema —
+  * the pattern space TPC-H leaves uncovered (VERDICT r9 "stretch"):
+  * multi-channel union reporting (DS Q5), grouping-sets cube slices
+  * (DS Q27/Q36), year-over-year self-comparison (DS Q74), and
+  * cross-channel customer intersection (DS Q38/Q87).
+  *
+  * The schema has no store/web/catalog triplicate tables, so the channel
+  * dimension is DERIVED deterministically (`o_orderkey % 3` →
+  * store/web/catalog) — same literal rule in the Spark plan and the
+  * DuckDB oracle, which keeps every shape hash-comparable while
+  * exercising the real plan patterns: union-then-rollup over a derived
+  * dimension, partial-aggregate reuse across grouping sets, and a
+  * self-join on the aggregate relation (never on the fact).
+  *
+  * Money stays in e4/e2 fixed-point DECIMAL(38,0) through every
+  * aggregate (the TpchShapes contract) and lands as BIGINT.
+  */
+object DsShapes {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Deterministic synthetic channel — the DS store/web/catalog axis. */
+  private def channelCol: Column =
+    when(pmod(col("o_orderkey"), lit(3)) === 0, "store")
+      .when(pmod(col("o_orderkey"), lit(3)) === 1, "web")
+      .otherwise("catalog")
+
+  private val ChannelSql =
+    """CASE o_orderkey % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'
+       ELSE 'catalog' END"""
+
+  /** l_extendedprice*(1-l_discount) in e4 fixed-point (exact). */
+  private def revE4: Column =
+    (col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") -
+        col("l_discount").cast("decimal(12,2)")) *
+      lit(10000)).cast("decimal(38,0)")
+
+  private val RevE4Sql =
+    """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+         * 10000 AS HUGEINT)"""
+
+  /** The channel-tagged sales fact: one lineitem ⋈ orders pass shared by
+    * the channel shapes (rev e4, return flag, order year). */
+  private def channelSales(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(channelCol.as("channel"), col("o_orderstatus"),
+        year(col("o_orderdate")).as("order_year"),
+        revE4.as("rev_e4"),
+        (col("l_returnflag") === "R").as("is_return"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multi-channel profit report (TPC-DS Q5 shape): sales and returns
+    // per (channel, order status) with ROLLUP subtotals and a grand
+    // total. One fact pass; the rollup is a partial-aggregate tree over
+    // the (channel × status) aggregate — never a re-scan per level.
+    "q240_channel_sales_rollup" -> { (s, dir) =>
+      channelSales(s, dir)
+        .rollup(col("channel"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("rev_e4")).as("s_e4"),
+          sum(when(col("is_return"), col("rev_e4"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("r_e4"))
+        .select(coalesce(col("channel"), lit("ALL")).as("channel"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          col("n_lines"),
+          col("s_e4").cast("long").as("sales_e4"),
+          col("r_e4").cast("long").as("returns_e4"))
+        .orderBy(col("channel"), col("o_orderstatus"))
+    },
+
+    // Grouping-sets slice report (TPC-DS Q27/Q36 shape): line counts,
+    // quantity, and revenue by (brand × size bucket), by brand, by size
+    // bucket, and overall — four slices from ONE aggregate pass via
+    // native grouping sets (Spark compiles them to a shared partial
+    // aggregate, not four scans).
+    "q241_brand_size_grouping_sets" -> { (s, dir) =>
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("p_size div 10").cast("long").as("size_bucket"),
+          (col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)").as("qty_e2"),
+          revE4.as("rev_e4"))
+      base.groupingSets(
+          Seq(Seq(col("p_brand"), col("size_bucket")),
+            Seq(col("p_brand")), Seq(col("size_bucket")), Seq()),
+          col("p_brand"), col("size_bucket"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("qty_e2")).as("q_e2"), sum(col("rev_e4")).as("r_e4"))
+        .select(coalesce(col("p_brand"), lit("ALL")).as("p_brand"),
+          coalesce(col("size_bucket"), lit(-1L)).as("size_bucket"),
+          col("n_lines"),
+          col("q_e2").cast("long").as("qty_e2"),
+          col("r_e4").cast("long").as("rev_e4"))
+        .orderBy(col("p_brand"), col("size_bucket"))
+    },
+
+    // Year-over-year channel growth (TPC-DS Q74 shape): yearly revenue
+    // per channel, then the self-join runs on the (channel × year)
+    // AGGREGATE relation — dozens of rows — never on the fact.
+    "q242_channel_yoy" -> { (s, dir) =>
+      val yearly = channelSales(s, dir)
+        .groupBy(col("channel"), col("order_year"))
+        .agg(sum(col("rev_e4")).as("rev_e4"))
+      val prev = yearly.select(col("channel"),
+        (col("order_year") + 1).as("order_year"),
+        col("rev_e4").as("prev_e4"))
+      yearly.join(prev, Seq("channel", "order_year"))
+        .select(col("channel"), col("order_year"),
+          col("rev_e4").cast("long").as("rev_e4"),
+          col("prev_e4").cast("long").as("prev_rev_e4"),
+          (col("rev_e4") * 1000000L).cast("decimal(38,0)")
+            .divide(col("prev_e4")).cast("long").as("yoy_ppm"))
+        .orderBy(col("channel"), col("order_year"))
+    },
+
+    // Cross-channel loyal customers (TPC-DS Q38/Q87 shape): customers
+    // active in ALL three channels, rolled up by market segment. The
+    // intersection is countDistinct(channel) = 3 on the (customer ×
+    // channel) DISTINCT relation — one shuffle, no three-way self-join.
+    "q243_cross_channel_customers" -> { (s, dir) =>
+      val loyal = t(s, dir, "orders")
+        .select(col("o_custkey"), channelCol.as("channel"))
+        .distinct()
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("channel")).as("n_channels"))
+        .filter(col("n_channels") === 3)
+      t(s, dir, "customer")
+        .join(loyal, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          (sum(col("c_acctbal").cast("decimal(12,2)") * 100))
+            .cast("long").as("acctbal_e2"))
+        .orderBy(col("c_mktsegment"))
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q240_channel_sales_rollup" ->
+      s"""WITH f AS (SELECT $ChannelSql AS channel, o_orderstatus,
+           $RevE4Sql AS rev_e4, l_returnflag = 'R' AS is_return
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT COALESCE(channel, 'ALL') AS channel,
+           COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(rev_e4) AS BIGINT) AS sales_e4,
+           CAST(SUM(CASE WHEN is_return THEN rev_e4 ELSE 0 END)
+             AS BIGINT) AS returns_e4
+         FROM f GROUP BY ROLLUP (channel, o_orderstatus)
+         ORDER BY channel, o_orderstatus""",
+
+    "q241_brand_size_grouping_sets" ->
+      s"""WITH f AS (SELECT p_brand, p_size // 10 AS size_bucket,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT)
+             AS qty_e2,
+           $RevE4Sql AS rev_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT COALESCE(p_brand, 'ALL') AS p_brand,
+           COALESCE(size_bucket, -1) AS size_bucket,
+           COUNT(*) AS n_lines,
+           CAST(SUM(qty_e2) AS BIGINT) AS qty_e2,
+           CAST(SUM(rev_e4) AS BIGINT) AS rev_e4
+         FROM f GROUP BY GROUPING SETS ((p_brand, size_bucket),
+           (p_brand), (size_bucket), ())
+         ORDER BY p_brand, size_bucket""",
+
+    "q242_channel_yoy" ->
+      s"""WITH f AS (SELECT $ChannelSql AS channel,
+           year(o_orderdate) AS order_year, $RevE4Sql AS rev_e4
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         y AS (SELECT channel, order_year, SUM(rev_e4) AS rev_e4
+           FROM f GROUP BY 1, 2)
+         SELECT cur.channel, cur.order_year,
+           CAST(cur.rev_e4 AS BIGINT) AS rev_e4,
+           CAST(prv.rev_e4 AS BIGINT) AS prev_rev_e4,
+           CAST(cur.rev_e4 * 1000000 // prv.rev_e4 AS BIGINT) AS yoy_ppm
+         FROM y cur JOIN y prv
+           ON cur.channel = prv.channel
+           AND cur.order_year = prv.order_year + 1
+         ORDER BY cur.channel, cur.order_year""",
+
+    "q243_cross_channel_customers" ->
+      s"""WITH oc AS (SELECT DISTINCT o_custkey,
+           $ChannelSql AS channel FROM orders),
+         loyal AS (SELECT o_custkey FROM oc GROUP BY 1
+           HAVING COUNT(DISTINCT channel) = 3)
+         SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+             AS acctbal_e2
+         FROM customer JOIN loyal ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""")
+}

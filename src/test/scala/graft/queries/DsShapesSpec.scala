@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants for the TPC-DS-style shapes (q240–q243) —
+  * cross-slice conservation laws the DuckDB hash gate can't state.
+  * Oracle equivalence itself is covered by the driver gate. */
+class DsShapesSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q240: rollup levels conserve — channel subtotals sum to the " +
+      "grand total, which counts every joined line") {
+    val out = DsShapes.defs("q240_channel_sales_rollup")(spark, dir)
+    val grand = out.filter(col("channel") === "ALL" &&
+      col("o_orderstatus") === "ALL")
+    assert(grand.count() === 1L)
+    val g = grand.head
+    val joined = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(g.getAs[Long]("n_lines") === joined)
+    // per-channel subtotal rows sum to the grand total, for every measure
+    val chs = out.filter(col("channel") =!= "ALL" &&
+        col("o_orderstatus") === "ALL")
+      .agg(sum(col("n_lines")), sum(col("sales_e4")),
+        sum(col("returns_e4"))).head
+    assert(chs.getLong(0) === g.getAs[Long]("n_lines"))
+    assert(chs.getLong(1) === g.getAs[Long]("sales_e4"))
+    assert(chs.getLong(2) === g.getAs[Long]("returns_e4"))
+    // returns never exceed sales at any level
+    assert(out.filter(col("returns_e4") > col("sales_e4")).count() === 0L)
+  }
+
+  test("q241: every grouping-sets slice conserves the overall totals") {
+    val out = DsShapes.defs("q241_brand_size_grouping_sets")(spark, dir)
+    val overall = out.filter(col("p_brand") === "ALL" &&
+      col("size_bucket") === -1L).head
+    // the (brand) slice, the (bucket) slice, and the (brand × bucket)
+    // cells each partition the same fact rows
+    Seq(
+      col("p_brand") =!= "ALL" && col("size_bucket") === -1L,
+      col("p_brand") === "ALL" && col("size_bucket") =!= -1L,
+      col("p_brand") =!= "ALL" && col("size_bucket") =!= -1L)
+      .foreach { slice =>
+        val s = out.filter(slice)
+          .agg(sum(col("n_lines")), sum(col("qty_e2")),
+            sum(col("rev_e4"))).head
+        assert(s.getLong(0) === overall.getAs[Long]("n_lines"))
+        assert(s.getLong(1) === overall.getAs[Long]("qty_e2"))
+        assert(s.getLong(2) === overall.getAs[Long]("rev_e4"))
+      }
+  }
+
+  test("q242: yoy ratio is exactly the adjacent-year revenue quotient") {
+    val out = DsShapes.defs("q242_channel_yoy")(spark, dir)
+    assert(out.count() > 0)
+    assert(out.filter(
+      col("yoy_ppm") =!= expr("rev_e4 * 1000000L div prev_rev_e4"))
+      .count() === 0L)
+    // the joined prev value really is that channel's previous year
+    val self = out.select(col("channel"),
+      (col("order_year") - 1).as("order_year"),
+      col("prev_rev_e4").as("check_e4"))
+    val mismatch = out
+      .select(col("channel"), col("order_year"), col("rev_e4"))
+      .join(self, Seq("channel", "order_year"))
+      .filter(col("rev_e4") =!= col("check_e4"))
+    assert(mismatch.count() === 0L)
+  }
+
+  test("q243: counted customers each order through all three channels") {
+    val out = DsShapes.defs("q243_cross_channel_customers")(spark, dir)
+    val counted = out.agg(sum(col("n_customers"))).head.getLong(0)
+    val loyal = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        pmod(col("o_orderkey"), lit(3)).as("ch"))
+      .distinct()
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("ch")).as("n"))
+      .filter(col("n") === 3)
+    assert(counted === loyal.count())
+    assert(counted > 0)
+  }
+}
