@@ -128,6 +128,55 @@ object DsShapes {
         .orderBy(col("channel"), col("order_year"))
     },
 
+    // Top slices within a rollup (TPC-DS Q67 shape): rank each brand's
+    // size-bucket cells by revenue and keep the top 3 per brand. The
+    // window runs over the (brand × bucket) AGGREGATE relation —
+    // bounded by the dimension product — partitioned by brand; the fact
+    // is touched once, by the aggregate.
+    "q244_brand_bucket_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          expr("p_size div 10").cast("long").as("size_bucket"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(revE4).as("r_e4"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("r_e4").desc, col("size_bucket"))
+      cells.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("size_bucket"), col("n_lines"),
+          col("r_e4").cast("long").as("rev_e4"), col("rk"))
+        .orderBy(col("p_brand"), col("rk"))
+    },
+
+    // Cumulative channel crossover (TPC-DS Q51 shape): running revenue
+    // per channel by order day, then store-vs-web compared where both
+    // series are defined — the cumulative windows run per channel over
+    // the (channel × day) aggregate, never over order rows.
+    "q245_channel_crossover" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(channelCol.as("channel"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(38,0)")).as("d_e2"))
+      val w = Window.partitionBy(col("channel")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily.withColumn("cum_e2", sum(col("d_e2")).over(w))
+      val store = cum.filter(col("channel") === "store")
+        .select(col("day"), col("cum_e2").as("store_cum"))
+      val web = cum.filter(col("channel") === "web")
+        .select(col("day"), col("cum_e2").as("web_cum"))
+      store.join(web, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("store_cum").cast("long").as("store_cum_e2"),
+          col("web_cum").cast("long").as("web_cum_e2"),
+          (col("web_cum") > col("store_cum")).as("web_leads"))
+        .orderBy(col("day"))
+    },
+
     // Cross-channel loyal customers (TPC-DS Q38/Q87 shape): customers
     // active in ALL three channels, rolled up by market segment. The
     // intersection is countDistinct(channel) = 3 on the (customer ×
@@ -192,6 +241,38 @@ object DsShapes {
            ON cur.channel = prv.channel
            AND cur.order_year = prv.order_year + 1
          ORDER BY cur.channel, cur.order_year""",
+
+    "q244_brand_bucket_topk" ->
+      s"""WITH cells AS (SELECT p_brand, p_size // 10 AS size_bucket,
+           COUNT(*) AS n_lines, SUM($RevE4Sql) AS r_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2),
+         rk AS (SELECT p_brand, size_bucket, n_lines, r_e4,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY r_e4 DESC, size_bucket) AS rk
+           FROM cells)
+         SELECT p_brand, size_bucket, n_lines,
+           CAST(r_e4 AS BIGINT) AS rev_e4, CAST(rk AS INT) AS rk
+         FROM rk WHERE rk <= 3 ORDER BY p_brand, rk""",
+
+    "q245_channel_crossover" ->
+      s"""WITH daily AS (SELECT $ChannelSql AS channel,
+           CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+             AS HUGEINT)) AS d_e2
+         FROM orders GROUP BY 1, 2),
+         cum AS (SELECT channel, day,
+             SUM(d_e2) OVER (PARTITION BY channel ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_e2
+           FROM daily)
+         SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(s.cum_e2 AS BIGINT) AS store_cum_e2,
+           CAST(w.cum_e2 AS BIGINT) AS web_cum_e2,
+           w.cum_e2 > s.cum_e2 AS web_leads
+         FROM cum s JOIN cum w ON s.day = w.day
+         WHERE s.channel = 'store' AND w.channel = 'web'
+         ORDER BY s.day""",
 
     "q243_cross_channel_customers" ->
       s"""WITH oc AS (SELECT DISTINCT o_custkey,

@@ -71,6 +71,35 @@ class DsShapesSpec extends SparkSpec {
     assert(mismatch.count() === 0L)
   }
 
+  test("q244: at most three cells per brand, rank 1 carries the brand " +
+      "maximum revenue") {
+    val out = DsShapes.defs("q244_brand_bucket_topk")(spark, dir)
+    val perBrand = out.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("max_rk"),
+        max(col("rev_e4")).as("max_rev"))
+    assert(perBrand.filter(col("n") > 3 || col("max_rk") > 3)
+      .count() === 0L)
+    val rank1 = out.filter(col("rk") === 1)
+      .select(col("p_brand"), col("rev_e4").as("r1"))
+    assert(perBrand.join(rank1, "p_brand")
+      .filter(col("r1") =!= col("max_rev")).count() === 0L)
+  }
+
+  test("q245: cumulative series are nondecreasing and web_leads states " +
+      "the comparison") {
+    import org.apache.spark.sql.expressions.Window
+    val out = DsShapes.defs("q245_channel_crossover")(spark, dir)
+    assert(out.count() > 0)
+    assert(out.filter(col("web_leads") =!=
+      (col("web_cum_e2") > col("store_cum_e2"))).count() === 0L)
+    val w = Window.orderBy(col("day"))
+    Seq("store_cum_e2", "web_cum_e2").foreach { c =>
+      val dec = out.withColumn("prev", lag(col(c), 1).over(w))
+        .filter(col("prev").isNotNull && col(c) < col("prev"))
+      assert(dec.count() === 0L, s"$c decreased")
+    }
+  }
+
   test("q243: counted customers each order through all three channels") {
     val out = DsShapes.defs("q243_cross_channel_customers")(spark, dir)
     val counted = out.agg(sum(col("n_customers"))).head.getLong(0)
