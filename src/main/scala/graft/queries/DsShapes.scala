@@ -116,6 +116,7 @@ object DsShapes {
       val yearly = channelSales(s, dir)
         .groupBy(col("channel"), col("order_year"))
         .agg(sum(col("rev_e4")).as("rev_e4"))
+        .persist() // both self-join sides — one fact pass, not two
       val prev = yearly.select(col("channel"),
         (col("order_year") + 1).as("order_year"),
         col("rev_e4").as("prev_e4"))
@@ -165,6 +166,7 @@ object DsShapes {
       val w = Window.partitionBy(col("channel")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = daily.withColumn("cum_e2", sum(col("d_e2")).over(w))
+        .persist() // store and web branches — one orders pass, not two
       val store = cum.filter(col("channel") === "store")
         .select(col("day"), col("cum_e2").as("store_cum"))
       val web = cum.filter(col("channel") === "web")
