@@ -249,6 +249,20 @@ final class JdbcMetaRepo private (url: String) {
     } finally ps.close()
   }
 
+  /** Tables with a metadata row, sorted (the file backend's directory
+    * listing, as a repo query). */
+  def listTables(): Seq[String] = synchronized {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        "SELECT frontend_object FROM offload_metadata ORDER BY frontend_object")
+      val out = mutable.ArrayBuffer.empty[String]
+      while (rs.next()) out += rs.getString(1)
+      rs.close()
+      out.toSeq
+    } finally st.close()
+  }
+
   // ---- command audit (shared by JdbcCommandAudit) ----
 
   private def now(): Long = System.currentTimeMillis()

@@ -160,4 +160,24 @@ object MetadataStore {
           new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
       else None
     }
+
+  /** Every table with persisted offload metadata, sorted — the listener
+    * and status-report inventory, backend-dispatched like save/load
+    * (a repo query on `jdbc:`, a directory listing otherwise). */
+  def listTables(dir: String): Seq[String] =
+    if (JdbcMetaRepo.isJdbc(dir)) JdbcMetaRepo.forUrl(dir).listTables()
+    else {
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) Nil
+      else {
+        val s = Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.endsWith(".json") && !n.endsWith(".stats.json"))
+            .map(_.stripSuffix(".json")).toSeq.sorted
+        } finally s.close()
+      }
+    }
 }

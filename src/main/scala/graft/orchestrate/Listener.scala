@@ -116,17 +116,8 @@ object Listener {
     s""""steps": $steps, "chunks": $chunks}"""
   }
 
-  private def listTables(metadataDir: String): Seq[String] = {
-    val dir = java.nio.file.Paths.get(metadataDir)
-    if (!java.nio.file.Files.isDirectory(dir)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(".json") && !n.endsWith(".stats.json"))
-        .map(_.stripSuffix(".json")).toSeq.sorted
-    }
-  }
+  private def listTables(metadataDir: String): Seq[String] =
+    MetadataStore.listTables(metadataDir)
 
   def start(spark: SparkSession, metadataDir: String, port: Int = 0,
             token: Option[String] = None,

@@ -111,15 +111,9 @@ object StatusReport {
   def rows(spark: SparkSession, metadataDir: String,
            sourceCatalogs: Map[String, Seq[SourcePartition]] = Map.empty)
       : Seq[StatusRow] = {
-    val dir = Paths.get(metadataDir)
-    val metas =
-      if (!Files.isDirectory(dir)) Nil
-      else Files.list(dir).iterator().asScala
-        .filter(_.toString.endsWith(".json"))
-        .flatMap { p =>
-          val name = p.getFileName.toString.stripSuffix(".json")
-          MetadataStore.load(metadataDir, name)
-        }.toSeq.sortBy(_.sourceTable)
+    val metas = MetadataStore.listTables(metadataDir)
+      .flatMap(MetadataStore.load(metadataDir, _))
+      .sortBy(_.sourceTable)
     metas.map { m =>
       val backendPath = Paths.get(m.backendTable)
       val exists = Files.exists(backendPath)

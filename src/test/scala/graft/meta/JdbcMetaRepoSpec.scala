@@ -125,6 +125,18 @@ class JdbcMetaRepoSpec extends AnyFunSuite {
       .contains("offload orders"))
   }
 
+  test("listTables inventories the repo like the file backend's " +
+      "directory listing") {
+    val url = derbyUrl()
+    val dir = Files.createTempDirectory("graft_meta_list").toString
+    Seq("orders", "lineitem").foreach { t =>
+      MetadataStore.save(url, sampleMeta(t, "1"))
+      MetadataStore.save(dir, sampleMeta(t, "1"))
+    }
+    assert(MetadataStore.listTables(url) === Seq("lineitem", "orders"))
+    assert(MetadataStore.listTables(url) === MetadataStore.listTables(dir))
+  }
+
   test("fsScratch derives a filesystem home beside a derby db and is " +
       "the identity on plain dirs") {
     assert(JdbcMetaRepo.fsScratch("/tmp/x") === "/tmp/x")
