@@ -33,6 +33,13 @@ import scala.collection.mutable
   */
 object JdbcMetaRepo {
 
+  /** Engine version recorded in the repo's `goe_version` table and
+    * stamped on every command row (reference `goe_version` /
+    * `command_execution.goe_version_id`,
+    * create_offload_repo_100.sql:220) — a repo shared by rolling
+    * deployments can attribute every run to the binary that wrote it. */
+  val EngineVersion = "0.1.0"
+
   def isJdbc(dir: String): Boolean = dir.startsWith("jdbc:")
 
   // one repo (and one connection) per URL, process-wide — id integrity
@@ -113,7 +120,8 @@ final class JdbcMetaRepo private (url: String) {
            status             VARCHAR(30) NOT NULL,
            command_type       VARCHAR(128) NOT NULL,
            command_input      CLOB NOT NULL,
-           command_parameters CLOB
+           command_parameters CLOB,
+           goe_version        VARCHAR(64)
          )""",
       // reference command_execution_step (create_offload_repo_100.sql:99)
       """CREATE TABLE command_execution_step (
@@ -137,6 +145,12 @@ final class JdbcMetaRepo private (url: String) {
            chunk_rows         BIGINT,
            start_time         BIGINT NOT NULL,
            end_time           BIGINT
+         )""",
+      // reference goe_version (create_offload_repo_100.sql:220)
+      """CREATE TABLE goe_version (
+           id          BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+           version     VARCHAR(64) NOT NULL,
+           create_time BIGINT NOT NULL
          )""")
     val st = c.createStatement()
     try ddl.foreach { sql =>
@@ -145,6 +159,23 @@ final class JdbcMetaRepo private (url: String) {
         case e: SQLException if e.getSQLState == "X0Y32" => () // exists
       }
     } finally st.close()
+    // register this engine version once (reference goe_version rows)
+    val chk = c.prepareStatement(
+      "SELECT COUNT(*) FROM goe_version WHERE version = ?")
+    val present = try {
+      chk.setString(1, JdbcMetaRepo.EngineVersion)
+      val rs = chk.executeQuery(); rs.next()
+      val n = rs.getLong(1); rs.close(); n > 0
+    } finally chk.close()
+    if (!present) {
+      val ins = c.prepareStatement(
+        "INSERT INTO goe_version (version, create_time) VALUES (?, ?)")
+      try {
+        ins.setString(1, JdbcMetaRepo.EngineVersion)
+        ins.setLong(2, System.currentTimeMillis())
+        ins.executeUpdate(); ()
+      } finally ins.close()
+    }
   }
 
   // ---- offload metadata ----
@@ -291,8 +322,8 @@ final class JdbcMetaRepo private (url: String) {
       parameters: Map[String, String]): Long =
     insertReturningId(
       "INSERT INTO command_execution (uuid, start_time, status, " +
-        "command_type, command_input, command_parameters) " +
-        "VALUES (?, ?, ?, ?, ?, ?)") { ps =>
+        "command_type, command_input, command_parameters, goe_version) " +
+        "VALUES (?, ?, ?, ?, ?, ?, ?)") { ps =>
       ps.setString(1, executionId)
       ps.setLong(2, now())
       ps.setString(3, CommandAudit.Executing)
@@ -300,6 +331,7 @@ final class JdbcMetaRepo private (url: String) {
       ps.setString(5, commandInput)
       ps.setString(6, parameters.toSeq.sortBy(_._1)
         .map { case (k, v) => k + "=" + v }.mkString("\n"))
+      ps.setString(7, JdbcMetaRepo.EngineVersion)
     }
 
   private[meta] def auditEndCommand(commandId: Long,

@@ -125,6 +125,29 @@ class JdbcMetaRepoSpec extends AnyFunSuite {
       .contains("offload orders"))
   }
 
+  test("engine version registers once in goe_version and stamps every " +
+      "command row") {
+    val url = derbyUrl()
+    val audit = CommandAudit.open(url)
+    val c1 = audit.startCommand(CommandAudit.newExecutionId(), "OFFLOAD",
+      "a")
+    audit.endCommand(c1, CommandAudit.Success)
+    audit.startCommand(CommandAudit.newExecutionId(), "OFFLOAD", "b")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      val rv = st.executeQuery(
+        "SELECT COUNT(*) FROM goe_version WHERE version = '" +
+          JdbcMetaRepo.EngineVersion + "'")
+      rv.next(); assert(rv.getLong(1) === 1L); rv.close()
+      val rc = st.executeQuery(
+        "SELECT COUNT(*) FROM command_execution WHERE goe_version = '" +
+          JdbcMetaRepo.EngineVersion + "'")
+      rc.next(); assert(rc.getLong(1) === 2L); rc.close()
+      st.close()
+    } finally conn.close()
+  }
+
   test("listTables inventories the repo like the file backend's " +
       "directory listing") {
     val url = derbyUrl()
