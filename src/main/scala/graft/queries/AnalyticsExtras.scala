@@ -360,6 +360,46 @@ object AnalyticsExtras {
         .orderBy(col("q_id"))
     },
 
+    // Contrastive pair mining (training-data op): for each sampled
+    // anchor vector, its nearest SAME-label neighbor (positive) and its
+    // nearest OTHER-label neighbor (hard negative) with the cosine
+    // margin between them — the batch that trains a contrastive
+    // embedding model. Same plan as q228's calibration: anchors are a
+    // broadcast sample, the corpus scans once, the top-1-per-class
+    // window is per (anchor, class-flag). At 100 TB the brute-force
+    // scan swaps for the IVF probe (q86) — the mining logic on top is
+    // unchanged.
+    "q246_hard_negatives" -> { (s, dir) =>
+      val dim = PipelineQueries.Dim
+      val withNorm = t(s, dir, "embeddings")
+        .withColumn("nrm", Similarity.norm(col("embedding"), dim))
+      val sample = withNorm.filter(col("vec_id") % KnnSampleMod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm"), col("label").as("q_label"))
+      val w = Window.partitionBy(col("q_id"), col("same"))
+        .orderBy(col("score").desc, col("vec_id"))
+      withNorm.crossJoin(broadcast(sample))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score",
+          Similarity.dot(col("embedding"), col("q_vec"), dim) /
+            (col("nrm") * col("q_nrm")))
+        .withColumn("same", col("label") === col("q_label"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .withColumn("sim_e6",
+          expr("CAST(FLOOR(score * 1000000) AS BIGINT)"))
+        .groupBy(col("q_id"))
+        .agg(
+          max(when(col("same"), col("vec_id"))).as("positive_id"),
+          max(when(col("same"), col("sim_e6"))).as("pos_sim_e6"),
+          max(when(!col("same"), col("vec_id"))).as("negative_id"),
+          max(when(!col("same"), col("sim_e6"))).as("neg_sim_e6"))
+        .select(col("q_id"), col("positive_id"), col("pos_sim_e6"),
+          col("negative_id"), col("neg_sim_e6"),
+          (col("pos_sim_e6") - col("neg_sim_e6")).as("margin_e6"))
+        .orderBy(col("q_id"))
+    },
+
     // Top session paths: the first-3-event-type signature per session,
     // ranked by frequency — the macroscopic "how do sessions start"
     // companion to q142's fixed funnel. Windows are per session (bounded);
@@ -1016,6 +1056,34 @@ object AnalyticsExtras {
          SELECT q_id, CAST(FLOOR(score * 1000000) AS BIGINT)
            AS knn${KnnRank}_sim_e6
          FROM rk WHERE rk = $KnnRank ORDER BY q_id"""
+    },
+
+    "q246_hard_negatives" -> {
+      val dim = PipelineQueries.Dim
+      s"""WITH nrm AS (SELECT vec_id, embedding, label,
+           sqrt(${Similarity.Sql.normSq("embedding", dim)}) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm,
+             label AS q_label
+           FROM nrm WHERE vec_id % $KnnSampleMod = 0),
+         sc AS (SELECT q.q_id, e.vec_id, e.label = q.q_label AS same,
+             (${Similarity.Sql.dot("e.embedding", "q.q_vec", dim)})
+               / (e.nrm * q.q_nrm) AS score
+           FROM nrm e CROSS JOIN q
+           WHERE e.vec_id <> q.q_id),
+         rk AS (SELECT q_id, vec_id, same,
+             CAST(FLOOR(score * 1000000) AS BIGINT) AS sim_e6,
+             ROW_NUMBER() OVER (PARTITION BY q_id, same
+               ORDER BY score DESC, vec_id) AS rk
+           FROM sc)
+         SELECT q_id,
+           MAX(CASE WHEN same THEN vec_id END) AS positive_id,
+           MAX(CASE WHEN same THEN sim_e6 END) AS pos_sim_e6,
+           MAX(CASE WHEN NOT same THEN vec_id END) AS negative_id,
+           MAX(CASE WHEN NOT same THEN sim_e6 END) AS neg_sim_e6,
+           MAX(CASE WHEN same THEN sim_e6 END) -
+             MAX(CASE WHEN NOT same THEN sim_e6 END) AS margin_e6
+         FROM rk WHERE rk = 1 GROUP BY q_id ORDER BY q_id"""
     },
 
     "q229_session_paths" ->

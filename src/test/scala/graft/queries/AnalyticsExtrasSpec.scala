@@ -240,4 +240,25 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(out.filter(col("p50_days") < lo || col("p90_days") > hi)
       .count() === 0L)
   }
+
+  test("q246: positives share the anchor's label, hard negatives don't, " +
+      "and the margin is their stated difference") {
+    val out = AnalyticsExtras.defs("q246_hard_negatives")(spark, dir)
+    assert(out.count() > 0)
+    assert(out.filter(col("margin_e6") =!=
+      col("pos_sim_e6") - col("neg_sim_e6")).count() === 0L)
+    val labels = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val checked = out
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label")), "q_id")
+      .join(labels.select(col("vec_id").as("positive_id"),
+        col("label").as("p_label")), Seq("positive_id"), "left")
+      .join(labels.select(col("vec_id").as("negative_id"),
+        col("label").as("n_label")), Seq("negative_id"), "left")
+    assert(checked.filter(col("p_label").isNotNull &&
+      col("p_label") =!= col("q_label")).count() === 0L)
+    assert(checked.filter(col("n_label").isNotNull &&
+      col("n_label") === col("q_label")).count() === 0L)
+  }
 }
