@@ -187,6 +187,8 @@ object Listener {
               "command run histories, newest first"),
             entry("GET", "/api/orchestration/runs/{executionId}",
               "one command run by execution id"),
+            entry("GET", "/api/orchestration/runs/{executionId}/log",
+              "plain-text execution log rendered from the audit timeline"),
             entry("GET", "/api/orchestration/offloads",
               "all offload metadata documents"),
             entry("GET", "/api/orchestration/offloads/{table}",
@@ -311,6 +313,42 @@ object Listener {
         case ("GET", List("api", "orchestration", "runs", executionId)) =>
           graft.meta.CommandAudit.open(metadataDir).run(executionId) match {
             case Some(r) => respond(ex, 200, runJson(r))
+            case None => respond(ex, 404, """{"detail": "no such run"}""")
+          }
+
+        case ("GET",
+            List("api", "orchestration", "runs", executionId, "log")) =>
+          // Execution log (reference GET /executions/{id}/execution-log/,
+          // `listener/api/routes/orchestration.py:114-156`): the
+          // reference streams the command's log FILE; this engine's
+          // execution artifact is the audit timeline, so the log is that
+          // timeline rendered as plain text — same consumer contract
+          // (a human-readable per-execution transcript).
+          graft.meta.CommandAudit.open(metadataDir).run(executionId) match {
+            case Some(r) =>
+              def ts(millis: Long): String =
+                java.time.Instant.ofEpochMilli(millis).toString
+              val sb = new StringBuilder
+              sb ++= s"${ts(r.startTs)} ${r.commandType} " +
+                s"${r.commandInput} [${r.executionId}]\n"
+              r.steps.foreach { st =>
+                sb ++= s"${ts(st.startTs)} step ${st.step}: ${st.status}"
+                if (st.details.nonEmpty) sb ++= s" — ${st.details}"
+                sb += '\n'
+              }
+              r.chunks.foreach { c =>
+                sb ++= s"${ts(c.startTs)} chunk ${c.chunkNumber} " +
+                  s"[${c.partitions.mkString(",")}]: ${c.status}" +
+                  c.rowCount.map(n => s" rows=$n").getOrElse("") + "\n"
+              }
+              sb ++= s"${r.endTs.map(ts).getOrElse("…")} command " +
+                s"${r.status}\n"
+              val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+              ex.getResponseHeaders.set("Content-Type",
+                "text/plain; charset=utf-8")
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              val os = ex.getResponseBody
+              os.write(bytes); os.close()
             case None => respond(ex, 404, """{"detail": "no such run"}""")
           }
 

@@ -148,6 +148,17 @@ class ListenerSpec extends SparkSpec {
       assert(one.statusCode() == 200)
       assert(one.body().contains("\"command_input\": \"region\""))
       assert(get(s"$root/api/orchestration/runs/ghost/").statusCode() == 404)
+
+      // plain-text execution log rendered from the audit timeline
+      val log = get(s"$root/api/orchestration/runs/exec-listener-1/log/")
+      assert(log.statusCode() == 200)
+      assert(log.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/plain"))
+      assert(log.body().contains("OFFLOAD region [exec-listener-1]"))
+      assert(log.body().contains("step stage_and_load: SUCCESS"))
+      assert(log.body().contains("command SUCCESS"))
+      assert(get(s"$root/api/orchestration/runs/ghost/log/")
+        .statusCode() == 404)
     } finally srv.stop()
   }
 
