@@ -175,6 +175,8 @@ object Listener {
               "listener liveness (alive ⇔ beat within 2× interval)"),
             entry("GET", "/api/system/status",
               "offloaded-table count"),
+            entry("GET", "/api/system/configuration",
+              "sanitized runtime configuration (versions, backend)"),
             entry("GET", "/api/system/schemas/{table}/columns",
               "stored column stats"),
             entry("GET", "/api/system/schemas/{table}/partitions",
@@ -216,6 +218,25 @@ object Listener {
           val tables = listTables(metadataDir)
           respond(ex, 200,
             s"""{"status": "ok", "offloaded_tables": ${tables.length}}""")
+
+        case ("GET", List("api", "system", "configuration")) =>
+          // Sanitized runtime configuration (reference GET /configuration,
+          // `listener/api/routes/system.py:55-84`): versions, session
+          // shape, and which metadata backend this listener serves —
+          // never credentials or raw URLs.
+          val backend =
+            if (graft.meta.JdbcMetaRepo.isJdbc(metadataDir)) "jdbc_repo"
+            else "file"
+          respond(ex, 200,
+            s"""{"engine_version": ${q(graft.meta.JdbcMetaRepo.EngineVersion)}, """ +
+            s""""spark_version": ${q(spark.version)}, """ +
+            s""""scala_version": ${q(scala.util.Properties.versionNumberString)}, """ +
+            s""""shuffle_partitions": ${q(spark.conf.get(
+              "spark.sql.shuffle.partitions", "200"))}, """ +
+            s""""session_time_zone": ${q(spark.conf.get(
+              "spark.sql.session.timeZone", ""))}, """ +
+            s""""metadata_backend": ${q(backend)}, """ +
+            s""""heartbeat_interval_s": $heartbeatSeconds}""")
 
         case ("GET", List("api", "system", "schemas", table, "columns")) =>
           StatsStore.load(metadataDir, table) match {

@@ -61,6 +61,13 @@ class ListenerSpec extends SparkSpec {
       val parts = get(s"$root/api/system/schemas/nation/partitions/")
       assert(parts.statusCode() == 200 && parts.body().contains("\"rows\":"))
 
+      // sanitized configuration (reference system.py get_configuration)
+      val conf = get(s"$root/api/system/configuration/")
+      assert(conf.statusCode() == 200)
+      assert(conf.body().contains("\"metadata_backend\": \"file\""))
+      assert(conf.body().contains("\"spark_version\""))
+      assert(conf.body().contains("\"engine_version\""))
+
       // docs route: an OpenAPI-shaped inventory naming every route the
       // dispatcher serves (reference listener/api/routes/docs.py)
       val docs = get(s"$root/api/docs/")
