@@ -24,12 +24,14 @@ import graft.operators.Dedup
   * at 100 TB is a full-index scan per batch. The pruning is
   * machine-checked by the flat-file-reads spec in `StreamingDedupSpec`.
   *
-  * Replay semantics: foreachBatch is at-least-once — a replayed batch
-  * would re-append its band rows. The pairs output is tagged with the
-  * batch id, so downstream consumers dedupe replays by (batch_id, id_a,
-  * id_b); for an exactly-once index use a transactional table format or
-  * partition the index additionally by batch id and overwrite that
-  * partition.
+  * Replay semantics: EXACTLY-ONCE BY CONSTRUCTION (the
+  * [[StreamingTextIndex]] scheme). foreachBatch is at-least-once, so
+  * both stores are partitioned by `batch_id` and written with DYNAMIC
+  * partition overwrite scoped to the batch's own partitions: a replayed
+  * batch — including one that crashed mid-write — simply rewrites its
+  * own `batch_id=N` directories. The index keeps `bucket` as the inner
+  * partition level, so probe pruning is unchanged (partition pruning
+  * applies to any partition column, at any nesting level).
   */
 object StreamingDedup {
 
@@ -68,18 +70,43 @@ object StreamingDedup {
 
   /** Bucket-pruned probe: the batch's band rows against the stored index.
     * Output (id_a, id_b), a < b — NOT distinct (the caller unions and
-    * dedupes). */
+    * dedupes). `excludeBatchId` drops the probing batch's OWN stored
+    * partitions — on a mid-crash replay the index already holds the
+    * batch's rows, and probing them would emit self-pairs. */
   private[streaming] def probeIndex(spark: SparkSession, cfg: Config,
-                                    freshBand: DataFrame): DataFrame = {
+                                    freshBand: DataFrame,
+                                    excludeBatchId: Option[Long] = None)
+      : DataFrame = {
     val buckets = freshBand.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(cfg.indexPath)
+    val idx0 = spark.read.parquet(cfg.indexPath)
       .filter(col("bucket").isInCollection(buckets))
+    val idx = excludeBatchId match {
+      case Some(b) if idx0.columns.contains("batch_id") =>
+        idx0.filter(col("batch_id").cast("long") =!= b)
+      case _ => idx0
+    }
     freshBand.select(col("band"), col("band_key"), col("sid").as("id_f"))
       .join(idx.select(col("band"), col("band_key"), col("sid").as("id_e")),
         Seq("band", "band_key"))
+      .filter(col("id_f") =!= col("id_e"))
       .select(least(col("id_f"), col("id_e")).as("id_a"),
               greatest(col("id_f"), col("id_e")).as("id_b"))
+  }
+
+  private def hwmPath(cfg: Config) =
+    new org.apache.hadoop.fs.Path(cfg.indexPath + "__hwm")
+
+  private[streaming] def lastBatch(spark: SparkSession,
+                                   cfg: Config): Long = {
+    val fs = hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hwmPath(cfg))) -1L
+    else {
+      val in = fs.open(hwmPath(cfg))
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
   }
 
   /** One micro-batch: sign → band → probe index → append pairs → append
@@ -88,6 +115,10 @@ object StreamingDedup {
                                       cfg: Config): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // fully-committed batches skip on replay; a batch that crashed after
+    // some writes but before the HWM falls through and REWRITES its own
+    // partitions (dynamic overwrite) — exactly-once either way
+    if (batchId <= lastBatch(spark, cfg)) return
     val fresh = Dedup.minhashSignatures(batch, cfg.numHashes)
     val freshBand = bandedWithBucket(fresh, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -111,26 +142,69 @@ object StreamingDedup {
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
       val pairs =
-        (if (exists) within.union(probeIndex(spark, cfg, freshBand))
+        (if (exists)
+          within.union(probeIndex(spark, cfg, freshBand, Some(batchId)))
          else within).distinct()
+      // batch-scoped dynamic overwrite: a replay rewrites its own
+      // batch_id partitions instead of appending duplicates
       pairs.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(cfg.pairsPath)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(cfg.pairsPath)
       freshBand.select(col("sid"), col("band"), col("band_key"),
           col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(cfg.indexPath)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "bucket").parquet(cfg.indexPath)
+      val fs = hwmPath(cfg)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(hwmPath(cfg), true)
+      try out.write(batchId.toString.getBytes("UTF-8"))
+      finally out.close()
     } finally { freshBand.unpersist(); () }
   }
 
-  /** Reclaim the per-batch small files the append-only ingest accretes:
-    * the generic [[graft.sink.Compaction]] pass, which preserves the
-    * `bucket=` directory layout (the probe's pruning unit) while
-    * rewriting each bucket's accumulated appends into full-size files.
+  /** Reclaim the per-batch partition sets the ingest accretes: fold all
+    * committed batches into ONE `batch_id=-1` partition per band-key
+    * bucket (the [[StreamingTextIndex.compact]] scheme — the generic
+    * pass would preserve the batch dimension it exists to remove).
     * Probe cost depends on FILES in the probed buckets, so without a
     * periodic fold it grows with batch count even though pruned rows
-    * stay flat. Maintenance only — [[probeIndex]] is correct (just
-    * slower) without it, and a crashed pass is healed by the
-    * `recover()` call on the ingest/probe paths. */
+    * stay flat. The HWM rides a sibling file, untouched, so replay
+    * skipping survives the fold; new batches (id > HWM > -1) land
+    * beside the folded partition. Maintenance only — [[probeIndex]] is
+    * correct (just slower) without it, and a crashed pass is healed by
+    * the `recover()` call on the ingest/probe paths. */
   def compactIndex(spark: SparkSession, cfg: Config)
-      : graft.sink.Compaction.CompactionResult =
-    graft.sink.Compaction.compact(spark, cfg.indexPath)
+      : graft.sink.Compaction.CompactionResult = {
+    graft.sink.Compaction.recover(spark, cfg.indexPath)
+    val dir = new org.apache.hadoop.fs.Path(cfg.indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      return graft.sink.Compaction.CompactionResult(0, 0, 0L, 0L)
+    def fileCount(): Int =
+      spark.read.parquet(cfg.indexPath).inputFiles.length
+    val before = fileCount()
+    val folded = spark.read.parquet(cfg.indexPath)
+      .select(col("sid"), col("band"), col("band_key"), col("bucket"))
+      .withColumn("batch_id", lit(-1L))
+      .repartition(col("bucket")) // one file per bucket after the fold
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir.getParent, dir.getName + "__compact_tmp")
+    fs.delete(tmp, true)
+    folded.write.partitionBy("batch_id", "bucket").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(
+      dir.getParent, dir.getName + "__compact_old")
+    fs.delete(old, true)
+    if (!fs.rename(dir, old))
+      throw new IllegalStateException(s"compact: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back
+      throw new IllegalStateException(s"compact: cannot install $tmp")
+    }
+    fs.delete(old, true)
+    val rows = spark.read.parquet(cfg.indexPath).count()
+    graft.sink.Compaction.CompactionResult(before, fileCount(), 0L, rows)
+  }
 }

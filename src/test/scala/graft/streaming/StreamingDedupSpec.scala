@@ -26,9 +26,11 @@ class StreamingDedupSpec extends SparkSpec {
       Doc(2, "the quick brown fox jumps over the lazy dog"), // dup of 1
       Doc(3, "completely different text with no overlap at all")).toDF()
     StreamingDedup.processBatch(batch1, 0L, c)
-    val p1 = spark.read.parquet(c.pairsPath).collect()
-      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
-        r.getAs[Long]("batch_id"))).toSet
+    def pairRows() = spark.read.parquet(c.pairsPath)
+      .select(col("id_a"), col("id_b"), col("batch_id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val p1 = pairRows()
     assert(p1 == Set((1L, 2L, 0L)))
     // batch 2: one more copy — pairs against BOTH stored dups, plus
     // nothing among the unrelated doc; the (1,2) pair is NOT re-emitted
@@ -36,9 +38,7 @@ class StreamingDedupSpec extends SparkSpec {
       Doc(4, "the quick brown fox jumps over the lazy dog"),
       Doc(5, "yet another unrelated document body entirely")).toDF()
     StreamingDedup.processBatch(batch2, 1L, c)
-    val p2 = spark.read.parquet(c.pairsPath).collect()
-      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
-        r.getAs[Long]("batch_id"))).toSet
+    val p2 = pairRows()
     assert(p2 == Set((1L, 2L, 0L), (1L, 4L, 1L), (2L, 4L, 1L)))
     // the index accumulated all five docs' band rows (bands per doc)
     val idx = spark.read.parquet(c.indexPath)
@@ -177,5 +177,42 @@ class StreamingDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.exists { case (a, b) => a == 3L && b == 200L },
       s"recovered index should pair doc 200 with doc 3; got $pairs")
+  }
+
+  test("replay is exactly-once: a committed batch skips via the HWM, a " +
+      "mid-crash batch rewrites its own partitions — no duplicate band " +
+      "rows, no duplicate pairs, no self-pairs") {
+    val base = Files.createTempDirectory("sdedup_replay").toString
+    val c = cfg(base)
+    StreamingDedup.processBatch(Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog"),
+      Doc(2, "the quick brown fox jumps over the lazy dog"),
+      Doc(3, "completely different text with no overlap at all")).toDF(),
+      0L, c)
+    val b1 = Seq(Doc(4, "the quick brown fox jumps over the lazy dog"))
+      .toDF()
+    StreamingDedup.processBatch(b1, 1L, c)
+    def idxRows() = spark.read.parquet(c.indexPath).count()
+    def pairSet() = spark.read.parquet(c.pairsPath)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (idx0, pairs0) = (idxRows(), pairSet())
+    assert(pairs0 == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+
+    // committed replay: skipped entirely
+    StreamingDedup.processBatch(b1, 1L, c)
+    assert(idxRows() === idx0 && pairSet() === pairs0)
+
+    // mid-crash replay: writes landed, HWM didn't — the rerun must
+    // rewrite batch 1's own partitions (not append) and must not pair
+    // the batch against its own stored rows (self/duplicate pairs)
+    val fs = new org.apache.hadoop.fs.Path(c.indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(c.indexPath + "__hwm"), false)
+    StreamingDedup.processBatch(b1, 1L, c)
+    assert(idxRows() === idx0, "replay duplicated index band rows")
+    assert(pairSet() === pairs0, "replay changed the pair set")
+    assert(spark.read.parquet(c.pairsPath)
+      .filter(col("id_a") === col("id_b")).count() === 0L)
   }
 }
