@@ -23,12 +23,14 @@ import graft.operators.TextAnalysis
   * values, metadata-scale) and pushes `bucket IN (...)` into the read, so
   * the per-batch scan is the batch's key footprint, not the corpus.
   *
-  * Replay semantics: at-least-once like every foreachBatch sink; outputs
-  * carry `batch_id`, so exactly-once consumers dedupe on it (and a
-  * replayed batch's docs drop as `seen_exact` anyway once its first
-  * attempt's index append landed — the index probe makes replays
-  * IDEMPOTENT for the corpus sink, the property a restarting ingest
-  * actually needs).
+  * Replay semantics: EXACTLY-ONCE BY CONSTRUCTION (the
+  * [[StreamingDedup]]/[[StreamingTextIndex]] scheme): all three outputs
+  * are partitioned by `batch_id` and written with batch-scoped DYNAMIC
+  * partition overwrite, a sibling HWM file skips fully-committed
+  * replays, and the seen-probe excludes the replaying batch's OWN
+  * stored hashes — without that exclusion a mid-crash rerun would mark
+  * its docs `seen_exact` and overwrite its corpus partition with
+  * nothing, silently losing the batch.
   */
 object StreamingCuration {
 
@@ -55,11 +57,27 @@ object StreamingCuration {
       }
       .start()
 
-  /** One micro-batch: curate → bucket-pruned seen-probe → three appends.
-    * Exposed for batch-equivalence specs. */
+  private def hwmPath(cfg: Config) =
+    new org.apache.hadoop.fs.Path(cfg.keyIndexPath + "__hwm")
+
+  private[streaming] def lastBatch(spark: SparkSession,
+                                   cfg: Config): Long = {
+    val fs = hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hwmPath(cfg))) -1L
+    else {
+      val in = fs.open(hwmPath(cfg))
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** One micro-batch: curate → bucket-pruned seen-probe → three
+    * batch-scoped writes. Exposed for batch-equivalence specs. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
+    if (batchId <= lastBatch(spark, cfg)) return // committed: skip
     val verdicts = TextAnalysis.curate(batch, cfg.minQuality, cfg.maxDupFrac)
     val keyed = batch
       .withColumn("exact_key", TextAnalysis.exactKey(col("text")))
@@ -71,9 +89,15 @@ object StreamingCuration {
         if (indexExists(spark, cfg.keyIndexPath)) {
           val buckets = keyed.select(col("bucket")).distinct()
             .collect().map(_.getInt(0)).toSeq
-          spark.read.parquet(cfg.keyIndexPath)
+          // exclude the replaying batch's own partitions: a mid-crash
+          // rerun must not see its first attempt's hashes as "seen"
+          val idx0 = spark.read.parquet(cfg.keyIndexPath)
             .filter(col("bucket").isInCollection(buckets))
-            .select(col("exact_key")).distinct()
+          val idx =
+            if (idx0.columns.contains("batch_id"))
+              idx0.filter(col("batch_id").cast("long") =!= batchId)
+            else idx0
+          idx.select(col("exact_key")).distinct()
         } else spark.emptyDataFrame.select(lit("").as("exact_key")).limit(0)
       val probed = keyed.join(broadcastSafe(seen), Seq("exact_key"),
         "left_outer")
@@ -87,11 +111,23 @@ object StreamingCuration {
           coalesce(col("drop_reason"), lit("seen_exact")).as("drop_reason"),
           lit(batchId).as("batch_id"))
       kept.drop("bucket")
-        .write.mode("append").parquet(cfg.corpusPath)
-      rejected.write.mode("append").parquet(cfg.rejectPath)
-      kept.select(col("exact_key"), col("bucket")).distinct()
-        .write.mode("append").partitionBy("bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(cfg.corpusPath)
+      rejected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(cfg.rejectPath)
+      kept.select(col("exact_key"), col("bucket"),
+          lit(batchId).as("batch_id")).distinct()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "bucket")
         .parquet(cfg.keyIndexPath)
+      val fs = hwmPath(cfg)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(hwmPath(cfg), true)
+      try out.write(batchId.toString.getBytes("UTF-8"))
+      finally out.close()
     } finally keyed.unpersist()
   }
 

@@ -52,6 +52,36 @@ class StreamingCurationSpec extends SparkSpec {
     assert(spark.read.parquet(c.corpusPath).count() == 2L)
   }
 
+  test("replay is exactly-once: committed batch ids skip, a mid-crash " +
+      "rerun rewrites its own partitions without losing the batch") {
+    val base = Files.createTempDirectory("scur_replay").toString
+    val c = cfg(base)
+    StreamingCuration.processBatch(
+      Seq(Doc(1, words("a")), Doc(2, "tiny")).toDF(), 0L, c)
+    val b1 = Seq(Doc(5, words("b"))).toDF()
+    StreamingCuration.processBatch(b1, 1L, c)
+    def corpus() = spark.read.parquet(c.corpusPath).select("doc_id")
+      .as[Long].collect().toSet
+    def rejects() = spark.read.parquet(c.rejectPath).count()
+    assert(corpus() == Set(1L, 5L) && rejects() == 1L)
+
+    // committed replay (same id): skipped — no duplicate rows, and doc 5
+    // is NOT quarantined as seen_exact
+    StreamingCuration.processBatch(b1, 1L, c)
+    assert(corpus() == Set(1L, 5L) && rejects() == 1L)
+
+    // mid-crash replay: outputs landed but the HWM didn't — the rerun
+    // must NOT see its own first-attempt hashes as "seen" (that would
+    // overwrite its corpus partition with nothing, losing doc 5)
+    val fs = new org.apache.hadoop.fs.Path(c.keyIndexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(c.keyIndexPath + "__hwm"),
+      false)
+    StreamingCuration.processBatch(b1, 1L, c)
+    assert(corpus() == Set(1L, 5L), "mid-crash replay lost the batch")
+    assert(rejects() == 1L, "mid-crash replay duplicated quarantine rows")
+  }
+
   test("streaming end-to-end over MemoryStream") {
     val base = Files.createTempDirectory("scur_e2e").toString
     val c = cfg(base)
