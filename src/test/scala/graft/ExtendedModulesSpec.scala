@@ -132,6 +132,7 @@ class StreamingOffloadSpec extends SparkSpec {
     q2.awaitTermination(60000)
     assert(spark.read.parquet(s"$base/final").count() == events.count())
   }
+
 }
 
 class IvfIndexSpec extends SparkSpec {
