@@ -14,11 +14,13 @@ import graft.operators.IvfIndex
   * files — the existing index is never read, rewritten, or rebuilt, and
   * probes see new vectors as soon as their batch commits.
   *
-  * This is the ANN ingest analogue of [[StreamingDedup]]: same
-  * append-only store discipline, same pruning story (the cell directory
-  * is the partition unit probes prune on), same at-least-once caveat — a
-  * replayed batch re-appends its rows, so downstream consumers dedupe by
-  * vector id or the store uses a transactional table format.
+  * This is the ANN ingest analogue of [[StreamingDedup]], exactly-once
+  * the same way: rows land PARTITIONED BY (batch_id, ivf_cell) with
+  * batch-scoped dynamic overwrite, and a sibling HWM file skips
+  * fully-committed replays — a mid-crash rerun rewrites its own
+  * partitions instead of appending duplicates. Probes still prune on
+  * the `ivf_cell` directory (partition pruning applies at any nesting
+  * level), and the extra `batch_id` column is inert to scoring.
   */
 object StreamingIvf {
 
@@ -36,17 +38,44 @@ object StreamingIvf {
     embeddings.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, model, cfg)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, model, cfg)
       }
       .start()
   }
 
-  /** One micro-batch: assign with the pinned model, append to the store. */
-  private[streaming] def processBatch(batch: DataFrame,
+  private def hwmPath(cfg: Config) =
+    new org.apache.hadoop.fs.Path(cfg.indexPath + "__hwm")
+
+  private[streaming] def lastBatch(spark: org.apache.spark.sql.SparkSession,
+                                   cfg: Config): Long = {
+    val fs = hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hwmPath(cfg))) -1L
+    else {
+      val in = fs.open(hwmPath(cfg))
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** One micro-batch: assign with the pinned model, land the batch's own
+    * (batch_id, cell) partitions — replay-idempotent by construction. */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       model: IvfIndex.Model,
                                       cfg: Config): Unit = {
     if (batch.isEmpty) return
-    IvfIndex.appendIndex(batch, model, cfg.dim, cfg.indexPath, cfg.vecCol)
+    val spark = batch.sparkSession
+    if (batchId <= lastBatch(spark, cfg)) return // committed: skip
+    IvfIndex.assign(batch, model, cfg.dim, cfg.vecCol)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "ivf_cell").parquet(cfg.indexPath)
+    val fs = hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hwmPath(cfg), true)
+    try out.write(batchId.toString.getBytes("UTF-8"))
+    finally out.close()
   }
 }

@@ -50,4 +50,36 @@ class StreamingIvfSpec extends SparkSpec {
     assert(IvfIndex.readIndex(spark, cfg.indexPath)
       .inputFiles.forall(_.contains("ivf_cell=")))
   }
+
+  test("replay is exactly-once: committed ids skip, a mid-crash rerun " +
+      "rewrites its own partitions without duplicating vectors") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+      .limit(40)
+    val model = IvfIndex.train(emb, nlist = 4, dim = 64)
+    val base = Files.createTempDirectory("sivf_replay").toString
+    IvfIndex.saveModel(spark, model, s"$base/model")
+    val cfg = StreamingIvf.Config(
+      indexPath = s"$base/index", checkpointDir = s"$base/ckpt",
+      modelPath = s"$base/model", dim = 64)
+    StreamingIvf.processBatch(emb.filter(col("vec_id") < 20), 0L,
+      model, cfg)
+    StreamingIvf.processBatch(emb.filter(col("vec_id") >= 20), 1L,
+      model, cfg)
+    def stored() = IvfIndex.readIndex(spark, cfg.indexPath).count()
+    val n = stored()
+    assert(n === 40L)
+    // committed replay: skipped via the HWM
+    StreamingIvf.processBatch(emb.filter(col("vec_id") >= 20), 1L,
+      model, cfg)
+    assert(stored() === n)
+    // mid-crash replay: data landed, HWM didn't — the rerun overwrites
+    // batch 1's own partitions instead of appending duplicates
+    val fs = new org.apache.hadoop.fs.Path(cfg.indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cfg.indexPath + "__hwm"),
+      false)
+    StreamingIvf.processBatch(emb.filter(col("vec_id") >= 20), 1L,
+      model, cfg)
+    assert(stored() === n, "mid-crash replay duplicated vectors")
+  }
 }
