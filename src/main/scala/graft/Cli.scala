@@ -666,6 +666,62 @@ object Cli {
                 .toSeq.map(_.trim.toInt))
             .collect().foreach(r => println(r.mkString("\t")))
 
+        case "prepare-corpus" =>
+          // End-to-end training-corpus preparation — the composed
+          // pipeline a user runs before a training job: exact-dup/quality
+          // curation → near-dup canonicalisation (MinHash-LSH pairs →
+          // connected components, keep each cluster's min-id doc) →
+          // deterministic stratified split → per-stratum data card.
+          //   prepare-corpus --source <docs parquet> --out <dir>
+          //     [--min-quality 0.3] [--max-dup-frac 0.5]
+          //     [--num-hashes 16] [--bands 4] [--strata-col source]
+          import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+          import graft.operators.{Dedup, DatasetOps, TextAnalysis}
+          val out = opts("out")
+          val docs = spark.read.parquet(opts("source"))
+          val verdicts = TextAnalysis.curate(docs,
+            opts.getOrElse("min-quality", "0.3").toDouble,
+            opts.getOrElse("max-dup-frac", "0.5").toDouble)
+          val kept = docs.join(
+            verdicts.filter(col("keep")).select("doc_id"), "doc_id")
+            .persist()
+          val nh = opts.getOrElse("num-hashes", "16").toInt
+          val nb = opts.getOrElse("bands", "4").toInt
+          val pairs = Dedup.lshCandidates(
+            Dedup.minhashSignatures(kept, nh), nh, nb)
+          val clusters = Dedup.connectedComponents(pairs)
+            .withColumnRenamed("cluster_id", "near_cluster")
+          val canonical = kept
+            .join(clusters, Seq("doc_id"), "left")
+            .filter(col("near_cluster").isNull ||
+              col("near_cluster") === col("doc_id"))
+            .drop("near_cluster")
+          val strata = opts.getOrElse("strata-col", "source")
+          val split = DatasetOps.stratifiedSplit(canonical, strata)
+          split.write.mode("overwrite").partitionBy("split")
+            .parquet(s"$out/corpus")
+          // quarantine with provenance: curation reasons + near-dup drops
+          val nearDropped = kept.join(clusters, Seq("doc_id"))
+            .filter(col("near_cluster") =!= col("doc_id"))
+            .select(col("doc_id"),
+              lit("near_duplicate").as("drop_reason"))
+          verdicts.filter(!col("keep"))
+            .select(col("doc_id"), col("drop_reason"))
+            .unionByName(nearDropped)
+            .write.mode("overwrite").parquet(s"$out/quarantine")
+          TextAnalysis.dataCard(split, groupCols = Seq("split", strata))
+            .write.mode("overwrite").parquet(s"$out/datacard")
+          val counts = spark.read.parquet(s"$out/corpus")
+            .groupBy(col("split")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          kept.unpersist()
+          val dropped = spark.read.parquet(s"$out/quarantine").count()
+          println(s"""{"kept": ${counts.values.sum}, """ +
+            s""""dropped": $dropped, """ +
+            s""""train": ${counts.getOrElse("train", 0L)}, """ +
+            s""""val": ${counts.getOrElse("val", 0L)}, """ +
+            s""""test": ${counts.getOrElse("test", 0L)}}""")
+
         case "audit-rotate" =>
           // Seal the active command-audit segment (reference bin/logmgr):
           //   audit-rotate --meta <dir>

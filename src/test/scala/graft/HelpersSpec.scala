@@ -481,4 +481,37 @@ class CliSpec extends SparkSpec {
     assert(graft.meta.StatsStore
       .chunkFromStats(rec, maxBytes = Long.MaxValue, maxCount = 10).nonEmpty)
   }
+
+  test("prepare-corpus runs the composed pipeline: curate, near-dup " +
+      "canonicalise, split, data card — partitioning the input exactly") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_cli_prep").toString
+    val src = sf("sf0.001") + "/documents.parquet"
+    Cli.main(Array("prepare-corpus", "--source", src,
+      "--out", s"$base/prep"))
+    val corpus = spark.read.parquet(s"$base/prep/corpus")
+    val quarantine = spark.read.parquet(s"$base/prep/quarantine")
+    val card = spark.read.parquet(s"$base/prep/datacard")
+    val total = spark.read.parquet(src).count()
+    // kept + dropped partition the input; no doc lands on both sides
+    assert(corpus.count() + quarantine.count() === total)
+    assert(corpus.select("doc_id")
+      .intersect(quarantine.select("doc_id")).count() === 0L)
+    // exact dedup held: every surviving text is unique
+    assert(corpus.select(countDistinct(col("text"))).head.getLong(0) ===
+      corpus.count())
+    // every doc has a split label; the card covers every (split, source)
+    assert(corpus.filter(!col("split").isin("train", "val", "test"))
+      .count() === 0L)
+    assert(card.columns.contains("split") && card.count() > 0)
+    assert(quarantine.select("drop_reason").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(
+        Set("low_quality", "repetitive", "duplicate", "near_duplicate")))
+    // deterministic: a second run reproduces the corpus exactly
+    Cli.main(Array("prepare-corpus", "--source", src,
+      "--out", s"$base/prep2"))
+    val corpus2 = spark.read.parquet(s"$base/prep2/corpus")
+    assert(corpus.exceptAll(corpus2).isEmpty &&
+      corpus2.exceptAll(corpus).isEmpty)
+  }
 }
