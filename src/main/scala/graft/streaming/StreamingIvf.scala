@@ -78,4 +78,45 @@ object StreamingIvf {
     try out.write(batchId.toString.getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** Fold the batch dimension away: every committed batch's vectors
+    * rewrite into ONE `batch_id=-1` partition per cell, preserving the
+    * `ivf_cell` directory (the probe's pruning unit). The HWM rides a
+    * sibling file, untouched. Same maintenance contract as
+    * [[StreamingDedup.compactIndex]]; the batch-built (cell-only) index
+    * keeps using the generic [[graft.sink.Compaction]] pass. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, cfg: Config)
+      : graft.sink.Compaction.CompactionResult = {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.sink.Compaction.recover(spark, cfg.indexPath)
+    val dir = new org.apache.hadoop.fs.Path(cfg.indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      return graft.sink.Compaction.CompactionResult(0, 0, 0L, 0L)
+    def fileCount(): Int =
+      spark.read.parquet(cfg.indexPath).inputFiles.length
+    val before = fileCount()
+    val cols = spark.read.parquet(cfg.indexPath).columns
+      .filterNot(c => c == "batch_id").map(col).toSeq
+    val folded = spark.read.parquet(cfg.indexPath)
+      .select(cols: _*)
+      .withColumn("batch_id", lit(-1L))
+      .repartition(col("ivf_cell")) // one file per cell after the fold
+    val tmp = new org.apache.hadoop.fs.Path(
+      dir.getParent, dir.getName + "__compact_tmp")
+    fs.delete(tmp, true)
+    folded.write.partitionBy("batch_id", "ivf_cell").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(
+      dir.getParent, dir.getName + "__compact_old")
+    fs.delete(old, true)
+    if (!fs.rename(dir, old))
+      throw new IllegalStateException(s"compact: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back
+      throw new IllegalStateException(s"compact: cannot install $tmp")
+    }
+    fs.delete(old, true)
+    val rows = spark.read.parquet(cfg.indexPath).count()
+    graft.sink.Compaction.CompactionResult(before, fileCount(), 0L, rows)
+  }
 }

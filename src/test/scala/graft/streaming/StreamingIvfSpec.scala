@@ -81,5 +81,17 @@ class StreamingIvfSpec extends SparkSpec {
     StreamingIvf.processBatch(emb.filter(col("vec_id") >= 20), 1L,
       model, cfg)
     assert(stored() === n, "mid-crash replay duplicated vectors")
+
+    // compaction folds the batch dimension, preserves cells + probes,
+    // and the HWM survives so a replay of batch 1 still skips
+    val res = StreamingIvf.compactIndex(spark, cfg)
+    assert(res.filesAfter < res.filesBefore && res.rows === n)
+    assert(stored() === n)
+    assert(IvfIndex.readIndex(spark, cfg.indexPath)
+      .inputFiles.forall(f => f.contains("ivf_cell=") &&
+        f.contains("batch_id=-1")))
+    StreamingIvf.processBatch(emb.filter(col("vec_id") >= 20), 1L,
+      model, cfg)
+    assert(stored() === n, "post-compaction replay duplicated vectors")
   }
 }
