@@ -306,4 +306,37 @@ class ListenerSpec extends SparkSpec {
       assert(bad.statusCode() == 401) // unauthenticated post also guarded
     } finally srv.stop()
   }
+
+  test("the listener serves a JDBC-repository metadata dir: POST " +
+      "offload commits to the database, inventory and runs read it back") {
+    val base = Files.createTempDirectory("graft_listener_jdbc").toString
+    val url = s"jdbc:derby:$base/repo"
+    val srv = Listener.start(spark, url)
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val body =
+        s"""{"source": "${sf("sf0.001")}/region.parquet",
+           | "table": "region",
+           | "final": "$base/final"}""".stripMargin
+      val resp = client.send(HttpRequest.newBuilder(
+          URI.create(s"$root/api/orchestration/offload/"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      assert(spark.read.parquet(s"$base/final").count() == 5)
+      // inventory comes from the repo's offload_metadata table
+      val status = get(s"$root/api/system/status/")
+      assert(status.body().contains("\"offloaded_tables\": 1"))
+      assert(get(s"$root/api/orchestration/offloads/region/")
+        .statusCode() == 200)
+      // the audit run history comes from command_execution rows
+      val runs = get(s"$root/api/orchestration/runs/")
+      assert(runs.statusCode() == 200 &&
+        runs.body().contains("\"command_input\": \"region\"") &&
+        runs.body().contains("\"status\": \"SUCCESS\""))
+      // configuration reports the backend the listener is serving
+      assert(get(s"$root/api/system/configuration/").body()
+        .contains("\"metadata_backend\": \"jdbc_repo\""))
+    } finally srv.stop()
+  }
 }
