@@ -179,6 +179,48 @@ object DsShapes {
         .orderBy(col("day"))
     },
 
+    // Channel-exclusive customers (the Q38 intersection's complement,
+    // DS Q78's single-channel-affinity flavor): customers whose orders
+    // all ride ONE channel, rolled up by that channel and market
+    // segment with their total spend. Same one-shuffle HAVING shape as
+    // q243 — never a per-channel anti-join cascade.
+    "q247_channel_exclusive" -> { (s, dir) =>
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(channelCol).as("n_channels"),
+          max(channelCol).as("only_channel"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)")).as("spend_e2"))
+        .filter(col("n_channels") === 1)
+      t(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("only_channel").as("channel"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend_e2")).cast("long").as("spend_e2"))
+        .orderBy(col("channel"), col("c_mktsegment"))
+    },
+
+    // Time-band activity matrix (TPC-DS Q88 shape): eight 3-hour band
+    // counts, split purchase vs other, as ONE wide row from ONE scan —
+    // the single-pass conditional aggregate Q88's eight scalar
+    // subqueries optimize into.
+    "q248_hour_band_matrix" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(expr("hour(ts) div 3").cast("int").as("band"),
+          (col("event_type") === "purchase").as("is_purchase"))
+      val bandCols = (0 until 8).flatMap { b =>
+        Seq(
+          sum((col("band") === b && col("is_purchase")).cast("long"))
+            .as(s"buy_h$b"),
+          sum((col("band") === b && !col("is_purchase")).cast("long"))
+            .as(s"other_h$b"))
+      }
+      ev.agg(bandCols.head, bandCols.tail: _*)
+        .withColumn("n_events",
+          (0 until 8).map(b => col(s"buy_h$b") + col(s"other_h$b"))
+            .reduce(_ + _))
+    },
+
     // Cross-channel loyal customers (TPC-DS Q38/Q87 shape): customers
     // active in ALL three channels, rolled up by market segment. The
     // intersection is countDistinct(channel) = 3 on the (customer ×
@@ -275,6 +317,34 @@ object DsShapes {
          FROM cum s JOIN cum w ON s.day = w.day
          WHERE s.channel = 'store' AND w.channel = 'web'
          ORDER BY s.day""",
+
+    "q247_channel_exclusive" ->
+      s"""WITH pc AS (SELECT o_custkey,
+           COUNT(DISTINCT $ChannelSql) AS n_channels,
+           MAX($ChannelSql) AS only_channel,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+             AS HUGEINT)) AS spend_e2
+         FROM orders GROUP BY 1 HAVING COUNT(DISTINCT $ChannelSql) = 1)
+         SELECT only_channel AS channel, c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(spend_e2) AS BIGINT) AS spend_e2
+         FROM customer JOIN pc ON c_custkey = o_custkey
+         GROUP BY 1, 2 ORDER BY channel, c_mktsegment""",
+
+    "q248_hour_band_matrix" -> {
+      val cols = (0 until 8).flatMap { b =>
+        Seq(
+          s"""CAST(SUM(CASE WHEN band = $b AND is_purchase
+               THEN 1 ELSE 0 END) AS BIGINT) AS buy_h$b""",
+          s"""CAST(SUM(CASE WHEN band = $b AND NOT is_purchase
+               THEN 1 ELSE 0 END) AS BIGINT) AS other_h$b""")
+      }.mkString(",\n           ")
+      s"""WITH e AS (SELECT hour(ts) // 3 AS band,
+           event_type = 'purchase' AS is_purchase FROM events)
+         SELECT $cols,
+           COUNT(*) AS n_events
+         FROM e"""
+    },
 
     "q243_cross_channel_customers" ->
       s"""WITH oc AS (SELECT DISTINCT o_custkey,

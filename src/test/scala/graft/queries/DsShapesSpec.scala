@@ -100,6 +100,36 @@ class DsShapesSpec extends SparkSpec {
     }
   }
 
+  test("q247 + q243 conserve the ordering-customer universe across " +
+      "channel-count classes") {
+    val exclusive = DsShapes.defs("q247_channel_exclusive")(spark, dir)
+      .agg(sum(col("n_customers"))).head.getLong(0)
+    val allThree = DsShapes.defs("q243_cross_channel_customers")(spark, dir)
+      .agg(sum(col("n_customers"))).head.getLong(0)
+    val byClass = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        pmod(col("o_orderkey"), lit(3)).as("ch")).distinct()
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("ch")).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exclusive === byClass.getOrElse(1L, 0L))
+    assert(allThree === byClass.getOrElse(3L, 0L))
+    assert(exclusive + byClass.getOrElse(2L, 0L) + allThree ===
+      byClass.values.sum)
+  }
+
+  test("q248: the sixteen band cells sum to the stated event total") {
+    val out = DsShapes.defs("q248_hour_band_matrix")(spark, dir)
+    assert(out.count() === 1L)
+    val r = out.head
+    val cells = (0 until 8).flatMap(b =>
+      Seq(r.getAs[Long](s"buy_h$b"), r.getAs[Long](s"other_h$b")))
+    assert(cells.sum === r.getAs[Long]("n_events"))
+    assert(r.getAs[Long]("n_events") ===
+      graft.Tables.load(spark, dir, "events").count())
+  }
+
   test("q243: counted customers each order through all three channels") {
     val out = DsShapes.defs("q243_cross_channel_customers")(spark, dir)
     val counted = out.agg(sum(col("n_customers"))).head.getLong(0)
