@@ -689,20 +689,18 @@ object Cli {
           val nb = opts.getOrElse("bands", "4").toInt
           val pairs = Dedup.lshCandidates(
             Dedup.minhashSignatures(kept, nh), nh, nb)
-          val clusters = Dedup.connectedComponents(pairs)
-            .withColumnRenamed("cluster_id", "near_cluster")
-          val canonical = kept
-            .join(clusters, Seq("doc_id"), "left")
-            .filter(col("near_cluster").isNull ||
-              col("near_cluster") === col("doc_id"))
-            .drop("near_cluster")
+          // the shared survivorship operator (min-id representative:
+          // constant keep score + id tiebreak; singletons stay canonical)
+          val surv = Dedup.canonicalize(kept,
+            Dedup.connectedComponents(pairs), lit(0))
+          val canonical = kept.join(
+            surv.filter(col("is_canonical")).select("doc_id"), "doc_id")
           val strata = opts.getOrElse("strata-col", "source")
           val split = DatasetOps.stratifiedSplit(canonical, strata)
           split.write.mode("overwrite").partitionBy("split")
             .parquet(s"$out/corpus")
           // quarantine with provenance: curation reasons + near-dup drops
-          val nearDropped = kept.join(clusters, Seq("doc_id"))
-            .filter(col("near_cluster") =!= col("doc_id"))
+          val nearDropped = surv.filter(!col("is_canonical"))
             .select(col("doc_id"),
               lit("near_duplicate").as("drop_reason"))
           verdicts.filter(!col("keep"))
@@ -748,11 +746,15 @@ object Cli {
             spark.read.parquet(opts("index")).inputFiles.length}}""")
 
         case "dedup-index-compact" =>
-          // Reclaim the streaming dedup band index's per-batch appends:
-          //   dedup-index-compact --index <dir> [--target-bytes N]
-          val res = graft.sink.Compaction.compact(spark, opts("index"),
-            targetBytes = opts.get("target-bytes").map(_.toLong)
-              .getOrElse(128L * 1024 * 1024))
+          // Fold the streaming dedup band index's per-batch partitions
+          // (batch_id=-1 per bucket — the generic compact pass would
+          // preserve the batch dimension this exists to remove):
+          //   dedup-index-compact --index <dir>
+          val res = graft.streaming.StreamingDedup.compactIndex(spark,
+            graft.streaming.StreamingDedup.Config(
+              indexPath = opts("index"),
+              pairsPath = opts("index") + "__unused_pairs",
+              checkpointDir = opts("index") + "__unused_ckpt"))
           println(s"""{"files_before": ${res.filesBefore}, """ +
             s""""files_after": ${res.filesAfter}, "rows": ${res.rows}}""")
 

@@ -142,8 +142,10 @@ final class FileCommandAudit private[meta] (dir: String)
       .map(_.getFileName.toString match {
         case SegName(n) => n.toInt + 1
       }).getOrElse(1)
-    Files.move(path, Paths.get(dir, f"command_audit.$seq%06d.jsonl"),
+    val seg = f"command_audit.$seq%06d.jsonl"
+    Files.move(path, Paths.get(dir, seg),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ingestedSegments += seg // already folded while it was the active file
     ingestedOffset = 0L
   }
 
@@ -269,6 +271,7 @@ final class FileCommandAudit private[meta] (dir: String)
   // in file order). Guarded by the instance lock shared with [[append]].
   private var ingestedOffset: Long = 0L
   private var pendingTail: Array[Byte] = Array.emptyByteArray
+  private val ingestedSegments = mutable.HashSet.empty[String]
   private var maxSeenId: Long = 0L
   private val cmds = mutable.LinkedHashMap.empty[Long, CommandRun]
   private val stepsById = mutable.LinkedHashMap.empty[Long, StepRun]
@@ -287,10 +290,29 @@ final class FileCommandAudit private[meta] (dir: String)
     * '\n' cannot occur inside a UTF-8 multibyte sequence, so splitting on
     * bytes before decoding is safe. */
   private def ingestNew(): Unit = synchronized {
-    if (!Files.exists(path)) return
+    // a WRITER in another JVM may have rotated: fold any segment files
+    // this instance hasn't seen (the fold is an id-keyed upsert, so
+    // re-ingesting bytes already folded from the pre-rotation active
+    // file is harmless), and if the active file shrank below our offset
+    // it was renamed away — restart from byte 0 of the fresh file.
+    // Without this, a reader sharing the dir would silently serve stale
+    // histories after any rotation.
+    segmentPaths().foreach { p =>
+      val name = p.getFileName.toString
+      if (!ingestedSegments.contains(name)) {
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .linesIterator.foreach(ingestLine)
+        ingestedSegments += name
+      }
+    }
+    if (!Files.exists(path)) { ingestedOffset = 0L; return }
     val ch = FileChannel.open(path, StandardOpenOption.READ)
     try {
       val size = ch.size()
+      if (size < ingestedOffset) {
+        ingestedOffset = 0L
+        pendingTail = Array.emptyByteArray
+      }
       if (size <= ingestedOffset) return
       val buf = ByteBuffer.allocate((size - ingestedOffset).toInt)
       ch.position(ingestedOffset)
@@ -373,14 +395,11 @@ final class FileCommandAudit private[meta] (dir: String)
     }.sortBy(-_.commandId)
   }
 
-  // constructor tail: fold rotated segments (immutable, whole-file) then
-  // the active file, and seed the id sequence past the max id seen in ANY
-  // segment so ids keep increasing across rotations and restarts
-  // (reference repo-sequence semantics)
-  segmentPaths().foreach { p =>
-    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.foreach(ingestLine)
-  }
+  // constructor tail: fold rotated segments (immutable, whole-file; the
+  // ingestNew segment sweep records them) then the active file, and seed
+  // the id sequence past the max id seen in ANY segment so ids keep
+  // increasing across rotations and restarts (reference repo-sequence
+  // semantics)
   ingestNew()
   nextId.set(maxSeenId + 1)
 }

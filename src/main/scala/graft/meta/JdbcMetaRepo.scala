@@ -153,10 +153,27 @@ final class JdbcMetaRepo private (url: String) {
            create_time BIGINT NOT NULL
          )""")
     val st = c.createStatement()
+    def tableExists(name: String): Boolean =
+      try {
+        val probe = c.createStatement()
+        try { probe.executeQuery(s"SELECT 1 FROM $name WHERE 1 = 0")
+          .close(); true }
+        finally probe.close()
+      } catch { case _: SQLException => false }
     try ddl.foreach { sql =>
       try { st.executeUpdate(sql); () }
       catch {
-        case e: SQLException if e.getSQLState == "X0Y32" => () // exists
+        // already-exists is the success path on reconnect. Derby says
+        // SQLState X0Y32; other engines use different states (Postgres
+        // 42P07, H2 42S01/42101), so the dialect-free check is a probe:
+        // if the table answers, the CREATE failure is benign
+        case e: SQLException =>
+          val name = sql.split("\\s+")
+            .dropWhile(!_.equalsIgnoreCase("TABLE")).drop(1).headOption
+            .map(_.takeWhile(ch => ch.isLetterOrDigit || ch == '_'))
+            .getOrElse("")
+          if (e.getSQLState != "X0Y32" &&
+            (name.isEmpty || !tableExists(name))) throw e
       }
     } finally st.close()
     // register this engine version once (reference goe_version rows)

@@ -135,11 +135,16 @@ object StatsStore {
       columns = cols, partitions = parts)
   }
 
+  // A jdbc: metadata "dir" cannot host files; stats land in the repo's
+  // filesystem scratch home (beside a derby database) — Paths.get on the
+  // raw URL would otherwise create a literal "jdbc:..." directory under
+  // the process CWD and strand the stats where no reader looks.
   private def fileFor(dir: String, table: String) =
-    Paths.get(dir, table.replaceAll("[^A-Za-z0-9_.]", "_") + ".stats.json")
+    Paths.get(JdbcMetaRepo.fsScratch(dir),
+      table.replaceAll("[^A-Za-z0-9_.]", "_") + ".stats.json")
 
   def save(dir: String, r: TableStatsRecord): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    Files.createDirectories(Paths.get(JdbcMetaRepo.fsScratch(dir)))
     val target = fileFor(dir, r.table)
     val tmp = Paths.get(target.toString + ".tmp")
     Files.write(tmp, toJson(r).getBytes(StandardCharsets.UTF_8))

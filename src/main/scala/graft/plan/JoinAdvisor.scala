@@ -92,8 +92,16 @@ object JoinAdvisor {
           if a.maxKeyShareL_ppm > skewSharePpm && (jt == "inner" ||
             jt == "left" || jt == "leftouter") =>
         Salting.saltedJoin(left, right, Seq(key), joinType, saltBuckets)
-      case "sort_merge_salted" if jt == "inner" =>
-        // right-side skew, inner join: salt the right side, swap back
+      case "sort_merge_salted"
+          if jt == "inner" &&
+            left.columns.filterNot(_ == key)
+              .intersect(right.columns.filterNot(_ == key)).isEmpty =>
+        // right-side skew, inner join: salt the right side, swap back.
+        // Guarded on disjoint non-key column names — the column-order
+        // restore selects by name, and a shared name would make THIS
+        // strategy throw where every other branch tolerates the
+        // duplicate; such inputs fall through to plain sort-merge (AQE
+        // skew splitting still applies)
         Salting.saltedJoin(right, left, Seq(key), joinType, saltBuckets)
           .select(plainOrder.map(col): _*)
       case _ => left.join(right, Seq(key), joinType)

@@ -26,9 +26,13 @@ object Salting {
                 minMaxCols: Seq[String] = Nil,
                 saltBuckets: Int = 16): DataFrame = {
     require(keyCols.nonEmpty && saltBuckets > 1)
+    // DETERMINISTIC salt (row-content hash): spark_partition_id /
+    // monotonically_increasing_id are unstable across task retries — a
+    // recomputed map partition would re-salt its rows differently than
+    // the surviving shuffle output, double-counting or dropping rows
+    // exactly when fault tolerance kicks in at scale
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets.toLong)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
 
     val phase1Aggs: Seq[Column] =
       count(lit(1)).as("__cnt") +:
@@ -72,9 +76,9 @@ object Salting {
     val jt = joinType.toLowerCase.replace("_", "")
     require(jt == "inner" || jt == "left" || jt == "leftouter",
       s"saltedJoin supports inner/left joins, not $joinType")
+    // deterministic content-hash salt — see saltedAgg's retry rationale
     val saltedL = left.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets.toLong)))
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets.toLong)))
     val replR = right.withColumn("__salt",
       explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
     saltedL.join(replR, keys :+ "__salt", joinType).drop("__salt")

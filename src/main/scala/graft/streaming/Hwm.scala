@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Crash-safe high-water-mark sidecar files for the streaming stores.
+  *
+  * A bare `fs.create(path, overwrite = true)` TRUNCATES the old value
+  * before the new bytes land, so a crash between the two leaves an
+  * empty file — and a reader that throws on it wedges the stream on
+  * every restart. Writes here go through a temp file + rename (the
+  * [[graft.meta.MetadataStore]] discipline), and reads tolerate a
+  * missing, empty, or torn file by returning -1: for the stores using
+  * these sidecars, replays are idempotent by construction (batch-scoped
+  * dynamic overwrite), so a lost HWM only costs a redundant-but-harmless
+  * rewrite — never a double-count and never a wedge.
+  */
+private[streaming] object Hwm {
+
+  def read(fs: FileSystem, path: Path): Long = {
+    if (!fs.exists(path)) return -1L
+    val in = fs.open(path)
+    val raw = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+    try if (raw.isEmpty) -1L else raw.toLong
+    catch { case _: NumberFormatException => -1L }
+  }
+
+  def write(fs: FileSystem, path: Path, value: Long): Unit = {
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.toString.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new IllegalStateException(s"hwm write: cannot install $tmp")
+  }
+}
+
+/** One-time in-place upgrade of a pre-`batch_id` store layout.
+  *
+  * The exactly-once rewrite partitions every store by `batch_id`; a
+  * store written by the append-only layout has its leaves one level
+  * shallower (`bucket=K/part-*.parquet`, or bare part files), and Spark
+  * partition discovery over the MIXED tree throws "Conflicting
+  * directory structures" — the store would wedge, not degrade. Folding
+  * the legacy entries under `batch_id=-1` (pure metadata renames, one
+  * level) makes old data a normal committed partition: probed, pruned,
+  * and compacted exactly like a folded batch. */
+private[streaming] object LegacyLayout {
+
+  private def legacyEntries(fs: FileSystem, root: Path) =
+    if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+    else fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("batch_id=") && !n.startsWith("_") &&
+        !n.startsWith(".")
+    }
+
+  /** Rename-fold, for stores whose legacy files do NOT carry a
+    * `batch_id` data column (the dedup band index, the curation hash
+    * index, the IVF cell store): legacy entries move under
+    * `batch_id=-1` as pure metadata renames. */
+  def fold(fs: FileSystem, root: Path): Unit = {
+    val entries = legacyEntries(fs, root)
+    if (entries.isEmpty) return
+    val dest = new Path(root, "batch_id=-1")
+    fs.mkdirs(dest)
+    entries.foreach { st =>
+      if (!fs.rename(st.getPath, new Path(dest, st.getPath.getName)))
+        throw new IllegalStateException(
+          s"legacy layout fold: cannot move ${st.getPath}")
+    }
+  }
+
+  /** Rewrite-fold, for stores whose legacy files DO carry `batch_id` as
+    * a DATA column (the dedup pairs table, the curation corpus and
+    * quarantine): a rename under `batch_id=-1` would collide the data
+    * column with the partition column and fail every read. Instead the
+    * loose legacy files rewrite ONCE into `batch_id=N` partitions
+    * derived from their own column — a pair/doc-scale job, run only on
+    * first contact with an old store. Crash-safe: the rewrite lands in
+    * a temp dir first; the loose files are deleted only after it
+    * completes; a leftover temp with no loose files resumes the move. */
+  def rewriteFold(spark: org.apache.spark.sql.SparkSession,
+                  root: Path): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root.getParent, root.getName + "__legacy_tmp")
+    def moveIn(): Unit = {
+      fs.listStatus(tmp).filter(_.getPath.getName.startsWith("batch_id="))
+        .foreach { st =>
+          val dest = new Path(root, st.getPath.getName)
+          fs.delete(dest, true)
+          if (!fs.rename(st.getPath, dest))
+            throw new IllegalStateException(
+              s"legacy rewrite: cannot move ${st.getPath}")
+        }
+      fs.delete(tmp, true)
+      ()
+    }
+    val loose = legacyEntries(fs, root).filter(_.isFile)
+    if (loose.isEmpty) {
+      // resume an interrupted move (loose files already deleted)
+      if (fs.exists(tmp)) moveIn()
+      return
+    }
+    fs.delete(tmp, true)
+    spark.read.parquet(loose.map(_.getPath.toString): _*)
+      .write.partitionBy("batch_id").parquet(tmp.toString)
+    loose.foreach(st => fs.delete(st.getPath, false))
+    moveIn()
+  }
+}

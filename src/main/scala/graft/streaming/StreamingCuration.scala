@@ -61,16 +61,9 @@ object StreamingCuration {
     new org.apache.hadoop.fs.Path(cfg.keyIndexPath + "__hwm")
 
   private[streaming] def lastBatch(spark: SparkSession,
-                                   cfg: Config): Long = {
-    val fs = hwmPath(cfg)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hwmPath(cfg))) -1L
-    else {
-      val in = fs.open(hwmPath(cfg))
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }
-  }
+                                   cfg: Config): Long =
+    Hwm.read(hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), hwmPath(cfg))
 
   /** One micro-batch: curate → bucket-pruned seen-probe → three
     * batch-scoped writes. Exposed for batch-equivalence specs. */
@@ -78,6 +71,16 @@ object StreamingCuration {
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
     if (batchId <= lastBatch(spark, cfg)) return // committed: skip
+    // one-time upgrade of pre-batch_id layouts (mixed-depth leaves wedge
+    // partition discovery)
+    val lfs = new org.apache.hadoop.fs.Path(cfg.keyIndexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LegacyLayout.fold(lfs,
+      new org.apache.hadoop.fs.Path(cfg.keyIndexPath))
+    // corpus/quarantine legacy files carry batch_id as a DATA column —
+    // they rewrite once instead of renaming (column/partition collision)
+    Seq(cfg.corpusPath, cfg.rejectPath).foreach(pth =>
+      LegacyLayout.rewriteFold(spark, new org.apache.hadoop.fs.Path(pth)))
     val verdicts = TextAnalysis.curate(batch, cfg.minQuality, cfg.maxDupFrac)
     val keyed = batch
       .withColumn("exact_key", TextAnalysis.exactKey(col("text")))
@@ -123,11 +126,9 @@ object StreamingCuration {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "bucket")
         .parquet(cfg.keyIndexPath)
-      val fs = hwmPath(cfg)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(hwmPath(cfg), true)
-      try out.write(batchId.toString.getBytes("UTF-8"))
-      finally out.close()
+      Hwm.write(hwmPath(cfg)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        hwmPath(cfg), batchId)
     } finally keyed.unpersist()
   }
 

@@ -98,16 +98,9 @@ object StreamingDedup {
     new org.apache.hadoop.fs.Path(cfg.indexPath + "__hwm")
 
   private[streaming] def lastBatch(spark: SparkSession,
-                                   cfg: Config): Long = {
-    val fs = hwmPath(cfg)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hwmPath(cfg))) -1L
-    else {
-      val in = fs.open(hwmPath(cfg))
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }
-  }
+                                   cfg: Config): Long =
+    Hwm.read(hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), hwmPath(cfg))
 
   /** One micro-batch: sign → band → probe index → append pairs → append
     * banded index rows. */
@@ -131,9 +124,14 @@ object StreamingDedup {
       // silently drop every cross-batch pair
       graft.sink.Compaction.recover(spark, cfg.indexPath)
       val indexFs = new org.apache.hadoop.fs.Path(cfg.indexPath)
-      val exists = indexFs
+      val ifs = indexFs
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(indexFs)
+      // one-time upgrade of pre-batch_id layouts (mixed-depth leaves
+      // would make partition discovery throw, wedging the stream)
+      LegacyLayout.fold(ifs, indexFs)
+      LegacyLayout.rewriteFold(spark,
+        new org.apache.hadoop.fs.Path(cfg.pairsPath))
+      val exists = ifs.exists(indexFs)
       val within = freshBand
         .select(col("band"), col("band_key"), col("sid").as("id_a"))
         .join(freshBand
@@ -157,11 +155,9 @@ object StreamingDedup {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "bucket").parquet(cfg.indexPath)
-      val fs = hwmPath(cfg)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(hwmPath(cfg), true)
-      try out.write(batchId.toString.getBytes("UTF-8"))
-      finally out.close()
+      Hwm.write(hwmPath(cfg)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        hwmPath(cfg), batchId)
     } finally { freshBand.unpersist(); () }
   }
 

@@ -48,16 +48,9 @@ object StreamingIvf {
     new org.apache.hadoop.fs.Path(cfg.indexPath + "__hwm")
 
   private[streaming] def lastBatch(spark: org.apache.spark.sql.SparkSession,
-                                   cfg: Config): Long = {
-    val fs = hwmPath(cfg)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hwmPath(cfg))) -1L
-    else {
-      val in = fs.open(hwmPath(cfg))
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }
-  }
+                                   cfg: Config): Long =
+    Hwm.read(hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), hwmPath(cfg))
 
   /** One micro-batch: assign with the pinned model, land the batch's own
     * (batch_id, cell) partitions — replay-idempotent by construction. */
@@ -67,16 +60,17 @@ object StreamingIvf {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     if (batchId <= lastBatch(spark, cfg)) return // committed: skip
+    LegacyLayout.fold(hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(cfg.indexPath))
     IvfIndex.assign(batch, model, cfg.dim, cfg.vecCol)
       .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "ivf_cell").parquet(cfg.indexPath)
-    val fs = hwmPath(cfg)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(hwmPath(cfg), true)
-    try out.write(batchId.toString.getBytes("UTF-8"))
-    finally out.close()
+    Hwm.write(hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      hwmPath(cfg), batchId)
   }
 
   /** Fold the batch dimension away: every committed batch's vectors

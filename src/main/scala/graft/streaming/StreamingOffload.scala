@@ -43,10 +43,17 @@ object StreamingOffload {
     * path's own crash-window protocol (`OffloadRunner`'s pending-chunk
     * marker): a fully-committed batch replays as a no-op (`snapshotId`
     * records the last committed batch id); a batch that crashed BETWEEN
-    * the append and the metadata commit left the pending marker, so the
-    * rerun reconciles against the final table — the append landed iff
-    * the table's max HWM already covers the batch's — and only then
-    * skips the re-append that would have duplicated the slice. */
+    * the append and the metadata commit left a pending marker recording
+    * the pre-append and batch ROW COUNTS, so the rerun reconciles by
+    * exact arithmetic — table at pre+batch rows means the append landed
+    * (commit only), at pre rows means it didn't (append), anything else
+    * is a partial append and FAILS LOUDLY rather than silently losing
+    * or duplicating the slice. Counting is exact and type-free, unlike
+    * a max-HWM probe, which is ambiguous when batches share boundary
+    * values and blind to partially-committed files. The pre-append
+    * count normally comes from a crash-safe running-total sidecar
+    * (`<finalPath>__rows`), so the steady-state path never counts the
+    * table. */
   private[streaming] def writeBatch(batch: DataFrame, batchId: Long,
                                     cfg: Config): Unit = {
     if (batch.isEmpty) return
@@ -55,39 +62,87 @@ object StreamingOffload {
     if (previous.flatMap(_.snapshotId).exists(_ >= batchId)) return
 
     val spark = batch.sparkSession
-    val newMaxS = String.valueOf(
-      batch.agg(max(col(cfg.hwmColumn))).head().get(0))
+    val agg = batch.agg(max(col(cfg.hwmColumn)), count(lit(1))).head()
+    val newMaxS = String.valueOf(agg.get(0))
+    val batchRows = agg.getLong(1)
     // rendered HWMs compare lexicographically; valid for the fixed-width
     // timestamp rendering used on event-time columns (the streaming HWM
     // case) — a replayed old batch therefore never regresses the HWM
     val prevHwm = previous.map(_.incrementalHighValue).getOrElse(Nil)
 
-    // mid-crash replay: this batch's marker is set — the append may or
-    // may not have landed; it landed iff the final table already holds
-    // rows at (or beyond) this batch's max HWM value
-    val markerSet = previous.exists(p =>
-      p.pendingChunkKeys == Seq(cfg.hwmColumn) &&
-        p.pendingChunkHwm == Seq(batchId.toString))
-    val landed = markerSet && {
-      val fs = new org.apache.hadoop.fs.Path(cfg.finalPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(new org.apache.hadoop.fs.Path(cfg.finalPath)) && {
-        val m = spark.read.parquet(cfg.finalPath)
-          .agg(max(col(cfg.hwmColumn))).head().get(0)
-        m != null && String.valueOf(m) >= newMaxS
+    val finalDir = new org.apache.hadoop.fs.Path(cfg.finalPath)
+    val fs = finalDir
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rowsPath = new org.apache.hadoop.fs.Path(cfg.finalPath + "__rows")
+    def tableRows(): Long =
+      if (fs.exists(finalDir)) spark.read.parquet(cfg.finalPath).count()
+      else 0L
+    // running-total sidecar, BOUND to the snapshot that produced it
+    // ("<snapshotId>:<total>", tmp+rename): a crash between the metadata
+    // commit and the sidecar write leaves a STALE total, which a bare
+    // number could not reveal — binding it to the snapshot id makes
+    // staleness detectable, and the fallback is one exact re-count
+    def readRows(): Option[Long] = {
+      if (!fs.exists(rowsPath)) return None
+      val in = fs.open(rowsPath)
+      val raw = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      raw.split(':') match {
+        case Array(snap, total)
+            if scala.util.Try(snap.toLong).isSuccess &&
+              scala.util.Try(total.toLong).isSuccess &&
+              previous.flatMap(_.snapshotId).contains(snap.toLong) =>
+          Some(total.toLong)
+        case _ => None // missing, torn, or stale: recount
       }
     }
+    def writeRows(snap: Long, total: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(
+        rowsPath.getParent, rowsPath.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$snap:$total".getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(rowsPath, false)
+      if (!fs.rename(tmp, rowsPath))
+        throw new IllegalStateException(s"rows sidecar: cannot install $tmp")
+    }
+
+    val marker = previous
+      .filter(_.pendingChunkKeys == Seq(cfg.hwmColumn))
+      .map(_.pendingChunkHwm)
+      .filter(h => h.length == 3 && h.head == batchId.toString)
+    val landed = marker match {
+      case Some(Seq(_, preS, bcS)) =>
+        val (pre, bc) = (preS.toLong, bcS.toLong)
+        val actual = tableRows()
+        if (actual == pre + bc) true
+        else if (actual == pre) false
+        else throw new IllegalStateException(
+          s"streaming offload ${cfg.sourceTable} batch $batchId: final " +
+            s"table holds $actual rows, expected $pre (append lost) or " +
+            s"${pre + bc} (append landed) — a partial append needs " +
+            "manual reconciliation before the stream can resume")
+      case _ => false
+    }
+    // pre-append count: the marker's record on a replay, else the
+    // snapshot-bound sidecar, else (first batch / stale sidecar) one
+    // exact count
+    val preRows = marker.map(_(1).toLong)
+      .orElse(readRows())
+      .getOrElse(tableRows())
     if (!landed) {
-      // pending marker BEFORE the append — the crash-window breadcrumb
-      MetadataStore.save(cfg.metadataDir, OffloadMetadata(
-        sourceTable = cfg.sourceTable,
-        backendTable = cfg.finalPath,
-        offloadType = "INCREMENTAL",
-        incrementalKey = Seq(cfg.hwmColumn),
-        incrementalHighValue = prevHwm,
-        snapshotId = previous.flatMap(_.snapshotId),
-        pendingChunkKeys = Seq(cfg.hwmColumn),
-        pendingChunkHwm = Seq(batchId.toString)))
+      if (marker.isEmpty)
+        // pending marker BEFORE the append — the crash-window breadcrumb
+        MetadataStore.save(cfg.metadataDir, OffloadMetadata(
+          sourceTable = cfg.sourceTable,
+          backendTable = cfg.finalPath,
+          offloadType = "INCREMENTAL",
+          incrementalKey = Seq(cfg.hwmColumn),
+          incrementalHighValue = prevHwm,
+          snapshotId = previous.flatMap(_.snapshotId),
+          pendingChunkKeys = Seq(cfg.hwmColumn),
+          pendingChunkHwm = Seq(batchId.toString, preRows.toString,
+            batchRows.toString)))
       val writer = batch.write.mode("append")
       (if (cfg.partitionCols.nonEmpty) writer.partitionBy(cfg.partitionCols: _*)
        else writer).parquet(cfg.finalPath)
@@ -104,5 +159,8 @@ object StreamingOffload {
       incrementalKey = Seq(cfg.hwmColumn),
       incrementalHighValue = advanced,
       snapshotId = Some(batchId)))
+    // running total AFTER the commit — a crash in between leaves a
+    // sidecar bound to the OLD snapshot, detected and re-counted once
+    writeRows(batchId, preRows + batchRows)
   }
 }

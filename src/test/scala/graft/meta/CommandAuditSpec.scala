@@ -125,6 +125,28 @@ class CommandAuditSpec extends AnyFunSuite {
       r.commandId +: r.steps.map(_.stepId)).filter(_ != next).max)
   }
 
+  test("a reader instance opened before a rotation keeps seeing the " +
+      "full timeline afterwards (cross-JVM reader heal)") {
+    val dir = Files.createTempDirectory("graft_audit_xjvm").toString
+    val writer = new FileCommandAudit(dir)
+    val reader = new FileCommandAudit(dir) // second instance = second JVM
+    val c1 = writer.startCommand(CommandAudit.newExecutionId(),
+      "OFFLOAD", "before-rotation")
+    writer.endCommand(c1, CommandAudit.Success)
+    assert(reader.runs().map(_.commandInput) == Seq("before-rotation"))
+    writer.rotate()
+    val c2 = writer.startCommand(CommandAudit.newExecutionId(),
+      "OFFLOAD", "after-rotation")
+    writer.endCommand(c2, CommandAudit.Success)
+    // the reader's byte offset pointed into the renamed-away file; it
+    // must fold the sealed segment it hasn't recorded and restart the
+    // fresh active file from zero — never serve a stale or torn view
+    val seen = reader.runs()
+    assert(seen.map(_.commandInput).sorted ==
+      Seq("after-rotation", "before-rotation"))
+    assert(seen.forall(_.status == CommandAudit.Success))
+  }
+
   test("size-based auto-rotation seals segments as the fence is crossed") {
     val dir = Files.createTempDirectory("graft_audit_auto").toString
     sys.props("graft.audit.segment.bytes") = "256"

@@ -179,6 +179,41 @@ class StreamingDedupSpec extends SparkSpec {
       s"recovered index should pair doc 200 with doc 3; got $pairs")
   }
 
+  test("a pre-batch_id store upgrades in place on first contact: legacy " +
+      "index rows fold by rename, legacy pairs rewrite by their data " +
+      "column, and new batches pair against the migrated corpus") {
+    val base = Files.createTempDirectory("sdedup_legacy").toString
+    val c = cfg(base)
+    val legacy = Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog"),
+      Doc(2, "the quick brown fox jumps over the lazy dog"),
+      Doc(3, "completely different text with no overlap at all")).toDF()
+    // hand-build the OLD layouts: index partitioned on bucket only,
+    // pairs as loose files with batch_id as a data column
+    StreamingDedup.bandedWithBucket(
+        Dedup.minhashSignatures(legacy, c.numHashes), c)
+      .select(col("sid"), col("band"), col("band_key"), col("bucket"))
+      .write.partitionBy("bucket").parquet(c.indexPath)
+    Seq((1L, 2L, 0L)).toDF("id_a", "id_b", "batch_id")
+      .write.parquet(c.pairsPath)
+
+    StreamingDedup.processBatch(
+      Seq(Doc(4, "the quick brown fox jumps over the lazy dog")).toDF(),
+      5L, c)
+    // reads work post-migration, legacy rows live under batch_id=-1
+    val idx = spark.read.parquet(c.indexPath)
+    assert(idx.select("sid").distinct().count() === 4L)
+    assert(idx.filter(col("batch_id").cast("long") === -1L)
+      .select("sid").distinct().count() === 3L)
+    // the new batch paired against the MIGRATED legacy corpus, and the
+    // legacy pair survived the rewrite with its batch id intact
+    val pairs = spark.read.parquet(c.pairsPath)
+      .select(col("id_a"), col("id_b"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pairs === Set((1L, 2L, 0L), (1L, 4L, 5L), (2L, 4L, 5L)))
+  }
+
   test("replay is exactly-once: a committed batch skips via the HWM, a " +
       "mid-crash batch rewrites its own partitions — no duplicate band " +
       "rows, no duplicate pairs, no self-pairs") {

@@ -34,28 +34,45 @@ class StreamingOffloadReplaySpec extends SparkSpec {
     StreamingOffload.writeBatch(batchAt(2), 1L, cfg)
     assert(finalCount() === 2L)
 
-    // mid-crash replay: restore the pre-commit metadata (pending marker
-    // set, snapshot behind) — the rerun finds the append landed and must
-    // NOT duplicate the slice, only commit the metadata
+    // mid-crash replay, append LANDED: restore the pre-commit metadata
+    // (marker records pre=1 row, batch=1 row; the table already holds
+    // pre+batch = 2) — the rerun must NOT duplicate the slice, only
+    // commit the metadata
     MetadataStore.save(s"$base/meta", OffloadMetadata(
       sourceTable = "t", backendTable = s"$base/final",
       offloadType = "INCREMENTAL", incrementalKey = Seq("ts"),
       incrementalHighValue = Seq("2024-01-01 01:00:00.0"),
       snapshotId = Some(0L),
-      pendingChunkKeys = Seq("ts"), pendingChunkHwm = Seq("1")))
+      pendingChunkKeys = Seq("ts"),
+      pendingChunkHwm = Seq("1", "1", "1")))
     StreamingOffload.writeBatch(batchAt(2), 1L, cfg)
     assert(finalCount() === 2L, "mid-crash replay duplicated the batch")
     val meta = MetadataStore.load(s"$base/meta", "t").get
     assert(meta.snapshotId.contains(1L) && meta.pendingChunkHwm.isEmpty)
 
-    // a marker WITHOUT a landed append still appends (no lost batch)
+    // mid-crash replay, append LOST: marker present but the table still
+    // holds only the pre-append count — the rerun appends (no lost batch)
     MetadataStore.save(s"$base/meta",
       MetadataStore.load(s"$base/meta", "t").get.copy(
         snapshotId = Some(1L),
-        pendingChunkKeys = Seq("ts"), pendingChunkHwm = Seq("2")))
+        pendingChunkKeys = Seq("ts"),
+        pendingChunkHwm = Seq("2", "2", "1")))
     StreamingOffload.writeBatch(batchAt(3), 2L, cfg)
     assert(finalCount() === 3L, "marker-only replay lost the batch")
     assert(MetadataStore.load(s"$base/meta", "t").get
       .incrementalHighValue.head.startsWith("2024-01-01 03"))
+
+    // a PARTIAL append (table row count matches neither pre nor
+    // pre+batch) fails loudly instead of silently losing or duplicating
+    MetadataStore.save(s"$base/meta",
+      MetadataStore.load(s"$base/meta", "t").get.copy(
+        snapshotId = Some(2L),
+        pendingChunkKeys = Seq("ts"),
+        pendingChunkHwm = Seq("3", "1", "1")))
+    val e = intercept[IllegalStateException] {
+      StreamingOffload.writeBatch(batchAt(4), 3L, cfg)
+    }
+    assert(e.getMessage.contains("partial append"))
+    assert(finalCount() === 3L)
   }
 }
