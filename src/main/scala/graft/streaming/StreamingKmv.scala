@@ -37,17 +37,13 @@ object StreamingKmv {
 
   private def hwmPath(cfg: Config) = new Path(cfg.sketchDir, "_hwm")
 
+  // tolerant read (shared Hwm helper): a torn HWM file degrades to -1 —
+  // safe here because the merge is idempotent (max/union), so a replayed
+  // batch re-merging is a no-op, never a double count
   private[streaming] def lastBatch(spark: org.apache.spark.sql.SparkSession,
-                                   cfg: Config): Long = {
-    val fs = new Path(cfg.sketchDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hwmPath(cfg))) -1L
-    else {
-      val in = fs.open(hwmPath(cfg))
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }
-  }
+                                   cfg: Config): Long =
+    Hwm.read(new Path(cfg.sketchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), hwmPath(cfg))
 
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {

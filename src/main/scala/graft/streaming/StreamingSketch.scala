@@ -33,26 +33,35 @@ object StreamingSketch {
       }
       .start()
 
-  private def hwmPath(cfg: Config) = new Path(cfg.sketchDir, "_hwm")
+  // HWM lives INSIDE the swapped cells directory (parquet readers skip
+  // underscore files), so it commits ATOMICALLY with the counts it
+  // certifies — CMS addition is not idempotent, and a separate post-swap
+  // HWM write left a window where a crash produced counts-without-HWM
+  // and the replay double-counted. The legacy beside-the-dir location is
+  // still read for stores written before this change.
+  private def hwmPath(cfg: Config) =
+    new Path(new Path(cfg.sketchDir, "cells"), "_hwm")
+  private def legacyHwmPath(cfg: Config) = new Path(cfg.sketchDir, "_hwm")
 
   private[streaming] def lastBatch(spark: org.apache.spark.sql.SparkSession,
                                    cfg: Config): Long = {
     val fs = new Path(cfg.sketchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hwmPath(cfg))) -1L
-    else {
-      val in = fs.open(hwmPath(cfg))
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }
+    math.max(Hwm.read(fs, hwmPath(cfg)),
+      Hwm.read(fs, legacyHwmPath(cfg)))
   }
 
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastBatch(spark, cfg)) return // replayed batch: no-op
-    val fs = new Path(cfg.sketchDir)
+    val fs0 = new Path(cfg.sketchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an interrupted previous swap must restore BEFORE the absent-store
+    // check — mistaking an aside-renamed store for "empty" would quietly
+    // reset every accumulated count
+    StreamingHll.recoverSwap(fs0, cfg.sketchDir, "cells")
+    if (batchId <= lastBatch(spark, cfg)) return // replayed batch: no-op
+    val fs = fs0
     val cells = new Path(cfg.sketchDir, "cells")
     val fresh = Sketches.countMin(batch, cfg.depth, cfg.hexChars)
     val merged =
@@ -62,6 +71,8 @@ object StreamingSketch {
     val tmp = new Path(cfg.sketchDir, "cells__tmp")
     fs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
+    // the HWM rides the same rename as the counts it certifies
+    Hwm.write(fs, new Path(tmp, "_hwm"), batchId)
     val old = new Path(cfg.sketchDir, "cells__old")
     fs.delete(old, true)
     if (fs.exists(cells) && !fs.rename(cells, old))
@@ -71,9 +82,8 @@ object StreamingSketch {
       throw new IllegalStateException(s"sketch swap: cannot install $tmp")
     }
     fs.delete(old, true)
-    val out = fs.create(hwmPath(cfg), true)
-    try out.write(batchId.toString.getBytes("UTF-8"))
-    finally out.close()
+    fs.delete(legacyHwmPath(cfg), false) // superseded by the riding HWM
+    ()
   }
 
   /** The resident sketch (empty relation when nothing has arrived). */
@@ -81,6 +91,7 @@ object StreamingSketch {
            cfg: Config): DataFrame = {
     val fs = new Path(cfg.sketchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingHll.recoverSwap(fs, cfg.sketchDir, "cells")
     val cells = new Path(cfg.sketchDir, "cells")
     if (fs.exists(cells)) spark.read.parquet(cells.toString)
     else spark.emptyDataFrame

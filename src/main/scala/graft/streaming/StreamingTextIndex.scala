@@ -61,17 +61,13 @@ object StreamingTextIndex {
 
   private def hwmPath(cfg: Config) = new Path(cfg.totalsPath, "_hwm")
 
+  // tolerant read + temp-rename write (shared Hwm helper): a torn HWM
+  // degrades to -1, which only costs a redundant rewrite — every write
+  // here is batch-scoped dynamic overwrite, so replays are exactly-once
   private[streaming] def lastBatch(spark: SparkSession,
-                                   cfg: Config): Long = {
-    val fs = new Path(cfg.totalsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hwmPath(cfg))) -1L
-    else {
-      val in = fs.open(hwmPath(cfg))
-      try new String(in.readAllBytes(), "UTF-8").trim.toLong
-      finally in.close()
-    }
-  }
+                                   cfg: Config): Long =
+    Hwm.read(new Path(cfg.totalsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), hwmPath(cfg))
 
   private[streaming] def readTotals(spark: SparkSession,
                                     cfg: Config): (Long, Long) = {
@@ -126,9 +122,7 @@ object StreamingTextIndex {
           .toDF("n_docs", "corpus_len", "batch_id"),
         Seq("batch_id"), new Path(cfg.totalsPath, "totals").toString)
     }
-    val out = fs.create(hwmPath(cfg), true)
-    try out.write(batchId.toString.getBytes("UTF-8"))
-    finally out.close()
+    Hwm.write(fs, hwmPath(cfg), batchId)
   }
 
   /** Bucket-pruned postings for a query's terms. */

@@ -39,6 +39,34 @@ class StreamingSketchSpec extends SparkSpec {
     assert(est("a") >= 3L && est("c") >= 3L && est("zzz") >= 0L)
   }
 
+  test("a crash between the swap renames cannot reset counts, and the " +
+      "HWM rides the swap so counts + replay-skip commit atomically") {
+    val base = Files.createTempDirectory("ssketch_crash").toString
+    val c = cfg(base)
+    val b0 = Seq(Doc(1, "a a b"), Doc(2, "b c")).toDF()
+    StreamingSketch.processBatch(b0, 0L, c)
+    val committed = cellMap(StreamingSketch.read(spark, c))
+    // crash window: cells aside-renamed, nothing installed — a batch
+    // that mistook this for an empty store would silently reset every
+    // accumulated count
+    val fs = new org.apache.hadoop.fs.Path(s"$base/sketch")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$base/sketch/cells"),
+      new org.apache.hadoop.fs.Path(s"$base/sketch/cells__old")))
+    assert(cellMap(StreamingSketch.read(spark, c)) == committed) // healed
+    val b1 = Seq(Doc(3, "a c c d")).toDF()
+    StreamingSketch.processBatch(b1, 1L, c)
+    val all = Seq(Doc(1, "a a b"), Doc(2, "b c"), Doc(3, "a c c d")).toDF()
+    assert(cellMap(StreamingSketch.read(spark, c)) ==
+      cellMap(Sketches.countMin(all)))
+    // the HWM lives inside the swapped dir: a replay skips even though
+    // no separate post-swap HWM write ever happened
+    StreamingSketch.processBatch(b1, 1L, c)
+    assert(cellMap(StreamingSketch.read(spark, c)) ==
+      cellMap(Sketches.countMin(all)))
+  }
+
   test("streaming end-to-end over MemoryStream") {
     val base = Files.createTempDirectory("ssketch_e2e").toString
     val c = cfg(base)
