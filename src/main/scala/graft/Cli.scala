@@ -751,10 +751,7 @@ object Cli {
           // preserve the batch dimension this exists to remove):
           //   dedup-index-compact --index <dir>
           val res = graft.streaming.StreamingDedup.compactIndex(spark,
-            graft.streaming.StreamingDedup.Config(
-              indexPath = opts("index"),
-              pairsPath = opts("index") + "__unused_pairs",
-              checkpointDir = opts("index") + "__unused_ckpt"))
+            opts("index"))
           println(s"""{"files_before": ${res.filesBefore}, """ +
             s""""files_after": ${res.filesAfter}, "rows": ${res.rows}}""")
 

@@ -289,27 +289,43 @@ final class FileCommandAudit private[meta] (dir: String)
     * another JVM) is carried in `pendingTail` until its newline arrives —
     * '\n' cannot occur inside a UTF-8 multibyte sequence, so splitting on
     * bytes before decoding is safe. */
-  private def ingestNew(): Unit = synchronized {
-    // a WRITER in another JVM may have rotated: fold any segment files
-    // this instance hasn't seen (the fold is an id-keyed upsert, so
-    // re-ingesting bytes already folded from the pre-rotation active
-    // file is harmless), and if the active file shrank below our offset
-    // it was renamed away — restart from byte 0 of the fresh file.
-    // Without this, a reader sharing the dir would silently serve stale
-    // histories after any rotation.
-    segmentPaths().foreach { p =>
-      val name = p.getFileName.toString
-      if (!ingestedSegments.contains(name)) {
-        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-          .linesIterator.foreach(ingestLine)
-        ingestedSegments += name
+  private def ingestNew(sweepSegments: Boolean = false): Unit =
+      synchronized {
+    // A WRITER in another JVM may have rotated the file this reader's
+    // byte offset points into. The EXACT signal is a segment file this
+    // instance hasn't recorded (each rotation seals exactly one): fold
+    // it (the fold is an id-keyed upsert, so re-ingesting bytes already
+    // folded from the pre-rotation active file is harmless) and restart
+    // the FRESH active file from byte 0 with the carried tail cleared —
+    // a size comparison alone would misread a fresh file that has
+    // already grown past the stale offset, silently skipping its head
+    // and fusing the stale tail fragment onto a new record. The sweep
+    // costs a directory listing, so it runs on READ entry points
+    // (runs(), construction), not on the writer's per-event hot path —
+    // the writer records its own rotations directly.
+    if (sweepSegments) {
+      var rotatedAway = false
+      segmentPaths().foreach { p =>
+        val name = p.getFileName.toString
+        if (!ingestedSegments.contains(name)) {
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+            .linesIterator.foreach(ingestLine)
+          ingestedSegments += name
+          rotatedAway = true
+        }
+      }
+      if (rotatedAway) {
+        ingestedOffset = 0L
+        pendingTail = Array.emptyByteArray
       }
     }
-    if (!Files.exists(path)) { ingestedOffset = 0L; return }
+    if (!Files.exists(path)) return
     val ch = FileChannel.open(path, StandardOpenOption.READ)
     try {
       val size = ch.size()
       if (size < ingestedOffset) {
+        // defense in depth (e.g. external truncation): never read from
+        // beyond the end of the file
         ingestedOffset = 0L
         pendingTail = Array.emptyByteArray
       }
@@ -385,7 +401,7 @@ final class FileCommandAudit private[meta] (dir: String)
     * reconciled). Cost: bytes appended since the last call, plus assembly
     * over live records — never a full-file re-read. */
   override def runs(): Seq[CommandRun] = synchronized {
-    ingestNew()
+    ingestNew(sweepSegments = true)
     cmds.values.toSeq.map { c =>
       c.copy(
         steps = stepIdsByExec.getOrElse(c.executionId, Nil)
@@ -400,6 +416,6 @@ final class FileCommandAudit private[meta] (dir: String)
   // the id sequence past the max id seen in ANY segment so ids keep
   // increasing across rotations and restarts (reference repo-sequence
   // semantics)
-  ingestNew()
+  ingestNew(sweepSegments = true)
   nextId.set(maxSeenId + 1)
 }

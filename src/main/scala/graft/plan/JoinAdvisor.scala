@@ -94,10 +94,12 @@ object JoinAdvisor {
         Salting.saltedJoin(left, right, Seq(key), joinType, saltBuckets)
       case "sort_merge_salted"
           if jt == "inner" &&
-            left.columns.filterNot(_ == key)
-              .intersect(right.columns.filterNot(_ == key)).isEmpty =>
+            left.columns.filterNot(_ == key).map(_.toLowerCase)
+              .intersect(right.columns.filterNot(_ == key)
+                .map(_.toLowerCase)).isEmpty =>
         // right-side skew, inner join: salt the right side, swap back.
-        // Guarded on disjoint non-key column names — the column-order
+        // Guarded on disjoint non-key column names (case-insensitively,
+        // matching Spark's default resolution) — the column-order
         // restore selects by name, and a shared name would make THIS
         // strategy throw where every other branch tolerates the
         // duplicate; such inputs fall through to plain sort-merge (AQE

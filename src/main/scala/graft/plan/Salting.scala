@@ -30,7 +30,13 @@ object Salting {
     // monotonically_increasing_id are unstable across task retries — a
     // recomputed map partition would re-salt its rows differently than
     // the surviving shuffle output, double-counting or dropping rows
-    // exactly when fault tolerance kicks in at scale
+    // exactly when fault tolerance kicks in at scale. Known limit:
+    // BYTE-IDENTICAL duplicate rows share one salt; for aggregation
+    // that is harmless (the map-side partial combine collapses them per
+    // input task before the shuffle, so the reducer still receives at
+    // most one row per input partition), and for joins only a key whose
+    // rows are fully identical in EVERY column re-concentrates — give
+    // such inputs a distinguishing column before salting.
     val salted = df.withColumn("__salt",
       pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
 

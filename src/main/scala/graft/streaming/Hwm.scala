@@ -48,6 +48,12 @@ private[streaming] object Hwm {
   * and compacted exactly like a folded batch. */
 private[streaming] object LegacyLayout {
 
+  // per-JVM memo of paths already checked: the migration is one-time, so
+  // steady-state batches skip the listStatus probes entirely (on object
+  // stores those are billable LIST calls on every micro-batch)
+  private val migrated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def legacyEntries(fs: FileSystem, root: Path) =
     if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
     else fs.listStatus(root).filter { st =>
@@ -61,8 +67,9 @@ private[streaming] object LegacyLayout {
     * index, the IVF cell store): legacy entries move under
     * `batch_id=-1` as pure metadata renames. */
   def fold(fs: FileSystem, root: Path): Unit = {
+    if (migrated.contains(root.toString)) return
     val entries = legacyEntries(fs, root)
-    if (entries.isEmpty) return
+    if (entries.isEmpty) { migrated.add(root.toString); (); return }
     val dest = new Path(root, "batch_id=-1")
     fs.mkdirs(dest)
     entries.foreach { st =>
@@ -70,6 +77,7 @@ private[streaming] object LegacyLayout {
         throw new IllegalStateException(
           s"legacy layout fold: cannot move ${st.getPath}")
     }
+    migrated.add(root.toString); ()
   }
 
   /** Rewrite-fold, for stores whose legacy files DO carry `batch_id` as
@@ -83,6 +91,7 @@ private[streaming] object LegacyLayout {
     * completes; a leftover temp with no loose files resumes the move. */
   def rewriteFold(spark: org.apache.spark.sql.SparkSession,
                   root: Path): Unit = {
+    if (migrated.contains(root.toString)) return
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(root.getParent, root.getName + "__legacy_tmp")
     def moveIn(): Unit = {
@@ -97,10 +106,24 @@ private[streaming] object LegacyLayout {
       fs.delete(tmp, true)
       ()
     }
+    // Spark's committer writes _SUCCESS when the rewrite COMPLETED — the
+    // authoritative resume signal. A completed tmp must never be thrown
+    // away while loose files remain: the interrupted step was the
+    // deletion loop, and the tmp holds the ONLY copy of the rows whose
+    // loose files are already gone. An incomplete tmp (no _SUCCESS) is
+    // discardable garbage precisely because no loose file was deleted
+    // before the write finished.
+    val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
     val loose = legacyEntries(fs, root).filter(_.isFile)
+    if (tmpComplete) {
+      loose.foreach(st => fs.delete(st.getPath, false))
+      moveIn()
+      migrated.add(root.toString); ()
+      return
+    }
     if (loose.isEmpty) {
-      // resume an interrupted move (loose files already deleted)
-      if (fs.exists(tmp)) moveIn()
+      fs.delete(tmp, true) // incomplete leftover, nothing to fold
+      migrated.add(root.toString); ()
       return
     }
     fs.delete(tmp, true)
@@ -108,5 +131,6 @@ private[streaming] object LegacyLayout {
       .write.partitionBy("batch_id").parquet(tmp.toString)
     loose.foreach(st => fs.delete(st.getPath, false))
     moveIn()
+    migrated.add(root.toString); ()
   }
 }

@@ -172,6 +172,12 @@ object StreamingDedup {
     * beside the folded partition. Maintenance only — [[probeIndex]] is
     * correct (just slower) without it, and a crashed pass is healed by
     * the `recover()` call on the ingest/probe paths. */
+  /** Path-only convenience — compaction touches nothing but the index. */
+  def compactIndex(spark: SparkSession, indexPath: String)
+      : graft.sink.Compaction.CompactionResult =
+    compactIndex(spark, Config(indexPath = indexPath,
+      pairsPath = indexPath, checkpointDir = indexPath))
+
   def compactIndex(spark: SparkSession, cfg: Config)
       : graft.sink.Compaction.CompactionResult = {
     graft.sink.Compaction.recover(spark, cfg.indexPath)

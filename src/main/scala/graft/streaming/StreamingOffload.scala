@@ -107,10 +107,11 @@ object StreamingOffload {
         throw new IllegalStateException(s"rows sidecar: cannot install $tmp")
     }
 
-    val marker = previous
+    val markerHwm = previous
       .filter(_.pendingChunkKeys == Seq(cfg.hwmColumn))
       .map(_.pendingChunkHwm)
-      .filter(h => h.length == 3 && h.head == batchId.toString)
+      .filter(_.headOption.contains(batchId.toString))
+    val marker = markerHwm.filter(_.length == 3)
     val landed = marker match {
       case Some(Seq(_, preS, bcS)) =>
         val (pre, bc) = (preS.toLong, bcS.toLong)
@@ -122,6 +123,17 @@ object StreamingOffload {
             s"table holds $actual rows, expected $pre (append lost) or " +
             s"${pre + bc} (append landed) — a partial append needs " +
             "manual reconciliation before the stream can resume")
+      case _ if markerHwm.exists(_.length == 1) =>
+        // marker written by the PREVIOUS build (batch id only, no row
+        // accounting): reconcile with its heuristic — the append landed
+        // iff the table's max HWM already covers the batch's. Coarser
+        // than the count protocol (ambiguous for equal boundary values)
+        // but strictly better than re-appending a landed slice.
+        fs.exists(finalDir) && {
+          val m = spark.read.parquet(cfg.finalPath)
+            .agg(max(col(cfg.hwmColumn))).head().get(0)
+          m != null && String.valueOf(m) >= newMaxS
+        }
       case _ => false
     }
     // pre-append count: the marker's record on a replay, else the

@@ -135,15 +135,19 @@ class CommandAuditSpec extends AnyFunSuite {
     writer.endCommand(c1, CommandAudit.Success)
     assert(reader.runs().map(_.commandInput) == Seq("before-rotation"))
     writer.rotate()
-    val c2 = writer.startCommand(CommandAudit.newExecutionId(),
-      "OFFLOAD", "after-rotation")
-    writer.endCommand(c2, CommandAudit.Success)
-    // the reader's byte offset pointed into the renamed-away file; it
-    // must fold the sealed segment it hasn't recorded and restart the
-    // fresh active file from zero — never serve a stale or torn view
+    // grow the FRESH active file PAST the reader's stale offset before
+    // the reader looks again: a size-shrink heuristic would misread the
+    // new file from a mid-record offset and drop its head silently — the
+    // exact detection is the unseen sealed segment, not the size
+    (1 to 6).foreach { i =>
+      val c = writer.startCommand(CommandAudit.newExecutionId(),
+        "OFFLOAD", s"after-rotation-$i")
+      writer.endCommand(c, CommandAudit.Success)
+    }
     val seen = reader.runs()
-    assert(seen.map(_.commandInput).sorted ==
-      Seq("after-rotation", "before-rotation"))
+    assert(seen.map(_.commandInput).toSet ==
+      (Set("before-rotation") ++
+        (1 to 6).map(i => s"after-rotation-$i")))
     assert(seen.forall(_.status == CommandAudit.Success))
   }
 

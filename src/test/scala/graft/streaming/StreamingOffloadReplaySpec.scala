@@ -62,6 +62,19 @@ class StreamingOffloadReplaySpec extends SparkSpec {
     assert(MetadataStore.load(s"$base/meta", "t").get
       .incrementalHighValue.head.startsWith("2024-01-01 03"))
 
+    // a LEGACY (pre-upgrade) single-element marker — batch id only, no
+    // row accounting — reconciles with the old max-HWM heuristic: the
+    // landed batch 2 must NOT be re-appended after the code upgrade
+    MetadataStore.save(s"$base/meta",
+      MetadataStore.load(s"$base/meta", "t").get.copy(
+        snapshotId = Some(1L),
+        incrementalHighValue = Seq("2024-01-01 02:00:00.0"),
+        pendingChunkKeys = Seq("ts"), pendingChunkHwm = Seq("2")))
+    StreamingOffload.writeBatch(batchAt(3), 2L, cfg)
+    assert(finalCount() === 3L, "legacy marker replay duplicated the batch")
+    assert(MetadataStore.load(s"$base/meta", "t").get
+      .snapshotId.contains(2L))
+
     // a PARTIAL append (table row count matches neither pre nor
     // pre+batch) fails loudly instead of silently losing or duplicating
     MetadataStore.save(s"$base/meta",
