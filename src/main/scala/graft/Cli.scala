@@ -458,17 +458,35 @@ object Cli {
 
         case "advise-join" =>
           // Pre-flight join strategy advice (sizes + CMS cardinality
-          // bound + skew shares -> broadcast | sort_merge[_salted]):
+          // bound + skew shares -> broadcast | sort_merge[_salted]);
+          // with --execute + --out the advised strategy actually runs
+          // and the result lands as parquet (same-named key required):
           //   advise-join --left <parquet> --right <parquet>
           //               --left-key <col> --right-key <col>
           //               [--broadcast-rows 500000] [--skew-ppm 100000]
-          val advice = graft.plan.JoinAdvisor.advise(
-            spark.read.parquet(opts("left")), opts("left-key"),
-            spark.read.parquet(opts("right")), opts("right-key"),
-            broadcastRowLimit =
-              opts.getOrElse("broadcast-rows", "500000").toLong,
-            skewSharePpm = opts.getOrElse("skew-ppm", "100000").toLong)
-          println(graft.plan.JoinAdvisor.renderJson(advice))
+          //               [--execute --out <path> [--join-type inner]]
+          val bl = opts.getOrElse("broadcast-rows", "500000").toLong
+          val sp = opts.getOrElse("skew-ppm", "100000").toLong
+          if (opts.contains("execute")) {
+            require(opts("left-key") == opts("right-key"),
+              "--execute requires the same key name on both sides " +
+                "(rename the column or use the advisory mode)")
+            val (joined, advice) = graft.plan.JoinAdvisor.adviseAndJoin(
+              spark.read.parquet(opts("left")),
+              spark.read.parquet(opts("right")), opts("left-key"),
+              joinType = opts.getOrElse("join-type", "inner"),
+              broadcastRowLimit = bl, skewSharePpm = sp)
+            joined.write.mode("overwrite").parquet(opts("out"))
+            val n = spark.read.parquet(opts("out")).count()
+            println(graft.plan.JoinAdvisor.renderJson(advice)
+              .stripSuffix("}") + s""", "rows_written": $n}""")
+          } else {
+            val advice = graft.plan.JoinAdvisor.advise(
+              spark.read.parquet(opts("left")), opts("left-key"),
+              spark.read.parquet(opts("right")), opts("right-key"),
+              broadcastRowLimit = bl, skewSharePpm = sp)
+            println(graft.plan.JoinAdvisor.renderJson(advice))
+          }
 
         case "anomaly" =>
           // Daily-total anomaly flags vs the trailing-median fence:

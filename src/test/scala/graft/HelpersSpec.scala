@@ -482,6 +482,29 @@ class CliSpec extends SparkSpec {
       .chunkFromStats(rec, maxBytes = Long.MaxValue, maxCount = 10).nonEmpty)
   }
 
+  test("advise-join --execute runs the advised strategy and writes the " +
+      "join; advisory mode just reports") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_cli_advise").toString
+    val li = sf("sf0.001") + "/lineitem.parquet"
+    // small dim keyed like the fact: l_partkey stats per part
+    spark.read.parquet(li).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines")).write.parquet(s"$base/dim")
+    Cli.main(Array("advise-join",
+      "--left", li, "--right", s"$base/dim",
+      "--left-key", "l_partkey", "--right-key", "l_partkey",
+      "--execute", "--out", s"$base/joined"))
+    val joined = spark.read.parquet(s"$base/joined")
+    val expected = spark.read.parquet(li)
+      .join(spark.read.parquet(s"$base/dim"), Seq("l_partkey"))
+    assert(joined.count() === expected.count())
+    assert(joined.columns.toSet === expected.columns.toSet)
+    // advisory mode: no --out required, nothing materialised
+    Cli.main(Array("advise-join",
+      "--left", li, "--right", s"$base/dim",
+      "--left-key", "l_partkey", "--right-key", "l_partkey"))
+  }
+
   test("prepare-corpus runs the composed pipeline: curate, near-dup " +
       "canonicalise, split, data card — partitioning the input exactly") {
     import org.apache.spark.sql.functions._
