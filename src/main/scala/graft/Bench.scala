@@ -56,6 +56,13 @@ object Bench {
         : ((Double, Option[String]), Double) =
       if (reps == 1) (runOne(fn), 1.0)
       else {
+        // One UNTIMED warm-up execution first: the reps run back-to-back,
+        // so without it the first queries of the suite pay JVM classload /
+        // codegen / page-cache warm-up in ALL their reps and the median
+        // records startup, not the query (round-10 adjudication: q01 at
+        // 9.3 s and q233 at 21 s, both sub-second plans). A failed warm-up
+        // needs no special case — the timed reps fail the same way.
+        runOne(fn)
         val runs = Seq.fill(reps)(runOne(fn))
         val ok = runs.collect { case (t, None) => t }.sorted
         if (ok.isEmpty) (runs.head, 1.0)
@@ -112,7 +119,8 @@ object Bench {
     // here with a big median jump is contention, not a plan change.
     val noisy5 = spreads.sortBy(-_._2).take(5)
       .map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
+    val warm = if (reps > 1) 1 else 0
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

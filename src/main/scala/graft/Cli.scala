@@ -565,6 +565,7 @@ object Cli {
           Sketches.kmvPairSimilarity(sk, k, gc)
             .orderBy(col("src_lo"), col("src_hi"))
             .collect().foreach(r => println(r.mkString("\t")))
+          sk.unpersist()
 
         case "schema-sync" =>
           // detect source-side schema drift vs an offloaded target and

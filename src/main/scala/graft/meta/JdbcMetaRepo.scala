@@ -16,20 +16,36 @@ import scala.collection.mutable
   * string.
   *
   * What the database buys over atomic-rename JSON:
-  *  - **Atomic HWM commit across processes.** A metadata save is one
-  *    single-row transaction (UPDATE-else-INSERT under a unique key);
-  *    concurrent drivers serialize on the row lock, and a reader can
-  *    never observe a half-written HWM tuple.
-  *  - **Cross-process audit id allocation.** Event ids come from
-  *    `GENERATED ALWAYS AS IDENTITY` columns, not a JVM counter, so two
-  *    driver processes sharing one repo cannot emit colliding command /
-  *    step / chunk ids (the file backend's per-dir singleton only
-  *    guarantees that within one JVM).
+  *  - **Atomic HWM commit.** A metadata save is one single-row
+  *    transaction (UPDATE-else-INSERT under a unique key); concurrent
+  *    drivers serialize on the row lock, and a reader can never observe
+  *    a half-written HWM tuple.
+  *  - **Database-allocated audit ids.** Event ids come from `GENERATED
+  *    ALWAYS AS IDENTITY` columns, not a JVM counter, so ids stay
+  *    monotone and collision-free across every connection to the repo
+  *    (the file backend's per-dir singleton only guarantees that within
+  *    one JVM).
   *
-  * Embedded Derby is the in-sandbox database (the same engine the JDBC
-  * source tests run against); any JDBC database reachable by URL works —
-  * the SQL below sticks to entry-level DDL/DML (no MERGE, no dialect
-  * sequences).
+  * **Deployment rule — multi-process sharing needs a SERVER-mode
+  * database.** The id/transaction design above is process-agnostic, but
+  * EMBEDDED Derby (the in-sandbox database, same engine the JDBC source
+  * tests run against) locks the database directory to ONE JVM via
+  * `db.lck`: a second process cannot even connect — it fails with
+  * SQLState XJ040/XSDB6 ("another instance of Derby may have already
+  * booted"), which `JdbcMetaRepoSpec` pins by forking a real second JVM.
+  * To share one repo between driver processes, point the SAME URL-string
+  * contract at a server database (Derby network server `jdbc:derby://…`
+  * — requires the derbynet/derbyclient jars, absent from this sandbox —
+  * or Postgres/Oracle/…); the reference's shared repo is server-mode
+  * Oracle for exactly this reason
+  * (`src/goe/persistence/oracle/oracle_orchestration_repo_client.py`).
+  * The SQL below sticks to entry-level DDL/DML (no MERGE, no dialect
+  * sequences) so any such engine works.
+  *
+  * Within one process, READS (metadata load, table listing, audit
+  * history) run on their OWN connection: the listener's full-history
+  * `runs()` scan must not serialize behind a live offload's audit
+  * writes on the shared write connection.
   */
 object JdbcMetaRepo {
 
@@ -87,6 +103,22 @@ final class JdbcMetaRepo private (url: String) {
       ensureSchema(connRef)
     }
     connRef
+  }
+
+  // Dedicated READ connection + its own lock: history/inventory reads
+  // (listener `runs()`, metadata loads) would otherwise serialize behind
+  // live audit writes on the shared write connection's monitor. Reads
+  // are autocommit READ_COMMITTED — they see committed rows only, and
+  // never block a writer's row locks longer than one statement.
+  private val readLock = new Object
+  private var readConnRef: Connection = null
+
+  private def readConn: Connection = {
+    if (readConnRef == null || readConnRef.isClosed) {
+      readConnRef = DriverManager.getConnection(connectUrl)
+      ensureSchema(readConnRef) // idempotent; first contact may be a read
+    }
+    readConnRef
   }
 
   /** Idempotent DDL: Derby has no IF NOT EXISTS, so an already-exists
@@ -264,9 +296,10 @@ final class JdbcMetaRepo private (url: String) {
     } finally c.setAutoCommit(true)
   }
 
-  def loadMetadata(table: String): Option[OffloadMetadata] = synchronized {
+  def loadMetadata(table: String): Option[OffloadMetadata] =
+      readLock.synchronized {
     import MetadataStore.parseArr
-    val ps = conn.prepareStatement(
+    val ps = readConn.prepareStatement(
       s"SELECT ${MetaCols.mkString(", ")} FROM offload_metadata " +
         "WHERE frontend_object = ?")
     try {
@@ -299,8 +332,8 @@ final class JdbcMetaRepo private (url: String) {
 
   /** Tables with a metadata row, sorted (the file backend's directory
     * listing, as a repo query). */
-  def listTables(): Seq[String] = synchronized {
-    val st = conn.createStatement()
+  def listTables(): Seq[String] = readLock.synchronized {
+    val st = readConn.createStatement()
     try {
       val rs = st.executeQuery(
         "SELECT frontend_object FROM offload_metadata ORDER BY frontend_object")
@@ -405,9 +438,9 @@ final class JdbcMetaRepo private (url: String) {
     }
 
   private[meta] def auditRuns(): Seq[CommandAudit.CommandRun] =
-    synchronized {
+    readLock.synchronized {
       import CommandAudit.{ChunkRun, CommandRun, StepRun}
-      val st = conn.createStatement()
+      val st = readConn.createStatement()
       try {
         def optLong(rs: java.sql.ResultSet, col: String): Option[Long] = {
           val v = rs.getLong(col)

@@ -66,11 +66,18 @@ object Dedup {
                    n: Int = 3,
                    maxShingleDocFreq: Option[Long] = None): DataFrame = {
     // The shingle index is consumed three times (sizes + both join sides);
-    // persist it so the tokenise/shingle expressions (interpreted HOFs, not
-    // codegen'd) run once. At warehouse scale this is the materialised
-    // inverted index every dedup pass reuses.
+    // checkpoint it so the tokenise/shingle expressions (interpreted HOFs,
+    // not codegen'd) run once. At warehouse scale this is the materialised
+    // inverted index every dedup pass reuses. LAZY localCheckpoint (not
+    // persist) everywhere an intermediate escapes in the returned plan:
+    // same one-shot materialisation on first action, but the blocks are
+    // GC-reclaimed when the plan is dropped — a query builder can never
+    // pair an unpersist, so persist entries would pin the cache manager
+    // for the life of the session. Trade-off: no lineage recompute on
+    // executor loss; the relation is re-derivable by re-running the
+    // operator.
     val rel = shingleRelation(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // set sizes BEFORE any frequency pruning: |A| and |B| must stay exact
     val sizes = rel.groupBy(col("sid")).agg(count(lit(1)).as("set_size"))
     // Hot-shingle cut: a shingle present in k docs contributes k·(k−1)/2
@@ -126,7 +133,7 @@ object Dedup {
                             textCol: String = "text"): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would count a doc's own occurrence")
     val rel = shingleRelation(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val df_ = rel.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     rel.join(df_, "shingle")
       .groupBy(col("sid"))
@@ -165,7 +172,7 @@ object Dedup {
     val rel = docs.select(col(idCol).as("sid"),
         posexplode(graft.functions.TextFunctions.wordShinglesAll(
           col(textCol), n)).as(Seq("pos", "shingle")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val owner = rel.groupBy(col("shingle"))
       .agg(min(col("sid")).as("first_sid"))
     val dup = rel.join(owner, "shingle")
@@ -204,7 +211,7 @@ object Dedup {
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val rel = shingleRelation(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val owner = rel.groupBy(col("shingle"))
       .agg(min(col("sid")).as("first_sid"))
     rel.join(owner, "shingle")
@@ -245,7 +252,7 @@ object Dedup {
     val Base = Scale * 15L / 100L
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     var rank = nodes.withColumn("rank", lit(Scale))
@@ -305,7 +312,7 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val rel = shingleRelation(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val sizes = rel.groupBy(col("sid")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(rel.select(col("sid").as("id_a"), col("shingle")), "id_a")
@@ -345,13 +352,15 @@ object Dedup {
                         n: Int = 3): DataFrame = {
     // All k slots in ONE kernel pass over the shingle array (the composed
     // array_min(transform(...)) × k form runs k interpreted folds per row).
-    // The persist is load-bearing: the banded index downstream extracts k
-    // elements — projection collapse would otherwise inline the kernel (and
-    // the shingle construction feeding it) into every extraction.
+    // The checkpoint is load-bearing: the banded index downstream
+    // extracts k elements — projection collapse would otherwise inline the
+    // kernel (and the shingle construction feeding it) into every
+    // extraction; the RDD-scan barrier blocks the collapse like a persist
+    // would, without pinning the cache manager (see shingleOverlap).
     val withSigs = docs.select(col(idCol).as("sid"),
         graft.functions.TextFunctions.minhashSigs(
           shingles(col(textCol), n), numHashes).as("sigs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val slots = (0 until numHashes).map(s =>
       col("sigs").getItem(s).as(s"sig_$s"))
     withSigs.select((col("sid") +: slots): _*)
@@ -364,7 +373,7 @@ object Dedup {
                            n: Int = 3): DataFrame = {
     val withSh = docs.select(col(idCol).as("sid"),
         shingles(col(textCol), n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val sigs = (0 until numHashes).map(s =>
       array_min(transform(col("sh"), x => seededHash(s, x))).as(s"sig_$s"))
     withSh.select((col("sid") +: sigs): _*)
@@ -396,9 +405,9 @@ object Dedup {
 
   def lshCandidates(signatures: DataFrame, numHashes: Int = 16,
                     bands: Int = 4): DataFrame = {
-    // persist — the banded index feeds both sides of the candidate self-join
+    // checkpoint — the banded index feeds both sides of the self-join
     val banded = bandRelation(signatures, numHashes, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val l = banded.select(col("band"), col("band_key"), col("sid").as("id_a"))
     val r = banded.select(col("band"), col("band_key"), col("sid").as("id_b"))
     l.join(r, Seq("band", "band_key"))
@@ -419,7 +428,7 @@ object Dedup {
                                bands: Int = 4): DataFrame = {
     val eb = bandRelation(existingSigs, numHashes, bands)
     val fb = bandRelation(freshSigs, numHashes, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val cross = fb.select(col("band"), col("band_key"), col("sid").as("id_f"))
       .join(eb.select(col("band"), col("band_key"), col("sid").as("id_e")),
         Seq("band", "band_key"))
@@ -554,7 +563,7 @@ object Dedup {
       .select(col("sid").as("corpus_id"), col("shingle"))
     val b = shingleRelation(benchmark, idCol, textCol, n)
       .select(col("sid").as("bench_id"), col("shingle"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val bSizes = b.groupBy(col("bench_id"))
       .agg(count(lit(1)).as("bench_size"))
     c.join(broadcast(b), Seq("shingle"))
@@ -641,7 +650,7 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("sid"),
                            simhash64(col(textCol)).as("sig"))
       // two interpreted 32-fold passes per row: must run once, not per side
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val chunks = (0 until 4).map { j =>
       struct(lit(j).as("ck"),
         shiftright(col("sig"), 16 * j).bitwiseAND(lit(65535L)).as("cv"))
@@ -678,7 +687,7 @@ object Dedup {
       .withColumn("block", col("sig").bitwiseAND(lit(255L)))
       // signature computation (32 interpreted folds) must run once, not
       // once per join side
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val l = sigs.select(col("block"), col("sid").as("id_a"),
                         col("sig").as("sig_a"))
     val r = sigs.select(col("block"), col("sid").as("id_b"),

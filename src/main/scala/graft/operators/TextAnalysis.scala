@@ -109,11 +109,13 @@ object TextAnalysis {
   def lexicalSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     // the exploded occurrence relation feeds BOTH the tf aggregation and
-    // the join side — persist it so tokenisation runs once (same
-    // materialised-index rationale as jaccardPairs)
+    // the join side — lazily checkpoint it so tokenisation runs once
+    // (same materialised-index rationale as jaccardPairs; checkpoint, not
+    // persist, so the blocks are GC-reclaimed with the returned plan —
+    // the Dedup.shingleOverlap discipline)
     val toks = docs.select(col(idCol).as("sid"),
       explode(tokens(col(textCol))).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     toks.join(tf, "tok")
       .withColumn("bits", length(bin(col("tf"))).cast("long"))
@@ -425,12 +427,12 @@ object TextAnalysis {
     val occ = docs.select(col(idCol).as("doc_id"),
         explode(tokens(lower(col(textCol)))).as("term"))
       .filter(col("term").isin(terms: _*))
-    // tf feeds BOTH the scoring join and the df aggregation — persist the
-    // (tiny, post-filter) relation so the corpus is scanned once, not
+    // tf feeds BOTH the scoring join and the df aggregation — checkpoint
+    // the (tiny, post-filter) relation so the corpus is scanned once, not
     // twice (same materialised-index rationale as lexicalSurprisal)
     val tf = occ.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(dfreq), "term")
@@ -477,7 +479,7 @@ object TextAnalysis {
     val pos = docs.select(col(idCol).as("doc_id"),
         posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
       .filter(col("tok").isin(words.distinct: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val base = pos.filter(col("tok") === words.head)
       .select(col("doc_id"), col("pos"))
     val matched = words.zipWithIndex.tail.foldLeft(base) {
@@ -711,13 +713,13 @@ object TextAnalysis {
     val g3 = gramRel(reference, 3)
       .withColumn("ctx",
         concat_ws(" ", slice(split(col("gram"), " "), 1, 2)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val c3 = g3.groupBy(col("gram")).agg(count(lit(1)).as("c3"))
       .withColumnRenamed("gram", "g3")
     val c3s = g3.groupBy(col("ctx")).agg(count(lit(1)).as("c3s"))
     val g2 = gramRel(reference, 2)
       .withColumn("prev", split(col("gram"), " ").getItem(0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val c2 = g2.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
       .withColumnRenamed("gram", "g2")
     val c2s = g2.groupBy(col("prev")).agg(count(lit(1)).as("c2s"))
@@ -783,7 +785,7 @@ object TextAnalysis {
         explode(graft.functions.TextFunctions.wordShinglesAll(
           col(textCol), 2)).as("gram"))
       .withColumn("prev", split(col("gram"), " ").getItem(0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val cb = grams.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
     val cu = grams.groupBy(col("prev")).agg(count(lit(1)).as("cu_starts"))
     grams.join(cb, "gram").join(cu, "prev")

@@ -20,6 +20,8 @@ import graft.meta.{MetadataStore, StatsStore}
   *     beat, alive ⇔ beat within 2× interval — the reference's
   *     `listener/services/heartbeat.py` TTL contract); the same frame is
   *     published periodically on the SSE stream
+  *   - `GET /api/system/schemas/` — schema inventory with offloaded-table
+  *     counts (reference `api/routes/system.py:87-106`)
   *   - `GET /api/system/schemas/{table}/columns/` — copied column stats
   *   - `GET /api/system/schemas/{table}/partitions/` — copied partition stats
   *   - `GET /api/system/views/{table}/` — hybrid/conversion view info:
@@ -34,16 +36,29 @@ import graft.meta.{MetadataStore, StatsStore}
   * Auth mirrors `Security(valid_api_token)`: when a token is configured,
   * every request must carry it in `x-api-token`.
   *
+  * Dispatch and the `GET /api/docs` inventory are driven by ONE route
+  * table: a route exists in the docs exactly because the dispatcher
+  * serves it, so the inventory cannot drift from the surface (the
+  * property FastAPI gives the reference for free, and `ListenerSpec`
+  * pins here).
+  *
   * The server executes offloads on the caller's thread pool while Spark
   * remains the single driver-side session — the listener is a control
   * plane, not a data plane.
   */
 object Listener {
 
+  /** One dispatchable route: `pattern` is the path with `{param}`
+    * placeholders, one per variable segment. The docs endpoint renders
+    * exactly these three fields. */
+  final case class RouteInfo(method: String, pattern: String,
+                             summary: String)
+
   final case class Server(http: HttpServer,
                           pool: java.util.concurrent.ExecutorService,
                           bus: ProgressBus,
-                          beater: java.util.concurrent.ScheduledExecutorService) {
+                          beater: java.util.concurrent.ScheduledExecutorService,
+                          routes: Seq[RouteInfo]) {
     def port: Int = http.getAddress.getPort
     def stop(): Unit = {
       beater.shutdownNow(); http.stop(0); pool.shutdownNow(); ()
@@ -119,6 +134,21 @@ object Listener {
   private def listTables(metadataDir: String): Seq[String] =
     MetadataStore.listTables(metadataDir)
 
+  /** Match a `{param}`-patterned route against concrete path segments;
+    * Some(params-in-pattern-order) on a hit. */
+  private[orchestrate] def matchPattern(pattern: String,
+                                        segs: List[String])
+      : Option[List[String]] = {
+    val pat = pattern.split('/').toList.filter(_.nonEmpty)
+    if (pat.length != segs.length) None
+    else {
+      val zipped = pat.zip(segs)
+      if (zipped.forall { case (p, s) => p.startsWith("{") || p == s })
+        Some(zipped.collect { case (p, s) if p.startsWith("{") => s })
+      else None
+    }
+  }
+
   def start(spark: SparkSession, metadataDir: String, port: Int = 0,
             token: Option[String] = None,
             heartbeatSeconds: Int = 5): Server = {
@@ -156,278 +186,312 @@ object Listener {
       token.forall(t =>
         Option(ex.getRequestHeaders.getFirst("x-api-token")).contains(t))
 
+    // ------------------------------------------------------------------
+    // The route table: ONE definition drives both dispatch and /api/docs.
+    // Handlers receive the {param} values in pattern order.
+    // ------------------------------------------------------------------
+    final case class Route(info: RouteInfo,
+                           handler: (HttpExchange, List[String]) => Unit)
+    def route(method: String, pattern: String, summary: String)
+             (handler: (HttpExchange, List[String]) => Unit): Route =
+      Route(RouteInfo(method, pattern, summary), handler)
+
+    lazy val routes: Seq[Route] = Seq(
+
+      route("GET", "/api/docs", "this route inventory") { (ex, _) =>
+        // Self-describing route inventory — the reference serves OpenAPI
+        // docs endpoints (`listener/api/routes/docs.py`); here a minimal
+        // OpenAPI-shaped document rendered FROM the dispatch table, so
+        // the inventory is the surface by construction.
+        val paths = routes.map(_.info).map { r =>
+          q(r.pattern) +
+            s""": {${q(r.method.toLowerCase)}: {"summary": ${q(r.summary)}}}"""
+        }.mkString("{", ", ", "}")
+        respond(ex, 200,
+          s"""{"openapi": "3.0.0", "info": {"title": ${q("graft listener")}, """ +
+          s""""version": "1"}, "paths": $paths}""")
+      },
+
+      route("GET", "/api/system/heartbeat",
+        "listener liveness (alive ⇔ beat within 2× interval)") { (ex, _) =>
+        val now = System.currentTimeMillis()
+        val beat = lastBeat.get()
+        val alive = now - beat <= 2000L * heartbeatSeconds
+        respond(ex, 200,
+          s"""{"status": ${q(if (alive) "ok" else "stale")}, """ +
+          s""""listener_id": ${q(listenerId)}, """ +
+          s""""uptime_s": ${(now - startedAtMillis) / 1000}, """ +
+          s""""last_beat_ms": $beat, """ +
+          s""""interval_s": $heartbeatSeconds, """ +
+          s""""alive": $alive}""")
+      },
+
+      route("GET", "/api/system/status", "offloaded-table count") { (ex, _) =>
+        val tables = listTables(metadataDir)
+        respond(ex, 200,
+          s"""{"status": "ok", "offloaded_tables": ${tables.length}}""")
+      },
+
+      route("GET", "/api/system/configuration",
+        "sanitized runtime configuration (versions, backend)") { (ex, _) =>
+        // Sanitized runtime configuration (reference GET /configuration,
+        // `listener/api/routes/system.py:55-84`): versions, session
+        // shape, and which metadata backend this listener serves —
+        // never credentials or raw URLs.
+        val backend =
+          if (graft.meta.JdbcMetaRepo.isJdbc(metadataDir)) "jdbc_repo"
+          else "file"
+        respond(ex, 200,
+          s"""{"engine_version": ${q(graft.meta.JdbcMetaRepo.EngineVersion)}, """ +
+          s""""spark_version": ${q(spark.version)}, """ +
+          s""""scala_version": ${q(scala.util.Properties.versionNumberString)}, """ +
+          s""""shuffle_partitions": ${q(spark.conf.get(
+            "spark.sql.shuffle.partitions", "200"))}, """ +
+          s""""session_time_zone": ${q(spark.conf.get(
+            "spark.sql.session.timeZone", ""))}, """ +
+          s""""metadata_backend": ${q(backend)}, """ +
+          s""""heartbeat_interval_s": $heartbeatSeconds}""")
+      },
+
+      route("GET", "/api/system/schemas",
+        "schema inventory with offloaded-table counts") { (ex, _) =>
+        // Reference GET /schemas/ (`api/routes/system.py:87-106`): every
+        // schema with its table count. Offloaded tables are registered as
+        // `schema.table` (or bare names, grouped under "default").
+        val bySchema = listTables(metadataDir)
+          .groupBy { t =>
+            val i = t.indexOf('.')
+            if (i > 0) t.substring(0, i) else "default"
+          }
+          .toSeq.sortBy(_._1)
+          .map { case (schema, ts) =>
+            s"""{"schema_name": ${q(schema)}, "table_count": ${ts.length}}"""
+          }
+        respond(ex, 200, bySchema.mkString("[", ", ", "]"))
+      },
+
+      route("GET", "/api/system/schemas/{table}/columns",
+        "stored column stats") { (ex, params) =>
+        StatsStore.load(metadataDir, params.head) match {
+          case Some(rec) =>
+            val cols = rec.columns.map(c =>
+              s"""{"name": ${q(c.name)}, "ndv": ${c.ndv}, """ +
+              s""""num_nulls": ${c.numNulls}, "low_value": ${q(c.lowValue)}, """ +
+              s""""high_value": ${q(c.highValue)}}""").mkString("[", ", ", "]")
+            respond(ex, 200, cols)
+          case None => respond(ex, 404, """{"detail": "no stats"}""")
+        }
+      },
+
+      route("GET", "/api/system/schemas/{table}/partitions",
+        "stored partition stats") { (ex, params) =>
+        StatsStore.load(metadataDir, params.head) match {
+          case Some(rec) =>
+            val parts = rec.partitions.map(p =>
+              s"""{"name": ${q(p.name)}, "high_value": ${q(p.highValue)}, """ +
+              s""""rows": ${p.rows}, "bytes": ${p.bytes}}""").mkString("[", ", ", "]")
+            respond(ex, 200, parts)
+          case None => respond(ex, 404, """{"detail": "no stats"}""")
+        }
+      },
+
+      route("GET", "/api/system/views/{table}",
+        "hybrid/conversion view clauses") { (ex, params) =>
+        MetadataStore.load(metadataDir, params.head) match {
+          case Some(m) =>
+            // Hybrid-view semantics: residual rows live where the key is
+            // ABOVE the HWM; offloaded rows are the complement. NULL
+            // keys make BOTH k>hwm and NOT(k>hwm) non-true, so they are
+            // explicitly assigned to the residual side — the two clauses
+            // must partition the table (offloaded UNION residual =
+            // source). A predicate-based offload's clause is its stored
+            // predicate (residual keeps predicate-NULL rows the same
+            // way); a FULL offload has no residual at all.
+            val (offloaded, residual) =
+              if (m.incrementalKey.nonEmpty &&
+                  m.incrementalHighValue.nonEmpty) {
+                val gt = graft.plan.Boundary.Sql.greaterThanLiterals(
+                  m.incrementalKey, m.incrementalHighValue)
+                val k0 = m.incrementalKey.head
+                (s"NOT ($gt) AND $k0 IS NOT NULL",
+                 s"($gt) OR $k0 IS NULL")
+              } else if (m.incrementalPredicateValue.nonEmpty) {
+                val p = m.incrementalPredicateValue
+                  .map(v => s"(${graft.predicate.OffloadPredicate.toSql(
+                    graft.predicate.OffloadPredicate.parseUnsafe(v))})")
+                  .mkString(" OR ")
+                (p, s"NOT COALESCE($p, FALSE)")
+              } else ("TRUE", "FALSE")
+            respond(ex, 200,
+              s"""{"source_table": ${q(m.sourceTable)}, """ +
+              s""""backend_table": ${q(m.backendTable)}, """ +
+              s""""hybrid_view": ${q(m.sourceTable + "_hv")}, """ +
+              s""""conversion_view": ${q(m.sourceTable + "_conv")}, """ +
+              s""""offload_type": ${q(m.offloadType)}, """ +
+              s""""incremental_key": ${m.incrementalKey.map(q)
+                .mkString("[", ", ", "]")}, """ +
+              s""""offloaded_clause": ${q(offloaded)}, """ +
+              s""""residual_clause": ${q(residual)}}""")
+          case None => respond(ex, 404, """{"detail": "not offloaded"}""")
+        }
+      },
+
+      route("GET", "/api/orchestration/progress",
+        "server-sent step events for the running command") { (ex, _) =>
+        // Server-sent events: one `data:` frame per published step event.
+        // The stream ends on a command_end frame or after 15 s idle —
+        // clients reconnect (standard SSE semantics).
+        val sub = bus.subscribe()
+        // headers are committed before the loop, so a failure here must
+        // not fall through to the outer respond(500) (headers already
+        // sent): a disconnected client just ends the stream
+        try {
+          ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+          ex.getResponseHeaders.set("Cache-Control", "no-cache")
+          ex.sendResponseHeaders(200, 0)
+          val os = ex.getResponseBody
+          var open = true
+          while (open) {
+            val msg = sub.poll(15, java.util.concurrent.TimeUnit.SECONDS)
+            if (msg == null) open = false
+            else {
+              os.write(("data: " + msg + "\n\n")
+                .getBytes(StandardCharsets.UTF_8))
+              os.flush()
+              if (msg.contains("\"event\":\"command_end\"")) open = false
+            }
+          }
+          os.close()
+        } catch {
+          case _: java.io.IOException => ()
+        } finally bus.unsubscribe(sub)
+      },
+
+      route("GET", "/api/orchestration/runs",
+        "command run histories, newest first") { (ex, _) =>
+        respond(ex, 200, graft.meta.CommandAudit.open(metadataDir)
+          .runs().map(runJson).mkString("[", ", ", "]"))
+      },
+
+      route("GET", "/api/orchestration/runs/{executionId}",
+        "one command run by execution id") { (ex, params) =>
+        graft.meta.CommandAudit.open(metadataDir).run(params.head) match {
+          case Some(r) => respond(ex, 200, runJson(r))
+          case None => respond(ex, 404, """{"detail": "no such run"}""")
+        }
+      },
+
+      route("GET", "/api/orchestration/runs/{executionId}/log",
+        "plain-text execution log rendered from the audit timeline") {
+        (ex, params) =>
+        // Execution log (reference GET /executions/{id}/execution-log/,
+        // `listener/api/routes/orchestration.py:114-156`): the
+        // reference streams the command's log FILE; this engine's
+        // execution artifact is the audit timeline, so the log is that
+        // timeline rendered as plain text — same consumer contract
+        // (a human-readable per-execution transcript).
+        graft.meta.CommandAudit.open(metadataDir).run(params.head) match {
+          case Some(r) =>
+            def ts(millis: Long): String =
+              java.time.Instant.ofEpochMilli(millis).toString
+            val sb = new StringBuilder
+            sb ++= s"${ts(r.startTs)} ${r.commandType} " +
+              s"${r.commandInput} [${r.executionId}]\n"
+            r.steps.foreach { st =>
+              sb ++= s"${ts(st.startTs)} step ${st.step}: ${st.status}"
+              if (st.details.nonEmpty) sb ++= s" — ${st.details}"
+              sb += '\n'
+            }
+            r.chunks.foreach { c =>
+              sb ++= s"${ts(c.startTs)} chunk ${c.chunkNumber} " +
+                s"[${c.partitions.mkString(",")}]: ${c.status}" +
+                c.rowCount.map(n => s" rows=$n").getOrElse("") + "\n"
+            }
+            sb ++= s"${r.endTs.map(ts).getOrElse("…")} command " +
+              s"${r.status}\n"
+            val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type",
+              "text/plain; charset=utf-8")
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            val os = ex.getResponseBody
+            os.write(bytes); os.close()
+          case None => respond(ex, 404, """{"detail": "no such run"}""")
+        }
+      },
+
+      route("GET", "/api/orchestration/offloads",
+        "all offload metadata documents") { (ex, _) =>
+        val all = listTables(metadataDir)
+          .flatMap(t => MetadataStore.load(metadataDir, t))
+          .map(MetadataStore.toJson).mkString("[", ", ", "]")
+        respond(ex, 200, all)
+      },
+
+      route("GET", "/api/orchestration/offloads/{table}",
+        "one table's offload metadata") { (ex, params) =>
+        MetadataStore.load(metadataDir, params.head) match {
+          case Some(m) => respond(ex, 200, MetadataStore.toJson(m))
+          case None => respond(ex, 404, """{"detail": "not offloaded"}""")
+        }
+      },
+
+      route("POST", "/api/orchestration/offload",
+        "run an offload (json body: source, final, ...)") { (ex, _) =>
+        val body = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8)
+        (strField(body, "source"), strField(body, "final")) match {
+          case (Some(source), Some(finalPath)) =>
+            val table = strField(body, "table").getOrElse(
+              source.split('/').last.stripSuffix(".parquet"))
+            val execId = graft.meta.CommandAudit.newExecutionId()
+            val cfg = OffloadRunner.OffloadConfig(
+              sourceTable = table,
+              sourcePath = source,
+              stagingPath = strField(body, "staging")
+                .getOrElse(finalPath + "_staging"),
+              finalPath = finalPath,
+              metadataDir = strField(body, "meta").getOrElse(metadataDir),
+              predicateDsl = strField(body, "predicate"),
+              incrementalKey = strField(body, "incremental_key")
+                .map(_.split(',').toSeq).getOrElse(Nil),
+              dryRun = strField(body, "dry_run").contains("true"),
+              executionId = Some(execId),
+              // live heartbeat: every step lands on the progress bus as
+              // it completes, while the command is still running
+              progress = Some(sr => bus.publish(
+                s"""{"event":"step","execution_id":${q(execId)},""" +
+                s""""table":${q(table)},"step":${q(sr.name)},""" +
+                s""""ok":${sr.ok},"millis":${sr.millis},""" +
+                s""""detail":${q(sr.detail)}}""")))
+            bus.publish(s"""{"event":"command_begin",""" +
+              s""""execution_id":${q(execId)},"table":${q(table)}}""")
+            val steps =
+              try OffloadRunner.offload(spark, cfg)
+              finally bus.publish(s"""{"event":"command_end",""" +
+                s""""execution_id":${q(execId)},"table":${q(table)}}""")
+            val js = steps.map(s =>
+              s"""{"step": ${q(s.name)}, "ok": ${s.ok}, """ +
+              s""""detail": ${q(s.detail)}, "millis": ${s.millis}}""")
+              .mkString("[", ", ", "]")
+            respond(ex, if (steps.forall(_.ok)) 200 else 500, js)
+          case _ =>
+            respond(ex, 422, """{"detail": "source and final required"}""")
+        }
+      })
+
     def handle(ex: HttpExchange): Unit = try {
       if (!authed(ex)) { respond(ex, 401, """{"detail": "unauthorized"}"""); return }
-      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      val segs = ex.getRequestURI.getPath
+        .split('/').toList.filter(_.nonEmpty)
       val method = ex.getRequestMethod
-      (method, path.split('/').toList.filter(_.nonEmpty)) match {
-        case ("GET", List("api", "docs")) =>
-          // Self-describing route inventory — the reference serves
-          // OpenAPI docs endpoints (`listener/api/routes/docs.py`); here
-          // a minimal OpenAPI-shaped document listing every route this
-          // listener dispatches, so a client can discover the surface
-          // without reading source.
-          def entry(m: String, p: String, summary: String): String =
-            q(p) + s""": {${q(m.toLowerCase)}: {"summary": ${q(summary)}}}"""
-          val paths = Seq(
-            entry("GET", "/api/docs", "this route inventory"),
-            entry("GET", "/api/system/heartbeat",
-              "listener liveness (alive ⇔ beat within 2× interval)"),
-            entry("GET", "/api/system/status",
-              "offloaded-table count"),
-            entry("GET", "/api/system/configuration",
-              "sanitized runtime configuration (versions, backend)"),
-            entry("GET", "/api/system/schemas/{table}/columns",
-              "stored column stats"),
-            entry("GET", "/api/system/schemas/{table}/partitions",
-              "stored partition stats"),
-            entry("GET", "/api/system/views/{table}",
-              "hybrid/conversion view clauses"),
-            entry("GET", "/api/orchestration/progress",
-              "server-sent step events for the running command"),
-            entry("GET", "/api/orchestration/runs",
-              "command run histories, newest first"),
-            entry("GET", "/api/orchestration/runs/{executionId}",
-              "one command run by execution id"),
-            entry("GET", "/api/orchestration/runs/{executionId}/log",
-              "plain-text execution log rendered from the audit timeline"),
-            entry("GET", "/api/orchestration/offloads",
-              "all offload metadata documents"),
-            entry("GET", "/api/orchestration/offloads/{table}",
-              "one table's offload metadata"),
-            entry("POST", "/api/orchestration/offload",
-              "run an offload (json body: source, final, ...)"))
-            .mkString("{", ", ", "}")
-          respond(ex, 200,
-            s"""{"openapi": "3.0.0", "info": {"title": ${q("graft listener")}, """ +
-            s""""version": "1"}, "paths": $paths}""")
-
-        case ("GET", List("api", "system", "heartbeat")) =>
-          val now = System.currentTimeMillis()
-          val beat = lastBeat.get()
-          val alive = now - beat <= 2000L * heartbeatSeconds
-          respond(ex, 200,
-            s"""{"status": ${q(if (alive) "ok" else "stale")}, """ +
-            s""""listener_id": ${q(listenerId)}, """ +
-            s""""uptime_s": ${(now - startedAtMillis) / 1000}, """ +
-            s""""last_beat_ms": $beat, """ +
-            s""""interval_s": $heartbeatSeconds, """ +
-            s""""alive": $alive}""")
-
-        case ("GET", List("api", "system", "status")) =>
-          val tables = listTables(metadataDir)
-          respond(ex, 200,
-            s"""{"status": "ok", "offloaded_tables": ${tables.length}}""")
-
-        case ("GET", List("api", "system", "configuration")) =>
-          // Sanitized runtime configuration (reference GET /configuration,
-          // `listener/api/routes/system.py:55-84`): versions, session
-          // shape, and which metadata backend this listener serves —
-          // never credentials or raw URLs.
-          val backend =
-            if (graft.meta.JdbcMetaRepo.isJdbc(metadataDir)) "jdbc_repo"
-            else "file"
-          respond(ex, 200,
-            s"""{"engine_version": ${q(graft.meta.JdbcMetaRepo.EngineVersion)}, """ +
-            s""""spark_version": ${q(spark.version)}, """ +
-            s""""scala_version": ${q(scala.util.Properties.versionNumberString)}, """ +
-            s""""shuffle_partitions": ${q(spark.conf.get(
-              "spark.sql.shuffle.partitions", "200"))}, """ +
-            s""""session_time_zone": ${q(spark.conf.get(
-              "spark.sql.session.timeZone", ""))}, """ +
-            s""""metadata_backend": ${q(backend)}, """ +
-            s""""heartbeat_interval_s": $heartbeatSeconds}""")
-
-        case ("GET", List("api", "system", "schemas", table, "columns")) =>
-          StatsStore.load(metadataDir, table) match {
-            case Some(rec) =>
-              val cols = rec.columns.map(c =>
-                s"""{"name": ${q(c.name)}, "ndv": ${c.ndv}, """ +
-                s""""num_nulls": ${c.numNulls}, "low_value": ${q(c.lowValue)}, """ +
-                s""""high_value": ${q(c.highValue)}}""").mkString("[", ", ", "]")
-              respond(ex, 200, cols)
-            case None => respond(ex, 404, """{"detail": "no stats"}""")
-          }
-
-        case ("GET", List("api", "system", "schemas", table, "partitions")) =>
-          StatsStore.load(metadataDir, table) match {
-            case Some(rec) =>
-              val parts = rec.partitions.map(p =>
-                s"""{"name": ${q(p.name)}, "high_value": ${q(p.highValue)}, """ +
-                s""""rows": ${p.rows}, "bytes": ${p.bytes}}""").mkString("[", ", ", "]")
-              respond(ex, 200, parts)
-            case None => respond(ex, 404, """{"detail": "no stats"}""")
-          }
-
-        case ("GET", List("api", "system", "views", table)) =>
-          MetadataStore.load(metadataDir, table) match {
-            case Some(m) =>
-              // Hybrid-view semantics: residual rows live where the key is
-              // ABOVE the HWM; offloaded rows are the complement. NULL
-              // keys make BOTH k>hwm and NOT(k>hwm) non-true, so they are
-              // explicitly assigned to the residual side — the two clauses
-              // must partition the table (offloaded UNION residual =
-              // source). A predicate-based offload's clause is its stored
-              // predicate (residual keeps predicate-NULL rows the same
-              // way); a FULL offload has no residual at all.
-              val (offloaded, residual) =
-                if (m.incrementalKey.nonEmpty &&
-                    m.incrementalHighValue.nonEmpty) {
-                  val gt = graft.plan.Boundary.Sql.greaterThanLiterals(
-                    m.incrementalKey, m.incrementalHighValue)
-                  val k0 = m.incrementalKey.head
-                  (s"NOT ($gt) AND $k0 IS NOT NULL",
-                   s"($gt) OR $k0 IS NULL")
-                } else if (m.incrementalPredicateValue.nonEmpty) {
-                  val p = m.incrementalPredicateValue
-                    .map(v => s"(${graft.predicate.OffloadPredicate.toSql(
-                      graft.predicate.OffloadPredicate.parseUnsafe(v))})")
-                    .mkString(" OR ")
-                  (p, s"NOT COALESCE($p, FALSE)")
-                } else ("TRUE", "FALSE")
-              respond(ex, 200,
-                s"""{"source_table": ${q(m.sourceTable)}, """ +
-                s""""backend_table": ${q(m.backendTable)}, """ +
-                s""""hybrid_view": ${q(m.sourceTable + "_hv")}, """ +
-                s""""conversion_view": ${q(m.sourceTable + "_conv")}, """ +
-                s""""offload_type": ${q(m.offloadType)}, """ +
-                s""""incremental_key": ${m.incrementalKey.map(q)
-                  .mkString("[", ", ", "]")}, """ +
-                s""""offloaded_clause": ${q(offloaded)}, """ +
-                s""""residual_clause": ${q(residual)}}""")
-            case None => respond(ex, 404, """{"detail": "not offloaded"}""")
-          }
-
-        case ("GET", List("api", "orchestration", "progress")) =>
-          // Server-sent events: one `data:` frame per published step event.
-          // The stream ends on a command_end frame or after 15 s idle —
-          // clients reconnect (standard SSE semantics).
-          val sub = bus.subscribe()
-          // headers are committed before the loop, so a failure here must
-          // not fall through to the outer respond(500) (headers already
-          // sent): a disconnected client just ends the stream
-          try {
-            ex.getResponseHeaders.set("Content-Type", "text/event-stream")
-            ex.getResponseHeaders.set("Cache-Control", "no-cache")
-            ex.sendResponseHeaders(200, 0)
-            val os = ex.getResponseBody
-            var open = true
-            while (open) {
-              val msg = sub.poll(15, java.util.concurrent.TimeUnit.SECONDS)
-              if (msg == null) open = false
-              else {
-                os.write(("data: " + msg + "\n\n")
-                  .getBytes(StandardCharsets.UTF_8))
-                os.flush()
-                if (msg.contains("\"event\":\"command_end\"")) open = false
-              }
-            }
-            os.close()
-          } catch {
-            case _: java.io.IOException => ()
-          } finally bus.unsubscribe(sub)
-
-        case ("GET", List("api", "orchestration", "runs")) =>
-          respond(ex, 200, graft.meta.CommandAudit.open(metadataDir)
-            .runs().map(runJson).mkString("[", ", ", "]"))
-
-        case ("GET", List("api", "orchestration", "runs", executionId)) =>
-          graft.meta.CommandAudit.open(metadataDir).run(executionId) match {
-            case Some(r) => respond(ex, 200, runJson(r))
-            case None => respond(ex, 404, """{"detail": "no such run"}""")
-          }
-
-        case ("GET",
-            List("api", "orchestration", "runs", executionId, "log")) =>
-          // Execution log (reference GET /executions/{id}/execution-log/,
-          // `listener/api/routes/orchestration.py:114-156`): the
-          // reference streams the command's log FILE; this engine's
-          // execution artifact is the audit timeline, so the log is that
-          // timeline rendered as plain text — same consumer contract
-          // (a human-readable per-execution transcript).
-          graft.meta.CommandAudit.open(metadataDir).run(executionId) match {
-            case Some(r) =>
-              def ts(millis: Long): String =
-                java.time.Instant.ofEpochMilli(millis).toString
-              val sb = new StringBuilder
-              sb ++= s"${ts(r.startTs)} ${r.commandType} " +
-                s"${r.commandInput} [${r.executionId}]\n"
-              r.steps.foreach { st =>
-                sb ++= s"${ts(st.startTs)} step ${st.step}: ${st.status}"
-                if (st.details.nonEmpty) sb ++= s" — ${st.details}"
-                sb += '\n'
-              }
-              r.chunks.foreach { c =>
-                sb ++= s"${ts(c.startTs)} chunk ${c.chunkNumber} " +
-                  s"[${c.partitions.mkString(",")}]: ${c.status}" +
-                  c.rowCount.map(n => s" rows=$n").getOrElse("") + "\n"
-              }
-              sb ++= s"${r.endTs.map(ts).getOrElse("…")} command " +
-                s"${r.status}\n"
-              val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
-              ex.getResponseHeaders.set("Content-Type",
-                "text/plain; charset=utf-8")
-              ex.sendResponseHeaders(200, bytes.length.toLong)
-              val os = ex.getResponseBody
-              os.write(bytes); os.close()
-            case None => respond(ex, 404, """{"detail": "no such run"}""")
-          }
-
-        case ("GET", List("api", "orchestration", "offloads")) =>
-          val all = listTables(metadataDir)
-            .flatMap(t => MetadataStore.load(metadataDir, t))
-            .map(MetadataStore.toJson).mkString("[", ", ", "]")
-          respond(ex, 200, all)
-
-        case ("GET", List("api", "orchestration", "offloads", table)) =>
-          MetadataStore.load(metadataDir, table) match {
-            case Some(m) => respond(ex, 200, MetadataStore.toJson(m))
-            case None => respond(ex, 404, """{"detail": "not offloaded"}""")
-          }
-
-        case ("POST", List("api", "orchestration", "offload")) =>
-          val body = new String(ex.getRequestBody.readAllBytes(),
-            StandardCharsets.UTF_8)
-          (strField(body, "source"), strField(body, "final")) match {
-            case (Some(source), Some(finalPath)) =>
-              val table = strField(body, "table").getOrElse(
-                source.split('/').last.stripSuffix(".parquet"))
-              val execId = graft.meta.CommandAudit.newExecutionId()
-              val cfg = OffloadRunner.OffloadConfig(
-                sourceTable = table,
-                sourcePath = source,
-                stagingPath = strField(body, "staging")
-                  .getOrElse(finalPath + "_staging"),
-                finalPath = finalPath,
-                metadataDir = strField(body, "meta").getOrElse(metadataDir),
-                predicateDsl = strField(body, "predicate"),
-                incrementalKey = strField(body, "incremental_key")
-                  .map(_.split(',').toSeq).getOrElse(Nil),
-                dryRun = strField(body, "dry_run").contains("true"),
-                executionId = Some(execId),
-                // live heartbeat: every step lands on the progress bus as
-                // it completes, while the command is still running
-                progress = Some(sr => bus.publish(
-                  s"""{"event":"step","execution_id":${q(execId)},""" +
-                  s""""table":${q(table)},"step":${q(sr.name)},""" +
-                  s""""ok":${sr.ok},"millis":${sr.millis},""" +
-                  s""""detail":${q(sr.detail)}}""")))
-              bus.publish(s"""{"event":"command_begin",""" +
-                s""""execution_id":${q(execId)},"table":${q(table)}}""")
-              val steps =
-                try OffloadRunner.offload(spark, cfg)
-                finally bus.publish(s"""{"event":"command_end",""" +
-                  s""""execution_id":${q(execId)},"table":${q(table)}}""")
-              val js = steps.map(s =>
-                s"""{"step": ${q(s.name)}, "ok": ${s.ok}, """ +
-                s""""detail": ${q(s.detail)}, "millis": ${s.millis}}""")
-                .mkString("[", ", ", "]")
-              respond(ex, if (steps.forall(_.ok)) 200 else 500, js)
-            case _ =>
-              respond(ex, 422, """{"detail": "source and final required"}""")
-          }
-
-        case _ => respond(ex, 404, """{"detail": "not found"}""")
+      routes.iterator
+        .flatMap(r =>
+          if (r.info.method != method) Iterator.empty
+          else matchPattern(r.info.pattern, segs)
+            .map(params => () => r.handler(ex, params)).iterator)
+        .nextOption() match {
+        case Some(run) => run()
+        case None => respond(ex, 404, """{"detail": "not found"}""")
       }
     } catch {
       case e: Exception =>
@@ -436,6 +500,6 @@ object Listener {
 
     http.createContext("/", handle(_))
     http.start()
-    Server(http, pool, bus, beater)
+    Server(http, pool, bus, beater, routes.map(_.info))
   }
 }

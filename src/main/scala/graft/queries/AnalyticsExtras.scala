@@ -603,7 +603,7 @@ object AnalyticsExtras {
       val du = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
-        .persist() // feeds DAU, the 7-day expansion, and the day filter
+        .localCheckpoint(true) // feeds DAU, the 7-day expansion, and the day filter
       val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       val wau = du
         .select(col("user_id"),

@@ -89,11 +89,13 @@ object CurationExtras {
         c.map(_ / nrm)
       }
       val dim = PipelineQueries.Dim
-      // persist: the corpus-scale assignment feeds both pair sides and
-      // the per-cell count — without it the kernel pass runs three times
+      // localCheckpoint: the corpus-scale assignment feeds both pair
+      // sides and the per-cell count — without it the kernel pass runs
+      // three times (GC-reclaimed, unlike a persist a query builder can
+      // never unpersist)
       val assigned = IvfIndex.assign(emb, IvfIndex.Model(centroids), dim)
         .withColumn("nrm", Similarity.norm(col("embedding"), dim))
-        .persist()
+        .localCheckpoint(true)
       val a = assigned.select(col("ivf_cell"), col("vec_id").as("id_a"),
         col("embedding").as("va"), col("nrm").as("na"))
       val b = assigned.select(col("ivf_cell").as("cell_b"),
@@ -161,9 +163,10 @@ object CurationExtras {
       val sh = t(s, dir, "documents")
         .select(col("source"),
           explode(Dedup.shingles(col("text"), 3)).as("shingle"))
-      // persist: k slots per source — without it the corpus-scale
-      // shingle+sketch pass runs once per join side
-      val sk = Sketches.kmvSketch(sh, k, "source", "shingle").persist()
+      // localCheckpoint: k slots per source — without it the
+      // corpus-scale shingle+sketch pass runs once per join side
+      val sk = Sketches.kmvSketch(sh, k, "source", "shingle")
+        .localCheckpoint(true)
       Sketches.kmvPairSimilarity(sk, k)
         .orderBy(col("src_lo"), col("src_hi"))
     },
@@ -191,7 +194,7 @@ object CurationExtras {
         .assignSessions(t(s, dir, "events"))
         .select(col("user_id"), col("session_idx"), col("event_type"))
         .distinct()
-        .persist() // session-type presence feeds counts and both pair sides
+        .localCheckpoint(true) // session-type presence feeds counts and both pair sides
       val nSessions = se.select(col("user_id"), col("session_idx"))
         .distinct().agg(count(lit(1)).as("n_sessions"))
       val tc = se.groupBy(col("event_type").as("t"))
@@ -321,7 +324,7 @@ object CurationExtras {
       val dayUser = t(s, dir, "events")
         .select(to_date(col("ts")).as("day"), col("user_id"))
         .distinct()
-        .persist() // feeds the day list, the exact path and the sketch
+        .localCheckpoint(true) // feeds the day list, the exact path and the sketch
       val days = dayUser.select(col("day").as("d2")).distinct()
       val exact = dayUser
         .join(days, col("day") >= date_sub(col("d2"), 6) &&
@@ -355,7 +358,7 @@ object CurationExtras {
       val docs = t(s, dir, "documents")
       val cells = docs.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("observed"))
-        .persist() // margins and the cell report both read it
+        .localCheckpoint(true) // margins and the cell report both read it
       val langM = cells.groupBy(col("lang").as("l2"))
         .agg(sum(col("observed")).as("r"))
       val srcM = cells.groupBy(col("source").as("s2"))
@@ -456,7 +459,7 @@ object CurationExtras {
       val toks = t(s, dir, "documents")
         .select(col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
-        .persist() // both quantile passes and the deviation read it
+        .localCheckpoint(true) // both quantile passes and the deviation read it
       val med = Quantiles
         .exactGroupQuantiles(toks, "source", "v", Seq(50), 16L)
         .select(col("source").as("ms"), col("value").as("median"))
@@ -503,7 +506,7 @@ object CurationExtras {
         .assignSessions(t(s, dir, "events"))
         .select(col("user_id"), col("session_idx"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-        .persist() // view-min and purchase-probe both read it
+        .localCheckpoint(true) // view-min and purchase-probe both read it
       val keys = Seq("user_id", "session_idx")
       val v = ev.filter(col("event_type") === "view")
         .groupBy(keys.map(col): _*).agg(min(col("us")).as("v_us"))
@@ -527,7 +530,7 @@ object CurationExtras {
         .assignSessions(t(s, dir, "events"))
         .select(col("user_id"), col("session_idx"), col("event_type"),
           col("event_id"), unix_micros(col("ts")).as("us"))
-        .persist() // entry ranking and the purchase probe both read it
+        .localCheckpoint(true) // entry ranking and the purchase probe both read it
       val wFirst = Window.partitionBy(col("user_id"), col("session_idx"))
         .orderBy(col("us"), col("event_id"))
       val entry = ev.withColumn("rn", row_number().over(wFirst))
@@ -570,7 +573,7 @@ object CurationExtras {
       val cents = t(s, dir, "orders")
         .select((col("o_totalprice").cast("decimal(12,2)") * lit(100))
           .cast("long").as("cents"))
-        .persist() // boundary pass and bucketing pass both read it
+        .localCheckpoint(true) // boundary pass and bucketing pass both read it
       val bCols = (10 to 90 by 10).map(p =>
         max(when(col("pct") === p, col("value"))).as(s"b$p"))
       val bounds = graft.operators.Quantiles
@@ -631,7 +634,7 @@ object CurationExtras {
       val du = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
-        .persist() // five readers: firsts, prev, flags, churn, days
+        .localCheckpoint(true) // five readers: firsts, prev, flags, churn, days
       val firsts = du.groupBy(col("user_id"))
         .agg(min(col("day")).as("first_day"))
       val prev = du.select(col("user_id"),
@@ -728,7 +731,7 @@ object CurationExtras {
           unix_micros(col("ts")).as("us"))
         .groupBy(col("user_id"), col("session_idx"), col("event_type"))
         .agg(min(col("us")).as("min_us"), max(col("us")).as("max_us"))
-        .persist() // both pair sides and the session total read it
+        .localCheckpoint(true) // both pair sides and the session total read it
       val n = bounds.select(col("user_id"), col("session_idx"))
         .distinct().agg(count(lit(1)).as("n_sessions"))
       bounds

@@ -116,7 +116,7 @@ object DsShapes {
       val yearly = channelSales(s, dir)
         .groupBy(col("channel"), col("order_year"))
         .agg(sum(col("rev_e4")).as("rev_e4"))
-        .persist() // both self-join sides — one fact pass, not two
+        .localCheckpoint(true) // both self-join sides — one fact pass, not two
       val prev = yearly.select(col("channel"),
         (col("order_year") + 1).as("order_year"),
         col("rev_e4").as("prev_e4"))
@@ -166,7 +166,7 @@ object DsShapes {
       val w = Window.partitionBy(col("channel")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = daily.withColumn("cum_e2", sum(col("d_e2")).over(w))
-        .persist() // store and web branches — one orders pass, not two
+        .localCheckpoint(true) // store and web branches — one orders pass, not two
       val store = cum.filter(col("channel") === "store")
         .select(col("day"), col("cum_e2").as("store_cum"))
       val web = cum.filter(col("channel") === "web")
@@ -215,10 +215,11 @@ object DsShapes {
           sum((col("band") === b && !col("is_purchase")).cast("long"))
             .as(s"other_h$b"))
       }
-      ev.agg(bandCols.head, bandCols.tail: _*)
-        .withColumn("n_events",
-          (0 until 8).map(b => col(s"buy_h$b") + col(s"other_h$b"))
-            .reduce(_ + _))
+      // n_events is COUNT(*), NOT the sum of the 16 buckets: a row with
+      // a NULL ts has a NULL band and lands in no bucket, but the oracle
+      // still counts it — summing buckets would silently drop such rows
+      val aggCols = bandCols :+ count(lit(1)).as("n_events")
+      ev.agg(aggCols.head, aggCols.tail: _*)
     },
 
     // Cross-channel loyal customers (TPC-DS Q38/Q87 shape): customers

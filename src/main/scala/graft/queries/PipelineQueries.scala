@@ -1936,7 +1936,9 @@ object PipelineQueries {
       val e = Dedup.lshCandidates(
           Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // lazy checkpoint, not persist: the edge relation escapes in the
+        // returned plan (no scope to unpersist) — blocks are GC-reclaimed
+        .localCheckpoint(false)
       val deg = e.select(col("id_a").as("id"))
         .unionByName(e.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -1964,7 +1966,9 @@ object PipelineQueries {
       val e = Dedup.lshCandidates(
           Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // lazy checkpoint, not persist: the edge relation escapes in the
+        // returned plan (no scope to unpersist) — blocks are GC-reclaimed
+        .localCheckpoint(false)
       val deg = e.select(col("id_a").as("id"))
         .unionByName(e.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))

@@ -199,13 +199,15 @@ object TpchShapes {
     // made data-adaptive). Integral restatement:
     // value_e4 · 2 · n_parts > 3 · total_e4.
     "q180_important_parts" -> { (s, dir) =>
-      // persist: the per-part aggregate (dimension-scale) feeds both the
-      // scalar and the probe — without it the fact scan runs twice
+      // localCheckpoint: the per-part aggregate (dimension-scale) feeds
+      // both the scalar and the probe — without it the fact scan runs
+      // twice; checkpoint (not persist) so the blocks are GC-reclaimed
+      // in a long-lived session instead of pinning the cache manager
       val vals = t(s, dir, "lineitem")
         .select(col("l_partkey"), revE4.as("rev_e4"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("rev_e4")).as("value_e4"))
-        .persist()
+        .localCheckpoint(true)
       val total = vals.agg(sum(col("value_e4")).as("total_e4"),
         count(lit(1)).as("n_parts"))
       vals.crossJoin(broadcast(total))
@@ -264,7 +266,7 @@ object TpchShapes {
         .select(col("l_suppkey"), revE4.as("rev_e4"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("rev_e4")).as("supp_e4"))
-        .persist() // supplier-scale aggregate read by both MAX and probe
+        .localCheckpoint(true) // supplier-scale aggregate read by both MAX and probe
       val mx = rev.agg(max(col("supp_e4")).as("max_e4"))
       rev.crossJoin(broadcast(mx))
         .filter(col("supp_e4") === col("max_e4"))
@@ -430,7 +432,7 @@ object TpchShapes {
             .cast("long").as("qty_e2"))
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(col("qty_e2")).as("sq_e2"))
-        .persist() // derived partsupp-scale aggregate, read twice
+        .localCheckpoint(true) // derived partsupp-scale aggregate, read twice
       val pq = sq.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("sq_e2")).as("pq_e2"), count(lit(1)).as("n_supp"))
       val dom = sq.join(pq, col("l_partkey") === col("pk"))

@@ -28,6 +28,11 @@ object Views {
     spark.table(name)
   }
 
-  def drop(spark: SparkSession, name: String): Unit =
+  /** Drop a view, releasing the cache entry a [[resultCacheView]] pinned
+    * — without the uncache a dropped result-cache view would leak its
+    * cached relation for the life of the session. */
+  def drop(spark: SparkSession, name: String): Unit = {
+    scala.util.Try(spark.catalog.uncacheTable(name))
     spark.catalog.dropTempView(name): Unit
+  }
 }

@@ -36,6 +36,43 @@ private[streaming] object Hwm {
   }
 }
 
+/** Shared guard for the maintenance folds ([[StreamingDedup.compactIndex]],
+  * [[StreamingIvf.compactIndex]], [[StreamingTextIndex.compact]]): only
+  * COMMITTED batches may fold into `batch_id=-1`, i.e. `batch_id <= HWM`
+  * (negative migrated/folded ids sort below every HWM and are committed
+  * by construction). An UNCOMMITTED partition — id above the HWM, its
+  * batch crashed between the data write and the HWM write — must stay
+  * its own partition: the stream's replay will dynamic-overwrite it, and
+  * folding it into `-1` first would double its rows the moment the
+  * replay lands. The preserved dirs ride into the rewritten temp as pure
+  * metadata renames before the swap, so the installed directory carries
+  * them unchanged. (A crash between those renames and the swap can drop
+  * an uncommitted partition from the live root — harmless: its batch is
+  * by definition not in the stream's commit log and replays in full.) */
+private[streaming] object CommittedFold {
+
+  def batchIdOf(name: String): Option[Long] =
+    if (!name.startsWith("batch_id=")) None
+    else scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption
+
+  /** `batch_id=N` partition dirs under `root` with N above the HWM. */
+  def uncommittedDirs(fs: FileSystem, root: Path,
+                      hwm: Long): Array[Path] =
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(st => batchIdOf(st.getPath.getName).exists(_ > hwm))
+      .map(_.getPath)
+
+  /** Metadata-rename each preserved partition dir into the rewritten
+    * temp, so the swap installs committed-fold + uncommitted-as-is. */
+  def preserveInto(fs: FileSystem, dirs: Array[Path], tmp: Path): Unit =
+    dirs.foreach { d =>
+      if (!fs.rename(d, new Path(tmp, d.getName)))
+        throw new IllegalStateException(
+          s"compact: cannot preserve uncommitted partition $d")
+    }
+}
+
 /** One-time in-place upgrade of a pre-`batch_id` store layout.
   *
   * The exactly-once rewrite partitions every store by `batch_id`; a
@@ -84,11 +121,21 @@ private[streaming] object LegacyLayout {
     * a DATA column (the dedup pairs table, the curation corpus and
     * quarantine): a rename under `batch_id=-1` would collide the data
     * column with the partition column and fail every read. Instead the
-    * loose legacy files rewrite ONCE into `batch_id=N` partitions
-    * derived from their own column — a pair/doc-scale job, run only on
-    * first contact with an old store. Crash-safe: the rewrite lands in
-    * a temp dir first; the loose files are deleted only after it
-    * completes; a leftover temp with no loose files resumes the move. */
+    * loose legacy files rewrite ONCE into `batch_id` partitions derived
+    * from their own column — a pair/doc-scale job, run only on first
+    * contact with an old store. Crash-safe: the rewrite lands in a temp
+    * dir first; the loose files are deleted only after it completes; a
+    * leftover temp with no loose files resumes the move.
+    *
+    * Legacy ids are REMAPPED into the reserved negative range
+    * `id -> -(id + 2)` (keeping `-1` for compaction folds). Preserving
+    * them verbatim would be a data-loss trap: a stream restarted with a
+    * FRESH checkpoint over an upgraded store restarts batch ids at 0,
+    * and its dynamic partition overwrite of `batch_id=0..K` would
+    * silently replace the migrated partitions carrying the same ids.
+    * Negative ids can never collide with a live foreachBatch id (always
+    * >= 0), and sort below every HWM, so compaction folds treat migrated
+    * data as committed — which it is. */
   def rewriteFold(spark: org.apache.spark.sql.SparkSession,
                   root: Path): Unit = {
     if (migrated.contains(root.toString)) return
@@ -128,6 +175,8 @@ private[streaming] object LegacyLayout {
     }
     fs.delete(tmp, true)
     spark.read.parquet(loose.map(_.getPath.toString): _*)
+      .withColumn("batch_id",
+        org.apache.spark.sql.functions.expr("-(CAST(batch_id AS BIGINT) + 2)"))
       .write.partitionBy("batch_id").parquet(tmp.toString)
     loose.foreach(st => fs.delete(st.getPath, false))
     moveIn()

@@ -188,7 +188,23 @@ object StreamingDedup {
     def fileCount(): Int =
       spark.read.parquet(cfg.indexPath).inputFiles.length
     val before = fileCount()
-    val folded = spark.read.parquet(cfg.indexPath)
+    // fold ONLY committed batches (id <= HWM; negative migrated/folded
+    // ids included) — an uncommitted partition must stay its own
+    // partition so the stream's replay overwrites it, not duplicate it
+    val hwm = lastBatch(spark, cfg)
+    val all = spark.read.parquet(cfg.indexPath)
+    val hasBatch = all.columns.contains("batch_id")
+    val committed =
+      if (hasBatch) all.filter(col("batch_id").cast("long") <= hwm)
+      else all // a batch-built index has no replay concept: fold it all
+    val uncommitted =
+      if (hasBatch) CommittedFold.uncommittedDirs(fs, dir, hwm)
+      else Array.empty[org.apache.hadoop.fs.Path]
+    if (hasBatch && uncommitted.length ==
+        fs.listStatus(dir).count(st =>
+          CommittedFold.batchIdOf(st.getPath.getName).isDefined))
+      return graft.sink.Compaction.CompactionResult(before, before, 0L, 0L)
+    val folded = committed
       .select(col("sid"), col("band"), col("band_key"), col("bucket"))
       .withColumn("batch_id", lit(-1L))
       .repartition(col("bucket")) // one file per bucket after the fold
@@ -196,6 +212,7 @@ object StreamingDedup {
       dir.getParent, dir.getName + "__compact_tmp")
     fs.delete(tmp, true)
     folded.write.partitionBy("batch_id", "bucket").parquet(tmp.toString)
+    CommittedFold.preserveInto(fs, uncommitted, tmp)
     val old = new org.apache.hadoop.fs.Path(
       dir.getParent, dir.getName + "__compact_old")
     fs.delete(old, true)

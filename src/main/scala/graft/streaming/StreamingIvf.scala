@@ -90,9 +90,24 @@ object StreamingIvf {
     def fileCount(): Int =
       spark.read.parquet(cfg.indexPath).inputFiles.length
     val before = fileCount()
-    val cols = spark.read.parquet(cfg.indexPath).columns
-      .filterNot(c => c == "batch_id").map(col).toSeq
-    val folded = spark.read.parquet(cfg.indexPath)
+    val all = spark.read.parquet(cfg.indexPath)
+    val hasBatch = all.columns.contains("batch_id")
+    // fold ONLY committed batches (id <= HWM; negative migrated/folded
+    // ids included) — an uncommitted partition must stay its own
+    // partition so the stream's replay overwrites it, not duplicate it
+    val hwm = lastBatch(spark, cfg)
+    val committed =
+      if (hasBatch) all.filter(col("batch_id").cast("long") <= hwm)
+      else all // a batch-built (cell-only) index has no replay concept
+    val uncommitted =
+      if (hasBatch) CommittedFold.uncommittedDirs(fs, dir, hwm)
+      else Array.empty[org.apache.hadoop.fs.Path]
+    if (hasBatch && uncommitted.length ==
+        fs.listStatus(dir).count(st =>
+          CommittedFold.batchIdOf(st.getPath.getName).isDefined))
+      return graft.sink.Compaction.CompactionResult(before, before, 0L, 0L)
+    val cols = all.columns.filterNot(c => c == "batch_id").map(col).toSeq
+    val folded = committed
       .select(cols: _*)
       .withColumn("batch_id", lit(-1L))
       .repartition(col("ivf_cell")) // one file per cell after the fold
@@ -100,6 +115,7 @@ object StreamingIvf {
       dir.getParent, dir.getName + "__compact_tmp")
     fs.delete(tmp, true)
     folded.write.partitionBy("batch_id", "ivf_cell").parquet(tmp.toString)
+    CommittedFold.preserveInto(fs, uncommitted, tmp)
     val old = new org.apache.hadoop.fs.Path(
       dir.getParent, dir.getName + "__compact_old")
     fs.delete(old, true)

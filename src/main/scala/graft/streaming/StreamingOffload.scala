@@ -58,8 +58,24 @@ object StreamingOffload {
                                     cfg: Config): Unit = {
     if (batch.isEmpty) return
     val previous = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
-    // committed replay: the recorded snapshot already covers this batch
-    if (previous.flatMap(_.snapshotId).exists(_ >= batchId)) return
+    // committed replay: the recorded snapshot covers exactly this batch.
+    // A legitimate foreachBatch replay can only re-fire the LAST batch
+    // (offsets commit per batch), so snapshotId == batchId is the ONLY
+    // benign skip. snapshotId ABOVE batchId means the checkpoint was
+    // reset (batch ids restarted at 0) or the metadata document is bound
+    // to the wrong stream — silently skipping would turn EVERY future
+    // batch into a no-op and drop new data without a signal, so fail
+    // loudly and make the operator reset or rebind explicitly.
+    val snapshot = previous.flatMap(_.snapshotId)
+    if (snapshot.contains(batchId)) return
+    snapshot.filter(_ > batchId).foreach { snap =>
+      throw new IllegalStateException(
+        s"streaming offload ${cfg.sourceTable}: batch id $batchId is " +
+          s"below the committed snapshot id $snap — the checkpoint was " +
+          "reset or this metadata document belongs to another stream. " +
+          "Refusing to skip (that would silently drop every new batch); " +
+          "delete/rebind the metadata document or restore the checkpoint.")
+    }
 
     val spark = batch.sparkSession
     val agg = batch.agg(max(col(cfg.hwmColumn)), count(lit(1))).head()

@@ -155,15 +155,26 @@ object StreamingTextIndex {
     * first, so an interrupted fold can never make the index look empty. */
   def compact(spark: SparkSession, cfg: Config): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
+    // fold ONLY committed batches (id <= HWM; negative migrated/folded
+    // ids included): an uncommitted partition — its batch crashed
+    // between the data write and the HWM write — must stay its own
+    // partition so the stream's replay dynamic-overwrites it; folding
+    // it into -1 would double its postings once the replay lands
+    val hwm = lastBatch(spark, cfg)
     def swapIn(root: String)(write: String => Unit): Unit = {
       graft.sink.Compaction.recover(spark, root)
       val dir = new Path(root)
       val fs = dir.getFileSystem(hc)
       if (!fs.exists(dir)) return
+      val uncommitted = CommittedFold.uncommittedDirs(fs, dir, hwm)
+      if (uncommitted.length == fs.listStatus(dir).count(st =>
+          CommittedFold.batchIdOf(st.getPath.getName).isDefined))
+        return // nothing committed to fold
       val tmp = new Path(dir.getParent, dir.getName + "__compact_tmp")
       val old = new Path(dir.getParent, dir.getName + "__compact_old")
       fs.delete(tmp, true)
       write(tmp.toString)
+      CommittedFold.preserveInto(fs, uncommitted, tmp)
       fs.delete(old, true)
       if (!fs.rename(dir, old))
         throw new IllegalStateException(s"compact: cannot move $dir aside")
@@ -174,22 +185,24 @@ object StreamingTextIndex {
       fs.delete(old, true)
       ()
     }
+    def committed(root: String) =
+      spark.read.parquet(root).filter(col("batch_id").cast("long") <= hwm)
     swapIn(cfg.indexPath) { tmp =>
-      spark.read.parquet(cfg.indexPath)
+      committed(cfg.indexPath)
         .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
         .withColumn("batch_id", lit(-1L))
         .repartition(col("bucket")) // one file per bucket after the fold
         .write.partitionBy("batch_id", "bucket").parquet(tmp)
     }
     swapIn(cfg.lengthsPath) { tmp =>
-      spark.read.parquet(cfg.lengthsPath)
+      committed(cfg.lengthsPath)
         .select(col("doc_id"), col("dl"))
         .withColumn("batch_id", lit(-1L))
         .repartition(col("doc_id")) // file sizing via shuffle.partitions
         .write.partitionBy("batch_id").parquet(tmp)
     }
     swapIn(new Path(cfg.totalsPath, "totals").toString) { tmp =>
-      spark.read.parquet(new Path(cfg.totalsPath, "totals").toString)
+      committed(new Path(cfg.totalsPath, "totals").toString)
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("corpus_len")).as("corpus_len"))
         .withColumn("batch_id", lit(-1L))

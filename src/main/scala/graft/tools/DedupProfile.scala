@@ -78,6 +78,7 @@ object DedupProfile {
       .head()
     println(s"byte-block: keys=${byteStats.getLong(0)} " +
       s"max/key=${byteStats.getLong(1)} pair-bound=${byteStats.getLong(2)}")
+    sig64.unpersist()
     spark.stop()
   }
 }

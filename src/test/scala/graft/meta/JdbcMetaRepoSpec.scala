@@ -168,4 +168,66 @@ class JdbcMetaRepoSpec extends AnyFunSuite {
     val mem = JdbcMetaRepo.fsScratch("jdbc:derby:memory:db1")
     assert(mem.contains("graft_repo_") && !mem.startsWith("jdbc:"))
   }
+
+  test("EMBEDDED Derby refuses a second PROCESS (XJ040/XSDB6, pinned by " +
+      "a forked JVM) — multi-process sharing needs a server-mode DB") {
+    val url = derbyUrl()
+    val dbPath = url.stripPrefix("jdbc:derby:")
+    // boot the database in THIS process and hold it booted (db.lck)
+    MetadataStore.save(url, sampleMeta("orders", "100"))
+    // a genuinely separate JVM attempts the same embedded database
+    val pb = new ProcessBuilder(
+      System.getProperty("java.home") + "/bin/java",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.meta.XsdbProbe", dbPath)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor(60, TimeUnit.SECONDS), "probe JVM hung")
+    assert(!out.contains("CONNECTED"),
+      s"second process connected to an embedded Derby db: $out")
+    assert(out.contains("XSDB6") || out.contains("XJ040"),
+      s"expected XJ040/XSDB6 boot refusal, got: $out")
+    // and this process's repo is unharmed by the refused boot
+    MetadataStore.save(url, sampleMeta("orders", "200"))
+    assert(MetadataStore.load(url, "orders")
+      .exists(_.incrementalHighValue.head == "200"))
+  }
+
+  test("audit history reads run on their own connection: a reader loop " +
+      "interleaved with live step writes never stalls and ids stay " +
+      "monotone") {
+    val url = derbyUrl()
+    val audit = CommandAudit.open(url)
+    val execId = CommandAudit.newExecutionId()
+    val cmdId = audit.startCommand(execId, "OFFLOAD", "t1", Map.empty)
+    val writerDone = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val writer = pool.submit(new Runnable {
+      def run(): Unit = {
+        (0 until 120).foreach { i =>
+          val sid = audit.startStep(execId, "OFFLOAD", s"step_$i")
+          audit.endStep(sid, CommandAudit.Success, s"d$i")
+        }
+        audit.endCommand(cmdId, CommandAudit.Success)
+        writerDone.countDown()
+      }
+    })
+    // full-history reads while the writer is live — on a shared
+    // connection+lock these would serialize into one long convoy; on
+    // the dedicated read connection both sides make steady progress
+    var reads = 0
+    while (writerDone.getCount > 0 && reads < 10000) {
+      audit.runs(); reads += 1
+    }
+    writer.get(60, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(reads > 0)
+    val run = audit.runs().find(_.executionId == execId).get
+    assert(run.steps.length === 120)
+    val ids = run.steps.map(_.stepId)
+    assert(ids == ids.sorted && ids.distinct.length == ids.length,
+      s"step ids not monotone/distinct: $ids")
+    assert(run.status === CommandAudit.Success)
+  }
 }

@@ -68,18 +68,33 @@ class ListenerSpec extends SparkSpec {
       assert(conf.body().contains("\"spark_version\""))
       assert(conf.body().contains("\"engine_version\""))
 
+      // schemas inventory (reference system.py:87-106): "nation" has no
+      // schema qualifier, so it groups under "default" with count 1
+      val schemas = get(s"$root/api/system/schemas/")
+      assert(schemas.statusCode() == 200)
+      assert(schemas.body().contains("\"schema_name\": \"default\"") &&
+        schemas.body().contains("\"table_count\": 1"), schemas.body())
+
       // docs route: an OpenAPI-shaped inventory naming every route the
-      // dispatcher serves (reference listener/api/routes/docs.py)
+      // dispatcher serves (reference listener/api/routes/docs.py).
+      // CANNOT DRIFT: both the docs JSON and dispatch render from one
+      // route table — assert the inventory equals that table exactly.
       val docs = get(s"$root/api/docs/")
       assert(docs.statusCode() == 200)
       assert(docs.body().contains("\"openapi\""))
-      Seq("/api/system/heartbeat", "/api/system/status",
-        "/api/system/schemas/{table}/columns",
-        "/api/system/views/{table}", "/api/orchestration/progress",
-        "/api/orchestration/runs", "/api/orchestration/offloads",
-        "/api/orchestration/offload").foreach { p =>
-        assert(docs.body().contains("\"" + p + "\""), s"docs missing $p")
+      srv.routes.foreach { r =>
+        assert(docs.body().contains(
+          "\"" + r.pattern + "\": {\"" + r.method.toLowerCase + "\""),
+          s"docs missing dispatched route ${r.method} ${r.pattern}")
       }
+      // and every documented path string is a dispatched pattern
+      val documented = "\"(/api/[^\"]*)\"".r
+        .findAllMatchIn(docs.body()).map(_.group(1)).toSet
+      assert(documented == srv.routes.map(_.pattern).toSet,
+        s"docs/dispatch drift: $documented vs ${srv.routes.map(_.pattern)}")
+      // the dispatch table covers the full documented surface, including
+      // the route this spec exercises above
+      assert(srv.routes.map(_.pattern).contains("/api/system/schemas"))
     } finally srv.stop()
   }
 

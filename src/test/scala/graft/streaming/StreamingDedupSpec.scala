@@ -206,12 +206,13 @@ class StreamingDedupSpec extends SparkSpec {
     assert(idx.filter(col("batch_id").cast("long") === -1L)
       .select("sid").distinct().count() === 3L)
     // the new batch paired against the MIGRATED legacy corpus, and the
-    // legacy pair survived the rewrite with its batch id intact
+    // legacy pair survived the rewrite with its batch id remapped into
+    // the reserved range (0 -> -2), out of any future live id's way
     val pairs = spark.read.parquet(c.pairsPath)
       .select(col("id_a"), col("id_b"), col("batch_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
-    assert(pairs === Set((1L, 2L, 0L), (1L, 4L, 5L), (2L, 4L, 5L)))
+    assert(pairs === Set((1L, 2L, -2L), (1L, 4L, 5L), (2L, 4L, 5L)))
   }
 
   test("replay is exactly-once: a committed batch skips via the HWM, a " +
@@ -249,5 +250,40 @@ class StreamingDedupSpec extends SparkSpec {
     assert(pairSet() === pairs0, "replay changed the pair set")
     assert(spark.read.parquet(c.pairsPath)
       .filter(col("id_a") === col("id_b")).count() === 0L)
+  }
+
+  test("compactIndex folds ONLY committed batches: a batch that crashed " +
+      "before its HWM keeps its partition so the replay overwrites it, " +
+      "never doubles it") {
+    val base = Files.createTempDirectory("sdedup_fold_guard").toString
+    val c = cfg(base)
+    StreamingDedup.processBatch(Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog"),
+      Doc(2, "completely different text with no overlap at all")).toDF(),
+      0L, c)
+    val b1 = Seq(
+      Doc(3, "a third body of words that stands alone"),
+      Doc(4, "a third body of words that stands alone")).toDF()
+    StreamingDedup.processBatch(b1, 1L, c)
+    // simulate the crash window: batch 1's data landed, HWM stayed at 0
+    val hwmP = new org.apache.hadoop.fs.Path(c.indexPath + "__hwm")
+    val fs = hwmP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hwm.write(fs, hwmP, 0L)
+
+    StreamingDedup.compactIndex(spark, c)
+
+    // batch 0 folded into -1; the uncommitted batch 1 kept its partition
+    val ids = spark.read.parquet(c.indexPath)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(-1L, 1L),
+      s"fold swallowed the uncommitted batch: partitions $ids")
+    // the stream replays batch 1 (HWM 0 < 1): dynamic overwrite of its
+    // own partition — had the fold included it, these rows would double
+    StreamingDedup.processBatch(b1, 1L, c)
+    val idx = spark.read.parquet(c.indexPath)
+    assert(idx.count() === 4L * c.bands,
+      "replay after fold double-counted the crashed batch")
+    assert(idx.select("sid").distinct().count() === 4L)
   }
 }

@@ -94,4 +94,37 @@ class StreamingIvfSpec extends SparkSpec {
       model, cfg)
     assert(stored() === n, "post-compaction replay duplicated vectors")
   }
+
+  test("compactIndex folds ONLY committed batches: a batch that crashed " +
+      "before its HWM keeps its partition so the replay overwrites it") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+      .limit(40)
+    val model = IvfIndex.train(emb, nlist = 4, dim = 64)
+    val base = Files.createTempDirectory("sivf_fold_guard").toString
+    IvfIndex.saveModel(spark, model, s"$base/model")
+    val cfg = StreamingIvf.Config(
+      indexPath = s"$base/index", checkpointDir = s"$base/ckpt",
+      modelPath = s"$base/model", dim = 64)
+    StreamingIvf.processBatch(emb.filter(col("vec_id") < 20), 0L,
+      model, cfg)
+    StreamingIvf.processBatch(emb.filter(col("vec_id") >= 20), 1L,
+      model, cfg)
+    // simulate the crash window: batch 1's data landed, HWM stayed at 0
+    val hwmP = new org.apache.hadoop.fs.Path(cfg.indexPath + "__hwm")
+    val fs = hwmP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hwm.write(fs, hwmP, 0L)
+
+    StreamingIvf.compactIndex(spark, cfg)
+
+    val ids = IvfIndex.readIndex(spark, cfg.indexPath)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(-1L, 1L),
+      s"fold swallowed the uncommitted batch: partitions $ids")
+    // the replay rewrites batch 1's own partitions — no duplicates
+    StreamingIvf.processBatch(emb.filter(col("vec_id") >= 20), 1L,
+      model, cfg)
+    assert(IvfIndex.readIndex(spark, cfg.indexPath).count() === 40L,
+      "replay after fold double-counted the crashed batch")
+  }
 }

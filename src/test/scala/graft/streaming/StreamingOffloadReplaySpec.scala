@@ -88,4 +88,29 @@ class StreamingOffloadReplaySpec extends SparkSpec {
     assert(e.getMessage.contains("partial append"))
     assert(finalCount() === 3L)
   }
+
+  test("a checkpoint reset (batch ids restarting below the committed " +
+      "snapshot) fails loudly instead of silently no-op'ing every batch") {
+    val base = Files.createTempDirectory("graft_so_reset").toString
+    val cfg = StreamingOffload.Config("t", s"$base/final", s"$base/meta",
+      "ts", Nil, s"$base/ckpt")
+    def batchAt(h: Int): DataFrame =
+      Seq((1L, s"2024-01-01 0$h:00:00")).toDF("id", "ts_s")
+        .select(col("id"), col("ts_s").cast("timestamp").as("ts"))
+    StreamingOffload.writeBatch(batchAt(1), 0L, cfg)
+    StreamingOffload.writeBatch(batchAt(2), 1L, cfg)
+    StreamingOffload.writeBatch(batchAt(3), 2L, cfg)
+    // the operator wipes the checkpoint; the new stream's batch 0 would
+    // previously skip forever (0 <= snapshot 2), dropping all new data
+    val e = intercept[IllegalStateException] {
+      StreamingOffload.writeBatch(batchAt(4), 0L, cfg)
+    }
+    assert(e.getMessage.contains("checkpoint was reset") ||
+      e.getMessage.contains("below the committed snapshot"))
+    // nothing was silently dropped OR appended
+    assert(spark.read.parquet(s"$base/final").count() === 3L)
+    // an exact replay of the last committed batch still skips benignly
+    StreamingOffload.writeBatch(batchAt(3), 2L, cfg)
+    assert(spark.read.parquet(s"$base/final").count() === 3L)
+  }
 }

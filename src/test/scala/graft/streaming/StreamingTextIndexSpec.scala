@@ -160,6 +160,36 @@ class StreamingTextIndexSpec extends SparkSpec {
       rows(TextAnalysis.bm25Search((corpus :+ extra).toDF(), terms, 10)))
   }
 
+  test("compact folds ONLY committed batches: a batch that crashed " +
+      "before its HWM keeps its partitions so the replay overwrites " +
+      "them — postings and totals never double") {
+    val base = Files.createTempDirectory("stidx_fold_guard").toString
+    val c = cfg(base)
+    val (b1, b2) = corpus.splitAt(2)
+    StreamingTextIndex.processBatch(b1.toDF(), 0L, c)
+    StreamingTextIndex.processBatch(b2.toDF(), 1L, c)
+    val expected = rows(TextAnalysis.bm25Search(corpus.toDF(), terms, 10))
+    // simulate the crash window: batch 1's writes landed, HWM stayed at 0
+    val fs = new org.apache.hadoop.fs.Path(c.totalsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hwm.write(fs, new org.apache.hadoop.fs.Path(c.totalsPath, "_hwm"), 0L)
+
+    StreamingTextIndex.compact(spark, c)
+
+    // the uncommitted batch kept its own partitions beside the fold
+    val ids = spark.read.parquet(c.indexPath)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(-1L, 1L),
+      s"fold swallowed the uncommitted batch: partitions $ids")
+    assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) == expected)
+    // the stream replays batch 1: dynamic overwrite — had the fold
+    // included it, postings, lengths and totals would all double-count
+    StreamingTextIndex.processBatch(b2.toDF(), 1L, c)
+    assert(rows(StreamingTextIndex.query(spark, c, terms, 10)) == expected)
+    assert(StreamingTextIndex.readTotals(spark, c)._1 === corpus.length.toLong)
+  }
+
   test("a compaction crash between the swap renames heals on next read") {
     val base = Files.createTempDirectory("stidx_crash").toString
     val c = cfg(base)
