@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GoeQueries.defs ++ PipelineQueries.defs ++ ExtraQueries.defs ++
       TpchShapes.defs ++ CurationExtras.defs ++ AnalyticsExtras.defs ++
-      DsShapes.defs
+      DsShapes.defs ++ DsShapes.defs2
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

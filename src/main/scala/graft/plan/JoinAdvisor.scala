@@ -111,6 +111,60 @@ object JoinAdvisor {
     (joined, a)
   }
 
+  /** Multi-column-key advice for the engine's INTERNAL joins (the
+    * incremental-update merge): sizes and skew are profiled on the
+    * composite key (the join's real grouping unit), the CMS estimate on
+    * its rendered form. Null key components collapse in the rendering —
+    * fine for ADVICE: null-keyed rows never match in the join either. */
+  def adviseKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 broadcastRowLimit: Long = 500000L,
+                 skewSharePpm: Long = 100000L): Advice = {
+    require(keys.nonEmpty)
+    def composite(df: DataFrame): DataFrame =
+      df.select(concat_ws("\u0001", // unit separator: keeps (ab,c) vs (a,bc) distinct
+        keys.map(k => col(k).cast("string")): _*).as("__jk"))
+    advise(composite(left), "__jk", composite(right), "__jk",
+      broadcastRowLimit, skewSharePpm)
+  }
+
+  /** Execute a join under an [[Advice]] already computed (possibly for a
+    * nearby relation — e.g. one probe reused across the merge's two
+    * anti-joins, whose left sides only shrink). Row-identical to
+    * `left.join(right, keys, joinType)` under every strategy. Salting
+    * applies to left-preserving joins with LEFT-side skew; broadcast-left
+    * needs a right-preserving type; everything else is the plain join,
+    * where AQE's skew splitting still applies. */
+  def executeAdvised(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     joinType: String, a: Advice,
+                     skewSharePpm: Long = 100000L,
+                     saltBuckets: Int = 16): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    val leftPreserving = Set("inner", "left", "leftouter", "leftsemi",
+      "semi", "leftanti", "anti")(jt)
+    a.recommendation match {
+      case "broadcast_right" =>
+        left.join(broadcast(right), keys, joinType)
+      case "broadcast_left" if jt == "inner" || jt == "right" ||
+          jt == "rightouter" =>
+        broadcast(left).join(right, keys, joinType)
+      case "sort_merge_salted"
+          if a.maxKeyShareL_ppm > skewSharePpm && leftPreserving =>
+        Salting.saltedJoin(left, right, keys, joinType, saltBuckets)
+      case _ => left.join(right, keys, joinType)
+    }
+  }
+
+  /** [[adviseKeys]] + [[executeAdvised]] in one call. */
+  def adviseAndJoinKeys(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], joinType: String = "inner",
+                        broadcastRowLimit: Long = 500000L,
+                        skewSharePpm: Long = 100000L,
+                        saltBuckets: Int = 16): (DataFrame, Advice) = {
+    val a = adviseKeys(left, right, keys, broadcastRowLimit, skewSharePpm)
+    (executeAdvised(left, right, keys, joinType, a, skewSharePpm,
+      saltBuckets), a)
+  }
+
   /** Quantile view of a key's frequency distribution (feeds the skew
     * report beside the single hottest-key share). */
   def keyQuantiles(df: DataFrame, key: String,

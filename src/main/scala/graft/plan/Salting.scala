@@ -67,10 +67,14 @@ object Salting {
     * exactly the right rows sharing its key — but the hot key's rows
     * spread over `saltBuckets` reducers instead of one straggler.
     *
-    * Inner and left joins only: replicating the right side makes
-    * unmatched-RIGHT accounting ambiguous (an unmatched right row would
-    * surface `saltBuckets` times), so right/full-outer callers must use
-    * the plain join (AQE skew splitting still applies there).
+    * Left-preserving joins only (inner, left outer, left semi, left
+    * anti): replicating the right side makes unmatched-RIGHT accounting
+    * ambiguous (an unmatched right row would surface `saltBuckets`
+    * times), so right/full-outer callers must use the plain join (AQE
+    * skew splitting still applies there). Semi/anti are safe because
+    * their output contains only LEFT rows and the replication makes a
+    * right key present for EVERY salt value exactly when it is present
+    * at all — match/no-match per left row is unchanged.
     *
     * Cost model: the replicated side shuffles `saltBuckets`× its size —
     * worth it only when the skewed side dwarfs it; [[graft.plan.JoinAdvisor
@@ -80,8 +84,9 @@ object Salting {
                  saltBuckets: Int = 16): DataFrame = {
     require(keys.nonEmpty && saltBuckets > 1)
     val jt = joinType.toLowerCase.replace("_", "")
-    require(jt == "inner" || jt == "left" || jt == "leftouter",
-      s"saltedJoin supports inner/left joins, not $joinType")
+    require(jt == "inner" || jt == "left" || jt == "leftouter" ||
+      jt == "leftsemi" || jt == "semi" || jt == "leftanti" || jt == "anti",
+      s"saltedJoin supports left-preserving joins, not $joinType")
     // deterministic content-hash salt — see saltedAgg's retry rationale
     val saltedL = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets.toLong)))

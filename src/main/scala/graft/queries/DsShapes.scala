@@ -242,7 +242,97 @@ object DsShapes {
         .orderBy(col("c_mktsegment"))
     })
 
+  /** Round-11 stretch wave. */
+  val defs2: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Top slices PER ROLLUP LEVEL (TPC-DS Q67's exact shape: the rollup
+    // and the rank over it share ONE aggregate pass): rollup over
+    // (brand, size bucket), then each level — detail, brand subtotal,
+    // grand total — ranks its own rows by revenue and keeps the top 3.
+    // The window partitions on the level tag, so it runs over the
+    // bounded rollup relation, never the fact.
+    "q249_rollup_level_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          expr("p_size div 10").cast("long").as("size_bucket"),
+          revE4.as("rev_e4"))
+      val cells = base.rollup(col("p_brand"), col("size_bucket"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("r_e4"))
+        // level BEFORE the coalesce: 0 = detail, 1 = brand subtotal,
+        // 3 = grand total (rollup never emits level 2)
+        .select(
+          (col("p_brand").isNull.cast("int") * 2 +
+            col("size_bucket").isNull.cast("int")).as("lvl"),
+          coalesce(col("p_brand"), lit("ALL")).as("p_brand"),
+          coalesce(col("size_bucket"), lit(-1L)).as("size_bucket"),
+          col("n_lines"), col("r_e4"))
+      val w = Window.partitionBy(col("lvl"))
+        .orderBy(col("r_e4").desc, col("p_brand"), col("size_bucket"))
+      cells.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("size_bucket"), col("lvl"),
+          col("n_lines"), col("r_e4").cast("long").as("rev_e4"),
+          col("rk"))
+        .orderBy(col("lvl"), col("rk"))
+    },
+
+    // Cross-channel parts (TPC-DS Q14 flavor): parts sold on ALL three
+    // channels, rolled up by brand. The intersection is
+    // countDistinct(channel) = 3 on the per-part aggregate — ONE fact
+    // pass carries the channel count, the line count, and the revenue;
+    // the brand rollup then joins only the part-scale aggregate to the
+    // dimension. Never a per-channel INTERSECT cascade over the fact.
+    "q250_cross_channel_parts" -> { (s, dir) =>
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(channelCol.as("channel"), col("l_partkey"),
+          revE4.as("rev_e4"))
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("channel")).as("n_ch"),
+          count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("r_e4"))
+        .filter(col("n_ch") === 3)
+      per.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("n_lines")).cast("long").as("n_lines"),
+          sum(col("r_e4")).cast("long").as("rev_e4"))
+        .orderBy(col("p_brand"))
+    })
+
   val oracles: Map[String, String] = Map(
+
+    "q249_rollup_level_topk" ->
+      s"""WITH cells AS (SELECT p_brand, p_size // 10 AS size_bucket,
+           COUNT(*) AS n_lines, SUM($RevE4Sql) AS r_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY ROLLUP (p_brand, size_bucket)),
+         lv AS (SELECT
+             (CASE WHEN p_brand IS NULL THEN 2 ELSE 0 END +
+              CASE WHEN size_bucket IS NULL THEN 1 ELSE 0 END) AS lvl,
+             COALESCE(p_brand, 'ALL') AS p_brand,
+             COALESCE(size_bucket, -1) AS size_bucket, n_lines, r_e4
+           FROM cells),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lvl
+             ORDER BY r_e4 DESC, p_brand, size_bucket) AS rk
+           FROM lv)
+         SELECT p_brand, size_bucket, CAST(lvl AS INT) AS lvl, n_lines,
+           CAST(r_e4 AS BIGINT) AS rev_e4, CAST(rk AS INT) AS rk
+         FROM rk WHERE rk <= 3 ORDER BY lvl, rk""",
+
+    "q250_cross_channel_parts" ->
+      s"""WITH f AS (SELECT $ChannelSql AS channel, l_partkey,
+           $RevE4Sql AS rev_e4
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         per AS (SELECT l_partkey, COUNT(DISTINCT channel) AS n_ch,
+             COUNT(*) AS n_lines, SUM(rev_e4) AS r_e4
+           FROM f GROUP BY 1)
+         SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(r_e4) AS BIGINT) AS rev_e4
+         FROM per JOIN part ON l_partkey = p_partkey
+         WHERE n_ch = 3 GROUP BY 1 ORDER BY 1""",
 
     "q240_channel_sales_rollup" ->
       s"""WITH f AS (SELECT $ChannelSql AS channel, o_orderstatus,

@@ -25,7 +25,10 @@ object IncrementalUpdate {
       affectedPartitions: Seq[String],
       upserted: Long,
       deleted: Long,
-      finalRowsInAffected: Long)
+      finalRowsInAffected: Long,
+      /** Strategy the join advisor chose for the merge's anti-joins
+        * (`plain` when advising is off). */
+      joinStrategy: String = "plain")
 
   /** Apply `changes` (new + modified rows, keyed by `keyCols`) and optional
     * `deletes` (keys to remove) to the partitioned parquet table at
@@ -42,7 +45,14 @@ object IncrementalUpdate {
       // are refreshed from the merge profile ALREADY computed below — the
       // incremental-stats path costs zero extra scans
       statsDir: Option[String] = None,
-      statsTable: Option[String] = None): UpsertStats = {
+      statsTable: Option[String] = None,
+      // the merge's anti-joins run under the join advisor's measured
+      // recommendation (broadcast / plain / salted); disable to force
+      // the plain joins (e.g. when the caller already knows the shape).
+      // Thresholds are the advisor's, surfaced for tuning and tests.
+      adviseJoins: Boolean = true,
+      adviseBroadcastRowLimit: Long = 500000L,
+      adviseSkewSharePpm: Long = 100000L): UpsertStats = {
     require(keyCols.nonEmpty)
     val deleteKeys = deletes.getOrElse(changes.limit(0).select(keyCols.map(col): _*))
 
@@ -61,10 +71,28 @@ object IncrementalUpdate {
 
     // 3. merge: changes win over current; deletes drop. Tag provenance so
     //    upsert/survivor counts come from ONE materialized frame instead of
-    //    re-running the joins per count.
-    val survivors = current
-      .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .join(deleteKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
+    //    re-running the joins per count. The anti-joins against the pruned
+    //    target — the merge's at-scale joins — run under the JOIN ADVISOR:
+    //    the probe (two keyed aggregates + a CMS bound over relations the
+    //    merge reads anyway) is cheap next to an hours-long skewed join,
+    //    and the recommendation is executed, not just reported. One probe
+    //    serves both anti-joins: the second's left side is the first's
+    //    output, a subset of `current`, so its skew can only shrink.
+    val changeKeys = changes.select(keyCols.map(col): _*)
+    val advice =
+      if (adviseJoins)
+        Some(graft.plan.JoinAdvisor.adviseKeys(current, changeKeys, keyCols,
+          adviseBroadcastRowLimit, adviseSkewSharePpm))
+      else None
+    def antiJoin(l: org.apache.spark.sql.DataFrame,
+                 r: org.apache.spark.sql.DataFrame) = advice match {
+      case Some(a) =>
+        graft.plan.JoinAdvisor.executeAdvised(l, r, keyCols, "left_anti",
+          a, adviseSkewSharePpm)
+      case None => l.join(r, keyCols, "left_anti")
+    }
+    val survivors = antiJoin(antiJoin(current, changeKeys),
+      deleteKeys.select(keyCols.map(col): _*))
     val incoming = changes
       .join(deleteKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
     val merged = survivors.withColumn("_iu_src", lit("kept"))
@@ -148,6 +176,7 @@ object IncrementalUpdate {
       affectedPartitions = affected,
       upserted = srcCounts.getOrElse("upserted", 0L),
       deleted = deleteKeys.count(),
-      finalRowsInAffected = srcCounts.valuesIterator.sum)
+      finalRowsInAffected = srcCounts.valuesIterator.sum,
+      joinStrategy = advice.map(_.recommendation).getOrElse("plain"))
   }
 }

@@ -119,15 +119,60 @@ class DsShapesSpec extends SparkSpec {
       byClass.values.sum)
   }
 
-  test("q248: the sixteen band cells sum to the stated event total") {
+  test("q248: the sixteen band cells cover every timestamped event and " +
+      "n_events is COUNT(*) — null-ts rows count but land in no band") {
     val out = DsShapes.defs("q248_hour_band_matrix")(spark, dir)
     assert(out.count() === 1L)
     val r = out.head
+    val ev = graft.Tables.load(spark, dir, "events")
     val cells = (0 until 8).flatMap(b =>
       Seq(r.getAs[Long](s"buy_h$b"), r.getAs[Long](s"other_h$b")))
-    assert(cells.sum === r.getAs[Long]("n_events"))
-    assert(r.getAs[Long]("n_events") ===
-      graft.Tables.load(spark, dir, "events").count())
+    assert(cells.sum === ev.filter(col("ts").isNotNull).count())
+    assert(r.getAs[Long]("n_events") === ev.count())
+  }
+
+  test("q249: each rollup level ranks its own rows — contiguous ranks, " +
+      "at most three per level, and the grand-total row carries the " +
+      "full revenue") {
+    val out = DsShapes.defs2("q249_rollup_level_topk")(spark, dir)
+    val rows = out.collect()
+    val levels = rows.map(_.getAs[Int]("lvl")).toSet
+    assert(levels.subsetOf(Set(0, 1, 3)), s"unexpected levels $levels")
+    rows.groupBy(_.getAs[Int]("lvl")).foreach { case (lvl, rs) =>
+      val rks = rs.map(_.getAs[Int]("rk")).sorted
+      assert(rks.length <= 3 && rks.sameElements(1 to rks.length),
+        s"level $lvl ranks: ${rks.toSeq}")
+      // ranked descending by revenue within the level
+      val byRk = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("rev_e4"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b })
+    }
+    // the grand-total row (level 3, necessarily rank 1) is the exact
+    // full-fact revenue
+    val grand = rows.find(_.getAs[Int]("lvl") == 3).get
+    val full = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")) *
+        lit(10000)).cast("decimal(38,0)")).cast("long")).head.getLong(0)
+    assert(grand.getAs[Long]("rev_e4") === full)
+    assert(grand.getAs[Int]("rk") === 1)
+  }
+
+  test("q250: reported brands aggregate exactly the parts present on " +
+      "all three channels") {
+    val out = DsShapes.defs2("q250_cross_channel_parts")(spark, dir)
+    val counted = out.agg(sum(col("n_parts"))).head.getLong(0)
+    val crossParts = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), pmod(col("o_orderkey"), lit(3)).as("ch"))
+      .distinct()
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("ch")).as("n"))
+      .filter(col("n") === 3)
+    assert(counted === crossParts.count())
+    assert(counted > 0)
   }
 
   test("q243: counted customers each order through all three channels") {

@@ -165,4 +165,50 @@ class IncrementalUpdateSpec extends SparkSpec {
     assert(stats.affectedPartitions.isEmpty)
     assert(spark.read.parquet(s"$base/t").count() == orders.count())
   }
+
+  test("a SKEWED merge takes the advisor's salted path and the result " +
+      "is identical to the plain-join merge") {
+    import spark.implicits._
+    // target skewed on the merge key: one hot natural key carries ~30%
+    // of the rows (a hot account whose events all share its key), the
+    // tail is unique — the shape where one reducer becomes the
+    // merge's straggler at scale
+    val hot = (0 until 3000).map(i => (7L, "p1", s"hot_$i"))
+    val tail = (0 until 7000).map(i => (100L + i, if (i % 2 == 0) "p1" else "p2", s"t_$i"))
+    val target = (hot ++ tail).toDF("k", "p", "v")
+    // changes big enough that the advisor cannot broadcast them; keys
+    // chosen from the tail rows already living in p1 (stable partition)
+    val changes = (0 until 2500).map(i => (100L + 2 * i, "p1", s"new_$i"))
+      .toDF("k", "p", "v")
+    val deletes = Seq(7L).toDF("k")
+
+    def run(advised: Boolean): (IncrementalUpdate.UpsertStats, Set[(Long, String, String)]) = {
+      val base = Files.createTempDirectory("graft_iu_skew").toString
+      target.write.partitionBy("p").parquet(s"$base/t")
+      val stats = IncrementalUpdate.upsertPartitions(spark, s"$base/t",
+        changes, Seq("k"), "p", Some(deletes),
+        adviseJoins = advised,
+        adviseBroadcastRowLimit = 1000L, adviseSkewSharePpm = 100000L)
+      val rows = spark.read.parquet(s"$base/t")
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("p"),
+          r.getAs[String]("v"))).toSet
+      (stats, rows)
+    }
+
+    val (advisedStats, advisedRows) = run(advised = true)
+    val (plainStats, plainRows) = run(advised = false)
+    // the advisor measured the 30% hot-key share and chose salting
+    assert(advisedStats.joinStrategy === "sort_merge_salted",
+      s"expected the salted path, got ${advisedStats.joinStrategy}")
+    assert(plainStats.joinStrategy === "plain")
+    // row-identical results: salting changes the physical plan, never
+    // the merge's output
+    assert(advisedRows === plainRows)
+    assert(advisedStats.upserted === plainStats.upserted &&
+      advisedStats.deleted === plainStats.deleted &&
+      advisedStats.finalRowsInAffected === plainStats.finalRowsInAffected)
+    // the hot key was deleted; the changed keys carry their new values
+    assert(!advisedRows.exists(_._1 == 7L))
+    assert(advisedRows.count(_._3.startsWith("new_")) === 2500)
+  }
 }
