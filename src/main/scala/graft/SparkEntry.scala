@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsExtras, CurationExtras, DsShapes, ExtraQueries, GoeQueries, PipelineQueries, TpchShapes}
+import graft.queries.{AnalyticsExtras, CurationExtras, DsShapes, ExtraQueries, GoeQueries, GraphQueries, PipelineQueries, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GoeQueries.defs ++ PipelineQueries.defs ++ ExtraQueries.defs ++
       TpchShapes.defs ++ CurationExtras.defs ++ AnalyticsExtras.defs ++
-      DsShapes.defs ++ DsShapes.defs2
+      DsShapes.defs ++ DsShapes.defs2 ++ GraphQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     GoeQueries.oracles ++ PipelineQueries.oracles ++ ExtraQueries.oracles ++
       TpchShapes.oracles ++ CurationExtras.oracles ++
-      AnalyticsExtras.oracles ++ DsShapes.oracles
+      AnalyticsExtras.oracles ++ DsShapes.oracles ++ GraphQueries.oracles
 }

