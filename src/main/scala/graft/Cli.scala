@@ -774,6 +774,53 @@ object Cli {
           println(s"""{"files_before": ${res.filesBefore}, """ +
             s""""files_after": ${res.filesAfter}, "rows": ${res.rows}}""")
 
+        case "rank-merge" =>
+          // Merge a batch of co-occurrence pairs into the incremental
+          // PageRank edge store (exactly-once per --batch-id), then
+          // refresh the rank relation with the configured power steps:
+          //   rank-merge --pairs <parquet> --store <dir> --batch-id <n>
+          //              [--buckets 16] [--iterations 5] [--no-refresh]
+          val cfg = graft.streaming.StreamingRank.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt",
+            buckets = opts.getOrElse("buckets", "16").toInt,
+            iterations = opts.getOrElse("iterations", "5").toInt)
+          graft.streaming.StreamingRank.ingestBatch(
+            spark.read.parquet(opts("pairs")),
+            opts("batch-id").toLong, cfg)
+          if (!opts.contains("no-refresh"))
+            graft.streaming.StreamingRank.refreshRanks(spark, cfg)
+          val ranks = graft.streaming.StreamingRank.ranks(spark, cfg)
+          println(s"""{"edges": ${
+            graft.streaming.StreamingRank.edges(spark, cfg).count()
+          }, "nodes": ${ranks.count()}}""")
+
+        case "rank-refresh" =>
+          // Run the power steps over the committed edge set only:
+          //   rank-refresh --store <dir> [--iterations 5] [--top 20]
+          val cfg = graft.streaming.StreamingRank.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt",
+            iterations = opts.getOrElse("iterations", "5").toInt)
+          graft.streaming.StreamingRank.refreshRanks(spark, cfg)
+          graft.streaming.StreamingRank.ranks(spark, cfg)
+            .orderBy(org.apache.spark.sql.functions.col("rank_e6").desc,
+              org.apache.spark.sql.functions.col("node"))
+            .limit(opts.getOrElse("top", "20").toInt)
+            .collect()
+            .foreach(r => println(s"${r.getLong(0)}\t${r.getLong(1)}"))
+
+        case "rank-compact" =>
+          // Fold the edge store's per-batch partitions:
+          //   rank-compact --store <dir> [--buckets 16]
+          val cfg = graft.streaming.StreamingRank.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt",
+            buckets = opts.getOrElse("buckets", "16").toInt)
+          val res = graft.streaming.StreamingRank.compactEdges(spark, cfg)
+          println(s"""{"files_before": ${res.filesBefore}, """ +
+            s""""files_after": ${res.filesAfter}, "rows": ${res.rows}}""")
+
         case "compact" =>
           val res = graft.sink.Compaction.compact(spark, opts("path"),
             targetBytes = opts.get("target-bytes").map(_.toLong)

@@ -47,6 +47,9 @@ object Graph {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
+      // both union orientations read the SAME materialised pair blocks —
+      // without the cut, each branch re-runs the group self-join
+      .localCheckpoint(false)
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
@@ -60,7 +63,18 @@ object Graph {
     * percentage (85 = the classic 0.85).
     */
   def pageRank(edges: DataFrame, iterations: Int,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85): DataFrame =
+    pageRankFrom(edges, None, iterations, dampingPct)
+
+  /** [[pageRank]] warm-started from a previous rank relation
+    * `(node, rank_e6)`. Power iteration composes: K₂ steps from the
+    * ranks after K₁ cold steps equal K₁+K₂ cold steps (the streaming
+    * refresh's contract, spec-pinned). Nodes absent from `init` (new
+    * arrivals) start at the cold 1.0; `init` nodes absent from the
+    * current edge set are dropped (ranks are defined over the graph's
+    * nodes). */
+  def pageRankFrom(edges: DataFrame, init: Option[DataFrame],
+      iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val basePct = 100 - dampingPct
     // Out-degrees ride along each edge so the per-iteration join touches
@@ -68,10 +82,21 @@ object Graph {
     // the materialised blocks instead of recomputing the degree join.
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
-    val edgesWithDeg = edges.join(deg, "src").localCheckpoint(false)
-    val nodes = deg.select(col("src").as("node")).localCheckpoint(false)
-    var ranks = nodes.select(col("node"),
-      lit(1000000L).as("rank_e6"))
+    // EAGER checkpoints: both relations are read once per iteration, and
+    // a lazy cut would let the 5 iteration jobs race on first
+    // materialisation (each recomputing the degree join)
+    val edgesWithDeg = edges.join(deg, "src").localCheckpoint(true)
+    val nodes = deg.select(col("src").as("node")).localCheckpoint(true)
+    var ranks = init match {
+      case Some(prev) =>
+        nodes.join(prev.select(col("node"),
+            col("rank_e6").as("prev_e6")), Seq("node"), "left_outer")
+          .select(col("node"),
+            coalesce(col("prev_e6"), lit(1000000L)).as("rank_e6"))
+          .localCheckpoint(false)
+      case None =>
+        nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+    }
     for (_ <- 1 to iterations) {
       val contribs = edgesWithDeg
         .join(ranks, col("src") === col("node"))
@@ -85,6 +110,47 @@ object Graph {
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (lit(basePct.toLong * 10000L) +
+            expr(s"$dampingPct * coalesce(s, 0L) div 100"))
+            .as("rank_e6"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
+  /** Personalized PageRank: random-walk-with-restart relevance from a
+    * SEED set — the base mass lands only on seeds, so rank measures
+    * proximity to the seeds through the graph (the standard
+    * related-items / trusted-seed-expansion primitive). Same e6
+    * fixed-point determinism and per-iteration shape as [[pageRank]];
+    * seeds is a single-column `(node)` relation, expected node-scale
+    * (it joins the node list once, outside the loop). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val basePct = 100 - dampingPct
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    val edgesWithDeg = edges.join(deg, "src").localCheckpoint(true)
+    val nodes = deg.select(col("src").as("node"))
+      .join(seeds.select(col("node"), lit(true).as("is_seed")),
+        Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L))
+        .as("rank_e6"))
+    for (_ <- 1 to iterations) {
+      val contribs = edgesWithDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("rank_e6 div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (when(col("is_seed"), lit(basePct.toLong * 10000L))
+            .otherwise(lit(0L)) +
             expr(s"$dampingPct * coalesce(s, 0L) div 100"))
             .as("rank_e6"))
         .localCheckpoint(false)

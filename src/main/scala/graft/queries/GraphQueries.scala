@@ -37,6 +37,85 @@ object GraphQueries {
         .select(col("node").as("part_key"), col("rank_e6"))
         .orderBy(col("rank_e6").desc, col("part_key"))
         .limit(20)
+    },
+
+    // Modularity of the brand partition over the co-purchase graph:
+    // per brand, Q's contribution e_c/m − (d_c/2m)² in exact e6
+    // fixed-point (DECIMAL(38,0) cross-terms — the 100 TB overflow
+    // path). Positive contributions mark brands whose parts are bought
+    // together more than degree-chance predicts. Everything reduces to
+    // the canonical pair relation + two keyed aggregates; the global
+    // edge count rides a broadcast single-row cross join.
+    "q255_brand_modularity" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val g = li.toDF("ok", "a")
+      val pairs = g.join(li.toDF("ok", "b"), "ok")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .distinct()
+        .localCheckpoint(false)
+      val brand = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val deg = pairs.select(col("a").as("node"))
+        .unionByName(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val degByBrand = deg
+        .join(brand, col("node") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("deg")).as("degree_sum"))
+      val intra = pairs
+        .join(brand.select(col("p_partkey").as("a"),
+          col("p_brand").as("brand_a")), Seq("a"))
+        .join(brand.select(col("p_partkey").as("b"),
+          col("p_brand").as("brand_b")), Seq("b"))
+        .filter(col("brand_a") === col("brand_b"))
+        .groupBy(col("brand_a").as("p_brand"))
+        .agg(count(lit(1)).as("intra_pairs"))
+      degByBrand
+        .join(intra, Seq("p_brand"), "left_outer")
+        .na.fill(0L, Seq("intra_pairs"))
+        .crossJoin(broadcast(m))
+        .withColumn("contrib_e6",
+          expr("""CAST(intra_pairs AS DECIMAL(38,0)) * 1000000
+                    div CAST(m AS DECIMAL(38,0))
+                  - CAST(degree_sum AS DECIMAL(38,0))
+                    * CAST(degree_sum AS DECIMAL(38,0)) * 1000000
+                    div (CAST(4 AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))
+                      * CAST(m AS DECIMAL(38,0)))"""))
+        .select(col("p_brand"), col("n_parts"), col("degree_sum"),
+          col("intra_pairs"), col("contrib_e6").cast("long")
+            .as("contrib_e6"))
+        .orderBy(col("p_brand"))
+    },
+
+    // Related parts by personalized PageRank: random-walk-with-restart
+    // from the alphabetically-first brand's parts as the seed set; the
+    // top non-seed parts by propagated relevance are the cross-brand
+    // "bought with" recommendations. Same deterministic e6 arithmetic;
+    // the seed restart mass is the only base term, so rank measures
+    // graph proximity to the seed brand.
+    "q256_related_parts" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val partDim = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val seedBrand = partDim.agg(min(col("p_brand")).as("seed_brand"))
+      val seeds = partDim.crossJoin(broadcast(seedBrand))
+        .filter(col("p_brand") === col("seed_brand"))
+        .select(col("p_partkey").as("node"))
+      Graph.personalizedPageRank(edges, seeds, iterations = 5)
+        .join(partDim, col("node") === col("p_partkey"))
+        .crossJoin(broadcast(seedBrand))
+        .filter(col("p_brand") =!= col("seed_brand") &&
+          col("rank_e6") > 0)
+        .select(col("node").as("part_key"), col("p_brand"),
+          col("rank_e6"))
+        .orderBy(col("rank_e6").desc, col("part_key"))
+        .limit(20)
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -48,20 +127,35 @@ object GraphQueries {
          FROM edges e JOIN $prev p ON e.src = p.node
          GROUP BY 1) s ON n.node = s.node)"""
 
+  /** One personalized step: restart mass on seeds only. */
+  private def pprStepSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT n.node,
+         (CASE WHEN n.is_seed THEN 150000 ELSE 0 END) +
+           (85 * COALESCE(s.s, 0)) // 100 AS r
+       FROM nd n LEFT JOIN (
+         SELECT e.dst AS node, SUM(p.r // e.outdeg) AS s
+         FROM edges e JOIN $prev p ON e.src = p.node
+         GROUP BY 1) s ON n.node = s.node)"""
+
+  /** The shared co-purchase graph CTEs (canonical pairs → symmetrised
+    * edges with out-degrees). */
+  private val GraphCtes =
+    """pairs AS (SELECT DISTINCT la.l_partkey AS a,
+           lb.l_partkey AS b
+         FROM lineitem la JOIN lineitem lb
+           ON la.l_orderkey = lb.l_orderkey
+          AND la.l_partkey < lb.l_partkey),
+       sym AS (SELECT a AS src, b AS dst FROM pairs
+         UNION ALL SELECT b, a FROM pairs),
+       deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY 1),
+       edges AS (SELECT s.src, s.dst, d.outdeg
+         FROM sym s JOIN deg d ON s.src = d.src),
+       nodes AS (SELECT src AS node FROM deg)"""
+
   val oracles: Map[String, String] = Map(
 
     "q251_pagerank" ->
-      s"""WITH pairs AS (SELECT DISTINCT la.l_partkey AS a,
-             lb.l_partkey AS b
-           FROM lineitem la JOIN lineitem lb
-             ON la.l_orderkey = lb.l_orderkey
-            AND la.l_partkey < lb.l_partkey),
-         sym AS (SELECT a AS src, b AS dst FROM pairs
-           UNION ALL SELECT b, a FROM pairs),
-         deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY 1),
-         edges AS (SELECT s.src, s.dst, d.outdeg
-           FROM sym s JOIN deg d ON s.src = d.src),
-         nodes AS (SELECT src AS node FROM deg),
+      s"""WITH $GraphCtes,
          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
          ${stepSql("r0", "r1")},
          ${stepSql("r1", "r2")},
@@ -69,5 +163,52 @@ object GraphQueries {
          ${stepSql("r3", "r4")},
          ${stepSql("r4", "r5")}
          SELECT node AS part_key, CAST(r AS BIGINT) AS rank_e6
-         FROM r5 ORDER BY rank_e6 DESC, part_key LIMIT 20""")
+         FROM r5 ORDER BY rank_e6 DESC, part_key LIMIT 20""",
+
+    "q255_brand_modularity" ->
+      s"""WITH $GraphCtes,
+         m AS (SELECT COUNT(*) AS m FROM pairs),
+         nd AS (SELECT node, COUNT(*) AS deg FROM (
+             SELECT a AS node FROM pairs
+             UNION ALL SELECT b FROM pairs) GROUP BY 1),
+         db AS (SELECT p_brand, COUNT(*) AS n_parts,
+             CAST(SUM(deg) AS BIGINT) AS degree_sum
+           FROM nd JOIN part ON node = p_partkey GROUP BY 1),
+         intra AS (SELECT pa.p_brand, COUNT(*) AS intra_pairs
+           FROM pairs
+           JOIN part pa ON a = pa.p_partkey
+           JOIN part pb ON b = pb.p_partkey
+           WHERE pa.p_brand = pb.p_brand GROUP BY 1)
+         SELECT db.p_brand, db.n_parts, db.degree_sum,
+           COALESCE(intra.intra_pairs, 0) AS intra_pairs,
+           CAST(CAST(COALESCE(intra.intra_pairs, 0) AS HUGEINT)
+               * 1000000 // CAST(m.m AS HUGEINT)
+             - CAST(db.degree_sum AS HUGEINT)
+               * CAST(db.degree_sum AS HUGEINT) * 1000000
+               // (4 * CAST(m.m AS HUGEINT) * CAST(m.m AS HUGEINT))
+             AS BIGINT) AS contrib_e6
+         FROM db LEFT JOIN intra USING (p_brand) CROSS JOIN m
+         ORDER BY p_brand""",
+
+    "q256_related_parts" ->
+      s"""WITH $GraphCtes,
+         seeds AS (SELECT p_partkey AS node FROM part
+           WHERE p_brand = (SELECT min(p_brand) FROM part)),
+         nd AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
+           FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         r0 AS (SELECT node,
+             CAST(CASE WHEN is_seed THEN 1000000 ELSE 0 END AS BIGINT)
+               AS r
+           FROM nd),
+         ${pprStepSql("r0", "r1")},
+         ${pprStepSql("r1", "r2")},
+         ${pprStepSql("r2", "r3")},
+         ${pprStepSql("r3", "r4")},
+         ${pprStepSql("r4", "r5")}
+         SELECT p.node AS part_key, pt.p_brand,
+           CAST(p.r AS BIGINT) AS rank_e6
+         FROM r5 p JOIN part pt ON p.node = pt.p_partkey
+         WHERE pt.p_brand <> (SELECT min(p_brand) FROM part)
+           AND p.r > 0
+         ORDER BY rank_e6 DESC, part_key LIMIT 20""")
 }

@@ -1,0 +1,219 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Graph
+
+/** Incrementally-maintained PageRank over a stream of co-occurrence
+  * pairs — the iterative companion to [[StreamingCc]] (labels stay
+  * current there; global rank stays current here).
+  *
+  * Two stores under `Config.storeDir`:
+  *   - `edges`: canonical `(a < b)` pairs, EXACTLY-ONCE by construction
+  *     (the [[StreamingDedup]] scheme): partitioned `(batch_id, bucket)`
+  *     with batch-scoped dynamic overwrite + a crash-safe [[Hwm]]
+  *     sidecar, so a replayed or mid-crash batch rewrites its own
+  *     partitions. Each batch stores only pairs NOT already in committed
+  *     history — the probe is bucket-pruned (`pmod(a, buckets)`) and
+  *     excludes the batch's own partitions, so degrees never
+  *     double-count a re-delivered edge.
+  *   - `ranks`: the whole rank relation, swap-managed (temp + aside
+  *     rename with crash recovery, the [[StreamingCc.compact]] scheme).
+  *
+  * Ranking itself is a MAINTENANCE pass, not per-batch work: a PageRank
+  * step is a full-edge-relation join, so running it inside every
+  * micro-batch would make ingest cost grow with the graph, not the
+  * batch. [[refreshRanks]] runs `Config.iterations` power steps
+  * warm-started from the previous rank relation — power iteration
+  * composes (K₂ steps from the K₁-step state = K₁+K₂ cold steps,
+  * spec-pinned), so periodic refreshes converge exactly like one long
+  * cold run while each refresh pays only its own steps. At 100 TB the
+  * edge relation stays bucket-partitioned and never moves; only the
+  * node-scale rank relation shuffles per step.
+  */
+object StreamingRank {
+
+  final case class Config(
+      storeDir: String,
+      checkpointDir: String,
+      /** `pmod(a, buckets)` partition count for the edge store. */
+      buckets: Int = 16,
+      /** power steps per [[refreshRanks]] call. */
+      iterations: Int = 5,
+      dampingPct: Int = 85)
+
+  private def edgesDir(cfg: Config) = new Path(cfg.storeDir, "edges")
+  private def ranksDir(cfg: Config) = new Path(cfg.storeDir, "ranks")
+  private def hwmPath(cfg: Config) =
+    new Path(cfg.storeDir, "edges__hwm")
+
+  private[streaming] def lastBatch(spark: SparkSession,
+                                   cfg: Config): Long =
+    Hwm.read(hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      hwmPath(cfg))
+
+  /** Attach the rank-maintenance sink to a streaming DataFrame of
+    * `(id_a, id_b)` pairs. Caller starts/stops the returned query and
+    * calls [[refreshRanks]] at its own cadence. */
+  def start(pairs: DataFrame, cfg: Config): StreamingQuery =
+    pairs.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, cfg)
+      }
+      .start()
+
+  /** One micro-batch: canonicalise, dedup against committed history
+    * (bucket-pruned probe, own batch excluded), batch-scoped dynamic
+    * overwrite, HWM last. Exactly-once under replay and mid-crash.
+    * Public for the CLI's `rank-merge` (batch-at-a-time driving, the
+    * [[StreamingCc.mergeBatch]] pattern). */
+  def ingestBatch(batch: DataFrame, batchId: Long,
+                  cfg: Config): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    if (batchId <= lastBatch(spark, cfg)) return
+    graft.sink.Compaction.recover(spark, edgesDir(cfg).toString)
+    val fs = edgesDir(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = batch
+      .select(least(col("id_a"), col("id_b")).cast("long").as("a"),
+        greatest(col("id_a"), col("id_b")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .withColumn("bucket",
+        pmod(col("a"), lit(cfg.buckets.toLong)).cast("int"))
+      .localCheckpoint(true)
+    val novel =
+      if (fs.exists(edgesDir(cfg))) {
+        val buckets = fresh.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val hist = spark.read.parquet(edgesDir(cfg).toString)
+          .filter(col("bucket").isInCollection(buckets) &&
+            col("batch_id").cast("long") =!= batchId)
+          .select(col("a"), col("b"))
+        fresh.join(hist, Seq("a", "b"), "left_anti")
+      } else fresh
+    novel.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "bucket")
+      .parquet(edgesDir(cfg).toString)
+    Hwm.write(fs, hwmPath(cfg), batchId)
+  }
+
+  /** The committed canonical edge set (uncommitted partitions — a batch
+    * that crashed before its HWM — excluded; the replay rewrites them). */
+  def edges(spark: SparkSession, cfg: Config): DataFrame = {
+    graft.sink.Compaction.recover(spark, edgesDir(cfg).toString)
+    val fs = edgesDir(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(edgesDir(cfg)))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("a"), lit(0L).as("b")).limit(0)
+    spark.read.parquet(edgesDir(cfg).toString)
+      .filter(col("batch_id").cast("long") <= lastBatch(spark, cfg))
+      .select(col("a"), col("b"))
+  }
+
+  /** Crash recovery for [[refreshRanks]]'s swap: a death between the two
+    * renames leaves ranks__old but no ranks. */
+  private def recoverRanks(fs: org.apache.hadoop.fs.FileSystem,
+                           cfg: Config): Unit = {
+    val cur = ranksDir(cfg)
+    val old = new Path(cfg.storeDir, "ranks__old")
+    if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
+      throw new IllegalStateException(s"rank swap recovery failed: $old")
+  }
+
+  /** Current rank relation `(node, rank_e6)`; empty before the first
+    * refresh. */
+  def ranks(spark: SparkSession, cfg: Config): DataFrame = {
+    val fs = ranksDir(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRanks(fs, cfg)
+    if (!fs.exists(ranksDir(cfg)))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("node"), lit(0L).as("rank_e6")).limit(0)
+    spark.read.parquet(ranksDir(cfg).toString)
+      .select(col("node"), col("rank_e6"))
+  }
+
+  /** Run `Config.iterations` power steps over the committed edge set,
+    * warm-started from the stored ranks, and atomically install the
+    * result. Idempotent per edge-state only in the fixpoint sense —
+    * each call advances the iteration count; see the class doc. */
+  def refreshRanks(spark: SparkSession, cfg: Config): Unit = {
+    val fs = ranksDir(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRanks(fs, cfg)
+    val pairs = edges(spark, cfg)
+    if (pairs.isEmpty) return
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val init =
+      if (fs.exists(ranksDir(cfg))) Some(ranks(spark, cfg))
+      else None
+    val next = Graph.pageRankFrom(sym, init, cfg.iterations,
+      cfg.dampingPct)
+    val tmp = new Path(cfg.storeDir, "ranks__tmp")
+    fs.delete(tmp, true)
+    next.write.parquet(tmp.toString)
+    val old = new Path(cfg.storeDir, "ranks__old")
+    fs.delete(old, true)
+    if (fs.exists(ranksDir(cfg)) && !fs.rename(ranksDir(cfg), old))
+      throw new IllegalStateException("rank refresh: cannot move aside")
+    if (!fs.rename(tmp, ranksDir(cfg))) {
+      if (fs.exists(old)) fs.rename(old, ranksDir(cfg))
+      throw new IllegalStateException("rank refresh: cannot install")
+    }
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Fold committed edge batches into one `batch_id=-1` partition per
+    * bucket (the [[StreamingDedup.compactIndex]] scheme): the probe's
+    * file cost stays flat as batch count grows; uncommitted partitions
+    * are preserved for their replay. */
+  def compactEdges(spark: SparkSession, cfg: Config)
+      : graft.sink.Compaction.CompactionResult = {
+    graft.sink.Compaction.recover(spark, edgesDir(cfg).toString)
+    val dir = edgesDir(cfg)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      return graft.sink.Compaction.CompactionResult(0, 0, 0L, 0L)
+    def fileCount(): Int =
+      spark.read.parquet(dir.toString).inputFiles.length
+    val before = fileCount()
+    val hwm = lastBatch(spark, cfg)
+    val committed = spark.read.parquet(dir.toString)
+      .filter(col("batch_id").cast("long") <= hwm)
+    val uncommitted = CommittedFold.uncommittedDirs(fs, dir, hwm)
+    if (uncommitted.length == fs.listStatus(dir).count(st =>
+        CommittedFold.batchIdOf(st.getPath.getName).isDefined))
+      return graft.sink.Compaction.CompactionResult(before, before, 0L, 0L)
+    val folded = committed.select(col("a"), col("b"), col("bucket"))
+      .withColumn("batch_id", lit(-1L))
+      .repartition(col("bucket"))
+    val tmp = new Path(dir.getParent, dir.getName + "__compact_tmp")
+    fs.delete(tmp, true)
+    folded.write.partitionBy("batch_id", "bucket").parquet(tmp.toString)
+    CommittedFold.preserveInto(fs, uncommitted, tmp)
+    val old = new Path(dir.getParent, dir.getName + "__compact_old")
+    fs.delete(old, true)
+    if (!fs.rename(dir, old))
+      throw new IllegalStateException(s"compact: cannot move $dir aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir)
+      throw new IllegalStateException(s"compact: cannot install $tmp")
+    }
+    fs.delete(old, true)
+    val rows = spark.read.parquet(dir.toString).count()
+    graft.sink.Compaction.CompactionResult(before, fileCount(), 0L, rows)
+  }
+}

@@ -448,6 +448,45 @@ class CliSpec extends SparkSpec {
     assert(cap2.toString("UTF-8").contains("\"compacted\": true"))
   }
 
+  test("rank-merge, rank-refresh and rank-compact maintain the " +
+      "PageRank store") {
+    val store = java.nio.file.Files.createTempDirectory("rankcli").toString
+    val pairs = java.nio.file.Files.createTempDirectory("rankpairs")
+      .toString + "/pairs.parquet"
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(pairs)
+    val cap1 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap1, true, "UTF-8")) {
+      Cli.main(Array("rank-merge", "--pairs", pairs, "--store", store,
+        "--batch-id", "0", "--buckets", "4"))
+    }
+    assert(cap1.toString("UTF-8").contains("\"edges\": 3"))
+    assert(cap1.toString("UTF-8").contains("\"nodes\": 3"))
+    // symmetric triangle: every node must hold the same rank
+    val r1 = spark.read.parquet(s"$store/ranks")
+      .select("rank_e6").distinct().count()
+    assert(r1 === 1L)
+    Seq((3L, 4L)).toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(pairs)
+    val cap2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap2, true, "UTF-8")) {
+      Cli.main(Array("rank-merge", "--pairs", pairs, "--store", store,
+        "--batch-id", "1", "--buckets", "4", "--no-refresh"))
+      Cli.main(Array("rank-compact", "--store", store, "--buckets", "4"))
+      Cli.main(Array("rank-refresh", "--store", store, "--top", "4"))
+    }
+    val out2 = cap2.toString("UTF-8")
+    assert(out2.contains("\"edges\": 4"))
+    assert(out2.contains("\"files_before\""))
+    // refresh prints node\trank lines; 3 bridges and outranks 4
+    val ranks = out2.linesIterator.filter(_.contains("\t"))
+      .map { l => val p = l.split("\t"); p(0).toLong -> p(1).toLong }
+      .toMap
+    assert(ranks.size === 4)
+    assert(ranks(3L) > ranks(4L))
+  }
+
   test("hist-merge and hist-quantiles serve bounded percentiles") {
     val store = java.nio.file.Files.createTempDirectory("histcli").toString
     val docs = sf("sf0.001") + "/documents.parquet"

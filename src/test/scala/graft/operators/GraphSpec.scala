@@ -87,6 +87,69 @@ class GraphSpec extends SparkSpec {
     assert(e.count(p => p == ((2L, 3L))) === 1)
   }
 
+  /** Seeded single-threaded PPR — executable definition for
+    * [[Graph.personalizedPageRank]]. */
+  private def referencePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iterations: Int): Map[Long, Long] = {
+    val outdeg = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.size.toLong
+    }
+    val nodes = outdeg.keySet
+    var rank: Map[Long, Long] =
+      nodes.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to iterations) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => rank(e._1) / outdeg(e._1)).sum
+      }
+      rank = nodes.map { n =>
+        n -> ((if (seeds(n)) 150000L else 0L) +
+          85L * in.getOrElse(n, 0L) / 100L)
+      }.toMap
+    }
+    rank
+  }
+
+  test("personalizedPageRank matches the seeded reference; mass " +
+      "decays with distance from the seed") {
+    val df = symEdges.toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRank(df, seeds, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referencePpr(symEdges, Set(1L), 5))
+    // seed holds the most mass; the far triangle gets less than the
+    // near one (5 and 6 are 3 hops out vs 2 and 3 adjacent)
+    assert(got(1L) > got(2L) && got(2L) > got(5L))
+    assert(got(3L) > got(6L))
+  }
+
+  test("q255: brand degree sums cover 2m, intra pairs never exceed m, " +
+      "contributions stay in [-1e6, 1e6]") {
+    val out = graft.queries.GraphQueries
+      .defs("q255_brand_modularity")(spark, sf("sf0.001"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getAs[Long]("contrib_e6")) <=
+      1000000L))
+    val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val m = li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    assert(rows.map(_.getAs[Long]("degree_sum")).sum === 2 * m)
+    assert(rows.map(_.getAs[Long]("intra_pairs")).sum <= m)
+  }
+
+  test("q256: no seed-brand rows; ranks positive and descending") {
+    val out = graft.queries.GraphQueries
+      .defs("q256_related_parts")(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val seedBrand = graft.Tables.load(spark, sf("sf0.001"), "part")
+      .agg(min(col("p_brand"))).head.getString(0)
+    assert(!out.exists(_.getAs[String]("p_brand") == seedBrand))
+    val ranks = out.map(_.getAs[Long]("rank_e6"))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.sameElements(ranks.sortBy(-_)))
+  }
+
   test("q251 output: 20 rows, ranks descending, all above base mass") {
     val out = graft.queries.GraphQueries
       .defs("q251_pagerank")(spark, sf("sf0.001")).collect()

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Graph
+
+final case class Pair(id_a: Long, id_b: Long)
+
+class StreamingRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg(base: String, iters: Int = 5) = StreamingRank.Config(
+    storeDir = s"$base/store", checkpointDir = s"$base/ckpt",
+    buckets = 4, iterations = iters)
+
+  private def rankMap(c: StreamingRank.Config): Map[Long, Long] =
+    StreamingRank.ranks(spark, c).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def coldRanks(pairs: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val df = pairs.toDF("a", "b")
+    val sym = df.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(df.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pageRank(sym, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private val batch0 = Seq(Pair(1, 2), Pair(2, 3), Pair(1, 3))
+  private val batch1 = Seq(Pair(3, 4), Pair(4, 5), Pair(2, 1))
+
+  test("cold refresh equals batch PageRank over the accumulated " +
+      "distinct canonical edges") {
+    val c = cfg(Files.createTempDirectory("srank").toString)
+    StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
+    StreamingRank.ingestBatch(batch1.toDF(), 1L, c)
+    // (2,1) re-delivers the canonical (1,2): stored once
+    val stored = StreamingRank.edges(spark, c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored ===
+      Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    StreamingRank.refreshRanks(spark, c)
+    assert(rankMap(c) === coldRanks(stored.toSeq, 5))
+  }
+
+  test("warm refreshes compose: two K-step refreshes over unchanged " +
+      "edges equal one cold 2K-step run") {
+    val c = cfg(Files.createTempDirectory("srank_warm").toString,
+      iters = 3)
+    StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
+    StreamingRank.refreshRanks(spark, c)
+    StreamingRank.refreshRanks(spark, c)
+    val canonical = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(rankMap(c) === coldRanks(canonical, 6))
+  }
+
+  test("committed replay skips; mid-crash replay rewrites its own " +
+      "partitions — degrees never double-count") {
+    val c = cfg(Files.createTempDirectory("srank_replay").toString)
+    StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
+    StreamingRank.ingestBatch(batch1.toDF(), 1L, c)
+    def edgeRows(): Long = spark.read
+      .parquet(s"${c.storeDir}/edges").count()
+    val n0 = edgeRows()
+    // committed replay: skipped
+    StreamingRank.ingestBatch(batch1.toDF(), 1L, c)
+    assert(edgeRows() === n0)
+    // mid-crash: data landed, HWM didn't — replay must overwrite
+    val hwmP = new org.apache.hadoop.fs.Path(s"${c.storeDir}/edges__hwm")
+    val fs = hwmP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hwm.write(fs, hwmP, 0L)
+    StreamingRank.ingestBatch(batch1.toDF(), 1L, c)
+    assert(edgeRows() === n0, "mid-crash replay duplicated edges")
+    StreamingRank.refreshRanks(spark, c)
+    val stored = StreamingRank.edges(spark, c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rankMap(c) === coldRanks(stored.toSeq, 5))
+  }
+
+  test("compactEdges folds committed batches only, keeps ranks " +
+      "reproducible, and drops the per-batch file accretion") {
+    val c = cfg(Files.createTempDirectory("srank_compact").toString)
+    StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
+    StreamingRank.ingestBatch(batch1.toDF(), 1L, c)
+    StreamingRank.ingestBatch(Seq(Pair(9, 10)).toDF(), 2L, c)
+    StreamingRank.ingestBatch(Seq(Pair(5, 6)).toDF(), 3L, c)
+    // crash window: batch 3's data landed, HWM stays at 2
+    val hwmP = new org.apache.hadoop.fs.Path(s"${c.storeDir}/edges__hwm")
+    val fs = hwmP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hwm.write(fs, hwmP, 2L)
+    val res = StreamingRank.compactEdges(spark, c)
+    assert(res.filesAfter < res.filesBefore)
+    // uncommitted batch 3 kept its partition (outside the -1 fold)
+    val ids = spark.read.parquet(s"${c.storeDir}/edges")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(-1L, 3L))
+    // committed view excludes the uncommitted batch…
+    val stored = StreamingRank.edges(spark, c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored ===
+      Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (9L, 10L)))
+    // …and the replay completes batch 3 without doubling it
+    StreamingRank.ingestBatch(Seq(Pair(5, 6)).toDF(), 3L, c)
+    val after = StreamingRank.edges(spark, c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === stored + ((5L, 6L)))
+    StreamingRank.refreshRanks(spark, c)
+    assert(rankMap(c) === coldRanks(after.toSeq, 5))
+  }
+
+  test("streaming end-to-end over MemoryStream") {
+    val base = Files.createTempDirectory("srank_e2e").toString
+    val c = cfg(base)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Pair]
+    mem.addData(batch0: _*)
+    val q = StreamingRank.start(mem.toDF(), c)
+    q.awaitTermination(60000)
+    mem.addData(batch1: _*)
+    val q2 = StreamingRank.start(mem.toDF(), c)
+    q2.awaitTermination(60000)
+    StreamingRank.refreshRanks(spark, c)
+    val stored = StreamingRank.edges(spark, c).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored ===
+      Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
+    assert(rankMap(c) === coldRanks(stored.toSeq, 5))
+  }
+}
