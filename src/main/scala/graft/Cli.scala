@@ -777,7 +777,9 @@ object Cli {
         case "rank-merge" =>
           // Merge a batch of co-occurrence pairs into the incremental
           // PageRank edge store (exactly-once per --batch-id), then
-          // refresh the rank relation with the configured power steps:
+          // refresh the rank relation with the configured power steps.
+          // --buckets applies on store CREATION only (the layout is a
+          // persisted store property afterwards):
           //   rank-merge --pairs <parquet> --store <dir> --batch-id <n>
           //              [--buckets 16] [--iterations 5] [--no-refresh]
           val cfg = graft.streaming.StreamingRank.Config(
@@ -811,12 +813,12 @@ object Cli {
             .foreach(r => println(s"${r.getLong(0)}\t${r.getLong(1)}"))
 
         case "rank-compact" =>
-          // Fold the edge store's per-batch partitions:
-          //   rank-compact --store <dir> [--buckets 16]
+          // Fold the edge store's per-batch partitions (the store's
+          // persisted bucket layout is preserved):
+          //   rank-compact --store <dir>
           val cfg = graft.streaming.StreamingRank.Config(
             storeDir = opts("store"),
-            checkpointDir = opts("store") + "/_ckpt",
-            buckets = opts.getOrElse("buckets", "16").toInt)
+            checkpointDir = opts("store") + "/_ckpt")
           val res = graft.streaming.StreamingRank.compactEdges(spark, cfg)
           println(s"""{"files_before": ${res.filesBefore}, """ +
             s""""files_after": ${res.filesAfter}, "rows": ${res.rows}}""")

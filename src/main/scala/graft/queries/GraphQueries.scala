@@ -49,12 +49,7 @@ object GraphQueries {
     "q255_brand_modularity" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
-      val g = li.toDF("ok", "a")
-      val pairs = g.join(li.toDF("ok", "b"), "ok")
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"))
-        .distinct()
-        .localCheckpoint(false)
+      val pairs = Graph.canonicalPairs(li, "l_orderkey", "l_partkey")
       val brand = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))
       val m = pairs.agg(count(lit(1)).as("m"))

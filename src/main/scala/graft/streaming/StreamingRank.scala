@@ -39,7 +39,13 @@ object StreamingRank {
   final case class Config(
       storeDir: String,
       checkpointDir: String,
-      /** `pmod(a, buckets)` partition count for the edge store. */
+      /** `pmod(a, buckets)` partition count for the edge store. An
+        * IMMUTABLE store property: the first ingest persists it in an
+        * `edges__buckets` sidecar and every later ingest uses the
+        * persisted value — the dedup probe prunes history by bucket, so
+        * probing with a different modulus than the stored rows were
+        * written with would silently miss stored edges and double-count
+        * degrees. */
       buckets: Int = 16,
       /** power steps per [[refreshRanks]] call. */
       iterations: Int = 5,
@@ -49,6 +55,23 @@ object StreamingRank {
   private def ranksDir(cfg: Config) = new Path(cfg.storeDir, "ranks")
   private def hwmPath(cfg: Config) =
     new Path(cfg.storeDir, "edges__hwm")
+  private def bucketsPath(cfg: Config) =
+    new Path(cfg.storeDir, "edges__buckets")
+
+  /** The store's effective bucket count: the persisted value if the
+    * store has one, else `cfg.buckets` persisted now (write-once,
+    * BEFORE any data write — a crash in between replays with the same
+    * persisted value). */
+  private def effectiveBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                               cfg: Config): Int = {
+    val stored = Hwm.read(fs, bucketsPath(cfg))
+    if (stored > 0) stored.toInt
+    else {
+      require(cfg.buckets >= 1, s"buckets must be >= 1: ${cfg.buckets}")
+      Hwm.write(fs, bucketsPath(cfg), cfg.buckets.toLong)
+      cfg.buckets
+    }
+  }
 
   private[streaming] def lastBatch(spark: SparkSession,
                                    cfg: Config): Long =
@@ -81,29 +104,36 @@ object StreamingRank {
     graft.sink.Compaction.recover(spark, edgesDir(cfg).toString)
     val fs = edgesDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBuckets = effectiveBuckets(fs, cfg)
     val fresh = batch
       .select(least(col("id_a"), col("id_b")).cast("long").as("a"),
         greatest(col("id_a"), col("id_b")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .withColumn("bucket",
-        pmod(col("a"), lit(cfg.buckets.toLong)).cast("int"))
+        pmod(col("a"), lit(nBuckets.toLong)).cast("int"))
       .localCheckpoint(true)
-    val novel =
-      if (fs.exists(edgesDir(cfg))) {
-        val buckets = fresh.select(col("bucket")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val hist = spark.read.parquet(edgesDir(cfg).toString)
-          .filter(col("bucket").isInCollection(buckets) &&
-            col("batch_id").cast("long") =!= batchId)
-          .select(col("a"), col("b"))
-        fresh.join(hist, Seq("a", "b"), "left_anti")
-      } else fresh
-    novel.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "bucket")
-      .parquet(edgesDir(cfg).toString)
+    // All-self-pair (or all-null) batches write NOTHING — an empty
+    // first write would leave a parquet-less edges directory that
+    // wedges every later read ("unable to infer schema"); the HWM
+    // still advances so the replay skips the no-op batch.
+    if (!fresh.isEmpty) {
+      val novel =
+        if (fs.exists(edgesDir(cfg))) {
+          val buckets = fresh.select(col("bucket")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val hist = spark.read.parquet(edgesDir(cfg).toString)
+            .filter(col("bucket").isInCollection(buckets) &&
+              col("batch_id").cast("long") =!= batchId)
+            .select(col("a"), col("b"))
+          fresh.join(hist, Seq("a", "b"), "left_anti")
+        } else fresh
+      novel.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "bucket")
+        .parquet(edgesDir(cfg).toString)
+    }
     Hwm.write(fs, hwmPath(cfg), batchId)
   }
 

@@ -113,6 +113,43 @@ class StreamingRankSpec extends SparkSpec {
     assert(rankMap(c) === coldRanks(after.toSeq, 5))
   }
 
+  test("an all-self-pair first batch is a committed no-op — the store " +
+      "is not wedged and later batches work") {
+    val c = cfg(Files.createTempDirectory("srank_selfpairs").toString)
+    StreamingRank.ingestBatch(Seq(Pair(7, 7), Pair(8, 8)).toDF(), 0L, c)
+    // HWM advanced (replay skips), but no parquet-less directory exists
+    assert(StreamingRank.lastBatch(spark, c) === 0L)
+    assert(StreamingRank.edges(spark, c).isEmpty)
+    StreamingRank.refreshRanks(spark, c) // no edges: a quiet no-op
+    StreamingRank.ingestBatch(batch0.toDF(), 1L, c)
+    StreamingRank.refreshRanks(spark, c)
+    assert(rankMap(c) ===
+      coldRanks(Seq((1L, 2L), (2L, 3L), (1L, 3L)), 5))
+  }
+
+  test("the bucket layout is a persisted store property: a later " +
+      "ingest with a different cfg.buckets still dedups against " +
+      "history") {
+    val base = Files.createTempDirectory("srank_buckets").toString
+    StreamingRank.ingestBatch(batch0.toDF(), 0L,
+      cfg(base).copy(buckets = 4))
+    // re-deliver (1,2) under a mismatched configured bucket count —
+    // the persisted 4-bucket layout must still prune to the right
+    // history partition and drop the duplicate
+    StreamingRank.ingestBatch(Seq(Pair(2, 1), Pair(4, 5)).toDF(), 1L,
+      cfg(base).copy(buckets = 16))
+    val c = cfg(base)
+    val stored = StreamingRank.edges(spark, c).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(stored.length === stored.distinct.length)
+    assert(stored.toSet ===
+      Set((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)))
+    // every stored bucket respects the persisted modulus
+    val bad = spark.read.parquet(s"${c.storeDir}/edges")
+      .filter(col("bucket") =!= pmod(col("a"), lit(4L)).cast("int"))
+    assert(bad.count() === 0L)
+  }
+
   test("streaming end-to-end over MemoryStream") {
     val base = Files.createTempDirectory("srank_e2e").toString
     val c = cfg(base)
