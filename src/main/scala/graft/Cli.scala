@@ -774,6 +774,26 @@ object Cli {
           println(s"""{"files_before": ${res.filesBefore}, """ +
             s""""files_after": ${res.filesAfter}, "rows": ${res.rows}}""")
 
+        case "expect" =>
+          // Evaluate a JSONL expectations file over a table directory
+          // (one JSON rule per line — see Expectations.parseRules):
+          //   expect --rules <jsonl> --dir <tableDir>
+          //          [--fail-on-violation]
+          val rules = graft.verify.Expectations
+            .parseRules(spark, opts("rules"))
+          val report = graft.verify.Expectations.evaluate(spark,
+            name => graft.Tables.load(spark, opts("dir"), name), rules)
+          val rows = report.collect()
+          rows.foreach { r =>
+            println(s"""{"rule": "${r.getString(0)}", """ +
+              s""""rows": ${r.getLong(4)}, """ +
+              s""""violations": ${r.getLong(5)}, """ +
+              s""""passed": ${r.getBoolean(6)}}""")
+          }
+          if (opts.contains("fail-on-violation") &&
+              rows.exists(!_.getBoolean(6)))
+            sys.exit(1)
+
         case "rank-merge" =>
           // Merge a batch of co-occurrence pairs into the incremental
           // PageRank edge store (exactly-once per --batch-id), then

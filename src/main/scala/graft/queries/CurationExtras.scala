@@ -801,6 +801,29 @@ object CurationExtras {
         .select(col("b_id").as("doc_id"), col("c_id").as("control_id"),
           col("bench_chars"), col("control_chars"), col("char_gap"))
         .orderBy(col("doc_id"))
+    },
+
+    // Declarative expectations suite over the star schema — the
+    // dbt-test-style rule engine ([[graft.verify.Expectations]]): all
+    // single-table rules for a table fold into ONE aggregate pass
+    // (uniqueness rides the same pass as count − countDistinct); the
+    // referential rule is the only join, child-distinct keys anti the
+    // parent. The fixed rule set includes two rules that FAIL on this
+    // data (tax range, restricted event vocabulary) so the violation
+    // counting is exercised, not just the zero path.
+    "q257_expectations" -> { (s, dir) =>
+      import graft.verify.Expectations._
+      evaluate(s, name => t(s, dir, name), Seq(
+        NotNull("orders", "o_custkey"),
+        Unique("orders", Seq("o_orderkey")),
+        AcceptedValues("orders", "o_orderstatus", Seq("O", "F", "P")),
+        InRange("lineitem", "l_discount", 0L, 100000L),
+        InRange("lineitem", "l_tax", 0L, 50000L),
+        RefIntegrity("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        NotNull("documents", "lang"),
+        AcceptedValues("events", "event_type",
+          Seq("click", "view", "purchase")),
+        Unique("customer", Seq("c_custkey"))))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1495,5 +1518,64 @@ object CurationExtras {
              ORDER BY char_gap, c_id) AS rk FROM cand)
          SELECT b_id AS doc_id, c_id AS control_id, bench_chars,
            control_chars, char_gap
-         FROM rk WHERE rk = 1 ORDER BY doc_id""")
+         FROM rk WHERE rk = 1 ORDER BY doc_id""",
+
+    "q257_expectations" -> {
+      def row(id: String, tpe: String, tbl: String, colName: String,
+          nViol: String, from: String): String =
+        s"""SELECT '$id' AS rule_id, '$tpe' AS rule_type,
+             '$tbl' AS table_name, '$colName' AS column_name,
+             COUNT(*) AS n_rows, CAST($nViol AS BIGINT) AS n_violations
+           FROM $from"""
+      val rows = Seq(
+        row("not_null:orders.o_custkey", "not_null", "orders",
+          "o_custkey",
+          "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)",
+          "orders"),
+        row("unique:orders.o_orderkey", "unique", "orders", "o_orderkey",
+          "COUNT(*) - COUNT(DISTINCT o_orderkey)", "orders"),
+        row("accepted_values:orders.o_orderstatus", "accepted_values",
+          "orders", "o_orderstatus",
+          """SUM(CASE WHEN o_orderstatus IS NOT NULL AND
+               CAST(o_orderstatus AS VARCHAR) NOT IN ('O','F','P')
+               THEN 1 ELSE 0 END)""", "orders"),
+        row("in_range:lineitem.l_discount", "in_range", "lineitem",
+          "l_discount",
+          """SUM(CASE WHEN l_discount IS NOT NULL AND
+               (CAST(l_discount AS DECIMAL(18,6)) <
+                  CAST(0.000000 AS DECIMAL(18,6)) OR
+                CAST(l_discount AS DECIMAL(18,6)) >
+                  CAST(0.100000 AS DECIMAL(18,6)))
+               THEN 1 ELSE 0 END)""", "lineitem"),
+        row("in_range:lineitem.l_tax", "in_range", "lineitem", "l_tax",
+          """SUM(CASE WHEN l_tax IS NOT NULL AND
+               (CAST(l_tax AS DECIMAL(18,6)) <
+                  CAST(0.000000 AS DECIMAL(18,6)) OR
+                CAST(l_tax AS DECIMAL(18,6)) >
+                  CAST(0.050000 AS DECIMAL(18,6)))
+               THEN 1 ELSE 0 END)""", "lineitem"),
+        row("ref:lineitem.l_orderkey->orders.o_orderkey",
+          "ref_integrity", "lineitem", "l_orderkey",
+          """(SELECT COUNT(*) FROM
+               (SELECT DISTINCT l_orderkey FROM lineitem
+                WHERE l_orderkey IS NOT NULL) c
+               LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+               ON c.l_orderkey = p.o_orderkey
+             WHERE p.o_orderkey IS NULL)""", "lineitem"),
+        row("not_null:documents.lang", "not_null", "documents", "lang",
+          "SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)", "documents"),
+        row("accepted_values:events.event_type", "accepted_values",
+          "events", "event_type",
+          """SUM(CASE WHEN event_type IS NOT NULL AND
+               CAST(event_type AS VARCHAR)
+                 NOT IN ('click','view','purchase')
+               THEN 1 ELSE 0 END)""", "events"),
+        row("unique:customer.c_custkey", "unique", "customer",
+          "c_custkey", "COUNT(*) - COUNT(DISTINCT c_custkey)",
+          "customer"))
+      s"""SELECT rule_id, rule_type, table_name, column_name, n_rows,
+           n_violations, n_violations = 0 AS passed
+         FROM (${rows.mkString("\nUNION ALL\n")})
+         ORDER BY rule_id"""
+    })
 }

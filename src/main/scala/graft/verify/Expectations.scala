@@ -1,0 +1,159 @@
+package graft.verify
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations over parquet tables — the
+  * generalisation of the reference's staged-data validation rules
+  * (NOT NULL scans, precision-overflow range checks, cast probes —
+  * `backend_table.py:1209-1505`) into a rule engine a pipeline can run
+  * against ANY table: not-null, multi-column uniqueness, accepted
+  * values, numeric range, and referential integrity.
+  *
+  * Scale shape: all single-table rules for one table fold into ONE
+  * aggregate pass — each rule is a conditional sum, and uniqueness is
+  * `count(*) − countDistinct(struct(keys))` riding the same aggregate —
+  * so a table with k rules costs one scan, not k. Referential rules are
+  * the only joins: child-distinct keys (aggregate-scale) left-anti the
+  * parent's key column. Violations are COUNTED, not collected; the
+  * report relation is rule-scale.
+  */
+object Expectations {
+
+  sealed trait Rule {
+    def id: String
+    def table: String
+    def ruleType: String
+    def columnDesc: String
+  }
+  final case class NotNull(table: String, column: String) extends Rule {
+    val id = s"not_null:$table.$column"
+    val ruleType = "not_null"
+    val columnDesc: String = column
+  }
+  final case class Unique(table: String, columns: Seq[String])
+      extends Rule {
+    val id = s"unique:$table.${columns.mkString("+")}"
+    val ruleType = "unique"
+    val columnDesc: String = columns.mkString("+")
+  }
+  final case class AcceptedValues(table: String, column: String,
+      values: Seq[String]) extends Rule {
+    val id = s"accepted_values:$table.$column"
+    val ruleType = "accepted_values"
+    val columnDesc: String = column
+  }
+  /** Inclusive bounds compared in DECIMAL(18,6) fixed-point so the
+    * Spark evaluation and any SQL oracle agree exactly. */
+  final case class InRange(table: String, column: String,
+      loE6: Long, hiE6: Long) extends Rule {
+    val id = s"in_range:$table.$column"
+    val ruleType = "in_range"
+    val columnDesc: String = column
+  }
+  final case class RefIntegrity(table: String, column: String,
+      parentTable: String, parentColumn: String) extends Rule {
+    val id = s"ref:$table.$column->$parentTable.$parentColumn"
+    val ruleType = "ref_integrity"
+    val columnDesc: String = column
+  }
+
+  /** Violation-count column for a single-table rule (NULL counts as a
+    * violation for accepted-values/in-range only when the rule says the
+    * column must also be non-null — here NULLs are NOT violations of
+    * value rules, matching SQL semantics where the predicate is
+    * three-valued; pair with an explicit NotNull rule to forbid them). */
+  private def violationCol(r: Rule): Column = r match {
+    case NotNull(_, c) =>
+      sum(col(c).isNull.cast("long"))
+    case AcceptedValues(_, c, vs) =>
+      sum((col(c).isNotNull &&
+        !col(c).cast("string").isin(vs: _*)).cast("long"))
+    case InRange(_, c, lo, hi) =>
+      val v = col(c).cast("decimal(18,6)")
+      def bound(e6: Long): Column = lit(new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(e6), 6))
+      sum((col(c).isNotNull &&
+        (v < bound(lo) || v > bound(hi))).cast("long"))
+    case Unique(_, cs) =>
+      count(lit(1)) - countDistinct(struct(cs.map(col): _*))
+    case _: RefIntegrity =>
+      throw new IllegalArgumentException("ref rules join, not aggregate")
+  }
+
+  /** Evaluate `rules` over `load(tableName)`. Returns one row per rule:
+    * `(rule_id, rule_type, table_name, column_name, n_rows,
+    * n_violations, passed)`, ordered by rule_id. */
+  def evaluate(spark: SparkSession, load: String => DataFrame,
+      rules: Seq[Rule]): DataFrame = {
+    import spark.implicits._
+    require(rules.nonEmpty)
+    require(rules.map(_.id).distinct.size == rules.size,
+      "duplicate rule ids")
+    val (refRules, aggRules) = rules.partition(_.isInstanceOf[RefIntegrity])
+    // one aggregate pass per table covering all its single-table rules
+    val aggReports = aggRules.groupBy(_.table).toSeq.flatMap {
+      case (table, tableRules) =>
+        val df = load(table)
+        val aggs = count(lit(1)).as("_n_rows") +:
+          tableRules.zipWithIndex.map { case (r, i) =>
+            violationCol(r).as(s"_v$i")
+          }
+        val row = df.agg(aggs.head, aggs.tail: _*).head
+        val n = row.getAs[Long]("_n_rows")
+        tableRules.zipWithIndex.map { case (r, i) =>
+          (r.id, r.ruleType, r.table, r.columnDesc, n,
+            row.getAs[Long](s"_v$i"))
+        }
+    }
+    val refReports = refRules.collect { case r: RefIntegrity =>
+      val child = load(r.table)
+      val n = child.count()
+      // distinct child keys first: the anti-join runs at key scale
+      val orphans = child.select(col(r.column)).na.drop().distinct()
+        .join(load(r.parentTable)
+          .select(col(r.parentColumn).as(r.column)).distinct(),
+          Seq(r.column), "left_anti")
+      // orphan KEYS are the violation unit (each missing key is one
+      // defect regardless of its row multiplicity)
+      (r.id, r.ruleType, r.table, r.columnDesc, n, orphans.count())
+    }
+    (aggReports ++ refReports)
+      .toDF("rule_id", "rule_type", "table_name", "column_name",
+        "n_rows", "n_violations")
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("rule_id"))
+  }
+
+  /** Parse a JSONL rules file (one rule object per line):
+    * `{"type":"not_null","table":"orders","column":"o_custkey"}`
+    * `{"type":"unique","table":"orders","columns":["o_orderkey"]}`
+    * `{"type":"accepted_values","table":"orders","column":"o_orderstatus","values":["O","F"]}`
+    * `{"type":"in_range","table":"lineitem","column":"l_discount","lo_e6":0,"hi_e6":100000}`
+    * `{"type":"ref","table":"lineitem","column":"l_orderkey","parent_table":"orders","parent_column":"o_orderkey"}`
+    */
+  def parseRules(spark: SparkSession, path: String): Seq[Rule] = {
+    val rows = spark.read.json(path).collect()
+    rows.toSeq.map { row =>
+      def str(f: String): String = row.getAs[String](f)
+      def opt(f: String): Option[String] =
+        if (row.schema.fieldNames.contains(f) && !row.isNullAt(
+          row.fieldIndex(f))) Some(row.getAs[String](f)) else None
+      str("type") match {
+        case "not_null" => NotNull(str("table"), str("column"))
+        case "unique" => Unique(str("table"),
+          row.getAs[scala.collection.Seq[String]]("columns").toSeq)
+        case "accepted_values" => AcceptedValues(str("table"),
+          str("column"),
+          row.getAs[scala.collection.Seq[String]]("values").toSeq)
+        case "in_range" => InRange(str("table"), str("column"),
+          row.getAs[Long]("lo_e6"), row.getAs[Long]("hi_e6"))
+        case "ref" => RefIntegrity(str("table"), str("column"),
+          str("parent_table"), str("parent_column"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown rule type: $other${opt("table").fold("")(t => s" (table $t)")}")
+      }
+    }
+  }
+}

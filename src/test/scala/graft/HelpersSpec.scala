@@ -448,6 +448,27 @@ class CliSpec extends SparkSpec {
     assert(cap2.toString("UTF-8").contains("\"compacted\": true"))
   }
 
+  test("expect command reports each rule as a JSON line") {
+    val f = java.nio.file.Files.createTempDirectory("expcli")
+      .resolve("rules.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"type":"unique","table":"orders","columns":["o_orderkey"]}""",
+      """{"type":"in_range","table":"lineitem","column":"l_tax","lo_e6":0,"hi_e6":50000}"""))
+    val cap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap, true, "UTF-8")) {
+      Cli.main(Array("expect", "--rules", f.toString,
+        "--dir", sf("sf0.001")))
+    }
+    val out = cap.toString("UTF-8")
+    assert(out.contains(
+      """"rule": "unique:orders.o_orderkey""""))
+    assert(out.contains(""""passed": true"""))
+    // the tax range rule fails on this data
+    assert(out.linesIterator.exists(l =>
+      l.contains("in_range:lineitem.l_tax") &&
+        l.contains(""""passed": false""")))
+  }
+
   test("rank-merge, rank-refresh and rank-compact maintain the " +
       "PageRank store") {
     val store = java.nio.file.Files.createTempDirectory("rankcli").toString
