@@ -774,6 +774,42 @@ object Cli {
           println(s"""{"files_before": ${res.filesBefore}, """ +
             s""""files_after": ${res.filesAfter}, "rows": ${res.rows}}""")
 
+        case "advise-config" =>
+          // Recommend scale-sensitive session settings for a table from
+          // its file stats (the partition-sizing arithmetic the 100 TB
+          // deployment needs done BEFORE the job, not after the spill):
+          //   advise-config --source <parquet>
+          //                 [--target-partition-mb 128] [--cores 32]
+          //                 [--shuffle-expansion-pct 200]
+          val stats = graft.source.TableStats
+            .forPath(spark, opts("source"))
+          val targetBytes = opts.getOrElse("target-partition-mb", "128")
+            .toLong * 1024 * 1024
+          val cores = opts.getOrElse("cores", "32").toInt
+          // parquet is columnar-compressed; shuffle rows are not —
+          // size the shuffle for the decompressed expansion
+          val expansionPct =
+            opts.getOrElse("shuffle-expansion-pct", "200").toLong
+          val shuffleBytes = stats.bytes * expansionPct / 100
+          val rawParts = (shuffleBytes + targetBytes - 1) / targetBytes
+          val shufflePartitions = math.min(20000L,
+            math.max(cores.toLong, rawParts))
+          val broadcastable =
+            stats.bytes <= 10L * 1024 * 1024 // spark default threshold
+          val avgRow =
+            if (stats.rows > 0) stats.bytes / math.max(stats.rows, 1)
+            else 0L
+          val smallFiles = stats.files > 1 &&
+            stats.bytes / stats.files < targetBytes / 4
+          println(s"""{"rows": ${stats.rows}, """ +
+            s""""bytes": ${stats.bytes}, "files": ${stats.files}, """ +
+            s""""avg_row_bytes": $avgRow, """ +
+            s""""spark.sql.shuffle.partitions": $shufflePartitions, """ +
+            s""""spark.sql.files.maxPartitionBytes": $targetBytes, """ +
+            s""""spark.sql.adaptive.enabled": true, """ +
+            s""""broadcast_candidate": $broadcastable, """ +
+            s""""needs_compaction": $smallFiles}""")
+
         case "expect" =>
           // Evaluate a JSONL expectations file over a table directory
           // (one JSON rule per line — see Expectations.parseRules):

@@ -824,6 +824,49 @@ object CurationExtras {
         AcceptedValues("events", "event_type",
           Seq("click", "view", "purchase")),
         Unique("customer", Seq("c_custkey"))))
+    },
+
+    // Per-source token-distribution drift: EXACT total-variation
+    // distance between each source's token distribution and the whole
+    // corpus, in ppm — the distribution-shift monitor for corpus
+    // mixing (TV, unlike KL/JS, needs no logs, so it stays exact in
+    // integer fixed-point: |c_st·n − c_t·n_s| summed in DECIMAL(38,0)).
+    // Tokens ABSENT from a source contribute (n − Σcovered)·n_s without
+    // materialising the absent (source × token) pairs — the inner join
+    // stays proportional to the observed relation, never |vocab|×|sources|.
+    "q258_source_token_drift" -> { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val tok = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val per = tok.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_st"))
+        .localCheckpoint(false)
+      val glob = per.groupBy(col("tok"))
+        .agg(sum(col("c_st")).as("c_t"))
+      val nTot = glob.agg(sum(col("c_t")).as("n"))
+      val st = per.groupBy(col("source"))
+        .agg(sum(col("c_st")).as("n_s"),
+          count(lit(1)).as("distinct_tokens"))
+      val s1 = per.join(glob, "tok")
+        .join(st.select(col("source"), col("n_s")), "source")
+        .crossJoin(broadcast(nTot))
+        .groupBy(col("source"))
+        .agg(
+          sum(abs(col("c_st").cast("decimal(38,0)") * col("n") -
+            col("c_t").cast("decimal(38,0)") * col("n_s")))
+            .as("sum1"),
+          sum(col("c_t")).as("covered"))
+      s1.join(st, "source")
+        .crossJoin(broadcast(nTot))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          col("distinct_tokens"),
+          expr("""CAST((sum1 + (n - covered) * CAST(n_s AS DECIMAL(38,0)))
+                    * 1000000
+                    div (2 * CAST(n_s AS DECIMAL(38,0))
+                      * CAST(n AS DECIMAL(38,0))) AS BIGINT)""")
+            .as("tv_ppm"))
+        .orderBy(col("source"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1577,5 +1620,34 @@ object CurationExtras {
            n_violations, n_violations = 0 AS passed
          FROM (${rows.mkString("\nUNION ALL\n")})
          ORDER BY rule_id"""
-    })
+    },
+
+    "q258_source_token_drift" ->
+      """WITH tok AS (SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+         FROM documents),
+         per AS (SELECT source, tok, COUNT(*) AS c_st
+           FROM tok GROUP BY 1, 2),
+         gtok AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+           FROM per GROUP BY 1),
+         n AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM gtok),
+         st AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+             COUNT(*) AS distinct_tokens
+           FROM per GROUP BY 1),
+         s1 AS (SELECT p.source,
+             SUM(ABS(CAST(p.c_st AS HUGEINT) * n.n
+               - CAST(g.c_t AS HUGEINT) * st.n_s)) AS sum1,
+             CAST(SUM(g.c_t) AS HUGEINT) AS covered
+           FROM per p
+           JOIN gtok g USING (tok)
+           JOIN st USING (source)
+           CROSS JOIN n
+           GROUP BY 1)
+         SELECT st.source, st.n_s AS n_tokens, st.distinct_tokens,
+           CAST((s1.sum1 + (n.n - s1.covered)
+               * CAST(st.n_s AS HUGEINT)) * 1000000
+             // (2 * CAST(st.n_s AS HUGEINT) * CAST(n.n AS HUGEINT))
+             AS BIGINT) AS tv_ppm
+         FROM s1 JOIN st USING (source) CROSS JOIN n
+         ORDER BY source""")
 }

@@ -448,6 +448,26 @@ class CliSpec extends SparkSpec {
     assert(cap2.toString("UTF-8").contains("\"compacted\": true"))
   }
 
+  test("advise-config sizes the shuffle from file stats and flags " +
+      "broadcast candidates") {
+    def run(args: String*): String = {
+      val cap = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(cap, true, "UTF-8")) {
+        Cli.main(args.toArray)
+      }
+      cap.toString("UTF-8")
+    }
+    val big = run("advise-config", "--source",
+      sf("sf0.001") + "/lineitem.parquet", "--cores", "8")
+    // floor: never fewer shuffle partitions than cores
+    assert(big.contains("\"spark.sql.shuffle.partitions\": 8"))
+    assert(big.contains("\"broadcast_candidate\": true")) // tiny at sf0.001
+    val dim = run("advise-config", "--source",
+      sf("sf0.001") + "/nation.parquet")
+    assert(dim.contains("\"broadcast_candidate\": true"))
+    assert(dim.contains("\"spark.sql.adaptive.enabled\": true"))
+  }
+
   test("expect command reports each rule as a JSON line") {
     val f = java.nio.file.Files.createTempDirectory("expcli")
       .resolve("rules.jsonl")

@@ -329,6 +329,25 @@ class TpchShapesSpec extends SparkSpec {
       graft.Tables.load(spark, dir, "embeddings").count())
   }
 
+  test("q258: TV drift stays in [0, 1e6] ppm and token counts " +
+      "conserve the corpus") {
+    val out = CurationExtras.defs("q258_source_token_drift")(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val tv = r.getAs[Long]("tv_ppm"); tv >= 0L && tv <= 1000000L
+    })
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val corpus = graft.Tables.load(spark, dir, "documents")
+      .select(explode(graft.operators.TextAnalysis
+        .tokens(lower(col("text")))).as("tok"))
+      .count()
+    assert(total === corpus)
+    // distinct per source never exceeds total tokens of that source
+    assert(rows.forall(r =>
+      r.getAs[Long]("distinct_tokens") <= r.getAs[Long]("n_tokens")))
+  }
+
   test("q254: every benchmark doc with an in-stratum control matches " +
       "exactly one, and no control beats the chosen one") {
     val out = CurationExtras.defs("q254_matched_controls")(spark, dir)
