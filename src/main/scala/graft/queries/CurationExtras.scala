@@ -867,6 +867,25 @@ object CurationExtras {
                       * CAST(n AS DECIMAL(38,0))) AS BIGINT)""")
             .as("tv_ppm"))
         .orderBy(col("source"))
+    },
+
+    // Offending-row samples per rule — the reference's staged-data
+    // validation contract (raise WITH the offending rows, not just a
+    // count): deterministic per-rule top-k by key (orderBy-limit —
+    // per-partition top-k, never a global sort), one row naming the
+    // violating value. The discount rule passes so it contributes no
+    // rows; the tax and quantity rules each surface their first five.
+    "q259_violation_rows" -> { (s, dir) =>
+      import graft.verify.Expectations._
+      sampleViolations(
+        t(s, dir, "lineitem"),
+        Seq(
+          InRange("lineitem", "l_tax", 0L, 50000L),
+          InRange("lineitem", "l_quantity", 1000000L, 30000000L),
+          InRange("lineitem", "l_discount", 0L, 100000L)),
+        Seq("l_orderkey", "l_linenumber"), perRule = 5)
+        .orderBy(col("rule_id"), col("l_orderkey"),
+          col("l_linenumber"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1649,5 +1668,26 @@ object CurationExtras {
              // (2 * CAST(st.n_s AS HUGEINT) * CAST(n.n AS HUGEINT))
              AS BIGINT) AS tv_ppm
          FROM s1 JOIN st USING (source) CROSS JOIN n
-         ORDER BY source""")
+         ORDER BY source""",
+
+    "q259_violation_rows" -> {
+      def ruleSel(colName: String, lo: String, hi: String): String =
+        s"""SELECT 'in_range:lineitem.$colName' AS rule_id,
+             l_orderkey, l_linenumber,
+             CAST($colName AS VARCHAR) AS violating_value
+           FROM lineitem
+           WHERE $colName IS NOT NULL AND
+             (CAST($colName AS DECIMAL(18,6)) <
+                CAST($lo AS DECIMAL(18,6)) OR
+              CAST($colName AS DECIMAL(18,6)) >
+                CAST($hi AS DECIMAL(18,6)))
+           ORDER BY l_orderkey, l_linenumber LIMIT 5"""
+      s"""WITH v1 AS (${ruleSel("l_tax", "0.000000", "0.050000")}),
+         v2 AS (${ruleSel("l_quantity", "1.000000", "30.000000")}),
+         v3 AS (${ruleSel("l_discount", "0.000000", "0.100000")})
+         SELECT * FROM (SELECT * FROM v1
+           UNION ALL SELECT * FROM v2
+           UNION ALL SELECT * FROM v3)
+         ORDER BY rule_id, l_orderkey, l_linenumber"""
+    })
 }

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.verify.Expectations
+
+/** Continuous data-quality monitoring: the [[Expectations]] rule suite
+  * evaluated per micro-batch, with the per-batch report persisted
+  * EXACTLY-ONCE (batch_id-scoped dynamic overwrite + [[Hwm]] sidecar —
+  * the [[StreamingDedup]] scheme), so violation counts over time are
+  * replay-proof: a crashed batch rewrites its own report partition, a
+  * committed one skips.
+  *
+  * Each batch costs ONE aggregate pass over the batch (all rules fold
+  * into conditional sums, the [[Expectations.evaluate]] contract);
+  * the persisted relation is rule-scale per batch, so the store grows
+  * with batches, not rows. [[totals]] serves the accumulated per-rule
+  * counts; [[history]] the per-batch trend (the data-quality dashboard
+  * relation).
+  *
+  * Rules must be single-table (the stream IS the table); referential
+  * rules need a static parent and belong in the batch engine.
+  */
+object StreamingExpectations {
+
+  final case class Config(
+      storeDir: String,
+      checkpointDir: String,
+      rules: Seq[Expectations.Rule]) {
+    require(rules.nonEmpty, "at least one rule")
+    require(!rules.exists(_.isInstanceOf[Expectations.RefIntegrity]),
+      "referential rules need a static parent; use the batch engine")
+  }
+
+  private def reportsDir(cfg: Config) = new Path(cfg.storeDir, "reports")
+  private def hwmPath(cfg: Config) =
+    new Path(cfg.storeDir, "reports__hwm")
+
+  private[streaming] def lastBatch(spark: SparkSession,
+                                   cfg: Config): Long =
+    Hwm.read(hwmPath(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      hwmPath(cfg))
+
+  def start(rows: DataFrame, cfg: Config): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, cfg)
+      }
+      .start()
+
+  /** One micro-batch: evaluate every rule over the batch, persist the
+    * rule-scale report under its batch_id. Exactly-once. */
+  def processBatch(batch: DataFrame, batchId: Long,
+                   cfg: Config): Unit = {
+    val spark = batch.sparkSession
+    if (batchId <= lastBatch(spark, cfg)) return
+    val fs = reportsDir(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val report = Expectations
+      .evaluate(spark, _ => batch, cfg.rules)
+      .withColumn("batch_id", lit(batchId))
+    report.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(reportsDir(cfg).toString)
+    Hwm.write(fs, hwmPath(cfg), batchId)
+  }
+
+  /** Per-batch trend, committed batches only:
+    * `(batch_id, rule_id, n_rows, n_violations, passed)`. */
+  def history(spark: SparkSession, cfg: Config): DataFrame = {
+    val fs = reportsDir(cfg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(reportsDir(cfg)))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("batch_id"), lit("").as("rule_id"),
+          lit(0L).as("n_rows"), lit(0L).as("n_violations"),
+          lit(false).as("passed")).limit(0)
+    spark.read.parquet(reportsDir(cfg).toString)
+      .filter(col("batch_id").cast("long") <= lastBatch(spark, cfg))
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("rule_id"), col("n_rows"), col("n_violations"),
+        col("passed"))
+  }
+
+  /** Accumulated per-rule counts across all committed batches. */
+  def totals(spark: SparkSession, cfg: Config): DataFrame =
+    history(spark, cfg)
+      .groupBy(col("rule_id"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_violations")).as("n_violations"),
+        count(lit(1)).as("n_batches"))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("rule_id"))
+}

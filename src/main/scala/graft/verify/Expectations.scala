@@ -81,6 +81,42 @@ object Expectations {
       throw new IllegalArgumentException("ref rules join, not aggregate")
   }
 
+  /** Row-level violation predicate for a single-table rule — true on
+    * rows the rule rejects (the reference's staged-data validation
+    * returns OFFENDING ROWS, not just counts:
+    * `backend_table.py:1209-1505` raises with them). Uniqueness and
+    * referential rules are set-level, not row-level. */
+  def violationPredicate(r: Rule): Column = r match {
+    case NotNull(_, c) => col(c).isNull
+    case AcceptedValues(_, c, vs) =>
+      col(c).isNotNull && !col(c).cast("string").isin(vs: _*)
+    case InRange(_, c, lo, hi) =>
+      val v = col(c).cast("decimal(18,6)")
+      def bound(e6: Long): Column = lit(new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(e6), 6))
+      col(c).isNotNull && (v < bound(lo) || v > bound(hi))
+    case other => throw new IllegalArgumentException(
+      s"${other.ruleType} is set-level; it has no per-row predicate")
+  }
+
+  /** Sample offending rows, `perRule` per rule, deterministically
+    * ordered by `keyCols` — each per-rule sample is an
+    * orderBy-limit (per-partition top-k + driver merge), never a
+    * global sort of the violations. Output:
+    * `(rule_id, keyCols…, violating_value)`. */
+  def sampleViolations(df: DataFrame, rules: Seq[Rule],
+      keyCols: Seq[String], perRule: Int): DataFrame = {
+    require(rules.nonEmpty && perRule >= 1)
+    rules.map { r =>
+      df.filter(violationPredicate(r))
+        .select((lit(r.id).as("rule_id") +:
+          keyCols.map(col)) :+
+          col(r.columnDesc).cast("string").as("violating_value"): _*)
+        .orderBy(keyCols.map(col): _*)
+        .limit(perRule)
+    }.reduce(_ unionByName _)
+  }
+
   /** Evaluate `rules` over `load(tableName)`. Returns one row per rule:
     * `(rule_id, rule_type, table_name, column_name, n_rows,
     * n_violations, passed)`, ordered by rule_id. */

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.verify.Expectations._
+
+final case class Reading(k: Option[Long], v: String, x: Double)
+
+class StreamingExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rules = Seq(
+    NotNull("stream", "k"),
+    AcceptedValues("stream", "v", Seq("a", "b")),
+    InRange("stream", "x", 0L, 100000L))
+
+  private def cfg(base: String) = StreamingExpectations.Config(
+    storeDir = s"$base/store", checkpointDir = s"$base/ckpt",
+    rules = rules)
+
+  private val batch0 = Seq(
+    Reading(Some(1L), "a", 0.05),
+    Reading(None, "a", 0.05),      // null key
+    Reading(Some(2L), "zz", 0.2))  // bad value + out of range
+  private val batch1 = Seq(
+    Reading(Some(3L), "b", 0.01))  // clean
+
+  test("per-batch reports accumulate; totals aggregate committed " +
+      "batches only") {
+    val c = cfg(Files.createTempDirectory("sexp").toString)
+    StreamingExpectations.processBatch(batch0.toDF(), 0L, c)
+    StreamingExpectations.processBatch(batch1.toDF(), 1L, c)
+    val hist = StreamingExpectations.history(spark, c).collect()
+    assert(hist.length === 6) // 3 rules × 2 batches
+    val tot = StreamingExpectations.totals(spark, c).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations")))
+      .toMap
+    assert(tot("not_null:stream.k") === ((4L, 1L)))
+    assert(tot("accepted_values:stream.v") === ((4L, 1L)))
+    assert(tot("in_range:stream.x") === ((4L, 1L)))
+  }
+
+  test("committed replay skips; a mid-crash batch rewrites its own " +
+      "report partition — counts never double") {
+    val c = cfg(Files.createTempDirectory("sexp_replay").toString)
+    StreamingExpectations.processBatch(batch0.toDF(), 0L, c)
+    StreamingExpectations.processBatch(batch1.toDF(), 1L, c)
+    def viol(): Long = StreamingExpectations.totals(spark, c)
+      .agg(sum(col("n_violations"))).head.getLong(0)
+    val v0 = viol()
+    StreamingExpectations.processBatch(batch1.toDF(), 1L, c) // committed
+    assert(viol() === v0)
+    // crash window: report landed, HWM didn't
+    val hwmP = new org.apache.hadoop.fs.Path(
+      s"${c.storeDir}/reports__hwm")
+    val fs = hwmP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hwm.write(fs, hwmP, 0L)
+    StreamingExpectations.processBatch(batch1.toDF(), 1L, c)
+    assert(viol() === v0, "replay doubled the violation counts")
+  }
+
+  test("streaming end-to-end over MemoryStream") {
+    val base = Files.createTempDirectory("sexp_e2e").toString
+    val c = cfg(base)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Reading]
+    mem.addData(batch0: _*)
+    val q = StreamingExpectations.start(mem.toDF(), c)
+    q.awaitTermination(60000)
+    val tot = StreamingExpectations.totals(spark, c).collect()
+    assert(tot.length === 3)
+    assert(tot.forall(_.getAs[Long]("n_rows") === 3L))
+    assert(tot.count(!_.getAs[Boolean]("passed")) === 3)
+  }
+
+  test("referential rules are rejected at construction") {
+    intercept[IllegalArgumentException] {
+      StreamingExpectations.Config("x", "y",
+        Seq(RefIntegrity("c", "fk", "p", "pk")))
+    }
+    ()
+  }
+}

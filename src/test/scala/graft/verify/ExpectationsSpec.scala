@@ -77,6 +77,26 @@ class ExpectationsSpec extends SparkSpec {
       RefIntegrity("t", "k", "p", "pk")))
   }
 
+  test("sampleViolations: every sampled row actually violates its " +
+      "rule, capped per rule, deterministic") {
+    val out = graft.queries.CurationExtras
+      .defs("q259_violation_rows")(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    val byRule = out.groupBy(_.getString(0))
+    assert(byRule.forall(_._2.length <= 5))
+    // the passing discount rule contributes nothing
+    assert(!byRule.contains("in_range:lineitem.l_discount"))
+    // each tax sample's value really exceeds the bound
+    byRule.get("in_range:lineitem.l_tax").foreach(_.foreach { r =>
+      assert(BigDecimal(r.getAs[String]("violating_value")) >
+        BigDecimal("0.05"))
+    })
+    // deterministic: a second run returns identical rows
+    val again = graft.queries.CurationExtras
+      .defs("q259_violation_rows")(spark, sf("sf0.001")).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("q257 suite: the tax and event-vocabulary rules fail on this " +
       "data, everything else passes") {
     val out = graft.queries.CurationExtras
