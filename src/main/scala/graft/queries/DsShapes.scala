@@ -363,6 +363,65 @@ object DsShapes {
         .filter(col("rev94_e4") > 0)
         .withColumn("yoy_ppm", expr("rev95_e4 * 1000000 div rev94_e4"))
         .orderBy(col("channel"), col("dow"))
+    },
+
+    // Worst return ratios per channel (TPC-DS Q49 shape): per
+    // (channel, part) the return share of revenue in exact ppm, ranked
+    // within each channel, top 5 each. ONE fact pass builds the
+    // aggregate; the window ranks the bounded (channel × part)
+    // relation, partitioned by channel.
+    "q260_return_ratio_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val zero = lit(0).cast("decimal(38,0)")
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(channelCol.as("channel"), col("l_partkey"),
+          revE4.as("rev_e4"),
+          (col("l_returnflag") === "R").as("is_return"))
+        .groupBy(col("channel"), col("l_partkey"))
+        .agg(sum(col("rev_e4")).cast("long").as("sales_e4"),
+          sum(when(col("is_return"), col("rev_e4")).otherwise(zero))
+            .cast("long").as("returns_e4"))
+        .filter(col("sales_e4") > 0 && col("returns_e4") > 0)
+        .withColumn("return_ppm",
+          expr("returns_e4 * 1000000 div sales_e4"))
+      val w = Window.partitionBy(col("channel"))
+        .orderBy(col("return_ppm").desc, col("l_partkey"))
+      per.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("channel"), col("l_partkey"), col("sales_e4"),
+          col("returns_e4"), col("return_ppm"), col("rk"))
+        .orderBy(col("channel"), col("rk"))
+    },
+
+    // Hot-part suppliers (TPC-DS Q20 flavor, no partsupp in this
+    // schema): a part is HOT when its 1997 shipped quantity exceeds
+    // 25% of its all-time quantity (the uniform share is ~14%, so this
+    // is the upper tail at every SF); suppliers ranked by how many hot
+    // parts they ship. Both the yearly and all-time sums ride ONE
+    // conditional-aggregate pass; the supplier count joins only the
+    // hot-part aggregate.
+    "q261_hot_part_suppliers" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("ship_yr"),
+          (col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)").as("qty_e2"))
+        .localCheckpoint(false)
+      val zero = lit(0).cast("decimal(38,0)")
+      val hot = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty_e2")).cast("long").as("q_all"),
+          sum(when(col("ship_yr") === 1997, col("qty_e2"))
+            .otherwise(zero)).cast("long").as("q_1997"))
+        .filter(col("q_1997") * 4 > col("q_all"))
+        .select(col("l_partkey"))
+      li.join(hot, "l_partkey")
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_hot_parts"),
+          sum(col("qty_e2")).cast("long").as("hot_qty_e2"))
+        .orderBy(col("n_hot_parts").desc, col("l_suppkey"))
+        .limit(20)
     })
 
   val oracles: Map[String, String] = Map(
@@ -549,5 +608,41 @@ object DsShapes {
            FROM f GROUP BY 1, 2)
          SELECT channel, dow, rev94_e4, rev95_e4,
            (rev95_e4 * 1000000) // rev94_e4 AS yoy_ppm
-         FROM m WHERE rev94_e4 > 0 ORDER BY channel, dow""")
+         FROM m WHERE rev94_e4 > 0 ORDER BY channel, dow""",
+
+    "q260_return_ratio_rank" ->
+      s"""WITH f AS (SELECT $ChannelSql AS channel, l_partkey,
+           $RevE4Sql AS rev_e4, l_returnflag = 'R' AS is_return
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         per AS (SELECT channel, l_partkey,
+             CAST(SUM(rev_e4) AS BIGINT) AS sales_e4,
+             CAST(SUM(CASE WHEN is_return THEN rev_e4 ELSE 0 END)
+               AS BIGINT) AS returns_e4
+           FROM f GROUP BY 1, 2),
+         r AS (SELECT *, (returns_e4 * 1000000) // sales_e4
+               AS return_ppm
+           FROM per WHERE sales_e4 > 0 AND returns_e4 > 0),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY channel
+             ORDER BY return_ppm DESC, l_partkey) AS rk FROM r)
+         SELECT channel, l_partkey, sales_e4, returns_e4,
+           CAST(return_ppm AS BIGINT) AS return_ppm,
+           CAST(rk AS INT) AS rk
+         FROM rk WHERE rk <= 5 ORDER BY channel, rk""",
+
+    "q261_hot_part_suppliers" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey,
+           year(l_shipdate) AS ship_yr,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT)
+             AS qty_e2
+         FROM lineitem),
+         hot AS (SELECT l_partkey,
+             CAST(SUM(qty_e2) AS BIGINT) AS q_all,
+             CAST(SUM(CASE WHEN ship_yr = 1997 THEN qty_e2 ELSE 0 END)
+               AS BIGINT) AS q_1997
+           FROM li GROUP BY 1
+           HAVING q_1997 * 4 > q_all)
+         SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_hot_parts,
+           CAST(SUM(qty_e2) AS BIGINT) AS hot_qty_e2
+         FROM li JOIN hot USING (l_partkey)
+         GROUP BY 1 ORDER BY n_hot_parts DESC, l_suppkey LIMIT 20""")
 }

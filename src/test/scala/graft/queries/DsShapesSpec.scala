@@ -217,4 +217,49 @@ class DsShapesSpec extends SparkSpec {
     val t95 = out.agg(sum(col("rev95_e4"))).head.getLong(0)
     assert(t94 > 0 && t95 > 0)
   }
+
+  test("q260: return share never exceeds 1e6 ppm, ranks are 1..5 per " +
+      "channel and descend by ratio") {
+    val out = DsShapes.defs2("q260_return_ratio_rank")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val ppm = r.getAs[Long]("return_ppm")
+      ppm > 0 && ppm <= 1000000L &&
+        r.getAs[Long]("returns_e4") <= r.getAs[Long]("sales_e4")
+    })
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq ===
+        (1 to byRank.length))
+      val ppms = byRank.map(_.getAs[Long]("return_ppm"))
+      assert(ppms.sameElements(ppms.sortBy(-(_: Long))))
+    }
+  }
+
+  test("q261: the top supplier's hot-part count matches a direct " +
+      "recount of the threshold set") {
+    val out = DsShapes.defs2("q261_hot_part_suppliers")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    val counts = out.map(_.getAs[Long]("n_hot_parts"))
+    assert(counts.sameElements(counts.sortBy(-(_: Long))))
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("yr"),
+        (col("l_quantity").cast("decimal(12,2)") * 100)
+          .cast("decimal(38,0)").as("q"))
+    val hot = li.groupBy(col("l_partkey"))
+      .agg(sum(col("q")).cast("long").as("qa"),
+        sum(when(col("yr") === 1997, col("q"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("long").as("q97"))
+      .filter(col("q97") * 4 > col("qa"))
+    val top = out.head
+    val recount = li
+      .filter(col("l_suppkey") === top.getAs[Long]("l_suppkey"))
+      .join(hot.select(col("l_partkey")), "l_partkey")
+      .select(col("l_partkey")).distinct().count()
+    assert(recount === top.getAs[Long]("n_hot_parts"))
+  }
 }
