@@ -151,7 +151,11 @@ object Listener {
 
   def start(spark: SparkSession, metadataDir: String, port: Int = 0,
             token: Option[String] = None,
-            heartbeatSeconds: Int = 5): Server = {
+            heartbeatSeconds: Int = 5,
+            // a StreamingExpectations store to serve under /api/quality
+            // (constructor-configured — clients never name filesystem
+            // paths over HTTP)
+            qualityDir: Option[String] = None): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // the default executor is the single dispatcher thread — an open SSE
     // stream would starve every other route; hand requests to a pool
@@ -268,6 +272,45 @@ object Listener {
             s"""{"schema_name": ${q(schema)}, "table_count": ${ts.length}}"""
           }
         respond(ex, 200, bySchema.mkString("[", ", ", "]"))
+      },
+
+      route("GET", "/api/quality/totals",
+        "accumulated data-quality rule counts") { (ex, _) =>
+        qualityDir match {
+          case None =>
+            respond(ex, 404, """{"detail": "no quality store configured"}""")
+          case Some(dir) =>
+            val rows = graft.streaming.StreamingExpectations
+              .readTotals(spark, dir).collect()
+              .map { r =>
+                s"""{"rule_id": ${q(r.getString(0))}, """ +
+                s""""n_rows": ${r.getLong(1)}, """ +
+                s""""n_violations": ${r.getLong(2)}, """ +
+                s""""n_batches": ${r.getLong(3)}, """ +
+                s""""passed": ${r.getBoolean(4)}}"""
+              }
+            respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
+      },
+
+      route("GET", "/api/quality/history",
+        "per-batch data-quality trend") { (ex, _) =>
+        qualityDir match {
+          case None =>
+            respond(ex, 404, """{"detail": "no quality store configured"}""")
+          case Some(dir) =>
+            val rows = graft.streaming.StreamingExpectations
+              .readHistory(spark, dir)
+              .orderBy("batch_id", "rule_id").collect()
+              .map { r =>
+                s"""{"batch_id": ${r.getLong(0)}, """ +
+                s""""rule_id": ${q(r.getString(1))}, """ +
+                s""""n_rows": ${r.getLong(2)}, """ +
+                s""""n_violations": ${r.getLong(3)}, """ +
+                s""""passed": ${r.getBoolean(4)}}"""
+              }
+            respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
       },
 
       route("GET", "/api/system/schemas/{table}/columns",

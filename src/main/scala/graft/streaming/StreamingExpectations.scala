@@ -73,29 +73,39 @@ object StreamingExpectations {
   }
 
   /** Per-batch trend, committed batches only:
-    * `(batch_id, rule_id, n_rows, n_violations, passed)`. */
-  def history(spark: SparkSession, cfg: Config): DataFrame = {
-    val fs = reportsDir(cfg)
+    * `(batch_id, rule_id, n_rows, n_violations, passed)`. Reading needs
+    * no rule set — the store is self-describing — so ops surfaces (the
+    * listener's /api/quality) read with just the path. */
+  def readHistory(spark: SparkSession, storeDir: String): DataFrame = {
+    val reports = new Path(storeDir, "reports")
+    val hwm = new Path(storeDir, "reports__hwm")
+    val fs = reports
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(reportsDir(cfg)))
+    if (!fs.exists(reports))
       return spark.emptyDataFrame
         .select(lit(0L).as("batch_id"), lit("").as("rule_id"),
           lit(0L).as("n_rows"), lit(0L).as("n_violations"),
           lit(false).as("passed")).limit(0)
-    spark.read.parquet(reportsDir(cfg).toString)
-      .filter(col("batch_id").cast("long") <= lastBatch(spark, cfg))
+    spark.read.parquet(reports.toString)
+      .filter(col("batch_id").cast("long") <= Hwm.read(fs, hwm))
       .select(col("batch_id").cast("long").as("batch_id"),
         col("rule_id"), col("n_rows"), col("n_violations"),
         col("passed"))
   }
 
+  def history(spark: SparkSession, cfg: Config): DataFrame =
+    readHistory(spark, cfg.storeDir)
+
   /** Accumulated per-rule counts across all committed batches. */
-  def totals(spark: SparkSession, cfg: Config): DataFrame =
-    history(spark, cfg)
+  def readTotals(spark: SparkSession, storeDir: String): DataFrame =
+    readHistory(spark, storeDir)
       .groupBy(col("rule_id"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("n_violations")).as("n_violations"),
         count(lit(1)).as("n_batches"))
       .withColumn("passed", col("n_violations") === 0L)
       .orderBy(col("rule_id"))
+
+  def totals(spark: SparkSession, cfg: Config): DataFrame =
+    readTotals(spark, cfg.storeDir)
 }

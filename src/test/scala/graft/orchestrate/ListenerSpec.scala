@@ -354,4 +354,44 @@ class ListenerSpec extends SparkSpec {
         .contains("\"metadata_backend\": \"jdbc_repo\""))
     } finally srv.stop()
   }
+
+  test("quality routes serve the streaming expectations store; 404 " +
+      "when unconfigured") {
+    import graft.verify.Expectations._
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_listener_q").toString
+    val qc = graft.streaming.StreamingExpectations.Config(
+      storeDir = s"$base/quality", checkpointDir = s"$base/ckpt",
+      rules = Seq(NotNull("stream", "k")))
+    graft.streaming.StreamingExpectations.processBatch(
+      Seq(Some(1L), None, Some(2L)).toDF("k"), 0L, qc)
+    graft.streaming.StreamingExpectations.processBatch(
+      Seq(Some(3L)).toDF("k"), 1L, qc)
+
+    val srv = Listener.start(spark, s"$base/meta",
+      qualityDir = Some(s"$base/quality"))
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val tot = get(s"$root/api/quality/totals/")
+      assert(tot.statusCode() == 200)
+      assert(tot.body().contains("\"rule_id\": \"not_null:stream.k\""))
+      assert(tot.body().contains("\"n_rows\": 4"))
+      assert(tot.body().contains("\"n_violations\": 1"))
+      assert(tot.body().contains("\"n_batches\": 2"))
+      val hist = get(s"$root/api/quality/history/")
+      assert(hist.statusCode() == 200)
+      assert(hist.body().contains("\"batch_id\": 0") &&
+        hist.body().contains("\"batch_id\": 1"))
+      // the docs inventory includes the new routes (route-table driven)
+      val docs = get(s"$root/api/docs/")
+      assert(docs.body().contains("/api/quality/totals") &&
+        docs.body().contains("/api/quality/history"))
+    } finally srv.stop()
+
+    val bare = Listener.start(spark, s"$base/meta")
+    try {
+      assert(get(s"http://127.0.0.1:${bare.port}/api/quality/totals/")
+        .statusCode() == 404)
+    } finally bare.stop()
+  }
 }
