@@ -684,6 +684,69 @@ object AnalyticsExtras {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
+    },
+
+    // Trailing 7-DAY revenue per channel via a RANGE window — the
+    // value-based frame the ROWS windows elsewhere cannot express: on
+    // a sparse daily series a missing day still ages out of the frame
+    // (rowsBetween(-6,0) would silently cover more than a week). The
+    // window runs per channel over the bounded (channel × day)
+    // aggregate; n_days_7 exposes the actual frame width so the
+    // sparse-vs-dense distinction is oracle-checked.
+    "q262_trailing_range_window" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(
+          when(pmod(col("o_orderkey"), lit(3)) === 0, "store")
+            .when(pmod(col("o_orderkey"), lit(3)) === 1, "web")
+            .otherwise("catalog").as("channel"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)")).cast("long").as("d_e2"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("day_ord",
+          datediff(col("day"), lit("1992-01-01").cast("date")))
+      val w = Window.partitionBy(col("channel"))
+        .orderBy(col("day_ord")).rangeBetween(-6, 0)
+      daily
+        .select(col("channel"), col("day"), col("d_e2"),
+          col("n_orders"),
+          sum(col("d_e2")).over(w).as("trailing7_e2"),
+          count(lit(1)).over(w).as("n_days_7"))
+        .orderBy(col("channel"), col("day"))
+    },
+
+    // Distinctive keywords per sampled doc: full-vocabulary tf × the
+    // integer idf (bit-length of n_docs div df — exact, no logs), top 3
+    // per doc. Document frequencies come from the WHOLE corpus (one
+    // distinct + aggregate); the per-doc tf is computed only for the
+    // deterministic doc_id%50 sample, so the scored relation is
+    // sample-scale. No broadcast hint on the vocab join — at 100 TB the
+    // term relation outgrows a broadcast; AQE picks the strategy.
+    "q263_doc_keywords" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      val dfreq = toks.distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tf = toks.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val corpus = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf_bits",
+          length(bin(expr("n_docs div df"))).cast("long"))
+        .withColumn("score", col("tf") * col("idf_bits"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+          col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -1144,5 +1207,41 @@ object AnalyticsExtras {
            COUNT(*) AS n_events,
            COUNT(DISTINCT e.user_id) AS n_users
          FROM events e JOIN dim USING (event_type)
-         GROUP BY 1, 2 ORDER BY e.event_type""")
+         GROUP BY 1, 2 ORDER BY e.event_type""",
+
+    "q262_trailing_range_window" ->
+      """WITH daily AS (SELECT
+           CASE o_orderkey % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'
+             ELSE 'catalog' END AS channel,
+           CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+             AS BIGINT) AS d_e2,
+           COUNT(*) AS n_orders
+         FROM orders GROUP BY 1, 2)
+         SELECT channel, day, d_e2, n_orders,
+           CAST(SUM(d_e2) OVER w AS BIGINT) AS trailing7_e2,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7
+         FROM daily
+         WINDOW w AS (PARTITION BY channel
+           ORDER BY date_diff('day', DATE '1992-01-01', day)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY channel, day""",
+
+    "q263_doc_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         FROM documents),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM
+           (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE doc_id % 50 = 0 GROUP BY 1, 2),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+             t.tf * length(bin(n.n_docs // d.df)) AS score
+           FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS rk FROM scored)
+         SELECT doc_id, CAST(rk AS INT) AS rk, term, tf,
+           CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""")
 }

@@ -261,4 +261,44 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(checked.filter(col("n_label").isNotNull &&
       col("n_label") === col("q_label")).count() === 0L)
   }
+
+  test("q262: the RANGE frame really is value-based — each trailing " +
+      "sum equals a direct [day-6, day] recount") {
+    val out = AnalyticsExtras
+      .defs("q262_trailing_range_window")(spark, dir)
+    assert(out.filter(col("n_days_7") > 7).count() === 0L)
+    assert(out.filter(col("trailing7_e2") < col("d_e2")).count() === 0L)
+    // exact recount via a bounded self-join on the daily aggregate
+    val daily = out.select(col("channel").as("c2"), col("day").as("d2"),
+      col("d_e2").as("v2"))
+    val recount = out
+      .join(daily,
+        col("channel") === col("c2") &&
+          col("d2").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("channel"), col("day"), col("trailing7_e2"),
+        col("n_days_7"))
+      .agg(sum(col("v2")).as("chk"), count(lit(1)).as("chk_n"))
+    assert(recount.filter(col("trailing7_e2") =!= col("chk") ||
+      col("n_days_7") =!= col("chk_n")).count() === 0L)
+  }
+
+  test("q263: three keywords per sampled doc, scores recompute from " +
+      "tf and the integer idf") {
+    val out = AnalyticsExtras.defs("q263_doc_keywords")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("doc_id") % 50 === 0L))
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    out.foreach { r =>
+      val idfBits = java.lang.Long
+        .toBinaryString(nDocs / r.getAs[Long]("df")).length
+      assert(r.getAs[Long]("score") ===
+        r.getAs[Long]("tf") * idfBits)
+    }
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(
+        1 to rs.length))
+    }
+  }
 }
