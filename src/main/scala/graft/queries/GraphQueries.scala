@@ -86,6 +86,32 @@ object GraphQueries {
         .orderBy(col("p_brand"))
     },
 
+    // Centrality of the near-duplicate graph: PageRank over the LSH
+    // candidate pairs — hub documents are the TEMPLATES (every variant
+    // near-duplicates them), distinguishing them from chain-like
+    // false-positive paths the same way q199's clustering coefficient
+    // does, but with a global propagated measure. Edges come from the
+    // banded minhash join (q28's relation), so the graph build is the
+    // bucketed dedup path — never all-pairs.
+    "q264_dedup_centrality" -> { (s, dir) =>
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs, PipelineQueries.NumHashes),
+          PipelineQueries.NumHashes, PipelineQueries.Bands)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+        .distinct()
+        .localCheckpoint(false)
+      val edges = pairs
+        .select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"),
+          col("a").as("dst")))
+      Graph.pageRank(edges, iterations = 5)
+        .select(col("node").as("doc_id"), col("rank_e6"))
+        .orderBy(col("rank_e6").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Related parts by personalized PageRank: random-walk-with-restart
     // from the alphabetically-first brand's parts as the seed set; the
     // top non-seed parts by propagated relevance are the cross-brand
@@ -184,6 +210,27 @@ object GraphQueries {
              AS BIGINT) AS contrib_e6
          FROM db LEFT JOIN intra USING (p_brand) CROSS JOIN m
          ORDER BY p_brand""",
+
+    "q264_dedup_centrality" ->
+      s"""WITH ${PipelineQueries.shingleCte},
+         ${PipelineQueries.minhashSigSql}, ${PipelineQueries.bandSql},
+         pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y USING (band, band_key)
+           WHERE x.doc_id < y.doc_id),
+         sym AS (SELECT a AS src, b AS dst FROM pairs
+           UNION ALL SELECT b, a FROM pairs),
+         deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY 1),
+         edges AS (SELECT s.src, s.dst, d.outdeg
+           FROM sym s JOIN deg d ON s.src = d.src),
+         nodes AS (SELECT src AS node FROM deg),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         ${stepSql("r0", "r1")},
+         ${stepSql("r1", "r2")},
+         ${stepSql("r2", "r3")},
+         ${stepSql("r3", "r4")},
+         ${stepSql("r4", "r5")}
+         SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_e6
+         FROM r5 ORDER BY rank_e6 DESC, doc_id LIMIT 20""",
 
     "q256_related_parts" ->
       s"""WITH $GraphCtes,

@@ -150,6 +150,40 @@ class StreamingRankSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("continuous centrality: StreamingDedup's pair stream feeds " +
+      "StreamingRank — ranks equal batch PageRank of the accumulated " +
+      "candidate graph") {
+    val base = Files.createTempDirectory("srank_dedup").toString
+    val dc = StreamingDedup.Config(indexPath = s"$base/index",
+      pairsPath = s"$base/pairs", checkpointDir = s"$base/dckpt")
+    StreamingDedup.processBatch(Seq(
+      Doc(1, "the quick brown fox jumps over the lazy dog"),
+      Doc(2, "the quick brown fox jumps over the lazy dog"),
+      Doc(3, "completely different text with no overlap at all")).toDF(),
+      0L, dc)
+    StreamingDedup.processBatch(Seq(
+      Doc(4, "the quick brown fox jumps over the lazy dog")).toDF(),
+      1L, dc)
+    val c = cfg(s"$base/rank")
+    // drive the rank store from the persisted pair stream, batch by batch
+    Seq(0L, 1L).foreach { b =>
+      StreamingRank.ingestBatch(
+        spark.read.parquet(dc.pairsPath)
+          .filter(col("batch_id").cast("long") === b)
+          .select(col("id_a"), col("id_b")), b, c)
+    }
+    StreamingRank.refreshRanks(spark, c)
+    val pairs = spark.read.parquet(dc.pairsPath)
+      .select(col("id_a"), col("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rankMap(c) === coldRanks(pairs, 5))
+    // the dup triangle (1,2,4) outranks the isolated doc 3 — which
+    // never entered the graph at all
+    val ranks = rankMap(c)
+    assert(!ranks.contains(3L))
+    assert(Seq(1L, 2L, 4L).forall(ranks.contains))
+  }
+
   test("streaming end-to-end over MemoryStream") {
     val base = Files.createTempDirectory("srank_e2e").toString
     val c = cfg(base)
