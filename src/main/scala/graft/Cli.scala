@@ -225,9 +225,12 @@ object Cli {
           println("all checks passed")
 
         case "listen" =>
+          // listen --meta <dir> [--port N] [--token T]
+          //        [--quality-dir <StreamingExpectations store>]
           val srv = graft.orchestrate.Listener.start(spark, opts("meta"),
             port = opts.get("port").map(_.toInt).getOrElse(0),
-            token = opts.get("token"))
+            token = opts.get("token"),
+            qualityDir = opts.get("quality-dir"))
           println(s"listening on http://127.0.0.1:${srv.port}")
           // foreground server: block until interrupted
           Thread.currentThread().join()
@@ -797,8 +800,7 @@ object Cli {
           val broadcastable =
             stats.bytes <= 10L * 1024 * 1024 // spark default threshold
           val avgRow =
-            if (stats.rows > 0) stats.bytes / math.max(stats.rows, 1)
-            else 0L
+            if (stats.rows > 0) stats.bytes / stats.rows else 0L
           val smallFiles = stats.files > 1 &&
             stats.bytes / stats.files < targetBytes / 4
           println(s"""{"rows": ${stats.rows}, """ +
@@ -820,8 +822,13 @@ object Cli {
           val report = graft.verify.Expectations.evaluate(spark,
             name => graft.Tables.load(spark, opts("dir"), name), rules)
           val rows = report.collect()
+          // rule ids embed user-supplied table/column names — escape
+          // them (the Listener's q() discipline) so a quoted name can't
+          // break the JSON lines
+          def jstr(s: String): String =
+            "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
           rows.foreach { r =>
-            println(s"""{"rule": "${r.getString(0)}", """ +
+            println(s"""{"rule": ${jstr(r.getString(0))}, """ +
               s""""rows": ${r.getLong(4)}, """ +
               s""""violations": ${r.getLong(5)}, """ +
               s""""passed": ${r.getBoolean(6)}}""")

@@ -294,13 +294,23 @@ object Listener {
       },
 
       route("GET", "/api/quality/history",
-        "per-batch data-quality trend") { (ex, _) =>
+        "per-batch data-quality trend (last 100 batches)") { (ex, _) =>
         qualityDir match {
           case None =>
             respond(ex, 404, """{"detail": "no quality store configured"}""")
           case Some(dir) =>
+            // the store grows with batch count forever; a dashboard poll
+            // must not collect the whole history onto the HTTP thread —
+            // serve the trailing window. The floor comes from the HWM
+            // sidecar (one tiny read) and batch_id is the partition
+            // column, so pruning keeps the scan proportional to the
+            // window, not the store.
+            val floor = graft.streaming.StreamingExpectations
+              .lastCommitted(spark, dir) - 100L
             val rows = graft.streaming.StreamingExpectations
               .readHistory(spark, dir)
+              .filter(org.apache.spark.sql.functions
+                .col("batch_id") > floor)
               .orderBy("batch_id", "rule_id").collect()
               .map { r =>
                 s"""{"batch_id": ${r.getLong(0)}, """ +

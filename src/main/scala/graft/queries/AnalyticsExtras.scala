@@ -696,10 +696,7 @@ object AnalyticsExtras {
     "q262_trailing_range_window" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "orders")
-        .groupBy(
-          when(pmod(col("o_orderkey"), lit(3)) === 0, "store")
-            .when(pmod(col("o_orderkey"), lit(3)) === 1, "web")
-            .otherwise("catalog").as("channel"),
+        .groupBy(DsShapes.channelCol.as("channel"),
           to_date(col("o_orderdate")).as("day"))
         .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
             .cast("decimal(38,0)")).cast("long").as("d_e2"),
@@ -1210,9 +1207,8 @@ object AnalyticsExtras {
          GROUP BY 1, 2 ORDER BY e.event_type""",
 
     "q262_trailing_range_window" ->
-      """WITH daily AS (SELECT
-           CASE o_orderkey % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'
-             ELSE 'catalog' END AS channel,
+      s"""WITH daily AS (SELECT
+           ${DsShapes.ChannelSql} AS channel,
            CAST(o_orderdate AS DATE) AS day,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
              AS BIGINT) AS d_e2,

@@ -1604,16 +1604,18 @@ object CurationExtras {
         row("in_range:lineitem.l_discount", "in_range", "lineitem",
           "l_discount",
           """SUM(CASE WHEN l_discount IS NOT NULL AND
-               (CAST(l_discount AS DECIMAL(18,6)) <
+               (TRY_CAST(l_discount AS DECIMAL(18,6)) IS NULL OR
+                TRY_CAST(l_discount AS DECIMAL(18,6)) <
                   CAST(0.000000 AS DECIMAL(18,6)) OR
-                CAST(l_discount AS DECIMAL(18,6)) >
+                TRY_CAST(l_discount AS DECIMAL(18,6)) >
                   CAST(0.100000 AS DECIMAL(18,6)))
                THEN 1 ELSE 0 END)""", "lineitem"),
         row("in_range:lineitem.l_tax", "in_range", "lineitem", "l_tax",
           """SUM(CASE WHEN l_tax IS NOT NULL AND
-               (CAST(l_tax AS DECIMAL(18,6)) <
+               (TRY_CAST(l_tax AS DECIMAL(18,6)) IS NULL OR
+                TRY_CAST(l_tax AS DECIMAL(18,6)) <
                   CAST(0.000000 AS DECIMAL(18,6)) OR
-                CAST(l_tax AS DECIMAL(18,6)) >
+                TRY_CAST(l_tax AS DECIMAL(18,6)) >
                   CAST(0.050000 AS DECIMAL(18,6)))
                THEN 1 ELSE 0 END)""", "lineitem"),
         row("ref:lineitem.l_orderkey->orders.o_orderkey",
@@ -1677,9 +1679,10 @@ object CurationExtras {
              CAST($colName AS VARCHAR) AS violating_value
            FROM lineitem
            WHERE $colName IS NOT NULL AND
-             (CAST($colName AS DECIMAL(18,6)) <
+             (TRY_CAST($colName AS DECIMAL(18,6)) IS NULL OR
+              TRY_CAST($colName AS DECIMAL(18,6)) <
                 CAST($lo AS DECIMAL(18,6)) OR
-              CAST($colName AS DECIMAL(18,6)) >
+              TRY_CAST($colName AS DECIMAL(18,6)) >
                 CAST($hi AS DECIMAL(18,6)))
            ORDER BY l_orderkey, l_linenumber LIMIT 5"""
       s"""WITH v1 AS (${ruleSel("l_tax", "0.000000", "0.050000")}),

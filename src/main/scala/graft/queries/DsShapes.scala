@@ -27,13 +27,15 @@ object DsShapes {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Deterministic synthetic channel — the DS store/web/catalog axis. */
-  private def channelCol: Column =
+  /** Deterministic synthetic channel — the DS store/web/catalog axis.
+    * Shared across query modules (q262 reuses it): the mapping must
+    * have exactly ONE definition. */
+  private[queries] def channelCol: Column =
     when(pmod(col("o_orderkey"), lit(3)) === 0, "store")
       .when(pmod(col("o_orderkey"), lit(3)) === 1, "web")
       .otherwise("catalog")
 
-  private val ChannelSql =
+  private[queries] val ChannelSql =
     """CASE o_orderkey % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'
        ELSE 'catalog' END"""
 
@@ -56,6 +58,7 @@ object DsShapes {
       .join(t(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .select(channelCol.as("channel"), col("o_orderstatus"),
+        col("l_partkey"),
         year(col("o_orderdate")).as("order_year"),
         revE4.as("rev_e4"),
         (col("l_returnflag") === "R").as("is_return"))
@@ -373,12 +376,7 @@ object DsShapes {
     "q260_return_ratio_rank" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val zero = lit(0).cast("decimal(38,0)")
-      val per = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(channelCol.as("channel"), col("l_partkey"),
-          revE4.as("rev_e4"),
-          (col("l_returnflag") === "R").as("is_return"))
+      val per = channelSales(s, dir)
         .groupBy(col("channel"), col("l_partkey"))
         .agg(sum(col("rev_e4")).cast("long").as("sales_e4"),
           sum(when(col("is_return"), col("rev_e4")).otherwise(zero))

@@ -96,6 +96,15 @@ object StreamingExpectations {
   def history(spark: SparkSession, cfg: Config): DataFrame =
     readHistory(spark, cfg.storeDir)
 
+  /** Highest committed batch id (−1 before the first commit) — one
+    * sidecar read, no store scan; lets read surfaces bound their
+    * window cheaply. */
+  def lastCommitted(spark: SparkSession, storeDir: String): Long = {
+    val hwm = new Path(storeDir, "reports__hwm")
+    Hwm.read(hwm
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), hwm)
+  }
+
   /** Accumulated per-rule counts across all committed batches. */
   def readTotals(spark: SparkSession, storeDir: String): DataFrame =
     readHistory(spark, storeDir)

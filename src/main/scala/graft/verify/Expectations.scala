@@ -69,16 +69,23 @@ object Expectations {
     case AcceptedValues(_, c, vs) =>
       sum((col(c).isNotNull &&
         !col(c).cast("string").isin(vs: _*)).cast("long"))
-    case InRange(_, c, lo, hi) =>
-      val v = col(c).cast("decimal(18,6)")
-      def bound(e6: Long): Column = lit(new java.math.BigDecimal(
-        java.math.BigInteger.valueOf(e6), 6))
-      sum((col(c).isNotNull &&
-        (v < bound(lo) || v > bound(hi))).cast("long"))
+    case r @ InRange(_, c, _, _) =>
+      sum((col(c).isNotNull && inRangeViolation(r)).cast("long"))
     case Unique(_, cs) =>
       count(lit(1)) - countDistinct(struct(cs.map(col): _*))
     case _: RefIntegrity =>
       throw new IllegalArgumentException("ref rules join, not aggregate")
+  }
+
+  /** Range violation via try_cast: a non-null value the decimal cast
+    * cannot represent (overflow, non-numeric string) IS a violation —
+    * it is exactly the dirty input a range rule exists to catch — and
+    * must never abort the scan (Spark 4's ANSI cast would throw). */
+  private def inRangeViolation(r: InRange): Column = {
+    val v = expr(s"try_cast(`${r.column}` AS DECIMAL(18,6))")
+    def bound(e6: Long): Column = lit(new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(e6), 6))
+    v.isNull || v < bound(r.loE6) || v > bound(r.hiE6)
   }
 
   /** Row-level violation predicate for a single-table rule — true on
@@ -90,11 +97,8 @@ object Expectations {
     case NotNull(_, c) => col(c).isNull
     case AcceptedValues(_, c, vs) =>
       col(c).isNotNull && !col(c).cast("string").isin(vs: _*)
-    case InRange(_, c, lo, hi) =>
-      val v = col(c).cast("decimal(18,6)")
-      def bound(e6: Long): Column = lit(new java.math.BigDecimal(
-        java.math.BigInteger.valueOf(e6), 6))
-      col(c).isNotNull && (v < bound(lo) || v > bound(hi))
+    case ir @ InRange(_, c, _, _) =>
+      col(c).isNotNull && inRangeViolation(ir)
     case other => throw new IllegalArgumentException(
       s"${other.ruleType} is set-level; it has no per-row predicate")
   }
@@ -128,7 +132,7 @@ object Expectations {
       "duplicate rule ids")
     val (refRules, aggRules) = rules.partition(_.isInstanceOf[RefIntegrity])
     // one aggregate pass per table covering all its single-table rules
-    val aggReports = aggRules.groupBy(_.table).toSeq.flatMap {
+    val perTable = aggRules.groupBy(_.table).toSeq.map {
       case (table, tableRules) =>
         val df = load(table)
         val aggs = count(lit(1)).as("_n_rows") +:
@@ -136,15 +140,20 @@ object Expectations {
             violationCol(r).as(s"_v$i")
           }
         val row = df.agg(aggs.head, aggs.tail: _*).head
-        val n = row.getAs[Long]("_n_rows")
-        tableRules.zipWithIndex.map { case (r, i) =>
-          (r.id, r.ruleType, r.table, r.columnDesc, n,
-            row.getAs[Long](s"_v$i"))
-        }
+        (table, row.getAs[Long]("_n_rows"), tableRules, row)
     }
+    val aggReports = perTable.flatMap { case (_, n, tableRules, row) =>
+      tableRules.zipWithIndex.map { case (r, i) =>
+        (r.id, r.ruleType, r.table, r.columnDesc, n,
+          row.getAs[Long](s"_v$i"))
+      }
+    }
+    // the agg pass already counted each covered table's rows — reuse
+    // them so a ref rule on the same table costs only its key anti-join
+    val tableRows = perTable.map(t => t._1 -> t._2).toMap
     val refReports = refRules.collect { case r: RefIntegrity =>
       val child = load(r.table)
-      val n = child.count()
+      val n = tableRows.getOrElse(r.table, child.count())
       // distinct child keys first: the anti-join runs at key scale
       val orphans = child.select(col(r.column)).na.drop().distinct()
         .join(load(r.parentTable)

@@ -38,6 +38,21 @@ class ExpectationsSpec extends SparkSpec {
     assert(got("in_range:t.x") === ((1L, false)))
   }
 
+  test("in_range survives un-castable values and counts them as " +
+      "violations (ANSI cast would abort the scan)") {
+    val nasty = Seq("0.05", "N/A", "9999999999999.0", "0.2")
+      .toDF("x")
+    val got = evaluate(spark, Map("t" -> nasty),
+      Seq(InRange("t", "x", 0L, 100000L))).head
+    // N/A (un-castable), the 1e13 overflow, and 0.2 all violate
+    assert(got.getAs[Long]("n_violations") === 3L)
+    // and the row-level predicate agrees
+    val rows = sampleViolations(nasty,
+      Seq(InRange("t", "x", 0L, 100000L)), Seq("x"), perRule = 10)
+      .collect().map(_.getAs[String]("violating_value")).toSet
+    assert(rows === Set("N/A", "9999999999999.0", "0.2"))
+  }
+
   test("referential rule counts orphan KEYS, not rows; null child " +
       "keys are skipped") {
     val child = Seq(Some(1L), Some(9L), Some(9L), None)
