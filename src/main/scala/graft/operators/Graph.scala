@@ -127,6 +127,13 @@ object Graph {
     iterate(edgesWithDeg, nodes, start, iterations, dampingPct)
   }
 
+  /** Node count below which the rank relation is broadcast into the
+    * per-iteration edge join — MEASURED, not assumed (the JoinAdvisor
+    * discipline): ~24 bytes/row keeps 2M nodes ≈ 48 MB, comfortable
+    * for an executor; above it the loop falls back to the shuffle
+    * join, which is the only scale-safe default at 10⁹ nodes. */
+  val BroadcastNodeLimit: Long = 2000000L
+
   /** Out-degrees riding each edge, eagerly materialised: the relation
     * is read once per iteration, and a lazy cut would let the
     * iteration jobs race on first materialisation (each recomputing
@@ -140,13 +147,22 @@ object Graph {
   /** The shared power-iteration loop: `nodes` carries each node's
     * restart mass (`base_e6` — uniform for plain PageRank, seeds-only
     * for personalized). Left join back to the node list so a node with
-    * no in-edges keeps its base mass instead of dropping out. */
+    * no in-edges keeps its base mass instead of dropping out.
+    *
+    * The per-iteration edges ⋈ ranks join is the whole cost of the
+    * loop. Ranks are node-scale; ONE count (off the already-
+    * materialised node list) decides whether every iteration runs as a
+    * broadcast map-join (no edge shuffle, no per-iteration sort) or as
+    * the shuffle join the 10⁹-node graph needs — the engine's own
+    * measured-join discipline applied to its own iterative operator. */
   private def iterate(edgesWithDeg: DataFrame, nodes: DataFrame,
       start: DataFrame, iterations: Int, dampingPct: Int): DataFrame = {
+    val smallRanks = nodes.count() <= BroadcastNodeLimit
     var ranks = start
     for (_ <- 1 to iterations) {
+      val rankSide = if (smallRanks) broadcast(ranks) else ranks
       val contribs = edgesWithDeg
-        .join(ranks, col("src") === col("node"))
+        .join(rankSide, col("src") === col("node"))
         .select(col("dst"),
           expr("rank_e6 div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
