@@ -744,6 +744,37 @@ object AnalyticsExtras {
         .select(col("doc_id"), col("rk"), col("term"), col("tf"),
           col("df"), col("score"))
         .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // Price position within brand — the rank-function surface the
+    // suite's row_number windows don't exercise: dense_rank (ties
+    // share a rank with no gap), percent_rank and cume_dist (exact
+    // integer ratios evaluated in float64 — both engines compute the
+    // same (rank−1)/(n−1) and peers/n divisions), and
+    // first/nth_value over the full-partition frame (the default
+    // RANGE frame would make nth_value(2) NULL on the first row).
+    // All windows run per brand over the part DIMENSION.
+    "q265_price_position" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          (col("p_retailprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("price_e2"))
+      val byPrice = Window.partitionBy(col("p_brand"))
+        .orderBy(col("price_e2"))
+      val full = Window.partitionBy(col("p_brand"))
+        .orderBy(col("price_e2"), col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      parts
+        .select(col("p_partkey"), col("p_brand"), col("price_e2"),
+          dense_rank().over(byPrice).as("price_dense_rank"),
+          percent_rank().over(byPrice).as("pct_rank"),
+          cume_dist().over(byPrice).as("cume"),
+          first_value(col("price_e2")).over(full).as("cheapest_e2"),
+          nth_value(col("price_e2"), 2).over(full)
+            .as("second_cheapest_e2"))
+        .orderBy(col("p_partkey"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -1239,5 +1270,24 @@ object AnalyticsExtras {
              ORDER BY score DESC, term) AS rk FROM scored)
          SELECT doc_id, CAST(rk AS INT) AS rk, term, tf,
            CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
-         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""")
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q265_price_position" ->
+      """WITH p AS (SELECT p_partkey, p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_e2
+         FROM part)
+         SELECT p_partkey, p_brand, price_e2,
+           CAST(DENSE_RANK() OVER br AS INT) AS price_dense_rank,
+           PERCENT_RANK() OVER br AS pct_rank,
+           CUME_DIST() OVER br AS cume,
+           FIRST_VALUE(price_e2) OVER fr AS cheapest_e2,
+           NTH_VALUE(price_e2, 2) OVER fr AS second_cheapest_e2
+         FROM p
+         WINDOW br AS (PARTITION BY p_brand ORDER BY price_e2),
+           fr AS (PARTITION BY p_brand
+             ORDER BY price_e2, p_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING)
+         ORDER BY p_partkey""")
 }

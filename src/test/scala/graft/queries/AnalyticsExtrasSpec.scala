@@ -282,6 +282,33 @@ class AnalyticsExtrasSpec extends SparkSpec {
       col("n_days_7") =!= col("chk_n")).count() === 0L)
   }
 
+  test("q265: rank-function laws hold — pct/cume in [0,1], dense " +
+      "ranks gapless on distinct prices, nth_value(2) is the " +
+      "second-cheapest everywhere in the brand") {
+    val out = AnalyticsExtras.defs("q265_price_position")(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, c) = (r.getAs[Double]("pct_rank"), r.getAs[Double]("cume"))
+      assert(p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("price_e2") >= r.getAs[Long]("cheapest_e2"))
+    }
+    rows.groupBy(_.getAs[String]("p_brand")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r =>
+        (r.getAs[Long]("price_e2"), r.getAs[Long]("p_partkey")))
+      // dense ranks cover 1..#distinct-prices with no gaps
+      val dr = rs.map(_.getAs[Int]("price_dense_rank")).distinct.sorted
+      assert(dr.sameElements(1 to dr.length))
+      assert(dr.length ===
+        rs.map(_.getAs[Long]("price_e2")).distinct.length)
+      // the full-frame firsts agree with a direct sort
+      assert(rs.forall(_.getAs[Long]("cheapest_e2") ===
+        sorted.head.getAs[Long]("price_e2")))
+      assert(rs.forall(_.getAs[Long]("second_cheapest_e2") ===
+        sorted(1).getAs[Long]("price_e2")))
+    }
+  }
+
   test("q263: three keywords per sampled doc, scores recompute from " +
       "tf and the integer idf") {
     val out = AnalyticsExtras.defs("q263_doc_keywords")(spark, dir)
