@@ -129,7 +129,12 @@ object Cli {
             ddlFile = opts.get("ddl-file"),
             ddlDialect = opts.get("ddl-dialect").map(dialectOf)
               .getOrElse(graft.sink.DdlRenderer.Dialect.SparkSql),
-            typeOverrides = overridesFrom(pairs)))
+            typeOverrides = overridesFrom(pairs),
+            // --expect <rules.jsonl>: data-quality gate on the final
+            // table, audited as its own step; violations fail the command
+            expectations = opts.get("expect")
+              .map(p => graft.verify.Expectations.parseRules(spark, p))
+              .getOrElse(Nil)))
           steps.foreach(s => println(
             f"${if (s.ok) "ok " else "ERR"} ${s.name}%-18s ${s.millis}%6d ms  ${s.detail}"))
           if (!steps.forall(_.ok)) sys.exit(1)

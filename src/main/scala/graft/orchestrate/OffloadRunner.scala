@@ -107,7 +107,14 @@ object OffloadRunner {
       // rows of one command invocation share it.
       executionId: Option[String] = None,
       // live step-progress observer (the listener's SSE feed taps in here)
-      progress: Option[StepResult => Unit] = None)
+      progress: Option[StepResult => Unit] = None,
+      // data-quality gate on the FINAL table (the reference's
+      // staged-data validation generalized to the declarative rule
+      // engine): evaluated as its own audited step after the load;
+      // any violation fails the step — and therefore the command —
+      // with the per-rule counts in the error. Rules' table names are
+      // ignored (the final table IS the relation under test).
+      expectations: Seq[graft.verify.Expectations.Rule] = Nil)
 
   /** Full offload command: lock → read → (predicate/HWM filter) →
     * transforms + extraction projection → stage → validate → final load →
@@ -258,6 +265,22 @@ object OffloadRunner {
           throw new IllegalStateException(s"row count mismatch: $s vs $t")
       }
     }
+
+    if (cfg.expectations.nonEmpty)
+      r.step("expectations",
+        s"${cfg.expectations.length} rules on ${cfg.finalPath}") {
+        planned.foreach { _ =>
+          val loaded = spark.read.parquet(cfg.finalPath)
+          val report = graft.verify.Expectations
+            .evaluate(spark, _ => loaded, cfg.expectations).collect()
+          val failed = report.filterNot(_.getAs[Boolean]("passed"))
+          if (failed.nonEmpty)
+            throw new IllegalStateException(
+              "expectations failed: " + failed.map(f =>
+                s"${f.getString(0)}=${f.getAs[Long]("n_violations")}")
+                .mkString(", "))
+        }
+      }
 
     r.step("save_metadata", s"metadataDir=${cfg.metadataDir}") {
       planned.foreach { df =>

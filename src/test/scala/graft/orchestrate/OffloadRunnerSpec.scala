@@ -34,6 +34,40 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(meta.incrementalPredicateType.contains("PREDICATE"))
   }
 
+  test("expectations gate: a passing suite adds a green step; a " +
+      "violated rule fails the command with per-rule counts") {
+    import graft.verify.Expectations._
+    val base = tmpBase()
+    def cfgWith(rules: Seq[Rule], out: String) =
+      OffloadRunner.OffloadConfig(
+        sourceTable = "orders",
+        sourcePath = sf("sf0.001") + "/orders.parquet",
+        stagingPath = s"$base/$out/staging",
+        finalPath = s"$base/$out/final",
+        metadataDir = s"$base/$out/meta",
+        expectations = rules)
+    val good = OffloadRunner.offload(spark, cfgWith(Seq(
+      NotNull("final", "o_custkey"),
+      Unique("final", Seq("o_orderkey"))), "good"))
+    assert(good.forall(_.ok), good.mkString("\n"))
+    assert(good.exists(s => s.name == "expectations" && s.ok))
+
+    // a violated rule fails the gate step and aborts the command
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[OffloadRunner.StepResult]
+    intercept[IllegalStateException] {
+      OffloadRunner.offload(spark, cfgWith(Seq(
+        // every order set includes statuses outside this subset
+        AcceptedValues("final", "o_orderstatus", Seq("O"))), "bad")
+        .copy(progress = Some(seen += _)))
+    }
+    val step = seen.find(_.name == "expectations").get
+    assert(!step.ok)
+    assert(step.detail.contains("accepted_values:final.o_orderstatus"))
+    // the gate runs AFTER the load: the data itself landed
+    assert(spark.read.parquet(s"$base/bad/final").count() > 0)
+  }
+
   test("incremental offload: second run only moves rows beyond the HWM") {
     val base = tmpBase()
     def cfgFor(pred: String) = OffloadRunner.OffloadConfig(
