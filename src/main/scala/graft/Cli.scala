@@ -842,6 +842,14 @@ object Cli {
               rows.exists(!_.getBoolean(6)))
             sys.exit(1)
 
+        case "quality-prune" =>
+          // Retention for the streaming expectations report log:
+          //   quality-prune --store <dir> [--keep 1000]
+          val dropped = graft.streaming.StreamingExpectations.prune(
+            spark, opts("store"),
+            opts.getOrElse("keep", "1000").toLong)
+          println(s"""{"dropped_batches": $dropped}""")
+
         case "rank-merge" =>
           // Merge a batch of co-occurrence pairs into the incremental
           // PageRank edge store (exactly-once per --batch-id), then

@@ -117,4 +117,28 @@ object StreamingExpectations {
 
   def totals(spark: SparkSession, cfg: Config): DataFrame =
     readTotals(spark, cfg.storeDir)
+
+  /** Retention: drop report partitions older than the trailing
+    * `keepLastBatches` committed batches. Safe by construction — only
+    * partitions at or below the HWM are candidates (the stream never
+    * replays a committed batch, so a deleted one is never rewritten),
+    * and each partition is one atomic directory delete. Totals and
+    * history thereafter describe the RETAINED window; the store stays
+    * bounded for a monitor that runs forever. Returns the number of
+    * batch partitions dropped. */
+  def prune(spark: SparkSession, storeDir: String,
+            keepLastBatches: Long): Long = {
+    require(keepLastBatches >= 1, "keep at least one batch")
+    val reports = new Path(storeDir, "reports")
+    val fs = reports
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(reports)) return 0L
+    val floor = lastCommitted(spark, storeDir) - keepLastBatches
+    val dropped = fs.listStatus(reports).filter { st =>
+      CommittedFold.batchIdOf(st.getPath.getName)
+        .exists(id => id <= floor)
+    }
+    dropped.foreach(st => fs.delete(st.getPath, true))
+    dropped.length.toLong
+  }
 }

@@ -78,6 +78,33 @@ class StreamingExpectationsSpec extends SparkSpec {
     assert(tot.count(!_.getAs[Boolean]("passed")) === 3)
   }
 
+  test("prune keeps the trailing window and never touches an " +
+      "uncommitted partition") {
+    val c = cfg(Files.createTempDirectory("sexp_prune").toString)
+    (0L to 4L).foreach { b =>
+      StreamingExpectations.processBatch(batch1.toDF(), b, c)
+    }
+    // crash window: batch 5's report landed but its HWM write didn't
+    StreamingExpectations.processBatch(batch1.toDF(), 5L, c)
+    val hwmP = new org.apache.hadoop.fs.Path(
+      s"${c.storeDir}/reports__hwm")
+    val fs = hwmP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Hwm.write(fs, hwmP, 4L)
+    // keep the last 2 committed batches (3, 4): batches 0-2 drop;
+    // batch 5 is ABOVE the HWM and must survive for its replay
+    val dropped = StreamingExpectations.prune(spark, c.storeDir, 2L)
+    assert(dropped === 3L)
+    val ids = spark.read.parquet(s"${c.storeDir}/reports")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(3L, 4L, 5L))
+    // history (committed view) covers exactly the retained window
+    val hist = StreamingExpectations.history(spark, c)
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(hist === Set(3L, 4L))
+  }
+
   test("referential rules are rejected at construction") {
     intercept[IllegalArgumentException] {
       StreamingExpectations.Config("x", "y",
