@@ -108,12 +108,16 @@ object OffloadRunner {
       executionId: Option[String] = None,
       // live step-progress observer (the listener's SSE feed taps in here)
       progress: Option[StepResult => Unit] = None,
-      // data-quality gate on the FINAL table (the reference's
+      // data-quality gate on the SLICE ABOUT TO LOAD (the reference's
       // staged-data validation generalized to the declarative rule
-      // engine): evaluated as its own audited step after the load;
-      // any violation fails the step — and therefore the command —
-      // with the per-rule counts in the error. Rules' table names are
-      // ignored (the final table IS the relation under test).
+      // engine): evaluated as its own audited step BEFORE stage_and_load
+      // so a violation aborts with nothing landed — in incremental mode
+      // a post-append failure would leave the slice loaded with the HWM
+      // unadvanced, and the natural retry would append it again. Rules'
+      // table names are ignored (the slice IS the relation under test);
+      // referential rules are rejected (one relation — the batch
+      // `expect` CLI audits cross-table integrity). Whole-table
+      // end-state audits likewise belong to `expect` on the final path.
       expectations: Seq[graft.verify.Expectations.Rule] = Nil)
 
   /** Full offload command: lock → read → (predicate/HWM filter) →
@@ -139,6 +143,31 @@ object OffloadRunner {
     * `_command_end` / `_command_fail` (`orchestration_runner.py:139-226`):
     * one command_begin row up front, a command_end row with
     * SUCCESS/ERROR when the body returns/throws. */
+  /** The data-quality gate shared by the full and chunked paths: ONE
+    * aggregate pass over the slice about to load
+    * ([[graft.verify.Expectations.evaluateRelation]] — table names in
+    * the rules are id-only; referential rules are rejected there with
+    * a loud error rather than silently passing against themselves). A
+    * violation throws with the per-rule counts, failing the step and
+    * the command BEFORE anything lands — retry-safe by construction. */
+  private def expectationsStep(r: Runner, spark: SparkSession,
+      cfg: OffloadConfig, slice: Option[DataFrame]): Unit =
+    if (cfg.expectations.nonEmpty)
+      r.step("expectations",
+        s"${cfg.expectations.length} rules on the load slice") {
+        slice.foreach { df =>
+          val report = graft.verify.Expectations
+            .evaluateRelation(spark, df, cfg.expectations).collect()
+          val failed = report.filterNot(_.getAs[Boolean]("passed"))
+          if (failed.nonEmpty)
+            throw new IllegalStateException(
+              "expectations failed: " + failed.map(f =>
+                s"${f.getString(0)}=${f.getAs[Long]("n_violations")}")
+                .mkString(", "))
+        }
+        ()
+      }
+
   private def audited(cfg: OffloadConfig, commandType: String)
                      (body: AuditContext => Seq[StepResult])
       : Seq[StepResult] = {
@@ -230,6 +259,8 @@ object OffloadRunner {
     // overwrites — mirrors the reference's append-vs-reset semantics.
     val finalMode = if (hwm.isDefined) "append" else "overwrite"
 
+    expectationsStep(r, spark, cfg, planned)
+
     r.step("stage_and_load",
         s"staging=${cfg.stagingPath} final=${cfg.finalPath} " +
         s"mode=$finalMode partitionBy=${cfg.partitionCols.mkString(",")}") {
@@ -266,21 +297,6 @@ object OffloadRunner {
       }
     }
 
-    if (cfg.expectations.nonEmpty)
-      r.step("expectations",
-        s"${cfg.expectations.length} rules on ${cfg.finalPath}") {
-        planned.foreach { _ =>
-          val loaded = spark.read.parquet(cfg.finalPath)
-          val report = graft.verify.Expectations
-            .evaluate(spark, _ => loaded, cfg.expectations).collect()
-          val failed = report.filterNot(_.getAs[Boolean]("passed"))
-          if (failed.nonEmpty)
-            throw new IllegalStateException(
-              "expectations failed: " + failed.map(f =>
-                s"${f.getString(0)}=${f.getAs[Long]("n_violations")}")
-                .mkString(", "))
-        }
-      }
 
     r.step("save_metadata", s"metadataDir=${cfg.metadataDir}") {
       planned.foreach { df =>
@@ -544,6 +560,9 @@ object OffloadRunner {
     // lazy: a dry-run must not execute the probe action
     lazy val newHwm = CrossValidator.maxProbe(slice, cfg.incrementalKey)
       .map(_.map(String.valueOf)).getOrElse(previous)
+    // the gate precedes even the pending marker: a marker without an
+    // append attempt would needlessly engage the reconcile path
+    expectationsStep(r, spark, cfg, Some(slice))
     r.step("mark_pending_chunk", s"keys=${chunkKeys.mkString(",")}") {
       MetadataStore.save(cfg.metadataDir, OffloadMetadata(
         sourceTable = cfg.sourceTable, backendTable = cfg.finalPath,

@@ -62,8 +62,11 @@ object StreamingExpectations {
     if (batchId <= lastBatch(spark, cfg)) return
     val fs = reportsDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // evaluateRelation: ONE aggregate pass for the whole suite even if
+    // rule table names differ (they are id-only here — the batch IS
+    // the relation)
     val report = Expectations
-      .evaluate(spark, _ => batch, cfg.rules)
+      .evaluateRelation(spark, batch, cfg.rules)
       .withColumn("batch_id", lit(batchId))
     report.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -170,6 +170,40 @@ object Expectations {
       .orderBy(col("rule_id"))
   }
 
+  /** Evaluate rules against ONE relation, ignoring the rules' table
+    * names (they survive only inside the rule ids): every single-table
+    * rule folds into a single aggregate pass over `df` — a rules file
+    * naming several tables costs one scan here, not one per name.
+    * Referential rules are rejected: with one relation the parent
+    * would resolve to the child and the rule would silently always
+    * pass. This is the entry point for gates that audit a specific
+    * DataFrame (the offload gate, the streaming monitor). */
+  def evaluateRelation(spark: SparkSession, df: DataFrame,
+      rules: Seq[Rule]): DataFrame = {
+    import spark.implicits._
+    require(rules.nonEmpty)
+    require(rules.map(_.id).distinct.size == rules.size,
+      "duplicate rule ids")
+    val refs = rules.collect { case r: RefIntegrity => r.id }
+    require(refs.isEmpty,
+      s"referential rules need a distinct parent relation and cannot " +
+        s"gate a single relation: ${refs.mkString(", ")}")
+    val aggs = count(lit(1)).as("_n_rows") +:
+      rules.zipWithIndex.map { case (r, i) =>
+        violationCol(r).as(s"_v$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val n = row.getAs[Long]("_n_rows")
+    rules.zipWithIndex.map { case (r, i) =>
+      (r.id, r.ruleType, r.table, r.columnDesc, n,
+        row.getAs[Long](s"_v$i"))
+    }
+      .toDF("rule_id", "rule_type", "table_name", "column_name",
+        "n_rows", "n_violations")
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("rule_id"))
+  }
+
   /** Parse a JSONL rules file (one rule object per line):
     * `{"type":"not_null","table":"orders","column":"o_custkey"}`
     * `{"type":"unique","table":"orders","columns":["o_orderkey"]}`

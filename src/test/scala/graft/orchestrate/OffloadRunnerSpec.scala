@@ -64,8 +64,21 @@ class OffloadRunnerSpec extends SparkSpec {
     val step = seen.find(_.name == "expectations").get
     assert(!step.ok)
     assert(step.detail.contains("accepted_values:final.o_orderstatus"))
-    // the gate runs AFTER the load: the data itself landed
-    assert(spark.read.parquet(s"$base/bad/final").count() > 0)
+    // the gate runs BEFORE the load — nothing landed, so a retry after
+    // fixing the data cannot double-append the slice
+    val fs = new org.apache.hadoop.fs.Path(s"$base/bad/final")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/bad/final")))
+
+    // referential rules are rejected loudly, never silently green
+    val seenRef = scala.collection.mutable.ArrayBuffer
+      .empty[OffloadRunner.StepResult]
+    intercept[IllegalArgumentException] {
+      OffloadRunner.offload(spark, cfgWith(Seq(
+        RefIntegrity("final", "o_custkey", "customer", "c_custkey")),
+        "ref").copy(progress = Some(seenRef += _)))
+    }
+    assert(seenRef.exists(s => s.name == "expectations" && !s.ok))
   }
 
   test("incremental offload: second run only moves rows beyond the HWM") {
