@@ -134,6 +134,37 @@ object Graph {
     * join, which is the only scale-safe default at 10⁹ nodes. */
   val BroadcastNodeLimit: Long = 2000000L
 
+  /** Fixed-round k-core peeling over an undirected canonical pair
+    * relation `(a, b)`: each round drops every node whose CURRENT
+    * degree is below `k` (and the edges touching it), simultaneously —
+    * the classic cohesion filter separating dense near-duplicate /
+    * co-purchase cores from stringy periphery. A bounded `rounds`
+    * count keeps the computation deterministic AND oracle-unrollable;
+    * peeling converges geometrically in practice, and the fixed-round
+    * result is a documented superset of the true k-core (identical
+    * once a round removes nothing). Each round is two keyed
+    * aggregates + one semi-join per side over the surviving pair
+    * relation, lineage cut per round. Returns the surviving
+    * `(node, degree)`. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var cur = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val deg = cur.select(col("a").as("node"))
+        .unionByName(cur.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      cur = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+    }
+    cur.select(col("a").as("node"))
+      .unionByName(cur.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Out-degrees riding each edge, eagerly materialised: the relation
     * is read once per iteration, and a lazy cut would let the
     * iteration jobs race on first materialisation (each recomputing

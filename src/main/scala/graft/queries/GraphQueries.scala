@@ -112,6 +112,22 @@ object GraphQueries {
         .limit(20)
     },
 
+    // Dense co-purchase core: six rounds of k-core peeling (k = 4) on
+    // the part co-purchase graph — parts that stay mutually connected
+    // after the stringy periphery is stripped are the catalogue's
+    // bundle backbone. Six simultaneous peels; the fixed round count
+    // is what keeps the distributed loop and the unrolled SQL oracle
+    // byte-identical (see Graph.kCore).
+    "q266_copurchase_core" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = Graph.canonicalPairs(li, "l_orderkey", "l_partkey")
+      Graph.kCore(pairs, k = 4, rounds = 6)
+        .select(col("node").as("part_key"), col("degree"))
+        .orderBy(col("degree").desc, col("part_key"))
+        .limit(50)
+    },
+
     // Related parts by personalized PageRank: random-walk-with-restart
     // from the alphabetically-first brand's parts as the seed set; the
     // top non-seed parts by propagated relevance are the cross-brand
@@ -173,7 +189,33 @@ object GraphQueries {
          FROM sym s JOIN deg d ON s.src = d.src),
        nodes AS (SELECT src AS node FROM deg)"""
 
+  /** One k-core peel round as SQL (k = 4). MATERIALIZED is load-bearing:
+    * DuckDB inlines plain CTEs per reference, and each round references
+    * the previous one three times — six inlined rounds would expand the
+    * base self-join 3⁶-fold (it exhausts file handles before memory). */
+  private def peelSql(prev: String, cur: String): String =
+    s"""d_$cur AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+         SELECT a AS node FROM $prev
+         UNION ALL SELECT b FROM $prev) GROUP BY 1),
+       k_$cur AS (SELECT node FROM d_$cur WHERE deg >= 4),
+       $cur AS MATERIALIZED (SELECT p.a, p.b FROM $prev p
+         JOIN k_$cur ka ON p.a = ka.node
+         JOIN k_$cur kb ON p.b = kb.node)"""
+
   val oracles: Map[String, String] = Map(
+
+    "q266_copurchase_core" ->
+      s"""WITH $GraphCtes,
+         ${peelSql("pairs", "p1")},
+         ${peelSql("p1", "p2")},
+         ${peelSql("p2", "p3")},
+         ${peelSql("p3", "p4")},
+         ${peelSql("p4", "p5")},
+         ${peelSql("p5", "p6")}
+         SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM (SELECT a AS node FROM p6
+               UNION ALL SELECT b FROM p6)
+         GROUP BY node ORDER BY degree DESC, part_key LIMIT 50""",
 
     "q251_pagerank" ->
       s"""WITH $GraphCtes,

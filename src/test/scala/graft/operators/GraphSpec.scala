@@ -150,6 +150,43 @@ class GraphSpec extends SparkSpec {
     assert(ranks.sameElements(ranks.sortBy(-_)))
   }
 
+  test("kCore matches a single-threaded peel and strips the pendant " +
+      "chain from a clique") {
+    // K4 clique (1-4) with a pendant chain 4-7-8: k=3 peeling removes
+    // the chain in two rounds and keeps the clique intact
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 7L), (7L, 8L)).toDF("a", "b")
+    def referencePeel(ps: Set[(Long, Long)], k: Int,
+        rounds: Int): Map[Long, Long] = {
+      var cur = ps
+      for (_ <- 1 to rounds) {
+        val deg = cur.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        cur = cur.filter(p => keep(p._1) && keep(p._2))
+      }
+      cur.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+    }
+    val got = Graph.kCore(pairs, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referencePeel(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (4L, 7L), (7L, 8L)).toSet, 3, 4))
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_ === 3L))
+  }
+
+  test("q266 output: bounded, degrees descending, survivors are a " +
+      "subset of the graph's parts") {
+    val out = graft.queries.GraphQueries
+      .defs("q266_copurchase_core")(spark, sf("sf0.001")).collect()
+    assert(out.length <= 50)
+    val degs = out.map(_.getLong(1))
+    assert(degs.sameElements(degs.sortBy(-(_: Long))))
+    assert(degs.forall(_ >= 1L))
+  }
+
   test("q251 output: 20 rows, ranks descending, all above base mass") {
     val out = graft.queries.GraphQueries
       .defs("q251_pagerank")(spark, sf("sf0.001")).collect()
