@@ -155,7 +155,9 @@ object Listener {
             // a StreamingExpectations store to serve under /api/quality
             // (constructor-configured — clients never name filesystem
             // paths over HTTP)
-            qualityDir: Option[String] = None): Server = {
+            qualityDir: Option[String] = None,
+            // a StreamingRank store to serve under /api/rank
+            rankDir: Option[String] = None): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // the default executor is the single dispatcher thread — an open SSE
     // stream would starve every other route; hand requests to a pool
@@ -319,6 +321,27 @@ object Listener {
                 s""""n_violations": ${r.getLong(3)}, """ +
                 s""""passed": ${r.getBoolean(4)}}"""
               }
+            respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
+      },
+
+      route("GET", "/api/rank/top/{n}",
+        "top-n nodes from the incremental PageRank store") { (ex, params) =>
+        rankDir match {
+          case None =>
+            respond(ex, 404, """{"detail": "no rank store configured"}""")
+          case Some(dir) =>
+            val n = math.min(1000,
+              scala.util.Try(params.head.toInt).getOrElse(20))
+            val cfg = graft.streaming.StreamingRank.Config(
+              storeDir = dir, checkpointDir = dir + "/_ckpt")
+            val rows = graft.streaming.StreamingRank.ranks(spark, cfg)
+              .orderBy(org.apache.spark.sql.functions
+                  .col("rank_e6").desc,
+                org.apache.spark.sql.functions.col("node"))
+              .limit(n).collect()
+              .map(r => s"""{"node": ${r.getLong(0)}, """ +
+                s""""rank_e6": ${r.getLong(1)}}""")
             respond(ex, 200, rows.mkString("[", ", ", "]"))
         }
       },

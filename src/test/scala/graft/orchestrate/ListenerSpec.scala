@@ -394,4 +394,31 @@ class ListenerSpec extends SparkSpec {
         .statusCode() == 404)
     } finally bare.stop()
   }
+
+  test("rank route serves the incremental PageRank store's top nodes") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_listener_r").toString
+    val rc = graft.streaming.StreamingRank.Config(
+      storeDir = s"$base/rank", checkpointDir = s"$base/rckpt",
+      buckets = 4)
+    graft.streaming.StreamingRank.ingestBatch(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b"),
+      0L, rc)
+    graft.streaming.StreamingRank.refreshRanks(spark, rc)
+
+    val srv = Listener.start(spark, s"$base/meta",
+      rankDir = Some(s"$base/rank"))
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val top = get(s"$root/api/rank/top/2/")
+      assert(top.statusCode() == 200)
+      // node 3 bridges the triangle and the pendant: highest rank
+      assert(top.body().startsWith("""[{"node": 3,"""))
+      assert(top.body().count(_ == '}') == 2)
+      // docs inventory lists the route (route-table driven)
+      assert(get(s"$root/api/docs/").body()
+        .contains("/api/rank/top/{n}"))
+      assert(get(s"$root/api/quality/totals/").statusCode() == 404)
+    } finally srv.stop()
+  }
 }
