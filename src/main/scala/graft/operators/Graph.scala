@@ -148,7 +148,12 @@ object Graph {
     * `(node, degree)`. */
   def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var cur = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    // no checkpoint on entry: [[canonicalPairs]] hands over an
+    // already-materialised relation, and a second cut here would hold
+    // a duplicate copy of the full edge set for all rounds; a caller
+    // passing a raw relation should cut it first (round one reads it
+    // three times)
+    var cur = pairs.select(col("a"), col("b"))
     for (_ <- 1 to rounds) {
       val deg = cur.select(col("a").as("node"))
         .unionByName(cur.select(col("b").as("node")))

@@ -331,8 +331,8 @@ object Listener {
           case None =>
             respond(ex, 404, """{"detail": "no rank store configured"}""")
           case Some(dir) =>
-            val n = math.min(1000,
-              scala.util.Try(params.head.toInt).getOrElse(20))
+            val n = math.min(1000, math.max(1,
+              scala.util.Try(params.head.toInt).getOrElse(20)))
             val cfg = graft.streaming.StreamingRank.Config(
               storeDir = dir, checkpointDir = dir + "/_ckpt")
             val rows = graft.streaming.StreamingRank.ranks(spark, cfg)

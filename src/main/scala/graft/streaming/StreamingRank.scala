@@ -162,16 +162,29 @@ object StreamingRank {
   }
 
   /** Current rank relation `(node, rank_e6)`; empty before the first
-    * refresh. */
+    * refresh. READ-ONLY — deliberately no swap recovery: a concurrent
+    * reader (the listener's /api/rank route) landing inside
+    * [[refreshRanks]]'s rename window must not rename the aside
+    * directory back while the refresher is mid-install (that either
+    * aborts the refresh or strands the new ranks). Inside the window
+    * the previous ranks are served from the aside; a crash that LEAVES
+    * the aside is healed by the next writer ([[refreshRanks]] calls
+    * the recovery). */
   def ranks(spark: SparkSession, cfg: Config): DataFrame = {
     val fs = ranksDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverRanks(fs, cfg)
-    if (!fs.exists(ranksDir(cfg)))
-      return spark.emptyDataFrame
+    val dir =
+      if (fs.exists(ranksDir(cfg))) Some(ranksDir(cfg))
+      else {
+        val old = new Path(cfg.storeDir, "ranks__old")
+        if (fs.exists(old)) Some(old) else None
+      }
+    dir match {
+      case Some(d) => spark.read.parquet(d.toString)
+        .select(col("node"), col("rank_e6"))
+      case None => spark.emptyDataFrame
         .select(lit(0L).as("node"), lit(0L).as("rank_e6")).limit(0)
-    spark.read.parquet(ranksDir(cfg).toString)
-      .select(col("node"), col("rank_e6"))
+    }
   }
 
   /** Run `Config.iterations` power steps over the committed edge set,

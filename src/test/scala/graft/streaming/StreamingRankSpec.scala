@@ -150,6 +150,28 @@ class StreamingRankSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("reads are swap-tolerant without healing: inside the rename " +
+      "window the aside ranks are served and left in place") {
+    val c = cfg(Files.createTempDirectory("srank_swapread").toString)
+    StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
+    StreamingRank.refreshRanks(spark, c)
+    val before = rankMap(c)
+    // simulate the mid-swap window: ranks moved aside, install pending
+    val ranksP = new org.apache.hadoop.fs.Path(s"${c.storeDir}/ranks")
+    val oldP = new org.apache.hadoop.fs.Path(s"${c.storeDir}/ranks__old")
+    val fs = ranksP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(ranksP, oldP))
+    // a read serves the aside and must NOT rename it back (a racing
+    // writer's install would collide with a resurrected ranks dir)
+    assert(rankMap(c) === before)
+    assert(!fs.exists(ranksP) && fs.exists(oldP))
+    // the next WRITER heals the crash window
+    StreamingRank.refreshRanks(spark, c)
+    assert(fs.exists(ranksP) && !fs.exists(oldP))
+    assert(rankMap(c) === coldRanks(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)), 10))
+  }
+
   test("continuous centrality: StreamingDedup's pair stream feeds " +
       "StreamingRank — ranks equal batch PageRank of the accumulated " +
       "candidate graph") {
