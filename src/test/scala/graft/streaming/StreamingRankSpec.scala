@@ -206,6 +206,37 @@ class StreamingRankSpec extends SparkSpec {
     assert(Seq(1L, 2L, 4L).forall(ranks.contains))
   }
 
+  test("the persisted dedup pair table consumed as a FILE STREAM " +
+      "feeds rank maintenance — the full continuous composition") {
+    val base = Files.createTempDirectory("srank_filestream").toString
+    val dc = StreamingDedup.Config(indexPath = s"$base/index",
+      pairsPath = s"$base/pairs", checkpointDir = s"$base/dckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(
+      Doc(10, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(11, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(12, "unrelated words here that match nothing else"))
+    StreamingDedup.start(mem.toDF(), dc).awaitTermination(60000)
+    mem.addData(
+      Doc(13, "alpha beta gamma delta epsilon zeta eta theta"))
+    StreamingDedup.start(mem.toDF(), dc).awaitTermination(60000)
+    val c = cfg(s"$base/rank")
+    val pairsStream = spark.readStream
+      .schema(spark.read.parquet(dc.pairsPath).schema)
+      .parquet(dc.pairsPath)
+    StreamingRank.start(pairsStream, c).awaitTermination(60000)
+    StreamingRank.refreshRanks(spark, c)
+    val accumulated = spark.read.parquet(dc.pairsPath)
+      .select(col("id_a"), col("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rankMap(c) === coldRanks(accumulated, 5))
+    // the duplicate triangle 10/11/13 holds equal rank; 12 is absent
+    val ranks = rankMap(c)
+    assert(ranks(10L) === ranks(11L) && ranks(11L) === ranks(13L))
+    assert(!ranks.contains(12L))
+  }
+
   test("streaming end-to-end over MemoryStream") {
     val base = Files.createTempDirectory("srank_e2e").toString
     val c = cfg(base)
