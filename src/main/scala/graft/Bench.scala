@@ -121,6 +121,57 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
     val warm = if (reps > 1) 1 else 0
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
+    // The stdout line above is captured as a LOG TAIL and has truncated
+    // mid-map two rounds running, making most per-query regressions
+    // unadjudicable. The engine therefore persists its own COMPLETE
+    // artifact every run (the reference's make-performance-auditable
+    // move — its listener jar writes per-task JSON for the same reason:
+    // tools/spark-listener/GOETaskListener.scala:24-43): one line per
+    // query so git diffs are per-query, previous artifact rotated to
+    // *_prev.json so a round can always diff itself against the last
+    // run without depending on any log capture.
+    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "bench/last_run.json"))
+    try {
+      Option(outPath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      if (java.nio.file.Files.exists(outPath)) {
+        val prev = outPath.resolveSibling(
+          outPath.getFileName.toString
+            .replaceFirst("\\.json$", "") + "_prev.json")
+        java.nio.file.Files.move(outPath, prev,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val spreadByName = spreads.toMap
+      val qLines = results.sortBy(_._1).map { case (k, (v, err)) =>
+        val sp = spreadByName.get(k)
+          .map(s => s""","spread":${ms(s)}""").getOrElse("")
+        val er = err.map(e => s""","error":${jstr(e)}""").getOrElse("")
+        s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$er}"""
+      }
+      val body =
+        s"""{
+           |  "sf": ${jstr(sfDir)},
+           |  "cpus": ${jstr(cpus)},
+           |  "reps": $reps,
+           |  "warmup": $warm,
+           |  "n_queries": ${results.size},
+           |  "failed": ${errs.size},
+           |  "total_sec": ${ms(total)},
+           |  "queries": {
+           |${qLines.mkString(",\n")}
+           |  }
+           |}
+           |""".stripMargin
+      java.nio.file.Files.write(outPath,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"""{"metric":"artifact","path":${jstr(outPath.toString)}}""")
+    } catch {
+      // the artifact is an audit aid; a read-only working dir must not
+      // fail the bench itself
+      case e: java.io.IOException =>
+        System.err.println(s"bench artifact not written: ${e.getMessage}")
+    }
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

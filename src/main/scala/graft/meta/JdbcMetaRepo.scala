@@ -108,8 +108,15 @@ final class JdbcMetaRepo private (url: String) {
   // Dedicated READ connection + its own lock: history/inventory reads
   // (listener `runs()`, metadata loads) would otherwise serialize behind
   // live audit writes on the shared write connection's monitor. Reads
-  // are autocommit READ_COMMITTED — they see committed rows only, and
-  // never block a writer's row locks longer than one statement.
+  // are autocommit READ_COMMITTED — they see committed rows only.
+  // NOTE embedded Derby has NO MVCC: a READ_COMMITTED reader still
+  // blocks on a writer's uncommitted ROW LOCKS, so a read landing under
+  // a long write transaction waits (up to derby.locks.waitTimeout,
+  // default 60 s) rather than reading around it. Read statements
+  // therefore carry a short query timeout ([[ReadQueryTimeoutSecs]]) so
+  // a lock-blocked read fails fast, and the listener maps the resulting
+  // lock/timeout SQLStates to 503 retry-later — never a hung route or a
+  // generic 500.
   private val readLock = new Object
   private var readConnRef: Connection = null
 
@@ -119,6 +126,20 @@ final class JdbcMetaRepo private (url: String) {
       ensureSchema(readConnRef) // idempotent; first contact may be a read
     }
     readConnRef
+  }
+
+  /** Derby offers no per-connection lock timeout (waitTimeout is
+    * database-wide), so reads bound their lock waits with a statement
+    * query timeout instead: a read blocked behind a writer's
+    * uncommitted row locks aborts after this many seconds (SQLState
+    * XCL52) instead of hanging a listener route for the full
+    * database-wide 60 s. */
+  val ReadQueryTimeoutSecs: Int = 5
+
+  private def readStatement(): Statement = {
+    val st = readConn.createStatement()
+    st.setQueryTimeout(ReadQueryTimeoutSecs)
+    st
   }
 
   /** Idempotent DDL: Derby has no IF NOT EXISTS, so an already-exists
@@ -303,6 +324,7 @@ final class JdbcMetaRepo private (url: String) {
       s"SELECT ${MetaCols.mkString(", ")} FROM offload_metadata " +
         "WHERE frontend_object = ?")
     try {
+      ps.setQueryTimeout(ReadQueryTimeoutSecs)
       ps.setString(1, table)
       val rs = ps.executeQuery()
       if (!rs.next()) None
@@ -333,7 +355,7 @@ final class JdbcMetaRepo private (url: String) {
   /** Tables with a metadata row, sorted (the file backend's directory
     * listing, as a repo query). */
   def listTables(): Seq[String] = readLock.synchronized {
-    val st = readConn.createStatement()
+    val st = readStatement()
     try {
       val rs = st.executeQuery(
         "SELECT frontend_object FROM offload_metadata ORDER BY frontend_object")
@@ -440,7 +462,7 @@ final class JdbcMetaRepo private (url: String) {
   private[meta] def auditRuns(): Seq[CommandAudit.CommandRun] =
     readLock.synchronized {
       import CommandAudit.{ChunkRun, CommandRun, StepRun}
-      val st = readConn.createStatement()
+      val st = readStatement()
       try {
         def optLong(rs: java.sql.ResultSet, col: String): Option[Long] = {
           val v = rs.getLong(col)

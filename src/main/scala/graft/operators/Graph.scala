@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * source node) plus ONE keyed aggregate (contributions by destination).
   * The edge relation is the large side and never moves between
   * iterations once co-partitioned; ranks are node-scale (orders of
-  * magnitude smaller than edges). Lineage is cut per iteration with a
-  * lazy `localCheckpoint`, the same discipline as the iterative
-  * connected-components loop — without it the plan doubles every round.
+  * magnitude smaller than edges). Lineage is cut per iteration with an
+  * EAGER `localCheckpoint` and the superseded snapshot's storage is
+  * released the moment its successor materialises, so the loop holds at
+  * most two rank-sized relations regardless of the iteration count —
+  * without the cut the plan doubles every round; without the release a
+  * K-iteration run retains K node-scale snapshots.
   *
   * Determinism: ranks are e6 fixed-point BIGINTs. A node's contribution
   * is `rank div outdeg` (integer truncation — order-free), and the
@@ -98,7 +101,15 @@ object Graph {
       case None =>
         nodes.select(col("node"), lit(1000000L).as("rank_e6"))
     }
-    iterate(edgesWithDeg, nodes, start, iterations, dampingPct)
+    val result = iterate(edgesWithDeg, nodes, start, iterations,
+      dampingPct)
+    // the eager loop already materialised `result`, so every supporting
+    // checkpoint this call created has had its last read — release them
+    // all and hand back the one self-contained final snapshot
+    if (init.isDefined) release(start)
+    release(nodes)
+    release(edgesWithDeg)
+    result
   }
 
   /** Personalized PageRank: random-walk-with-restart relevance from a
@@ -124,7 +135,14 @@ object Graph {
     val start = flagged.select(col("node"),
       when(col("is_seed"), lit(1000000L)).otherwise(lit(0L))
         .as("rank_e6"))
-    iterate(edgesWithDeg, nodes, start, iterations, dampingPct)
+    val result = iterate(edgesWithDeg, nodes, start, iterations,
+      dampingPct)
+    // nodes and start are projections over the ONE `flagged` checkpoint;
+    // the eager loop materialised `result`, so flagged and the degreed
+    // edges have had their last read
+    release(flagged)
+    release(edgesWithDeg)
+    result
   }
 
   /** Node count below which the rank relation is broadcast into the
@@ -154,21 +172,45 @@ object Graph {
     // passing a raw relation should cut it first (round one reads it
     // three times)
     var cur = pairs.select(col("a"), col("b"))
+    // same checkpoint-lifetime rule as [[iterate]]: eager per-round cut,
+    // and the moment round N's survivors exist, round N−1's snapshot is
+    // released — the peel holds at most two surviving-edge relations,
+    // not one per round. The INPUT relation is never released (it
+    // belongs to the caller, often a [[canonicalPairs]] checkpoint other
+    // consumers still read).
+    var superseded: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val deg = cur.select(col("a").as("node"))
         .unionByName(cur.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("node"))
-      cur = cur
+      val next = cur
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
+      superseded.foreach(release)
+      superseded = Some(next)
+      cur = next
     }
     cur.select(col("a").as("node"))
       .unionByName(cur.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Release a relation WE checkpointed once nothing can read it again.
+    * A checkpointed Dataset's analyzed plan is a single [[
+    * org.apache.spark.sql.execution.LogicalRDD]] leaf over the persisted
+    * RDD; unpersisting that RDD frees its storage blocks. Callers must
+    * pass only relations whose checkpoint THIS object created and whose
+    * last consumer has materialised — releasing a projection over
+    * someone else's checkpoint would free blocks still in use. */
+  private[graft] def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** Out-degrees riding each edge, eagerly materialised: the relation
     * is read once per iteration, and a lazy cut would let the
@@ -195,6 +237,17 @@ object Graph {
       start: DataFrame, iterations: Int, dampingPct: Int): DataFrame = {
     val smallRanks = nodes.count() <= BroadcastNodeLimit
     var ranks = start
+    // Checkpoint LIFETIME rule: the loop holds at most the LIVE rank
+    // snapshot and the one it is computing from. Each iteration's cut is
+    // EAGER (materialised now), so the moment snapshot N exists,
+    // snapshot N−1 has had its last read and its storage is released —
+    // lazy cuts would instead retain every iteration's node-scale
+    // relation until the final action (at 10⁹ nodes, `iterations`
+    // rank-sized resident copies). `start` is never released here: the
+    // cold path's start is a PROJECTION over the `nodes` checkpoint
+    // (read again every iteration), and warm/seeded starts belong to
+    // the caller.
+    var superseded: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val rankSide = if (smallRanks) broadcast(ranks) else ranks
       val contribs = edgesWithDeg
@@ -202,13 +255,16 @@ object Graph {
         .select(col("dst"),
           expr("rank_e6 div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (col("base_e6") +
             expr(s"$dampingPct * coalesce(s, 0L) div 100"))
             .as("rank_e6"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
+      superseded.foreach(release)
+      superseded = Some(next)
+      ranks = next
     }
     ranks
   }

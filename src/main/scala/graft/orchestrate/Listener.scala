@@ -106,6 +106,22 @@ object Listener {
     try os.write(bytes) finally os.close()
   }
 
+  /** Transient metadata-repo contention, anywhere in the cause chain:
+    * Derby lock-wait timeout (40XL1), deadlock victim (40001), or the
+    * read statements' own query timeout (XCL52 — the
+    * [[graft.meta.JdbcMetaRepo.ReadQueryTimeoutSecs]] bound on reads
+    * blocked behind a writer's uncommitted row locks). These retry
+    * cleanly; everything else is a real 500. */
+  private[orchestrate] def isRepoBusy(e: Throwable): Boolean = {
+    val busyStates = Set("40XL1", "40001", "XCL52")
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists {
+        case sq: java.sql.SQLException =>
+          Option(sq.getSQLState).exists(busyStates.contains)
+        case _ => false
+      }
+  }
+
   // minimal flat-JSON field reader (same contract as MetadataStore's)
   private def strField(js: String, key: String): Option[String] =
     ("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
@@ -570,6 +586,16 @@ object Listener {
         case None => respond(ex, 404, """{"detail": "not found"}""")
       }
     } catch {
+      case e: Exception if isRepoBusy(e) =>
+        // embedded Derby has no MVCC: a metadata read blocked behind a
+        // writer's uncommitted row locks surfaces a lock-wait/query
+        // timeout — a TRANSIENT contention state, not a server fault.
+        // 503 + Retry-After tells the client to retry, and keeps lock
+        // contention distinguishable from real 500s in ops dashboards.
+        ex.getResponseHeaders.set("Retry-After", "2")
+        respond(ex, 503,
+          s"""{"detail": "metadata repository busy (lock wait); retry", """ +
+            s""""cause": ${q(String.valueOf(e.getMessage))}}""")
       case e: Exception =>
         respond(ex, 500, s"""{"detail": ${q(String.valueOf(e.getMessage))}}""")
     } finally ex.close()

@@ -886,6 +886,26 @@ object CurationExtras {
         Seq("l_orderkey", "l_linenumber"), perRule = 5)
         .orderBy(col("rule_id"), col("l_orderkey"),
           col("l_linenumber"))
+    },
+
+    // Arbitrary-predicate expectations (dbt's expression_is_true) —
+    // the generalisation a user reaches for when the five built-ins
+    // don't fit, riding the SAME one-aggregate-pass fold. Semantics
+    // pinned here: a row violates unless the predicate is TRUE, so
+    // false AND three-valued NULL both count (the linenumber rule's
+    // nullif makes every first line item unknown — a violation — on
+    // top of the lines beyond 4). The tax rule fails on this data;
+    // the price rule passes.
+    "q267_expression_rules" -> { (s, dir) =>
+      import graft.verify.Expectations._
+      evaluate(s, name => t(s, dir, name), Seq(
+        ExpressionIsTrue("lineitem", "tax_cap", "l_tax <= 0.05"),
+        ExpressionIsTrue("lineitem", "linenumber_window",
+          "nullif(l_linenumber, 1) <= 4"),
+        ExpressionIsTrue("lineitem", "charge_positive",
+          "l_extendedprice > 0"),
+        ExpressionIsTrue("orders", "price_positive",
+          "o_totalprice > 0")))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1594,8 +1614,10 @@ object CurationExtras {
           "o_custkey",
           "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)",
           "orders"),
+        // COUNT(col), not COUNT(*): SQL uniqueness ignores NULL keys,
+        // and the engine excludes null-keyed rows from both sides
         row("unique:orders.o_orderkey", "unique", "orders", "o_orderkey",
-          "COUNT(*) - COUNT(DISTINCT o_orderkey)", "orders"),
+          "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)", "orders"),
         row("accepted_values:orders.o_orderstatus", "accepted_values",
           "orders", "o_orderstatus",
           """SUM(CASE WHEN o_orderstatus IS NOT NULL AND
@@ -1635,7 +1657,7 @@ object CurationExtras {
                  NOT IN ('click','view','purchase')
                THEN 1 ELSE 0 END)""", "events"),
         row("unique:customer.c_custkey", "unique", "customer",
-          "c_custkey", "COUNT(*) - COUNT(DISTINCT c_custkey)",
+          "c_custkey", "COUNT(c_custkey) - COUNT(DISTINCT c_custkey)",
           "customer"))
       s"""SELECT rule_id, rule_type, table_name, column_name, n_rows,
            n_violations, n_violations = 0 AS passed
@@ -1692,5 +1714,28 @@ object CurationExtras {
            UNION ALL SELECT * FROM v2
            UNION ALL SELECT * FROM v3)
          ORDER BY rule_id, l_orderkey, l_linenumber"""
+    },
+
+    "q267_expression_rules" -> {
+      // violation = NOT COALESCE(predicate, FALSE): false and
+      // three-valued NULL both fail the "is true" assertion
+      def row(name: String, tbl: String, pred: String): String =
+        s"""SELECT 'expression:$tbl.$name' AS rule_id,
+             'expression_is_true' AS rule_type,
+             '$tbl' AS table_name, '$name' AS column_name,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN NOT COALESCE($pred, FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+           FROM $tbl"""
+      val rows = Seq(
+        row("tax_cap", "lineitem", "l_tax <= 0.05"),
+        row("linenumber_window", "lineitem",
+          "nullif(l_linenumber, 1) <= 4"),
+        row("charge_positive", "lineitem", "l_extendedprice > 0"),
+        row("price_positive", "orders", "o_totalprice > 0"))
+      s"""SELECT rule_id, rule_type, table_name, column_name, n_rows,
+           n_violations, n_violations = 0 AS passed
+         FROM (${rows.mkString("\nUNION ALL\n")})
+         ORDER BY rule_id"""
     })
 }

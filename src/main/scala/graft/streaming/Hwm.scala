@@ -25,6 +25,30 @@ private[streaming] object Hwm {
     catch { case _: NumberFormatException => -1L }
   }
 
+  /** Discriminate a benign foreachBatch replay from a checkpoint reset.
+    *
+    * Offsets commit per batch, so a legitimate replay can only re-fire
+    * the LAST committed batch — `batchId == committed` is the ONLY
+    * benign skip (returns false: caller no-ops). `batchId` BELOW the
+    * committed HWM means the checkpoint was reset (ids restarted at 0)
+    * or the store is bound to the wrong stream; silently skipping would
+    * turn EVERY future batch into a no-op and drop new data without a
+    * signal (ids climb from 0 toward the old HWM), so fail loudly and
+    * make the operator reset the store or restore the checkpoint — the
+    * [[graft.streaming.StreamingOffload]] discipline, shared by every
+    * HWM-guarded store. Returns true when the batch is new work. */
+  def replayGuard(batchId: Long, committed: Long,
+                  store: String): Boolean = {
+    if (batchId > committed) return true
+    if (batchId == committed) return false
+    throw new IllegalStateException(
+      s"$store: batch id $batchId is below the committed HWM " +
+        s"$committed — the checkpoint was reset (batch ids restart " +
+        "at 0) or this store belongs to another stream. Refusing to " +
+        "skip (that would silently drop every new batch until ids " +
+        "pass the old HWM); reset the store or restore the checkpoint.")
+  }
+
   def write(fs: FileSystem, path: Path, value: Long): Unit = {
     val tmp = new Path(path.getParent, path.getName + ".tmp")
     val out = fs.create(tmp, true)

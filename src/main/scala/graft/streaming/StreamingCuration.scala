@@ -70,7 +70,8 @@ object StreamingCuration {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastBatch(spark, cfg)) return // committed: skip
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming curation")) return // committed replay: skip
     // one-time upgrade of pre-batch_id layouts (mixed-depth leaves wedge
     // partition discovery)
     val lfs = new org.apache.hadoop.fs.Path(cfg.keyIndexPath)

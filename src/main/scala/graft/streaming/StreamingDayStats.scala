@@ -63,7 +63,8 @@ object StreamingDayStats {
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
     // HWM is LOAD-BEARING: day sums are additive, replays double-count
-    if (batchId <= lastBatch(spark, cfg)) return
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming day stats")) return // committed replay: skip
     val fs = new Path(cfg.storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     StreamingHll.recoverSwap(fs, cfg.storeDir, "days")

@@ -111,7 +111,8 @@ object StreamingDedup {
     // fully-committed batches skip on replay; a batch that crashed after
     // some writes but before the HWM falls through and REWRITES its own
     // partitions (dynamic overwrite) — exactly-once either way
-    if (batchId <= lastBatch(spark, cfg)) return
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming dedup")) return // committed replay: skip
     val fresh = Dedup.minhashSignatures(batch, cfg.numHashes)
     val freshBand = bandedWithBucket(fresh, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -59,7 +59,8 @@ object StreamingExpectations {
   def processBatch(batch: DataFrame, batchId: Long,
                    cfg: Config): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastBatch(spark, cfg)) return
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming expectations")) return // committed replay: skip
     val fs = reportsDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // evaluateRelation: ONE aggregate pass for the whole suite even if

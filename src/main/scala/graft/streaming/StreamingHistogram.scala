@@ -77,7 +77,8 @@ object StreamingHistogram {
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
     // HWM is LOAD-BEARING: counts are additive, replays double-count.
-    if (batchId <= lastBatch(spark, cfg)) return
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming histogram")) return // committed replay: skip
     val fs = new Path(cfg.storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     StreamingHll.recoverSwap(fs, cfg.storeDir, "hist")

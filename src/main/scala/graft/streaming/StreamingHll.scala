@@ -69,7 +69,8 @@ object StreamingHll {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastBatch(spark, cfg)) return // replay: skip the work
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming hll")) return // committed replay: skip
     val fs = new Path(cfg.sketchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(fs, cfg.sketchDir, "registers")

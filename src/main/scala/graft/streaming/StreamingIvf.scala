@@ -59,7 +59,8 @@ object StreamingIvf {
                                       cfg: Config): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    if (batchId <= lastBatch(spark, cfg)) return // committed: skip
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming ivf")) return // committed replay: skip
     LegacyLayout.fold(hwmPath(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(cfg.indexPath))

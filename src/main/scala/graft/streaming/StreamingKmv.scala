@@ -48,7 +48,8 @@ object StreamingKmv {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastBatch(spark, cfg)) return // replay: skip the work
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming kmv")) return // committed replay: skip
     val fs = new Path(cfg.sketchDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     StreamingHll.recoverSwap(fs, cfg.sketchDir, "slots")

@@ -100,7 +100,8 @@ object StreamingRank {
                   cfg: Config): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    if (batchId <= lastBatch(spark, cfg)) return
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming rank")) return // committed replay: skip
     graft.sink.Compaction.recover(spark, edgesDir(cfg).toString)
     val fs = edgesDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -215,7 +216,13 @@ object StreamingRank {
       if (fs.exists(old)) fs.rename(old, ranksDir(cfg))
       throw new IllegalStateException("rank refresh: cannot install")
     }
-    fs.delete(old, true)
+    // The aside is NOT deleted here: a concurrent reader that resolved
+    // inside the rename window is still scanning it, and deleting under
+    // an in-flight scan fails the read (FileNotFoundException on the
+    // /api/rank route during every refresh). The previous generation
+    // stays readable until the START of the next refresh — the
+    // fs.delete(old) above — which is seconds-to-hours away, far beyond
+    // any scan; the cost is one retained node-scale generation.
     ()
   }
 

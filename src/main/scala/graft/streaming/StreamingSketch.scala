@@ -60,7 +60,8 @@ object StreamingSketch {
     // check — mistaking an aside-renamed store for "empty" would quietly
     // reset every accumulated count
     StreamingHll.recoverSwap(fs0, cfg.sketchDir, "cells")
-    if (batchId <= lastBatch(spark, cfg)) return // replayed batch: no-op
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming sketch")) return // committed replay: skip
     val fs = fs0
     val cells = new Path(cfg.sketchDir, "cells")
     val fresh = Sketches.countMin(batch, cfg.depth, cfg.hexChars)

@@ -96,7 +96,8 @@ object StreamingTextIndex {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
-    if (batchId <= lastBatch(spark, cfg)) return // replay: skip the work
+    if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
+        "streaming text index")) return // committed replay: skip
     val fs = new Path(cfg.totalsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a crashed compact left the root aside-renamed: restore BEFORE any

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: all single-table rules for one table fold into ONE
   * aggregate pass — each rule is a conditional sum, and uniqueness is
-  * `count(*) − countDistinct(struct(keys))` riding the same aggregate —
-  * so a table with k rules costs one scan, not k. Referential rules are
-  * the only joins: child-distinct keys (aggregate-scale) left-anti the
-  * parent's key column. Violations are COUNTED, not collected; the
-  * report relation is rule-scale.
+  * `count(keys) − countDistinct(keys)` riding the same aggregate — so a
+  * table with k rules costs one scan, not k. Referential rules are the
+  * only joins: child-distinct keys (aggregate-scale) left-anti the
+  * parent's key column. A table touched by BOTH the aggregate pass and
+  * a referential role (child or parent) is read once and shared via a
+  * column-pruned lazy `localCheckpoint`, so a whole (rules + FK) suite
+  * costs ONE scan per table, not one per role. Violations are COUNTED,
+  * not collected; the report relation is rule-scale.
   */
 object Expectations {
 
@@ -57,6 +60,24 @@ object Expectations {
     val ruleType = "ref_integrity"
     val columnDesc: String = column
   }
+  /** Arbitrary-predicate rule (dbt's `expression_is_true`): a row
+    * violates unless `predicate` (a SQL boolean expression over the
+    * table's columns) evaluates to TRUE — false AND three-valued
+    * unknown (NULL) both count as violations, because "is true" is the
+    * assertion and unknown isn't true; a predicate that wants to admit
+    * NULLs says so explicitly (`x IS NULL OR x > 0`). Rides the same
+    * one-pass aggregate fold as the built-ins. The predicate must be
+    * ANSI-safe the way the in-range rule is by construction: Spark 4
+    * runs ANSI mode, so casts over dirty data belong behind `try_cast`/
+    * `try_divide` INSIDE the predicate or the scan aborts instead of
+    * counting. `name` is the rule's stable identity (the predicate text
+    * may be long and may change formatting). */
+  final case class ExpressionIsTrue(table: String, name: String,
+      predicate: String) extends Rule {
+    val id = s"expression:$table.$name"
+    val ruleType = "expression_is_true"
+    val columnDesc: String = name
+  }
 
   /** Violation-count column for a single-table rule (NULL counts as a
     * violation for accepted-values/in-range only when the rule says the
@@ -72,7 +93,20 @@ object Expectations {
     case r @ InRange(_, c, _, _) =>
       sum((col(c).isNotNull && inRangeViolation(r)).cast("long"))
     case Unique(_, cs) =>
-      count(lit(1)) - countDistinct(struct(cs.map(col): _*))
+      // SQL uniqueness ignores NULL keys (a UNIQUE constraint admits
+      // them; COUNT(DISTINCT col) skips them): rows with ANY null key
+      // column are excluded from BOTH sides, so the count matches
+      // `COUNT(col) − COUNT(DISTINCT col)` exactly — a bare
+      // countDistinct(struct(keys)) would instead count the null key as
+      // one more distinct value and diverge on nullable keys. Pair with
+      // NotNull to forbid null keys outright.
+      {
+        val keyed = cs.map(col(_).isNotNull).reduce(_ && _)
+        sum(keyed.cast("long")) -
+          countDistinct(when(keyed, struct(cs.map(col): _*)))
+      }
+    case ExpressionIsTrue(_, _, p) =>
+      sum((!coalesce(expr(p), lit(false))).cast("long"))
     case _: RefIntegrity =>
       throw new IllegalArgumentException("ref rules join, not aggregate")
   }
@@ -99,6 +133,8 @@ object Expectations {
       col(c).isNotNull && !col(c).cast("string").isin(vs: _*)
     case ir @ InRange(_, c, _, _) =>
       col(c).isNotNull && inRangeViolation(ir)
+    case ExpressionIsTrue(_, _, p) =>
+      !coalesce(expr(p), lit(false))
     case other => throw new IllegalArgumentException(
       s"${other.ruleType} is set-level; it has no per-row predicate")
   }
@@ -112,62 +148,141 @@ object Expectations {
       keyCols: Seq[String], perRule: Int): DataFrame = {
     require(rules.nonEmpty && perRule >= 1)
     rules.map { r =>
+      // what to show for the offending row: the rule's column for
+      // column rules; the predicate's (false/NULL) evaluation for
+      // expression rules, whose columnDesc is a rule NAME, not a column
+      val shown = r match {
+        case ExpressionIsTrue(_, _, p) => expr(p).cast("string")
+        case _ => col(r.columnDesc).cast("string")
+      }
       df.filter(violationPredicate(r))
         .select((lit(r.id).as("rule_id") +:
           keyCols.map(col)) :+
-          col(r.columnDesc).cast("string").as("violating_value"): _*)
+          shown.as("violating_value"): _*)
         .orderBy(keyCols.map(col): _*)
         .limit(perRule)
     }.reduce(_ unionByName _)
   }
 
+  /** Columns a rule reads, or None when the read set is not statically
+    * known (expression rules reference arbitrary columns inside SQL
+    * text — pruning would have to parse it, so the table stays
+    * full-width). */
+  private def ruleColumns(r: Rule): Option[Seq[String]] = r match {
+    case NotNull(_, c) => Some(Seq(c))
+    case Unique(_, cs) => Some(cs)
+    case AcceptedValues(_, c, _) => Some(Seq(c))
+    case InRange(_, c, _, _) => Some(Seq(c))
+    case ExpressionIsTrue(_, _, _) => None
+    case r: RefIntegrity => Some(Seq(r.column)) // child role
+  }
+
   /** Evaluate `rules` over `load(tableName)`. Returns one row per rule:
     * `(rule_id, rule_type, table_name, column_name, n_rows,
-    * n_violations, passed)`, ordered by rule_id. */
+    * n_violations, passed)`, ordered by rule_id.
+    *
+    * ONE SCAN PER TABLE: a table read by several consumers — its own
+    * aggregate pass, a ref rule's child-key distinct, a ref rule's
+    * parent-key distinct, the row count a ref-only child needs — is
+    * loaded once, PROJECTED to the union of the columns its rules
+    * actually read, and shared via a lazy `localCheckpoint` so every
+    * consumer reads the same materialised blocks instead of re-scanning
+    * the source. The projection keeps the checkpoint rule-column-wide
+    * (a 100 TB fact checkpoints only its audited columns); every action
+    * completes inside this call, so the checkpoints are released before
+    * returning. Single-consumer tables skip the checkpoint entirely —
+    * the parquet scan with column pruning is already optimal. */
   def evaluate(spark: SparkSession, load: String => DataFrame,
       rules: Seq[Rule]): DataFrame = {
     import spark.implicits._
     require(rules.nonEmpty)
     require(rules.map(_.id).distinct.size == rules.size,
       "duplicate rule ids")
-    val (refRules, aggRules) = rules.partition(_.isInstanceOf[RefIntegrity])
-    // one aggregate pass per table covering all its single-table rules
-    val perTable = aggRules.groupBy(_.table).toSeq.map {
-      case (table, tableRules) =>
-        val df = load(table)
-        val aggs = count(lit(1)).as("_n_rows") +:
-          tableRules.zipWithIndex.map { case (r, i) =>
-            violationCol(r).as(s"_v$i")
-          }
-        val row = df.agg(aggs.head, aggs.tail: _*).head
-        (table, row.getAs[Long]("_n_rows"), tableRules, row)
+    val (refRulesRaw, aggRules) =
+      rules.partition(_.isInstanceOf[RefIntegrity])
+    val refRules = refRulesRaw.collect { case r: RefIntegrity => r }
+    val aggTables = aggRules.map(_.table).toSet
+
+    // consumers per table: its agg pass, each ref role, and the row
+    // count a ref child WITHOUT an agg pass must run separately
+    val uses = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    aggTables.foreach(t => uses(t) += 1)
+    refRules.foreach { r =>
+      uses(r.table) += 1; uses(r.parentTable) += 1
     }
-    val aggReports = perTable.flatMap { case (_, n, tableRules, row) =>
-      tableRules.zipWithIndex.map { case (r, i) =>
-        (r.id, r.ruleType, r.table, r.columnDesc, n,
-          row.getAs[Long](s"_v$i"))
+    refRules.map(_.table).distinct.filterNot(aggTables)
+      .foreach(t => uses(t) += 1)
+
+    // union of the columns all of a table's consumers read; None =
+    // full width (an expression rule is present)
+    def neededColumns(table: String): Option[Seq[String]] = {
+      val reads: Seq[Option[Seq[String]]] =
+        aggRules.filter(_.table == table).map(ruleColumns) ++
+          refRules.filter(_.table == table)
+            .map(r => Option(Seq(r.column))) ++
+          refRules.filter(_.parentTable == table)
+            .map(r => Option(Seq(r.parentColumn)))
+      if (reads.exists(_.isEmpty)) None
+      else Some(reads.flatten.flatten.distinct)
+    }
+
+    val shared = scala.collection.mutable.Map.empty[String, DataFrame]
+    def rel(table: String): DataFrame =
+      shared.getOrElseUpdate(table, {
+        val projected = neededColumns(table) match {
+          case Some(cs) => load(table).select(cs.map(col): _*)
+          case None => load(table)
+        }
+        if (uses(table) > 1) projected.localCheckpoint(false)
+        else projected
+      })
+
+    try {
+      // one aggregate pass per table covering all its single-table rules
+      val perTable = aggRules.groupBy(_.table).toSeq.map {
+        case (table, tableRules) =>
+          val df = rel(table)
+          val aggs = count(lit(1)).as("_n_rows") +:
+            tableRules.zipWithIndex.map { case (r, i) =>
+              violationCol(r).as(s"_v$i")
+            }
+          val row = df.agg(aggs.head, aggs.tail: _*).head
+          (table, row.getAs[Long]("_n_rows"), tableRules, row)
       }
+      val aggReports = perTable.flatMap { case (_, n, tableRules, row) =>
+        tableRules.zipWithIndex.map { case (r, i) =>
+          (r.id, r.ruleType, r.table, r.columnDesc, n,
+            row.getAs[Long](s"_v$i"))
+        }
+      }
+      // the agg pass already counted each covered table's rows — reuse
+      // them so a ref rule on a covered table costs only its anti-join
+      val tableRows = scala.collection.mutable.Map(
+        perTable.map(t => t._1 -> t._2): _*)
+      val refReports = refRules.map { r =>
+        val child = rel(r.table)
+        val n = tableRows.getOrElseUpdate(r.table, child.count())
+        // distinct child keys first: the anti-join runs at key scale
+        val orphans = child.select(col(r.column)).na.drop().distinct()
+          .join(rel(r.parentTable)
+            .select(col(r.parentColumn).as(r.column)).distinct(),
+            Seq(r.column), "left_anti")
+        // orphan KEYS are the violation unit (each missing key is one
+        // defect regardless of its row multiplicity)
+        (r.id, r.ruleType, r.table, r.columnDesc, n, orphans.count())
+      }
+      (aggReports ++ refReports)
+        .toDF("rule_id", "rule_type", "table_name", "column_name",
+          "n_rows", "n_violations")
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy(col("rule_id"))
+    } finally {
+      // every consumer ran its action above; the shared checkpoints
+      // have had their last read (the returned report is a local
+      // relation, independent of them)
+      shared.values.foreach(graft.operators.Graph.release)
     }
-    // the agg pass already counted each covered table's rows — reuse
-    // them so a ref rule on the same table costs only its key anti-join
-    val tableRows = perTable.map(t => t._1 -> t._2).toMap
-    val refReports = refRules.collect { case r: RefIntegrity =>
-      val child = load(r.table)
-      val n = tableRows.getOrElse(r.table, child.count())
-      // distinct child keys first: the anti-join runs at key scale
-      val orphans = child.select(col(r.column)).na.drop().distinct()
-        .join(load(r.parentTable)
-          .select(col(r.parentColumn).as(r.column)).distinct(),
-          Seq(r.column), "left_anti")
-      // orphan KEYS are the violation unit (each missing key is one
-      // defect regardless of its row multiplicity)
-      (r.id, r.ruleType, r.table, r.columnDesc, n, orphans.count())
-    }
-    (aggReports ++ refReports)
-      .toDF("rule_id", "rule_type", "table_name", "column_name",
-        "n_rows", "n_violations")
-      .withColumn("passed", col("n_violations") === 0L)
-      .orderBy(col("rule_id"))
   }
 
   /** Evaluate rules against ONE relation, ignoring the rules' table
@@ -210,6 +325,7 @@ object Expectations {
     * `{"type":"accepted_values","table":"orders","column":"o_orderstatus","values":["O","F"]}`
     * `{"type":"in_range","table":"lineitem","column":"l_discount","lo_e6":0,"hi_e6":100000}`
     * `{"type":"ref","table":"lineitem","column":"l_orderkey","parent_table":"orders","parent_column":"o_orderkey"}`
+    * `{"type":"expression","table":"lineitem","name":"charge_consistent","predicate":"l_extendedprice >= 0 AND l_discount <= 1"}`
     */
   def parseRules(spark: SparkSession, path: String): Seq[Rule] = {
     val rows = spark.read.json(path).collect()
@@ -229,6 +345,8 @@ object Expectations {
           row.getAs[Long]("lo_e6"), row.getAs[Long]("hi_e6"))
         case "ref" => RefIntegrity(str("table"), str("column"),
           str("parent_table"), str("parent_column"))
+        case "expression" => ExpressionIsTrue(str("table"),
+          str("name"), str("predicate"))
         case other =>
           throw new IllegalArgumentException(
             s"unknown rule type: $other${opt("table").fold("")(t => s" (table $t)")}")

@@ -421,4 +421,20 @@ class ListenerSpec extends SparkSpec {
       assert(get(s"$root/api/quality/totals/").statusCode() == 404)
     } finally srv.stop()
   }
+
+  test("repo lock contention maps to 503-retry, not a generic 500: " +
+      "Derby lock/deadlock/query-timeout SQLStates anywhere in the " +
+      "cause chain") {
+    def sql(state: String) = new java.sql.SQLException("boom", state)
+    assert(Listener.isRepoBusy(sql("40XL1")))  // lock wait timeout
+    assert(Listener.isRepoBusy(sql("40001")))  // deadlock victim
+    assert(Listener.isRepoBusy(sql("XCL52")))  // read query timeout
+    // wrapped: the repo surfaces SQLExceptions inside RuntimeExceptions
+    assert(Listener.isRepoBusy(
+      new RuntimeException("wrap", sql("40XL1"))))
+    // everything else stays a real 500
+    assert(!Listener.isRepoBusy(sql("X0Y32")))
+    assert(!Listener.isRepoBusy(new RuntimeException("plain")))
+    assert(!Listener.isRepoBusy(new java.sql.SQLException("no state")))
+  }
 }

@@ -105,6 +105,21 @@ class StreamingExpectationsSpec extends SparkSpec {
     assert(hist === Set(3L, 4L))
   }
 
+  test("a batch id BELOW the committed HWM fails loudly (checkpoint " +
+      "reset / wrong store binding), only == is the benign replay") {
+    val c = cfg(Files.createTempDirectory("sexp_reset").toString)
+    StreamingExpectations.processBatch(batch0.toDF(), 0L, c)
+    StreamingExpectations.processBatch(batch1.toDF(), 1L, c)
+    // == HWM: the one legitimate foreachBatch replay — silent no-op
+    StreamingExpectations.processBatch(batch1.toDF(), 1L, c)
+    // < HWM: ids restarted at 0 — silently skipping would drop every
+    // new batch until ids pass the old HWM, so the store must refuse
+    val ex = intercept[IllegalStateException] {
+      StreamingExpectations.processBatch(batch0.toDF(), 0L, c)
+    }
+    assert(ex.getMessage.contains("below the committed HWM"))
+  }
+
   test("referential rules are rejected at construction") {
     intercept[IllegalArgumentException] {
       StreamingExpectations.Config("x", "y",

@@ -81,6 +81,20 @@ class StreamingRankSpec extends SparkSpec {
     assert(rankMap(c) === coldRanks(stored.toSeq, 5))
   }
 
+  test("a batch id BELOW the committed HWM fails loudly (checkpoint " +
+      "reset / wrong store binding), only == is the benign replay") {
+    val c = cfg(Files.createTempDirectory("srank_reset").toString)
+    StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
+    StreamingRank.ingestBatch(batch1.toDF(), 1L, c)
+    // == HWM: benign replay, silent no-op (covered above); < HWM must
+    // refuse — after a checkpoint reset ids restart at 0 and a silent
+    // skip would drop every new batch until ids pass the old HWM
+    val ex = intercept[IllegalStateException] {
+      StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
+    }
+    assert(ex.getMessage.contains("below the committed HWM"))
+  }
+
   test("compactEdges folds committed batches only, keeps ranks " +
       "reproducible, and drops the per-batch file accretion") {
     val c = cfg(Files.createTempDirectory("srank_compact").toString)
@@ -165,11 +179,30 @@ class StreamingRankSpec extends SparkSpec {
     // writer's install would collide with a resurrected ranks dir)
     assert(rankMap(c) === before)
     assert(!fs.exists(ranksP) && fs.exists(oldP))
-    // the next WRITER heals the crash window
+    // the next WRITER heals the crash window; the aside it moves the
+    // healed generation to is DELIBERATELY retained past the swap (a
+    // concurrent reader inside the rename window may still be scanning
+    // it — deleting under an in-flight scan 500s the /api/rank route),
+    // so after the refresh BOTH generations exist and reads serve the
+    // current one
     StreamingRank.refreshRanks(spark, c)
-    assert(fs.exists(ranksP) && !fs.exists(oldP))
+    assert(fs.exists(ranksP) && fs.exists(oldP),
+      "previous generation must stay readable through the swap window")
     assert(rankMap(c) === coldRanks(
       Seq((1L, 2L), (2L, 3L), (1L, 3L)), 10))
+    // the retained aside holds exactly the PREVIOUS generation…
+    val asideRanks = spark.read.parquet(oldP.toString)
+      .select(col("node"), col("rank_e6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asideRanks === before)
+    // …and the START of the next refresh reclaims it before swapping
+    StreamingRank.refreshRanks(spark, c)
+    val afterThird = spark.read.parquet(oldP.toString)
+      .select(col("node"), col("rank_e6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterThird === coldRanks(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)), 10),
+      "next refresh must reclaim the stale aside, not accumulate")
   }
 
   test("continuous centrality: StreamingDedup's pair stream feeds " +

@@ -38,6 +38,71 @@ class ExpectationsSpec extends SparkSpec {
     assert(got("in_range:t.x") === ((1L, false)))
   }
 
+  test("unique ignores NULL keys on both sides — SQL COUNT(col) − " +
+      "COUNT(DISTINCT col) semantics, not struct-distinct") {
+    // keys (1, 1, null, null, 3): the two null-keyed rows are NOT
+    // violations (a UNIQUE constraint admits them; COUNT(DISTINCT)
+    // skips them) — only the duplicated 1 counts. The old
+    // count(*) − countDistinct(struct(k)) would have reported 2.
+    val df = Seq(Some(1L), Some(1L), None, None, Some(3L)).toDF("k")
+    val got = evaluate(spark, Map("t" -> df),
+      Seq(Unique("t", Seq("k")))).head
+    assert(got.getAs[Long]("n_violations") === 1L)
+    // multi-column: a row with ANY null key column is excluded
+    val multi = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("a")),  // real dup
+      (Some(1L), None), (Some(1L), None),            // null-keyed ×2
+      (None, Some("a"))).toDF("k", "v")
+    val got2 = evaluate(spark, Map("t" -> multi),
+      Seq(Unique("t", Seq("k", "v")))).head
+    assert(got2.getAs[Long]("n_violations") === 1L)
+  }
+
+  test("expression_is_true: false and three-valued NULL both violate; " +
+      "counts are exact and ride the one-pass fold") {
+    val df = Seq(
+      (Some(5L), Some(10L)),   // 5 <= 10: passes
+      (Some(20L), Some(10L)),  // 20 <= 10: false — violation
+      (None, Some(10L)),       // NULL <= 10 is unknown — violation
+      (Some(1L), None)         // 1 <= NULL is unknown — violation
+    ).toDF("a", "b")
+    val got = evaluate(spark, Map("t" -> df), Seq(
+      ExpressionIsTrue("t", "a_le_b", "a <= b"),
+      // a predicate admitting NULLs must say so explicitly
+      ExpressionIsTrue("t", "a_le_b_or_null",
+        "a IS NULL OR b IS NULL OR a <= b")))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Long]("n_violations")).toMap
+    assert(got("expression:t.a_le_b") === 3L)
+    assert(got("expression:t.a_le_b_or_null") === 1L)
+    // the row-level predicate agrees (sampled rows really violate)
+    val rows = sampleViolations(df,
+      Seq(ExpressionIsTrue("t", "a_le_b", "a <= b")),
+      Seq("b"), perRule = 10).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(r =>
+      Option(r.getAs[String]("violating_value")).forall(_ == "false")))
+  }
+
+  test("one scan per table: a (rules + FK) suite loads each table " +
+      "exactly once, child and parent keys riding the shared read") {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    val tables = Map(
+      "c" -> Seq(Some(1L), Some(9L), Some(9L), None).toDF("fk"),
+      "p" -> parents)
+    val load: String => org.apache.spark.sql.DataFrame = { t =>
+      counts(t) += 1; tables(t)
+    }
+    val out = evaluate(spark, load, Seq(
+      NotNull("c", "fk"),
+      RefIntegrity("c", "fk", "p", "pk"),
+      Unique("p", Seq("pk"))))
+    assert(out.count() === 3L)
+    assert(counts("c") === 1, "child table loaded more than once")
+    assert(counts("p") === 1, "parent table loaded more than once")
+  }
+
   test("in_range survives un-castable values and counts them as " +
       "violations (ANSI cast would abort the scan)") {
     val nasty = Seq("0.05", "N/A", "9999999999999.0", "0.2")
@@ -83,13 +148,15 @@ class ExpectationsSpec extends SparkSpec {
       """{"type":"unique","table":"t","columns":["k","v"]}""",
       """{"type":"accepted_values","table":"t","column":"v","values":["a","b"]}""",
       """{"type":"in_range","table":"t","column":"x","lo_e6":0,"hi_e6":100000}""",
-      """{"type":"ref","table":"t","column":"k","parent_table":"p","parent_column":"pk"}"""))
+      """{"type":"ref","table":"t","column":"k","parent_table":"p","parent_column":"pk"}""",
+      """{"type":"expression","table":"t","name":"k_pos","predicate":"k > 0"}"""))
     val rules = parseRules(spark, f.toString)
     assert(rules.toSet === Set(
       NotNull("t", "k"), Unique("t", Seq("k", "v")),
       AcceptedValues("t", "v", Seq("a", "b")),
       InRange("t", "x", 0L, 100000L),
-      RefIntegrity("t", "k", "p", "pk")))
+      RefIntegrity("t", "k", "p", "pk"),
+      ExpressionIsTrue("t", "k_pos", "k > 0")))
   }
 
   test("sampleViolations: every sampled row actually violates its " +

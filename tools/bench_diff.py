@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Diff two graft.Bench per-query artifacts (bench/last_run.json schema).
+
+The one-line stdout JSON the driver captures is a LOG TAIL and has
+truncated mid-map two rounds running; the bench now persists its own
+complete artifact per run (and rotates the previous one to
+last_run_prev.json), so every regression is adjudicable from the repo
+alone. This tool renders the round-over-round comparison for COVERAGE.
+
+Usage: python3 tools/bench_diff.py [PREV] [CURR] [--threshold X]
+  defaults: PREV=bench/last_run_prev.json CURR=bench/last_run.json
+  threshold: only report queries whose median moved by more than X×
+             (default 1.5) AND by more than 0.2 s absolute.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a
+                        else sys.argv[sys.argv.index(a) + 1])
+    prev_path = args[0] if len(args) > 0 else "bench/last_run_prev.json"
+    curr_path = args[1] if len(args) > 1 else "bench/last_run.json"
+    prev, curr = load(prev_path), load(curr_path)
+    pq = {k: v["median_sec"] for k, v in prev["queries"].items()
+          if "error" not in v}
+    cq = {k: v["median_sec"] for k, v in curr["queries"].items()
+          if "error" not in v}
+    shared = sorted(set(pq) & set(cq))
+    added = sorted(set(cq) - set(pq))
+    removed = sorted(set(pq) - set(cq))
+    print(f"prev: {prev_path} total={prev['total_sec']}s "
+          f"n={prev['n_queries']} sf={prev['sf']}")
+    print(f"curr: {curr_path} total={curr['total_sec']}s "
+          f"n={curr['n_queries']} sf={curr['sf']}")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    moved = []
+    for k in shared:
+        a, b = pq[k], cq[k]
+        ratio = b / a if a > 0 else float("inf")
+        if (ratio > thr or ratio < 1 / thr) and abs(b - a) > 0.2:
+            moved.append((ratio, k, a, b))
+    if not moved:
+        print(f"no per-query move beyond {thr}x and 0.2s "
+              f"({len(shared)} shared queries)")
+        return
+    print(f"moved beyond {thr}x and 0.2s ({len(moved)}/{len(shared)}):")
+    for ratio, k, a, b in sorted(moved, key=lambda t: -t[0]):
+        arrow = "SLOWER" if ratio > 1 else "faster"
+        print(f"  {k}: {a:.3f}s -> {b:.3f}s ({ratio:.2f}x {arrow})")
+
+
+if __name__ == "__main__":
+    main()
