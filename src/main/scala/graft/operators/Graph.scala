@@ -198,6 +198,58 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Fixed-round synchronous label propagation over an undirected
+    * canonical pair relation `(a, b)` — COMMUNITY ASSIGNMENT, the
+    * companion to the modularity scorer (q255 scores a GIVEN partition;
+    * this finds one). `label₀(v) = v`; each round, every node
+    * simultaneously adopts the most frequent label among its
+    * neighbours, ties broken by the SMALLEST label. States are pure
+    * integers and the update is synchronous, so the result is
+    * bit-identical under any partitioning AND expressible as unrolled
+    * SQL (the PageRank/k-core oracle discipline — no e6 arithmetic even
+    * needed). A fixed `rounds` keeps it deterministic; LPA's label
+    * count collapses geometrically, so a handful of rounds carries the
+    * community structure.
+    *
+    * Scale shape: each round is ONE edge ⋈ labels join plus two keyed
+    * aggregates ((dst, label) frequency, then per-dst argmax via a
+    * struct max — both partial-aggregatable, so the shuffles are
+    * key-scale after map-side combine). Labels are node-scale; the
+    * edge relation never moves once checkpointed. Same checkpoint
+    * lifetime rule as [[iterate]]. Returns `(node, label)`. */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val sym = pairs
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    // seed labels are OUR checkpoint: releasable once round 1 lands
+    var superseded: Option[DataFrame] = Some(labels)
+    for (_ <- 1 to rounds) {
+      val freq = sym
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax(cnt), tie → min(label): max over (cnt, −label) structs
+      // compares field-by-field, so the largest count wins and among
+      // equals the largest −label — i.e. the smallest label — does
+      val next = freq.groupBy(col("dst"))
+        .agg(max(struct(col("cnt"),
+          (-col("label")).as("neg_label"))).as("m"))
+        .select(col("dst").as("node"),
+          (-col("m.neg_label")).as("label"))
+        .localCheckpoint(true)
+      superseded.foreach(release)
+      superseded = Some(next)
+      labels = next
+    }
+    release(sym)
+    labels
+  }
+
   /** Release a relation WE checkpointed once nothing can read it again.
     * A checkpointed Dataset's analyzed plan is a single [[
     * org.apache.spark.sql.execution.LogicalRDD]] leaf over the persisted

@@ -153,6 +153,27 @@ object GraphQueries {
           col("rank_e6"))
         .orderBy(col("rank_e6").desc, col("part_key"))
         .limit(20)
+    },
+
+    // Community ASSIGNMENT over the co-purchase graph: four rounds of
+    // deterministic synchronous label propagation (most frequent
+    // neighbour label, ties to the smallest) — the partition FINDER
+    // pairing with q255's modularity scorer of a given partition. Pure
+    // integer labels, synchronous update → bit-identical under any
+    // partitioning and unrollable as SQL. Output is the community
+    // summary relation (size + id span), largest first.
+    "q268_copurchase_communities" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = Graph.canonicalPairs(li, "l_orderkey", "l_partkey")
+      Graph.labelPropagation(pairs, rounds = 4)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("node")).as("min_member"),
+          max(col("node")).as("max_member"))
+        .filter(col("n_members") >= 3)
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(30)
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -188,6 +209,20 @@ object GraphQueries {
        edges AS (SELECT s.src, s.dst, d.outdeg
          FROM sym s JOIN deg d ON s.src = d.src),
        nodes AS (SELECT src AS node FROM deg)"""
+
+  /** One label-propagation round as SQL: per-destination neighbour-label
+    * frequencies, argmax by (count DESC, label ASC) — exactly the
+    * engine's max(struct(cnt, −label)) tie-break. MATERIALIZED for the
+    * same inline-expansion reason as the peel rounds. */
+  private def lpaStepSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (SELECT dst AS node, label FROM (
+         SELECT f.dst, f.label,
+           ROW_NUMBER() OVER (PARTITION BY f.dst
+             ORDER BY f.cnt DESC, f.label) AS rk
+         FROM (SELECT e.dst, l.label, COUNT(*) AS cnt
+               FROM sym e JOIN $prev l ON e.src = l.node
+               GROUP BY e.dst, l.label) f)
+       WHERE rk = 1)"""
 
   /** One k-core peel round as SQL (k = 4). MATERIALIZED is load-bearing:
     * DuckDB inlines plain CTEs per reference, and each round references
@@ -294,5 +329,18 @@ object GraphQueries {
          FROM r5 p JOIN part pt ON p.node = pt.p_partkey
          WHERE pt.p_brand <> (SELECT min(p_brand) FROM part)
            AND p.r > 0
-         ORDER BY rank_e6 DESC, part_key LIMIT 20""")
+         ORDER BY rank_e6 DESC, part_key LIMIT 20""",
+
+    "q268_copurchase_communities" ->
+      s"""WITH $GraphCtes,
+         l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+         ${lpaStepSql("l0", "l1")},
+         ${lpaStepSql("l1", "l2")},
+         ${lpaStepSql("l2", "l3")},
+         ${lpaStepSql("l3", "l4")}
+         SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_member, MAX(node) AS max_member
+         FROM l4 GROUP BY label HAVING COUNT(*) >= 3
+         ORDER BY n_members DESC, community LIMIT 30""")
 }

@@ -195,4 +195,65 @@ class GraphSpec extends SparkSpec {
     assert(ranks.sameElements(ranks.sortBy(-_)))
     assert(ranks.forall(_ >= 150000L))
   }
+
+  /** Single-threaded synchronous LPA — the executable definition the
+    * distributed operator must match bit-for-bit: most frequent
+    * neighbour label, ties to the smallest label. */
+  private def referenceLpa(pairs: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    val sym = pairs ++ pairs.map { case (a, b) => (b, a) }
+    val neighbors = sym.groupBy(_._2)
+      .map { case (dst, es) => dst -> es.map(_._1) }
+    var labels: Map[Long, Long] =
+      sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = neighbors.map { case (node, ns) =>
+        val freq = ns.map(labels).groupBy(identity)
+          .map { case (l, xs) => l -> xs.size }
+        // max count, then min label
+        node -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation matches the single-threaded reference " +
+      "bit-for-bit and is partitioning-invariant") {
+    // two triangles bridged by one edge: labels collapse within each
+    // triangle; the tie-breaks are exercised by the symmetric degrees
+    val pairs = rawEdges
+    val ref = referenceLpa(pairs, 4)
+    val one = Graph.labelPropagation(pairs.toDF("a", "b").coalesce(1), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Graph.labelPropagation(
+      pairs.toDF("a", "b").repartition(7), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === ref)
+    assert(many === ref)
+    // every node is labeled, labels are node ids
+    assert(one.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(one.values.toSet.subsetOf(one.keySet))
+  }
+
+  test("labelPropagation tie-break: on a square (all ties) every node " +
+      "adopts its smallest neighbour — deterministic, not arbitrary") {
+    // 4-cycle 1-2-3-4: each node has two neighbours with distinct
+    // labels (count tie every round) — the min-label rule must win
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val got = Graph.labelPropagation(square.toDF("a", "b"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referenceLpa(square, 3))
+  }
+
+  test("q268 output: community sizes descending, members >= 3, span " +
+      "consistent") {
+    val out = graft.queries.GraphQueries
+      .defs("q268_copurchase_communities")(spark, sf("sf0.001"))
+      .collect()
+    assert(out.nonEmpty && out.length <= 30)
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.sameElements(sizes.sortBy(-(_: Long))))
+    assert(sizes.forall(_ >= 3L))
+    assert(out.forall(r => r.getLong(2) <= r.getLong(3)))
+  }
 }
