@@ -66,6 +66,19 @@ object Bpe {
           Delim + m.merged + Delim)))
     }
 
+  /** Vocabulary row count at or below which the merge loop runs on ONE
+    * partition. The loop is 30+ sequential driver-synced rounds whose
+    * per-round DATA is Zipf-small (the distinct-token vocabulary), so
+    * round cost is dominated by scheduling: 32 explode tasks + a pair
+    * shuffle per round to aggregate a relation one task handles in
+    * milliseconds. Below this limit the vocabulary is materialised as a
+    * single partition and each round is a one-task stage feeding an
+    * AQE-coalesced single-reducer argmax — the same measured-cutoff
+    * discipline as [[Graph.BroadcastNodeLimit]]. A 256k-type vocabulary
+    * explodes to a few million pair rows, comfortably one task; a
+    * 100 TB corpus with a larger vocabulary keeps the parallel path. */
+  val SinglePartitionVocabLimit: Long = 262144L
+
   /** Train `rounds` merges over the whitespace-token vocabulary of
     * `docs(textCol)`. Tokens containing the sentinel are excluded (none
     * exist in text corpora; the filter makes the contract explicit).
@@ -80,9 +93,21 @@ object Bpe {
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .select(initialRep(col("tok")).as("rep"), col("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one count materialises the persist AND decides the loop layout
+    val small = vocab.count() <= SinglePartitionVocabLimit
+    // superseded checkpoints released per the two-resident rule
+    // ([[Graph.iterate]]); the merge list is the output, so every
+    // checkpoint is disposable once the loop ends
+    var cut: Option[DataFrame] = None
     try {
+      var rep: DataFrame =
+        if (small) {
+          val one = vocab.coalesce(1).localCheckpoint(true)
+          vocab.unpersist()
+          cut = Some(one)
+          one
+        } else vocab
       val out = Seq.newBuilder[Merge]
-      var rep = vocab
       var r = 1
       var exhausted = false
       while (r <= rounds && !exhausted) {
@@ -105,13 +130,21 @@ object Bpe {
           // 8 rounds so plan size (and re-execution from the corpus scan)
           // stays bounded when callers train real vocab sizes. The
           // vocabulary relation is Zipf-small, so the materialisation is
-          // metadata-scale.
-          if (r % 8 == 0) rep = rep.localCheckpoint(true)
+          // metadata-scale; the superseded snapshot is released at once.
+          if (r % 8 == 0) {
+            val next = rep.localCheckpoint(true)
+            cut.foreach(Graph.release)
+            cut = Some(next)
+            rep = next
+          }
           r += 1
         }
       }
       out.result()
-    } finally vocab.unpersist()
+    } finally {
+      cut.foreach(Graph.release)
+      vocab.unpersist()
+    }
   }
 
   /** [[train]] as a DataFrame (the q119 query surface). */
