@@ -233,11 +233,13 @@ object Cli {
           // listen --meta <dir> [--port N] [--token T]
           //        [--quality-dir <StreamingExpectations store>]
           //        [--rank-dir <StreamingRank store>]
+          //        [--events-dir <table dir with events.parquet>]
           val srv = graft.orchestrate.Listener.start(spark, opts("meta"),
             port = opts.get("port").map(_.toInt).getOrElse(0),
             token = opts.get("token"),
             qualityDir = opts.get("quality-dir"),
-            rankDir = opts.get("rank-dir"))
+            rankDir = opts.get("rank-dir"),
+            eventsDir = opts.get("events-dir"))
           println(s"listening on http://127.0.0.1:${srv.port}")
           // foreground server: block until interrupted
           Thread.currentThread().join()

@@ -173,7 +173,10 @@ object Listener {
             // paths over HTTP)
             qualityDir: Option[String] = None,
             // a StreamingRank store to serve under /api/rank
-            rankDir: Option[String] = None): Server = {
+            rankDir: Option[String] = None,
+            // a table dir with events.parquet to serve the
+            // sessionization gap sweep under /api/sessions
+            eventsDir: Option[String] = None): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // the default executor is the single dispatcher thread — an open SSE
     // stream would starve every other route; hand requests to a pool
@@ -359,6 +362,55 @@ object Listener {
               .map(r => s"""{"node": ${r.getLong(0)}, """ +
                 s""""rank_e6": ${r.getLong(1)}}""")
             respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
+      },
+
+      route("GET", "/api/sessions/sweep/{gaps}",
+        "session_window gap sweep: per gap-minutes session stats") {
+        (ex, params) =>
+        eventsDir match {
+          case None =>
+            respond(ex, 404, """{"detail": "no events dir configured"}""")
+          case Some(dir) =>
+            // bounded sweep: each gap is one sessionization pass over
+            // the events table, so the parameter list is clamped (≤ 8
+            // gaps, 1–1440 min) — an HTTP caller can widen the sweep,
+            // never turn it into an unbounded scan loop
+            val gaps = params.head.split(',').toSeq
+              .flatMap(g => scala.util.Try(g.trim.toInt).toOption)
+              .filter(g => g >= 1 && g <= 1440).distinct.sorted.take(8)
+            if (gaps.isEmpty)
+              respond(ex, 422,
+                """{"detail": "gaps must be 1-1440 minutes, comma-separated"}""")
+            else {
+              // event_id rides along: the session assignment's window
+              // orders by (ts, event_id) for a deterministic tie-break
+              val ev = graft.Tables.load(spark, dir, "events")
+                .select(org.apache.spark.sql.functions.col("user_id"),
+                  org.apache.spark.sql.functions.col("ts"),
+                  org.apache.spark.sql.functions.col("event_id"))
+              val rows = gaps.map { g =>
+                val r = graft.streaming.Events.sessionizeBatch(ev, g)
+                  .agg(
+                    org.apache.spark.sql.functions.count(
+                      org.apache.spark.sql.functions.lit(1))
+                      .as("n_sessions"),
+                    org.apache.spark.sql.functions.sum(
+                      org.apache.spark.sql.functions.col("n_events"))
+                      .as("n_events"),
+                    org.apache.spark.sql.functions.max(
+                      org.apache.spark.sql.functions.col("n_events"))
+                      .as("max_events")).head
+                val nS = r.getLong(0)
+                val nE = if (r.isNullAt(1)) 0L else r.getLong(1)
+                val mx = if (r.isNullAt(2)) 0L else r.getLong(2)
+                val meanE2 = if (nS > 0) 100L * nE / nS else 0L
+                s"""{"gap_minutes": $g, "n_sessions": $nS, """ +
+                  s""""n_events": $nE, "max_session_events": $mx, """ +
+                  s""""mean_events_per_session_e2": $meanE2}"""
+              }
+              respond(ex, 200, rows.mkString("[", ", ", "]"))
+            }
         }
       },
 

@@ -420,6 +420,68 @@ object DsShapes {
           sum(col("qty_e2")).cast("long").as("hot_qty_e2"))
         .orderBy(col("n_hot_parts").desc, col("l_suppkey"))
         .limit(20)
+    },
+
+    // Silent store buyers by demographic (TPC-DS Q69's exact shape —
+    // EXISTS one activity, NOT EXISTS another, demographic breakdown —
+    // run ACROSS datasets: the exists probe is the order fact's store
+    // channel, the not-exists probe is the behavioural event stream's
+    // purchase events; a same-fact channel split would be near-empty
+    // here because every customer spans all three derived channels).
+    // Both probes are distinct key-scale relations semi/anti-joined
+    // against the customer dimension — never a fact re-scan.
+    "q269_silent_store_buyers" -> { (s, dir) =>
+      val e2 = (col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+      val storeBuyers = t(s, dir, "orders")
+        .filter(channelCol === "store")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val purchasers = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("c_custkey")).distinct()
+      t(s, dir, "customer")
+        .join(storeBuyers, Seq("c_custkey"), "left_semi")
+        .join(purchasers, Seq("c_custkey"), "left_anti")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(e2).as("acctbal_e2"),
+          min(e2).as("min_acctbal_e2"),
+          max(e2).as("max_acctbal_e2"))
+        .orderBy(col("n_name"), col("c_mktsegment"))
+    },
+
+    // Buying AND event-active customers by demographic (TPC-DS Q35's
+    // shape: EXISTS purchases AND EXISTS activity, with within-group
+    // sub-population counts). The behavioural axis joins the EVENTS
+    // stream to the order fact through the customer key — the
+    // cross-dataset demographic report the star schema alone can't
+    // express. Purchaser flag rides a left join of a distinct key
+    // relation, counted inside the same aggregate pass.
+    "q270_demographic_activity" -> { (s, dir) =>
+      val e2 = (col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+      val buyers = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val ev = t(s, dir, "events")
+        .select(col("user_id").as("c_custkey"), col("event_type"))
+      val eventers = ev.select(col("c_custkey")).distinct()
+      val purchasers = ev.filter(col("event_type") === "purchase")
+        .select(col("c_custkey")).distinct()
+        .withColumn("is_purchaser", lit(1L))
+      t(s, dir, "customer")
+        .join(buyers, Seq("c_custkey"), "left_semi")
+        .join(eventers, Seq("c_custkey"), "left_semi")
+        .join(purchasers, Seq("c_custkey"), "left_outer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(coalesce(col("is_purchaser"), lit(0L)))
+            .as("n_purchasers"),
+          sum(e2).as("acctbal_e2"))
+        .orderBy(col("n_name"), col("c_mktsegment"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -642,5 +704,41 @@ object DsShapes {
          SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_hot_parts,
            CAST(SUM(qty_e2) AS BIGINT) AS hot_qty_e2
          FROM li JOIN hot USING (l_partkey)
-         GROUP BY 1 ORDER BY n_hot_parts DESC, l_suppkey LIMIT 20""")
+         GROUP BY 1 ORDER BY n_hot_parts DESC, l_suppkey LIMIT 20""",
+
+    "q269_silent_store_buyers" ->
+      s"""WITH sb AS (SELECT DISTINCT o_custkey AS c_custkey
+           FROM orders WHERE $ChannelSql = 'store'),
+         pe AS (SELECT DISTINCT user_id AS c_custkey FROM events
+           WHERE event_type = 'purchase')
+         SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+             AS acctbal_e2,
+           CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+             AS min_acctbal_e2,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+             AS max_acctbal_e2
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_custkey IN (SELECT c_custkey FROM sb)
+           AND c_custkey NOT IN (SELECT c_custkey FROM pe)
+         GROUP BY 1, 2 ORDER BY n_name, c_mktsegment""",
+
+    "q270_demographic_activity" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS c_custkey
+           FROM orders),
+         eventers AS (SELECT DISTINCT user_id AS c_custkey FROM events),
+         purchasers AS (SELECT DISTINCT user_id AS c_custkey,
+             CAST(1 AS BIGINT) AS is_purchaser
+           FROM events WHERE event_type = 'purchase')
+         SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(COALESCE(is_purchaser, 0)) AS BIGINT)
+             AS n_purchasers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+             AS acctbal_e2
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN purchasers USING (c_custkey)
+         WHERE c_custkey IN (SELECT c_custkey FROM buyers)
+           AND c_custkey IN (SELECT c_custkey FROM eventers)
+         GROUP BY 1, 2 ORDER BY n_name, c_mktsegment""")
 }

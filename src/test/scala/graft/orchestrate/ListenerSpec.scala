@@ -422,6 +422,41 @@ class ListenerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sessions sweep route: per-gap session stats, sessions " +
+      "monotonically non-increasing in the gap; 404 unconfigured, " +
+      "422 on garbage gaps") {
+    val base = java.nio.file.Files
+      .createTempDirectory("lst_sweep").toString
+    val srv = Listener.start(spark, s"$base/meta",
+      eventsDir = Some(sf("sf0.001")))
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val ok = get(s"$root/api/sessions/sweep/5,60,15/")
+      assert(ok.statusCode() == 200)
+      // gaps echo back sorted; a LARGER gap can only merge sessions,
+      // so n_sessions is non-increasing across 5 → 15 → 60
+      val gaps = "\"gap_minutes\": (\\d+)".r
+        .findAllMatchIn(ok.body()).map(_.group(1).toInt).toSeq
+      assert(gaps === Seq(5, 15, 60))
+      val ns = "\"n_sessions\": (\\d+)".r
+        .findAllMatchIn(ok.body()).map(_.group(1).toLong).toSeq
+      assert(ns.length === 3 && ns.forall(_ >= 1L))
+      assert(ns(0) >= ns(1) && ns(1) >= ns(2))
+      // total event count is gap-independent (sessions partition events)
+      val ne = "\"n_events\": (\\d+)".r
+        .findAllMatchIn(ok.body()).map(_.group(1).toLong).toSeq
+      assert(ne.toSet.size === 1)
+      assert(get(s"$root/api/sessions/sweep/zz/").statusCode() == 422)
+      // route-table docs list it
+      assert(get(s"$root/api/docs/").body()
+        .contains("/api/sessions/sweep/{gaps}"))
+    } finally srv.stop()
+    val bare = Listener.start(spark, s"$base/meta2")
+    try assert(get(s"http://127.0.0.1:${bare.port}" +
+      "/api/sessions/sweep/30/").statusCode() == 404)
+    finally bare.stop()
+  }
+
   test("repo lock contention maps to 503-retry, not a generic 500: " +
       "Derby lock/deadlock/query-timeout SQLStates anywhere in the " +
       "cause chain") {

@@ -262,4 +262,42 @@ class DsShapesSpec extends SparkSpec {
       .select(col("l_partkey")).distinct().count()
     assert(recount === top.getAs[Long]("n_hot_parts"))
   }
+
+  test("q269: silent store buyers are exactly store buyers minus " +
+      "purchase-eventers; min/max bracket the group") {
+    val out = DsShapes.defs2("q269_silent_store_buyers")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n_customers") >= 1L))
+    assert(out.forall(r => r.getAs[Long]("min_acctbal_e2") <=
+      r.getAs[Long]("max_acctbal_e2")))
+    // cross-check the total against direct set arithmetic
+    val storeBuyers = graft.Tables.load(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val purchasers = graft.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("n_customers")).sum ===
+      (storeBuyers -- purchasers).size.toLong)
+  }
+
+  test("q270: purchaser sub-population never exceeds the group and " +
+      "every grouped customer both buys and fires events") {
+    val out = DsShapes.defs2("q270_demographic_activity")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n_purchasers") <=
+      r.getAs[Long]("n_customers")))
+    val buyers = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val eventers = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("n_customers")).sum ===
+      (buyers & eventers).size.toLong)
+  }
 }
