@@ -92,8 +92,17 @@ object Bench {
       case (name, _, (_, None), s) if reps > 1 => name -> s
     }
 
+    // control characters must be escaped too: error strings carry raw
+    // exception text (tabs are common in analysis exceptions) and an
+    // unescaped control char makes the persisted artifact invalid JSON
+    // exactly in the failed-query rounds it exists to adjudicate
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
     // Millisecond precision keeps the one-line JSON short enough that log
     // tail capture retains the whole line, "metric":"total" included.
     // Locale.ROOT: a comma-decimal default locale would corrupt the JSON.
@@ -130,9 +139,9 @@ object Bench {
     // query so git diffs are per-query, previous artifact rotated to
     // *_prev.json so a round can always diff itself against the last
     // run without depending on any log capture.
-    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_OUT", "bench/last_run.json"))
     try {
+      val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "bench/last_run.json"))
       Option(outPath.getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
       if (java.nio.file.Files.exists(outPath)) {
@@ -167,9 +176,9 @@ object Bench {
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"""{"metric":"artifact","path":${jstr(outPath.toString)}}""")
     } catch {
-      // the artifact is an audit aid; a read-only working dir must not
-      // fail the bench itself
-      case e: java.io.IOException =>
+      // the artifact is an audit aid; a read-only working dir or a
+      // malformed SPARK_GRAFT_BENCH_OUT must not fail the bench itself
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench artifact not written: ${e.getMessage}")
     }
     spark.stop()

@@ -709,8 +709,11 @@ object DsShapes {
     "q269_silent_store_buyers" ->
       s"""WITH sb AS (SELECT DISTINCT o_custkey AS c_custkey
            FROM orders WHERE $ChannelSql = 'store'),
+         -- user_id IS NOT NULL keeps NOT IN three-valued-safe: one NULL
+         -- key would turn every NOT IN into UNKNOWN (zero rows) while
+         -- the engine's anti-join just ignores null keys
          pe AS (SELECT DISTINCT user_id AS c_custkey FROM events
-           WHERE event_type = 'purchase')
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL)
          SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
              AS acctbal_e2,

@@ -22,12 +22,23 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    raw = sys.argv[1:]
+    args = []
     thr = 1.5
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(raw):
+        a = raw[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a
-                        else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(raw):
+                    sys.exit("--threshold needs a value")
+                thr = float(raw[i + 1])
+                i += 1  # consume the value, it is not a positional path
+        else:
+            args.append(a)
+        i += 1
     prev_path = args[0] if len(args) > 0 else "bench/last_run_prev.json"
     curr_path = args[1] if len(args) > 1 else "bench/last_run.json"
     prev, curr = load(prev_path), load(curr_path)
