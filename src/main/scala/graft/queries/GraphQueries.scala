@@ -174,6 +174,33 @@ object GraphQueries {
         .filter(col("n_members") >= 3)
         .orderBy(col("n_members").desc, col("community"))
         .limit(30)
+    },
+
+    // Template families in the near-duplicate graph: label propagation
+    // over the banded LSH candidate pairs groups documents into
+    // variant families (each family = one template and its mutations) —
+    // the community view of the same relation q264 ranks and q65's
+    // connected components merely partitions by reachability: LPA keeps
+    // weakly-bridged families apart where CC would fuse them through
+    // one chance collision. Edges come from the bucketed dedup path,
+    // never all-pairs.
+    "q271_dedup_communities" -> { (s, dir) =>
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs, PipelineQueries.NumHashes),
+          PipelineQueries.NumHashes, PipelineQueries.Bands)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+        .distinct()
+        .localCheckpoint(false)
+      Graph.labelPropagation(pairs, rounds = 4)
+        .groupBy(col("label").as("family"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("node")).as("min_doc"),
+          max(col("node")).as("max_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("family"))
+        .limit(40)
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -342,5 +369,24 @@ object GraphQueries {
            CAST(COUNT(*) AS BIGINT) AS n_members,
            MIN(node) AS min_member, MAX(node) AS max_member
          FROM l4 GROUP BY label HAVING COUNT(*) >= 3
-         ORDER BY n_members DESC, community LIMIT 30""")
+         ORDER BY n_members DESC, community LIMIT 30""",
+
+    "q271_dedup_communities" ->
+      s"""WITH ${PipelineQueries.shingleCte},
+         ${PipelineQueries.minhashSigSql}, ${PipelineQueries.bandSql},
+         pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y USING (band, band_key)
+           WHERE x.doc_id < y.doc_id),
+         sym AS (SELECT a AS src, b AS dst FROM pairs
+           UNION ALL SELECT b, a FROM pairs),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+           FROM sym),
+         ${lpaStepSql("l0", "l1")},
+         ${lpaStepSql("l1", "l2")},
+         ${lpaStepSql("l2", "l3")},
+         ${lpaStepSql("l3", "l4")}
+         SELECT label AS family, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(node) AS min_doc, MAX(node) AS max_doc
+         FROM l4 GROUP BY label HAVING COUNT(*) >= 2
+         ORDER BY n_docs DESC, family LIMIT 40""")
 }

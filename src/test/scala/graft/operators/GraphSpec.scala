@@ -245,6 +245,29 @@ class GraphSpec extends SparkSpec {
     assert(got === referenceLpa(square, 3))
   }
 
+  test("LPA keeps weakly-bridged cliques apart where reachability " +
+      "would fuse them: two triangles over one bridge get two labels") {
+    val got = Graph.labelPropagation(rawEdges.toDF("a", "b"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one connected component, but TWO communities: each triangle
+    // converges to its own label (the bridge carries one vote, the
+    // intra-triangle majority carries two)
+    assert(got.values.toSet.size === 2)
+    assert(Set(got(1L), got(2L), got(3L)).size === 1)
+    assert(Set(got(4L), got(5L), got(6L)).size === 1)
+  }
+
+  test("q271 output: family sizes descending, >= 2 docs each, id " +
+      "span consistent") {
+    val out = graft.queries.GraphQueries
+      .defs("q271_dedup_communities")(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty && out.length <= 40)
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.sameElements(sizes.sortBy(-(_: Long))))
+    assert(sizes.forall(_ >= 2L))
+    assert(out.forall(r => r.getLong(2) <= r.getLong(3)))
+  }
+
   test("q268 output: community sizes descending, members >= 3, span " +
       "consistent") {
     val out = graft.queries.GraphQueries
