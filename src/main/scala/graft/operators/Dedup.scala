@@ -259,7 +259,10 @@ object Dedup {
     // localCheckpoint per round (same precedent as connectedComponents):
     // without it the rank lineage nests one join-agg layer per round and
     // re-executes from the source at every action — fine at 3 rounds,
-    // quadratic re-work when a caller raises `rounds`.
+    // quadratic re-work when a caller raises `rounds`. Superseded round
+    // snapshots are released at once (the Graph.iterate lifetime rule);
+    // the seed rank is a projection over `nodes` and is never released.
+    var superseded: Option[DataFrame] = None
     (1 to rounds).foreach { _ =>
       val contrib = edges
         .join(outdeg, "src")
@@ -267,10 +270,13 @@ object Dedup {
         .select(col("dst").as("doc_id"),
           expr("(85 * (rank div deg)) div 100").as("c"))
         .groupBy(col("doc_id")).agg(sum(col("c")).as("in_sum"))
-      rank = nodes.join(contrib, Seq("doc_id"), "left")
+      val next = nodes.join(contrib, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
         .localCheckpoint(true)
+      superseded.foreach(graft.operators.Graph.release)
+      superseded = Some(next)
+      rank = next
     }
     rank
   }
@@ -510,6 +516,10 @@ object Dedup {
       val changed = next.withColumnRenamed("label", "new_label")
         .join(labels, Seq("id"))
         .filter(col("new_label") =!= col("label")).count()
+      // the changed-count above was the old snapshot's LAST read —
+      // release it so the loop holds two node-scale relations, not one
+      // per round (the Graph.iterate lifetime rule)
+      graft.operators.Graph.release(labels)
       labels = next
       converged = changed == 0
       i += 1

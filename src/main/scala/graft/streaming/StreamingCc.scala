@@ -78,6 +78,10 @@ object StreamingCc {
           col("a.new_root").isNotNull.as("moved"))
         .localCheckpoint(true)
       done = step.filter(col("moved")).isEmpty
+      // step is materialised: the previous hop's snapshot had its last
+      // read and is released (the Graph.iterate lifetime rule — at most
+      // two merge-event-scale relations resident, not one per hop)
+      graft.operators.Graph.release(closed)
       closed = step.drop("moved")
       i += 1
     }
