@@ -892,6 +892,22 @@ object Cli {
             .collect()
             .foreach(r => println(s"${r.getLong(0)}\t${r.getLong(1)}"))
 
+        case "community-refresh" =>
+          // Cold fixed-round LPA over the committed edge set (the same
+          // store rank-merge ingests — one graph, two maintained views):
+          //   community-refresh --store <dir> [--rounds 4] [--top 20]
+          val cfg = graft.streaming.StreamingRank.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt")
+          graft.streaming.StreamingCommunities.refresh(spark, cfg,
+            rounds = opts.getOrElse("rounds", "4").toInt)
+          graft.streaming.StreamingCommunities.summary(spark, cfg)
+            .limit(opts.getOrElse("top", "20").toInt)
+            .collect()
+            .foreach(r => println(
+              s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
+                s"${r.getLong(3)}"))
+
         case "rank-compact" =>
           // Fold the edge store's per-batch partitions (the store's
           // persisted bucket layout is preserved):

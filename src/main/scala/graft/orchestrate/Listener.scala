@@ -365,6 +365,28 @@ object Listener {
         }
       },
 
+      route("GET", "/api/communities/top/{n}",
+        "largest communities from the incremental label store") {
+        (ex, params) =>
+        rankDir match {
+          case None =>
+            respond(ex, 404, """{"detail": "no rank store configured"}""")
+          case Some(dir) =>
+            val n = math.min(1000, math.max(1,
+              scala.util.Try(params.head.toInt).getOrElse(20)))
+            val cfg = graft.streaming.StreamingRank.Config(
+              storeDir = dir, checkpointDir = dir + "/_ckpt")
+            val rows = graft.streaming.StreamingCommunities
+              .summary(spark, cfg)
+              .limit(n).collect()
+              .map(r => s"""{"community": ${r.getLong(0)}, """ +
+                s""""n_members": ${r.getLong(1)}, """ +
+                s""""min_member": ${r.getLong(2)}, """ +
+                s""""max_member": ${r.getLong(3)}}""")
+            respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
+      },
+
       route("GET", "/api/sessions/sweep/{gaps}",
         "session_window gap sweep: per gap-minutes session stats") {
         (ex, params) =>

@@ -60,6 +60,68 @@ private[streaming] object Hwm {
   }
 }
 
+/** Swap-managed relation directory: temp write + two renames install a
+  * new generation atomically, with crash recovery and swap-tolerant
+  * reads. The contract, spec-pinned on the rank store and shared by the
+  * community store:
+  *   - WRITERS heal: [[recover]] runs before an install (a crash between
+  *     the two renames leaves the aside but no current — rename it back).
+  *   - READERS never heal: [[resolveForRead]] serves the aside when the
+  *     current dir is missing (a reader landing inside a LIVE writer's
+  *     rename window must not rename the aside back mid-install).
+  *   - The aside is RETAINED through the swap and reclaimed at the start
+  *     of the NEXT install: deleting it at swap end would fail a
+  *     concurrent reader still scanning the previous generation. */
+private[streaming] object SwapDir {
+
+  def current(storeDir: String, name: String): Path =
+    new Path(storeDir, name)
+  def aside(storeDir: String, name: String): Path =
+    new Path(storeDir, name + "__old")
+
+  /** Writer-side crash recovery: current missing + aside present. */
+  def recover(fs: FileSystem, storeDir: String, name: String): Unit = {
+    val cur = current(storeDir, name)
+    val old = aside(storeDir, name)
+    if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
+      throw new IllegalStateException(s"$name swap recovery failed: $old")
+  }
+
+  /** Read-side resolution — current, else the aside, else nothing; no
+    * filesystem mutation ever. */
+  def resolveForRead(fs: FileSystem, storeDir: String,
+                     name: String): Option[Path] = {
+    val cur = current(storeDir, name)
+    if (fs.exists(cur)) Some(cur)
+    else {
+      val old = aside(storeDir, name)
+      if (fs.exists(old)) Some(old) else None
+    }
+  }
+
+  /** Write `df` as the new generation of `storeDir/name`. The previous
+    * generation moves to the aside and STAYS there (deferred reclaim —
+    * see the object doc). */
+  def install(spark: org.apache.spark.sql.SparkSession,
+              df: org.apache.spark.sql.DataFrame,
+              storeDir: String, name: String): Unit = {
+    val cur = current(storeDir, name)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(storeDir, name + "__tmp")
+    fs.delete(tmp, true)
+    df.write.parquet(tmp.toString)
+    val old = aside(storeDir, name)
+    fs.delete(old, true)
+    if (fs.exists(cur) && !fs.rename(cur, old))
+      throw new IllegalStateException(s"$name install: cannot move aside")
+    if (!fs.rename(tmp, cur)) {
+      if (fs.exists(old)) fs.rename(old, cur)
+      throw new IllegalStateException(s"$name install: cannot install")
+    }
+    ()
+  }
+}
+
 /** Shared guard for the maintenance folds ([[StreamingDedup.compactIndex]],
   * [[StreamingIvf.compactIndex]], [[StreamingTextIndex.compact]]): only
   * COMMITTED batches may fold into `batch_id=-1`, i.e. `batch_id <= HWM`

@@ -152,35 +152,15 @@ object StreamingRank {
       .select(col("a"), col("b"))
   }
 
-  /** Crash recovery for [[refreshRanks]]'s swap: a death between the two
-    * renames leaves ranks__old but no ranks. */
-  private def recoverRanks(fs: org.apache.hadoop.fs.FileSystem,
-                           cfg: Config): Unit = {
-    val cur = ranksDir(cfg)
-    val old = new Path(cfg.storeDir, "ranks__old")
-    if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
-      throw new IllegalStateException(s"rank swap recovery failed: $old")
-  }
-
   /** Current rank relation `(node, rank_e6)`; empty before the first
-    * refresh. READ-ONLY — deliberately no swap recovery: a concurrent
-    * reader (the listener's /api/rank route) landing inside
-    * [[refreshRanks]]'s rename window must not rename the aside
-    * directory back while the refresher is mid-install (that either
-    * aborts the refresh or strands the new ranks). Inside the window
-    * the previous ranks are served from the aside; a crash that LEAVES
-    * the aside is healed by the next writer ([[refreshRanks]] calls
-    * the recovery). */
+    * refresh. READ-ONLY — the [[SwapDir]] contract: readers never heal
+    * (a concurrent reader landing inside [[refreshRanks]]'s rename
+    * window serves the aside and must not rename it back mid-install);
+    * a crash that LEAVES the aside is healed by the next writer. */
   def ranks(spark: SparkSession, cfg: Config): DataFrame = {
     val fs = ranksDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir =
-      if (fs.exists(ranksDir(cfg))) Some(ranksDir(cfg))
-      else {
-        val old = new Path(cfg.storeDir, "ranks__old")
-        if (fs.exists(old)) Some(old) else None
-      }
-    dir match {
+    SwapDir.resolveForRead(fs, cfg.storeDir, "ranks") match {
       case Some(d) => spark.read.parquet(d.toString)
         .select(col("node"), col("rank_e6"))
       case None => spark.emptyDataFrame
@@ -190,12 +170,14 @@ object StreamingRank {
 
   /** Run `Config.iterations` power steps over the committed edge set,
     * warm-started from the stored ranks, and atomically install the
-    * result. Idempotent per edge-state only in the fixpoint sense —
-    * each call advances the iteration count; see the class doc. */
+    * result ([[SwapDir]] — writer heals, aside retained through the
+    * swap for concurrent readers). Idempotent per edge-state only in
+    * the fixpoint sense — each call advances the iteration count; see
+    * the class doc. */
   def refreshRanks(spark: SparkSession, cfg: Config): Unit = {
     val fs = ranksDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverRanks(fs, cfg)
+    SwapDir.recover(fs, cfg.storeDir, "ranks")
     val pairs = edges(spark, cfg)
     if (pairs.isEmpty) return
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -205,25 +187,7 @@ object StreamingRank {
       else None
     val next = Graph.pageRankFrom(sym, init, cfg.iterations,
       cfg.dampingPct)
-    val tmp = new Path(cfg.storeDir, "ranks__tmp")
-    fs.delete(tmp, true)
-    next.write.parquet(tmp.toString)
-    val old = new Path(cfg.storeDir, "ranks__old")
-    fs.delete(old, true)
-    if (fs.exists(ranksDir(cfg)) && !fs.rename(ranksDir(cfg), old))
-      throw new IllegalStateException("rank refresh: cannot move aside")
-    if (!fs.rename(tmp, ranksDir(cfg))) {
-      if (fs.exists(old)) fs.rename(old, ranksDir(cfg))
-      throw new IllegalStateException("rank refresh: cannot install")
-    }
-    // The aside is NOT deleted here: a concurrent reader that resolved
-    // inside the rename window is still scanning it, and deleting under
-    // an in-flight scan fails the read (FileNotFoundException on the
-    // /api/rank route during every refresh). The previous generation
-    // stays readable until the START of the next refresh — the
-    // fs.delete(old) above — which is seconds-to-hours away, far beyond
-    // any scan; the cost is one retained node-scale generation.
-    ()
+    SwapDir.install(spark, next, cfg.storeDir, "ranks")
   }
 
   /** Fold committed edge batches into one `batch_id=-1` partition per

@@ -528,6 +528,31 @@ class CliSpec extends SparkSpec {
     assert(ranks(3L) > ranks(4L))
   }
 
+  test("community-refresh maintains the label view over the same " +
+      "edge store rank-merge ingests") {
+    val store = java.nio.file.Files
+      .createTempDirectory("commcli").toString
+    val pairs = java.nio.file.Files.createTempDirectory("commpairs")
+      .toString + "/pairs.parquet"
+    import spark.implicits._
+    // two triangles over one bridge
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(pairs)
+    val cap = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap, true, "UTF-8")) {
+      Cli.main(Array("rank-merge", "--pairs", pairs, "--store", store,
+        "--batch-id", "0", "--buckets", "4", "--no-refresh"))
+      Cli.main(Array("community-refresh", "--store", store,
+        "--rounds", "4", "--top", "5"))
+    }
+    // summary lines: community\tn_members\tmin\tmax — two 3-node families
+    val fams = cap.toString("UTF-8").linesIterator
+      .filter(_.count(_ == '\t') == 3)
+      .map(_.split("\t")(1).toLong).toSeq
+    assert(fams === Seq(3L, 3L))
+  }
+
   test("hist-merge and hist-quantiles serve bounded percentiles") {
     val store = java.nio.file.Files.createTempDirectory("histcli").toString
     val docs = sf("sf0.001") + "/documents.parquet"

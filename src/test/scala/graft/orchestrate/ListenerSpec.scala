@@ -422,6 +422,34 @@ class ListenerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("communities route serves the label store's largest families " +
+      "off the same rank store dir") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("lst_comm").toString
+    val c = graft.streaming.StreamingRank.Config(
+      storeDir = s"$base/rank", checkpointDir = s"$base/ckpt",
+      buckets = 4)
+    graft.streaming.StreamingRank.ingestBatch(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("id_a", "id_b"), 0L, c)
+    graft.streaming.StreamingCommunities.refresh(spark, c)
+    val srv = Listener.start(spark, s"$base/meta",
+      rankDir = Some(s"$base/rank"))
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val top = get(s"$root/api/communities/top/5/")
+      assert(top.statusCode() == 200)
+      // bridged triangles -> exactly two 3-member families
+      assert(top.body().count(_ == '}') == 2)
+      assert("\"n_members\": (\\d+)".r
+        .findAllMatchIn(top.body()).map(_.group(1).toInt).toSeq
+        === Seq(3, 3))
+      assert(get(s"$root/api/docs/").body()
+        .contains("/api/communities/top/{n}"))
+    } finally srv.stop()
+  }
+
   test("sessions sweep route: per-gap session stats, sessions " +
       "monotonically non-increasing in the gap; 404 unconfigured, " +
       "422 on garbage gaps") {
