@@ -106,6 +106,20 @@ object Listener {
     try os.write(bytes) finally os.close()
   }
 
+  /** The ONE store-binding convention for a StreamingRank store dir —
+    * the rank and community routes and the `rank-*`/`community-*` CLI
+    * commands must all derive the checkpoint dir identically. */
+  private[graft] def rankStoreCfg(dir: String)
+      : graft.streaming.StreamingRank.Config =
+    graft.streaming.StreamingRank.Config(
+      storeDir = dir, checkpointDir = dir + "/_ckpt")
+
+  /** Clamp a route's `{n}` parameter to [1, 1000] (default 20): an HTTP
+    * caller sizes the page, never the collect. */
+  private def clampTopN(params: Seq[String]): Int =
+    math.min(1000, math.max(1,
+      scala.util.Try(params.head.toInt).getOrElse(20)))
+
   /** Transient metadata-repo contention, anywhere in the cause chain:
     * Derby lock-wait timeout (40XL1), deadlock victim (40001), or the
     * read statements' own query timeout (XCL52 — the
@@ -350,15 +364,12 @@ object Listener {
           case None =>
             respond(ex, 404, """{"detail": "no rank store configured"}""")
           case Some(dir) =>
-            val n = math.min(1000, math.max(1,
-              scala.util.Try(params.head.toInt).getOrElse(20)))
-            val cfg = graft.streaming.StreamingRank.Config(
-              storeDir = dir, checkpointDir = dir + "/_ckpt")
-            val rows = graft.streaming.StreamingRank.ranks(spark, cfg)
+            val rows = graft.streaming.StreamingRank
+              .ranks(spark, rankStoreCfg(dir))
               .orderBy(org.apache.spark.sql.functions
                   .col("rank_e6").desc,
                 org.apache.spark.sql.functions.col("node"))
-              .limit(n).collect()
+              .limit(clampTopN(params)).collect()
               .map(r => s"""{"node": ${r.getLong(0)}, """ +
                 s""""rank_e6": ${r.getLong(1)}}""")
             respond(ex, 200, rows.mkString("[", ", ", "]"))
@@ -372,13 +383,9 @@ object Listener {
           case None =>
             respond(ex, 404, """{"detail": "no rank store configured"}""")
           case Some(dir) =>
-            val n = math.min(1000, math.max(1,
-              scala.util.Try(params.head.toInt).getOrElse(20)))
-            val cfg = graft.streaming.StreamingRank.Config(
-              storeDir = dir, checkpointDir = dir + "/_ckpt")
             val rows = graft.streaming.StreamingCommunities
-              .summary(spark, cfg)
-              .limit(n).collect()
+              .summary(spark, rankStoreCfg(dir))
+              .limit(clampTopN(params)).collect()
               .map(r => s"""{"community": ${r.getLong(0)}, """ +
                 s""""n_members": ${r.getLong(1)}, """ +
                 s""""min_member": ${r.getLong(2)}, """ +

@@ -21,6 +21,21 @@ object GraphQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The near-duplicate candidate graph as canonical pairs `(a, b)` —
+    * the banded minhash join (q28's relation), shared by the centrality
+    * (q264) and community (q271) views. `lshCandidates` already returns
+    * a distinct pair relation, so no re-dedup; the checkpoint lets both
+    * the symmetrisation orientations read one materialisation. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.lshCandidates(
+        Dedup.minhashSignatures(t(s, dir, "documents"),
+          PipelineQueries.NumHashes),
+        PipelineQueries.NumHashes, PipelineQueries.Bands)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint(false)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PageRank over the part co-purchase graph: parts are linked when
@@ -94,14 +109,7 @@ object GraphQueries {
     // banded minhash join (q28's relation), so the graph build is the
     // bucketed dedup path — never all-pairs.
     "q264_dedup_centrality" -> { (s, dir) =>
-      import graft.operators.Dedup
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.lshCandidates(
-          Dedup.minhashSignatures(docs, PipelineQueries.NumHashes),
-          PipelineQueries.NumHashes, PipelineQueries.Bands)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
-        .distinct()
-        .localCheckpoint(false)
+      val pairs = lshPairs(s, dir)
       val edges = pairs
         .select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"),
@@ -185,15 +193,7 @@ object GraphQueries {
     // one chance collision. Edges come from the bucketed dedup path,
     // never all-pairs.
     "q271_dedup_communities" -> { (s, dir) =>
-      import graft.operators.Dedup
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.lshCandidates(
-          Dedup.minhashSignatures(docs, PipelineQueries.NumHashes),
-          PipelineQueries.NumHashes, PipelineQueries.Bands)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
-        .distinct()
-        .localCheckpoint(false)
-      Graph.labelPropagation(pairs, rounds = 4)
+      Graph.labelPropagation(lshPairs(s, dir), rounds = 4)
         .groupBy(col("label").as("family"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("node")).as("min_doc"),

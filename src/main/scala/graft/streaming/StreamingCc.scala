@@ -53,13 +53,10 @@ object StreamingCc {
   /** Crash recovery for [[compact]]'s aside-rename: a death between the
     * two renames leaves labels__old but no labels — without this, every
     * reader would silently see an EMPTY store and the next merge would
-    * discard the entire component history. */
-  private def recoverLabels(fs: FileSystem, cfg: Config): Unit = {
-    val cur = labelsRoot(cfg)
-    val old = new Path(cfg.storeDir, "labels__old")
-    if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
-      throw new IllegalStateException(s"cc swap recovery failed: $old")
-  }
+    * discard the entire component history. The mechanics are the shared
+    * [[SwapDir]] contract (writers heal; readers never do). */
+  private def recoverLabels(fs: FileSystem, cfg: Config): Unit =
+    SwapDir.recover(fs, cfg.storeDir, "labels")
 
   /** Transitive closure of the alias relation: (old_root, final_root).
     * Runs entirely on the merge-event-sized relation. */
@@ -67,6 +64,10 @@ object StreamingCc {
                                       maxChase: Int): DataFrame = {
     var closed = aliases.select(col("old_root"), col("new_root"))
       .localCheckpoint(true)
+    // the release must target the CHECKPOINTED step itself: `closed`
+    // after hop one is a Project over it, which Graph.release's
+    // bare-LogicalRDD match deliberately ignores
+    var prevCut: org.apache.spark.sql.DataFrame = closed
     var i = 0
     var done = false
     while (!done && i < maxChase) {
@@ -81,7 +82,8 @@ object StreamingCc {
       // step is materialised: the previous hop's snapshot had its last
       // read and is released (the Graph.iterate lifetime rule — at most
       // two merge-event-scale relations resident, not one per hop)
-      graft.operators.Graph.release(closed)
+      graft.operators.Graph.release(prevCut)
+      prevCut = step
       closed = step.drop("moved")
       i += 1
     }

@@ -38,6 +38,10 @@ object StreamingCommunities {
     if (pairs.isEmpty) return
     val next = Graph.labelPropagation(pairs, rounds)
     SwapDir.install(spark, next, cfg.storeDir, "labels")
+    // the parquet install was the checkpointed result's last read; a
+    // long-lived refresher (listener / cron) must not pin one
+    // node-scale RDD per refresh
+    Graph.release(next)
   }
 
   /** Current `(node, label)` assignment; empty before the first

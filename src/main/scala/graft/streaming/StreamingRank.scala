@@ -188,6 +188,9 @@ object StreamingRank {
     val next = Graph.pageRankFrom(sym, init, cfg.iterations,
       cfg.dampingPct)
     SwapDir.install(spark, next, cfg.storeDir, "ranks")
+    // the parquet install was the checkpointed result's last read; a
+    // long-lived refresher must not pin one node-scale RDD per refresh
+    Graph.release(next)
   }
 
   /** Fold committed edge batches into one `batch_id=-1` partition per
