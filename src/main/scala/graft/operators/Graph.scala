@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph analytics over edge relations.
@@ -109,6 +109,37 @@ object Graph {
     if (init.isDefined) release(start)
     release(nodes)
     release(edgesWithDeg)
+    result
+  }
+
+  /** Weighted PageRank over `(src, dst, w)` with integer weights
+    * `w ≥ 1`: a node splits its rank across out-edges PROPORTIONALLY to
+    * weight — `contrib = (rank · w) div W_src` with `W_src = Σw` — the
+    * realistic variant when edges carry co-occurrence counts instead of
+    * mere existence (a part pair bought together 50 times should pull
+    * 50× the rank of a one-off). Same determinism contract as
+    * [[pageRank]]: the per-edge product lifts to DECIMAL(38,0) before
+    * the truncating division (`rank_e6 · w` overflows BIGINT on heavy
+    * edges), the per-edge quotient is ≤ rank_e6 so the summed
+    * contributions stay in BIGINT, and integer sums commute — so the
+    * result is bit-identical under any partitioning and the DuckDB
+    * oracle unrolls with HUGEINT `//`. With all weights 1 this equals
+    * plain [[pageRank]] exactly (spec-pinned). */
+  def weightedPageRank(edges: DataFrame, iterations: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val base = (100 - dampingPct).toLong * 10000L
+    val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val edgesW = edges.join(wdeg, "src").localCheckpoint(true)
+    val nodes = wdeg.select(col("src").as("node"),
+        lit(base).as("base_e6"))
+      .localCheckpoint(true)
+    val start = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+    val result = iterate(edgesW, nodes, start, iterations, dampingPct,
+      expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
+              AS BIGINT)"""))
+    release(nodes)
+    release(edgesW)
     result
   }
 
@@ -286,7 +317,8 @@ object Graph {
     * the shuffle join the 10⁹-node graph needs — the engine's own
     * measured-join discipline applied to its own iterative operator. */
   private def iterate(edgesWithDeg: DataFrame, nodes: DataFrame,
-      start: DataFrame, iterations: Int, dampingPct: Int): DataFrame = {
+      start: DataFrame, iterations: Int, dampingPct: Int,
+      contribution: Column = expr("rank_e6 div outdeg")): DataFrame = {
     val smallRanks = nodes.count() <= BroadcastNodeLimit
     var ranks = start
     // Checkpoint LIFETIME rule: the loop holds at most the LIVE rank
@@ -304,8 +336,7 @@ object Graph {
       val rankSide = if (smallRanks) broadcast(ranks) else ranks
       val contribs = edgesWithDeg
         .join(rankSide, col("src") === col("node"))
-        .select(col("dst"),
-          expr("rank_e6 div outdeg").as("contrib"))
+        .select(col("dst"), contribution.as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
       val next = nodes
         .join(contribs, col("node") === col("dst"), "left_outer")

@@ -192,6 +192,31 @@ object GraphQueries {
     // weakly-bridged families apart where CC would fuse them through
     // one chance collision. Edges come from the bucketed dedup path,
     // never all-pairs.
+    // Weighted co-purchase PageRank: edges carry the CO-ORDER COUNT —
+    // a pair bought together 50 times pulls 50× the rank of a one-off,
+    // which is what separates catalogue staples from chance adjacency
+    // (q251's unweighted rank treats both alike). Contribution =
+    // (rank·w) div Σw in DECIMAL(38,0) — exact, order-free, and the
+    // per-edge quotient is bounded by the rank, so sums stay BIGINT.
+    "q272_weighted_copurchase_rank" -> { (s, dir) =>
+      val g = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      val pairs = g.toDF("g", "a")
+        .join(g.toDF("g", "b"), "g")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"),
+          col("w"))
+        .unionByName(pairs.select(col("b").as("src"),
+          col("a").as("dst"), col("w")))
+      Graph.weightedPageRank(sym, iterations = 5)
+        .select(col("node").as("part_key"), col("rank_e6"))
+        .orderBy(col("rank_e6").desc, col("part_key"))
+        .limit(20)
+    },
+
     "q271_dedup_communities" -> { (s, dir) =>
       Graph.labelPropagation(lshPairs(s, dir), rounds = 4)
         .groupBy(col("label").as("family"))
@@ -250,6 +275,18 @@ object GraphQueries {
                FROM sym e JOIN $prev l ON e.src = l.node
                GROUP BY e.dst, l.label) f)
        WHERE rk = 1)"""
+
+  /** One WEIGHTED PageRank step as SQL: per-edge (rank·w) // wout in
+    * HUGEINT — the engine's DECIMAL(38,0) lift — summed by destination. */
+  private def wStepSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT n.node,
+         150000 + (85 * COALESCE(s.s, 0)) // 100 AS r
+       FROM wnodes n LEFT JOIN (
+         SELECT e.dst AS node,
+           SUM(CAST((CAST(p.r AS HUGEINT) * e.w) // e.wout AS BIGINT))
+             AS s
+         FROM wedges e JOIN $prev p ON e.src = p.node
+         GROUP BY 1) s ON n.node = s.node)"""
 
   /** One k-core peel round as SQL (k = 4). MATERIALIZED is load-bearing:
     * DuckDB inlines plain CTEs per reference, and each round references
@@ -370,6 +407,29 @@ object GraphQueries {
            MIN(node) AS min_member, MAX(node) AS max_member
          FROM l4 GROUP BY label HAVING COUNT(*) >= 3
          ORDER BY n_members DESC, community LIMIT 30""",
+
+    "q272_weighted_copurchase_rank" ->
+      s"""WITH wpairs AS (SELECT la.l_partkey AS a,
+           lb.l_partkey AS b, COUNT(*) AS w
+         FROM lineitem la JOIN lineitem lb
+           ON la.l_orderkey = lb.l_orderkey
+          AND la.l_partkey < lb.l_partkey
+         GROUP BY 1, 2),
+         wsym AS (SELECT a AS src, b AS dst, w FROM wpairs
+           UNION ALL SELECT b, a, w FROM wpairs),
+         wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+           FROM wsym GROUP BY 1),
+         wedges AS (SELECT s.src, s.dst, s.w, d.wout
+           FROM wsym s JOIN wdeg d ON s.src = d.src),
+         wnodes AS (SELECT src AS node FROM wdeg),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM wnodes),
+         ${wStepSql("r0", "r1")},
+         ${wStepSql("r1", "r2")},
+         ${wStepSql("r2", "r3")},
+         ${wStepSql("r3", "r4")},
+         ${wStepSql("r4", "r5")}
+         SELECT node AS part_key, CAST(r AS BIGINT) AS rank_e6
+         FROM r5 ORDER BY rank_e6 DESC, part_key LIMIT 20""",
 
     "q271_dedup_communities" ->
       s"""WITH ${PipelineQueries.shingleCte},

@@ -196,6 +196,55 @@ class GraphSpec extends SparkSpec {
     assert(ranks.forall(_ >= 150000L))
   }
 
+  /** Single-threaded weighted PageRank — contribution (rank·w)/W_src
+    * with integer truncation, the executable definition the weighted
+    * operator must match bit-for-bit. */
+  private def referenceWeightedPageRank(
+      edges: Seq[(Long, Long, Long)],
+      iterations: Int): Map[Long, Long] = {
+    val wout = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).sum
+    }
+    val nodes = wout.keySet
+    var rank: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iterations) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) =>
+          (BigInt(rank(s)) * w / wout(s)).toLong
+        }.sum
+      }
+      rank = nodes.map { n =>
+        n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)
+      }.toMap
+    }
+    rank
+  }
+
+  test("weightedPageRank matches the single-threaded weighted " +
+      "reference; heavier edges pull more rank") {
+    // triangle with one heavy edge 1-2 (w=10) vs light edges (w=1)
+    val raw = Seq((1L, 2L, 10L), (1L, 3L, 1L), (2L, 3L, 1L))
+    val sym = raw ++ raw.map { case (a, b, w) => (b, a, w) }
+    val got = Graph.weightedPageRank(
+      sym.toDF("src", "dst", "w"), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referenceWeightedPageRank(sym, 5))
+    // 1 and 2 exchange most of their mass over the heavy edge and
+    // starve 3 below the uniform rank
+    assert(got(3L) < 1000000L && got(1L) > got(3L) && got(2L) > got(3L))
+  }
+
+  test("weightedPageRank with all weights 1 equals plain pageRank " +
+      "bit-for-bit") {
+    val w1 = symEdges.map { case (a, b) => (a, b, 1L) }
+    val weighted = Graph.weightedPageRank(
+      w1.toDF("src", "dst", "w"), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.pageRank(symEdges.toDF("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted === plain)
+  }
+
   /** Single-threaded synchronous LPA — the executable definition the
     * distributed operator must match bit-for-bit: most frequent
     * neighbour label, ties to the smallest label. */
