@@ -217,6 +217,30 @@ object GraphQueries {
         .limit(20)
     },
 
+    // Weighted community assignment: neighbours vote with their
+    // co-order count, so a 50×-bought-together pair pulls labels 50×
+    // harder than a chance adjacency — the vote-weight upgrade to
+    // q268's unweighted communities, mirroring q272's upgrade to
+    // q251's rank.
+    "q273_weighted_communities" -> { (s, dir) =>
+      val g = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
+      val pairs = g.toDF("g", "a")
+        .join(g.toDF("g", "b"), "g")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
+      Graph.weightedLabelPropagation(pairs, rounds = 4)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("node")).as("min_member"),
+          max(col("node")).as("max_member"))
+        .filter(col("n_members") >= 3)
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(30)
+    },
+
     "q271_dedup_communities" -> { (s, dir) =>
       Graph.labelPropagation(lshPairs(s, dir), rounds = 4)
         .groupBy(col("label").as("family"))
@@ -273,6 +297,18 @@ object GraphQueries {
              ORDER BY f.cnt DESC, f.label) AS rk
          FROM (SELECT e.dst, l.label, COUNT(*) AS cnt
                FROM sym e JOIN $prev l ON e.src = l.node
+               GROUP BY e.dst, l.label) f)
+       WHERE rk = 1)"""
+
+  /** One WEIGHTED label-propagation round as SQL: votes are SUM(w)
+    * over `wsym` edges, same (votes DESC, label ASC) tie-break. */
+  private def wLpaStepSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (SELECT dst AS node, label FROM (
+         SELECT f.dst, f.label,
+           ROW_NUMBER() OVER (PARTITION BY f.dst
+             ORDER BY f.cnt DESC, f.label) AS rk
+         FROM (SELECT e.dst, l.label, CAST(SUM(e.w) AS BIGINT) AS cnt
+               FROM wsym e JOIN $prev l ON e.src = l.node
                GROUP BY e.dst, l.label) f)
        WHERE rk = 1)"""
 
@@ -430,6 +466,27 @@ object GraphQueries {
          ${wStepSql("r4", "r5")}
          SELECT node AS part_key, CAST(r AS BIGINT) AS rank_e6
          FROM r5 ORDER BY rank_e6 DESC, part_key LIMIT 20""",
+
+    "q273_weighted_communities" ->
+      s"""WITH wpairs AS (SELECT la.l_partkey AS a,
+           lb.l_partkey AS b, COUNT(*) AS w
+         FROM lineitem la JOIN lineitem lb
+           ON la.l_orderkey = lb.l_orderkey
+          AND la.l_partkey < lb.l_partkey
+         GROUP BY 1, 2),
+         wsym AS (SELECT a AS src, b AS dst, w FROM wpairs
+           UNION ALL SELECT b, a, w FROM wpairs),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+           src AS label FROM wsym),
+         ${wLpaStepSql("l0", "l1")},
+         ${wLpaStepSql("l1", "l2")},
+         ${wLpaStepSql("l2", "l3")},
+         ${wLpaStepSql("l3", "l4")}
+         SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_member, MAX(node) AS max_member
+         FROM l4 GROUP BY label HAVING COUNT(*) >= 3
+         ORDER BY n_members DESC, community LIMIT 30""",
 
     "q271_dedup_communities" ->
       s"""WITH ${PipelineQueries.shingleCte},

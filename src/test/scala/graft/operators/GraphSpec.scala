@@ -306,6 +306,56 @@ class GraphSpec extends SparkSpec {
     assert(Set(got(4L), got(5L), got(6L)).size === 1)
   }
 
+  /** Single-threaded weighted synchronous LPA: votes are weight sums,
+    * ties to the smallest label. */
+  private def referenceWeightedLpa(pairs: Seq[(Long, Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    val sym = pairs ++ pairs.map { case (a, b, w) => (b, a, w) }
+    val neighbors = sym.groupBy(_._2)
+      .map { case (dst, es) => dst -> es.map(e => (e._1, e._3)) }
+    var labels: Map[Long, Long] =
+      sym.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = neighbors.map { case (node, ns) =>
+        val votes = ns.groupBy(e => labels(e._1))
+          .map { case (l, es) => l -> es.map(_._2).sum }
+        node -> votes.toSeq.minBy { case (l, v) => (-v, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("weightedLabelPropagation matches the weighted reference; a " +
+      "strong cluster with a heavy bridge absorbs the bridged node " +
+      "where unweighted LPA keeps it home; w=1 equals unweighted") {
+    // triangle {1,2,3} light; triangle {4,5,6} heavy-internal (w=5);
+    // bridge 3-4 (w=3). Weighted: 3 is pulled into the 4-5-6 family
+    // (and the strong triangle holds together); unweighted: 3's three
+    // equal votes tie-break to label 1, so it stays home.
+    val wpairs = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 3L), (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L))
+    val weighted = Graph.weightedLabelPropagation(
+      wpairs.toDF("a", "b", "w"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted === referenceWeightedLpa(wpairs, 4))
+    assert(weighted(3L) === weighted(4L) &&
+      weighted(4L) === weighted(5L) && weighted(5L) === weighted(6L),
+      "the heavy bridge + strong cluster must absorb node 3")
+    val unweighted = Graph.labelPropagation(
+      wpairs.map(p => (p._1, p._2)).toDF("a", "b"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unweighted(3L) !== unweighted(4L),
+      "without weights node 3 stays with its own triangle")
+    // degeneracy: all weights 1 ≡ unweighted, bit-for-bit
+    val w1 = rawEdges.map { case (a, b) => (a, b, 1L) }
+    val viaWeighted = Graph.weightedLabelPropagation(
+      w1.toDF("a", "b", "w"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.labelPropagation(rawEdges.toDF("a", "b"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaWeighted === plain)
+  }
+
   test("q271 output: family sizes descending, >= 2 docs each, id " +
       "span consistent") {
     val out = graft.queries.GraphQueries
