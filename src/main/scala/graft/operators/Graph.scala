@@ -176,6 +176,39 @@ object Graph {
     result
   }
 
+  /** Fixed-round multi-source BFS over a directed edge relation
+    * `(src, dst)` from a `(node)` seed set: returns `(node, hops)` with
+    * the MINIMUM hop count ≤ `maxHops` for every reached node — the
+    * graph-proximity measure that answers "how far is everything from
+    * this seed set" where [[personalizedPageRank]] answers "how
+    * strongly connected". Min is a semilattice, so the result is
+    * bit-identical under any partitioning and the oracle unrolls as
+    * one UNION+MIN round per hop. Unreached nodes are absent, not
+    * NULL. Each round is one frontier ⋈ edges join + one min-agg over
+    * the reached relation (node-scale); same checkpoint lifetime rule
+    * as [[iterate]]. */
+  def hopDistance(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1)
+    val e = edges.select(col("src"), col("dst"))
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var superseded: Option[DataFrame] = Some(dist)
+    for (_ <- 1 to maxHops) {
+      val next = dist
+        .unionByName(e.join(dist.select(col("node").as("src"),
+            col("hops")), "src")
+          .select(col("dst").as("node"), (col("hops") + 1L).as("hops")))
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      superseded.foreach(release)
+      superseded = Some(next)
+      dist = next
+    }
+    dist
+  }
+
   /** Node count below which the rank relation is broadcast into the
     * per-iteration edge join — MEASURED, not assumed (the JoinAdvisor
     * discipline): ~24 bytes/row keeps 2M nodes ≈ 48 MB, comfortable

@@ -217,6 +217,29 @@ object GraphQueries {
         .limit(20)
     },
 
+    // Hop-distance profile from the seed brand: fixed-round
+    // multi-source BFS over the co-purchase graph — the "how many
+    // bundle steps away is the rest of the catalogue" proximity
+    // histogram pairing with q256's strength-of-connection PPR (same
+    // seeds, same graph, distance instead of mass). Min hop commutes,
+    // so the distributed rounds and the unrolled UNION+MIN oracle are
+    // bit-identical; the histogram output is hop-scale.
+    "q274_brand_hop_profile" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val partDim = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val seedBrand = partDim.agg(min(col("p_brand")).as("seed_brand"))
+      val seeds = partDim.crossJoin(broadcast(seedBrand))
+        .filter(col("p_brand") === col("seed_brand"))
+        .select(col("p_partkey").as("node"))
+      Graph.hopDistance(edges, seeds, maxHops = 4)
+        .groupBy(col("hops"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("hops"))
+    },
+
     // Weighted community assignment: neighbours vote with their
     // co-order count, so a 50×-bought-together pair pulls labels 50×
     // harder than a chance adjacency — the vote-weight upgrade to
@@ -299,6 +322,16 @@ object GraphQueries {
                FROM sym e JOIN $prev l ON e.src = l.node
                GROUP BY e.dst, l.label) f)
        WHERE rk = 1)"""
+
+  /** One multi-source BFS round as SQL: reached ∪ (frontier + 1),
+    * MIN per node. */
+  private def hopStepSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (SELECT node, MIN(h) AS h FROM (
+         SELECT node, h FROM $prev
+         UNION ALL
+         SELECT e.dst AS node, p.h + 1 AS h
+         FROM sym e JOIN $prev p ON e.src = p.node)
+       GROUP BY node)"""
 
   /** One WEIGHTED label-propagation round as SQL: votes are SUM(w)
     * over `wsym` edges, same (votes DESC, label ASC) tie-break. */
@@ -466,6 +499,20 @@ object GraphQueries {
          ${wStepSql("r4", "r5")}
          SELECT node AS part_key, CAST(r AS BIGINT) AS rank_e6
          FROM r5 ORDER BY rank_e6 DESC, part_key LIMIT 20""",
+
+    "q274_brand_hop_profile" ->
+      s"""WITH $GraphCtes,
+         seeds AS (SELECT p_partkey AS node FROM part
+           WHERE p_brand = (SELECT min(p_brand) FROM part)),
+         d0 AS MATERIALIZED (SELECT DISTINCT s.node,
+             CAST(0 AS BIGINT) AS h
+           FROM seeds s),
+         ${hopStepSql("d0", "d1")},
+         ${hopStepSql("d1", "d2")},
+         ${hopStepSql("d2", "d3")},
+         ${hopStepSql("d3", "d4")}
+         SELECT h AS hops, CAST(COUNT(*) AS BIGINT) AS n_parts
+         FROM d4 GROUP BY h ORDER BY hops""",
 
     "q273_weighted_communities" ->
       s"""WITH wpairs AS (SELECT la.l_partkey AS a,

@@ -367,6 +367,46 @@ class GraphSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) <= r.getLong(3)))
   }
 
+  test("hopDistance matches single-threaded BFS, caps at maxHops, " +
+      "omits unreached nodes") {
+    // path 1-2-3-4-5 plus isolated-from-seed 7-8; seed = {1}
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+    val sym = raw ++ raw.map { case (a, b) => (b, a) }
+    def bfs(maxHops: Int): Map[Long, Long] = {
+      var dist = Map(1L -> 0L)
+      for (_ <- 1 to maxHops)
+        dist = (dist.toSeq ++ sym.flatMap { case (s, d) =>
+          dist.get(s).map(h => d -> (h + 1L))
+        }).groupBy(_._1).map { case (n, hs) => n -> hs.map(_._2).min }
+      dist
+    }
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.hopDistance(sym.toDF("src", "dst"), seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === bfs(3))
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(!got.contains(5L), "beyond maxHops stays absent")
+    assert(!got.contains(7L) && !got.contains(8L),
+      "unreached nodes stay absent, never NULL")
+    // partitioning invariance (min commutes)
+    val many = Graph.hopDistance(
+      sym.toDF("src", "dst").repartition(7), seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(many === got)
+  }
+
+  test("q274 output: hop histogram starts at 0, hops ascending and " +
+      "bounded by 4") {
+    val out = graft.queries.GraphQueries
+      .defs("q274_brand_hop_profile")(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    val hops = out.map(_.getLong(0))
+    assert(hops.head === 0L)
+    assert(hops.sameElements(hops.sorted))
+    assert(hops.forall(h => h >= 0L && h <= 4L))
+    assert(out.forall(_.getLong(1) >= 1L))
+  }
+
   test("q268 output: community sizes descending, members >= 3, span " +
       "consistent") {
     val out = graft.queries.GraphQueries
