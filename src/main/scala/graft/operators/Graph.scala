@@ -54,6 +54,22 @@ object Graph {
       .localCheckpoint(false)
   }
 
+  /** [[canonicalPairs]] carrying the co-occurrence COUNT as the edge
+    * weight `(a, b, w)` — the input shape for [[weightedPageRank]] and
+    * [[weightedLabelPropagation]]. Same key-equi self-join, one keyed
+    * aggregate instead of distinct, one materialisation shared by both
+    * symmetrisation orientations. */
+  def weightedCanonicalPairs(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+    g.toDF("g", "a")
+      .join(g.toDF("g", "b"), "g")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(false)
+  }
+
   /** Undirected co-occurrence edges: [[canonicalPairs]] symmetrised to
     * both orientations, so every node has out-degree ≥ 1 and PageRank
     * needs no dangling-mass term. */
@@ -91,6 +107,7 @@ object Graph {
     val nodes = deg.select(col("src").as("node"),
         lit(base).as("base_e6"))
       .localCheckpoint(true)
+    release(deg) // both derivations materialised; no reader left
     val start = init match {
       case Some(prev) =>
         nodes.join(prev.select(col("node"),
@@ -129,11 +146,16 @@ object Graph {
       dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val base = (100 - dampingPct).toLong * 10000L
+    // checkpoint the node-scale weighted degrees ONCE: both the degreed
+    // edge relation and the node list derive from it, so the edge
+    // relation is scanned once, not once per derivation
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      .localCheckpoint(true)
     val edgesW = edges.join(wdeg, "src").localCheckpoint(true)
     val nodes = wdeg.select(col("src").as("node"),
         lit(base).as("base_e6"))
       .localCheckpoint(true)
+    release(wdeg) // both derivations materialised; wdeg has no reader left
     val start = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
     val result = iterate(edgesW, nodes, start, iterations, dampingPct,
       expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
@@ -161,6 +183,7 @@ object Graph {
       .select(col("node"),
         coalesce(col("is_seed"), lit(false)).as("is_seed"))
       .localCheckpoint(true)
+    release(deg) // flagged is materialised; deg has no reader left
     val nodes = flagged.select(col("node"),
       when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("base_e6"))
     val start = flagged.select(col("node"),
@@ -184,9 +207,13 @@ object Graph {
     * strongly connected". Min is a semilattice, so the result is
     * bit-identical under any partitioning and the oracle unrolls as
     * one UNION+MIN round per hop. Unreached nodes are absent, not
-    * NULL. Each round is one frontier ⋈ edges join + one min-agg over
-    * the reached relation (node-scale); same checkpoint lifetime rule
-    * as [[iterate]]. */
+    * NULL. Each round joins edges against only the LAST round's
+    * FRONTIER (a node's first reach is its min, so interior nodes can
+    * never improve a neighbour — classic BFS), then min-aggregates the
+    * node-scale reached relation; on a dense graph where most nodes are
+    * reached early this keeps late rounds frontier-proportional instead
+    * of re-shuffling the whole incident edge set. Same checkpoint
+    * lifetime rule as [[iterate]]. */
   def hopDistance(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1)
@@ -195,9 +222,10 @@ object Graph {
       .select(col("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     var superseded: Option[DataFrame] = Some(dist)
-    for (_ <- 1 to maxHops) {
+    for (round <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (round - 1).toLong)
       val next = dist
-        .unionByName(e.join(dist.select(col("node").as("src"),
+        .unionByName(e.join(frontier.select(col("node").as("src"),
             col("hops")), "src")
           .select(col("dst").as("node"), (col("hops") + 1L).as("hops")))
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
@@ -350,8 +378,13 @@ object Graph {
     * iteration jobs race on first materialisation (each recomputing
     * the degree join). */
   private def degreeJoin(edges: DataFrame): (DataFrame, DataFrame) = {
+    // the node-scale degree relation is checkpointed so the degreed-edge
+    // join AND the caller's node list both read one materialisation —
+    // an unmaterialised deg would re-scan the edge relation for each.
+    // Callers must release(deg) once their node-list checkpoint exists.
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     (edges.join(deg, "src").localCheckpoint(true), deg)
   }
 

@@ -36,6 +36,18 @@ object GraphQueries {
       .localCheckpoint(false)
   }
 
+
+  /** The alphabetically-first brand's part keys — the shared seed set
+    * of the proximity pair q256 (PPR mass) / q274 (hop distance). */
+  private def seedBrandParts(s: SparkSession, dir: String): DataFrame = {
+    val partDim = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val seedBrand = partDim.agg(min(col("p_brand")).as("seed_brand"))
+    partDim.crossJoin(broadcast(seedBrand))
+      .filter(col("p_brand") === col("seed_brand"))
+      .select(col("p_partkey").as("node"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PageRank over the part co-purchase graph: parts are linked when
@@ -149,10 +161,8 @@ object GraphQueries {
       val partDim = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))
       val seedBrand = partDim.agg(min(col("p_brand")).as("seed_brand"))
-      val seeds = partDim.crossJoin(broadcast(seedBrand))
-        .filter(col("p_brand") === col("seed_brand"))
-        .select(col("p_partkey").as("node"))
-      Graph.personalizedPageRank(edges, seeds, iterations = 5)
+      Graph.personalizedPageRank(edges, seedBrandParts(s, dir),
+          iterations = 5)
         .join(partDim, col("node") === col("p_partkey"))
         .crossJoin(broadcast(seedBrand))
         .filter(col("p_brand") =!= col("seed_brand") &&
@@ -184,14 +194,6 @@ object GraphQueries {
         .limit(30)
     },
 
-    // Template families in the near-duplicate graph: label propagation
-    // over the banded LSH candidate pairs groups documents into
-    // variant families (each family = one template and its mutations) —
-    // the community view of the same relation q264 ranks and q65's
-    // connected components merely partitions by reachability: LPA keeps
-    // weakly-bridged families apart where CC would fuse them through
-    // one chance collision. Edges come from the bucketed dedup path,
-    // never all-pairs.
     // Weighted co-purchase PageRank: edges carry the CO-ORDER COUNT —
     // a pair bought together 50 times pulls 50× the rank of a one-off,
     // which is what separates catalogue staples from chance adjacency
@@ -199,14 +201,8 @@ object GraphQueries {
     // (rank·w) div Σw in DECIMAL(38,0) — exact, order-free, and the
     // per-edge quotient is bounded by the rank, so sums stay BIGINT.
     "q272_weighted_copurchase_rank" -> { (s, dir) =>
-      val g = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-      val pairs = g.toDF("g", "a")
-        .join(g.toDF("g", "b"), "g")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint(false)
+      val pairs = Graph.weightedCanonicalPairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
       val sym = pairs.select(col("a").as("src"), col("b").as("dst"),
           col("w"))
         .unionByName(pairs.select(col("b").as("src"),
@@ -228,12 +224,13 @@ object GraphQueries {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
       val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-      val partDim = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"))
-      val seedBrand = partDim.agg(min(col("p_brand")).as("seed_brand"))
-      val seeds = partDim.crossJoin(broadcast(seedBrand))
-        .filter(col("p_brand") === col("seed_brand"))
-        .select(col("p_partkey").as("node"))
+      // seeds intersected with the GRAPH's nodes — the q256 PPR seed
+      // semantics (a brand part in no co-purchase pair is outside the
+      // graph, not a hop-0 member; counting it would overstate
+      // coverage)
+      val seeds = seedBrandParts(s, dir)
+        .join(edges.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_semi")
       Graph.hopDistance(edges, seeds, maxHops = 4)
         .groupBy(col("hops"))
         .agg(count(lit(1)).as("n_parts"))
@@ -246,15 +243,10 @@ object GraphQueries {
     // q268's unweighted communities, mirroring q272's upgrade to
     // q251's rank.
     "q273_weighted_communities" -> { (s, dir) =>
-      val g = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-      val pairs = g.toDF("g", "a")
-        .join(g.toDF("g", "b"), "g")
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("w"))
-        .localCheckpoint(false)
-      Graph.weightedLabelPropagation(pairs, rounds = 4)
+      Graph.weightedLabelPropagation(
+        Graph.weightedCanonicalPairs(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        rounds = 4)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"),
           min(col("node")).as("min_member"),
@@ -264,6 +256,14 @@ object GraphQueries {
         .limit(30)
     },
 
+    // Template families in the near-duplicate graph: label propagation
+    // over the banded LSH candidate pairs groups documents into
+    // variant families (each family = one template and its mutations) —
+    // the community view of the same relation q264 ranks and q65's
+    // connected components merely partitions by reachability: LPA keeps
+    // weakly-bridged families apart where CC would fuse them through
+    // one chance collision. Edges come from the bucketed dedup path,
+    // never all-pairs.
     "q271_dedup_communities" -> { (s, dir) =>
       Graph.labelPropagation(lshPairs(s, dir), rounds = 4)
         .groupBy(col("label").as("family"))
@@ -506,7 +506,7 @@ object GraphQueries {
            WHERE p_brand = (SELECT min(p_brand) FROM part)),
          d0 AS MATERIALIZED (SELECT DISTINCT s.node,
              CAST(0 AS BIGINT) AS h
-           FROM seeds s),
+           FROM seeds s JOIN nodes n ON s.node = n.node),
          ${hopStepSql("d0", "d1")},
          ${hopStepSql("d1", "d2")},
          ${hopStepSql("d2", "d3")},
