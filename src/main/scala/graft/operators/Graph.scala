@@ -55,10 +55,12 @@ object Graph {
   }
 
   /** [[canonicalPairs]] carrying the co-occurrence COUNT as the edge
-    * weight `(a, b, w)` — the input shape for [[weightedPageRank]] and
-    * [[weightedLabelPropagation]]. Same key-equi self-join, one keyed
-    * aggregate instead of distinct, one materialisation shared by both
-    * symmetrisation orientations. */
+    * weight `(a, b, w)` — the input shape for
+    * [[weightedLabelPropagation]] directly, and for
+    * [[weightedPageRank]] AFTER symmetrisation
+    * ([[weightedCoOccurrenceEdges]] does both). Same key-equi
+    * self-join, one keyed aggregate instead of distinct, one
+    * materialisation shared by both symmetrisation orientations. */
   def weightedCanonicalPairs(df: DataFrame, groupCol: String,
       itemCol: String): DataFrame = {
     val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
@@ -78,6 +80,17 @@ object Graph {
     val pairs = canonicalPairs(df, groupCol, itemCol)
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** [[coOccurrenceEdges]] with the co-occurrence count riding as the
+    * edge weight `(src, dst, w)` — the direct input shape for
+    * [[weightedPageRank]]. */
+  def weightedCoOccurrenceEdges(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val pairs = weightedCanonicalPairs(df, groupCol, itemCol)
+    pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(pairs.select(col("b").as("src"),
+        col("a").as("dst"), col("w")))
   }
 
   /** Fixed-iteration deterministic PageRank over a directed edge

@@ -201,13 +201,10 @@ object GraphQueries {
     // (rank·w) div Σw in DECIMAL(38,0) — exact, order-free, and the
     // per-edge quotient is bounded by the rank, so sums stay BIGINT.
     "q272_weighted_copurchase_rank" -> { (s, dir) =>
-      val pairs = Graph.weightedCanonicalPairs(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
-      val sym = pairs.select(col("a").as("src"), col("b").as("dst"),
-          col("w"))
-        .unionByName(pairs.select(col("b").as("src"),
-          col("a").as("dst"), col("w")))
-      Graph.weightedPageRank(sym, iterations = 5)
+      Graph.weightedPageRank(
+        Graph.weightedCoOccurrenceEdges(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        iterations = 5)
         .select(col("node").as("part_key"), col("rank_e6"))
         .orderBy(col("rank_e6").desc, col("part_key"))
         .limit(20)
