@@ -253,6 +253,52 @@ object GraphQueries {
         .limit(30)
     },
 
+    // Modularity OF the found partition: q255 scores the GIVEN brand
+    // partition, q268 finds one by label propagation — this closes the
+    // loop by scoring what LPA found with the same exact e6 modularity
+    // arithmetic (DECIMAL(38,0) cross-terms). Per-community
+    // contribution e_c/m − (d_c/2m)², largest first; whether the found
+    // partition beats the brand partition is now a query away, not a
+    // judgment call.
+    "q275_lpa_modularity" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = Graph.canonicalPairs(li, "l_orderkey", "l_partkey")
+      val labels = Graph.labelPropagation(pairs, rounds = 4)
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val deg = pairs.select(col("a").as("node"))
+        .unionByName(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val degByC = deg.join(labels, "node")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("deg")).as("degree_sum"))
+      val intra = pairs
+        .join(labels.select(col("node").as("a"),
+          col("label").as("label_a")), Seq("a"))
+        .join(labels.select(col("node").as("b"),
+          col("label").as("label_b")), Seq("b"))
+        .filter(col("label_a") === col("label_b"))
+        .groupBy(col("label_a").as("label"))
+        .agg(count(lit(1)).as("intra_pairs"))
+      degByC
+        .join(intra, Seq("label"), "left_outer")
+        .na.fill(0L, Seq("intra_pairs"))
+        .crossJoin(broadcast(m))
+        .withColumn("contrib_e6",
+          expr("""CAST(intra_pairs AS DECIMAL(38,0)) * 1000000
+                    div CAST(m AS DECIMAL(38,0))
+                  - CAST(degree_sum AS DECIMAL(38,0))
+                    * CAST(degree_sum AS DECIMAL(38,0)) * 1000000
+                    div (CAST(4 AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))
+                      * CAST(m AS DECIMAL(38,0)))"""))
+        .select(col("label").as("community"), col("n_parts"),
+          col("degree_sum"), col("intra_pairs"),
+          col("contrib_e6").cast("long").as("contrib_e6"))
+        .orderBy(col("contrib_e6").desc, col("community"))
+        .limit(20)
+    },
+
     // Template families in the near-duplicate graph: label propagation
     // over the banded LSH candidate pairs groups documents into
     // variant families (each family = one template and its mutations) —
@@ -496,6 +542,36 @@ object GraphQueries {
          ${wStepSql("r4", "r5")}
          SELECT node AS part_key, CAST(r AS BIGINT) AS rank_e6
          FROM r5 ORDER BY rank_e6 DESC, part_key LIMIT 20""",
+
+    "q275_lpa_modularity" ->
+      s"""WITH $GraphCtes,
+         l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+         ${lpaStepSql("l0", "l1")},
+         ${lpaStepSql("l1", "l2")},
+         ${lpaStepSql("l2", "l3")},
+         ${lpaStepSql("l3", "l4")},
+         m AS (SELECT COUNT(*) AS m FROM pairs),
+         nd AS (SELECT node, COUNT(*) AS deg FROM (
+             SELECT a AS node FROM pairs
+             UNION ALL SELECT b FROM pairs) GROUP BY 1),
+         dc AS (SELECT l.label, COUNT(*) AS n_parts,
+             CAST(SUM(nd.deg) AS BIGINT) AS degree_sum
+           FROM nd JOIN l4 l ON nd.node = l.node GROUP BY 1),
+         intra AS (SELECT la.label, COUNT(*) AS intra_pairs
+           FROM pairs
+           JOIN l4 la ON pairs.a = la.node
+           JOIN l4 lb ON pairs.b = lb.node
+           WHERE la.label = lb.label GROUP BY 1)
+         SELECT dc.label AS community, dc.n_parts, dc.degree_sum,
+           COALESCE(intra.intra_pairs, 0) AS intra_pairs,
+           CAST(CAST(COALESCE(intra.intra_pairs, 0) AS HUGEINT)
+               * 1000000 // CAST(m.m AS HUGEINT)
+             - CAST(dc.degree_sum AS HUGEINT)
+               * CAST(dc.degree_sum AS HUGEINT) * 1000000
+               // (4 * CAST(m.m AS HUGEINT) * CAST(m.m AS HUGEINT))
+             AS BIGINT) AS contrib_e6
+         FROM dc LEFT JOIN intra USING (label) CROSS JOIN m
+         ORDER BY contrib_e6 DESC, community LIMIT 20""",
 
     "q274_brand_hop_profile" ->
       s"""WITH $GraphCtes,

@@ -407,6 +407,28 @@ class GraphSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) >= 1L))
   }
 
+  test("q275: LPA-partition modularity obeys the q255 conservation " +
+      "laws — degree sums cover 2m, intra pairs never exceed m, " +
+      "contributions stay in [-1e6, 1e6]") {
+    val out = graft.queries.GraphQueries
+      .defs("q275_lpa_modularity")(spark, sf("sf0.001")).collect()
+    assert(out.nonEmpty)
+    val li = graft.Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val m = Graph.canonicalPairs(li, "l_orderkey", "l_partkey").count()
+    // every edge endpoint belongs to exactly one community (top-20 cut
+    // can hide some, so compare as bounds)
+    assert(out.map(_.getAs[Long]("degree_sum")).sum <= 2 * m)
+    assert(out.forall(_.getAs[Long]("intra_pairs") <= m))
+    assert(out.forall { r =>
+      val c = r.getAs[Long]("contrib_e6")
+      c >= -1000000L && c <= 1000000L
+    })
+    // contributions arrive largest-first
+    val cs = out.map(_.getAs[Long]("contrib_e6"))
+    assert(cs.sameElements(cs.sortBy(-(_: Long))))
+  }
+
   test("q268 output: community sizes descending, members >= 3, span " +
       "consistent") {
     val out = graft.queries.GraphQueries
