@@ -386,6 +386,40 @@ object Graph {
       case _ => ()
     }
 
+  /** Fixed-round s-core (STRENGTH) peeling over weighted canonical
+    * pairs `(a, b, w)`: each round simultaneously drops every node
+    * whose current strength — the SUM of incident edge weights — is
+    * below `s`, the weighted twin of [[kCore]] (a node with one
+    * heavily-repeated partner can be core here while degree-peeling
+    * would drop it, and ten one-off partners no longer fake cohesion).
+    * With all weights 1, strength IS degree, so `sCore(pairs, k, r)`
+    * equals `kCore(pairs, k, r)` exactly (spec-pinned). Same fixed
+    * rounds / oracle-unrollable / checkpoint-lifetime contract as
+    * [[kCore]]. Returns the surviving `(node, strength)`. */
+  def sCore(pairs: DataFrame, s: Long, rounds: Int): DataFrame = {
+    require(s >= 1 && rounds >= 1)
+    var cur = pairs.select(col("a"), col("b"), col("w"))
+    var superseded: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val strength = cur.select(col("a").as("node"), col("w"))
+        .unionByName(cur.select(col("b").as("node"), col("w")))
+        .groupBy(col("node")).agg(sum(col("w")).as("strength"))
+      val keep = strength.filter(col("strength") >= s)
+        .select(col("node"))
+      val next = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"), col("w"))
+        .localCheckpoint(true)
+      superseded.foreach(release)
+      superseded = Some(next)
+      cur = next
+    }
+    cur.select(col("a").as("node"), col("w"))
+      .unionByName(cur.select(col("b").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("strength"))
+  }
+
   /** Out-degrees riding each edge, eagerly materialised: the relation
     * is read once per iteration, and a lazy cut would let the
     * iteration jobs race on first materialisation (each recomputing

@@ -253,6 +253,22 @@ object GraphQueries {
         .limit(30)
     },
 
+    // Strength core of the co-purchase graph: six rounds of s-core
+    // peeling (s = 80 total co-order count) over the WEIGHTED pair
+    // relation — q266's k-core keeps nodes with many partners; this
+    // keeps nodes whose partnerships are heavily REPEATED (one
+    // 50-times-bought-together pairing can anchor a node that
+    // degree-peeling would judge peripheral). Fixed rounds for oracle
+    // parity, same as the k-core.
+    "q276_copurchase_strength_core" -> { (s, dir) =>
+      val pairs = Graph.weightedCanonicalPairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      Graph.sCore(pairs, s = 80L, rounds = 6)
+        .select(col("node").as("part_key"), col("strength"))
+        .orderBy(col("strength").desc, col("part_key"))
+        .limit(50)
+    },
+
     // Modularity OF the found partition: q255 scores the GIVEN brand
     // partition, q268 finds one by label propagation — this closes the
     // loop by scoring what LPA found with the same exact e6 modularity
@@ -400,6 +416,19 @@ object GraphQueries {
          FROM wedges e JOIN $prev p ON e.src = p.node
          GROUP BY 1) s ON n.node = s.node)"""
 
+  /** One s-core (strength) peel round as SQL (s = 80): SUM(w)
+    * strengths over the surviving weighted pairs, threshold, semi-join
+    * both sides. Same MATERIALIZED discipline as the k-core rounds. */
+  private def sPeelSql(prev: String, cur: String): String =
+    s"""st_$cur AS MATERIALIZED (SELECT node,
+           CAST(SUM(w) AS BIGINT) AS strength
+         FROM (SELECT a AS node, w FROM $prev
+               UNION ALL SELECT b, w FROM $prev) GROUP BY 1),
+       k_$cur AS (SELECT node FROM st_$cur WHERE strength >= 80),
+       $cur AS MATERIALIZED (SELECT p.a, p.b, p.w FROM $prev p
+         JOIN k_$cur ka ON p.a = ka.node
+         JOIN k_$cur kb ON p.b = kb.node)"""
+
   /** One k-core peel round as SQL (k = 4). MATERIALIZED is load-bearing:
     * DuckDB inlines plain CTEs per reference, and each round references
     * the previous one three times — six inlined rounds would expand the
@@ -542,6 +571,24 @@ object GraphQueries {
          ${wStepSql("r4", "r5")}
          SELECT node AS part_key, CAST(r AS BIGINT) AS rank_e6
          FROM r5 ORDER BY rank_e6 DESC, part_key LIMIT 20""",
+
+    "q276_copurchase_strength_core" ->
+      s"""WITH wpairs AS (SELECT la.l_partkey AS a,
+           lb.l_partkey AS b, COUNT(*) AS w
+         FROM lineitem la JOIN lineitem lb
+           ON la.l_orderkey = lb.l_orderkey
+          AND la.l_partkey < lb.l_partkey
+         GROUP BY 1, 2),
+         ${sPeelSql("wpairs", "s1")},
+         ${sPeelSql("s1", "s2")},
+         ${sPeelSql("s2", "s3")},
+         ${sPeelSql("s3", "s4")},
+         ${sPeelSql("s4", "s5")},
+         ${sPeelSql("s5", "s6")}
+         SELECT node AS part_key, CAST(SUM(w) AS BIGINT) AS strength
+         FROM (SELECT a AS node, w FROM s6
+               UNION ALL SELECT b, w FROM s6)
+         GROUP BY node ORDER BY strength DESC, part_key LIMIT 50""",
 
     "q275_lpa_modularity" ->
       s"""WITH $GraphCtes,

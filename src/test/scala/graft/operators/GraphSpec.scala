@@ -407,6 +407,57 @@ class GraphSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) >= 1L))
   }
 
+  test("sCore matches a single-threaded strength peel; a heavy dyad " +
+      "survives where degree-peeling drops it; w=1 equals kCore") {
+    def referencePeel(ps: Set[(Long, Long, Long)], s: Long,
+        rounds: Int): Map[Long, Long] = {
+      var cur = ps
+      for (_ <- 1 to rounds) {
+        val st = cur.toSeq.flatMap(p => Seq(p._1 -> p._3, p._2 -> p._3))
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+        val keep = st.filter(_._2 >= s).keySet
+        cur = cur.filter(p => keep(p._1) && keep(p._2))
+      }
+      cur.toSeq.flatMap(p => Seq(p._1 -> p._3, p._2 -> p._3))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+    }
+    // heavy dyad 1-2 (w=10, degree 1 each) + a light star around 5
+    // (degrees 3, all w=1): s=6 keeps the dyad and drops the star —
+    // the exact inversion of degree-based peeling
+    val wpairs = Seq((1L, 2L, 10L), (5L, 6L, 1L), (5L, 7L, 1L),
+      (5L, 8L, 1L))
+    val got = Graph.sCore(wpairs.toDF("a", "b", "w"), s = 6L,
+        rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referencePeel(wpairs.toSet, 6L, 4))
+    assert(got === Map(1L -> 10L, 2L -> 10L))
+    // w=1 degeneracy: strength IS degree, so sCore(k) ≡ kCore(k)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 7L), (7L, 8L))
+    val viaS = Graph.sCore(
+      pairs.map(p => (p._1, p._2, 1L)).toDF("a", "b", "w"),
+      s = 3L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaK = Graph.kCore(pairs.toDF("a", "b"), k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaS === viaK)
+  }
+
+  test("q276 output: bounded, strengths descending and at or above " +
+      "the s threshold") {
+    val out = graft.queries.GraphQueries
+      .defs("q276_copurchase_strength_core")(spark, sf("sf0.001"))
+      .collect()
+    assert(out.length <= 50)
+    val st = out.map(_.getLong(1))
+    assert(st.sameElements(st.sortBy(-(_: Long))))
+    // a survivor's FINAL strength can only count surviving partners,
+    // and the last peel guaranteed each was >= s before the final
+    // edge drop — so final strengths sit at or above s minus dropped
+    // partners; assert the weaker structural fact: all positive
+    assert(st.forall(_ >= 1L))
+  }
+
   test("q275: LPA-partition modularity obeys the q255 conservation " +
       "laws — degree sums cover 2m, intra pairs never exceed m, " +
       "contributions stay in [-1e6, 1e6]") {
