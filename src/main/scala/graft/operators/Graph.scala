@@ -39,10 +39,14 @@ object Graph {
     * count (per-order lineitem counts are single-digit), so the
     * self-join is a key-equi join whose output stays linear in the
     * fact — never an all-pairs product. The relation is materialised
-    * once (lazy checkpoint): every consumer — both union orientations
-    * in [[coOccurrenceEdges]], the degree and intra-community
-    * aggregates in the modularity query — reads the same blocks
-    * instead of re-running the group self-join. */
+    * once, EAGERLY: every consumer — both union orientations in
+    * [[coOccurrenceEdges]], the degree and intra-community aggregates
+    * in the modularity query — reads the same blocks instead of
+    * re-running the group self-join, and because the checkpoint is
+    * already materialised when this returns, concurrent first
+    * consumers (parallel tasks in one stage, or a listener thread)
+    * can never race on first materialisation and redundantly
+    * recompute partitions. */
   def canonicalPairs(df: DataFrame, groupCol: String,
       itemCol: String): DataFrame = {
     val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
@@ -51,25 +55,33 @@ object Graph {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(true)
   }
 
-  /** [[canonicalPairs]] carrying the co-occurrence COUNT as the edge
-    * weight `(a, b, w)` — the input shape for
-    * [[weightedLabelPropagation]] directly, and for
-    * [[weightedPageRank]] AFTER symmetrisation
+  /** [[canonicalPairs]] carrying the co-occurrence count as the edge
+    * weight `(a, b, w)`: `w` is the number of DISTINCT groups in which
+    * both items appear — `(group, item)` is deduplicated BEFORE the
+    * self-join, so an item listed k times inside one group (a part
+    * repeated across a TPC-H order's line items) still contributes
+    * exactly 1 to each of its pairs' weights, and the all-weights-1
+    * case degenerates to [[canonicalPairs]] exactly (spec-pinned; raw
+    * join-row counting would instead multiply by the duplication).
+    * This is the input shape for [[weightedLabelPropagation]] directly,
+    * and for [[weightedPageRank]] AFTER symmetrisation
     * ([[weightedCoOccurrenceEdges]] does both). Same key-equi
-    * self-join, one keyed aggregate instead of distinct, one
-    * materialisation shared by both symmetrisation orientations. */
+    * self-join, one keyed aggregate instead of distinct, one EAGER
+    * materialisation (the [[canonicalPairs]] no-first-consumer-race
+    * contract) shared by both symmetrisation orientations. */
   def weightedCanonicalPairs(df: DataFrame, groupCol: String,
       itemCol: String): DataFrame = {
     val g = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
     g.toDF("g", "a")
       .join(g.toDF("g", "b"), "g")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
   }
 
   /** Undirected co-occurrence edges: [[canonicalPairs]] symmetrised to
@@ -117,29 +129,32 @@ object Graph {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val base = (100 - dampingPct).toLong * 10000L
     val (edgesWithDeg, deg) = degreeJoin(edges)
-    val nodes = deg.select(col("src").as("node"),
-        lit(base).as("base_e6"))
-      .localCheckpoint(true)
-    release(deg) // both derivations materialised; no reader left
-    val start = init match {
-      case Some(prev) =>
-        nodes.join(prev.select(col("node"),
-            col("rank_e6").as("prev_e6")), Seq("node"), "left_outer")
-          .select(col("node"),
-            coalesce(col("prev_e6"), lit(1000000L)).as("rank_e6"))
-          .localCheckpoint(false)
-      case None =>
-        nodes.select(col("node"), lit(1000000L).as("rank_e6"))
-    }
-    val result = iterate(edgesWithDeg, nodes, start, iterations,
-      dampingPct)
-    // the eager loop already materialised `result`, so every supporting
-    // checkpoint this call created has had its last read — release them
-    // all and hand back the one self-contained final snapshot
-    if (init.isDefined) release(start)
-    release(nodes)
-    release(edgesWithDeg)
-    result
+    // supporting checkpoints release in `finally`: on success the eager
+    // loop has already materialised `result` (so this is their last
+    // read, exactly the old success-path ordering), and on a mid-loop
+    // failure the same blocks must not stay pinned for the session — a
+    // long-lived refresher retrying a failing refresh would otherwise
+    // leak node-scale RDDs per attempt
+    try {
+      val nodes =
+        try deg.select(col("src").as("node"), lit(base).as("base_e6"))
+          .localCheckpoint(true)
+        finally release(deg) // node list materialised (or failed); no reader left
+      try {
+        val start = init match {
+          case Some(prev) =>
+            nodes.join(prev.select(col("node"),
+                col("rank_e6").as("prev_e6")), Seq("node"), "left_outer")
+              .select(col("node"),
+                coalesce(col("prev_e6"), lit(1000000L)).as("rank_e6"))
+              .localCheckpoint(false)
+          case None =>
+            nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+        }
+        try iterate(edgesWithDeg, nodes, start, iterations, dampingPct)
+        finally { if (init.isDefined) release(start) }
+      } finally release(nodes)
+    } finally release(edgesWithDeg)
   }
 
   /** Weighted PageRank over `(src, dst, w)` with integer weights
@@ -164,18 +179,23 @@ object Graph {
     // relation is scanned once, not once per derivation
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
       .localCheckpoint(true)
-    val edgesW = edges.join(wdeg, "src").localCheckpoint(true)
-    val nodes = wdeg.select(col("src").as("node"),
-        lit(base).as("base_e6"))
-      .localCheckpoint(true)
-    release(wdeg) // both derivations materialised; wdeg has no reader left
-    val start = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
-    val result = iterate(edgesW, nodes, start, iterations, dampingPct,
-      expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
-              AS BIGINT)"""))
-    release(nodes)
-    release(edgesW)
-    result
+    // same finally-release discipline as [[pageRankFrom]]: success-path
+    // ordering unchanged (results are eagerly materialised before the
+    // releases run), failure paths no longer pin the checkpoints
+    val (edgesW, nodes) =
+      try {
+        val e = edges.join(wdeg, "src").localCheckpoint(true)
+        try (e, wdeg.select(col("src").as("node"),
+            lit(base).as("base_e6")).localCheckpoint(true))
+        catch { case t: Throwable => release(e); throw t }
+      } finally release(wdeg) // both derivations materialised (or failed)
+    try {
+      val start = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+      try iterate(edgesW, nodes, start, iterations, dampingPct,
+        expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
+                AS BIGINT)"""))
+      finally release(nodes)
+    } finally release(edgesW)
   }
 
   /** Personalized PageRank: random-walk-with-restart relevance from a
@@ -190,26 +210,29 @@ object Graph {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val base = (100 - dampingPct).toLong * 10000L
     val (edgesWithDeg, deg) = degreeJoin(edges)
-    val flagged = deg.select(col("src").as("node"))
-      .join(seeds.select(col("node"), lit(true).as("is_seed")),
-        Seq("node"), "left_outer")
-      .select(col("node"),
-        coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint(true)
-    release(deg) // flagged is materialised; deg has no reader left
-    val nodes = flagged.select(col("node"),
-      when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("base_e6"))
-    val start = flagged.select(col("node"),
-      when(col("is_seed"), lit(1000000L)).otherwise(lit(0L))
-        .as("rank_e6"))
-    val result = iterate(edgesWithDeg, nodes, start, iterations,
-      dampingPct)
     // nodes and start are projections over the ONE `flagged` checkpoint;
-    // the eager loop materialised `result`, so flagged and the degreed
-    // edges have had their last read
-    release(flagged)
-    release(edgesWithDeg)
-    result
+    // finally-release keeps the success ordering (the eager loop
+    // materialises `result` first) and stops failure paths pinning
+    // flagged / the degreed edges
+    try {
+      val flagged =
+        try deg.select(col("src").as("node"))
+          .join(seeds.select(col("node"), lit(true).as("is_seed")),
+            Seq("node"), "left_outer")
+          .select(col("node"),
+            coalesce(col("is_seed"), lit(false)).as("is_seed"))
+          .localCheckpoint(true)
+        finally release(deg) // flagged materialised (or failed); no reader left
+      try {
+        val nodes = flagged.select(col("node"),
+          when(col("is_seed"), lit(base)).otherwise(lit(0L))
+            .as("base_e6"))
+        val start = flagged.select(col("node"),
+          when(col("is_seed"), lit(1000000L)).otherwise(lit(0L))
+            .as("rank_e6"))
+        iterate(edgesWithDeg, nodes, start, iterations, dampingPct)
+      } finally release(flagged)
+    } finally release(edgesWithDeg)
   }
 
   /** Fixed-round multi-source BFS over a directed edge relation
@@ -235,19 +258,25 @@ object Graph {
       .select(col("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     var superseded: Option[DataFrame] = Some(dist)
-    for (round <- 1 to maxHops) {
-      val frontier = dist.filter(col("hops") === (round - 1).toLong)
-      val next = dist
-        .unionByName(e.join(frontier.select(col("node").as("src"),
-            col("hops")), "src")
-          .select(col("dst").as("node"), (col("hops") + 1L).as("hops")))
-        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
-      superseded.foreach(release)
-      superseded = Some(next)
-      dist = next
+    try {
+      for (round <- 1 to maxHops) {
+        val frontier = dist.filter(col("hops") === (round - 1).toLong)
+        val next = dist
+          .unionByName(e.join(frontier.select(col("node").as("src"),
+              col("hops")), "src")
+            .select(col("dst").as("node"), (col("hops") + 1L).as("hops")))
+          .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+          .localCheckpoint(true)
+        superseded.foreach(release)
+        superseded = Some(next)
+        dist = next
+      }
+      dist
+    } catch {
+      // a mid-loop failure must not pin the live snapshot for the
+      // session (the Expectations.evaluate discipline)
+      case t: Throwable => superseded.foreach(release); throw t
     }
-    dist
   }
 
   /** Node count below which the rank relation is broadcast into the
@@ -284,19 +313,23 @@ object Graph {
     // belongs to the caller, often a [[canonicalPairs]] checkpoint other
     // consumers still read).
     var superseded: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
-      val deg = cur.select(col("a").as("node"))
-        .unionByName(cur.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("node"))
-      val next = cur
-        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint(true)
-      superseded.foreach(release)
-      superseded = Some(next)
-      cur = next
+    try {
+      for (_ <- 1 to rounds) {
+        val deg = cur.select(col("a").as("node"))
+          .unionByName(cur.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= k).select(col("node"))
+        val next = cur
+          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        superseded.foreach(release)
+        superseded = Some(next)
+        cur = next
+      }
+    } catch {
+      case t: Throwable => superseded.foreach(release); throw t
     }
     cur.select(col("a").as("node"))
       .unionByName(cur.select(col("b").as("node")))
@@ -342,34 +375,114 @@ object Graph {
       .unionByName(pairs.select(col("b").as("src"),
         col("a").as("dst"), col("w"))), rounds)
 
-  private def lpaLoop(symWeighted: DataFrame, rounds: Int): DataFrame = {
+  /** Convergence/oscillation diagnostic of an LPA run's FINAL rounds:
+    * synchronous label propagation can 2-cycle on bipartite-ish
+    * structures (two nodes endlessly swapping labels), and a
+    * fixed-round result silently lands on an arbitrary phase of that
+    * cycle. `nStable` counts nodes with `label(r) == label(r−1)` (the
+    * fixed-point test); `nOscillating` counts `label(r) == label(r−2)
+    * && label(r) != label(r−1)` — exactly the period-2 signature. */
+  final case class LpaDiag(nNodes: Long, nStable: Long,
+      nOscillating: Long) {
+    /** every node kept its round-(r−1) label — a true fixed point. */
+    def converged: Boolean = nStable == nNodes
+  }
+
+  /** [[labelPropagation]] plus the [[LpaDiag]] convergence signal —
+    * costs one extra node-scale three-way join at loop exit (the last
+    * three label snapshots are compared; the loop's checkpoint-lifetime
+    * rule widens from two live snapshots to three only in this
+    * variant). Needs `rounds >= 2`. */
+  def labelPropagationWithDiag(pairs: DataFrame,
+      rounds: Int): (DataFrame, LpaDiag) = {
+    val (labels, diag) = lpaRun(pairs
+      .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+      .unionByName(pairs.select(col("b").as("src"),
+        col("a").as("dst"), lit(1L).as("w"))), rounds, withDiag = true)
+    (labels, diag.get)
+  }
+
+  /** [[weightedLabelPropagation]] plus the [[LpaDiag]] signal. */
+  def weightedLabelPropagationWithDiag(pairs: DataFrame,
+      rounds: Int): (DataFrame, LpaDiag) = {
+    val (labels, diag) = lpaRun(pairs
+      .select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(pairs.select(col("b").as("src"),
+        col("a").as("dst"), col("w"))), rounds, withDiag = true)
+    (labels, diag.get)
+  }
+
+  private def lpaLoop(symWeighted: DataFrame, rounds: Int): DataFrame =
+    lpaRun(symWeighted, rounds, withDiag = false)._1
+
+  private def lpaRun(symWeighted: DataFrame, rounds: Int,
+      withDiag: Boolean): (DataFrame, Option[LpaDiag]) = {
     require(rounds >= 1)
+    require(!withDiag || rounds >= 2,
+      "the oscillation diagnostic compares labels(r−2): need rounds >= 2")
     val sym = symWeighted.localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
-    // seed labels are OUR checkpoint: releasable once round 1 lands
-    var superseded: Option[DataFrame] = Some(labels)
-    for (_ <- 1 to rounds) {
-      val freq = sym
-        .join(labels.select(col("node").as("src"), col("label")), "src")
-        .groupBy(col("dst"), col("label"))
-        .agg(sum(col("w")).as("cnt"))
-      // argmax(cnt), tie → min(label): max over (cnt, −label) structs
-      // compares field-by-field, so the largest vote sum wins and among
-      // equals the largest −label — i.e. the smallest label — does
-      val next = freq.groupBy(col("dst"))
-        .agg(max(struct(col("cnt"),
-          (-col("label")).as("neg_label"))).as("m"))
-        .select(col("dst").as("node"),
-          (-col("m.neg_label")).as("label"))
+    try {
+      val seed = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
-      superseded.foreach(release)
-      superseded = Some(next)
-      labels = next
-    }
-    release(sym)
-    labels
+      var labels = seed
+      // live snapshots, NEWEST FIRST. The plain loop keeps one (the
+      // superseded-release rule); the diagnostic variant keeps three —
+      // labels(r), labels(r−1), labels(r−2) — so the period-2 signature
+      // is measurable at loop exit. Anything older releases the moment
+      // it falls off the trail.
+      val keep = if (withDiag) 3 else 1
+      var trail: List[DataFrame] = List(seed)
+      try {
+        for (_ <- 1 to rounds) {
+          val freq = sym
+            .join(labels.select(col("node").as("src"), col("label")),
+              "src")
+            .groupBy(col("dst"), col("label"))
+            .agg(sum(col("w")).as("cnt"))
+          // argmax(cnt), tie → min(label): max over (cnt, −label)
+          // structs compares field-by-field, so the largest vote sum
+          // wins and among equals the largest −label — i.e. the
+          // smallest label — does
+          val next = freq.groupBy(col("dst"))
+            .agg(max(struct(col("cnt"),
+              (-col("label")).as("neg_label"))).as("m"))
+            .select(col("dst").as("node"),
+              (-col("m.neg_label")).as("label"))
+            .localCheckpoint(true)
+          trail = next :: trail
+          trail.drop(keep).foreach(release)
+          trail = trail.take(keep)
+          labels = next
+        }
+        val diag =
+          if (!withDiag) None
+          else {
+            val row = trail(0).select(col("node"), col("label").as("l0"))
+              .join(trail(1).select(col("node"), col("label").as("l1")),
+                "node")
+              .join(trail(2).select(col("node"), col("label").as("l2")),
+                "node")
+              .agg(count(lit(1)).as("n"),
+                sum((col("l0") === col("l1")).cast("long")).as("st"),
+                sum((col("l0") === col("l2") &&
+                  col("l0") =!= col("l1")).cast("long")).as("osc"))
+              .head()
+            Some(LpaDiag(row.getLong(0),
+              if (row.isNullAt(1)) 0L else row.getLong(1),
+              if (row.isNullAt(2)) 0L else row.getLong(2)))
+          }
+        (labels, diag)
+      } catch {
+        // nothing is handed back on failure: the whole trail releases
+        // (the final snapshot included), not just the superseded ones
+        case t: Throwable => trail.headOption.foreach(release); throw t
+      } finally {
+        // the diag (if any) is a collected row; the older snapshots
+        // have had their last read on every path
+        trail.drop(1).foreach(release)
+      }
+    } finally release(sym)
   }
 
   /** Release a relation WE checkpointed once nothing can read it again.
@@ -400,20 +513,24 @@ object Graph {
     require(s >= 1 && rounds >= 1)
     var cur = pairs.select(col("a"), col("b"), col("w"))
     var superseded: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
-      val strength = cur.select(col("a").as("node"), col("w"))
-        .unionByName(cur.select(col("b").as("node"), col("w")))
-        .groupBy(col("node")).agg(sum(col("w")).as("strength"))
-      val keep = strength.filter(col("strength") >= s)
-        .select(col("node"))
-      val next = cur
-        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b"), col("w"))
-        .localCheckpoint(true)
-      superseded.foreach(release)
-      superseded = Some(next)
-      cur = next
+    try {
+      for (_ <- 1 to rounds) {
+        val strength = cur.select(col("a").as("node"), col("w"))
+          .unionByName(cur.select(col("b").as("node"), col("w")))
+          .groupBy(col("node")).agg(sum(col("w")).as("strength"))
+        val keep = strength.filter(col("strength") >= s)
+          .select(col("node"))
+        val next = cur
+          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"), col("w"))
+          .localCheckpoint(true)
+        superseded.foreach(release)
+        superseded = Some(next)
+        cur = next
+      }
+    } catch {
+      case t: Throwable => superseded.foreach(release); throw t
     }
     cur.select(col("a").as("node"), col("w"))
       .unionByName(cur.select(col("b").as("node"), col("w")))
@@ -432,8 +549,24 @@ object Graph {
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
-    (edges.join(deg, "src").localCheckpoint(true), deg)
+    try (edges.join(deg, "src").localCheckpoint(true), deg)
+    catch { case t: Throwable => release(deg); throw t }
   }
+
+  /** The per-iteration join-strategy decision, routed through the
+    * [[graft.plan.JoinAdvisor]]'s measured-stats path so the graph loop
+    * and the incremental-update merge share ONE decision discipline:
+    * broadcast the node-scale rank relation only when the advisor —
+    * given the measured edge and node counts and the static
+    * [[BroadcastNodeLimit]] as its broadcast threshold — recommends
+    * broadcasting that side. Skew shares are passed as 0: the rank side
+    * is one-row-per-node by construction, and the edge side's fan-in
+    * skew is exactly what AQE's skew handling covers on the shuffle
+    * path. */
+  private[graft] def broadcastRanks(edgeRows: Long, nodeRows: Long,
+      limit: Long = BroadcastNodeLimit): Boolean =
+    graft.plan.JoinAdvisor.adviseMeasured(edgeRows, nodeRows,
+      broadcastRowLimit = limit).recommendation == "broadcast_right"
 
   /** The shared power-iteration loop: `nodes` carries each node's
     * restart mass (`base_e6` — uniform for plain PageRank, seeds-only
@@ -449,7 +582,10 @@ object Graph {
   private def iterate(edgesWithDeg: DataFrame, nodes: DataFrame,
       start: DataFrame, iterations: Int, dampingPct: Int,
       contribution: Column = expr("rank_e6 div outdeg")): DataFrame = {
-    val smallRanks = nodes.count() <= BroadcastNodeLimit
+    // both counts read already-materialised checkpoints (node-scale and
+    // one pass over the edge blocks) — the cheap probe before a loop of
+    // `iterations` full joins, the advisor's own cost discipline
+    val smallRanks = broadcastRanks(edgesWithDeg.count(), nodes.count())
     var ranks = start
     // Checkpoint LIFETIME rule: the loop holds at most the LIVE rank
     // snapshot and the one it is computing from. Each iteration's cut is
@@ -462,23 +598,29 @@ object Graph {
     // (read again every iteration), and warm/seeded starts belong to
     // the caller.
     var superseded: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
-      val rankSide = if (smallRanks) broadcast(ranks) else ranks
-      val contribs = edgesWithDeg
-        .join(rankSide, col("src") === col("node"))
-        .select(col("dst"), contribution.as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-      val next = nodes
-        .join(contribs, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
-          (col("base_e6") +
-            expr(s"$dampingPct * coalesce(s, 0L) div 100"))
-            .as("rank_e6"))
-        .localCheckpoint(true)
-      superseded.foreach(release)
-      superseded = Some(next)
-      ranks = next
+    try {
+      for (_ <- 1 to iterations) {
+        val rankSide = if (smallRanks) broadcast(ranks) else ranks
+        val contribs = edgesWithDeg
+          .join(rankSide, col("src") === col("node"))
+          .select(col("dst"), contribution.as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        val next = nodes
+          .join(contribs, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            (col("base_e6") +
+              expr(s"$dampingPct * coalesce(s, 0L) div 100"))
+              .as("rank_e6"))
+          .localCheckpoint(true)
+        superseded.foreach(release)
+        superseded = Some(next)
+        ranks = next
+      }
+      ranks
+    } catch {
+      // a failed iteration must not pin the live snapshot for the
+      // session — the long-lived rank refresher retries
+      case t: Throwable => superseded.foreach(release); throw t
     }
-    ranks
   }
 }

@@ -45,17 +45,38 @@ object JoinAdvisor {
         Sketches.countMinValues(right, rightKey, cmsDepth, cmsHexChars))
       .head().getLong(0)
 
-    val rec =
-      if (lRows == 0L || rRows == 0L) "empty_side"
-      else if (rRows <= broadcastRowLimit && rRows <= lRows)
-        "broadcast_right"
-      else if (lRows <= broadcastRowLimit) "broadcast_left"
-      else if (lShare > skewSharePpm || rShare > skewSharePpm)
-        "sort_merge_salted"
-      else "sort_merge"
-
-    Advice(lRows, rRows, est, lShare, rShare, rec)
+    Advice(lRows, rRows, est, lShare, rShare,
+      recommend(lRows, rRows, lShare, rShare, broadcastRowLimit,
+        skewSharePpm))
   }
+
+  /** The decision tree itself, shared by [[advise]] (which measures its
+    * inputs) and [[adviseMeasured]] (whose caller already holds them). */
+  private def recommend(lRows: Long, rRows: Long,
+      lShare: Long, rShare: Long,
+      broadcastRowLimit: Long, skewSharePpm: Long): String =
+    if (lRows == 0L || rRows == 0L) "empty_side"
+    else if (rRows <= broadcastRowLimit && rRows <= lRows)
+      "broadcast_right"
+    else if (lRows <= broadcastRowLimit) "broadcast_left"
+    else if (lShare > skewSharePpm || rShare > skewSharePpm)
+      "sort_merge_salted"
+    else "sort_merge"
+
+  /** Strategy from ALREADY-MEASURED stats — the zero-extra-pass entry
+    * for callers that hold the relation sizes anyway (the graph
+    * iteration loop counts its node and edge checkpoints once before
+    * iterating; re-profiling them through [[advise]] would add a CMS
+    * pass per call for an estimate the fixed-shape join never uses).
+    * Skew shares default to 0 (= "no skew measured"); `joinSizeEst` is
+    * −1 to mark it unmeasured. Same decision tree as [[advise]]. */
+  def adviseMeasured(leftRows: Long, rightRows: Long,
+      maxKeyShareL_ppm: Long = 0L, maxKeyShareR_ppm: Long = 0L,
+      broadcastRowLimit: Long = 500000L,
+      skewSharePpm: Long = 100000L): Advice =
+    Advice(leftRows, rightRows, -1L, maxKeyShareL_ppm, maxKeyShareR_ppm,
+      recommend(leftRows, rightRows, maxKeyShareL_ppm, maxKeyShareR_ppm,
+        broadcastRowLimit, skewSharePpm))
 
   /** [[advise]] + execution: the advisor's recommendation actually
     * drives the join it was computed for. The result is row-identical to

@@ -24,8 +24,10 @@ object GraphQueries {
   /** The near-duplicate candidate graph as canonical pairs `(a, b)` —
     * the banded minhash join (q28's relation), shared by the centrality
     * (q264) and community (q271) views. `lshCandidates` already returns
-    * a distinct pair relation, so no re-dedup; the checkpoint lets both
-    * the symmetrisation orientations read one materialisation. */
+    * a distinct pair relation, so no re-dedup; the EAGER checkpoint
+    * (the `Graph.canonicalPairs` contract) lets both symmetrisation
+    * orientations read one materialisation with no first-consumer
+    * race. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
     Dedup.lshCandidates(
@@ -33,7 +35,7 @@ object GraphQueries {
           PipelineQueries.NumHashes),
         PipelineQueries.NumHashes, PipelineQueries.Bands)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
   }
 
 
@@ -353,6 +355,18 @@ object GraphQueries {
          FROM edges e JOIN $prev p ON e.src = p.node
          GROUP BY 1) s ON n.node = s.node)"""
 
+  /** The shared WEIGHTED pair CTEs, mirroring
+    * `Graph.weightedCanonicalPairs`: `(group, item)` deduplicated
+    * BEFORE the self-join, so w counts DISTINCT co-occurring orders —
+    * an item repeated within one order contributes 1, not k. */
+  private val WPairsCtes =
+    """gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+           FROM lineitem),
+       wpairs AS (SELECT la.item AS a, lb.item AS b, COUNT(*) AS w
+         FROM gi la JOIN gi lb
+           ON la.g = lb.g AND la.item < lb.item
+         GROUP BY 1, 2)"""
+
   /** The shared co-purchase graph CTEs (canonical pairs → symmetrised
     * edges with out-degrees). */
   private val GraphCtes =
@@ -550,12 +564,7 @@ object GraphQueries {
          ORDER BY n_members DESC, community LIMIT 30""",
 
     "q272_weighted_copurchase_rank" ->
-      s"""WITH wpairs AS (SELECT la.l_partkey AS a,
-           lb.l_partkey AS b, COUNT(*) AS w
-         FROM lineitem la JOIN lineitem lb
-           ON la.l_orderkey = lb.l_orderkey
-          AND la.l_partkey < lb.l_partkey
-         GROUP BY 1, 2),
+      s"""WITH $WPairsCtes,
          wsym AS (SELECT a AS src, b AS dst, w FROM wpairs
            UNION ALL SELECT b, a, w FROM wpairs),
          wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
@@ -573,12 +582,7 @@ object GraphQueries {
          FROM r5 ORDER BY rank_e6 DESC, part_key LIMIT 20""",
 
     "q276_copurchase_strength_core" ->
-      s"""WITH wpairs AS (SELECT la.l_partkey AS a,
-           lb.l_partkey AS b, COUNT(*) AS w
-         FROM lineitem la JOIN lineitem lb
-           ON la.l_orderkey = lb.l_orderkey
-          AND la.l_partkey < lb.l_partkey
-         GROUP BY 1, 2),
+      s"""WITH $WPairsCtes,
          ${sPeelSql("wpairs", "s1")},
          ${sPeelSql("s1", "s2")},
          ${sPeelSql("s2", "s3")},
@@ -635,12 +639,7 @@ object GraphQueries {
          FROM d4 GROUP BY h ORDER BY hops""",
 
     "q273_weighted_communities" ->
-      s"""WITH wpairs AS (SELECT la.l_partkey AS a,
-           lb.l_partkey AS b, COUNT(*) AS w
-         FROM lineitem la JOIN lineitem lb
-           ON la.l_orderkey = lb.l_orderkey
-          AND la.l_partkey < lb.l_partkey
-         GROUP BY 1, 2),
+      s"""WITH $WPairsCtes,
          wsym AS (SELECT a AS src, b AS dst, w FROM wpairs
            UNION ALL SELECT b, a, w FROM wpairs),
          l0 AS MATERIALIZED (SELECT DISTINCT src AS node,

@@ -37,11 +37,12 @@ object StreamingCommunities {
     val pairs = StreamingRank.edges(spark, cfg)
     if (pairs.isEmpty) return
     val next = Graph.labelPropagation(pairs, rounds)
-    SwapDir.install(spark, next, cfg.storeDir, "labels")
-    // the parquet install was the checkpointed result's last read; a
-    // long-lived refresher (listener / cron) must not pin one
-    // node-scale RDD per refresh
-    Graph.release(next)
+    // release in `finally`: on success the parquet install was the
+    // checkpointed result's last read; on an install FAILURE the same
+    // holds — a long-lived refresher (listener / cron) whose refresh
+    // keeps failing must not pin one node-scale RDD per attempt
+    try SwapDir.install(spark, next, cfg.storeDir, "labels")
+    finally Graph.release(next)
   }
 
   /** Current `(node, label)` assignment; empty before the first

@@ -57,10 +57,12 @@ object StreamingIvf {
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       model: IvfIndex.Model,
                                       cfg: Config): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // guard BEFORE the empty short-circuit (the StreamingRank fix): a
+    // misbound store must fail loudly even on an empty batch
     if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
         "streaming ivf")) return // committed replay: skip
+    if (batch.isEmpty) return // new but empty: no write, HWM unchanged
     LegacyLayout.fold(hwmPath(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration),
       new org.apache.hadoop.fs.Path(cfg.indexPath))

@@ -98,10 +98,14 @@ object StreamingRank {
     * [[StreamingCc.mergeBatch]] pattern). */
   def ingestBatch(batch: DataFrame, batchId: Long,
                   cfg: Config): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
+    // guard BEFORE the empty short-circuit: a reset checkpoint or
+    // misbound store (batchId below the committed HWM) must fail loudly
+    // even when the offending batch happens to carry no rows — the
+    // other HWM stores run the guard first for the same reason
     if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
         "streaming rank")) return // committed replay: skip
+    if (batch.isEmpty) return // new but empty: no write, HWM unchanged
     graft.sink.Compaction.recover(spark, edgesDir(cfg).toString)
     val fs = edgesDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -187,10 +191,12 @@ object StreamingRank {
       else None
     val next = Graph.pageRankFrom(sym, init, cfg.iterations,
       cfg.dampingPct)
-    SwapDir.install(spark, next, cfg.storeDir, "ranks")
-    // the parquet install was the checkpointed result's last read; a
-    // long-lived refresher must not pin one node-scale RDD per refresh
-    Graph.release(next)
+    // release in `finally`: on success the parquet install was the
+    // checkpointed result's last read; on an install FAILURE the same
+    // holds — a long-lived refresher whose refresh keeps failing must
+    // not pin one node-scale RDD per attempt
+    try SwapDir.install(spark, next, cfg.storeDir, "ranks")
+    finally Graph.release(next)
   }
 
   /** Fold committed edge batches into one `batch_id=-1` partition per

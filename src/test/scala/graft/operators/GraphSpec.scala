@@ -491,4 +491,87 @@ class GraphSpec extends SparkSpec {
     assert(sizes.forall(_ >= 3L))
     assert(out.forall(r => r.getLong(2) <= r.getLong(3)))
   }
+
+  test("weightedCanonicalPairs counts DISTINCT co-occurring groups: an " +
+      "item duplicated within one group contributes 1, and the " +
+      "all-weights-1 case equals canonicalPairs exactly") {
+    // group 10 lists item 1 twice beside item 2: raw join-row counting
+    // would give (1,2) weight 2; distinct-group semantics give 1.
+    // group 20 repeats the (1,2) co-occurrence: true weight 2.
+    val df = Seq((10L, 1L), (10L, 1L), (10L, 2L),
+      (20L, 1L), (20L, 2L), (20L, 3L)).toDF("g", "item")
+    val w = Graph.weightedCanonicalPairs(df, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(w === Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // degeneration law: pairs with w dropped == the distinct pairs
+    val unweighted = Graph.canonicalPairs(df, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w.keySet === unweighted)
+  }
+
+  test("canonicalPairs hands back an EAGER local checkpoint: the " +
+      "relation is a materialised leaf before any consumer acts") {
+    val df = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("g", "item")
+    for (pairs <- Seq(Graph.canonicalPairs(df, "g", "item"),
+        Graph.weightedCanonicalPairs(df, "g", "item"))) {
+      val leaf = pairs.queryExecution.analyzed
+      assert(leaf.isInstanceOf[
+        org.apache.spark.sql.execution.LogicalRDD])
+      val rdd = leaf
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+      // an eager localCheckpoint has already computed and cached every
+      // partition; a lazy one would report 0 cached until first action
+      val info = spark.sparkContext.getRDDStorageInfo
+        .find(_.id == rdd.id)
+      assert(info.exists(i => i.numCachedPartitions == rdd.getNumPartitions),
+        s"pairs RDD ${rdd.id} not fully cached at build: $info")
+      Graph.release(pairs)
+    }
+  }
+
+  test("broadcastRanks routes the loop's join decision through the " +
+      "JoinAdvisor: broadcast under the limit, shuffle above, never on " +
+      "an empty side") {
+    assert(Graph.broadcastRanks(edgeRows = 1000000L, nodeRows = 50000L))
+    assert(!Graph.broadcastRanks(edgeRows = 1000000000L,
+      nodeRows = Graph.BroadcastNodeLimit + 1))
+    assert(!Graph.broadcastRanks(edgeRows = 0L, nodeRows = 10L))
+    // explicit limit override (the advisor's threshold-as-input rule)
+    assert(!Graph.broadcastRanks(edgeRows = 1000L, nodeRows = 100L,
+      limit = 10L))
+  }
+
+  test("LPA diagnostic flags a period-2 oscillator and a converged " +
+      "run: the single edge swaps labels forever; the triangle fixes") {
+    // single edge 1-2: l0=(1,2), l1=(2,1), l2=(1,2), ... pure period 2
+    val (edgeLabels, edgeDiag) = Graph.labelPropagationWithDiag(
+      Seq((1L, 2L)).toDF("a", "b"), rounds = 4)
+    assert(edgeDiag.nNodes === 2L)
+    assert(edgeDiag.nStable === 0L)
+    assert(edgeDiag.nOscillating === 2L)
+    assert(!edgeDiag.converged)
+    // the assignment itself still matches the single-threaded reference
+    val gotEdge = edgeLabels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotEdge === referenceLpa(Seq((1L, 2L)), 4))
+
+    // triangle: labels collapse to 1 by round 2 and stay — converged
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val (_, triDiag) = Graph.labelPropagationWithDiag(
+      tri.toDF("a", "b"), rounds = 4)
+    assert(triDiag.nNodes === 3L)
+    assert(triDiag.nStable === 3L)
+    assert(triDiag.nOscillating === 0L)
+    assert(triDiag.converged)
+
+    // weighted variant shares the loop: a heavy edge can break the
+    // square's all-ties oscillation where the unweighted run cycles
+    val square = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 4L, 1L))
+    val (_, sqDiag) = Graph.weightedLabelPropagationWithDiag(
+      square.toDF("a", "b", "w"), rounds = 4)
+    assert(sqDiag.nNodes === 4L)
+  }
 }

@@ -93,6 +93,12 @@ class StreamingIvfSpec extends SparkSpec {
     StreamingIvf.processBatch(emb.filter(col("vec_id") >= 20), 1L,
       model, cfg)
     assert(stored() === n, "post-compaction replay duplicated vectors")
+    // the reset guard runs BEFORE the empty short-circuit: a misbound
+    // store fails loudly even when the offending batch carries no rows
+    val exEmpty = intercept[IllegalStateException] {
+      StreamingIvf.processBatch(emb.limit(0), 0L, model, cfg)
+    }
+    assert(exEmpty.getMessage.contains("below the committed HWM"))
   }
 
   test("compactIndex folds ONLY committed batches: a batch that crashed " +

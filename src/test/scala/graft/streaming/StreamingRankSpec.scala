@@ -93,6 +93,12 @@ class StreamingRankSpec extends SparkSpec {
       StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
     }
     assert(ex.getMessage.contains("below the committed HWM"))
+    // the guard runs BEFORE the empty short-circuit: a misbound store
+    // must fail loudly even when the offending batch carries no rows
+    val exEmpty = intercept[IllegalStateException] {
+      StreamingRank.ingestBatch(batch0.toDF().limit(0), 0L, c)
+    }
+    assert(exEmpty.getMessage.contains("below the committed HWM"))
   }
 
   test("compactEdges folds committed batches only, keeps ranks " +
