@@ -118,7 +118,12 @@ object OffloadRunner {
       // referential rules are rejected (one relation — the batch
       // `expect` CLI audits cross-table integrity). Whole-table
       // end-state audits likewise belong to `expect` on the final path.
-      expectations: Seq[graft.verify.Expectations.Rule] = Nil)
+      expectations: Seq[graft.verify.Expectations.Rule] = Nil,
+      /** Graded (warn_if / error_if) rules: violations above a rule's
+        * `errorAbove` fail the gate like a plain rule; counts in the
+        * (warnAbove, errorAbove] band only WARN — surfaced in the step
+        * detail, never fatal. Same one-pass fold, same slice. */
+      gradedExpectations: Seq[graft.verify.Expectations.Graded] = Nil)
 
   /** Full offload command: lock → read → (predicate/HWM filter) →
     * transforms + extraction projection → stage → validate → final load →
@@ -151,7 +156,7 @@ object OffloadRunner {
     * violation throws with the per-rule counts, failing the step and
     * the command BEFORE anything lands — retry-safe by construction. */
   private def expectationsStep(r: Runner, spark: SparkSession,
-      cfg: OffloadConfig, slice: Option[DataFrame]): Unit =
+      cfg: OffloadConfig, slice: Option[DataFrame]): Unit = {
     if (cfg.expectations.nonEmpty)
       r.step("expectations",
         s"${cfg.expectations.length} rules on the load slice") {
@@ -167,6 +172,38 @@ object OffloadRunner {
         }
         ()
       }
+    if (cfg.gradedExpectations.nonEmpty) {
+      // step detail is rendered AFTER the body (by-name `render`), so
+      // warn-level rules land in the recorded step / command audit —
+      // visible but never fatal, the graded contract
+      var warnDetail = ""
+      r.step("expectations_graded",
+        s"${cfg.gradedExpectations.length} graded rules on the load " +
+          "slice" + warnDetail) {
+        slice.foreach { df =>
+          val report = graft.verify.Expectations
+            .evaluateGradedRelation(spark, df, cfg.gradedExpectations)
+            .collect()
+          def fmt(rows: Seq[org.apache.spark.sql.Row]): String =
+            rows.map(f =>
+              s"${f.getString(0)}=${f.getAs[Long]("n_violations")}")
+              .mkString(", ")
+          val errors = report.toSeq
+            .filter(_.getAs[String]("severity") == "error")
+          val warns = report.toSeq
+            .filter(_.getAs[String]("severity") == "warn")
+          if (warns.nonEmpty) warnDetail = s"; warnings: ${fmt(warns)}"
+          if (errors.nonEmpty)
+            throw new IllegalStateException(
+              "graded expectations failed: " + fmt(errors) +
+                (if (warns.nonEmpty) s"; warnings: ${fmt(warns)}"
+                 else ""))
+        }
+        ()
+      }
+      ()
+    }
+  }
 
   private def audited(cfg: OffloadConfig, commandType: String)
                      (body: AuditContext => Seq[StepResult])

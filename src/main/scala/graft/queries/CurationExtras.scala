@@ -906,6 +906,28 @@ object CurationExtras {
           "l_extendedprice > 0"),
         ExpressionIsTrue("orders", "price_positive",
           "o_totalprice > 0")))
+    },
+
+    // Graded expectations (dbt's warn_if / error_if counts): a rule may
+    // TOLERATE violations — the tax rule here warns (violations exist,
+    // the error budget is huge), the quantity rule passes outright (its
+    // violations fit inside the warn budget), the event vocabulary rule
+    // errors (zero tolerance), the discount rule passes with zero
+    // violations. Severity rides the SAME one-pass fold as q257; the
+    // reference's staged validation aborts on ANY row
+    // (backend_table.py:1209-1505) — this is the graded version real
+    // pipelines need.
+    "q278_graded_expectations" -> { (s, dir) =>
+      import graft.verify.Expectations._
+      evaluateGraded(s, name => t(s, dir, name), Seq(
+        Graded(InRange("lineitem", "l_tax", 0L, 50000L),
+          warnAbove = 0L, errorAbove = 1000000000000L),
+        Graded(InRange("lineitem", "l_discount", 0L, 100000L)),
+        Graded(AcceptedValues("events", "event_type",
+          Seq("click", "view", "purchase"))),
+        Graded(InRange("lineitem", "l_quantity", 1000000L, 30000000L),
+          warnAbove = 1000000000000L,
+          errorAbove = 1000000000000L)))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1735,6 +1757,49 @@ object CurationExtras {
         row("price_positive", "orders", "o_totalprice > 0"))
       s"""SELECT rule_id, rule_type, table_name, column_name, n_rows,
            n_violations, n_violations = 0 AS passed
+         FROM (${rows.mkString("\nUNION ALL\n")})
+         ORDER BY rule_id"""
+    },
+
+    "q278_graded_expectations" -> {
+      def inRangeViol(c: String, lo: String, hi: String): String =
+        s"""SUM(CASE WHEN $c IS NOT NULL AND
+             (TRY_CAST($c AS DECIMAL(18,6)) IS NULL OR
+              TRY_CAST($c AS DECIMAL(18,6)) < CAST($lo AS DECIMAL(18,6)) OR
+              TRY_CAST($c AS DECIMAL(18,6)) > CAST($hi AS DECIMAL(18,6)))
+             THEN 1 ELSE 0 END)"""
+      def row(id: String, tpe: String, tbl: String, colName: String,
+          nViol: String, from: String, warn: Long, err: Long): String =
+        s"""SELECT '$id' AS rule_id, '$tpe' AS rule_type,
+             '$tbl' AS table_name, '$colName' AS column_name,
+             COUNT(*) AS n_rows, CAST($nViol AS BIGINT) AS n_violations,
+             CAST($warn AS BIGINT) AS warn_above,
+             CAST($err AS BIGINT) AS error_above
+           FROM $from"""
+      val rows = Seq(
+        row("in_range:lineitem.l_tax", "in_range", "lineitem", "l_tax",
+          inRangeViol("l_tax", "0.000000", "0.050000"), "lineitem",
+          0L, 1000000000000L),
+        row("in_range:lineitem.l_discount", "in_range", "lineitem",
+          "l_discount",
+          inRangeViol("l_discount", "0.000000", "0.100000"), "lineitem",
+          0L, 0L),
+        row("accepted_values:events.event_type", "accepted_values",
+          "events", "event_type",
+          """SUM(CASE WHEN event_type IS NOT NULL AND
+               CAST(event_type AS VARCHAR)
+                 NOT IN ('click','view','purchase')
+               THEN 1 ELSE 0 END)""", "events", 0L, 0L),
+        row("in_range:lineitem.l_quantity", "in_range", "lineitem",
+          "l_quantity",
+          inRangeViol("l_quantity", "1.000000", "30.000000"), "lineitem",
+          1000000000000L, 1000000000000L))
+      s"""SELECT rule_id, rule_type, table_name, column_name, n_rows,
+           n_violations, warn_above, error_above,
+           CASE WHEN n_violations > error_above THEN 'error'
+                WHEN n_violations > warn_above THEN 'warn'
+                ELSE 'pass' END AS severity,
+           n_violations <= error_above AS passed
          FROM (${rows.mkString("\nUNION ALL\n")})
          ORDER BY rule_id"""
     })

@@ -177,6 +177,27 @@ object Expectations {
     case r: RefIntegrity => Some(Seq(r.column)) // child role
   }
 
+  /** dbt-style graded thresholds riding a rule (`warn_if` / `error_if`
+    * counts): a rule may TOLERATE violations — up to `warnAbove` of
+    * them silently, up to `errorAbove` with a warning — and only above
+    * `errorAbove` does it fail the gate. The defaults (0, 0) are the
+    * ungraded semantics exactly: any violation is an error. The
+    * reference's staged-data validation aborts on ANY offending row
+    * (`backend_table.py:1209-1505`); real pipelines need the graded
+    * version (a fact table with three bad rows out of 10¹⁰ should
+    * warn, not halt the nightly load). Severity costs nothing extra:
+    * the counts come from the same one-pass fold. */
+  final case class Graded(rule: Rule, warnAbove: Long = 0L,
+      errorAbove: Long = 0L) {
+    require(warnAbove >= 0L && errorAbove >= warnAbove,
+      s"need 0 <= warnAbove <= errorAbove: ($warnAbove, $errorAbove)")
+  }
+
+  private def severity(violations: Long, g: Graded): String =
+    if (violations > g.errorAbove) "error"
+    else if (violations > g.warnAbove) "warn"
+    else "pass"
+
   /** Evaluate `rules` over `load(tableName)`. Returns one row per rule:
     * `(rule_id, rule_type, table_name, column_name, n_rows,
     * n_violations, passed)`, ordered by rule_id.
@@ -195,6 +216,41 @@ object Expectations {
   def evaluate(spark: SparkSession, load: String => DataFrame,
       rules: Seq[Rule]): DataFrame = {
     import spark.implicits._
+    counts(spark, load, rules)
+      .toDF("rule_id", "rule_type", "table_name", "column_name",
+        "n_rows", "n_violations")
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("rule_id"))
+  }
+
+  /** [[evaluate]] with [[Graded]] thresholds: same one-pass counts,
+    * two extra columns (`warn_above`, `error_above`) and a `severity`
+    * verdict; `passed` becomes "not an error" — a warn-level rule
+    * passes the gate but stays visible in the report. */
+  def evaluateGraded(spark: SparkSession, load: String => DataFrame,
+      graded: Seq[Graded]): DataFrame = {
+    import spark.implicits._
+    val byId = graded.map(g => g.rule.id -> g).toMap
+    counts(spark, load, graded.map(_.rule))
+      .map { case (id, tpe, tbl, colD, n, v) =>
+        val g = byId(id)
+        (id, tpe, tbl, colD, n, v, g.warnAbove, g.errorAbove,
+          severity(v, g))
+      }
+      .toDF("rule_id", "rule_type", "table_name", "column_name",
+        "n_rows", "n_violations", "warn_above", "error_above",
+        "severity")
+      .withColumn("passed", col("severity") =!= "error")
+      .orderBy(col("rule_id"))
+  }
+
+  /** The shared counting pass: one row of raw counts per rule —
+    * `(rule_id, rule_type, table_name, column_name, n_rows,
+    * n_violations)` — with the one-scan-per-table sharing described on
+    * [[evaluate]]. */
+  private def counts(spark: SparkSession, load: String => DataFrame,
+      rules: Seq[Rule])
+      : Seq[(String, String, String, String, Long, Long)] = {
     require(rules.nonEmpty)
     require(rules.map(_.id).distinct.size == rules.size,
       "duplicate rule ids")
@@ -272,11 +328,7 @@ object Expectations {
         // defect regardless of its row multiplicity)
         (r.id, r.ruleType, r.table, r.columnDesc, n, orphans.count())
       }
-      (aggReports ++ refReports)
-        .toDF("rule_id", "rule_type", "table_name", "column_name",
-          "n_rows", "n_violations")
-        .withColumn("passed", col("n_violations") === 0L)
-        .orderBy(col("rule_id"))
+      aggReports ++ refReports
     } finally {
       // every consumer ran its action above; the shared checkpoints
       // have had their last read (the returned report is a local
@@ -296,6 +348,36 @@ object Expectations {
   def evaluateRelation(spark: SparkSession, df: DataFrame,
       rules: Seq[Rule]): DataFrame = {
     import spark.implicits._
+    relationCounts(df, rules)
+      .toDF("rule_id", "rule_type", "table_name", "column_name",
+        "n_rows", "n_violations")
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy(col("rule_id"))
+  }
+
+  /** [[evaluateRelation]] with [[Graded]] thresholds — the gate-facing
+    * variant ([[evaluateGraded]]'s schema): `passed` means "not an
+    * error", so the offload gate can tolerate warn-level counts while
+    * still surfacing them in the report it throws with. */
+  def evaluateGradedRelation(spark: SparkSession, df: DataFrame,
+      graded: Seq[Graded]): DataFrame = {
+    import spark.implicits._
+    val byId = graded.map(g => g.rule.id -> g).toMap
+    relationCounts(df, graded.map(_.rule))
+      .map { case (id, tpe, tbl, colD, n, v) =>
+        val g = byId(id)
+        (id, tpe, tbl, colD, n, v, g.warnAbove, g.errorAbove,
+          severity(v, g))
+      }
+      .toDF("rule_id", "rule_type", "table_name", "column_name",
+        "n_rows", "n_violations", "warn_above", "error_above",
+        "severity")
+      .withColumn("passed", col("severity") =!= "error")
+      .orderBy(col("rule_id"))
+  }
+
+  private def relationCounts(df: DataFrame, rules: Seq[Rule])
+      : Seq[(String, String, String, String, Long, Long)] = {
     require(rules.nonEmpty)
     require(rules.map(_.id).distinct.size == rules.size,
       "duplicate rule ids")
@@ -313,10 +395,6 @@ object Expectations {
       (r.id, r.ruleType, r.table, r.columnDesc, n,
         row.getAs[Long](s"_v$i"))
     }
-      .toDF("rule_id", "rule_type", "table_name", "column_name",
-        "n_rows", "n_violations")
-      .withColumn("passed", col("n_violations") === 0L)
-      .orderBy(col("rule_id"))
   }
 
   /** Parse a JSONL rules file (one rule object per line):

@@ -81,6 +81,45 @@ class OffloadRunnerSpec extends SparkSpec {
     assert(seenRef.exists(s => s.name == "expectations" && !s.ok))
   }
 
+  test("graded expectations gate: warn-level counts pass the command " +
+      "and surface in the step detail; error-level counts abort it") {
+    import graft.verify.Expectations._
+    val base = tmpBase()
+    def cfgWith(graded: Seq[Graded], out: String) =
+      OffloadRunner.OffloadConfig(
+        sourceTable = "orders",
+        sourcePath = sf("sf0.001") + "/orders.parquet",
+        stagingPath = s"$base/$out/staging",
+        finalPath = s"$base/$out/final",
+        metadataDir = s"$base/$out/meta",
+        gradedExpectations = graded)
+    // statuses beyond {O} exist, so this rule has violations — a huge
+    // error budget downgrades them to a warning that must NOT abort
+    val warnRun = OffloadRunner.offload(spark, cfgWith(Seq(
+      Graded(AcceptedValues("final", "o_orderstatus", Seq("O")),
+        warnAbove = 0L, errorAbove = 1000000000L)), "warn"))
+    assert(warnRun.forall(_.ok), warnRun.mkString("\n"))
+    val warnStep = warnRun.find(_.name == "expectations_graded").get
+    assert(warnStep.detail.contains("warnings:") &&
+      warnStep.detail.contains("accepted_values:final.o_orderstatus"))
+    assert(spark.read.parquet(s"$base/warn/final").count() > 0)
+
+    // the same rule with zero tolerance is fatal, before anything lands
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[OffloadRunner.StepResult]
+    intercept[IllegalStateException] {
+      OffloadRunner.offload(spark, cfgWith(Seq(
+        Graded(AcceptedValues("final", "o_orderstatus", Seq("O")))),
+        "err").copy(progress = Some(seen += _)))
+    }
+    val errStep = seen.find(_.name == "expectations_graded").get
+    assert(!errStep.ok &&
+      errStep.detail.contains("accepted_values:final.o_orderstatus"))
+    val fs = new org.apache.hadoop.fs.Path(s"$base/err/final")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/err/final")))
+  }
+
   test("incremental offload: second run only moves rows beyond the HWM") {
     val base = tmpBase()
     def cfgFor(pred: String) = OffloadRunner.OffloadConfig(

@@ -38,6 +38,39 @@ class ExpectationsSpec extends SparkSpec {
     assert(got("in_range:t.x") === ((1L, false)))
   }
 
+  test("graded thresholds: exact severity per band — violations above " +
+      "errorAbove error, in (warnAbove, errorAbove] warn, at or below " +
+      "warnAbove pass; passed means not-an-error") {
+    // dirty's range rule has EXACTLY 1 violation (x = 0.20): thresholds
+    // straddle that count three ways
+    def gradedRange(warn: Long, err: Long) =
+      evaluateGraded(spark, Map("t" -> dirty), Seq(
+        Graded(InRange("t", "x", 0L, 100000L), warn, err))).head()
+    val err = gradedRange(0L, 0L)
+    assert(err.getAs[String]("severity") === "error")
+    assert(!err.getAs[Boolean]("passed"))
+    assert(err.getAs[Long]("n_violations") === 1L)
+    val warn = gradedRange(0L, 5L)
+    assert(warn.getAs[String]("severity") === "warn")
+    assert(warn.getAs[Boolean]("passed"))
+    val pass = gradedRange(1L, 5L)
+    assert(pass.getAs[String]("severity") === "pass")
+    assert(pass.getAs[Boolean]("passed"))
+    // defaults are the ungraded semantics: any violation is an error
+    val dflt = evaluateGraded(spark, Map("t" -> dirty), Seq(
+      Graded(NotNull("t", "k")))).head()
+    assert(dflt.getAs[String]("severity") === "error")
+    // invalid band ordering is rejected at construction
+    intercept[IllegalArgumentException] {
+      Graded(NotNull("t", "k"), warnAbove = 5L, errorAbove = 1L)
+    }
+    // the relation-gate variant shares the schema and semantics
+    val rel = Expectations.evaluateGradedRelation(spark, dirty, Seq(
+      Graded(InRange("t", "x", 0L, 100000L), 0L, 5L))).head()
+    assert(rel.getAs[String]("severity") === "warn" &&
+      rel.getAs[Boolean]("passed"))
+  }
+
   test("unique ignores NULL keys on both sides — SQL COUNT(col) − " +
       "COUNT(DISTINCT col) semantics, not struct-distinct") {
     // keys (1, 1, null, null, 3): the two null-keyed rows are NOT
