@@ -1,7 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1/5/15-minute load averages, or "unavailable" off-Linux. Stamped into
+    * the artifact at start and end so a reader can tell a contended run
+    * (round-12 adjudication: three queries inflated 4-15x by a busy
+    * machine, zero code diff) from a real regression without re-running.
+    */
+  private def loadavg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case scala.util.control.NonFatal(_) => "unavailable" }
+
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -64,32 +79,53 @@ object Bench {
         // needs no special case — the timed reps fail the same way.
         runOne(fn)
         val runs = Seq.fill(reps)(runOne(fn))
-        val ok = runs.collect { case (t, None) => t }.sorted
+        val ok = runs.collect { case (t, None) => t }
         if (ok.isEmpty) (runs.head, 1.0)
-        else ((ok(ok.length / 2), None), ok.last / math.max(ok.head, 1e-9))
+        else ((tools.BenchStats.median(ok), None), tools.BenchStats.spread(ok))
       }
 
-    val first = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val first0 = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val (r, spread) = runMedian(fn)
       (name, fn, r, spread)
     }
+    // A spread beyond this is not residual jitter — it is one rep colliding
+    // with a machine-level event (GC storm, another JVM, page-cache
+    // eviction), and a median of 3 can still land on a contaminated rep
+    // (round-12: q242 recorded 16.1 s for a 1.1 s plan). Such queries are
+    // RE-MEASURED with a fresh median-of-5 before the number is recorded;
+    // the re-measured value replaces the first one and the query is marked
+    // `remeasured` in the artifact so the escalation is auditable.
+    val spreadThresh = sys.env.getOrElse(
+      "SPARK_GRAFT_SPREAD_RERUN", "3.0").toDouble
+    val first = first0.map {
+      case (name, fn, (t, None), s)
+          if tools.BenchStats.needsRemeasure(reps, s, spreadThresh) =>
+        val runs = Seq.fill(5)(runOne(fn))
+        val ok = runs.collect { case (t2, None) => t2 }
+        if (ok.isEmpty) (name, fn, (t, Option.empty[String]), s, false)
+        else (name, fn, (tools.BenchStats.median(ok), Option.empty[String]),
+          tools.BenchStats.spread(ok), true)
+      case (name, fn, r, s) => (name, fn, r, s, false)
+    }
+    val remeasured =
+      first.collect { case (n, _, _, _, true) => n }.toSet
     // One-off I/O stalls (page-cache eviction, JIT deopt) record a number
     // that is not the query's cost: any success exceeding 3x the median is
     // re-run once and the faster time kept (min — the stall is the outlier,
     // not the work). With reps > 1 the per-query median already absorbed
     // outliers, so the extra re-run is skipped.
-    val okTimes = first.collect { case (_, _, (t, None), _) => t }.sorted
+    val okTimes = first.collect { case (_, _, (t, None), _, _) => t }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
     val results = first.map {
-      case (name, fn, (t, None), _)
+      case (name, fn, (t, None), _, _)
           if reps == 1 && median > 0 && t > 3 * median =>
         val (t2, err2) = runOne(fn)
         if (err2.isEmpty) name -> (math.min(t, t2), None)
         else name -> (t, None) // flaky rerun: keep the first, valid result
-      case (name, _, r, _) => name -> r
+      case (name, _, r, _, _) => name -> r
     }
     val spreads = first.collect {
-      case (name, _, (_, None), s) if reps > 1 => name -> s
+      case (name, _, (_, None), s, _) if reps > 1 => name -> s
     }
 
     // control characters must be escaped too: error strings carry raw
@@ -129,7 +165,9 @@ object Bench {
     val noisy5 = spreads.sortBy(-_._2).take(5)
       .map { case (k, v) => jstr(k) + ":" + ms(v) }.mkString("{", ",", "}")
     val warm = if (reps > 1) 1 else 0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val loadEnd = loadavg()
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"remeasured":${remeasured.size},"wall_sec":${ms(wallSec)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
     // The stdout line above is captured as a LOG TAIL and has truncated
     // mid-map two rounds running, making most per-query regressions
     // unadjudicable. The engine therefore persists its own COMPLETE
@@ -155,15 +193,26 @@ object Bench {
       val qLines = results.sortBy(_._1).map { case (k, (v, err)) =>
         val sp = spreadByName.get(k)
           .map(s => s""","spread":${ms(s)}""").getOrElse("")
+        val rm = if (remeasured(k)) ""","remeasured":true""" else ""
         val er = err.map(e => s""","error":${jstr(e)}""").getOrElse("")
-        s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$er}"""
+        s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$rm$er}"""
       }
+      // Machine-load fingerprint: loadavg at start/end plus total wall vs
+      // summed query time. A run whose wall greatly exceeds reps x query
+      // time, or whose loadavg was already high at start, is self-labelled
+      // as contended — a reader (or tools/bench_diff.py) need not guess.
       val body =
         s"""{
            |  "sf": ${jstr(sfDir)},
            |  "cpus": ${jstr(cpus)},
            |  "reps": $reps,
            |  "warmup": $warm,
+           |  "spread_rerun_threshold": ${ms(spreadThresh)},
+           |  "n_remeasured": ${remeasured.size},
+           |  "loadavg_start": ${jstr(loadStart)},
+           |  "loadavg_end": ${jstr(loadEnd)},
+           |  "host_cpus": ${Runtime.getRuntime.availableProcessors},
+           |  "wall_sec": ${ms(wallSec)},
            |  "n_queries": ${results.size},
            |  "failed": ${errs.size},
            |  "total_sec": ${ms(total)},

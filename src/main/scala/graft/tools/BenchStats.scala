@@ -1,0 +1,51 @@
+package graft.tools
+
+/** Pure statistics behind [[graft.Bench]]'s contention defences, extracted
+  * so the escalation policy is unit-testable without running Spark.
+  *
+  * The policy (round-12 adjudication): a per-query median of 3 still
+  * records a contaminated number when a machine-level event (another JVM,
+  * GC storm, page-cache eviction) straddles two of the three reps —
+  * q242 recorded 16.1 s for a 1.1 s plan. The run-to-run SPREAD
+  * (max/min) is the tell: residual jitter sits near 1.0-1.5x, a
+  * contended rep pushes it past 3x. Queries whose spread exceeds the
+  * threshold are re-measured with a fresh median-of-5 before anything is
+  * recorded, and the artifact marks them `remeasured` so the escalation
+  * is auditable rather than silent.
+  */
+object BenchStats {
+
+  /** Upper median (element at n/2 of the sorted sample) — the same
+    * convention Bench has used since reps landed in round 9, kept so
+    * round-over-round artifacts stay comparable. Callers guarantee
+    * non-empty input. */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
+  /** max/min of the sample — 1.0 means perfectly stable reps. Guarded
+    * against a zero-time fastest rep (sub-nanosecond timer quantisation)
+    * the same way Bench always has. */
+  def spread(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s.last / math.max(s.head, 1e-9)
+  }
+
+  /** Should this query's first-pass measurement be thrown away and
+    * re-measured? Only a SUCCESSFUL multi-rep measurement can be judged
+    * by spread: reps == 1 has no spread, and a failed query's timing is
+    * time-to-failure, not a sample. */
+  def needsRemeasure(reps: Int, spread: Double, threshold: Double): Boolean =
+    reps > 1 && spread > threshold
+
+  /** A run self-labels as contended when the whole-process wall clock is
+    * far above the summed query time (the gap is sbt/JVM startup plus
+    * whatever else the machine was doing between reps) or the 1-minute
+    * load average at start already exceeded the available processors.
+    * tools/bench_diff.py surfaces the same signal when diffing rounds. */
+  def looksContended(wallSec: Double, totalQuerySec: Double,
+      loadavg1: Double, hostCpus: Int): Boolean =
+    (totalQuerySec > 30 && wallSec > 3 * totalQuerySec) ||
+      loadavg1 > hostCpus.toDouble
+}

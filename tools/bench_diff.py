@@ -49,10 +49,40 @@ def main():
     shared = sorted(set(pq) & set(cq))
     added = sorted(set(cq) - set(pq))
     removed = sorted(set(pq) - set(cq))
+
+    def fingerprint(tag, art):
+        """Surface the machine-load fingerprint (round-13: the artifact
+        self-labels contended runs so a q242-style phantom regression is
+        adjudicable without re-running). Absent in pre-r13 artifacts."""
+        if "loadavg_start" not in art:
+            return
+        wall = art.get("wall_sec", 0.0)
+        total = art.get("total_sec", 0.0)
+        cpus = art.get("host_cpus", 0)
+        try:
+            load1 = float(str(art["loadavg_start"]).split()[0])
+        except (ValueError, IndexError):
+            load1 = 0.0
+        contended = (total > 30 and wall > 3 * total) or \
+            (cpus and load1 > cpus)
+        flag = "  ** CONTENDED RUN **" if contended else ""
+        print(f"  {tag} fingerprint: wall={wall}s queries={total}s "
+              f"loadavg_start={art['loadavg_start']} "
+              f"loadavg_end={art.get('loadavg_end', '?')} "
+              f"host_cpus={cpus} "
+              f"remeasured={art.get('n_remeasured', 0)}{flag}")
+
     print(f"prev: {prev_path} total={prev['total_sec']}s "
           f"n={prev['n_queries']} sf={prev['sf']}")
+    fingerprint("prev", prev)
     print(f"curr: {curr_path} total={curr['total_sec']}s "
           f"n={curr['n_queries']} sf={curr['sf']}")
+    fingerprint("curr", curr)
+    remeasured = sorted(k for k, v in curr["queries"].items()
+                        if v.get("remeasured"))
+    if remeasured:
+        print(f"remeasured this run ({len(remeasured)}): "
+              f"{', '.join(remeasured)}")
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
