@@ -482,6 +482,99 @@ object DsShapes {
             .as("n_purchasers"),
           sum(e2).as("acctbal_e2"))
         .orderBy(col("n_name"), col("c_mktsegment"))
+    },
+
+    // Monthly deviation from the year average (TPC-DS Q47 shape):
+    // brand x channel monthly revenue, each month compared against its
+    // series' YEAR average, months off by >10% reported with the
+    // neighbouring months (lag/lead). All windows run over the
+    // (brand x channel x month) AGGREGATE — bounded by the dimension
+    // product x 84 months — never over line rows; the fact is touched
+    // once. The avg comparison is kept EXACT (hash-stable vs DuckDB) by
+    // clearing denominators: |m*n - ysum| * 10 > ysum <=>
+    // |m - ysum/n| > 0.1 * ysum/n, all in DECIMAL(38,0) fixed-point.
+    "q279_brand_monthly_deviation" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          when(pmod(col("l_orderkey"), lit(3)) === 0, "store")
+            .when(pmod(col("l_orderkey"), lit(3)) === 1, "web")
+            .otherwise("catalog").as("channel"),
+          year(col("l_shipdate")).as("yr"),
+          month(col("l_shipdate")).as("mo"))
+        .agg(sum(revE4).as("m_e4"))
+      val series = Window.partitionBy(col("p_brand"), col("channel"))
+        .orderBy(col("yr"), col("mo"))
+      val inYear = Window.partitionBy(col("p_brand"), col("channel"),
+        col("yr"))
+      monthly
+        .withColumn("ysum", sum(col("m_e4")).over(inYear))
+        .withColumn("nmo", count(lit(1)).over(inYear))
+        .withColumn("prev_e4", lag(col("m_e4"), 1).over(series))
+        .withColumn("next_e4", lead(col("m_e4"), 1).over(series))
+        .filter(col("yr") === 1997 && col("ysum") > 0 &&
+          abs(col("m_e4") * col("nmo") - col("ysum")) * 10 > col("ysum"))
+        .select(col("p_brand"), col("channel"), col("yr"), col("mo"),
+          col("m_e4").cast("long").as("month_rev_e4"),
+          col("ysum").divide(col("nmo")).cast("long")
+            .as("avg_month_e4"),
+          (abs(col("m_e4") * col("nmo") - col("ysum")) * 1000000L)
+            .cast("decimal(38,0)").divide(col("ysum")).cast("long")
+            .as("dev_ppm"),
+          coalesce(col("prev_e4").cast("long"), lit(-1L))
+            .as("prev_rev_e4"),
+          coalesce(col("next_e4").cast("long"), lit(-1L))
+            .as("next_rev_e4"))
+        .orderBy(col("p_brand"), col("channel"), col("mo"))
+    },
+
+    // Supplier-nation monthly deviation (TPC-DS Q57 shape — Q47's twin
+    // on the catalog/call-center axis): the series dimension comes
+    // through TWO dimension hops (lineitem ⋈ supplier ⋈ nation, both
+    // broadcast at any scale), and the off-months are additionally
+    // RANKED by deviation within the year so the report surfaces the
+    // worst excursions first. Same exact fixed-point discipline.
+    "q280_nation_monthly_deviation" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("l_shipdate")).as("yr"),
+          month(col("l_shipdate")).as("mo"))
+        .agg(sum(revE4).as("m_e4"))
+      val series = Window.partitionBy(col("n_name"))
+        .orderBy(col("yr"), col("mo"))
+      val inYear = Window.partitionBy(col("n_name"), col("yr"))
+      val off = monthly
+        .withColumn("ysum", sum(col("m_e4")).over(inYear))
+        .withColumn("nmo", count(lit(1)).over(inYear))
+        .withColumn("prev_e4", lag(col("m_e4"), 1).over(series))
+        .withColumn("next_e4", lead(col("m_e4"), 1).over(series))
+        .filter(col("yr") === 1997 && col("ysum") > 0 &&
+          abs(col("m_e4") * col("nmo") - col("ysum")) * 20 > col("ysum"))
+        .withColumn("dev_ppm",
+          (abs(col("m_e4") * col("nmo") - col("ysum")) * 1000000L)
+            .cast("decimal(38,0)").divide(col("ysum")).cast("long"))
+      val rk = Window.partitionBy(col("yr"))
+        .orderBy(col("dev_ppm").desc, col("n_name"), col("mo"))
+      off.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 25)
+        .select(col("n_name"), col("yr"), col("mo"),
+          col("m_e4").cast("long").as("month_rev_e4"),
+          col("ysum").divide(col("nmo")).cast("long")
+            .as("avg_month_e4"),
+          col("dev_ppm"),
+          coalesce(col("prev_e4").cast("long"), lit(-1L))
+            .as("prev_rev_e4"),
+          coalesce(col("next_e4").cast("long"), lit(-1L))
+            .as("next_rev_e4"),
+          col("rk"))
+        .orderBy(col("rk"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -743,5 +836,67 @@ object DsShapes {
          LEFT JOIN purchasers USING (c_custkey)
          WHERE c_custkey IN (SELECT c_custkey FROM buyers)
            AND c_custkey IN (SELECT c_custkey FROM eventers)
-         GROUP BY 1, 2 ORDER BY n_name, c_mktsegment""")
+         GROUP BY 1, 2 ORDER BY n_name, c_mktsegment""",
+
+    "q279_brand_monthly_deviation" ->
+      s"""WITH f AS (SELECT p_brand,
+           CASE l_orderkey % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'
+             ELSE 'catalog' END AS channel,
+           year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+           $RevE4Sql AS rev_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+         m AS (SELECT p_brand, channel, yr, mo, SUM(rev_e4) AS m_e4
+           FROM f GROUP BY 1, 2, 3, 4),
+         w AS (SELECT *,
+             SUM(m_e4) OVER (PARTITION BY p_brand, channel, yr) AS ysum,
+             COUNT(*) OVER (PARTITION BY p_brand, channel, yr) AS nmo,
+             LAG(m_e4) OVER (PARTITION BY p_brand, channel
+               ORDER BY yr, mo) AS prev_e4,
+             LEAD(m_e4) OVER (PARTITION BY p_brand, channel
+               ORDER BY yr, mo) AS next_e4
+           FROM m)
+         SELECT p_brand, channel, yr, mo,
+           CAST(m_e4 AS BIGINT) AS month_rev_e4,
+           CAST(ysum // nmo AS BIGINT) AS avg_month_e4,
+           CAST(ABS(m_e4 * nmo - ysum) * 1000000 // ysum AS BIGINT)
+             AS dev_ppm,
+           CAST(COALESCE(prev_e4, -1) AS BIGINT) AS prev_rev_e4,
+           CAST(COALESCE(next_e4, -1) AS BIGINT) AS next_rev_e4
+         FROM w
+         WHERE yr = 1997 AND ysum > 0
+           AND ABS(m_e4 * nmo - ysum) * 10 > ysum
+         ORDER BY p_brand, channel, mo""",
+
+    "q280_nation_monthly_deviation" ->
+      s"""WITH m AS (SELECT n_name,
+           year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+           SUM($RevE4Sql) AS m_e4
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2, 3),
+         w AS (SELECT *,
+             SUM(m_e4) OVER (PARTITION BY n_name, yr) AS ysum,
+             COUNT(*) OVER (PARTITION BY n_name, yr) AS nmo,
+             LAG(m_e4) OVER (PARTITION BY n_name
+               ORDER BY yr, mo) AS prev_e4,
+             LEAD(m_e4) OVER (PARTITION BY n_name
+               ORDER BY yr, mo) AS next_e4
+           FROM m),
+         off AS (SELECT *,
+             CAST(ABS(m_e4 * nmo - ysum) * 1000000 // ysum AS BIGINT)
+               AS dev_ppm
+           FROM w
+           WHERE yr = 1997 AND ysum > 0
+             AND ABS(m_e4 * nmo - ysum) * 20 > ysum),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY yr
+             ORDER BY dev_ppm DESC, n_name, mo) AS rk FROM off)
+         SELECT n_name, yr, mo,
+           CAST(m_e4 AS BIGINT) AS month_rev_e4,
+           CAST(ysum // nmo AS BIGINT) AS avg_month_e4,
+           dev_ppm,
+           CAST(COALESCE(prev_e4, -1) AS BIGINT) AS prev_rev_e4,
+           CAST(COALESCE(next_e4, -1) AS BIGINT) AS next_rev_e4,
+           CAST(rk AS INT) AS rk
+         FROM rk WHERE rk <= 25 ORDER BY rk""")
 }
