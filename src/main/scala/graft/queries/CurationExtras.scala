@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -928,6 +928,51 @@ object CurationExtras {
         Graded(InRange("lineitem", "l_quantity", 1000000L, 30000000L),
           warnAbove = 1000000000000L,
           errorAbove = 1000000000000L)))
+    },
+
+    // k-anonymity generalization ladder: privacy-risk audit over the
+    // customer quasi-identifiers (segment, nation/region, account-balance
+    // bucket) at three generalization levels — the "which coarsening
+    // achieves k" question a release gate asks before shipping
+    // user-derived training data. Per level: equivalence classes,
+    // smallest class, rows in classes below k=10, risk share in exact
+    // ppm. Each level is one keyed aggregate to a CLASS-scale relation
+    // (bounded by segments x nations x buckets), then a tiny summary —
+    // the fact is scanned once per level with only the QI columns read,
+    // and nothing ever sorts or collects row-scale data. Balance buckets
+    // come from exact integer cents shifted non-negative so truncating
+    // and flooring division agree across engines.
+    "q281_k_anonymity" -> { (s, dir) =>
+      val k = 10L
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long") + 100000L // acctbal >= -999.99 -> non-negative
+      val cust = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nat"), col("n_regionkey").as("reg"),
+          cents.as("cents"))
+      def level(name: String, keys: Seq[Column]): DataFrame =
+        cust.groupBy(keys: _*)
+          .agg(count(lit(1)).as("class_size"))
+          .agg(lit(name).as("level"),
+            sum(col("class_size")).as("n_rows"),
+            count(lit(1)).as("n_classes"),
+            min(col("class_size")).as("min_class"),
+            sum(when(col("class_size") < k, col("class_size"))
+              .otherwise(0L)).as("rows_below_k"))
+          .withColumn("risk_ppm",
+            (col("rows_below_k") * 1000000L).cast("decimal(38,0)")
+              .divide(col("n_rows")).cast("long"))
+          .select(col("level"), col("n_rows"), col("n_classes"),
+            col("min_class"), col("rows_below_k"), col("risk_ppm"))
+      level("L0_seg_nation_bal100",
+          Seq(col("seg"), col("nat"), expr("cents div 10000")))
+        .unionAll(level("L1_seg_nation_bal1000",
+          Seq(col("seg"), col("nat"), expr("cents div 100000"))))
+        .unionAll(level("L2_seg_region_bal5000",
+          Seq(col("seg"), col("reg"), expr("cents div 500000"))))
+        .orderBy(col("level"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1802,5 +1847,31 @@ object CurationExtras {
            n_violations <= error_above AS passed
          FROM (${rows.mkString("\nUNION ALL\n")})
          ORDER BY rule_id"""
+    },
+
+    "q281_k_anonymity" -> {
+      def level(name: String, keyExpr: String): String =
+        s"""SELECT '$name' AS level,
+             CAST(SUM(class_size) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_classes,
+             CAST(MIN(class_size) AS BIGINT) AS min_class,
+             CAST(SUM(CASE WHEN class_size < 10 THEN class_size
+               ELSE 0 END) AS BIGINT) AS rows_below_k,
+             CAST(SUM(CASE WHEN class_size < 10 THEN class_size
+                 ELSE 0 END) * 1000000
+               // SUM(class_size) AS BIGINT) AS risk_ppm
+           FROM (SELECT $keyExpr, COUNT(*) AS class_size
+             FROM cust GROUP BY ALL)"""
+      s"""WITH cust AS (SELECT c_mktsegment AS seg,
+           c_nationkey AS nat, n_regionkey AS reg,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             + 100000 AS cents
+         FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         ${level("L0_seg_nation_bal100", "seg, nat, cents // 10000")}
+         UNION ALL
+         ${level("L1_seg_nation_bal1000", "seg, nat, cents // 100000")}
+         UNION ALL
+         ${level("L2_seg_region_bal5000", "seg, reg, cents // 500000")}
+         ORDER BY level"""
     })
 }

