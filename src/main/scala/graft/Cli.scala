@@ -823,13 +823,19 @@ object Cli {
 
         case "expect" =>
           // Evaluate a JSONL expectations file over a table directory
-          // (one JSON rule per line — see Expectations.parseRules):
+          // (one JSON rule per line — see Expectations.parseGradedRules;
+          // rules may carry warn_if / error_if violation budgets):
           //   expect --rules <jsonl> --dir <tableDir>
           //          [--fail-on-violation]
-          val rules = graft.verify.Expectations
-            .parseRules(spark, opts("rules"))
-          val report = graft.verify.Expectations.evaluate(spark,
-            name => graft.Tables.load(spark, opts("dir"), name), rules)
+          // Without budgets the graded evaluator IS the strict one
+          // (warn=error=0: any violation is an error), so plain rule
+          // files behave exactly as before — with budgets the report
+          // gains the severity verdict and --fail-on-violation exits 1
+          // only for error-level rules (a warn is visible, not fatal).
+          val graded = graft.verify.Expectations
+            .parseGradedRules(spark, opts("rules"))
+          val report = graft.verify.Expectations.evaluateGraded(spark,
+            name => graft.Tables.load(spark, opts("dir"), name), graded)
           val rows = report.collect()
           // rule ids embed user-supplied table/column names — escape
           // them (the Listener's q() discipline) so a quoted name can't
@@ -837,13 +843,14 @@ object Cli {
           def jstr(s: String): String =
             "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
           rows.foreach { r =>
-            println(s"""{"rule": ${jstr(r.getString(0))}, """ +
-              s""""rows": ${r.getLong(4)}, """ +
-              s""""violations": ${r.getLong(5)}, """ +
-              s""""passed": ${r.getBoolean(6)}}""")
+            println(s"""{"rule": ${jstr(r.getAs[String]("rule_id"))}, """ +
+              s""""rows": ${r.getAs[Long]("n_rows")}, """ +
+              s""""violations": ${r.getAs[Long]("n_violations")}, """ +
+              s""""severity": ${jstr(r.getAs[String]("severity"))}, """ +
+              s""""passed": ${r.getAs[Boolean]("passed")}}""")
           }
           if (opts.contains("fail-on-violation") &&
-              rows.exists(!_.getBoolean(6)))
+              rows.exists(_.getAs[String]("severity") == "error"))
             sys.exit(1)
 
         case "quality-prune" =>

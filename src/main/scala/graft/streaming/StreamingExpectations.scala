@@ -100,6 +100,30 @@ object StreamingExpectations {
   def history(spark: SparkSession, cfg: Config): DataFrame =
     readHistory(spark, cfg.storeDir)
 
+  /** Graded view over the committed history: per-rule warn_if /
+    * error_if budgets applied AT READ TIME. The store persists raw
+    * counts only, so budgets can be tuned (or added after the fact)
+    * without reprocessing a single batch — the monitor's write path and
+    * its exactly-once contract don't change. Rules absent from `graded`
+    * keep the strict (0, 0) gate; the budget relation is
+    * rule-cardinality, so the join broadcasts at any scale. */
+  def gradedHistory(spark: SparkSession, storeDir: String,
+      graded: Seq[Expectations.Graded]): DataFrame = {
+    import spark.implicits._
+    val thresholds = graded
+      .map(g => (g.rule.id, g.warnAbove, g.errorAbove))
+      .toDF("rule_id", "warn_above", "error_above")
+    readHistory(spark, storeDir)
+      .join(broadcast(thresholds), Seq("rule_id"), "left_outer")
+      .withColumn("warn_above", coalesce(col("warn_above"), lit(0L)))
+      .withColumn("error_above", coalesce(col("error_above"), lit(0L)))
+      .withColumn("severity",
+        when(col("n_violations") > col("error_above"), "error")
+          .when(col("n_violations") > col("warn_above"), "warn")
+          .otherwise("pass"))
+      .withColumn("passed", col("severity") =!= "error")
+  }
+
   /** Highest committed batch id (−1 before the first commit) — one
     * sidecar read, no store scan; lets read surfaces bound their
     * window cheaply. */

@@ -405,30 +405,55 @@ object Expectations {
     * `{"type":"ref","table":"lineitem","column":"l_orderkey","parent_table":"orders","parent_column":"o_orderkey"}`
     * `{"type":"expression","table":"lineitem","name":"charge_consistent","predicate":"l_extendedprice >= 0 AND l_discount <= 1"}`
     */
-  def parseRules(spark: SparkSession, path: String): Seq[Rule] = {
+  def parseRules(spark: SparkSession, path: String): Seq[Rule] =
+    parseGradedRules(spark, path).map(_.rule)
+
+  /** [[parseRules]] with the graded-threshold fields: each JSONL rule
+    * may carry `warn_if` and/or `error_if` violation counts
+    * (`{"type":"in_range",...,"warn_if":100,"error_if":100000}`).
+    * Defaults follow intent, not uniformity: neither field → (0, 0),
+    * the strict ungraded gate; only `error_if` → warn on ANY violation,
+    * error above the budget; only `warn_if` → the rule can warn but
+    * NEVER errors (dbt's severity=warn mode) — an explicit error budget
+    * is required to make a tolerated rule fail a gate again. */
+  def parseGradedRules(spark: SparkSession, path: String): Seq[Graded] = {
     val rows = spark.read.json(path).collect()
     rows.toSeq.map { row =>
       def str(f: String): String = row.getAs[String](f)
-      def opt(f: String): Option[String] =
+      def optLong(f: String): Option[Long] =
         if (row.schema.fieldNames.contains(f) && !row.isNullAt(
-          row.fieldIndex(f))) Some(row.getAs[String](f)) else None
-      str("type") match {
-        case "not_null" => NotNull(str("table"), str("column"))
-        case "unique" => Unique(str("table"),
-          row.getAs[scala.collection.Seq[String]]("columns").toSeq)
-        case "accepted_values" => AcceptedValues(str("table"),
-          str("column"),
-          row.getAs[scala.collection.Seq[String]]("values").toSeq)
-        case "in_range" => InRange(str("table"), str("column"),
-          row.getAs[Long]("lo_e6"), row.getAs[Long]("hi_e6"))
-        case "ref" => RefIntegrity(str("table"), str("column"),
-          str("parent_table"), str("parent_column"))
-        case "expression" => ExpressionIsTrue(str("table"),
-          str("name"), str("predicate"))
-        case other =>
-          throw new IllegalArgumentException(
-            s"unknown rule type: $other${opt("table").fold("")(t => s" (table $t)")}")
+          row.fieldIndex(f))) Some(row.getAs[Long](f)) else None
+      val rule = parseRule(row)
+      (optLong("warn_if"), optLong("error_if")) match {
+        case (None, None) => Graded(rule)
+        case (None, Some(e)) => Graded(rule, 0L, e)
+        case (Some(w), None) => Graded(rule, w, Long.MaxValue)
+        case (Some(w), Some(e)) => Graded(rule, w, e)
       }
+    }
+  }
+
+  private def parseRule(row: org.apache.spark.sql.Row): Rule = {
+    def str(f: String): String = row.getAs[String](f)
+    def opt(f: String): Option[String] =
+      if (row.schema.fieldNames.contains(f) && !row.isNullAt(
+        row.fieldIndex(f))) Some(row.getAs[String](f)) else None
+    str("type") match {
+      case "not_null" => NotNull(str("table"), str("column"))
+      case "unique" => Unique(str("table"),
+        row.getAs[scala.collection.Seq[String]]("columns").toSeq)
+      case "accepted_values" => AcceptedValues(str("table"),
+        str("column"),
+        row.getAs[scala.collection.Seq[String]]("values").toSeq)
+      case "in_range" => InRange(str("table"), str("column"),
+        row.getAs[Long]("lo_e6"), row.getAs[Long]("hi_e6"))
+      case "ref" => RefIntegrity(str("table"), str("column"),
+        str("parent_table"), str("parent_column"))
+      case "expression" => ExpressionIsTrue(str("table"),
+        str("name"), str("predicate"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown rule type: $other${opt("table").fold("")(t => s" (table $t)")}")
     }
   }
 }

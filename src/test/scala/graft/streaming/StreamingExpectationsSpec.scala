@@ -45,6 +45,30 @@ class StreamingExpectationsSpec extends SparkSpec {
     assert(tot("in_range:stream.x") === ((4L, 1L)))
   }
 
+  test("gradedHistory applies budgets at read time: severity per batch, " +
+      "unlisted rules stay strict, budgets tune without reprocessing") {
+    val c = cfg(Files.createTempDirectory("sexp_graded").toString)
+    StreamingExpectations.processBatch(batch0.toDF(), 0L, c) // 1 viol/rule
+    StreamingExpectations.processBatch(batch1.toDF(), 1L, c) // clean
+    def graded(budgets: Seq[Graded]) = StreamingExpectations
+      .gradedHistory(spark, c.storeDir, budgets).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("rule_id")) ->
+        (r.getAs[String]("severity"), r.getAs[Boolean]("passed")))
+      .toMap
+    // k tolerates 5 silently (warn-only: never errors), v warns then
+    // errors above 0; x is unlisted -> strict
+    val g1 = graded(Seq(
+      Graded(NotNull("stream", "k"), 5L, Long.MaxValue),
+      Graded(AcceptedValues("stream", "v", Seq("a", "b")), 0L, 10L)))
+    assert(g1((0L, "not_null:stream.k")) === (("pass", true)))
+    assert(g1((0L, "accepted_values:stream.v")) === (("warn", true)))
+    assert(g1((0L, "in_range:stream.x")) === (("error", false)))
+    assert(g1((1L, "in_range:stream.x")) === (("pass", true)))
+    // tightening k's budget regrades the SAME store — no reprocessing
+    val g2 = graded(Seq(Graded(NotNull("stream", "k"), 0L, 0L)))
+    assert(g2((0L, "not_null:stream.k")) === (("error", false)))
+  }
+
   test("committed replay skips; a mid-crash batch rewrites its own " +
       "report partition — counts never double") {
     val c = cfg(Files.createTempDirectory("sexp_replay").toString)

@@ -192,6 +192,25 @@ class ExpectationsSpec extends SparkSpec {
       ExpressionIsTrue("t", "k_pos", "k > 0")))
   }
 
+  test("parseGradedRules: budget defaults follow intent — none=strict, " +
+      "error-only warns from 1, warn-only never errors") {
+    val f = Files.createTempDirectory("exp").resolve("graded.jsonl")
+    Files.write(f, java.util.Arrays.asList(
+      """{"type":"not_null","table":"t","column":"a"}""",
+      """{"type":"not_null","table":"t","column":"b","error_if":100}""",
+      """{"type":"not_null","table":"t","column":"c","warn_if":5}""",
+      """{"type":"not_null","table":"t","column":"d","warn_if":5,"error_if":50}"""))
+    val g = parseGradedRules(spark, f.toString)
+      .map(x => x.rule.asInstanceOf[NotNull].column -> x).toMap
+    assert(g("a") === Graded(NotNull("t", "a"), 0L, 0L))
+    assert(g("b") === Graded(NotNull("t", "b"), 0L, 100L))
+    assert(g("c") === Graded(NotNull("t", "c"), 5L, Long.MaxValue))
+    assert(g("d") === Graded(NotNull("t", "d"), 5L, 50L))
+    // ungraded parseRules sees the same rules, budgets dropped
+    assert(parseRules(spark, f.toString).toSet ===
+      Set("a", "b", "c", "d").map(NotNull("t", _)))
+  }
+
   test("sampleViolations: every sampled row actually violates its " +
       "rule, capped per rule, deterministic") {
     val out = graft.queries.CurationExtras
