@@ -232,12 +232,14 @@ object Cli {
         case "listen" =>
           // listen --meta <dir> [--port N] [--token T]
           //        [--quality-dir <StreamingExpectations store>]
+          //        [--quality-rules <JSONL rules with warn_if/error_if>]
           //        [--rank-dir <StreamingRank store>]
           //        [--events-dir <table dir with events.parquet>]
           val srv = graft.orchestrate.Listener.start(spark, opts("meta"),
             port = opts.get("port").map(_.toInt).getOrElse(0),
             token = opts.get("token"),
             qualityDir = opts.get("quality-dir"),
+            qualityRules = opts.get("quality-rules"),
             rankDir = opts.get("rank-dir"),
             eventsDir = opts.get("events-dir"))
           println(s"listening on http://127.0.0.1:${srv.port}")

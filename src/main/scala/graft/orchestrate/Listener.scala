@@ -186,11 +186,21 @@ object Listener {
             // (constructor-configured — clients never name filesystem
             // paths over HTTP)
             qualityDir: Option[String] = None,
+            // a JSONL rules file with warn_if/error_if budgets: enables
+            // GET /api/quality/graded (severity per batch x rule).
+            // Budgets are applied AT READ TIME over the raw-count store,
+            // so re-pointing this file regrades history without
+            // reprocessing; parsed once at startup (fail fast on a bad
+            // file, not on the first dashboard poll)
+            qualityRules: Option[String] = None,
             // a StreamingRank store to serve under /api/rank
             rankDir: Option[String] = None,
             // a table dir with events.parquet to serve the
             // sessionization gap sweep under /api/sessions
             eventsDir: Option[String] = None): Server = {
+    val gradedBudgets: Option[Seq[graft.verify.Expectations.Graded]] =
+      qualityRules.map(p =>
+        graft.verify.Expectations.parseGradedRules(spark, p))
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // the default executor is the single dispatcher thread — an open SSE
     // stream would starve every other route; hand requests to a pool
@@ -325,6 +335,33 @@ object Listener {
                 s""""passed": ${r.getBoolean(4)}}"""
               }
             respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
+      },
+
+      route("GET", "/api/quality/graded",
+        "graded per-batch trend: warn_if/error_if severity " +
+          "(last 100 batches)") { (ex, _) =>
+        (qualityDir, gradedBudgets) match {
+          case (Some(dir), Some(budgets)) =>
+            val floor = graft.streaming.StreamingExpectations
+              .lastCommitted(spark, dir) - 100L
+            val rows = graft.streaming.StreamingExpectations
+              .gradedHistory(spark, dir, budgets)
+              .filter(org.apache.spark.sql.functions
+                .col("batch_id") > floor)
+              .orderBy("batch_id", "rule_id").collect()
+              .map { r =>
+                s"""{"batch_id": ${r.getAs[Long]("batch_id")}, """ +
+                s""""rule_id": ${q(r.getAs[String]("rule_id"))}, """ +
+                s""""n_rows": ${r.getAs[Long]("n_rows")}, """ +
+                s""""n_violations": ${r.getAs[Long]("n_violations")}, """ +
+                s""""severity": ${q(r.getAs[String]("severity"))}, """ +
+                s""""passed": ${r.getAs[Boolean]("passed")}}"""
+              }
+            respond(ex, 200, rows.mkString("[", ", ", "]"))
+          case _ =>
+            respond(ex, 404,
+              """{"detail": "no quality store or budget rules configured"}""")
         }
       },
 

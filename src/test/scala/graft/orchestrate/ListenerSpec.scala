@@ -395,6 +395,48 @@ class ListenerSpec extends SparkSpec {
     } finally bare.stop()
   }
 
+  test("graded quality route applies warn_if/error_if budgets; 404 " +
+      "without a budget file") {
+    import graft.verify.Expectations._
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_listener_gq").toString
+    val qc = graft.streaming.StreamingExpectations.Config(
+      storeDir = s"$base/quality", checkpointDir = s"$base/ckpt",
+      rules = Seq(NotNull("stream", "k")))
+    graft.streaming.StreamingExpectations.processBatch(
+      Seq(Some(1L), None, Some(2L)).toDF("k"), 0L, qc) // 1 violation
+    graft.streaming.StreamingExpectations.processBatch(
+      Seq(Some(3L)).toDF("k"), 1L, qc) // clean
+    val rulesFile = java.nio.file.Paths.get(base, "budgets.jsonl")
+    Files.write(rulesFile, java.util.Arrays.asList(
+      """{"type":"not_null","table":"stream","column":"k","warn_if":0,"error_if":5}"""))
+
+    val srv = Listener.start(spark, s"$base/meta",
+      qualityDir = Some(s"$base/quality"),
+      qualityRules = Some(rulesFile.toString))
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val g = get(s"$root/api/quality/graded/")
+      assert(g.statusCode() == 200)
+      // batch 0's single violation fits the error budget: warn, passed
+      assert(g.body().contains("\"severity\": \"warn\""))
+      assert(g.body().contains("\"severity\": \"pass\""))
+      assert(!g.body().contains("\"severity\": \"error\""))
+      assert(get(s"$root/api/docs/").body()
+        .contains("/api/quality/graded"))
+    } finally srv.stop()
+
+    // store configured but no budgets: the graded route is absent (404),
+    // the raw routes still serve
+    val raw = Listener.start(spark, s"$base/meta",
+      qualityDir = Some(s"$base/quality"))
+    try {
+      val root = s"http://127.0.0.1:${raw.port}"
+      assert(get(s"$root/api/quality/graded/").statusCode() == 404)
+      assert(get(s"$root/api/quality/totals/").statusCode() == 200)
+    } finally raw.stop()
+  }
+
   test("rank route serves the incremental PageRank store's top nodes") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_listener_r").toString
