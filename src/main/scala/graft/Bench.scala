@@ -102,8 +102,18 @@ object Bench {
           if tools.BenchStats.needsRemeasure(reps, s, spreadThresh) =>
         val runs = Seq.fill(5)(runOne(fn))
         val ok = runs.collect { case (t2, None) => t2 }
-        if (ok.isEmpty) (name, fn, (t, Option.empty[String]), s, false)
-        else (name, fn, (tools.BenchStats.median(ok), Option.empty[String]),
+        if (ok.isEmpty) {
+          // escalation itself failed: keep the first-pass number but say
+          // so loudly — the artifact's signature for this case is a
+          // spread above the threshold WITHOUT a remeasured flag
+          System.err.println(s"bench: re-measure of $name failed in all " +
+            s"5 runs (${runs.head._2.getOrElse("?")}); recording the " +
+            "first-pass median with its " +
+            "%.1f".formatLocal(java.util.Locale.ROOT, s) +
+            "x spread unhealed")
+          (name, fn, (t, Option.empty[String]), s, false)
+        } else (name, fn,
+          (tools.BenchStats.median(ok), Option.empty[String]),
           tools.BenchStats.spread(ok), true)
       case (name, fn, r, s) => (name, fn, r, s, false)
     }
@@ -167,7 +177,14 @@ object Bench {
     val warm = if (reps > 1) 1 else 0
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val loadEnd = loadavg()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"remeasured":${remeasured.size},"wall_sec":${ms(wallSec)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
+    // the run labels ITSELF contended (one definition — BenchStats — so
+    // bench_diff.py and any future reader agree with the artifact)
+    val load1Start =
+      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
+        .getOrElse(0.0)
+    val contended = tools.BenchStats.looksContended(wallSec, total,
+      reps + warm, load1Start, Runtime.getRuntime.availableProcessors)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"remeasured":${remeasured.size},"wall_sec":${ms(wallSec)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
     // The stdout line above is captured as a LOG TAIL and has truncated
     // mid-map two rounds running, making most per-query regressions
     // unadjudicable. The engine therefore persists its own COMPLETE
@@ -198,9 +215,10 @@ object Bench {
         s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$rm$er}"""
       }
       // Machine-load fingerprint: loadavg at start/end plus total wall vs
-      // summed query time. A run whose wall greatly exceeds reps x query
-      // time, or whose loadavg was already high at start, is self-labelled
-      // as contended — a reader (or tools/bench_diff.py) need not guess.
+      // the expected executed time ((reps+warmup) x summed medians). The
+      // `contended` verdict comes from BenchStats.looksContended — ONE
+      // definition shared with the stdout summary; tools/bench_diff.py
+      // reads this field rather than re-deriving it.
       val body =
         s"""{
            |  "sf": ${jstr(sfDir)},
@@ -212,6 +230,7 @@ object Bench {
            |  "loadavg_start": ${jstr(loadStart)},
            |  "loadavg_end": ${jstr(loadEnd)},
            |  "host_cpus": ${Runtime.getRuntime.availableProcessors},
+           |  "contended": $contended,
            |  "wall_sec": ${ms(wallSec)},
            |  "n_queries": ${results.size},
            |  "failed": ${errs.size},

@@ -961,9 +961,9 @@ object CurationExtras {
             min(col("class_size")).as("min_class"),
             sum(when(col("class_size") < k, col("class_size"))
               .otherwise(0L)).as("rows_below_k"))
-          .withColumn("risk_ppm",
-            (col("rows_below_k") * 1000000L).cast("decimal(38,0)")
-              .divide(col("n_rows")).cast("long"))
+          .withColumn("risk_ppm", // integral div == DuckDB `//` exactly;
+            // .divide().cast would HALF_UP-round at scale 6 first
+            expr("CAST(rows_below_k * 1000000 AS DECIMAL(38,0)) div n_rows"))
           .select(col("level"), col("n_rows"), col("n_classes"),
             col("min_class"), col("rows_below_k"), col("risk_ppm"))
       level("L0_seg_nation_bal100",

@@ -29,15 +29,21 @@ object DsShapes {
 
   /** Deterministic synthetic channel — the DS store/web/catalog axis.
     * Shared across query modules (q262 reuses it): the mapping must
-    * have exactly ONE definition. */
-  private[queries] def channelCol: Column =
-    when(pmod(col("o_orderkey"), lit(3)) === 0, "store")
-      .when(pmod(col("o_orderkey"), lit(3)) === 1, "web")
+    * have exactly ONE definition. Parameterized by the order-key column
+    * so lineitem-side queries (q279 keys on l_orderkey and skips the
+    * orders join entirely) share the same mapping. */
+  private[queries] def channelCol(key: Column): Column =
+    when(pmod(key, lit(3)) === 0, "store")
+      .when(pmod(key, lit(3)) === 1, "web")
       .otherwise("catalog")
 
-  private[queries] val ChannelSql =
-    """CASE o_orderkey % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'
+  private[queries] def channelCol: Column = channelCol(col("o_orderkey"))
+
+  private[queries] def channelSql(key: String): String =
+    s"""CASE $key % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'
        ELSE 'catalog' END"""
+
+  private[queries] val ChannelSql = channelSql("o_orderkey")
 
   /** l_extendedprice*(1-l_discount) in e4 fixed-point (exact). */
   private def revE4: Column =
@@ -127,8 +133,12 @@ object DsShapes {
         .select(col("channel"), col("order_year"),
           col("rev_e4").cast("long").as("rev_e4"),
           col("prev_e4").cast("long").as("prev_rev_e4"),
-          (col("rev_e4") * 1000000L).cast("decimal(38,0)")
-            .divide(col("prev_e4")).cast("long").as("yoy_ppm"))
+          // integral `div`, NOT .divide().cast: decimal divide HALF_UP
+          // rounds at scale 6 before the cast truncates, so a quotient
+          // with fraction in [.9999995, 1) would land one above DuckDB's
+          // floor `//`; `div` truncates exactly (operands non-negative)
+          expr("CAST(rev_e4 * 1000000 AS DECIMAL(38,0)) div prev_e4")
+            .as("yoy_ppm"))
         .orderBy(col("channel"), col("order_year"))
     },
 
@@ -499,9 +509,7 @@ object DsShapes {
         .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"),
-          when(pmod(col("l_orderkey"), lit(3)) === 0, "store")
-            .when(pmod(col("l_orderkey"), lit(3)) === 1, "web")
-            .otherwise("catalog").as("channel"),
+          channelCol(col("l_orderkey")).as("channel"),
           year(col("l_shipdate")).as("yr"),
           month(col("l_shipdate")).as("mo"))
         .agg(sum(revE4).as("m_e4"))
@@ -518,11 +526,11 @@ object DsShapes {
           abs(col("m_e4") * col("nmo") - col("ysum")) * 10 > col("ysum"))
         .select(col("p_brand"), col("channel"), col("yr"), col("mo"),
           col("m_e4").cast("long").as("month_rev_e4"),
-          col("ysum").divide(col("nmo")).cast("long")
-            .as("avg_month_e4"),
-          (abs(col("m_e4") * col("nmo") - col("ysum")) * 1000000L)
-            .cast("decimal(38,0)").divide(col("ysum")).cast("long")
-            .as("dev_ppm"),
+          // integral `div` matches DuckDB `//` exactly on non-negative
+          // operands; .divide().cast would HALF_UP-round at scale 6 first
+          expr("ysum div nmo").as("avg_month_e4"),
+          expr("""CAST(abs(m_e4 * nmo - ysum) * 1000000
+                  AS DECIMAL(38,0)) div ysum""").as("dev_ppm"),
           coalesce(col("prev_e4").cast("long"), lit(-1L))
             .as("prev_rev_e4"),
           coalesce(col("next_e4").cast("long"), lit(-1L))
@@ -557,17 +565,16 @@ object DsShapes {
         .withColumn("next_e4", lead(col("m_e4"), 1).over(series))
         .filter(col("yr") === 1997 && col("ysum") > 0 &&
           abs(col("m_e4") * col("nmo") - col("ysum")) * 20 > col("ysum"))
-        .withColumn("dev_ppm",
-          (abs(col("m_e4") * col("nmo") - col("ysum")) * 1000000L)
-            .cast("decimal(38,0)").divide(col("ysum")).cast("long"))
+        .withColumn("dev_ppm", // integral div: see q279's rationale
+          expr("""CAST(abs(m_e4 * nmo - ysum) * 1000000
+                  AS DECIMAL(38,0)) div ysum"""))
       val rk = Window.partitionBy(col("yr"))
         .orderBy(col("dev_ppm").desc, col("n_name"), col("mo"))
       off.withColumn("rk", row_number().over(rk))
         .filter(col("rk") <= 25)
         .select(col("n_name"), col("yr"), col("mo"),
           col("m_e4").cast("long").as("month_rev_e4"),
-          col("ysum").divide(col("nmo")).cast("long")
-            .as("avg_month_e4"),
+          expr("ysum div nmo").as("avg_month_e4"),
           col("dev_ppm"),
           coalesce(col("prev_e4").cast("long"), lit(-1L))
             .as("prev_rev_e4"),
@@ -840,8 +847,7 @@ object DsShapes {
 
     "q279_brand_monthly_deviation" ->
       s"""WITH f AS (SELECT p_brand,
-           CASE l_orderkey % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'
-             ELSE 'catalog' END AS channel,
+           ${channelSql("l_orderkey")} AS channel,
            year(l_shipdate) AS yr, month(l_shipdate) AS mo,
            $RevE4Sql AS rev_e4
          FROM lineitem JOIN part ON l_partkey = p_partkey),

@@ -110,6 +110,11 @@ object StreamingExpectations {
   def gradedHistory(spark: SparkSession, storeDir: String,
       graded: Seq[Expectations.Graded]): DataFrame = {
     import spark.implicits._
+    // same duplicate-id discipline as the batch evaluator's counts():
+    // a budgets file with two lines for one rule would otherwise fan
+    // every matching history row out through the join, once per budget
+    require(graded.map(_.rule.id).distinct.size == graded.size,
+      "duplicate rule ids in graded budgets")
     val thresholds = graded
       .map(g => (g.rule.id, g.warnAbove, g.errorAbove))
       .toDF("rule_id", "warn_above", "error_above")
@@ -117,10 +122,8 @@ object StreamingExpectations {
       .join(broadcast(thresholds), Seq("rule_id"), "left_outer")
       .withColumn("warn_above", coalesce(col("warn_above"), lit(0L)))
       .withColumn("error_above", coalesce(col("error_above"), lit(0L)))
-      .withColumn("severity",
-        when(col("n_violations") > col("error_above"), "error")
-          .when(col("n_violations") > col("warn_above"), "warn")
-          .otherwise("pass"))
+      .withColumn("severity", Expectations.severityCol(
+        col("n_violations"), col("warn_above"), col("error_above")))
       .withColumn("passed", col("severity") =!= "error")
   }
 

@@ -198,6 +198,16 @@ object Expectations {
     else if (violations > g.warnAbove) "warn"
     else "pass"
 
+  /** [[severity]] as a Column expression, for surfaces that grade a
+    * persisted count RELATION instead of in-memory counts (the streaming
+    * monitor's read-time grading). One definition of the threshold
+    * semantics per form, both in this file — change them together. */
+  def severityCol(nViolations: Column, warnAbove: Column,
+      errorAbove: Column): Column =
+    when(nViolations > errorAbove, "error")
+      .when(nViolations > warnAbove, "warn")
+      .otherwise("pass")
+
   /** Evaluate `rules` over `load(tableName)`. Returns one row per rule:
     * `(rule_id, rule_type, table_name, column_name, n_rows,
     * n_violations, passed)`, ordered by rule_id.
@@ -419,16 +429,32 @@ object Expectations {
   def parseGradedRules(spark: SparkSession, path: String): Seq[Graded] = {
     val rows = spark.read.json(path).collect()
     rows.toSeq.map { row =>
-      def str(f: String): String = row.getAs[String](f)
-      def optLong(f: String): Option[Long] =
-        if (row.schema.fieldNames.contains(f) && !row.isNullAt(
-          row.fieldIndex(f))) Some(row.getAs[Long](f)) else None
       val rule = parseRule(row)
-      (optLong("warn_if"), optLong("error_if")) match {
+      // budgets arrive as whatever the JSON reader inferred for the
+      // COLUMN (long normally, double or string if any line is sloppy) —
+      // coerce integral values, reject the rest with the rule named,
+      // so one malformed line can't surface as a bare ClassCastException
+      def optLong(f: String): Option[Long] =
+        if (!row.schema.fieldNames.contains(f) ||
+          row.isNullAt(row.fieldIndex(f))) None
+        else Some(row.get(row.fieldIndex(f)) match {
+          case n: java.lang.Number
+              if n.longValue().toDouble == n.doubleValue() =>
+            n.longValue()
+          case s: String if s.trim.matches("-?\\d+") => s.trim.toLong
+          case other => throw new IllegalArgumentException(
+            s"rule ${rule.id}: $f must be an integer count, got '$other'")
+        })
+      try (optLong("warn_if"), optLong("error_if")) match {
         case (None, None) => Graded(rule)
         case (None, Some(e)) => Graded(rule, 0L, e)
         case (Some(w), None) => Graded(rule, w, Long.MaxValue)
         case (Some(w), Some(e)) => Graded(rule, w, e)
+      } catch {
+        case ex: IllegalArgumentException
+            if !ex.getMessage.startsWith(s"rule ${rule.id}") =>
+          throw new IllegalArgumentException(
+            s"rule ${rule.id}: ${ex.getMessage}")
       }
     }
   }

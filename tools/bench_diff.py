@@ -59,15 +59,21 @@ def main():
         wall = art.get("wall_sec", 0.0)
         total = art.get("total_sec", 0.0)
         cpus = art.get("host_cpus", 0)
-        # each query executed reps + warmup times but is counted once in
-        # total_sec — mirror graft.tools.BenchStats.looksContended
-        runs = max(art.get("reps", 1) + art.get("warmup", 0), 1)
-        try:
-            load1 = float(str(art["loadavg_start"]).split()[0])
-        except (ValueError, IndexError):
-            load1 = 0.0
-        contended = (total > 30 and wall > 3 * runs * total) or \
-            (cpus and load1 > cpus)
+        if "contended" in art:
+            # the run labelled itself (graft.tools.BenchStats, one
+            # definition) — trust the artifact
+            contended = art["contended"]
+        else:
+            # pre-field artifact: re-derive with the same formula.
+            # each query executed reps + warmup times but is counted
+            # once in total_sec
+            runs = max(art.get("reps", 1) + art.get("warmup", 0), 1)
+            try:
+                load1 = float(str(art["loadavg_start"]).split()[0])
+            except (ValueError, IndexError):
+                load1 = 0.0
+            contended = (total > 30 and wall > 3 * runs * total) or \
+                (cpus and load1 > cpus)
         flag = "  ** CONTENDED RUN **" if contended else ""
         print(f"  {tag} fingerprint: wall={wall}s queries={total}s "
               f"loadavg_start={art['loadavg_start']} "
