@@ -629,4 +629,52 @@ object Graph {
       case t: Throwable => superseded.foreach(release); throw t
     }
   }
+
+  /** Rand index of two partitions (clusterings) of a shared node set,
+    * in exact ppm — the agreement share over node PAIRS: both
+    * partitions put the pair together, or both apart. The pairwise
+    * definition is n²-scale at any size; this computes it from the
+    * (label_a × label_b) CONTINGENCY table instead (Rand 1971):
+    *
+    *   agree = C(n,2) + 2·Σij C(nij,2) − Σi C(ai,2) − Σj C(bj,2)
+    *
+    * so everything downstream of the two label relations is bounded by
+    * communities² — the marginals ride partitioned windows over that
+    * tiny relation (no 1-row cross join) and all division is integral,
+    * bit-stable against a SQL oracle. Only nodes present in BOTH label
+    * relations are compared (inner join); the community counts are the
+    * marginals over that shared set. Returns one row:
+    * `(n_nodes, n_comm_a, n_comm_b, same_same_pairs, rand_ppm)`. */
+  def randIndexPpm(labelsA: DataFrame, labelsB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cont = labelsA.select(col("node"), col("label").as("label_a"))
+      .join(labelsB.select(col("node"), col("label").as("label_b")),
+        "node")
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("nij"))
+    val wa = Window.partitionBy(col("label_a"))
+    val wb = Window.partitionBy(col("label_b"))
+    cont
+      .withColumn("ai", sum(col("nij")).over(wa))
+      .withColumn("bj", sum(col("nij")).over(wb))
+      .withColumn("ra", row_number().over(wa.orderBy(col("label_b"))))
+      .withColumn("rb", row_number().over(wb.orderBy(col("label_a"))))
+      .agg(
+        sum(col("nij")).cast("long").as("n_nodes"),
+        sum(expr("nij * (nij - 1) div 2")).cast("long").as("s_nij"),
+        sum(when(col("ra") === 1, expr("ai * (ai - 1) div 2"))
+          .otherwise(0L)).cast("long").as("s_a"),
+        sum(when(col("ra") === 1, 1L).otherwise(0L))
+          .cast("long").as("n_comm_a"),
+        sum(when(col("rb") === 1, expr("bj * (bj - 1) div 2"))
+          .otherwise(0L)).cast("long").as("s_b"),
+        sum(when(col("rb") === 1, 1L).otherwise(0L))
+          .cast("long").as("n_comm_b"))
+      .select(col("n_nodes"), col("n_comm_a"), col("n_comm_b"),
+        col("s_nij").as("same_same_pairs"),
+        expr("""(n_nodes * (n_nodes - 1) div 2 + 2 * s_nij - s_a - s_b)
+                * 1000000
+                div greatest(n_nodes * (n_nodes - 1) div 2, 1)""")
+          .as("rand_ppm"))
+  }
 }

@@ -385,6 +385,45 @@ object GraphQueries {
       Seq((d.nNodes, d.nStable, d.nOscillating,
         if (d.converged) 1L else 0L))
         .toDF("n_nodes", "n_stable", "n_oscillating", "converged")
+    },
+
+    // Year-over-year community drift: LPA communities of the 1996 and
+    // 1997 co-shipment subgraphs compared with the RAND INDEX in exact
+    // ppm — "did the co-purchase structure persist?". The pairwise
+    // definition (agreeing node pairs / all pairs) would be n² at any
+    // scale; the contingency identity computes it from the
+    // (label₁₉₉₆ × label₁₉₉₇) table instead: Σ C(nij,2), row/column
+    // marginal Σ C(·,2) and C(n,2) — everything downstream of the two
+    // LPA runs is communities²-scale. Marginals ride partitioned
+    // windows over that tiny relation (no 1-row cross join to trip the
+    // cartesian audit); all arithmetic integral (`div`), so the ppm is
+    // bit-stable against the unrolled oracle.
+    "q282_community_drift" -> { (s, dir) =>
+      def yearLabels(y: Int): DataFrame = {
+        val p = Graph.canonicalPairs(
+          t(s, dir, "lineitem")
+            .filter(year(col("l_shipdate")) === y)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey")
+        // the year pairs feed exactly one LPA run — release as soon as
+        // the rounds have materialised (Graph loops never release their
+        // input; it belongs to the caller)
+        try Graph.labelPropagation(p, LpaRounds)
+        finally Graph.release(p)
+      }
+      val la = yearLabels(1996)
+      val lb =
+        try yearLabels(1997)
+        catch { case t: Throwable => Graph.release(la); throw t }
+      // the 1-row index cut EAGERLY so both label relations can be
+      // released here instead of riding along to the caller's action
+      val out =
+        try Graph.randIndexPpm(la, lb).localCheckpoint(true)
+        finally { Graph.release(la); Graph.release(lb) }
+      out.select(col("n_nodes"),
+        col("n_comm_a").as("n_comm_1996"),
+        col("n_comm_b").as("n_comm_1997"),
+        col("same_same_pairs"), col("rand_ppm"))
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -437,13 +476,14 @@ object GraphQueries {
     * frequencies, argmax by (count DESC, label ASC) — exactly the
     * engine's max(struct(cnt, −label)) tie-break. MATERIALIZED for the
     * same inline-expansion reason as the peel rounds. */
-  private def lpaStepSql(prev: String, cur: String): String =
+  private def lpaStepSql(prev: String, cur: String,
+      sym: String = "sym"): String =
     s"""$cur AS MATERIALIZED (SELECT dst AS node, label FROM (
          SELECT f.dst, f.label,
            ROW_NUMBER() OVER (PARTITION BY f.dst
              ORDER BY f.cnt DESC, f.label) AS rk
          FROM (SELECT e.dst, l.label, COUNT(*) AS cnt
-               FROM sym e JOIN $prev l ON e.src = l.node
+               FROM $sym e JOIN $prev l ON e.src = l.node
                GROUP BY e.dst, l.label) f)
        WHERE rk = 1)"""
 
@@ -741,5 +781,53 @@ object GraphQueries {
              r.label = p.label THEN 1 ELSE 0 END), 0)
              THEN 1 ELSE 0 END AS BIGINT) AS converged
          FROM l4 r JOIN l3 p ON r.node = p.node
-           JOIN l2 pp ON r.node = pp.node""")
+           JOIN l2 pp ON r.node = pp.node""",
+
+    "q282_community_drift" -> {
+      /* one year-restricted co-shipment graph: canonical pairs where
+       * BOTH lines shipped in the year, symmetrised, plus the identity
+       * labelling — suffix keeps the two graphs' CTEs apart */
+      def yearCtes(sfx: String, year: Int): String =
+        s"""pairs$sfx AS MATERIALIZED (SELECT DISTINCT
+             la.l_partkey AS a, lb.l_partkey AS b
+           FROM lineitem la JOIN lineitem lb
+             ON la.l_orderkey = lb.l_orderkey
+            AND la.l_partkey < lb.l_partkey
+           WHERE year(la.l_shipdate) = $year
+             AND year(lb.l_shipdate) = $year),
+         sym$sfx AS (SELECT a AS src, b AS dst FROM pairs$sfx
+           UNION ALL SELECT b, a FROM pairs$sfx),
+         l0$sfx AS MATERIALIZED (SELECT DISTINCT src AS node,
+           src AS label FROM sym$sfx)"""
+      def rounds(sfx: String): String =
+        (1 to 4).map(i =>
+          lpaStepSql(s"l${i - 1}$sfx", s"l$i$sfx", s"sym$sfx"))
+          .mkString(",\n         ")
+      s"""WITH ${yearCtes("x", 1996)},
+         ${rounds("x")},
+         ${yearCtes("y", 1997)},
+         ${rounds("y")},
+         j AS (SELECT a.node, a.label AS la2, b.label AS lb2
+           FROM l4x a JOIN l4y b ON a.node = b.node),
+         cont AS MATERIALIZED (SELECT la2, lb2, COUNT(*) AS nij
+           FROM j GROUP BY 1, 2),
+         st AS (SELECT CAST(SUM(nij) AS BIGINT) AS n_nodes,
+             CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS s_nij
+           FROM cont),
+         am AS (SELECT la2, SUM(nij) AS ai FROM cont GROUP BY 1),
+         sa AS (SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS s_a,
+             COUNT(*) AS ka FROM am),
+         bm AS (SELECT lb2, SUM(nij) AS bj FROM cont GROUP BY 1),
+         sb AS (SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS s_b,
+             COUNT(*) AS kb FROM bm)
+         SELECT n_nodes,
+           CAST(ka AS BIGINT) AS n_comm_1996,
+           CAST(kb AS BIGINT) AS n_comm_1997,
+           s_nij AS same_same_pairs,
+           CAST((n_nodes * (n_nodes - 1) // 2 + 2 * s_nij - s_a - s_b)
+             * 1000000
+             // GREATEST(n_nodes * (n_nodes - 1) // 2, 1) AS BIGINT)
+             AS rand_ppm
+         FROM st, sa, sb"""
+    })
 }

@@ -594,4 +594,49 @@ class GraphSpec extends SparkSpec {
       square.toDF("a", "b", "w"), rounds = 4)
     assert(sqDiag.nNodes === 4L)
   }
+
+  /** Brute-force Rand index in ppm: iterate every node pair, count
+    * agreements (together in both partitions, or apart in both). */
+  private def bruteRandPpm(a: Map[Long, Long],
+      b: Map[Long, Long]): Long = {
+    val nodes = (a.keySet & b.keySet).toSeq.sorted
+    val pairs = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+    } yield (nodes(i), nodes(j))
+    if (pairs.isEmpty) 0L
+    else {
+      val agree = pairs.count { case (x, y) =>
+        (a(x) == a(y)) == (b(x) == b(y))
+      }
+      agree.toLong * 1000000L / pairs.length
+    }
+  }
+
+  test("randIndexPpm equals the brute-force pairwise Rand index; " +
+      "identical partitions score 1e6, maximally-split vs merged 0") {
+    def df(m: Map[Long, Long]) = m.toSeq.toDF("node", "label")
+    // mixed case: two partitions of 6 nodes that partly agree
+    val pa = Map(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 30L)
+    val pb = Map(1L -> 7L, 2L -> 7L, 3L -> 8L,
+      4L -> 8L, 5L -> 9L, 6L -> 9L)
+    val got = Graph.randIndexPpm(df(pa), df(pb)).collect().head
+    assert(got.getAs[Long]("n_nodes") === 6L)
+    assert(got.getAs[Long]("n_comm_a") === 3L)
+    assert(got.getAs[Long]("n_comm_b") === 3L)
+    assert(got.getAs[Long]("rand_ppm") === bruteRandPpm(pa, pb))
+    // self-comparison: every pair agrees
+    val self = Graph.randIndexPpm(df(pa), df(pa)).collect().head
+    assert(self.getAs[Long]("rand_ppm") === 1000000L)
+    assert(self.getAs[Long]("same_same_pairs") === 4L) // C(3,2)+C(2,2)
+    // all-singletons vs one-cluster: NO pair agrees — 0 ppm
+    val singles = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    val merged = Map(1L -> 9L, 2L -> 9L, 3L -> 9L, 4L -> 9L)
+    assert(Graph.randIndexPpm(df(singles), df(merged)).collect()
+      .head.getAs[Long]("rand_ppm") === 0L)
+    // only the SHARED node set is compared
+    val extra = Graph.randIndexPpm(df(pa + (99L -> 5L)), df(pb))
+      .collect().head
+    assert(extra.getAs[Long]("n_nodes") === 6L)
+  }
 }
