@@ -431,6 +431,26 @@ object Listener {
         }
       },
 
+      route("GET", "/api/communities/drift",
+        "refresh-over-refresh community stability (Rand index ppm)") {
+        (ex, _) =>
+        rankDir match {
+          case None =>
+            respond(ex, 404, """{"detail": "no rank store configured"}""")
+          case Some(dir) =>
+            // refresh-cardinality log: one row per refresh after the
+            // first, so reading it whole stays bounded
+            val rows = graft.streaming.StreamingCommunities
+              .drift(spark, rankStoreCfg(dir)).collect()
+              .map(r => s"""{"refresh_seq": ${r.getLong(0)}, """ +
+                s""""n_nodes": ${r.getLong(1)}, """ +
+                s""""n_comm_prev": ${r.getLong(2)}, """ +
+                s""""n_comm_next": ${r.getLong(3)}, """ +
+                s""""rand_ppm": ${r.getAs[Long]("rand_ppm")}}""")
+            respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
+      },
+
       route("GET", "/api/sessions/sweep/{gaps}",
         "session_window gap sweep: per gap-minutes session stats") {
         (ex, params) =>

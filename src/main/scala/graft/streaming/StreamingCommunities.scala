@@ -28,7 +28,18 @@ import graft.operators.Graph
   */
 object StreamingCommunities {
 
-  /** Cold fixed-round LPA over the committed edges; atomic install. */
+  /** Cold fixed-round LPA over the committed edges; atomic install.
+    * Each refresh after the first also APPENDS one row to the DRIFT
+    * LOG: the Rand index (exact ppm, [[Graph.randIndexPpm]] — computed
+    * from the label contingency table, never the n² pair space) between
+    * the outgoing and incoming assignments. A continuously-maintained
+    * clustering needs a stability signal — rand ≈ 1e6 means the new
+    * edges left the structure intact; a drop says the partition
+    * reorganised and downstream consumers of community ids should
+    * re-resolve. The row is appended only AFTER a successful install,
+    * so the log never references a generation that failed to land (the
+    * log is advisory: a crash between install and append loses one row,
+    * never corrupts the labels). */
   def refresh(spark: SparkSession, cfg: StreamingRank.Config,
               rounds: Int = 4): Unit = {
     val store = new org.apache.hadoop.fs.Path(cfg.storeDir)
@@ -36,13 +47,51 @@ object StreamingCommunities {
     SwapDir.recover(fs, cfg.storeDir, "labels")
     val pairs = StreamingRank.edges(spark, cfg)
     if (pairs.isEmpty) return
+    val prev = communities(spark, cfg)
     val next = Graph.labelPropagation(pairs, rounds)
     // release in `finally`: on success the parquet install was the
     // checkpointed result's last read; on an install FAILURE the same
     // holds — a long-lived refresher (listener / cron) whose refresh
     // keeps failing must not pin one node-scale RDD per attempt
-    try SwapDir.install(spark, next, cfg.storeDir, "labels")
-    finally Graph.release(next)
+    try {
+      // measure BEFORE the install, while the outgoing generation is
+      // still the readable one; 1 collected row, contingency-scale work
+      val driftRow =
+        if (prev.isEmpty) None
+        else Some(Graph.randIndexPpm(prev, next).collect().head)
+      SwapDir.install(spark, next, cfg.storeDir, "labels")
+      driftRow.foreach { r =>
+        import spark.implicits._
+        val seq = drift(spark, cfg).count() + 1
+        Seq((seq, r.getAs[Long]("n_nodes"), r.getAs[Long]("n_comm_a"),
+          r.getAs[Long]("n_comm_b"), r.getAs[Long]("same_same_pairs"),
+          r.getAs[Long]("rand_ppm")))
+          .toDF("refresh_seq", "n_nodes", "n_comm_prev", "n_comm_next",
+            "same_same_pairs", "rand_ppm")
+          .coalesce(1)
+          .write.mode("append").parquet(driftPath(cfg).toString)
+      }
+    } finally Graph.release(next)
+  }
+
+  private def driftPath(cfg: StreamingRank.Config) =
+    new org.apache.hadoop.fs.Path(cfg.storeDir, "labels_drift")
+
+  /** The refresh-over-refresh stability log, oldest first:
+    * `(refresh_seq, n_nodes, n_comm_prev, n_comm_next,
+    * same_same_pairs, rand_ppm)`. Refresh-cardinality (one row per
+    * refresh after the first), so reading it whole is always cheap. */
+  def drift(spark: SparkSession,
+            cfg: StreamingRank.Config): DataFrame = {
+    val p = driftPath(cfg)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.emptyDataFrame
+        .select(lit(0L).as("refresh_seq"), lit(0L).as("n_nodes"),
+          lit(0L).as("n_comm_prev"), lit(0L).as("n_comm_next"),
+          lit(0L).as("same_same_pairs"), lit(0L).as("rand_ppm"))
+        .limit(0)
+    else spark.read.parquet(p.toString).orderBy(col("refresh_seq"))
   }
 
   /** Current `(node, label)` assignment; empty before the first

@@ -489,6 +489,16 @@ class ListenerSpec extends SparkSpec {
         === Seq(3, 3))
       assert(get(s"$root/api/docs/").body()
         .contains("/api/communities/top/{n}"))
+      // drift route: empty log after one refresh, one perfect-agreement
+      // row after a no-change second refresh
+      assert(get(s"$root/api/communities/drift/").body() === "[]")
+      graft.streaming.StreamingCommunities.refresh(spark, c)
+      val drift = get(s"$root/api/communities/drift/")
+      assert(drift.statusCode() == 200)
+      assert(drift.body().contains("\"refresh_seq\": 1"))
+      assert(drift.body().contains("\"rand_ppm\": 1000000"))
+      assert(get(s"$root/api/docs/").body()
+        .contains("/api/communities/drift"))
     } finally srv.stop()
   }
 

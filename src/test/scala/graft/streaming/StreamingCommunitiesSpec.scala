@@ -52,6 +52,51 @@ class StreamingCommunitiesSpec extends SparkSpec {
     assert(Set(got(4L), got(5L), got(6L)).size === 1)
   }
 
+  test("drift log: nothing after the first refresh, rand=1e6 for a " +
+      "no-change refresh, < 1e6 when new edges reorganise the partition") {
+    val c = cfg(Files.createTempDirectory("scomm_drift").toString)
+    StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
+    StreamingCommunities.refresh(spark, c)
+    // first refresh: no previous generation to compare against
+    assert(StreamingCommunities.drift(spark, c).count() === 0L)
+    // same edge set, refresh again: identical labels, perfect agreement
+    StreamingCommunities.refresh(spark, c)
+    val d1 = StreamingCommunities.drift(spark, c).collect()
+    assert(d1.length === 1)
+    assert(d1.head.getAs[Long]("refresh_seq") === 1L)
+    assert(d1.head.getAs[Long]("rand_ppm") === 1000000L)
+    assert(d1.head.getAs[Long]("n_nodes") === 3L)
+    // two separate families first (bridged triangles stay apart)...
+    StreamingRank.ingestBatch(batch1.toDF(), 1L, c)
+    StreamingCommunities.refresh(spark, c)
+    val prevMap = labelMap(c)
+    assert(prevMap.values.toSet.size === 2)
+    // ...then dense cross edges fuse them: the partition of the six
+    // SHARED nodes reorganises and the logged Rand index says so
+    StreamingRank.ingestBatch(Seq(Pair(1, 4), Pair(1, 5), Pair(1, 6),
+      Pair(2, 4), Pair(2, 5), Pair(2, 6), Pair(3, 5), Pair(3, 6))
+      .toDF(), 2L, c)
+    StreamingCommunities.refresh(spark, c)
+    val newMap = labelMap(c)
+    val last = StreamingCommunities.drift(spark, c).collect()
+      .maxBy(_.getAs[Long]("refresh_seq"))
+    assert(last.getAs[Long]("refresh_seq") === 3L)
+    // drift is measured over the nodes present in BOTH generations
+    val shared = (prevMap.keySet & newMap.keySet).toSeq.sorted
+    assert(last.getAs[Long]("n_nodes") === shared.length.toLong)
+    // the log is exactly the Rand index of the two generations
+    val pairsAll = for {
+      i <- shared.indices; j <- (i + 1) until shared.length
+    } yield (shared(i), shared(j))
+    val agree = pairsAll.count { case (x, y) =>
+      (prevMap(x) == prevMap(y)) == (newMap(x) == newMap(y))
+    }
+    assert(last.getAs[Long]("rand_ppm") ===
+      agree.toLong * 1000000L / pairsAll.length)
+    // and it genuinely reports a reorganisation
+    assert(last.getAs[Long]("rand_ppm") < 1000000L)
+  }
+
   test("labels and ranks are two views over ONE edge store") {
     val c = cfg(Files.createTempDirectory("scomm_two").toString)
     StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
