@@ -917,6 +917,19 @@ object Cli {
               s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
                 s"${r.getLong(3)}"))
 
+        case "community-drift" =>
+          // Refresh-over-refresh stability log (one Rand-index row per
+          // refresh after the first):
+          //   community-drift --store <dir>
+          val cfg = graft.streaming.StreamingRank.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt")
+          graft.streaming.StreamingCommunities.drift(spark, cfg)
+            .collect()
+            .foreach(r => println(
+              s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
+                s"${r.getLong(3)}\t${r.getAs[Long]("rand_ppm")}"))
+
         case "rank-compact" =>
           // Fold the edge store's per-batch partitions (the store's
           // persisted bucket layout is preserved):

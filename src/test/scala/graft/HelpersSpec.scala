@@ -551,6 +551,21 @@ class CliSpec extends SparkSpec {
       .filter(_.count(_ == '\t') == 3)
       .map(_.split("\t")(1).toLong).toSeq
     assert(fams === Seq(3L, 3L))
+    // a second, no-change refresh logs one perfect-agreement drift row,
+    // and community-drift prints it
+    val cap2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cap2, true, "UTF-8")) {
+      Cli.main(Array("community-refresh", "--store", store,
+        "--rounds", "4", "--top", "5"))
+      Cli.main(Array("community-drift", "--store", store))
+    }
+    // drift lines: seq\tn_nodes\tn_comm_prev\tn_comm_next\trand_ppm
+    val drift = cap2.toString("UTF-8").linesIterator
+      .filter(_.count(_ == '\t') == 4).map(_.split("\t")).toSeq
+    assert(drift.length === 1)
+    assert(drift.head(0).toLong === 1L)
+    assert(drift.head(1).toLong === 6L)
+    assert(drift.head(4).toLong === 1000000L)
   }
 
   test("hist-merge and hist-quantiles serve bounded percentiles") {
