@@ -117,25 +117,66 @@ object Bench {
           tools.BenchStats.spread(ok), true)
       case (name, fn, r, s) => (name, fn, r, s, false)
     }
+    // UNIFORM sustained load is the spread escalation's blind spot: a
+    // machine-level load that slows all reps EQUALLY leaves spread near 1,
+    // so nothing above fires, and below loadavg saturation the run-level
+    // fingerprint stays quiet too (driver-r13: q149 recorded 6.14 s
+    // against a 1.05 s idle median with spread 1.20 and contended:false).
+    // The previous run's artifact is already on disk awaiting rotation —
+    // any fresh median >3x its previously recorded value (when that run
+    // was uncontended) is RE-MEASURED with a fresh median-of-5, and if
+    // still inflated the number is recorded but flagged `suspect` with
+    // the previous median beside it, so a uniform-load inflation (or a
+    // genuine regression — the re-measure reproduces those) is
+    // adjudicable from the artifact alone.
+    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "bench/last_run.json"))
+    val (prevContended, prevMedians) =
+      try {
+        if (java.nio.file.Files.exists(outPath))
+          tools.BenchStats.parseArtifact(new String(
+            java.nio.file.Files.readAllBytes(outPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else (false, Map.empty[String, Double])
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          (false, Map.empty[String, Double])
+      }
+    val second = first.map {
+      case (name, fn, (t, None), s, _)
+          if tools.BenchStats.crossRunSuspect(t, prevMedians.get(name),
+            prevContended) =>
+        val ok = Seq.fill(5)(runOne(fn)).collect { case (t2, None) => t2 }
+        val healed = if (ok.isEmpty) t else tools.BenchStats.median(ok)
+        val stillSuspect = tools.BenchStats.crossRunSuspect(healed,
+          prevMedians.get(name), prevContended)
+        (name, fn, (healed, Option.empty[String]),
+          if (ok.isEmpty) s else tools.BenchStats.spread(ok), true,
+          if (stillSuspect) prevMedians.get(name) else None)
+      case (name, fn, r, s, rm) => (name, fn, r, s, rm, None)
+    }
     val remeasured =
-      first.collect { case (n, _, _, _, true) => n }.toSet
+      second.collect { case (n, _, _, _, true, _) => n }.toSet
+    val suspect =
+      second.collect { case (n, _, _, _, _, Some(p)) => n -> p }.toMap
     // One-off I/O stalls (page-cache eviction, JIT deopt) record a number
     // that is not the query's cost: any success exceeding 3x the median is
     // re-run once and the faster time kept (min — the stall is the outlier,
     // not the work). With reps > 1 the per-query median already absorbed
     // outliers, so the extra re-run is skipped.
-    val okTimes = first.collect { case (_, _, (t, None), _, _) => t }.sorted
+    val okTimes = second.collect { case (_, _, (t, None), _, _, _) => t }
+      .sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
-    val results = first.map {
-      case (name, fn, (t, None), _, _)
+    val results = second.map {
+      case (name, fn, (t, None), _, _, _)
           if reps == 1 && median > 0 && t > 3 * median =>
         val (t2, err2) = runOne(fn)
         if (err2.isEmpty) name -> (math.min(t, t2), None)
         else name -> (t, None) // flaky rerun: keep the first, valid result
-      case (name, _, r, _, _) => name -> r
+      case (name, _, r, _, _, _) => name -> r
     }
-    val spreads = first.collect {
-      case (name, _, (_, None), s, _) if reps > 1 => name -> s
+    val spreads = second.collect {
+      case (name, _, (_, None), s, _, _) if reps > 1 => name -> s
     }
 
     // control characters must be escaped too: error strings carry raw
@@ -182,9 +223,18 @@ object Bench {
     val load1Start =
       loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
         .getOrElse(0.0)
+    // every re-measured query (spread- or cross-run-escalated) executed
+    // 5 extra runs the artifact's total does not count — without this
+    // term a run with several escalations self-labels contended on an
+    // idle machine and the false label discredits real regressions
+    val resultByName = results.toMap
+    val extraRunSec = 5.0 * remeasured.toSeq
+      .flatMap(n => resultByName.get(n).collect { case (t, None) => t })
+      .sum
     val contended = tools.BenchStats.looksContended(wallSec, total,
-      reps + warm, load1Start, Runtime.getRuntime.availableProcessors)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"remeasured":${remeasured.size},"wall_sec":${ms(wallSec)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
+      reps + warm, extraRunSec, load1Start,
+      Runtime.getRuntime.availableProcessors)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"remeasured":${remeasured.size},"suspect":${suspect.size},"wall_sec":${ms(wallSec)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
     // The stdout line above is captured as a LOG TAIL and has truncated
     // mid-map two rounds running, making most per-query regressions
     // unadjudicable. The engine therefore persists its own COMPLETE
@@ -195,8 +245,6 @@ object Bench {
     // *_prev.json so a round can always diff itself against the last
     // run without depending on any log capture.
     try {
-      val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "bench/last_run.json"))
       Option(outPath.getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
       if (java.nio.file.Files.exists(outPath)) {
@@ -211,11 +259,14 @@ object Bench {
         val sp = spreadByName.get(k)
           .map(s => s""","spread":${ms(s)}""").getOrElse("")
         val rm = if (remeasured(k)) ""","remeasured":true""" else ""
+        val su = suspect.get(k).map(p =>
+          s""","suspect":true,"prev_median_sec":${ms(p)}""").getOrElse("")
         val er = err.map(e => s""","error":${jstr(e)}""").getOrElse("")
-        s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$rm$er}"""
+        s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$rm$su$er}"""
       }
       // Machine-load fingerprint: loadavg at start/end plus total wall vs
-      // the expected executed time ((reps+warmup) x summed medians). The
+      // the expected executed time ((reps+warmup) x summed medians + 5x
+      // the medians of every escalation-re-measured query). The
       // `contended` verdict comes from BenchStats.looksContended — ONE
       // definition shared with the stdout summary; tools/bench_diff.py
       // reads this field rather than re-deriving it.
@@ -227,6 +278,7 @@ object Bench {
            |  "warmup": $warm,
            |  "spread_rerun_threshold": ${ms(spreadThresh)},
            |  "n_remeasured": ${remeasured.size},
+           |  "n_suspect": ${suspect.size},
            |  "loadavg_start": ${jstr(loadStart)},
            |  "loadavg_end": ${jstr(loadEnd)},
            |  "host_cpus": ${Runtime.getRuntime.availableProcessors},

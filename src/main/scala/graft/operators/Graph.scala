@@ -672,9 +672,14 @@ object Graph {
           .cast("long").as("n_comm_b"))
       .select(col("n_nodes"), col("n_comm_a"), col("n_comm_b"),
         col("s_nij").as("same_same_pairs"),
-        expr("""(n_nodes * (n_nodes - 1) div 2 + 2 * s_nij - s_a - s_b)
+        // the agreement numerator lifts to DECIMAL(38,0) before the ppm
+        // scale-up: agree * 1e6 exceeds Long past ~4.3M shared nodes
+        // (C(n,2)·1e6 > 2⁶³), and non-ANSI Spark would wrap silently
+        // where the HUGEINT oracle stays exact
+        expr("""cast(n_nodes * (n_nodes - 1) div 2
+                  + 2 * s_nij - s_a - s_b as decimal(38,0))
                 * 1000000
                 div greatest(n_nodes * (n_nodes - 1) div 2, 1)""")
-          .as("rand_ppm"))
+          .cast("long").as("rand_ppm"))
   }
 }

@@ -39,24 +39,38 @@ object GraphQueries {
   }
 
 
-  /** One cached artifact per (data dir, session): the PqModels
-    * train-once discipline applied to the graph family. The build runs
-    * on first use, every later consumer reads the retained relation; a
-    * new data dir (or a new session — a cached checkpoint is dead
-    * outside the session that made it) rebuilds and releases the
-    * superseded artifact's storage. */
-  private final class DirCache[A](build: (SparkSession, String) => A,
-      releaseFn: A => Unit) {
-    @volatile private var cached: Option[(String, SparkSession, A)] = None
-    def get(s: SparkSession, dir: String): A = synchronized {
-      cached match {
-        case Some((d, sess, a)) if d == dir && (sess eq s) => a
-        case _ =>
-          cached.foreach { case (_, sess, a) =>
-            if (sess eq s) releaseFn(a)
+  /** Cached artifacts KEYED by (session, key): the PqModels train-once
+    * discipline applied to the graph family. The build runs on first
+    * use, every later consumer reads the retained relation. Keyed (not
+    * single-slot — the r13 shape): a long-lived listener alternating
+    * requests across two data dirs must not rebuild the lineitem
+    * self-join (and 4 LPA rounds) on every flip. LRU with a small cap
+    * bounds the retained storage; eviction RELEASES the artifact when it
+    * belongs to the evicting caller's session (an entry from another
+    * session is just dropped — its checkpoints die with that session,
+    * and releasing through a foreign/stopped context is not safe).
+    * `buildCount` is the test hook pinning build-once behavior. */
+  private[graft] final class DirCache[K, A](
+      build: (SparkSession, K) => A, releaseFn: A => Unit, cap: Int = 4) {
+    private val cached =
+      scala.collection.mutable.LinkedHashMap.empty[(SparkSession, K), A]
+    private var builds = 0L
+    private[graft] def buildCount: Long = synchronized(builds)
+    def get(s: SparkSession, key: K): A = synchronized {
+      val k = (s, key)
+      cached.remove(k) match {
+        case Some(a) =>
+          cached.put(k, a) // re-insert: most-recently-used at the tail
+          a
+        case None =>
+          builds += 1
+          val a = build(s, key)
+          cached.put(k, a)
+          while (cached.size > cap) {
+            val (ek, ea) = cached.head
+            cached.remove(ek)
+            if (ek._1 eq s) releaseFn(ea)
           }
-          val a = build(s, dir)
-          cached = Some((dir, s, a))
           a
       }
     }
@@ -67,13 +81,13 @@ object GraphQueries {
     * each query stays self-contained (first caller builds), but a
     * bench pass no longer re-derives the same edge relation per
     * query. */
-  private val pairsCache = new DirCache[DataFrame]((s, dir) =>
+  private val pairsCache = new DirCache[String, DataFrame]((s, dir) =>
     Graph.canonicalPairs(t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey"), Graph.release)
 
   /** The WEIGHTED pairs artifact (q272/q273/q276). */
-  private val wpairsCache = new DirCache[DataFrame]((s, dir) =>
+  private val wpairsCache = new DirCache[String, DataFrame]((s, dir) =>
     Graph.weightedCanonicalPairs(t(s, dir, "lineitem"),
       "l_orderkey", "l_partkey"), Graph.release)
 
@@ -90,9 +104,28 @@ object GraphQueries {
     * so stored-vs-recomputed is unobservable in any result — the
     * DuckDB oracles still unroll the rounds from scratch. */
   private val labelsCache =
-    new DirCache[(DataFrame, Graph.LpaDiag)]((s, dir) =>
+    new DirCache[String, (DataFrame, Graph.LpaDiag)]((s, dir) =>
       Graph.labelPropagationWithDiag(pairsCache.get(s, dir), LpaRounds),
       (a: (DataFrame, Graph.LpaDiag)) => Graph.release(a._1))
+
+  /** YEAR-scoped LPA label artifacts for the drift family, keyed
+    * (dir, year): both 1996/1997 subgraph labellings are deterministic
+    * per data dir, and q282's two cold LPA runs made it the suite's most
+    * expensive query — cached, a drift call pays only the
+    * contingency-scale Rand index. The year PAIRS feed exactly one LPA
+    * run and are released inside the build; only the labels (one
+    * node-scale relation per year) stay resident, LRU-bounded. */
+  private val yearLabelsCache =
+    new DirCache[(String, Int), DataFrame]((s, key) => {
+      val (dir, y) = key
+      val p = Graph.canonicalPairs(
+        t(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")) === y)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey")
+      try Graph.labelPropagation(p, LpaRounds)
+      finally Graph.release(p)
+    }, Graph.release)
 
   /** The alphabetically-first brand's part keys — the shared seed set
     * of the proximity pair q256 (PPR mass) / q274 (hop distance). */
@@ -399,31 +432,16 @@ object GraphQueries {
     // cartesian audit); all arithmetic integral (`div`), so the ppm is
     // bit-stable against the unrolled oracle.
     "q282_community_drift" -> { (s, dir) =>
-      def yearLabels(y: Int): DataFrame = {
-        val p = Graph.canonicalPairs(
-          t(s, dir, "lineitem")
-            .filter(year(col("l_shipdate")) === y)
-            .select(col("l_orderkey"), col("l_partkey")),
-          "l_orderkey", "l_partkey")
-        // the year pairs feed exactly one LPA run — release as soon as
-        // the rounds have materialised (Graph loops never release their
-        // input; it belongs to the caller)
-        try Graph.labelPropagation(p, LpaRounds)
-        finally Graph.release(p)
-      }
-      val la = yearLabels(1996)
-      val lb =
-        try yearLabels(1997)
-        catch { case t: Throwable => Graph.release(la); throw t }
-      // the 1-row index cut EAGERLY so both label relations can be
-      // released here instead of riding along to the caller's action
-      val out =
-        try Graph.randIndexPpm(la, lb).localCheckpoint(true)
-        finally { Graph.release(la); Graph.release(lb) }
-      out.select(col("n_nodes"),
-        col("n_comm_a").as("n_comm_1996"),
-        col("n_comm_b").as("n_comm_1997"),
-        col("same_same_pairs"), col("rand_ppm"))
+      // both year labellings ride the (dir, year) artifact cache — they
+      // belong to the cache (released on evict), so the call pays only
+      // the contingency-scale Rand index
+      val la = yearLabelsCache.get(s, (dir, 1996))
+      val lb = yearLabelsCache.get(s, (dir, 1997))
+      Graph.randIndexPpm(la, lb)
+        .select(col("n_nodes"),
+          col("n_comm_a").as("n_comm_1996"),
+          col("n_comm_b").as("n_comm_1997"),
+          col("same_same_pairs"), col("rand_ppm"))
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -824,7 +842,8 @@ object GraphQueries {
            CAST(ka AS BIGINT) AS n_comm_1996,
            CAST(kb AS BIGINT) AS n_comm_1997,
            s_nij AS same_same_pairs,
-           CAST((n_nodes * (n_nodes - 1) // 2 + 2 * s_nij - s_a - s_b)
+           CAST(CAST(n_nodes * (n_nodes - 1) // 2
+               + 2 * s_nij - s_a - s_b AS HUGEINT)
              * 1000000
              // GREATEST(n_nodes * (n_nodes - 1) // 2, 1) AS BIGINT)
              AS rand_ppm

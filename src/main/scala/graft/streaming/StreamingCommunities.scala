@@ -55,10 +55,16 @@ object StreamingCommunities {
     // keeps failing must not pin one node-scale RDD per attempt
     try {
       // measure BEFORE the install, while the outgoing generation is
-      // still the readable one; 1 collected row, contingency-scale work
+      // still the readable one; 1 collected row, contingency-scale work.
+      // Disjoint node sets (prev ∩ next = ∅) make the global aggregate
+      // one all-NULL row — getAs[Long] would unbox that to an all-zero
+      // record reading as a total reorganisation, so it is SKIPPED: no
+      // shared nodes means there is no comparison to log.
       val driftRow =
         if (prev.isEmpty) None
         else Some(Graph.randIndexPpm(prev, next).collect().head)
+          .filter(r => !r.isNullAt(r.fieldIndex("n_nodes")) &&
+            r.getAs[Long]("n_nodes") > 0L)
       SwapDir.install(spark, next, cfg.storeDir, "labels")
       driftRow.foreach { r =>
         import spark.implicits._

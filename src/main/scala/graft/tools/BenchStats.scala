@@ -43,12 +43,49 @@ object BenchStats {
     * far above the EXPECTED execution time — summed per-query medians ×
     * the number of runs each query makes (timed reps + the untimed
     * warm-up), since the artifact's total counts each query once but the
-    * process executed it reps+warmup times — or when the 1-minute load
-    * average at start already exceeded the available processors.
-    * tools/bench_diff.py surfaces the same signal when diffing rounds. */
+    * process executed it reps+warmup times, PLUS the extra runs any
+    * escalation added (5 per re-measured query — without that term a run
+    * with several escalations could self-label contended on an idle
+    * machine, and the false label would discredit a genuine regression
+    * in bench_diff) — or when the 1-minute load average at start already
+    * exceeded the available processors. tools/bench_diff.py surfaces the
+    * same signal when diffing rounds. */
   def looksContended(wallSec: Double, totalQuerySec: Double,
-      runsPerQuery: Int, loadavg1: Double, hostCpus: Int): Boolean =
+      runsPerQuery: Int, extraRunSec: Double, loadavg1: Double,
+      hostCpus: Int): Boolean =
     (totalQuerySec > 30 &&
-      wallSec > 3 * math.max(runsPerQuery, 1) * totalQuerySec) ||
+      wallSec > 3 * (math.max(runsPerQuery, 1) * totalQuerySec +
+        math.max(extraRunSec, 0.0))) ||
       loadavg1 > hostCpus.toDouble
+
+  /** Per-query medians and the `contended` self-label of a PRIOR Bench
+    * artifact (the engine's own `bench/last_run.json` format — one
+    * `"name": {"median_sec":X…}` line per query). Pure text parsing so
+    * the cross-run defence needs no JSON library and stays unit-testable;
+    * a file that is not a Bench artifact parses to (false, empty) and
+    * the defence silently stands down. */
+  def parseArtifact(text: String): (Boolean, Map[String, Double]) = {
+    val contended = """"contended"\s*:\s*true""".r.findFirstIn(text).nonEmpty
+    val q = """"([^"\\]+)"\s*:\s*\{\s*"median_sec"\s*:\s*([0-9.]+)""".r
+    (contended,
+      q.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+  }
+
+  /** The UNIFORM-load defence (round-13 blind spot): a machine-level
+    * load that slows all reps EQUALLY leaves spread ≈ 1 (the escalation
+    * never fires) and, below loadavg saturation, `looksContended` false —
+    * driver-r13 recorded q149 at 6.14 s against a 1.05 s idle median with
+    * spread 1.20 and `contended: false`. The previous run's artifact is
+    * already on disk for rotation; a fresh median more than `factor`×
+    * the previous recorded median (when THAT run was uncontended — an
+    * inflated baseline must not mask a real recovery) is re-measured,
+    * and flagged `suspect` if the re-measure stays inflated. The
+    * absolute floor keeps sub-second jitter (0.05 → 0.2 s is 4× and
+    * meaningless) out of the escalation. */
+  def crossRunSuspect(freshMedian: Double, prevMedian: Option[Double],
+      prevContended: Boolean, factor: Double = 3.0,
+      minAbsSec: Double = 0.5): Boolean =
+    !prevContended && prevMedian.exists(p =>
+      p > 0 && freshMedian > factor * p && freshMedian - p > minAbsSec)
 }

@@ -38,18 +38,84 @@ class BenchStatsSpec extends AnyFunSuite {
       "loadavg") {
     // single-run suite: 240 s of queries inside a 900 s wall means
     // something else owned the box
-    assert(BenchStats.looksContended(900.0, 240.0, 1, 1.0, 32))
+    assert(BenchStats.looksContended(900.0, 240.0, 1, 0.0, 1.0, 32))
     // reps=3 + warmup executes each query 4x: a 1000 s wall around a
     // 210 s median-sum is the EXPECTED cost of the reps, not contention
     // (the r13 idle run that pinned this: wall 1016, total 209.9)
-    assert(!BenchStats.looksContended(1016.0, 209.9, 4, 0.26, 32))
+    assert(!BenchStats.looksContended(1016.0, 209.9, 4, 0.0, 0.26, 32))
     // same reps, but wall far beyond even 3x the executed time
-    assert(BenchStats.looksContended(3000.0, 209.9, 4, 0.26, 32))
+    assert(BenchStats.looksContended(3000.0, 209.9, 4, 0.0, 0.26, 32))
     // tiny suite (sf0.001 smoke): startup dominates legitimately
-    assert(!BenchStats.looksContended(90.0, 20.0, 1, 1.0, 32))
+    assert(!BenchStats.looksContended(90.0, 20.0, 1, 0.0, 1.0, 32))
     // loadavg above host cpus at start: contended regardless of ratio
-    assert(BenchStats.looksContended(250.0, 240.0, 1, 33.0, 32))
+    assert(BenchStats.looksContended(250.0, 240.0, 1, 0.0, 33.0, 32))
     // healthy idle run
-    assert(!BenchStats.looksContended(300.0, 240.0, 1, 2.0, 32))
+    assert(!BenchStats.looksContended(300.0, 240.0, 1, 0.0, 2.0, 32))
+  }
+
+  test("escalation extra runs count toward expected execution (ADVICE " +
+      "r13 #3): several 5-run re-measures must not self-label an idle " +
+      "run contended") {
+    // 240 s suite, reps=3+warmup, plus 3 re-measured queries of ~20 s
+    // median each = 300 s of escalation runs. Wall 3500 s: above 3x the
+    // reps-only expectation (2880) but within the escalation-aware one
+    // (3780) — idle, not contended.
+    assert(BenchStats.looksContended(3500.0, 240.0, 4, 0.0, 0.3, 32))
+    assert(!BenchStats.looksContended(3500.0, 240.0, 4, 300.0, 0.3, 32))
+    // a negative extra term (impossible, but defensive) clamps to 0
+    assert(BenchStats.looksContended(3500.0, 240.0, 4, -5.0, 0.3, 32))
+  }
+
+  test("cross-run uniform-load defence (VERDICT r13 ask #2): a fresh " +
+      "median >3x the previous uncontended median is suspect") {
+    // the driver-r13 evidence that exposed the blind spot: q149 recorded
+    // 6.14 s against a 1.05 s previous median, per-query spread 1.20,
+    // run-level contended:false — invisible to BOTH existing defences
+    assert(BenchStats.crossRunSuspect(6.14, Some(1.05),
+      prevContended = false))
+    // the same inflation is NOT judged against a contended previous run:
+    // an inflated baseline must not mask a genuine recovery
+    assert(!BenchStats.crossRunSuspect(6.14, Some(1.05),
+      prevContended = true))
+    // no previous record (new query / first run): nothing to compare
+    assert(!BenchStats.crossRunSuspect(6.14, None, prevContended = false))
+    // at-threshold is not suspect (strict >, mirroring needsRemeasure)
+    assert(!BenchStats.crossRunSuspect(3.15, Some(1.05),
+      prevContended = false))
+    // sub-second jitter stays out: 0.05 -> 0.2 s is 4x but below the
+    // 0.5 s absolute floor
+    assert(!BenchStats.crossRunSuspect(0.2, Some(0.05),
+      prevContended = false))
+    // a zero previous median (artifact rounding) never divides/flags
+    assert(!BenchStats.crossRunSuspect(6.0, Some(0.0),
+      prevContended = false))
+  }
+
+  test("parseArtifact recovers per-query medians and the contended " +
+      "label from the engine's own artifact format") {
+    val art =
+      """{
+        |  "sf": "/root/testdata/sf0.1",
+        |  "contended": false,
+        |  "total_sec": 7.190,
+        |  "queries": {
+        |    "q149_source_similarity": {"median_sec":1.050,"spread":1.200},
+        |    "q282_community_drift": {"median_sec":3.590,"remeasured":true},
+        |    "q25_stream_dedup": {"median_sec":0.400,"error":"boom \\t"}
+        |  }
+        |}
+        |""".stripMargin
+    val (contended, m) = BenchStats.parseArtifact(art)
+    assert(!contended)
+    assert(m == Map(
+      "q149_source_similarity" -> 1.05,
+      "q282_community_drift" -> 3.59,
+      "q25_stream_dedup" -> 0.4))
+    // a contended prior run parses as such
+    assert(BenchStats.parseArtifact(
+      """{"contended": true, "queries": {}}""")._1)
+    // junk input stands the defence down instead of throwing
+    assert(BenchStats.parseArtifact("not json at all") ==
+      ((false, Map.empty[String, Double])))
   }
 }
