@@ -902,14 +902,19 @@ object Cli {
             .foreach(r => println(s"${r.getLong(0)}\t${r.getLong(1)}"))
 
         case "community-refresh" =>
-          // Cold fixed-round LPA over the committed edge set (the same
-          // store rank-merge ingests — one graph, two maintained views):
+          // Fixed-round LPA over the committed edge set (the same store
+          // rank-merge ingests — one graph, two maintained views). Cold
+          // identity seeding by default; --warm-start seeds from the
+          // previous stored assignment (stable regions converge in ~1
+          // round, label ids stay comparable across generations):
           //   community-refresh --store <dir> [--rounds 4] [--top 20]
+          //     [--warm-start]
           val cfg = graft.streaming.StreamingRank.Config(
             storeDir = opts("store"),
             checkpointDir = opts("store") + "/_ckpt")
           graft.streaming.StreamingCommunities.refresh(spark, cfg,
-            rounds = opts.getOrElse("rounds", "4").toInt)
+            rounds = opts.getOrElse("rounds", "4").toInt,
+            warmStart = opts.contains("warm-start"))
           graft.streaming.StreamingCommunities.summary(spark, cfg)
             .limit(opts.getOrElse("top", "20").toInt)
             .collect()

@@ -367,6 +367,27 @@ object Graph {
       .unionByName(pairs.select(col("b").as("src"),
         col("a").as("dst"), lit(1L).as("w"))), rounds)
 
+  /** [[labelPropagation]] SEEDED from a previous assignment — the
+    * warm-start a continuously-maintained clustering needs at scale:
+    * `label₀(v) = prev(v)` where the node was previously labelled, `v`
+    * (the cold identity) where it is new. On a CONVERGED previous
+    * assignment (a true fixed point — every node already holds its
+    * neighbourhood's majority label) the rounds change nothing, so warm
+    * ≡ cold-from-that-point exactly (spec-pinned); on an incremental
+    * batch only the changed neighbourhoods move while stable regions
+    * keep their literal label ids — fewer label flips per refresh than
+    * a cold identity restart, and the label ids stay comparable across
+    * generations (what a drift log wants to measure). Same determinism
+    * contract as the cold operator: the result is a pure function of
+    * (pairs, seeds, rounds). */
+  def seededLabelPropagation(pairs: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame =
+    lpaRun(pairs
+      .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+      .unionByName(pairs.select(col("b").as("src"),
+        col("a").as("dst"), lit(1L).as("w"))), rounds, withDiag = false,
+      seedLabels = Some(seeds))._1
+
   /** [[labelPropagation]] over weighted canonical pairs `(a, b, w)`,
     * `w ≥ 1`: each neighbour votes with its edge weight — a pair
     * co-occurring 50 times pulls labels 50× harder than a one-off, the
@@ -422,14 +443,24 @@ object Graph {
     lpaRun(symWeighted, rounds, withDiag = false)._1
 
   private def lpaRun(symWeighted: DataFrame, rounds: Int,
-      withDiag: Boolean): (DataFrame, Option[LpaDiag]) = {
+      withDiag: Boolean,
+      seedLabels: Option[DataFrame] = None): (DataFrame, Option[LpaDiag])
+      = {
     require(rounds >= 1)
     require(!withDiag || rounds >= 2,
       "the oscillation diagnostic compares labels(r−2): need rounds >= 2")
     val sym = symWeighted.localCheckpoint(true)
     try {
-      val seed = sym.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
+      val nodes = sym.select(col("src").as("node")).distinct()
+      // warm start: previously-labelled nodes keep their label, new
+      // nodes seed with the cold identity. One node-scale left join —
+      // the seed relation is the caller's (never released here).
+      val seed = seedLabels.fold(
+          nodes.select(col("node"), col("node").as("label")))(prev =>
+          nodes.join(prev.select(col("node"),
+              col("label").as("prev_label")), Seq("node"), "left_outer")
+            .select(col("node"),
+              coalesce(col("prev_label"), col("node")).as("label")))
         .localCheckpoint(true)
       var labels = seed
       // live snapshots, NEWEST FIRST. The plain loop keeps one (the

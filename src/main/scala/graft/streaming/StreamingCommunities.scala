@@ -15,12 +15,22 @@ import graft.operators.Graph
   * Unlike PageRank, LPA has NO warm-start composition law (power
   * iteration composes — K₂ steps from the K₁ state ≡ K₁+K₂ cold steps;
   * label propagation's fixed-round result is defined from the identity
-  * seeding), so every [[refresh]] is a COLD fixed-round run over the
-  * committed edge set. That is the honest deterministic contract: the
-  * stored labels always equal the batch operator over the accumulated
-  * graph (spec-pinned), at the cost of recomputing per refresh — the
-  * per-round work is one edge ⋈ labels join, the same per-step cost the
-  * rank refresh already pays.
+  * seeding), so by default every [[refresh]] is a COLD fixed-round run
+  * over the committed edge set. That is the honest deterministic
+  * contract: the stored labels always equal the batch operator over the
+  * accumulated graph (spec-pinned), at the cost of recomputing per
+  * refresh — the per-round work is one edge ⋈ labels join, the same
+  * per-step cost the rank refresh already pays.
+  *
+  * `warmStart = true` opts into the SEEDED contract instead
+  * ([[Graph.seededLabelPropagation]]): rounds start from the previous
+  * stored assignment (new nodes from the cold identity), so at 100 TB
+  * stable regions converge in ~1 round and only changed neighbourhoods
+  * move — and label ids stay comparable across generations, which is
+  * exactly what the drift log measures. Still deterministic — the
+  * result is a pure function of (edge store, previous labels, rounds) —
+  * but no longer equal to the cold batch operator unless the previous
+  * assignment was a true fixed point (both pinned in the spec).
   *
   * The labels relation is swap-managed via [[SwapDir]]: writers heal,
   * readers never heal, the aside generation stays readable through the
@@ -41,14 +51,19 @@ object StreamingCommunities {
     * log is advisory: a crash between install and append loses one row,
     * never corrupts the labels). */
   def refresh(spark: SparkSession, cfg: StreamingRank.Config,
-              rounds: Int = 4): Unit = {
+              rounds: Int = 4, warmStart: Boolean = false): Unit = {
     val store = new org.apache.hadoop.fs.Path(cfg.storeDir)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     SwapDir.recover(fs, cfg.storeDir, "labels")
     val pairs = StreamingRank.edges(spark, cfg)
     if (pairs.isEmpty) return
     val prev = communities(spark, cfg)
-    val next = Graph.labelPropagation(pairs, rounds)
+    // the first refresh has no previous generation — warm degrades to
+    // cold (the identity seeding) rather than failing
+    val next =
+      if (warmStart && !prev.isEmpty)
+        Graph.seededLabelPropagation(pairs, prev, rounds)
+      else Graph.labelPropagation(pairs, rounds)
     // release in `finally`: on success the parquet install was the
     // checkpointed result's last read; on an install FAILURE the same
     // holds — a long-lived refresher (listener / cron) whose refresh

@@ -639,4 +639,28 @@ class GraphSpec extends SparkSpec {
       .collect().head
     assert(extra.getAs[Long]("n_nodes") === 6L)
   }
+
+  test("seededLabelPropagation: a fixed-point seed is returned " +
+      "unchanged, unseeded nodes start from the cold identity") {
+    // triangle 10-11-12 plus a new node 1 joined to all three (K4)
+    val pairs = Seq((10L, 11L), (11L, 12L), (10L, 12L),
+      (1L, 10L), (1L, 11L), (1L, 12L)).toDF("a", "b")
+    // the triangle's converged assignment (cold LPA lands on min id 10)
+    val seeds = Seq((10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("node", "label")
+    val warm = Graph.seededLabelPropagation(pairs, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the stable region keeps its literal label; the new node adopts it
+    assert(warm === Map(1L -> 10L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // cold on the same graph relabels everything to the new min id —
+    // the flip warm start exists to avoid
+    val cold = Graph.labelPropagation(pairs, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cold === Map(1L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
+    // an empty seed relation IS the cold operator
+    val empty = Seq.empty[(Long, Long)].toDF("node", "label")
+    val seededEmpty = Graph.seededLabelPropagation(pairs, empty, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seededEmpty === cold)
+  }
 }

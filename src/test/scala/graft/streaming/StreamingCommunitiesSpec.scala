@@ -8,10 +8,12 @@ import graft.SparkSpec
 import graft.operators.Graph
 
 /** The community view over StreamingRank's exactly-once edge store:
-  * every refresh equals the batch LPA operator over the accumulated
-  * committed edges (no warm-start law exists for LPA, so cold
-  * equivalence IS the contract), and the labels relation follows the
-  * SwapDir read/write discipline. */
+  * every cold refresh equals the batch LPA operator over the
+  * accumulated committed edges (no warm-start composition law exists
+  * for LPA, so cold equivalence IS the default contract), the opt-in
+  * warm start seeds from the previous generation (equal to cold on a
+  * converged graph; fewer label flips on an incremental batch), and the
+  * labels relation follows the SwapDir read/write discipline. */
 class StreamingCommunitiesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -127,6 +129,48 @@ class StreamingCommunitiesSpec extends SparkSpec {
     StreamingCommunities.refresh(spark, c)
     assert(fs.exists(curP) && fs.exists(oldP))
     assert(labelMap(c) === before) // same edges -> same cold result
+  }
+
+  test("warm start: equal to cold on a converged graph; on an " +
+      "incremental batch stable regions keep their labels (fewer flips " +
+      "than cold) and the drift log reads stability") {
+    val c = cfg(Files.createTempDirectory("scomm_warm").toString)
+    // first refresh has no previous generation: warm degrades to cold
+    StreamingRank.ingestBatch(
+      Seq(Pair(10, 11), Pair(11, 12), Pair(10, 12)).toDF(), 0L, c)
+    StreamingCommunities.refresh(spark, c, warmStart = true)
+    assert(labelMap(c) === batchLpa(c, 4))
+    val gen0 = labelMap(c)
+    assert(gen0.values.toSet === Set(10L)) // triangle -> min-id label
+    // (a) converged previous assignment: warm ≡ cold exactly (4 cold
+    // rounds reach the fixed point on a triangle, so re-running seeded
+    // from it must change nothing)
+    StreamingCommunities.refresh(spark, c, warmStart = true)
+    assert(labelMap(c) === gen0)
+    assert(labelMap(c) === batchLpa(c, 4))
+    // (b) incremental batch: node 1 joins the triangle (K4). COLD would
+    // relabel the whole community to the new min id 1 — three flips
+    // among previously-labelled nodes; WARM keeps the stable region's
+    // literal label and only the new node moves.
+    StreamingRank.ingestBatch(
+      Seq(Pair(1, 10), Pair(1, 11), Pair(1, 12)).toDF(), 1L, c)
+    val cold = batchLpa(c, 4)
+    StreamingCommunities.refresh(spark, c, warmStart = true)
+    val warm = labelMap(c)
+    def flips(next: Map[Long, Long]): Int =
+      gen0.count { case (n, l) => next.get(n).exists(_ != l) }
+    assert(flips(warm) === 0, "stable region must keep its labels")
+    assert(flips(cold) === 3, "cold relabels the whole fused community")
+    assert(flips(warm) < flips(cold))
+    // same partition STRUCTURE either way (one community of four)...
+    assert(warm.values.toSet.size === 1 && cold.values.toSet.size === 1)
+    assert(warm.keySet === cold.keySet)
+    // ...and the drift log shows perfect agreement over shared nodes —
+    // the label-id comparability warm start exists to preserve
+    val last = StreamingCommunities.drift(spark, c).collect()
+      .maxBy(_.getAs[Long]("refresh_seq"))
+    assert(last.getAs[Long]("n_nodes") === 3L)
+    assert(last.getAs[Long]("rand_ppm") === 1000000L)
   }
 
   test("empty store: communities read is empty, refresh is a no-op") {
