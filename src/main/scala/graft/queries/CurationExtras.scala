@@ -973,6 +973,50 @@ object CurationExtras {
         .unionAll(level("L2_seg_region_bal5000",
           Seq(col("seg"), col("reg"), expr("cents div 500000"))))
         .orderBy(col("level"))
+    },
+
+    // l-diversity ladder — the follow-up question k-anonymity (q281)
+    // cannot answer: a class of 1000 rows is k-anonymous yet leaks the
+    // SENSITIVE attribute outright if all 1000 share one value.
+    // mktsegment is the sensitive attribute here, so the
+    // quasi-identifier classes are q281's ladder WITHOUT seg
+    // (nation/region x balance bucket). Per generalization level: the
+    // minimum count of distinct sensitive values over classes, rows in
+    // classes below l=3, risk in exact ppm. Same scale shape as q281 —
+    // one grouped scan per level to a CLASS-scale relation (the distinct
+    // count is the standard two-phase distinct aggregate, partials
+    // map-side), then a tiny summary; integral `div` end-to-end.
+    "q283_l_diversity" -> { (s, dir) =>
+      val l = 3L
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long") + 100000L
+      val cust = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nat"), col("n_regionkey").as("reg"),
+          cents.as("cents"))
+      def level(name: String, keys: Seq[Column]): DataFrame =
+        cust.groupBy(keys: _*)
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(col("seg")).as("n_sensitive"))
+          .agg(lit(name).as("level"),
+            sum(col("class_size")).as("n_rows"),
+            count(lit(1)).as("n_classes"),
+            min(col("n_sensitive")).as("min_diversity"),
+            sum(when(col("n_sensitive") < l, col("class_size"))
+              .otherwise(0L)).as("rows_below_l"))
+          .withColumn("risk_ppm",
+            expr("CAST(rows_below_l * 1000000 AS DECIMAL(38,0)) div n_rows"))
+          .select(col("level"), col("n_rows"), col("n_classes"),
+            col("min_diversity"), col("rows_below_l"), col("risk_ppm"))
+      level("L0_nation_bal100",
+          Seq(col("nat"), expr("cents div 10000")))
+        .unionAll(level("L1_nation_bal1000",
+          Seq(col("nat"), expr("cents div 100000"))))
+        .unionAll(level("L2_region_bal5000",
+          Seq(col("reg"), expr("cents div 500000"))))
+        .orderBy(col("level"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1872,6 +1916,33 @@ object CurationExtras {
          ${level("L1_seg_nation_bal1000", "seg, nat, cents // 100000")}
          UNION ALL
          ${level("L2_seg_region_bal5000", "seg, reg, cents // 500000")}
+         ORDER BY level"""
+    },
+
+    "q283_l_diversity" -> {
+      def level(name: String, keyExpr: String): String =
+        s"""SELECT '$name' AS level,
+             CAST(SUM(class_size) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_classes,
+             CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity,
+             CAST(SUM(CASE WHEN n_sensitive < 3 THEN class_size
+               ELSE 0 END) AS BIGINT) AS rows_below_l,
+             CAST(SUM(CASE WHEN n_sensitive < 3 THEN class_size
+                 ELSE 0 END) * 1000000
+               // SUM(class_size) AS BIGINT) AS risk_ppm
+           FROM (SELECT $keyExpr, COUNT(*) AS class_size,
+               COUNT(DISTINCT seg) AS n_sensitive
+             FROM cust GROUP BY ALL)"""
+      s"""WITH cust AS (SELECT c_mktsegment AS seg,
+           c_nationkey AS nat, n_regionkey AS reg,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             + 100000 AS cents
+         FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         ${level("L0_nation_bal100", "nat, cents // 10000")}
+         UNION ALL
+         ${level("L1_nation_bal1000", "nat, cents // 100000")}
+         UNION ALL
+         ${level("L2_region_bal5000", "reg, cents // 500000")}
          ORDER BY level"""
     })
 }

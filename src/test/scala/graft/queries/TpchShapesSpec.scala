@@ -406,4 +406,39 @@ class TpchShapesSpec extends SparkSpec {
         r.getAs[Long]("rows_below_k") * 1000000L / n)
     }
   }
+
+  test("q283: l-diversity coarsening laws — row conservation, classes " +
+      "shrink, minimum diversity grows, at-risk rows never increase, " +
+      "diversity bounded by the sensitive domain") {
+    val rows = CurationExtras.defs("q283_l_diversity")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[String]("level")).toSeq === Seq(
+      "L0_nation_bal100", "L1_nation_bal1000", "L2_region_bal5000"))
+    val Seq(l0, l1, l2) = rows.toSeq
+    val n = graft.Tables.load(spark, dir, "customer").count()
+    assert(rows.forall(_.getAs[Long]("n_rows") === n))
+    // merging QI classes UNIONS their sensitive-value sets: class count
+    // falls, the minimum distinct-count can only grow, and rows can only
+    // leave the below-l risk set (L1 coarsens L0's bucket 10x on the
+    // same keys; L2 coarsens L1 via nation -> region and a 5x bucket)
+    assert(l0.getAs[Long]("n_classes") >= l1.getAs[Long]("n_classes"))
+    assert(l1.getAs[Long]("n_classes") >= l2.getAs[Long]("n_classes"))
+    assert(l0.getAs[Long]("min_diversity") <=
+      l1.getAs[Long]("min_diversity"))
+    assert(l1.getAs[Long]("min_diversity") <=
+      l2.getAs[Long]("min_diversity"))
+    assert(l0.getAs[Long]("rows_below_l") >=
+      l1.getAs[Long]("rows_below_l"))
+    assert(l1.getAs[Long]("rows_below_l") >=
+      l2.getAs[Long]("rows_below_l"))
+    // diversity can never exceed the sensitive attribute's domain size
+    val nSeg = graft.Tables.load(spark, dir, "customer")
+      .select("c_mktsegment").distinct().count()
+    rows.foreach { r =>
+      val d = r.getAs[Long]("min_diversity")
+      assert(d >= 1L && d <= nSeg)
+      assert(r.getAs[Long]("risk_ppm") ===
+        r.getAs[Long]("rows_below_l") * 1000000L / n)
+    }
+  }
 }
