@@ -582,6 +582,36 @@ object DsShapes {
             .as("next_rev_e4"),
           col("rk"))
         .orderBy(col("rk"))
+    },
+
+    // Frequent-buyer band counts (TPC-DS Q34/Q73 shape): how many
+    // customers of each demographic place 1-5 / 6-10 / 11-20 / 21+
+    // orders — the purchase-frequency histogram those queries band
+    // between bounds. ONE grouped scan builds the orders-per-customer
+    // relation (key-scale shuffle, map-side combine); banding is a
+    // BOUNDED band join — a 4-row literal bands relation broadcast
+    // against the per-customer counts (≤4 range comparisons per row,
+    // never a row×row blow-up); the demographic arrives through one
+    // key-equi customer join. Counts only, so the oracle is exact with
+    // no fixed-point lifting.
+    "q284_frequent_buyer_bands" -> { (s, dir) =>
+      import s.implicits._
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val bands = Seq(("B1_1_5", 1L, 5L), ("B2_6_10", 6L, 10L),
+        ("B3_11_20", 11L, 20L), ("B4_21_plus", 21L, 1000000000L))
+        .toDF("band", "lo", "hi")
+      perCust
+        .join(broadcast(bands),
+          col("n_orders") >= col("lo") && col("n_orders") <= col("hi"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("band"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("n_orders")).as("total_orders"))
+        .orderBy(col("segment"), col("band"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -904,5 +934,19 @@ object DsShapes {
            CAST(COALESCE(prev_e4, -1) AS BIGINT) AS prev_rev_e4,
            CAST(COALESCE(next_e4, -1) AS BIGINT) AS next_rev_e4,
            CAST(rk AS INT) AS rk
-         FROM rk WHERE rk <= 25 ORDER BY rk""")
+         FROM rk WHERE rk <= 25 ORDER BY rk""",
+
+    "q284_frequent_buyer_bands" ->
+      """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1),
+         bands(band, lo, hi) AS (VALUES
+           ('B1_1_5', 1, 5), ('B2_6_10', 6, 10),
+           ('B3_11_20', 11, 20), ('B4_21_plus', 21, 1000000000))
+         SELECT c_mktsegment AS segment, band,
+           COUNT(*) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders
+         FROM pc
+         JOIN bands ON n_orders BETWEEN lo AND hi
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -328,4 +328,35 @@ class DsShapesSpec extends SparkSpec {
     val devs = out.map(_.getAs[Long]("dev_ppm")).toSeq
     assert(devs === devs.sorted.reverse)
   }
+
+  test("q284: the bands PARTITION the purchasers — customer and order " +
+      "totals conserve, every band row respects its own bounds") {
+    val out = DsShapes.defs2("q284_frequent_buyer_bands")(spark, dir)
+      .collect()
+    val orders = graft.Tables.load(spark, dir, "orders")
+    // every purchaser lands in exactly one band: the histogram's
+    // customer counts sum to the distinct purchaser count, its order
+    // totals to the full order count
+    assert(out.map(_.getAs[Long]("n_customers")).sum ===
+      orders.select("o_custkey").distinct().count())
+    assert(out.map(_.getAs[Long]("total_orders")).sum === orders.count())
+    val bounds = Map("B1_1_5" -> (1L, 5L), "B2_6_10" -> (6L, 10L),
+      "B3_11_20" -> (11L, 20L), "B4_21_plus" -> (21L, Long.MaxValue))
+    out.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[String]("band"))
+      val nc = r.getAs[Long]("n_customers")
+      val tot = r.getAs[Long]("total_orders")
+      assert(nc > 0L)
+      // total orders of a band row must fit inside nc x [lo, hi]
+      assert(tot >= nc * lo)
+      assert(hi == Long.MaxValue || tot <= nc * hi)
+    }
+    // the demographic axis is complete: every mktsegment with at least
+    // one purchaser appears
+    val segs = graft.Tables.load(spark, dir, "customer")
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_mktsegment").distinct().count()
+    assert(out.map(_.getAs[String]("segment")).distinct.length.toLong
+      === segs)
+  }
 }
