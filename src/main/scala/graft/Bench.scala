@@ -295,6 +295,19 @@ object Bench {
       java.nio.file.Files.write(outPath,
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"""{"metric":"artifact","path":${jstr(outPath.toString)}}""")
+      // Run-over-run TREND: the rotation keeps exactly one previous
+      // artifact, so the performance story beyond two runs was lost.
+      // One summary line per run appended to history.jsonl (the
+      // engine's status-report discipline applied to its own perf);
+      // the listener serves it under /api/bench/history.
+      val histPath = outPath.resolveSibling("history.jsonl")
+      val histLine = tools.BenchStats.historyLine(
+        System.currentTimeMillis(), sfDir, results.size, errs.size,
+        total, wallSec, reps, contended, remeasured.size, suspect.size)
+      java.nio.file.Files.write(histPath,
+        (histLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch {
       // the artifact is an audit aid; a read-only working dir or a
       // malformed SPARK_GRAFT_BENCH_OUT must not fail the bench itself

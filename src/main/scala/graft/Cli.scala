@@ -235,13 +235,15 @@ object Cli {
           //        [--quality-rules <JSONL rules with warn_if/error_if>]
           //        [--rank-dir <StreamingRank store>]
           //        [--events-dir <table dir with events.parquet>]
+          //        [--bench-history <bench/history.jsonl>]
           val srv = graft.orchestrate.Listener.start(spark, opts("meta"),
             port = opts.get("port").map(_.toInt).getOrElse(0),
             token = opts.get("token"),
             qualityDir = opts.get("quality-dir"),
             qualityRules = opts.get("quality-rules"),
             rankDir = opts.get("rank-dir"),
-            eventsDir = opts.get("events-dir"))
+            eventsDir = opts.get("events-dir"),
+            benchHistory = opts.get("bench-history"))
           println(s"listening on http://127.0.0.1:${srv.port}")
           // foreground server: block until interrupted
           Thread.currentThread().join()

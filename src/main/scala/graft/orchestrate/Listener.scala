@@ -197,7 +197,10 @@ object Listener {
             rankDir: Option[String] = None,
             // a table dir with events.parquet to serve the
             // sessionization gap sweep under /api/sessions
-            eventsDir: Option[String] = None): Server = {
+            eventsDir: Option[String] = None,
+            // the bench trend file (bench/history.jsonl — one summary
+            // line per run) to serve under /api/bench/history
+            benchHistory: Option[String] = None): Server = {
     val gradedBudgets: Option[Seq[graft.verify.Expectations.Graded]] =
       qualityRules.map(p =>
         graft.verify.Expectations.parseGradedRules(spark, p))
@@ -448,6 +451,27 @@ object Listener {
                 s""""n_comm_next": ${r.getLong(3)}, """ +
                 s""""rand_ppm": ${r.getAs[Long]("rand_ppm")}}""")
             respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
+      },
+
+      route("GET", "/api/bench/history",
+        "run-over-run bench trend (last 100 runs)") { (ex, _) =>
+        benchHistory match {
+          case None =>
+            respond(ex, 404, """{"detail": "no bench history configured"}""")
+          case Some(path) =>
+            val p = java.nio.file.Paths.get(path)
+            if (!java.nio.file.Files.exists(p))
+              respond(ex, 200, "[]")
+            else {
+              // each line is already a JSON object (Bench appends via
+              // BenchStats.historyLine); serve the trailing window so a
+              // long-lived history never grows the response unboundedly
+              import scala.jdk.CollectionConverters._
+              val lines = java.nio.file.Files.readAllLines(p).asScala
+                .filter(_.trim.nonEmpty).takeRight(100)
+              respond(ex, 200, lines.mkString("[", ", ", "]"))
+            }
         }
       },
 

@@ -72,6 +72,27 @@ object BenchStats {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap)
   }
 
+  /** One bench-history record as a JSON line — the run-over-run trend
+    * `bench/history.jsonl` accumulates (the last_run rotation keeps only
+    * ONE previous artifact; the history keeps the story). Pure
+    * rendering so the format is pinned without running a bench. */
+  def historyLine(tsMillis: Long, sf: String, nQueries: Int, failed: Int,
+      totalSec: Double, wallSec: Double, reps: Int, contended: Boolean,
+      nRemeasured: Int, nSuspect: Int): String = {
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val sfq = "\"" + sf.flatMap {
+      case '\\' => "\\\\"; case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+    s"""{"ts_ms":$tsMillis,"sf":$sfq,"n_queries":$nQueries,""" +
+      s""""failed":$failed,"total_sec":${ms(totalSec)},""" +
+      s""""wall_sec":${ms(wallSec)},"reps":$reps,""" +
+      s""""contended":$contended,"n_remeasured":$nRemeasured,""" +
+      s""""n_suspect":$nSuspect}"""
+  }
+
   /** The UNIFORM-load defence (round-13 blind spot): a machine-level
     * load that slows all reps EQUALLY leaves spread ≈ 1 (the escalation
     * never fires) and, below loadavg saturation, `looksContended` false —

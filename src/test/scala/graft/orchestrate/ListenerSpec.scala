@@ -552,4 +552,45 @@ class ListenerSpec extends SparkSpec {
     assert(!Listener.isRepoBusy(new RuntimeException("plain")))
     assert(!Listener.isRepoBusy(new java.sql.SQLException("no state")))
   }
+
+  test("bench history route serves the trend file's trailing window; " +
+      "[] for a missing file, 404 unconfigured") {
+    val base = Files.createTempDirectory("graft_listener_bh").toString
+    val hist = java.nio.file.Paths.get(base, "history.jsonl")
+    // 102 runs: the route must serve only the trailing 100
+    val lines = (1 to 102).map(i =>
+      graft.tools.BenchStats.historyLine(1000L * i, "/d/sf0.1",
+        nQueries = 280 + i, failed = 0, totalSec = 190.0 + i,
+        wallSec = 900.0, reps = 3, contended = i % 2 == 0,
+        nRemeasured = 1, nSuspect = 0))
+    Files.write(hist, String.join("\n",
+      lines: _*).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val srv = Listener.start(spark, s"$base/meta",
+      benchHistory = Some(hist.toString))
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val r = get(s"$root/api/bench/history/")
+      assert(r.statusCode() == 200)
+      assert(r.body().startsWith("[") && r.body().endsWith("]"))
+      // trailing window: the 2 oldest runs fall out, the newest is there
+      assert(!r.body().contains("\"n_queries\":281"))
+      assert(!r.body().contains("\"n_queries\":282"))
+      assert(r.body().contains("\"n_queries\":283"))
+      assert(r.body().contains("\"n_queries\":382"))
+      assert(r.body().contains("\"total_sec\":292.000"))
+      assert(r.body().contains("\"contended\":true"))
+      // configured but not yet written: an empty trend, not an error
+      val ghost = Listener.start(spark, s"$base/meta",
+        benchHistory = Some(s"$base/nothing.jsonl"))
+      try assert(get(s"http://127.0.0.1:${ghost.port}/api/bench/history/")
+        .body() === "[]")
+      finally ghost.stop()
+    } finally srv.stop()
+
+    val bare = Listener.start(spark, s"$base/meta")
+    try assert(get(s"http://127.0.0.1:${bare.port}/api/bench/history/")
+      .statusCode() == 404)
+    finally bare.stop()
+  }
 }

@@ -91,6 +91,22 @@ class BenchStatsSpec extends AnyFunSuite {
       prevContended = false))
   }
 
+  test("historyLine renders one self-contained JSON trend record") {
+    val line = BenchStats.historyLine(1723700000000L, "/root/testdata/sf0.1",
+      nQueries = 284, failed = 0, totalSec = 193.256, wallSec = 1016.4,
+      reps = 3, contended = false, nRemeasured = 9, nSuspect = 1)
+    assert(line ===
+      """{"ts_ms":1723700000000,"sf":"/root/testdata/sf0.1",""" +
+      """"n_queries":284,"failed":0,"total_sec":193.256,""" +
+      """"wall_sec":1016.400,"reps":3,"contended":false,""" +
+      """"n_remeasured":9,"n_suspect":1}""")
+    // quotes/control chars in the sf path must not break the JSON:
+    // the quote escapes, the tab renders as
+    assert(BenchStats.historyLine(1L, "a\"b\tc", 1, 0, 0.0, 0.0, 1,
+      contended = true, 0, 0)
+      .contains("\"sf\":\"a\\\"b\\u0009c\""))
+  }
+
   test("parseArtifact recovers per-query medians and the contended " +
       "label from the engine's own artifact format") {
     val art =
