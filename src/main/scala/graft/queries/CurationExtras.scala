@@ -1017,6 +1017,72 @@ object CurationExtras {
         .unionAll(level("L2_region_bal5000",
           Seq(col("reg"), expr("cents div 500000"))))
         .orderBy(col("level"))
+    },
+
+    // t-closeness ladder — the third rung of the privacy ladder
+    // (q281 k-anonymity: classes big enough; q283 l-diversity: enough
+    // DISTINCT sensitive values; this: the class's sensitive
+    // DISTRIBUTION must stay close to the global one — a class can hold
+    // all 5 segments yet be 99% one of them). Distance is exact
+    // total-variation in ppm (the categorical EMD), the q258 fixed-point
+    // discipline: Σ|n_cv·N − n_v·N_c| over observed (class, segment)
+    // pairs plus (N − covered)·N_c for segments ABSENT from the class —
+    // never materialising the absent pairs — all in DECIMAL(38,0),
+    // `div` end-to-end. Per level: classes, worst class distance, rows
+    // in classes farther than t=0.3, risk ppm. Scale shape: one grouped
+    // scan per level to the (class × segment) relation (bounded by
+    // classes × 5), a 5-row global join, a 1-row broadcast total.
+    "q285_t_closeness" -> { (s, dir) =>
+      val tPpm = 300000L
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long") + 100000L
+      val cust = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nat"), col("n_regionkey").as("reg"),
+          cents.as("cents"))
+      val glob = cust.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_v"))
+      val tot = glob.agg(sum(col("n_v")).as("n"))
+      def level(name: String, keys: Seq[Column]): DataFrame = {
+        val ks = keys.indices.map(i => col(s"k$i"))
+        val cs = cust
+          .select(keys.zipWithIndex.map { case (c, i) => c.as(s"k$i") }
+            :+ col("seg"): _*)
+          .groupBy(ks :+ col("seg"): _*)
+          .agg(count(lit(1)).as("n_cv"))
+        val cn = cs.groupBy(ks: _*).agg(sum(col("n_cv")).as("n_c"))
+        cs.join(broadcast(glob), "seg")
+          .join(cn, keys.indices.map(i => s"k$i"))
+          .crossJoin(broadcast(tot))
+          .groupBy(ks: _*)
+          .agg(
+            sum(abs(col("n_cv").cast("decimal(38,0)") * col("n") -
+              col("n_v").cast("decimal(38,0)") * col("n_c"))).as("s1"),
+            sum(col("n_v")).as("covered"),
+            first(col("n_c")).as("n_c"), first(col("n")).as("n"))
+          .withColumn("t_ppm",
+            expr("""CAST((s1 + (n - covered) * CAST(n_c AS DECIMAL(38,0)))
+                      * 1000000
+                      div (2 * CAST(n_c AS DECIMAL(38,0)) * n)
+                    AS BIGINT)"""))
+          .agg(lit(name).as("level"),
+            count(lit(1)).as("n_classes"),
+            max(col("t_ppm")).as("max_t_ppm"),
+            sum(when(col("t_ppm") > tPpm, col("n_c")).otherwise(0L))
+              .as("rows_above_t"),
+            expr(s"""CAST(SUM(CASE WHEN t_ppm > $tPpm THEN n_c
+                       ELSE 0 END) * 1000000 AS DECIMAL(38,0))
+                     div SUM(n_c)""").as("risk_ppm"))
+      }
+      level("L0_nation_bal100",
+          Seq(col("nat"), expr("cents div 10000")))
+        .unionAll(level("L1_nation_bal1000",
+          Seq(col("nat"), expr("cents div 100000"))))
+        .unionAll(level("L2_region_bal5000",
+          Seq(col("reg"), expr("cents div 500000"))))
+        .orderBy(col("level"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -1943,6 +2009,47 @@ object CurationExtras {
          ${level("L1_nation_bal1000", "nat, cents // 100000")}
          UNION ALL
          ${level("L2_region_bal5000", "reg, cents // 500000")}
+         ORDER BY level"""
+    },
+
+    "q285_t_closeness" -> {
+      def level(name: String, k1: String, k2: String): String =
+        s"""SELECT '$name' AS level,
+             COUNT(*) AS n_classes,
+             CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm,
+             CAST(SUM(CASE WHEN t_ppm > 300000 THEN n_c ELSE 0 END)
+               AS BIGINT) AS rows_above_t,
+             CAST(SUM(CASE WHEN t_ppm > 300000 THEN n_c ELSE 0 END)
+               * 1000000 // SUM(n_c) AS BIGINT) AS risk_ppm
+           FROM (SELECT k1, k2,
+               CAST((s1 + (n - covered) * CAST(n_c AS HUGEINT)) * 1000000
+                 // (2 * CAST(n_c AS HUGEINT) * n) AS BIGINT) AS t_ppm,
+               n_c
+             FROM (SELECT cs.k1, cs.k2,
+                 SUM(ABS(CAST(n_cv AS HUGEINT) * n
+                   - CAST(n_v AS HUGEINT) * n_c)) AS s1,
+                 SUM(n_v) AS covered,
+                 ANY_VALUE(n_c) AS n_c, ANY_VALUE(n) AS n
+               FROM (SELECT $k1 AS k1, $k2 AS k2, seg,
+                   COUNT(*) AS n_cv FROM cust GROUP BY 1, 2, 3) cs
+               JOIN (SELECT k1, k2, SUM(n_cv) AS n_c
+                 FROM (SELECT $k1 AS k1, $k2 AS k2, seg,
+                     COUNT(*) AS n_cv FROM cust GROUP BY 1, 2, 3)
+                 GROUP BY 1, 2) cn ON cs.k1 = cn.k1 AND cs.k2 = cn.k2
+               JOIN gseg USING (seg) CROSS JOIN tot
+               GROUP BY 1, 2))"""
+      s"""WITH cust AS (SELECT c_mktsegment AS seg,
+           c_nationkey AS nat, n_regionkey AS reg,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             + 100000 AS cents
+         FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         gseg AS (SELECT seg, COUNT(*) AS n_v FROM cust GROUP BY 1),
+         tot AS (SELECT SUM(n_v) AS n FROM gseg)
+         ${level("L0_nation_bal100", "nat", "cents // 10000")}
+         UNION ALL
+         ${level("L1_nation_bal1000", "nat", "cents // 100000")}
+         UNION ALL
+         ${level("L2_region_bal5000", "reg", "cents // 500000")}
          ORDER BY level"""
     })
 }

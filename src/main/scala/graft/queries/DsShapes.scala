@@ -612,6 +612,49 @@ object DsShapes {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("n_orders")).as("total_orders"))
         .orderBy(col("segment"), col("band"))
+    },
+
+    // Web-vs-store cumulative crossover (TPC-DS Q51 shape): per brand,
+    // the first 1997 month where the WEB channel's cumulative revenue
+    // overtakes the STORE channel's. The DS signature moves intact: two
+    // windowed cumulative series, FULL OUTER joined on (brand, month) —
+    // a month may exist in only one channel — then gap-filled with a
+    // running MAX (cumulatives are nondecreasing, so max-fill is
+    // last-known-value) before the comparison. All windows partition by
+    // brand over the MONTH-grain aggregate (≤12 rows per series), never
+    // line rows; revenue stays exact e4 fixed-point. First crossing via
+    // one struct-min aggregate, no second ranking pass.
+    "q286_web_store_crossover" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          channelCol(col("l_orderkey")).as("channel"),
+          month(col("l_shipdate")).as("mo"), revE4.as("rev"))
+        .filter(col("channel").isin("web", "store"))
+        .groupBy(col("p_brand"), col("channel"), col("mo"))
+        .agg(sum(col("rev")).as("m_e4"))
+      val cumeW = Window.partitionBy(col("p_brand")).orderBy(col("mo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def series(ch: String, out: String): DataFrame =
+        m.filter(col("channel") === ch)
+          .withColumn(out, sum(col("m_e4")).over(cumeW))
+          .select(col("p_brand"), col("mo"), col(out))
+      series("web", "w_raw")
+        .join(series("store", "s_raw"), Seq("p_brand", "mo"),
+          "full_outer")
+        .withColumn("web_cume", max(col("w_raw")).over(cumeW))
+        .withColumn("store_cume", max(col("s_raw")).over(cumeW))
+        .filter(col("web_cume") > col("store_cume"))
+        .groupBy(col("p_brand"))
+        .agg(min(struct(col("mo"), col("web_cume"),
+          col("store_cume"))).as("f"))
+        .select(col("p_brand"),
+          col("f.mo").as("crossover_month"),
+          col("f.web_cume").cast("long").as("web_cume_e4"),
+          col("f.store_cume").cast("long").as("store_cume_e4"))
+        .orderBy(col("p_brand"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -948,5 +991,37 @@ object DsShapes {
          FROM pc
          JOIN bands ON n_orders BETWEEN lo AND hi
          JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q286_web_store_crossover" ->
+      s"""WITH m AS (SELECT p_brand,
+           ${channelSql("l_orderkey")} AS channel,
+           month(l_shipdate) AS mo, SUM($RevE4Sql) AS m_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) = 1997
+           AND ${channelSql("l_orderkey")} IN ('web', 'store')
+         GROUP BY 1, 2, 3),
+         w AS (SELECT p_brand, mo, SUM(m_e4) OVER (PARTITION BY p_brand
+             ORDER BY mo) AS w_raw
+           FROM m WHERE channel = 'web'),
+         st AS (SELECT p_brand, mo, SUM(m_e4) OVER (PARTITION BY p_brand
+             ORDER BY mo) AS s_raw
+           FROM m WHERE channel = 'store'),
+         f AS (SELECT COALESCE(w.p_brand, st.p_brand) AS p_brand,
+             COALESCE(w.mo, st.mo) AS mo, w_raw, s_raw
+           FROM w FULL OUTER JOIN st
+             ON w.p_brand = st.p_brand AND w.mo = st.mo),
+         fl AS (SELECT p_brand, mo,
+             MAX(w_raw) OVER (PARTITION BY p_brand ORDER BY mo)
+               AS web_cume,
+             MAX(s_raw) OVER (PARTITION BY p_brand ORDER BY mo)
+               AS store_cume
+           FROM f),
+         x AS (SELECT p_brand, mo, web_cume, store_cume,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY mo) AS rn
+           FROM fl WHERE web_cume > store_cume)
+         SELECT p_brand, mo AS crossover_month,
+           CAST(web_cume AS BIGINT) AS web_cume_e4,
+           CAST(store_cume AS BIGINT) AS store_cume_e4
+         FROM x WHERE rn = 1 ORDER BY p_brand""")
 }

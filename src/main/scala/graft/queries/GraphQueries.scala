@@ -108,6 +108,15 @@ object GraphQueries {
       Graph.labelPropagationWithDiag(pairsCache.get(s, dir), LpaRounds),
       (a: (DataFrame, Graph.LpaDiag)) => Graph.release(a._1))
 
+  /** The WEIGHTED LPA label artifact — the weighted twin of
+    * [[labelsCache]]: the 4-round weighted assignment computed once per
+    * (data dir, session) over the shared weighted pairs. q273
+    * summarises it, q287 scores its weighted modularity; neither
+    * re-runs the rounds. */
+  private val wLabelsCache = new DirCache[String, DataFrame]((s, dir) =>
+    Graph.weightedLabelPropagation(wpairsCache.get(s, dir), LpaRounds),
+    Graph.release)
+
   /** YEAR-scoped LPA label artifacts for the drift family, keyed
     * (dir, year): both 1996/1997 subgraph labellings are deterministic
     * per data dir, and q282's two cold LPA runs made it the suite's most
@@ -315,8 +324,7 @@ object GraphQueries {
     // q268's unweighted communities, mirroring q272's upgrade to
     // q251's rank.
     "q273_weighted_communities" -> { (s, dir) =>
-      Graph.weightedLabelPropagation(wpairsCache.get(s, dir),
-        rounds = LpaRounds)
+      wLabelsCache.get(s, dir)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"),
           min(col("node")).as("min_member"),
@@ -418,6 +426,54 @@ object GraphQueries {
       Seq((d.nNodes, d.nStable, d.nOscillating,
         if (d.converged) 1L else 0L))
         .toDF("n_nodes", "n_stable", "n_oscillating", "converged")
+    },
+
+    // WEIGHTED modularity of the weighted partition — q275's twin on
+    // the weighted axis, closing the weighted loop the same way (q273
+    // finds the partition, this scores it): per-community contribution
+    // w_intra/W − (S_c/2W)² in exact e6 fixed point, where W is total
+    // edge weight and S_c the community's strength sum. Both queries
+    // read the SAME stored weighted-label artifact — the rounds run
+    // once per data dir. Arithmetic mirrors q275: each `div` term is
+    // separately non-negative, so truncation-vs-floor never diverges
+    // between engines even though the contribution itself can be
+    // negative.
+    "q287_weighted_modularity" -> { (s, dir) =>
+      val pairs = wpairsCache.get(s, dir)
+      val labels = wLabelsCache.get(s, dir)
+      val wTot = pairs.agg(sum(col("w")).as("m"))
+      val strength = pairs.select(col("a").as("node"), col("w"))
+        .unionByName(pairs.select(col("b").as("node"), col("w")))
+        .groupBy(col("node")).agg(sum(col("w")).as("deg"))
+      val byC = strength.join(labels, "node")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("deg")).as("strength_sum"))
+      val intra = pairs
+        .join(labels.select(col("node").as("a"),
+          col("label").as("label_a")), Seq("a"))
+        .join(labels.select(col("node").as("b"),
+          col("label").as("label_b")), Seq("b"))
+        .filter(col("label_a") === col("label_b"))
+        .groupBy(col("label_a").as("label"))
+        .agg(sum(col("w")).as("intra_w"))
+      byC
+        .join(intra, Seq("label"), "left_outer")
+        .na.fill(0L, Seq("intra_w"))
+        .crossJoin(broadcast(wTot))
+        .withColumn("contrib_e6",
+          expr("""CAST(intra_w AS DECIMAL(38,0)) * 1000000
+                    div CAST(m AS DECIMAL(38,0))
+                  - CAST(strength_sum AS DECIMAL(38,0))
+                    * CAST(strength_sum AS DECIMAL(38,0)) * 1000000
+                    div (CAST(4 AS DECIMAL(38,0))
+                      * CAST(m AS DECIMAL(38,0))
+                      * CAST(m AS DECIMAL(38,0)))"""))
+        .select(col("label").as("community"), col("n_parts"),
+          col("strength_sum"), col("intra_w"),
+          col("contrib_e6").cast("long").as("contrib_e6"))
+        .orderBy(col("contrib_e6").desc, col("community"))
+        .limit(20)
     },
 
     // Year-over-year community drift: LPA communities of the 1996 and
@@ -762,6 +818,40 @@ object GraphQueries {
            MIN(node) AS min_member, MAX(node) AS max_member
          FROM l4 GROUP BY label HAVING COUNT(*) >= 3
          ORDER BY n_members DESC, community LIMIT 30""",
+
+    "q287_weighted_modularity" ->
+      s"""WITH $WPairsCtes,
+         wsym AS (SELECT a AS src, b AS dst, w FROM wpairs
+           UNION ALL SELECT b, a, w FROM wpairs),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+           src AS label FROM wsym),
+         ${wLpaStepSql("l0", "l1")},
+         ${wLpaStepSql("l1", "l2")},
+         ${wLpaStepSql("l2", "l3")},
+         ${wLpaStepSql("l3", "l4")},
+         wtot AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM wpairs),
+         st AS (SELECT node, CAST(SUM(w) AS BIGINT) AS deg FROM (
+             SELECT a AS node, w FROM wpairs
+             UNION ALL SELECT b, w FROM wpairs) GROUP BY 1),
+         dc AS (SELECT l.label, COUNT(*) AS n_parts,
+             CAST(SUM(st.deg) AS BIGINT) AS strength_sum
+           FROM st JOIN l4 l ON st.node = l.node GROUP BY 1),
+         intra AS (SELECT la.label,
+             CAST(SUM(wpairs.w) AS BIGINT) AS intra_w
+           FROM wpairs
+           JOIN l4 la ON wpairs.a = la.node
+           JOIN l4 lb ON wpairs.b = lb.node
+           WHERE la.label = lb.label GROUP BY 1)
+         SELECT dc.label AS community, dc.n_parts, dc.strength_sum,
+           COALESCE(intra.intra_w, 0) AS intra_w,
+           CAST(CAST(COALESCE(intra.intra_w, 0) AS HUGEINT)
+               * 1000000 // CAST(wtot.m AS HUGEINT)
+             - CAST(dc.strength_sum AS HUGEINT)
+               * CAST(dc.strength_sum AS HUGEINT) * 1000000
+               // (4 * CAST(wtot.m AS HUGEINT) * CAST(wtot.m AS HUGEINT))
+             AS BIGINT) AS contrib_e6
+         FROM dc LEFT JOIN intra USING (label) CROSS JOIN wtot
+         ORDER BY contrib_e6 DESC, community LIMIT 20""",
 
     "q271_dedup_communities" ->
       s"""WITH ${PipelineQueries.shingleCte},

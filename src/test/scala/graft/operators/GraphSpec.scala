@@ -480,6 +480,46 @@ class GraphSpec extends SparkSpec {
     assert(cs.sameElements(cs.sortBy(-(_: Long))))
   }
 
+  test("q287: weighted modularity equals a BigInt brute-force recompute " +
+      "over the weighted pairs and the stored weighted labels") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q287_weighted_modularity")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // independent replay: weighted pairs + a fresh weighted LPA run
+    // (deterministic, so it equals the stored artifact)
+    val wp = Graph.weightedCanonicalPairs(
+        graft.Tables.load(spark, dir, "lineitem"),
+        "l_orderkey", "l_partkey")
+    val pairs = wp.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labels =
+      try Graph.weightedLabelPropagation(wp, 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally Graph.release(wp)
+    val bigW = BigInt(pairs.map(_._3).sum)
+    val strength = pairs.flatMap { case (a, b, w) =>
+      Seq(a -> w, b -> w) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+    val byC = strength.groupBy { case (n, _) => labels(n) }
+    val intraW = pairs
+      .filter { case (a, b, _) => labels(a) == labels(b) }
+      .groupBy { case (a, _, _) => labels(a) }
+      .map { case (l, xs) => l -> xs.map(_._3).sum }
+    val expect = byC.map { case (l, members) =>
+      val sSum = BigInt(members.values.sum)
+      val iw = BigInt(intraW.getOrElse(l, 0L))
+      val contrib = iw * 1000000 / bigW -
+        sSum * sSum * 1000000 / (4 * bigW * bigW)
+      (l, members.size.toLong, members.values.sum, intraW.getOrElse(l, 0L),
+        contrib.toLong)
+    }.toSeq.sortBy { case (l, _, _, _, c) => (-c, l) }.take(20)
+    val got = out.map(r => (r.getAs[Long]("community"),
+      r.getAs[Long]("n_parts"), r.getAs[Long]("strength_sum"),
+      r.getAs[Long]("intra_w"), r.getAs[Long]("contrib_e6"))).toSeq
+    assert(got === expect)
+  }
+
   test("q268 output: community sizes descending, members >= 3, span " +
       "consistent") {
     val out = graft.queries.GraphQueries

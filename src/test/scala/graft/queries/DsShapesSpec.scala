@@ -359,4 +359,55 @@ class DsShapesSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("segment")).distinct.length.toLong
       === segs)
   }
+
+  test("q286: crossover equals a brute-force cumulative replay — first " +
+      "month web's filled cumulative exceeds store's, never earlier") {
+    val out = DsShapes.defs2("q286_web_store_crossover")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Int]("crossover_month"), r.getAs[Long]("web_cume_e4"),
+          r.getAs[Long]("store_cume_e4"))).toMap
+    // independent month-grain aggregation, then a driver-side replay
+    // (sf0.001: a handful of brand-month cells)
+    val m = graft.Tables.load(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(graft.Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        pmod(col("l_orderkey"), lit(3)).cast("long").as("chm"),
+        month(col("l_shipdate")).as("mo"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") -
+            col("l_discount").cast("decimal(12,2)")) *
+          lit(10000)).cast("decimal(38,0)").as("rev"))
+      .filter(col("chm") === 0L || col("chm") === 1L) // store=0, web=1
+      .groupBy(col("p_brand"), col("chm"), col("mo"))
+      .agg(sum(col("rev")).cast("long").as("m_e4"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    val expected = m.groupBy(_._1).flatMap { case (brand, cells) =>
+      val web = cells.filter(_._2 == 1L).map(c => c._3 -> c._4)
+        .sortBy(_._1)
+      val store = cells.filter(_._2 == 0L).map(c => c._3 -> c._4)
+        .sortBy(_._1)
+      def cume(xs: Seq[(Int, Long)]): Map[Int, Long] =
+        xs.scanLeft((0, 0L)) { case ((_, acc), (mo, v)) =>
+          (mo, acc + v) }.tail.toMap
+      val (wc, sc) = (cume(web), cume(store))
+      val months = (wc.keySet ++ sc.keySet).toSeq.sorted
+      def filled(c: Map[Int, Long]): Map[Int, Option[Long]] = {
+        var last: Option[Long] = None
+        months.map { mo =>
+          last = c.get(mo).orElse(last); mo -> last }.toMap
+      }
+      val (wf, sf2) = (filled(wc), filled(sc))
+      months.collectFirst {
+        case mo if (for { w <- wf(mo); s <- sf2(mo) } yield w > s)
+            .getOrElse(false) =>
+          brand -> (mo, wf(mo).get, sf2(mo).get)
+      }
+    }
+    assert(out === expected)
+  }
 }

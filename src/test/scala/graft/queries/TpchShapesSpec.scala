@@ -441,4 +441,68 @@ class TpchShapesSpec extends SparkSpec {
         r.getAs[Long]("rows_below_l") * 1000000L / n)
     }
   }
+
+  test("q285: t-closeness equals a brute-force TVD recompute per class; " +
+      "worst-class distance never grows under coarsening") {
+    val rows = CurationExtras.defs("q285_t_closeness")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[String]("level")).toSeq === Seq(
+      "L0_nation_bal100", "L1_nation_bal1000", "L2_region_bal5000"))
+    // the QI ladders are exactly q283's: class counts must agree
+    val ldiv = CurationExtras.defs("q283_l_diversity")(spark, dir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_classes")).toSeq ===
+      ldiv.map(_.getAs[Long]("n_classes")).toSeq)
+    // brute-force recompute from the raw rows (sf0.001: 150 customers)
+    val cust = graft.Tables.load(spark, dir, "customer")
+      .join(graft.Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long"),
+        col("n_regionkey").cast("long"),
+        ((col("c_acctbal").cast("decimal(12,2)") * 100).cast("long") +
+          100000L).as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val nAll = cust.length.toLong
+    val globalSeg = cust.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.length.toLong }
+    def brute(key: ((String, Long, Long, Long)) => (Long, Long))
+        : (Long, Long, Long) = {
+      val classes = cust.groupBy(key)
+      // .values: mapping a Map would key by t_ppm and collapse classes
+      // with identical distance
+      val tppm = classes.values.map { xs =>
+        val nC = xs.length.toLong
+        val inClass = xs.groupBy(_._1).map { case (s, ys) =>
+          s -> ys.length.toLong }
+        // sum over the FULL segment domain (absent segs contribute n_v·n_c)
+        val s1 = globalSeg.map { case (s, nV) =>
+          math.abs(inClass.getOrElse(s, 0L) * nAll - nV * nC) }.sum
+        (BigInt(s1) * 1000000 / (BigInt(2) * nC * nAll)).toLong -> nC
+      }
+      val above = tppm.collect { case (t, nC) if t > 300000L => nC }.sum
+      (tppm.map(_._1).max, above, above * 1000000L / nAll)
+    }
+    val expect = Seq(
+      brute(c => (c._2, c._4 / 10000)),
+      brute(c => (c._2, c._4 / 100000)),
+      brute(c => (c._3, c._4 / 500000)))
+    rows.zip(expect).foreach { case (r, (maxT, above, risk)) =>
+      assert(r.getAs[Long]("max_t_ppm") === maxT)
+      assert(r.getAs[Long]("rows_above_t") === above)
+      assert(r.getAs[Long]("risk_ppm") === risk)
+    }
+    // coarsening merges classes EXACTLY (same keys, multiple buckets;
+    // nation -> region functional): a merged class's distribution is a
+    // mixture of its parts, and TVD is convex — the worst class can
+    // only improve or hold
+    val Seq(l0, l1, l2) = rows.toSeq
+    assert(l0.getAs[Long]("max_t_ppm") >= l1.getAs[Long]("max_t_ppm"))
+    assert(l1.getAs[Long]("max_t_ppm") >= l2.getAs[Long]("max_t_ppm"))
+    rows.foreach { r =>
+      val t = r.getAs[Long]("max_t_ppm")
+      assert(t >= 0L && t <= 1000000L)
+    }
+  }
 }
