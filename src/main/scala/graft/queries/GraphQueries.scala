@@ -428,6 +428,42 @@ object GraphQueries {
         .toDF("n_nodes", "n_stable", "n_oscillating", "converged")
     },
 
+    // Neighborhood-similarity ranking (the link-prediction primitive):
+    // top part pairs by common-neighbor JACCARD over the co-purchase
+    // graph — "which two parts share the most co-purchase context",
+    // whether or not they were ever bought together themselves. Common
+    // neighbors come from the WEDGE join (two edges sharing their
+    // source), the same Σdeg² shape as the q141 triangle count — the
+    // standard scale discipline applies (hub degrees drive the wedge
+    // count; a degree cap or sampling bounds it at 100 TB, documented
+    // in SCALE.md). Jaccard = common / (deg_a + deg_b − common) in
+    // exact ppm (integral div); global top-20 is TakeOrdered, never a
+    // full sort.
+    "q288_neighbor_jaccard" -> { (s, dir) =>
+      val sym = Graph.symmetrize(pairsCache.get(s, dir))
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val common = sym.select(col("src").as("via"), col("dst").as("x"))
+        .join(sym.select(col("src").as("via"), col("dst").as("y")),
+          "via")
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select(col("node").as("x"), col("deg").as("deg_x")),
+          "x")
+        .join(deg.select(col("node").as("y"), col("deg").as("deg_y")),
+          "y")
+        .withColumn("jaccard_ppm",
+          expr("""CAST(common * 1000000 AS DECIMAL(38,0))
+                  div (deg_x + deg_y - common)"""))
+        .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
+        .limit(20)
+        .select(col("x").as("part_a"), col("y").as("part_b"),
+          col("common").as("common_neighbors"),
+          col("deg_x"), col("deg_y"), col("jaccard_ppm"))
+    },
+
     // WEIGHTED modularity of the weighted partition — q275's twin on
     // the weighted axis, closing the weighted loop the same way (q273
     // finds the partition, this scores it): per-community contribution
@@ -818,6 +854,23 @@ object GraphQueries {
            MIN(node) AS min_member, MAX(node) AS max_member
          FROM l4 GROUP BY label HAVING COUNT(*) >= 3
          ORDER BY n_members DESC, community LIMIT 30""",
+
+    "q288_neighbor_jaccard" ->
+      s"""WITH $GraphCtes,
+         common AS (SELECT ex.dst AS x, ey.dst AS y, COUNT(*) AS common
+           FROM sym ex JOIN sym ey
+             ON ex.src = ey.src AND ex.dst < ey.dst
+           GROUP BY 1, 2)
+         SELECT c.x AS part_a, c.y AS part_b,
+           CAST(common AS BIGINT) AS common_neighbors,
+           CAST(dx.outdeg AS BIGINT) AS deg_x,
+           CAST(dy.outdeg AS BIGINT) AS deg_y,
+           CAST(CAST(common AS HUGEINT) * 1000000
+             // (dx.outdeg + dy.outdeg - common) AS BIGINT) AS jaccard_ppm
+         FROM common c
+         JOIN deg dx ON c.x = dx.src
+         JOIN deg dy ON c.y = dy.src
+         ORDER BY jaccard_ppm DESC, part_a, part_b LIMIT 20""",
 
     "q287_weighted_modularity" ->
       s"""WITH $WPairsCtes,

@@ -520,6 +520,35 @@ class GraphSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q288: neighbor Jaccard equals a brute-force recompute over " +
+      "adjacency sets, exact top-20 with deterministic tie-break") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q288_neighbor_jaccard")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val pr = Graph.canonicalPairs(
+      graft.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
+    val edges =
+      try pr.collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally Graph.release(pr)
+    val adj = (edges.map { case (a, b) => a -> b } ++
+      edges.map { case (a, b) => b -> a })
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    // wedge-generated candidate pairs: x,y co-appear in a neighborhood
+    val common = adj.values.toSeq
+      .flatMap(_.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val expect = common.toSeq.map { case ((x, y), c) =>
+      val (dx, dy) = (adj(x).size.toLong, adj(y).size.toLong)
+      (x, y, c, dx, dy, c * 1000000L / (dx + dy - c))
+    }.sortBy { case (x, y, _, _, _, j) => (-j, x, y) }.take(20)
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expect)
+  }
+
   test("q268 output: community sizes descending, members >= 3, span " +
       "consistent") {
     val out = graft.queries.GraphQueries
