@@ -924,6 +924,19 @@ object Cli {
               s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
                 s"${r.getLong(3)}"))
 
+        case "rank-drift" =>
+          // Refresh-over-refresh rank-head stability (one row per
+          // refresh after the first):
+          //   rank-drift --store <dir>
+          val cfg = graft.streaming.StreamingRank.Config(
+            storeDir = opts("store"),
+            checkpointDir = opts("store") + "/_ckpt")
+          graft.streaming.StreamingRank.rankDrift(spark, cfg)
+            .collect()
+            .foreach(r => println(
+              s"${r.getLong(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
+                s"${r.getLong(3)}"))
+
         case "community-drift" =>
           // Refresh-over-refresh stability log (one Rand-index row per
           // refresh after the first):

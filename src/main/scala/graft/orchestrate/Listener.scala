@@ -416,6 +416,25 @@ object Listener {
         }
       },
 
+      route("GET", "/api/rank/drift",
+        "refresh-over-refresh rank-head stability (top-k overlap + " +
+          "footrule)") { (ex, _) =>
+        rankDir match {
+          case None =>
+            respond(ex, 404, """{"detail": "no rank store configured"}""")
+          case Some(dir) =>
+            // refresh-cardinality log, same boundedness as the
+            // community drift route
+            val rows = graft.streaming.StreamingRank
+              .rankDrift(spark, rankStoreCfg(dir)).collect()
+              .map(r => s"""{"refresh_seq": ${r.getLong(0)}, """ +
+                s""""k": ${r.getLong(1)}, """ +
+                s""""overlap": ${r.getLong(2)}, """ +
+                s""""footrule": ${r.getLong(3)}}""")
+            respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
+      },
+
       route("GET", "/api/communities/top/{n}",
         "largest communities from the incremental label store") {
         (ex, params) =>

@@ -178,6 +178,9 @@ object StreamingRank {
     * swap for concurrent readers). Idempotent per edge-state only in
     * the fixpoint sense — each call advances the iteration count; see
     * the class doc. */
+  /** Size of the compared head in the rank drift log. */
+  private val DriftK = 100
+
   def refreshRanks(spark: SparkSession, cfg: Config): Unit = {
     val fs = ranksDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -195,8 +198,61 @@ object StreamingRank {
     // checkpointed result's last read; on an install FAILURE the same
     // holds — a long-lived refresher whose refresh keeps failing must
     // not pin one node-scale RDD per attempt
-    try SwapDir.install(spark, next, cfg.storeDir, "ranks")
-    finally Graph.release(next)
+    try {
+      // rank-stability drift, the rank view's twin of the community
+      // drift log: the outgoing vs incoming TOP-K heads compared by
+      // overlap count and Spearman FOOTRULE over the shared members
+      // (Σ|position change|, exact integer) — measured BEFORE the
+      // install while the outgoing generation is readable; two K-row
+      // collects, K = 100, the top-k itself is a TakeOrdered. A high
+      // footrule or a low overlap tells rank consumers (serving caches,
+      // routing tables) the head reorganised and should be re-resolved.
+      def top(df: DataFrame): Array[Long] =
+        df.orderBy(col("rank_e6").desc, col("node")).limit(DriftK)
+          .collect().map(_.getLong(0))
+      val driftRow = init.map(top).filter(_.nonEmpty).map { pt =>
+        val nt = top(next)
+        val prevPos = pt.zipWithIndex.toMap
+        val nextPos = nt.zipWithIndex.toMap
+        val shared = prevPos.keySet & nextPos.keySet
+        val footrule = shared.toSeq
+          .map(n => math.abs(prevPos(n) - nextPos(n)).toLong).sum
+        (math.min(pt.length, nt.length).toLong, shared.size.toLong,
+          footrule)
+      }
+      SwapDir.install(spark, next, cfg.storeDir, "ranks")
+      // appended only AFTER a successful install: the advisory log never
+      // references a generation that failed to land (a crash in between
+      // loses one row, never corrupts the ranks)
+      driftRow.foreach { case (k, overlap, footrule) =>
+        import spark.implicits._
+        val seq = rankDrift(spark, cfg).count() + 1
+        Seq((seq, k, overlap, footrule))
+          .toDF("refresh_seq", "k", "overlap", "footrule")
+          .coalesce(1)
+          .write.mode("append").parquet(rankDriftPath(cfg).toString)
+      }
+    } finally Graph.release(next)
+  }
+
+  private def rankDriftPath(cfg: Config) =
+    new Path(cfg.storeDir, "ranks_drift")
+
+  /** The refresh-over-refresh rank-stability log, oldest first:
+    * `(refresh_seq, k, overlap, footrule)` — overlap is |top-K ∩ top-K|
+    * across the two generations, footrule the exact Σ|position change|
+    * over the shared members (0 = head unchanged). Refresh-cardinality
+    * (one row per refresh after the first), so reading it whole is
+    * always cheap. */
+  def rankDrift(spark: SparkSession, cfg: Config): DataFrame = {
+    val p = rankDriftPath(cfg)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.emptyDataFrame
+        .select(lit(0L).as("refresh_seq"), lit(0L).as("k"),
+          lit(0L).as("overlap"), lit(0L).as("footrule"))
+        .limit(0)
+    else spark.read.parquet(p.toString).orderBy(col("refresh_seq"))
   }
 
   /** Fold committed edge batches into one `batch_id=-1` partition per

@@ -447,6 +447,7 @@ class ListenerSpec extends SparkSpec {
       Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b"),
       0L, rc)
     graft.streaming.StreamingRank.refreshRanks(spark, rc)
+    graft.streaming.StreamingRank.refreshRanks(spark, rc) // logs drift
 
     val srv = Listener.start(spark, s"$base/meta",
       rankDir = Some(s"$base/rank"))
@@ -457,9 +458,16 @@ class ListenerSpec extends SparkSpec {
       // node 3 bridges the triangle and the pendant: highest rank
       assert(top.body().startsWith("""[{"node": 3,"""))
       assert(top.body().count(_ == '}') == 2)
-      // docs inventory lists the route (route-table driven)
+      // the drift route serves the refresh-over-refresh stability log
+      val drift = get(s"$root/api/rank/drift/")
+      assert(drift.statusCode() == 200)
+      assert(drift.body().contains("\"refresh_seq\": 1"))
+      assert(drift.body().contains("\"footrule\":"))
+      // docs inventory lists the routes (route-table driven)
       assert(get(s"$root/api/docs/").body()
         .contains("/api/rank/top/{n}"))
+      assert(get(s"$root/api/docs/").body()
+        .contains("/api/rank/drift"))
       assert(get(s"$root/api/quality/totals/").statusCode() == 404)
     } finally srv.stop()
   }

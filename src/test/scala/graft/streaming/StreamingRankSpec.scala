@@ -294,4 +294,38 @@ class StreamingRankSpec extends SparkSpec {
       Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)))
     assert(rankMap(c) === coldRanks(stored.toSeq, 5))
   }
+
+  test("rank drift log: nothing after the first refresh; a symmetric " +
+      "fixed point logs zero footrule; a new hub reorganising the head " +
+      "is visible") {
+    val c = cfg(java.nio.file.Files
+      .createTempDirectory("srank_drift").toString)
+    StreamingRank.ingestBatch(batch0.toDF(), 0L, c) // triangle 1-2-3
+    StreamingRank.refreshRanks(spark, c)
+    assert(StreamingRank.rankDrift(spark, c).count() === 0L)
+    // a symmetric triangle's e6 ranks are uniform and already a fixed
+    // point — the second refresh reproduces them exactly, so the head
+    // is unchanged: overlap = k, footrule = 0
+    StreamingRank.refreshRanks(spark, c)
+    val d1 = StreamingRank.rankDrift(spark, c).collect()
+    assert(d1.length === 1)
+    assert(d1.head.getAs[Long]("refresh_seq") === 1L)
+    assert(d1.head.getAs[Long]("k") === 3L)
+    assert(d1.head.getAs[Long]("overlap") === 3L)
+    assert(d1.head.getAs[Long]("footrule") === 0L)
+    // a hub wired to the triangle PLUS a pendant takes the top slot
+    // (9 alone would make K4 — symmetric again); the log must register
+    // the reorganisation (displacement or eviction)
+    StreamingRank.ingestBatch(
+      Seq(Pair(9, 1), Pair(9, 2), Pair(9, 3), Pair(9, 4)).toDF(), 1L, c)
+    StreamingRank.refreshRanks(spark, c)
+    val last = StreamingRank.rankDrift(spark, c).collect()
+      .maxBy(_.getAs[Long]("refresh_seq"))
+    assert(last.getAs[Long]("refresh_seq") === 2L)
+    assert(last.getAs[Long]("k") === 3L) // min(|prev head|, |next head|)
+    val (ov, fr) =
+      (last.getAs[Long]("overlap"), last.getAs[Long]("footrule"))
+    assert(ov <= 3L)
+    assert(ov < 3L || fr > 0L, s"hub must disturb the head: $ov/$fr")
+  }
 }
