@@ -930,6 +930,25 @@ object CurationExtras {
           errorAbove = 1000000000000L)))
     },
 
+    // Distribution-drift expectation: the declarative engine's
+    // set-level rule — the observed category shares must stay
+    // proportional to a reference histogram, violations counted as the
+    // MINIMUM ROWS TO RELABEL (exact integral EMD; graded budgets then
+    // read as "rows of drift tolerated"). Two rules: segments vs the
+    // uniform reference (TPC-H segments are near- but not exactly
+    // uniform, so a small nonzero drift), order status vs a skewed
+    // reference (large drift). One grouped scan each to a
+    // category-scale relation; reference + 1-row total broadcast.
+    "q289_distribution_drift" -> { (s, dir) =>
+      import graft.verify.Expectations._
+      evaluate(s, name => t(s, dir, name), Seq(
+        DistributionWithin("customer", "c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY").map(_ -> 1L)),
+        DistributionWithin("orders", "o_orderstatus",
+          Seq("F" -> 1L, "O" -> 1L, "P" -> 2L))))
+    },
+
     // k-anonymity generalization ladder: privacy-risk audit over the
     // customer quasi-identifiers (segment, nation/region, account-balance
     // bucket) at three generalization levels — the "which coarsening
@@ -1956,6 +1975,41 @@ object CurationExtras {
                 ELSE 'pass' END AS severity,
            n_violations <= error_above AS passed
          FROM (${rows.mkString("\nUNION ALL\n")})
+         ORDER BY rule_id"""
+    },
+
+    "q289_distribution_drift" -> {
+      /* one drift rule: moved = Σ max(0, n_obs·N_ref − n_ref·N_obs)
+       * // N_ref over the observed categories (absent-from-reference →
+       * n_ref 0 → pure excess) */
+      def drift(sfx: String, tbl: String, c: String, refVals: String,
+          nRefTot: Long): String =
+        s"""obs$sfx AS (SELECT $c AS v, COUNT(*) AS n_obs FROM $tbl
+             WHERE $c IS NOT NULL GROUP BY 1),
+           tot$sfx AS (SELECT SUM(n_obs) AS n_tot FROM obs$sfx),
+           ref$sfx(v, n_ref) AS (VALUES $refVals),
+           mv$sfx AS (SELECT CAST(COALESCE(SUM(GREATEST(
+                 CAST(n_obs AS HUGEINT) * $nRefTot
+                 - CAST(COALESCE(r.n_ref, 0) AS HUGEINT) * t.n_tot,
+                 0)), 0) // $nRefTot AS BIGINT) AS moved
+             FROM obs$sfx LEFT JOIN ref$sfx r USING (v)
+             CROSS JOIN tot$sfx t)"""
+      s"""WITH ${drift("1", "customer", "c_mktsegment",
+          "('AUTOMOBILE',1),('BUILDING',1),('FURNITURE',1)," +
+            "('HOUSEHOLD',1),('MACHINERY',1)", 5L)},
+         ${drift("2", "orders", "o_orderstatus",
+          "('F',1),('O',1),('P',2)", 4L)}
+         SELECT 'distribution:customer.c_mktsegment' AS rule_id,
+           'distribution_within' AS rule_type,
+           'customer' AS table_name, 'c_mktsegment' AS column_name,
+           (SELECT COUNT(*) FROM customer) AS n_rows,
+           moved AS n_violations, moved = 0 AS passed
+         FROM mv1
+         UNION ALL
+         SELECT 'distribution:orders.o_orderstatus',
+           'distribution_within', 'orders', 'o_orderstatus',
+           (SELECT COUNT(*) FROM orders), moved, moved = 0
+         FROM mv2
          ORDER BY rule_id"""
     },
 

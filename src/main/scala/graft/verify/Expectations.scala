@@ -78,6 +78,31 @@ object Expectations {
     val ruleType = "expression_is_true"
     val columnDesc: String = name
   }
+  /** Distribution-DRIFT rule: the column's categorical distribution must
+    * stay proportional to a REFERENCE histogram. The violation count is
+    * the minimum number of rows that would have to change category for
+    * the observed shares to match the reference's — the earth-mover's
+    * distance in ROW units (Σ over categories of the positive excess
+    * n_obs_v − n_ref_v·N_obs/N_ref, evaluated in exact integral
+    * arithmetic: Σ max(0, n_obs_v·N_ref − n_ref_v·N_obs), one
+    * truncating division by N_ref at the end). 0 violations = exact
+    * proportional agreement, and graded budgets read naturally as
+    * "rows of drift tolerated". NULLs are excluded from the observed
+    * side (pair with NotNull to forbid them); categories absent from
+    * the reference are pure excess. SET-level like [[RefIntegrity]]
+    * (it groups, it cannot fold into the per-table aggregate pass);
+    * intended for categorical columns — everything downstream of the
+    * grouped scan is category-scale. */
+  final case class DistributionWithin(table: String, column: String,
+      reference: Seq[(String, Long)]) extends Rule {
+    require(reference.nonEmpty && reference.forall(_._2 > 0),
+      "reference histogram must be non-empty with positive counts")
+    require(reference.map(_._1).distinct.size == reference.size,
+      "duplicate reference categories")
+    val id = s"distribution:$table.$column"
+    val ruleType = "distribution_within"
+    val columnDesc: String = column
+  }
 
   /** Violation-count column for a single-table rule (NULL counts as a
     * violation for accepted-values/in-range only when the rule says the
@@ -107,8 +132,36 @@ object Expectations {
       }
     case ExpressionIsTrue(_, _, p) =>
       sum((!coalesce(expr(p), lit(false))).cast("long"))
-    case _: RefIntegrity =>
-      throw new IllegalArgumentException("ref rules join, not aggregate")
+    case _: RefIntegrity | _: DistributionWithin =>
+      throw new IllegalArgumentException(
+        "set-level rules do not fold into the aggregate pass")
+  }
+
+  /** [[DistributionWithin]]'s violation count against one relation:
+    * minimum rows to relabel so the observed shares match the
+    * reference's. One grouped scan to the category-scale relation,
+    * reference and the 1-row total broadcast; exact integral
+    * arithmetic (DECIMAL(38,0), single truncating division). */
+  private def movedRows(df: DataFrame,
+      r: DistributionWithin): Long = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nRefTot = r.reference.map(_._2).sum
+    val refDf = r.reference.toDF("v", "n_ref")
+    val obs = df.filter(col(r.column).isNotNull)
+      .groupBy(col(r.column).cast("string").as("v"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(coalesce(sum(col("n_obs")), lit(0L)).as("n_tot"))
+    obs.join(broadcast(refDf), Seq("v"), "left_outer")
+      .na.fill(0L, Seq("n_ref"))
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(sum(greatest(
+          col("n_obs").cast("decimal(38,0)") * lit(nRefTot) -
+            col("n_ref").cast("decimal(38,0)") * col("n_tot"),
+          lit(0).cast("decimal(38,0)"))),
+        lit(0).cast("decimal(38,0)")).as("ex"))
+      .select(expr(s"CAST(ex div $nRefTot AS BIGINT)").as("moved"))
+      .head.getLong(0)
   }
 
   /** Range violation via try_cast: a non-null value the decimal cast
@@ -264,20 +317,27 @@ object Expectations {
     require(rules.nonEmpty)
     require(rules.map(_.id).distinct.size == rules.size,
       "duplicate rule ids")
-    val (refRulesRaw, aggRules) =
+    val (refRulesRaw, rest) =
       rules.partition(_.isInstanceOf[RefIntegrity])
     val refRules = refRulesRaw.collect { case r: RefIntegrity => r }
+    val (distRulesRaw, aggRules) =
+      rest.partition(_.isInstanceOf[DistributionWithin])
+    val distRules =
+      distRulesRaw.collect { case d: DistributionWithin => d }
     val aggTables = aggRules.map(_.table).toSet
 
-    // consumers per table: its agg pass, each ref role, and the row
-    // count a ref child WITHOUT an agg pass must run separately
+    // consumers per table: its agg pass, each ref role, each
+    // distribution pass, and the row count a set-level rule's table
+    // WITHOUT an agg pass must run separately
     val uses = scala.collection.mutable.Map.empty[String, Int]
       .withDefaultValue(0)
     aggTables.foreach(t => uses(t) += 1)
     refRules.foreach { r =>
       uses(r.table) += 1; uses(r.parentTable) += 1
     }
-    refRules.map(_.table).distinct.filterNot(aggTables)
+    distRules.foreach(r => uses(r.table) += 1)
+    (refRules.map(_.table) ++ distRules.map(_.table))
+      .distinct.filterNot(aggTables)
       .foreach(t => uses(t) += 1)
 
     // union of the columns all of a table's consumers read; None =
@@ -288,7 +348,9 @@ object Expectations {
           refRules.filter(_.table == table)
             .map(r => Option(Seq(r.column))) ++
           refRules.filter(_.parentTable == table)
-            .map(r => Option(Seq(r.parentColumn)))
+            .map(r => Option(Seq(r.parentColumn))) ++
+          distRules.filter(_.table == table)
+            .map(r => Option(Seq(r.column)))
       if (reads.exists(_.isEmpty)) None
       else Some(reads.flatten.flatten.distinct)
     }
@@ -338,7 +400,13 @@ object Expectations {
         // defect regardless of its row multiplicity)
         (r.id, r.ruleType, r.table, r.columnDesc, n, orphans.count())
       }
-      aggReports ++ refReports
+      val distReports = distRules.map { r =>
+        val child = rel(r.table)
+        val n = tableRows.getOrElseUpdate(r.table, child.count())
+        (r.id, r.ruleType, r.table, r.columnDesc, n,
+          movedRows(child, r))
+      }
+      aggReports ++ refReports ++ distReports
     } finally {
       // every consumer ran its action above; the shared checkpoints
       // have had their last read (the returned report is a local
@@ -395,16 +463,22 @@ object Expectations {
     require(refs.isEmpty,
       s"referential rules need a distinct parent relation and cannot " +
         s"gate a single relation: ${refs.mkString(", ")}")
+    val (distRaw, aggRules) =
+      rules.partition(_.isInstanceOf[DistributionWithin])
+    val distRules = distRaw.collect { case d: DistributionWithin => d }
     val aggs = count(lit(1)).as("_n_rows") +:
-      rules.zipWithIndex.map { case (r, i) =>
+      aggRules.zipWithIndex.map { case (r, i) =>
         violationCol(r).as(s"_v$i")
       }
     val row = df.agg(aggs.head, aggs.tail: _*).head
     val n = row.getAs[Long]("_n_rows")
-    rules.zipWithIndex.map { case (r, i) =>
+    aggRules.zipWithIndex.map { case (r, i) =>
       (r.id, r.ruleType, r.table, r.columnDesc, n,
         row.getAs[Long](s"_v$i"))
-    }
+    } ++ distRules.map(r =>
+      // the distribution rule GROUPS, so it cannot ride the fold —
+      // one extra category-scale pass over the same relation
+      (r.id, r.ruleType, r.table, r.columnDesc, n, movedRows(df, r)))
   }
 
   /** Parse a JSONL rules file (one rule object per line):
@@ -414,6 +488,7 @@ object Expectations {
     * `{"type":"in_range","table":"lineitem","column":"l_discount","lo_e6":0,"hi_e6":100000}`
     * `{"type":"ref","table":"lineitem","column":"l_orderkey","parent_table":"orders","parent_column":"o_orderkey"}`
     * `{"type":"expression","table":"lineitem","name":"charge_consistent","predicate":"l_extendedprice >= 0 AND l_discount <= 1"}`
+    * `{"type":"distribution_within","table":"customer","column":"c_mktsegment","ref_values":["A","B"],"ref_counts":[30,25]}`
     */
   def parseRules(spark: SparkSession, path: String): Seq[Rule] =
     parseGradedRules(spark, path).map(_.rule)
@@ -477,6 +552,19 @@ object Expectations {
         str("parent_table"), str("parent_column"))
       case "expression" => ExpressionIsTrue(str("table"),
         str("name"), str("predicate"))
+      case "distribution_within" =>
+        val vs = row.getAs[scala.collection.Seq[String]]("ref_values")
+          .toSeq
+        val cs = row.getSeq[Any](row.fieldIndex("ref_counts")).map {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"distribution_within ${str("table")}.${str("column")}: " +
+              s"ref_counts must be integers, got '$other'")
+        }.toSeq
+        require(vs.length == cs.length,
+          s"distribution_within ${str("table")}.${str("column")}: " +
+            "ref_values and ref_counts lengths differ")
+        DistributionWithin(str("table"), str("column"), vs.zip(cs))
       case other =>
         throw new IllegalArgumentException(
           s"unknown rule type: $other${opt("table").fold("")(t => s" (table $t)")}")

@@ -211,6 +211,64 @@ class ExpectationsSpec extends SparkSpec {
       Set("a", "b", "c", "d").map(NotNull("t", _)))
   }
 
+  test("distribution_within counts the minimum rows to relabel, " +
+      "exactly — proportional agreement is 0, NULLs excluded, " +
+      "unknown categories are pure excess") {
+    def moved(rows: Seq[Option[String]],
+        ref: Seq[(String, Long)]): Long =
+      evaluateRelation(spark, rows.toDF("c"),
+        Seq(DistributionWithin("t", "c", ref)))
+        .head.getAs[Long]("n_violations")
+    def cat(s: String, n: Int): Seq[Option[String]] =
+      Seq.fill(n)(Some(s))
+    // obs A6 B2 C2 vs ref A1 B1 (C unknown): EMD = 3 rows
+    // (move both Cs and one A into B -> A5 B5)
+    assert(moved(cat("A", 6) ++ cat("B", 2) ++ cat("C", 2),
+      Seq("A" -> 1L, "B" -> 1L)) === 3L)
+    // exact proportional agreement at a different scale: 0
+    assert(moved(cat("A", 4) ++ cat("B", 2),
+      Seq("A" -> 2L, "B" -> 1L)) === 0L)
+    // NULLs are not observations: same answer with nulls sprinkled in
+    assert(moved(cat("A", 4) ++ cat("B", 2) ++ Seq(None, None),
+      Seq("A" -> 2L, "B" -> 1L)) === 0L)
+    // a reference category ABSENT from the data shows up as the
+    // excess of everything else: all-A vs a 50/50 reference -> half move
+    assert(moved(cat("A", 4), Seq("A" -> 1L, "B" -> 1L)) === 2L)
+    // empty relation: nothing to move
+    assert(moved(Seq.empty[Option[String]], Seq("A" -> 1L)) === 0L)
+    // graded budgets read as rows-of-drift: 3 moved rows warns under a
+    // 2-row budget but passes a 5-row error budget
+    val g = evaluateGradedRelation(spark,
+      (cat("A", 6) ++ cat("B", 2) ++ cat("C", 2)).toDF("c"),
+      Seq(Graded(DistributionWithin("t", "c",
+        Seq("A" -> 1L, "B" -> 1L)), warnAbove = 2L, errorAbove = 5L)))
+      .head
+    assert(g.getAs[String]("severity") === "warn")
+    assert(g.getAs[Boolean]("passed"))
+  }
+
+  test("distribution_within parses from JSONL (parallel ref arrays) " +
+      "and is rejected by the row-level sampler") {
+    val f = Files.createTempDirectory("exp").resolve("dist.jsonl")
+    Files.write(f, java.util.Arrays.asList(
+      """{"type":"distribution_within","table":"t","column":"c","ref_values":["a","b"],"ref_counts":[3,1],"warn_if":10}"""))
+    val g = parseGradedRules(spark, f.toString)
+    assert(g === Seq(Graded(DistributionWithin("t", "c",
+      Seq("a" -> 3L, "b" -> 1L)), 10L, Long.MaxValue)))
+    // set-level: no per-row violation predicate
+    intercept[IllegalArgumentException] {
+      violationPredicate(DistributionWithin("t", "c", Seq("a" -> 1L)))
+    }
+    // malformed: length mismatch named in the error
+    val bad = Files.createTempDirectory("exp").resolve("bad.jsonl")
+    Files.write(bad, java.util.Arrays.asList(
+      """{"type":"distribution_within","table":"t","column":"c","ref_values":["a"],"ref_counts":[1,2]}"""))
+    val e = intercept[IllegalArgumentException] {
+      parseRules(spark, bad.toString)
+    }
+    assert(e.getMessage.contains("lengths differ"))
+  }
+
   test("sampleViolations: every sampled row actually violates its " +
       "rule, capped per rule, deterministic") {
     val out = graft.queries.CurationExtras
