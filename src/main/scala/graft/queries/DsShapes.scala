@@ -614,6 +614,52 @@ object DsShapes {
         .orderBy(col("segment"), col("band"))
     },
 
+    // Robust revenue trend per brand: the THEIL–SEN slope over the
+    // 1996–1997 monthly series — the median of all pairwise
+    // month-to-month slopes, immune to single-month outliers where an
+    // OLS fit would chase them. Scale shape: the pair space is
+    // generated WITHIN each brand's month-grain aggregate (≤24 points
+    // → ≤276 pairs per brand — bounded per partition by construction,
+    // never row-scale), the median is a row_number window per brand
+    // (partitioned, tiny), and slopes are exact e4-per-month integers
+    // (integral div; ties broken by slope, then pair identity, so the
+    // upper median is deterministic and oracle-stable).
+    "q290_theil_sen_trend" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).isin(1996, 1997))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          ((year(col("l_shipdate")) - 1996) * 12 +
+            month(col("l_shipdate"))).as("t"))
+        .agg(sum(revE4).as("rev_e4"))
+      val slopes = m.select(col("p_brand"), col("t").as("t1"),
+          col("rev_e4").as("r1"))
+        .join(m.select(col("p_brand"), col("t").as("t2"),
+          col("rev_e4").as("r2")), Seq("p_brand"))
+        .filter(col("t1") < col("t2"))
+        // sign decomposition: Spark `div` truncates toward zero while
+        // DuckDB `//` floors, so a signed quotient would diverge on
+        // falling slopes — divide the ABSOLUTE difference (both
+        // operands non-negative ⇒ floor ≡ trunc) and re-apply the sign
+        .select(col("p_brand"), col("t1"), col("t2"),
+          expr("""CASE WHEN r2 >= r1 THEN (r2 - r1) div (t2 - t1)
+                  ELSE -((r1 - r2) div (t2 - t1)) END""")
+            .as("slope_e4"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("slope_e4"), col("t1"), col("t2"))
+      val nw = Window.partitionBy(col("p_brand"))
+      slopes
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_pairs", count(lit(1)).over(nw))
+        // upper median (element n/2 + 1 for even n, (n+1)/2 odd):
+        // rk = n div 2 + 1 covers both
+        .filter(col("rk") === expr("n_pairs div 2 + 1"))
+        .select(col("p_brand"), col("n_pairs"),
+          col("slope_e4").cast("long").as("trend_e4_per_month"))
+        .orderBy(col("p_brand"))
+    },
+
     // Web-vs-store cumulative crossover (TPC-DS Q51 shape): per brand,
     // the first 1997 month where the WEB channel's cumulative revenue
     // overtakes the STORE channel's. The DS signature moves intact: two
@@ -992,6 +1038,28 @@ object DsShapes {
          JOIN bands ON n_orders BETWEEN lo AND hi
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q290_theil_sen_trend" ->
+      s"""WITH m AS (SELECT p_brand,
+           (year(l_shipdate) - 1996) * 12 + month(l_shipdate) AS t,
+           SUM($RevE4Sql) AS rev_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) IN (1996, 1997)
+         GROUP BY 1, 2),
+         sl AS (SELECT a.p_brand, a.t AS t1, b.t AS t2,
+             CASE WHEN b.rev_e4 >= a.rev_e4
+               THEN CAST((b.rev_e4 - a.rev_e4) // (b.t - a.t) AS BIGINT)
+               ELSE -CAST((a.rev_e4 - b.rev_e4) // (b.t - a.t) AS BIGINT)
+             END AS slope_e4
+           FROM m a JOIN m b
+             ON a.p_brand = b.p_brand AND a.t < b.t),
+         rk AS (SELECT p_brand, slope_e4,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY slope_e4, t1, t2) AS rk,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n_pairs
+           FROM sl)
+         SELECT p_brand, n_pairs, slope_e4 AS trend_e4_per_month
+         FROM rk WHERE rk = n_pairs // 2 + 1 ORDER BY p_brand""",
 
     "q286_web_store_crossover" ->
       s"""WITH m AS (SELECT p_brand,

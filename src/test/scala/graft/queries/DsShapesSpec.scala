@@ -360,6 +360,47 @@ class DsShapesSpec extends SparkSpec {
       === segs)
   }
 
+  test("q290: Theil-Sen slope equals the brute-force pairwise-median " +
+      "replay, sign decomposition included") {
+    val out = DsShapes.defs2("q290_theil_sen_trend")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("trend_e4_per_month"))).toMap
+    assert(out.nonEmpty)
+    val m = graft.Tables.load(spark, dir, "lineitem")
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .join(graft.Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        ((year(col("l_shipdate")) - 1996) * 12 +
+          month(col("l_shipdate"))).as("t"))
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") -
+          col("l_discount").cast("decimal(12,2)")) *
+        lit(10000)).cast("decimal(38,0)")).cast("long").as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val expected = m.groupBy(_._1).flatMap { case (brand, cells) =>
+      val pts = cells.map(c => c._2 -> c._3).sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield {
+        val ((t1, r1), (t2, r2)) = (pts(i), pts(j))
+        val s = if (r2 >= r1) (r2 - r1) / (t2 - t1)
+                else -((r1 - r2) / (t2 - t1))
+        (s, t1, t2)
+      }
+      if (slopes.isEmpty) None
+      else {
+        val sorted = slopes.sortBy { case (s, t1, t2) => (s, t1, t2) }
+        Some(brand -> (slopes.length.toLong,
+          sorted(slopes.length / 2)._1))
+      }
+    }
+    assert(out === expected)
+  }
+
   test("q286: crossover equals a brute-force cumulative replay — first " +
       "month web's filled cumulative exceeds store's, never earlier") {
     val out = DsShapes.defs2("q286_web_store_crossover")(spark, dir)
