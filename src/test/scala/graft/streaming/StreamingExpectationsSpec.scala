@@ -45,6 +45,34 @@ class StreamingExpectationsSpec extends SparkSpec {
     assert(tot("in_range:stream.x") === ((4L, 1L)))
   }
 
+  test("distribution_within rides the streaming monitor: per-batch " +
+      "moved-rows counts persist and regrade at read time") {
+    val base = Files.createTempDirectory("sexp_dist").toString
+    val c = StreamingExpectations.Config(
+      storeDir = s"$base/store", checkpointDir = s"$base/ckpt",
+      rules = Seq(DistributionWithin("stream", "v",
+        Seq("a" -> 1L, "b" -> 1L))))
+    // batch 0: a×3 b×1 vs 50/50 -> move 1 row; batch 1: balanced -> 0
+    StreamingExpectations.processBatch(Seq(
+      Reading(Some(1L), "a", 0.0), Reading(Some(2L), "a", 0.0),
+      Reading(Some(3L), "a", 0.0), Reading(Some(4L), "b", 0.0))
+      .toDF(), 0L, c)
+    StreamingExpectations.processBatch(Seq(
+      Reading(Some(5L), "a", 0.0), Reading(Some(6L), "b", 0.0))
+      .toDF(), 1L, c)
+    val hist = StreamingExpectations.history(spark, c).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_violations")).toMap
+    assert(hist === Map(0L -> 1L, 1L -> 0L))
+    // read-time grading: a 1-row drift budget tolerates batch 0
+    val graded = StreamingExpectations.gradedHistory(spark, c.storeDir,
+      Seq(Graded(DistributionWithin("stream", "v",
+        Seq("a" -> 1L, "b" -> 1L)), warnAbove = 0L, errorAbove = 1L)))
+      .collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        r.getAs[String]("severity")).toMap
+    assert(graded === Map(0L -> "warn", 1L -> "pass"))
+  }
+
   test("gradedHistory applies budgets at read time: severity per batch, " +
       "unlisted rules stay strict, budgets tune without reprocessing") {
     val c = cfg(Files.createTempDirectory("sexp_graded").toString)
