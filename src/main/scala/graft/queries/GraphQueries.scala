@@ -428,25 +428,31 @@ object GraphQueries {
         .toDF("n_nodes", "n_stable", "n_oscillating", "converged")
     },
 
-    // Neighborhood-similarity ranking (the link-prediction primitive):
-    // top part pairs by common-neighbor JACCARD over the co-purchase
-    // graph — "which two parts share the most co-purchase context",
-    // whether or not they were ever bought together themselves. Common
-    // neighbors come from the WEDGE join (two edges sharing their
-    // source), the same Σdeg² shape as the q141 triangle count — the
-    // standard scale discipline applies (hub degrees drive the wedge
-    // count; a degree cap or sampling bounds it at 100 TB, documented
-    // in SCALE.md). Jaccard = common / (deg_a + deg_b − common) in
-    // exact ppm (integral div); global top-20 is TakeOrdered, never a
-    // full sort.
+    // Neighborhood-similarity probe (the link-prediction primitive):
+    // for the SEED brand's parts, their most similar counterparts by
+    // common-neighbor JACCARD over the co-purchase graph — "which parts
+    // share this part's co-purchase context", whether or not the two
+    // ever co-occurred themselves. SEED-SCOPED deliberately: the
+    // all-pairs variant is Σdeg² wedge volume by definition (≈1.5×10⁸
+    // wedge rows already at sf0.1 — measured, 23 s — growing linearly
+    // with the node count), while the per-seed-set probe is the shape a
+    // product actually serves ("similar items for THIS catalog slice")
+    // and bounds the wedge join by the seeds' wedge share. Common
+    // neighbors via the wedge join semi-joined to the seed set BEFORE
+    // the expansion; Jaccard = common / (deg_x + deg_y − common) over
+    // FULL-graph degrees, exact ppm (integral div); top-20 is
+    // TakeOrdered, never a full sort.
     "q288_neighbor_jaccard" -> { (s, dir) =>
       val sym = Graph.symmetrize(pairsCache.get(s, dir))
+      val seeds = seedBrandParts(s, dir)
       val deg = sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
       val common = sym.select(col("src").as("via"), col("dst").as("x"))
+        .join(seeds.withColumnRenamed("node", "x"), Seq("x"),
+          "left_semi")
         .join(sym.select(col("src").as("via"), col("dst").as("y")),
           "via")
-        .filter(col("x") < col("y"))
+        .filter(col("x") =!= col("y"))
         .groupBy(col("x"), col("y"))
         .agg(count(lit(1)).as("common"))
       common
@@ -459,7 +465,7 @@ object GraphQueries {
                   div (deg_x + deg_y - common)"""))
         .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
         .limit(20)
-        .select(col("x").as("part_a"), col("y").as("part_b"),
+        .select(col("x").as("seed_part"), col("y").as("counterpart"),
           col("common").as("common_neighbors"),
           col("deg_x"), col("deg_y"), col("jaccard_ppm"))
     },
@@ -857,11 +863,14 @@ object GraphQueries {
 
     "q288_neighbor_jaccard" ->
       s"""WITH $GraphCtes,
+         seeds AS (SELECT p_partkey AS node FROM part
+           WHERE p_brand = (SELECT min(p_brand) FROM part)),
          common AS (SELECT ex.dst AS x, ey.dst AS y, COUNT(*) AS common
-           FROM sym ex JOIN sym ey
-             ON ex.src = ey.src AND ex.dst < ey.dst
+           FROM sym ex
+           JOIN seeds s ON ex.dst = s.node
+           JOIN sym ey ON ex.src = ey.src AND ex.dst <> ey.dst
            GROUP BY 1, 2)
-         SELECT c.x AS part_a, c.y AS part_b,
+         SELECT c.x AS seed_part, c.y AS counterpart,
            CAST(common AS BIGINT) AS common_neighbors,
            CAST(dx.outdeg AS BIGINT) AS deg_x,
            CAST(dy.outdeg AS BIGINT) AS deg_y,
@@ -870,7 +879,7 @@ object GraphQueries {
          FROM common c
          JOIN deg dx ON c.x = dx.src
          JOIN deg dy ON c.y = dy.src
-         ORDER BY jaccard_ppm DESC, part_a, part_b LIMIT 20""",
+         ORDER BY jaccard_ppm DESC, seed_part, counterpart LIMIT 20""",
 
     "q287_weighted_modularity" ->
       s"""WITH $WPairsCtes,

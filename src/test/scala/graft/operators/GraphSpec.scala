@@ -520,8 +520,9 @@ class GraphSpec extends SparkSpec {
     assert(got === expect)
   }
 
-  test("q288: neighbor Jaccard equals a brute-force recompute over " +
-      "adjacency sets, exact top-20 with deterministic tie-break") {
+  test("q288: seed-scoped neighbor Jaccard equals a brute-force " +
+      "recompute over adjacency sets, exact top-20 with deterministic " +
+      "tie-break") {
     val dir = sf("sf0.001")
     val out = graft.queries.GraphQueries
       .defs("q288_neighbor_jaccard")(spark, dir).collect()
@@ -533,12 +534,21 @@ class GraphSpec extends SparkSpec {
     val edges =
       try pr.collect().map(r => (r.getLong(0), r.getLong(1)))
       finally Graph.release(pr)
+    val part = graft.Tables.load(spark, dir, "part")
+      .select(col("p_partkey").cast("long"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val seedBrand = part.map(_._2).min
+    val seeds = part.collect { case (k, b) if b == seedBrand => k }.toSet
     val adj = (edges.map { case (a, b) => a -> b } ++
       edges.map { case (a, b) => b -> a })
       .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
-    // wedge-generated candidate pairs: x,y co-appear in a neighborhood
+    // wedge-generated (seed, counterpart) pairs: x seeded, y any other
+    // member of a shared neighborhood
     val common = adj.values.toSeq
-      .flatMap(_.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .flatMap { ns =>
+        for (x <- ns.toSeq if seeds(x); y <- ns.toSeq if y != x)
+          yield (x, y)
+      }
       .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
     val expect = common.toSeq.map { case ((x, y), c) =>
       val (dx, dy) = (adj(x).size.toLong, adj(y).size.toLong)
@@ -547,6 +557,8 @@ class GraphSpec extends SparkSpec {
     val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got === expect)
+    // every reported seed part really carries the seed brand
+    assert(out.forall(r => seeds(r.getLong(0))))
   }
 
   test("q268 output: community sizes descending, members >= 3, span " +
