@@ -97,6 +97,10 @@ object Bench {
     // `remeasured` in the artifact so the escalation is auditable.
     val spreadThresh = sys.env.getOrElse(
       "SPARK_GRAFT_SPREAD_RERUN", "3.0").toDouble
+    // the trailing Int counts EXTRA RUNS this query executed beyond the
+    // reps+warmup everyone pays — escalations stack (a spread re-measure
+    // whose healed median still trips the cross-run check runs 5 + 5),
+    // and the expected-time term must count what actually executed
     val first = first0.map {
       case (name, fn, (t, None), s)
           if tools.BenchStats.needsRemeasure(reps, s, spreadThresh) =>
@@ -111,11 +115,11 @@ object Bench {
             "first-pass median with its " +
             "%.1f".formatLocal(java.util.Locale.ROOT, s) +
             "x spread unhealed")
-          (name, fn, (t, Option.empty[String]), s, false)
+          (name, fn, (t, Option.empty[String]), s, false, 5)
         } else (name, fn,
           (tools.BenchStats.median(ok), Option.empty[String]),
-          tools.BenchStats.spread(ok), true)
-      case (name, fn, r, s) => (name, fn, r, s, false)
+          tools.BenchStats.spread(ok), true, 5)
+      case (name, fn, r, s) => (name, fn, r, s, false, 0)
     }
     // UNIFORM sustained load is the spread escalation's blind spot: a
     // machine-level load that slows all reps EQUALLY leaves spread near 1,
@@ -129,21 +133,39 @@ object Bench {
     // the previous median beside it, so a uniform-load inflation (or a
     // genuine regression — the re-measure reproduces those) is
     // adjudicable from the artifact alone.
-    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_OUT", "bench/last_run.json"))
+    // Option so a malformed SPARK_GRAFT_BENCH_OUT (InvalidPathException)
+    // degrades to "no artifact" instead of aborting a bench whose
+    // queries already ran — the artifact is an audit aid, never a gate
+    val outPathOpt: Option[java.nio.file.Path] =
+      try Some(java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "bench/last_run.json")))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"bench: invalid SPARK_GRAFT_BENCH_OUT (${e.getMessage}); " +
+              "skipping prev-run comparison and artifact write")
+          None
+      }
     val (prevContended, prevMedians) =
       try {
-        if (java.nio.file.Files.exists(outPath))
-          tools.BenchStats.parseArtifact(new String(
-            java.nio.file.Files.readAllBytes(outPath),
-            java.nio.charset.StandardCharsets.UTF_8))
-        else (false, Map.empty[String, Double])
+        outPathOpt.filter(java.nio.file.Files.exists(_)) match {
+          case Some(p) =>
+            val (c, prevSf, m) = tools.BenchStats.parseArtifact(
+              new String(java.nio.file.Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8))
+            // the artifact path is shared across scale factors: judging
+            // an sf0.1 run against an sf0.001 smoke's medians would
+            // escalate the entire suite — stand down on a mismatch
+            if (prevSf == sfDir) (c, m)
+            else (false, Map.empty[String, Double])
+          case None => (false, Map.empty[String, Double])
+        }
       } catch {
         case scala.util.control.NonFatal(_) =>
           (false, Map.empty[String, Double])
       }
     val second = first.map {
-      case (name, fn, (t, None), s, _)
+      case (name, fn, (t, None), s, rm, extra)
           if tools.BenchStats.crossRunSuspect(t, prevMedians.get(name),
             prevContended) =>
         val ok = Seq.fill(5)(runOne(fn)).collect { case (t2, None) => t2 }
@@ -152,31 +174,35 @@ object Bench {
           prevMedians.get(name), prevContended)
         (name, fn, (healed, Option.empty[String]),
           if (ok.isEmpty) s else tools.BenchStats.spread(ok), true,
-          if (stillSuspect) prevMedians.get(name) else None)
-      case (name, fn, r, s, rm) => (name, fn, r, s, rm, None)
+          if (stillSuspect) prevMedians.get(name) else None, extra + 5)
+      case (name, fn, r, s, rm, extra) =>
+        (name, fn, r, s, rm, None, extra)
     }
     val remeasured =
-      second.collect { case (n, _, _, _, true, _) => n }.toSet
+      second.collect { case (n, _, _, _, true, _, _) => n }.toSet
     val suspect =
-      second.collect { case (n, _, _, _, _, Some(p)) => n -> p }.toMap
+      second.collect { case (n, _, _, _, _, Some(p), _) => n -> p }.toMap
+    val extraRunsByName =
+      second.collect { case (n, _, _, _, _, _, e) if e > 0 => n -> e }
+        .toMap
     // One-off I/O stalls (page-cache eviction, JIT deopt) record a number
     // that is not the query's cost: any success exceeding 3x the median is
     // re-run once and the faster time kept (min — the stall is the outlier,
     // not the work). With reps > 1 the per-query median already absorbed
     // outliers, so the extra re-run is skipped.
-    val okTimes = second.collect { case (_, _, (t, None), _, _, _) => t }
-      .sorted
+    val okTimes =
+      second.collect { case (_, _, (t, None), _, _, _, _) => t }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.length / 2)
     val results = second.map {
-      case (name, fn, (t, None), _, _, _)
+      case (name, fn, (t, None), _, _, _, _)
           if reps == 1 && median > 0 && t > 3 * median =>
         val (t2, err2) = runOne(fn)
         if (err2.isEmpty) name -> (math.min(t, t2), None)
         else name -> (t, None) // flaky rerun: keep the first, valid result
-      case (name, _, r, _, _, _) => name -> r
+      case (name, _, r, _, _, _, _) => name -> r
     }
     val spreads = second.collect {
-      case (name, _, (_, None), s, _, _) if reps > 1 => name -> s
+      case (name, _, (_, None), s, _, _, _) if reps > 1 => name -> s
     }
 
     // control characters must be escaped too: error strings carry raw
@@ -223,14 +249,15 @@ object Bench {
     val load1Start =
       loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
         .getOrElse(0.0)
-    // every re-measured query (spread- or cross-run-escalated) executed
-    // 5 extra runs the artifact's total does not count — without this
-    // term a run with several escalations self-labels contended on an
-    // idle machine and the false label discredits real regressions
+    // every escalated query executed extra runs the artifact's total
+    // does not count (5 per escalation; a query hit by BOTH the spread
+    // and the cross-run path ran 10) — without this term a run with
+    // several escalations self-labels contended on an idle machine and
+    // the false label discredits real regressions
     val resultByName = results.toMap
-    val extraRunSec = 5.0 * remeasured.toSeq
-      .flatMap(n => resultByName.get(n).collect { case (t, None) => t })
-      .sum
+    val extraRunSec = extraRunsByName.toSeq.flatMap { case (n, e) =>
+      resultByName.get(n).collect { case (t, None) => e.toDouble * t }
+    }.sum
     val contended = tools.BenchStats.looksContended(wallSec, total,
       reps + warm, extraRunSec, load1Start,
       Runtime.getRuntime.availableProcessors)
@@ -244,7 +271,7 @@ object Bench {
     // query so git diffs are per-query, previous artifact rotated to
     // *_prev.json so a round can always diff itself against the last
     // run without depending on any log capture.
-    try {
+    try outPathOpt.foreach { outPath =>
       Option(outPath.getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
       if (java.nio.file.Files.exists(outPath)) {
@@ -265,8 +292,9 @@ object Bench {
         s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$rm$su$er}"""
       }
       // Machine-load fingerprint: loadavg at start/end plus total wall vs
-      // the expected executed time ((reps+warmup) x summed medians + 5x
-      // the medians of every escalation-re-measured query). The
+      // the expected executed time ((reps+warmup) x summed medians + each
+      // escalated query's median x its ACTUAL extra runs — 5 per
+      // escalation, 10 when spread and cross-run both fired). The
       // `contended` verdict comes from BenchStats.looksContended — ONE
       // definition shared with the stdout summary; tools/bench_diff.py
       // reads this field rather than re-deriving it.
@@ -308,7 +336,8 @@ object Bench {
         (histLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-    } catch {
+    }
+    catch {
       // the artifact is an audit aid; a read-only working dir or a
       // malformed SPARK_GRAFT_BENCH_OUT must not fail the bench itself
       case scala.util.control.NonFatal(e) =>

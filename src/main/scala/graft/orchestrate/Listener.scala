@@ -484,12 +484,30 @@ object Listener {
               respond(ex, 200, "[]")
             else {
               // each line is already a JSON object (Bench appends via
-              // BenchStats.historyLine); serve the trailing window so a
-              // long-lived history never grows the response unboundedly
-              import scala.jdk.CollectionConverters._
-              val lines = java.nio.file.Files.readAllLines(p).asScala
-                .filter(_.trim.nonEmpty).takeRight(100)
-              respond(ex, 200, lines.mkString("[", ", ", "]"))
+              // BenchStats.historyLine); serve the trailing window. The
+              // file grows one line per run forever, so a hot dashboard
+              // endpoint must not re-read the whole thing — read a
+              // bounded TAIL (256 KiB ≫ 100 records) and drop the first
+              // line when the window starts mid-record.
+              val size = java.nio.file.Files.size(p)
+              val cap = 256L * 1024
+              val ch = java.nio.channels.FileChannel.open(p,
+                java.nio.file.StandardOpenOption.READ)
+              val text =
+                try {
+                  val start = math.max(0L, size - cap)
+                  val buf = java.nio.ByteBuffer.allocate(
+                    (size - start).toInt)
+                  ch.position(start)
+                  while (buf.hasRemaining && ch.read(buf) >= 0) {}
+                  new String(buf.array(), 0, buf.position(),
+                    java.nio.charset.StandardCharsets.UTF_8)
+                } finally ch.close()
+              val lines = text.split("\n").toSeq
+                .filter(_.trim.nonEmpty)
+              val whole = if (size > cap) lines.drop(1) else lines
+              respond(ex, 200,
+                whole.takeRight(100).mkString("[", ", ", "]"))
             }
         }
       },

@@ -532,10 +532,16 @@ object GraphQueries {
     "q282_community_drift" -> { (s, dir) =>
       // both year labellings ride the (dir, year) artifact cache — they
       // belong to the cache (released on evict), so the call pays only
-      // the contingency-scale Rand index
+      // the contingency-scale Rand index. The 1-row index is cut
+      // EAGERLY before returning: a lazy plan would still reference the
+      // cache-owned checkpoints at the CALLER's action time, and in a
+      // multi-dir listener another thread's gets can LRU-evict (and
+      // release) them in between — the eager cut runs while this call
+      // still holds them live. The 1-row checkpoint itself is never
+      // released (negligible, and the caller owns the result).
       val la = yearLabelsCache.get(s, (dir, 1996))
       val lb = yearLabelsCache.get(s, (dir, 1997))
-      Graph.randIndexPpm(la, lb)
+      Graph.randIndexPpm(la, lb).localCheckpoint(true)
         .select(col("n_nodes"),
           col("n_comm_a").as("n_comm_1996"),
           col("n_comm_b").as("n_comm_1997"),

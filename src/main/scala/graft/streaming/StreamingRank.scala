@@ -178,9 +178,6 @@ object StreamingRank {
     * swap for concurrent readers). Idempotent per edge-state only in
     * the fixpoint sense — each call advances the iteration count; see
     * the class doc. */
-  /** Size of the compared head in the rank drift log. */
-  private val DriftK = 100
-
   def refreshRanks(spark: SparkSession, cfg: Config): Unit = {
     val fs = ranksDir(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -237,6 +234,9 @@ object StreamingRank {
 
   private def rankDriftPath(cfg: Config) =
     new Path(cfg.storeDir, "ranks_drift")
+
+  /** Size of the compared head in the rank drift log. */
+  private val DriftK = 100
 
   /** The refresh-over-refresh rank-stability log, oldest first:
     * `(refresh_seq, k, overlap, footrule)` — overlap is |top-K ∩ top-K|

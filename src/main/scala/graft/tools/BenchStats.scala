@@ -58,16 +58,23 @@ object BenchStats {
         math.max(extraRunSec, 0.0))) ||
       loadavg1 > hostCpus.toDouble
 
-  /** Per-query medians and the `contended` self-label of a PRIOR Bench
-    * artifact (the engine's own `bench/last_run.json` format — one
-    * `"name": {"median_sec":X…}` line per query). Pure text parsing so
-    * the cross-run defence needs no JSON library and stays unit-testable;
-    * a file that is not a Bench artifact parses to (false, empty) and
-    * the defence silently stands down. */
-  def parseArtifact(text: String): (Boolean, Map[String, Double]) = {
+  /** Per-query medians, the `contended` self-label, and the SCALE
+    * FACTOR of a PRIOR Bench artifact (the engine's own
+    * `bench/last_run.json` format — one `"name": {"median_sec":X…}`
+    * line per query). Pure text parsing so the cross-run defence needs
+    * no JSON library and stays unit-testable; a file that is not a
+    * Bench artifact parses to (false, "", empty) and the defence
+    * silently stands down. The sf comes along because the artifact
+    * path is shared across scale factors: comparing an sf0.1 run's
+    * medians against an sf0.001 smoke's would escalate the whole
+    * suite — the caller must stand down on an sf mismatch. */
+  def parseArtifact(text: String)
+      : (Boolean, String, Map[String, Double]) = {
     val contended = """"contended"\s*:\s*true""".r.findFirstIn(text).nonEmpty
+    val sf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse("")
     val q = """"([^"\\]+)"\s*:\s*\{\s*"median_sec"\s*:\s*([0-9.]+)""".r
-    (contended,
+    (contended, sf,
       q.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap)
   }

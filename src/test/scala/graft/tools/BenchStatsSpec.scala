@@ -107,8 +107,8 @@ class BenchStatsSpec extends AnyFunSuite {
       .contains("\"sf\":\"a\\\"b\\u0009c\""))
   }
 
-  test("parseArtifact recovers per-query medians and the contended " +
-      "label from the engine's own artifact format") {
+  test("parseArtifact recovers per-query medians, the contended label " +
+      "and the SCALE FACTOR from the engine's own artifact format") {
     val art =
       """{
         |  "sf": "/root/testdata/sf0.1",
@@ -121,8 +121,13 @@ class BenchStatsSpec extends AnyFunSuite {
         |  }
         |}
         |""".stripMargin
-    val (contended, m) = BenchStats.parseArtifact(art)
+    val (contended, sf, m) = BenchStats.parseArtifact(art)
     assert(!contended)
+    // the sf rides along so Bench can stand the cross-run defence down
+    // when the shared artifact path last held a DIFFERENT scale factor
+    // (judging sf0.1 medians against an sf0.001 smoke would escalate
+    // the whole suite)
+    assert(sf === "/root/testdata/sf0.1")
     assert(m == Map(
       "q149_source_similarity" -> 1.05,
       "q282_community_drift" -> 3.59,
@@ -132,6 +137,6 @@ class BenchStatsSpec extends AnyFunSuite {
       """{"contended": true, "queries": {}}""")._1)
     // junk input stands the defence down instead of throwing
     assert(BenchStats.parseArtifact("not json at all") ==
-      ((false, Map.empty[String, Double])))
+      ((false, "", Map.empty[String, Double])))
   }
 }
