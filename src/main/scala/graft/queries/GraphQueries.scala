@@ -470,6 +470,38 @@ object GraphQueries {
           col("deg_x"), col("deg_y"), col("jaccard_ppm"))
     },
 
+    // Resource-allocation link prediction (Zhou-Lü-Zhang 2009) — the
+    // refinement of q288's raw common-neighbor count: each shared
+    // neighbor votes 1/deg(via), so a rare shared context counts far
+    // more than co-occurring with a part everything co-occurs with
+    // (the same hub-discounting idea as Adamic-Adar, but 1/deg is
+    // EXACTLY representable in fixed point where 1/ln(deg) is not:
+    // each term is 1e6 div deg, deterministic and oracle-stable).
+    // Same seed-scoped wedge shape as q288 — semi-join to the seed
+    // brand's parts BEFORE the expansion bounds the join by the seeds'
+    // wedge share; top-20 TakeOrdered.
+    "q291_resource_allocation" -> { (s, dir) =>
+      val sym = Graph.symmetrize(pairsCache.get(s, dir))
+      val seeds = seedBrandParts(s, dir)
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      sym.select(col("src").as("via"), col("dst").as("x"))
+        .join(seeds.withColumnRenamed("node", "x"), Seq("x"),
+          "left_semi")
+        .join(sym.select(col("src").as("via"), col("dst").as("y")),
+          "via")
+        .filter(col("x") =!= col("y"))
+        .join(deg.select(col("node").as("via"),
+          col("deg").as("via_deg")), "via")
+        .groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("common"),
+          sum(expr("1000000 div via_deg")).as("ra_e6"))
+        .orderBy(col("ra_e6").desc, col("x"), col("y"))
+        .limit(20)
+        .select(col("x").as("seed_part"), col("y").as("counterpart"),
+          col("common").as("common_neighbors"), col("ra_e6"))
+    },
+
     // WEIGHTED modularity of the weighted partition — q275's twin on
     // the weighted axis, closing the weighted loop the same way (q273
     // finds the partition, this scores it): per-community contribution
@@ -886,6 +918,22 @@ object GraphQueries {
          JOIN deg dx ON c.x = dx.src
          JOIN deg dy ON c.y = dy.src
          ORDER BY jaccard_ppm DESC, seed_part, counterpart LIMIT 20""",
+
+    "q291_resource_allocation" ->
+      s"""WITH $GraphCtes,
+         seeds AS (SELECT p_partkey AS node FROM part
+           WHERE p_brand = (SELECT min(p_brand) FROM part))
+         SELECT c.x AS seed_part, c.y AS counterpart,
+           CAST(common AS BIGINT) AS common_neighbors,
+           CAST(ra_e6 AS BIGINT) AS ra_e6
+         FROM (SELECT ex.dst AS x, ey.dst AS y, COUNT(*) AS common,
+             SUM(1000000 // d.outdeg) AS ra_e6
+           FROM sym ex
+           JOIN seeds s ON ex.dst = s.node
+           JOIN sym ey ON ex.src = ey.src AND ex.dst <> ey.dst
+           JOIN deg d ON ex.src = d.src
+           GROUP BY 1, 2) c
+         ORDER BY ra_e6 DESC, seed_part, counterpart LIMIT 20""",
 
     "q287_weighted_modularity" ->
       s"""WITH $WPairsCtes,

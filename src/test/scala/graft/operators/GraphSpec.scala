@@ -561,6 +561,46 @@ class GraphSpec extends SparkSpec {
     assert(out.forall(r => seeds(r.getLong(0))))
   }
 
+  test("q291: resource-allocation index equals the brute-force " +
+      "1e6-div-degree replay over the seed-scoped wedges") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q291_resource_allocation")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val pr = Graph.canonicalPairs(
+      graft.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey")
+    val edges =
+      try pr.collect().map(r => (r.getLong(0), r.getLong(1)))
+      finally Graph.release(pr)
+    val part = graft.Tables.load(spark, dir, "part")
+      .select(col("p_partkey").cast("long"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val seedBrand = part.map(_._2).min
+    val seeds = part.collect { case (k, b) if b == seedBrand => k }.toSet
+    val adj = (edges.map { case (a, b) => a -> b } ++
+      edges.map { case (a, b) => b -> a })
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    // each via contributes 1e6 div deg(via), truncated PER TERM — the
+    // same fixed-point contract the query and its oracle share
+    val scored = adj.toSeq.flatMap { case (via, ns) =>
+      val term = 1000000L / ns.size
+      for (x <- ns.toSeq if seeds(x); y <- ns.toSeq if y != x)
+        yield ((x, y), term)
+    }.groupBy(_._1).map { case (p, xs) =>
+      (p._1, p._2, xs.size.toLong, xs.map(_._2).sum)
+    }
+    val expect = scored.toSeq
+      .sortBy { case (x, y, _, ra) => (-ra, x, y) }.take(20)
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq
+    assert(got === expect)
+    // hub discounting really discriminates: scores are not all equal
+    assert(expect.map(_._4).distinct.length > 1 ||
+      expect.length < 20)
+  }
+
   test("q268 output: community sizes descending, members >= 3, span " +
       "consistent") {
     val out = graft.queries.GraphQueries
