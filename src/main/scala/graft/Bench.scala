@@ -164,17 +164,52 @@ object Bench {
         case scala.util.control.NonFatal(_) =>
           (false, Map.empty[String, Double])
       }
+    // the PER-QUERY RING (last RingKeep runs' medians, same-sf and
+    // uncontended only): when present, the baseline is the MEDIAN of
+    // recent clean runs — statistically sturdier than exactly one
+    // previous artifact, whose single anomalous-but-self-labeled-clean
+    // number would otherwise own the comparison. Falls back to the
+    // previous artifact for queries the ring has never seen.
+    val ringPathOpt = outPathOpt.map(_.resolveSibling("ring.jsonl"))
+    val ringRuns: Seq[Map[String, Double]] =
+      try ringPathOpt.filter(java.nio.file.Files.exists(_)) match {
+        case Some(p) => tools.BenchStats.parseRing(
+          new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8), sfDir)
+        case None => Seq.empty
+      } catch {
+        case scala.util.control.NonFatal(_) => Seq.empty
+      }
+    // ring entries are uncontended by construction, so a ring baseline
+    // carries prevContended = false; only the artifact fallback can be
+    // contended-suppressed
+    def baseline(name: String): (Option[Double], Boolean) =
+      tools.BenchStats.ringBaseline(ringRuns, name) match {
+        case some @ Some(_) => (some, false)
+        case None => (prevMedians.get(name), prevContended)
+      }
+    // load-conditional factor (r14 adjudication): an observably-busy
+    // start tightens the escalation to 1.5x so uniform inflations in
+    // the 1.5-3x band re-measure instead of recording
+    val load1AtStart =
+      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
+        .getOrElse(0.0)
+    val suspectFactor = tools.BenchStats.suspectFactor(load1AtStart,
+      Runtime.getRuntime.availableProcessors)
     val second = first.map {
       case (name, fn, (t, None), s, rm, extra)
-          if tools.BenchStats.crossRunSuspect(t, prevMedians.get(name),
-            prevContended) =>
+          if {
+            val (b, bc) = baseline(name)
+            tools.BenchStats.crossRunSuspect(t, b, bc, suspectFactor)
+          } =>
         val ok = Seq.fill(5)(runOne(fn)).collect { case (t2, None) => t2 }
         val healed = if (ok.isEmpty) t else tools.BenchStats.median(ok)
+        val (b, bc) = baseline(name)
         val stillSuspect = tools.BenchStats.crossRunSuspect(healed,
-          prevMedians.get(name), prevContended)
+          b, bc, suspectFactor)
         (name, fn, (healed, Option.empty[String]),
           if (ok.isEmpty) s else tools.BenchStats.spread(ok), true,
-          if (stillSuspect) prevMedians.get(name) else None, extra + 5)
+          if (stillSuspect) b else None, extra + 5)
       case (name, fn, r, s, rm, extra) =>
         (name, fn, r, s, rm, None, extra)
     }
@@ -246,9 +281,7 @@ object Bench {
     val loadEnd = loadavg()
     // the run labels ITSELF contended (one definition — BenchStats — so
     // bench_diff.py and any future reader agree with the artifact)
-    val load1Start =
-      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
-        .getOrElse(0.0)
+    val load1Start = load1AtStart
     // every escalated query executed extra runs the artifact's total
     // does not count (5 per escalation; a query hit by BOTH the spread
     // and the cross-run path ran 10) — without this term a run with
@@ -336,6 +369,26 @@ object Bench {
         (histLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      // the PER-QUERY RING: this run's successful medians appended,
+      // trailing RingKeep lines kept (rewrite, not append — the ring is
+      // a bounded baseline, not a log; history.jsonl keeps the story).
+      // Contended runs are recorded too (the label travels with the
+      // line) and filtered OUT at read time, so a run on a busy box
+      // ages baseline entries without poisoning them.
+      val ringPath = outPath.resolveSibling("ring.jsonl")
+      val ringNew = tools.BenchStats.ringLine(System.currentTimeMillis(),
+        sfDir, contended,
+        results.collect { case (k, (v, None)) => k -> v })
+      val ringOld =
+        if (java.nio.file.Files.exists(ringPath))
+          new String(java.nio.file.Files.readAllBytes(ringPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.filter(_.trim.nonEmpty).toSeq
+        else Seq.empty[String]
+      java.nio.file.Files.write(ringPath,
+        (tools.BenchStats.rotateRing(ringOld :+ ringNew)
+          .mkString("", "\n", "\n"))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     catch {
       // the artifact is an audit aid; a read-only working dir or a

@@ -304,7 +304,36 @@ object Graph {
     * aggregates + one semi-join per side over the surviving pair
     * relation, lineage cut per round. Returns the surviving
     * `(node, degree)`. */
-  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreDegrees(kCorePeel(pairs, k, rounds))
+
+  /** [[kCore]] materialised as a NODE-SCALE ARTIFACT: the surviving
+    * `(node, degree)` relation eagerly checkpointed, with the peel's
+    * final surviving-EDGE snapshot released the moment the artifact
+    * exists. Plain [[kCore]] returns a lazy aggregate whose final edge
+    * snapshot must stay resident until the caller's action — the right
+    * contract for a one-shot query, the wrong one for a shared cache
+    * (the retained relation would be edge-scale, and every re-run would
+    * re-peel). This is the build function for the core-decomposition
+    * cache in [[graft.queries.GraphQueries]]. Caller owns (and
+    * eventually releases) the returned node-scale artifact. */
+  def kCoreArtifact(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val cur = kCorePeel(pairs, k, rounds)
+    try kCoreDegrees(cur).localCheckpoint(true)
+    finally release(cur)
+  }
+
+  private def kCoreDegrees(survivors: DataFrame): DataFrame =
+    survivors.select(col("a").as("node"))
+      .unionByName(survivors.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** The shared peel loop: returns the FINAL surviving-edge snapshot
+    * (an eager checkpoint this object created — [[kCore]] leaves it
+    * resident for the caller's action, [[kCoreArtifact]] releases it
+    * after cutting the node-scale summary). */
+  private def kCorePeel(pairs: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
     // no checkpoint on entry: [[canonicalPairs]] hands over an
     // already-materialised relation, and a second cut here would hold
@@ -337,9 +366,7 @@ object Graph {
     } catch {
       case t: Throwable => superseded.foreach(release); throw t
     }
-    cur.select(col("a").as("node"))
-      .unionByName(cur.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    cur
   }
 
   /** Fixed-round synchronous label propagation over an undirected
@@ -546,7 +573,26 @@ object Graph {
     * equals `kCore(pairs, k, r)` exactly (spec-pinned). Same fixed
     * rounds / oracle-unrollable / checkpoint-lifetime contract as
     * [[kCore]]. Returns the surviving `(node, strength)`. */
-  def sCore(pairs: DataFrame, s: Long, rounds: Int): DataFrame = {
+  def sCore(pairs: DataFrame, s: Long, rounds: Int): DataFrame =
+    sCoreStrengths(sCorePeel(pairs, s, rounds))
+
+  /** [[sCore]] materialised as a NODE-SCALE ARTIFACT — the weighted
+    * twin of [[kCoreArtifact]], same contract: eager `(node, strength)`
+    * checkpoint, final surviving-edge snapshot released, caller owns
+    * the artifact. */
+  def sCoreArtifact(pairs: DataFrame, s: Long, rounds: Int): DataFrame = {
+    val cur = sCorePeel(pairs, s, rounds)
+    try sCoreStrengths(cur).localCheckpoint(true)
+    finally release(cur)
+  }
+
+  private def sCoreStrengths(survivors: DataFrame): DataFrame =
+    survivors.select(col("a").as("node"), col("w"))
+      .unionByName(survivors.select(col("b").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("strength"))
+
+  private def sCorePeel(pairs: DataFrame, s: Long,
+      rounds: Int): DataFrame = {
     require(s >= 1 && rounds >= 1)
     var cur = pairs.select(col("a"), col("b"), col("w"))
     var superseded: Option[DataFrame] = None
@@ -569,9 +615,7 @@ object Graph {
     } catch {
       case t: Throwable => superseded.foreach(release); throw t
     }
-    cur.select(col("a").as("node"), col("w"))
-      .unionByName(cur.select(col("b").as("node"), col("w")))
-      .groupBy(col("node")).agg(sum(col("w")).as("strength"))
+    cur
   }
 
   /** Out-degrees riding each edge, eagerly materialised: the relation

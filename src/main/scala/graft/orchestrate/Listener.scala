@@ -454,7 +454,8 @@ object Listener {
       },
 
       route("GET", "/api/communities/drift",
-        "refresh-over-refresh community stability (Rand index ppm)") {
+        "refresh-over-refresh community stability (Rand index ppm + " +
+          "top-k head overlap/footrule)") {
         (ex, _) =>
         rankDir match {
           case None =>
@@ -468,8 +469,42 @@ object Listener {
                 s""""n_nodes": ${r.getLong(1)}, """ +
                 s""""n_comm_prev": ${r.getLong(2)}, """ +
                 s""""n_comm_next": ${r.getLong(3)}, """ +
-                s""""rand_ppm": ${r.getAs[Long]("rand_ppm")}}""")
+                s""""rand_ppm": ${r.getAs[Long]("rand_ppm")}, """ +
+                s""""head_k": ${r.getAs[Long]("head_k")}, """ +
+                s""""head_overlap": ${r.getAs[Long]("head_overlap")}, """ +
+                s""""head_footrule": ${r.getAs[Long]("head_footrule")}}""")
             respond(ex, 200, rows.mkString("[", ", ", "]"))
+        }
+      },
+
+      route("POST", "/api/communities/refresh/{mode}",
+        "run one community refresh (mode: cold | warm — warm seeds " +
+          "LPA from the stored assignment)") { (ex, params) =>
+        rankDir match {
+          case None =>
+            respond(ex, 404, """{"detail": "no rank store configured"}""")
+          case Some(dir) =>
+            // the CLI's community-refresh --warm-start, listener-driven
+            // (r14 ask #6): the mode segment is the same opt-in — warm
+            // seeds Graph.seededLabelPropagation from the stored
+            // generation (first refresh degrades warm -> cold), cold is
+            // the identity-seeded batch contract. Anything else is a
+            // client error, not a silent cold run.
+            params.head match {
+              case m @ ("cold" | "warm") =>
+                val cfg = rankStoreCfg(dir)
+                graft.streaming.StreamingCommunities.refresh(spark, cfg,
+                  warmStart = m == "warm")
+                val n = graft.streaming.StreamingCommunities
+                  .communities(spark, cfg).count()
+                respond(ex, 200,
+                  s"""{"status": "ok", "mode": ${q(m)}, """ +
+                  s""""n_nodes": $n}""")
+              case other =>
+                respond(ex, 422,
+                  s"""{"detail": "mode must be cold or warm, got ${
+                    other.replaceAll("[\"\\\\]", "")}"}""")
+            }
         }
       },
 
@@ -487,15 +522,23 @@ object Listener {
               // BenchStats.historyLine); serve the trailing window. The
               // file grows one line per run forever, so a hot dashboard
               // endpoint must not re-read the whole thing — read a
-              // bounded TAIL (256 KiB ≫ 100 records) and drop the first
-              // line when the window starts mid-record.
+              // bounded TAIL (256 KiB ≫ 100 records). ONE extra byte
+              // before the window (when mid-file) tells us whether the
+              // window starts exactly on a record boundary: a '\n' at
+              // the seam means the first line is a whole record and
+              // must be kept (r14 advice — the old unconditional drop
+              // silently lost one valid record per boundary-aligned
+              // window); anything else means the window began
+              // mid-record and the partial head is skipped through its
+              // first newline.
               val size = java.nio.file.Files.size(p)
               val cap = 256L * 1024
+              val from = math.max(0L, size - cap)
+              val start = if (from > 0) from - 1 else 0L
               val ch = java.nio.channels.FileChannel.open(p,
                 java.nio.file.StandardOpenOption.READ)
               val text =
                 try {
-                  val start = math.max(0L, size - cap)
                   val buf = java.nio.ByteBuffer.allocate(
                     (size - start).toInt)
                   ch.position(start)
@@ -503,9 +546,23 @@ object Listener {
                   new String(buf.array(), 0, buf.position(),
                     java.nio.charset.StandardCharsets.UTF_8)
                 } finally ch.close()
-              val lines = text.split("\n").toSeq
-                .filter(_.trim.nonEmpty)
-              val whole = if (size > cap) lines.drop(1) else lines
+              val window =
+                if (from == 0) text
+                else if (text.startsWith("\n")) text.substring(1)
+                else {
+                  val i = text.indexOf('\n')
+                  if (i < 0) "" else text.substring(i + 1)
+                }
+              // a reader racing the appender can capture a torn
+              // in-progress final line — emit it only if it terminated
+              // (every record ends with '}'; the newline may not have
+              // landed yet)
+              val raw = window.split("\n", -1).toSeq
+              val whole =
+                (if (raw.nonEmpty && raw.last.trim.nonEmpty &&
+                    !raw.last.trim.endsWith("}")) raw.dropRight(1)
+                 else raw)
+                  .map(_.trim).filter(_.nonEmpty)
               respond(ex, 200,
                 whole.takeRight(100).mkString("[", ", ", "]"))
             }

@@ -614,6 +614,90 @@ object DsShapes {
         .orderBy(col("segment"), col("band"))
     },
 
+    // Time-band count grid (TPC-DS Q88 shape): ONE conditional-
+    // aggregation scan producing the eight-band activity pyramid — per
+    // two-hour band from 08:00 to midnight, how many events hit any of
+    // three (type, value-range) profiles. Q88's classic single-pass
+    // COUNT(CASE…) grid: the fact table is touched ONCE (ExplainAudit
+    // pins no re-scan), every band is a conditional sum inside one
+    // partial-aggregatable global aggregate — at 100 TB this is one
+    // map-side-combined scan, where the naive 8-subquery phrasing would
+    // be 8. Counts only, so the oracle needs no fixed-point lifting.
+    "q292_time_band_grid" -> { (s, dir) =>
+      val hit =
+        (col("event_type") === "purchase" &&
+          col("value").between(50.0, 150.0)) ||
+        (col("event_type") === "click" &&
+          col("value").between(0.0, 100.0)) ||
+        (col("event_type") === "view" &&
+          col("value").between(100.0, 300.0))
+      def band(lo: Int): org.apache.spark.sql.Column =
+        sum(when(hour(col("ts")).between(lo, lo + 1) && hit, 1L)
+          .otherwise(0L))
+      t(s, dir, "events").agg(
+        band(8).as("h08_10"), band(10).as("h10_12"),
+        band(12).as("h12_14"), band(14).as("h14_16"),
+        band(16).as("h16_18"), band(18).as("h18_20"),
+        band(20).as("h20_22"), band(22).as("h22_24"))
+    },
+
+    // Nation-relative return outliers (TPC-DS Q1 shape): customers
+    // whose returned revenue exceeds 1.2× their NATION's average
+    // customer return — the classic correlated-subquery report, phrased
+    // as one partitioned window over the per-customer return aggregate
+    // (customer-scale, never the fact). The >1.2× predicate clears
+    // denominators (ret·n·10 > nat_sum·12 — the q279 trick), so the
+    // comparison is exact integer arithmetic end-to-end, and the
+    // reported vs-average ratio is ppm via integral div over
+    // non-negative terms (truncation ≡ floor).
+    "q298_return_outliers" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ret = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(revE4).as("ret_e4"))
+      val w = Window.partitionBy(col("c_nationkey"))
+      ret
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("nat_sum", sum(col("ret_e4")).over(w))
+        .withColumn("nat_n", count(lit(1)).over(w))
+        .filter(expr("ret_e4 * nat_n * 10 > nat_sum * 12"))
+        .select(col("c_custkey").as("cust_key"),
+          col("c_nationkey").cast("long").as("nation_key"),
+          col("ret_e4").cast("long").as("returns_e4"),
+          expr("""CAST(ret_e4 * nat_n * 1000000
+                  div greatest(nat_sum, 1) AS BIGINT)""")
+            .as("vs_avg_ppm"))
+        .orderBy(col("vs_avg_ppm").desc, col("cust_key"))
+        .limit(25)
+    },
+
+    // Morning-vs-evening activity ratio (TPC-DS Q90 shape): the
+    // am/pm event-count quotient for one engagement profile — Q88's
+    // sibling that returns a RATIO instead of the grid. Same one-scan
+    // conditional-aggregation discipline (two bands of the same
+    // single-pass pyramid), quotient in exact ppm via integral div —
+    // both counts non-negative, so truncation ≡ floor across engines;
+    // an empty evening band guards the divisor with GREATEST(_, 1)
+    // instead of erroring.
+    "q297_ampm_ratio" -> { (s, dir) =>
+      val hit = (col("event_type") === "purchase" ||
+        col("event_type") === "click") && col("value") <= 200.0
+      t(s, dir, "events").agg(
+          sum(when(hour(col("ts")).between(8, 9) && hit, 1L)
+            .otherwise(0L)).as("am_events"),
+          sum(when(hour(col("ts")).between(20, 21) && hit, 1L)
+            .otherwise(0L)).as("pm_events"))
+        .select(col("am_events"), col("pm_events"),
+          expr("am_events * 1000000 div greatest(pm_events, 1)")
+            .as("am_pm_ppm"))
+    },
+
     // Robust revenue trend per brand: the THEIL–SEN slope over the
     // 1996–1997 monthly series — the median of all pairwise
     // month-to-month slopes, immune to single-month outliers where an
@@ -1038,6 +1122,53 @@ object DsShapes {
          JOIN bands ON n_orders BETWEEN lo AND hi
          JOIN customer ON o_custkey = c_custkey
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q292_time_band_grid" -> {
+      def band(lo: Int): String =
+        s"""CAST(SUM(CASE WHEN hour(ts) BETWEEN $lo AND ${lo + 1}
+             AND ((event_type = 'purchase' AND value BETWEEN 50 AND 150)
+               OR (event_type = 'click' AND value BETWEEN 0 AND 100)
+               OR (event_type = 'view' AND value BETWEEN 100 AND 300))
+             THEN 1 ELSE 0 END) AS BIGINT)"""
+      s"""SELECT
+           ${band(8)} AS h08_10, ${band(10)} AS h10_12,
+           ${band(12)} AS h12_14, ${band(14)} AS h14_16,
+           ${band(16)} AS h16_18, ${band(18)} AS h18_20,
+           ${band(20)} AS h20_22, ${band(22)} AS h22_24
+         FROM events"""
+    },
+
+    "q298_return_outliers" ->
+      s"""WITH r AS (SELECT o_custkey, SUM($RevE4Sql) AS ret_e4
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R' GROUP BY 1),
+         j AS (SELECT c_custkey, c_nationkey, ret_e4,
+             SUM(ret_e4) OVER (PARTITION BY c_nationkey) AS nat_sum,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS nat_n
+           FROM r JOIN customer ON o_custkey = c_custkey)
+         SELECT c_custkey AS cust_key,
+           CAST(c_nationkey AS BIGINT) AS nation_key,
+           CAST(ret_e4 AS BIGINT) AS returns_e4,
+           CAST(ret_e4 * nat_n * 1000000 // GREATEST(nat_sum, 1)
+             AS BIGINT) AS vs_avg_ppm
+         FROM j WHERE ret_e4 * nat_n * 10 > nat_sum * 12
+         ORDER BY vs_avg_ppm DESC, cust_key LIMIT 25""",
+
+    "q297_ampm_ratio" ->
+      """WITH agg AS (SELECT
+           CAST(SUM(CASE WHEN hour(ts) BETWEEN 8 AND 9
+             AND (event_type = 'purchase' OR event_type = 'click')
+             AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS am_events,
+           CAST(SUM(CASE WHEN hour(ts) BETWEEN 20 AND 21
+             AND (event_type = 'purchase' OR event_type = 'click')
+             AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pm_events
+           FROM events)
+         SELECT am_events, pm_events,
+           CAST(am_events * 1000000 // GREATEST(pm_events, 1)
+             AS BIGINT) AS am_pm_ppm
+         FROM agg""",
 
     "q290_theil_sen_trend" ->
       s"""WITH m AS (SELECT p_brand,

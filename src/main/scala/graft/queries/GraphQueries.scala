@@ -23,11 +23,11 @@ object GraphQueries {
 
   /** The near-duplicate candidate graph as canonical pairs `(a, b)` —
     * the banded minhash join (q28's relation), shared by the centrality
-    * (q264) and community (q271) views. `lshCandidates` already returns
-    * a distinct pair relation, so no re-dedup; the EAGER checkpoint
-    * (the `Graph.canonicalPairs` contract) lets both symmetrisation
-    * orientations read one materialisation with no first-consumer
-    * race. */
+    * (q264) and community (q271) views through [[lshPairsCache]].
+    * `lshCandidates` already returns a distinct pair relation, so no
+    * re-dedup; the EAGER checkpoint (the `Graph.canonicalPairs`
+    * contract) lets both symmetrisation orientations read one
+    * materialisation with no first-consumer race. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
     Dedup.lshCandidates(
@@ -48,15 +48,48 @@ object GraphQueries {
     * bounds the retained storage; eviction RELEASES the artifact when it
     * belongs to the evicting caller's session (an entry from another
     * session is just dropped — its checkpoints die with that session,
-    * and releasing through a foreign/stopped context is not safe).
-    * `buildCount` is the test hook pinning build-once behavior. */
+    * and releasing through a foreign/stopped context is not safe; a
+    * LIVE foreign session's entry evicted here is likewise dropped
+    * unreleased — bounded by that session's lifetime, see the r14
+    * verdict note). `buildCount` is the test hook pinning build-once
+    * behavior.
+    *
+    * CONSUMER CONTRACT (r14 advice): `get` alone is safe only for a
+    * caller that finishes reading the artifact before any other get on
+    * the same cache can run — it re-validates nothing once the lock is
+    * dropped, so a LAZY plan returned to a caller may reference
+    * checkpoints a concurrent caller's overflow has already released.
+    * Consumers that hand plans OUT (the query lambdas) must instead use
+    * [[withArtifact]], which holds the cache lock across the read and
+    * requires the result to be eagerly materialised before it
+    * escapes. */
   private[graft] final class DirCache[K, A](
       build: (SparkSession, K) => A, releaseFn: A => Unit, cap: Int = 4) {
     private val cached =
       scala.collection.mutable.LinkedHashMap.empty[(SparkSession, K), A]
     private var builds = 0L
     private[graft] def buildCount: Long = synchronized(builds)
-    def get(s: SparkSession, key: K): A = synchronized {
+    def get(s: SparkSession, key: K): A = synchronized(getLocked(s, key))
+
+    /** Pin the entry across the consumer's WHOLE read: `f` runs while
+      * this cache's lock is held, so a concurrent `get`'s LRU eviction
+      * can never release the artifact mid-plan. `f` MUST eagerly
+      * materialise what it returns (a `localCheckpoint(true)` of a
+      * BOUNDED result) — a lazy plan escaping the lock would re-open
+      * exactly the race this closes. Holding the lock across `f` adds
+      * no new serialisation point: builds already run inside `get`'s
+      * lock, and the graph queries are single-flight per cache by
+      * design. Nested cache locks are taken ONLY in build-dependency
+      * order (labels → pairs, cores → pairs), so the nesting is
+      * acyclic; the lock is reentrant, so `f` may `get` ONE second key
+      * from the SAME cache (q282's two years) — with cap ≥ 2 a single
+      * additional insert can never evict the just-touched pinned key,
+      * but a THIRD same-cache get inside `f` could walk the eviction
+      * up to the pin (spec-pinned boundary). */
+    def withArtifact[B](s: SparkSession, key: K)(f: A => B): B =
+      synchronized(f(getLocked(s, key)))
+
+    private def getLocked(s: SparkSession, key: K): A = {
       val k = (s, key)
       cached.remove(k) match {
         case Some(a) =>
@@ -136,6 +169,50 @@ object GraphQueries {
       finally Graph.release(p)
     }, Graph.release)
 
+  /** The K-CORE DECOMPOSITION artifact (r14 ask #3): the k=4 / 6-round
+    * peel's surviving `(node, degree)` relation, node-scale, computed
+    * once per (data dir, session) over the shared pairs artifact
+    * ([[Graph.kCoreArtifact]] — the peel's edge-scale working snapshots
+    * are released inside the build; only the node-scale result stays
+    * resident). q266 summarises it, q293 profiles it by brand, q294
+    * intersects it with the strength core — the peel was the suite's
+    * most expensive idle computation and now runs once, not once per
+    * consumer (or per bench rep). */
+  private val coreCache = new DirCache[String, DataFrame]((s, dir) =>
+    Graph.kCoreArtifact(pairsCache.get(s, dir), k = 4, rounds = 6),
+    Graph.release)
+
+  /** The S-CORE (strength) decomposition artifact — [[coreCache]]'s
+    * weighted twin over the shared weighted pairs (s = 80, 6 rounds):
+    * q276 summarises it, q294 intersects it with the k-core. */
+  private val sCoreCache = new DirCache[String, DataFrame]((s, dir) =>
+    Graph.sCoreArtifact(wpairsCache.get(s, dir), s = 80L, rounds = 6),
+    Graph.release)
+
+  /** The NEAR-DUPLICATE candidate-pair artifact: the banded minhash
+    * join materialised once per (data dir, session) — q264 (centrality)
+    * and q271 (template families) each re-derived the same
+    * shingle→minhash→band relation per call (and per bench rep) before
+    * this rode the keyed cache like the co-purchase pairs do. */
+  private val lshPairsCache =
+    new DirCache[String, DataFrame](lshPairs, Graph.release)
+
+  /** The BIPARTITE customer↔part purchase relation (distinct), the
+    * edge set of the HITS pair q295 (authorities) / q300 (hubs) — one
+    * fact-scale orders ⋈ lineitem distinct per (dir, session), shared
+    * by both views (and both bench reps) instead of rebuilt per
+    * call. */
+  private val bipartiteCache =
+    new DirCache[String, DataFrame]((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true), Graph.release)
+
   /** The alphabetically-first brand's part keys — the shared seed set
     * of the proximity pair q256 (PPR mass) / q274 (hop distance). */
   private def seedBrandParts(s: SparkSession, dir: String): DataFrame = {
@@ -155,12 +232,17 @@ object GraphQueries {
     // join + one keyed aggregate over the edge relation — the scale
     // shape a 100 TB co-purchase graph needs (edges co-partitioned on
     // src, node-scale rank relation moving, lineage cut per round).
+    // withArtifact + the eager 20-row cut is the cache consumer
+    // contract (r14 advice); releasing the rank snapshot afterwards
+    // closes what was a per-call node-scale leak.
     "q251_pagerank" -> { (s, dir) =>
-      Graph.pageRank(Graph.symmetrize(pairsCache.get(s, dir)),
-          iterations = 5)
-        .select(col("node").as("part_key"), col("rank_e6"))
-        .orderBy(col("rank_e6").desc, col("part_key"))
-        .limit(20)
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val r = Graph.pageRank(Graph.symmetrize(pairs), iterations = 5)
+        try r.select(col("node").as("part_key"), col("rank_e6"))
+          .orderBy(col("rank_e6").desc, col("part_key"))
+          .limit(20).localCheckpoint(true)
+        finally Graph.release(r)
+      }
     },
 
     // Modularity of the brand partition over the co-purchase graph:
@@ -171,7 +253,7 @@ object GraphQueries {
     // the canonical pair relation + two keyed aggregates; the global
     // edge count rides a broadcast single-row cross join.
     "q255_brand_modularity" -> { (s, dir) =>
-      val pairs = pairsCache.get(s, dir)
+      pairsCache.withArtifact(s, dir) { pairs =>
       val brand = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))
       val m = pairs.agg(count(lit(1)).as("m"))
@@ -206,6 +288,8 @@ object GraphQueries {
           col("intra_pairs"), col("contrib_e6").cast("long")
             .as("contrib_e6"))
         .orderBy(col("p_brand"))
+        .localCheckpoint(true) // brand-scale (~25 rows): the consumer contract
+      }
     },
 
     // Centrality of the near-duplicate graph: PageRank over the LSH
@@ -216,15 +300,17 @@ object GraphQueries {
     // banded minhash join (q28's relation), so the graph build is the
     // bucketed dedup path — never all-pairs.
     "q264_dedup_centrality" -> { (s, dir) =>
-      val pairs = lshPairs(s, dir)
-      val edges = pairs
-        .select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"),
-          col("a").as("dst")))
-      Graph.pageRank(edges, iterations = 5)
-        .select(col("node").as("doc_id"), col("rank_e6"))
-        .orderBy(col("rank_e6").desc, col("doc_id"))
-        .limit(20)
+      lshPairsCache.withArtifact(s, dir) { pairs =>
+        val edges = pairs
+          .select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"),
+            col("a").as("dst")))
+        val r = Graph.pageRank(edges, iterations = 5)
+        try r.select(col("node").as("doc_id"), col("rank_e6"))
+          .orderBy(col("rank_e6").desc, col("doc_id"))
+          .limit(20).localCheckpoint(true)
+        finally Graph.release(r)
+      }
     },
 
     // Dense co-purchase core: six rounds of k-core peeling (k = 4) on
@@ -233,11 +319,14 @@ object GraphQueries {
     // bundle backbone. Six simultaneous peels; the fixed round count
     // is what keeps the distributed loop and the unrolled SQL oracle
     // byte-identical (see Graph.kCore).
+    // Reads the STORED decomposition ([[coreCache]]) — the peel runs
+    // once per (dir, session), this call pays one node-scale top-50.
     "q266_copurchase_core" -> { (s, dir) =>
-      Graph.kCore(pairsCache.get(s, dir), k = 4, rounds = 6)
-        .select(col("node").as("part_key"), col("degree"))
-        .orderBy(col("degree").desc, col("part_key"))
-        .limit(50)
+      coreCache.withArtifact(s, dir) { core =>
+        core.select(col("node").as("part_key"), col("degree"))
+          .orderBy(col("degree").desc, col("part_key"))
+          .limit(50).localCheckpoint(true)
+      }
     },
 
     // Related parts by personalized PageRank: random-walk-with-restart
@@ -247,20 +336,23 @@ object GraphQueries {
     // the seed restart mass is the only base term, so rank measures
     // graph proximity to the seed brand.
     "q256_related_parts" -> { (s, dir) =>
-      val edges = Graph.symmetrize(pairsCache.get(s, dir))
-      val partDim = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"))
-      val seedBrand = partDim.agg(min(col("p_brand")).as("seed_brand"))
-      Graph.personalizedPageRank(edges, seedBrandParts(s, dir),
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val edges = Graph.symmetrize(pairs)
+        val partDim = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))
+        val seedBrand = partDim.agg(min(col("p_brand")).as("seed_brand"))
+        val r = Graph.personalizedPageRank(edges, seedBrandParts(s, dir),
           iterations = 5)
-        .join(partDim, col("node") === col("p_partkey"))
-        .crossJoin(broadcast(seedBrand))
-        .filter(col("p_brand") =!= col("seed_brand") &&
-          col("rank_e6") > 0)
-        .select(col("node").as("part_key"), col("p_brand"),
-          col("rank_e6"))
-        .orderBy(col("rank_e6").desc, col("part_key"))
-        .limit(20)
+        try r.join(partDim, col("node") === col("p_partkey"))
+          .crossJoin(broadcast(seedBrand))
+          .filter(col("p_brand") =!= col("seed_brand") &&
+            col("rank_e6") > 0)
+          .select(col("node").as("part_key"), col("p_brand"),
+            col("rank_e6"))
+          .orderBy(col("rank_e6").desc, col("part_key"))
+          .limit(20).localCheckpoint(true)
+        finally Graph.release(r)
+      }
     },
 
     // Community ASSIGNMENT over the co-purchase graph: four rounds of
@@ -271,14 +363,16 @@ object GraphQueries {
     // partitioning and unrollable as SQL. Output is the community
     // summary relation (size + id span), largest first.
     "q268_copurchase_communities" -> { (s, dir) =>
-      labelsCache.get(s, dir)._1
-        .groupBy(col("label").as("community"))
-        .agg(count(lit(1)).as("n_members"),
-          min(col("node")).as("min_member"),
-          max(col("node")).as("max_member"))
-        .filter(col("n_members") >= 3)
-        .orderBy(col("n_members").desc, col("community"))
-        .limit(30)
+      labelsCache.withArtifact(s, dir) { case (labels, _) =>
+        labels
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("node")).as("min_member"),
+            max(col("node")).as("max_member"))
+          .filter(col("n_members") >= 3)
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(30).localCheckpoint(true)
+      }
     },
 
     // Weighted co-purchase PageRank: edges carry the CO-ORDER COUNT —
@@ -288,12 +382,14 @@ object GraphQueries {
     // (rank·w) div Σw in DECIMAL(38,0) — exact, order-free, and the
     // per-edge quotient is bounded by the rank, so sums stay BIGINT.
     "q272_weighted_copurchase_rank" -> { (s, dir) =>
-      Graph.weightedPageRank(
-        Graph.symmetrizeWeighted(wpairsCache.get(s, dir)),
-        iterations = 5)
-        .select(col("node").as("part_key"), col("rank_e6"))
-        .orderBy(col("rank_e6").desc, col("part_key"))
-        .limit(20)
+      wpairsCache.withArtifact(s, dir) { wpairs =>
+        val r = Graph.weightedPageRank(
+          Graph.symmetrizeWeighted(wpairs), iterations = 5)
+        try r.select(col("node").as("part_key"), col("rank_e6"))
+          .orderBy(col("rank_e6").desc, col("part_key"))
+          .limit(20).localCheckpoint(true)
+        finally Graph.release(r)
+      }
     },
 
     // Hop-distance profile from the seed brand: fixed-round
@@ -304,18 +400,22 @@ object GraphQueries {
     // so the distributed rounds and the unrolled UNION+MIN oracle are
     // bit-identical; the histogram output is hop-scale.
     "q274_brand_hop_profile" -> { (s, dir) =>
-      val edges = Graph.symmetrize(pairsCache.get(s, dir))
-      // seeds intersected with the GRAPH's nodes — the q256 PPR seed
-      // semantics (a brand part in no co-purchase pair is outside the
-      // graph, not a hop-0 member; counting it would overstate
-      // coverage)
-      val seeds = seedBrandParts(s, dir)
-        .join(edges.select(col("src").as("node")).distinct(),
-          Seq("node"), "left_semi")
-      Graph.hopDistance(edges, seeds, maxHops = 4)
-        .groupBy(col("hops"))
-        .agg(count(lit(1)).as("n_parts"))
-        .orderBy(col("hops"))
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val edges = Graph.symmetrize(pairs)
+        // seeds intersected with the GRAPH's nodes — the q256 PPR seed
+        // semantics (a brand part in no co-purchase pair is outside the
+        // graph, not a hop-0 member; counting it would overstate
+        // coverage)
+        val seeds = seedBrandParts(s, dir)
+          .join(edges.select(col("src").as("node")).distinct(),
+            Seq("node"), "left_semi")
+        val dist = Graph.hopDistance(edges, seeds, maxHops = 4)
+        try dist.groupBy(col("hops"))
+          .agg(count(lit(1)).as("n_parts"))
+          .orderBy(col("hops"))
+          .localCheckpoint(true) // hop-scale (≤ 5 rows)
+        finally Graph.release(dist)
+      }
     },
 
     // Weighted community assignment: neighbours vote with their
@@ -324,14 +424,16 @@ object GraphQueries {
     // q268's unweighted communities, mirroring q272's upgrade to
     // q251's rank.
     "q273_weighted_communities" -> { (s, dir) =>
-      wLabelsCache.get(s, dir)
-        .groupBy(col("label").as("community"))
-        .agg(count(lit(1)).as("n_members"),
-          min(col("node")).as("min_member"),
-          max(col("node")).as("max_member"))
-        .filter(col("n_members") >= 3)
-        .orderBy(col("n_members").desc, col("community"))
-        .limit(30)
+      wLabelsCache.withArtifact(s, dir) { labels =>
+        labels
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("node")).as("min_member"),
+            max(col("node")).as("max_member"))
+          .filter(col("n_members") >= 3)
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(30).localCheckpoint(true)
+      }
     },
 
     // Strength core of the co-purchase graph: six rounds of s-core
@@ -341,11 +443,14 @@ object GraphQueries {
     // 50-times-bought-together pairing can anchor a node that
     // degree-peeling would judge peripheral). Fixed rounds for oracle
     // parity, same as the k-core.
+    // Reads the STORED strength decomposition ([[sCoreCache]]), the
+    // same one-peel-many-summaries treatment as q266.
     "q276_copurchase_strength_core" -> { (s, dir) =>
-      Graph.sCore(wpairsCache.get(s, dir), s = 80L, rounds = 6)
-        .select(col("node").as("part_key"), col("strength"))
-        .orderBy(col("strength").desc, col("part_key"))
-        .limit(50)
+      sCoreCache.withArtifact(s, dir) { core =>
+        core.select(col("node").as("part_key"), col("strength"))
+          .orderBy(col("strength").desc, col("part_key"))
+          .limit(50).localCheckpoint(true)
+      }
     },
 
     // Modularity OF the found partition: q255 scores the GIVEN brand
@@ -355,9 +460,12 @@ object GraphQueries {
     // contribution e_c/m − (d_c/2m)², largest first; whether the found
     // partition beats the brand partition is now a query away, not a
     // judgment call.
+    // Nested pins, lock order labelsCache → pairsCache (the
+    // build-dependency order — labelsCache's own build takes the pairs
+    // lock), so BOTH artifacts stay resident across the read.
     "q275_lpa_modularity" -> { (s, dir) =>
-      val pairs = pairsCache.get(s, dir)
-      val labels = labelsCache.get(s, dir)._1
+      labelsCache.withArtifact(s, dir) { case (labels, _) =>
+      pairsCache.withArtifact(s, dir) { pairs =>
       val m = pairs.agg(count(lit(1)).as("m"))
       val deg = pairs.select(col("a").as("node"))
         .unionByName(pairs.select(col("b").as("node")))
@@ -389,7 +497,9 @@ object GraphQueries {
           col("degree_sum"), col("intra_pairs"),
           col("contrib_e6").cast("long").as("contrib_e6"))
         .orderBy(col("contrib_e6").desc, col("community"))
-        .limit(20)
+        .limit(20).localCheckpoint(true)
+      }
+      }
     },
 
     // Template families in the near-duplicate graph: label propagation
@@ -401,14 +511,18 @@ object GraphQueries {
     // one chance collision. Edges come from the bucketed dedup path,
     // never all-pairs.
     "q271_dedup_communities" -> { (s, dir) =>
-      Graph.labelPropagation(lshPairs(s, dir), rounds = 4)
-        .groupBy(col("label").as("family"))
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("node")).as("min_doc"),
-          max(col("node")).as("max_doc"))
-        .filter(col("n_docs") >= 2)
-        .orderBy(col("n_docs").desc, col("family"))
-        .limit(40)
+      lshPairsCache.withArtifact(s, dir) { pairs =>
+        val labels = Graph.labelPropagation(pairs, rounds = 4)
+        try labels
+          .groupBy(col("label").as("family"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("node")).as("min_doc"),
+            max(col("node")).as("max_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("family"))
+          .limit(40).localCheckpoint(true)
+        finally Graph.release(labels)
+      }
     },
 
     // Convergence diagnostic of the stored co-purchase LPA run:
@@ -443,7 +557,8 @@ object GraphQueries {
     // FULL-graph degrees, exact ppm (integral div); top-20 is
     // TakeOrdered, never a full sort.
     "q288_neighbor_jaccard" -> { (s, dir) =>
-      val sym = Graph.symmetrize(pairsCache.get(s, dir))
+      pairsCache.withArtifact(s, dir) { pairs =>
+      val sym = Graph.symmetrize(pairs)
       val seeds = seedBrandParts(s, dir)
       val deg = sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -468,6 +583,8 @@ object GraphQueries {
         .select(col("x").as("seed_part"), col("y").as("counterpart"),
           col("common").as("common_neighbors"),
           col("deg_x"), col("deg_y"), col("jaccard_ppm"))
+        .localCheckpoint(true)
+      }
     },
 
     // Resource-allocation link prediction (Zhou-Lü-Zhang 2009) — the
@@ -481,7 +598,8 @@ object GraphQueries {
     // brand's parts BEFORE the expansion bounds the join by the seeds'
     // wedge share; top-20 TakeOrdered.
     "q291_resource_allocation" -> { (s, dir) =>
-      val sym = Graph.symmetrize(pairsCache.get(s, dir))
+      pairsCache.withArtifact(s, dir) { pairs =>
+      val sym = Graph.symmetrize(pairs)
       val seeds = seedBrandParts(s, dir)
       val deg = sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -500,6 +618,8 @@ object GraphQueries {
         .limit(20)
         .select(col("x").as("seed_part"), col("y").as("counterpart"),
           col("common").as("common_neighbors"), col("ra_e6"))
+        .localCheckpoint(true)
+      }
     },
 
     // WEIGHTED modularity of the weighted partition — q275's twin on
@@ -512,9 +632,11 @@ object GraphQueries {
     // separately non-negative, so truncation-vs-floor never diverges
     // between engines even though the contribution itself can be
     // negative.
+    // Nested pins, lock order wLabelsCache → wpairsCache (the
+    // build-dependency order), mirroring q275.
     "q287_weighted_modularity" -> { (s, dir) =>
-      val pairs = wpairsCache.get(s, dir)
-      val labels = wLabelsCache.get(s, dir)
+      wLabelsCache.withArtifact(s, dir) { labels =>
+      wpairsCache.withArtifact(s, dir) { pairs =>
       val wTot = pairs.agg(sum(col("w")).as("m"))
       val strength = pairs.select(col("a").as("node"), col("w"))
         .unionByName(pairs.select(col("b").as("node"), col("w")))
@@ -547,7 +669,9 @@ object GraphQueries {
           col("strength_sum"), col("intra_w"),
           col("contrib_e6").cast("long").as("contrib_e6"))
         .orderBy(col("contrib_e6").desc, col("community"))
-        .limit(20)
+        .limit(20).localCheckpoint(true)
+      }
+      }
     },
 
     // Year-over-year community drift: LPA communities of the 1996 and
@@ -564,20 +688,233 @@ object GraphQueries {
     "q282_community_drift" -> { (s, dir) =>
       // both year labellings ride the (dir, year) artifact cache — they
       // belong to the cache (released on evict), so the call pays only
-      // the contingency-scale Rand index. The 1-row index is cut
-      // EAGERLY before returning: a lazy plan would still reference the
-      // cache-owned checkpoints at the CALLER's action time, and in a
-      // multi-dir listener another thread's gets can LRU-evict (and
-      // release) them in between — the eager cut runs while this call
-      // still holds them live. The 1-row checkpoint itself is never
-      // released (negligible, and the caller owns the result).
-      val la = yearLabelsCache.get(s, (dir, 1996))
-      val lb = yearLabelsCache.get(s, (dir, 1997))
-      Graph.randIndexPpm(la, lb).localCheckpoint(true)
-        .select(col("n_nodes"),
-          col("n_comm_a").as("n_comm_1996"),
-          col("n_comm_b").as("n_comm_1997"),
-          col("same_same_pairs"), col("rand_ppm"))
+      // the contingency-scale Rand index. withArtifact holds the cache
+      // lock across BOTH gets and the eager 1-row cut (r14 advice: the
+      // previous bare gets left a window in which a concurrent caller's
+      // overflow could release the 1996 entry between the two), and the
+      // reentrant second get cannot evict the just-touched 1996 entry
+      // while cap ≥ 2. The 1-row checkpoint itself is never released
+      // (negligible, and the caller owns the result).
+      yearLabelsCache.withArtifact(s, (dir, 1996)) { la =>
+        val lb = yearLabelsCache.get(s, (dir, 1997))
+        Graph.randIndexPpm(la, lb).localCheckpoint(true)
+          .select(col("n_nodes"),
+            col("n_comm_a").as("n_comm_1996"),
+            col("n_comm_b").as("n_comm_1997"),
+            col("same_same_pairs"), col("rand_ppm"))
+      }
+    },
+
+    // Brand profile of the CO-PURCHASE CORE — a second consumer of the
+    // stored k-core decomposition (the find/score split the label
+    // artifacts already have): per brand, how many parts survive the
+    // k=4 peel and how tightly they sit in it (max + total surviving
+    // degree). Brands over-represented in the core are the catalogue's
+    // bundle anchors. One node-scale join against the part dim over the
+    // CACHED artifact — the peel itself never re-runs.
+    "q293_core_brand_profile" -> { (s, dir) =>
+      coreCache.withArtifact(s, dir) { core =>
+        core.join(t(s, dir, "part")
+            .select(col("p_partkey").as("node"), col("p_brand")),
+            "node")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_core_parts"),
+            max(col("degree")).as("max_degree"),
+            sum(col("degree")).as("degree_sum"))
+          .orderBy(col("n_core_parts").desc, col("p_brand"))
+          .localCheckpoint(true) // brand-scale (~25 rows)
+      }
+    },
+
+    // HITS authorities over the BIPARTITE customer↔part purchase graph
+    // (Kleinberg 1999): customers are hubs, parts authorities — a part
+    // is authoritative when BROAD-BASKET customers buy it, which is a
+    // different signal from q251's co-purchase PageRank (a part can
+    // rank high there through one dense bundle; HITS wants endorsement
+    // by customers who endorse widely). Two fixed rounds, exact e6
+    // fixed point with MAX-normalisation per half-step (a_e6 = a·1e6
+    // div max(a) — deterministic, keeps every value in [0, 1e6], and
+    // the DECIMAL(38,0) lift covers the 100 TB degree range). Each
+    // half-step is one edge ⋈ scores join + one keyed aggregate — the
+    // PageRank scale shape on the bipartite relation; the 1-row maxes
+    // ride broadcast cross joins. The edge relation rides
+    // [[bipartiteCache]] (shared with q300).
+    "q295_hits_authorities" -> { (s, dir) =>
+      bipartiteCache.withArtifact(s, dir) { e =>
+        val degP = e.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
+        // round-1 authorities from uniform hubs: a ∝ buyer count
+        val a1 = degP.select(col("p"),
+          (col("deg_p") * lit(1000000L)).as("a"))
+        val a1n = a1.crossJoin(broadcast(a1.agg(max(col("a")).as("ma"))))
+          .select(col("p"), expr(
+            "CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div ma AS BIGINT)")
+            .as("an"))
+        val h1 = e.join(a1n, "p")
+          .groupBy(col("c")).agg(sum(col("an")).as("h"))
+        val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("mh"))))
+          .select(col("c"), expr(
+            "CAST(CAST(h AS DECIMAL(38,0)) * 1000000 div mh AS BIGINT)")
+            .as("hn"))
+        val a2 = e.join(h1n, "c")
+          .groupBy(col("p")).agg(sum(col("hn")).as("a"))
+        a2.crossJoin(broadcast(a2.agg(max(col("a")).as("ma"))))
+          .select(col("p").as("part_key"), expr(
+            "CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div ma AS BIGINT)")
+            .as("auth_e6"))
+          .join(degP.select(col("p").as("part_key"),
+            col("deg_p").as("n_buyers")), "part_key")
+          .orderBy(col("auth_e6").desc, col("part_key"))
+          .limit(20).localCheckpoint(true)
+      }
+    },
+
+    // Degree ASSORTATIVITY of the co-purchase graph (Newman 2002): do
+    // high-degree parts co-purchase with other high-degree parts
+    // (assortative, social-network-like) or with low-degree ones
+    // (disassortative, hub-and-spoke-like)? On the SYMMETRISED edge
+    // list the two end-degree marginals are identical, so Pearson's r
+    // needs NO square root — r = (m·Σxy − Σx²ᵐ) / (m·Σx² − Σx²ᵐ) — and
+    // is exactly representable in ppm with sign decomposition (the
+    // numerator can be negative; Spark div truncates, DuckDB //
+    // floors). One edge-scale join to attach end degrees, one global
+    // cross-moment aggregate (the q236 one-pass discipline),
+    // DECIMAL(38,0) throughout.
+    "q296_degree_assortativity" -> { (s, dir) =>
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val sym = Graph.symmetrize(pairs)
+        val deg = sym.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        sym
+          .join(deg.select(col("node").as("src"), col("deg").as("dx")),
+            "src")
+          .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
+            "dst")
+          .agg(count(lit(1)).as("m_edges"),
+            sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"),
+            sum(col("dx").cast("decimal(38,0)")).as("sx"),
+            sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("sx2"))
+          .select(col("m_edges"),
+            col("sxy").cast("long").as("sum_xy"),
+            col("sx").cast("long").as("sum_x"),
+            col("sx2").cast("long").as("sum_x2"),
+            expr("""CAST(CASE
+                WHEN m_edges * sxy - sx * sx >= 0
+                THEN ((m_edges * sxy - sx * sx) * 1000000)
+                  div greatest(m_edges * sx2 - sx * sx, 1)
+                ELSE -(((sx * sx - m_edges * sxy) * 1000000)
+                  div greatest(m_edges * sx2 - sx * sx, 1))
+                END AS BIGINT)""").as("assort_ppm"))
+          .localCheckpoint(true)
+      }
+    },
+
+    // WEIGHTED (strength) assortativity — q296's twin on the weighted
+    // axis (the q272/q273 pattern): moments are EDGE-WEIGHT-WEIGHTED
+    // (Σw·sx·sy etc.) and the node attribute is STRENGTH (Σ incident
+    // w), so a 50×-repeated partnership counts 50× in both roles. The
+    // symmetrised marginals again coincide — no square root, exact
+    // sign-decomposed ppm; answers whether heavily-repeated bundles
+    // connect heavy nodes to heavy nodes (the weighted structure can
+    // invert the unweighted verdict when hub adjacency is mostly
+    // one-off noise).
+    "q299_strength_assortativity" -> { (s, dir) =>
+      wpairsCache.withArtifact(s, dir) { wpairs =>
+        val sym = Graph.symmetrizeWeighted(wpairs)
+        val strength = sym.groupBy(col("src").as("node"))
+          .agg(sum(col("w")).as("st"))
+        sym
+          .join(strength.select(col("node").as("src"),
+            col("st").as("dx")), "src")
+          .join(strength.select(col("node").as("dst"),
+            col("st").as("dy")), "dst")
+          .agg(count(lit(1)).as("m_edges"),
+            sum(col("w").cast("decimal(38,0)")).as("h"),
+            sum(expr("CAST(w AS DECIMAL(38,0)) * dx * dy")).as("sxy"),
+            sum(expr("CAST(w AS DECIMAL(38,0)) * dx")).as("sx"),
+            sum(expr("CAST(w AS DECIMAL(38,0)) * dx * dx")).as("sx2"))
+          .select(col("m_edges"),
+            col("h").cast("long").as("w_total"),
+            col("sxy").cast("long").as("sum_wxy"),
+            col("sx").cast("long").as("sum_wx"),
+            col("sx2").cast("long").as("sum_wx2"),
+            expr("""CAST(CASE
+                WHEN h * sxy - sx * sx >= 0
+                THEN ((h * sxy - sx * sx) * 1000000)
+                  div greatest(h * sx2 - sx * sx, 1)
+                ELSE -(((sx * sx - h * sxy) * 1000000)
+                  div greatest(h * sx2 - sx * sx, 1))
+                END AS BIGINT)""").as("assort_ppm"))
+          .localCheckpoint(true)
+      }
+    },
+
+    // HITS HUBS — q295's other half: the top customers by hub score
+    // after the same two normalised rounds plus the closing hub
+    // half-step (h ∝ Σ authority over the basket). Broad-basket
+    // customers whose baskets concentrate on authoritative parts rank
+    // highest — the "curator" view a recommender seeds from, distinct
+    // from raw basket SIZE (n_parts rides along to show the
+    // difference). Same exact e6 max-normalisation contract.
+    "q300_hits_hubs" -> { (s, dir) =>
+      bipartiteCache.withArtifact(s, dir) { e =>
+        val degP = e.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
+        val a1 = degP.select(col("p"),
+          (col("deg_p") * lit(1000000L)).as("a"))
+        val a1n = a1.crossJoin(broadcast(a1.agg(max(col("a")).as("ma"))))
+          .select(col("p"), expr(
+            "CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div ma AS BIGINT)")
+            .as("an"))
+        val h1 = e.join(a1n, "p")
+          .groupBy(col("c")).agg(sum(col("an")).as("h"))
+        val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("mh"))))
+          .select(col("c"), expr(
+            "CAST(CAST(h AS DECIMAL(38,0)) * 1000000 div mh AS BIGINT)")
+            .as("hn"))
+        val a2 = e.join(h1n, "c")
+          .groupBy(col("p")).agg(sum(col("hn")).as("a"))
+        val a2n = a2.crossJoin(broadcast(a2.agg(max(col("a")).as("ma"))))
+          .select(col("p"), expr(
+            "CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div ma AS BIGINT)")
+            .as("an2"))
+        val h2 = e.join(a2n, "p")
+          .groupBy(col("c")).agg(sum(col("an2")).as("h"),
+            count(lit(1)).as("n_parts"))
+        h2.crossJoin(broadcast(h2.agg(max(col("h")).as("mh"))))
+          .select(col("c").as("cust_key"), expr(
+            "CAST(CAST(h AS DECIMAL(38,0)) * 1000000 div mh AS BIGINT)")
+            .as("hub_e6"), col("n_parts"))
+          .orderBy(col("hub_e6").desc, col("cust_key"))
+          .limit(20).localCheckpoint(true)
+      }
+    },
+
+    // Degree-core vs strength-core MEMBERSHIP overlap — the question
+    // the two decompositions beg (q266 keeps the many-partnered, q276
+    // the heavily-repeated): how much of each core is the other? One
+    // row: sizes, the intersection, and each core's exclusive
+    // remainder. Reads BOTH stored artifacts (nested pins, lock order
+    // coreCache → sCoreCache — no build dependency links them, so any
+    // fixed order is acyclic; this one is alphabetical-ish and
+    // pinned here as THE order for future dual-core consumers). The
+    // full outer join is node-scale over two cached node relations.
+    "q294_core_overlap" -> { (s, dir) =>
+      coreCache.withArtifact(s, dir) { kcore =>
+        sCoreCache.withArtifact(s, dir) { score =>
+          kcore.select(col("node"), lit(1L).as("in_k"))
+            .join(score.select(col("node"), lit(1L).as("in_s")),
+              Seq("node"), "full_outer")
+            .agg(
+              sum(coalesce(col("in_k"), lit(0L))).as("n_kcore"),
+              sum(coalesce(col("in_s"), lit(0L))).as("n_score"),
+              sum(when(col("in_k").isNotNull && col("in_s").isNotNull,
+                1L).otherwise(0L)).as("n_both"),
+              sum(when(col("in_k").isNotNull && col("in_s").isNull,
+                1L).otherwise(0L)).as("n_kcore_only"),
+              sum(when(col("in_k").isNull && col("in_s").isNotNull,
+                1L).otherwise(0L)).as("n_score_only"))
+            .localCheckpoint(true)
+        }
+      }
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -715,6 +1052,153 @@ object GraphQueries {
          FROM (SELECT a AS node FROM p6
                UNION ALL SELECT b FROM p6)
          GROUP BY node ORDER BY degree DESC, part_key LIMIT 50""",
+
+    "q299_strength_assortativity" ->
+      s"""WITH $WPairsCtes,
+         wsym AS (SELECT a AS src, b AS dst, w FROM wpairs
+           UNION ALL SELECT b, a, w FROM wpairs),
+         st AS (SELECT src, CAST(SUM(w) AS HUGEINT) AS st
+           FROM wsym GROUP BY 1),
+         ends AS (SELECT CAST(s.w AS HUGEINT) AS w,
+             d1.st AS dx, d2.st AS dy
+           FROM wsym s
+           JOIN st d1 ON s.src = d1.src
+           JOIN st d2 ON s.dst = d2.src),
+         agg AS (SELECT COUNT(*) AS m, SUM(w) AS h,
+             SUM(w * dx * dy) AS sxy, SUM(w * dx) AS sx,
+             SUM(w * dx * dx) AS sx2 FROM ends)
+         SELECT CAST(m AS BIGINT) AS m_edges,
+           CAST(h AS BIGINT) AS w_total,
+           CAST(sxy AS BIGINT) AS sum_wxy,
+           CAST(sx AS BIGINT) AS sum_wx,
+           CAST(sx2 AS BIGINT) AS sum_wx2,
+           CAST(CASE WHEN h * sxy - sx * sx >= 0
+             THEN ((h * sxy - sx * sx) * 1000000)
+               // GREATEST(h * sx2 - sx * sx, 1)
+             ELSE -(((sx * sx - h * sxy) * 1000000)
+               // GREATEST(h * sx2 - sx * sx, 1))
+             END AS BIGINT) AS assort_ppm
+         FROM agg""",
+
+    "q300_hits_hubs" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         degp AS (SELECT p, COUNT(*) AS deg_p FROM e GROUP BY 1),
+         a1 AS (SELECT p, CAST(deg_p AS HUGEINT) * 1000000 AS a
+           FROM degp),
+         a1n AS (SELECT p, CAST(a * 1000000
+             // (SELECT MAX(a) FROM a1) AS BIGINT) AS an FROM a1),
+         h1 AS (SELECT c, CAST(SUM(an) AS HUGEINT) AS h
+           FROM e JOIN a1n USING (p) GROUP BY 1),
+         h1n AS (SELECT c, CAST(h * 1000000
+             // (SELECT MAX(h) FROM h1) AS BIGINT) AS hn FROM h1),
+         a2 AS (SELECT p, CAST(SUM(hn) AS HUGEINT) AS a
+           FROM e JOIN h1n USING (c) GROUP BY 1),
+         a2n AS (SELECT p, CAST(a * 1000000
+             // (SELECT MAX(a) FROM a2) AS BIGINT) AS an2 FROM a2),
+         h2 AS (SELECT c, CAST(SUM(an2) AS HUGEINT) AS h,
+             COUNT(*) AS n_parts
+           FROM e JOIN a2n USING (p) GROUP BY 1)
+         SELECT c AS cust_key,
+           CAST(h * 1000000 // (SELECT MAX(h) FROM h2) AS BIGINT)
+             AS hub_e6,
+           CAST(n_parts AS BIGINT) AS n_parts
+         FROM h2
+         ORDER BY hub_e6 DESC, cust_key LIMIT 20""",
+
+    "q295_hits_authorities" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         degp AS (SELECT p, COUNT(*) AS deg_p FROM e GROUP BY 1),
+         a1 AS (SELECT p, CAST(deg_p AS HUGEINT) * 1000000 AS a
+           FROM degp),
+         a1n AS (SELECT p, CAST(a * 1000000
+             // (SELECT MAX(a) FROM a1) AS BIGINT) AS an FROM a1),
+         h1 AS (SELECT c, CAST(SUM(an) AS HUGEINT) AS h
+           FROM e JOIN a1n USING (p) GROUP BY 1),
+         h1n AS (SELECT c, CAST(h * 1000000
+             // (SELECT MAX(h) FROM h1) AS BIGINT) AS hn FROM h1),
+         a2 AS (SELECT p, CAST(SUM(hn) AS HUGEINT) AS a
+           FROM e JOIN h1n USING (c) GROUP BY 1)
+         SELECT a2.p AS part_key,
+           CAST(a2.a * 1000000 // (SELECT MAX(a) FROM a2) AS BIGINT)
+             AS auth_e6,
+           CAST(degp.deg_p AS BIGINT) AS n_buyers
+         FROM a2 JOIN degp ON a2.p = degp.p
+         ORDER BY auth_e6 DESC, part_key LIMIT 20""",
+
+    "q296_degree_assortativity" ->
+      s"""WITH $GraphCtes,
+         ends AS (SELECT CAST(d1.outdeg AS HUGEINT) AS dx,
+             CAST(d2.outdeg AS HUGEINT) AS dy
+           FROM sym s
+           JOIN deg d1 ON s.src = d1.src
+           JOIN deg d2 ON s.dst = d2.src),
+         agg AS (SELECT COUNT(*) AS m, SUM(dx * dy) AS sxy,
+             SUM(dx) AS sx, SUM(dx * dx) AS sx2 FROM ends)
+         SELECT CAST(m AS BIGINT) AS m_edges,
+           CAST(sxy AS BIGINT) AS sum_xy,
+           CAST(sx AS BIGINT) AS sum_x,
+           CAST(sx2 AS BIGINT) AS sum_x2,
+           CAST(CASE WHEN m * sxy - sx * sx >= 0
+             THEN ((m * sxy - sx * sx) * 1000000)
+               // GREATEST(m * sx2 - sx * sx, 1)
+             ELSE -(((sx * sx - m * sxy) * 1000000)
+               // GREATEST(m * sx2 - sx * sx, 1))
+             END AS BIGINT) AS assort_ppm
+         FROM agg""",
+
+    "q293_core_brand_profile" ->
+      s"""WITH $GraphCtes,
+         ${peelSql("pairs", "p1")},
+         ${peelSql("p1", "p2")},
+         ${peelSql("p2", "p3")},
+         ${peelSql("p3", "p4")},
+         ${peelSql("p4", "p5")},
+         ${peelSql("p5", "p6")},
+         core AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+           FROM (SELECT a AS node FROM p6
+                 UNION ALL SELECT b FROM p6)
+           GROUP BY node)
+         SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_core_parts,
+           CAST(MAX(degree) AS BIGINT) AS max_degree,
+           CAST(SUM(degree) AS BIGINT) AS degree_sum
+         FROM core JOIN part ON node = p_partkey
+         GROUP BY p_brand
+         ORDER BY n_core_parts DESC, p_brand""",
+
+    "q294_core_overlap" ->
+      s"""WITH $GraphCtes,
+         ${peelSql("pairs", "p1")},
+         ${peelSql("p1", "p2")},
+         ${peelSql("p2", "p3")},
+         ${peelSql("p3", "p4")},
+         ${peelSql("p4", "p5")},
+         ${peelSql("p5", "p6")},
+         $WPairsCtes,
+         ${sPeelSql("wpairs", "s1")},
+         ${sPeelSql("s1", "s2")},
+         ${sPeelSql("s2", "s3")},
+         ${sPeelSql("s3", "s4")},
+         ${sPeelSql("s4", "s5")},
+         ${sPeelSql("s5", "s6")},
+         kc AS (SELECT DISTINCT node FROM (
+           SELECT a AS node FROM p6 UNION ALL SELECT b FROM p6)),
+         sc AS (SELECT DISTINCT node FROM (
+           SELECT a AS node FROM s6 UNION ALL SELECT b FROM s6))
+         SELECT
+           CAST(SUM(CASE WHEN kn IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kcore,
+           CAST(SUM(CASE WHEN sn IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_score,
+           CAST(SUM(CASE WHEN kn IS NOT NULL AND sn IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN kn IS NOT NULL AND sn IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kcore_only,
+           CAST(SUM(CASE WHEN kn IS NULL AND sn IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_score_only
+         FROM (SELECT kc.node AS kn, sc.node AS sn
+               FROM kc FULL OUTER JOIN sc ON kc.node = sc.node)""",
 
     "q251_pagerank" ->
       s"""WITH $GraphCtes,

@@ -80,15 +80,46 @@ object StreamingCommunities {
         else Some(Graph.randIndexPpm(prev, next).collect().head)
           .filter(r => !r.isNullAt(r.fieldIndex("n_nodes")) &&
             r.getAs[Long]("n_nodes") > 0L)
+      // the HEAD comparison beside the Rand index (the rank drift's
+      // overlap/footrule applied to communities): the top-K community
+      // ids BY SIZE of each generation — a serving layer can now
+      // distinguish "stable partition, reshuffled heads" (rand high,
+      // overlap low) from "stable heads" (both high). Two K-row
+      // collects, K = StreamingRank.DriftK; the top-K itself is a
+      // TakeOrdered over the community-scale size aggregate.
+      def heads(labels: DataFrame): Array[Long] =
+        labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("label"))
+          .select(col("label")).limit(StreamingRank.DriftK)
+          .collect().map(_.getLong(0))
+      val headRow = driftRow.map { _ =>
+        val ph = heads(prev)
+        val nh = heads(next)
+        val prevPos = ph.zipWithIndex.toMap
+        val nextPos = nh.zipWithIndex.toMap
+        val shared = prevPos.keySet & nextPos.keySet
+        val footrule = shared.toSeq
+          .map(c => math.abs(prevPos(c) - nextPos(c)).toLong).sum
+        (math.min(ph.length, nh.length).toLong, shared.size.toLong,
+          footrule)
+      }
       SwapDir.install(spark, next, cfg.storeDir, "labels")
       driftRow.foreach { r =>
         import spark.implicits._
-        val seq = drift(spark, cfg).count() + 1
+        // max(refresh_seq)+1 over the same bounded read (r14 ask #8):
+        // unlike count()+1 it stays correct even if a row were ever
+        // lost (the advisory-log crash window), and it reads as the
+        // append-cheap idiom a frequent refresher wants
+        val seq = drift(spark, cfg)
+          .agg(coalesce(max(col("refresh_seq")), lit(0L)))
+          .head.getLong(0) + 1
+        val (hk, hov, hfr) = headRow.get
         Seq((seq, r.getAs[Long]("n_nodes"), r.getAs[Long]("n_comm_a"),
           r.getAs[Long]("n_comm_b"), r.getAs[Long]("same_same_pairs"),
-          r.getAs[Long]("rand_ppm")))
+          r.getAs[Long]("rand_ppm"), hk, hov, hfr))
           .toDF("refresh_seq", "n_nodes", "n_comm_prev", "n_comm_next",
-            "same_same_pairs", "rand_ppm")
+            "same_same_pairs", "rand_ppm", "head_k", "head_overlap",
+            "head_footrule")
           .coalesce(1)
           .write.mode("append").parquet(driftPath(cfg).toString)
       }
@@ -100,8 +131,14 @@ object StreamingCommunities {
 
   /** The refresh-over-refresh stability log, oldest first:
     * `(refresh_seq, n_nodes, n_comm_prev, n_comm_next,
-    * same_same_pairs, rand_ppm)`. Refresh-cardinality (one row per
-    * refresh after the first), so reading it whole is always cheap. */
+    * same_same_pairs, rand_ppm, head_k, head_overlap, head_footrule)`
+    * — the Rand index for the PARTITION, the head columns for the
+    * top-K-by-size COMMUNITY IDS (overlap count + Spearman footrule
+    * over the shared ids). Refresh-cardinality (one row per refresh
+    * after the first), so reading it whole is always cheap. The head
+    * columns widened the schema in this version — a store whose drift
+    * log predates them should be cleared (the log is advisory; the
+    * labels themselves are untouched). */
   def drift(spark: SparkSession,
             cfg: StreamingRank.Config): DataFrame = {
     val p = driftPath(cfg)
@@ -110,7 +147,9 @@ object StreamingCommunities {
       spark.emptyDataFrame
         .select(lit(0L).as("refresh_seq"), lit(0L).as("n_nodes"),
           lit(0L).as("n_comm_prev"), lit(0L).as("n_comm_next"),
-          lit(0L).as("same_same_pairs"), lit(0L).as("rand_ppm"))
+          lit(0L).as("same_same_pairs"), lit(0L).as("rand_ppm"),
+          lit(0L).as("head_k"), lit(0L).as("head_overlap"),
+          lit(0L).as("head_footrule"))
         .limit(0)
     else spark.read.parquet(p.toString).orderBy(col("refresh_seq"))
   }

@@ -223,7 +223,12 @@ object StreamingRank {
       // loses one row, never corrupts the ranks)
       driftRow.foreach { case (k, overlap, footrule) =>
         import spark.implicits._
-        val seq = rankDrift(spark, cfg).count() + 1
+        // max(refresh_seq)+1, not count()+1 (r14 ask #8): correct even
+        // if a row were ever lost, and append-cheap under frequent
+        // refreshes — same bounded read either way
+        val seq = rankDrift(spark, cfg)
+          .agg(coalesce(max(col("refresh_seq")), lit(0L)))
+          .head.getLong(0) + 1
         Seq((seq, k, overlap, footrule))
           .toDF("refresh_seq", "k", "overlap", "footrule")
           .coalesce(1)
@@ -235,8 +240,10 @@ object StreamingRank {
   private def rankDriftPath(cfg: Config) =
     new Path(cfg.storeDir, "ranks_drift")
 
-  /** Size of the compared head in the rank drift log. */
-  private val DriftK = 100
+  /** Size of the compared head in the rank drift log — shared by the
+    * community drift's head comparison so the two logs' `k` columns
+    * mean the same thing. */
+  private[graft] val DriftK = 100
 
   /** The refresh-over-refresh rank-stability log, oldest first:
     * `(refresh_seq, k, overlap, footrule)` — overlap is |top-K ∩ top-K|

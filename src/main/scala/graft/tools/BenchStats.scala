@@ -67,16 +67,28 @@ object BenchStats {
     * silently stands down. The sf comes along because the artifact
     * path is shared across scale factors: comparing an sf0.1 run's
     * medians against an sf0.001 smoke's would escalate the whole
-    * suite — the caller must stand down on an sf mismatch. */
+    * suite — the caller must stand down on an sf mismatch.
+    *
+    * Queries that ERRORED in the prior run are EXCLUDED (r14 advice):
+    * their median_sec is time-to-error, not a baseline — a query fixed
+    * this round would otherwise trip the cross-run defence against a
+    * meaningless tiny number (5 wasted re-runs, a permanent false
+    * `suspect` flag). Per-query objects are flat (no nested braces),
+    * so the body capture is a simple brace-free span. */
   def parseArtifact(text: String)
       : (Boolean, String, Map[String, Double]) = {
     val contended = """"contended"\s*:\s*true""".r.findFirstIn(text).nonEmpty
     val sf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(text)
       .map(_.group(1)).getOrElse("")
-    val q = """"([^"\\]+)"\s*:\s*\{\s*"median_sec"\s*:\s*([0-9.]+)""".r
+    val q = """"([^"\\]+)"\s*:\s*\{([^{}]*)\}""".r
+    val med = """"median_sec"\s*:\s*([0-9.]+)""".r
     (contended, sf,
-      q.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      q.findAllMatchIn(text).flatMap { m =>
+        val body = m.group(2)
+        if (body.contains("\"error\"")) None
+        else med.findFirstMatchIn(body)
+          .map(mm => m.group(1) -> mm.group(1).toDouble)
+      }.toMap)
   }
 
   /** One bench-history record as a JSON line — the run-over-run trend
@@ -116,4 +128,84 @@ object BenchStats {
       minAbsSec: Double = 0.5): Boolean =
     !prevContended && prevMedian.exists(p =>
       p > 0 && freshMedian > factor * p && freshMedian - p > minAbsSec)
+
+  /** The cross-run escalation factor, LOAD-CONDITIONAL (r14
+    * adjudication): the driver's r14 bench started at loadavg 6.62 on a
+    * 32-cpu host and recorded q266 at 7.78 s against a 3.10 s idle
+    * median — a 2.51× uniform inflation sliding under the 3× factor
+    * with `suspect: 0`. When the 1-minute loadavg at start already
+    * exceeds hostCpus/8 the machine is OBSERVABLY busy, uniform
+    * inflation is the expected failure mode, and the 1.5–3× band must
+    * re-measure (the re-measure path is cheap and self-correcting); on
+    * an idle start the 3× factor stands, so round-to-round noise never
+    * escalates there. */
+  def suspectFactor(loadavg1: Double, hostCpus: Int): Double =
+    if (hostCpus > 0 && loadavg1 > hostCpus / 8.0) 1.5 else 3.0
+
+  /** One per-query ring record as a JSON line: the run's SUCCESSFUL
+    * medians plus the labels a later reader needs to filter
+    * (`sf`, `contended`). `bench/ring.jsonl` keeps the last
+    * [[RingKeep]] of these so the cross-run defence can judge a fresh
+    * median against the MEDIAN OF RECENT UNCONTENDED RUNS instead of
+    * exactly one previous artifact — one anomalous (but
+    * self-labeled-clean) baseline run no longer owns the comparison. */
+  def ringLine(tsMillis: Long, sf: String, contended: Boolean,
+      queries: Seq[(String, Double)]): String = {
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '\\' => "\\\\"; case '"' => "\\\""
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      } + "\""
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = queries.sortBy(_._1)
+      .map { case (k, v) => js(k) + ":" + ms(v) }
+      .mkString("{", ",", "}")
+    s"""{"ts_ms":$tsMillis,"sf":${js(sf)},"contended":$contended,""" +
+      s""""queries":$qs}"""
+  }
+
+  /** Ring retention: enough runs for a sturdy median, small enough that
+    * a genuine plan regression ages out of the baseline within a few
+    * rounds (a stale too-long ring would keep flagging the new
+    * steady-state as suspect). */
+  val RingKeep: Int = 5
+
+  /** Rotation: keep the trailing [[RingKeep]] lines. Pure so the spec
+    * pins the policy without touching a filesystem. */
+  def rotateRing(lines: Seq[String], keep: Int = RingKeep): Seq[String] =
+    lines.takeRight(math.max(keep, 1))
+
+  /** Parse `ring.jsonl` text into the per-run query-median maps
+    * ELIGIBLE as a baseline: same scale factor, self-labeled
+    * uncontended. Oldest first. Same pure-text discipline as
+    * [[parseArtifact]]: a malformed line contributes nothing. */
+  def parseRing(text: String, sf: String): Seq[Map[String, Double]] = {
+    val sfEsc = "\"sf\":\"" + sf.flatMap {
+      case '\\' => "\\\\"; case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+    val q = """"([^"\\]+)"\s*:\s*([0-9.]+)""".r
+    text.linesIterator
+      .filter(l => l.contains(sfEsc) && l.contains("\"contended\":false"))
+      .map { l =>
+        val idx = l.indexOf("\"queries\":{")
+        if (idx < 0) Map.empty[String, Double]
+        else q.findAllMatchIn(l.substring(idx + 10))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      .filter(_.nonEmpty)
+      .toSeq
+  }
+
+  /** The ring baseline for one query: the median of its medians across
+    * the eligible runs — None when no eligible run recorded it (the
+    * caller falls back to the single previous artifact). */
+  def ringBaseline(runs: Seq[Map[String, Double]],
+      name: String): Option[Double] = {
+    val xs = runs.flatMap(_.get(name))
+    if (xs.isEmpty) None else Some(median(xs))
+  }
 }

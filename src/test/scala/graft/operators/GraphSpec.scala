@@ -187,6 +187,167 @@ class GraphSpec extends SparkSpec {
     assert(degs.forall(_ >= 1L))
   }
 
+  test("q293/q294: the stored-core consumers agree with freshly-peeled " +
+      "decompositions — brand counts conserve the core, overlap " +
+      "identities hold") {
+    val dir = sf("sf0.001")
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val kcore = Graph.kCore(Graph.canonicalPairs(li,
+      "l_orderkey", "l_partkey"), k = 4, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // q293: the brand profile's part counts PARTITION the core
+    val prof = graft.queries.GraphQueries
+      .defs("q293_core_brand_profile")(spark, dir).collect()
+    assert(prof.map(_.getAs[Long]("n_core_parts")).sum ===
+      kcore.size.toLong)
+    assert(prof.map(_.getAs[Long]("degree_sum")).sum ===
+      kcore.values.sum)
+    assert(prof.map(_.getAs[Long]("max_degree")).max ===
+      kcore.values.max)
+    // q294: intersection identities against both fresh peels
+    val score = Graph.sCore(Graph.weightedCanonicalPairs(li,
+      "l_orderkey", "l_partkey"), s = 80L, rounds = 6)
+      .collect().map(_.getLong(0)).toSet
+    val ov = graft.queries.GraphQueries
+      .defs("q294_core_overlap")(spark, dir).collect().head
+    assert(ov.getAs[Long]("n_kcore") === kcore.size.toLong)
+    assert(ov.getAs[Long]("n_score") === score.size.toLong)
+    assert(ov.getAs[Long]("n_both") ===
+      (kcore.keySet & score).size.toLong)
+    assert(ov.getAs[Long]("n_kcore") ===
+      ov.getAs[Long]("n_both") + ov.getAs[Long]("n_kcore_only"))
+    assert(ov.getAs[Long]("n_score") ===
+      ov.getAs[Long]("n_both") + ov.getAs[Long]("n_score_only"))
+  }
+
+  test("q295 HITS: the top authority normalises to exactly 1e6, scores " +
+      "stay in (0, 1e6], and a brute-force two-round replay agrees") {
+    val out = graft.queries.GraphQueries
+      .defs("q295_hits_authorities")(spark, sf("sf0.001")).collect()
+    assert(out.length === 20)
+    val auth = out.map(_.getAs[Long]("auth_e6"))
+    assert(auth.head === 1000000L) // max-normalisation law
+    assert(auth.sameElements(auth.sortBy(-(_: Long))))
+    assert(auth.forall(a => a > 0L && a <= 1000000L))
+    assert(out.forall(_.getAs[Long]("n_buyers") >= 1L))
+    // brute-force replay of the two normalised half-steps over the
+    // collected bipartite relation (node-scale at sf0.001)
+    val e = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byP = e.groupBy(_._2); val byC = e.groupBy(_._1)
+    val a1 = byP.map { case (p, xs) => p -> xs.size.toLong * 1000000L }
+    val ma1 = a1.values.max
+    val a1n = a1.map { case (p, a) =>
+      p -> (BigInt(a) * 1000000 / ma1).toLong }
+    val h1 = byC.map { case (c, xs) =>
+      c -> xs.map(x => a1n(x._2)).sum }
+    val mh1 = h1.values.max
+    val h1n = h1.map { case (c, h) =>
+      c -> (BigInt(h) * 1000000 / mh1).toLong }
+    val a2 = byP.map { case (p, xs) =>
+      p -> xs.map(x => h1n(x._1)).sum }
+    val ma2 = a2.values.max
+    val a2n = a2.map { case (p, a) =>
+      p -> (BigInt(a) * 1000000 / ma2).toLong }
+    val expected = a2n.toSeq.sortBy { case (p, a) => (-a, p) }.take(20)
+    assert(out.map(r => r.getAs[Long]("part_key") ->
+      r.getAs[Long]("auth_e6")).toSeq === expected)
+  }
+
+  test("q296 assortativity: ppm within [-1e6, 1e6] and the cross-moments " +
+      "match a brute-force recompute over the collected edge list") {
+    val out = graft.queries.GraphQueries
+      .defs("q296_degree_assortativity")(spark, sf("sf0.001"))
+      .collect().head
+    val ppm = out.getAs[Long]("assort_ppm")
+    assert(ppm >= -1000000L && ppm <= 1000000L)
+    // brute-force: symmetrised co-purchase edges + end degrees
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getLong(1))
+    val byOrder = li.groupBy(_._1).map { case (_, xs) =>
+      xs.map(_._2).distinct }
+    val pairs = byOrder.flatMap(ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b)).toSet
+    val sym = pairs.toSeq.flatMap(p => Seq(p, p.swap))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val m = BigInt(sym.size)
+    val sxy = sym.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val sx = sym.map(e => BigInt(deg(e._1))).sum
+    val sx2 = sym.map(e => BigInt(deg(e._1)) * deg(e._1)).sum
+    assert(out.getAs[Long]("m_edges") === m.toLong)
+    assert(out.getAs[Long]("sum_xy") === sxy.toLong)
+    assert(out.getAs[Long]("sum_x") === sx.toLong)
+    assert(out.getAs[Long]("sum_x2") === sx2.toLong)
+    val num = m * sxy - sx * sx
+    val den = (m * sx2 - sx * sx).max(BigInt(1))
+    val want = // truncation toward zero, the engines' shared contract
+      if (num >= 0) (num * 1000000 / den).toLong
+      else -(((-num) * 1000000) / den).toLong
+    assert(ppm === want)
+  }
+
+  test("q299 strength assortativity: weighted cross-moments match a " +
+      "brute-force recompute; ppm bounded") {
+    val out = graft.queries.GraphQueries
+      .defs("q299_strength_assortativity")(spark, sf("sf0.001"))
+      .collect().head
+    assert(out.getAs[Long]("assort_ppm") >= -1000000L &&
+      out.getAs[Long]("assort_ppm") <= 1000000L)
+    // brute-force weighted moments over the collected weighted pairs
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val wpairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+    val wsym = wpairs.toSeq.flatMap { case (a, b, w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val st = wsym.groupBy(_._1).map { case (n, xs) =>
+      n -> xs.map(_._3).sum }
+    val h = wsym.map(e => BigInt(e._3)).sum
+    val sxy = wsym.map(e => BigInt(e._3) * st(e._1) * st(e._2)).sum
+    val sx = wsym.map(e => BigInt(e._3) * st(e._1)).sum
+    val sx2 = wsym.map(e => BigInt(e._3) * st(e._1) * st(e._1)).sum
+    assert(out.getAs[Long]("m_edges") === wsym.size.toLong)
+    assert(out.getAs[Long]("w_total") === h.toLong)
+    assert(out.getAs[Long]("sum_wxy") === sxy.toLong)
+    assert(out.getAs[Long]("sum_wx") === sx.toLong)
+    assert(out.getAs[Long]("sum_wx2") === sx2.toLong)
+    val num = h * sxy - sx * sx
+    val den = (h * sx2 - sx * sx).max(BigInt(1))
+    val want =
+      if (num >= 0) (num * 1000000 / den).toLong
+      else -(((-num) * 1000000) / den).toLong
+    assert(out.getAs[Long]("assort_ppm") === want)
+  }
+
+  test("q300 HITS hubs: top hub normalises to exactly 1e6, basket size " +
+      "rides along, and hubs need not be the biggest baskets") {
+    val out = graft.queries.GraphQueries
+      .defs("q300_hits_hubs")(spark, sf("sf0.001")).collect()
+    assert(out.length === 20)
+    val hubs = out.map(_.getAs[Long]("hub_e6"))
+    assert(hubs.head === 1000000L)
+    assert(hubs.sameElements(hubs.sortBy(-(_: Long))))
+    assert(hubs.forall(h => h > 0L && h <= 1000000L))
+    assert(out.forall(_.getAs[Long]("n_parts") >= 1L))
+    // the hub order is authority-weighted, not raw basket size: the
+    // n_parts column must NOT be globally descending in lockstep with
+    // hub rank on real data (if it ever were, the score would be
+    // degree in disguise — flag for a closer look)
+    val np = out.map(_.getAs[Long]("n_parts"))
+    assert(np.zip(np.tail).exists { case (a, b) => b > a },
+      "hub ranking coincides exactly with basket size — suspicious")
+  }
+
   test("q251 output: 20 rows, ranks descending, all above base mass") {
     val out = graft.queries.GraphQueries
       .defs("q251_pagerank")(spark, sf("sf0.001")).collect()
@@ -759,6 +920,87 @@ class GraphSpec extends SparkSpec {
     val extra = Graph.randIndexPpm(df(pa + (99L -> 5L)), df(pb))
       .collect().head
     assert(extra.getAs[Long]("n_nodes") === 6L)
+  }
+
+  test("kCoreArtifact / sCoreArtifact equal their lazy twins and hand " +
+      "back a caller-owned materialised node-scale relation (r14 ask " +
+      "#3)") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 7L), (7L, 8L)).toDF("a", "b")
+    val viaLazy = Graph.kCore(pairs, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val art = Graph.kCoreArtifact(pairs, k = 3, rounds = 4)
+    // the artifact is an eager checkpoint: its analyzed plan is a
+    // LogicalRDD leaf (what a shared cache retains and can release)
+    assert(art.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    assert(art.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === viaLazy)
+    val wpairs = Seq((1L, 2L, 10L), (5L, 6L, 1L), (5L, 7L, 1L),
+      (5L, 8L, 1L)).toDF("a", "b", "w")
+    val sLazy = Graph.sCore(wpairs, s = 6L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sArt = Graph.sCoreArtifact(wpairs, s = 6L, rounds = 4)
+    assert(sArt.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    assert(sArt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === sLazy)
+  }
+
+  test("resource allocation vs Adamic-Adar: same ranking on the q291 " +
+      "wedge shape (why RA is the oracle-gated variant: 1e6 div deg " +
+      "is exact fixed point, 1/ln(deg) is not)") {
+    // Both indices sum a decreasing function of the shared neighbour's
+    // degree — RA 1/deg, AA 1/ln(deg) — so on candidate pairs whose
+    // common-neighbour degree MULTISETS are comparable elementwise they
+    // must order identically. Construct exactly that: seed node 1 with
+    // three counterparts reached through (a) two degree-2 hubs, (b) one
+    // degree-2 hub, (c) one degree-4 hub — RA scores 1000000, 500000,
+    // 250000 and AA scores 2/ln2, 1/ln2, 1/ln4 rank the same way.
+    // AA over doubles cannot hash-match a DuckDB oracle bit-for-bit
+    // (ln is transcendental; the last-ulp contract in GoeQueries'
+    // scaladoc), which is WHY q291 ships RA — this spec documents the
+    // deliberate choice by pinning their agreement where it must hold.
+    val sym = Seq(
+      // hubs 10, 11: degree 2 each, linking seed 1 <-> counterpart 2
+      (1L, 10L), (10L, 1L), (2L, 10L), (10L, 2L),
+      (1L, 11L), (11L, 1L), (2L, 11L), (11L, 2L),
+      // hub 12: degree 2, linking 1 <-> 3
+      (1L, 12L), (12L, 1L), (3L, 12L), (12L, 3L),
+      // hub 13: degree 4, linking 1 <-> 4 (plus fillers 5, 6)
+      (1L, 13L), (13L, 1L), (4L, 13L), (13L, 4L),
+      (5L, 13L), (13L, 5L), (6L, 13L), (13L, 6L))
+    val deg = sym.groupBy(_._1).map { case (n, xs) => n -> xs.size }
+    def wedges(x: Long): Seq[Long] = // shared-neighbour degrees of (1, x)
+      sym.filter(_._2 == 1L).map(_._1)
+        .intersect(sym.filter(_._2 == x).map(_._1))
+        .map(v => deg(v).toLong)
+    val candidates = Seq(2L, 3L, 4L)
+    val aa = candidates.map(x =>
+      x -> wedges(x).map(d => 1.0 / math.log(d.toDouble)).sum)
+    // the ENGINE-side q291 plan shape over the same graph: seed-scoped
+    // wedge join + sum(1e6 div via_deg)
+    val symDf = sym.toDF("src", "dst")
+    val degDf = symDf.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val ra = symDf.select(col("src").as("via"), col("dst").as("x"))
+      .filter(col("x") === 1L)
+      .join(symDf.select(col("src").as("via"), col("dst").as("y")),
+        "via")
+      .filter(col("x") =!= col("y"))
+      .join(degDf.select(col("node").as("via"),
+        col("deg").as("via_deg")), "via")
+      .groupBy(col("y"))
+      .agg(sum(expr("1000000 div via_deg")).as("ra_e6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact fixed-point scores, bit-stable — what lets q291 carry a
+    // hash-compared oracle
+    assert(ra === Map(2L -> 1000000L, 3L -> 500000L, 4L -> 250000L,
+      5L -> 250000L, 6L -> 250000L))
+    // rank-order agreement with AA on the three named counterparts
+    val raOrder = candidates.sortBy(x => (-ra(x), x))
+    val aaOrder = aa.sortBy(t => (-t._2, t._1)).map(_._1)
+    assert(raOrder === aaOrder)
   }
 
   test("seededLabelPropagation: a fixed-point seed is returned " +

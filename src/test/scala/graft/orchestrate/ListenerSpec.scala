@@ -498,15 +498,35 @@ class ListenerSpec extends SparkSpec {
       assert(get(s"$root/api/docs/").body()
         .contains("/api/communities/top/{n}"))
       // drift route: empty log after one refresh, one perfect-agreement
-      // row after a no-change second refresh
+      // row after a no-change second refresh — triggered over HTTP via
+      // the POST refresh route (r14 ask #6), cold mode
       assert(get(s"$root/api/communities/drift/").body() === "[]")
-      graft.streaming.StreamingCommunities.refresh(spark, c)
+      val cold = post(s"$root/api/communities/refresh/cold", "")
+      assert(cold.statusCode() == 200)
+      assert(cold.body().contains("\"mode\": \"cold\""))
       val drift = get(s"$root/api/communities/drift/")
       assert(drift.statusCode() == 200)
       assert(drift.body().contains("\"refresh_seq\": 1"))
       assert(drift.body().contains("\"rand_ppm\": 1000000"))
+      // head columns ride the same row (r14 ask #4): identical
+      // generations → full head overlap, zero footrule
+      assert(drift.body().contains("\"head_overlap\": 2"))
+      assert(drift.body().contains("\"head_footrule\": 0"))
+      // warm mode passes the flag through to the seeded operator; on
+      // the unchanged store it must agree with cold exactly (the
+      // fixed-point contract), logging another perfect-agreement row
+      val warm = post(s"$root/api/communities/refresh/warm", "")
+      assert(warm.statusCode() == 200)
+      assert(warm.body().contains("\"mode\": \"warm\""))
+      val drift2 = get(s"$root/api/communities/drift/").body()
+      assert(drift2.contains("\"refresh_seq\": 2"))
+      // an unknown mode is a client error, never a silent cold run
+      assert(post(s"$root/api/communities/refresh/tepid", "")
+        .statusCode() == 422)
       assert(get(s"$root/api/docs/").body()
         .contains("/api/communities/drift"))
+      assert(get(s"$root/api/docs/").body()
+        .contains("/api/communities/refresh/{mode}"))
     } finally srv.stop()
   }
 
@@ -600,5 +620,47 @@ class ListenerSpec extends SparkSpec {
     try assert(get(s"http://127.0.0.1:${bare.port}/api/bench/history/")
       .statusCode() == 404)
     finally bare.stop()
+  }
+
+  test("bench history tail boundaries (r14 advice): a boundary-aligned " +
+      "window keeps its first record; a torn in-progress last line is " +
+      "withheld until it completes") {
+    val base = Files.createTempDirectory("graft_listener_bh2").toString
+    val hist = java.nio.file.Paths.get(base, "history.jsonl")
+    // 80 records of EXACTLY 4096 bytes (incl newline): the 256 KiB cap
+    // is then 64 records, so the window start (size − cap) lands
+    // exactly on the start of record 17 — the boundary-aligned case
+    // that used to lose one valid record to the unconditional
+    // first-line drop
+    def rec(i: Int): String = {
+      val head = s"""{"n_queries":$i,"pad":""""
+      head + ("x" * (4093 - head.length)) + "\"}"
+    }
+    Files.write(hist, (1 to 80).map(rec).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val srv = Listener.start(spark, s"$base/meta",
+      benchHistory = Some(hist.toString))
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val served = get(s"$root/api/bench/history/").body()
+      // ALL 64 window records served — record 17 included
+      assert(""""n_queries":(\d+)""".r.findAllMatchIn(served)
+        .map(_.group(1).toInt).toSeq === (17 to 80))
+      // a torn in-progress last line (the appender's newline and
+      // closing brace not yet landed) is withheld...
+      Files.write(hist,
+        """{"n_queries":81,"trunc"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      assert(!get(s"$root/api/bench/history/").body()
+        .contains("\"n_queries\":81"))
+      // ...and served once complete ('}' landed), even before the
+      // trailing newline does
+      Files.write(hist,
+        """:1}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      assert(get(s"$root/api/bench/history/").body()
+        .contains("\"n_queries\":81"))
+    } finally srv.stop()
   }
 }

@@ -66,4 +66,37 @@ class DirCacheSpec extends SparkSpec {
     c.get(spark, "dirC")
     assert(released.toList == List(a))
   }
+
+  test("withArtifact pins the entry across the consumer's read (r14 " +
+      "advice): eviction by a concurrent get cannot release it " +
+      "mid-plan, and a reentrant second get never evicts the pinned " +
+      "key") {
+    val released = collection.mutable.Buffer.empty[Int]
+    val c = cache(cap = 2, released)
+    val a = c.get(spark, "dirA")
+    // the consumer's whole read runs inside the cache lock: a
+    // concurrent thread's overflowing get BLOCKS until f returns, so
+    // the artifact cannot be released underneath the plan. Simulated
+    // single-threadedly by asserting the lock is held (the monitor is
+    // this cache instance) while f runs.
+    val r = c.withArtifact(spark, "dirA") { v =>
+      assert(Thread.holdsLock(c))
+      assert(v == a)
+      // the q282 shape: ONE reentrant get of a second key from inside
+      // f. The pinned key was just re-inserted at the tail, so with
+      // cap >= 2 a single additional insert can never reach it (the
+      // contract is ONE extra same-cache get — a second one could
+      // walk the eviction up to the pin).
+      c.get(spark, "dirB")
+      assert(!released.contains(a))
+      v * 10
+    }
+    assert(r == a * 10)
+    // outside the lock again
+    assert(!Thread.holdsLock(c))
+    // dirA is still resident (no rebuild)
+    val before = c.buildCount
+    assert(c.get(spark, "dirA") == a)
+    assert(c.buildCount == before)
+  }
 }

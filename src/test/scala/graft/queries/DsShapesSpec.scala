@@ -329,6 +329,87 @@ class DsShapesSpec extends SparkSpec {
     assert(devs === devs.sorted.reverse)
   }
 
+  test("q292: the band grid equals independently-counted bands and " +
+      "never exceeds the profile total (one-scan conditional " +
+      "aggregation law)") {
+    val out = DsShapes.defs2("q292_time_band_grid")(spark, dir)
+      .collect().head
+    val ev = graft.Tables.load(spark, dir, "events")
+    val hit = (col("event_type") === "purchase" &&
+        col("value").between(50.0, 150.0)) ||
+      (col("event_type") === "click" &&
+        col("value").between(0.0, 100.0)) ||
+      (col("event_type") === "view" &&
+        col("value").between(100.0, 300.0))
+    val cols = Seq("h08_10", "h10_12", "h12_14", "h14_16", "h16_18",
+      "h18_20", "h20_22", "h22_24")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val lo = 8 + 2 * i
+      val want = ev.filter(hit &&
+        hour(col("ts")).between(lo, lo + 1)).count()
+      assert(out.getAs[Long](c) === want, c)
+    }
+    // the eight bands tile 08:00-24:00 disjointly: their sum is the
+    // profile's total in that half-day, never more
+    val total = ev.filter(hit && hour(col("ts")) >= 8).count()
+    assert(cols.map(out.getAs[Long](_)).sum === total)
+  }
+
+  test("q297: am/pm counts match independent filters and the ppm " +
+      "quotient is the exact integral division of the two") {
+    val out = DsShapes.defs2("q297_ampm_ratio")(spark, dir)
+      .collect().head
+    val ev = graft.Tables.load(spark, dir, "events")
+    val hit = (col("event_type") === "purchase" ||
+      col("event_type") === "click") && col("value") <= 200.0
+    val am = ev.filter(hit && hour(col("ts")).between(8, 9)).count()
+    val pm = ev.filter(hit && hour(col("ts")).between(20, 21)).count()
+    assert(out.getAs[Long]("am_events") === am)
+    assert(out.getAs[Long]("pm_events") === pm)
+    assert(out.getAs[Long]("am_pm_ppm") ===
+      am * 1000000L / math.max(pm, 1L))
+  }
+
+  test("q298: every reported outlier really exceeds 1.2x its nation's " +
+      "average customer return — brute-force recompute agrees") {
+    val out = DsShapes.defs2("q298_return_outliers")(spark, dir)
+      .collect()
+    // brute-force per-customer returned revenue in exact e4 cents
+    val perCust = graft.Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(graft.Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") -
+            col("l_discount").cast("decimal(12,2)")) *
+          lit(10000)).cast("decimal(38,0)").as("e4"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(sum(col("e4")).as("ret"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigInteger)))
+    val byNation = perCust.groupBy(_._2)
+    val expected = perCust.flatMap { case (c, n, ret) =>
+      val natSum = byNation(n).map(_._3).sum
+      val natN = BigInt(byNation(n).length)
+      if (ret * natN * 10 > natSum * 12)
+        Some((c, n, ret.toLong,
+          (ret * natN * 1000000 / natSum.max(BigInt(1))).toLong))
+      else None
+    }.sortBy { case (c, _, _, ppm) => (-ppm, c) }.take(25).toSeq
+    assert(out.map(r => (r.getAs[Long]("cust_key"),
+      r.getAs[Long]("nation_key"), r.getAs[Long]("returns_e4"),
+      r.getAs[Long]("vs_avg_ppm"))).toSeq === expected)
+    // the predicate clears 1.2x; the reported ppm is truncated so the
+    // bound is >= (an exact 1.2000004 ratio reports 1200000)
+    assert(out.forall(_.getAs[Long]("vs_avg_ppm") >= 1200000L))
+  }
+
   test("q284: the bands PARTITION the purchasers — customer and order " +
       "totals conserve, every band row respects its own bounds") {
     val out = DsShapes.defs2("q284_frequent_buyer_bands")(spark, dir)

@@ -68,6 +68,12 @@ class StreamingCommunitiesSpec extends SparkSpec {
     assert(d1.head.getAs[Long]("refresh_seq") === 1L)
     assert(d1.head.getAs[Long]("rand_ppm") === 1000000L)
     assert(d1.head.getAs[Long]("n_nodes") === 3L)
+    // HEAD columns (r14 ask #4): identical generations → every head
+    // community shared, zero footrule, k = the community count (below
+    // DriftK here)
+    assert(d1.head.getAs[Long]("head_k") ===
+      d1.head.getAs[Long]("head_overlap"))
+    assert(d1.head.getAs[Long]("head_footrule") === 0L)
     // two separate families first (bridged triangles stay apart)...
     StreamingRank.ingestBatch(batch1.toDF(), 1L, c)
     StreamingCommunities.refresh(spark, c)
@@ -97,6 +103,27 @@ class StreamingCommunitiesSpec extends SparkSpec {
       agree.toLong * 1000000L / pairsAll.length)
     // and it genuinely reports a reorganisation
     assert(last.getAs[Long]("rand_ppm") < 1000000L)
+    // head columns on the reorganising refresh: the fused partition
+    // has FEWER communities than the outgoing one, so the head ids
+    // changed — overlap counts exactly the shared top-size ids and the
+    // footrule is the exact Σ|position change| over them. Recompute
+    // both from the label maps (size-desc, id-asc — the engine's
+    // deterministic head order).
+    def headIds(m: Map[Long, Long]): Seq[Long] =
+      m.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (id, n) => (-n, id) }.map(_._1)
+    val ph = headIds(prevMap)
+    val nh = headIds(newMap)
+    val sharedHeads = ph.toSet & nh.toSet
+    assert(last.getAs[Long]("head_k") ===
+      math.min(ph.length, nh.length).toLong)
+    assert(last.getAs[Long]("head_overlap") ===
+      sharedHeads.size.toLong)
+    val pPos = ph.zipWithIndex.toMap
+    val nPos = nh.zipWithIndex.toMap
+    assert(last.getAs[Long]("head_footrule") ===
+      sharedHeads.toSeq.map(c => math.abs(pPos(c) - nPos(c)).toLong)
+        .sum)
   }
 
   test("labels and ranks are two views over ONE edge store") {

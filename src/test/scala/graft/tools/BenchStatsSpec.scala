@@ -128,15 +128,71 @@ class BenchStatsSpec extends AnyFunSuite {
     // (judging sf0.1 medians against an sf0.001 smoke would escalate
     // the whole suite)
     assert(sf === "/root/testdata/sf0.1")
+    // the ERRORED query is excluded (r14 advice): its median_sec is
+    // time-to-error — a query fixed this round must not trip the
+    // cross-run defence against that meaningless tiny baseline
     assert(m == Map(
       "q149_source_similarity" -> 1.05,
-      "q282_community_drift" -> 3.59,
-      "q25_stream_dedup" -> 0.4))
+      "q282_community_drift" -> 3.59))
     // a contended prior run parses as such
     assert(BenchStats.parseArtifact(
       """{"contended": true, "queries": {}}""")._1)
     // junk input stands the defence down instead of throwing
     assert(BenchStats.parseArtifact("not json at all") ==
       ((false, "", Map.empty[String, Double])))
+  }
+
+  test("suspectFactor tightens to 1.5x under observed start load " +
+      "(VERDICT r14 ask #1), stays 3x on an idle start") {
+    // the r14 evidence: driver loadavg 6.62 on 32 cpus (> 32/8 = 4)
+    // recorded q266 at 7.78 s vs 3.10 idle — 2.51x, unflagged at 3x
+    assert(BenchStats.suspectFactor(6.62, 32) == 1.5)
+    assert(BenchStats.crossRunSuspect(7.78, Some(3.10),
+      prevContended = false, factor = BenchStats.suspectFactor(6.62, 32)))
+    // an idle start keeps the wide factor: the same 2.51x ratio is NOT
+    // escalated when nothing indicates machine load
+    assert(BenchStats.suspectFactor(0.26, 32) == 3.0)
+    assert(!BenchStats.crossRunSuspect(7.78, Some(3.10),
+      prevContended = false, factor = BenchStats.suspectFactor(0.26, 32)))
+    // boundary: exactly hostCpus/8 is NOT elevated (strict >)
+    assert(BenchStats.suspectFactor(4.0, 32) == 3.0)
+    // a degenerate cpu count never divides by zero
+    assert(BenchStats.suspectFactor(9.9, 0) == 3.0)
+  }
+
+  test("per-query ring: render, rotate, filter, and the median-of-runs " +
+      "baseline (VERDICT r14 ask #9)") {
+    val sf = "/root/testdata/sf0.1"
+    val l1 = BenchStats.ringLine(1L, sf, contended = false,
+      Seq("q01" -> 1.0, "q02" -> 4.0))
+    val l2 = BenchStats.ringLine(2L, sf, contended = false,
+      Seq("q01" -> 1.2))
+    val l3 = BenchStats.ringLine(3L, sf, contended = true, // busy box
+      Seq("q01" -> 9.0, "q02" -> 9.0))
+    val l4 = BenchStats.ringLine(4L, "/root/testdata/sf0.001", // smoke
+      contended = false, Seq("q01" -> 0.1))
+    val l5 = BenchStats.ringLine(5L, sf, contended = false,
+      Seq("q01" -> 1.4, "q02" -> 4.4))
+    // the rendered line is one self-contained JSON object
+    assert(l1 === s"""{"ts_ms":1,"sf":"$sf","contended":false,""" +
+      """"queries":{"q01":1.000,"q02":4.000}}""")
+    // read side: contended and other-sf lines are filtered out
+    val runs = BenchStats.parseRing(
+      Seq(l1, l2, l3, l4, l5).mkString("\n"), sf)
+    assert(runs.length == 3)
+    // baseline = MEDIAN of the eligible runs' medians (upper median of
+    // {1.0, 1.2, 1.4} = 1.2); a query some runs missed still resolves
+    assert(BenchStats.ringBaseline(runs, "q01").contains(1.2))
+    assert(BenchStats.ringBaseline(runs, "q02").contains(4.4))
+    // unknown query: no baseline — the caller falls back to the
+    // previous artifact
+    assert(BenchStats.ringBaseline(runs, "q99").isEmpty)
+    // rotation keeps the trailing RingKeep lines
+    val rotated = BenchStats.rotateRing(
+      (1 to 9).map(i => s"line$i"), keep = 5)
+    assert(rotated == Seq("line5", "line6", "line7", "line8", "line9"))
+    // a malformed line contributes nothing instead of throwing
+    assert(BenchStats.parseRing(
+      s"""garbage\n{"sf":"$sf","contended":false}\n""", sf).isEmpty)
   }
 }
