@@ -182,11 +182,14 @@ object Bench {
       }
     // ring entries are uncontended by construction, so a ring baseline
     // carries prevContended = false; only the artifact fallback can be
-    // contended-suppressed
-    def baseline(name: String): (Option[Double], Boolean) =
+    // contended-suppressed. The SOURCE travels with the number: a
+    // still-suspect artifact row labels which baseline fired, so an
+    // adjudicator never mistakes a ring median-of-runs for the previous
+    // run's own median (they legitimately differ)
+    def baseline(name: String): (Option[Double], Boolean, String) =
       tools.BenchStats.ringBaseline(ringRuns, name) match {
-        case some @ Some(_) => (some, false)
-        case None => (prevMedians.get(name), prevContended)
+        case some @ Some(_) => (some, false, "ring")
+        case None => (prevMedians.get(name), prevContended, "prev")
       }
     // load-conditional factor (r14 adjudication): an observably-busy
     // start tightens the escalation to 1.5x so uniform inflations in
@@ -199,24 +202,25 @@ object Bench {
     val second = first.map {
       case (name, fn, (t, None), s, rm, extra)
           if {
-            val (b, bc) = baseline(name)
+            val (b, bc, _) = baseline(name)
             tools.BenchStats.crossRunSuspect(t, b, bc, suspectFactor)
           } =>
         val ok = Seq.fill(5)(runOne(fn)).collect { case (t2, None) => t2 }
         val healed = if (ok.isEmpty) t else tools.BenchStats.median(ok)
-        val (b, bc) = baseline(name)
+        val (b, bc, src) = baseline(name)
         val stillSuspect = tools.BenchStats.crossRunSuspect(healed,
           b, bc, suspectFactor)
         (name, fn, (healed, Option.empty[String]),
           if (ok.isEmpty) s else tools.BenchStats.spread(ok), true,
-          if (stillSuspect) b else None, extra + 5)
+          if (stillSuspect) b.map(v => (v, src)) else None, extra + 5)
       case (name, fn, r, s, rm, extra) =>
         (name, fn, r, s, rm, None, extra)
     }
     val remeasured =
       second.collect { case (n, _, _, _, true, _, _) => n }.toSet
     val suspect =
-      second.collect { case (n, _, _, _, _, Some(p), _) => n -> p }.toMap
+      second.collect { case (n, _, _, _, _, Some(ps), _) => n -> ps }
+        .toMap
     val extraRunsByName =
       second.collect { case (n, _, _, _, _, _, e) if e > 0 => n -> e }
         .toMap
@@ -243,19 +247,16 @@ object Bench {
     // control characters must be escaped too: error strings carry raw
     // exception text (tabs are common in analysis exceptions) and an
     // unescaped control char makes the persisted artifact invalid JSON
-    // exactly in the failed-query rounds it exists to adjudicate
+    // exactly in the failed-query rounds it exists to adjudicate.
+    // ONE escaper/formatter definition (BenchStats) shared with the
+    // history and ring renderers — parseRing matches lines by
+    // re-rendering, so the copies must agree byte-for-byte.
     def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '\\' => "\\\\"
-        case '"' => "\\\""
-        case c if c < ' ' => "\\u%04x".format(c.toInt)
-        case c => c.toString
-      } + "\""
+      "\"" + tools.BenchStats.jsonEscape(s) + "\""
     // Millisecond precision keeps the one-line JSON short enough that log
     // tail capture retains the whole line, "metric":"total" included.
     // Locale.ROOT: a comma-decimal default locale would corrupt the JSON.
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms(v: Double): String = tools.BenchStats.ms3(v)
     val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => k -> e }
@@ -319,8 +320,16 @@ object Bench {
         val sp = spreadByName.get(k)
           .map(s => s""","spread":${ms(s)}""").getOrElse("")
         val rm = if (remeasured(k)) ""","remeasured":true""" else ""
-        val su = suspect.get(k).map(p =>
-          s""","suspect":true,"prev_median_sec":${ms(p)}""").getOrElse("")
+        // the baseline SOURCE is labeled: "prev" keeps the r13-era
+        // prev_median_sec field (it IS the previous run's median);
+        // a ring baseline is a median-of-runs and gets its own name so
+        // adjudication against last_run_prev.json never mis-reads it
+        val su = suspect.get(k).map { case (p, src) =>
+          val field = if (src == "ring") "baseline_sec"
+                      else "prev_median_sec"
+          s""","suspect":true,"$field":${ms(p)}""" +
+            s""","baseline_src":${jstr(src)}"""
+        }.getOrElse("")
         val er = err.map(e => s""","error":${jstr(e)}""").getOrElse("")
         s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$rm$su$er}"""
       }

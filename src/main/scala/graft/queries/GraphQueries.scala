@@ -21,6 +21,23 @@ object GraphQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The consumer-contract cut, AUDIT INCLUDED: the eager checkpoint
+    * every cache consumer returns collapses its plan to a LogicalRDD
+    * leaf, which would silently vacate the `ExplainAuditSpec` CI gate
+    * for the whole graph family (r15 review) — so the cartesian/global-
+    * window audit runs HERE, on the pre-cut plan, and fails the query
+    * itself. The walk is plan-scale (microseconds against the Spark
+    * jobs it guards) and runs where the plan is still visible. */
+  private implicit final class AuditedCut(private val df: DataFrame)
+      extends AnyVal {
+    def auditedCut(name: String): DataFrame = {
+      val findings = graft.tools.ExplainAudit.audit(df, name)
+      require(findings.isEmpty,
+        s"scale-unsafe plan in $name:\n" + findings.mkString("\n"))
+      df.localCheckpoint(true)
+    }
+  }
+
   /** The near-duplicate candidate graph as canonical pairs `(a, b)` —
     * the banded minhash join (q28's relation), shared by the centrality
     * (q264) and community (q271) views through [[lshPairsCache]].
@@ -138,7 +155,12 @@ object GraphQueries {
     * DuckDB oracles still unroll the rounds from scratch. */
   private val labelsCache =
     new DirCache[String, (DataFrame, Graph.LpaDiag)]((s, dir) =>
-      Graph.labelPropagationWithDiag(pairsCache.get(s, dir), LpaRounds),
+      // the feeder artifact is PINNED for the whole multi-round build
+      // (r15 review: a bare get releases the pairs lock before the LPA
+      // rounds run, so a concurrent caller's pairsCache overflow could
+      // release the checkpoint mid-build) — same for every cache below
+      pairsCache.withArtifact(s, dir)(p =>
+        Graph.labelPropagationWithDiag(p, LpaRounds)),
       (a: (DataFrame, Graph.LpaDiag)) => Graph.release(a._1))
 
   /** The WEIGHTED LPA label artifact — the weighted twin of
@@ -147,7 +169,8 @@ object GraphQueries {
     * summarises it, q287 scores its weighted modularity; neither
     * re-runs the rounds. */
   private val wLabelsCache = new DirCache[String, DataFrame]((s, dir) =>
-    Graph.weightedLabelPropagation(wpairsCache.get(s, dir), LpaRounds),
+    wpairsCache.withArtifact(s, dir)(p =>
+      Graph.weightedLabelPropagation(p, LpaRounds)),
     Graph.release)
 
   /** YEAR-scoped LPA label artifacts for the drift family, keyed
@@ -179,14 +202,16 @@ object GraphQueries {
     * most expensive idle computation and now runs once, not once per
     * consumer (or per bench rep). */
   private val coreCache = new DirCache[String, DataFrame]((s, dir) =>
-    Graph.kCoreArtifact(pairsCache.get(s, dir), k = 4, rounds = 6),
+    pairsCache.withArtifact(s, dir)(p =>
+      Graph.kCoreArtifact(p, k = 4, rounds = 6)),
     Graph.release)
 
   /** The S-CORE (strength) decomposition artifact — [[coreCache]]'s
     * weighted twin over the shared weighted pairs (s = 80, 6 rounds):
     * q276 summarises it, q294 intersects it with the k-core. */
   private val sCoreCache = new DirCache[String, DataFrame]((s, dir) =>
-    Graph.sCoreArtifact(wpairsCache.get(s, dir), s = 80L, rounds = 6),
+    wpairsCache.withArtifact(s, dir)(p =>
+      Graph.sCoreArtifact(p, s = 80L, rounds = 6)),
     Graph.release)
 
   /** The NEAR-DUPLICATE candidate-pair artifact: the banded minhash
@@ -212,6 +237,36 @@ object GraphQueries {
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
         .localCheckpoint(true), Graph.release)
+
+  /** Max-normalise a score column to e6 fixed point: `out = v·1e6 div
+    * max(v)` — deterministic, range-bounded to [0, 1e6], DECIMAL(38,0)
+    * lift for the 100 TB degree range; the 1-row max rides a broadcast
+    * cross join. The HITS half-step normalisation both views share. */
+  private def normE6(df: DataFrame, key: String, v: String,
+      out: String): DataFrame =
+    df.crossJoin(broadcast(df.agg(max(col(v)).as("mx"))))
+      .select(col(key), expr(
+        s"CAST(CAST($v AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)")
+        .as(out))
+
+  /** The first five HITS half-steps over the bipartite relation
+    * `e (c, p)` — shared VERBATIM by q295 (authorities view) and q300
+    * (hubs view) so a normalisation-contract fix can never apply to
+    * one side only (r15 review). Returns `(degP, a2)`: the part
+    * degrees and the round-2 RAW authority scores each view finishes
+    * differently. */
+  private def hitsRound2Auth(e: DataFrame): (DataFrame, DataFrame) = {
+    val degP = e.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
+    // round-1 authorities from uniform hubs: a ∝ buyer count
+    val a1n = normE6(degP.select(col("p"),
+      (col("deg_p") * lit(1000000L)).as("a")), "p", "a", "an")
+    val h1 = e.join(a1n, "p")
+      .groupBy(col("c")).agg(sum(col("an")).as("h"))
+    val h1n = normE6(h1, "c", "h", "hn")
+    val a2 = e.join(h1n, "c")
+      .groupBy(col("p")).agg(sum(col("hn")).as("a"))
+    (degP, a2)
+  }
 
   /** The alphabetically-first brand's part keys — the shared seed set
     * of the proximity pair q256 (PPR mass) / q274 (hop distance). */
@@ -240,7 +295,7 @@ object GraphQueries {
         val r = Graph.pageRank(Graph.symmetrize(pairs), iterations = 5)
         try r.select(col("node").as("part_key"), col("rank_e6"))
           .orderBy(col("rank_e6").desc, col("part_key"))
-          .limit(20).localCheckpoint(true)
+          .limit(20).auditedCut("q251_pagerank")
         finally Graph.release(r)
       }
     },
@@ -288,7 +343,7 @@ object GraphQueries {
           col("intra_pairs"), col("contrib_e6").cast("long")
             .as("contrib_e6"))
         .orderBy(col("p_brand"))
-        .localCheckpoint(true) // brand-scale (~25 rows): the consumer contract
+        .auditedCut("q255_brand_modularity") // brand-scale (~25 rows): the consumer contract
       }
     },
 
@@ -308,7 +363,7 @@ object GraphQueries {
         val r = Graph.pageRank(edges, iterations = 5)
         try r.select(col("node").as("doc_id"), col("rank_e6"))
           .orderBy(col("rank_e6").desc, col("doc_id"))
-          .limit(20).localCheckpoint(true)
+          .limit(20).auditedCut("q264_dedup_centrality")
         finally Graph.release(r)
       }
     },
@@ -325,7 +380,7 @@ object GraphQueries {
       coreCache.withArtifact(s, dir) { core =>
         core.select(col("node").as("part_key"), col("degree"))
           .orderBy(col("degree").desc, col("part_key"))
-          .limit(50).localCheckpoint(true)
+          .limit(50).auditedCut("q266_copurchase_core")
       }
     },
 
@@ -350,7 +405,7 @@ object GraphQueries {
           .select(col("node").as("part_key"), col("p_brand"),
             col("rank_e6"))
           .orderBy(col("rank_e6").desc, col("part_key"))
-          .limit(20).localCheckpoint(true)
+          .limit(20).auditedCut("q256_related_parts")
         finally Graph.release(r)
       }
     },
@@ -371,7 +426,7 @@ object GraphQueries {
             max(col("node")).as("max_member"))
           .filter(col("n_members") >= 3)
           .orderBy(col("n_members").desc, col("community"))
-          .limit(30).localCheckpoint(true)
+          .limit(30).auditedCut("q268_copurchase_communities")
       }
     },
 
@@ -387,7 +442,7 @@ object GraphQueries {
           Graph.symmetrizeWeighted(wpairs), iterations = 5)
         try r.select(col("node").as("part_key"), col("rank_e6"))
           .orderBy(col("rank_e6").desc, col("part_key"))
-          .limit(20).localCheckpoint(true)
+          .limit(20).auditedCut("q272_weighted_copurchase_rank")
         finally Graph.release(r)
       }
     },
@@ -413,7 +468,7 @@ object GraphQueries {
         try dist.groupBy(col("hops"))
           .agg(count(lit(1)).as("n_parts"))
           .orderBy(col("hops"))
-          .localCheckpoint(true) // hop-scale (≤ 5 rows)
+          .auditedCut("q274_brand_hop_profile") // hop-scale (≤ 5 rows)
         finally Graph.release(dist)
       }
     },
@@ -432,7 +487,7 @@ object GraphQueries {
             max(col("node")).as("max_member"))
           .filter(col("n_members") >= 3)
           .orderBy(col("n_members").desc, col("community"))
-          .limit(30).localCheckpoint(true)
+          .limit(30).auditedCut("q273_weighted_communities")
       }
     },
 
@@ -449,7 +504,7 @@ object GraphQueries {
       sCoreCache.withArtifact(s, dir) { core =>
         core.select(col("node").as("part_key"), col("strength"))
           .orderBy(col("strength").desc, col("part_key"))
-          .limit(50).localCheckpoint(true)
+          .limit(50).auditedCut("q276_copurchase_strength_core")
       }
     },
 
@@ -497,7 +552,7 @@ object GraphQueries {
           col("degree_sum"), col("intra_pairs"),
           col("contrib_e6").cast("long").as("contrib_e6"))
         .orderBy(col("contrib_e6").desc, col("community"))
-        .limit(20).localCheckpoint(true)
+        .limit(20).auditedCut("q275_lpa_modularity")
       }
       }
     },
@@ -520,7 +575,7 @@ object GraphQueries {
             max(col("node")).as("max_doc"))
           .filter(col("n_docs") >= 2)
           .orderBy(col("n_docs").desc, col("family"))
-          .limit(40).localCheckpoint(true)
+          .limit(40).auditedCut("q271_dedup_communities")
         finally Graph.release(labels)
       }
     },
@@ -583,7 +638,7 @@ object GraphQueries {
         .select(col("x").as("seed_part"), col("y").as("counterpart"),
           col("common").as("common_neighbors"),
           col("deg_x"), col("deg_y"), col("jaccard_ppm"))
-        .localCheckpoint(true)
+        .auditedCut("q288_neighbor_jaccard")
       }
     },
 
@@ -618,7 +673,7 @@ object GraphQueries {
         .limit(20)
         .select(col("x").as("seed_part"), col("y").as("counterpart"),
           col("common").as("common_neighbors"), col("ra_e6"))
-        .localCheckpoint(true)
+        .auditedCut("q291_resource_allocation")
       }
     },
 
@@ -669,7 +724,7 @@ object GraphQueries {
           col("strength_sum"), col("intra_w"),
           col("contrib_e6").cast("long").as("contrib_e6"))
         .orderBy(col("contrib_e6").desc, col("community"))
-        .limit(20).localCheckpoint(true)
+        .limit(20).auditedCut("q287_weighted_modularity")
       }
       }
     },
@@ -697,7 +752,7 @@ object GraphQueries {
       // (negligible, and the caller owns the result).
       yearLabelsCache.withArtifact(s, (dir, 1996)) { la =>
         val lb = yearLabelsCache.get(s, (dir, 1997))
-        Graph.randIndexPpm(la, lb).localCheckpoint(true)
+        Graph.randIndexPpm(la, lb).auditedCut("q282_community_drift")
           .select(col("n_nodes"),
             col("n_comm_a").as("n_comm_1996"),
             col("n_comm_b").as("n_comm_1997"),
@@ -722,7 +777,7 @@ object GraphQueries {
             max(col("degree")).as("max_degree"),
             sum(col("degree")).as("degree_sum"))
           .orderBy(col("n_core_parts").desc, col("p_brand"))
-          .localCheckpoint(true) // brand-scale (~25 rows)
+          .auditedCut("q293_core_brand_profile") // brand-scale (~25 rows)
       }
     },
 
@@ -741,30 +796,13 @@ object GraphQueries {
     // [[bipartiteCache]] (shared with q300).
     "q295_hits_authorities" -> { (s, dir) =>
       bipartiteCache.withArtifact(s, dir) { e =>
-        val degP = e.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
-        // round-1 authorities from uniform hubs: a ∝ buyer count
-        val a1 = degP.select(col("p"),
-          (col("deg_p") * lit(1000000L)).as("a"))
-        val a1n = a1.crossJoin(broadcast(a1.agg(max(col("a")).as("ma"))))
-          .select(col("p"), expr(
-            "CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div ma AS BIGINT)")
-            .as("an"))
-        val h1 = e.join(a1n, "p")
-          .groupBy(col("c")).agg(sum(col("an")).as("h"))
-        val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("mh"))))
-          .select(col("c"), expr(
-            "CAST(CAST(h AS DECIMAL(38,0)) * 1000000 div mh AS BIGINT)")
-            .as("hn"))
-        val a2 = e.join(h1n, "c")
-          .groupBy(col("p")).agg(sum(col("hn")).as("a"))
-        a2.crossJoin(broadcast(a2.agg(max(col("a")).as("ma"))))
-          .select(col("p").as("part_key"), expr(
-            "CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div ma AS BIGINT)")
-            .as("auth_e6"))
+        val (degP, a2) = hitsRound2Auth(e)
+        normE6(a2, "p", "a", "auth_e6")
+          .withColumnRenamed("p", "part_key")
           .join(degP.select(col("p").as("part_key"),
             col("deg_p").as("n_buyers")), "part_key")
           .orderBy(col("auth_e6").desc, col("part_key"))
-          .limit(20).localCheckpoint(true)
+          .limit(20).auditedCut("q295_hits_authorities")
       }
     },
 
@@ -804,7 +842,7 @@ object GraphQueries {
                 ELSE -(((sx * sx - m_edges * sxy) * 1000000)
                   div greatest(m_edges * sx2 - sx * sx, 1))
                 END AS BIGINT)""").as("assort_ppm"))
-          .localCheckpoint(true)
+          .auditedCut("q296_degree_assortativity")
       }
     },
 
@@ -844,7 +882,7 @@ object GraphQueries {
                 ELSE -(((sx * sx - h * sxy) * 1000000)
                   div greatest(h * sx2 - sx * sx, 1))
                 END AS BIGINT)""").as("assort_ppm"))
-          .localCheckpoint(true)
+          .auditedCut("q299_strength_assortativity")
       }
     },
 
@@ -857,34 +895,18 @@ object GraphQueries {
     // difference). Same exact e6 max-normalisation contract.
     "q300_hits_hubs" -> { (s, dir) =>
       bipartiteCache.withArtifact(s, dir) { e =>
-        val degP = e.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
-        val a1 = degP.select(col("p"),
-          (col("deg_p") * lit(1000000L)).as("a"))
-        val a1n = a1.crossJoin(broadcast(a1.agg(max(col("a")).as("ma"))))
-          .select(col("p"), expr(
-            "CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div ma AS BIGINT)")
-            .as("an"))
-        val h1 = e.join(a1n, "p")
-          .groupBy(col("c")).agg(sum(col("an")).as("h"))
-        val h1n = h1.crossJoin(broadcast(h1.agg(max(col("h")).as("mh"))))
-          .select(col("c"), expr(
-            "CAST(CAST(h AS DECIMAL(38,0)) * 1000000 div mh AS BIGINT)")
-            .as("hn"))
-        val a2 = e.join(h1n, "c")
-          .groupBy(col("p")).agg(sum(col("hn")).as("a"))
-        val a2n = a2.crossJoin(broadcast(a2.agg(max(col("a")).as("ma"))))
-          .select(col("p"), expr(
-            "CAST(CAST(a AS DECIMAL(38,0)) * 1000000 div ma AS BIGINT)")
-            .as("an2"))
-        val h2 = e.join(a2n, "p")
+        val (_, a2) = hitsRound2Auth(e)
+        val h2 = e.join(normE6(a2, "p", "a", "an2"), "p")
           .groupBy(col("c")).agg(sum(col("an2")).as("h"),
             count(lit(1)).as("n_parts"))
+        // final hub normalisation inline: n_parts must ride along, and
+        // normE6 returns only (key, score)
         h2.crossJoin(broadcast(h2.agg(max(col("h")).as("mh"))))
           .select(col("c").as("cust_key"), expr(
             "CAST(CAST(h AS DECIMAL(38,0)) * 1000000 div mh AS BIGINT)")
             .as("hub_e6"), col("n_parts"))
           .orderBy(col("hub_e6").desc, col("cust_key"))
-          .limit(20).localCheckpoint(true)
+          .limit(20).auditedCut("q300_hits_hubs")
       }
     },
 
@@ -912,7 +934,7 @@ object GraphQueries {
                 1L).otherwise(0L)).as("n_kcore_only"),
               sum(when(col("in_k").isNull && col("in_s").isNotNull,
                 1L).otherwise(0L)).as("n_score_only"))
-            .localCheckpoint(true)
+            .auditedCut("q294_core_overlap")
         }
       }
     })

@@ -50,8 +50,23 @@ object StreamingCommunities {
     * so the log never references a generation that failed to land (the
     * log is advisory: a crash between install and append loses one row,
     * never corrupts the labels). */
+  /** Per-store refresh locks: the refresh is a read-modify-write over
+    * the labels swap AND the drift log's max(refresh_seq)+1, and the
+    * listener's POST route runs handlers on a thread pool (r15 review:
+    * two concurrent POSTs could race the install and append duplicate
+    * sequence numbers). One JVM-wide lock per store dir — cross-process
+    * writers remain out of scope, same as every HWM store. */
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def refresh(spark: SparkSession, cfg: StreamingRank.Config,
-              rounds: Int = 4, warmStart: Boolean = false): Unit = {
+              rounds: Int = 4, warmStart: Boolean = false): Unit =
+    refreshLocks.computeIfAbsent(cfg.storeDir, _ => new Object)
+      .synchronized { refreshLocked(spark, cfg, rounds, warmStart) }
+
+  private def refreshLocked(spark: SparkSession,
+      cfg: StreamingRank.Config,
+      rounds: Int, warmStart: Boolean): Unit = {
     val store = new org.apache.hadoop.fs.Path(cfg.storeDir)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     SwapDir.recover(fs, cfg.storeDir, "labels")
@@ -136,9 +151,11 @@ object StreamingCommunities {
     * top-K-by-size COMMUNITY IDS (overlap count + Spearman footrule
     * over the shared ids). Refresh-cardinality (one row per refresh
     * after the first), so reading it whole is always cheap. The head
-    * columns widened the schema in this version — a store whose drift
-    * log predates them should be cleared (the log is advisory; the
-    * labels themselves are untouched). */
+    * columns widened the schema in this version; a PRE-WIDENING store
+    * keeps working — the read merges schemas across files (an upgraded
+    * store holds 6- and 9-column files side by side) and renders the
+    * legacy rows' head columns as 0, never a 500 on the drift route
+    * and never a file-listing-order lottery (r15 review). */
   def drift(spark: SparkSession,
             cfg: StreamingRank.Config): DataFrame = {
     val p = driftPath(cfg)
@@ -151,7 +168,14 @@ object StreamingCommunities {
           lit(0L).as("head_k"), lit(0L).as("head_overlap"),
           lit(0L).as("head_footrule"))
         .limit(0)
-    else spark.read.parquet(p.toString).orderBy(col("refresh_seq"))
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(p.toString)
+      val headCols = Seq("head_k", "head_overlap", "head_footrule")
+      val widened = headCols.foldLeft(raw)((df, c) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(0L)))
+      widened.na.fill(0L, headCols).orderBy(col("refresh_seq"))
+    }
   }
 
   /** Current `(node, label)` assignment; empty before the first

@@ -91,6 +91,21 @@ object BenchStats {
       }.toMap)
   }
 
+  /** THE JSON string escaper for every artifact this engine renders —
+    * one definition (r15 review: four hand-rolled copies had to agree
+    * byte-for-byte or [[parseRing]]'s same-sf match silently broke). */
+  def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"; case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
+  /** Millisecond-precision seconds, Locale.ROOT — the one number
+    * formatter every artifact line shares. */
+  def ms3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   /** One bench-history record as a JSON line — the run-over-run trend
     * `bench/history.jsonl` accumulates (the last_run rotation keeps only
     * ONE previous artifact; the history keeps the story). Pure
@@ -98,16 +113,10 @@ object BenchStats {
   def historyLine(tsMillis: Long, sf: String, nQueries: Int, failed: Int,
       totalSec: Double, wallSec: Double, reps: Int, contended: Boolean,
       nRemeasured: Int, nSuspect: Int): String = {
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val sfq = "\"" + sf.flatMap {
-      case '\\' => "\\\\"; case '"' => "\\\""
-      case c if c < ' ' => "\\u%04x".format(c.toInt)
-      case c => c.toString
-    } + "\""
+    val sfq = "\"" + jsonEscape(sf) + "\""
     s"""{"ts_ms":$tsMillis,"sf":$sfq,"n_queries":$nQueries,""" +
-      s""""failed":$failed,"total_sec":${ms(totalSec)},""" +
-      s""""wall_sec":${ms(wallSec)},"reps":$reps,""" +
+      s""""failed":$failed,"total_sec":${ms3(totalSec)},""" +
+      s""""wall_sec":${ms3(wallSec)},"reps":$reps,""" +
       s""""contended":$contended,"n_remeasured":$nRemeasured,""" +
       s""""n_suspect":$nSuspect}"""
   }
@@ -151,19 +160,11 @@ object BenchStats {
     * self-labeled-clean) baseline run no longer owns the comparison. */
   def ringLine(tsMillis: Long, sf: String, contended: Boolean,
       queries: Seq[(String, Double)]): String = {
-    def js(s: String): String =
-      "\"" + s.flatMap {
-        case '\\' => "\\\\"; case '"' => "\\\""
-        case c if c < ' ' => "\\u%04x".format(c.toInt)
-        case c => c.toString
-      } + "\""
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = queries.sortBy(_._1)
-      .map { case (k, v) => js(k) + ":" + ms(v) }
+      .map { case (k, v) => "\"" + jsonEscape(k) + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    s"""{"ts_ms":$tsMillis,"sf":${js(sf)},"contended":$contended,""" +
-      s""""queries":$qs}"""
+    s"""{"ts_ms":$tsMillis,"sf":"${jsonEscape(sf)}",""" +
+      s""""contended":$contended,"queries":$qs}"""
   }
 
   /** Ring retention: enough runs for a sturdy median, small enough that
@@ -172,21 +173,30 @@ object BenchStats {
     * steady-state as suspect). */
   val RingKeep: Int = 5
 
-  /** Rotation: keep the trailing [[RingKeep]] lines. Pure so the spec
-    * pins the policy without touching a filesystem. */
-  def rotateRing(lines: Seq[String], keep: Int = RingKeep): Seq[String] =
-    lines.takeRight(math.max(keep, 1))
+  /** Rotation: keep the trailing [[RingKeep]] lines PER SCALE FACTOR,
+    * original order preserved (r15 review: a global tail meant five
+    * sf0.001 smoke runs evicted every sf0.1 baseline — with the
+    * last_run artifact also rotated to the smoke, the next sf0.1 bench
+    * had NO baseline at all and a genuine regression recorded with
+    * `suspect: 0`). Lines whose sf label cannot be read group under ""
+    * and rotate together. Pure so the spec pins the policy without
+    * touching a filesystem. */
+  def rotateRing(lines: Seq[String], keep: Int = RingKeep): Seq[String] = {
+    val sfRe = """"sf"\s*:\s*"([^"]*)"""".r
+    def sfOf(l: String): String =
+      sfRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+    val k = math.max(keep, 1)
+    val keepIdx = lines.zipWithIndex.groupBy { case (l, _) => sfOf(l) }
+      .values.flatMap(_.takeRight(k).map(_._2)).toSet
+    lines.zipWithIndex.collect { case (l, i) if keepIdx(i) => l }
+  }
 
   /** Parse `ring.jsonl` text into the per-run query-median maps
     * ELIGIBLE as a baseline: same scale factor, self-labeled
     * uncontended. Oldest first. Same pure-text discipline as
     * [[parseArtifact]]: a malformed line contributes nothing. */
   def parseRing(text: String, sf: String): Seq[Map[String, Double]] = {
-    val sfEsc = "\"sf\":\"" + sf.flatMap {
-      case '\\' => "\\\\"; case '"' => "\\\""
-      case c if c < ' ' => "\\u%04x".format(c.toInt)
-      case c => c.toString
-    } + "\""
+    val sfEsc = "\"sf\":\"" + jsonEscape(sf) + "\""
     val q = """"([^"\\]+)"\s*:\s*([0-9.]+)""".r
     text.linesIterator
       .filter(l => l.contains(sfEsc) && l.contains("\"contended\":false"))

@@ -126,6 +126,32 @@ class StreamingCommunitiesSpec extends SparkSpec {
         .sum)
   }
 
+  test("a pre-head-columns drift store keeps working: legacy 6-column " +
+      "rows render with zero heads beside new 9-column rows (r15 " +
+      "review — no 500, no file-order lottery)") {
+    import spark.implicits._
+    val c = cfg(Files.createTempDirectory("scomm_legacy").toString)
+    StreamingRank.ingestBatch(batch0.toDF(), 0L, c)
+    StreamingCommunities.refresh(spark, c)
+    // plant a LEGACY 6-column row the way the pre-r15 writer did
+    Seq((1L, 3L, 1L, 1L, 3L, 1000000L))
+      .toDF("refresh_seq", "n_nodes", "n_comm_prev", "n_comm_next",
+        "same_same_pairs", "rand_ppm")
+      .coalesce(1).write.mode("append")
+      .parquet(c.storeDir + "/labels_drift")
+    // a post-upgrade refresh appends a 9-column file into the same dir
+    StreamingCommunities.refresh(spark, c)
+    val rows = StreamingCommunities.drift(spark, c).collect()
+    assert(rows.length === 2)
+    val legacy = rows.find(_.getAs[Long]("refresh_seq") === 1L).get
+    assert(legacy.getAs[Long]("rand_ppm") === 1000000L)
+    assert(legacy.getAs[Long]("head_k") === 0L)
+    assert(legacy.getAs[Long]("head_overlap") === 0L)
+    assert(legacy.getAs[Long]("head_footrule") === 0L)
+    val fresh = rows.find(_.getAs[Long]("refresh_seq") === 2L).get
+    assert(fresh.getAs[Long]("head_k") > 0L)
+  }
+
   test("labels and ranks are two views over ONE edge store") {
     val c = cfg(Files.createTempDirectory("scomm_two").toString)
     StreamingRank.ingestBatch(batch0.toDF(), 0L, c)

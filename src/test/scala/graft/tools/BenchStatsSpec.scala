@@ -187,10 +187,24 @@ class BenchStatsSpec extends AnyFunSuite {
     // unknown query: no baseline — the caller falls back to the
     // previous artifact
     assert(BenchStats.ringBaseline(runs, "q99").isEmpty)
-    // rotation keeps the trailing RingKeep lines
-    val rotated = BenchStats.rotateRing(
+    // rotation keeps the trailing RingKeep lines PER SCALE FACTOR:
+    // a burst of smoke runs must not evict the sf0.1 baselines (the
+    // artifact fallback is sf-guarded too, so a global tail would
+    // leave the next sf0.1 bench with NO baseline at all)
+    val big = (1 to 3).map(i =>
+      BenchStats.ringLine(i, sf, contended = false, Seq("q01" -> 1.0)))
+    val smoke = (1 to 7).map(i =>
+      BenchStats.ringLine(100L + i, "/root/testdata/sf0.001",
+        contended = false, Seq("q01" -> 0.1)))
+    val rotated = BenchStats.rotateRing(big ++ smoke, keep = 5)
+    assert(rotated.count(_.contains(s""""sf":"$sf"""")) === 3)
+    assert(rotated.count(_.contains("sf0.001")) === 5)
+    // order preserved: the sf0.1 lines still precede the smoke tail
+    assert(rotated.take(3) == big)
+    // unlabeled lines group together and rotate as their own class
+    assert(BenchStats.rotateRing(
       (1 to 9).map(i => s"line$i"), keep = 5)
-    assert(rotated == Seq("line5", "line6", "line7", "line8", "line9"))
+      == Seq("line5", "line6", "line7", "line8", "line9"))
     // a malformed line contributes nothing instead of throwing
     assert(BenchStats.parseRing(
       s"""garbage\n{"sf":"$sf","contended":false}\n""", sf).isEmpty)
