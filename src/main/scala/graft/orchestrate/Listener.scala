@@ -569,6 +569,36 @@ object Listener {
         }
       },
 
+      route("GET", "/api/bench/ring",
+        "per-query baseline ring (last runs' medians per sf)") { (ex, _) =>
+        benchHistory match {
+          case None =>
+            respond(ex, 404, """{"detail": "no bench history configured"}""")
+          case Some(path) =>
+            // the ring lives beside the history file and is BOUNDED by
+            // construction (RingKeep lines per scale factor, rewritten
+            // on rotation — never an append-forever log), so the whole
+            // file is served; a reader racing the rewriter can still
+            // catch a torn final line, which is withheld exactly like
+            // the history tail's
+            val p = java.nio.file.Paths.get(path)
+              .resolveSibling("ring.jsonl")
+            if (!java.nio.file.Files.exists(p))
+              respond(ex, 200, "[]")
+            else {
+              val raw = new String(java.nio.file.Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8)
+                .split("\n", -1).toSeq
+              val whole =
+                (if (raw.nonEmpty && raw.last.trim.nonEmpty &&
+                    !raw.last.trim.endsWith("}")) raw.dropRight(1)
+                 else raw)
+                  .map(_.trim).filter(_.nonEmpty)
+              respond(ex, 200, whole.mkString("[", ", ", "]"))
+            }
+        }
+      },
+
       route("GET", "/api/sessions/sweep/{gaps}",
         "session_window gap sweep: per gap-minutes session stats") {
         (ex, params) =>

@@ -910,6 +910,108 @@ object GraphQueries {
       }
     },
 
+    // RICH-CLUB profile (Colizza et al. 2006): among nodes with degree
+    // above k, how dense is the subgraph — do the catalogue's hubs
+    // bundle with EACH OTHER (a "rich club") or only radiate outward?
+    // The natural companion to q296's assortativity (a correlation)
+    // with a thresholded, directly-interpretable density ladder. One
+    // degree join over the cached pairs + ONE conditional aggregate
+    // produces all three k levels (the q292 single-pass pyramid
+    // discipline — never one subgraph pass per level); density in
+    // exact ppm over C(n,2), non-negative throughout.
+    "q301_rich_club" -> { (s, dir) =>
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val deg = Graph.symmetrize(pairs)
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val ends = pairs
+          .join(deg.select(col("node").as("a"), col("deg").as("dx")),
+            "a")
+          .join(deg.select(col("node").as("b"), col("deg").as("dy")),
+            "b")
+        def ek(k: Int) = sum(when(col("dx") > k && col("dy") > k, 1L)
+          .otherwise(0L))
+        def nk(k: Int) = sum(when(col("deg") > k, 1L).otherwise(0L))
+        val e = ends.agg(ek(4).as("e4"), ek(8).as("e8"),
+          ek(16).as("e16"))
+        val n = deg.agg(nk(4).as("n4"), nk(8).as("n8"),
+          nk(16).as("n16"))
+        def density(ec: String, nc: String) =
+          expr(s"$ec * 2000000 div greatest($nc * ($nc - 1), 1)")
+        e.crossJoin(broadcast(n)).select(
+          col("n4").as("k4_nodes"), col("e4").as("k4_edges"),
+          density("e4", "n4").as("k4_density_ppm"),
+          col("n8").as("k8_nodes"), col("e8").as("k8_edges"),
+          density("e8", "n8").as("k8_density_ppm"),
+          col("n16").as("k16_nodes"), col("e16").as("k16_edges"),
+          density("e16", "n16").as("k16_density_ppm"))
+          .auditedCut("q301_rich_club")
+      }
+    },
+
+    // Global TRANSITIVITY of the co-purchase graph: 3·triangles /
+    // wedges in exact ppm — "when two parts share a co-purchase
+    // partner, how often are they themselves co-purchased?". The
+    // triangle count uses the DEGREE-ORDERED orientation (each edge
+    // directed from its (deg, node)-lexicographically smaller endpoint)
+    // so the wedge join enumerates only wedges at each node's ORIENTED
+    // out-edges — O(Σ C(outdeg⁺,2)) = O(E^1.5) worst case instead of
+    // the raw Σ C(deg,2) wedge volume (the q288-measured all-pairs
+    // blow-up; a high-degree hub contributes C(deg,2) raw wedges but
+    // its oriented out-degree stays small by construction). The wedge
+    // DENOMINATOR needs no join at all — Σ C(deg,2) comes straight off
+    // the degree relation.
+    "q302_transitivity" -> { (s, dir) =>
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val deg = Graph.symmetrize(pairs)
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        // orient: src = the (deg, node)-smaller endpoint
+        val ends = pairs
+          .join(deg.select(col("node").as("a"), col("deg").as("da")),
+            "a")
+          .join(deg.select(col("node").as("b"), col("deg").as("db")),
+            "b")
+        val oriented = ends.select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            col("a")).otherwise(col("b")).as("src"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            col("b")).otherwise(col("a")).as("dst"))
+          .localCheckpoint(true)
+        try {
+          // wedges at the oriented out-edges: (u→v, u→w), v ≠ w,
+          // counted once per unordered {v, w} via <; triangle iff the
+          // closing edge exists IN THE ORIENTATION (v→w or w→v — the
+          // orientation is a total order, so exactly one can)
+          val wedges = oriented.select(col("src"), col("dst").as("v"))
+            .join(oriented.select(col("src"), col("dst").as("w")),
+              "src")
+            .filter(col("v") < col("w"))
+          val tri = wedges
+            .join(oriented
+                .select(col("src").as("v"), col("dst").as("w"))
+                .unionByName(oriented.select(col("src").as("w"),
+                  col("dst").as("v"))),
+              Seq("v", "w"), "left_semi")
+            .agg(count(lit(1)).as("n_triangles"))
+          val stats = deg.agg(count(lit(1)).as("n_nodes"),
+            expr("sum(deg) div 2").as("n_edges"),
+            sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+          stats.crossJoin(broadcast(tri))
+            .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+              col("n_triangles"),
+              // DECIMAL lift: 3·T·1e6 overflows BIGINT near 3×10¹² tri
+              expr("""CAST(CAST(3 AS DECIMAL(38,0)) * n_triangles
+                        * 1000000 div greatest(n_wedges, 1)
+                      AS BIGINT)""")
+                .as("transitivity_ppm"))
+            .auditedCut("q302_transitivity")
+        } finally Graph.release(oriented)
+      }
+    },
+
     // Degree-core vs strength-core MEMBERSHIP overlap — the question
     // the two decompositions beg (q266 keeps the many-partnered, q276
     // the heavily-repeated): how much of each core is the other? One
@@ -1074,6 +1176,67 @@ object GraphQueries {
          FROM (SELECT a AS node FROM p6
                UNION ALL SELECT b FROM p6)
          GROUP BY node ORDER BY degree DESC, part_key LIMIT 50""",
+
+    "q301_rich_club" ->
+      s"""WITH $GraphCtes,
+         ends AS (SELECT da.outdeg AS dx, db.outdeg AS dy
+           FROM pairs
+           JOIN deg da ON pairs.a = da.src
+           JOIN deg db ON pairs.b = db.src),
+         e AS (SELECT
+             SUM(CASE WHEN dx > 4 AND dy > 4 THEN 1 ELSE 0 END) AS e4,
+             SUM(CASE WHEN dx > 8 AND dy > 8 THEN 1 ELSE 0 END) AS e8,
+             SUM(CASE WHEN dx > 16 AND dy > 16 THEN 1 ELSE 0 END)
+               AS e16
+           FROM ends),
+         n AS (SELECT
+             SUM(CASE WHEN outdeg > 4 THEN 1 ELSE 0 END) AS n4,
+             SUM(CASE WHEN outdeg > 8 THEN 1 ELSE 0 END) AS n8,
+             SUM(CASE WHEN outdeg > 16 THEN 1 ELSE 0 END) AS n16
+           FROM deg)
+         SELECT CAST(n4 AS BIGINT) AS k4_nodes,
+           CAST(e4 AS BIGINT) AS k4_edges,
+           CAST(e4 * 2000000 // GREATEST(n4 * (n4 - 1), 1) AS BIGINT)
+             AS k4_density_ppm,
+           CAST(n8 AS BIGINT) AS k8_nodes,
+           CAST(e8 AS BIGINT) AS k8_edges,
+           CAST(e8 * 2000000 // GREATEST(n8 * (n8 - 1), 1) AS BIGINT)
+             AS k8_density_ppm,
+           CAST(n16 AS BIGINT) AS k16_nodes,
+           CAST(e16 AS BIGINT) AS k16_edges,
+           CAST(e16 * 2000000 // GREATEST(n16 * (n16 - 1), 1)
+             AS BIGINT) AS k16_density_ppm
+         FROM e CROSS JOIN n""",
+
+    "q302_transitivity" ->
+      s"""WITH $GraphCtes,
+         oriented AS (SELECT
+             CASE WHEN da.outdeg < db.outdeg
+               OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
+               THEN pairs.a ELSE pairs.b END AS src,
+             CASE WHEN da.outdeg < db.outdeg
+               OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
+               THEN pairs.b ELSE pairs.a END AS dst
+           FROM pairs
+           JOIN deg da ON pairs.a = da.src
+           JOIN deg db ON pairs.b = db.src),
+         wedges AS (SELECT w1.src, w1.dst AS v, w2.dst AS w
+           FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src
+           WHERE w1.dst < w2.dst),
+         closing AS (SELECT src AS v, dst AS w FROM oriented
+           UNION ALL SELECT dst AS v, src AS w FROM oriented),
+         tri AS (SELECT COUNT(*) AS n_triangles
+           FROM wedges JOIN closing USING (v, w)),
+         stats AS (SELECT COUNT(*) AS n_nodes,
+             CAST(SUM(outdeg) // 2 AS BIGINT) AS n_edges,
+             CAST(SUM(outdeg * (outdeg - 1) // 2) AS BIGINT)
+               AS n_wedges
+           FROM deg)
+         SELECT CAST(n_nodes AS BIGINT) AS n_nodes, n_edges, n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(CAST(3 AS HUGEINT) * n_triangles * 1000000
+             // GREATEST(n_wedges, 1) AS BIGINT) AS transitivity_ppm
+         FROM stats CROSS JOIN tri""",
 
     "q299_strength_assortativity" ->
       s"""WITH $WPairsCtes,

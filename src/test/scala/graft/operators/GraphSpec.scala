@@ -348,6 +348,67 @@ class GraphSpec extends SparkSpec {
       "hub ranking coincides exactly with basket size — suspicious")
   }
 
+  test("q301 rich club: levels nest (nodes/edges shrink, k16 ⊆ k8 ⊆ " +
+      "k4) and counts match a brute-force threshold recompute") {
+    val out = graft.queries.GraphQueries
+      .defs("q301_rich_club")(spark, sf("sf0.001")).collect().head
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.distinct
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    def level(k: Int): (Long, Long, Long) = {
+      val nodes = deg.filter(_._2 > k).keySet
+      val edges = pairs.count(p => nodes(p._1) && nodes(p._2)).toLong
+      val n = nodes.size.toLong
+      (n, edges,
+        edges * 2000000L / math.max(n * (n - 1), 1L))
+    }
+    for ((k, pre) <- Seq(4 -> "k4", 8 -> "k8", 16 -> "k16")) {
+      val (n, e, d) = level(k)
+      assert(out.getAs[Long](s"${pre}_nodes") === n, pre)
+      assert(out.getAs[Long](s"${pre}_edges") === e, pre)
+      assert(out.getAs[Long](s"${pre}_density_ppm") === d, pre)
+    }
+    assert(out.getAs[Long]("k8_nodes") <= out.getAs[Long]("k4_nodes"))
+    assert(out.getAs[Long]("k16_nodes") <= out.getAs[Long]("k8_nodes"))
+    assert(out.getAs[Long]("k8_edges") <= out.getAs[Long]("k4_edges"))
+  }
+
+  test("q302 transitivity: the degree-ordered triangle count equals a " +
+      "brute-force enumeration and the wedge denominator is sum C(d,2)") {
+    val out = graft.queries.GraphQueries
+      .defs("q302_transitivity")(spark, sf("sf0.001")).collect().head
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.distinct.toSet
+    val adj = pairs.toSeq.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    // brute-force triangles: for each canonical pair, count common
+    // neighbours ABOVE both endpoints (each triangle counted once at
+    // its smallest vertex)
+    val triangles = pairs.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b).toLong
+    }.sum
+    val wedges = adj.values.map(s =>
+      s.size.toLong * (s.size - 1) / 2).sum
+    assert(out.getAs[Long]("n_nodes") === adj.size.toLong)
+    assert(out.getAs[Long]("n_edges") === pairs.size.toLong)
+    assert(out.getAs[Long]("n_wedges") === wedges)
+    assert(out.getAs[Long]("n_triangles") === triangles)
+    assert(out.getAs[Long]("transitivity_ppm") ===
+      (BigInt(3) * triangles * 1000000 /
+        BigInt(math.max(wedges, 1L))).toLong)
+  }
+
   test("q251 output: 20 rows, ranks descending, all above base mass") {
     val out = graft.queries.GraphQueries
       .defs("q251_pagerank")(spark, sf("sf0.001")).collect()

@@ -608,18 +608,40 @@ class ListenerSpec extends SparkSpec {
       assert(r.body().contains("\"n_queries\":382"))
       assert(r.body().contains("\"total_sec\":292.000"))
       assert(r.body().contains("\"contended\":true"))
+      // the RING rides beside the history file: bounded whole-file
+      // serve, torn last line withheld
+      val ringP = java.nio.file.Paths.get(base, "ring.jsonl")
+      Files.write(ringP,
+        (graft.tools.BenchStats.ringLine(1L, "/d/sf0.1",
+          contended = false, Seq("q01" -> 1.5)) + "\n" +
+          """{"ts_ms":2,"sf":"/d/sf0.1","contended":false,"quer""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val ring = get(s"$root/api/bench/ring/")
+      assert(ring.statusCode() == 200)
+      assert(ring.body().contains("\"q01\":1.500"))
+      assert(!ring.body().contains("\"ts_ms\":2")) // torn line withheld
+      assert(get(s"$root/api/docs/").body()
+        .contains("/api/bench/ring"))
       // configured but not yet written: an empty trend, not an error
+      // (own subdir — the ring resolves BESIDE the history file, and
+      // this test's real ring.jsonl must not leak into the ghost's)
       val ghost = Listener.start(spark, s"$base/meta",
-        benchHistory = Some(s"$base/nothing.jsonl"))
-      try assert(get(s"http://127.0.0.1:${ghost.port}/api/bench/history/")
-        .body() === "[]")
-      finally ghost.stop()
+        benchHistory = Some(s"$base/ghost/nothing.jsonl"))
+      try {
+        assert(get(s"http://127.0.0.1:${ghost.port}/api/bench/history/")
+          .body() === "[]")
+        assert(get(s"http://127.0.0.1:${ghost.port}/api/bench/ring/")
+          .body() === "[]")
+      } finally ghost.stop()
     } finally srv.stop()
 
     val bare = Listener.start(spark, s"$base/meta")
-    try assert(get(s"http://127.0.0.1:${bare.port}/api/bench/history/")
-      .statusCode() == 404)
-    finally bare.stop()
+    try {
+      assert(get(s"http://127.0.0.1:${bare.port}/api/bench/history/")
+        .statusCode() == 404)
+      assert(get(s"http://127.0.0.1:${bare.port}/api/bench/ring/")
+        .statusCode() == 404)
+    } finally bare.stop()
   }
 
   test("bench history tail boundaries (r14 advice): a boundary-aligned " +
