@@ -238,6 +238,64 @@ object GraphQueries {
         .distinct()
         .localCheckpoint(true), Graph.release)
 
+  /** The per-EDGE TRIANGLE-SUPPORT artifact `(a, b, support)` — for
+    * every canonical co-purchase pair, the number of triangles
+    * containing it (support = |adj(a) ∩ adj(b)|), zero-support edges
+    * included. Built ONCE per (dir, session) from the degree-ordered
+    * closed-wedge enumeration (each triangle appears as exactly one
+    * closed wedge at its order-minimal vertex and credits its three
+    * edges once — O(E^1.5) enumerated wedges regardless of hub skew,
+    * the q302 orientation): q302 reads Σsupport/3 for the global
+    * transitivity, q303 histograms it (the k-truss ladder's input).
+    * Edge-scale retained relation, same class as the pairs artifact
+    * it derives from. */
+  private val supportCache = new DirCache[String, DataFrame]((s, dir) =>
+    pairsCache.withArtifact(s, dir) { pairs =>
+      val deg = Graph.symmetrize(pairs)
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val ends = pairs
+        .join(deg.select(col("node").as("a"), col("deg").as("da")),
+          "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")),
+          "b")
+      val smaller = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      // read three times below (wedge self-join + closing membership):
+      // cut once, release after the support relation materialises
+      val oriented = ends.select(
+        when(smaller, col("a")).otherwise(col("b")).as("src"),
+        when(smaller, col("b")).otherwise(col("a")).as("dst"))
+        .localCheckpoint(true)
+      try {
+        val closed = oriented.select(col("src"), col("dst").as("v"))
+          .join(oriented.select(col("src"), col("dst").as("w")), "src")
+          .filter(col("v") < col("w"))
+          .join(oriented
+              .select(col("src").as("v"), col("dst").as("w"))
+              .unionByName(oriented.select(col("src").as("w"),
+                col("dst").as("v"))),
+            Seq("v", "w"), "left_semi")
+        // each closed wedge (u, v, w) credits edges {u,v}, {u,w},
+        // {v,w} — canonical (min, max) form; (v, w) is canonical
+        // already (v < w by the wedge filter)
+        val credits = closed
+          .select(least(col("src"), col("v")).as("a"),
+            greatest(col("src"), col("v")).as("b"))
+          .unionByName(closed
+            .select(least(col("src"), col("w")).as("a"),
+              greatest(col("src"), col("w")).as("b")))
+          .unionByName(closed.select(col("v").as("a"),
+            col("w").as("b")))
+        val support = credits.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("support"))
+        pairs
+          .join(support, Seq("a", "b"), "left_outer")
+          .na.fill(0L, Seq("support"))
+          .localCheckpoint(true)
+      } finally Graph.release(oriented)
+    }, Graph.release)
+
   /** Max-normalise a score column to e6 fixed point: `out = v·1e6 div
     * max(v)` — deterministic, range-bounded to [0, 1e6], DECIMAL(38,0)
     * lift for the 100 TB degree range; the 1-row max rides a broadcast
@@ -951,51 +1009,22 @@ object GraphQueries {
 
     // Global TRANSITIVITY of the co-purchase graph: 3·triangles /
     // wedges in exact ppm — "when two parts share a co-purchase
-    // partner, how often are they themselves co-purchased?". The
-    // triangle count uses the DEGREE-ORDERED orientation (each edge
-    // directed from its (deg, node)-lexicographically smaller endpoint)
-    // so the wedge join enumerates only wedges at each node's ORIENTED
-    // out-edges — O(Σ C(outdeg⁺,2)) = O(E^1.5) worst case instead of
-    // the raw Σ C(deg,2) wedge volume (the q288-measured all-pairs
-    // blow-up; a high-degree hub contributes C(deg,2) raw wedges but
-    // its oriented out-degree stays small by construction). The wedge
-    // DENOMINATOR needs no join at all — Σ C(deg,2) comes straight off
-    // the degree relation.
+    // partner, how often are they themselves co-purchased?". Reads the
+    // STORED per-edge triangle-support artifact ([[supportCache]] —
+    // the degree-ordered O(E^1.5) enumeration runs once per dir;
+    // Σsupport counts every triangle exactly 3 times, so the count is
+    // one edge-scale aggregate here). The wedge DENOMINATOR needs no
+    // join at all — Σ C(deg,2) comes straight off the degree relation.
+    // Nested pins, lock order supportCache → pairsCache (the
+    // build-dependency order).
     "q302_transitivity" -> { (s, dir) =>
-      pairsCache.withArtifact(s, dir) { pairs =>
-        val deg = Graph.symmetrize(pairs)
-          .groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg"))
-        // orient: src = the (deg, node)-smaller endpoint
-        val ends = pairs
-          .join(deg.select(col("node").as("a"), col("deg").as("da")),
-            "a")
-          .join(deg.select(col("node").as("b"), col("deg").as("db")),
-            "b")
-        val oriented = ends.select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            col("a")).otherwise(col("b")).as("src"),
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            col("b")).otherwise(col("a")).as("dst"))
-          .localCheckpoint(true)
-        try {
-          // wedges at the oriented out-edges: (u→v, u→w), v ≠ w,
-          // counted once per unordered {v, w} via <; triangle iff the
-          // closing edge exists IN THE ORIENTATION (v→w or w→v — the
-          // orientation is a total order, so exactly one can)
-          val wedges = oriented.select(col("src"), col("dst").as("v"))
-            .join(oriented.select(col("src"), col("dst").as("w")),
-              "src")
-            .filter(col("v") < col("w"))
-          val tri = wedges
-            .join(oriented
-                .select(col("src").as("v"), col("dst").as("w"))
-                .unionByName(oriented.select(col("src").as("w"),
-                  col("dst").as("v"))),
-              Seq("v", "w"), "left_semi")
-            .agg(count(lit(1)).as("n_triangles"))
+      supportCache.withArtifact(s, dir) { sup =>
+        pairsCache.withArtifact(s, dir) { pairs =>
+          val deg = Graph.symmetrize(pairs)
+            .groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("deg"))
+          val tri = sup.agg(expr("sum(support) div 3")
+            .as("n_triangles"))
           val stats = deg.agg(count(lit(1)).as("n_nodes"),
             expr("sum(deg) div 2").as("n_edges"),
             sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
@@ -1008,7 +1037,23 @@ object GraphQueries {
                       AS BIGINT)""")
                 .as("transitivity_ppm"))
             .auditedCut("q302_transitivity")
-        } finally Graph.release(oriented)
+        }
+      }
+    },
+
+    // TRUSS-SUPPORT histogram — the k-truss ladder's raw input: how
+    // many edges have 0, 1, 2, … supporting triangles. An edge in the
+    // k-truss needs support ≥ k−2, so this one histogram reads off the
+    // whole truss size ladder (cumulative from the right) the way
+    // q281's class histogram reads off the k-anonymity ladder. Second
+    // consumer of the stored support artifact: one edge-scale keyed
+    // aggregate over a small-int key, the enumeration never re-runs.
+    "q303_truss_support" -> { (s, dir) =>
+      supportCache.withArtifact(s, dir) { sup =>
+        sup.groupBy(col("support"))
+          .agg(count(lit(1)).as("n_edges"))
+          .orderBy(col("support"))
+          .auditedCut("q303_truss_support")
       }
     },
 
@@ -1237,6 +1282,38 @@ object GraphQueries {
            CAST(CAST(3 AS HUGEINT) * n_triangles * 1000000
              // GREATEST(n_wedges, 1) AS BIGINT) AS transitivity_ppm
          FROM stats CROSS JOIN tri""",
+
+    "q303_truss_support" ->
+      s"""WITH $GraphCtes,
+         oriented AS (SELECT
+             CASE WHEN da.outdeg < db.outdeg
+               OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
+               THEN pairs.a ELSE pairs.b END AS src,
+             CASE WHEN da.outdeg < db.outdeg
+               OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
+               THEN pairs.b ELSE pairs.a END AS dst
+           FROM pairs
+           JOIN deg da ON pairs.a = da.src
+           JOIN deg db ON pairs.b = db.src),
+         wedges AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+           FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src
+           WHERE w1.dst < w2.dst),
+         closing AS (SELECT src AS v, dst AS w FROM oriented
+           UNION ALL SELECT dst AS v, src AS w FROM oriented),
+         closed AS (SELECT u, v, w
+           FROM wedges JOIN closing USING (v, w)),
+         credits AS (
+           SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM closed
+           UNION ALL
+           SELECT LEAST(u, w), GREATEST(u, w) FROM closed
+           UNION ALL
+           SELECT v, w FROM closed),
+         supp AS (SELECT a, b, COUNT(*) AS support
+           FROM credits GROUP BY 1, 2)
+         SELECT CAST(COALESCE(supp.support, 0) AS BIGINT) AS support,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+         FROM pairs LEFT JOIN supp USING (a, b)
+         GROUP BY 1 ORDER BY support""",
 
     "q299_strength_assortativity" ->
       s"""WITH $WPairsCtes,

@@ -409,6 +409,35 @@ class GraphSpec extends SparkSpec {
         BigInt(math.max(wedges, 1L))).toLong)
   }
 
+  test("q303 truss support: histogram equals the brute-force per-edge " +
+      "common-neighbour counts, and total support is 3x the q302 " +
+      "triangle count") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q303_truss_support")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.distinct
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    // support of edge {a,b} IS the common-neighbour count
+    val want = pairs.map { case (a, b) => (adj(a) & adj(b)).size.toLong }
+      .groupBy(identity).map { case (sup, xs) => sup -> xs.size.toLong }
+    assert(out === want)
+    // conservation: the histogram covers every edge, and Σ support
+    // equals 3x the transitivity query's triangle count
+    assert(out.values.sum === pairs.size.toLong)
+    val tri = graft.queries.GraphQueries
+      .defs("q302_transitivity")(spark, dir).collect().head
+      .getAs[Long]("n_triangles")
+    assert(out.map { case (sup, n) => sup * n }.sum === 3L * tri)
+  }
+
   test("q251 output: 20 rows, ranks descending, all above base mass") {
     val out = graft.queries.GraphQueries
       .defs("q251_pagerank")(spark, sf("sf0.001")).collect()
