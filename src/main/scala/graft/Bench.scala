@@ -394,10 +394,19 @@ object Bench {
             java.nio.charset.StandardCharsets.UTF_8)
             .linesIterator.filter(_.trim.nonEmpty).toSeq
         else Seq.empty[String]
-      java.nio.file.Files.write(ringPath,
+      // temp file + ATOMIC_MOVE: the rewrite spans multiple write()
+      // calls (a 300-query line is ~7 KB), and a listener serving
+      // /api/bench/ring mid-rewrite would otherwise read a torn
+      // prefix — the move makes every read see the old or the new
+      // ring, never a partial one
+      val ringTmp = ringPath.resolveSibling("ring.jsonl.tmp")
+      java.nio.file.Files.write(ringTmp,
         (tools.BenchStats.rotateRing(ringOld :+ ringNew)
           .mkString("", "\n", "\n"))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(ringTmp, ringPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     catch {
       // the artifact is an audit aid; a read-only working dir or a

@@ -114,6 +114,20 @@ object Listener {
     graft.streaming.StreamingRank.Config(
       storeDir = dir, checkpointDir = dir + "/_ckpt")
 
+  /** Split captured artifact text into WHOLE records: blank lines
+    * dropped, and a final line that has not terminated with a record's
+    * closing '}' withheld — a reader racing the history appender (or a
+    * pre-atomic-move ring writer) must serve only complete records.
+    * ONE definition for both bench routes, so the torn-line semantics
+    * can never diverge between them. */
+  private def wholeLines(text: String): Seq[String] = {
+    val raw = text.split("\n", -1).toSeq
+    (if (raw.nonEmpty && raw.last.trim.nonEmpty &&
+        !raw.last.trim.endsWith("}")) raw.dropRight(1)
+     else raw)
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Clamp a route's `{n}` parameter to [1, 1000] (default 20): an HTTP
     * caller sizes the page, never the collect. */
   private def clampTopN(params: Seq[String]): Int =
@@ -557,14 +571,9 @@ object Listener {
               // in-progress final line — emit it only if it terminated
               // (every record ends with '}'; the newline may not have
               // landed yet)
-              val raw = window.split("\n", -1).toSeq
-              val whole =
-                (if (raw.nonEmpty && raw.last.trim.nonEmpty &&
-                    !raw.last.trim.endsWith("}")) raw.dropRight(1)
-                 else raw)
-                  .map(_.trim).filter(_.nonEmpty)
               respond(ex, 200,
-                whole.takeRight(100).mkString("[", ", ", "]"))
+                wholeLines(window).takeRight(100)
+                  .mkString("[", ", ", "]"))
             }
         }
       },
@@ -578,23 +587,20 @@ object Listener {
             // the ring lives beside the history file and is BOUNDED by
             // construction (RingKeep lines per scale factor, rewritten
             // on rotation — never an append-forever log), so the whole
-            // file is served; a reader racing the rewriter can still
-            // catch a torn final line, which is withheld exactly like
-            // the history tail's
+            // file is served. The writer installs via temp file +
+            // ATOMIC_MOVE, so a read sees the old or the new ring,
+            // never a torn rewrite; the wholeLines guard stays as
+            // defence in depth for a pre-atomic writer's file
             val p = java.nio.file.Paths.get(path)
               .resolveSibling("ring.jsonl")
             if (!java.nio.file.Files.exists(p))
               respond(ex, 200, "[]")
             else {
-              val raw = new String(java.nio.file.Files.readAllBytes(p),
+              val text = new String(
+                java.nio.file.Files.readAllBytes(p),
                 java.nio.charset.StandardCharsets.UTF_8)
-                .split("\n", -1).toSeq
-              val whole =
-                (if (raw.nonEmpty && raw.last.trim.nonEmpty &&
-                    !raw.last.trim.endsWith("}")) raw.dropRight(1)
-                 else raw)
-                  .map(_.trim).filter(_.nonEmpty)
-              respond(ex, 200, whole.mkString("[", ", ", "]"))
+              respond(ex, 200,
+                wholeLines(text).mkString("[", ", ", "]"))
             }
         }
       },

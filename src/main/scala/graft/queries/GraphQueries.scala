@@ -987,9 +987,14 @@ object GraphQueries {
             "a")
           .join(deg.select(col("node").as("b"), col("deg").as("dy")),
             "b")
-        def ek(k: Int) = sum(when(col("dx") > k && col("dy") > k, 1L)
-          .otherwise(0L))
-        def nk(k: Int) = sum(when(col("deg") > k, 1L).otherwise(0L))
+        // coalesce: a sum over an EMPTY pair relation is NULL, and the
+        // degenerate no-co-purchase dir should report zeros, matching
+        // the COALESCEd oracle
+        def ek(k: Int) = coalesce(
+          sum(when(col("dx") > k && col("dy") > k, 1L).otherwise(0L)),
+          lit(0L))
+        def nk(k: Int) = coalesce(
+          sum(when(col("deg") > k, 1L).otherwise(0L)), lit(0L))
         val e = ends.agg(ek(4).as("e4"), ek(8).as("e8"),
           ek(16).as("e16"))
         val n = deg.agg(nk(4).as("n4"), nk(8).as("n8"),
@@ -1023,11 +1028,14 @@ object GraphQueries {
           val deg = Graph.symmetrize(pairs)
             .groupBy(col("src").as("node"))
             .agg(count(lit(1)).as("deg"))
-          val tri = sup.agg(expr("sum(support) div 3")
-            .as("n_triangles"))
+          // coalesce: sums over an empty support/degree relation are
+          // NULL — the degenerate graph reports zeros (oracle-matched)
+          val tri = sup.agg(coalesce(expr("sum(support) div 3"),
+            lit(0L)).as("n_triangles"))
           val stats = deg.agg(count(lit(1)).as("n_nodes"),
-            expr("sum(deg) div 2").as("n_edges"),
-            sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+            coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+            coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+              .as("n_wedges"))
           stats.crossJoin(broadcast(tri))
             .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
               col("n_triangles"),
@@ -1132,6 +1140,32 @@ object GraphQueries {
          FROM sym s JOIN deg d ON s.src = d.src),
        nodes AS (SELECT src AS node FROM deg)"""
 
+  /** The shared degree-ordered TRIANGLE-ENUMERATION CTEs (q302/q303),
+    * composing after [[GraphCtes]]: edges oriented from their
+    * (deg, node)-smaller endpoint, wedges at the oriented out-edges,
+    * `closed` = wedges whose (v, w) closing edge exists. ONE
+    * definition so the two oracles' enumeration can never
+    * desynchronize — the spec pins Σsupport = 3·triangles ACROSS
+    * them. */
+  private val TriCtes =
+    """oriented AS (SELECT
+         CASE WHEN da.outdeg < db.outdeg
+           OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
+           THEN pairs.a ELSE pairs.b END AS src,
+         CASE WHEN da.outdeg < db.outdeg
+           OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
+           THEN pairs.b ELSE pairs.a END AS dst
+       FROM pairs
+       JOIN deg da ON pairs.a = da.src
+       JOIN deg db ON pairs.b = db.src),
+     wedges AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+       FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src
+       WHERE w1.dst < w2.dst),
+     closing AS (SELECT src AS v, dst AS w FROM oriented
+       UNION ALL SELECT dst AS v, src AS w FROM oriented),
+     closed AS (SELECT u, v, w
+       FROM wedges JOIN closing USING (v, w))"""
+
   /** One label-propagation round as SQL: per-destination neighbour-label
     * frequencies, argmax by (count DESC, label ASC) — exactly the
     * engine's max(struct(cnt, −label)) tie-break. MATERIALIZED for the
@@ -1229,15 +1263,20 @@ object GraphQueries {
            JOIN deg da ON pairs.a = da.src
            JOIN deg db ON pairs.b = db.src),
          e AS (SELECT
-             SUM(CASE WHEN dx > 4 AND dy > 4 THEN 1 ELSE 0 END) AS e4,
-             SUM(CASE WHEN dx > 8 AND dy > 8 THEN 1 ELSE 0 END) AS e8,
-             SUM(CASE WHEN dx > 16 AND dy > 16 THEN 1 ELSE 0 END)
-               AS e16
+             COALESCE(SUM(CASE WHEN dx > 4 AND dy > 4
+               THEN 1 ELSE 0 END), 0) AS e4,
+             COALESCE(SUM(CASE WHEN dx > 8 AND dy > 8
+               THEN 1 ELSE 0 END), 0) AS e8,
+             COALESCE(SUM(CASE WHEN dx > 16 AND dy > 16
+               THEN 1 ELSE 0 END), 0) AS e16
            FROM ends),
          n AS (SELECT
-             SUM(CASE WHEN outdeg > 4 THEN 1 ELSE 0 END) AS n4,
-             SUM(CASE WHEN outdeg > 8 THEN 1 ELSE 0 END) AS n8,
-             SUM(CASE WHEN outdeg > 16 THEN 1 ELSE 0 END) AS n16
+             COALESCE(SUM(CASE WHEN outdeg > 4 THEN 1 ELSE 0 END), 0)
+               AS n4,
+             COALESCE(SUM(CASE WHEN outdeg > 8 THEN 1 ELSE 0 END), 0)
+               AS n8,
+             COALESCE(SUM(CASE WHEN outdeg > 16 THEN 1 ELSE 0 END), 0)
+               AS n16
            FROM deg)
          SELECT CAST(n4 AS BIGINT) AS k4_nodes,
            CAST(e4 AS BIGINT) AS k4_edges,
@@ -1255,27 +1294,12 @@ object GraphQueries {
 
     "q302_transitivity" ->
       s"""WITH $GraphCtes,
-         oriented AS (SELECT
-             CASE WHEN da.outdeg < db.outdeg
-               OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
-               THEN pairs.a ELSE pairs.b END AS src,
-             CASE WHEN da.outdeg < db.outdeg
-               OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
-               THEN pairs.b ELSE pairs.a END AS dst
-           FROM pairs
-           JOIN deg da ON pairs.a = da.src
-           JOIN deg db ON pairs.b = db.src),
-         wedges AS (SELECT w1.src, w1.dst AS v, w2.dst AS w
-           FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src
-           WHERE w1.dst < w2.dst),
-         closing AS (SELECT src AS v, dst AS w FROM oriented
-           UNION ALL SELECT dst AS v, src AS w FROM oriented),
-         tri AS (SELECT COUNT(*) AS n_triangles
-           FROM wedges JOIN closing USING (v, w)),
+         $TriCtes,
+         tri AS (SELECT COUNT(*) AS n_triangles FROM closed),
          stats AS (SELECT COUNT(*) AS n_nodes,
-             CAST(SUM(outdeg) // 2 AS BIGINT) AS n_edges,
-             CAST(SUM(outdeg * (outdeg - 1) // 2) AS BIGINT)
-               AS n_wedges
+             CAST(COALESCE(SUM(outdeg) // 2, 0) AS BIGINT) AS n_edges,
+             CAST(COALESCE(SUM(outdeg * (outdeg - 1) // 2), 0)
+               AS BIGINT) AS n_wedges
            FROM deg)
          SELECT CAST(n_nodes AS BIGINT) AS n_nodes, n_edges, n_wedges,
            CAST(n_triangles AS BIGINT) AS n_triangles,
@@ -1285,23 +1309,7 @@ object GraphQueries {
 
     "q303_truss_support" ->
       s"""WITH $GraphCtes,
-         oriented AS (SELECT
-             CASE WHEN da.outdeg < db.outdeg
-               OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
-               THEN pairs.a ELSE pairs.b END AS src,
-             CASE WHEN da.outdeg < db.outdeg
-               OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
-               THEN pairs.b ELSE pairs.a END AS dst
-           FROM pairs
-           JOIN deg da ON pairs.a = da.src
-           JOIN deg db ON pairs.b = db.src),
-         wedges AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
-           FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src
-           WHERE w1.dst < w2.dst),
-         closing AS (SELECT src AS v, dst AS w FROM oriented
-           UNION ALL SELECT dst AS v, src AS w FROM oriented),
-         closed AS (SELECT u, v, w
-           FROM wedges JOIN closing USING (v, w)),
+         $TriCtes,
          credits AS (
            SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM closed
            UNION ALL
