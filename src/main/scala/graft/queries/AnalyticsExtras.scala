@@ -775,6 +775,164 @@ object AnalyticsExtras {
           nth_value(col("price_e2"), 2).over(full)
             .as("second_cheapest_e2"))
         .orderBy(col("p_partkey"))
+    },
+
+    // AR(1) persistence of the daily order series: the OLS slope of
+    // count(t+1) on count(t) over consecutive-day pairs — positive =
+    // momentum (busy days cluster), negative = mean reversion, the
+    // lag-1 structure q191's overdispersion and q193's fences don't
+    // see. The slope needs NO square root (unlike the correlation):
+    // (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) from ONE aggregate over the
+    // BOUNDED day relation (the q236 one-pass cross-moment
+    // discipline); the lag pairing is a day-scale self-join on d+1.
+    // The numerator is signed, so the ppm quotient is SIGN-DECOMPOSED
+    // (Spark div truncates, DuckDB // floors — divide the absolute
+    // value, re-apply the sign); DECIMAL(38,0) moments are the 100 TB
+    // range headroom.
+    "q305_daily_ar1" -> { (s, dir) =>
+      val day = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = day.select(col("d"), col("c").as("x"))
+        .join(day.select(date_sub(col("d"), 1).as("d"),
+          col("c").as("y")), "d")
+        .select(col("x").cast("decimal(38,0)").as("x"),
+          col("y").cast("decimal(38,0)").as("y"))
+      pairs
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select(col("n").cast("long").as("n_pairs"),
+          expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").as("num"),
+          expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").as("den"))
+        .select(col("n_pairs"),
+          expr("""CASE WHEN num >= 0
+                  THEN CAST(num * 1000000 div greatest(den, 1) AS BIGINT)
+                  ELSE -CAST((-num) * 1000000 div greatest(den, 1)
+                    AS BIGINT) END""").as("ar1_slope_ppm"))
+    },
+
+    // Pareto frontier of the part catalog (the SKYLINE operator,
+    // Börzsönyi et al. 2001): parts where no other part is both
+    // cheaper-or-equal AND larger-or-equal with at least one strict —
+    // the price/size efficient set. The naive formulation is an O(n²)
+    // dominance anti-join; over a SORTED axis it collapses to two
+    // windows — a part is dominated iff the max size among STRICTLY
+    // cheaper parts reaches it (RANGE frame to 1 preceding) or a
+    // same-price part strictly exceeds it. The ranked relation is the
+    // bounded PART DIMENSION (the q235/q265 precedent — never a fact);
+    // a fact-scale skyline would grid-partition on one axis, take
+    // per-cell frontiers, and merge (bounded candidates), same
+    // two-window kernel per cell.
+    "q308_part_skyline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("part_key"),
+          col("p_brand"),
+          (col("p_retailprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("price_e2"),
+          col("p_size").cast("long").as("p_size"))
+      val strictCheaper = Window.orderBy(col("price_e2"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy(col("price_e2"))
+      parts
+        .withColumn("cheaper_max", max(col("p_size")).over(strictCheaper))
+        .withColumn("same_max", max(col("p_size")).over(samePrice))
+        .filter((col("cheaper_max").isNull ||
+            col("cheaper_max") < col("p_size")) &&
+          col("same_max") === col("p_size"))
+        .select(col("part_key"), col("p_brand"), col("price_e2"),
+          col("p_size"))
+        .orderBy(col("price_e2"), col("part_key"))
+    },
+
+    // Inter-order gap quantiles per market segment: exact p50/p90 days
+    // between a customer's consecutive orders — the repeat-purchase
+    // cadence (q226's quantile discipline pointed at retention instead
+    // of fulfilment). Gaps come from a per-CUSTOMER lag window
+    // (partitioned, full (date, key) tie-break so the pairing is
+    // deterministic); the quantiles ride the shared no-global-sort
+    // two-phase selection ([[graft.operators.Quantiles]]) over the
+    // (segment, gap) space — the only data-sized sort is within the
+    // target buckets, never the order history.
+    "q310_interorder_gap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d"), col("o_orderkey"))
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+        .withColumn("gap",
+          datediff(col("d"), lag(col("d"), 1).over(byCust))
+            .cast("long"))
+        .filter(col("gap").isNotNull)
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("gap"))
+        .localCheckpoint(true) // quantile passes + the count both read it
+      try {
+        val q = graft.operators.Quantiles
+          .exactGroupQuantiles(gaps, "segment", "gap", Seq(50, 90), 1L)
+          .groupBy(col("segment"))
+          .agg(max(when(col("pct") === 50, col("value")))
+              .as("p50_gap_days"),
+            max(when(col("pct") === 90, col("value")))
+              .as("p90_gap_days"))
+        val n = gaps.groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_gaps"))
+        q.join(n, "segment").orderBy(col("segment"))
+          .localCheckpoint(true) // cut before the backing artifact dies
+      } finally gaps.unpersist()
+    },
+
+    // Churn risk by segment: repeat customers (≥ 3 orders) whose OPEN
+    // gap — days from their last order to the corpus max date — now
+    // exceeds 2× their PERSONAL upper-median inter-order gap: "overdue
+    // by their own rhythm", the per-customer-calibrated churn flag a
+    // global-threshold recency cut (q309's R axis) can't express. Every
+    // step is per-customer windows (gap lag, median-rank selection) or
+    // keyed aggregates; the ×2 predicate stays in exact integer days
+    // (no division anywhere until the final ppm share).
+    "q312_churn_risk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"))
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("d"), col("o_orderkey"))
+      val gaps = o
+        .withColumn("gap",
+          datediff(col("d"), lag(col("d"), 1).over(byCust))
+            .cast("long"))
+        .filter(col("gap").isNotNull)
+      // upper median (rk = n div 2 + 1): an element of the data, the
+      // q290 median discipline — deterministic under the full tie-break
+      val med = gaps
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("gap"), col("d"), col("o_orderkey"))))
+        .withColumn("ng", count(lit(1)).over(
+          Window.partitionBy(col("o_custkey"))))
+        .filter(col("ng") >= 2 && col("rk") === expr("ng div 2 + 1"))
+        .select(col("o_custkey"), col("gap").as("med_gap"))
+      val last = o.groupBy(col("o_custkey"))
+        .agg(max(col("d")).as("last_d"))
+      med.join(last, "o_custkey")
+        .crossJoin(broadcast(last.agg(max(col("last_d")).as("mxd"))))
+        .select(col("o_custkey"), col("med_gap"),
+          datediff(col("mxd"), col("last_d")).cast("long")
+            .as("open_gap"))
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_eligible"),
+          sum(when(col("open_gap") > col("med_gap") * 2, 1L)
+            .otherwise(0L)).as("n_at_risk"))
+        .select(col("segment"), col("n_eligible"), col("n_at_risk"),
+          expr("n_at_risk * 1000000 div n_eligible").as("at_risk_ppm"))
+        .orderBy(col("segment"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -1289,5 +1447,104 @@ object AnalyticsExtras {
              ORDER BY price_e2, p_partkey
              ROWS BETWEEN UNBOUNDED PRECEDING
                AND UNBOUNDED FOLLOWING)
-         ORDER BY p_partkey""")
+         ORDER BY p_partkey""",
+
+    "q305_daily_ar1" ->
+      """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+           COUNT(*) AS c
+         FROM orders GROUP BY 1),
+         pr AS (SELECT CAST(a.c AS HUGEINT) AS x,
+             CAST(b.c AS HUGEINT) AS y
+           FROM day a JOIN day b ON b.d = a.d + INTERVAL 1 DAY),
+         m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+             SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+           FROM pr),
+         nd AS (SELECT CAST(n AS BIGINT) AS n_pairs,
+             n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+           FROM m)
+         SELECT n_pairs,
+           CASE WHEN num >= 0
+             THEN CAST(num * 1000000 // GREATEST(den, 1) AS BIGINT)
+             ELSE -CAST((-num) * 1000000 // GREATEST(den, 1) AS BIGINT)
+           END AS ar1_slope_ppm
+         FROM nd""",
+
+    "q308_part_skyline" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS part_key,
+           p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_e2,
+           CAST(p_size AS BIGINT) AS p_size
+         FROM part),
+         m AS (SELECT *,
+             MAX(p_size) OVER (ORDER BY price_e2
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cheaper_max,
+             MAX(p_size) OVER (PARTITION BY price_e2) AS same_max
+           FROM p)
+         SELECT part_key, p_brand, price_e2, p_size
+         FROM m
+         WHERE (cheaper_max IS NULL OR cheaper_max < p_size)
+           AND same_max = p_size
+         ORDER BY price_e2, part_key""",
+
+    "q310_interorder_gap" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS d
+         FROM orders),
+         g AS (SELECT o_custkey,
+             CAST(date_diff('day',
+               LAG(d) OVER (PARTITION BY o_custkey
+                 ORDER BY d, o_orderkey), d) AS BIGINT) AS gap
+           FROM o),
+         gs AS (SELECT c.c_mktsegment AS segment, g.gap
+           FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+           WHERE g.gap IS NOT NULL),
+         n AS (SELECT segment, COUNT(*) AS n_gaps FROM gs GROUP BY 1),
+         tr AS (SELECT segment, p, (n.n_gaps * p + 99) // 100 AS t
+           FROM n, (VALUES (50), (90)) v(p)),
+         r AS (SELECT segment, gap, ROW_NUMBER() OVER
+             (PARTITION BY segment ORDER BY gap) AS rn
+           FROM gs),
+         q AS (SELECT tr.segment, tr.p, r.gap
+           FROM tr JOIN r ON r.segment = tr.segment AND r.rn = tr.t)
+         SELECT q.segment,
+           CAST(MAX(CASE WHEN p = 50 THEN gap END) AS BIGINT)
+             AS p50_gap_days,
+           CAST(MAX(CASE WHEN p = 90 THEN gap END) AS BIGINT)
+             AS p90_gap_days,
+           CAST(MAX(n.n_gaps) AS BIGINT) AS n_gaps
+         FROM q JOIN n USING (segment)
+         GROUP BY 1 ORDER BY segment""",
+
+    "q312_churn_risk" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS d
+         FROM orders),
+         g AS (SELECT o_custkey, d, o_orderkey,
+             CAST(date_diff('day', LAG(d) OVER (PARTITION BY o_custkey
+               ORDER BY d, o_orderkey), d) AS BIGINT) AS gap
+           FROM o),
+         g2 AS (SELECT * FROM g WHERE gap IS NOT NULL),
+         med AS (SELECT o_custkey, gap AS med_gap FROM (
+             SELECT o_custkey, gap,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY gap, d, o_orderkey) AS rk,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS ng
+             FROM g2)
+           WHERE ng >= 2 AND rk = ng // 2 + 1),
+         lst AS (SELECT o_custkey, MAX(d) AS last_d FROM o GROUP BY 1),
+         mx AS (SELECT MAX(last_d) AS mxd FROM lst),
+         r AS (SELECT m.o_custkey, m.med_gap,
+             CAST(date_diff('day', l.last_d, mx.mxd) AS BIGINT)
+               AS open_gap
+           FROM med m JOIN lst l USING (o_custkey), mx),
+         j AS (SELECT c.c_mktsegment AS segment, r.med_gap, r.open_gap
+           FROM r JOIN customer c ON r.o_custkey = c.c_custkey)
+         SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_eligible,
+           CAST(SUM(CASE WHEN open_gap > 2 * med_gap THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_at_risk,
+           CAST(SUM(CASE WHEN open_gap > 2 * med_gap THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS at_risk_ppm
+         FROM j GROUP BY 1 ORDER BY segment""")
 }

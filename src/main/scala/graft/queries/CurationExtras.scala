@@ -1102,6 +1102,63 @@ object CurationExtras {
         .unionAll(level("L2_region_bal5000",
           Seq(col("reg"), expr("cents div 500000"))))
         .orderBy(col("level"))
+    },
+
+    // RFM segmentation (recency / frequency / monetary): every customer
+    // coded into exact-tercile buckets on each axis — the classic CRM
+    // grid ("111" = recent + frequent + big spender) — reported as ≤27
+    // segment rows with customer counts and total spend. Scale shape:
+    // ONE grouped scan builds the customer-scale RFM relation (recency
+    // anchored to the corpus max order date, a broadcast 1-row max);
+    // each axis's tercile boundaries come from the shared
+    // NO-GLOBAL-SORT two-phase selection ([[graft.operators.Quantiles]]
+    // — the q213 boundary discipline), land in one broadcast 1-row
+    // bounds relation, and the coding pass is per-row comparisons.
+    // Bucket 1 is the LOW end of each axis (few days since last order =
+    // recent = best; few orders / small spend = worst), so the
+    // marketing-grade segment is low R + high F + high M.
+    "q309_rfm_segments" -> { (s, dir) =>
+      import graft.operators.Quantiles
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)")).as("mon_e2"))
+      val rfm = cust
+        .crossJoin(broadcast(cust.agg(max(col("last_d")).as("mxd"))))
+        .select(col("o_custkey"),
+          datediff(col("mxd"), col("last_d")).cast("long")
+            .as("rec_days"),
+          col("freq"), col("mon_e2").cast("long").as("mon_e2"))
+        .localCheckpoint(true) // three boundary passes + coding read it
+      try {
+        def bounds(vCol: String, bw: Long, p: String): DataFrame =
+          Quantiles.exactQuantiles(rfm, vCol, Seq(33, 66), bw)
+            .groupBy()
+            .agg(max(when(col("pct") === 33, col("value")))
+                .as(s"${p}33"),
+              max(when(col("pct") === 66, col("value")))
+                .as(s"${p}66"))
+        def code(v: String, p: String): Column =
+          (lit(1L) + when(col(v) > col(s"${p}33"), 1L).otherwise(0L)
+            + when(col(v) > col(s"${p}66"), 1L).otherwise(0L)).as(s"${p}_b")
+        rfm
+          .crossJoin(broadcast(bounds("rec_days", 1L, "r")))
+          .crossJoin(broadcast(bounds("freq", 1L, "f")))
+          .crossJoin(broadcast(bounds("mon_e2", 100000L, "m")))
+          .select(code("rec_days", "r"), code("freq", "f"),
+            code("mon_e2", "m"), col("mon_e2"))
+          .groupBy(col("r_b"), col("f_b"), col("m_b"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("mon_e2")).cast("long").as("monetary_e2"))
+          .select((col("r_b") * 100 + col("f_b") * 10 + col("m_b"))
+              .as("segment"),
+            col("r_b"), col("f_b"), col("m_b"), col("n_customers"),
+            col("monetary_e2"))
+          .orderBy(col("segment"))
+          .localCheckpoint(true) // cut before the backing artifact dies
+      } finally rfm.unpersist()
     })
 
   def oracles: Map[String, String] = Map(
@@ -2105,5 +2162,49 @@ object CurationExtras {
          UNION ALL
          ${level("L2_region_bal5000", "reg", "cents // 500000")}
          ORDER BY level"""
+    },
+
+    "q309_rfm_segments" -> {
+      def bounds(name: String, v: String): String =
+        s"""$name AS (SELECT
+             MAX(CASE WHEN p = 33 THEN v END) AS b33,
+             MAX(CASE WHEN p = 66 THEN v END) AS b66
+           FROM t JOIN (SELECT $v AS v,
+               ROW_NUMBER() OVER (ORDER BY $v) AS rn FROM c2) r
+             ON r.rn = t.tr)"""
+      def code(v: String, b: String, out: String): String =
+        s"""1 + (CASE WHEN $v > $b.b33 THEN 1 ELSE 0 END)
+           + (CASE WHEN $v > $b.b66 THEN 1 ELSE 0 END) AS $out"""
+      s"""WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd
+           FROM orders),
+         cust AS (SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             COUNT(*) AS freq,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+               AS HUGEINT)) AS mon
+           FROM orders GROUP BY 1),
+         c2 AS (SELECT
+             CAST(date_diff('day', last_d, mx.mxd) AS BIGINT)
+               AS rec_days,
+             CAST(freq AS BIGINT) AS freq, CAST(mon AS BIGINT) AS mon_e2
+           FROM cust, mx),
+         n AS (SELECT COUNT(*) AS n FROM c2),
+         t AS (SELECT p, (n.n * p + 99) // 100 AS tr
+           FROM n, (VALUES (33), (66)) v(p)),
+         ${bounds("rb", "rec_days")},
+         ${bounds("fb", "freq")},
+         ${bounds("mb", "mon_e2")},
+         coded AS (SELECT
+             ${code("rec_days", "rb", "r_b")},
+             ${code("freq", "fb", "f_b")},
+             ${code("mon_e2", "mb", "m_b")},
+             mon_e2
+           FROM c2, rb, fb, mb)
+         SELECT CAST(r_b * 100 + f_b * 10 + m_b AS BIGINT) AS segment,
+           CAST(r_b AS BIGINT) AS r_b, CAST(f_b AS BIGINT) AS f_b,
+           CAST(m_b AS BIGINT) AS m_b,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(mon_e2) AS BIGINT) AS monetary_e2
+         FROM coded GROUP BY 1, 2, 3, 4 ORDER BY segment"""
     })
 }

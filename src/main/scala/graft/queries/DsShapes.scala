@@ -785,6 +785,39 @@ object DsShapes {
           col("f.web_cume").cast("long").as("web_cume_e4"),
           col("f.store_cume").cast("long").as("store_cume_e4"))
         .orderBy(col("p_brand"))
+    },
+
+    // Two-ended performance rank (TPC-DS Q44 shape): the top-5 and
+    // bottom-5 parts by average order quantity, paired rank-for-rank —
+    // DS Q44's best/worst report. Averages are exact e6 fixed point
+    // (qty_e2 · 1e4 div n, both operands non-negative ⇒ trunc ≡ floor),
+    // so the ordering is integral and deterministic (partkey
+    // tie-break). Scale shape: the fact is touched ONCE for the
+    // per-part aggregate; both ends come off that PART-scale relation
+    // via orderBy+limit (TakeOrderedAndProject — a per-partition top-5
+    // + 5-row merge, never a global sort), and the rank pairing windows
+    // over 5 rows.
+    "q304_best_worst_parts" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val avgs = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum((col("l_quantity").cast("decimal(12,2)") * lit(100))
+            .cast("decimal(38,0)")).as("qty_e2"),
+          count(lit(1)).as("n"))
+        .select(col("l_partkey"),
+          expr("CAST(qty_e2 * 10000 div n AS BIGINT)").as("avg_e6"))
+      def ranked(w: Column, part: String, avg: String): DataFrame =
+        avgs.orderBy(w, col("l_partkey")).limit(5)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(w, col("l_partkey"))))
+          .select(col("rk").cast("long").as("rk"),
+            col("l_partkey").cast("long").as(part),
+            col("avg_e6").as(avg))
+      ranked(col("avg_e6").desc, "best_part", "best_avg_e6")
+        .join(ranked(col("avg_e6").asc, "worst_part", "worst_avg_e6"),
+          "rk")
+        .orderBy(col("rk"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -1222,5 +1255,28 @@ object DsShapes {
          SELECT p_brand, mo AS crossover_month,
            CAST(web_cume AS BIGINT) AS web_cume_e4,
            CAST(store_cume AS BIGINT) AS store_cume_e4
-         FROM x WHERE rn = 1 ORDER BY p_brand""")
+         FROM x WHERE rn = 1 ORDER BY p_brand""",
+
+    "q304_best_worst_parts" ->
+      """WITH per AS (SELECT l_partkey,
+           SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+             AS HUGEINT)) AS qty_e2,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY 1),
+         avgs AS (SELECT l_partkey,
+             CAST(qty_e2 * 10000 // n AS BIGINT) AS avg_e6
+           FROM per),
+         best AS (SELECT ROW_NUMBER() OVER
+               (ORDER BY avg_e6 DESC, l_partkey) AS rk,
+             l_partkey AS best_part, avg_e6 AS best_avg_e6
+           FROM avgs),
+         worst AS (SELECT ROW_NUMBER() OVER
+               (ORDER BY avg_e6 ASC, l_partkey) AS rk,
+             l_partkey AS worst_part, avg_e6 AS worst_avg_e6
+           FROM avgs)
+         SELECT CAST(b.rk AS BIGINT) AS rk,
+           CAST(b.best_part AS BIGINT) AS best_part, b.best_avg_e6,
+           CAST(w.worst_part AS BIGINT) AS worst_part, w.worst_avg_e6
+         FROM best b JOIN worst w USING (rk)
+         WHERE b.rk <= 5 ORDER BY rk""")
 }

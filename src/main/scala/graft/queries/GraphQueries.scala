@@ -1092,6 +1092,143 @@ object GraphQueries {
             .auditedCut("q294_core_overlap")
         }
       }
+    },
+
+    // EDGE clustering coefficient — the per-edge cohesion measure
+    // support / (min(deg_a, deg_b) − 1): what share of the possible
+    // common neighborhoods around a tie actually closes. Top-20
+    // most-embedded edges (the "strong ties"). Third consumer of the
+    // stored support artifact: one edge-scale degree join over two
+    // CACHED relations, the enumeration never re-runs. The bound
+    // support ≤ min(deg)−1 holds by construction (the other endpoint
+    // occupies one neighbor slot), so ecc_ppm ∈ [0, 1e6] and a lone
+    // leaf edge (min deg 1) guards the divisor with GREATEST(_, 1) —
+    // its support is structurally 0, so it reports 0, not an error.
+    // Nested pins, lock order supportCache → pairsCache (the
+    // build-dependency order, the q302 precedent).
+    "q306_edge_clustering" -> { (s, dir) =>
+      supportCache.withArtifact(s, dir) { sup =>
+        pairsCache.withArtifact(s, dir) { pairs =>
+          val deg = Graph.symmetrize(pairs)
+            .groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("deg"))
+          sup
+            .join(deg.select(col("node").as("a"), col("deg").as("da")),
+              "a")
+            .join(deg.select(col("node").as("b"), col("deg").as("db")),
+              "b")
+            .select(col("a"), col("b"), col("support"),
+              least(col("da"), col("db")).as("min_deg"),
+              expr("""CAST(support * 1000000
+                      div greatest(least(da, db) - 1, 1) AS BIGINT)""")
+                .as("ecc_ppm"))
+            .orderBy(col("ecc_ppm").desc, col("a"), col("b"))
+            .limit(20)
+            .auditedCut("q306_edge_clustering")
+        }
+      }
+    },
+
+    // Weak-tie brand mix (Granovetter): are LOCAL BRIDGES — co-purchase
+    // edges with zero supporting triangles, the ties whose removal
+    // disconnects their endpoints' neighborhoods locally — more often
+    // CROSS-brand than embedded ties are? Weak-tie theory says yes
+    // (bridges carry the between-community reach); this one row
+    // answers it with four conditional counts and two exact-ppm
+    // cross-shares. Fourth consumer of the stored support artifact:
+    // one edge-scale pass against the broadcast part dimension, the
+    // enumeration never re-runs.
+    "q307_bridge_brand_mix" -> { (s, dir) =>
+      supportCache.withArtifact(s, dir) { sup =>
+        val brand = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))
+        sup
+          .join(broadcast(brand.select(col("p_partkey").as("a"),
+            col("p_brand").as("ba"))), "a")
+          .join(broadcast(brand.select(col("p_partkey").as("b"),
+            col("p_brand").as("bb"))), "b")
+          .agg(
+            sum(when(col("support") === 0 && col("ba") =!= col("bb"),
+              1L).otherwise(0L)).as("bridge_cross"),
+            sum(when(col("support") === 0 && col("ba") === col("bb"),
+              1L).otherwise(0L)).as("bridge_within"),
+            sum(when(col("support") > 0 && col("ba") =!= col("bb"),
+              1L).otherwise(0L)).as("supported_cross"),
+            sum(when(col("support") > 0 && col("ba") === col("bb"),
+              1L).otherwise(0L)).as("supported_within"))
+          .select(col("bridge_cross"), col("bridge_within"),
+            col("supported_cross"), col("supported_within"),
+            expr("""CAST(bridge_cross * 1000000
+                    div greatest(bridge_cross + bridge_within, 1)
+                    AS BIGINT)""").as("bridge_cross_ppm"),
+            expr("""CAST(supported_cross * 1000000
+                    div greatest(supported_cross + supported_within, 1)
+                    AS BIGINT)""").as("supported_cross_ppm"))
+          .auditedCut("q307_bridge_brand_mix")
+      }
+    },
+
+    // Average-neighbor-degree curve knn(d) (Barrat / Pastor-Satorras):
+    // for each degree value d, the mean degree of the neighbors of
+    // degree-d nodes — the FUNCTIONAL companion to q296's scalar
+    // assortativity (a rising curve = assortative mixing, falling =
+    // hubs feeding spokes). Edge-based: symmetrised edges carry both
+    // end degrees, ONE keyed aggregate by source degree (Σ neighbor
+    // degree, edge count — the divisor d·|nodes of degree d| arrives
+    // for free as the group's edge count); exact ppm over non-negative
+    // terms. Output is bounded by DISTINCT DEGREE VALUES, and the
+    // whole thing is one node-scale degree join over the CACHED pairs
+    // artifact.
+    "q311_avg_neighbor_degree" -> { (s, dir) =>
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val deg = Graph.symmetrize(pairs)
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        Graph.symmetrize(pairs)
+          .join(deg.select(col("node").as("src"), col("deg").as("da")),
+            "src")
+          .join(deg.select(col("node").as("dst"), col("deg").as("db")),
+            "dst")
+          .groupBy(col("da").as("degree"))
+          .agg(count(lit(1)).as("n_edge_ends"),
+            expr("""CAST(CAST(SUM(db) AS DECIMAL(38,0)) * 1000000
+                    div COUNT(*) AS BIGINT)""").as("avg_nbr_deg_ppm"))
+          .orderBy(col("degree"))
+          .auditedCut("q311_avg_neighbor_degree")
+      }
+    },
+
+    // Degree-distribution tail (log2-bucketed CCDF): node counts per
+    // power-of-two degree band plus the survival count (nodes with
+    // degree ≥ the band floor) — the heavy-tail diagnostic that says
+    // whether the co-purchase graph is scale-free enough to need the
+    // hub disciplines (degree-ordered enumeration, seed scoping) at
+    // 100 TB. Band = length(bin(deg)) = ⌊log2 d⌋ + 1, an INTEGER
+    // bit-length in both engines — no floating log at bucket
+    // boundaries; the CCDF is one cumulative window over the ≤64-row
+    // band relation (descending, so it sums bands ≥ each floor).
+    "q313_degree_tail" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val bands = Graph.symmetrize(pairs)
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .groupBy(length(bin(col("deg"))).cast("long").as("band"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val cume = Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bands
+          .withColumn("n_at_least_floor", sum(col("n_nodes")).over(cume))
+          .crossJoin(broadcast(
+            bands.agg(sum(col("n_nodes")).as("n_total"))))
+          .select(col("band"),
+            expr("CAST(pow(2, band - 1) AS BIGINT)").as("floor_deg"),
+            col("n_nodes"), col("n_at_least_floor"),
+            expr("n_at_least_floor * 1000000 div n_total")
+              .as("survival_ppm"))
+          .orderBy(col("band"))
+          .auditedCut("q313_degree_tail")
+      }
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -1165,6 +1302,25 @@ object GraphQueries {
        UNION ALL SELECT dst AS v, src AS w FROM oriented),
      closed AS (SELECT u, v, w
        FROM wedges JOIN closing USING (v, w))"""
+
+  /** The shared per-edge SUPPORT CTEs (q303/q306/q307), composing after
+    * [[TriCtes]]: each closed wedge credits its three edges once in
+    * canonical (min, max) form; `es` is every canonical pair with its
+    * support, zero-support edges included — the SQL face of
+    * [[supportCache]]. ONE definition so the support consumers can
+    * never desynchronize from the enumeration. */
+  private val SupportCtes =
+    """credits AS (
+         SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM closed
+         UNION ALL
+         SELECT LEAST(u, w), GREATEST(u, w) FROM closed
+         UNION ALL
+         SELECT v, w FROM closed),
+       supp AS (SELECT a, b, COUNT(*) AS support
+         FROM credits GROUP BY 1, 2),
+       es AS (SELECT pairs.a, pairs.b,
+           COALESCE(supp.support, 0) AS support
+         FROM pairs LEFT JOIN supp USING (a, b))"""
 
   /** One label-propagation round as SQL: per-destination neighbour-label
     * frequencies, argmax by (count DESC, label ASC) — exactly the
@@ -1310,18 +1466,86 @@ object GraphQueries {
     "q303_truss_support" ->
       s"""WITH $GraphCtes,
          $TriCtes,
-         credits AS (
-           SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM closed
-           UNION ALL
-           SELECT LEAST(u, w), GREATEST(u, w) FROM closed
-           UNION ALL
-           SELECT v, w FROM closed),
-         supp AS (SELECT a, b, COUNT(*) AS support
-           FROM credits GROUP BY 1, 2)
-         SELECT CAST(COALESCE(supp.support, 0) AS BIGINT) AS support,
+         $SupportCtes
+         SELECT CAST(support AS BIGINT) AS support,
            CAST(COUNT(*) AS BIGINT) AS n_edges
-         FROM pairs LEFT JOIN supp USING (a, b)
-         GROUP BY 1 ORDER BY support""",
+         FROM es GROUP BY 1 ORDER BY support""",
+
+    "q306_edge_clustering" ->
+      s"""WITH $GraphCtes,
+         $TriCtes,
+         $SupportCtes,
+         ds AS (SELECT es.a, es.b, es.support,
+             LEAST(da.outdeg, db.outdeg) AS min_deg
+           FROM es
+           JOIN deg da ON es.a = da.src
+           JOIN deg db ON es.b = db.src)
+         SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(support AS BIGINT) AS support,
+           CAST(min_deg AS BIGINT) AS min_deg,
+           CAST(support * 1000000 // GREATEST(min_deg - 1, 1) AS BIGINT)
+             AS ecc_ppm
+         FROM ds ORDER BY ecc_ppm DESC, a, b LIMIT 20""",
+
+    "q307_bridge_brand_mix" ->
+      s"""WITH $GraphCtes,
+         $TriCtes,
+         $SupportCtes,
+         lb AS (SELECT es.support,
+             CASE WHEN pa.p_brand = pb.p_brand THEN 1 ELSE 0 END
+               AS within
+           FROM es
+           JOIN part pa ON es.a = pa.p_partkey
+           JOIN part pb ON es.b = pb.p_partkey),
+         agg AS (SELECT
+             SUM(CASE WHEN support = 0 AND within = 0 THEN 1 ELSE 0 END)
+               AS bridge_cross,
+             SUM(CASE WHEN support = 0 AND within = 1 THEN 1 ELSE 0 END)
+               AS bridge_within,
+             SUM(CASE WHEN support > 0 AND within = 0 THEN 1 ELSE 0 END)
+               AS supported_cross,
+             SUM(CASE WHEN support > 0 AND within = 1 THEN 1 ELSE 0 END)
+               AS supported_within
+           FROM lb)
+         SELECT CAST(bridge_cross AS BIGINT) AS bridge_cross,
+           CAST(bridge_within AS BIGINT) AS bridge_within,
+           CAST(supported_cross AS BIGINT) AS supported_cross,
+           CAST(supported_within AS BIGINT) AS supported_within,
+           CAST(bridge_cross * 1000000
+             // GREATEST(bridge_cross + bridge_within, 1) AS BIGINT)
+             AS bridge_cross_ppm,
+           CAST(supported_cross * 1000000
+             // GREATEST(supported_cross + supported_within, 1)
+             AS BIGINT) AS supported_cross_ppm
+         FROM agg""",
+
+    "q311_avg_neighbor_degree" ->
+      s"""WITH $GraphCtes,
+         ends AS (SELECT da.outdeg AS degree, db.outdeg AS nbr_deg
+           FROM sym s
+           JOIN deg da ON s.src = da.src
+           JOIN deg db ON s.dst = db.src)
+         SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_edge_ends,
+           CAST(CAST(SUM(nbr_deg) AS HUGEINT) * 1000000 // COUNT(*)
+             AS BIGINT) AS avg_nbr_deg_ppm
+         FROM ends GROUP BY 1 ORDER BY degree""",
+
+    "q313_degree_tail" ->
+      s"""WITH $GraphCtes,
+         bands AS (SELECT CAST(length(bin(outdeg)) AS BIGINT) AS band,
+             COUNT(*) AS n_nodes
+           FROM deg GROUP BY 1),
+         c AS (SELECT band, n_nodes,
+             SUM(n_nodes) OVER (ORDER BY band DESC) AS n_at_least_floor
+           FROM bands),
+         tot AS (SELECT SUM(n_nodes) AS n_total FROM bands)
+         SELECT band, CAST(pow(2, band - 1) AS BIGINT) AS floor_deg,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_at_least_floor AS BIGINT) AS n_at_least_floor,
+           CAST(n_at_least_floor * 1000000 // tot.n_total AS BIGINT)
+             AS survival_ppm
+         FROM c, tot ORDER BY band""",
 
     "q299_strength_assortativity" ->
       s"""WITH $WPairsCtes,

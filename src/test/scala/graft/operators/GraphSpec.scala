@@ -1116,4 +1116,145 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(seededEmpty === cold)
   }
+
+  test("q306 edge clustering: ppm equals the brute-force common-" +
+      "neighbour recompute, bounded by construction, top-20 ordered") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q306_edge_clustering")(spark, dir).collect()
+    assert(out.length === 20)
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.distinct
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val want = pairs.map { case (a, b) =>
+      val sup = (adj(a) & adj(b)).size.toLong
+      val minDeg = math.min(adj(a).size, adj(b).size).toLong
+      ((a, b), (sup, minDeg,
+        sup * 1000000L / math.max(minDeg - 1, 1L)))
+    }.toMap
+    out.foreach { r =>
+      val (sup, minDeg, ecc) =
+        want((r.getAs[Long]("a"), r.getAs[Long]("b")))
+      assert(r.getAs[Long]("support") === sup)
+      assert(r.getAs[Long]("min_deg") === minDeg)
+      assert(r.getAs[Long]("ecc_ppm") === ecc)
+      // the structural bound: the other endpoint occupies a slot
+      assert(sup <= minDeg - 1)
+      assert(ecc >= 0L && ecc <= 1000000L)
+    }
+    // top-20 by (ecc desc, a, b) against the full brute-force ranking
+    val full = want.toSeq
+      .map { case ((a, b), (_, _, e)) => (e, a, b) }
+      .sortBy { case (e, a, b) => (-e, a, b) }.take(20)
+    assert(out.map(r => (r.getAs[Long]("ecc_ppm"), r.getAs[Long]("a"),
+      r.getAs[Long]("b"))).toSeq === full)
+  }
+
+  test("q307 bridge brand mix: the four cells partition the edge set " +
+      "and match a brute-force support x brand recompute") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q307_bridge_brand_mix")(spark, dir).collect().head
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val brand = spark.read.parquet(dir + "/part.parquet")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.distinct
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    def cell(bridge: Boolean, within: Boolean): Long =
+      pairs.count { case (a, b) =>
+        ((adj(a) & adj(b)).isEmpty == bridge) &&
+          ((brand(a) == brand(b)) == within)
+      }.toLong
+    val bc = cell(bridge = true, within = false)
+    val bw = cell(bridge = true, within = true)
+    val sc = cell(bridge = false, within = false)
+    val sw = cell(bridge = false, within = true)
+    assert(out.getAs[Long]("bridge_cross") === bc)
+    assert(out.getAs[Long]("bridge_within") === bw)
+    assert(out.getAs[Long]("supported_cross") === sc)
+    assert(out.getAs[Long]("supported_within") === sw)
+    assert(bc + bw + sc + sw === pairs.size.toLong)
+    assert(out.getAs[Long]("bridge_cross_ppm") ===
+      bc * 1000000L / math.max(bc + bw, 1L))
+    assert(out.getAs[Long]("supported_cross_ppm") ===
+      sc * 1000000L / math.max(sc + sw, 1L))
+  }
+
+  test("q311 knn curve: per-degree mean neighbour degree matches the " +
+      "brute-force recompute; edge ends conserve 2x edges") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q311_avg_neighbor_degree")(spark, dir).collect()
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.distinct
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val want = adj.toSeq
+      // vs is a Set — materialise to Seq BEFORE mapping to degree
+      // pairs, or neighbours of equal degree collapse into one end
+      .flatMap { case (u, vs) => vs.toSeq.map(v =>
+        (adj(u).size.toLong, adj(v).size.toLong)) }
+      .groupBy(_._1).map { case (d, es) =>
+        d -> (es.length.toLong,
+          es.map(e => BigInt(e._2)).sum * 1000000 / es.length) }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (n, a) = want(r.getAs[Long]("degree"))
+      assert(r.getAs[Long]("n_edge_ends") === n)
+      assert(BigInt(r.getAs[Long]("avg_nbr_deg_ppm")) === a)
+    }
+    assert(out.map(_.getAs[Long]("n_edge_ends")).sum ===
+      2L * pairs.length)
+  }
+
+  test("q313 degree tail: bands are bit-lengths, survival is a right " +
+      "cumulative that conserves the node count and decreases") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q313_degree_tail")(spark, dir).collect()
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .toSeq.map(r => r.getLong(0) -> r.getLong(1)).distinct
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.distinct
+    val degs = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).values.map(_.size.toLong).toSeq
+    val want = degs.groupBy(d => 64L - java.lang.Long
+      .numberOfLeadingZeros(d)).map { case (b, xs) =>
+        b -> xs.size.toLong }
+    assert(out.map(r => r.getAs[Long]("band") ->
+      r.getAs[Long]("n_nodes")).toMap === want)
+    // survival: right-cumulative, starts at the total, never rises
+    val rows = out.sortBy(_.getAs[Long]("band"))
+    assert(rows.head.getAs[Long]("n_at_least_floor") ===
+      degs.size.toLong)
+    val surv = rows.map(_.getAs[Long]("n_at_least_floor"))
+    surv.zip(surv.tail).foreach { case (hi, lo) => assert(hi >= lo) }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("floor_deg") ===
+        (1L << (r.getAs[Long]("band") - 1)))
+      assert(r.getAs[Long]("n_at_least_floor") ===
+        degs.count(d => d >= r.getAs[Long]("floor_deg")).toLong)
+    }
+  }
 }

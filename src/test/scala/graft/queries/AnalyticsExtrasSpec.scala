@@ -333,4 +333,127 @@ class AnalyticsExtrasSpec extends SparkSpec {
         1 to rs.length))
     }
   }
+
+  test("q305: AR(1) slope equals a brute-force cross-moment recompute " +
+      "over consecutive-day count pairs, sign-decomposed") {
+    val out = AnalyticsExtras.defs("q305_daily_ar1")(spark, dir)
+      .collect().head
+    val counts = graft.Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("d").toLocalDate ->
+        r.getAs[Long]("c")).toMap
+    val prs = counts.toSeq.flatMap { case (d, x) =>
+      counts.get(d.plusDays(1)).map(y => (BigInt(x), BigInt(y)))
+    }
+    val n = BigInt(prs.length)
+    val sx = prs.map(_._1).sum; val sy = prs.map(_._2).sum
+    val sxy = prs.map(p => p._1 * p._2).sum
+    val sxx = prs.map(p => p._1 * p._1).sum
+    val num = n * sxy - sx * sy
+    val den = (n * sxx - sx * sx).max(BigInt(1))
+    val want =
+      if (num >= 0) (num * 1000000 / den).toLong
+      else -((-num) * 1000000 / den).toLong
+    assert(out.getAs[Long]("n_pairs") === prs.length.toLong)
+    assert(out.getAs[Long]("ar1_slope_ppm") === want)
+  }
+
+  test("q308: skyline equals the brute-force O(n^2) non-dominated set " +
+      "(ties kept, strict-in-one-dim dominance)") {
+    val out = AnalyticsExtras.defs("q308_part_skyline")(spark, dir)
+      .collect()
+    val parts = graft.Tables.load(spark, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("price_e2"),
+        col("p_size").cast("long").as("sz"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("price_e2"),
+        r.getAs[Long]("sz")))
+    val frontier = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, pr2, sz2) =>
+        pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    assert(out.map(_.getAs[Long]("part_key")).toSet === frontier)
+    // sorted by price then key, and sizes strictly increase along the
+    // frontier when prices strictly increase (the Pareto staircase)
+    val rows = out.map(r => (r.getAs[Long]("price_e2"),
+      r.getAs[Long]("p_size")))
+    rows.zip(rows.tail).foreach { case ((p1, s1), (p2, s2)) =>
+      assert(p1 <= p2)
+      if (p2 > p1) assert(s2 > s1, "staircase must rise with price")
+    }
+  }
+
+  test("q310: gap quantiles equal brute-force type-1 selection per " +
+      "segment; p50 <= p90; gap multiset conserves order pairs") {
+    val out = AnalyticsExtras.defs("q310_interorder_gap")(spark, dir)
+      .collect()
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Date]("d").toLocalDate))
+    val seg = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gaps = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._3.toEpochDay, o._2))
+      sorted.zip(sorted.tail).map { case (a, b) =>
+        seg(ck) -> (b._3.toEpochDay - a._3.toEpochDay)
+      }
+    }.groupBy(_._1).map { case (sg, xs) =>
+      sg -> xs.map(_._2).sorted
+    }
+    assert(out.map(_.getAs[String]("segment")).toSet === gaps.keySet)
+    out.foreach { r =>
+      val xs = gaps(r.getAs[String]("segment"))
+      def q(p: Int): Long = xs(((xs.length * p + 99) / 100 - 1).toInt)
+      assert(r.getAs[Long]("n_gaps") === xs.length.toLong)
+      assert(r.getAs[Long]("p50_gap_days") === q(50))
+      assert(r.getAs[Long]("p90_gap_days") === q(90))
+      assert(r.getAs[Long]("p50_gap_days") <=
+        r.getAs[Long]("p90_gap_days"))
+    }
+  }
+
+  test("q312: at-risk flags recompute from per-customer upper-median " +
+      "gaps and the open gap against the corpus max date") {
+    val out = AnalyticsExtras.defs("q312_churn_risk")(spark, dir)
+      .collect()
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay))
+    val seg = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mxd = orders.map(_._3).max
+    // toSeq first: collect over the Map would rebuild a Map keyed by
+    // segment and keep ONE customer per segment
+    val perCust = orders.groupBy(_._1).toSeq.collect {
+      case (ck, os) if os.length >= 3 =>
+        val sorted = os.sortBy(o => (o._3, o._2))
+        val gaps = sorted.zip(sorted.tail)
+          .map { case (a, b) => b._3 - a._3 }.sorted
+        val med = gaps(gaps.length / 2) // upper median, 0-based
+        (seg(ck), (mxd - sorted.last._3) > 2 * med)
+    }.toSeq
+    val want = perCust.groupBy(_._1).map { case (sg, xs) =>
+      sg -> (xs.size.toLong, xs.count(_._2).toLong)
+    }
+    assert(out.map(_.getAs[String]("segment")).toSet === want.keySet)
+    out.foreach { r =>
+      val (n, risk) = want(r.getAs[String]("segment"))
+      assert(r.getAs[Long]("n_eligible") === n)
+      assert(r.getAs[Long]("n_at_risk") === risk)
+      assert(r.getAs[Long]("at_risk_ppm") === risk * 1000000L / n)
+    }
+  }
 }

@@ -532,4 +532,36 @@ class DsShapesSpec extends SparkSpec {
     }
     assert(out === expected)
   }
+
+  test("q304: both ends match the brute-force avg-quantity ranking " +
+      "and the ends never overlap on real data") {
+    val out = DsShapes.defs2("q304_best_worst_parts")(spark, dir)
+      .collect()
+    assert(out.length === 5)
+    val avgs = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        (col("l_quantity").cast("decimal(12,2)") * 100)
+          .cast("long").as("q_e2"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("q_e2"))
+      .groupBy(_._1)
+      .map { case (k, xs) =>
+        k -> (xs.map(x => BigInt(x._2)).sum * 10000 /
+          xs.length).toLong }
+      .toSeq
+    val best = avgs.sortBy { case (k, a) => (-a, k) }.take(5)
+    val worst = avgs.sortBy { case (k, a) => (a, k) }.take(5)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rk") === (i + 1).toLong)
+      assert((r.getAs[Long]("best_part"),
+        r.getAs[Long]("best_avg_e6")) === best(i))
+      assert((r.getAs[Long]("worst_part"),
+        r.getAs[Long]("worst_avg_e6")) === worst(i))
+      assert(r.getAs[Long]("best_avg_e6") >=
+        r.getAs[Long]("worst_avg_e6"))
+    }
+    assert(out.map(_.getAs[Long]("best_part")).toSet
+      .intersect(out.map(_.getAs[Long]("worst_part")).toSet).isEmpty,
+      "best and worst ends coincide — degenerate ranking")
+  }
 }

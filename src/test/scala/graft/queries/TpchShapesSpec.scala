@@ -505,4 +505,51 @@ class TpchShapesSpec extends SparkSpec {
       assert(t >= 0L && t <= 1000000L)
     }
   }
+
+  test("q309: segments partition the customer base; codes recompute " +
+      "from brute-force type-1 tercile boundaries on each axis") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q309_rfm_segments")(spark, dir).collect()
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay,
+        r.getAs[Long]("cents")))
+    val mxd = orders.map(_._2).max
+    val rfm = orders.groupBy(_._1).map { case (_, os) =>
+      (mxd - os.map(_._2).max, os.length.toLong, os.map(_._3).sum)
+    }.toSeq
+    def tercile(xs: Seq[Long]): (Long, Long) = {
+      val s = xs.sorted
+      def at(p: Int) = s(((s.length * p + 99) / 100 - 1).toInt)
+      (at(33), at(66))
+    }
+    val (r33, r66) = tercile(rfm.map(_._1))
+    val (f33, f66) = tercile(rfm.map(_._2))
+    val (m33, m66) = tercile(rfm.map(_._3))
+    def code(v: Long, b33: Long, b66: Long): Long =
+      1L + (if (v > b33) 1L else 0L) + (if (v > b66) 1L else 0L)
+    val want = rfm.groupBy { case (r, f, m) =>
+      (code(r, r33, r66), code(f, f33, f66), code(m, m33, m66))
+    }.map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._3).sum) }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val k = (r.getAs[Long]("r_b"), r.getAs[Long]("f_b"),
+        r.getAs[Long]("m_b"))
+      assert(r.getAs[Long]("segment") ===
+        k._1 * 100 + k._2 * 10 + k._3)
+      assert(k._1 >= 1 && k._1 <= 3 && k._2 >= 1 && k._2 <= 3 &&
+        k._3 >= 1 && k._3 <= 3)
+      assert((r.getAs[Long]("n_customers"),
+        r.getAs[Long]("monetary_e2")) === want(k))
+    }
+    // the grid partitions the customer base exactly once
+    assert(out.map(_.getAs[Long]("n_customers")).sum ===
+      rfm.size.toLong)
+  }
 }
