@@ -816,14 +816,17 @@ object AnalyticsExtras {
     // Börzsönyi et al. 2001): parts where no other part is both
     // cheaper-or-equal AND larger-or-equal with at least one strict —
     // the price/size efficient set. The naive formulation is an O(n²)
-    // dominance anti-join; over a SORTED axis it collapses to two
-    // windows — a part is dominated iff the max size among STRICTLY
-    // cheaper parts reaches it (RANGE frame to 1 preceding) or a
-    // same-price part strictly exceeds it. The ranked relation is the
-    // bounded PART DIMENSION (the q235/q265 precedent — never a fact);
-    // a fact-scale skyline would grid-partition on one axis, take
-    // per-cell frontiers, and merge (bounded candidates), same
-    // two-window kernel per cell.
+    // dominance anti-join; over a sorted axis it collapses to ONE
+    // running max — and the only unpartitioned window runs over the
+    // PRICE-GRAIN AGGREGATE (one row per distinct price with its max
+    // size — an Aggregate child, ExplainAudit-bounded; the r15 review
+    // caught the row-relation variant failing that gate), never the
+    // row relation: a part is on the frontier iff it carries its
+    // price's max size AND that max strictly exceeds the running max
+    // over strictly cheaper prices. A fact-scale skyline
+    // grid-partitions one axis (boundaries from the no-sort quantile
+    // operator), takes per-cell frontiers with the same kernel, and
+    // merges the bounded per-cell candidates.
     "q308_part_skyline" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val parts = t(s, dir, "part")
@@ -833,14 +836,17 @@ object AnalyticsExtras {
             .cast("long").as("price_e2"),
           col("p_size").cast("long").as("p_size"))
       val strictCheaper = Window.orderBy(col("price_e2"))
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val samePrice = Window.partitionBy(col("price_e2"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = parts.groupBy(col("price_e2"))
+        .agg(max(col("p_size")).as("same_max"))
+        .withColumn("cheaper_max",
+          max(col("same_max")).over(strictCheaper))
+        .filter(col("cheaper_max").isNull ||
+          col("cheaper_max") < col("same_max"))
+        .select(col("price_e2"), col("same_max"))
       parts
-        .withColumn("cheaper_max", max(col("p_size")).over(strictCheaper))
-        .withColumn("same_max", max(col("p_size")).over(samePrice))
-        .filter((col("cheaper_max").isNull ||
-            col("cheaper_max") < col("p_size")) &&
-          col("same_max") === col("p_size"))
+        .join(broadcast(frontier), "price_e2")
+        .filter(col("p_size") === col("same_max"))
         .select(col("part_key"), col("p_brand"), col("price_e2"),
           col("p_size"))
         .orderBy(col("price_e2"), col("part_key"))
@@ -881,9 +887,13 @@ object AnalyticsExtras {
               .as("p90_gap_days"))
         val n = gaps.groupBy(col("segment"))
           .agg(count(lit(1)).as("n_gaps"))
-        q.join(n, "segment").orderBy(col("segment"))
-          .localCheckpoint(true) // cut before the backing artifact dies
-      } finally gaps.unpersist()
+        // audited BEFORE the eager cut (the cut collapses the plan to a
+        // LogicalRDD leaf and would vacate the CI gate), cut BEFORE the
+        // backing artifact is released below
+        graft.tools.ExplainAudit.auditedCut(
+          q.join(n, "segment").orderBy(col("segment")),
+          "q310_interorder_gap")
+      } finally graft.operators.Graph.release(gaps)
     },
 
     // Churn risk by segment: repeat customers (≥ 3 orders) whose OPEN

@@ -1143,7 +1143,7 @@ object CurationExtras {
         def code(v: String, p: String): Column =
           (lit(1L) + when(col(v) > col(s"${p}33"), 1L).otherwise(0L)
             + when(col(v) > col(s"${p}66"), 1L).otherwise(0L)).as(s"${p}_b")
-        rfm
+        val out = rfm
           .crossJoin(broadcast(bounds("rec_days", 1L, "r")))
           .crossJoin(broadcast(bounds("freq", 1L, "f")))
           .crossJoin(broadcast(bounds("mon_e2", 100000L, "m")))
@@ -1157,8 +1157,11 @@ object CurationExtras {
             col("r_b"), col("f_b"), col("m_b"), col("n_customers"),
             col("monetary_e2"))
           .orderBy(col("segment"))
-          .localCheckpoint(true) // cut before the backing artifact dies
-      } finally rfm.unpersist()
+        // audited BEFORE the eager cut (the cut collapses the plan to a
+        // LogicalRDD leaf and would vacate the CI gate), cut BEFORE the
+        // backing artifact is released below
+        graft.tools.ExplainAudit.auditedCut(out, "q309_rfm_segments")
+      } finally graft.operators.Graph.release(rfm)
     })
 
   def oracles: Map[String, String] = Map(

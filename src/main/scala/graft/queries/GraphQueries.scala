@@ -30,12 +30,8 @@ object GraphQueries {
     * jobs it guards) and runs where the plan is still visible. */
   private implicit final class AuditedCut(private val df: DataFrame)
       extends AnyVal {
-    def auditedCut(name: String): DataFrame = {
-      val findings = graft.tools.ExplainAudit.audit(df, name)
-      require(findings.isEmpty,
-        s"scale-unsafe plan in $name:\n" + findings.mkString("\n"))
-      df.localCheckpoint(true)
-    }
+    def auditedCut(name: String): DataFrame =
+      graft.tools.ExplainAudit.auditedCut(df, name)
   }
 
   /** The near-duplicate candidate graph as canonical pairs `(a, b)` —

@@ -25,6 +25,20 @@ object ExplainAudit {
     override def toString: String = s"[$query] $kind: $detail"
   }
 
+  /** Audit, then eagerly cut: the BOUNDED-result checkpoint pattern for
+    * queries whose backing artifact is released before the caller reads
+    * the plan. The cut collapses the plan to a `LogicalRDD` leaf —
+    * which would silently vacate the `ExplainAuditSpec` CI gate — so
+    * the audit runs HERE, on the still-visible pre-cut plan, and fails
+    * the query itself (the GraphQueries `auditedCut` contract, shared
+    * so non-graph callers can't fork the semantics). */
+  def auditedCut(df: DataFrame, name: String): DataFrame = {
+    val findings = audit(df, name)
+    require(findings.isEmpty,
+      s"scale-unsafe plan in $name:\n" + findings.mkString("\n"))
+    df.localCheckpoint(true)
+  }
+
   /** Audit the optimized logical plan for scale-unsafe shapes. */
   def audit(df: DataFrame, name: String): Seq[Finding] = {
     val findings = Seq.newBuilder[Finding]
