@@ -943,6 +943,59 @@ object AnalyticsExtras {
         .select(col("segment"), col("n_eligible"), col("n_at_risk"),
           expr("n_at_risk * 1000000 div n_eligible").as("at_risk_ppm"))
         .orderBy(col("segment"))
+    },
+
+    // Per-supplier fulfilment-delay trend: OLS slope of the QUARTERLY
+    // mean order→ship delay over 1996–1997, top-25 fastest-worsening
+    // suppliers — vendor management's "who is degrading", the
+    // per-entity OLS companion to q290's global robust slope. Quarterly
+    // means land in exact e6 fixed point (Σdelay·1e6 div n, DECIMAL
+    // lift for the 100 TB numerator); the slope's cross-moments
+    // aggregate ≤8 (t, y) points per supplier (the fact is touched
+    // once, everything after is supplier×quarter-scale); the signed
+    // numerator divides SIGN-DECOMPOSED (Spark div truncates, DuckDB //
+    // floors). Suppliers with one active quarter carry no trend and are
+    // excluded.
+    "q314_supplier_delay_trend" -> { (s, dir) =>
+      val d = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .select(col("l_suppkey"),
+          ((year(col("o_orderdate")) - 1996) * 4 +
+            quarter(col("o_orderdate"))).as("t"),
+          datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))).cast("long").as("delay"))
+      // the synthetic data ships some lines BEFORE the order date, so a
+      // quarter's delay sum can be negative — the mean divides
+      // sign-decomposed like every signed quotient in this file
+      val q = d.groupBy(col("l_suppkey"), col("t"))
+        .agg(expr("""CASE WHEN SUM(delay) >= 0
+                     THEN CAST(CAST(SUM(delay) AS DECIMAL(38,0)) * 1000000
+                       div COUNT(1) AS BIGINT)
+                     ELSE -CAST(CAST(-SUM(delay) AS DECIMAL(38,0)) * 1000000
+                       div COUNT(1) AS BIGINT) END""").as("y"))
+      q.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_quarters"),
+          sum(col("t")).as("st"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(expr("CAST(t AS DECIMAL(38,0)) * y")).as("sty"),
+          sum(expr("t * t")).as("stt"))
+        .filter(col("n_quarters") >= 2)
+        .select(col("l_suppkey").cast("long").as("supp_key"),
+          col("n_quarters"),
+          expr("CAST(n_quarters * sty - st * sy AS DECIMAL(38,0))")
+            .as("num"),
+          expr("CAST(n_quarters * stt - st * st AS DECIMAL(38,0))")
+            .as("den"))
+        .select(col("supp_key"), col("n_quarters"),
+          expr("""CASE WHEN num >= 0
+                  THEN CAST(num div greatest(den, 1) AS BIGINT)
+                  ELSE -CAST((-num) div greatest(den, 1) AS BIGINT)
+                  END""").as("trend_e6_per_quarter"))
+        .orderBy(col("trend_e6_per_quarter").desc, col("supp_key"))
+        .limit(25)
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -1556,5 +1609,36 @@ object AnalyticsExtras {
              AS BIGINT) AS n_at_risk,
            CAST(SUM(CASE WHEN open_gap > 2 * med_gap THEN 1 ELSE 0 END)
              * 1000000 // COUNT(*) AS BIGINT) AS at_risk_ppm
-         FROM j GROUP BY 1 ORDER BY segment""")
+         FROM j GROUP BY 1 ORDER BY segment""",
+
+    "q314_supplier_delay_trend" ->
+      """WITH d AS (SELECT l_suppkey,
+           (year(o_orderdate) - 1996) * 4 + quarter(o_orderdate) AS t,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) AS BIGINT) AS delay
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE year(o_orderdate) IN (1996, 1997)),
+         q AS (SELECT l_suppkey, t,
+             CASE WHEN SUM(delay) >= 0
+               THEN CAST(CAST(SUM(delay) AS HUGEINT) * 1000000
+                 // COUNT(*) AS BIGINT)
+               ELSE -CAST(CAST(-SUM(delay) AS HUGEINT) * 1000000
+                 // COUNT(*) AS BIGINT) END AS y
+           FROM d GROUP BY 1, 2),
+         m AS (SELECT l_suppkey, COUNT(*) AS n_quarters,
+             SUM(t) AS st, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(t AS HUGEINT) * y) AS sty, SUM(t * t) AS stt
+           FROM q GROUP BY 1 HAVING COUNT(*) >= 2),
+         sl AS (SELECT l_suppkey, n_quarters,
+             n_quarters * sty - st * sy AS num,
+             n_quarters * stt - st * st AS den
+           FROM m)
+         SELECT CAST(l_suppkey AS BIGINT) AS supp_key,
+           CAST(n_quarters AS BIGINT) AS n_quarters,
+           CASE WHEN num >= 0
+             THEN CAST(num // GREATEST(den, 1) AS BIGINT)
+             ELSE -CAST((-num) // GREATEST(den, 1) AS BIGINT)
+           END AS trend_e6_per_quarter
+         FROM sl
+         ORDER BY trend_e6_per_quarter DESC, supp_key LIMIT 25""")
 }

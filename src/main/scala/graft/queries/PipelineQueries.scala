@@ -2240,6 +2240,42 @@ object PipelineQueries {
       import s.implicits._
       steps.zipWithIndex.map { case (r, i) => (i, r.name, r.ok) }
         .toDF("step_order", "step", "ok")
+    },
+
+    // kNN label-agreement confusion matrix: for a deterministic sample
+    // of vectors, the label of each one's exact nearest neighbor vs its
+    // own — the embedding-quality audit a labeled corpus runs before
+    // trusting the space for hard-negative mining (q222) or SemDeDup
+    // (q190): a strong diagonal = labels cohere geometrically, a hot
+    // off-diagonal cell = two labels the encoder confuses. The floats
+    // stay PER-ROW (the unrolled dot kernel both engines share; unit
+    // vectors ⇒ dot = cosine) and only integer COUNTS aggregate — no
+    // cross-row float sums, so the hash gate stays exact. Sample
+    // broadcast against the corpus, top-1 via the rank-limit filter
+    // (WindowGroupLimit — map-side per-group head, the q222 shape); at
+    // 100 TB the probe side goes through the IVF shortlist exactly as
+    // q110 serves it.
+    "q315_knn_label_agreement" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val sample = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val scored = emb.crossJoin(broadcast(sample))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"),
+          col("label").as("nn_label"), col("vec_id"),
+          Similarity.dot(col("embedding"), col("q_vec"), Dim)
+            .as("score"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("q_label").cast("long").as("q_label"),
+          col("nn_label").cast("long").as("nn_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("q_label"), col("nn_label"))
     })
 
   /** q113 blocklist (mirrored as literals in the oracle SQL). */
@@ -4844,5 +4880,23 @@ object PipelineQueries {
            UNION
            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
          SELECT id AS vec_id, MIN(label) AS cluster_id
-         FROM reach GROUP BY id ORDER BY vec_id""")
+         FROM reach GROUP BY id ORDER BY vec_id""",
+
+    "q315_knn_label_agreement" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+           label AS q_label
+         FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (SELECT q.q_id, q.q_label,
+             e.label AS nn_label, e.vec_id,
+             (${Similarity.Sql.dot("e.embedding", "q.q_vec", Dim)})
+               AS score
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.q_id),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY score DESC, vec_id) AS rk
+           FROM scored)
+         SELECT CAST(q_label AS BIGINT) AS q_label,
+           CAST(nn_label AS BIGINT) AS nn_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -456,4 +456,66 @@ class AnalyticsExtrasSpec extends SparkSpec {
       assert(r.getAs[Long]("at_risk_ppm") === risk * 1000000L / n)
     }
   }
+
+  test("q314: per-supplier slopes recompute from brute-force quarterly " +
+      "means and cross-moments, sign-decomposed at both divisions") {
+    val out = AnalyticsExtras.defs("q314_supplier_delay_trend")(
+      spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 25)
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("l_suppkey"),
+        ((year(col("o_orderdate")) - 1996) * 4 +
+          quarter(col("o_orderdate"))).as("t"),
+        datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))).cast("long").as("delay"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("t"),
+        r.getAs[Long]("delay")))
+    def sdiv(num: BigInt, den: BigInt): BigInt =
+      if (num >= 0) num / den else -((-num) / den)
+    val slopes = li.groupBy(_._1).collect {
+      case (sk, xs) if xs.map(_._2).distinct.length >= 2 =>
+        val ys = xs.groupBy(_._2).map { case (t, ds) =>
+          (BigInt(t), sdiv(ds.map(d => BigInt(d._3)).sum * 1000000,
+            BigInt(ds.length)))
+        }.toSeq
+        val n = BigInt(ys.length)
+        val st = ys.map(_._1).sum; val sy = ys.map(_._2).sum
+        val sty = ys.map(p => p._1 * p._2).sum
+        val stt = ys.map(p => p._1 * p._1).sum
+        val num = n * sty - st * sy
+        val den = (n * stt - st * st).max(BigInt(1))
+        sk -> sdiv(num, den).toLong
+    }
+    val want = slopes.toSeq.sortBy { case (sk, sl) => (-sl, sk) }
+      .take(25)
+    assert(out.map(r => (r.getAs[Long]("supp_key"),
+      r.getAs[Long]("trend_e6_per_quarter"))).toSeq === want)
+  }
+
+  test("q315: the confusion matrix counts every sampled vector once " +
+      "and matches the brute-force exact-NN labels") {
+    val out = PipelineQueries.defs("q315_knn_label_agreement")(
+      spark, dir).collect()
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getInt(2)))
+    val sample = emb.filter(_._1 % 50 == 0)
+    val want = sample.map { case (qid, qv, ql) =>
+      val (_, _, nl) = emb.filter(_._1 != qid).maxBy { case (id, v, _) =>
+        // exact double dot, matching the kernel; tie-break smallest id
+        (v.zip(qv).map { case (a, b) => a.toDouble * b.toDouble }.sum,
+          -id)
+      }
+      (ql.toLong, nl.toLong)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(out.map(r => (r.getAs[Long]("q_label"),
+      r.getAs[Long]("nn_label")) -> r.getAs[Long]("n")).toMap === want)
+    assert(out.map(_.getAs[Long]("n")).sum === sample.length.toLong)
+  }
 }
