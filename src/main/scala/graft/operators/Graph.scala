@@ -328,6 +328,94 @@ object Graph {
       .unionByName(survivors.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
 
+  /** Per-edge TRIANGLE SUPPORT over a canonical pair relation:
+    * `(a, b, support)` with support = |adj(a) ∩ adj(b)|, zero-support
+    * edges kept. The DEGREE-ORDERED closed-wedge enumeration (each
+    * triangle appears as exactly one wedge at its (deg, node)-minimal
+    * vertex and credits its three edges once) bounds enumerated wedges
+    * by Σ C(outdeg⁺, 2) = O(E^1.5) regardless of hub skew — never the
+    * raw Σ C(deg, 2) space. Returns an EAGER CHECKPOINT the caller
+    * must [[release]]; the input relation is read three times through
+    * an internal cut that is released before returning. */
+  def triangleSupport(pairs: DataFrame): DataFrame = {
+    val deg = symmetrize(pairs)
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val ends = pairs
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val smaller = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ends.select(
+      when(smaller, col("a")).otherwise(col("b")).as("src"),
+      when(smaller, col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint(true)
+    try {
+      val closed = oriented.select(col("src"), col("dst").as("v"))
+        .join(oriented.select(col("src"), col("dst").as("w")), "src")
+        .filter(col("v") < col("w"))
+        .join(oriented
+            .select(col("src").as("v"), col("dst").as("w"))
+            .unionByName(oriented.select(col("src").as("w"),
+              col("dst").as("v"))),
+          Seq("v", "w"), "left_semi")
+      val credits = closed
+        .select(least(col("src"), col("v")).as("a"),
+          greatest(col("src"), col("v")).as("b"))
+        .unionByName(closed
+          .select(least(col("src"), col("w")).as("a"),
+            greatest(col("src"), col("w")).as("b")))
+        .unionByName(closed.select(col("v").as("a"), col("w").as("b")))
+      val support = credits.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+      pairs
+        .join(support, Seq("a", "b"), "left_outer")
+        .na.fill(0L, Seq("support"))
+        .localCheckpoint(true)
+    } finally release(oriented)
+  }
+
+  /** Fixed-round K-TRUSS peel trajectory: each round recomputes
+    * triangle support over the surviving edges and drops every edge
+    * with support < k − 2 (Cohen 2008); the output is the bounded
+    * per-round `(round, n_edges_in, n_dropped, n_survivors)` record —
+    * the number the histogram view (q303) can only estimate from the
+    * INITIAL supports, because dropping an edge erodes its neighbors'
+    * triangles. Rounds are FIXED (not to-convergence) for oracle
+    * parity, the k-core contract. Per-round cost is one
+    * [[triangleSupport]] enumeration over a shrinking edge set; the
+    * peel holds at most two edge snapshots; the input relation is
+    * never released (it belongs to the caller). The trajectory itself
+    * is a driver-side LocalRelation of `rounds` rows — bounded by
+    * construction. */
+  def trussPeelTrajectory(pairs: DataFrame, k: Long,
+      rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var cur = pairs.select(col("a"), col("b"))
+    var owned: Option[DataFrame] = None
+    val rows = Seq.newBuilder[(Long, Long, Long, Long)]
+    try {
+      for (r <- 1 to rounds) {
+        val supp = triangleSupport(cur)
+        val next =
+          try supp.filter(col("support") >= k - 2)
+            .select(col("a"), col("b"))
+            .localCheckpoint(true)
+          finally release(supp)
+        val nIn = cur.count()
+        val nKept = next.count()
+        rows += ((r.toLong, nIn, nIn - nKept, nKept))
+        owned.foreach(release)
+        owned = Some(next)
+        cur = next
+      }
+    } finally owned.foreach(release)
+    rows.result()
+      .toDF("round", "n_edges_in", "n_dropped", "n_survivors")
+  }
+
   /** The shared peel loop: returns the FINAL surviving-edge snapshot
     * (an eager checkpoint this object created — [[kCore]] leaves it
     * resident for the caller's action, [[kCoreArtifact]] releases it

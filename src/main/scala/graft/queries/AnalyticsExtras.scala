@@ -996,6 +996,140 @@ object AnalyticsExtras {
                   END""").as("trend_e6_per_quarter"))
         .orderBy(col("trend_e6_per_quarter").desc, col("supp_key"))
         .limit(25)
+    },
+
+    // Spend inequality per market segment: the GINI COEFFICIENT in
+    // exact ppm — the scalar the Lorenz curve (q216 family) plots.
+    // Rank-block formula over the VALUE-GRAIN aggregate: customers
+    // collapse to (segment, spend) rows with multiplicity c first, and
+    // a tied block starting after m predecessors contributes
+    // x·(c·m + c(c+1)/2) to Σ rank·x — exact because c(c+1) is always
+    // even, and invariant to any intra-tie order. The only window runs
+    // per segment over that Aggregate child (distinct spend values, not
+    // customers); at 100 TB the same kernel holds — the value-grain
+    // relation is the shuffle unit and no row-scale sort exists. Gini
+    // numerator 2Σi·x − (n+1)Σx is ≥ 0 for an ascending ranking, so
+    // one truncating division serves both engines.
+    "q316_spend_gini" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)")).cast("long").as("spend_e2"))
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("spend_e2"))
+      val vals = spend.groupBy(col("segment"), col("spend_e2"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("segment")).orderBy(col("spend_e2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals
+        .withColumn("cum", sum(col("c")).over(w))
+        .select(col("segment"),
+          col("spend_e2").cast("decimal(38,0)").as("x"),
+          col("c").cast("decimal(38,0)").as("c"),
+          (col("cum") - col("c")).cast("decimal(38,0)").as("m"))
+        .groupBy(col("segment"))
+        .agg(sum(col("c")).as("n"),
+          sum(expr("x * c")).as("sx"),
+          sum(expr("x * (c * m + (c * (c + 1)) div 2)")).as("sixi"))
+        .select(col("segment"),
+          col("n").cast("long").as("n_customers"),
+          col("sx").cast("long").as("spend_total_e2"),
+          expr("""CAST((2 * sixi - (n + 1) * sx) * 1000000
+                  div greatest(n * sx, 1) AS BIGINT)""").as("gini_ppm"))
+        .orderBy(col("segment"))
+    },
+
+    // Mean-shift changepoint per nation (CUSUM / Page 1954): the day
+    // k maximising |S_k − (k/n)·S_n| over the cumulative daily-revenue
+    // series — where the revenue path deviates most from the uniform
+    // pace, i.e. the single strongest level-shift candidate. Scaled to
+    // integers as |n·S_k − k·S_n| (no division until the final ppm), so
+    // the argmax is exact; ties resolve to the earliest day. Both
+    // windows (cumulative sum, argmax pick) partition by nation over
+    // the DAY-GRAIN aggregate — the fact is touched once, everything
+    // after is day-scale.
+    "q318_revenue_changepoint" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nation_key"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)")).as("rev"))
+      val wCum = Window.partitionBy(col("nation_key")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wK = Window.partitionBy(col("nation_key")).orderBy(col("d"))
+      val cum = daily
+        .withColumn("sk", sum(col("rev")).over(wCum))
+        .withColumn("k",
+          row_number().over(wK).cast("decimal(38,0)"))
+      val tot = daily.groupBy(col("nation_key"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("rev")).as("sn"))
+      val wPick = Window.partitionBy(col("nation_key"))
+        .orderBy(col("dev").desc, col("d"))
+      cum.join(tot, "nation_key")
+        .withColumn("dev",
+          expr("""CASE WHEN n * sk - k * sn >= 0
+                  THEN CAST(n * sk - k * sn AS DECIMAL(38,0))
+                  ELSE CAST(-(n * sk - k * sn) AS DECIMAL(38,0))
+                  END"""))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("nation_key"),
+          col("n").cast("long").as("n_days"),
+          col("d").as("change_day"),
+          expr("CAST(dev * 1000000 div greatest(n * sn, 1) AS BIGINT)")
+            .as("dev_ppm"))
+        .orderBy(col("nation_key"))
+    },
+
+    // Wald–Wolfowitz RUNS TEST on daily revenue direction per nation:
+    // sign-persistence the magnitude-blind complement to q305's AR(1)
+    // slope (a series can have zero linear momentum yet strongly
+    // streaky signs). Moves are consecutive-OBSERVED-day revenue
+    // deltas with zero deltas dropped; R = number of sign runs;
+    // E[R] = 1 + 2·n₊·n₋/n, and the reported ratio R/E[R] in exact
+    // ppm is R·n·1e6 div (n + 2·n₊·n₋) — one truncating division of
+    // non-negative integers. Below 1e6 = streaky (momentum), above =
+    // alternating (mean reversion). Both lag windows partition by
+    // nation over the DAY-GRAIN aggregate; the fact is touched once.
+    "q323_runs_test" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nation_key"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)")).cast("long").as("rev"))
+      val wd = Window.partitionBy(col("nation_key")).orderBy(col("d"))
+      val moves = daily
+        .withColumn("prev", lag(col("rev"), 1).over(wd))
+        .filter(col("prev").isNotNull && col("rev") =!= col("prev"))
+        .withColumn("sgn",
+          when(col("rev") > col("prev"), 1L).otherwise(-1L))
+      moves
+        .withColumn("psgn", lag(col("sgn"), 1).over(wd))
+        .groupBy(col("nation_key"))
+        .agg(count(lit(1)).as("n_moves"),
+          sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("sgn") === -1L, 1L).otherwise(0L))
+            .as("n_down"),
+          sum(when(col("psgn").isNull || col("sgn") =!= col("psgn"),
+            1L).otherwise(0L)).as("n_runs"))
+        .select(col("nation_key"), col("n_moves"), col("n_up"),
+          col("n_down"), col("n_runs"),
+          expr("""CAST(CAST(n_runs AS DECIMAL(38,0)) * n_moves
+                  * 1000000 div (n_moves + 2 * n_up * n_down)
+                  AS BIGINT)""").as("vs_random_ppm"))
+        .orderBy(col("nation_key"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -1640,5 +1774,92 @@ object AnalyticsExtras {
              ELSE -CAST((-num) // GREATEST(den, 1) AS BIGINT)
            END AS trend_e6_per_quarter
          FROM sl
-         ORDER BY trend_e6_per_quarter DESC, supp_key LIMIT 25""")
+         ORDER BY trend_e6_per_quarter DESC, supp_key LIMIT 25""",
+
+    "q316_spend_gini" ->
+      """WITH sp AS (SELECT c.c_mktsegment AS segment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+             AS BIGINT) AS spend_e2
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, o.o_custkey),
+         v AS (SELECT segment, spend_e2 AS x,
+             CAST(COUNT(*) AS HUGEINT) AS c
+           FROM sp GROUP BY 1, 2),
+         b AS (SELECT segment, CAST(x AS HUGEINT) AS x, c,
+             SUM(c) OVER (PARTITION BY segment ORDER BY x
+               ROWS UNBOUNDED PRECEDING) - c AS m
+           FROM v),
+         g AS (SELECT segment, SUM(c) AS n, SUM(x * c) AS sx,
+             SUM(x * (c * m + (c * (c + 1)) // 2)) AS sixi
+           FROM b GROUP BY 1)
+         SELECT segment, CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS BIGINT) AS spend_total_e2,
+           CAST((2 * sixi - (n + 1) * sx) * 1000000
+             // GREATEST(n * sx, 1) AS BIGINT) AS gini_ppm
+         FROM g ORDER BY segment""",
+
+    "q318_revenue_changepoint" ->
+      """WITH daily AS (SELECT CAST(c.c_nationkey AS BIGINT)
+             AS nation_key,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+             AS HUGEINT) AS rev
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2),
+         cum AS (SELECT nation_key, d,
+             SUM(rev) OVER (PARTITION BY nation_key ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS sk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY nation_key
+               ORDER BY d) AS HUGEINT) AS k
+           FROM daily),
+         tot AS (SELECT nation_key, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(rev) AS sn
+           FROM daily GROUP BY 1),
+         dv AS (SELECT cum.nation_key, cum.d,
+             CASE WHEN n * sk - k * sn >= 0 THEN n * sk - k * sn
+               ELSE -(n * sk - k * sn) END AS dev, n, sn
+           FROM cum JOIN tot USING (nation_key)),
+         pick AS (SELECT nation_key, d, dev, n, sn,
+             ROW_NUMBER() OVER (PARTITION BY nation_key
+               ORDER BY dev DESC, d) AS rn
+           FROM dv)
+         SELECT nation_key, CAST(n AS BIGINT) AS n_days,
+           d AS change_day,
+           CAST(dev * 1000000 // GREATEST(n * sn, 1) AS BIGINT)
+             AS dev_ppm
+         FROM pick WHERE rn = 1 ORDER BY nation_key""",
+
+    "q323_runs_test" ->
+      """WITH daily AS (SELECT CAST(c.c_nationkey AS BIGINT)
+             AS nation_key,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+             AS BIGINT) AS rev
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2),
+         mv AS (SELECT nation_key, d, rev,
+             LAG(rev) OVER (PARTITION BY nation_key ORDER BY d)
+               AS prev
+           FROM daily),
+         sg AS (SELECT nation_key, d,
+             CASE WHEN rev > prev THEN 1 ELSE -1 END AS sgn
+           FROM mv WHERE prev IS NOT NULL AND rev <> prev),
+         rn AS (SELECT nation_key, sgn,
+             LAG(sgn) OVER (PARTITION BY nation_key ORDER BY d)
+               AS psgn
+           FROM sg)
+         SELECT nation_key, CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_up,
+           CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_down,
+           CAST(SUM(CASE WHEN psgn IS NULL OR sgn <> psgn
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+           CAST(CAST(SUM(CASE WHEN psgn IS NULL OR sgn <> psgn
+               THEN 1 ELSE 0 END) AS HUGEINT) * COUNT(*) * 1000000
+             // (COUNT(*)
+               + 2 * SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                   * SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END))
+             AS BIGINT) AS vs_random_ppm
+         FROM rn GROUP BY 1 ORDER BY nation_key""")
 }

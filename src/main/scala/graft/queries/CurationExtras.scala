@@ -1162,6 +1162,148 @@ object CurationExtras {
         // backing artifact is released below
         graft.tools.ExplainAudit.auditedCut(out, "q309_rfm_segments")
       } finally graft.operators.Graph.release(rfm)
+    },
+
+    // Customer-lifetime-value quartile TRANSITION MATRIX, 1996 → 1997:
+    // every customer active in both years coded into exact spend
+    // quartiles per year, then the ≤16-cell year-over-year movement
+    // grid — the retention view q309's static RFM snapshot can't show
+    // (who climbed, who sank, who held). Quartile boundaries per year
+    // come from the shared NO-GLOBAL-SORT two-phase selection
+    // ([[graft.operators.Quantiles.exactGroupQuantiles]] keyed by
+    // year), land in one broadcast 2-row bounds relation, and the
+    // coding pass is per-row comparisons; the matrix is one grouped
+    // count. The fact is touched once (one grouped scan to the
+    // (customer, year) spend relation, checkpointed for the quantile
+    // passes + coding).
+    "q319_clv_transition" -> { (s, dir) =>
+      import graft.operators.Quantiles
+      val sp = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)")).cast("long").as("spend_e2"))
+        .localCheckpoint(true) // quantile passes + coding read it
+      try {
+        val cuts = Quantiles
+          .exactGroupQuantiles(sp, "yr", "spend_e2", Seq(25, 50, 75),
+            10000L)
+          .groupBy(col("yr"))
+          .agg(max(when(col("pct") === 25, col("value"))).as("b25"),
+            max(when(col("pct") === 50, col("value"))).as("b50"),
+            max(when(col("pct") === 75, col("value"))).as("b75"))
+        val coded = sp.join(broadcast(cuts), "yr")
+          .select(col("o_custkey"), col("yr"),
+            (lit(1L) +
+              when(col("spend_e2") > col("b25"), 1L).otherwise(0L) +
+              when(col("spend_e2") > col("b50"), 1L).otherwise(0L) +
+              when(col("spend_e2") > col("b75"), 1L).otherwise(0L))
+              .as("q"))
+        val m = coded.filter(col("yr") === 1996)
+          .select(col("o_custkey"), col("q").as("q96"))
+          .join(coded.filter(col("yr") === 1997)
+              .select(col("o_custkey"), col("q").as("q97")),
+            "o_custkey")
+        val out = m.groupBy(col("q96"), col("q97"))
+          .agg(count(lit(1)).as("n_customers"))
+          .crossJoin(broadcast(m.agg(count(lit(1)).as("n_total"))))
+          .select(col("q96"), col("q97"), col("n_customers"),
+            expr("""CAST(n_customers * 1000000
+                    div greatest(n_total, 1) AS BIGINT)""")
+              .as("share_ppm"))
+          .orderBy(col("q96"), col("q97"))
+        graft.tools.ExplainAudit.auditedCut(out, "q319_clv_transition")
+      } finally graft.operators.Graph.release(sp)
+    },
+
+    // Deterministic SYSTEMATIC sampling proportional to size (the
+    // PPS-without-randomness mixture-construction primitive): walking
+    // each source's docs in doc_id order, a doc is picked exactly when
+    // its char mass crosses a multiple of the 50k-char stride — so
+    // every source lands floor(chars_total / stride) picks, exactly
+    // proportional to its mass, reproducible bit-for-bit with no RNG
+    // (the q213 hash-sample's complement: that samples uniform per
+    // doc, this samples uniform per CHAR). The cumulative sum
+    // partitions by source; at 100 TB the same prefix-sum runs as the
+    // standard two-pass range-partitioned scan. Zero-char docs can
+    // never cross a stride boundary and are never picked.
+    "q322_systematic_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("picked",
+          expr("cum div 50000 > (cum - n_chars) div 50000"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(when(col("picked"), 1L).otherwise(0L)).as("n_picked"),
+          sum(when(col("picked"), col("n_chars")).otherwise(0L))
+            .as("chars_picked"))
+        .select(col("source"), col("n_docs"), col("chars_total"),
+          col("n_picked"), col("chars_picked"),
+          expr("CAST(n_picked * 1000000 div n_docs AS BIGINT)")
+            .as("pick_rate_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // Brand × region independence grid (Pearson's chi-square, exact
+    // fixed point): is brand preference regional, and WHICH cells
+    // carry the signal? Per (region, brand) cell over the purchase
+    // fact: observed count O, expected R·C/n, and the cell's χ²
+    // contribution (n·O − R·C)²/(n·R·C) in e6 — numerator squared
+    // BEFORE any division, one truncating division per cell (both
+    // engines floor the same way; per-cell floors are the documented
+    // semantics, not an approximation of a float χ²). The fact is
+    // touched ONCE for the cell grid; marginals are two windows over
+    // the ≤(regions × brands) aggregate, expected/contribution
+    // per-row arithmetic on it.
+    "q325_brand_region_chisq" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("r_name").as("region"), col("p_brand"))
+        .agg(count(lit(1)).as("o"))
+        // the fact is folded ONCE into this cell-grid checkpoint; the
+        // marginal windows and the broadcast total both read the
+        // ≤(regions × brands) materialisation, never the fact again
+        .localCheckpoint(true)
+      try {
+        val wR = Window.partitionBy(col("region"))
+        val wB = Window.partitionBy(col("p_brand"))
+        val out = cells
+          .withColumn("rm", sum(col("o")).over(wR))
+          .withColumn("cm", sum(col("o")).over(wB))
+          .crossJoin(broadcast(cells.agg(sum(col("o")).as("n"))))
+          .select(col("region"), col("p_brand"),
+            col("o").as("observed"),
+            expr("""CAST(CAST(rm AS DECIMAL(38,0)) * cm * 100
+                    div n AS BIGINT)""").as("expected_e2"),
+            expr("""CAST((CAST(n AS DECIMAL(38,0)) * o - CAST(rm AS
+                    DECIMAL(38,0)) * cm) * (CAST(n AS DECIMAL(38,0)) * o
+                    - CAST(rm AS DECIMAL(38,0)) * cm) * 1000000
+                    div (CAST(n AS DECIMAL(38,0)) * rm * cm) AS BIGINT)""")
+              .as("chisq_contrib_e6"))
+          .orderBy(col("region"), col("p_brand"))
+        graft.tools.ExplainAudit
+          .auditedCut(out, "q325_brand_region_chisq")
+      } finally graft.operators.Graph.release(cells)
     })
 
   def oracles: Map[String, String] = Map(
@@ -2209,5 +2351,81 @@ object CurationExtras {
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(mon_e2) AS BIGINT) AS monetary_e2
          FROM coded GROUP BY 1, 2, 3, 4 ORDER BY segment"""
-    })
+    },
+
+    "q319_clv_transition" ->
+      """WITH sp AS (SELECT o_custkey, year(o_orderdate) AS yr,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+             AS BIGINT) AS spend_e2
+         FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+         GROUP BY 1, 2),
+         n AS (SELECT yr, COUNT(*) AS n FROM sp GROUP BY 1),
+         tr AS (SELECT yr, p, (n.n * p + 99) // 100 AS t
+           FROM n, (VALUES (25), (50), (75)) v(p)),
+         r AS (SELECT yr, spend_e2,
+             ROW_NUMBER() OVER (PARTITION BY yr ORDER BY spend_e2)
+               AS rn
+           FROM sp),
+         cuts AS (SELECT tr.yr,
+             MAX(CASE WHEN p = 25 THEN r.spend_e2 END) AS b25,
+             MAX(CASE WHEN p = 50 THEN r.spend_e2 END) AS b50,
+             MAX(CASE WHEN p = 75 THEN r.spend_e2 END) AS b75
+           FROM tr JOIN r ON r.yr = tr.yr AND r.rn = tr.t
+           GROUP BY 1),
+         coded AS (SELECT sp.o_custkey, sp.yr,
+             1 + (CASE WHEN spend_e2 > b25 THEN 1 ELSE 0 END)
+               + (CASE WHEN spend_e2 > b50 THEN 1 ELSE 0 END)
+               + (CASE WHEN spend_e2 > b75 THEN 1 ELSE 0 END) AS q
+           FROM sp JOIN cuts USING (yr)),
+         m AS (SELECT a.q AS q96, b.q AS q97
+           FROM coded a JOIN coded b ON a.o_custkey = b.o_custkey
+           WHERE a.yr = 1996 AND b.yr = 1997),
+         t2 AS (SELECT COUNT(*) AS n_total FROM m)
+         SELECT CAST(q96 AS BIGINT) AS q96, CAST(q97 AS BIGINT) AS q97,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) * 1000000
+             // GREATEST(MAX(t2.n_total), 1) AS BIGINT) AS share_ppm
+         FROM m, t2 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q322_systematic_sample" ->
+      """WITH c AS (SELECT source, doc_id, n_chars,
+           SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+         FROM documents),
+         p AS (SELECT source, n_chars,
+             (cum // 50000 > (cum - n_chars) // 50000) AS picked
+           FROM c)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_picked,
+           CAST(SUM(CASE WHEN picked THEN n_chars ELSE 0 END)
+             AS BIGINT) AS chars_picked,
+           CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS pick_rate_ppm
+         FROM p GROUP BY 1 ORDER BY source""",
+
+    "q325_brand_region_chisq" ->
+      """WITH cells AS (SELECT r_name AS region, p_brand,
+           COUNT(*) AS o
+         FROM lineitem l
+         JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+         JOIN customer c ON o2.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2),
+         m AS (SELECT region, p_brand, o,
+             SUM(o) OVER (PARTITION BY region) AS rm,
+             SUM(o) OVER (PARTITION BY p_brand) AS cm,
+             SUM(o) OVER () AS n
+           FROM cells)
+         SELECT region, p_brand, CAST(o AS BIGINT) AS observed,
+           CAST(CAST(rm AS HUGEINT) * cm * 100 // n AS BIGINT)
+             AS expected_e2,
+           CAST((CAST(n AS HUGEINT) * o - CAST(rm AS HUGEINT) * cm)
+             * (CAST(n AS HUGEINT) * o - CAST(rm AS HUGEINT) * cm)
+             * 1000000 // (CAST(n AS HUGEINT) * rm * cm) AS BIGINT)
+             AS chisq_contrib_e6
+         FROM m ORDER BY region, p_brand""")
 }

@@ -253,6 +253,82 @@ object DsShapes {
           (sum(col("c_acctbal").cast("decimal(12,2)") * 100))
             .cast("long").as("acctbal_e2"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // Year-over-year growth leaders (TPC-DS Q11/Q74's core shape): the
+    // per-customer 1996 → 1997 spend ratio, top-20 fastest growers.
+    // ONE grouped scan pivots both years with conditional sums (no
+    // year-wise self-join of the fact); customers inactive in either
+    // year drop out via the null-sum filter; growth is exact ppm over
+    // non-negative cents (trunc ≡ floor); the top-20 is a
+    // TakeOrderedAndProject merge, never a global sort.
+    "q320_yoy_growth_leaders" -> { (s, dir) =>
+      val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("decimal(38,0)")
+      t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(year(col("o_orderdate")) === 1996, cents))
+            .as("s96"),
+          sum(when(year(col("o_orderdate")) === 1997, cents))
+            .as("s97"))
+        .filter(col("s96").isNotNull && col("s97").isNotNull)
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey").cast("long").as("cust_key"),
+          col("c_mktsegment").as("segment"),
+          col("s96").cast("long").as("spend96_e2"),
+          col("s97").cast("long").as("spend97_e2"),
+          expr("CAST(s97 * 1000000 div greatest(s96, 1) AS BIGINT)")
+            .as("growth_ppm"))
+        .orderBy(col("growth_ppm").desc, col("cust_key"))
+        .limit(20)
+    },
+
+    // Week-over-week seasonal comparison (TPC-DS Q59's shape): per
+    // nation, the ISO week whose 1997 revenue most out- and
+    // under-performs its 1996 twin. ONE grouped scan pivots both years
+    // per (nation, week) with conditional sums; weeks 2–51 only, so
+    // the ISO week-1/52/53 year-boundary spillover can't mix
+    // neighboring years' tails into a compared cell; extremes pick via
+    // two row_number windows over the (nation, week)-grain aggregate
+    // (≤ 50 rows per nation — bounded by construction), ties to the
+    // earliest week.
+    "q321_weekly_ratio" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cents = (col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("decimal(38,0)")
+      val wk = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .filter(year(col("o_orderdate")).isin(1996, 1997) &&
+          weekofyear(col("o_orderdate")).between(2, 51))
+        .groupBy(col("c_nationkey").cast("long").as("nation_key"),
+          weekofyear(col("o_orderdate")).cast("long").as("wk"))
+        .agg(sum(when(year(col("o_orderdate")) === 1996, cents))
+            .as("r96"),
+          sum(when(year(col("o_orderdate")) === 1997, cents))
+            .as("r97"))
+        .filter(col("r96").isNotNull && col("r97").isNotNull)
+        .withColumn("ratio_ppm",
+          expr("CAST(r97 * 1000000 div greatest(r96, 1) AS BIGINT)"))
+      val wBest = Window.partitionBy(col("nation_key"))
+        .orderBy(col("ratio_ppm").desc, col("wk"))
+      val wWorst = Window.partitionBy(col("nation_key"))
+        .orderBy(col("ratio_ppm").asc, col("wk"))
+      wk.withColumn("rb", row_number().over(wBest))
+        .withColumn("rw", row_number().over(wWorst))
+        .groupBy(col("nation_key"))
+        .agg(count(lit(1)).as("n_weeks"),
+          max(when(col("rb") === 1, col("wk"))).as("best_week"),
+          max(when(col("rb") === 1, col("ratio_ppm")))
+            .as("best_ratio_ppm"),
+          max(when(col("rw") === 1, col("wk"))).as("worst_week"),
+          max(when(col("rw") === 1, col("ratio_ppm")))
+            .as("worst_ratio_ppm"))
+        .orderBy(col("nation_key"))
     })
 
   /** Round-11 stretch wave. */
@@ -1278,5 +1354,59 @@ object DsShapes {
            CAST(b.best_part AS BIGINT) AS best_part, b.best_avg_e6,
            CAST(w.worst_part AS BIGINT) AS worst_part, w.worst_avg_e6
          FROM best b JOIN worst w USING (rk)
-         WHERE b.rk <= 5 ORDER BY rk""")
+         WHERE b.rk <= 5 ORDER BY rk""",
+
+    "q320_yoy_growth_leaders" ->
+      """WITH sp AS (SELECT o_custkey,
+           SUM(CASE WHEN year(o_orderdate) = 1996
+             THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+               AS HUGEINT) END) AS s96,
+           SUM(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+               AS HUGEINT) END) AS s97
+         FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+         GROUP BY 1
+         HAVING s96 IS NOT NULL AND s97 IS NOT NULL)
+         SELECT CAST(o_custkey AS BIGINT) AS cust_key,
+           c.c_mktsegment AS segment,
+           CAST(s96 AS BIGINT) AS spend96_e2,
+           CAST(s97 AS BIGINT) AS spend97_e2,
+           CAST(s97 * 1000000 // GREATEST(s96, 1) AS BIGINT)
+             AS growth_ppm
+         FROM sp JOIN customer c ON sp.o_custkey = c.c_custkey
+         ORDER BY growth_ppm DESC, cust_key LIMIT 20""",
+
+    "q321_weekly_ratio" ->
+      """WITH wk AS (SELECT CAST(c.c_nationkey AS BIGINT)
+             AS nation_key,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS wk,
+           SUM(CASE WHEN year(o_orderdate) = 1996
+             THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+               AS HUGEINT) END) AS r96,
+           SUM(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+               AS HUGEINT) END) AS r97
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE year(o_orderdate) IN (1996, 1997)
+           AND weekofyear(o_orderdate) BETWEEN 2 AND 51
+         GROUP BY 1, 2
+         HAVING r96 IS NOT NULL AND r97 IS NOT NULL),
+         rt AS (SELECT nation_key, wk,
+             CAST(r97 * 1000000 // GREATEST(r96, 1) AS BIGINT)
+               AS ratio_ppm
+           FROM wk),
+         rk AS (SELECT nation_key, wk, ratio_ppm,
+             ROW_NUMBER() OVER (PARTITION BY nation_key
+               ORDER BY ratio_ppm DESC, wk) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY nation_key
+               ORDER BY ratio_ppm ASC, wk) AS rw
+           FROM rt)
+         SELECT nation_key, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           MAX(CASE WHEN rb = 1 THEN wk END) AS best_week,
+           MAX(CASE WHEN rb = 1 THEN ratio_ppm END)
+             AS best_ratio_ppm,
+           MAX(CASE WHEN rw = 1 THEN wk END) AS worst_week,
+           MAX(CASE WHEN rw = 1 THEN ratio_ppm END)
+             AS worst_ratio_ppm
+         FROM rk GROUP BY 1 ORDER BY nation_key""")
 }

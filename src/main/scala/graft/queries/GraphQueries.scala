@@ -246,51 +246,19 @@ object GraphQueries {
     * Edge-scale retained relation, same class as the pairs artifact
     * it derives from. */
   private val supportCache = new DirCache[String, DataFrame]((s, dir) =>
-    pairsCache.withArtifact(s, dir) { pairs =>
-      val deg = Graph.symmetrize(pairs)
-        .groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-      val ends = pairs
-        .join(deg.select(col("node").as("a"), col("deg").as("da")),
-          "a")
-        .join(deg.select(col("node").as("b"), col("deg").as("db")),
-          "b")
-      val smaller = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      // read three times below (wedge self-join + closing membership):
-      // cut once, release after the support relation materialises
-      val oriented = ends.select(
-        when(smaller, col("a")).otherwise(col("b")).as("src"),
-        when(smaller, col("b")).otherwise(col("a")).as("dst"))
-        .localCheckpoint(true)
-      try {
-        val closed = oriented.select(col("src"), col("dst").as("v"))
-          .join(oriented.select(col("src"), col("dst").as("w")), "src")
-          .filter(col("v") < col("w"))
-          .join(oriented
-              .select(col("src").as("v"), col("dst").as("w"))
-              .unionByName(oriented.select(col("src").as("w"),
-                col("dst").as("v"))),
-            Seq("v", "w"), "left_semi")
-        // each closed wedge (u, v, w) credits edges {u,v}, {u,w},
-        // {v,w} — canonical (min, max) form; (v, w) is canonical
-        // already (v < w by the wedge filter)
-        val credits = closed
-          .select(least(col("src"), col("v")).as("a"),
-            greatest(col("src"), col("v")).as("b"))
-          .unionByName(closed
-            .select(least(col("src"), col("w")).as("a"),
-              greatest(col("src"), col("w")).as("b")))
-          .unionByName(closed.select(col("v").as("a"),
-            col("w").as("b")))
-        val support = credits.groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).as("support"))
-        pairs
-          .join(support, Seq("a", "b"), "left_outer")
-          .na.fill(0L, Seq("support"))
-          .localCheckpoint(true)
-      } finally Graph.release(oriented)
-    }, Graph.release)
+    pairsCache.withArtifact(s, dir)(Graph.triangleSupport),
+    Graph.release)
+
+  /** The K-TRUSS PEEL TRAJECTORY artifact (k = 4, 3 rounds): the
+    * per-round `(round, n_edges_in, n_dropped, n_survivors)` record of
+    * the iterative support-recompute peel — a bounded LocalRelation,
+    * cached because each build re-runs the triangle enumeration once
+    * per round. q326 reads it; the initial-support histogram (q303)
+    * stays the cheap static view. */
+  private val trussCache = new DirCache[String, DataFrame]((s, dir) =>
+    pairsCache.withArtifact(s, dir)(p =>
+      Graph.trussPeelTrajectory(p, k = 4L, rounds = 3)),
+    _ => ())
 
   /** Max-normalise a score column to e6 fixed point: `out = v·1e6 div
     * max(v)` — deterministic, range-bounded to [0, 1e6], DECIMAL(38,0)
@@ -1225,6 +1193,86 @@ object GraphQueries {
           .orderBy(col("band"))
           .auditedCut("q313_degree_tail")
       }
+    },
+
+    // Market-basket ASSOCIATION LIFT (Agrawal et al. 1993's measure on
+    // the co-purchase relation): for pairs co-ordered at least 3 times,
+    // lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) in exact e6 —
+    // the q264 family ranks topology; this ranks statistical surprise
+    // (a pair can be high-support purely because both parts are
+    // popular; lift discounts exactly that). Rides the STORED weighted
+    // pairs artifact (n_ab = w, one self-join per dir ever); item
+    // frequencies are one grouped pass over the deduplicated
+    // (order, part) relation; the corpus size joins as a broadcast
+    // 1-row aggregate; top-20 is a TakeOrdered merge. All factors
+    // non-negative ⇒ one truncating division serves both engines.
+    "q317_basket_lift" -> { (s, dir) =>
+      wpairsCache.withArtifact(s, dir) { wpairs =>
+        val lp = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val itemN = lp.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_item"))
+        wpairs.filter(col("w") >= 3)
+          .join(itemN.select(col("l_partkey").as("a"),
+            col("n_item").as("n_a")), "a")
+          .join(itemN.select(col("l_partkey").as("b"),
+            col("n_item").as("n_b")), "b")
+          .crossJoin(broadcast(lp.select(
+            countDistinct(col("l_orderkey")).as("n_orders"))))
+          .select(col("a").cast("long").as("part_a"),
+            col("b").cast("long").as("part_b"),
+            col("w").as("n_ab"), col("n_a"), col("n_b"),
+            col("n_orders"),
+            expr("""CAST(CAST(w AS DECIMAL(38,0)) * n_orders * 1000000
+                    div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+              .as("lift_e6"))
+          .orderBy(col("lift_e6").desc, col("part_a"), col("part_b"))
+          .limit(20)
+          .auditedCut("q317_basket_lift")
+      }
+    },
+
+    // Cold-start coverage of the co-purchase graph: per brand, how
+    // much of the catalog is ISOLATED (in no co-purchase pair at all —
+    // outside every graph query's universe)? The recommender-serving
+    // diagnostic for the whole q251/q264 family: a part absent from
+    // the pairs relation can never receive rank, labels, or
+    // link-prediction scores, so this ppm is exactly the fraction of
+    // catalog needing a non-graph fallback. One left join of the part
+    // dim against the STORED pairs artifact's node set, one grouped
+    // conditional count — brand-scale output.
+    "q324_isolated_parts" -> { (s, dir) =>
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val nodes = Graph.symmetrize(pairs)
+          .select(col("src").as("node")).distinct()
+        t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))
+          .join(nodes, col("p_partkey") === col("node"), "left")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(when(col("node").isNull, 1L).otherwise(0L))
+              .as("n_isolated"))
+          .select(col("p_brand"), col("n_parts"), col("n_isolated"),
+            expr("n_isolated * 1000000 div n_parts")
+              .as("isolated_ppm"))
+          .orderBy(col("p_brand"))
+          .auditedCut("q324_isolated_parts")
+      }
+    },
+
+    // K-TRUSS PEEL trajectory (k = 4, 3 fixed rounds): the iterative
+    // support-recompute peel q303's static histogram can only bound —
+    // dropping an edge erodes its neighbors' triangles, so the
+    // histogram's cumulative read-off OVERSTATES the true truss and
+    // only the peel converges on it. Each round is one degree-ordered
+    // triangle enumeration (O(E^1.5) wedges) over a shrinking edge
+    // set; the trajectory itself is `rounds` rows, bounded by
+    // construction, cached per (dir, session) like every other graph
+    // artifact. q303 stays the one-enumeration static view; this is
+    // the dynamic one.
+    "q326_truss_peel" -> { (s, dir) =>
+      trussCache.withArtifact(s, dir)(traj =>
+        traj.orderBy(col("round")).auditedCut("q326_truss_peel"))
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -2028,5 +2076,84 @@ object GraphQueries {
              // GREATEST(n_nodes * (n_nodes - 1) // 2, 1) AS BIGINT)
              AS rand_ppm
          FROM st, sa, sb"""
-    })
+    },
+
+    "q317_basket_lift" ->
+      s"""WITH $WPairsCtes,
+         it AS (SELECT item, COUNT(*) AS n_item FROM gi GROUP BY 1),
+         tot AS (SELECT COUNT(DISTINCT g) AS n_orders FROM gi)
+         SELECT CAST(w.a AS BIGINT) AS part_a,
+           CAST(w.b AS BIGINT) AS part_b,
+           CAST(w.w AS BIGINT) AS n_ab,
+           CAST(ia.n_item AS BIGINT) AS n_a,
+           CAST(ib.n_item AS BIGINT) AS n_b,
+           CAST(tot.n_orders AS BIGINT) AS n_orders,
+           CAST(CAST(w.w AS HUGEINT) * tot.n_orders * 1000000
+             // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT)
+             AS lift_e6
+         FROM wpairs w
+         JOIN it ia ON w.a = ia.item
+         JOIN it ib ON w.b = ib.item, tot
+         WHERE w.w >= 3
+         ORDER BY lift_e6 DESC, part_a, part_b LIMIT 20""",
+
+    "q324_isolated_parts" ->
+      s"""WITH $GraphCtes
+         SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN n.node IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_isolated,
+           CAST(SUM(CASE WHEN n.node IS NULL THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS isolated_ppm
+         FROM part LEFT JOIN nodes n ON p_partkey = n.node
+         GROUP BY 1 ORDER BY p_brand""",
+
+    "q326_truss_peel" ->
+      s"""WITH $GraphCtes,
+         ${trussRoundSql("pairs", "t1")},
+         ${trussRoundSql("t1", "t2")},
+         ${trussRoundSql("t2", "t3")}
+         SELECT CAST(r AS BIGINT) AS round,
+           CAST(n_in AS BIGINT) AS n_edges_in,
+           CAST(n_in - n_out AS BIGINT) AS n_dropped,
+           CAST(n_out AS BIGINT) AS n_survivors
+         FROM (VALUES
+           (1, (SELECT COUNT(*) FROM pairs),
+               (SELECT COUNT(*) FROM t1)),
+           (2, (SELECT COUNT(*) FROM t1),
+               (SELECT COUNT(*) FROM t2)),
+           (3, (SELECT COUNT(*) FROM t2),
+               (SELECT COUNT(*) FROM t3))) v(r, n_in, n_out)
+         ORDER BY round"""
+    )
+
+  /** One k-truss peel round as SQL (k = 4 ⇒ support ≥ 2): the
+    * degree-ordered closed-wedge support recount over the PREVIOUS
+    * round's survivors, then the support threshold — the SQL face of
+    * one [[graft.operators.Graph.trussPeelTrajectory]] round.
+    * MATERIALIZED for the same inline-expansion reason as the k-core
+    * peel rounds. */
+  private def trussRoundSql(prev: String, cur: String): String =
+    s"""dg_$cur AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM (
+           SELECT a AS node FROM $prev
+           UNION ALL SELECT b FROM $prev) GROUP BY 1),
+       or_$cur AS MATERIALIZED (SELECT
+           CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND p.a < p.b)
+             THEN p.a ELSE p.b END AS src,
+           CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND p.a < p.b)
+             THEN p.b ELSE p.a END AS dst
+         FROM $prev p JOIN dg_$cur da ON p.a = da.node
+         JOIN dg_$cur db ON p.b = db.node),
+       wg_$cur AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+         FROM or_$cur w1 JOIN or_$cur w2
+           ON w1.src = w2.src AND w1.dst < w2.dst),
+       cl_$cur AS MATERIALIZED (SELECT u, v, w FROM wg_$cur
+         JOIN (SELECT src AS v, dst AS w FROM or_$cur
+           UNION ALL SELECT dst, src FROM or_$cur) c USING (v, w)),
+       sp_$cur AS MATERIALIZED (SELECT a, b, COUNT(*) AS s FROM (
+           SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM cl_$cur
+           UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM cl_$cur
+           UNION ALL SELECT v, w FROM cl_$cur) GROUP BY 1, 2),
+       $cur AS MATERIALIZED (SELECT p.a, p.b FROM $prev p
+         LEFT JOIN sp_$cur s USING (a, b)
+         WHERE COALESCE(s.s, 0) >= 2)"""
 }

@@ -2276,6 +2276,46 @@ object PipelineQueries {
           col("nn_label").cast("long").as("nn_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("q_label"), col("nn_label"))
+    },
+
+    // CENTROID PURITY in exact integer arithmetic: quantize every
+    // component to e4 fixed point (floor(v·1e4) — one double multiply
+    // + floor, bit-identical across engines), build per-label integer
+    // centroids (sign-decomposed mean per dimension), and count how
+    // many vectors sit nearest their OWN label's centroid by integer
+    // dot product. The CLUSTER-level embedding-space audit beside
+    // q315's NEIGHBOR-level one — and the cheap one at 100 TB:
+    // |labels| centroid comparisons per vector instead of a kNN probe,
+    // the same fan as IVF assignment (q190's path), with every
+    // aggregate an exact integer so the DuckDB oracle hash-matches.
+    // Argmax ties break (dot DESC, centroid label ASC).
+    "q327_centroid_purity" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("d"),
+          floor(col("col").cast("double") * 10000).cast("long")
+            .as("qv"))
+      val cents = q.groupBy(col("label").as("c_label"), col("d"))
+        .agg(sum(col("qv")).as("sv"), count(lit(1)).as("nv"))
+        .select(col("c_label"), col("d"),
+          expr("""CASE WHEN sv >= 0 THEN sv div nv
+                  ELSE -((-sv) div nv) END""").as("cv"))
+      val dots = q.join(broadcast(cents), "d")
+        .groupBy(col("vec_id"), col("label"), col("c_label"))
+        .agg(sum(expr("qv * cv")).as("dot"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dot").desc, col("c_label"))
+      dots.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("c_label") === col("label"), 1L).otherwise(0L))
+            .as("n_pure"))
+        .select(col("label"), col("n_vecs"), col("n_pure"),
+          expr("n_pure * 1000000 div n_vecs").as("purity_ppm"))
+        .orderBy(col("label"))
     })
 
   /** q113 blocklist (mirrored as literals in the oracle SQL). */
@@ -4898,5 +4938,28 @@ object PipelineQueries {
          SELECT CAST(q_label AS BIGINT) AS q_label,
            CAST(nn_label AS BIGINT) AS nn_label,
            CAST(COUNT(*) AS BIGINT) AS n
-         FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q327_centroid_purity" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           generate_subscripts(embedding, 1) - 1 AS d,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             AS BIGINT) AS qv
+         FROM embeddings),
+         cents AS (SELECT label AS c_label, d,
+             CASE WHEN SUM(qv) >= 0 THEN SUM(qv) // COUNT(*)
+               ELSE -((-SUM(qv)) // COUNT(*)) END AS cv
+           FROM q GROUP BY 1, 2),
+         dots AS (SELECT q.vec_id, q.label, c.c_label,
+             SUM(q.qv * c.cv) AS dot
+           FROM q JOIN cents c USING (d) GROUP BY 1, 2, 3),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY dot DESC, c_label) AS rk
+           FROM dots)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pure,
+           CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS purity_ppm
+         FROM r WHERE rk = 1 GROUP BY 1 ORDER BY label""")
 }

@@ -1257,4 +1257,131 @@ class GraphSpec extends SparkSpec {
         degs.count(d => d >= r.getAs[Long]("floor_deg")).toLong)
     }
   }
+
+  test("q317 basket lift: top-20 equals the brute-force " +
+      "n_ab*N/(n_a*n_b) ranking; support bounded by both marginals") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q317_basket_lift")(spark, dir).collect()
+    val lp = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long"),
+        col("l_partkey").cast("long"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = lp.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val nItem = lp.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val nOrders = byOrder.size.toLong
+    val want = byOrder.values.toSeq
+      .flatMap(ps => for {
+        i <- ps.indices; j <- (i + 1) until ps.length
+      } yield (ps(i), ps(j)))
+      .groupBy(identity).toSeq
+      .collect { case ((a, b), xs) if xs.length >= 3 =>
+        val w = xs.length.toLong
+        (a, b, w, nItem(a), nItem(b),
+          (BigInt(w) * nOrders * 1000000 /
+            (BigInt(nItem(a)) * nItem(b))).toLong)
+      }
+      .sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(20)
+    assert(out.length === want.length)
+    out.zip(want).foreach { case (r, (a, b, w, na, nb, l)) =>
+      assert(r.getAs[Long]("part_a") === a)
+      assert(r.getAs[Long]("part_b") === b)
+      assert(r.getAs[Long]("n_ab") === w)
+      assert(r.getAs[Long]("n_a") === na)
+      assert(r.getAs[Long]("n_b") === nb)
+      assert(r.getAs[Long]("n_orders") === nOrders)
+      assert(r.getAs[Long]("lift_e6") === l)
+      // co-occurrence can't exceed either marginal
+      assert(w <= na && w <= nb)
+    }
+  }
+
+  test("q324 isolated parts: the per-brand counts recompute from the " +
+      "brute-force pair node set and conserve the catalog") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q324_isolated_parts")(spark, dir).collect()
+    val lp = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long"),
+        col("l_partkey").cast("long"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // a part is IN the graph iff some order pairs it with another part
+    val inGraph = lp.groupBy(_._1).values
+      .collect { case ps if ps.length >= 2 => ps.map(_._2) }
+      .flatten.toSet
+    val parts = graft.Tables.load(spark, dir, "part")
+      .select(col("p_partkey").cast("long"), col("p_brand"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = parts.groupBy(_._2).map { case (brand, xs) =>
+      brand -> (xs.length.toLong,
+        xs.count(p => !inGraph.contains(p._1)).toLong)
+    }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (n, iso) = want(r.getAs[String]("p_brand"))
+      assert(r.getAs[Long]("n_parts") === n)
+      assert(r.getAs[Long]("n_isolated") === iso)
+      assert(r.getAs[Long]("isolated_ppm") === iso * 1000000L / n)
+    }
+    assert(out.map(_.getAs[Long]("n_parts")).sum === parts.length.toLong)
+  }
+
+  test("truss peel: K4 survives the k=4 peel, lone triangles and " +
+      "pendants drop in round one") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles), a lone triangle
+    // {10,11,12} (support 1 each), a pendant edge {20,21} (support 0)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("a", "b").localCheckpoint(true)
+    try {
+      val traj = Graph.trussPeelTrajectory(pairs, k = 4L, rounds = 3)
+        .orderBy(col("round")).collect()
+      assert(traj.map(r => (r.getAs[Long]("round"),
+        r.getAs[Long]("n_edges_in"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("n_survivors"))).toSeq ===
+        Seq((1L, 10L, 4L, 6L), (2L, 6L, 0L, 6L), (3L, 6L, 0L, 6L)))
+    } finally Graph.release(pairs)
+  }
+
+  test("q326 truss trajectory: rounds chain (in(r+1) = survivors(r)) " +
+      "and recompute from a brute-force support peel") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q326_truss_peel")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("round"))
+    val lp = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long"),
+        col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = lp.groupBy(_._1).values
+      .flatMap { ps =>
+        val parts = ps.map(_._2).distinct.sorted
+        for (i <- parts.indices; j <- (i + 1) until parts.length)
+          yield (parts(i), parts(j))
+      }.toSet
+    val want = (1 to 3).map { r =>
+      val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val kept = edges.filter { case (a, b) =>
+        (adj(a) & adj(b)).size >= 2
+      }
+      val row = (r.toLong, edges.size.toLong,
+        (edges.size - kept.size).toLong, kept.size.toLong)
+      edges = kept
+      row
+    }
+    assert(out.map(r => (r.getAs[Long]("round"),
+      r.getAs[Long]("n_edges_in"), r.getAs[Long]("n_dropped"),
+      r.getAs[Long]("n_survivors"))).toSeq === want)
+    out.sliding(2).foreach {
+      case Array(prev, next) =>
+        assert(next.getAs[Long]("n_edges_in") ===
+          prev.getAs[Long]("n_survivors"))
+      case _ =>
+    }
+  }
 }

@@ -518,4 +518,192 @@ class AnalyticsExtrasSpec extends SparkSpec {
       r.getAs[Long]("nn_label")) -> r.getAs[Long]("n")).toMap === want)
     assert(out.map(_.getAs[Long]("n")).sum === sample.length.toLong)
   }
+
+  test("q316: gini equals the brute-force sorted-rank formula per " +
+      "segment and stays in [0, 1e6)") {
+    val out = AnalyticsExtras.defs("q316_spend_gini")(spark, dir)
+      .collect()
+    val spends = graft.Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(38,0)")).cast("long").as("sp"))
+      .join(graft.Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("sp"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("sp"))
+    val want = spends.groupBy(_._1).map { case (seg, xs) =>
+      val s = xs.map(x => BigInt(x._2)).sorted
+      val n = BigInt(s.length)
+      val sx = s.sum
+      val sixi = s.zipWithIndex
+        .map { case (x, i) => x * BigInt(i + 1) }.sum
+      seg -> (s.length.toLong, sx.toLong,
+        ((2 * sixi - (n + 1) * sx) * 1000000 /
+          (n * sx).max(BigInt(1))).toLong)
+    }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (n, tot, g) = want(r.getAs[String]("segment"))
+      assert(r.getAs[Long]("n_customers") === n)
+      assert(r.getAs[Long]("spend_total_e2") === tot)
+      assert(r.getAs[Long]("gini_ppm") === g)
+      assert(g >= 0L && g < 1000000L)
+    }
+  }
+
+  test("q318: changepoint equals the brute-force argmax of " +
+      "|n*Sk - k*Sn| per nation, earliest-day ties") {
+    val out = AnalyticsExtras
+      .defs("q318_revenue_changepoint")(spark, dir).collect()
+    val daily = graft.Tables.load(spark, dir, "orders")
+      .join(graft.Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nk"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(38,0)")).cast("long").as("rev"))
+      .collect()
+      .map(r => (r.getAs[Long]("nk"),
+        r.getAs[java.sql.Date]("d").toLocalDate,
+        BigInt(r.getAs[Long]("rev"))))
+    val want = daily.groupBy(_._1).map { case (nk, xs) =>
+      val series = xs.sortBy(_._2.toEpochDay).map(x => (x._2, x._3))
+      val n = BigInt(series.length)
+      val sn = series.map(_._2).sum
+      val devs = series.zipWithIndex.map { case ((d, _), i) =>
+        val sk = series.take(i + 1).map(_._2).sum
+        (d, (n * sk - BigInt(i + 1) * sn).abs)
+      }
+      val best = devs.minBy { case (d, dev) => (-dev, d.toEpochDay) }
+      nk -> (series.length.toLong, best._1,
+        (best._2 * 1000000 / (n * sn).max(BigInt(1))).toLong)
+    }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (nd, day, ppm) = want(r.getAs[Long]("nation_key"))
+      assert(r.getAs[Long]("n_days") === nd)
+      assert(r.getAs[java.sql.Date]("change_day").toLocalDate === day)
+      assert(r.getAs[Long]("dev_ppm") === ppm)
+      // the KS-style deviation is a proper fraction of total mass
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
+  test("q322: systematic picks equal the brute-force stride walk and " +
+      "the per-source count is bounded by chars_total/stride") {
+    val out = graft.queries.CurationExtras
+      .defs("q322_systematic_sample")(spark, dir).collect()
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_chars")))
+    val want = docs.groupBy(_._1).map { case (src, xs) =>
+      val sorted = xs.sortBy(_._2)
+      var cum = 0L; var nPicked = 0L; var charsPicked = 0L
+      sorted.foreach { case (_, _, c) =>
+        val prev = cum; cum += c
+        if (cum / 50000 > prev / 50000) { nPicked += 1; charsPicked += c }
+      }
+      src -> (xs.length.toLong, cum, nPicked, charsPicked)
+    }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (n, tot, np, cp) = want(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("chars_total") === tot)
+      assert(r.getAs[Long]("n_picked") === np)
+      assert(r.getAs[Long]("chars_picked") === cp)
+      assert(r.getAs[Long]("pick_rate_ppm") === np * 1000000L / n)
+      // each pick crosses >= 1 stride boundary
+      assert(np <= tot / 50000L)
+    }
+  }
+
+  test("q323: runs counts recompute from the brute-force sign walk " +
+      "per nation; up/down moves partition the move set") {
+    val out = AnalyticsExtras.defs("q323_runs_test")(spark, dir)
+      .collect()
+    val daily = graft.Tables.load(spark, dir, "orders")
+      .join(graft.Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nk"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(38,0)")).cast("long").as("rev"))
+      .collect()
+      .map(r => (r.getAs[Long]("nk"),
+        r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay,
+        r.getAs[Long]("rev")))
+    val want = daily.groupBy(_._1).flatMap { case (nk, xs) =>
+      val revs = xs.sortBy(_._2).map(_._3)
+      val sgns = revs.zip(revs.tail).collect {
+        case (a, b) if a != b => if (b > a) 1L else -1L
+      }
+      if (sgns.isEmpty) None
+      else {
+        val runs = 1L + sgns.zip(sgns.tail).count {
+          case (a, b) => a != b
+        }
+        val (up, down) = (sgns.count(_ == 1L).toLong,
+          sgns.count(_ == -1L).toLong)
+        val n = sgns.length.toLong
+        Some(nk -> (n, up, down, runs,
+          (BigInt(runs) * n * 1000000 /
+            BigInt(n + 2 * up * down)).toLong))
+      }
+    }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (n, up, down, runs, ppm) = want(r.getAs[Long]("nation_key"))
+      assert(r.getAs[Long]("n_moves") === n)
+      assert(r.getAs[Long]("n_up") === up)
+      assert(r.getAs[Long]("n_down") === down)
+      assert(r.getAs[Long]("n_runs") === runs)
+      assert(r.getAs[Long]("vs_random_ppm") === ppm)
+      assert(up + down === n)
+      assert(runs >= 1L && runs <= n)
+    }
+  }
+
+  test("q327: centroid purity recomputes from brute-force integer " +
+      "centroids and conserves the vector count") {
+    val out = graft.queries.PipelineQueries
+      .defs("q327_centroid_purity")(spark, dir).collect()
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toArray
+          .map(v => math.floor(v.toDouble * 10000).toLong)))
+    val cents = vecs.groupBy(_._2).view.mapValues { xs =>
+      val dim = xs.head._3.length
+      Array.tabulate(dim) { d =>
+        val s = xs.map(x => BigInt(x._3(d))).sum
+        val n = BigInt(xs.length)
+        (if (s >= 0) s / n else -((-s) / n)).toLong
+      }
+    }.toMap
+    val want = vecs.groupBy(_._2).map { case (label, xs) =>
+      val pure = xs.count { case (_, _, q) =>
+        val best = cents.toSeq.map { case (cl, cv) =>
+          (q.zip(cv).map { case (a, b) => a * b }.sum, cl)
+        }.minBy { case (dot, cl) => (-dot, cl) }._2
+        best == label
+      }
+      label -> (xs.length.toLong, pure.toLong)
+    }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (n, pure) = want(r.getAs[Long]("label"))
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[Long]("n_pure") === pure)
+      assert(r.getAs[Long]("purity_ppm") === pure * 1000000L / n)
+    }
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === vecs.length.toLong)
+  }
 }

@@ -564,4 +564,82 @@ class DsShapesSpec extends SparkSpec {
       .intersect(out.map(_.getAs[Long]("worst_part")).toSet).isEmpty,
       "best and worst ends coincide — degenerate ranking")
   }
+
+  private def yearSpends(dir: String): Map[Long, (Long, Long)] =
+    graft.Tables.load(spark, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("yr"),
+        r.getAs[Long]("cents")))
+      .groupBy(_._1)
+      .collect(Function.unlift { case (c, xs) =>
+        val s96 = xs.filter(_._2 == 1996).map(_._3)
+        val s97 = xs.filter(_._2 == 1997).map(_._3)
+        if (s96.nonEmpty && s97.nonEmpty)
+          Some(c -> (s96.sum, s97.sum))
+        else None
+      })
+
+  test("q320: growth leaders equal the brute-force both-years ratio " +
+      "ranking, ties to the smaller key") {
+    val out = DsShapes.defs("q320_yoy_growth_leaders")(spark, dir)
+      .collect()
+    val want = yearSpends(dir).toSeq.map { case (c, (s96, s97)) =>
+      (c, s96, s97,
+        (BigInt(s97) * 1000000 / BigInt(s96).max(BigInt(1))).toLong)
+    }.sortBy { case (c, _, _, g) => (-g, c) }.take(20)
+    assert(out.length === want.length)
+    out.zip(want).foreach { case (r, (c, s96, s97, g)) =>
+      assert(r.getAs[Long]("cust_key") === c)
+      assert(r.getAs[Long]("spend96_e2") === s96)
+      assert(r.getAs[Long]("spend97_e2") === s97)
+      assert(r.getAs[Long]("growth_ppm") === g)
+    }
+  }
+
+  test("q321: weekly extremes recompute from the brute-force " +
+      "(nation, iso-week) pivot, weeks 2-51 only") {
+    val out = DsShapes.defs("q321_weekly_ratio")(spark, dir).collect()
+    val cells = graft.Tables.load(spark, dir, "orders")
+      .join(graft.Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997) &&
+        weekofyear(col("o_orderdate")).between(2, 51))
+      .select(col("c_nationkey").cast("long").as("nk"),
+        weekofyear(col("o_orderdate")).cast("long").as("wk"),
+        year(col("o_orderdate")).as("yr"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => ((r.getAs[Long]("nk"), r.getAs[Long]("wk")),
+        r.getAs[Int]("yr"), r.getAs[Long]("cents")))
+    val want = cells.groupBy(_._1).toSeq
+      .flatMap { case ((nk, wk), xs) =>
+        val r96 = xs.filter(_._2 == 1996).map(_._3)
+        val r97 = xs.filter(_._2 == 1997).map(_._3)
+        if (r96.nonEmpty && r97.nonEmpty)
+          Some((nk, wk, (BigInt(r97.sum) * 1000000 /
+            BigInt(r96.sum).max(BigInt(1))).toLong))
+        else None
+      }
+      .groupBy(_._1).map { case (nk, ws) =>
+        val best = ws.minBy { case (_, wk, p) => (-p, wk) }
+        val worst = ws.minBy { case (_, wk, p) => (p, wk) }
+        nk -> (ws.length.toLong, best._2, best._3, worst._2, worst._3)
+      }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (n, bw, bp, ww, wp) = want(r.getAs[Long]("nation_key"))
+      assert(r.getAs[Long]("n_weeks") === n)
+      assert(r.getAs[Long]("best_week") === bw)
+      assert(r.getAs[Long]("best_ratio_ppm") === bp)
+      assert(r.getAs[Long]("worst_week") === ww)
+      assert(r.getAs[Long]("worst_ratio_ppm") === wp)
+      assert(bp >= wp)
+    }
+  }
 }

@@ -552,4 +552,91 @@ class TpchShapesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_customers")).sum ===
       rfm.size.toLong)
   }
+
+  test("q319: transition matrix recomputes from brute-force type-1 " +
+      "quartile boundaries per year and partitions the joined base") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q319_clv_transition")(spark, dir).collect()
+    val sp = graft.Tables.load(spark, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getAs[Int]("yr")),
+        r.getAs[Long]("cents")))
+      .groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).sum }
+    def cuts(yr: Int): (Long, Long, Long) = {
+      val s = sp.collect { case ((_, y), v) if y == yr => v }
+        .toSeq.sorted
+      def at(p: Int) = s(((s.length * p + 99) / 100 - 1).toInt)
+      (at(25), at(50), at(75))
+    }
+    def code(v: Long, b: (Long, Long, Long)): Long =
+      1L + (if (v > b._1) 1L else 0L) + (if (v > b._2) 1L else 0L) +
+        (if (v > b._3) 1L else 0L)
+    val (b96, b97) = (cuts(1996), cuts(1997))
+    val m = sp.toSeq.collect { case ((c, 1996), v) => c -> v }
+      .flatMap { case (c, v96) => sp.get((c, 1997))
+        .map(v97 => (code(v96, b96), code(v97, b97)))
+      }
+    val want = m.groupBy(identity)
+      .map { case (k, xs) => k -> xs.length.toLong }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val k = (r.getAs[Long]("q96"), r.getAs[Long]("q97"))
+      assert(k._1 >= 1 && k._1 <= 4 && k._2 >= 1 && k._2 <= 4)
+      assert(r.getAs[Long]("n_customers") === want(k))
+      assert(r.getAs[Long]("share_ppm") ===
+        want(k) * 1000000L / m.length)
+    }
+    assert(out.map(_.getAs[Long]("n_customers")).sum ===
+      m.length.toLong)
+  }
+
+  test("q325: chi-square cells recompute from brute-force marginals; " +
+      "observed conserves the joined fact") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q325_brand_region_chisq")(spark, dir).collect()
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val rows = li
+      .join(graft.Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.load(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.load(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.load(spark, dir, "region")
+          .select(col("r_regionkey"), col("r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(graft.Tables.load(spark, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("r_name"), col("p_brand"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cells = rows.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val rm = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cm = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = BigInt(rows.length)
+    assert(out.length === cells.size)
+    out.foreach { r =>
+      val k = (r.getAs[String]("region"), r.getAs[String]("p_brand"))
+      val o = BigInt(cells(k))
+      val (ri, cj) = (BigInt(rm(k._1)), BigInt(cm(k._2)))
+      assert(r.getAs[Long]("observed") === cells(k))
+      assert(r.getAs[Long]("expected_e2") === (ri * cj * 100 / n).toLong)
+      val d = n * o - ri * cj
+      assert(r.getAs[Long]("chisq_contrib_e6") ===
+        (d * d * 1000000 / (n * ri * cj)).toLong)
+    }
+    assert(out.map(_.getAs[Long]("observed")).sum === rows.length.toLong)
+  }
 }
