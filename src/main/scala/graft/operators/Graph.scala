@@ -383,9 +383,12 @@ object Graph {
     * INITIAL supports, because dropping an edge erodes its neighbors'
     * triangles. Rounds are FIXED (not to-convergence) for oracle
     * parity, the k-core contract. Per-round cost is one
-    * [[triangleSupport]] enumeration over a shrinking edge set; the
-    * peel holds at most two edge snapshots; the input relation is
-    * never released (it belongs to the caller). The trajectory itself
+    * [[triangleSupport]] enumeration over a shrinking edge set; at the
+    * peak of a round THREE edge-scale checkpoints coexist (current
+    * survivors, their support relation, next survivors — support can
+    * only release after next cuts, since next derives from it); the
+    * input relation is never released (it belongs to the caller). The
+    * trajectory itself
     * is a driver-side LocalRelation of `rounds` rows — bounded by
     * construction. */
   def trussPeelTrajectory(pairs: DataFrame, k: Long,

@@ -24,6 +24,32 @@ object AnalyticsExtras {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The (nation, day) revenue relation in exact cents — ONE
+    * definition shared by the changepoint (q318) and runs-test (q323)
+    * views so the pair (and their oracles, via
+    * [[DailyNationRevenueSql]]) can never desynchronize on the cents
+    * cast / date grain / join shape. */
+  private def dailyNationRevenue(s: SparkSession,
+      dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation_key"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(38,0)")).as("rev"))
+
+  /** [[dailyNationRevenue]]'s DuckDB face (rev as HUGEINT, named
+    * `daily`). */
+  private val DailyNationRevenueSql =
+    """daily AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nation_key,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+           AS HUGEINT) AS rev
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY 1, 2)"""
+
   /** q219 gate thresholds (Gopher-style, Rae et al. 2021 shapes scaled to
     * the synthetic corpus): token count bounds, mean word length bounds
     * (e2 fixed point = chars×100), minimum alphabetic-token share (pct),
@@ -1053,14 +1079,7 @@ object AnalyticsExtras {
     // after is day-scale.
     "q318_revenue_changepoint" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val daily = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-            .select(col("c_custkey"), col("c_nationkey"))),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_nationkey").cast("long").as("nation_key"),
-          to_date(col("o_orderdate")).as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-            .cast("decimal(38,0)")).as("rev"))
+      val daily = dailyNationRevenue(s, dir)
       val wCum = Window.partitionBy(col("nation_key")).orderBy(col("d"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wK = Window.partitionBy(col("nation_key")).orderBy(col("d"))
@@ -1101,14 +1120,7 @@ object AnalyticsExtras {
     // nation over the DAY-GRAIN aggregate; the fact is touched once.
     "q323_runs_test" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val daily = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-            .select(col("c_custkey"), col("c_nationkey"))),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_nationkey").cast("long").as("nation_key"),
-          to_date(col("o_orderdate")).as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
-            .cast("decimal(38,0)")).cast("long").as("rev"))
+      val daily = dailyNationRevenue(s, dir)
       val wd = Window.partitionBy(col("nation_key")).orderBy(col("d"))
       val moves = daily
         .withColumn("prev", lag(col("rev"), 1).over(wd))
@@ -1799,13 +1811,7 @@ object AnalyticsExtras {
          FROM g ORDER BY segment""",
 
     "q318_revenue_changepoint" ->
-      """WITH daily AS (SELECT CAST(c.c_nationkey AS BIGINT)
-             AS nation_key,
-           CAST(o_orderdate AS DATE) AS d,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
-             AS HUGEINT) AS rev
-         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-         GROUP BY 1, 2),
+      s"""WITH $DailyNationRevenueSql,
          cum AS (SELECT nation_key, d,
              SUM(rev) OVER (PARTITION BY nation_key ORDER BY d
                ROWS UNBOUNDED PRECEDING) AS sk,
@@ -1830,13 +1836,7 @@ object AnalyticsExtras {
          FROM pick WHERE rn = 1 ORDER BY nation_key""",
 
     "q323_runs_test" ->
-      """WITH daily AS (SELECT CAST(c.c_nationkey AS BIGINT)
-             AS nation_key,
-           CAST(o_orderdate AS DATE) AS d,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
-             AS BIGINT) AS rev
-         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-         GROUP BY 1, 2),
+      s"""WITH $DailyNationRevenueSql,
          mv AS (SELECT nation_key, d, rev,
              LAG(rev) OVER (PARTITION BY nation_key ORDER BY d)
                AS prev

@@ -1219,14 +1219,17 @@ object CurationExtras {
     // Deterministic SYSTEMATIC sampling proportional to size (the
     // PPS-without-randomness mixture-construction primitive): walking
     // each source's docs in doc_id order, a doc is picked exactly when
-    // its char mass crosses a multiple of the 50k-char stride — so
-    // every source lands floor(chars_total / stride) picks, exactly
-    // proportional to its mass, reproducible bit-for-bit with no RNG
-    // (the q213 hash-sample's complement: that samples uniform per
-    // doc, this samples uniform per CHAR). The cumulative sum
-    // partitions by source; at 100 TB the same prefix-sum runs as the
-    // standard two-pass range-partitioned scan. Zero-char docs can
-    // never cross a stride boundary and are never picked.
+    // its char mass crosses a multiple of the 2k-char stride —
+    // reproducible bit-for-bit with no RNG (the q213 hash-sample's
+    // complement: that samples uniform per doc, this samples uniform
+    // per CHAR). A source lands AT MOST floor(chars_total / stride)
+    // picks, with equality exactly when every doc is shorter than the
+    // stride (a longer doc crosses several multiples but is one pick —
+    // true of this corpus, and the constructed-input spec pins both
+    // regimes). The cumulative sum partitions by source; at 100 TB the
+    // same prefix-sum runs as the standard two-pass range-partitioned
+    // scan. Zero-char docs can never cross a stride boundary and are
+    // never picked.
     "q322_systematic_sample" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -1235,7 +1238,7 @@ object CurationExtras {
         .select(col("source"), col("doc_id"), col("n_chars"))
         .withColumn("cum", sum(col("n_chars")).over(w))
         .withColumn("picked",
-          expr("cum div 50000 > (cum - n_chars) div 50000"))
+          expr("cum div 2000 > (cum - n_chars) div 2000"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("chars_total"),
@@ -2393,7 +2396,7 @@ object CurationExtras {
              ROWS UNBOUNDED PRECEDING) AS cum
          FROM documents),
          p AS (SELECT source, n_chars,
-             (cum // 50000 > (cum - n_chars) // 50000) AS picked
+             (cum // 2000 > (cum - n_chars) // 2000) AS picked
            FROM c)
          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS chars_total,

@@ -255,9 +255,13 @@ object GraphQueries {
     * cached because each build re-runs the triangle enumeration once
     * per round. q326 reads it; the initial-support histogram (q303)
     * stays the cheap static view. */
+  /** The truss order — ONE constant under the peel operator call and
+    * the oracle's `support ≥ k − 2` threshold ([[trussRoundSql]]). */
+  private val TrussK = 4L
+
   private val trussCache = new DirCache[String, DataFrame]((s, dir) =>
     pairsCache.withArtifact(s, dir)(p =>
-      Graph.trussPeelTrajectory(p, k = 4L, rounds = 3)),
+      Graph.trussPeelTrajectory(p, k = TrussK, rounds = 3)),
     _ => ())
 
   /** Max-normalise a score column to e6 fixed point: `out = v·1e6 div
@@ -1328,24 +1332,35 @@ object GraphQueries {
     * definition so the two oracles' enumeration can never
     * desynchronize — the spec pins Σsupport = 3·triangles ACROSS
     * them. */
-  private val TriCtes =
-    """oriented AS (SELECT
-         CASE WHEN da.outdeg < db.outdeg
-           OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
-           THEN pairs.a ELSE pairs.b END AS src,
-         CASE WHEN da.outdeg < db.outdeg
-           OR (da.outdeg = db.outdeg AND pairs.a < pairs.b)
-           THEN pairs.b ELSE pairs.a END AS dst
-       FROM pairs
-       JOIN deg da ON pairs.a = da.src
-       JOIN deg db ON pairs.b = db.src),
-     wedges AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
-       FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src
-       WHERE w1.dst < w2.dst),
-     closing AS (SELECT src AS v, dst AS w FROM oriented
-       UNION ALL SELECT dst AS v, src AS w FROM oriented),
-     closed AS (SELECT u, v, w
-       FROM wedges JOIN closing USING (v, w))"""
+  private val TriCtes = triEnumSql("pairs", "")
+
+  /** The degree-ordered closed-wedge enumeration over edge relation
+    * `$e`, as CTEs suffixed `$sfx`: `tdeg` (full degrees of $e),
+    * `oriented` (each edge from its (deg, node)-smaller endpoint),
+    * `wedges`, `closing`, `closed`. ONE generator under [[TriCtes]]
+    * (the static q302/q303 enumeration) AND every [[trussRoundSql]]
+    * round, so the two can never desynchronize — the r15 review
+    * caught the peel hand-rolling a third copy. */
+  private def triEnumSql(e: String, sfx: String): String =
+    s"""tdeg$sfx AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM (
+           SELECT a AS node FROM $e UNION ALL SELECT b FROM $e)
+         GROUP BY 1),
+       oriented$sfx AS MATERIALIZED (SELECT
+           CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND $e.a < $e.b)
+             THEN $e.a ELSE $e.b END AS src,
+           CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND $e.a < $e.b)
+             THEN $e.b ELSE $e.a END AS dst
+         FROM $e
+         JOIN tdeg$sfx da ON $e.a = da.node
+         JOIN tdeg$sfx db ON $e.b = db.node),
+       wedges$sfx AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+         FROM oriented$sfx w1 JOIN oriented$sfx w2
+           ON w1.src = w2.src
+         WHERE w1.dst < w2.dst),
+       closing$sfx AS (SELECT src AS v, dst AS w FROM oriented$sfx
+         UNION ALL SELECT dst AS v, src AS w FROM oriented$sfx),
+       closed$sfx AS (SELECT u, v, w
+         FROM wedges$sfx JOIN closing$sfx USING (v, w))"""
 
   /** The shared per-edge SUPPORT CTEs (q303/q306/q307), composing after
     * [[TriCtes]]: each closed wedge credits its three edges once in
@@ -2126,34 +2141,20 @@ object GraphQueries {
          ORDER BY round"""
     )
 
-  /** One k-truss peel round as SQL (k = 4 ⇒ support ≥ 2): the
-    * degree-ordered closed-wedge support recount over the PREVIOUS
-    * round's survivors, then the support threshold — the SQL face of
-    * one [[graft.operators.Graph.trussPeelTrajectory]] round.
+  /** One k-truss peel round as SQL (k = [[TrussK]] ⇒ support ≥
+    * k − 2): the SHARED degree-ordered enumeration ([[triEnumSql]],
+    * suffixed per round) recounts support over the PREVIOUS round's
+    * survivors, then the threshold — the SQL face of one
+    * [[graft.operators.Graph.trussPeelTrajectory]] round.
     * MATERIALIZED for the same inline-expansion reason as the k-core
     * peel rounds. */
   private def trussRoundSql(prev: String, cur: String): String =
-    s"""dg_$cur AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM (
-           SELECT a AS node FROM $prev
-           UNION ALL SELECT b FROM $prev) GROUP BY 1),
-       or_$cur AS MATERIALIZED (SELECT
-           CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND p.a < p.b)
-             THEN p.a ELSE p.b END AS src,
-           CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND p.a < p.b)
-             THEN p.b ELSE p.a END AS dst
-         FROM $prev p JOIN dg_$cur da ON p.a = da.node
-         JOIN dg_$cur db ON p.b = db.node),
-       wg_$cur AS (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
-         FROM or_$cur w1 JOIN or_$cur w2
-           ON w1.src = w2.src AND w1.dst < w2.dst),
-       cl_$cur AS MATERIALIZED (SELECT u, v, w FROM wg_$cur
-         JOIN (SELECT src AS v, dst AS w FROM or_$cur
-           UNION ALL SELECT dst, src FROM or_$cur) c USING (v, w)),
+    s"""${triEnumSql(prev, s"_$cur")},
        sp_$cur AS MATERIALIZED (SELECT a, b, COUNT(*) AS s FROM (
-           SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM cl_$cur
-           UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM cl_$cur
-           UNION ALL SELECT v, w FROM cl_$cur) GROUP BY 1, 2),
+           SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM closed_$cur
+           UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM closed_$cur
+           UNION ALL SELECT v, w FROM closed_$cur) GROUP BY 1, 2),
        $cur AS MATERIALIZED (SELECT p.a, p.b FROM $prev p
          LEFT JOIN sp_$cur s USING (a, b)
-         WHERE COALESCE(s.s, 0) >= 2)"""
+         WHERE COALESCE(s.s, 0) >= ${TrussK - 2})"""
 }

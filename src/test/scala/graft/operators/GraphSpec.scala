@@ -1349,7 +1349,11 @@ class GraphSpec extends SparkSpec {
 
   test("q326 truss trajectory: rounds chain (in(r+1) = survivors(r)) " +
       "and recompute from a brute-force support peel") {
-    val dir = sf("sf0.001")
+    // sf0.01, NOT sf0.001: the sf0.001 co-purchase graph is dense
+    // enough that no edge ever drops (identity trajectory — any
+    // implementation passes); at sf0.01 rounds drop 115662/65/2 edges,
+    // so the recompute genuinely pins the peel (r15 review)
+    val dir = sf("sf0.01")
     val out = graft.queries.GraphQueries
       .defs("q326_truss_peel")(spark, dir).collect()
       .sortBy(_.getAs[Long]("round"))
@@ -1377,6 +1381,8 @@ class GraphSpec extends SparkSpec {
     assert(out.map(r => (r.getAs[Long]("round"),
       r.getAs[Long]("n_edges_in"), r.getAs[Long]("n_dropped"),
       r.getAs[Long]("n_survivors"))).toSeq === want)
+    assert(out.map(_.getAs[Long]("n_dropped")).sum > 0L,
+      "no edge ever dropped — the peel was not exercised")
     out.sliding(2).foreach {
       case Array(prev, next) =>
         assert(next.getAs[Long]("n_edges_in") ===

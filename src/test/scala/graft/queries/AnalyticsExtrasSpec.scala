@@ -592,20 +592,24 @@ class AnalyticsExtrasSpec extends SparkSpec {
     }
   }
 
-  test("q322: systematic picks equal the brute-force stride walk and " +
-      "the per-source count is bounded by chars_total/stride") {
+  test("q322: systematic picks equal the brute-force stride walk; " +
+      "all docs here are shorter than the stride so the count is " +
+      "EXACTLY chars_total/stride") {
     val out = graft.queries.CurationExtras
       .defs("q322_systematic_sample")(spark, dir).collect()
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id"), col("n_chars"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_chars")))
+    // the exact-proportionality regime's precondition, pinned so a
+    // testdata regeneration that violates it fails loudly here
+    assert(docs.forall(_._3 < 2000L))
     val want = docs.groupBy(_._1).map { case (src, xs) =>
       val sorted = xs.sortBy(_._2)
       var cum = 0L; var nPicked = 0L; var charsPicked = 0L
       sorted.foreach { case (_, _, c) =>
         val prev = cum; cum += c
-        if (cum / 50000 > prev / 50000) { nPicked += 1; charsPicked += c }
+        if (cum / 2000 > prev / 2000) { nPicked += 1; charsPicked += c }
       }
       src -> (xs.length.toLong, cum, nPicked, charsPicked)
     }
@@ -615,10 +619,46 @@ class AnalyticsExtrasSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs") === n)
       assert(r.getAs[Long]("chars_total") === tot)
       assert(r.getAs[Long]("n_picked") === np)
+      assert(np > 0L, "stride never exercised — test is vacuous")
       assert(r.getAs[Long]("chars_picked") === cp)
       assert(r.getAs[Long]("pick_rate_ppm") === np * 1000000L / n)
-      // each pick crosses >= 1 stride boundary
-      assert(np <= tot / 50000L)
+      // every doc < stride ⇒ one pick per crossed multiple, exactly
+      assert(np === tot / 2000L)
+    }
+  }
+
+  test("q322: constructed corpus pins both stride regimes — boundary " +
+      "straddles pick once, a doc spanning several strides is still " +
+      "ONE pick") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("q322docs").toString
+    try {
+      import spark.implicits._
+      // source a: 1500 + 600 (straddles 2000 → pick), + 5000 (spans
+      // 2100..7100: crosses 4000 and 6000 → ONE pick), + 100 (no
+      // crossing); source b: exact landing on 2000 picks
+      Seq(("a", 1L, 1500L), ("a", 2L, 600L), ("a", 3L, 5000L),
+        ("a", 4L, 100L), ("b", 10L, 2000L), ("b", 11L, 1999L))
+        .toDF("source", "doc_id", "n_chars")
+        .write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      val out = graft.queries.CurationExtras
+        .defs("q322_systematic_sample")(spark, tmp).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_picked"), r.getAs[Long]("chars_picked")))
+        .toMap
+      // a: picks are doc 2 (600) and doc 3 (5000) — NOT three picks
+      // despite doc 3 crossing two multiples; 7200/2000 = 3 > 2
+      assert(out("a") === (2L, 5600L))
+      // b: doc 10 lands exactly on 2000 (2000 div 2000 = 1 > 0) —
+      // picked; doc 11 ends at 3999, no new multiple
+      assert(out("b") === (1L, 2000L))
+    } finally {
+      val d = new java.io.File(tmp)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
     }
   }
 
