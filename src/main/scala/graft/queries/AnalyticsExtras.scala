@@ -1142,6 +1142,87 @@ object AnalyticsExtras {
                   * 1000000 div (n_moves + 2 * n_up * n_down)
                   AS BIGINT)""").as("vs_random_ppm"))
         .orderBy(col("nation_key"))
+    },
+
+    // Goodman–Kruskal GAMMA between price and size per brand: does
+    // paying more buy a bigger part within the brand's catalog? Rank
+    // correlation with NO square root (unlike Kendall's τ-b), so it
+    // stays exactly rational: γ = (C − D)/(C + D) over concordant /
+    // discordant part pairs, ties contributing to neither. The pair
+    // space generates WITHIN each brand's bounded catalog slice (the
+    // q290 discipline — ≤ C(|brand|, 2) pairs per brand, never
+    // row-scale), counts aggregate per brand, and the single signed
+    // division is SIGN-DECOMPOSED (Spark div truncates, DuckDB //
+    // floors).
+    "q329_price_size_gamma" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"),
+          (col("p_retailprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("price_e2"),
+          col("p_size").cast("long").as("sz"))
+      val pairs = p.toDF("p_brand", "k1", "pr1", "sz1")
+        .join(p.toDF("p_brand", "k2", "pr2", "sz2"), "p_brand")
+        .filter(col("k1") < col("k2"))
+      pairs
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("pr1") < col("pr2") && col("sz1") < col("sz2"))
+            || (col("pr1") > col("pr2") && col("sz1") > col("sz2")),
+            1L).otherwise(0L)).as("concordant"),
+          sum(when((col("pr1") < col("pr2") && col("sz1") > col("sz2"))
+            || (col("pr1") > col("pr2") && col("sz1") < col("sz2")),
+            1L).otherwise(0L)).as("discordant"))
+        .select(col("p_brand"), col("n_pairs"), col("concordant"),
+          col("discordant"),
+          expr("""CASE WHEN concordant >= discordant
+                  THEN CAST((concordant - discordant) * 1000000
+                    div greatest(concordant + discordant, 1) AS BIGINT)
+                  ELSE -CAST((discordant - concordant) * 1000000
+                    div greatest(concordant + discordant, 1) AS BIGINT)
+                  END""").as("gamma_ppm"))
+        .orderBy(col("p_brand"))
+    },
+
+    // Price-ladder holes per brand: the largest adjacent gap in the
+    // brand's sorted DISTINCT price ladder — where the assortment has
+    // no offering (the merchandising complement to q308's frontier).
+    // The lag window runs over the PRICE-GRAIN aggregate partitioned
+    // by brand (distinct prices, never parts); the mean gap is exact
+    // e2 via one truncating division of non-negative integers
+    // ((max − min) div (n_prices − 1) — telescoping, so it needs no
+    // per-gap sum); argmax ties to the LOWEST gap floor.
+    "q331_price_ladder_gap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val prices = t(s, dir, "part")
+        .groupBy(col("p_brand"),
+          (col("p_retailprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("price_e2"))
+        .agg(count(lit(1)).as("n_parts"))
+      val wb = Window.partitionBy(col("p_brand"))
+        .orderBy(col("price_e2"))
+      val gaps = prices
+        .withColumn("prev", lag(col("price_e2"), 1).over(wb))
+        .filter(col("prev").isNotNull)
+        .select(col("p_brand"),
+          (col("price_e2") - col("prev")).as("gap_e2"),
+          col("prev").as("gap_floor_e2"))
+      val wPick = Window.partitionBy(col("p_brand"))
+        .orderBy(col("gap_e2").desc, col("gap_floor_e2"))
+      gaps
+        .withColumn("rk", row_number().over(wPick))
+        .groupBy(col("p_brand"))
+        .agg((count(lit(1)) + 1).as("n_prices"),
+          max(when(col("rk") === 1, col("gap_e2"))).as("max_gap_e2"),
+          max(when(col("rk") === 1, col("gap_floor_e2")))
+            .as("max_gap_floor_e2"),
+          min(col("gap_floor_e2")).as("min_price_e2"),
+          max(col("gap_floor_e2") + col("gap_e2")).as("max_price_e2"))
+        .select(col("p_brand"), col("n_prices"), col("max_gap_e2"),
+          col("max_gap_floor_e2"),
+          expr("""CAST((max_price_e2 - min_price_e2)
+                  div greatest(n_prices - 1, 1) AS BIGINT)""")
+            .as("mean_gap_e2"))
+        .orderBy(col("p_brand"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -1861,5 +1942,56 @@ object AnalyticsExtras {
                + 2 * SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
                    * SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END))
              AS BIGINT) AS vs_random_ppm
-         FROM rn GROUP BY 1 ORDER BY nation_key""")
+         FROM rn GROUP BY 1 ORDER BY nation_key""",
+
+    "q329_price_size_gamma" ->
+      """WITH p AS (SELECT p_brand, p_partkey,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS pr,
+           CAST(p_size AS BIGINT) AS sz
+         FROM part),
+         pr AS (SELECT a.p_brand,
+             SUM(CASE WHEN (a.pr < b.pr AND a.sz < b.sz)
+               OR (a.pr > b.pr AND a.sz > b.sz) THEN 1 ELSE 0 END)
+               AS concordant,
+             SUM(CASE WHEN (a.pr < b.pr AND a.sz > b.sz)
+               OR (a.pr > b.pr AND a.sz < b.sz) THEN 1 ELSE 0 END)
+               AS discordant,
+             COUNT(*) AS n_pairs
+           FROM p a JOIN p b
+             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+           GROUP BY 1)
+         SELECT p_brand, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CASE WHEN concordant >= discordant
+             THEN CAST((concordant - discordant) * 1000000
+               // GREATEST(concordant + discordant, 1) AS BIGINT)
+             ELSE -CAST((discordant - concordant) * 1000000
+               // GREATEST(concordant + discordant, 1) AS BIGINT)
+           END AS gamma_ppm
+         FROM pr ORDER BY p_brand""",
+
+    "q331_price_ladder_gap" ->
+      """WITH prices AS (SELECT p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS price_e2
+         FROM part GROUP BY 1, 2),
+         gaps AS (SELECT p_brand,
+             price_e2 - LAG(price_e2) OVER (PARTITION BY p_brand
+               ORDER BY price_e2) AS gap_e2,
+             LAG(price_e2) OVER (PARTITION BY p_brand
+               ORDER BY price_e2) AS gap_floor_e2
+           FROM prices),
+         g AS (SELECT * FROM gaps WHERE gap_floor_e2 IS NOT NULL),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+             ORDER BY gap_e2 DESC, gap_floor_e2) AS rn
+           FROM g)
+         SELECT p_brand, CAST(COUNT(*) + 1 AS BIGINT) AS n_prices,
+           MAX(CASE WHEN rn = 1 THEN gap_e2 END) AS max_gap_e2,
+           MAX(CASE WHEN rn = 1 THEN gap_floor_e2 END)
+             AS max_gap_floor_e2,
+           CAST((MAX(gap_floor_e2 + gap_e2) - MIN(gap_floor_e2))
+             // GREATEST(COUNT(*), 1) AS BIGINT) AS mean_gap_e2
+         FROM rk GROUP BY 1 ORDER BY p_brand""")
 }

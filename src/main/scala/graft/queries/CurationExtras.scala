@@ -1307,6 +1307,43 @@ object CurationExtras {
         graft.tools.ExplainAudit
           .auditedCut(out, "q325_brand_region_chisq")
       } finally graft.operators.Graph.release(cells)
+    },
+
+    // Dormancy SURVIVAL CURVE: the fraction of customers whose open
+    // gap (last order → corpus max date) is at least g, for the
+    // standard CRM horizons g ∈ {30, 60, 90, 180, 365} days — the
+    // DISTRIBUTION view behind q312's per-customer churn flag (that
+    // asks "who is overdue by their own rhythm"; this asks "how much
+    // of the base is dark at each horizon"). One grouped scan to the
+    // customer-grain last-order relation, the corpus max a broadcast
+    // 1-row aggregate, then one explode over the 5-row threshold
+    // literal and a grouped conditional count — output is
+    // horizon-scale.
+    "q330_dormancy_survival" -> { (s, dir) =>
+      val last = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"))
+        .localCheckpoint(true) // max pass + the curve both read it
+      try {
+        val out = last
+          .crossJoin(broadcast(last.agg(max(col("last_d")).as("mxd"))))
+          .select(datediff(col("mxd"), col("last_d")).cast("long")
+            .as("gap"))
+          .select(col("gap"), explode(array(
+            lit(30L), lit(60L), lit(90L), lit(180L), lit(365L)))
+            .as("threshold_days"))
+          .groupBy(col("threshold_days"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when(col("gap") >= col("threshold_days"), 1L)
+              .otherwise(0L)).as("n_dormant"))
+          .select(col("threshold_days"), col("n_customers"),
+            col("n_dormant"),
+            expr("n_dormant * 1000000 div n_customers")
+              .as("dormant_ppm"))
+          .orderBy(col("threshold_days"))
+        graft.tools.ExplainAudit
+          .auditedCut(out, "q330_dormancy_survival")
+      } finally graft.operators.Graph.release(last)
     })
 
   def oracles: Map[String, String] = Map(
@@ -2430,5 +2467,23 @@ object CurationExtras {
              * (CAST(n AS HUGEINT) * o - CAST(rm AS HUGEINT) * cm)
              * 1000000 // (CAST(n AS HUGEINT) * rm * cm) AS BIGINT)
              AS chisq_contrib_e6
-         FROM m ORDER BY region, p_brand""")
+         FROM m ORDER BY region, p_brand""",
+
+    "q330_dormancy_survival" ->
+      """WITH last AS (SELECT o_custkey,
+           MAX(CAST(o_orderdate AS DATE)) AS last_d
+         FROM orders GROUP BY 1),
+         mx AS (SELECT MAX(last_d) AS mxd FROM last),
+         gaps AS (SELECT CAST(date_diff('day', last_d, mxd)
+             AS BIGINT) AS gap
+           FROM last, mx),
+         th AS (SELECT CAST(t AS BIGINT) AS threshold_days
+           FROM (VALUES (30), (60), (90), (180), (365)) v(t))
+         SELECT threshold_days,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN gap >= threshold_days THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dormant,
+           CAST(SUM(CASE WHEN gap >= threshold_days THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS dormant_ppm
+         FROM gaps, th GROUP BY 1 ORDER BY threshold_days""")
 }

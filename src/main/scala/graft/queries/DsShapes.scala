@@ -329,6 +329,73 @@ object DsShapes {
           max(when(col("rw") === 1, col("ratio_ppm")))
             .as("worst_ratio_ppm"))
         .orderBy(col("nation_key"))
+    },
+
+    // Exact two-sample KOLMOGOROV–SMIRNOV distance between the web and
+    // store order-value distributions: D = max over the merged value
+    // axis of |F_web − F_store|, computed entirely in integers as
+    // max |cum_web·n_store − cum_store·n_web| (no division until the
+    // final ppm), argmax to the SMALLEST value. "Do the two channels
+    // sell the same order-size mix?" — the distributional companion to
+    // the mean/ratio channel comparisons. Scale shape: the fact folds
+    // to the VALUE-GRAIN (one row per distinct order-total cents value
+    // with both channels' counts — bounded by the price DOMAIN, not
+    // the row count); the ECDFs accumulate via the TWO-PHASE prefix
+    // sum ($10k-band offsets + within-band cumulative, the Quantiles
+    // discipline — no unpartitioned window over the value grain);
+    // totals ride a broadcast 1-row cross join.
+    "q328_ks_channel_values" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val vals = t(s, dir, "orders")
+        .filter(channelCol.isin("web", "store"))
+        .groupBy((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("v"))
+        .agg(sum(when(channelCol === "web", 1L).otherwise(0L))
+            .as("c_web"),
+          sum(when(channelCol === "store", 1L).otherwise(0L))
+            .as("c_store"))
+        .withColumn("bkt", expr("v div 1000000"))
+        .localCheckpoint(true) // both phases + totals read it
+      try {
+        // TWO-PHASE distributed prefix sum (the Quantiles offsets
+        // shape): per-bucket sums → one cumulative over the BOUNDED
+        // bucket grain → within-bucket cumulative partitioned by
+        // bucket — no unpartitioned window ever touches the value
+        // grain
+        val bsum = vals.groupBy(col("bkt"))
+          .agg(sum(col("c_web")).as("bw"), sum(col("c_store")).as("bs"))
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = bsum
+          .withColumn("ow", sum(col("bw")).over(wOff) - col("bw"))
+          .withColumn("os", sum(col("bs")).over(wOff) - col("bs"))
+          .select(col("bkt"), col("ow"), col("os"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val out = vals
+          .withColumn("cw_in", sum(col("c_web")).over(wIn))
+          .withColumn("cs_in", sum(col("c_store")).over(wIn))
+          .join(broadcast(offs), "bkt")
+          .select(col("v"),
+            (col("cw_in") + col("ow")).as("cw"),
+            (col("cs_in") + col("os")).as("cs"))
+          .crossJoin(broadcast(vals.agg(
+            sum(col("c_web")).as("n_web"),
+            sum(col("c_store")).as("n_store"))))
+          .select(col("v"), col("n_web"), col("n_store"),
+            expr("""CAST(abs(CAST(cw AS DECIMAL(38,0)) * n_store
+                    - CAST(cs AS DECIMAL(38,0)) * n_web)
+                    AS DECIMAL(38,0))""").as("dev"))
+          .orderBy(col("dev").desc, col("v"))
+          .limit(1)
+          .select(col("n_web"), col("n_store"),
+            col("v").as("ks_at_cents"),
+            expr("""CAST(dev * 1000000 div greatest(CAST(n_web AS
+                    DECIMAL(38,0)) * n_store, 1) AS BIGINT)""")
+              .as("ks_ppm"))
+        graft.tools.ExplainAudit
+          .auditedCut(out, "q328_ks_channel_values")
+      } finally graft.operators.Graph.release(vals)
     })
 
   /** Round-11 stretch wave. */
@@ -1408,5 +1475,36 @@ object DsShapes {
            MAX(CASE WHEN rw = 1 THEN wk END) AS worst_week,
            MAX(CASE WHEN rw = 1 THEN ratio_ppm END)
              AS worst_ratio_ppm
-         FROM rk GROUP BY 1 ORDER BY nation_key""")
+         FROM rk GROUP BY 1 ORDER BY nation_key""",
+
+    "q328_ks_channel_values" ->
+      s"""WITH vals AS (SELECT
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS v,
+           SUM(CASE WHEN $ChannelSql = 'web' THEN 1 ELSE 0 END)
+             AS c_web,
+           SUM(CASE WHEN $ChannelSql = 'store' THEN 1 ELSE 0 END)
+             AS c_store
+         FROM orders WHERE $ChannelSql IN ('web', 'store')
+         GROUP BY 1),
+         cum AS (SELECT v,
+             SUM(c_web) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cw,
+             SUM(c_store) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cs
+           FROM vals),
+         tot AS (SELECT CAST(SUM(c_web) AS HUGEINT) AS n_web,
+             CAST(SUM(c_store) AS HUGEINT) AS n_store
+           FROM vals),
+         dv AS (SELECT v, n_web, n_store,
+             ABS(CAST(cw AS HUGEINT) * n_store
+               - CAST(cs AS HUGEINT) * n_web) AS dev
+           FROM cum, tot),
+         pick AS (SELECT * FROM dv ORDER BY dev DESC, v LIMIT 1)
+         SELECT CAST(n_web AS BIGINT) AS n_web,
+           CAST(n_store AS BIGINT) AS n_store,
+           v AS ks_at_cents,
+           CAST(dev * 1000000 // GREATEST(n_web * n_store, 1)
+             AS BIGINT) AS ks_ppm
+         FROM pick""")
 }

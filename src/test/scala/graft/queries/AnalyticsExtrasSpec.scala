@@ -746,4 +746,72 @@ class AnalyticsExtrasSpec extends SparkSpec {
     }
     assert(out.map(_.getAs[Long]("n_vecs")).sum === vecs.length.toLong)
   }
+
+  test("q329: gamma recomputes from brute-force concordance per " +
+      "brand; ties count toward neither side") {
+    val out = AnalyticsExtras.defs("q329_price_size_gamma")(spark, dir)
+      .collect()
+    val parts = graft.Tables.load(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey").cast("long"),
+        (col("p_retailprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("pr"),
+        col("p_size").cast("long").as("sz"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("pr"),
+        r.getAs[Long]("sz")))
+    val want = parts.groupBy(_._1).map { case (brand, xs) =>
+      val ps = xs.sortBy(_._2)
+      var c = 0L; var d = 0L; var n = 0L
+      for (i <- ps.indices; j <- (i + 1) until ps.length) {
+        n += 1
+        val (p1, s1, p2, s2) = (ps(i)._3, ps(i)._4, ps(j)._3, ps(j)._4)
+        if ((p1 < p2 && s1 < s2) || (p1 > p2 && s1 > s2)) c += 1
+        else if ((p1 < p2 && s1 > s2) || (p1 > p2 && s1 < s2)) d += 1
+      }
+      val g =
+        if (c >= d) (c - d) * 1000000L / math.max(c + d, 1L)
+        else -((d - c) * 1000000L / math.max(c + d, 1L))
+      brand -> (n, c, d, g)
+    }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (n, c, d, g) = want(r.getAs[String]("p_brand"))
+      assert(r.getAs[Long]("n_pairs") === n)
+      assert(r.getAs[Long]("concordant") === c)
+      assert(r.getAs[Long]("discordant") === d)
+      assert(r.getAs[Long]("gamma_ppm") === g)
+      assert(c + d <= n, "ties must count toward neither side")
+    }
+  }
+
+  test("q331: ladder gaps recompute from brute-force sorted distinct " +
+      "prices; the telescoping mean law holds") {
+    val out = AnalyticsExtras.defs("q331_price_ladder_gap")(spark, dir)
+      .collect()
+    val prices = graft.Tables.load(spark, dir, "part")
+      .select(col("p_brand"),
+        (col("p_retailprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("pr"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("pr")))
+    val want = prices.groupBy(_._1).toSeq.flatMap { case (brand, xs) =>
+      val ladder = xs.map(_._2).distinct.sorted
+      if (ladder.length < 2) None
+      else {
+        val gaps = ladder.zip(ladder.tail)
+          .map { case (lo, hi) => (hi - lo, lo) }
+        val (mg, mf) = gaps.minBy { case (g, f) => (-g, f) }
+        Some(brand -> (ladder.length.toLong, mg, mf,
+          (ladder.last - ladder.head) / (ladder.length - 1).toLong))
+      }
+    }.toMap
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (n, mg, mf, mean) = want(r.getAs[String]("p_brand"))
+      assert(r.getAs[Long]("n_prices") === n)
+      assert(r.getAs[Long]("max_gap_e2") === mg)
+      assert(r.getAs[Long]("max_gap_floor_e2") === mf)
+      assert(r.getAs[Long]("mean_gap_e2") === mean)
+      assert(mg >= mean, "the max gap is at least the mean gap")
+    }
+  }
 }

@@ -642,4 +642,38 @@ class DsShapesSpec extends SparkSpec {
       assert(bp >= wp)
     }
   }
+
+  test("q328: KS distance equals the brute-force ECDF max over the " +
+      "merged value axis, argmax to the smallest value") {
+    val out = DsShapes.defs("q328_ks_channel_values")(spark, dir)
+      .collect()
+    assert(out.length === 1)
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").cast("long"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("v")))
+    def chan(k: Long): String = (k % 3) match {
+      case 0 => "store"; case 1 => "web"; case _ => "catalog"
+    }
+    val web = orders.collect { case (k, v) if chan(k) == "web" => v }
+    val store = orders.collect {
+      case (k, v) if chan(k) == "store" => v
+    }
+    val axis = (web ++ store).distinct.sorted
+    val (nw, ns) = (BigInt(web.length), BigInt(store.length))
+    val best = axis.map { v =>
+      val dev = (BigInt(web.count(_ <= v)) * ns -
+        BigInt(store.count(_ <= v)) * nw).abs
+      (v, dev)
+    }.minBy { case (v, dev) => (-dev, v) }
+    val r = out.head
+    assert(r.getAs[Long]("n_web") === web.length.toLong)
+    assert(r.getAs[Long]("n_store") === store.length.toLong)
+    assert(r.getAs[Long]("ks_at_cents") === best._1)
+    assert(r.getAs[Long]("ks_ppm") ===
+      (best._2 * 1000000 / (nw * ns).max(BigInt(1))).toLong)
+    assert(r.getAs[Long]("ks_ppm") >= 0L &&
+      r.getAs[Long]("ks_ppm") <= 1000000L)
+  }
 }

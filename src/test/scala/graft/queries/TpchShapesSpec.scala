@@ -639,4 +639,31 @@ class TpchShapesSpec extends SparkSpec {
     }
     assert(out.map(_.getAs[Long]("observed")).sum === rows.length.toLong)
   }
+
+  test("q330: dormancy survival recomputes from brute-force gaps and " +
+      "is monotone non-increasing in the horizon") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q330_dormancy_survival")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("threshold_days"))
+    val last = graft.Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("d"))
+      .collect()
+      .map(_.getAs[java.sql.Date]("d").toLocalDate.toEpochDay)
+    val mx = last.max
+    val gaps = last.map(mx - _)
+    val horizons = Seq(30L, 60L, 90L, 180L, 365L)
+    assert(out.map(_.getAs[Long]("threshold_days")).toSeq === horizons)
+    out.foreach { r =>
+      val g = r.getAs[Long]("threshold_days")
+      val dormant = gaps.count(_ >= g).toLong
+      assert(r.getAs[Long]("n_customers") === gaps.length.toLong)
+      assert(r.getAs[Long]("n_dormant") === dormant)
+      assert(r.getAs[Long]("dormant_ppm") ===
+        dormant * 1000000L / gaps.length)
+    }
+    val surv = out.map(_.getAs[Long]("n_dormant"))
+    surv.zip(surv.tail).foreach { case (a, b) => assert(a >= b) }
+  }
 }
