@@ -1211,7 +1211,7 @@ object AnalyticsExtras {
       gaps
         .withColumn("rk", row_number().over(wPick))
         .groupBy(col("p_brand"))
-        .agg((count(lit(1)) + 1).as("n_prices"),
+        .agg((count(lit(1)) + lit(1L)).as("n_prices"),
           max(when(col("rk") === 1, col("gap_e2"))).as("max_gap_e2"),
           max(when(col("rk") === 1, col("gap_floor_e2")))
             .as("max_gap_floor_e2"),
@@ -1223,6 +1223,42 @@ object AnalyticsExtras {
                   div greatest(n_prices - 1, 1) AS BIGINT)""")
             .as("mean_gap_e2"))
         .orderBy(col("p_brand"))
+    },
+
+    // PERSISTENCE PROFILE: the lag-k OLS slope of daily order counts
+    // for k ∈ {1, 2, 3, 7} — q305's lag-1 momentum extended to a
+    // profile (does persistence decay by day 3? is there a weekly
+    // echo at lag 7?). One day-grain aggregate, one explode over the
+    // 4-lag literal, ONE equi-join pairs each (day, lag) with its
+    // offset twin, cross-moments per lag, SIGN-DECOMPOSED ppm — the
+    // q305 integer-slope machinery pointed at four horizons at once.
+    "q333_persistence_profile" -> { (s, dir) =>
+      val day = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val lagged = day
+        .select(col("d"), col("c").as("x"), explode(array(
+          lit(1), lit(2), lit(3), lit(7))).as("lag"))
+        .select(expr("date_add(d, lag)").as("d"), col("lag"),
+          col("x"))
+        .join(day.select(col("d"), col("c").as("y")), "d")
+        .select(col("lag").cast("long").as("lag"),
+          col("x").cast("decimal(38,0)").as("x"),
+          col("y").cast("decimal(38,0)").as("y"))
+      lagged.groupBy(col("lag"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select(col("lag"), col("n").cast("long").as("n_pairs"),
+          expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").as("num"),
+          expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").as("den"))
+        .select(col("lag"), col("n_pairs"),
+          expr("""CASE WHEN num >= 0
+                  THEN CAST(num * 1000000 div greatest(den, 1)
+                    AS BIGINT)
+                  ELSE -CAST((-num) * 1000000 div greatest(den, 1)
+                    AS BIGINT) END""").as("slope_ppm"))
+        .orderBy(col("lag"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -1993,5 +2029,30 @@ object AnalyticsExtras {
              AS max_gap_floor_e2,
            CAST((MAX(gap_floor_e2 + gap_e2) - MIN(gap_floor_e2))
              // GREATEST(COUNT(*), 1) AS BIGINT) AS mean_gap_e2
-         FROM rk GROUP BY 1 ORDER BY p_brand""")
+         FROM rk GROUP BY 1 ORDER BY p_brand""",
+
+    "q333_persistence_profile" ->
+      """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+           COUNT(*) AS c
+         FROM orders GROUP BY 1),
+         lg AS (SELECT CAST(t AS BIGINT) AS lag
+           FROM (VALUES (1), (2), (3), (7)) v(t)),
+         pr AS (SELECT lg.lag, CAST(a.c AS HUGEINT) AS x,
+             CAST(b.c AS HUGEINT) AS y
+           FROM day a CROSS JOIN lg
+           JOIN day b ON b.d = a.d + to_days(CAST(lg.lag AS INTEGER))),
+         m AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx
+           FROM pr GROUP BY 1),
+         nd AS (SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+             n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+           FROM m)
+         SELECT lag, n_pairs,
+           CASE WHEN num >= 0
+             THEN CAST(num * 1000000 // GREATEST(den, 1) AS BIGINT)
+             ELSE -CAST((-num) * 1000000 // GREATEST(den, 1)
+               AS BIGINT)
+           END AS slope_ppm
+         FROM nd ORDER BY lag""")
 }

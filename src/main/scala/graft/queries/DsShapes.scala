@@ -396,6 +396,35 @@ object DsShapes {
         graft.tools.ExplainAudit
           .auditedCut(out, "q328_ks_channel_values")
       } finally graft.operators.Graph.release(vals)
+    },
+
+    // Supplier-breadth grid (TPC-H Q16's shape on this schema): how
+    // many DISTINCT qualifying suppliers serve each (brand, size-band)
+    // catalog cell — single-sourcing risk at assortment grain, with
+    // the excluded-supplier set expressed as a true ANTI-JOIN (Q16's
+    // NOT IN; a sub-1000 account balance stands in for the reference's
+    // complaint predicate — the only supplier attribute this schema
+    // carries, and a cut that is non-empty at every test scale, which
+    // the spec pins so the anti-join can never go vacuous). Scale shape: the fact dedups to (part, supplier) once,
+    // the exclusion anti-joins against a broadcast supplier subset,
+    // and the grid is one countDistinct aggregate over the bounded
+    // (brand × size-band) cells.
+    "q332_supplier_breadth" -> { (s, dir) =>
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val excluded = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 1000.0)
+        .select(col("s_suppkey"))
+      ps.join(broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"),
+              expr("CAST(p_size div 10 AS BIGINT)").as("size_band"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("size_band"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("p_brand"), col("size_band"))
     })
 
   /** Round-11 stretch wave. */
@@ -1506,5 +1535,17 @@ object DsShapes {
            v AS ks_at_cents,
            CAST(dev * 1000000 // GREATEST(n_web * n_store, 1)
              AS BIGINT) AS ks_ppm
-         FROM pick""")
+         FROM pick""",
+
+    "q332_supplier_breadth" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem),
+         keep AS (SELECT ps.l_partkey, ps.l_suppkey FROM ps
+           WHERE ps.l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000))
+         SELECT p.p_brand, CAST(p.p_size // 10 AS BIGINT) AS size_band,
+           CAST(COUNT(DISTINCT k.l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT k.l_partkey) AS BIGINT) AS n_parts
+         FROM keep k JOIN part p ON k.l_partkey = p.p_partkey
+         GROUP BY 1, 2 ORDER BY p_brand, size_band""")
 }

@@ -814,4 +814,45 @@ class AnalyticsExtrasSpec extends SparkSpec {
       assert(mg >= mean, "the max gap is at least the mean gap")
     }
   }
+
+  test("q333: per-lag slopes recompute from brute-force cross-moments " +
+      "and the lag-1 row IS q305's slope") {
+    val out = AnalyticsExtras
+      .defs("q333_persistence_profile")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("lag"))
+    val counts = graft.Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("d").toLocalDate ->
+        r.getAs[Long]("c")).toMap
+    def slope(lag: Int): (Long, Long) = {
+      val prs = counts.toSeq.flatMap { case (d, x) =>
+        counts.get(d.plusDays(lag.toLong))
+          .map(y => (BigInt(x), BigInt(y)))
+      }
+      val n = BigInt(prs.length)
+      val sx = prs.map(_._1).sum; val sy = prs.map(_._2).sum
+      val sxy = prs.map(p => p._1 * p._2).sum
+      val sxx = prs.map(p => p._1 * p._1).sum
+      val num = n * sxy - sx * sy
+      val den = (n * sxx - sx * sx).max(BigInt(1))
+      (prs.length.toLong,
+        if (num >= 0) (num * 1000000 / den).toLong
+        else -((-num) * 1000000 / den).toLong)
+    }
+    assert(out.map(_.getAs[Long]("lag")).toSeq === Seq(1L, 2L, 3L, 7L))
+    out.foreach { r =>
+      val (n, sl) = slope(r.getAs[Long]("lag").toInt)
+      assert(r.getAs[Long]("n_pairs") === n)
+      assert(r.getAs[Long]("slope_ppm") === sl)
+    }
+    // cross-query law: the profile's lag-1 row is exactly q305
+    val q305 = AnalyticsExtras.defs("q305_daily_ar1")(spark, dir)
+      .collect().head
+    assert(out.head.getAs[Long]("n_pairs") ===
+      q305.getAs[Long]("n_pairs"))
+    assert(out.head.getAs[Long]("slope_ppm") ===
+      q305.getAs[Long]("ar1_slope_ppm"))
+  }
 }

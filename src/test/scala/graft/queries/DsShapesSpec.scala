@@ -676,4 +676,38 @@ class DsShapesSpec extends SparkSpec {
     assert(r.getAs[Long]("ks_ppm") >= 0L &&
       r.getAs[Long]("ks_ppm") <= 1000000L)
   }
+
+  test("q332: supplier breadth recomputes from the brute-force " +
+      "excluded-set grid; n_suppliers bounds the cell's parts ratio") {
+    val out = DsShapes.defs("q332_supplier_breadth")(spark, dir)
+      .collect()
+    val excluded = graft.Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 1000.0)
+      .select(col("s_suppkey").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(excluded.nonEmpty, "exclusion set empty — anti-join vacuous")
+    val parts = graft.Tables.load(spark, dir, "part")
+      .select(col("p_partkey").cast("long"), col("p_brand"),
+        col("p_size").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        r.getLong(2) / 10))
+      .toMap
+    val ps = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").cast("long"),
+        col("l_suppkey").cast("long"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(x => excluded.contains(x._2))
+    val want = ps.groupBy(x => parts(x._1)).map { case (cell, xs) =>
+      cell -> (xs.map(_._2).distinct.length.toLong,
+        xs.map(_._1).distinct.length.toLong)
+    }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val cell = (r.getAs[String]("p_brand"),
+        r.getAs[Long]("size_band"))
+      assert((r.getAs[Long]("n_suppliers"),
+        r.getAs[Long]("n_parts")) === want(cell))
+    }
+  }
 }
