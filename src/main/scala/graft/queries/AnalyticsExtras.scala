@@ -1194,10 +1194,10 @@ object AnalyticsExtras {
     "q331_price_ladder_gap" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val prices = t(s, dir, "part")
-        .groupBy(col("p_brand"),
+        .select(col("p_brand"),
           (col("p_retailprice").cast("decimal(12,2)") * 100)
             .cast("long").as("price_e2"))
-        .agg(count(lit(1)).as("n_parts"))
+        .distinct()
       val wb = Window.partitionBy(col("p_brand"))
         .orderBy(col("price_e2"))
       val gaps = prices

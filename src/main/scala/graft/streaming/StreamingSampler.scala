@@ -9,15 +9,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the streaming face of q322: a document is picked exactly when its
   * char mass crosses a multiple of the stride, measured on the
   * per-source RUNNING cumulative across all batches so far. No RNG
-  * anywhere: given the same arrival order, the streamed pick set is
-  * bit-identical to the batch operator run over the concatenated
-  * stream (the spec pins streamed ≡ batch), which is what makes a
-  * continuously-fed training-mixture sample auditable.
+  * anywhere. The walk order is ARRIVAL order — (batch, doc_id within
+  * batch) — so when doc_ids arrive in order per source (the append-log
+  * contract of every feed this repo ships), the streamed pick set is
+  * bit-identical to the batch operator over the concatenated stream
+  * (the spec pins exactly that case); an out-of-order feed still
+  * yields a valid PPS sample OF ITS ARRIVAL ORDER, but not the batch
+  * operator's doc_id-ordered picks — same mass, possibly different
+  * representatives.
   *
   * State is ONE tiny relation: the per-(source, batch) char-mass
   * deltas, partitioned by `batch_id` — the offset a batch starts from
   * is the sum of all OTHER batches' deltas below it, so state never
-  * rewrites, only appends. Picks land partitioned by `batch_id` too.
+  * rewrites, only appends; [[compact]] folds committed deltas into one
+  * `batch_id = -1` partition so per-batch offset reads stay
+  * source-scale regardless of stream age. Picks land partitioned by
+  * `batch_id` too.
   *
   * Replay semantics: EXACTLY-ONCE BY CONSTRUCTION (the
   * [[StreamingCuration]] scheme): both outputs are written with
@@ -51,17 +58,31 @@ object StreamingSampler {
       .getFileSystem(spark.sparkContext.hadoopConfiguration),
       hwmPath(cfg))
 
+  /** Crash-window recovery for [[compact]]'s aside-rename swap: a
+    * death between `rename(cur → old)` and `rename(tmp → cur)` leaves
+    * the only full state in `__old` — restore it BEFORE any existence
+    * check or read, or the next batch would restart every source's
+    * offset at zero (the [[StreamingHll.recoverSwap]] contract). */
   private def massExists(spark: org.apache.spark.sql.SparkSession,
-      cfg: Config): Boolean =
-    new Path(cfg.massPath)
+      cfg: Config): Boolean = {
+    val fs = new Path(cfg.massPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new Path(cfg.massPath))
+    val cur = new Path(cfg.massPath)
+    val old = new Path(cfg.massPath + "__old")
+    if (!fs.exists(cur) && fs.exists(old) && !fs.rename(old, cur))
+      throw new IllegalStateException(s"sampler swap recovery: $old")
+    fs.exists(cur)
+  }
 
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
     if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
         "streaming sampler")) return // committed replay: skip
+    // an empty batch must not write: a zero-row partitioned write
+    // creates a schema-less parquet directory that poisons every later
+    // read (the StreamingOffload guard)
+    if (batch.isEmpty) return
     import org.apache.spark.sql.expressions.Window
     val b = batch.select(col("source"), col("doc_id"), col("n_chars"))
     // offsets = everyone ELSE's deltas (self-exclusion: a mid-crash
@@ -84,9 +105,14 @@ object StreamingSampler {
       .filter(expr(s"cum div $stride > (cum - n_chars) div $stride"))
       .select(col("source"), col("doc_id"), col("n_chars"),
         lit(batchId).as("batch_id"))
-    picks.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(cfg.picksPath)
+    // a batch with no picks is routine (one pick per stride of mass):
+    // skip the write rather than leave a schema-less directory — a
+    // mid-crash replay is still deterministic (same offsets ⇒ same
+    // empty pick set ⇒ same skip)
+    if (!picks.isEmpty)
+      picks.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(cfg.picksPath)
     b.groupBy(col("source"))
       .agg(sum(col("n_chars")).as("mass"))
       .select(col("source"), col("mass"), lit(batchId).as("batch_id"))
@@ -119,5 +145,46 @@ object StreamingSampler {
         .groupBy(col("source")).agg(sum(col("mass")).as("mass"))
     else spark.emptyDataFrame
       .select(lit("").as("source"), lit(0L).as("mass")).limit(0)
+  }
+
+  /** Fold every COMMITTED per-batch mass delta into one
+    * `batch_id = -1` partition (the *-compact discipline the dedup /
+    * text-index / cc stores share), so the per-batch offset read stays
+    * one partition per source regardless of stream age. Safe against
+    * the running stream's self-exclusion (−1 never equals a real batch
+    * id) and against replays (only batches ≤ the committed HWM fold —
+    * an uncommitted partition from a mid-crash attempt stays in place
+    * for its rerun to overwrite). Same aside-rename swap + rollback as
+    * every other store; the HWM file is a SIBLING of the swapped
+    * directory and survives it. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              cfg: Config): Unit = {
+    if (!massExists(spark, cfg)) return
+    val committed = lastBatch(spark, cfg)
+    val all = spark.read.parquet(cfg.massPath)
+    val fold = all.filter(col("batch_id").cast("long") <= committed)
+    val keep = all.filter(col("batch_id").cast("long") > committed)
+    val merged = fold
+      .groupBy(col("source")).agg(sum(col("mass")).as("mass"))
+      .select(col("source"), col("mass"), lit(-1L).as("batch_id"))
+      .unionByName(keep
+        .select(col("source"), col("mass"),
+          col("batch_id").cast("long").as("batch_id")))
+    val fs = new Path(cfg.massPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(cfg.massPath + "__tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").partitionBy("batch_id")
+      .parquet(tmp.toString)
+    val old = new Path(cfg.massPath + "__old")
+    fs.delete(old, true)
+    if (!fs.rename(new Path(cfg.massPath), old))
+      throw new IllegalStateException("sampler compact: cannot move")
+    if (!fs.rename(tmp, new Path(cfg.massPath))) {
+      fs.rename(old, new Path(cfg.massPath)) // roll back
+      throw new IllegalStateException("sampler compact: cannot install")
+    }
+    fs.delete(old, true)
+    ()
   }
 }

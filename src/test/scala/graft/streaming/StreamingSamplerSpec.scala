@@ -79,6 +79,42 @@ class StreamingSamplerSpec extends SparkSpec {
     assert(pickedIds(c) === before)
   }
 
+  test("empty and pick-less batches never poison the store; compact " +
+      "folds committed deltas without changing offsets or later picks") {
+    val base = Files.createTempDirectory("ssamp_compact").toString
+    val c = cfg(base)
+    // batch 0 is EMPTY; batch 1 has mass but crosses no stride —
+    // neither may leave a schema-less parquet directory behind
+    StreamingSampler.processBatch(
+      Seq.empty[SampDoc].toDF(), 0L, c)
+    StreamingSampler.processBatch(
+      Seq(SampDoc("a", 1L, 40L)).toDF(), 1L, c)
+    assert(pickedIds(c) === Set.empty[Long])
+    assert(StreamingSampler.offsets(spark, c).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("mass"))
+      .toMap === Map("a" -> 40L))
+    StreamingSampler.processBatch(
+      Seq(SampDoc("a", 2L, 40L), SampDoc("b", 10L, 70L)).toDF(), 2L, c)
+    val offBefore = StreamingSampler.offsets(spark, c).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("mass")).toMap
+    StreamingSampler.compact(spark, c)
+    // one folded partition, same totals
+    val offAfter = StreamingSampler.offsets(spark, c).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("mass")).toMap
+    assert(offAfter === offBefore)
+    assert(spark.read.parquet(c.massPath)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(-1L))
+    // the stream continues from the folded state exactly where the
+    // unfolded one would have: a at 80 + 30 = 110 crosses 100
+    StreamingSampler.processBatch(
+      Seq(SampDoc("a", 3L, 30L), SampDoc("b", 11L, 40L)).toDF(), 3L, c)
+    assert(pickedIds(c) ===
+      walk(Seq(SampDoc("a", 1L, 40L), SampDoc("a", 2L, 40L),
+        SampDoc("b", 10L, 70L), SampDoc("a", 3L, 30L),
+        SampDoc("b", 11L, 40L)), 100L))
+  }
+
   test("streaming end-to-end over MemoryStream matches the walk") {
     val base = Files.createTempDirectory("ssamp_e2e").toString
     val c = cfg(base)
