@@ -425,6 +425,115 @@ object DsShapes {
         .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
           countDistinct(col("l_partkey")).as("n_parts"))
         .orderBy(col("p_brand"), col("size_band"))
+    },
+
+    // BRAND AFFINITY MATRIX: the full bounded brand × brand co-basket
+    // lift grid — q317 ranks statistical surprise at PART grain
+    // (top-20 of a catalog-scale space); this exhausts the ≤C(25,2)
+    // brand grain, the view a category manager actually reads.
+    // n_ab = orders containing both brands, lift = n_ab·N/(n_a·n_b)
+    // in exact e6. The fact dedups to (order, brand) ONCE (checkpoint)
+    // and every marginal + the self-join reads that relation; pair
+    // expansion is per-order C(brands-in-order, 2) — bounded by the
+    // brand universe squared, never catalog-scale.
+    "q334_brand_affinity" -> { (s, dir) =>
+      val ob = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+        .localCheckpoint(true) // marginals + self-join all read it
+      try {
+        val marg = ob.groupBy(col("b"))
+          .agg(count(lit(1)).as("n_b"))
+        val out = ob.toDF("o", "brand_a")
+          .join(ob.toDF("o", "brand_b"), "o")
+          .filter(col("brand_a") < col("brand_b"))
+          .groupBy(col("brand_a"), col("brand_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .join(broadcast(marg.select(col("b").as("brand_a"),
+            col("n_b").as("n_a"))), "brand_a")
+          .join(broadcast(marg.select(col("b").as("brand_b"),
+            col("n_b").as("n_b"))), "brand_b")
+          .crossJoin(broadcast(ob.select(
+            countDistinct(col("o")).as("n_orders"))))
+          .select(col("brand_a"), col("brand_b"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders
+                    * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)
+                    AS BIGINT)""").as("lift_e6"))
+          .orderBy(col("brand_a"), col("brand_b"))
+        graft.tools.ExplainAudit
+          .auditedCut(out, "q334_brand_affinity")
+      } finally graft.operators.Graph.release(ob)
+    },
+
+    // Day-of-week GOODNESS-OF-FIT per channel (Pearson χ² against the
+    // uniform week): q325 tests two-way independence; this is the
+    // one-way uniformity primitive — is any channel's demand actually
+    // flat across the week, and which days carry the deviation? Per
+    // (channel, weekday) cell: observed orders, the exact-e2 uniform
+    // expectation N/7, and the χ² contribution (7·O − N)²/(7·N) in e6
+    // — squared before any division, one truncating division per cell
+    // (non-negative ⇒ floor ≡ trunc). Weekday = Monday-0 in BOTH
+    // engines (Spark `weekday`, DuckDB `isodow − 1` — never
+    // `dayofweek`, whose origin differs between them). One grouped
+    // scan; marginals via one partitioned window over the 21-cell
+    // aggregate.
+    "q335_weekday_uniformity" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "orders")
+        .groupBy(channelCol.as("channel"),
+          weekday(to_date(col("o_orderdate"))).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val wC = Window.partitionBy(col("channel"))
+      cells
+        .withColumn("n", sum(col("o")).over(wC))
+        .select(col("channel"), col("dow"), col("o").as("n_orders"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * 100 div 7 AS BIGINT)")
+            .as("expected_e2"),
+          expr("""CAST((7 * CAST(o AS DECIMAL(38,0)) - n)
+                  * (7 * CAST(o AS DECIMAL(38,0)) - n) * 1000000
+                  div (7 * CAST(n AS DECIMAL(38,0))) AS BIGINT)""")
+            .as("chisq_contrib_e6"))
+        .orderBy(col("channel"), col("dow"))
+    },
+
+    // WHALE SHARE: what fraction of revenue do the top-1% customers
+    // carry? The single concentration number behind the Lorenz/Gini
+    // family (q316) — boundary from the shared NO-GLOBAL-SORT
+    // two-phase selection (type-1 p99 of customer spend), whales =
+    // strictly above it, share in exact ppm. One grouped scan to
+    // customer grain (checkpointed for the quantile pass + the share
+    // pass), everything after is 1-row arithmetic.
+    "q336_whale_share" -> { (s, dir) =>
+      import graft.operators.Quantiles
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("decimal(38,0)")).cast("long").as("spend_e2"))
+        .localCheckpoint(true) // quantile pass + share pass read it
+      try {
+        val cut = Quantiles
+          .exactQuantiles(spend, "spend_e2", Seq(99), 10000L)
+          .select(col("value").as("p99_spend_e2"))
+        val out = spend.crossJoin(broadcast(cut))
+          .agg(count(lit(1)).as("n_customers"),
+            max(col("p99_spend_e2")).as("p99_spend_e2"),
+            sum(when(col("spend_e2") > col("p99_spend_e2"), 1L)
+              .otherwise(0L)).as("n_whales"),
+            sum(col("spend_e2").cast("decimal(38,0)")).as("total"),
+            sum(when(col("spend_e2") > col("p99_spend_e2"),
+              col("spend_e2").cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("whale"))
+          .select(col("n_customers"), col("p99_spend_e2"),
+            col("n_whales"),
+            col("whale").cast("long").as("whale_spend_e2"),
+            expr("""CAST(whale * 1000000 div greatest(total, 1)
+                    AS BIGINT)""").as("whale_share_ppm"))
+        graft.tools.ExplainAudit.auditedCut(out, "q336_whale_share")
+      } finally graft.operators.Graph.release(spend)
     })
 
   /** Round-11 stretch wave. */
@@ -1547,5 +1656,70 @@ object DsShapes {
            CAST(COUNT(DISTINCT k.l_suppkey) AS BIGINT) AS n_suppliers,
            CAST(COUNT(DISTINCT k.l_partkey) AS BIGINT) AS n_parts
          FROM keep k JOIN part p ON k.l_partkey = p.p_partkey
-         GROUP BY 1, 2 ORDER BY p_brand, size_band""")
+         GROUP BY 1, 2 ORDER BY p_brand, size_band""",
+
+    "q334_brand_affinity" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS o,
+           p.p_brand AS b
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         marg AS (SELECT b, COUNT(*) AS n_b FROM ob GROUP BY 1),
+         tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ob),
+         pr AS (SELECT a.b AS brand_a, c.b AS brand_b,
+             COUNT(*) AS n_ab
+           FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+           GROUP BY 1, 2)
+         SELECT pr.brand_a, pr.brand_b,
+           CAST(pr.n_ab AS BIGINT) AS n_ab,
+           CAST(ma.n_b AS BIGINT) AS n_a,
+           CAST(mb.n_b AS BIGINT) AS n_b,
+           CAST(CAST(pr.n_ab AS HUGEINT) * tot.n_orders * 1000000
+             // (CAST(ma.n_b AS HUGEINT) * mb.n_b) AS BIGINT)
+             AS lift_e6
+         FROM pr
+         JOIN marg ma ON pr.brand_a = ma.b
+         JOIN marg mb ON pr.brand_b = mb.b, tot
+         ORDER BY brand_a, brand_b""",
+
+    "q335_weekday_uniformity" ->
+      s"""WITH cells AS (SELECT $ChannelSql AS channel,
+           CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)
+             AS dow,
+           COUNT(*) AS o
+         FROM orders GROUP BY 1, 2),
+         m AS (SELECT channel, dow, o,
+             SUM(o) OVER (PARTITION BY channel) AS n
+           FROM cells)
+         SELECT channel, dow, CAST(o AS BIGINT) AS n_orders,
+           CAST(CAST(n AS HUGEINT) * 100 // 7 AS BIGINT)
+             AS expected_e2,
+           CAST((7 * CAST(o AS HUGEINT) - n)
+             * (7 * CAST(o AS HUGEINT) - n) * 1000000
+             // (7 * CAST(n AS HUGEINT)) AS BIGINT)
+             AS chisq_contrib_e6
+         FROM m ORDER BY channel, dow""",
+
+    "q336_whale_share" ->
+      """WITH sp AS (SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+             AS BIGINT) AS spend_e2
+         FROM orders GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM sp),
+         r AS (SELECT spend_e2,
+             ROW_NUMBER() OVER (ORDER BY spend_e2) AS rn
+           FROM sp),
+         cut AS (SELECT r.spend_e2 AS p99
+           FROM r, n WHERE r.rn = (n.n * 99 + 99) // 100)
+         SELECT CAST(MAX(n.n) AS BIGINT) AS n_customers,
+           MAX(cut.p99) AS p99_spend_e2,
+           CAST(SUM(CASE WHEN sp.spend_e2 > cut.p99 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_whales,
+           CAST(SUM(CASE WHEN sp.spend_e2 > cut.p99
+             THEN sp.spend_e2 ELSE 0 END) AS BIGINT)
+             AS whale_spend_e2,
+           CAST(SUM(CASE WHEN sp.spend_e2 > cut.p99
+               THEN CAST(sp.spend_e2 AS HUGEINT) ELSE 0 END)
+             * 1000000
+             // GREATEST(SUM(CAST(sp.spend_e2 AS HUGEINT)), 1)
+             AS BIGINT) AS whale_share_ppm
+         FROM sp, cut, n""")
 }

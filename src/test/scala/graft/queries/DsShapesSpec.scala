@@ -710,4 +710,106 @@ class DsShapesSpec extends SparkSpec {
         r.getAs[Long]("n_parts")) === want(cell))
     }
   }
+
+  test("q334: brand affinity recomputes from the brute-force basket " +
+      "matrix; co-occurrence bounded by both marginals") {
+    val out = DsShapes.defs("q334_brand_affinity")(spark, dir)
+      .collect()
+    val ob = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").cast("long"), col("p_brand"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val marg = ob.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nOrders = ob.map(_._1).distinct.length.toLong
+    val want = ob.groupBy(_._1).values.toSeq
+      .flatMap { xs =>
+        val bs = xs.map(_._2).sorted
+        for (i <- bs.indices; j <- (i + 1) until bs.length)
+          yield (bs(i), bs(j))
+      }
+      .groupBy(identity).map { case ((a, b), xs) =>
+        (a, b) -> xs.length.toLong
+      }
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val k = (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"))
+      val nab = want(k)
+      assert(r.getAs[Long]("n_ab") === nab)
+      assert(r.getAs[Long]("n_a") === marg(k._1))
+      assert(r.getAs[Long]("n_b") === marg(k._2))
+      assert(nab <= math.min(marg(k._1), marg(k._2)))
+      assert(r.getAs[Long]("lift_e6") ===
+        (BigInt(nab) * nOrders * 1000000 /
+          (BigInt(marg(k._1)) * marg(k._2))).toLong)
+    }
+  }
+
+  test("q335: weekday cells recompute from the brute-force Monday-0 " +
+      "grid and conserve each channel's orders") {
+    val out = DsShapes.defs("q335_weekday_uniformity")(spark, dir)
+      .collect()
+    val cells = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").cast("long"),
+        to_date(col("o_orderdate")).as("d"))
+      .collect()
+      .map { r =>
+        val ch = (r.getLong(0) % 3) match {
+          case 0 => "store"; case 1 => "web"; case _ => "catalog"
+        }
+        // Monday-0, matching Spark weekday() and DuckDB isodow()-1
+        val dow =
+          r.getAs[java.sql.Date]("d").toLocalDate.getDayOfWeek
+            .getValue - 1L
+        (ch, dow)
+      }
+    val want = cells.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val chTotals = cells.groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val k = (r.getAs[String]("channel"), r.getAs[Long]("dow"))
+      assert(k._2 >= 0L && k._2 <= 6L)
+      val (o, n) = (BigInt(want(k)), BigInt(chTotals(k._1)))
+      assert(r.getAs[Long]("n_orders") === want(k))
+      assert(r.getAs[Long]("expected_e2") === (n * 100 / 7).toLong)
+      val d = 7 * o - n
+      assert(r.getAs[Long]("chisq_contrib_e6") ===
+        (d * d * 1000000 / (7 * n)).toLong)
+    }
+    out.groupBy(_.getAs[String]("channel")).foreach { case (ch, rs) =>
+      assert(rs.map(_.getAs[Long]("n_orders")).sum === chTotals(ch))
+    }
+  }
+
+  test("q336: whale share recomputes from the brute-force type-1 p99 " +
+      "cut; whales are at most ~1% and carry a super-proportional " +
+      "share") {
+    val out = DsShapes.defs("q336_whale_share")(spark, dir).collect()
+    assert(out.length === 1)
+    val spends = graft.Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(38,0)")).cast("long").as("sp"))
+      .collect().map(_.getAs[Long]("sp"))
+    val sorted = spends.sorted
+    val p99 = sorted((sorted.length * 99 + 99) / 100 - 1)
+    val whales = spends.filter(_ > p99)
+    val r = out.head
+    assert(r.getAs[Long]("n_customers") === spends.length.toLong)
+    assert(r.getAs[Long]("p99_spend_e2") === p99)
+    assert(r.getAs[Long]("n_whales") === whales.length.toLong)
+    assert(r.getAs[Long]("whale_spend_e2") ===
+      whales.map(BigInt(_)).sum.toLong)
+    assert(r.getAs[Long]("whale_share_ppm") ===
+      (whales.map(BigInt(_)).sum * 1000000 /
+        spends.map(BigInt(_)).sum.max(BigInt(1))).toLong)
+    // strictly-above-p99 is at most 1% of customers, and their spend
+    // share exceeds their headcount share (they are the top tail)
+    assert(whales.length.toLong * 100 <= spends.length.toLong)
+    assert(r.getAs[Long]("whale_share_ppm") >=
+      whales.length.toLong * 1000000L / spends.length)
+  }
 }
