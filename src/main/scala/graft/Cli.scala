@@ -658,6 +658,39 @@ object Cli {
           println(s"""{"nodes": ${labels.count()}, """ +
             s""""components": $parts}""")
 
+        case "pps-sample" =>
+          // Deterministic systematic PPS sample (the q322 stride walk):
+          //   pps-sample --source <parquet> --out <path> [--stride 2000]
+          //              [--group-col source] [--order-col doc_id]
+          //              [--weight-col n_chars]
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions._
+          val stride = opts.getOrElse("stride", "2000").toLong
+          require(stride > 0, "stride must be positive")
+          val g = opts.getOrElse("group-col", "source")
+          val o = opts.getOrElse("order-col", "doc_id")
+          val wcol = opts.getOrElse("weight-col", "n_chars")
+          val w = Window.partitionBy(col(g)).orderBy(col(o))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val picks = spark.read.parquet(opts("source"))
+            .withColumn("cum", sum(col(wcol)).over(w))
+            .filter(
+              expr(s"cum div $stride > (cum - $wcol) div $stride"))
+            .drop("cum")
+          picks.write.mode("overwrite").parquet(opts("out"))
+          val n = spark.read.parquet(opts("out")).count()
+          println(s"""{"picked": $n, "stride": $stride}""")
+
+        case "sampler-compact" =>
+          // Fold the streaming PPS sampler's committed per-batch mass
+          // deltas into one partition:
+          //   sampler-compact --picks <dir> --mass <dir>
+          val cfg = graft.streaming.StreamingSampler.Config(
+            picksPath = opts("picks"), massPath = opts("mass"),
+            checkpointDir = opts("mass") + "/_ckpt")
+          graft.streaming.StreamingSampler.compact(spark, cfg)
+          println(s"""{"compacted": true}""")
+
         case "cc-compact" =>
           // Fold alias chains into the label relation:
           //   cc-compact --store <dir> [--buckets 16]

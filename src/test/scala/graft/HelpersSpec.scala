@@ -657,4 +657,26 @@ class CliSpec extends SparkSpec {
     assert(corpus.exceptAll(corpus2).isEmpty &&
       corpus2.exceptAll(corpus).isEmpty)
   }
+
+  test("pps-sample picks exactly the q322 stride walk") {
+    val base = Files.createTempDirectory("graft_cli_pps").toString
+    val src = sf("sf0.001") + "/documents.parquet"
+    Cli.main(Array("pps-sample", "--source", src,
+      "--out", s"$base/picks", "--stride", "2000"))
+    val picked = spark.read.parquet(s"$base/picks")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(src)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_chars")))
+    val want = docs.groupBy(_._1).values.flatMap { xs =>
+      var cum = 0L
+      xs.sortBy(_._2).flatMap { case (_, id, c) =>
+        val prev = cum; cum += c
+        if (cum / 2000 > prev / 2000) Some(id) else None
+      }
+    }.toSet
+    assert(picked === want)
+    assert(picked.nonEmpty)
+  }
 }
