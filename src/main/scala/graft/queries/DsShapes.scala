@@ -45,6 +45,36 @@ object DsShapes {
 
   private[queries] val ChannelSql = channelSql("o_orderkey")
 
+  /** The (order-value, per-channel count) VALUE-GRAIN relation — ONE
+    * definition shared by the distributional channel comparisons
+    * (q328 KS distance, q337 AUC) and mirrored in SQL by
+    * [[ChannelValsSql]], so the pair can never desynchronize on the
+    * cents cast or the channel split. `bkt` is the $10k band the
+    * two-phase prefix sums partition by. */
+  private def channelValueGrain(s: SparkSession,
+      dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .filter(channelCol.isin("web", "store"))
+      .groupBy((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("v"))
+      .agg(sum(when(channelCol === "web", 1L).otherwise(0L))
+          .as("c_web"),
+        sum(when(channelCol === "store", 1L).otherwise(0L))
+          .as("c_store"))
+      .withColumn("bkt", expr("v div 1000000"))
+
+  /** [[channelValueGrain]]'s DuckDB face (CTE named `vals`). */
+  private val ChannelValsSql =
+    s"""vals AS (SELECT
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS v,
+         SUM(CASE WHEN $ChannelSql = 'web' THEN 1 ELSE 0 END)
+           AS c_web,
+         SUM(CASE WHEN $ChannelSql = 'store' THEN 1 ELSE 0 END)
+           AS c_store
+       FROM orders WHERE $ChannelSql IN ('web', 'store')
+       GROUP BY 1)"""
+
   /** l_extendedprice*(1-l_discount) in e4 fixed-point (exact). */
   private def revE4: Column =
     (col("l_extendedprice").cast("decimal(12,2)") *
@@ -346,15 +376,7 @@ object DsShapes {
     // totals ride a broadcast 1-row cross join.
     "q328_ks_channel_values" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val vals = t(s, dir, "orders")
-        .filter(channelCol.isin("web", "store"))
-        .groupBy((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("long").as("v"))
-        .agg(sum(when(channelCol === "web", 1L).otherwise(0L))
-            .as("c_web"),
-          sum(when(channelCol === "store", 1L).otherwise(0L))
-            .as("c_store"))
-        .withColumn("bkt", expr("v div 1000000"))
+      val vals = channelValueGrain(s, dir)
         .localCheckpoint(true) // both phases + totals read it
       try {
         // TWO-PHASE distributed prefix sum (the Quantiles offsets
@@ -534,6 +556,53 @@ object DsShapes {
                     AS BIGINT)""").as("whale_share_ppm"))
         graft.tools.ExplainAudit.auditedCut(out, "q336_whale_share")
       } finally graft.operators.Graph.release(spend)
+    },
+
+    // Exact MANN–WHITNEY AUC between the web and store order-value
+    // distributions: P(random web order > random store order), in ppm
+    // — the EFFECT SIZE beside q328's KS distance (KS says the
+    // distributions differ; this says by how much, in the
+    // common-language sense a stakeholder reads). Entirely integral:
+    // U₂ = Σ_v c_store(v)·(2·(n_web − cumw(v)) + c_web(v)) counts
+    // every (web, store) pair twice with ties counted once, so
+    // auc_ppm = U₂·1e6 div (2·n_web·n_store) needs one truncating
+    // division of non-negative integers. Shares the VALUE-GRAIN
+    // relation and the two-phase prefix sum with q328 (one definition,
+    // one scale shape).
+    "q337_channel_auc" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val vals = channelValueGrain(s, dir)
+        .localCheckpoint(true) // both phases + totals read it
+      try {
+        val bsum = vals.groupBy(col("bkt"))
+          .agg(sum(col("c_web")).as("bw"))
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = bsum
+          .withColumn("ow", sum(col("bw")).over(wOff) - col("bw"))
+          .select(col("bkt"), col("ow"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val out = vals
+          .withColumn("cw_in", sum(col("c_web")).over(wIn))
+          .join(broadcast(offs), "bkt")
+          .select(col("v"), col("c_web"), col("c_store"),
+            (col("cw_in") + col("ow")).as("cumw"))
+          .crossJoin(broadcast(vals.agg(
+            sum(col("c_web")).as("n_web"),
+            sum(col("c_store")).as("n_store"))))
+          .agg(max(col("n_web")).as("n_web"),
+            max(col("n_store")).as("n_store"),
+            sum(expr("""CAST(c_store AS DECIMAL(38,0))
+                        * (2 * (n_web - cumw) + c_web)"""))
+              .as("u2"))
+          .select(col("n_web"), col("n_store"),
+            col("u2").cast("long").as("u2"),
+            expr("""CAST(u2 * 1000000 div greatest(2 *
+                    CAST(n_web AS DECIMAL(38,0)) * n_store, 1)
+                    AS BIGINT)""").as("auc_ppm"))
+        graft.tools.ExplainAudit.auditedCut(out, "q337_channel_auc")
+      } finally graft.operators.Graph.release(vals)
     })
 
   /** Round-11 stretch wave. */
@@ -1616,15 +1685,7 @@ object DsShapes {
          FROM rk GROUP BY 1 ORDER BY nation_key""",
 
     "q328_ks_channel_values" ->
-      s"""WITH vals AS (SELECT
-           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-             AS v,
-           SUM(CASE WHEN $ChannelSql = 'web' THEN 1 ELSE 0 END)
-             AS c_web,
-           SUM(CASE WHEN $ChannelSql = 'store' THEN 1 ELSE 0 END)
-             AS c_store
-         FROM orders WHERE $ChannelSql IN ('web', 'store')
-         GROUP BY 1),
+      s"""WITH $ChannelValsSql,
          cum AS (SELECT v,
              SUM(c_web) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
                AS cw,
@@ -1721,5 +1782,25 @@ object DsShapes {
              * 1000000
              // GREATEST(SUM(CAST(sp.spend_e2 AS HUGEINT)), 1)
              AS BIGINT) AS whale_share_ppm
-         FROM sp, cut, n""")
+         FROM sp, cut, n""",
+
+    "q337_channel_auc" ->
+      s"""WITH $ChannelValsSql,
+         cum AS (SELECT v, c_web, c_store,
+             SUM(c_web) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cumw
+           FROM vals),
+         tot AS (SELECT CAST(SUM(c_web) AS HUGEINT) AS n_web,
+             CAST(SUM(c_store) AS HUGEINT) AS n_store
+           FROM vals),
+         u AS (SELECT MAX(n_web) AS n_web, MAX(n_store) AS n_store,
+             SUM(CAST(c_store AS HUGEINT)
+               * (2 * (n_web - cumw) + c_web)) AS u2
+           FROM cum, tot)
+         SELECT CAST(n_web AS BIGINT) AS n_web,
+           CAST(n_store AS BIGINT) AS n_store,
+           CAST(u2 AS BIGINT) AS u2,
+           CAST(u2 * 1000000 // GREATEST(2 * n_web * n_store, 1)
+             AS BIGINT) AS auc_ppm
+         FROM u""")
 }

@@ -1277,6 +1277,35 @@ object GraphQueries {
     "q326_truss_peel" -> { (s, dir) =>
       trussCache.withArtifact(s, dir)(traj =>
         traj.orderBy(col("round")).auditedCut("q326_truss_peel"))
+    },
+
+    // COMMUNITY SIZE PROFILE: the log2-banded size histogram of the
+    // LPA partition — q268 lists the top communities and q275 scores
+    // the partition; this answers the serving question neither does
+    // (is the partition one giant component plus dust, or balanced?).
+    // q313's bit-length banding discipline pointed at community sizes:
+    // band = length(bin(size)) in both engines, member share in exact
+    // ppm. Rides the STORED label artifact (the 4 LPA rounds never
+    // re-run); everything after is community-scale then band-scale.
+    "q338_community_size_profile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      labelsCache.withArtifact(s, dir) { case (labels, _) =>
+        val bands = labels
+          .groupBy(col("label")).agg(count(lit(1)).as("size"))
+          .groupBy(length(bin(col("size"))).cast("long").as("band"))
+          .agg(count(lit(1)).as("n_communities"),
+            sum(col("size")).as("n_members"))
+        bands
+          .crossJoin(broadcast(
+            bands.agg(sum(col("n_members")).as("n_nodes"))))
+          .select(col("band"),
+            expr("CAST(pow(2, band - 1) AS BIGINT)").as("floor_size"),
+            col("n_communities"), col("n_members"),
+            expr("n_members * 1000000 div n_nodes")
+              .as("member_share_ppm"))
+          .orderBy(col("band"))
+          .auditedCut("q338_community_size_profile")
+      }
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -2138,7 +2167,28 @@ object GraphQueries {
                (SELECT COUNT(*) FROM t2)),
            (3, (SELECT COUNT(*) FROM t2),
                (SELECT COUNT(*) FROM t3))) v(r, n_in, n_out)
-         ORDER BY round"""
+         ORDER BY round""",
+
+    "q338_community_size_profile" ->
+      s"""WITH $GraphCtes,
+         l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+         ${lpaStepSql("l0", "l1")},
+         ${lpaStepSql("l1", "l2")},
+         ${lpaStepSql("l2", "l3")},
+         ${lpaStepSql("l3", "l4")},
+         sizes AS (SELECT label, COUNT(*) AS sz FROM l4 GROUP BY 1),
+         bands AS (SELECT CAST(length(bin(sz)) AS BIGINT) AS band,
+             COUNT(*) AS n_communities,
+             CAST(SUM(sz) AS BIGINT) AS n_members
+           FROM sizes GROUP BY 1),
+         tot AS (SELECT SUM(n_members) AS n_nodes FROM bands)
+         SELECT band,
+           CAST(POW(2, band - 1) AS BIGINT) AS floor_size,
+           CAST(n_communities AS BIGINT) AS n_communities,
+           n_members,
+           CAST(n_members * 1000000 // n_nodes AS BIGINT)
+             AS member_share_ppm
+         FROM bands, tot ORDER BY band"""
     )
 
   /** One k-truss peel round as SQL (k = [[TrussK]] ⇒ support ≥

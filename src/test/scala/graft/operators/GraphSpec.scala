@@ -1390,4 +1390,41 @@ class GraphSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q338: size bands recompute from the reference 4-round LPA " +
+      "and conserve the node universe") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q338_community_size_profile")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("band"))
+    val lp = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("long"),
+        col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = lp.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet.toSeq
+    val labels = referenceLpa(pairs, 4)
+    val sizes = labels.values.groupBy(identity)
+      .map { case (_, xs) => xs.size.toLong }
+    val want = sizes.groupBy(sz => 64L - java.lang.Long
+        .numberOfLeadingZeros(sz))
+      .map { case (band, xs) =>
+        band -> (xs.size.toLong, xs.sum)
+      }
+    assert(out.length === want.size)
+    val total = labels.size.toLong
+    out.foreach { r =>
+      val (nc, nm) = want(r.getAs[Long]("band"))
+      assert(r.getAs[Long]("n_communities") === nc)
+      assert(r.getAs[Long]("n_members") === nm)
+      assert(r.getAs[Long]("floor_size") ===
+        (1L << (r.getAs[Long]("band") - 1)))
+      assert(r.getAs[Long]("member_share_ppm") ===
+        nm * 1000000L / total)
+    }
+    assert(out.map(_.getAs[Long]("n_members")).sum === total)
+  }
 }

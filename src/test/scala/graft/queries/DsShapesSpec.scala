@@ -812,4 +812,35 @@ class DsShapesSpec extends SparkSpec {
     assert(r.getAs[Long]("whale_share_ppm") >=
       whales.length.toLong * 1000000L / spends.length)
   }
+
+  test("q337: AUC equals the brute-force pair count (ties at half " +
+      "weight) and the two directions partition the pair space") {
+    val out = DsShapes.defs("q337_channel_auc")(spark, dir).collect()
+    assert(out.length === 1)
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").cast("long"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("v")))
+    val web = orders.collect { case (k, v) if k % 3 == 1 => v }
+    val store = orders.collect { case (k, v) if k % 3 == 0 => v }
+    var gt = 0L; var eq = 0L; var lt = 0L
+    for (w <- web; s <- store) {
+      if (w > s) gt += 1 else if (w == s) eq += 1 else lt += 1
+    }
+    val u2 = 2 * gt + eq
+    val r = out.head
+    assert(r.getAs[Long]("n_web") === web.length.toLong)
+    assert(r.getAs[Long]("n_store") === store.length.toLong)
+    assert(r.getAs[Long]("u2") === u2)
+    val denom = BigInt(2) * web.length * store.length
+    assert(r.getAs[Long]("auc_ppm") ===
+      (BigInt(u2) * 1000000 / denom.max(BigInt(1))).toLong)
+    // both directions + ties partition every (web, store) pair
+    assert(gt + eq + lt === web.length.toLong * store.length)
+    // U2(w>s) + U2(s>w) covers the doubled pair space exactly
+    assert(u2 + (2 * lt + eq) === denom.toLong)
+    assert(r.getAs[Long]("auc_ppm") >= 0L &&
+      r.getAs[Long]("auc_ppm") <= 1000000L)
+  }
 }
