@@ -63,6 +63,44 @@ object DsShapes {
           .as("c_store"))
       .withColumn("bkt", expr("v div 1000000"))
 
+  /** Inclusive per-channel cumulative counts over [[channelValueGrain]]
+    * via the TWO-PHASE distributed prefix sum (the Quantiles offsets
+    * shape): per-bucket sums → one cumulative over the BOUNDED bucket
+    * grain → within-bucket cumulative partitioned by bucket — no
+    * unpartitioned window ever touches the value grain. ONE definition
+    * (with [[ChannelCumSql]] as its DuckDB face) under BOTH
+    * distributional comparisons — the inclusive-vs-exclusive frame,
+    * where an off-by-one would actually live, exists exactly once. */
+  private def channelCum(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bsum = vals.groupBy(col("bkt"))
+      .agg(sum(col("c_web")).as("bw"), sum(col("c_store")).as("bs"))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = bsum
+      .withColumn("ow", sum(col("bw")).over(wOff) - col("bw"))
+      .withColumn("os", sum(col("bs")).over(wOff) - col("bs"))
+      .select(col("bkt"), col("ow"), col("os"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals
+      .withColumn("cw_in", sum(col("c_web")).over(wIn))
+      .withColumn("cs_in", sum(col("c_store")).over(wIn))
+      .join(broadcast(offs), "bkt")
+      .select(col("v"), col("c_web"), col("c_store"),
+        (col("cw_in") + col("ow")).as("cw"),
+        (col("cs_in") + col("os")).as("cs"))
+  }
+
+  /** [[channelCum]]'s DuckDB face (CTE named `cum`, composing after
+    * [[ChannelValsSql]]'s `vals`). */
+  private val ChannelCumSql =
+    """cum AS (SELECT v, c_web, c_store,
+         SUM(c_web) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(c_store) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           AS cs
+       FROM vals)"""
+
   /** [[channelValueGrain]]'s DuckDB face (CTE named `vals`). */
   private val ChannelValsSql =
     s"""vals AS (SELECT
@@ -375,32 +413,10 @@ object DsShapes {
     // discipline — no unpartitioned window over the value grain);
     // totals ride a broadcast 1-row cross join.
     "q328_ks_channel_values" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val vals = channelValueGrain(s, dir)
         .localCheckpoint(true) // both phases + totals read it
       try {
-        // TWO-PHASE distributed prefix sum (the Quantiles offsets
-        // shape): per-bucket sums → one cumulative over the BOUNDED
-        // bucket grain → within-bucket cumulative partitioned by
-        // bucket — no unpartitioned window ever touches the value
-        // grain
-        val bsum = vals.groupBy(col("bkt"))
-          .agg(sum(col("c_web")).as("bw"), sum(col("c_store")).as("bs"))
-        val wOff = Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offs = bsum
-          .withColumn("ow", sum(col("bw")).over(wOff) - col("bw"))
-          .withColumn("os", sum(col("bs")).over(wOff) - col("bs"))
-          .select(col("bkt"), col("ow"), col("os"))
-        val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val out = vals
-          .withColumn("cw_in", sum(col("c_web")).over(wIn))
-          .withColumn("cs_in", sum(col("c_store")).over(wIn))
-          .join(broadcast(offs), "bkt")
-          .select(col("v"),
-            (col("cw_in") + col("ow")).as("cw"),
-            (col("cs_in") + col("os")).as("cs"))
+        val out = channelCum(vals)
           .crossJoin(broadcast(vals.agg(
             sum(col("c_web")).as("n_web"),
             sum(col("c_store")).as("n_store"))))
@@ -570,31 +586,21 @@ object DsShapes {
     // relation and the two-phase prefix sum with q328 (one definition,
     // one scale shape).
     "q337_channel_auc" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val vals = channelValueGrain(s, dir)
         .localCheckpoint(true) // both phases + totals read it
       try {
-        val bsum = vals.groupBy(col("bkt"))
-          .agg(sum(col("c_web")).as("bw"))
-        val wOff = Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offs = bsum
-          .withColumn("ow", sum(col("bw")).over(wOff) - col("bw"))
-          .select(col("bkt"), col("ow"))
-        val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val out = vals
-          .withColumn("cw_in", sum(col("c_web")).over(wIn))
-          .join(broadcast(offs), "bkt")
-          .select(col("v"), col("c_web"), col("c_store"),
-            (col("cw_in") + col("ow")).as("cumw"))
+        // the raw u2 landing is BIGINT — quadratic in side sizes, so
+        // it overflows past ~2e9 rows per side; auc_ppm (the
+        // DECIMAL-lifted quotient) is the scale-safe output, u2 the
+        // audit view at test scales
+        val out = channelCum(vals)
           .crossJoin(broadcast(vals.agg(
             sum(col("c_web")).as("n_web"),
             sum(col("c_store")).as("n_store"))))
           .agg(max(col("n_web")).as("n_web"),
             max(col("n_store")).as("n_store"),
             sum(expr("""CAST(c_store AS DECIMAL(38,0))
-                        * (2 * (n_web - cumw) + c_web)"""))
+                        * (2 * (n_web - cw) + c_web)"""))
               .as("u2"))
           .select(col("n_web"), col("n_store"),
             col("u2").cast("long").as("u2"),
@@ -1686,12 +1692,7 @@ object DsShapes {
 
     "q328_ks_channel_values" ->
       s"""WITH $ChannelValsSql,
-         cum AS (SELECT v,
-             SUM(c_web) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-               AS cw,
-             SUM(c_store) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-               AS cs
-           FROM vals),
+         $ChannelCumSql,
          tot AS (SELECT CAST(SUM(c_web) AS HUGEINT) AS n_web,
              CAST(SUM(c_store) AS HUGEINT) AS n_store
            FROM vals),
@@ -1786,16 +1787,13 @@ object DsShapes {
 
     "q337_channel_auc" ->
       s"""WITH $ChannelValsSql,
-         cum AS (SELECT v, c_web, c_store,
-             SUM(c_web) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-               AS cumw
-           FROM vals),
+         $ChannelCumSql,
          tot AS (SELECT CAST(SUM(c_web) AS HUGEINT) AS n_web,
              CAST(SUM(c_store) AS HUGEINT) AS n_store
            FROM vals),
          u AS (SELECT MAX(n_web) AS n_web, MAX(n_store) AS n_store,
              SUM(CAST(c_store AS HUGEINT)
-               * (2 * (n_web - cumw) + c_web)) AS u2
+               * (2 * (n_web - cw) + c_web)) AS u2
            FROM cum, tot)
          SELECT CAST(n_web AS BIGINT) AS n_web,
            CAST(n_store AS BIGINT) AS n_store,

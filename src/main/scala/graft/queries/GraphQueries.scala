@@ -1288,7 +1288,6 @@ object GraphQueries {
     // ppm. Rides the STORED label artifact (the 4 LPA rounds never
     // re-run); everything after is community-scale then band-scale.
     "q338_community_size_profile" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       labelsCache.withArtifact(s, dir) { case (labels, _) =>
         val bands = labels
           .groupBy(col("label")).agg(count(lit(1)).as("size"))

@@ -843,4 +843,33 @@ class DsShapesSpec extends SparkSpec {
     assert(r.getAs[Long]("auc_ppm") >= 0L &&
       r.getAs[Long]("auc_ppm") <= 1000000L)
   }
+
+  test("q337: a constructed cross-channel TIE carries exactly half " +
+      "weight (the corpus has no ties, so this pins the +c_web term)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("q337orders").toString
+    try {
+      import spark.implicits._
+      // keys mod 3: 1, 4 → web; 3, 6, 9 → store.
+      // web values {100, 200}, store values {100, 150, 300}:
+      // gt = 2 (200>100, 200>150), eq = 1 (100=100), lt = 3
+      // ⇒ U2 = 2·2 + 1 = 5, denom = 2·2·3 = 12, auc = 416666 ppm
+      Seq((1L, 100.0), (4L, 200.0), (3L, 100.0), (6L, 150.0),
+        (9L, 300.0))
+        .toDF("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val r = DsShapes.defs("q337_channel_auc")(spark, tmp)
+        .collect().head
+      assert(r.getAs[Long]("n_web") === 2L)
+      assert(r.getAs[Long]("n_store") === 3L)
+      assert(r.getAs[Long]("u2") === 5L)
+      assert(r.getAs[Long]("auc_ppm") === 416666L)
+    } finally {
+      val d = new java.io.File(tmp)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
+  }
 }
