@@ -97,13 +97,46 @@ object Bench {
     // `remeasured` in the artifact so the escalation is auditable.
     val spreadThresh = sys.env.getOrElse(
       "SPARK_GRAFT_SPREAD_RERUN", "3.0").toDouble
+    // Option so a malformed SPARK_GRAFT_BENCH_OUT (InvalidPathException)
+    // degrades to "no artifact" instead of aborting a bench whose
+    // queries already ran — the artifact is an audit aid, never a gate.
+    // Parsed HERE, before either escalation: the spread path needs the
+    // ring's per-query spread history, the cross-run path its medians.
+    val outPathOpt: Option[java.nio.file.Path] =
+      try Some(java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "bench/last_run.json")))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"bench: invalid SPARK_GRAFT_BENCH_OUT (${e.getMessage}); " +
+              "skipping prev-run comparison and artifact write")
+          None
+      }
+    val ringPathOpt = outPathOpt.map(_.resolveSibling("ring.jsonl"))
+    val ringText: Option[String] =
+      try ringPathOpt.filter(java.nio.file.Files.exists(_)).map(p =>
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => None }
+    // the ring-historical SPREAD envelope (r15 ask #7): a query whose
+    // run-to-run spread is chronically high (sub-second wall, GC-heavy
+    // shuffle) re-measured every single round against the absolute
+    // threshold; now the fresh spread must also exceed the max spread
+    // recent clean same-sf runs recorded for that query before the
+    // median-of-5 fires. No history → old behavior.
+    val ringSpreadRuns: Seq[Map[String, Double]] =
+      ringText.map(tools.BenchStats.parseRingSpreads(_, sfDir))
+        .getOrElse(Seq.empty)
+    def spreadHist(name: String): Seq[Double] =
+      ringSpreadRuns.flatMap(_.get(name))
     // the trailing Int counts EXTRA RUNS this query executed beyond the
     // reps+warmup everyone pays — escalations stack (a spread re-measure
     // whose healed median still trips the cross-run check runs 5 + 5),
     // and the expected-time term must count what actually executed
     val first = first0.map {
       case (name, fn, (t, None), s)
-          if tools.BenchStats.needsRemeasure(reps, s, spreadThresh) =>
+          if tools.BenchStats.needsRemeasure(reps, s, spreadThresh,
+            spreadHist(name)) =>
         val runs = Seq.fill(5)(runOne(fn))
         val ok = runs.collect { case (t2, None) => t2 }
         if (ok.isEmpty) {
@@ -133,19 +166,6 @@ object Bench {
     // the previous median beside it, so a uniform-load inflation (or a
     // genuine regression — the re-measure reproduces those) is
     // adjudicable from the artifact alone.
-    // Option so a malformed SPARK_GRAFT_BENCH_OUT (InvalidPathException)
-    // degrades to "no artifact" instead of aborting a bench whose
-    // queries already ran — the artifact is an audit aid, never a gate
-    val outPathOpt: Option[java.nio.file.Path] =
-      try Some(java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_OUT", "bench/last_run.json")))
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(
-            s"bench: invalid SPARK_GRAFT_BENCH_OUT (${e.getMessage}); " +
-              "skipping prev-run comparison and artifact write")
-          None
-      }
     val (prevContended, prevMedians) =
       try {
         outPathOpt.filter(java.nio.file.Files.exists(_)) match {
@@ -170,16 +190,9 @@ object Bench {
     // previous artifact, whose single anomalous-but-self-labeled-clean
     // number would otherwise own the comparison. Falls back to the
     // previous artifact for queries the ring has never seen.
-    val ringPathOpt = outPathOpt.map(_.resolveSibling("ring.jsonl"))
     val ringRuns: Seq[Map[String, Double]] =
-      try ringPathOpt.filter(java.nio.file.Files.exists(_)) match {
-        case Some(p) => tools.BenchStats.parseRing(
-          new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8), sfDir)
-        case None => Seq.empty
-      } catch {
-        case scala.util.control.NonFatal(_) => Seq.empty
-      }
+      ringText.map(tools.BenchStats.parseRing(_, sfDir))
+        .getOrElse(Seq.empty)
     // ring entries are uncontended by construction, so a ring baseline
     // carries prevContended = false; only the artifact fallback can be
     // contended-suppressed. The SOURCE travels with the number: a
@@ -385,9 +398,11 @@ object Bench {
       // line) and filtered OUT at read time, so a run on a busy box
       // ages baseline entries without poisoning them.
       val ringPath = outPath.resolveSibling("ring.jsonl")
+      // spreads travel with the medians: the NEXT run's spread
+      // escalation judges itself against this history
       val ringNew = tools.BenchStats.ringLine(System.currentTimeMillis(),
         sfDir, contended,
-        results.collect { case (k, (v, None)) => k -> v })
+        results.collect { case (k, (v, None)) => k -> v }, spreads)
       val ringOld =
         if (java.nio.file.Files.exists(ringPath))
           new String(java.nio.file.Files.readAllBytes(ringPath),

@@ -114,6 +114,15 @@ object Listener {
     graft.streaming.StreamingRank.Config(
       storeDir = dir, checkpointDir = dir + "/_ckpt")
 
+  /** One sampler base dir → the store layout the `sampler-compact` CLI
+    * uses (picks + mass as siblings; the checkpoint only matters to a
+    * running stream, never to these reads). */
+  private[graft] def samplerCfg(dir: String)
+      : graft.streaming.StreamingSampler.Config =
+    graft.streaming.StreamingSampler.Config(
+      picksPath = dir + "/picks", massPath = dir + "/mass",
+      checkpointDir = dir + "/_ckpt")
+
   /** Split captured artifact text into WHOLE records: blank lines
     * dropped, and a final line that has not terminated with a record's
     * closing '}' withheld — a reader racing the history appender (or a
@@ -214,7 +223,11 @@ object Listener {
             eventsDir: Option[String] = None,
             // the bench trend file (bench/history.jsonl — one summary
             // line per run) to serve under /api/bench/history
-            benchHistory: Option[String] = None): Server = {
+            benchHistory: Option[String] = None,
+            // a StreamingSampler store base dir (picks + mass
+            // siblings, the sampler-compact CLI layout) to serve under
+            // /api/sampler/state
+            samplerDir: Option[String] = None): Server = {
     val gradedBudgets: Option[Seq[graft.verify.Expectations.Graded]] =
       qualityRules.map(p =>
         graft.verify.Expectations.parseGradedRules(spark, p))
@@ -519,6 +532,44 @@ object Listener {
                   s"""{"detail": "mode must be cold or warm, got ${
                     other.replaceAll("[\"\\\\]", "")}"}""")
             }
+        }
+      },
+
+      route("GET", "/api/sampler/state",
+        "streaming PPS sampler state (per-source mass + last batch)") {
+        (ex, _) =>
+        samplerDir match {
+          case None =>
+            respond(ex, 404,
+              """{"detail": "no sampler store configured"}""")
+          case Some(dir) =>
+            // Both reads are BOUNDED by the store discipline, not the
+            // stream's age: the mass store is the per-(source, batch)
+            // delta relation sampler-compact keeps folded to one
+            // batch_id = -1 partition per source, and the pick count
+            // reads ONLY the last committed batch's partition
+            // (batch_id is the partition column — pruned, never a
+            // whole-store scan). A torn state mid-compact is handled
+            // below this layer: offsets() runs the __old swap
+            // recovery before any read.
+            val cfg = samplerCfg(dir)
+            val sampler = graft.streaming.StreamingSampler
+            val last = sampler.lastBatch(spark, cfg)
+            val rows = sampler.offsets(spark, cfg)
+              .orderBy(org.apache.spark.sql.functions.col("source"))
+              .collect()
+              .map(r => s"""{"source": ${q(r.getString(0))}, """ +
+                s""""mass": ${r.getAs[Long]("mass")}}""")
+            val picks =
+              if (last < 0L) 0L
+              else sampler.picks(spark, cfg)
+                .filter(org.apache.spark.sql.functions
+                  .col("batch_id").cast("long") === last)
+                .count()
+            respond(ex, 200,
+              s"""{"last_batch": $last, """ +
+                s""""last_batch_picks": $picks, """ +
+                s""""sources": ${rows.mkString("[", ", ", "]")}}""")
         }
       },
 

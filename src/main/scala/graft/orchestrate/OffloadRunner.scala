@@ -298,6 +298,23 @@ object OffloadRunner {
 
     expectationsStep(r, spark, cfg, planned)
 
+    // listener events are posted asynchronously; settle until the
+    // counter stops moving before reading it (bounded wait)
+    def settledRecordsWritten(): Long = {
+      var last = -1L
+      var settle = 0
+      while (settle < 20 && metrics.totalRecordsWritten != last) {
+        last = metrics.totalRecordsWritten
+        Thread.sleep(50)
+        settle += 1
+      }
+      metrics.totalRecordsWritten
+    }
+    // transport-window baseline: rows written BEFORE stage_and_load
+    // (expectation probes read, never write, but stay conservative) —
+    // the delta across the stage is the transport's own row count
+    val preStageWritten = if (cfg.dryRun) 0L else settledRecordsWritten()
+
     r.step("stage_and_load",
         s"staging=${cfg.stagingPath} final=${cfg.finalPath} " +
         s"mode=$finalMode partitionBy=${cfg.partitionCols.mkString(",")}") {
@@ -311,6 +328,10 @@ object OffloadRunner {
         }
       }
     }
+    // close the transport window HERE — a later step may also write
+    // through Spark (an executing BigQuery sink) and must not leak
+    // into the stage's row accounting
+    val postStageWritten = if (cfg.dryRun) 0L else settledRecordsWritten()
 
     cfg.bigquerySink.foreach { bq =>
       r.step("bigquery_load",
@@ -360,18 +381,26 @@ object OffloadRunner {
     }
 
     // Transport row accounting — what the reference scraped from Spark logs
-    // (`offload_transport.py:1811-1838`), natively from the listener.
+    // (`offload_transport.py:1811-1838`), natively from the listener, and
+    // CROSS-CHECKED against the staged slice (r15 ask #8):
+    // stage_and_load writes each transported row exactly twice (once
+    // into staging, once into the final table), so for a SERIAL offload
+    // the listener's delta across the stage window equals 2 × the
+    // staged row count — the spec pins that equality. REPORT-ONLY by
+    // design: the task listener's output counters are JVM-global (the
+    // same aliasing the reference's log-scrape had — concurrent
+    // offloads in one session see each other's tasks), so a mismatch
+    // here is a diagnostic, while the HARD row-loss gate remains the
+    // per-offload verify_counts step above (source slice vs staged
+    // slice, which throws).
     if (!cfg.dryRun) {
-      // listener events are posted asynchronously; settle briefly
-      var last = -1L
-      var settle = 0
-      while (settle < 20 && metrics.totalRecordsWritten != last) {
-        last = metrics.totalRecordsWritten
-        Thread.sleep(50)
-        settle += 1
-      }
+      val transportRows = postStageWritten - preStageWritten
+      val stagedRows = planned.map(_ =>
+        spark.read.parquet(cfg.stagingPath).count()).getOrElse(0L)
       r.step("task_metrics",
         s"recordsWritten=${metrics.totalRecordsWritten} " +
+          s"transport_rows=$transportRows staged_rows=$stagedRows " +
+          s"transport_exact=${transportRows == 2 * stagedRows} " +
           s"tasks=${metrics.snapshot.length}")(())
     }
 

@@ -1148,39 +1148,95 @@ object AnalyticsExtras {
     // paying more buy a bigger part within the brand's catalog? Rank
     // correlation with NO square root (unlike Kendall's τ-b), so it
     // stays exactly rational: γ = (C − D)/(C + D) over concordant /
-    // discordant part pairs, ties contributing to neither. The pair
-    // space generates WITHIN each brand's bounded catalog slice (the
-    // q290 discipline — ≤ C(|brand|, 2) pairs per brand, never
-    // row-scale), counts aggregate per brand, and the single signed
-    // division is SIGN-DECOMPOSED (Spark div truncates, DuckDB //
-    // floors).
+    // discordant part pairs, ties contributing to neither. NO pair
+    // materialization (the r15 all-pairs self-join was quadratic in
+    // the brand's catalog slice — the one plan the 100 TB bar
+    // rejects). Two exact moves replace the pair space:
+    //   1. C by a BANDED PREFIX WINDOW over the bounded size domain
+    //      (p_size ∈ 1..50 by the TPC-H data contract; the band
+    //      ceiling is still measured via a broadcast 1-row max, so
+    //      out-of-contract sizes stay correct): fold parts to
+    //      (price, size) CELLS, deposit each cell's mass into every
+    //      band ≥ its size, and one window — partitioned by
+    //      (brand, band), RANGE frame ending at price − 1, so price
+    //      ties are structurally excluded — reads back, at each
+    //      cell's zero-mass probe row at band = sz − 1, the count of
+    //      earlier-priced strictly-smaller-size parts; every
+    //      concordant pair is counted exactly once, at its
+    //      higher-priced cell, weighted by the cell-mass product.
+    //   2. D by the TIE-COUNT IDENTITY, all linear aggregates:
+    //      C + D = C(n,2) − Tx − Ty + Txy (pairs differing in BOTH
+    //      coordinates; Tx/Ty/Txy = pairs tied on price / size /
+    //      both), so D needs only per-(brand,price), per-(brand,size)
+    //      and per-cell tallies — never a second band space.
+    // O(n·|size domain|) work, no join whose both sides descend from
+    // part (the cell relation is checkpointed once and the 1-row
+    // ceiling is a broadcast). Brands need ≥ 2 parts to emit (the
+    // pair grain's natural support, matching the oracle's join). The
+    // single signed division is SIGN-DECOMPOSED (Spark div truncates,
+    // DuckDB // floors).
     "q329_price_size_gamma" -> { (s, dir) =>
-      val p = t(s, dir, "part")
-        .select(col("p_brand"), col("p_partkey"),
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, dir, "part")
+        .select(col("p_brand"),
           (col("p_retailprice").cast("decimal(12,2)") * 100)
             .cast("long").as("price_e2"),
           col("p_size").cast("long").as("sz"))
-      val pairs = p.toDF("p_brand", "k1", "pr1", "sz1")
-        .join(p.toDF("p_brand", "k2", "pr2", "sz2"), "p_brand")
-        .filter(col("k1") < col("k2"))
-      pairs
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when((col("pr1") < col("pr2") && col("sz1") < col("sz2"))
-            || (col("pr1") > col("pr2") && col("sz1") > col("sz2")),
-            1L).otherwise(0L)).as("concordant"),
-          sum(when((col("pr1") < col("pr2") && col("sz1") > col("sz2"))
-            || (col("pr1") > col("pr2") && col("sz1") < col("sz2")),
-            1L).otherwise(0L)).as("discordant"))
-        .select(col("p_brand"), col("n_pairs"), col("concordant"),
-          col("discordant"),
-          expr("""CASE WHEN concordant >= discordant
-                  THEN CAST((concordant - discordant) * 1000000
-                    div greatest(concordant + discordant, 1) AS BIGINT)
-                  ELSE -CAST((discordant - concordant) * 1000000
-                    div greatest(concordant + discordant, 1) AS BIGINT)
-                  END""").as("gamma_ppm"))
-        .orderBy(col("p_brand"))
+        .groupBy(col("p_brand"), col("price_e2"), col("sz"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint(true) // ceiling + ties + band space read it
+      try {
+        val withCeil = cells.crossJoin(broadcast(
+          cells.agg(greatest(max(col("sz")), lit(50L)).as("dmax"))))
+        // deposits carry mass; probes carry the cell payload (pm)
+        // with zero mass, so they never perturb anyone else's prefix
+        val deposits = withCeil.select(col("p_brand"),
+          explode(expr("sequence(sz, dmax)")).as("band"),
+          col("price_e2"), col("m").as("mb"),
+          lit(null).cast("long").as("pm"))
+        val probes = cells.select(col("p_brand"),
+          (col("sz") - 1).as("band"), col("price_e2"), lit(0L).as("mb"),
+          col("m").as("pm"))
+        val wBand = Window.partitionBy(col("p_brand"), col("band"))
+          .orderBy(col("price_e2"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val conc = deposits.unionByName(probes)
+          .withColumn("cum", coalesce(sum(col("mb")).over(wBand),
+            lit(0L)))
+          .filter(col("pm").isNotNull)
+          .groupBy(col("p_brand"))
+          .agg(sum(col("pm") * col("cum")).as("concordant"))
+        // the tie tallies (C(k,2) per tied group, summed) + n per brand
+        val txy = cells.groupBy(col("p_brand"))
+          .agg(sum(col("m")).as("n"),
+            sum(expr("m * (m - 1) div 2")).as("txy"))
+        val tx = cells.groupBy(col("p_brand"), col("price_e2"))
+          .agg(sum(col("m")).as("np")).groupBy(col("p_brand"))
+          .agg(sum(expr("np * (np - 1) div 2")).as("tx"))
+        val ty = cells.groupBy(col("p_brand"), col("sz"))
+          .agg(sum(col("m")).as("ns")).groupBy(col("p_brand"))
+          .agg(sum(expr("ns * (ns - 1) div 2")).as("ty"))
+        val out = txy.join(broadcast(tx), "p_brand")
+          .join(broadcast(ty), "p_brand")
+          .join(broadcast(conc), "p_brand")
+          .filter(col("n") >= 2)
+          .select(col("p_brand"),
+            expr("CAST(n * (n - 1) div 2 AS BIGINT)").as("n_pairs"),
+            col("concordant"),
+            (expr("n * (n - 1) div 2 - tx - ty + txy")
+              - col("concordant")).as("discordant"))
+          .select(col("p_brand"), col("n_pairs"), col("concordant"),
+            col("discordant"),
+            expr("""CASE WHEN concordant >= discordant
+                    THEN CAST((concordant - discordant) * 1000000
+                      div greatest(concordant + discordant, 1) AS BIGINT)
+                    ELSE -CAST((discordant - concordant) * 1000000
+                      div greatest(concordant + discordant, 1) AS BIGINT)
+                    END""").as("gamma_ppm"))
+          .orderBy(col("p_brand"))
+        graft.tools.ExplainAudit
+          .auditedCut(out, "q329_price_size_gamma")
+      } finally graft.operators.Graph.release(cells)
     },
 
     // Price-ladder holes per brand: the largest adjacent gap in the

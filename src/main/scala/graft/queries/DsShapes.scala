@@ -113,6 +113,104 @@ object DsShapes {
        FROM orders WHERE $ChannelSql IN ('web', 'store')
        GROUP BY 1)"""
 
+  /** The (part, year, channel) SALES GRAIN — distinct-order count and
+    * exact e4 revenue per cell, `p_type` carried from the broadcast
+    * part dim — ONE definition shared by the cross-channel item
+    * classics (q339 frequent-item set, q340 promo share) and mirrored
+    * in SQL by [[PartYearChannelSql]] so the pair can never
+    * desynchronize on the channel split, the year grain, or the
+    * revenue fixed-point. The grain is catalog × 7 years × 3 channels:
+    * linear in the catalog, never fact-scale — each consumer makes ONE
+    * scan over it. */
+  private def partYearChannelGrain(s: SparkSession,
+      dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        channelCol.as("channel"), col("p_type"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(revE4).as("rev_e4"))
+
+  /** [[partYearChannelGrain]]'s DuckDB face (CTE named `r`). */
+  private lazy val PartYearChannelSql =
+    s"""r AS (SELECT l.l_partkey,
+         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         ${channelSql("o.o_orderkey")} AS channel, p.p_type,
+         COUNT(DISTINCT l.l_orderkey) AS n_orders,
+         SUM($RevE4Sql) AS rev_e4
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY 1, 2, 3, 4)"""
+
+  /** The RANKED 1996–1997 brand × month pairwise-slope space —
+    * Theil–Sen's substrate, ONE definition shared by q290 (the median
+    * slope) and q341 (the τ-quantile band), with [[RankedSlopesSql]]
+    * as its DuckDB face so the trio of slope sign-decomposition, rank
+    * tie-break, and pair count can never desynchronize. Pairs generate
+    * WITHIN each brand's month-grain aggregate (≤24 points → ≤276
+    * pairs per brand, calendar-bounded — never row-scale; both join
+    * sides are aggregates, so the quadratic-self-join audit screens it
+    * out structurally). Slopes are exact e4-per-month integers with
+    * SIGN DECOMPOSITION (Spark `div` truncates toward zero, DuckDB
+    * `//` floors — divide the absolute difference, re-apply the sign);
+    * `rk` orders by (slope, t1, t2) so every quantile pick is
+    * deterministic and oracle-stable. */
+  private def rankedBrandSlopes(s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")).isin(1996, 1997))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        ((year(col("l_shipdate")) - 1996) * 12 +
+          month(col("l_shipdate"))).as("t"))
+      .agg(sum(revE4).as("rev_e4"))
+    val slopes = m.select(col("p_brand"), col("t").as("t1"),
+        col("rev_e4").as("r1"))
+      .join(m.select(col("p_brand"), col("t").as("t2"),
+        col("rev_e4").as("r2")), Seq("p_brand"))
+      .filter(col("t1") < col("t2"))
+      .select(col("p_brand"), col("t1"), col("t2"),
+        expr("""CASE WHEN r2 >= r1 THEN (r2 - r1) div (t2 - t1)
+                ELSE -((r1 - r2) div (t2 - t1)) END""")
+          .as("slope_e4"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("slope_e4"), col("t1"), col("t2"))
+    val nw = Window.partitionBy(col("p_brand"))
+    slopes
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(nw))
+  }
+
+  /** [[rankedBrandSlopes]]'s DuckDB face (CTEs `m`, `sl`, `rk` —
+    * compose with `WITH $RankedSlopesSql SELECT … FROM rk`). */
+  private lazy val RankedSlopesSql =
+    s"""m AS (SELECT p_brand,
+         (year(l_shipdate) - 1996) * 12 + month(l_shipdate) AS t,
+         SUM($RevE4Sql) AS rev_e4
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE year(l_shipdate) IN (1996, 1997)
+       GROUP BY 1, 2),
+       sl AS (SELECT a.p_brand, a.t AS t1, b.t AS t2,
+           CASE WHEN b.rev_e4 >= a.rev_e4
+             THEN CAST((b.rev_e4 - a.rev_e4) // (b.t - a.t) AS BIGINT)
+             ELSE -CAST((a.rev_e4 - b.rev_e4) // (b.t - a.t) AS BIGINT)
+           END AS slope_e4
+         FROM m a JOIN m b
+           ON a.p_brand = b.p_brand AND a.t < b.t),
+       rk AS (SELECT p_brand, slope_e4,
+           ROW_NUMBER() OVER (PARTITION BY p_brand
+             ORDER BY slope_e4, t1, t2) AS rk,
+           COUNT(*) OVER (PARTITION BY p_brand) AS n_pairs
+         FROM sl)"""
+
   /** l_extendedprice*(1-l_discount) in e4 fixed-point (exact). */
   private def revE4: Column =
     (col("l_extendedprice").cast("decimal(12,2)") *
@@ -609,6 +707,65 @@ object DsShapes {
                     AS BIGINT)""").as("auc_ppm"))
         graft.tools.ExplainAudit.auditedCut(out, "q337_channel_auc")
       } finally graft.operators.Graph.release(vals)
+    },
+
+    // FREQUENT-ITEM cross-channel set (TPC-DS Q23's opening move on
+    // this schema): parts sold in MORE THAN 4 distinct store orders
+    // within a year form the year's frequent-item set; the question is
+    // how much of the WEB channel's revenue those store-proven items
+    // carry (Q23 prices the frequent store items' catalog/web sales).
+    // ONE scan over the shared (part, year, channel) grain
+    // [[partYearChannelGrain]]: fold channels out at (part, year),
+    // filter on the store-occurrence count, roll up to the year. The
+    // >4 filter and the share division both run on the bounded
+    // part-scale aggregate, never the fact; the single division is of
+    // non-negative integers (truncation ≡ floor across engines).
+    "q339_frequent_item_set" -> { (s, dir) =>
+      val zero = lit(0).cast("decimal(38,0)")
+      val py = partYearChannelGrain(s, dir)
+        .groupBy(col("l_partkey"), col("yr"))
+        .agg(sum(when(col("channel") === "store", col("n_orders"))
+            .otherwise(0L)).as("store_orders"),
+          sum(when(col("channel") === "web", col("rev_e4"))
+            .otherwise(zero)).as("web_rev_e4"))
+      py.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(col("store_orders") > 4, 1L).otherwise(0L))
+            .as("n_freq_parts"),
+          sum(when(col("store_orders") > 4, col("web_rev_e4"))
+            .otherwise(zero)).as("fw"),
+          sum(col("web_rev_e4")).as("tw"))
+        .select(col("yr"), col("n_parts"), col("n_freq_parts"),
+          col("fw").cast("long").as("freq_web_rev_e4"),
+          col("tw").cast("long").as("web_rev_e4"),
+          expr("CAST(fw * 1000000 div greatest(tw, 1) AS BIGINT)")
+            .as("freq_web_share_ppm"))
+        .orderBy(col("yr"))
+    },
+
+    // PROMO share per (year, channel) — the TPC-DS Q14 promo-share
+    // numerator beside q163's single-quarter global TPC-H Q14: which
+    // channel actually moves promotional stock, and is that share
+    // drifting year over year? ONE scan over the shared
+    // [[partYearChannelGrain]]; the promo cut is a conditional
+    // aggregate (never a second fact pass), the distinct-part count
+    // rides the same grain for free, and the share is one truncating
+    // division of non-negative integers.
+    "q340_promo_channel_share" -> { (s, dir) =>
+      val zero = lit(0).cast("decimal(38,0)")
+      partYearChannelGrain(s, dir)
+        .groupBy(col("yr"), col("channel"))
+        .agg(countDistinct(when(col("p_type") === "PROMO",
+            col("l_partkey"))).as("n_promo_parts"),
+          sum(when(col("p_type") === "PROMO", col("rev_e4"))
+            .otherwise(zero)).as("pr"),
+          sum(col("rev_e4")).as("tr"))
+        .select(col("yr"), col("channel"), col("n_promo_parts"),
+          col("pr").cast("long").as("promo_rev_e4"),
+          col("tr").cast("long").as("total_rev_e4"),
+          expr("CAST(pr * 1000000 div greatest(tr, 1) AS BIGINT)")
+            .as("promo_share_ppm"))
+        .orderBy(col("yr"), col("channel"))
     })
 
   /** Round-11 stretch wave. */
@@ -1065,39 +1222,36 @@ object DsShapes {
     // (integral div; ties broken by slope, then pair identity, so the
     // upper median is deterministic and oracle-stable).
     "q290_theil_sen_trend" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val m = t(s, dir, "lineitem")
-        .filter(year(col("l_shipdate")).isin(1996, 1997))
-        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"),
-          ((year(col("l_shipdate")) - 1996) * 12 +
-            month(col("l_shipdate"))).as("t"))
-        .agg(sum(revE4).as("rev_e4"))
-      val slopes = m.select(col("p_brand"), col("t").as("t1"),
-          col("rev_e4").as("r1"))
-        .join(m.select(col("p_brand"), col("t").as("t2"),
-          col("rev_e4").as("r2")), Seq("p_brand"))
-        .filter(col("t1") < col("t2"))
-        // sign decomposition: Spark `div` truncates toward zero while
-        // DuckDB `//` floors, so a signed quotient would diverge on
-        // falling slopes — divide the ABSOLUTE difference (both
-        // operands non-negative ⇒ floor ≡ trunc) and re-apply the sign
-        .select(col("p_brand"), col("t1"), col("t2"),
-          expr("""CASE WHEN r2 >= r1 THEN (r2 - r1) div (t2 - t1)
-                  ELSE -((r1 - r2) div (t2 - t1)) END""")
-            .as("slope_e4"))
-      val w = Window.partitionBy(col("p_brand"))
-        .orderBy(col("slope_e4"), col("t1"), col("t2"))
-      val nw = Window.partitionBy(col("p_brand"))
-      slopes
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n_pairs", count(lit(1)).over(nw))
+      rankedBrandSlopes(s, dir)
         // upper median (element n/2 + 1 for even n, (n+1)/2 odd):
         // rk = n div 2 + 1 covers both
         .filter(col("rk") === expr("n_pairs div 2 + 1"))
         .select(col("p_brand"), col("n_pairs"),
           col("slope_e4").cast("long").as("trend_e4_per_month"))
         .orderBy(col("p_brand"))
+    },
+
+    // QUANTILE-REGRESSION SLOPE BAND — q290's robust-trend family
+    // completed: the τ = 0.1 / 0.5 / 0.9 pairwise-slope quantiles per
+    // brand, so trend DISPERSION (is the brand's growth consistent, or
+    // a wide fan of month-pair slopes?) is first-class beside the
+    // Theil–Sen point estimate. Same bounded month-grain pair space
+    // and the same type-1-with-upper-tie selection rank as q290 —
+    // floor(n·τ) + 1, which at τ = 0.5 is exactly q290's
+    // n div 2 + 1, a equivalence the spec pins — computed in exact
+    // integer ppm (n ≤ 276 pairs, so n·τ_ppm is nowhere near
+    // overflow). One window pass over [[rankedBrandSlopes]]; the
+    // explode is 3 bounded literals per pair row, never data-scale.
+    "q341_slope_quantile_band" -> { (s, dir) =>
+      rankedBrandSlopes(s, dir)
+        .select(col("p_brand"), col("n_pairs"), col("rk"),
+          col("slope_e4"),
+          explode(array(lit(100000L), lit(500000L), lit(900000L)))
+            .as("tau_ppm"))
+        .filter(col("rk") === expr("n_pairs * tau_ppm div 1000000 + 1"))
+        .select(col("p_brand"), col("tau_ppm"), col("n_pairs"),
+          col("slope_e4").cast("long").as("slope_e4"))
+        .orderBy(col("p_brand"), col("tau_ppm"))
     },
 
     // Web-vs-store cumulative crossover (TPC-DS Q51 shape): per brand,
@@ -1560,26 +1714,18 @@ object DsShapes {
          FROM agg""",
 
     "q290_theil_sen_trend" ->
-      s"""WITH m AS (SELECT p_brand,
-           (year(l_shipdate) - 1996) * 12 + month(l_shipdate) AS t,
-           SUM($RevE4Sql) AS rev_e4
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE year(l_shipdate) IN (1996, 1997)
-         GROUP BY 1, 2),
-         sl AS (SELECT a.p_brand, a.t AS t1, b.t AS t2,
-             CASE WHEN b.rev_e4 >= a.rev_e4
-               THEN CAST((b.rev_e4 - a.rev_e4) // (b.t - a.t) AS BIGINT)
-               ELSE -CAST((a.rev_e4 - b.rev_e4) // (b.t - a.t) AS BIGINT)
-             END AS slope_e4
-           FROM m a JOIN m b
-             ON a.p_brand = b.p_brand AND a.t < b.t),
-         rk AS (SELECT p_brand, slope_e4,
-             ROW_NUMBER() OVER (PARTITION BY p_brand
-               ORDER BY slope_e4, t1, t2) AS rk,
-             COUNT(*) OVER (PARTITION BY p_brand) AS n_pairs
-           FROM sl)
+      s"""WITH $RankedSlopesSql
          SELECT p_brand, n_pairs, slope_e4 AS trend_e4_per_month
          FROM rk WHERE rk = n_pairs // 2 + 1 ORDER BY p_brand""",
+
+    "q341_slope_quantile_band" ->
+      s"""WITH $RankedSlopesSql
+         SELECT p_brand, CAST(tau_ppm AS BIGINT) AS tau_ppm, n_pairs,
+           slope_e4
+         FROM rk CROSS JOIN (VALUES (100000), (500000), (900000))
+           taus(tau_ppm)
+         WHERE rk = n_pairs * tau_ppm // 1000000 + 1
+         ORDER BY p_brand, tau_ppm""",
 
     "q286_web_store_crossover" ->
       s"""WITH m AS (SELECT p_brand,
@@ -1800,5 +1946,38 @@ object DsShapes {
            CAST(u2 AS BIGINT) AS u2,
            CAST(u2 * 1000000 // GREATEST(2 * n_web * n_store, 1)
              AS BIGINT) AS auc_ppm
-         FROM u""")
+         FROM u""",
+
+    "q339_frequent_item_set" ->
+      s"""WITH $PartYearChannelSql,
+         py AS (SELECT l_partkey, yr,
+             SUM(CASE WHEN channel = 'store' THEN n_orders
+               ELSE 0 END) AS store_orders,
+             SUM(CASE WHEN channel = 'web' THEN rev_e4
+               ELSE CAST(0 AS HUGEINT) END) AS web_rev_e4
+           FROM r GROUP BY 1, 2)
+         SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN store_orders > 4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_freq_parts,
+           CAST(SUM(CASE WHEN store_orders > 4 THEN web_rev_e4
+             ELSE 0 END) AS BIGINT) AS freq_web_rev_e4,
+           CAST(SUM(web_rev_e4) AS BIGINT) AS web_rev_e4,
+           CAST(SUM(CASE WHEN store_orders > 4 THEN web_rev_e4
+               ELSE 0 END) * 1000000
+             // GREATEST(SUM(web_rev_e4), 1) AS BIGINT)
+             AS freq_web_share_ppm
+         FROM py GROUP BY 1 ORDER BY yr""",
+
+    "q340_promo_channel_share" ->
+      s"""WITH $PartYearChannelSql
+         SELECT yr, channel,
+           CAST(COUNT(DISTINCT CASE WHEN p_type = 'PROMO'
+             THEN l_partkey END) AS BIGINT) AS n_promo_parts,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4
+             ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS promo_rev_e4,
+           CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4
+               ELSE CAST(0 AS HUGEINT) END) * 1000000
+             // GREATEST(SUM(rev_e4), 1) AS BIGINT) AS promo_share_ppm
+         FROM r GROUP BY 1, 2 ORDER BY yr, channel""")
 }

@@ -52,7 +52,7 @@ object StreamingSampler {
 
   private def hwmPath(cfg: Config) = new Path(cfg.massPath + "__hwm")
 
-  private[streaming] def lastBatch(
+  private[graft] def lastBatch(
       spark: org.apache.spark.sql.SparkSession, cfg: Config): Long =
     Hwm.read(hwmPath(cfg)
       .getFileSystem(spark.sparkContext.hadoopConfiguration),
@@ -74,7 +74,7 @@ object StreamingSampler {
     fs.exists(cur)
   }
 
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
     if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
@@ -95,7 +95,16 @@ object StreamingSampler {
           .agg(sum(col("mass")).as("off"))
       else spark.emptyDataFrame
         .select(lit("").as("source"), lit(0L).as("off")).limit(0)
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    // n_chars as SECONDARY sort key: doc_id alone leaves cumulative
+    // attribution among tied doc_ids nondeterministic (Spark gives no
+    // within-partition order guarantee for window ties), so a replay
+    // could pick a different tied row than the first attempt — with
+    // the tiebreak, duplicate (source, doc_id) rows order by mass and
+    // fully-identical duplicates are interchangeable (same cum walk
+    // either way), so the replay contract needs NO uniqueness
+    // assumption on the feed
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"), col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val stride = cfg.strideChars
     val picks = b
@@ -156,7 +165,20 @@ object StreamingSampler {
     * an uncommitted partition from a mid-crash attempt stays in place
     * for its rerun to overwrite). Same aside-rename swap + rollback as
     * every other store; the HWM file is a SIBLING of the swapped
-    * directory and survives it. */
+    * directory and survives it.
+    *
+    * OPERATIONAL CONTRACT (shared with every *-compact store): compact
+    * must NOT run concurrently with an active stream's batch — the
+    * two-rename swap is not atomic, and a processBatch whose
+    * [[massExists]] recovery (rename `__old` → cur) interleaves
+    * between compact's `rename(cur → __old)` and `rename(tmp → cur)`
+    * makes both the install and the rollback rename fail, leaving
+    * state that needs manual repair (restore `__old`). The
+    * "safe against the running stream" property above is therefore
+    * scoped to REPLAYS and the self-exclusion offset read, not to a
+    * batch executing during the swap window; run compact between
+    * batches (the `sampler-compact` CLI is a maintenance step, same as
+    * `dedup-compact` / `text-index-compact`). */
   def compact(spark: org.apache.spark.sql.SparkSession,
               cfg: Config): Unit = {
     if (!massExists(spark, cfg)) return

@@ -35,9 +35,22 @@ object BenchStats {
   /** Should this query's first-pass measurement be thrown away and
     * re-measured? Only a SUCCESSFUL multi-rep measurement can be judged
     * by spread: reps == 1 has no spread, and a failed query's timing is
-    * time-to-failure, not a sample. */
-  def needsRemeasure(reps: Int, spread: Double, threshold: Double): Boolean =
-    reps > 1 && spread > threshold
+    * time-to-failure, not a sample.
+    *
+    * `histSpreads` is the query's spread history from the ring's
+    * uncontended same-sf runs (r15 ask #7): a query that is ALWAYS
+    * noisy (its plan legitimately jitters — tiny wall time, GC-heavy
+    * shuffle) used to trip the threshold and pay a median-of-5 every
+    * round; with history, a fresh spread must exceed BOTH the absolute
+    * threshold AND the ring-historical envelope (the max spread recent
+    * clean runs recorded) before it escalates — chronic noise stops
+    * re-measuring, a genuinely new noise event still does. No history
+    * (new query, fresh clone, pre-spreads ring lines) degrades to the
+    * old threshold-only behavior. */
+  def needsRemeasure(reps: Int, spread: Double, threshold: Double,
+      histSpreads: Seq[Double] = Nil): Boolean =
+    reps > 1 && spread > threshold &&
+      (histSpreads.isEmpty || spread > histSpreads.max)
 
   /** A run self-labels as contended when the whole-process wall clock is
     * far above the EXPECTED execution time — summed per-query medians ×
@@ -159,12 +172,18 @@ object BenchStats {
     * exactly one previous artifact — one anomalous (but
     * self-labeled-clean) baseline run no longer owns the comparison. */
   def ringLine(tsMillis: Long, sf: String, contended: Boolean,
-      queries: Seq[(String, Double)]): String = {
-    val qs = queries.sortBy(_._1)
+      queries: Seq[(String, Double)],
+      spreads: Seq[(String, Double)] = Seq.empty): String = {
+    def flat(xs: Seq[(String, Double)]): String = xs.sortBy(_._1)
       .map { case (k, v) => "\"" + jsonEscape(k) + "\":" + ms3(v) }
       .mkString("{", ",", "}")
+    // spreads AFTER queries, and both objects are FLAT — the parsers
+    // bound each at its closing brace, so neither map bleeds into the
+    // other and pre-spreads ring lines stay parseable
+    val sp = if (spreads.isEmpty) ""
+             else s""","spreads":${flat(spreads)}"""
     s"""{"ts_ms":$tsMillis,"sf":"${jsonEscape(sf)}",""" +
-      s""""contended":$contended,"queries":$qs}"""
+      s""""contended":$contended,"queries":${flat(queries)}$sp}"""
   }
 
   /** Ring retention: enough runs for a sturdy median, small enough that
@@ -195,15 +214,35 @@ object BenchStats {
     * ELIGIBLE as a baseline: same scale factor, self-labeled
     * uncontended. Oldest first. Same pure-text discipline as
     * [[parseArtifact]]: a malformed line contributes nothing. */
-  def parseRing(text: String, sf: String): Seq[Map[String, Double]] = {
+  def parseRing(text: String, sf: String): Seq[Map[String, Double]] =
+    parseRingObject(text, sf, "queries")
+
+  /** The per-run SPREAD maps from ring lines that recorded them (the
+    * ring-aware spread escalation's history; lines from before spreads
+    * landed simply contribute nothing). Same eligibility as
+    * [[parseRing]]: same-sf, self-labeled uncontended — a contended
+    * run's inflated spreads would raise the envelope and silently
+    * suppress genuine re-measures. */
+  def parseRingSpreads(text: String, sf: String)
+      : Seq[Map[String, Double]] =
+    parseRingObject(text, sf, "spreads")
+
+  /** One flat `"key":{…}` object per eligible ring line, BOUNDED at
+    * the object's closing brace — the queries and spreads maps are
+    * siblings on one line, so an unbounded scan would swallow the
+    * later map into the earlier one. */
+  private def parseRingObject(text: String, sf: String,
+      key: String): Seq[Map[String, Double]] = {
     val sfEsc = "\"sf\":\"" + jsonEscape(sf) + "\""
+    val tag = "\"" + key + "\":{"
     val q = """"([^"\\]+)"\s*:\s*([0-9.]+)""".r
     text.linesIterator
       .filter(l => l.contains(sfEsc) && l.contains("\"contended\":false"))
       .map { l =>
-        val idx = l.indexOf("\"queries\":{")
-        if (idx < 0) Map.empty[String, Double]
-        else q.findAllMatchIn(l.substring(idx + 10))
+        val start = l.indexOf(tag)
+        val end = if (start < 0) -1 else l.indexOf('}', start)
+        if (end < 0) Map.empty[String, Double]
+        else q.findAllMatchIn(l.substring(start + tag.length, end))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
       .filter(_.nonEmpty)

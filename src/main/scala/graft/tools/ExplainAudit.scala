@@ -1,7 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.EqualTo
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
 /** Plan auditor: mechanical checks for the scale-unsafe shapes that pass a
   * small-SF correctness gate but serialize or explode on a real cluster —
@@ -56,6 +62,176 @@ object ExplainAudit {
       case _ =>
     }
     findings.result()
+  }
+
+  /** Reviewed group-quadratic self-joins [[auditQuadraticSelfJoin]] must
+    * stay quiet on. The r15-verdict candidates are exempt structurally —
+    * q290's month-grain pairs join two AGGREGATES (bounded sides),
+    * q334's order-grain relation joins on a row-scale key — and
+    * constant-mean-group keys (events.user_id) clear via the
+    * cross-scale confirmation in [[auditQuadraticConfirmed]]. Add a
+    * name here ONLY with a review comment naming the mechanism that
+    * bounds the pair space at scale. */
+  val QuadraticAllowlist: Set[String] = Set(
+    // Bucketed ANN candidate generation (reviewed r16): pairs generate
+    // within IVF cells / LSH hyperplane buckets BY DESIGN — that IS
+    // the operator. The scale knob is the bucket count (IVF nlist /
+    // LSH bit width, documented on operators/Similarity and the q53
+    // pigeonhole ladder): at larger corpora the cell grid grows so the
+    // per-cell population stays bounded, and the cosine-threshold
+    // prefilter runs inside the join, so survivors are near-duplicate
+    // scale, not pair scale.
+    "q190_semdedup", "q35_embed_neardup")
+
+  /** GROUP-QUADRATIC SELF-JOIN detector (the r15 gate gap: q329's
+    * per-brand all-pairs γ passed both static checks — its join had a
+    * condition and its windows were partitioned — yet materialized
+    * Σ_brand C(n_brand, 2) pairs, quadratic in the catalog slice). The
+    * tell is structural + statistical: both join sides descend from the
+    * SAME leaf relation, neither side is bounded by construction, and the
+    * only equi-keys are DOMAIN-grain columns — NDV small in absolute
+    * terms and already far below the row count, so the per-group slice
+    * (and with it the pair space, ≈ NDV·(rows/NDV)²) grows quadratically
+    * with scale while the key domain stays put.
+    *
+    * The static screen (shared leaf, unbounded sides, equi-keys present)
+    * is free; only candidates that pass it are MEASURED — one two-agg
+    * probe (rows + exact NDV of the combined equi-key struct) per
+    * join side, the [[graft.plan.JoinAdvisor]] discipline: a cheap
+    * pre-flight against a join that would be hours at 100 TB. The
+    * group-quadratic tell needs MULTI-ROW GROUPS ON BOTH SIDES — a
+    * 1:N enrichment join (value rows ⋈ per-bucket offsets, a salted
+    * dimension fan-out) keys N rows against ONE row per key and stays
+    * linear however small the key domain, so the fire condition is on
+    * the SMALLER side's mean group too. A fire needs all of: each
+    * side ≥ `minRows` (metadata-scale relations prove nothing),
+    * either side's key NDV ≤ `ndvCap` (a row-identity key's NDV
+    * scales with the data and keeps the join linear-ish; a domain
+    * key's does not), and BOTH sides' rows ≥ `growthFactor` × their
+    * key NDV (both groups have already outgrown the domain at test
+    * scale — at 100× the pair product only gets worse).
+    *
+    * CI-only by design ([[graft.tools]] spec gate): [[auditedCut]] stays
+    * static because it runs on every production invocation and a
+    * measurement pass there would tax the very queries it guards. */
+  def auditQuadraticSelfJoin(df: DataFrame, name: String,
+      minRows: Long = 100L, ndvCap: Long = 256L,
+      growthFactor: Long = 4L,
+      allow: Set[String] = QuadraticAllowlist): Seq[Finding] = {
+    if (allow.contains(name)) return Nil
+    val findings = Seq.newBuilder[Finding]
+    df.queryExecution.optimizedPlan.foreach {
+      case j: Join if j.condition.isDefined
+          && !bounded(j.left) && !bounded(j.right)
+          && leafIds(j.left).intersect(leafIds(j.right)).nonEmpty =>
+        val keys = equiKeyPairs(j)
+        if (keys.nonEmpty) {
+          val (rowsL, ndvL) =
+            measureKeyNdv(df.sparkSession, j.left, keys.map(_._1))
+          val (rowsR, ndvR) =
+            measureKeyNdv(df.sparkSession, j.right, keys.map(_._2))
+          val quadratic = math.min(rowsL, rowsR) >= minRows &&
+            ndvL > 0 && ndvR > 0 &&
+            math.min(ndvL, ndvR) <= ndvCap &&
+            rowsL >= growthFactor * ndvL &&
+            rowsR >= growthFactor * ndvR
+          if (quadratic)
+            findings += Finding(name, "group_quadratic_self_join",
+              s"equi-keys [${keys.map(_._1.name).mkString(", ")}] have " +
+                s"NDV $ndvL/$ndvR over $rowsL/$rowsR rows (mean groups " +
+                s"${rowsL / ndvL} x ${rowsR / ndvR}; pair space grows " +
+                "quadratically with scale): " + j.simpleString(120))
+        }
+      case _ =>
+    }
+    findings.result()
+  }
+
+  /** CROSS-SCALE confirmation for [[auditQuadraticSelfJoin]] — the CI
+    * protocol. A single-SF probe cannot tell a genuinely domain-bounded
+    * key from a small test slice: events.user_id has 15 users at
+    * sf0.001 and 1500 at sf0.1 (constant mean group 66 — a LINEAR
+    * join), while part.p_brand has 25 brands at every scale (the
+    * quadratic tell). So a fire only becomes a finding when it
+    * reproduces at EVERY listed scale factor: NDV that grows with the
+    * data clears the cap at the larger dir and the candidate clears
+    * itself; NDV that stays put keeps firing. Allowlisted names skip
+    * even the plan build (an ANN query's first build at a new dir may
+    * train its codebook). Returns the LARGEST dir's findings. */
+  def auditQuadraticConfirmed(
+      fn: (SparkSession, String) => DataFrame, name: String,
+      spark: SparkSession, dirs: Seq[String],
+      minRows: Long = 100L, ndvCap: Long = 256L,
+      growthFactor: Long = 4L,
+      allow: Set[String] = QuadraticAllowlist): Seq[Finding] = {
+    if (allow.contains(name)) return Nil
+    var last: Seq[Finding] = Nil
+    val all = dirs.forall { d =>
+      last = auditQuadraticSelfJoin(fn(spark, d), name, minRows,
+        ndvCap, growthFactor, allow = Set.empty)
+      last.nonEmpty
+    }
+    if (all && dirs.nonEmpty) last else Nil
+  }
+
+  /** Conjunction split of a join condition. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The (leftKey, rightKey) attribute pairs of a join's equality
+    * conjuncts — the keys that decide the group grain. Non-equi
+    * conjuncts (the `k1 < k2` half of a pair generator) don't shrink
+    * the group-quadratic space (they halve it) and are ignored. */
+  private def equiKeyPairs(j: Join)
+      : Seq[(AttributeReference, AttributeReference)] =
+    conjuncts(j.condition.get).collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if j.left.outputSet.contains(a)
+            && j.right.outputSet.contains(b) => (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if j.left.outputSet.contains(b)
+            && j.right.outputSet.contains(a) => (b, a)
+    }
+
+  /** Canonical identities of the leaf relations under `p`: file-source
+    * scans by root path, checkpointed/RDD leaves by RDD id, cached
+    * relations by cache-builder identity, V2 scans by table name. The
+    * same id appearing under BOTH sides of a join is the self-join
+    * tell; leaves this list doesn't recognize simply never match
+    * (conservative — a miss is a skipped measurement, never a false
+    * fire). */
+  private def leafIds(p: LogicalPlan): Set[String] = p.collect {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        "fs:" + fs.location.rootPaths.mkString(",")
+      case other =>
+        "rel:" + other.getClass.getName + "@" +
+          System.identityHashCode(other)
+    }
+    case r: LogicalRDD => "rdd:" + r.rdd.id
+    case m: InMemoryRelation =>
+      "cache:" + System.identityHashCode(m.cacheBuilder)
+    case v: DataSourceV2ScanRelation => "v2:" + v.relation.table.name()
+    case v: DataSourceV2Relation => "v2:" + v.table.name()
+  }.toSet
+
+  /** (rows, exact NDV of the combined key struct) of one join side —
+    * the measurement behind [[auditQuadraticSelfJoin]], on the exact
+    * subtree the join consumes (PlanBridge wraps the child plan;
+    * ColumnBridge addresses the key attributes by exprId so duplicate
+    * column names after self-join aliasing cannot mis-bind). */
+  private def measureKeyNdv(spark: SparkSession, side: LogicalPlan,
+      keys: Seq[AttributeReference]): (Long, Long) = {
+    import org.apache.spark.sql.functions.{count, count_distinct, lit, struct}
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+    val row = PlanBridge.dataFrame(spark, side)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(struct(keys.map(ColumnBridge.column): _*))
+          .as("ndv"))
+      .head()
+    (row.getLong(0), row.getLong(1))
   }
 
   /** Is this subtree's row count bounded by construction — i.e. has every

@@ -472,6 +472,46 @@ class ListenerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("sampler state route serves per-source mass and the last " +
+      "batch's pick count; 404 when unconfigured") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_listener_s").toString
+    val cfg = Listener.samplerCfg(s"$base/sampler")
+    // stride 100: batch 0 (a: 60+60 crosses 100 → 1 pick), batch 1
+    // (a: 90 → 120..210 crosses 200 → 1 pick; b: 40 → no pick)
+    graft.streaming.StreamingSampler.processBatch(
+      Seq(("a", 1L, 60L), ("a", 2L, 60L))
+        .toDF("source", "doc_id", "n_chars"), 0L,
+      cfg.copy(strideChars = 100L))
+    graft.streaming.StreamingSampler.processBatch(
+      Seq(("a", 3L, 90L), ("b", 10L, 40L))
+        .toDF("source", "doc_id", "n_chars"), 1L,
+      cfg.copy(strideChars = 100L))
+    // compact folds the committed deltas — the route must read the
+    // folded store identically (the boundedness the comment claims)
+    graft.streaming.StreamingSampler.compact(spark, cfg)
+    val srv = Listener.start(spark, s"$base/meta",
+      samplerDir = Some(s"$base/sampler"))
+    try {
+      val root = s"http://127.0.0.1:${srv.port}"
+      val st = get(s"$root/api/sampler/state/")
+      assert(st.statusCode() == 200)
+      assert(st.body().contains(""""last_batch": 1"""))
+      assert(st.body().contains(""""last_batch_picks": 1"""))
+      assert(st.body().contains(
+        """{"source": "a", "mass": 210}"""))
+      assert(st.body().contains(
+        """{"source": "b", "mass": 40}"""))
+      // route-table driven docs inventory
+      assert(get(s"$root/api/docs/").body()
+        .contains("/api/sampler/state"))
+    } finally srv.stop()
+    val bare = Listener.start(spark, s"$base/meta2")
+    try assert(get(s"http://127.0.0.1:${bare.port}/api/sampler/state/")
+      .statusCode() == 404)
+    finally bare.stop()
+  }
+
   test("communities route serves the label store's largest families " +
       "off the same rank store dir") {
     import spark.implicits._

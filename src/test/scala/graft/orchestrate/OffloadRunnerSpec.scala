@@ -174,8 +174,17 @@ class OffloadRunnerSpec extends SparkSpec {
       withLock = true))
     assert(steps.forall(_.ok), steps.mkString("\n"))
     val m = steps.find(_.name == "task_metrics").get
-    assert(m.detail.matches("recordsWritten=\\d+ tasks=\\d+"))
-    assert(m.detail.replaceAll("\\D+", " ").trim.split(" ").head.toLong > 0)
+    assert(m.detail.matches("recordsWritten=\\d+ transport_rows=\\d+ " +
+      "staged_rows=\\d+ transport_exact=true tasks=\\d+"), m.detail)
+    // the transport accounting is EXACT for a serial offload (r15 ask
+    // #8): the listener's rows-written delta across stage_and_load
+    // equals twice the staged count (staging write + final write), and
+    // the slice is non-empty
+    val kv = m.detail.split(" ")
+      .map(_.split("=")).map(a => a(0) -> a(1)).toMap
+    val staged = kv("staged_rows").toLong
+    assert(staged > 0L)
+    assert(kv("transport_rows").toLong === 2 * staged)
     val out = spark.read.parquet(s"$base/final")
     assert(out.filter(org.apache.spark.sql.functions.col("p_brand")
       .contains("#")).count() == 0)

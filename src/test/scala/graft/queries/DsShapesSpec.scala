@@ -872,4 +872,103 @@ class DsShapesSpec extends SparkSpec {
       rm(d)
     }
   }
+
+  /** The raw (part, yr, channel-mod, distinct orders, rev e4) cells,
+    * recomputed independently for the q339/q340 brute-force replays. */
+  private def partYearCells: Seq[(Long, Long, Long, String, Long, Long)] =
+    graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), year(col("o_orderdate")).as("yr"),
+        pmod(col("o_orderkey"), lit(3)).cast("long").as("chm"),
+        col("p_type"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        sum((col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") -
+            col("l_discount").cast("decimal(12,2)")) *
+          lit(10000)).cast("decimal(38,0)")).cast("long").as("rev"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getInt(1).toLong,
+        r.getAs[Long]("chm"), r.getAs[String]("p_type"),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("rev")))
+      .toSeq
+
+  test("q339: the frequent-item set equals the brute-force >4 store-" +
+      "order filter and its web revenue share recomputes exactly") {
+    val out = DsShapes.defs("q339_frequent_item_set")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("yr") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("n_freq_parts"),
+          r.getAs[Long]("freq_web_rev_e4"), r.getAs[Long]("web_rev_e4"),
+          r.getAs[Long]("freq_web_share_ppm"))).toMap
+    assert(out.nonEmpty)
+    // channel mod: 0 = store, 1 = web (the channelCol contract)
+    val py = partYearCells.groupBy(c => (c._1, c._2)).map {
+      case ((_, yr), cells) =>
+        val storeOrders = cells.filter(_._3 == 0L).map(_._5).sum
+        val webRev = cells.filter(_._3 == 1L).map(_._6).sum
+        (yr, storeOrders, webRev)
+    }.toSeq
+    val expected = py.groupBy(_._1).map { case (yr, xs) =>
+      val fw = xs.filter(_._2 > 4).map(_._3).sum
+      val tw = xs.map(_._3).sum
+      yr -> (xs.size.toLong, xs.count(_._2 > 4).toLong, fw, tw,
+        fw * 1000000L / math.max(tw, 1L))
+    }
+    assert(out === expected)
+    // the filter is NON-VACUOUS both ways at test scale: some parts
+    // qualify, some don't — otherwise the >4 cut proves nothing
+    assert(out.values.map(_._2).sum > 0L)
+    assert(out.values.exists { case (n, f, _, _, _) => f < n })
+  }
+
+  test("q340: promo share per (year, channel) recomputes from the " +
+      "brute-force conditional sums; channels partition the revenue") {
+    val out = DsShapes.defs("q340_promo_channel_share")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("yr"), r.getAs[String]("channel")) ->
+        (r.getAs[Long]("n_promo_parts"), r.getAs[Long]("promo_rev_e4"),
+          r.getAs[Long]("total_rev_e4"),
+          r.getAs[Long]("promo_share_ppm"))).toMap
+    assert(out.nonEmpty)
+    val chName = Map(0L -> "store", 1L -> "web", 2L -> "catalog")
+    val expected = partYearCells.groupBy(c => (c._2, chName(c._3)))
+      .map { case (k, cells) =>
+        val promo = cells.filter(_._4 == "PROMO")
+        val pr = promo.map(_._6).sum
+        val tr = cells.map(_._6).sum
+        k -> (promo.map(_._1).distinct.size.toLong, pr, tr,
+          pr * 1000000L / math.max(tr, 1L))
+      }
+    assert(out === expected)
+    // every (year, channel) cell present in the fact appears
+    assert(out.keySet === expected.keySet)
+  }
+
+  test("q341: the tau=0.5 band row IS q290's Theil-Sen slope, and the " +
+      "0.1/0.9 rows bracket it from the same ranked pair space") {
+    val band = DsShapes.defs2("q341_slope_quantile_band")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("tau_ppm")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("slope_e4"))).toMap
+    val ts = DsShapes.defs2("q290_theil_sen_trend")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("trend_e4_per_month"))).toMap
+    assert(ts.nonEmpty)
+    // every brand emits exactly the three taus, tau=0.5 ≡ q290
+    // (floor(n*0.5) + 1 = n div 2 + 1), and the band is monotone in
+    // tau — quantiles of ONE ordered pair space cannot cross
+    ts.foreach { case (brand, (n, median)) =>
+      assert(band((brand, 500000L)) === ((n, median)))
+      val lo = band((brand, 100000L))
+      val hi = band((brand, 900000L))
+      assert(lo._1 === n && hi._1 === n)
+      assert(lo._2 <= median && median <= hi._2)
+    }
+    assert(band.size === ts.size * 3)
+  }
 }

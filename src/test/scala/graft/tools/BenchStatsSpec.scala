@@ -209,4 +209,53 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(BenchStats.parseRing(
       s"""garbage\n{"sf":"$sf","contended":false}\n""", sf).isEmpty)
   }
+
+  test("ring-aware spread escalation (VERDICT r15 ask #7): chronic " +
+      "noise stops re-measuring, a fresh noise event still does") {
+    val sf = "/root/testdata/sf0.1"
+    // three clean runs record q124's spread at 2.5 / 3.4 / 2.9 — a
+    // chronically noisy query whose envelope is 3.4
+    val lines = Seq(
+      BenchStats.ringLine(1L, sf, contended = false,
+        Seq("q124" -> 0.4, "q01" -> 1.0),
+        Seq("q124" -> 2.5, "q01" -> 1.1)),
+      BenchStats.ringLine(2L, sf, contended = false,
+        Seq("q124" -> 0.5, "q01" -> 1.0),
+        Seq("q124" -> 3.4, "q01" -> 1.2)),
+      BenchStats.ringLine(3L, sf, contended = false,
+        Seq("q124" -> 0.4, "q01" -> 1.0),
+        Seq("q124" -> 2.9, "q01" -> 1.0))).mkString("\n")
+    val spreadRuns = BenchStats.parseRingSpreads(lines, sf)
+    assert(spreadRuns.length === 3)
+    val hist = spreadRuns.flatMap(_.get("q124"))
+    assert(hist === Seq(2.5, 3.4, 2.9))
+    // fresh spread 3.2: past the 3.0 threshold but INSIDE the envelope
+    // — no re-measure (this exact query re-measured every round before)
+    assert(!BenchStats.needsRemeasure(3, 3.2, 3.0, hist))
+    // fresh spread 5.0: past both — re-measures
+    assert(BenchStats.needsRemeasure(3, 5.0, 3.0, hist))
+    // no history (new query / pre-spreads ring): threshold-only, as
+    // before
+    assert(BenchStats.needsRemeasure(3, 3.2, 3.0, Nil))
+    assert(!BenchStats.needsRemeasure(3, 2.9, 3.0, Nil))
+    // reps == 1 never spread-escalates regardless of history
+    assert(!BenchStats.needsRemeasure(1, 9.9, 3.0, hist))
+    // the MEDIANS parse is bounded at its closing brace: a trailing
+    // spreads object must not bleed spread values into the baselines
+    val meds = BenchStats.parseRing(lines, sf)
+    assert(meds.length === 3)
+    assert(meds.head === Map("q124" -> 0.4, "q01" -> 1.0))
+    // a contended run's spreads are excluded from the envelope — an
+    // inflated envelope would suppress genuine re-measures
+    val contendedLine = BenchStats.ringLine(4L, sf, contended = true,
+      Seq("q124" -> 2.0), Seq("q124" -> 9.0))
+    assert(BenchStats.parseRingSpreads(lines + "\n" + contendedLine, sf)
+      .flatMap(_.get("q124")) === Seq(2.5, 3.4, 2.9))
+    // lines WITHOUT a spreads object (pre-r16 rings) contribute nothing
+    val old = BenchStats.ringLine(5L, sf, contended = false,
+      Seq("q124" -> 0.4))
+    assert(BenchStats.parseRingSpreads(old, sf).isEmpty)
+    assert(BenchStats.parseRing(old, sf) ===
+      Seq(Map("q124" -> 0.4)))
+  }
 }

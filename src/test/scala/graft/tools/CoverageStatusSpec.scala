@@ -33,8 +33,12 @@ class CoverageStatusSpec extends AnyFunSuite {
     val newest = arts.last
     val cited = "CORRECTNESS_r\\d+\\.json".r.findFirstIn(md)
     assert(cited.contains(newest),
-      s"COVERAGE.md cites ${cited.getOrElse("nothing")} but newest artifact " +
-        s"is $newest — run `python3 tools/coverage_status.py` (round-start ritual)")
+      s"COVERAGE.md STATUS is stale: it cites ${cited.getOrElse("nothing")} " +
+        s"but the newest artifact is $newest (artifact newer than STATUS — " +
+        "expected at every round boundary, the driver's artifact lands after " +
+        "the builder's last commit). Fix: run `python3 tools/coverage_status.py` " +
+        "and commit COVERAGE.md (the round-open ritual, documented in " +
+        "COVERAGE.md's header)")
   }
 
   test("cited query count matches the artifact's content") {
