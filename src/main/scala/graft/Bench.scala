@@ -129,6 +129,12 @@ object Bench {
         .getOrElse(Seq.empty)
     def spreadHist(name: String): Seq[Double] =
       ringSpreadRuns.flatMap(_.get(name))
+    // names whose LAST escalation produced no clean sample: their
+    // recorded spread is the contaminated first-pass number, and
+    // writing it into the ring would raise the historical envelope and
+    // suppress exactly the contamination events the escalation exists
+    // to catch — such spreads are withheld from the ring line
+    val unhealedSpread = scala.collection.mutable.Set.empty[String]
     // the trailing Int counts EXTRA RUNS this query executed beyond the
     // reps+warmup everyone pays — escalations stack (a spread re-measure
     // whose healed median still trips the cross-run check runs 5 + 5),
@@ -148,6 +154,7 @@ object Bench {
             "first-pass median with its " +
             "%.1f".formatLocal(java.util.Locale.ROOT, s) +
             "x spread unhealed")
+          unhealedSpread += name
           (name, fn, (t, Option.empty[String]), s, false, 5)
         } else (name, fn,
           (tools.BenchStats.median(ok), Option.empty[String]),
@@ -219,6 +226,8 @@ object Bench {
             tools.BenchStats.crossRunSuspect(t, b, bc, suspectFactor)
           } =>
         val ok = Seq.fill(5)(runOne(fn)).collect { case (t2, None) => t2 }
+        if (ok.isEmpty) unhealedSpread += name
+        else unhealedSpread -= name // a fresh clean sample replaces it
         val healed = if (ok.isEmpty) t else tools.BenchStats.median(ok)
         val (b, bc, src) = baseline(name)
         val stillSuspect = tools.BenchStats.crossRunSuspect(healed,
@@ -399,10 +408,12 @@ object Bench {
       // ages baseline entries without poisoning them.
       val ringPath = outPath.resolveSibling("ring.jsonl")
       // spreads travel with the medians: the NEXT run's spread
-      // escalation judges itself against this history
+      // escalation judges itself against this history (minus unhealed
+      // spreads — contaminated numbers must not raise the envelope)
       val ringNew = tools.BenchStats.ringLine(System.currentTimeMillis(),
         sfDir, contended,
-        results.collect { case (k, (v, None)) => k -> v }, spreads)
+        results.collect { case (k, (v, None)) => k -> v },
+        spreads.filterNot { case (k, _) => unhealedSpread.contains(k) })
       val ringOld =
         if (java.nio.file.Files.exists(ringPath))
           new String(java.nio.file.Files.readAllBytes(ringPath),

@@ -236,6 +236,9 @@ object Cli {
           //        [--rank-dir <StreamingRank store>]
           //        [--events-dir <table dir with events.parquet>]
           //        [--bench-history <bench/history.jsonl>]
+          //        [--sampler-dir <StreamingSampler base: picks + mass
+          //         siblings under it — point sampler-compact at
+          //         --picks <dir>/picks --mass <dir>/mass>]
           val srv = graft.orchestrate.Listener.start(spark, opts("meta"),
             port = opts.get("port").map(_.toInt).getOrElse(0),
             token = opts.get("token"),
@@ -243,7 +246,8 @@ object Cli {
             qualityRules = opts.get("quality-rules"),
             rankDir = opts.get("rank-dir"),
             eventsDir = opts.get("events-dir"),
-            benchHistory = opts.get("bench-history"))
+            benchHistory = opts.get("bench-history"),
+            samplerDir = opts.get("sampler-dir"))
           println(s"listening on http://127.0.0.1:${srv.port}")
           // foreground server: block until interrupted
           Thread.currentThread().join()

@@ -397,8 +397,11 @@ object OffloadRunner {
       val transportRows = postStageWritten - preStageWritten
       val stagedRows = planned.map(_ =>
         spark.read.parquet(cfg.stagingPath).count()).getOrElse(0L)
+      // settle again for the RAW total: a later Spark-writing step (an
+      // executing BigQuery sink) may still have task events in flight
+      val totalWritten = settledRecordsWritten()
       r.step("task_metrics",
-        s"recordsWritten=${metrics.totalRecordsWritten} " +
+        s"recordsWritten=$totalWritten " +
           s"transport_rows=$transportRows staged_rows=$stagedRows " +
           s"transport_exact=${transportRows == 2 * stagedRows} " +
           s"tasks=${metrics.snapshot.length}")(())

@@ -31,17 +31,33 @@ object ExplainAudit {
     override def toString: String = s"[$query] $kind: $detail"
   }
 
+  /** CI-only tap for [[auditedCut]]: when non-null, every cut ALSO runs
+    * the group-quadratic measurement on its PRE-CUT plan and streams
+    * findings here — the checkpoint collapses the plan to a
+    * `LogicalRDD` leaf, so a post-build [[auditQuadraticSelfJoin]] call
+    * (the `ExplainAuditSpec` gate) would see no Join at all and every
+    * auditedCut-wrapped query — q329's own class — would silently
+    * vacate the detector. Production leaves this null: the quadratic
+    * audit MEASURES (two aggregates per candidate join) and must not
+    * tax every real invocation the way the free static audit can. Set
+    * and cleared only by the CI spec, single-threadedly. */
+  @volatile private[graft] var quadraticSink: Finding => Unit = null
+
   /** Audit, then eagerly cut: the BOUNDED-result checkpoint pattern for
     * queries whose backing artifact is released before the caller reads
     * the plan. The cut collapses the plan to a `LogicalRDD` leaf —
     * which would silently vacate the `ExplainAuditSpec` CI gate — so
     * the audit runs HERE, on the still-visible pre-cut plan, and fails
     * the query itself (the GraphQueries `auditedCut` contract, shared
-    * so non-graph callers can't fork the semantics). */
+    * so non-graph callers can't fork the semantics). Under the CI
+    * [[quadraticSink]], the measured group-quadratic audit runs on the
+    * same pre-cut plan. */
   def auditedCut(df: DataFrame, name: String): DataFrame = {
     val findings = audit(df, name)
     require(findings.isEmpty,
       s"scale-unsafe plan in $name:\n" + findings.mkString("\n"))
+    val sink = quadraticSink
+    if (sink != null) auditQuadraticSelfJoin(df, name).foreach(sink)
     df.localCheckpoint(true)
   }
 
@@ -121,7 +137,7 @@ object ExplainAudit {
     if (allow.contains(name)) return Nil
     val findings = Seq.newBuilder[Finding]
     df.queryExecution.optimizedPlan.foreach {
-      case j: Join if j.condition.isDefined
+      case j: Join if j.condition.isDefined && pairProducing(j)
           && !bounded(j.left) && !bounded(j.right)
           && leafIds(j.left).intersect(leafIds(j.right)).nonEmpty =>
         val keys = equiKeyPairs(j)
@@ -172,6 +188,18 @@ object ExplainAudit {
       last.nonEmpty
     }
     if (all && dirs.nonEmpty) last else Nil
+  }
+
+  /** Does this join's output actually grow with the per-group pair
+    * product? Semi / anti / existence joins emit AT MOST one row per
+    * left row however many matches the right side holds — a self-semi-
+    * join on a low-NDV key is a linear membership probe, not a pair
+    * generator — so only inner/cross/outer joins are candidates. */
+  private def pairProducing(j: Join): Boolean = j.joinType match {
+    case org.apache.spark.sql.catalyst.plans.LeftSemi => false
+    case org.apache.spark.sql.catalyst.plans.LeftAnti => false
+    case _: org.apache.spark.sql.catalyst.plans.ExistenceJoin => false
+    case _ => true
   }
 
   /** Conjunction split of a join condition. */

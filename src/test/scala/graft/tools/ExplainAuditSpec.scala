@@ -17,19 +17,39 @@ import graft.SparkSpec
   * oracle hash gate cannot see. */
 class ExplainAuditSpec extends SparkSpec {
 
+  /** Build `name` at `dir` with the CI quadratic sink tapped into
+    * [[ExplainAudit.auditedCut]] (checkpoint-backed queries collapse
+    * their joins to a LogicalRDD leaf before the spec can see them, so
+    * the cut itself must report) and ALSO run the post-build audit for
+    * plain lazy queries. Returns (static findings, quadratic findings
+    * from both paths). */
+  private def auditsOf(name: String,
+      fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame,
+      dir: String)
+      : (Seq[ExplainAudit.Finding], Seq[ExplainAudit.Finding]) = {
+    val buf = Seq.newBuilder[ExplainAudit.Finding]
+    ExplainAudit.quadraticSink = f => { buf += f; () }
+    val df =
+      try fn(spark, dir)
+      finally ExplainAudit.quadraticSink = null
+    (ExplainAudit.audit(df, name),
+      buf.result() ++ ExplainAudit.auditQuadraticSelfJoin(df, name))
+  }
+
   test("every query plan is free of cartesian products, global windows, " +
       "and unreviewed scale-confirmed group-quadratic self-joins") {
     val dir = sf("sf0.001")
     val confirmDir = sf("sf0.1")
     val findings = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val df = fn(spark, dir)
-        val quad0 = ExplainAudit.auditQuadraticSelfJoin(df, name)
+        val (statics, quad0) = auditsOf(name, fn, dir)
+        // cross-scale confirmation: only a fire that reproduces at the
+        // larger dir is a finding (constant-mean-group keys clear)
         val quad =
           if (quad0.isEmpty) Nil
-          else ExplainAudit.auditQuadraticConfirmed(fn, name, spark,
-            Seq(confirmDir))
-        ExplainAudit.audit(df, name) ++ quad
+          else auditsOf(name, fn, confirmDir)._2
+        statics ++ quad
     }
     assert(findings.isEmpty, findings.mkString("\n"))
   }
@@ -119,5 +139,42 @@ class ExplainAuditSpec extends SparkSpec {
       .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
     assert(ExplainAudit.auditQuadraticSelfJoin(allowed, "reviewed_case",
       allow = Set("reviewed_case")).isEmpty)
+    // SEMI-JOIN on the same tiny key: a membership probe emits at most
+    // one row per left row — linear, never a pair generator — so the
+    // join-type screen keeps it quiet however small the key domain
+    val brands = graft.Tables.load(spark, dir, "part")
+      .filter(col("p_size") > 25).select(col("p_brand"))
+    val semi = p.join(brands, Seq("p_brand"), "left_semi")
+    assert(ExplainAudit.auditQuadraticSelfJoin(semi, "synthetic_semi",
+      allow = Set.empty).isEmpty)
+  }
+
+  test("the quadratic sink catches an auditedCut-wrapped offender whose " +
+      "post-cut plan is a bare LogicalRDD leaf") {
+    val dir = sf("sf0.001")
+    val p = graft.Tables.load(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"))
+    def offender() = p.toDF("p_brand", "k1")
+      .join(p.toDF("p_brand", "k2"), "p_brand")
+      .filter(col("k1") < col("k2"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    // sink tapped: the cut reports the pre-cut join
+    val buf = Seq.newBuilder[ExplainAudit.Finding]
+    ExplainAudit.quadraticSink = f => { buf += f; () }
+    val cut =
+      try ExplainAudit.auditedCut(offender(), "synthetic_cut_offender")
+      finally ExplainAudit.quadraticSink = null
+    try {
+      val sunk = buf.result()
+      assert(sunk.nonEmpty && sunk.head.kind === "group_quadratic_self_join")
+      assert(sunk.head.query === "synthetic_cut_offender")
+      // and the post-cut plan is exactly the blind spot: no Join left
+      assert(ExplainAudit.auditQuadraticSelfJoin(cut,
+        "synthetic_cut_offender", allow = Set.empty).isEmpty)
+      // sink cleared: a fresh cut of the same offender reports nothing
+      // (production path — the measurement must not run)
+      ExplainAudit.auditedCut(offender(), "synthetic_cut_offender")
+      assert(buf.result() === sunk)
+    } finally graft.operators.Graph.release(cut)
   }
 }
