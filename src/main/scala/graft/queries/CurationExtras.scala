@@ -1344,6 +1344,46 @@ object CurationExtras {
         graft.tools.ExplainAudit
           .auditedCut(out, "q330_dormancy_survival")
       } finally graft.operators.Graph.release(last)
+    },
+
+    // VOCABULARY GINI per language: how concentrated is the token
+    // frequency distribution (a near-1 Gini = a few stopword types
+    // carry the corpus — the single summary number behind q194's Zipf
+    // spread and the Heaps'-law growth view). EXACT integral Gini
+    // with no sort of the type table: with types ordered by frequency,
+    // G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), and runs of EQUAL
+    // frequency contribute c·(m·prev + m(m+1)/2) to Σ i·xᵢ regardless
+    // of intra-run order — so the whole statistic computes on the
+    // COUNT-OF-COUNTS grain (bounded: distinct frequency values are
+    // O(√tokens) by Zipf), one partitioned window for the exclusive
+    // prefix, DECIMAL(38) sums (Σ i·xᵢ is rank×mass scale and
+    // overflows BIGINT at corpus scale). Numerator is non-negative by
+    // the rearrangement inequality, so truncation ≡ floor across
+    // engines.
+    "q345_vocab_gini" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cc = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.operators.TextAnalysis.tokens(
+            lower(col("text")))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lang"), col("cnt"))
+        .agg(count(lit(1)).as("m"))
+      val wl = Window.partitionBy(col("lang")).orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cc.withColumn("prev", coalesce(sum(col("m")).over(wl), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(sum(col("m")).as("n_types"),
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * m")).as("s0"),
+          sum(expr("""CAST(cnt AS DECIMAL(38,0))
+            * (m * prev + m * (m + 1) div 2)""")).as("s1"))
+        .select(col("lang"), col("n_types"),
+          col("s0").cast("long").as("n_tokens"),
+          expr("""CAST((2 * s1 - (n_types + 1) * s0) * 1000000
+                  div (CAST(n_types AS DECIMAL(38,0)) * s0)
+                  AS BIGINT)""").as("gini_ppm"))
+        .orderBy(col("lang"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -2485,5 +2525,29 @@ object CurationExtras {
              AS BIGINT) AS n_dormant,
            CAST(SUM(CASE WHEN gap >= threshold_days THEN 1 ELSE 0 END)
              * 1000000 // COUNT(*) AS BIGINT) AS dormant_ppm
-         FROM gaps, th GROUP BY 1 ORDER BY threshold_days""")
+         FROM gaps, th GROUP BY 1 ORDER BY threshold_days""",
+
+    "q345_vocab_gini" ->
+      """WITH tc AS (SELECT lang, tok, COUNT(*) AS cnt
+         FROM (SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS tok
+           FROM documents) t
+         GROUP BY 1, 2),
+         cc AS (SELECT lang, cnt, COUNT(*) AS m FROM tc GROUP BY 1, 2),
+         pr AS (SELECT lang, cnt, m,
+             COALESCE(SUM(m) OVER (PARTITION BY lang ORDER BY cnt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prev
+           FROM cc),
+         ag AS (SELECT lang, SUM(m) AS n_types,
+             SUM(CAST(cnt AS HUGEINT) * m) AS s0,
+             SUM(CAST(cnt AS HUGEINT)
+               * (m * prev + m * (m + 1) // 2)) AS s1
+           FROM pr GROUP BY 1)
+         SELECT lang, CAST(n_types AS BIGINT) AS n_types,
+           CAST(s0 AS BIGINT) AS n_tokens,
+           CAST((2 * s1 - (n_types + 1) * s0) * 1000000
+             // (CAST(n_types AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
+         FROM ag ORDER BY lang""")
 }

@@ -1254,6 +1254,101 @@ object DsShapes {
         .orderBy(col("p_brand"), col("tau_ppm"))
     },
 
+    // BENFORD first-digit profile per channel: the classic books-
+    // cooking screen pointed at order totals — does each channel's
+    // value distribution carry the log-law leading-digit mix, and
+    // which digit deviates most? The digit extracts EXACTLY (first
+    // character of the cents integer's decimal rendering — never a
+    // float log10, whose boundary values differ between engines), the
+    // expected shares are the floor(log10(1+1/d)·1e6) ppm literals,
+    // and the observed share is one truncating division of
+    // non-negative integers. One grouped scan; the channel total via
+    // one partitioned window over the ≤27-cell aggregate.
+    "q342_benford_digits" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "orders")
+        .groupBy(channelCol.as("channel"),
+          substring((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").cast("string"), 1, 1).cast("long")
+            .as("digit"))
+        .agg(count(lit(1)).as("n_orders"))
+      val wc = Window.partitionBy(col("channel"))
+      d.withColumn("n_channel", sum(col("n_orders")).over(wc))
+        .select(col("channel"), col("digit"), col("n_orders"),
+          expr("CAST(n_orders * 1000000 div n_channel AS BIGINT)")
+            .as("obs_ppm"),
+          expr("""CAST(element_at(array(301029, 176091, 124938, 96910,
+                  79181, 66946, 57991, 51152, 45757),
+                  CAST(digit AS INT)) AS BIGINT)""").as("benford_ppm"))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+        .orderBy(col("channel"), col("digit"))
+    },
+
+    // BASKET-SIZE BANDS per channel (TPC-DS Q73/Q34's frequent-shopper
+    // shape on this schema): orders banded by line count — the order
+    // profile a fulfillment planner reads (is the web channel the
+    // single-line channel?). The per-order count is one fact
+    // aggregate; banding and shares run on the ORDER-grain relation
+    // (bands bounded: TPC-H orders carry ≤ ~13 lines), the share is a
+    // truncating division of non-negative integers, and the channel
+    // total rides one partitioned window over the ≤9-cell band grid.
+    "q343_basket_size_bands" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+        .select(channelCol(col("l_orderkey")).as("channel"),
+          expr("""CASE WHEN n_lines <= 3 THEN '1-3'
+                  WHEN n_lines <= 7 THEN '4-7'
+                  ELSE '8+' END""").as("band"),
+          col("n_lines"))
+      val cells = per.groupBy(col("channel"), col("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("n_lines")).as("n_lines"))
+      val wc = Window.partitionBy(col("channel"))
+      cells.withColumn("n_channel", sum(col("n_orders")).over(wc))
+        .select(col("channel"), col("band"), col("n_orders"),
+          col("n_lines").cast("long").as("n_lines"),
+          expr("CAST(n_orders * 1000000 div n_channel AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("channel"), col("band"))
+    },
+
+    // COHORT RETENTION GRID: customers grouped by their FIRST order
+    // month, tracked by months-since-cohort — the acquisition-quality
+    // curve every growth team reads (do 1996 cohorts return at the
+    // same rate as 1997's?). The cohort assignment is one window MIN
+    // partitioned by customer (row-scale key — linear), activity
+    // dedups to (customer, cohort, offset) once, and the grid is
+    // bounded by the calendar squared (≤ 80×80 cells); the k = 0
+    // column IS the cohort size (a customer's first month is an
+    // active month), read back via one partitioned window over the
+    // grid, never a join. Retention is exact ppm, non-negative
+    // truncating division.
+    "q344_cohort_retention" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val om = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          ((year(col("o_orderdate")) - 1995) * 12 +
+            (month(col("o_orderdate")) - 1)).cast("long").as("mi"))
+      val wCust = Window.partitionBy(col("o_custkey"))
+      val grid = om
+        .withColumn("cohort", min(col("mi")).over(wCust))
+        .select(col("o_custkey"), col("cohort"),
+          (col("mi") - col("cohort")).as("k"))
+        .distinct()
+        .groupBy(col("cohort"), col("k"))
+        .agg(count(lit(1)).as("n_active"))
+      val wCohort = Window.partitionBy(col("cohort"))
+      grid
+        .withColumn("n_cohort",
+          max(when(col("k") === 0, col("n_active"))).over(wCohort))
+        .select(col("cohort"), col("k"), col("n_active"),
+          col("n_cohort"),
+          expr("CAST(n_active * 1000000 div n_cohort AS BIGINT)")
+            .as("retention_ppm"))
+        .orderBy(col("cohort"), col("k"))
+    },
+
     // Web-vs-store cumulative crossover (TPC-DS Q51 shape): per brand,
     // the first 1997 month where the WEB channel's cumulative revenue
     // overtakes the STORE channel's. The DS signature moves intact: two
@@ -1726,6 +1821,63 @@ object DsShapes {
            taus(tau_ppm)
          WHERE rk = n_pairs * tau_ppm // 1000000 + 1
          ORDER BY p_brand, tau_ppm""",
+
+    "q342_benford_digits" ->
+      s"""WITH d AS (SELECT $ChannelSql AS channel,
+           CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+             * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           COUNT(*) AS n_orders
+         FROM orders GROUP BY 1, 2),
+         w AS (SELECT channel, digit, n_orders,
+             SUM(n_orders) OVER (PARTITION BY channel) AS n_channel
+           FROM d),
+         s AS (SELECT channel, digit, n_orders,
+             CAST(n_orders * 1000000 // n_channel AS BIGINT)
+               AS obs_ppm,
+             CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+               WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+               WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+               WHEN 9 THEN 45757 END AS BIGINT) AS benford_ppm
+           FROM w)
+         SELECT channel, digit, n_orders, obs_ppm, benford_ppm,
+           CAST(abs(obs_ppm - benford_ppm) AS BIGINT) AS dev_ppm
+         FROM s ORDER BY channel, digit""",
+
+    "q343_basket_size_bands" ->
+      s"""WITH per AS (SELECT l_orderkey, COUNT(*) AS n_lines
+           FROM lineitem GROUP BY 1),
+         b AS (SELECT ${channelSql("l_orderkey")} AS channel,
+             CASE WHEN n_lines <= 3 THEN '1-3'
+               WHEN n_lines <= 7 THEN '4-7' ELSE '8+' END AS band,
+             COUNT(*) AS n_orders, SUM(n_lines) AS n_lines
+           FROM per GROUP BY 1, 2),
+         w AS (SELECT channel, band, n_orders, n_lines,
+             SUM(n_orders) OVER (PARTITION BY channel) AS n_channel
+           FROM b)
+         SELECT channel, band, n_orders,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_orders * 1000000 // n_channel AS BIGINT) AS share_ppm
+         FROM w ORDER BY channel, band""",
+
+    "q344_cohort_retention" ->
+      """WITH om AS (SELECT o_custkey,
+           CAST((year(o_orderdate) - 1995) * 12
+             + (month(o_orderdate) - 1) AS BIGINT) AS mi
+         FROM orders),
+         c AS (SELECT DISTINCT o_custkey,
+             MIN(mi) OVER (PARTITION BY o_custkey) AS cohort,
+             mi - MIN(mi) OVER (PARTITION BY o_custkey) AS k
+           FROM om),
+         g AS (SELECT cohort, k, COUNT(*) AS n_active
+           FROM c GROUP BY 1, 2),
+         w AS (SELECT cohort, k, n_active,
+             MAX(CASE WHEN k = 0 THEN n_active END)
+               OVER (PARTITION BY cohort) AS n_cohort
+           FROM g)
+         SELECT cohort, k, n_active, n_cohort,
+           CAST(n_active * 1000000 // n_cohort AS BIGINT)
+             AS retention_ppm
+         FROM w ORDER BY cohort, k""",
 
     "q286_web_store_crossover" ->
       s"""WITH m AS (SELECT p_brand,

@@ -947,6 +947,106 @@ class DsShapesSpec extends SparkSpec {
     assert(out.keySet === expected.keySet)
   }
 
+  test("q342: Benford digits recompute from brute-force first-char " +
+      "counts; shares sum to ~1e6 per channel; literals are the log law") {
+    val out = DsShapes.defs2("q342_benford_digits")(spark, dir).collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("digit")) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("obs_ppm"),
+          r.getAs[Long]("benford_ppm"), r.getAs[Long]("dev_ppm"))).toMap
+    assert(out.nonEmpty)
+    val cents = graft.Tables.load(spark, dir, "orders")
+      .select(pmod(col("o_orderkey"), lit(3)).cast("long").as("chm"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val chName = Map(0L -> "store", 1L -> "web", 2L -> "catalog")
+    val expected = cents
+      .map { case (m, c) => (chName(m), c.toString.head.asDigit.toLong) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(out.keySet === expected.keySet)
+    val perChannel = expected.groupBy(_._1._1)
+      .map { case (ch, m) => ch -> m.values.sum }
+    out.foreach { case ((ch, d), (n, obs, ben, dev)) =>
+      assert(n === expected((ch, d)))
+      assert(obs === n * 1000000L / perChannel(ch))
+      assert(ben === math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+      assert(dev === math.abs(obs - ben))
+    }
+    // per-channel observed shares telescope to 1e6 (minus ≤9 ulps of
+    // truncation)
+    perChannel.keys.foreach { ch =>
+      val tot = out.collect { case ((c, _), (_, o, _, _)) if c == ch => o }
+        .sum
+      assert(tot <= 1000000L && tot > 1000000L - 9L)
+    }
+  }
+
+  test("q343: basket bands recompute from brute-force per-order line " +
+      "counts; bands partition every order exactly once") {
+    val out = DsShapes.defs2("q343_basket_size_bands")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[String]("band")) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("share_ppm"))).toMap
+    val per = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .select(pmod(col("l_orderkey"), lit(3)).cast("long").as("chm"),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n")))
+    val chName = Map(0L -> "store", 1L -> "web", 2L -> "catalog")
+    def band(n: Long) = if (n <= 3) "1-3" else if (n <= 7) "4-7" else "8+"
+    val expected = per.groupBy { case (m, n) => (chName(m), band(n)) }
+      .map { case (k, xs) =>
+        k -> (xs.length.toLong, xs.map(_._2).sum)
+      }
+    assert(out.keySet === expected.keySet)
+    val chTot = per.groupBy(p => chName(p._1))
+      .map { case (ch, xs) => ch -> xs.length.toLong }
+    out.foreach { case ((ch, b), (n, lines, share)) =>
+      assert((n, lines) === expected((ch, b)))
+      assert(share === n * 1000000L / chTot(ch))
+    }
+    // bands PARTITION the orders: per-channel band counts sum to the
+    // channel's order count
+    chTot.foreach { case (ch, t) =>
+      assert(out.collect {
+        case ((c, _), (n, _, _)) if c == ch => n }.sum === t)
+    }
+  }
+
+  test("q344: cohort retention recomputes from a brute-force first-" +
+      "month replay; k=0 is the cohort census and retention never " +
+      "exceeds it") {
+    val out = DsShapes.defs2("q344_cohort_retention")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("k")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"),
+          r.getAs[Long]("retention_ppm"))).toMap
+    assert(out.nonEmpty)
+    val om = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        ((year(col("o_orderdate")) - 1995) * 12 +
+          (month(col("o_orderdate")) - 1)).cast("long").as("mi"))
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getLong(1)))
+    val byCust = om.groupBy(_._1)
+    val cells = byCust.toSeq.flatMap { case (_, xs) =>
+      val cohort = xs.map(_._2).min
+      xs.map(_._2).distinct.map(mi => (cohort, mi - cohort))
+    }
+    val expected = cells.groupBy(identity)
+      .map { case (k, xs) => k -> xs.length.toLong }
+    assert(out.keySet === expected.keySet)
+    val census = expected.collect { case ((c, 0L), n) => c -> n }
+    out.foreach { case ((c, k), (n, nc, ppm)) =>
+      assert(n === expected((c, k)))
+      assert(nc === census(c))
+      assert(n <= nc, "retention can never exceed the cohort census")
+      assert(ppm === n * 1000000L / nc)
+    }
+    // every customer contributes a k=0 cell: census totals = customers
+    assert(census.values.sum === byCust.size.toLong)
+  }
+
   test("q341: the tau=0.5 band row IS q290's Theil-Sen slope, and the " +
       "0.1/0.9 rows bracket it from the same ranked pair space") {
     val band = DsShapes.defs2("q341_slope_quantile_band")(spark, dir)

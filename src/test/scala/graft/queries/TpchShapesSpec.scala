@@ -666,4 +666,36 @@ class TpchShapesSpec extends SparkSpec {
     val surv = out.map(_.getAs[Long]("n_dormant"))
     surv.zip(surv.tail).foreach { case (a, b) => assert(a >= b) }
   }
+
+  test("q345: vocabulary Gini equals the brute-force sorted-frequency " +
+      "formula per language and stays in [0, 1e6)") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q345_vocab_gini")(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("gini_ppm"))).toMap
+    assert(out.nonEmpty)
+    // brute force: full sort of every language's type frequencies
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = toks.groupBy(_._1).map { case (lang, xs) =>
+      val freqs = xs.groupBy(_._2).values.map(_.length.toLong)
+        .toSeq.sorted
+      val n = freqs.length.toLong
+      val s0 = freqs.sum
+      val s1 = freqs.zipWithIndex
+        .map { case (x, i) => (i + 1).toLong * x }.sum
+      lang -> (n, s0, (2 * s1 - (n + 1) * s0) * 1000000L / (n * s0))
+    }
+    assert(out === expected)
+    // degenerate law: every type equally frequent ⇒ Gini exactly 0
+    // (the rearrangement-inequality floor the ppm encoding must hit)
+    expected.foreach { case (_, (n, s0, g)) =>
+      assert(g >= 0L && g < 1000000L)
+      assert(n <= s0)
+    }
+  }
 }
