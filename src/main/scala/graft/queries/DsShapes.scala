@@ -771,6 +771,126 @@ object DsShapes {
   /** Round-11 stretch wave. */
   val defs2: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // KRUSKAL–WALLIS H across the THREE channels on order values: the
+    // k-sample generalization of q337's two-sample Mann–Whitney — do
+    // web, store, and catalog draw from one value distribution? Fully
+    // rank-based and integral: midranks live in HALF-UNITS
+    // (midrank2 = 2·prior + t + 1, so ties never create fractions),
+    // the prior-count prefix comes from the q328/q337 TWO-PHASE
+    // prefix sum over the value grain (bucket offsets + within-bucket
+    // window — no unpartitioned window ever touches the value grain),
+    // and H lands in ppm with exactly two truncating divisions of
+    // non-negative integers (per-group R²/(4n) terms, then the
+    // 12/(N(N+1)) scale), replicated verbatim in the oracle. Ties are
+    // handled by midranks; the optional tie-correction divisor is
+    // deliberately omitted (documented classic uncorrected H).
+    "q346_kruskal_wallis" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val vals = t(s, dir, "orders")
+        .groupBy((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("v"))
+        .agg(sum(when(channelCol === "web", 1L).otherwise(0L))
+            .as("cw"),
+          sum(when(channelCol === "store", 1L).otherwise(0L))
+            .as("cs"),
+          sum(when(channelCol === "catalog", 1L).otherwise(0L))
+            .as("cc"))
+        .withColumn("ct", col("cw") + col("cs") + col("cc"))
+        .withColumn("bkt", expr("v div 1000000"))
+      val bsum = vals.groupBy(col("bkt"))
+        .agg(sum(col("ct")).as("bt"))
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = bsum
+        .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = vals
+        .withColumn("inb", coalesce(sum(col("ct")).over(wIn), lit(0L)))
+        .join(broadcast(offs), "bkt")
+        .withColumn("mr2",
+          lit(2L) * (col("off") + col("inb")) + col("ct") + 1L)
+      ranked.agg(
+          sum(col("cw")).as("n_web"), sum(col("cs")).as("n_store"),
+          sum(col("cc")).as("n_catalog"),
+          sum(expr("CAST(cw AS DECIMAL(38,0)) * mr2")).as("r2w"),
+          sum(expr("CAST(cs AS DECIMAL(38,0)) * mr2")).as("r2s"),
+          sum(expr("CAST(cc AS DECIMAL(38,0)) * mr2")).as("r2c"))
+        .select(col("n_web"), col("n_store"), col("n_catalog"),
+          col("r2w").cast("long").as("ranksum2_web"),
+          col("r2s").cast("long").as("ranksum2_store"),
+          col("r2c").cast("long").as("ranksum2_catalog"),
+          // Spark's div yields BIGINT, so the per-group terms lift
+          // back to DECIMAL(38) before the 12e6 scale (which overflows
+          // long); DuckDB stays in HUGEINT throughout — identical
+          // integer values either way (non-negative ⇒ floor ≡ trunc)
+          expr("""CAST(12 * CAST(r2w * r2w div (4 * n_web)
+                    + r2s * r2s div (4 * n_store)
+                    + r2c * r2c div (4 * n_catalog)
+                    AS DECIMAL(38,0)) * 1000000
+                  div ((n_web + n_store + n_catalog)
+                    * (n_web + n_store + n_catalog + 1))
+                  - 3 * (n_web + n_store + n_catalog + 1) * 1000000
+                  AS BIGINT)""").as("h_ppm"))
+    },
+
+    // Supplier HERFINDAHL–HIRSCHMAN index per brand: how concentrated
+    // is each brand's supply base (HHI 1e6 = a sole supplier — the
+    // merger-review statistic beside q332's breadth count and q345's
+    // Gini)? Exactly integral: HHI = Σ qᵢ² / (Σ qᵢ)² over supplier
+    // quantity shares needs ONE truncating division of non-negative
+    // DECIMAL(38) integers. One fact pass to (brand, supplier) grain,
+    // one bounded per-brand aggregate.
+    "q347_supplier_hhi" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_suppkey"))
+        .agg(sum((col("l_quantity").cast("decimal(12,2)") * 100)
+          .cast("long")).as("q"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(expr("CAST(q AS DECIMAL(38,0))")).as("sq"),
+          sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sq2"))
+        .select(col("p_brand"), col("n_suppliers"),
+          col("sq").cast("long").as("qty_e2"),
+          expr("CAST(sq2 * 1000000 div (sq * sq) AS BIGINT)")
+            .as("hhi_ppm"))
+        .orderBy(col("p_brand"))
+    },
+
+    // SEASONAL INDEX by month-of-year: classical ratio-to-moving-
+    // average decomposition of monthly revenue — which calendar months
+    // run structurally hot against their own 12-month trend? The
+    // centered MA-12 window runs over the MONTH-GRAIN aggregate
+    // (≤80 rows, bounded by the calendar — an unpartitioned frame over
+    // a bounded aggregate, the audit-sanctioned shape), edges without
+    // a full 12-month window are excluded, and both divisions
+    // (ratio-to-trend, then the month-of-year mean) are truncating
+    // over non-negative integers — rev·12e6 div window-sum keeps the
+    // ratio to ONE division.
+    "q348_seasonal_index" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .groupBy(((year(col("o_orderdate")) - 1995) * 12 +
+            (month(col("o_orderdate")) - 1)).cast("long").as("mi"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(38,0)")).as("rev"))
+      val w12 = Window.orderBy(col("mi")).rowsBetween(-6, 5)
+      m.withColumn("wsum", sum(col("rev")).over(w12))
+        .withColumn("wn", count(lit(1)).over(w12))
+        .filter(col("wn") === 12)
+        .select((col("mi") % 12).as("moy"),
+          expr("CAST(rev * 12000000 div wsum AS BIGINT)").as("ratio"))
+        .groupBy(col("moy"))
+        .agg(count(lit(1)).as("n_windows"),
+          expr("CAST(sum(ratio) div count(1) AS BIGINT)")
+            .as("seasonal_ppm"))
+        .orderBy(col("moy"))
+    },
+
     // Top slices PER ROLLUP LEVEL (TPC-DS Q67's exact shape: the rollup
     // and the rank over it share ONE aggregate pass): rollup over
     // (brand, size bucket), then each level — detail, brand subtotal,
@@ -1878,6 +1998,75 @@ object DsShapes {
            CAST(n_active * 1000000 // n_cohort AS BIGINT)
              AS retention_ppm
          FROM w ORDER BY cohort, k""",
+
+    "q346_kruskal_wallis" ->
+      s"""WITH vals AS (SELECT
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS v,
+           SUM(CASE WHEN $ChannelSql = 'web' THEN 1 ELSE 0 END) AS cw,
+           SUM(CASE WHEN $ChannelSql = 'store' THEN 1 ELSE 0 END)
+             AS cs,
+           SUM(CASE WHEN $ChannelSql = 'catalog' THEN 1 ELSE 0 END)
+             AS cc
+         FROM orders GROUP BY 1),
+         r AS (SELECT cw, cs, cc, cw + cs + cc AS ct,
+             COALESCE(SUM(cw + cs + cc) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior
+           FROM vals),
+         m AS (SELECT cw, cs, cc, 2 * prior + ct + 1 AS mr2 FROM r),
+         ag AS (SELECT
+             CAST(SUM(cw) AS BIGINT) AS n_web,
+             CAST(SUM(cs) AS BIGINT) AS n_store,
+             CAST(SUM(cc) AS BIGINT) AS n_catalog,
+             SUM(CAST(cw AS HUGEINT) * mr2) AS r2w,
+             SUM(CAST(cs AS HUGEINT) * mr2) AS r2s,
+             SUM(CAST(cc AS HUGEINT) * mr2) AS r2c
+           FROM m)
+         SELECT n_web, n_store, n_catalog,
+           CAST(r2w AS BIGINT) AS ranksum2_web,
+           CAST(r2s AS BIGINT) AS ranksum2_store,
+           CAST(r2c AS BIGINT) AS ranksum2_catalog,
+           CAST(12 * (r2w * r2w // (4 * n_web)
+               + r2s * r2s // (4 * n_store)
+               + r2c * r2c // (4 * n_catalog)) * 1000000
+             // ((n_web + n_store + n_catalog)
+               * (n_web + n_store + n_catalog + 1))
+             - 3 * (n_web + n_store + n_catalog + 1) * 1000000
+             AS BIGINT) AS h_ppm
+         FROM ag""",
+
+    "q347_supplier_hhi" ->
+      """WITH bs AS (SELECT p_brand, l_suppkey,
+           SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+             AS BIGINT)) AS q
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2)
+         SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(q AS HUGEINT)) AS BIGINT) AS qty_e2,
+           CAST(SUM(CAST(q AS HUGEINT) * q) * 1000000
+             // (SUM(CAST(q AS HUGEINT))
+               * SUM(CAST(q AS HUGEINT))) AS BIGINT) AS hhi_ppm
+         FROM bs GROUP BY 1 ORDER BY p_brand""",
+
+    "q348_seasonal_index" ->
+      """WITH m AS (SELECT CAST((year(o_orderdate) - 1995) * 12
+             + (month(o_orderdate) - 1) AS BIGINT) AS mi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+             AS HUGEINT) AS rev
+         FROM orders GROUP BY 1),
+         w AS (SELECT mi, rev,
+             SUM(rev) OVER (ORDER BY mi
+               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS wsum,
+             COUNT(*) OVER (ORDER BY mi
+               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS wn
+           FROM m),
+         r AS (SELECT mi % 12 AS moy,
+             CAST(rev * 12000000 // wsum AS BIGINT) AS ratio
+           FROM w WHERE wn = 12)
+         SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS seasonal_ppm
+         FROM r GROUP BY 1 ORDER BY moy""",
 
     "q286_web_store_crossover" ->
       s"""WITH m AS (SELECT p_brand,

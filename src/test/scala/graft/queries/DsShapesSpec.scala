@@ -1047,6 +1047,109 @@ class DsShapesSpec extends SparkSpec {
     assert(census.values.sum === byCust.size.toLong)
   }
 
+  test("q346: Kruskal-Wallis recomputes from a brute-force midrank " +
+      "replay; rank sums telescope to N(N+1)") {
+    val r = DsShapes.defs2("q346_kruskal_wallis")(spark, dir)
+      .collect().head
+    val cents = graft.Tables.load(spark, dir, "orders")
+      .select(pmod(col("o_orderkey"), lit(3)).cast("long").as("chm"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    // brute force: sort every value, assign 2x midranks per tie run
+    val sorted = cents.sortBy(_._2)
+    val mr2ByV = sorted.map(_._2).zipWithIndex
+      .groupBy(_._1).map { case (v, xs) =>
+        // 2*midrank = 2*(first 1-based rank) + (ties - 1)
+        v -> (2L * (xs.map(_._2).min + 1) + (xs.length - 1))
+      }
+    val groups = cents.groupBy(_._1)
+    val n = Map(0L -> "store", 1L -> "web", 2L -> "catalog")
+      .map { case (m, name) =>
+        name -> groups.getOrElse(m, Array.empty).length.toLong }
+    val r2 = Map(0L -> "store", 1L -> "web", 2L -> "catalog")
+      .map { case (m, name) =>
+        name -> groups.getOrElse(m, Array.empty)
+          .map(x => mr2ByV(x._2)).sum }
+    assert(r.getAs[Long]("n_web") === n("web"))
+    assert(r.getAs[Long]("n_store") === n("store"))
+    assert(r.getAs[Long]("n_catalog") === n("catalog"))
+    assert(r.getAs[Long]("ranksum2_web") === r2("web"))
+    assert(r.getAs[Long]("ranksum2_store") === r2("store"))
+    assert(r.getAs[Long]("ranksum2_catalog") === r2("catalog"))
+    // rank sums telescope: Σ 2·rank over ALL rows = N(N+1)
+    val bigN = n.values.sum
+    assert(r2.values.sum === bigN * (bigN + 1))
+    // H replay with the query's exact truncation order
+    val term = Seq("web", "store", "catalog")
+      .map(c => (BigInt(r2(c)) * r2(c)) / (4 * n(c))).sum
+    val h = (BigInt(12) * term * 1000000) / (bigN * (bigN + 1)) -
+      BigInt(3) * (bigN + 1) * 1000000
+    assert(r.getAs[Long]("h_ppm") === h.toLong)
+  }
+
+  test("q347: supplier HHI recomputes from brute-force shares; a sole-" +
+      "supplier brand would score 1e6 and every score is in (0, 1e6]") {
+    val out = DsShapes.defs2("q347_supplier_hhi")(spark, dir).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_suppliers"), r.getAs[Long]("qty_e2"),
+          r.getAs[Long]("hhi_ppm"))).toMap
+    assert(out.nonEmpty)
+    val qs = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum((col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("long")).as("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("q")))
+    val expected = qs.groupBy(_._1).map { case (b, xs) =>
+      val q = xs.map(x => BigInt(x._2))
+      b -> (xs.length.toLong, q.sum.toLong,
+        ((q.map(x => x * x).sum * 1000000) / (q.sum * q.sum)).toLong)
+    }
+    assert(out === expected)
+    out.values.foreach { case (ns, _, hhi) =>
+      assert(hhi > 0L && hhi <= 1000000L)
+      // HHI is bounded below by the equal-share floor 1e6/n
+      assert(hhi >= 1000000L / ns)
+    }
+  }
+
+  test("q348: seasonal indices recompute from a brute-force centered " +
+      "MA-12 replay; edge months without a full window are excluded") {
+    val out = DsShapes.defs2("q348_seasonal_index")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("moy") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("seasonal_ppm")))
+      .toMap
+    assert(out.nonEmpty)
+    val m = graft.Tables.load(spark, dir, "orders")
+      .groupBy(((year(col("o_orderdate")) - 1995) * 12 +
+          (month(col("o_orderdate")) - 1)).cast("long").as("mi"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("decimal(38,0)")).cast("long").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val ratios = m.indices.flatMap { i =>
+      val lo = i - 6
+      val hi = i + 5
+      if (lo < 0 || hi >= m.length) None // edge: no full 12-month window
+      else {
+        val wsum = (lo to hi).map(j => BigInt(m(j)._2)).sum
+        Some((m(i)._1 % 12,
+          (BigInt(m(i)._2) * 12000000 / wsum).toLong))
+      }
+    }
+    val expected = ratios.groupBy(_._1).map { case (moy, xs) =>
+      moy -> (xs.length.toLong,
+        xs.map(x => BigInt(x._2)).sum.toLong / xs.length)
+    }
+    assert(out === expected)
+    // the excluded edges are real: fewer windows than months
+    assert(out.values.map(_._1).sum < m.length.toLong)
+  }
+
   test("q341: the tau=0.5 band row IS q290's Theil-Sen slope, and the " +
       "0.1/0.9 rows bracket it from the same ranked pair space") {
     val band = DsShapes.defs2("q341_slope_quantile_band")(spark, dir)
