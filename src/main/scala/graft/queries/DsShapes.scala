@@ -45,23 +45,58 @@ object DsShapes {
 
   private[queries] val ChannelSql = channelSql("o_orderkey")
 
+  /** The order-date MONTH INDEX (months since the synthetic calendar's
+    * 1995-01 epoch) — ONE definition for every order-month time grid
+    * (q344 cohort retention, q348 seasonal index), with [[MonthIdxSql]]
+    * as its DuckDB face, so the epoch can never drift between the
+    * queries that share a time axis. */
+  private def monthIdxCol: Column =
+    ((year(col("o_orderdate")) - 1995) * 12 +
+      (month(col("o_orderdate")) - 1)).cast("long")
+
+  /** [[monthIdxCol]]'s DuckDB face. */
+  private val MonthIdxSql =
+    """CAST((year(o_orderdate) - 1995) * 12
+         + (month(o_orderdate) - 1) AS BIGINT)"""
+
   /** The (order-value, per-channel count) VALUE-GRAIN relation — ONE
-    * definition shared by the distributional channel comparisons
-    * (q328 KS distance, q337 AUC) and mirrored in SQL by
-    * [[ChannelValsSql]], so the pair can never desynchronize on the
-    * cents cast or the channel split. `bkt` is the $10k band the
-    * two-phase prefix sums partition by. */
-  private def channelValueGrain(s: SparkSession,
-      dir: String): DataFrame =
+    * definition (parameterized by the channel set, so the web/store
+    * distributional pair q328/q337 and the three-channel
+    * Kruskal–Wallis q346 share the cents cast, the channel split, and
+    * the $10k `bkt` band the two-phase prefix sums partition by) —
+    * mirrored in SQL by [[channelValsSql]]. The channel FILTER runs
+    * before the grouping, so each caller's value set contains exactly
+    * its own channels' values (a catalog-only value must not appear
+    * as an all-zero row in the two-channel comparisons' argmax
+    * tie-breaks). */
+  private def valueGrain(s: SparkSession, dir: String,
+      channels: Seq[String]): DataFrame = {
+    val counts = channels.map(c =>
+      sum(when(channelCol === c, 1L).otherwise(0L)).as("c_" + c))
     Tables.load(s, dir, "orders")
-      .filter(channelCol.isin("web", "store"))
+      .filter(channelCol.isin(channels: _*))
       .groupBy((col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("long").as("v"))
-      .agg(sum(when(channelCol === "web", 1L).otherwise(0L))
-          .as("c_web"),
-        sum(when(channelCol === "store", 1L).otherwise(0L))
-          .as("c_store"))
+      .agg(counts.head, counts.tail: _*)
       .withColumn("bkt", expr("v div 1000000"))
+  }
+
+  private def channelValueGrain(s: SparkSession,
+      dir: String): DataFrame = valueGrain(s, dir, Seq("web", "store"))
+
+  /** [[valueGrain]]'s DuckDB face (CTE named `vals`). */
+  private def channelValsSql(channels: Seq[String]): String = {
+    val cols = channels.map(c =>
+      s"""SUM(CASE WHEN $ChannelSql = '$c' THEN 1 ELSE 0 END)
+           AS c_$c""").mkString(",\n         ")
+    val in = channels.map(c => s"'$c'").mkString(", ")
+    s"""vals AS (SELECT
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS v,
+         $cols
+       FROM orders WHERE $ChannelSql IN ($in)
+       GROUP BY 1)"""
+  }
 
   /** Inclusive per-channel cumulative counts over [[channelValueGrain]]
     * via the TWO-PHASE distributed prefix sum (the Quantiles offsets
@@ -101,17 +136,9 @@ object DsShapes {
            AS cs
        FROM vals)"""
 
-  /** [[channelValueGrain]]'s DuckDB face (CTE named `vals`). */
-  private val ChannelValsSql =
-    s"""vals AS (SELECT
-         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-           AS v,
-         SUM(CASE WHEN $ChannelSql = 'web' THEN 1 ELSE 0 END)
-           AS c_web,
-         SUM(CASE WHEN $ChannelSql = 'store' THEN 1 ELSE 0 END)
-           AS c_store
-       FROM orders WHERE $ChannelSql IN ('web', 'store')
-       GROUP BY 1)"""
+  /** [[channelValueGrain]]'s DuckDB face (the two-channel
+    * [[channelValsSql]] instance q328/q337 compose with). */
+  private lazy val ChannelValsSql = channelValsSql(Seq("web", "store"))
 
   /** The (part, year, channel) SALES GRAIN — distinct-order count and
     * exact e4 revenue per cell, `p_type` carried from the broadcast
@@ -786,17 +813,10 @@ object DsShapes {
     // deliberately omitted (documented classic uncorrected H).
     "q346_kruskal_wallis" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val vals = t(s, dir, "orders")
-        .groupBy((col("o_totalprice").cast("decimal(12,2)") * 100)
-          .cast("long").as("v"))
-        .agg(sum(when(channelCol === "web", 1L).otherwise(0L))
-            .as("cw"),
-          sum(when(channelCol === "store", 1L).otherwise(0L))
-            .as("cs"),
-          sum(when(channelCol === "catalog", 1L).otherwise(0L))
-            .as("cc"))
+      val vals = valueGrain(s, dir, Seq("web", "store", "catalog"))
+        .select(col("v"), col("bkt"), col("c_web").as("cw"),
+          col("c_store").as("cs"), col("c_catalog").as("cc"))
         .withColumn("ct", col("cw") + col("cs") + col("cc"))
-        .withColumn("bkt", expr("v div 1000000"))
       val bsum = vals.groupBy(col("bkt"))
         .agg(sum(col("ct")).as("bt"))
       val wOff = Window.orderBy(col("bkt"))
@@ -811,6 +831,16 @@ object DsShapes {
         .join(broadcast(offs), "bkt")
         .withColumn("mr2",
           lit(2L) * (col("off") + col("inb")) + col("ct") + 1L)
+      // per-group term Rᵢ²/nᵢ = R2ᵢ² div (4nᵢ), floor-divided WITHOUT
+      // Spark's `div` (whose BIGINT result overflows once the term
+      // passes ~9e18, around N ≈ 3e6 rows): (a − a % b) / b is exactly
+      // divisible, so the DECIMAL(38,6) division is exact with no
+      // rounding and the value stays in DECIMAL — DuckDB mirrors with
+      // plain HUGEINT `//`, same integers (non-negative ⇒ floor ≡
+      // trunc)
+      def term(r2: String, n: String): String =
+        s"""CAST(($r2 * $r2 - $r2 * $r2 % (4 * $n)) / (4 * $n)
+            AS DECIMAL(38,0))"""
       ranked.agg(
           sum(col("cw")).as("n_web"), sum(col("cs")).as("n_store"),
           sum(col("cc")).as("n_catalog"),
@@ -821,14 +851,9 @@ object DsShapes {
           col("r2w").cast("long").as("ranksum2_web"),
           col("r2s").cast("long").as("ranksum2_store"),
           col("r2c").cast("long").as("ranksum2_catalog"),
-          // Spark's div yields BIGINT, so the per-group terms lift
-          // back to DECIMAL(38) before the 12e6 scale (which overflows
-          // long); DuckDB stays in HUGEINT throughout — identical
-          // integer values either way (non-negative ⇒ floor ≡ trunc)
-          expr("""CAST(12 * CAST(r2w * r2w div (4 * n_web)
-                    + r2s * r2s div (4 * n_store)
-                    + r2c * r2c div (4 * n_catalog)
-                    AS DECIMAL(38,0)) * 1000000
+          expr(s"""CAST(12 * (${term("r2w", "n_web")}
+                    + ${term("r2s", "n_store")}
+                    + ${term("r2c", "n_catalog")}) * 1000000
                   div ((n_web + n_store + n_catalog)
                     * (n_web + n_store + n_catalog + 1))
                   - 3 * (n_web + n_store + n_catalog + 1) * 1000000
@@ -866,22 +891,26 @@ object DsShapes {
     // run structurally hot against their own 12-month trend? The
     // centered MA-12 window runs over the MONTH-GRAIN aggregate
     // (≤80 rows, bounded by the calendar — an unpartitioned frame over
-    // a bounded aggregate, the audit-sanctioned shape), edges without
-    // a full 12-month window are excluded, and both divisions
-    // (ratio-to-trend, then the month-of-year mean) are truncating
-    // over non-negative integers — rev·12e6 div window-sum keeps the
-    // ratio to ONE division.
+    // a bounded aggregate, the audit-sanctioned shape). A window
+    // qualifies only when it is CALENDAR-exact — 12 rows AND a month
+    // span of exactly 11, so a zero-order gap month can never let a
+    // 13-calendar-month frame masquerade as a year (the row count
+    // alone cannot see the gap). Both divisions (ratio-to-trend, then
+    // the month-of-year mean) are truncating over non-negative
+    // integers — rev·12e6 div window-sum keeps the ratio to ONE
+    // division.
     "q348_seasonal_index" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val m = t(s, dir, "orders")
-        .groupBy(((year(col("o_orderdate")) - 1995) * 12 +
-            (month(col("o_orderdate")) - 1)).cast("long").as("mi"))
+        .groupBy(monthIdxCol.as("mi"))
         .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
           .cast("decimal(38,0)")).as("rev"))
       val w12 = Window.orderBy(col("mi")).rowsBetween(-6, 5)
       m.withColumn("wsum", sum(col("rev")).over(w12))
         .withColumn("wn", count(lit(1)).over(w12))
-        .filter(col("wn") === 12)
+        .withColumn("wspan",
+          max(col("mi")).over(w12) - min(col("mi")).over(w12))
+        .filter(col("wn") === 12 && col("wspan") === 11)
         .select((col("mi") % 12).as("moy"),
           expr("CAST(rev * 12000000 div wsum AS BIGINT)").as("ratio"))
         .groupBy(col("moy"))
@@ -1412,6 +1441,10 @@ object DsShapes {
     // (bands bounded: TPC-H orders carry ≤ ~13 lines), the share is a
     // truncating division of non-negative integers, and the channel
     // total rides one partitioned window over the ≤9-cell band grid.
+    // SCOPE: the universe is LINEITEM-BACKED orders (the generated
+    // data carries a small population of line-less orders — ~1.7% at
+    // sf0.01 — which have no basket to band; share_ppm reads "share of
+    // the channel's baskets", not of its order headers).
     "q343_basket_size_bands" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val per = t(s, dir, "lineitem")
@@ -1447,9 +1480,7 @@ object DsShapes {
     "q344_cohort_retention" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val om = t(s, dir, "orders")
-        .select(col("o_custkey"),
-          ((year(col("o_orderdate")) - 1995) * 12 +
-            (month(col("o_orderdate")) - 1)).cast("long").as("mi"))
+        .select(col("o_custkey"), monthIdxCol.as("mi"))
       val wCust = Window.partitionBy(col("o_custkey"))
       val grid = om
         .withColumn("cohort", min(col("mi")).over(wCust))
@@ -1980,9 +2011,7 @@ object DsShapes {
          FROM w ORDER BY channel, band""",
 
     "q344_cohort_retention" ->
-      """WITH om AS (SELECT o_custkey,
-           CAST((year(o_orderdate) - 1995) * 12
-             + (month(o_orderdate) - 1) AS BIGINT) AS mi
+      s"""WITH om AS (SELECT o_custkey, $MonthIdxSql AS mi
          FROM orders),
          c AS (SELECT DISTINCT o_custkey,
              MIN(mi) OVER (PARTITION BY o_custkey) AS cohort,
@@ -2000,17 +2029,10 @@ object DsShapes {
          FROM w ORDER BY cohort, k""",
 
     "q346_kruskal_wallis" ->
-      s"""WITH vals AS (SELECT
-           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-             AS v,
-           SUM(CASE WHEN $ChannelSql = 'web' THEN 1 ELSE 0 END) AS cw,
-           SUM(CASE WHEN $ChannelSql = 'store' THEN 1 ELSE 0 END)
-             AS cs,
-           SUM(CASE WHEN $ChannelSql = 'catalog' THEN 1 ELSE 0 END)
-             AS cc
-         FROM orders GROUP BY 1),
-         r AS (SELECT cw, cs, cc, cw + cs + cc AS ct,
-             COALESCE(SUM(cw + cs + cc) OVER (ORDER BY v
+      s"""WITH ${channelValsSql(Seq("web", "store", "catalog"))},
+         r AS (SELECT c_web AS cw, c_store AS cs, c_catalog AS cc,
+             c_web + c_store + c_catalog AS ct,
+             COALESCE(SUM(c_web + c_store + c_catalog) OVER (ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS prior
            FROM vals),
@@ -2050,8 +2072,7 @@ object DsShapes {
          FROM bs GROUP BY 1 ORDER BY p_brand""",
 
     "q348_seasonal_index" ->
-      """WITH m AS (SELECT CAST((year(o_orderdate) - 1995) * 12
-             + (month(o_orderdate) - 1) AS BIGINT) AS mi,
+      s"""WITH m AS (SELECT $MonthIdxSql AS mi,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
              AS HUGEINT) AS rev
          FROM orders GROUP BY 1),
@@ -2059,11 +2080,15 @@ object DsShapes {
              SUM(rev) OVER (ORDER BY mi
                ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS wsum,
              COUNT(*) OVER (ORDER BY mi
-               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS wn
+               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS wn,
+             MAX(mi) OVER (ORDER BY mi
+               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+             - MIN(mi) OVER (ORDER BY mi
+               ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS wspan
            FROM m),
          r AS (SELECT mi % 12 AS moy,
              CAST(rev * 12000000 // wsum AS BIGINT) AS ratio
-           FROM w WHERE wn = 12)
+           FROM w WHERE wn = 12 AND wspan = 11)
          SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_windows,
            CAST(SUM(ratio) // COUNT(*) AS BIGINT) AS seasonal_ppm
          FROM r GROUP BY 1 ORDER BY moy""",

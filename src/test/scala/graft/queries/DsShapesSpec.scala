@@ -982,7 +982,9 @@ class DsShapesSpec extends SparkSpec {
   }
 
   test("q343: basket bands recompute from brute-force per-order line " +
-      "counts; bands partition every order exactly once") {
+      "counts; bands partition every LINEITEM-BACKED order exactly " +
+      "once (line-less order headers have no basket and are out of " +
+      "scope by design)") {
     val out = DsShapes.defs2("q343_basket_size_bands")(spark, dir)
       .collect()
       .map(r => (r.getAs[String]("channel"), r.getAs[String]("band")) ->
@@ -1134,7 +1136,11 @@ class DsShapesSpec extends SparkSpec {
     val ratios = m.indices.flatMap { i =>
       val lo = i - 6
       val hi = i + 5
-      if (lo < 0 || hi >= m.length) None // edge: no full 12-month window
+      // a window qualifies only when it is CALENDAR-exact: 12 rows AND
+      // an 11-month span (a zero-order gap month disqualifies the
+      // frames it stretches)
+      if (lo < 0 || hi >= m.length ||
+          m(hi)._1 - m(lo)._1 != 11) None
       else {
         val wsum = (lo to hi).map(j => BigInt(m(j)._2)).sum
         Some((m(i)._1 % 12,
