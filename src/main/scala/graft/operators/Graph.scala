@@ -285,6 +285,49 @@ object Graph {
     }
   }
 
+  /** ALL-PAIRS hop distance — [[hopDistance]] with a source dimension:
+    * min-agg BFS from EVERY node at once, for closeness-style
+    * centralities over DOMAIN-BOUNDED graphs (the 25-node brand
+    * co-purchase graph; n² pairs of a bounded node set, never a
+    * row-scale graph — an all-pairs walk on part grain would be the
+    * exact quadratic blow-up the plan audit exists to reject). Same
+    * fixed-round contract and checkpoint/release discipline as
+    * [[hopDistance]]; min is a semilattice, so the result is
+    * partitioning-invariant. Unreached (src, node) pairs are absent,
+    * never NULL. */
+  def allPairsHopDistance(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1)
+    val e = edges.select(col("src"), col("dst"))
+    var dist = e.select(col("src").as("s"))
+      .unionByName(e.select(col("dst").as("s")))
+      .distinct()
+      .select(col("s").as("src"), col("s").as("node"),
+        lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var superseded: Option[DataFrame] = Some(dist)
+    try {
+      for (round <- 1 to maxHops) {
+        val frontier = dist.filter(col("hops") === (round - 1).toLong)
+          .select(col("src").as("s0"), col("node").as("mid"),
+            col("hops"))
+        val next = dist
+          .unionByName(frontier
+            .join(e.select(col("src").as("mid"), col("dst")), "mid")
+            .select(col("s0").as("src"), col("dst").as("node"),
+              (col("hops") + 1L).as("hops")))
+          .groupBy(col("src"), col("node"))
+          .agg(min(col("hops")).as("hops"))
+          .localCheckpoint(true)
+        superseded.foreach(release)
+        superseded = Some(next)
+        dist = next
+      }
+      dist
+    } catch {
+      case t: Throwable => superseded.foreach(release); throw t
+    }
+  }
+
   /** Node count below which the rank relation is broadcast into the
     * per-iteration edge join — MEASURED, not assumed (the JoinAdvisor
     * discipline): ~24 bytes/row keeps 2M nodes ≈ 48 MB, comfortable

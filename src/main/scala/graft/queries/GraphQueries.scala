@@ -1305,6 +1305,46 @@ object GraphQueries {
           .orderBy(col("band"))
           .auditedCut("q338_community_size_profile")
       }
+    },
+
+    // CLOSENESS centrality of the BRAND co-purchase graph — the
+    // distance-based member of the centrality family (PageRank ranks
+    // by mass flow, HITS by endorsement; closeness asks which brand
+    // sits nearest to ALL others in co-basket hops). All-pairs BFS is
+    // only sane on a DOMAIN-BOUNDED graph, so this runs at the ≤25-node
+    // BRAND grain (the q334 discipline — the part-grain graph would be
+    // exactly the quadratic blow-up the plan audit rejects):
+    // [[graft.operators.Graph.allPairsHopDistance]] over the distinct
+    // brand adjacency, 6 fixed rounds (≥ the dense co-basket graph's
+    // diameter; unreached pairs stay absent). Wasserman–Faust
+    // normalization keeps disconnected components honest:
+    // closeness = (r−1)²/((n−1)·Σd) in exact ppm, one truncating
+    // division of non-negative integers.
+    "q349_brand_closeness" -> { (s, dir) =>
+      val ob = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+      val e = ob.toDF("o", "ba").join(ob.toDF("o", "bb"), "o")
+        .filter(col("ba") =!= col("bb"))
+        .select(col("ba").as("src"), col("bb").as("dst"))
+        .distinct()
+      val dist = Graph.allPairsHopDistance(e, maxHops = 6)
+      try dist.groupBy(col("src").as("brand"))
+        .agg(count(lit(1)).as("n_reachable"),
+          sum(col("hops")).as("sum_hops"))
+        .crossJoin(broadcast(e.select(col("src").as("n")).distinct()
+          .agg(count(lit(1)).as("n_nodes"))))
+        .select(col("brand"), col("n_reachable"), col("sum_hops"),
+          col("n_nodes"),
+          expr("""CAST((n_reachable - 1) * (n_reachable - 1) * 1000000
+                  div greatest((n_nodes - 1) * sum_hops, 1)
+                  AS BIGINT)""").as("closeness_ppm"))
+        .orderBy(col("brand"))
+        .auditedCut("q349_brand_closeness")
+      finally Graph.release(dist)
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -1485,6 +1525,30 @@ object GraphQueries {
          JOIN k_$cur kb ON p.b = kb.node)"""
 
   val oracles: Map[String, String] = Map(
+
+    "q349_brand_closeness" ->
+      """WITH RECURSIVE ob AS (SELECT DISTINCT l_orderkey AS o,
+           p_brand AS b
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+         e AS (SELECT DISTINCT x.b AS a, y.b AS bb
+           FROM ob x JOIN ob y ON x.o = y.o AND x.b <> y.b),
+         walk(src, node, d) AS (
+           SELECT a, a, 0 FROM (SELECT DISTINCT a FROM e) t
+           UNION
+           SELECT w.src, e.bb, w.d + 1 FROM walk w
+           JOIN e ON w.node = e.a WHERE w.d < 6),
+         dist AS (SELECT src, node, MIN(d) AS d FROM walk
+           GROUP BY 1, 2),
+         ag AS (SELECT src AS brand, COUNT(*) AS n_reachable,
+             SUM(d) AS sum_hops FROM dist GROUP BY 1),
+         nn AS (SELECT COUNT(DISTINCT a) AS n_nodes FROM e)
+         SELECT brand, CAST(n_reachable AS BIGINT) AS n_reachable,
+           CAST(sum_hops AS BIGINT) AS sum_hops,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST((n_reachable - 1) * (n_reachable - 1) * 1000000
+             // GREATEST((n_nodes - 1) * sum_hops, 1) AS BIGINT)
+             AS closeness_ppm
+         FROM ag, nn ORDER BY brand""",
 
     "q266_copurchase_core" ->
       s"""WITH $GraphCtes,

@@ -211,6 +211,31 @@ object PipelineQueries {
       TextAnalysis.vocabulary(t(s, dir, "documents"), k = 50)
     },
 
+    // TERM BURSTINESS (Church–Gale): for the top-50 collection-
+    // frequency tokens, how REPETITIVE is the term within the
+    // documents that contain it at all — cf/df in ppm (1e6 = appears
+    // once per containing doc; stopwords run high, topical terms
+    // cluster) plus the single-doc max. The within-doc count is the
+    // (token, doc) grain aggregate q70's vocabulary pass already
+    // implies; the top-k is a TakeOrdered over the token aggregate
+    // (never a global sort of the corpus), ties broken by token text.
+    "q350_term_burstiness" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(
+          lower(col("text")))).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("tok"))
+        .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"),
+          max(col("c")).as("max_tf"))
+        .select(col("tok"), col("cf").cast("long").as("cf"),
+          col("df"), col("max_tf").cast("long").as("max_tf"),
+          expr("CAST(cf * 1000000 div df AS BIGINT)")
+            .as("burst_ppm"))
+        .orderBy(col("cf").desc, col("tok"))
+        .limit(50)
+    },
+
     // Sketch accuracy: MinHash slot-agreement estimate vs the exact
     // Jaccard for every LSH candidate pair — signatures are never
     // re-derived from text, mirroring a production candidate-ranking pass.
@@ -4201,6 +4226,22 @@ object PipelineQueries {
                  AS tok
                FROM documents) t
          GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
+
+    "q350_term_burstiness" ->
+      """WITH td AS (SELECT tok, doc_id, COUNT(*) AS c
+         FROM (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS tok
+           FROM documents) t
+         GROUP BY 1, 2),
+         ag AS (SELECT tok, SUM(c) AS cf, COUNT(*) AS df,
+             MAX(c) AS max_tf
+           FROM td GROUP BY 1)
+         SELECT tok, CAST(cf AS BIGINT) AS cf,
+           CAST(df AS BIGINT) AS df,
+           CAST(max_tf AS BIGINT) AS max_tf,
+           CAST(cf * 1000000 // df AS BIGINT) AS burst_ppm
+         FROM ag ORDER BY cf DESC, tok LIMIT 50""",
 
     "q75_minhash_estimate" -> {
       val agree = (0 until NumHashes)

@@ -646,6 +646,88 @@ class GraphSpec extends SparkSpec {
     assert(many === got)
   }
 
+  test("allPairsHopDistance matches per-source single-threaded BFS; " +
+      "self-distance is 0; symmetric edges give a symmetric matrix") {
+    // two components: path 1-2-3 and dyad 7-8
+    val raw = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val sym = raw ++ raw.map { case (a, b) => (b, a) }
+    def bfs(src: Long, maxHops: Int): Map[Long, Long] = {
+      var dist = Map(src -> 0L)
+      for (_ <- 1 to maxHops)
+        dist = (dist.toSeq ++ sym.flatMap { case (s, d) =>
+          dist.get(s).map(h => d -> (h + 1L))
+        }).groupBy(_._1).map { case (n, hs) => n -> hs.map(_._2).min }
+      dist
+    }
+    val got = Graph.allPairsHopDistance(sym.toDF("src", "dst"), 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nodes = sym.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.flatMap(s =>
+      bfs(s, 6).map { case (n, d) => (s, n) -> d }).toMap
+    assert(got === want)
+    nodes.foreach(n => assert(got((n, n)) === 0L))
+    // unreached cross-component pairs are ABSENT, never NULL
+    assert(!got.contains((1L, 7L)) && !got.contains((8L, 3L)))
+    // symmetric edges ⇒ symmetric distances
+    got.foreach { case ((a, b), d) => assert(got((b, a)) === d) }
+    // partitioning invariance (min commutes)
+    val many = Graph.allPairsHopDistance(
+      sym.toDF("src", "dst").repartition(7), 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(many === got)
+  }
+
+  test("q349: closeness recomputes from a brute-force all-pairs BFS " +
+      "replay; the Wasserman-Faust score is 1e6 on a complete graph " +
+      "member") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q349_brand_closeness")(spark, dir).collect()
+      .map(r => r.getAs[String]("brand") ->
+        (r.getAs[Long]("n_reachable"), r.getAs[Long]("sum_hops"),
+          r.getAs[Long]("n_nodes"), r.getAs[Long]("closeness_ppm")))
+      .toMap
+    assert(out.nonEmpty)
+    val ob = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val edges: Set[(String, String)] =
+      ob.groupBy(_._1).values.toSeq.flatMap { xs =>
+        val bs = xs.map(_._2).distinct
+        for (a <- bs; b <- bs if a != b) yield (a, b)
+      }.toSet
+    val nodes = edges.map(_._1).toSeq.sorted
+    def bfs(src: String): Map[String, Long] = {
+      var dist = Map(src -> 0L)
+      for (_ <- 1 to 6)
+        dist = (dist.toSeq ++ edges.toSeq.flatMap { case (s, d) =>
+          dist.get(s).map(h => d -> (h + 1L))
+        }).groupBy(_._1).map { case (n, hs) => n -> hs.map(_._2).min }
+      dist
+    }
+    assert(out.keySet === nodes.toSet)
+    nodes.foreach { b =>
+      val d = bfs(b)
+      val r = d.size.toLong
+      val sd = d.values.sum
+      val (gr, gsd, gn, gppm) = out(b)
+      assert(gr === r)
+      assert(gsd === sd)
+      assert(gn === nodes.length.toLong)
+      assert(gppm === (r - 1) * (r - 1) * 1000000L /
+        math.max((nodes.length - 1).toLong * sd, 1L))
+      // on a fully-connected component (every hop = 1), the score
+      // is exactly 1e6; never above
+      assert(gppm <= 1000000L)
+      if (sd == r - 1 && r == nodes.length.toLong)
+        assert(gppm === 1000000L)
+    }
+  }
+
   test("q274 output: hop histogram starts at 0, hops ascending and " +
       "bounded by 4") {
     val out = graft.queries.GraphQueries

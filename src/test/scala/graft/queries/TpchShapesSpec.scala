@@ -667,6 +667,35 @@ class TpchShapesSpec extends SparkSpec {
     surv.zip(surv.tail).foreach { case (a, b) => assert(a >= b) }
   }
 
+  test("q350: term burstiness recomputes from brute-force (token, doc) " +
+      "counts; cf >= df and burst >= 1e6 by construction") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q350_term_burstiness")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getString(1)))
+    val byTok = toks.groupBy(_._2).map { case (tok, xs) =>
+      val perDoc = xs.groupBy(_._1).values.map(_.length.toLong)
+      tok -> (perDoc.sum, perDoc.size.toLong, perDoc.max)
+    }
+    val want = byTok.toSeq
+      .sortBy { case (tok, (cf, _, _)) => (-cf, tok) }.take(50)
+    assert(out.length === math.min(50, byTok.size))
+    out.zip(want).foreach { case (r, (tok, (cf, df, mx))) =>
+      assert(r.getAs[String]("tok") === tok)
+      assert(r.getAs[Long]("cf") === cf)
+      assert(r.getAs[Long]("df") === df)
+      assert(r.getAs[Long]("max_tf") === mx)
+      assert(r.getAs[Long]("burst_ppm") === cf * 1000000L / df)
+      // every containing doc contributes >= 1 occurrence
+      assert(cf >= df && r.getAs[Long]("burst_ppm") >= 1000000L)
+      assert(mx <= cf)
+    }
+  }
+
   test("q345: vocabulary Gini equals the brute-force sorted-frequency " +
       "formula per language and stays in [0, 1e6)") {
     val dir = sf("sf0.001")
