@@ -1346,6 +1346,106 @@ object CurationExtras {
       } finally graft.operators.Graph.release(last)
     },
 
+    // FLESCH-style READABILITY per language, fully integral: words =
+    // whitespace tokens, sentences = terminal-punctuation count
+    // ([.!?], floor 1), syllables = VOWEL-GROUP count (maximal
+    // [aeiou]+ runs — the classic syllable proxy), extracted exactly
+    // in both engines as length(replace-groups-with-#) −
+    // length(delete-groups). F_e3 = 206835 − 1015·W div S −
+    // 84600·Syl div W per doc (each division truncating over
+    // non-negative integers; the SUBTRACTION may go negative, which is
+    // sign-safe — no division follows it), then the per-language mean
+    // with a SIGN-DECOMPOSED division (doc scores can be negative).
+    "q351_readability" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("lang"),
+          greatest(size(graft.operators.TextAnalysis.tokens(
+            lower(col("text")))), lit(1)).cast("long").as("w"),
+          greatest(length(col("text")) -
+            length(regexp_replace(col("text"), "[.!?]", "")), lit(1))
+            .cast("long").as("sent"),
+          greatest(
+            length(regexp_replace(lower(col("text")), "[aeiou]+", "#"))
+              - length(regexp_replace(lower(col("text")), "[aeiou]+",
+                "")), lit(1)).cast("long").as("syl"))
+        .select(col("lang"),
+          expr("""206835 - 1015 * w div sent - 84600 * syl div w""")
+            .as("f_e3"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("f_e3")).as("sf"),
+          min(col("f_e3")).as("min_flesch_e3"),
+          max(col("f_e3")).as("max_flesch_e3"))
+        .select(col("lang"), col("n_docs"),
+          expr("""CASE WHEN sf >= 0 THEN sf div n_docs
+                  ELSE -((-sf) div n_docs) END""")
+            .as("mean_flesch_e3"),
+          col("min_flesch_e3"), col("max_flesch_e3"))
+        .orderBy(col("lang"))
+    },
+
+    // MIX REBALANCE PLAN: the sampling weight each language needs to
+    // hit an EQUAL-SHARE corpus mix — the first artifact of every
+    // training-data re-weighting run (weight > 1e6 = upsample, < 1e6
+    // = downsample). target = total div k docs per language (k =
+    // languages present), weight_ppm = target·1e6 div available; both
+    // divisions truncating over non-negative integers, totals via one
+    // broadcast 1-row aggregate over the LANGUAGE-grain relation.
+    "q352_mix_rebalance" -> { (s, dir) =>
+      val byLang = t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      byLang
+        .crossJoin(broadcast(byLang.agg(
+          sum(col("n_docs")).as("total"),
+          count(lit(1)).as("k"))))
+        .select(col("lang"), col("n_docs"),
+          expr("CAST(total div k AS BIGINT)").as("target_docs"),
+          expr("""CAST((total div k) * 1000000 div n_docs AS BIGINT)""")
+            .as("weight_ppm"))
+        .orderBy(col("lang"))
+    },
+
+    // UNIGRAM SURPRISAL per document, aggregated per language: the
+    // integral LM-scoring stand-in for a perplexity filter — a doc of
+    // corpus-rare tokens scores high, boilerplate scores low. Token
+    // surprisal = bitlength(N) − bitlength(cf) (⌊log2⌋ bits of the
+    // unigram improbability N/cf — the q263 bit-IDF discipline pointed
+    // at COLLECTION frequency, i.e. an LM over tokens, not a retrieval
+    // weight over documents); per-doc bits-per-token in e3 by ONE
+    // truncating division, language rollup with the per-language
+    // argmax doc (ties to the lowest doc_id) via a partitioned window
+    // over the DOC-grain aggregate. The cf join is a 1-row-per-term
+    // enrichment (never a pair generator).
+    "q353_unigram_surprisal" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(graft.operators.TextAnalysis.tokens(
+            lower(col("text")))).as("term"))
+      val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      val per = toks.join(cf, "term")
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_toks"))))
+        .select(col("doc_id"), col("lang"),
+          (length(bin(col("n_toks"))) - length(bin(col("cf"))))
+            .cast("long").as("bits"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("w"), sum(col("bits")).as("spt"))
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(spt * 1000 div w AS BIGINT)").as("bpt_e3"))
+      val wl = Window.partitionBy(col("lang"))
+        .orderBy(col("bpt_e3").desc, col("doc_id"))
+      per
+        .withColumn("rk", row_number().over(wl))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(bpt_e3) div count(1) AS BIGINT)")
+            .as("mean_bpt_e3"),
+          max(when(col("rk") === 1, col("bpt_e3")))
+            .as("max_bpt_e3"),
+          max(when(col("rk") === 1, col("doc_id")))
+            .as("max_doc_id"))
+        .orderBy(col("lang"))
+    },
+
     // VOCABULARY GINI per language: how concentrated is the token
     // frequency distribution (a near-1 Gini = a few stopword types
     // carry the corpus — the single summary number behind q194's Zipf
@@ -2526,6 +2626,66 @@ object CurationExtras {
            CAST(SUM(CASE WHEN gap >= threshold_days THEN 1 ELSE 0 END)
              * 1000000 // COUNT(*) AS BIGINT) AS dormant_ppm
          FROM gaps, th GROUP BY 1 ORDER BY threshold_days""",
+
+    "q351_readability" ->
+      """WITH d AS (SELECT lang,
+           GREATEST(len(string_split_regex(trim(lower(text)), '\s+')),
+             1) AS w,
+           GREATEST(length(text)
+             - length(regexp_replace(text, '[.!?]', '', 'g')), 1)
+             AS sent,
+           GREATEST(
+             length(regexp_replace(lower(text), '[aeiou]+', '#', 'g'))
+             - length(regexp_replace(lower(text), '[aeiou]+', '', 'g')),
+             1) AS syl
+         FROM documents),
+         f AS (SELECT lang,
+             206835 - 1015 * w // sent - 84600 * syl // w AS f_e3
+           FROM d),
+         ag AS (SELECT lang, COUNT(*) AS n_docs, SUM(f_e3) AS sf,
+             MIN(f_e3) AS min_f, MAX(f_e3) AS max_f
+           FROM f GROUP BY 1)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(CASE WHEN sf >= 0 THEN sf // n_docs
+             ELSE -((-sf) // n_docs) END AS BIGINT)
+             AS mean_flesch_e3,
+           CAST(min_f AS BIGINT) AS min_flesch_e3,
+           CAST(max_f AS BIGINT) AS max_flesch_e3
+         FROM ag ORDER BY lang""",
+
+    "q352_mix_rebalance" ->
+      """WITH bl AS (SELECT lang, COUNT(*) AS n_docs
+         FROM documents GROUP BY 1),
+         tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS k FROM bl)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total // k AS BIGINT) AS target_docs,
+           CAST((total // k) * 1000000 // n_docs AS BIGINT)
+             AS weight_ppm
+         FROM bl, tot ORDER BY lang""",
+
+    "q353_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, lang,
+           unnest(string_split_regex(trim(lower(text)), '\s+'))
+             AS term
+         FROM documents),
+         cf AS (SELECT term, COUNT(*) AS cf FROM toks GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS n_toks FROM toks),
+         per AS (SELECT t.doc_id, t.lang,
+             CAST(SUM(length(bin(nt.n_toks)) - length(bin(c.cf)))
+               * 1000 // COUNT(*) AS BIGINT) AS bpt_e3
+           FROM toks t JOIN cf c ON t.term = c.term, nt
+           GROUP BY 1, 2),
+         rk AS (SELECT lang, doc_id, bpt_e3,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY bpt_e3 DESC, doc_id) AS rk
+           FROM per)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bpt_e3) // COUNT(*) AS BIGINT) AS mean_bpt_e3,
+           CAST(MAX(CASE WHEN rk = 1 THEN bpt_e3 END) AS BIGINT)
+             AS max_bpt_e3,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS max_doc_id
+         FROM rk GROUP BY 1 ORDER BY lang""",
 
     "q345_vocab_gini" ->
       """WITH tc AS (SELECT lang, tok, COUNT(*) AS cnt

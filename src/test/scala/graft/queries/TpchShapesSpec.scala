@@ -667,6 +667,101 @@ class TpchShapesSpec extends SparkSpec {
     surv.zip(surv.tail).foreach { case (a, b) => assert(a >= b) }
   }
 
+  test("q351: readability recomputes from a brute-force vowel-group " +
+      "Flesch replay; min <= mean <= max per language") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q351_readability")(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("mean_flesch_e3"),
+          r.getAs[Long]("min_flesch_e3"), r.getAs[Long]("max_flesch_e3")))
+      .toMap
+    assert(out.nonEmpty)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def fE3(text: String): Long = {
+      val w = math.max(
+        text.trim.toLowerCase.split("\\s+").length.toLong, 1L)
+      val sent = math.max(text.count("!?.".contains(_)).toLong, 1L)
+      val syl = math.max(
+        "[aeiou]+".r.findAllIn(text.toLowerCase).length.toLong, 1L)
+      206835L - 1015L * w / sent - 84600L * syl / w
+    }
+    val expected = docs.groupBy(_._1).map { case (lang, xs) =>
+      val fs = xs.map(d => fE3(d._2))
+      val sf = fs.sum
+      val mean = if (sf >= 0) sf / fs.length else -((-sf) / fs.length)
+      lang -> (fs.length.toLong, mean, fs.min, fs.max)
+    }
+    assert(out === expected)
+    out.values.foreach { case (_, mean, mn, mx) =>
+      assert(mn <= mean + 1 && mean <= mx)
+    }
+  }
+
+  test("q352: the rebalance plan conserves the corpus and weights " +
+      "invert availability (upsample scarce, downsample abundant)") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q352_mix_rebalance")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("target_docs"), r.getAs[Long]("weight_ppm")))
+    assert(out.nonEmpty)
+    val total = out.map(_._2).sum
+    val k = out.length.toLong
+    out.foreach { case (_, n, target, w) =>
+      assert(target === total / k)
+      assert(w === target * 1000000L / n)
+    }
+    // weights order INVERSELY to availability: the scarcest language
+    // gets the largest weight
+    val byN = out.sortBy(_._2)
+    byN.map(_._4).zip(byN.map(_._4).tail).foreach { case (a, b) =>
+      assert(a >= b)
+    }
+    // sampling at these weights lands each language within one doc of
+    // the target (truncation only)
+    out.foreach { case (_, n, target, w) =>
+      val resampled = w * n / 1000000L
+      assert(resampled <= target && target - resampled <= 1L)
+    }
+  }
+
+  test("q353: unigram surprisal recomputes from brute-force bitlength " +
+      "scoring; the argmax doc is the per-language maximum with " +
+      "lowest-id ties") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q353_unigram_surprisal")(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("mean_bpt_e3"),
+          r.getAs[Long]("max_bpt_e3"), r.getAs[Long]("max_doc_id")))
+      .toMap
+    assert(out.nonEmpty)
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getString(1),
+        r.getString(2)))
+    val cf = toks.groupBy(_._3).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val nBits = java.lang.Long.toBinaryString(toks.length.toLong).length
+    val perDoc = toks.groupBy(d => (d._1, d._2)).map { case ((id, lang), xs) =>
+      val bits = xs.map(x => (nBits -
+        java.lang.Long.toBinaryString(cf(x._3)).length).toLong).sum
+      (id, lang, bits * 1000L / xs.length)
+    }.toSeq
+    val expected = perDoc.groupBy(_._2).map { case (lang, xs) =>
+      val top = xs.minBy(d => (-d._3, d._1))
+      lang -> (xs.size.toLong,
+        xs.map(d => BigInt(d._3)).sum.toLong / xs.size,
+        top._3, top._1)
+    }
+    assert(out === expected)
+  }
+
   test("q350: term burstiness recomputes from brute-force (token, doc) " +
       "counts; cf >= df and burst >= 1e6 by construction") {
     val dir = sf("sf0.001")
