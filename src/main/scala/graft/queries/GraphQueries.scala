@@ -1327,24 +1327,33 @@ object GraphQueries {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
         .distinct()
+      // the edge derivation (fact join + order-grain self-join + two
+      // distincts) is CHECKPOINTED before the BFS: all 6 rounds' jobs
+      // read the ≤625-row materialization, never the fact lineage
+      // (the q334 / weightedPageRank scanned-once discipline)
       val e = ob.toDF("o", "ba").join(ob.toDF("o", "bb"), "o")
         .filter(col("ba") =!= col("bb"))
         .select(col("ba").as("src"), col("bb").as("dst"))
         .distinct()
-      val dist = Graph.allPairsHopDistance(e, maxHops = 6)
-      try dist.groupBy(col("src").as("brand"))
-        .agg(count(lit(1)).as("n_reachable"),
-          sum(col("hops")).as("sum_hops"))
-        .crossJoin(broadcast(e.select(col("src").as("n")).distinct()
-          .agg(count(lit(1)).as("n_nodes"))))
-        .select(col("brand"), col("n_reachable"), col("sum_hops"),
-          col("n_nodes"),
-          expr("""CAST((n_reachable - 1) * (n_reachable - 1) * 1000000
-                  div greatest((n_nodes - 1) * sum_hops, 1)
-                  AS BIGINT)""").as("closeness_ppm"))
-        .orderBy(col("brand"))
-        .auditedCut("q349_brand_closeness")
-      finally Graph.release(dist)
+        .localCheckpoint(true)
+      try {
+        val dist = Graph.allPairsHopDistance(e, maxHops = 6)
+        // n_nodes from the DISTANCE relation's own diagonal (every
+        // node carries a hops-0 self row) — no re-derivation of e
+        try dist.groupBy(col("src").as("brand"))
+          .agg(count(lit(1)).as("n_reachable"),
+            sum(col("hops")).as("sum_hops"))
+          .crossJoin(broadcast(dist.filter(col("hops") === 0L)
+            .agg(count(lit(1)).as("n_nodes"))))
+          .select(col("brand"), col("n_reachable"), col("sum_hops"),
+            col("n_nodes"),
+            expr("""CAST((n_reachable - 1) * (n_reachable - 1) * 1000000
+                    div greatest((n_nodes - 1) * sum_hops, 1)
+                    AS BIGINT)""").as("closeness_ppm"))
+          .orderBy(col("brand"))
+          .auditedCut("q349_brand_closeness")
+        finally Graph.release(dist)
+      } finally Graph.release(e)
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */

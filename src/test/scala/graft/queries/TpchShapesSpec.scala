@@ -708,6 +708,12 @@ class TpchShapesSpec extends SparkSpec {
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("target_docs"), r.getAs[Long]("weight_ppm")))
     assert(out.nonEmpty)
+    // INDEPENDENT census from the source table — the counts must be
+    // the corpus', not merely self-consistent with each other
+    val census = graft.Tables.load(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(out.map(o => o._1 -> o._2).toMap === census)
     val total = out.map(_._2).sum
     val k = out.length.toLong
     out.foreach { case (_, n, target, w) =>
