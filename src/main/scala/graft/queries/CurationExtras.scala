@@ -1446,6 +1446,41 @@ object CurationExtras {
         .orderBy(col("lang"))
     },
 
+    // HAPAX SPECTRUM per language: the head of the frequency-of-
+    // frequencies distribution — hapax (once-seen) and dis (twice-
+    // seen) legomena shares of the vocabulary and of the token mass,
+    // the Good–Turing mass estimate's raw material and the quick tell
+    // for OCR noise / tokenizer damage (a healthy corpus runs ~40-60%
+    // hapax TYPES but a tiny hapax TOKEN share). Rides the same
+    // count-of-counts grain as q345's Gini (one definition of the
+    // spectrum, two statistics over it); every division truncating
+    // over non-negative integers, token mass in DECIMAL(38).
+    "q356_hapax_spectrum" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.operators.TextAnalysis.tokens(
+            lower(col("text")))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lang"), col("cnt"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy(col("lang"))
+        .agg(sum(col("m")).as("n_types"),
+          sum(expr("CAST(cnt AS DECIMAL(38,0)) * m")).as("nt"),
+          sum(when(col("cnt") === 1L, col("m")).otherwise(0L))
+            .as("hapax_types"),
+          sum(when(col("cnt") === 2L, col("m")).otherwise(0L))
+            .as("dis_types"))
+        .select(col("lang"), col("n_types"),
+          col("nt").cast("long").as("n_tokens"),
+          col("hapax_types"), col("dis_types"),
+          expr("CAST(hapax_types * 1000000 div n_types AS BIGINT)")
+            .as("hapax_type_share_ppm"),
+          expr("""CAST(hapax_types * 1000000 div greatest(nt, 1)
+                  AS BIGINT)""").as("hapax_token_share_ppm"))
+        .orderBy(col("lang"))
+    },
+
     // VOCABULARY GINI per language: how concentrated is the token
     // frequency distribution (a near-1 Gini = a few stopword types
     // carry the corpus — the single summary number behind q194's Zipf
@@ -2626,6 +2661,29 @@ object CurationExtras {
            CAST(SUM(CASE WHEN gap >= threshold_days THEN 1 ELSE 0 END)
              * 1000000 // COUNT(*) AS BIGINT) AS dormant_ppm
          FROM gaps, th GROUP BY 1 ORDER BY threshold_days""",
+
+    "q356_hapax_spectrum" ->
+      """WITH tc AS (SELECT lang, tok, COUNT(*) AS cnt
+         FROM (SELECT lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+'))
+               AS tok
+           FROM documents) t
+         GROUP BY 1, 2),
+         cc AS (SELECT lang, cnt, COUNT(*) AS m FROM tc GROUP BY 1, 2),
+         ag AS (SELECT lang, SUM(m) AS n_types,
+             SUM(CAST(cnt AS HUGEINT) * m) AS nt,
+             SUM(CASE WHEN cnt = 1 THEN m ELSE 0 END) AS hapax_types,
+             SUM(CASE WHEN cnt = 2 THEN m ELSE 0 END) AS dis_types
+           FROM cc GROUP BY 1)
+         SELECT lang, CAST(n_types AS BIGINT) AS n_types,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(hapax_types AS BIGINT) AS hapax_types,
+           CAST(dis_types AS BIGINT) AS dis_types,
+           CAST(hapax_types * 1000000 // n_types AS BIGINT)
+             AS hapax_type_share_ppm,
+           CAST(hapax_types * 1000000 // GREATEST(nt, 1) AS BIGINT)
+             AS hapax_token_share_ppm
+         FROM ag ORDER BY lang""",
 
     "q351_readability" ->
       """WITH d AS (SELECT lang,

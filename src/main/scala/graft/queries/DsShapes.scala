@@ -920,6 +920,35 @@ object DsShapes {
         .orderBy(col("moy"))
     },
 
+    // DISCOUNT LIFT GRID: does a deeper discount actually move more
+    // units? Mean quantity per discount band (the l_discount domain is
+    // ≤11 cent-values — a bounded grid by construction) with the lift
+    // vs the FULL-PRICE baseline in exact ppm. One fact aggregate;
+    // the baseline mean is read back via a window over the grid
+    // (constant partition key — an 11-row input, never the fact), and
+    // both divisions are truncating over non-negative integers.
+    "q354_discount_lift" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bands = t(s, dir, "lineitem")
+        .groupBy((col("l_discount").cast("decimal(12,2)") * 100)
+          .cast("long").as("disc_pct"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_quantity").cast("decimal(12,2)") * 100)
+            .cast("long")).as("qty_e2"),
+          sum(revE4).as("rev_e4"))
+        .withColumn("mean_qty_e2", expr("qty_e2 div n_lines"))
+      val wAll = Window.partitionBy(lit(0))
+      bands
+        .withColumn("base", max(when(col("disc_pct") === 0L,
+          col("mean_qty_e2"))).over(wAll))
+        .select(col("disc_pct"), col("n_lines"), col("qty_e2"),
+          col("mean_qty_e2"),
+          col("rev_e4").cast("long").as("rev_e4"),
+          expr("""CAST(mean_qty_e2 * 1000000 div greatest(base, 1)
+                  AS BIGINT)""").as("lift_vs_full_price_ppm"))
+        .orderBy(col("disc_pct"))
+    },
+
     // Top slices PER ROLLUP LEVEL (TPC-DS Q67's exact shape: the rollup
     // and the rank over it share ONE aggregate pass): rollup over
     // (brand, size bucket), then each level — detail, brand subtotal,
@@ -2027,6 +2056,26 @@ object DsShapes {
            CAST(n_active * 1000000 // n_cohort AS BIGINT)
              AS retention_ppm
          FROM w ORDER BY cohort, k""",
+
+    "q354_discount_lift" ->
+      s"""WITH bands AS (SELECT
+           CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS disc_pct,
+           COUNT(*) AS n_lines,
+           SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+             AS BIGINT)) AS qty_e2,
+           SUM($RevE4Sql) AS rev_e4
+         FROM lineitem GROUP BY 1),
+         m AS (SELECT *, qty_e2 // n_lines AS mean_qty_e2 FROM bands),
+         b AS (SELECT *, MAX(CASE WHEN disc_pct = 0 THEN mean_qty_e2
+             END) OVER () AS base
+           FROM m)
+         SELECT disc_pct, n_lines, CAST(qty_e2 AS BIGINT) AS qty_e2,
+           CAST(mean_qty_e2 AS BIGINT) AS mean_qty_e2,
+           CAST(rev_e4 AS BIGINT) AS rev_e4,
+           CAST(mean_qty_e2 * 1000000 // GREATEST(base, 1) AS BIGINT)
+             AS lift_vs_full_price_ppm
+         FROM b ORDER BY disc_pct""",
 
     "q346_kruskal_wallis" ->
       s"""WITH ${channelValsSql(Seq("web", "store", "catalog"))},

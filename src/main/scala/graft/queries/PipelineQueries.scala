@@ -2341,6 +2341,71 @@ object PipelineQueries {
         .select(col("label"), col("n_vecs"), col("n_pure"),
           expr("n_pure * 1000000 div n_vecs").as("purity_ppm"))
         .orderBy(col("label"))
+    },
+
+    // LABEL SCATTER SEPARATION — the Davies–Bouldin primitive over the
+    // embedding labels: per label the mean squared distance to its own
+    // INTEGER centroid (within-scatter, the q327 e4 quantization so
+    // everything stays exactly integral), the nearest other centroid
+    // with its squared distance, and the worst Davies–Bouldin ratio
+    // (sᵢ + sⱼ)/m_ij in ppm (high = that pair of labels blurs
+    // together). Scale shape: scatter is one linear pass over the
+    // quantized components; the centroid–centroid grid is
+    // |labels|² ≤ 100 rows (both join sides AGGREGATES — bounded by
+    // construction); all divisions truncating over non-negative
+    // integers, ratio argmax ties to the smallest other label.
+    "q355_label_scatter" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("d"),
+          floor(col("col").cast("double") * 10000).cast("long")
+            .as("qv"))
+      val cents = q.groupBy(col("label"), col("d"))
+        .agg(sum(col("qv")).as("sv"), count(lit(1)).as("nv"))
+        .select(col("label"), col("d"),
+          expr("""CASE WHEN sv >= 0 THEN sv div nv
+                  ELSE -((-sv) div nv) END""").as("cv"))
+      val within = q.join(cents, Seq("label", "d"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(expr("(qv - cv) * (qv - cv)")).as("d2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("CAST(sum(d2) div count(1) AS BIGINT)")
+            .as("within_e8"))
+      val grid = cents.toDF("la", "d", "ca")
+        .join(cents.toDF("lb", "d", "cb"), "d")
+        .filter(col("la") =!= col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum(expr("(ca - cb) * (ca - cb)")).as("m2"))
+      val ratios = grid
+        .join(within.select(col("label").as("la"),
+          col("within_e8").as("sa")), "la")
+        .join(within.select(col("label").as("lb"),
+          col("within_e8").as("sb")), "lb")
+        .select(col("la"), col("lb"), col("m2"),
+          expr("""CAST((sa + sb) * 1000000 div greatest(m2, 1)
+                  AS BIGINT)""").as("db_ppm"))
+      val wNear = Window.partitionBy(col("la"))
+        .orderBy(col("m2"), col("lb"))
+      val wWorst = Window.partitionBy(col("la"))
+        .orderBy(col("db_ppm").desc, col("lb"))
+      ratios
+        .withColumn("rk_near", row_number().over(wNear))
+        .withColumn("rk_db", row_number().over(wWorst))
+        .groupBy(col("la").as("label"))
+        .agg(max(when(col("rk_near") === 1, col("lb")))
+            .as("nearest_label"),
+          max(when(col("rk_near") === 1, col("m2")))
+            .as("nearest_dist_e8"),
+          max(when(col("rk_db") === 1, col("db_ppm")))
+            .as("db_worst_ppm"))
+        .join(within, Seq("label"))
+        .select(col("label"), col("n_vecs"), col("within_e8"),
+          col("nearest_label"), col("nearest_dist_e8"),
+          col("db_worst_ppm"))
+        .orderBy(col("label"))
     })
 
   /** q113 blocklist (mirrored as literals in the oracle SQL). */
@@ -5002,5 +5067,53 @@ object PipelineQueries {
              AS BIGINT) AS n_pure,
            CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END)
              * 1000000 // COUNT(*) AS BIGINT) AS purity_ppm
-         FROM r WHERE rk = 1 GROUP BY 1 ORDER BY label""")
+         FROM r WHERE rk = 1 GROUP BY 1 ORDER BY label""",
+
+    "q355_label_scatter" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           generate_subscripts(embedding, 1) - 1 AS d,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             AS BIGINT) AS qv
+         FROM embeddings),
+         cents AS (SELECT label, d,
+             CASE WHEN SUM(qv) >= 0 THEN SUM(qv) // COUNT(*)
+               ELSE -((-SUM(qv)) // COUNT(*)) END AS cv
+           FROM q GROUP BY 1, 2),
+         wv AS (SELECT q.label, q.vec_id,
+             SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+           FROM q JOIN cents c ON q.label = c.label AND q.d = c.d
+           GROUP BY 1, 2),
+         within AS (SELECT label, COUNT(*) AS n_vecs,
+             CAST(SUM(d2) // COUNT(*) AS BIGINT) AS within_e8
+           FROM wv GROUP BY 1),
+         grid AS (SELECT a.label AS la, b.label AS lb,
+             SUM((a.cv - b.cv) * (a.cv - b.cv)) AS m2
+           FROM cents a JOIN cents b
+             ON a.d = b.d AND a.label <> b.label
+           GROUP BY 1, 2),
+         ratios AS (SELECT g.la, g.lb, g.m2,
+             CAST((wa.within_e8 + wb.within_e8) * 1000000
+               // GREATEST(g.m2, 1) AS BIGINT) AS db_ppm
+           FROM grid g
+           JOIN within wa ON g.la = wa.label
+           JOIN within wb ON g.lb = wb.label),
+         r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY la ORDER BY m2, lb)
+               AS rk_near,
+             ROW_NUMBER() OVER (PARTITION BY la
+               ORDER BY db_ppm DESC, lb) AS rk_db
+           FROM ratios),
+         ag AS (SELECT la,
+             MAX(CASE WHEN rk_near = 1 THEN lb END) AS nearest_label,
+             MAX(CASE WHEN rk_near = 1 THEN m2 END)
+               AS nearest_dist_e8,
+             MAX(CASE WHEN rk_db = 1 THEN db_ppm END) AS db_worst_ppm
+           FROM r GROUP BY 1)
+         SELECT a.la AS label, CAST(w.n_vecs AS BIGINT) AS n_vecs,
+           w.within_e8,
+           CAST(a.nearest_label AS BIGINT) AS nearest_label,
+           CAST(a.nearest_dist_e8 AS BIGINT) AS nearest_dist_e8,
+           a.db_worst_ppm
+         FROM ag a JOIN within w ON a.la = w.label
+         ORDER BY label""")
 }

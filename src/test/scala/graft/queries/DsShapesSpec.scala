@@ -1049,6 +1049,39 @@ class DsShapesSpec extends SparkSpec {
     assert(census.values.sum === byCust.size.toLong)
   }
 
+  test("q354: discount lift recomputes from brute-force band sums; " +
+      "the full-price row's lift is exactly 1e6") {
+    val out = DsShapes.defs2("q354_discount_lift")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("disc_pct") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("qty_e2"),
+          r.getAs[Long]("mean_qty_e2"), r.getAs[Long]("rev_e4"),
+          r.getAs[Long]("lift_vs_full_price_ppm"))).toMap
+    assert(out.nonEmpty)
+    val lines = graft.Tables.load(spark, dir, "lineitem")
+      .select((col("l_discount").cast("decimal(12,2)") * 100)
+          .cast("long").as("dp"),
+        (col("l_quantity").cast("decimal(12,2)") * 100)
+          .cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(12,2)") -
+            col("l_discount").cast("decimal(12,2)")) *
+          lit(10000)).cast("decimal(38,0)").cast("long").as("r"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val bands = lines.groupBy(_._1).map { case (dp, xs) =>
+      dp -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+    }
+    assert(out.keySet === bands.keySet)
+    val base = bands(0L)._2 / bands(0L)._1
+    out.foreach { case (dp, (n, q, mean, r, lift)) =>
+      val (en, eq, er) = bands(dp)
+      assert((n, q, r) === ((en, eq, er)))
+      assert(mean === eq / en)
+      assert(lift === mean * 1000000L / base)
+    }
+    assert(out(0L)._5 === 1000000L)
+  }
+
   test("q346: Kruskal-Wallis recomputes from a brute-force midrank " +
       "replay; rank sums telescope to N(N+1)") {
     val r = DsShapes.defs2("q346_kruskal_wallis")(spark, dir)

@@ -768,6 +768,83 @@ class TpchShapesSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("q355: label scatter recomputes from a brute-force quantized-" +
+      "centroid replay; the nearest label is symmetric-distance " +
+      "consistent") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q355_label_scatter")(spark, dir).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("within_e8"),
+          r.getAs[Long]("nearest_label"),
+          r.getAs[Long]("nearest_dist_e8"),
+          r.getAs[Long]("db_worst_ppm"))).toMap
+    assert(out.nonEmpty)
+    val vecs = graft.Tables.load(spark, dir, "embeddings").collect()
+      .map(r => (r.getAs[Int]("label").toLong,
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 10000).toLong).toArray))
+    val byLabel = vecs.groupBy(_._1)
+    def signDiv(a: Long, b: Long): Long =
+      if (a >= 0) a / b else -((-a) / b)
+    val cents = byLabel.map { case (l, xs) =>
+      val dim = xs.head._2.length
+      l -> (0 until dim).map(d =>
+        signDiv(xs.map(_._2(d)).sum, xs.length.toLong)).toArray
+    }
+    val within = byLabel.map { case (l, xs) =>
+      val c = cents(l)
+      val d2 = xs.map(v => v._2.zip(c)
+        .map { case (a, b) => (a - b) * (a - b) }.sum)
+      l -> (xs.length.toLong, d2.map(BigInt(_)).sum.toLong / xs.length)
+    }
+    val labels = cents.keys.toSeq.sorted
+    def m2(a: Long, b: Long): Long = cents(a).zip(cents(b))
+      .map { case (x, y) => (x - y) * (x - y) }.sum
+    labels.foreach { l =>
+      val (n, w, nl, nd, db) = out(l)
+      assert((n, w) === within(l))
+      val others = labels.filterNot(_ == l)
+      val expNear = others.minBy(o => (m2(l, o), o))
+      assert(nl === expNear && nd === m2(l, expNear))
+      // symmetry: the distance I see to my nearest is what it sees
+      assert(m2(l, nl) === m2(nl, l))
+      val expDb = others.map(o =>
+        ((within(l)._2 + within(o)._2) * 1000000L /
+          math.max(m2(l, o), 1L), o)).minBy(t => (-t._1, t._2))._1
+      assert(db === expDb)
+    }
+  }
+
+  test("q356: hapax spectrum recomputes from the brute-force frequency " +
+      "spectrum; hapax tokens = hapax types by definition") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q356_hapax_spectrum")(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("hapax_types"), r.getAs[Long]("dis_types"),
+          r.getAs[Long]("hapax_type_share_ppm"),
+          r.getAs[Long]("hapax_token_share_ppm"))).toMap
+    assert(out.nonEmpty)
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = toks.groupBy(_._1).map { case (lang, xs) =>
+      val freqs = xs.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val hap = freqs.count(_ == 1L).toLong
+      val dis = freqs.count(_ == 2L).toLong
+      lang -> (freqs.length.toLong, freqs.sum, hap, dis,
+        hap * 1000000L / freqs.length,
+        hap * 1000000L / math.max(freqs.sum, 1L))
+    }
+    assert(out === expected)
+    out.values.foreach { case (types, tokens, hap, dis, _, _) =>
+      assert(hap + dis <= types && types <= tokens)
+    }
+  }
+
   test("q350: term burstiness recomputes from brute-force (token, doc) " +
       "counts; cf >= df and burst >= 1e6 by construction") {
     val dir = sf("sf0.001")
