@@ -2316,17 +2316,9 @@ object PipelineQueries {
     // Argmax ties break (dot DESC, centroid label ASC).
     "q327_centroid_purity" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val q = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          posexplode(col("embedding")))
-        .select(col("vec_id"), col("label"), col("pos").as("d"),
-          floor(col("col").cast("double") * 10000).cast("long")
-            .as("qv"))
-      val cents = q.groupBy(col("label").as("c_label"), col("d"))
-        .agg(sum(col("qv")).as("sv"), count(lit(1)).as("nv"))
-        .select(col("c_label"), col("d"),
-          expr("""CASE WHEN sv >= 0 THEN sv div nv
-                  ELSE -((-sv) div nv) END""").as("cv"))
+      val q = quantizedEmbeddings(s, dir)
+      val cents = quantizedCentroids(q)
+        .select(col("label").as("c_label"), col("d"), col("cv"))
       val dots = q.join(broadcast(cents), "d")
         .groupBy(col("vec_id"), col("label"), col("c_label"))
         .agg(sum(expr("qv * cv")).as("dot"))
@@ -2356,18 +2348,12 @@ object PipelineQueries {
     // integers, ratio argmax ties to the smallest other label.
     "q355_label_scatter" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val q = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label").cast("long").as("label"),
-          posexplode(col("embedding")))
-        .select(col("vec_id"), col("label"), col("pos").as("d"),
-          floor(col("col").cast("double") * 10000).cast("long")
-            .as("qv"))
-      val cents = q.groupBy(col("label"), col("d"))
-        .agg(sum(col("qv")).as("sv"), count(lit(1)).as("nv"))
-        .select(col("label"), col("d"),
-          expr("""CASE WHEN sv >= 0 THEN sv div nv
-                  ELSE -((-sv) div nv) END""").as("cv"))
-      val within = q.join(cents, Seq("label", "d"))
+      val q = quantizedEmbeddings(s, dir)
+      val cents = quantizedCentroids(q)
+      // broadcast: cents is |labels|·|dims| rows against the exploded
+      // fact — without the hint the dominant cost is a sort-merge
+      // shuffle of every (vector, dim) row (the q327 discipline)
+      val within = q.join(broadcast(cents), Seq("label", "d"))
         .groupBy(col("label"), col("vec_id"))
         .agg(sum(expr("(qv - cv) * (qv - cv)")).as("d2"))
         .groupBy(col("label"))
@@ -2407,6 +2393,44 @@ object PipelineQueries {
           col("db_worst_ppm"))
         .orderBy(col("label"))
     })
+
+  /** The e4-QUANTIZED embedding components (floor(v·1e4) — one double
+    * multiply + floor, bit-identical across engines) at
+    * (vec_id, label, dim) grain — ONE definition shared by the
+    * centroid family (q327 purity, q355 scatter) with [[QuantCentsSql]]
+    * as its DuckDB face, so the quantization scale and the
+    * sign-decomposed centroid mean can never drift between them. */
+  private def quantizedEmbeddings(s: SparkSession,
+      dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos").as("d"),
+        floor(col("col").cast("double") * 10000).cast("long")
+          .as("qv"))
+
+  /** Per-(label, dim) INTEGER centroids of [[quantizedEmbeddings]] —
+    * sign-decomposed truncating mean (Spark div truncates, DuckDB //
+    * floors; component sums go negative). */
+  private def quantizedCentroids(q: DataFrame): DataFrame =
+    q.groupBy(col("label"), col("d"))
+      .agg(sum(col("qv")).as("sv"), count(lit(1)).as("nv"))
+      .select(col("label"), col("d"),
+        expr("""CASE WHEN sv >= 0 THEN sv div nv
+                ELSE -((-sv) div nv) END""").as("cv"))
+
+  /** [[quantizedEmbeddings]] + [[quantizedCentroids]]'s DuckDB face
+    * (CTEs `q` and `cents(label, d, cv)`). */
+  private val QuantCentsSql =
+    """q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
+           AS BIGINT) AS qv
+       FROM embeddings),
+       cents AS (SELECT label, d,
+           CASE WHEN SUM(qv) >= 0 THEN SUM(qv) // COUNT(*)
+             ELSE -((-SUM(qv)) // COUNT(*)) END AS cv
+         FROM q GROUP BY 1, 2)"""
 
   /** q113 blocklist (mirrored as literals in the oracle SQL). */
   val BlockedDomains: Seq[String] =
@@ -5047,16 +5071,8 @@ object PipelineQueries {
          FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q327_centroid_purity" ->
-      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-           generate_subscripts(embedding, 1) - 1 AS d,
-           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
-             AS BIGINT) AS qv
-         FROM embeddings),
-         cents AS (SELECT label AS c_label, d,
-             CASE WHEN SUM(qv) >= 0 THEN SUM(qv) // COUNT(*)
-               ELSE -((-SUM(qv)) // COUNT(*)) END AS cv
-           FROM q GROUP BY 1, 2),
-         dots AS (SELECT q.vec_id, q.label, c.c_label,
+      s"""WITH $QuantCentsSql,
+         dots AS (SELECT q.vec_id, q.label, c.label AS c_label,
              SUM(q.qv * c.cv) AS dot
            FROM q JOIN cents c USING (d) GROUP BY 1, 2, 3),
          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -5070,15 +5086,7 @@ object PipelineQueries {
          FROM r WHERE rk = 1 GROUP BY 1 ORDER BY label""",
 
     "q355_label_scatter" ->
-      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-           generate_subscripts(embedding, 1) - 1 AS d,
-           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
-             AS BIGINT) AS qv
-         FROM embeddings),
-         cents AS (SELECT label, d,
-             CASE WHEN SUM(qv) >= 0 THEN SUM(qv) // COUNT(*)
-               ELSE -((-SUM(qv)) // COUNT(*)) END AS cv
-           FROM q GROUP BY 1, 2),
+      s"""WITH $QuantCentsSql,
          wv AS (SELECT q.label, q.vec_id,
              SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
            FROM q JOIN cents c ON q.label = c.label AND q.d = c.d

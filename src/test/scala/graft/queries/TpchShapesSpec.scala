@@ -807,8 +807,10 @@ class TpchShapesSpec extends SparkSpec {
       val others = labels.filterNot(_ == l)
       val expNear = others.minBy(o => (m2(l, o), o))
       assert(nl === expNear && nd === m2(l, expNear))
-      // symmetry: the distance I see to my nearest is what it sees
-      assert(m2(l, nl) === m2(nl, l))
+      // cross-row symmetry ON THE QUERY OUTPUT: my nearest label's own
+      // reported nearest distance can be at most its distance to me
+      // (I am one of its candidates)
+      assert(out(nl)._4 <= nd)
       val expDb = others.map(o =>
         ((within(l)._2 + within(o)._2) * 1000000L /
           math.max(m2(l, o), 1L), o)).minBy(t => (-t._1, t._2))._1
@@ -842,6 +844,37 @@ class TpchShapesSpec extends SparkSpec {
     assert(out === expected)
     out.values.foreach { case (types, tokens, hap, dis, _, _) =>
       assert(hap + dis <= types && types <= tokens)
+    }
+  }
+
+  test("q356: a constructed corpus with known hapax/dis counts " +
+      "exercises both share divisions with NONZERO numerators (the " +
+      "synthetic corpus has no hapax at all, so the shares there are " +
+      "only ever checked at 0)") {
+    val tmp = java.nio.file.Files.createTempDirectory("q356docs")
+      .toString
+    try {
+      import spark.implicits._
+      // lang a: tokens = [x x y z] → types 3, hapax {y, z} = 2,
+      //   dis {x} = 1, tokens 4 → type share 666666, token share 500000
+      // lang b: [w w w] → types 1, hapax 0, dis 0
+      Seq((1L, "x x y z", "a"), (2L, "w w w", "b"))
+        .toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val r = graft.queries.CurationExtras
+        .defs("q356_hapax_spectrum")(spark, tmp).collect()
+        .map(x => x.getAs[String]("lang") ->
+          (x.getAs[Long]("n_types"), x.getAs[Long]("n_tokens"),
+            x.getAs[Long]("hapax_types"), x.getAs[Long]("dis_types"),
+            x.getAs[Long]("hapax_type_share_ppm"),
+            x.getAs[Long]("hapax_token_share_ppm"))).toMap
+      assert(r("a") === ((3L, 4L, 2L, 1L, 666666L, 500000L)))
+      assert(r("b") === ((1L, 3L, 0L, 0L, 0L, 0L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
     }
   }
 
