@@ -920,6 +920,39 @@ object DsShapes {
         .orderBy(col("moy"))
     },
 
+    // TOTAL-VARIATION distance between the web and store order-value
+    // distributions: the L1 counterpart to q328's KS max and q337's
+    // AUC — HOW MUCH probability mass would have to move to make the
+    // channels identical. Entirely integral on the shared value grain:
+    // TV = Σ_v |cw·n_s − cs·n_w| / (2·n_w·n_s), cross-multiplied so
+    // the only division is the final ppm one (non-negative ⇒ floor ≡
+    // trunc). The raw sum lands as BIGINT for the audit view — like
+    // q337's u2 it overflows past ~2e9 rows per side; tv_ppm (the
+    // DECIMAL-lifted quotient) is the scale-safe output.
+    "q357_channel_tv_distance" -> { (s, dir) =>
+      val vals = channelValueGrain(s, dir)
+        .localCheckpoint(true) // totals + the TV sum both read it
+      try {
+        val out = vals
+          .crossJoin(broadcast(vals.agg(
+            sum(col("c_web")).as("n_web"),
+            sum(col("c_store")).as("n_store"))))
+          .agg(max(col("n_web")).as("n_web"),
+            max(col("n_store")).as("n_store"),
+            count(lit(1)).as("n_values"),
+            sum(expr("""abs(CAST(c_web AS DECIMAL(38,0)) * n_store
+                        - CAST(c_store AS DECIMAL(38,0)) * n_web)"""))
+              .as("raw"))
+          .select(col("n_web"), col("n_store"), col("n_values"),
+            col("raw").cast("long").as("raw_l1"),
+            expr("""CAST(raw * 1000000 div greatest(2 *
+                    CAST(n_web AS DECIMAL(38,0)) * n_store, 1)
+                    AS BIGINT)""").as("tv_ppm"))
+        graft.tools.ExplainAudit
+          .auditedCut(out, "q357_channel_tv_distance")
+      } finally graft.operators.Graph.release(vals)
+    },
+
     // DISCOUNT LIFT GRID: does a deeper discount actually move more
     // units? Mean quantity per discount band (the l_discount domain is
     // ≤11 cent-values — a bounded grid by construction) with the lift
@@ -2056,6 +2089,25 @@ object DsShapes {
            CAST(n_active * 1000000 // n_cohort AS BIGINT)
              AS retention_ppm
          FROM w ORDER BY cohort, k""",
+
+    "q357_channel_tv_distance" ->
+      s"""WITH $ChannelValsSql,
+         tot AS (SELECT CAST(SUM(c_web) AS HUGEINT) AS n_web,
+             CAST(SUM(c_store) AS HUGEINT) AS n_store,
+             COUNT(*) AS n_values
+           FROM vals),
+         ag AS (SELECT MAX(n_web) AS n_web, MAX(n_store) AS n_store,
+             MAX(n_values) AS n_values,
+             SUM(abs(CAST(c_web AS HUGEINT) * n_store
+               - CAST(c_store AS HUGEINT) * n_web)) AS raw
+           FROM vals, tot)
+         SELECT CAST(n_web AS BIGINT) AS n_web,
+           CAST(n_store AS BIGINT) AS n_store,
+           CAST(n_values AS BIGINT) AS n_values,
+           CAST(raw AS BIGINT) AS raw_l1,
+           CAST(raw * 1000000 // GREATEST(2 * n_web * n_store, 1)
+             AS BIGINT) AS tv_ppm
+         FROM ag""",
 
     "q354_discount_lift" ->
       s"""WITH bands AS (SELECT

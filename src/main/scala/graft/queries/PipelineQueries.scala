@@ -236,6 +236,66 @@ object PipelineQueries {
         .limit(50)
     },
 
+    // BIGRAM COLLOCATIONS by integral PMI: the top word pairs whose
+    // co-occurrence beats their unigram chance — collocation mining,
+    // the phrase-vocabulary seed (q198 searches a GIVEN phrase; this
+    // DISCOVERS them). Adjacency via lead() over a doc-partitioned
+    // window (row-scale partition key — linear; never a positional
+    // self-join), PMI as the bit-length surrogate
+    // bitlen(N·c_xy) − bitlen(c_x·c_y) = ⌊log2⌋ of the lift ratio
+    // (the q263/q353 discipline — NO floats, sign lives in the
+    // subtraction, never a division); support floor c_xy ≥ 5 keeps
+    // one-off juxtapositions out, ranking (pmi, support, text) is a
+    // TakeOrdered merge. The products land in BIGINT — past ~4e9
+    // corpus tokens lift the operands to DECIMAL before bin().
+    "q358_bigram_collocations" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pos = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextAnalysis.tokens(
+          lower(col("text")))))
+        .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val big = pos
+        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+        .filter(col("nxt").isNotNull)
+      val cxy = big.groupBy(col("tok").as("x"), col("nxt").as("y"))
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5L)
+      val cx = pos.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      cxy
+        .join(cx.select(col("tok").as("x"), col("c").as("c_x")), "x")
+        .join(cx.select(col("tok").as("y"), col("c").as("c_y")), "y")
+        .crossJoin(broadcast(pos.agg(count(lit(1)).as("n_toks"))))
+        .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+          col("c_xy"), col("c_x"), col("c_y"),
+          (length(bin(col("n_toks") * col("c_xy"))) -
+            length(bin(col("c_x") * col("c_y")))).cast("long")
+            .as("pmi_bits"))
+        .orderBy(col("pmi_bits").desc, col("c_xy").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // DEDUP YIELD CURVE: how many near-duplicate pairs does each
+    // Jaccard threshold harvest — the aggressiveness-tuning artifact
+    // every dedup rollout reads before picking its cut. Pairs from the
+    // SHARED shingle-join machinery (q27's operator at threshold 0),
+    // banded by the EXACT rational decile inter·10 div union (never
+    // the float jaccard), the at-or-above curve one descending window
+    // over the ≤11-row band grid.
+    "q359_dedup_yield_curve" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bands = Dedup.jaccardPairs(t(s, dir, "documents"), 0.0)
+        .select(expr("inter * 10 div (size_a + size_b - inter)")
+          .as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      val wCum = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands
+        .withColumn("pairs_at_or_above", sum(col("n_pairs")).over(wCum))
+        .select(col("band"), col("n_pairs"), col("pairs_at_or_above"))
+        .orderBy(col("band"))
+    },
+
     // Sketch accuracy: MinHash slot-agreement estimate vs the exact
     // Jaccard for every LSH candidate pair — signatures are never
     // re-derived from text, mirroring a production candidate-ranking pass.
@@ -4331,6 +4391,53 @@ object PipelineQueries {
            CAST(max_tf AS BIGINT) AS max_tf,
            CAST(cf * 1000000 // df AS BIGINT) AS burst_ppm
          FROM ag ORDER BY cf DESC, tok LIMIT 50""",
+
+    "q358_bigram_collocations" ->
+      """WITH lt AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\s+') AS ts
+         FROM documents),
+         pos AS (SELECT doc_id, unnest(ts) AS tok,
+           unnest(range(1, len(ts) + 1)) AS p FROM lt),
+         big AS (SELECT tok, LEAD(tok) OVER (PARTITION BY doc_id
+             ORDER BY p) AS nxt
+           FROM pos),
+         cxy AS (SELECT tok AS x, nxt AS y, COUNT(*) AS c_xy
+           FROM big WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         cx AS (SELECT tok, COUNT(*) AS c FROM pos GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS n_toks FROM pos)
+         SELECT p.x || ' ' || p.y AS bigram,
+           CAST(p.c_xy AS BIGINT) AS c_xy,
+           CAST(a.c AS BIGINT) AS c_x, CAST(b.c AS BIGINT) AS c_y,
+           CAST(length(bin(nt.n_toks * p.c_xy))
+             - length(bin(a.c * b.c)) AS BIGINT) AS pmi_bits
+         FROM cxy p
+         JOIN cx a ON p.x = a.tok
+         JOIN cx b ON p.y = b.tok
+         CROSS JOIN nt
+         ORDER BY pmi_bits DESC, c_xy DESC, bigram LIMIT 20""",
+
+    "q359_dedup_yield_curve" ->
+      s"""WITH $shingleCte,
+         sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh
+           GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         bands AS (SELECT
+             inter * 10 // (sa.set_size + sb.set_size - inter) AS band,
+             COUNT(*) AS n_pairs
+           FROM pairs
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           GROUP BY 1)
+         SELECT CAST(band AS BIGINT) AS band,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS pairs_at_or_above
+         FROM bands ORDER BY band""",
 
     "q75_minhash_estimate" -> {
       val agree = (0 until NumHashes)

@@ -878,6 +878,95 @@ class TpchShapesSpec extends SparkSpec {
     }
   }
 
+  test("q357: total-variation distance recomputes from brute-force " +
+      "channel histograms and stays in [0, 1e6]") {
+    val dir = sf("sf0.001")
+    val r = graft.queries.DsShapes
+      .defs2("q357_channel_tv_distance")(spark, dir).collect().head
+    val cents = graft.Tables.load(spark, dir, "orders")
+      .select(pmod(col("o_orderkey"), lit(3)).cast("long").as("chm"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("v"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .filter(x => x._1 == 0L || x._1 == 1L)
+    val web = cents.filter(_._1 == 1L).map(_._2)
+    val store = cents.filter(_._1 == 0L).map(_._2)
+    val nW = web.length.toLong
+    val nS = store.length.toLong
+    val wc = web.groupBy(identity).map { case (v, xs) =>
+      v -> xs.length.toLong }
+    val sc = store.groupBy(identity).map { case (v, xs) =>
+      v -> xs.length.toLong }
+    val raw = (wc.keySet ++ sc.keySet).toSeq.map { v =>
+      (BigInt(wc.getOrElse(v, 0L)) * nS -
+        BigInt(sc.getOrElse(v, 0L)) * nW).abs
+    }.sum
+    assert(r.getAs[Long]("n_web") === nW)
+    assert(r.getAs[Long]("n_store") === nS)
+    assert(r.getAs[Long]("n_values") ===
+      (wc.keySet ++ sc.keySet).size.toLong)
+    assert(r.getAs[Long]("raw_l1") === raw.toLong)
+    val tv = (raw * 1000000 / (BigInt(2) * nW * nS)).toLong
+    assert(r.getAs[Long]("tv_ppm") === tv)
+    assert(tv >= 0L && tv <= 1000000L)
+  }
+
+  test("q358: bigram collocations recompute from a brute-force " +
+      "adjacency replay; PMI bits match the bitlength surrogate") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q358_bigram_collocations")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1).toLowerCase.trim.split("\\s+").toSeq)
+    val toks = docs.flatten
+    val n = toks.length.toLong
+    val cx = toks.groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong }
+    val cxy = docs.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= 5L)
+    def bits(x: Long): Long =
+      java.lang.Long.toBinaryString(x).length.toLong
+    val want = cxy.toSeq.map { case ((x, y), c) =>
+      (s"$x $y", c, cx(x), cx(y), bits(n * c) - bits(cx(x) * cx(y)))
+    }.sortBy { case (bg, c, _, _, pmi) => (-pmi, -c, bg) }.take(20)
+    val got = out.map(r => (r.getAs[String]("bigram"),
+      r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"),
+      r.getAs[Long]("c_y"), r.getAs[Long]("pmi_bits"))).toSeq
+    assert(got === want)
+  }
+
+  test("q359: the dedup yield curve recomputes from brute-force " +
+      "jaccard deciles; the at-or-above curve telescopes to the " +
+      "total pair count") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q359_dedup_yield_curve")(spark, dir).collect()
+      .map(r => r.getAs[Long]("band") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("pairs_at_or_above")))
+      .toMap
+    assert(out.nonEmpty)
+    // independent pair derivation through the operator's public face
+    val pairs = graft.operators.Dedup
+      .jaccardPairs(graft.Tables.load(spark, dir, "documents"), 0.0)
+      .select(col("inter"), col("size_a"), col("size_b")).collect()
+      .map(r => (r.getAs[Long]("inter"), r.getAs[Long]("size_a"),
+        r.getAs[Long]("size_b")))
+    val expected = pairs
+      .map { case (i, a, b) => i * 10 / (a + b - i) }
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    assert(out.view.mapValues(_._1).toMap === expected)
+    // descending-cumulative law: at-or-above at the lowest band is the
+    // total, and the curve is non-increasing in the band
+    val sorted = out.toSeq.sortBy(_._1)
+    assert(sorted.head._2._2 === pairs.length.toLong)
+    sorted.map(_._2._2).zip(sorted.tail.map(_._2._2)).foreach {
+      case (lo, hi) => assert(lo >= hi)
+    }
+  }
+
   test("q350: term burstiness recomputes from brute-force (token, doc) " +
       "counts; cf >= df and burst >= 1e6 by construction") {
     val dir = sf("sf0.001")
