@@ -2093,11 +2093,10 @@ object DsShapes {
     "q357_channel_tv_distance" ->
       s"""WITH $ChannelValsSql,
          tot AS (SELECT CAST(SUM(c_web) AS HUGEINT) AS n_web,
-             CAST(SUM(c_store) AS HUGEINT) AS n_store,
-             COUNT(*) AS n_values
+             CAST(SUM(c_store) AS HUGEINT) AS n_store
            FROM vals),
          ag AS (SELECT MAX(n_web) AS n_web, MAX(n_store) AS n_store,
-             MAX(n_values) AS n_values,
+             COUNT(*) AS n_values,
              SUM(abs(CAST(c_web AS HUGEINT) * n_store
                - CAST(c_store AS HUGEINT) * n_web)) AS raw
            FROM vals, tot)

@@ -250,10 +250,15 @@ object PipelineQueries {
     // corpus tokens lift the operands to DECIMAL before bin().
     "q358_bigram_collocations" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // LAZY checkpoint: three subtrees (bigram chain, unigram counts,
+      // the corpus total) read the tokenized relation — without it the
+      // documents scan + regex tokenize + explode run three times per
+      // invocation (the q141/q199 escaping-plan pattern)
       val pos = t(s, dir, "documents")
         .select(col("doc_id"), posexplode(TextAnalysis.tokens(
           lower(col("text")))))
         .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+        .localCheckpoint(false)
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       val big = pos
         .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
