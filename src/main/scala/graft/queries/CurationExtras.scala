@@ -1446,6 +1446,38 @@ object CurationExtras {
         .orderBy(col("lang"))
     },
 
+    // SESSION FOCUS distribution: per 30-minute session, the HHI of
+    // its event-type mix (1e6 = a single-action session, low = a
+    // browsing mix) — q347's concentration statistic pointed at
+    // BEHAVIOR, the bot-vs-human mix screen beside q175's funnel.
+    // HHI is one DECIMAL(38) division per session (s2·1e6/(n·n), both
+    // non-negative); the output is the decile-band histogram with
+    // shares over the ≤11-row grid (a window over a bounded
+    // aggregate), never per-session rows.
+    "q360_session_focus" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hhi = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .groupBy(col("user_id"), col("session_idx"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(sum(col("c")).as("n"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+        .select(expr("""CAST(s2 * 1000000
+                div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""")
+          .as("hhi_ppm"))
+      val bands = hhi
+        .groupBy(expr("hhi_ppm div 100000").as("band"))
+        .agg(count(lit(1)).as("n_sessions"))
+      val wAll = Window.partitionBy(lit(0))
+      bands
+        .withColumn("tot", sum(col("n_sessions")).over(wAll))
+        .select(col("band"), col("n_sessions"),
+          expr("CAST(n_sessions * 1000000 div tot AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("band"))
+    },
+
     // HAPAX SPECTRUM per language: the head of the frequency-of-
     // frequencies distribution — hapax (once-seen) and dis (twice-
     // seen) legomena shares of the vocabulary and of the token mass,
@@ -2661,6 +2693,35 @@ object CurationExtras {
            CAST(SUM(CASE WHEN gap >= threshold_days THEN 1 ELSE 0 END)
              * 1000000 // COUNT(*) AS BIGINT) AS dormant_ppm
          FROM gaps, th GROUP BY 1 ORDER BY threshold_days""",
+
+    "q360_session_focus" ->
+      """WITH se0 AS (
+           SELECT user_id, event_type,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx
+           FROM (
+             SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+             FROM events) a),
+         sc AS (SELECT user_id, session_idx, event_type,
+             COUNT(*) AS c
+           FROM se0 GROUP BY 1, 2, 3),
+         h AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) * 1000000
+               // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT)
+               AS hhi_ppm
+           FROM sc GROUP BY user_id, session_idx),
+         b AS (SELECT hhi_ppm // 100000 AS band,
+             COUNT(*) AS n_sessions
+           FROM h GROUP BY 1),
+         t AS (SELECT SUM(n_sessions) AS tot FROM b)
+         SELECT CAST(band AS BIGINT) AS band,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(n_sessions * 1000000 // tot AS BIGINT) AS share_ppm
+         FROM b, t ORDER BY band""",
 
     "q356_hapax_spectrum" ->
       """WITH tc AS (SELECT lang, tok, COUNT(*) AS cnt

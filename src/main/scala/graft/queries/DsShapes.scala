@@ -920,6 +920,66 @@ object DsShapes {
         .orderBy(col("moy"))
     },
 
+    // BRAND SHARE STABILITY: each brand's within-year revenue share
+    // across the calendar, reduced to the (min, max, range) envelope —
+    // is the assortment's mix stable, or does a brand swing between
+    // 2% and 6% of the business year to year? GRAIN CONTRACT: only
+    // OBSERVED (year, brand) cells participate (a brand absent from a
+    // year contributes no share row — absence, never a zero). The
+    // share grid is brands × years (bounded), year totals via one
+    // partitioned window over it, one truncating division per cell.
+    "q361_brand_share_stability" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val yb = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+          col("p_brand"))
+        .agg(sum(revE4).as("rev_e4"))
+      val wYr = Window.partitionBy(col("yr"))
+      yb.withColumn("yr_total", sum(col("rev_e4")).over(wYr))
+        .select(col("p_brand"), col("yr"),
+          expr("""CAST(rev_e4 * 1000000 div greatest(yr_total, 1)
+                  AS BIGINT)""").as("share_ppm"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_years"),
+          min(col("share_ppm")).as("min_share_ppm"),
+          max(col("share_ppm")).as("max_share_ppm"))
+        .select(col("p_brand"), col("n_years"), col("min_share_ppm"),
+          col("max_share_ppm"),
+          (col("max_share_ppm") - col("min_share_ppm"))
+            .as("range_ppm"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ROUND-NUMBER BIAS per channel: how many order totals land on a
+    // whole dollar (cents ≡ 0 mod 100) or a whole dime (mod 10) —
+    // the pricing-psychology screen beside q342's Benford digits (a
+    // synthetic generator shows no bias; invoice data does). Exact on
+    // the cents integer, one conditional aggregate per channel, shares
+    // in truncating ppm.
+    "q362_round_price_bias" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(channelCol.as("channel"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("cents") % 100 === 0, 1L).otherwise(0L))
+            .as("n_whole_dollar"),
+          sum(when(col("cents") % 10 === 0, 1L).otherwise(0L))
+            .as("n_whole_dime"))
+        .select(col("channel"), col("n_orders"),
+          col("n_whole_dollar"),
+          expr("CAST(n_whole_dollar * 1000000 div n_orders AS BIGINT)")
+            .as("whole_dollar_ppm"),
+          col("n_whole_dime"),
+          expr("CAST(n_whole_dime * 1000000 div n_orders AS BIGINT)")
+            .as("whole_dime_ppm"))
+        .orderBy(col("channel"))
+    },
+
     // TOTAL-VARIATION distance between the web and store order-value
     // distributions: the L1 counterpart to q328's KS max and q337's
     // AUC — HOW MUCH probability mass would have to move to make the
@@ -2089,6 +2149,37 @@ object DsShapes {
            CAST(n_active * 1000000 // n_cohort AS BIGINT)
              AS retention_ppm
          FROM w ORDER BY cohort, k""",
+
+    "q361_brand_share_stability" ->
+      s"""WITH yb AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+           p_brand, SUM($RevE4Sql) AS rev_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2),
+         sh AS (SELECT p_brand, yr,
+             CAST(rev_e4 * 1000000 // GREATEST(SUM(rev_e4)
+               OVER (PARTITION BY yr), 1) AS BIGINT) AS share_ppm
+           FROM yb)
+         SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_years,
+           MIN(share_ppm) AS min_share_ppm,
+           MAX(share_ppm) AS max_share_ppm,
+           MAX(share_ppm) - MIN(share_ppm) AS range_ppm
+         FROM sh GROUP BY 1 ORDER BY p_brand""",
+
+    "q362_round_price_bias" ->
+      s"""WITH c AS (SELECT $ChannelSql AS channel,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders)
+         SELECT channel, COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_whole_dollar,
+           CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS whole_dollar_ppm,
+           CAST(SUM(CASE WHEN cents % 10 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_whole_dime,
+           CAST(SUM(CASE WHEN cents % 10 = 0 THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS whole_dime_ppm
+         FROM c GROUP BY 1 ORDER BY channel""",
 
     "q357_channel_tv_distance" ->
       s"""WITH $ChannelValsSql,

@@ -1082,6 +1082,73 @@ class DsShapesSpec extends SparkSpec {
     assert(out(0L)._5 === 1000000L)
   }
 
+  test("q361: brand share stability recomputes from a brute-force " +
+      "year-share replay; per-year shares telescope to ~1e6") {
+    val out = DsShapes.defs2("q361_brand_share_stability")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_years"), r.getAs[Long]("min_share_ppm"),
+          r.getAs[Long]("max_share_ppm"), r.getAs[Long]("range_ppm")))
+      .toMap
+    assert(out.nonEmpty)
+    val yb = graft.Tables.load(spark, dir, "lineitem")
+      .join(graft.Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+        col("p_brand"))
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(12,2)") -
+          col("l_discount").cast("decimal(12,2)")) *
+        lit(10000)).cast("decimal(38,0)")).cast("long").as("rev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val yrTotals = yb.groupBy(_._1)
+      .map { case (y, xs) => y -> xs.map(x => BigInt(x._3)).sum }
+    val shares = yb.map { case (y, b, r) =>
+      (b, (BigInt(r) * 1000000 / yrTotals(y).max(1)).toLong)
+    }
+    val expected = shares.groupBy(_._1).map { case (b, xs) =>
+      val ss = xs.map(_._2)
+      b -> (ss.length.toLong, ss.min, ss.max, ss.max - ss.min)
+    }
+    assert(out === expected)
+    // within a year, the observed shares telescope to 1e6 minus at
+    // most one truncation ulp per brand
+    yrTotals.keys.foreach { y =>
+      val tot = yb.filter(_._1 == y).map { case (_, _, r) =>
+        (BigInt(r) * 1000000 / yrTotals(y).max(1)).toLong }.sum
+      assert(tot <= 1000000L && tot > 1000000L - 25L)
+    }
+  }
+
+  test("q362: round-price bias recomputes from brute-force cents " +
+      "remainders; whole dollars are a subset of whole dimes") {
+    val out = DsShapes.defs2("q362_round_price_bias")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("n_whole_dollar"),
+          r.getAs[Long]("whole_dollar_ppm"),
+          r.getAs[Long]("n_whole_dime"),
+          r.getAs[Long]("whole_dime_ppm"))).toMap
+    val cents = graft.Tables.load(spark, dir, "orders")
+      .select(pmod(col("o_orderkey"), lit(3)).cast("long").as("chm"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val chName = Map(0L -> "store", 1L -> "web", 2L -> "catalog")
+    val expected = cents.groupBy(x => chName(x._1)).map {
+      case (ch, xs) =>
+        val n = xs.length.toLong
+        val wd = xs.count(_._2 % 100 == 0).toLong
+        val dm = xs.count(_._2 % 10 == 0).toLong
+        ch -> (n, wd, wd * 1000000L / n, dm, dm * 1000000L / n)
+    }
+    assert(out === expected)
+    out.values.foreach { case (n, wd, _, dm, _) =>
+      assert(wd <= dm && dm <= n)
+    }
+  }
+
   test("q346: Kruskal-Wallis recomputes from a brute-force midrank " +
       "replay; rank sums telescope to N(N+1)") {
     val r = DsShapes.defs2("q346_kruskal_wallis")(spark, dir)

@@ -996,6 +996,39 @@ class TpchShapesSpec extends SparkSpec {
     }
   }
 
+  test("q360: session focus recomputes from a brute-force session-HHI " +
+      "replay; single-event sessions land in the top band") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q360_session_focus")(spark, dir).collect()
+      .map(r => r.getAs[Long]("band") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("share_ppm")))
+      .toMap
+    assert(out.nonEmpty)
+    // independent sessionization replay through the operator's face
+    val se = graft.streaming.Events
+      .assignSessions(graft.Tables.load(spark, dir, "events"))
+      .select(col("user_id"), col("session_idx"), col("event_type"))
+      .collect()
+      .map(r => ((r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_idx")), r.getString(2)))
+    val hhis = se.groupBy(_._1).map { case (_, xs) =>
+      val cs = xs.groupBy(_._2).values.map(_.size.toLong)
+      val n = cs.sum
+      (cs.map(c => BigInt(c) * c).sum * 1000000 /
+        (BigInt(n) * n)).toLong
+    }.toSeq
+    val expected = hhis.groupBy(_ / 100000L).map { case (b, xs) =>
+      b -> (xs.length.toLong,
+        xs.length.toLong * 1000000L / hhis.length)
+    }
+    assert(out === expected)
+    // a pure session (one event type) scores exactly 1e6 → band 10;
+    // the fixture has single-event sessions, so band 10 is non-empty
+    assert(out.contains(10L) && out(10L)._1 > 0L)
+    assert(out.values.map(_._1).sum === hhis.length.toLong)
+  }
+
   test("q345: vocabulary Gini equals the brute-force sorted-frequency " +
       "formula per language and stays in [0, 1e6)") {
     val dir = sf("sf0.001")
