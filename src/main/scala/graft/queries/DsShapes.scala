@@ -238,6 +238,19 @@ object DsShapes {
            COUNT(*) OVER (PARTITION BY p_brand) AS n_pairs
          FROM sl)"""
 
+  /** The order-total CENTS integer — the exact fixed-point every
+    * order-value statistic keys on, as ONE definition with [[CentsSql]]
+    * as its DuckDB face (new order-value queries use this pair; the
+    * older inline copies migrate opportunistically — they are
+    * oracle-pinned, so drift is caught, but one definition is the
+    * goal). */
+  private def centsCol: Column =
+    (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+
+  /** [[centsCol]]'s DuckDB face. */
+  private val CentsSql =
+    "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
   /** l_extendedprice*(1-l_discount) in e4 fixed-point (exact). */
   private def revE4: Column =
     (col("l_extendedprice").cast("decimal(12,2)") *
@@ -961,9 +974,7 @@ object DsShapes {
     // in truncating ppm.
     "q362_round_price_bias" -> { (s, dir) =>
       t(s, dir, "orders")
-        .select(channelCol.as("channel"),
-          (col("o_totalprice").cast("decimal(12,2)") * 100)
-            .cast("long").as("cents"))
+        .select(channelCol.as("channel"), centsCol.as("cents"))
         .groupBy(col("channel"))
         .agg(count(lit(1)).as("n_orders"),
           sum(when(col("cents") % 100 === 0, 1L).otherwise(0L))
@@ -2166,9 +2177,7 @@ object DsShapes {
          FROM sh GROUP BY 1 ORDER BY p_brand""",
 
     "q362_round_price_bias" ->
-      s"""WITH c AS (SELECT $ChannelSql AS channel,
-           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-             AS cents
+      s"""WITH c AS (SELECT $ChannelSql AS channel, $CentsSql AS cents
          FROM orders)
          SELECT channel, COUNT(*) AS n_orders,
            CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
