@@ -1718,18 +1718,8 @@ object AnalyticsExtras {
     },
 
     "q229_session_paths" ->
-      s"""WITH se AS (
-           SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
-             CAST(SUM(new_s) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS session_idx
-           FROM (
-             SELECT user_id, ts, event_id, event_type,
-               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id))
-                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-             FROM events) a),
+      s"""WITH ${SessionSql.cte("se",
+          Seq("event_type", "epoch_us(ts) AS us", "event_id"))},
          rk AS (SELECT user_id, session_idx, event_type, us, event_id,
              ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
                ORDER BY us, event_id) AS rk

@@ -1626,18 +1626,7 @@ object CurationExtras {
          ORDER BY day""",
 
     "q197_session_cooccurrence" ->
-      """WITH se0 AS (
-           SELECT user_id, event_type,
-             CAST(SUM(new_s) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS session_idx
-           FROM (
-             SELECT user_id, ts, event_id, event_type,
-               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id))
-                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-             FROM events) a),
+      s"""WITH ${SessionSql.cte("se0", Seq("event_type"))},
          sp AS (SELECT DISTINCT user_id, session_idx, event_type
            FROM se0),
          n AS (SELECT COUNT(*) AS n_sessions FROM
@@ -1839,19 +1828,7 @@ object CurationExtras {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
 
     "q206_bounce_rate" ->
-      """WITH se AS (
-           SELECT user_id,
-             CAST(SUM(new_s) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS session_idx,
-             ts
-           FROM (
-             SELECT user_id, ts, event_id,
-               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id))
-                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-             FROM events) a),
+      s"""WITH ${SessionSql.cte("se", Seq("ts"))},
          s AS (SELECT user_id, session_idx, COUNT(*) AS n_events,
              MIN(CAST(ts AS DATE)) AS day
            FROM se GROUP BY 1, 2),
@@ -1927,18 +1904,7 @@ object CurationExtras {
          ORDER BY longest_streak DESC, user_id, event_type LIMIT 15""",
 
     "q210_time_to_convert" ->
-      """WITH se AS (
-           SELECT user_id, event_type, epoch_us(ts) AS us,
-             CAST(SUM(new_s) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS session_idx
-           FROM (
-             SELECT user_id, ts, event_id, event_type,
-               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id))
-                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-             FROM events) a),
+      s"""WITH ${SessionSql.cte("se", Seq("event_type", "epoch_us(ts) AS us"))},
          v AS (SELECT user_id, session_idx, MIN(us) AS v_us FROM se
            WHERE event_type = 'view' GROUP BY 1, 2),
          conv AS (SELECT se.user_id, se.session_idx,
@@ -1955,18 +1921,8 @@ object CurationExtras {
          FROM t JOIN r ON r.rn = t.tr ORDER BY pct""",
 
     "q211_first_touch" ->
-      """WITH se AS (
-           SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
-             CAST(SUM(new_s) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS session_idx
-           FROM (
-             SELECT user_id, ts, event_id, event_type,
-               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id))
-                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-             FROM events) a),
+      s"""WITH ${SessionSql.cte("se",
+          Seq("event_type", "event_id", "epoch_us(ts) AS us"))},
          entry AS (SELECT user_id, session_idx, event_type AS entry_type
            FROM (SELECT user_id, session_idx, event_type,
                ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
@@ -2112,18 +2068,7 @@ object CurationExtras {
          ORDER BY decayed_qty_e2 DESC, l_partkey LIMIT 15""",
 
     "q218_ordered_pair_support" ->
-      """WITH se AS (
-           SELECT user_id, event_type, epoch_us(ts) AS us,
-             CAST(SUM(new_s) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS session_idx
-           FROM (
-             SELECT user_id, ts, event_id, event_type,
-               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id))
-                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-             FROM events) a),
+      s"""WITH ${SessionSql.cte("se", Seq("event_type", "epoch_us(ts) AS us"))},
          b AS (SELECT user_id, session_idx, event_type,
              MIN(us) AS min_us, MAX(us) AS max_us
            FROM se GROUP BY 1, 2, 3),
@@ -2695,18 +2640,7 @@ object CurationExtras {
          FROM gaps, th GROUP BY 1 ORDER BY threshold_days""",
 
     "q360_session_focus" ->
-      """WITH se0 AS (
-           SELECT user_id, event_type,
-             CAST(SUM(new_s) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS session_idx
-           FROM (
-             SELECT user_id, ts, event_id, event_type,
-               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id))
-                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-             FROM events) a),
+      s"""WITH ${SessionSql.cte("se0", Seq("event_type"))},
          sc AS (SELECT user_id, session_idx, event_type,
              COUNT(*) AS c
            FROM se0 GROUP BY 1, 2, 3),

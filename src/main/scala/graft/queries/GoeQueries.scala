@@ -558,20 +558,11 @@ object GoeQueries {
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
     "q24_sessionize" ->
-      """SELECT user_id, session_idx, COUNT(*) AS n_events,
+      s"""WITH ${SessionSql.cte("b", Seq("ts"))}
+         SELECT user_id, session_idx, COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
-         FROM (
-           SELECT user_id, ts, event_id,
-             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS session_idx
-           FROM (
-             SELECT user_id, ts, event_id,
-               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                      PARTITION BY user_id ORDER BY ts, event_id))
-                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-             FROM events) a) b
+         FROM b
          GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
 
     "q25_stream_dedup" ->

@@ -3490,21 +3490,11 @@ object PipelineQueries {
          FROM d ORDER BY day""",
 
     "q161_session_stats" ->
-      """WITH sess AS (
+      s"""WITH ${SessionSql.cte("b", Seq("ts"))},
+         sess AS (
            SELECT user_id, session_idx, COUNT(*) AS n_events,
              epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
-           FROM (
-             SELECT user_id, ts, event_id,
-               CAST(SUM(new_s) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS session_idx
-             FROM (
-               SELECT user_id, ts, event_id,
-                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                        PARTITION BY user_id ORDER BY ts, event_id))
-                        > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-               FROM events) a) b
+           FROM b
            GROUP BY user_id, session_idx)
          SELECT n_events, COUNT(*) AS n_sessions,
            CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
@@ -3654,19 +3644,7 @@ object PipelineQueries {
            AND l_quantity < 24""",
 
     "q175_session_funnel" ->
-      """WITH se AS (
-           SELECT user_id, session_idx, event_type, us FROM (
-             SELECT user_id, event_type, epoch_us(ts) AS us,
-               CAST(SUM(new_s) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS session_idx
-             FROM (
-               SELECT user_id, ts, event_id, event_type,
-                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                        PARTITION BY user_id ORDER BY ts, event_id))
-                        > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
-               FROM events) a) b),
+      s"""WITH ${SessionSql.cte("se", Seq("event_type", "epoch_us(ts) AS us"))},
          v AS (SELECT user_id, session_idx, MIN(us) AS v_us FROM se
            WHERE event_type = 'view' GROUP BY 1, 2),
          c AS (SELECT se.user_id, se.session_idx, MIN(se.us) AS c_us
