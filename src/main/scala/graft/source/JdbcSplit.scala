@@ -84,6 +84,15 @@ object JdbcSplit {
     }
   }
 
+  /** Preset-shaped read: the Oracle session preset compiles to
+    * `sessionInitStatement`/`fetchsize`/`customSchema` reader options
+    * (executed once per split cursor — `OracleSession` scaladoc), merged
+    * under any explicit `props` so callers can still override. */
+  def read(spark: SparkSession, url: String, table: String, spec: SplitSpec,
+           preset: OracleSession.Preset, props: Map[String, String])
+      : DataFrame =
+    read(spark, url, table, spec, OracleSession.readOptions(preset) ++ props)
+
   /** Wrap a source query in a consistent-snapshot clause (Oracle flashback
     * `AS OF SCN`, captured once per offload —
     * `oracle_offload_transport_rdbms_api.py:636-645`). Kept as text because

@@ -267,6 +267,46 @@ class JdbcSplitLiveSpec extends SparkSpec {
       JdbcSplit.Single, props)
     assert(df.count() == (1 to NRows).count(_ % 7 == 3))
   }
+
+  test("sessionInitStatement runs once per split cursor (the Oracle " +
+    "preset's per-session contract)") {
+    // The Oracle preset's PL/SQL block can't run on Derby; prove the
+    // MECHANISM with a Derby-valid init statement that leaves one row per
+    // session, then count: 4 predicates → 4 cursors → 4 rows. Golden-shape
+    // specs for the preset itself live in OracleSessionSpec.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE init_log (hit INT)")
+      st.close()
+    } finally conn.close()
+    val preds = (0 until 4).map(g => s"grp = $g")
+    val df = JdbcSplit.read(spark, url, "items",
+      JdbcSplit.Predicates(preds),
+      props + ("sessionInitStatement" -> "INSERT INTO init_log VALUES (1)"))
+    df.count() // materialize: opens the 4 cursors
+    val check = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = check.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM init_log")
+      rs.next()
+      assert(rs.getInt(1) == 4,
+        s"expected 4 per-cursor init executions, got ${rs.getInt(1)}")
+    } finally check.close()
+  }
+
+  test("preset read overload merges options under explicit props") {
+    // End-to-end through the preset-shaped JdbcSplit.read: the preset's
+    // sessionInitStatement is Oracle PL/SQL, which Derby rejects — so
+    // override it through props (the documented precedence) and keep the
+    // preset's fetchsize; the read must still reassemble the table.
+    val df = JdbcSplit.read(spark, url, "items",
+      JdbcSplit.IdRange("id", 1L, NRows.toLong, 4),
+      graft.source.OracleSession.Preset(fetchSize = 100),
+      props + ("sessionInitStatement" -> "VALUES 1"))
+    assert(df.rdd.getNumPartitions == 4)
+    validate(df)
+  }
 }
 
 class CrossValidatorSpec extends SparkSpec {
