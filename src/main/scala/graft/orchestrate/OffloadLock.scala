@@ -55,4 +55,37 @@ object OffloadLock {
         throw new IllegalStateException(
           s"table $table is locked by another offload")
     }
+
+  // Same-JVM holders of the blocking lock, keyed by lock-file path. JVM
+  // file locks are held process-wide and a second acquisition from the same
+  // JVM throws OverlappingFileLockException instead of waiting, so in-JVM
+  // contention (a foreachBatch thread vs a maintenance CLI call on one
+  // driver) must serialize on a JVM mutex BEFORE touching the OS lock.
+  private val inProcess =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+
+  /** Run `body` holding the lock, WAITING for a current holder to release
+    * (maintenance-vs-stream serialization wants queueing, not refusal:
+    * a compact arriving mid-batch should run right after the batch, and a
+    * batch arriving mid-compact should not crash the stream). Mutual
+    * exclusion holds against both same-JVM threads (JVM mutex) and other
+    * processes on the driver host (OS file lock). */
+  def withBlockingLock[T](lockDir: String, table: String)(body: => T): T = {
+    Files.createDirectories(Paths.get(lockDir))
+    val file = Paths.get(lockDir,
+      table.replaceAll("[^A-Za-z0-9_.]", "_") + ".lock")
+    val jvmLock = inProcess.computeIfAbsent(file.toAbsolutePath.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    jvmLock.lock()
+    try {
+      val raf = new RandomAccessFile(file.toFile, "rw")
+      val osLock = raf.getChannel.lock() // blocks on cross-process holders
+      try body
+      finally {
+        try osLock.release()
+        finally raf.close()
+      }
+    } finally jvmLock.unlock()
+  }
 }

@@ -74,7 +74,22 @@ object StreamingSampler {
     fs.exists(cur)
   }
 
+  /** Advisory lock serializing batch commits against [[compact]]'s
+    * two-rename swap (r16 VERDICT ask #6): blocking, so a compact arriving
+    * mid-batch queues behind the batch instead of corrupting the swap, and
+    * a batch arriving mid-compact waits instead of crashing the stream.
+    * Keyed by the mass store path; the lock directory rides beside it
+    * (local driver-host scope, like every OffloadLock — a cluster
+    * deployment swaps the lock backend, not the call sites). */
+  private def withStoreLock[T](cfg: Config)(body: => T): T =
+    graft.orchestrate.OffloadLock.withBlockingLock(
+      cfg.massPath.stripPrefix("file:") + "__lock", "sampler-store")(body)
+
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
+                                      cfg: Config): Unit =
+    withStoreLock(cfg) { processBatchLocked(batch, batchId, cfg) }
+
+  private def processBatchLocked(batch: DataFrame, batchId: Long,
                                       cfg: Config): Unit = {
     val spark = batch.sparkSession
     if (!Hwm.replayGuard(batchId, lastBatch(spark, cfg),
@@ -167,19 +182,19 @@ object StreamingSampler {
     * every other store; the HWM file is a SIBLING of the swapped
     * directory and survives it.
     *
-    * OPERATIONAL CONTRACT (shared with every *-compact store): compact
-    * must NOT run concurrently with an active stream's batch — the
-    * two-rename swap is not atomic, and a processBatch whose
-    * [[massExists]] recovery (rename `__old` → cur) interleaves
-    * between compact's `rename(cur → __old)` and `rename(tmp → cur)`
-    * makes both the install and the rollback rename fail, leaving
-    * state that needs manual repair (restore `__old`). The
-    * "safe against the running stream" property above is therefore
-    * scoped to REPLAYS and the self-exclusion offset read, not to a
-    * batch executing during the swap window; run compact between
-    * batches (the `sampler-compact` CLI is a maintenance step, same as
-    * `dedup-compact` / `text-index-compact`). */
+    * Concurrency: the whole compact (existence check through swap) runs
+    * under the SAME advisory lock as every batch commit
+    * ([[withStoreLock]]), so the non-atomic two-rename swap can never
+    * interleave with a processBatch's `__old` recovery rename — the race
+    * that previously had to be excluded by an operational "run between
+    * batches" contract is now structurally impossible on one driver host
+    * (`StreamingSamplerSpec` forces it and observes mutual exclusion). */
   def compact(spark: org.apache.spark.sql.SparkSession,
+              cfg: Config): Unit = withStoreLock(cfg) {
+    compactLocked(spark, cfg)
+  }
+
+  private def compactLocked(spark: org.apache.spark.sql.SparkSession,
               cfg: Config): Unit = {
     if (!massExists(spark, cfg)) return
     val committed = lastBatch(spark, cfg)

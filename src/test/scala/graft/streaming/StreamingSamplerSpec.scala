@@ -115,6 +115,47 @@ class StreamingSamplerSpec extends SparkSpec {
         SampDoc("b", 11L, 40L)), 100L))
   }
 
+  test("compact queues behind a live batch's store lock: the forced race " +
+      "observes mutual exclusion, then compacts correctly") {
+    val base = Files.createTempDirectory("ssamp_lock").toString
+    val c = cfg(base)
+    StreamingSampler.processBatch(
+      Seq(SampDoc("a", 1L, 120L), SampDoc("b", 10L, 70L)).toDF(), 0L, c)
+    // Hold the sampler's store lock from another thread — the same lock
+    // processBatch commits under — simulating an in-flight batch, and fire
+    // compact concurrently: it must NOT start its swap until release.
+    val holderHasLock = new java.util.concurrent.CountDownLatch(1)
+    val releaseHolder = new java.util.concurrent.CountDownLatch(1)
+    val compactDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = new Thread(() =>
+      graft.orchestrate.OffloadLock.withBlockingLock(
+        c.massPath + "__lock", "sampler-store") {
+        holderHasLock.countDown()
+        releaseHolder.await()
+      })
+    holder.start()
+    holderHasLock.await()
+    val compactor = new Thread(() => {
+      StreamingSampler.compact(spark, c)
+      compactDone.set(true)
+    })
+    compactor.start()
+    Thread.sleep(400) // give a broken (non-blocking) compact time to finish
+    assert(!compactDone.get,
+      "compact entered the swap while the batch lock was held")
+    releaseHolder.countDown()
+    compactor.join(60000)
+    holder.join(60000)
+    assert(compactDone.get, "compact never completed after lock release")
+    // and the store is correctly folded + still serving offsets
+    assert(spark.read.parquet(c.massPath)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(-1L))
+    assert(StreamingSampler.offsets(spark, c).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("mass"))
+      .toMap === Map("a" -> 120L, "b" -> 70L))
+  }
+
   test("streaming end-to-end over MemoryStream matches the walk") {
     val base = Files.createTempDirectory("ssamp_e2e").toString
     val c = cfg(base)
