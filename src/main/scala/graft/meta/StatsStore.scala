@@ -230,6 +230,32 @@ object StatsStore {
   /** Copied partitions strictly beyond a rendered HWM (single-key chunk
     * plans): literals are parsed before comparison so numeric keys order
     * numerically, string keys (ISO dates/months) lexicographically. */
+  /** Offloaded-vs-residual split estimate for the hybrid-view drilldown
+    * (the reference's hybrid-view service reports frontend/backend row and
+    * size detail per view — `src/goe/conductor/hybrid_view_service.py`,
+    * `_get_backend_detail`). Partition-granular from copied stats: residual
+    * = partitions strictly beyond the committed HWM's FIRST key (a
+    * boundary partition whose upper bound equals the HWM counts as
+    * offloaded — with a multi-key HWM landing mid-partition this
+    * undercounts residual by at most that one partition, which is the
+    * right bias for an *estimate* labeled as such). None when no partition
+    * stats were copied (nothing to split on).
+    *
+    * @return (offloadedRows, offloadedBytes, residualRows, residualBytes)
+    */
+  def hybridSplit(r: TableStatsRecord, hwm: Seq[String])
+      : Option[(Long, Long, Long, Long)] =
+    if (r.partitions.isEmpty) None
+    else {
+      val beyond = hwm.headOption match {
+        case Some(h) => partitionsBeyond(r, Seq(h)).map(_.name).toSet
+        case None => Set.empty[String]
+      }
+      val (res, off) = r.partitions.partition(p => beyond.contains(p.name))
+      Some((off.map(_.rows).sum, off.map(_.bytes).sum,
+        res.map(_.rows).sum, res.map(_.bytes).sum))
+    }
+
   def partitionsBeyond(r: TableStatsRecord, hwm: Seq[String])
       : Seq[SourcePartition] = {
     val cat = toCatalog(r)

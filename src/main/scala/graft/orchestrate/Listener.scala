@@ -757,6 +757,20 @@ object Listener {
                   .mkString(" OR ")
                 (p, s"NOT COALESCE($p, FALSE)")
               } else ("TRUE", "FALSE")
+            // Drilldown estimates (reference hybrid_view_service detail):
+            // FULL ⇒ everything offloaded; RANGE ⇒ partition-granular
+            // split of copied stats around the HWM; predicate offloads
+            // and stat-less tables report null (unknown), never a guess.
+            val stats = StatsStore.load(metadataDir, m.sourceTable)
+            val split: Option[(Long, Long, Long, Long)] =
+              if (m.incrementalKey.nonEmpty && m.incrementalHighValue.nonEmpty)
+                stats.flatMap(
+                  StatsStore.hybridSplit(_, m.incrementalHighValue))
+              else if (offloaded == "TRUE") // FULL: no residual
+                stats.map(r => (r.numRows, r.numBytes, 0L, 0L))
+              else None
+            def n(v: Option[Long]): String =
+              v.map(_.toString).getOrElse("null")
             respond(ex, 200,
               s"""{"source_table": ${q(m.sourceTable)}, """ +
               s""""backend_table": ${q(m.backendTable)}, """ +
@@ -766,7 +780,11 @@ object Listener {
               s""""incremental_key": ${m.incrementalKey.map(q)
                 .mkString("[", ", ", "]")}, """ +
               s""""offloaded_clause": ${q(offloaded)}, """ +
-              s""""residual_clause": ${q(residual)}}""")
+              s""""residual_clause": ${q(residual)}, """ +
+              s""""offloaded_rows_est": ${n(split.map(_._1))}, """ +
+              s""""offloaded_bytes_est": ${n(split.map(_._2))}, """ +
+              s""""residual_rows_est": ${n(split.map(_._3))}, """ +
+              s""""residual_bytes_est": ${n(split.map(_._4))}}""")
           case None => respond(ex, 404, """{"detail": "not offloaded"}""")
         }
       },

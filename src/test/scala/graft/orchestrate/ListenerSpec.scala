@@ -118,6 +118,17 @@ class ListenerSpec extends SparkSpec {
       incrementalPredicateType = Some("PREDICATE"),
       incrementalPredicateValue =
         Seq("(column(l_returnflag) = string(\"A\"))")))
+    // copied stats feed the drilldown estimates: two partitions at or
+    // below the HWM's first key (offloaded), one beyond (residual)
+    import graft.meta.{PartitionStatsRec, StatsStore, TableStatsRecord}
+    StatsStore.save(s"$base/meta", TableStatsRecord(
+      table = "orders", numRows = 600L, numBytes = 6000L, avgRowLen = 10.0,
+      partitions = Seq(
+        PartitionStatsRec("p97", "DATE '1997-01-01'", 100L, 1000L),
+        PartitionStatsRec("p98", "DATE '1998-01-01'", 200L, 2000L),
+        PartitionStatsRec("p99", "DATE '1999-01-01'", 300L, 3000L))))
+    StatsStore.save(s"$base/meta", TableStatsRecord(
+      table = "nation", numRows = 25L, numBytes = 2500L, avgRowLen = 100.0))
 
     val srv = Listener.start(spark, s"$base/meta")
     try {
@@ -133,15 +144,27 @@ class ListenerSpec extends SparkSpec {
         "OR o_orderdate IS NULL\""))
       assert(inc.body().contains("\"offloaded_clause\": \"NOT ("))
       assert(inc.body().contains("AND o_orderdate IS NOT NULL"))
+      // drilldown estimates: p97+p98 at/below the HWM key offloaded,
+      // p99 beyond it residual (boundary partition counts offloaded)
+      assert(inc.body().contains("\"offloaded_rows_est\": 300"))
+      assert(inc.body().contains("\"offloaded_bytes_est\": 3000"))
+      assert(inc.body().contains("\"residual_rows_est\": 300"))
+      assert(inc.body().contains("\"residual_bytes_est\": 3000"))
 
       val full = get(s"$root/api/system/views/nation/")
       assert(full.statusCode() == 200)
       assert(full.body().contains("\"offloaded_clause\": \"TRUE\"") &&
         full.body().contains("\"residual_clause\": \"FALSE\""))
+      // FULL: whole stats rowcount offloaded, zero residual
+      assert(full.body().contains("\"offloaded_rows_est\": 25"))
+      assert(full.body().contains("\"residual_rows_est\": 0"))
 
       val pred = get(s"$root/api/system/views/li/")
       assert(pred.statusCode() == 200, pred.body())
       assert(pred.body().contains("l_returnflag = 'A'"))
+      // predicate offloads report unknown, never a guess
+      assert(pred.body().contains("\"offloaded_rows_est\": null"))
+      assert(pred.body().contains("\"residual_rows_est\": null"))
       assert(get(s"$root/api/system/views/ghost/").statusCode() == 404)
     } finally srv.stop()
   }
