@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import scala.collection.mutable
 
 /** Distributed graph analytics over edge relations.
   *
@@ -326,6 +329,85 @@ object Graph {
     } catch {
       case t: Throwable => superseded.foreach(release); throw t
     }
+  }
+
+  /** Node count below which [[allPairsHopDistanceBounded]] fuses the
+    * BFS into ONE driver-side pass instead of `maxHops` distributed
+    * rounds. The gate bounds the collected working set (≤ n nodes and
+    * ≤ n² distinct edges — 512 nodes is ≤ ~262k edge rows, trivially
+    * driver-resident) and, transitively, the n² output. Above the
+    * gate the call falls back to the round-per-job [[allPairsHopDistance]]
+    * loop, which is the only scale-safe shape once the node set is no
+    * longer provably tiny. */
+  val FusedBfsNodeLimit: Long = 512L
+
+  /** [[allPairsHopDistance]] for PROVABLY TINY node sets, fused into a
+    * single job. The distributed loop pays `maxHops` job launches of
+    * fixed scheduler overhead (join + agg + eager checkpoint per
+    * round) — the right price on a row-scale graph, pure waste on the
+    * ≤25-node brand grain where every round's data fits in one cache
+    * line. This variant measures the node count first (one tiny
+    * aggregate job) and, when it clears [[FusedBfsNodeLimit]],
+    * collects the DISTINCT edge list — a BOUNDED collect in the
+    * audited-call-site sense: the gate proves ≤ n² ≤ 262k rows before
+    * any row moves — and runs the all-source BFS in memory, returning
+    * the identical `(src, node, hops)` relation (hops-0 diagonal
+    * present, unreached pairs absent, shortest hop within `maxHops`).
+    * Min-hop BFS is deterministic regardless of adjacency order, so
+    * the output is bit-identical to the distributed loop's
+    * (spec-pinned in GraphSpec). Above the gate: delegates to
+    * [[allPairsHopDistance]] — callers never lose the scale path. */
+  def allPairsHopDistanceBounded(edges: DataFrame, maxHops: Int,
+      maxNodes: Long = FusedBfsNodeLimit): DataFrame = {
+    require(maxHops >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    try {
+      val nNodes = e.select(col("src").as("s"))
+        .unionByName(e.select(col("dst").as("s"))).distinct().count()
+      if (nNodes > maxNodes) allPairsHopDistance(e, maxHops)
+      else {
+        // ONE collect serves both the node universe and the adjacency
+        // (the gate above already proved both bounded); node order is
+        // irrelevant to min-hop BFS, so no sort is needed
+        val edgeRows = e.collect()
+        val nodeVals: Array[Any] = edgeRows
+          .flatMap(r => Iterator(r.get(0), r.get(1))).distinct
+        val idx: Map[Any, Int] = nodeVals.zipWithIndex.toMap
+        val n = nodeVals.length
+        val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+        edgeRows.foreach { r => adj(idx(r.get(0))) += idx(r.get(1)) }
+        val out = new java.util.ArrayList[Row](n * n)
+        var s = 0
+        while (s < n) {
+          val seen = new Array[Boolean](n)
+          seen(s) = true
+          out.add(Row(nodeVals(s), nodeVals(s), 0L))
+          var frontier: List[Int] = List(s)
+          var h = 0
+          while (h < maxHops && frontier.nonEmpty) {
+            val next = mutable.ArrayBuffer.empty[Int]
+            frontier.foreach { u =>
+              adj(u).foreach { v =>
+                if (!seen(v)) {
+                  seen(v) = true
+                  next += v
+                  out.add(Row(nodeVals(s), nodeVals(v), (h + 1).toLong))
+                }
+              }
+            }
+            frontier = next.toList
+            h += 1
+          }
+          s += 1
+        }
+        val nodeType = e.schema("src").dataType
+        e.sparkSession.createDataFrame(out, StructType(Seq(
+          StructField("src", nodeType),
+          StructField("node", nodeType),
+          StructField("hops", LongType, nullable = false))))
+      }
+    } finally release(e)
   }
 
   /** Node count below which the rank relation is broadcast into the

@@ -679,6 +679,37 @@ class GraphSpec extends SparkSpec {
     assert(many === got)
   }
 
+  test("allPairsHopDistanceBounded is bit-identical to the distributed " +
+      "loop on both sides of the node gate (fused path AND fallback)") {
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+    val sym = (raw ++ raw.map { case (a, b) => (b, a) })
+      .toDF("src", "dst")
+    val want = Graph.allPairsHopDistance(sym, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // fused path: 6 nodes clear the default gate
+    val fused = Graph.allPairsHopDistanceBounded(sym, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fused === want)
+    // schema parity: same names, same node type, hops LONG
+    val d = Graph.allPairsHopDistanceBounded(sym, 6)
+    assert(d.schema.fieldNames.toSeq === Seq("src", "node", "hops"))
+    assert(d.schema("hops").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // fallback path: a 5-node gate forces the distributed loop on the
+    // same input — callers above the gate never lose the scale shape
+    val fell = Graph.allPairsHopDistanceBounded(sym, 6, maxNodes = 5L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fell === want)
+    // maxHops truncation matches: at 1 hop only direct edges + diagonal
+    val want1 = Graph.allPairsHopDistance(sym, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fused1 = Graph.allPairsHopDistanceBounded(sym, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fused1 === want1)
+    assert(!fused1.contains((1L, 3L)), "2-hop pair absent at maxHops=1")
+  }
+
   test("q349: closeness recomputes from a brute-force all-pairs BFS " +
       "replay; the Wasserman-Faust score is 1e6 on a complete graph " +
       "member") {
