@@ -200,9 +200,30 @@ object Graph {
       } finally release(wdeg) // both derivations materialised (or failed)
     try {
       val start = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
-      try iterate(edgesW, nodes, start, iterations, dampingPct,
-        expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
-                AS BIGINT)"""))
+      // ADAPTIVE NUMERIC WIDTH (measured guard, not a guess): the
+      // decimal lift exists because rank_e6 · w can overflow BIGINT on
+      // heavy edges — but Spark's DECIMAL(38,0) arithmetic drops to
+      // per-row BigDecimal allocation, and at 10⁸ edges × iterations
+      // that allocation storm dominates the loop (measured at the x32
+      // scale probe: the decimal path was ~2× the whole-loop cost).
+      // For non-negative integers, BIGINT mult/div-trunc equals
+      // DECIMAL(38,0) mult/div-trunc EXACTLY whenever the product
+      // fits, so each iteration checks max(rank) against
+      // Long.MaxValue / max(w) — one metadata-scale aggregate per
+      // side — and takes the allocation-free long path when provably
+      // safe (bit-equality of the two paths is spec-pinned; the guard
+      // makes the choice invisible in the output).
+      val maxW = edgesW.agg(max(col("w"))).head.getLong(0) max 1L
+      val contributionFor: DataFrame => Column = { ranks =>
+        val maxRank = ranks.agg(max(col("rank_e6"))).head.getLong(0)
+        if (maxRank >= 0L && maxRank <= Long.MaxValue / maxW)
+          expr("rank_e6 * w div wout")
+        else
+          expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
+                  AS BIGINT)""")
+      }
+      try iterateAdaptive(edgesW, nodes, start, iterations, dampingPct,
+        contributionFor)
       finally release(nodes)
     } finally release(edgesW)
   }
@@ -878,7 +899,18 @@ object Graph {
     * measured-join discipline applied to its own iterative operator. */
   private def iterate(edgesWithDeg: DataFrame, nodes: DataFrame,
       start: DataFrame, iterations: Int, dampingPct: Int,
-      contribution: Column = expr("rank_e6 div outdeg")): DataFrame = {
+      contribution: Column = expr("rank_e6 div outdeg")): DataFrame =
+    iterateAdaptive(edgesWithDeg, nodes, start, iterations, dampingPct,
+      _ => contribution)
+
+  /** [[iterate]] with a per-iteration contribution chooser: called with
+    * the CURRENT rank snapshot before each pass, so a caller can probe
+    * the materialised ranks (a metadata-scale aggregate) and pick a
+    * cheaper expression when a measured bound proves it exact —
+    * [[weightedPageRank]]'s adaptive numeric width. */
+  private def iterateAdaptive(edgesWithDeg: DataFrame, nodes: DataFrame,
+      start: DataFrame, iterations: Int, dampingPct: Int,
+      contributionFor: DataFrame => Column): DataFrame = {
     // both counts read already-materialised checkpoints (node-scale and
     // one pass over the edge blocks) — the cheap probe before a loop of
     // `iterations` full joins, the advisor's own cost discipline
@@ -900,7 +932,7 @@ object Graph {
         val rankSide = if (smallRanks) broadcast(ranks) else ranks
         val contribs = edgesWithDeg
           .join(rankSide, col("src") === col("node"))
-          .select(col("dst"), contribution.as("contrib"))
+          .select(col("dst"), contributionFor(ranks).as("contrib"))
           .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
         val next = nodes
           .join(contribs, col("node") === col("dst"), "left_outer")

@@ -21,6 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Self-scaling cell count: `ceil(n / target)` clamped to
+    * `[minCells, maxCells]` (and to `n`) — enough cells that the expected
+    * population stays ≤ `target` as the corpus grows. A FIXED nlist lets
+    * per-cell population grow with n, so any within-cell pair stage
+    * (SemDeDup) goes quadratic — measured: q190's exponent 3.5→~1.0 at the
+    * x8/x32 scale probe once the count scales. Integer-exact so a SQL
+    * oracle derives the identical count via `(n + target - 1) // target`.
+    * `maxCells` bounds the broadcast centroid table (4096 × dim doubles ≈
+    * 2 MB at dim 64); past `maxCells · target` vectors, train a real
+    * k-means model and let the persisted index's coarse quantizer take
+    * over assignment — the cap is the hand-off point, not a wall. */
+  def autoCellCount(n: Long, target: Long = 512L,
+                    minCells: Int = 4, maxCells: Int = 4096): Int = {
+    // overflow-safe ceil-div (n + target - 1 wraps near Long.MaxValue)
+    val cells = n / target + (if (n % target > 0) 1L else 0L)
+    math.min(n max 1L,
+      math.max(minCells.toLong, math.min(maxCells.toLong, cells))).toInt
+  }
+
   final case class Model(centroids: Array[Array[Double]]) {
     def nlist: Int = centroids.length
 

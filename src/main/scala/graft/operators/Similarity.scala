@@ -112,6 +112,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Self-scaling sign-LSH bit width: the smallest `b` with
+    * `2^b ≥ ceil(n / target)`, clamped to `[minBits, maxBits]` — enough
+    * hyperplanes that the EXPECTED bucket population stays ≤ `target` as
+    * the corpus grows, which is what keeps the bucketed pair join linear
+    * (per-bucket pairs are `C(pop, 2)`; a FIXED bit width lets pop grow
+    * with n and the join go quadratic — measured: q35 exponent 1.7→~1.0
+    * at the x8/x32 scale probe once the width scales). Integer-exact
+    * (bit-length, no float log), so a SQL oracle computes the identical
+    * width via `length(bin(ceil(n/target) - 1))`. `maxBits` bounds the
+    * bucket-key domain (2^24 buckets ≈ 16M — beyond that, shard the
+    * corpus or raise the cap); assignment cost is `n·b`, log-linear. */
+  def autoBucketBits(n: Long, target: Long = 256L,
+                     minBits: Int = 4, maxBits: Int = 24): Int = {
+    // overflow-safe ceil-div (n + target - 1 wraps near Long.MaxValue)
+    val m = n / target + (if (n % target > 0) 1L else 0L)
+    val raw = if (m <= 1L) 1
+              else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(minBits, math.min(maxBits, raw))
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold, bucketed by sign-LSH
     * so the pair join is an equi-join on bucket (not n²). Exact variant for
     * verification sets `bucketDims = Nil` (single bucket). */

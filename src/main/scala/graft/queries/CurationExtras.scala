@@ -78,10 +78,17 @@ object CurationExtras {
     // near-dup pruning an equi-join, never corpus², and cells shard
     // independently across executors). Emits the per-cell keep/drop
     // audit a curation run reports.
+    // The cell count SELF-SCALES (IvfIndex.autoCellCount: expected
+    // population ≤ 512 per cell) — at sf0.01/sf0.1 it resolves to the
+    // historical 4 seed cells, at the x8/x32 scale probe to 32/125,
+    // keeping the within-cell pair stage linear where a fixed nlist
+    // measured exponent 3.5+. The collect is bounded by the 4096-cell
+    // cap (≈ 2 MB of centroids).
     "q190_semdedup" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
+      val k = IvfIndex.autoCellCount(emb.count())
       val seeds = emb
-        .filter(col("vec_id").isInCollection(PipelineQueries.IvfSeedIds))
+        .filter(col("vec_id") >= 1L && col("vec_id") <= k.toLong)
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       val centroids = seeds.map { c =>
@@ -1551,6 +1558,69 @@ object CurationExtras {
                   div (CAST(n_types AS DECIMAL(38,0)) * s0)
                   AS BIGINT)""").as("gini_ppm"))
         .orderBy(col("lang"))
+    },
+
+    // EMBEDDING ANISOTROPY: the corpus-wide mean pairwise cosine from
+    // ONE aggregate pass — the Ethayarajh-style geometry audit (a high
+    // mean cosine means the space has collapsed into a cone and cosine
+    // ranking is dominated by the common direction, which silently
+    // degrades every ANN/near-dup operator downstream). Identity over
+    // unit vectors: Σ_{u≠v} û·v̂ = ‖Σû‖² − Σ‖û‖², so the corpus is
+    // touched once for per-dimension sums and there is NO pair join at
+    // any scale. Exactness: unit vectors land on the 1e-9 integer grid
+    // (qᵢ = trunc(xᵢ/‖x‖·1e9)), all sums are DECIMAL(38,0)-exact and
+    // order-free, and the signed final division is trunc(|num|)·sign
+    // to sidestep floor-vs-trunc divergence on negatives.
+    "q363_embedding_anisotropy" -> { (s, dir) =>
+      val dim = PipelineQueries.Dim
+      val emb = t(s, dir, "embeddings")
+        .withColumn("nrm", Similarity.norm(col("embedding"), dim))
+        .filter(col("nrm") > 0d)
+      val grid = emb.select((0 until dim).map(i =>
+        expr(s"""CAST(CAST(embedding[$i] AS DOUBLE) / nrm
+                 * 1000000000 AS BIGINT)""").as(s"q$i")): _*)
+      val aggs = count(lit(1)).as("n") +:
+        ((0 until dim).map(i =>
+          sum(col(s"q$i").cast("decimal(38,0)")).as(s"s$i")) ++
+         (0 until dim).map(i =>
+           sum(expr(s"CAST(q$i AS DECIMAL(38,0)) * q$i")).as(s"ss$i")))
+      val sumSq = (0 until dim).map(i => expr(s"s$i * s$i"))
+        .reduce(_ + _)
+      val sumSS = (0 until dim).map(i => col(s"ss$i")).reduce(_ + _)
+      grid.agg(aggs.head, aggs.tail: _*)
+        .select(col("n"), (sumSq - sumSS).as("num"))
+        .select(col("n").as("n_vectors"),
+          expr("""CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                  * (abs(num) div (CAST(n AS DECIMAL(38,0))
+                     * greatest(n - 1, 1) * 1000000000000))
+                  AS BIGINT)""").as("mean_pair_cos_ppm"))
+    },
+
+    // PER-DIMENSION variance profile: mean and variance of every
+    // embedding coordinate — the collapsed-axis detector pairing with
+    // q363 (anisotropy says THE SPACE leans; this says WHICH axes
+    // carry no signal, the prerequisite read before PQ subspace
+    // splits or dimension-dropping compression). Components land on
+    // the 1e-6 integer grid; variance is the one-pass cross-moment
+    // (n·Σp² − (Σp)²) div n² — non-negative by Cauchy–Schwarz, so
+    // truncation ≡ floor across engines; the mean is sign-split. The
+    // shuffle carries 64 groups regardless of corpus size.
+    "q365_dim_variance_profile" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+        .select(col("dim_idx").cast("long").as("dim_idx"),
+          expr("CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT)").as("p"))
+        .groupBy(col("dim_idx"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast("decimal(38,0)")).as("sp"),
+          sum(expr("CAST(p AS DECIMAL(38,0)) * p")).as("spp"))
+        .select(col("dim_idx"),
+          expr("""CAST((CASE WHEN sp < 0 THEN -1 ELSE 1 END)
+                  * (abs(sp) div n) AS BIGINT)""").as("mean_e6"),
+          expr("""CAST((n * spp - sp * sp)
+                  div (CAST(n AS DECIMAL(38,0)) * n)
+                  AS BIGINT)""").as("var_e12"))
+        .orderBy(col("dim_idx"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -2145,12 +2215,15 @@ object CurationExtras {
       val ctrNormSq = Similarity.Sql.normSq("embedding", PipelineQueries.Dim)
       val cvecNormSq = Similarity.Sql.normSq("c.cvec", PipelineQueries.Dim)
       val dim = PipelineQueries.Dim
-      s"""WITH ctr AS (
+      s"""WITH pk AS (SELECT least(greatest(count(*), 1),
+             greatest(4, least(4096, (count(*) + 511) // 512))) AS k
+           FROM embeddings),
+         ctr AS (
            SELECT CAST(vec_id - 1 AS INT) AS cell,
              list_transform(embedding,
                x -> CAST(x AS DOUBLE) / sqrt($ctrNormSq)) AS cvec
-           FROM embeddings
-           WHERE vec_id IN (${PipelineQueries.IvfSeedIds.mkString(", ")})),
+           FROM embeddings CROSS JOIN pk
+           WHERE vec_id >= 1 AND vec_id <= pk.k),
          rk AS (
            SELECT e.vec_id, c.cell,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -2762,5 +2835,52 @@ object CurationExtras {
            CAST(s0 AS BIGINT) AS n_tokens,
            CAST((2 * s1 - (n_types + 1) * s0) * 1000000
              // (CAST(n_types AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
-         FROM ag ORDER BY lang""")
+         FROM ag ORDER BY lang""",
+
+    "q363_embedding_anisotropy" -> {
+      val dim = PipelineQueries.Dim
+      val ns = graft.operators.Similarity.Sql.normSq("embedding", dim)
+      val grid = (0 until dim).map(i =>
+        s"""CAST(trunc(CAST(embedding[${i + 1}] AS DOUBLE)
+            / sqrt($ns) * 1000000000) AS BIGINT) AS q$i""")
+        .mkString(",\n           ")
+      val sums = (0 until dim).map(i =>
+        s"SUM(CAST(q$i AS HUGEINT)) AS s$i").mkString(",\n           ")
+      val sqs = (0 until dim).map(i =>
+        s"SUM(CAST(q$i AS HUGEINT) * q$i) AS ss$i")
+        .mkString(",\n           ")
+      val sumSq = (0 until dim).map(i => s"s$i * s$i").mkString(" + ")
+      val sumSS = (0 until dim).map(i => s"ss$i").mkString(" + ")
+      s"""WITH g AS (SELECT
+           $grid
+         FROM embeddings WHERE sqrt($ns) > 0),
+         a AS (SELECT COUNT(*) AS n,
+           $sums,
+           $sqs
+         FROM g),
+         f AS (SELECT n, ($sumSq) - ($sumSS) AS num FROM a)
+         SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+             * (abs(num) // (CAST(n AS HUGEINT)
+                * greatest(n - 1, 1) * 1000000000000)) AS BIGINT)
+             AS mean_pair_cos_ppm
+         FROM f"""
+    },
+
+    "q365_dim_variance_profile" ->
+      """WITH e AS (SELECT
+           CAST(unnest(range(len(embedding))) AS BIGINT) AS dim_idx,
+           CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+             AS BIGINT) AS p
+         FROM embeddings),
+         a AS (SELECT dim_idx, COUNT(*) AS n,
+             SUM(CAST(p AS HUGEINT)) AS sp,
+             SUM(CAST(p AS HUGEINT) * p) AS spp
+           FROM e GROUP BY 1)
+         SELECT dim_idx,
+           CAST((CASE WHEN sp < 0 THEN -1 ELSE 1 END)
+             * (abs(sp) // n) AS BIGINT) AS mean_e6,
+           CAST((n * spp - sp * sp)
+             // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_e12
+         FROM a ORDER BY dim_idx""")
 }

@@ -142,6 +142,9 @@ object GraphQueries {
     * never disagree on the round count. */
   private val LpaRounds = 4
 
+  /** q364 rich-club degree thresholds — the ladder both engines walk. */
+  private val RichClubKs: Seq[Long] = Seq(2L, 4L, 8L, 16L)
+
   /** The PERSISTED LPA LABEL artifact: the 4-round assignment (plus
     * its convergence diagnostic) computed once per data dir over the
     * shared pairs artifact. q268 summarises it, q275 scores its
@@ -1396,6 +1399,50 @@ object GraphQueries {
           .auditedCut("q349_brand_closeness")
         finally Graph.release(dist)
       } finally Graph.release(e)
+    },
+
+    // RICH-CLUB coefficient ladder: among parts of co-purchase degree
+    // > k, what share of their possible pairings is actually an edge —
+    // the "do the hubs trade with each other" topology probe (Colizza
+    // et al. 2006), the subgraph-density complement to q299's
+    // assortativity correlation. One node-scale degree aggregate, two
+    // equi-joins decorating the pair relation with endpoint degrees,
+    // then ONE conditional-aggregate pass covers the whole threshold
+    // ladder — the pair space is never joined against itself. φ(k) =
+    // 2·E_k / (N_k·(N_k−1)) in truncating ppm over non-negative
+    // integers (floor ≡ trunc); the ladder relation is 4 rows.
+    "q364_rich_club" -> { (s, dir) =>
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val deg = Graph.symmetrize(pairs)
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        try {
+          val degged = pairs
+            .join(deg.select(col("node").as("a"), col("deg").as("deg_a")),
+              "a")
+            .join(deg.select(col("node").as("b"), col("deg").as("deg_b")),
+              "b")
+          val edgeAggs = RichClubKs.map(k =>
+            sum(when(col("deg_a") > k && col("deg_b") > k, 1L)
+              .otherwise(0L)).as(s"e$k"))
+          val nodeAggs = RichClubKs.map(k =>
+            sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n$k"))
+          val edges1 = degged.agg(edgeAggs.head, edgeAggs.tail: _*)
+          val nodes1 = deg.agg(nodeAggs.head, nodeAggs.tail: _*)
+          val flat = edges1.crossJoin(nodes1)
+          RichClubKs.map { k =>
+            flat.select(lit(k).as("k"),
+              col(s"n$k").as("n_rich_nodes"),
+              col(s"e$k").as("n_rich_edges"),
+              expr(s"""CAST(CAST(e$k AS DECIMAL(38,0)) * 2000000
+                      div greatest(CAST(n$k AS DECIMAL(38,0))
+                        * (n$k - 1), 1) AS BIGINT)""").as("phi_ppm"))
+          }.reduce(_ unionByName _)
+            .orderBy(col("k"))
+            .auditedCut("q364_rich_club")
+        } finally Graph.release(deg)
+      }
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -1576,6 +1623,26 @@ object GraphQueries {
          JOIN k_$cur kb ON p.b = kb.node)"""
 
   val oracles: Map[String, String] = Map(
+
+    "q364_rich_club" ->
+      s"""WITH $GraphCtes,
+         rdeg AS (SELECT src AS node, outdeg AS deg FROM deg),
+         dp AS (SELECT da.deg AS deg_a, db.deg AS deg_b
+           FROM pairs p JOIN rdeg da ON p.a = da.node
+                        JOIN rdeg db ON p.b = db.node),
+         ks AS (SELECT CAST(unnest([${RichClubKs.mkString(", ")}])
+           AS BIGINT) AS k),
+         nn AS (SELECT k, COUNT(CASE WHEN deg > k THEN 1 END)
+             AS n_nodes
+           FROM rdeg CROSS JOIN ks GROUP BY k),
+         ee AS (SELECT k, COUNT(CASE WHEN deg_a > k AND deg_b > k
+             THEN 1 END) AS n_edges
+           FROM dp CROSS JOIN ks GROUP BY k)
+         SELECT k, n_nodes AS n_rich_nodes, n_edges AS n_rich_edges,
+           CAST(CAST(n_edges AS HUGEINT) * 2000000
+             // greatest(CAST(n_nodes AS HUGEINT) * (n_nodes - 1), 1)
+             AS BIGINT) AS phi_ppm
+         FROM nn JOIN ee USING (k) ORDER BY k""",
 
     "q349_brand_closeness" ->
       """WITH RECURSIVE ob AS (SELECT DISTINCT l_orderkey AS o,

@@ -496,9 +496,15 @@ object PipelineQueries {
         dim = Dim, bucketDims = BucketDims)
     },
 
+    // Bucket width SELF-SCALES with the corpus (autoBucketBits: expected
+    // population ≤ 256 per bucket) — at sf0.01/sf0.1 it resolves to the
+    // historical 4 bits, at the x8/x32 scale probe to 6/8, keeping the
+    // pair join linear where a fixed width measured exponent 1.7+.
     "q35_embed_neardup" -> { (s, dir) =>
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), CosineThreshold,
-          dim = Dim, bucketDims = BucketDims)
+      val emb = t(s, dir, "embeddings")
+      val bits = Similarity.autoBucketBits(emb.count())
+      Similarity.nearDupPairs(emb, CosineThreshold,
+          dim = Dim, bucketDims = 0 until bits)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -506,8 +512,9 @@ object PipelineQueries {
     // components — the text-side q65 composition applied to the embedding
     // side (same CC operator, same scale shape).
     "q79_embed_dedup_clusters" -> { (s, dir) =>
-      val pairs = Similarity.nearDupPairs(t(s, dir, "embeddings"),
-        CosineThreshold, dim = Dim, bucketDims = BucketDims)
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.nearDupPairs(emb, CosineThreshold,
+        dim = Dim, bucketDims = 0 until Similarity.autoBucketBits(emb.count()))
       Dedup.connectedComponents(pairs)
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy(col("vec_id"))
@@ -2661,6 +2668,25 @@ object PipelineQueries {
   private def bucketSql(vec: String): String =
     BucketDims.zipWithIndex.map { case (d, j) =>
       s"(CASE WHEN CAST($vec[${d + 1}] AS DOUBLE) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB mirror of [[Similarity.autoBucketBits]] (target 256, clamp
+    * [4, 24]) — integer-exact via bit length, so both engines derive the
+    * identical width from the corpus count. Rendered as a 1-row CTE the
+    * bucket expression cross-joins. */
+  private val autoBitsCte: String =
+    """pb AS (SELECT greatest(4, least(24,
+         length(bin((count(*) + 255) // 256 - 1)))) AS bits
+       FROM embeddings)"""
+
+  /** Self-scaling bucket key: 24 statically rendered sign-bit terms, each
+    * gated on its index being under `pb.bits` — the SQL face of
+    * `signBucket(vec, 0 until bits)` with a runtime-derived width. */
+  private def bucketSqlAuto(vec: String): String =
+    (0 until 24).map { j =>
+      s"""(CASE WHEN $j < pb.bits
+            AND CAST($vec[${j + 1}] AS DOUBLE) >= 0
+          THEN ${1L << j} ELSE 0 END)"""
     }.mkString(" + ")
 
   // a def, not a val: the PQ oracle entries embed whatever codebook the
@@ -5086,10 +5112,11 @@ object PipelineQueries {
     },
 
     "q35_embed_neardup" ->
-      s"""WITH b AS (SELECT vec_id, embedding,
-           ${bucketSql("embedding")} AS bucket,
+      s"""WITH $autoBitsCte,
+         b AS (SELECT vec_id, embedding,
+           ${bucketSqlAuto("embedding")} AS bucket,
            sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS nrm
-           FROM embeddings),
+           FROM embeddings CROSS JOIN pb),
          scored AS (
            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              (${Similarity.Sql.dot("a.embedding", "c.embedding", Dim)})
@@ -5121,10 +5148,11 @@ object PipelineQueries {
          FROM documents ORDER BY doc_id""",
 
     "q79_embed_dedup_clusters" ->
-      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding,
-           ${bucketSql("embedding")} AS bucket,
+      s"""WITH RECURSIVE $autoBitsCte,
+         b AS (SELECT vec_id, embedding,
+           ${bucketSqlAuto("embedding")} AS bucket,
            sqrt(${Similarity.Sql.normSq("embedding", Dim)}) AS nrm
-           FROM embeddings),
+           FROM embeddings CROSS JOIN pb),
          scored AS (
            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
              (${Similarity.Sql.dot("a.embedding", "c.embedding", Dim)})

@@ -89,14 +89,20 @@ object ExplainAudit {
     * name here ONLY with a review comment naming the mechanism that
     * bounds the pair space at scale. */
   val QuadraticAllowlist: Set[String] = Set(
-    // Bucketed ANN candidate generation (reviewed r16): pairs generate
-    // within IVF cells / LSH hyperplane buckets BY DESIGN — that IS
-    // the operator. The scale knob is the bucket count (IVF nlist /
-    // LSH bit width, documented on operators/Similarity and the q53
-    // pigeonhole ladder): at larger corpora the cell grid grows so the
-    // per-cell population stays bounded, and the cosine-threshold
-    // prefilter runs inside the join, so survivors are near-duplicate
-    // scale, not pair scale.
+    // Bucketed ANN candidate generation (reviewed r16, knobs made
+    // SELF-SCALING r17): pairs generate within IVF cells / LSH
+    // hyperplane buckets BY DESIGN — that IS the operator. The scale
+    // knob is the bucket count, and since r17 it scales itself with
+    // the corpus ([[graft.operators.IvfIndex.autoCellCount]] /
+    // [[graft.operators.Similarity.autoBucketBits]]: expected
+    // population per bucket stays ≤ 512/256), so the within-bucket
+    // pair space grows LINEARLY with the data — measured at the
+    // x8/x32 scale probe (bench/scale_probe.json): q190 exponent
+    // 3.5→~1, q35 1.7→~1. Still allowlisted because at the sf0.01
+    // gate the clamped minimum (4 cells / 4 bits) keeps group NDV
+    // small relative to rows, which is exactly the static screen's
+    // fire condition; the probe, not the screen, is the evidence the
+    // growth is linear.
     "q190_semdedup", "q35_embed_neardup")
 
   /** GROUP-QUADRATIC SELF-JOIN detector (the r15 gate gap: q329's

@@ -496,6 +496,55 @@ class GraphSpec extends SparkSpec {
     assert(weighted === plain)
   }
 
+  test("weightedPageRank adaptive width: overflow-scale weights force " +
+      "the decimal path and still match the exact BigInt reference") {
+    // rank_e6 (1e6) × w (4e18) overflows BIGINT, so the measured guard
+    // (max(rank) > Long.MaxValue / max(w)) must route every iteration
+    // through DECIMAL(38,0); the BigInt reference is exact either way,
+    // so a long-path overflow would surface as a mismatch (or an ANSI
+    // throw), and the small-weight triangle test above pins the long
+    // path — together they pin the paths' bit-equality claim.
+    val heavy = 4000000000000000000L
+    val raw = Seq((1L, 2L, heavy), (1L, 3L, 1L), (2L, 3L, 1L))
+    val sym = raw ++ raw.map { case (a, b, w) => (b, a, w) }
+    val got = Graph.weightedPageRank(
+      sym.toDF("src", "dst", "w"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referenceWeightedPageRank(sym, 3))
+  }
+
+  test("q364 rich-club: matches the brute-force degree-threshold count " +
+      "over collected pairs; phi in [0, 1e6]; node counts shrink up " +
+      "the ladder") {
+    val dir = sf("sf0.001")
+    val rows = graft.queries.GraphQueries.defs("q364_rich_club")(
+      spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 4L, 8L, 16L))
+    // brute force from the same canonical pair derivation
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val items = g.map(_._2).distinct.toSeq
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.toSet
+    val deg = pairs.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    for (r <- rows) {
+      val k = r.getLong(0)
+      val richN = deg.count(_._2 > k).toLong
+      val richE = pairs.count(p => deg(p._1) > k && deg(p._2) > k).toLong
+      assert(r.getLong(1) === richN)
+      assert(r.getLong(2) === richE)
+      val phi = r.getLong(3)
+      assert(phi >= 0L && phi <= 1000000L)
+      if (richN >= 2)
+        assert(phi ===
+          BigInt(richE) * 2000000 / (BigInt(richN) * (richN - 1)))
+    }
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   /** Single-threaded synchronous LPA — the executable definition the
     * distributed operator must match bit-for-bit: most frequent
     * neighbour label, ties to the smallest label. */

@@ -354,6 +354,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("autoBucketBits / autoCellCount: self-scaling knob formulas are " +
+      "integer-exact and clamped (SQL-mirror parity values)") {
+    // mirrors: length(bin((n + 255) // 256 - 1)) clamped [4, 24]
+    assert(Similarity.autoBucketBits(0L) === 4)
+    assert(Similarity.autoBucketBits(500L) === 4)    // sf0.01 — historical 4
+    assert(Similarity.autoBucketBits(2000L) === 4)   // sf0.1 — historical 4
+    assert(Similarity.autoBucketBits(4096L) === 4)   // boundary: 16 buckets
+    assert(Similarity.autoBucketBits(4097L) === 5)
+    assert(Similarity.autoBucketBits(16000L) === 6)  // probe x8
+    assert(Similarity.autoBucketBits(64000L) === 8)  // probe x32
+    assert(Similarity.autoBucketBits(Long.MaxValue) === 24) // cap
+    // mirrors: least(greatest(n,1), greatest(4, least(4096, ceil(n/512))))
+    assert(IvfIndex.autoCellCount(0L) === 1)
+    assert(IvfIndex.autoCellCount(3L) === 3)         // never more cells than n
+    assert(IvfIndex.autoCellCount(500L) === 4)       // sf0.01 — historical 4
+    assert(IvfIndex.autoCellCount(2000L) === 4)      // sf0.1 — historical 4
+    assert(IvfIndex.autoCellCount(2049L) === 5)
+    assert(IvfIndex.autoCellCount(16000L) === 32)    // probe x8
+    assert(IvfIndex.autoCellCount(64000L) === 125)   // probe x32
+    assert(IvfIndex.autoCellCount(Long.MaxValue) === 4096) // cap
+  }
+
   test("near-dup pairs with exact (single-bucket) verification") {
     val out = Similarity.nearDupPairs(vecs, 0.9, dim = 4, bucketDims = Nil)
       .collect()

@@ -320,6 +320,54 @@ class TpchShapesSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("q363: anisotropy equals the brute-force pairwise mean over the " +
+      "integer grid and stays in [-1e6, 1e6]") {
+    val out = CurationExtras.defs("q363_embedding_anisotropy")(spark, dir)
+      .collect()
+    assert(out.length === 1)
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Float](1).toArray)
+      .filter(v => v.map(x => x.toDouble * x.toDouble).sum > 0)
+    // same grid arithmetic as the query: sequential-order norm,
+    // truncation toward zero
+    val grid = vecs.map { v =>
+      val nrm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      v.map(x => (x.toDouble / nrm * 1e9).toLong)
+    }
+    val n = grid.length
+    var num = BigInt(0)
+    for (u <- grid.indices; w <- grid.indices if u != w)
+      num += grid(u).indices.map(i =>
+        BigInt(grid(u)(i)) * grid(w)(i)).sum
+    val denom = BigInt(n) * (n - 1) * BigInt("1000000000000")
+    val want = (num.abs / denom).toLong * (if (num < 0) -1L else 1L)
+    assert(out.head.getLong(0) === n.toLong)
+    val got = out.head.getLong(1)
+    assert(got === want)
+    assert(got >= -1000000L && got <= 1000000L)
+  }
+
+  test("q365: per-dimension mean/var match the brute-force grid moments " +
+      "and variance is non-negative") {
+    val out = CurationExtras.defs("q365_dim_variance_profile")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .collect().map(_.getSeq[Float](1).toArray)
+    assert(out.size === vecs.head.length)
+    assert(out.values.forall(_._2 >= 0L))
+    for (d <- Seq(0, 7, 63)) {
+      val ps = vecs.map(v => (v(d).toDouble * 1e6).toLong)
+      val n = BigInt(ps.length)
+      val sp = ps.map(BigInt(_)).sum
+      val spp = ps.map(p => BigInt(p) * p).sum
+      val mean = (sp.abs / n).toLong * (if (sp < 0) -1L else 1L)
+      val varE12 = ((n * spp - sp * sp) / (n * n)).toLong
+      assert(out(d.toLong) === (mean, varE12))
+    }
+  }
+
   test("q190: semdedup keep/drop conserves every cell's vector count") {
     val out = CurationExtras.defs("q190_semdedup")(spark, dir)
     assert(out.filter(col("n_kept") + col("n_dropped") =!=
