@@ -49,11 +49,11 @@ object Classifier {
     docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs_c"))
 
-  /** Score `docs` against a trained model: one row per document with the
-    * argmin-cost `predicted` label and its total `cost_bits`.
-    *
-    * `model` is [[nbTrain]]'s output; `priors` is [[nbPriors]]'s. */
-  def nbScore(docs: DataFrame, model: DataFrame, priors: DataFrame,
+  /** The full per-(document, class) cost relation — [[nbScore]]'s argmin
+    * input, exposed so confidence diagnostics (q367's reliability
+    * diagram needs the best-vs-runner-up margin) read the same costs
+    * the prediction used. One row per document per class. */
+  def nbCosts(docs: DataFrame, model: DataFrame, priors: DataFrame,
               idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     // class-level constants: token mass per class, vocabulary size, doc
@@ -71,7 +71,7 @@ object Classifier {
 
     val occ = docs.select(col(idCol).as("sid"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    val costs = occ
+    occ
       .crossJoin(broadcast(classes))
       .join(model, Seq("tok", "label"), "left")
       .withColumn("bits",
@@ -79,12 +79,47 @@ object Classifier {
           .cast("long"))
       .groupBy(col("sid"), col("label"))
       .agg((first(col("prior_bits")) + sum(col("bits"))).as("cost_bits"))
+  }
+
+  /** Score `docs` against a trained model: one row per document with the
+    * argmin-cost `predicted` label and its total `cost_bits`.
+    *
+    * `model` is [[nbTrain]]'s output; `priors` is [[nbPriors]]'s. */
+  def nbScore(docs: DataFrame, model: DataFrame, priors: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val costs = nbCosts(docs, model, priors, idCol, textCol)
     val w = Window.partitionBy(col("sid"))
       .orderBy(col("cost_bits").asc, col("label").asc)
     costs.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("sid").as(idCol), col("label").as("predicted"),
         col("cost_bits"))
+  }
+
+  /** Self-classification with the CONFIDENCE MARGIN: best-vs-runner-up
+    * cost gap in bits per document (0 = a coin flip between two
+    * classes) — the raw material of a reliability diagram (does a wide
+    * margin actually mean a correct prediction). The rank window is
+    * per-document over exactly `n_classes` rows; requires ≥ 2 classes
+    * (the margin is undefined otherwise, and the inner join makes that
+    * loud — an empty result, never a fabricated margin). */
+  def nbSelfClassifyMargin(docs: DataFrame, labelCol: String = "source",
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val costs = nbCosts(docs, nbTrain(docs, labelCol, textCol),
+      nbPriors(docs, labelCol), idCol, textCol)
+    val w = Window.partitionBy(col("sid"))
+      .orderBy(col("cost_bits").asc, col("label").asc)
+    val ranked = costs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+    ranked.filter(col("rk") === 1)
+      .select(col("sid"), col("label").as("predicted"),
+        col("cost_bits").as("best_bits"))
+      .join(ranked.filter(col("rk") === 2)
+        .select(col("sid"), col("cost_bits").as("second_bits")), "sid")
+      .select(col("sid").as(idCol), col("predicted"),
+        (col("second_bits") - col("best_bits")).as("margin_bits"))
   }
 
   /** Self-classification convenience: train on `docs`, score `docs` —

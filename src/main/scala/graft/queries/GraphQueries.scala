@@ -145,6 +145,9 @@ object GraphQueries {
   /** q364 rich-club degree thresholds — the ladder both engines walk. */
   private val RichClubKs: Seq[Long] = Seq(2L, 4L, 8L, 16L)
 
+  /** q366 recommendations per part (top co-purchase neighbours). */
+  private val RecTopN = 3
+
   /** The PERSISTED LPA LABEL artifact: the 4-round assignment (plus
     * its convergence diagnostic) computed once per data dir over the
     * shared pairs artifact. q268 summarises it, q275 scores its
@@ -1443,6 +1446,55 @@ object GraphQueries {
             .auditedCut("q364_rich_club")
         } finally Graph.release(deg)
       }
+    },
+
+    // RECOMMENDER HOLDOUT EVALUATION: split orders 80/20 by key, build
+    // top-3 co-purchase recommendations from the TRAIN weighted pairs
+    // (rank ≤ 3 per part lowers to WindowGroupLimit — map-side
+    // per-group top-k, no global sort), then score against the TEST
+    // co-purchases: a held-out pair is a hit when either endpoint
+    // recommends the other — the end-to-end eval loop (split → train →
+    // serve → measure) every related-items pipeline runs, composed
+    // from the engine's own operators. Scoring is two equi-joins of
+    // the test pairs against the rec relation; hit rate in truncating
+    // ppm over non-negative integers.
+    "q366_recsys_holdout" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val wtrain = Graph.weightedCanonicalPairs(
+        li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0),
+        "l_orderkey", "l_partkey")
+      try {
+        val testPairs = Graph.canonicalPairs(
+          li.filter(pmod(col("l_orderkey"), lit(5)) === 0),
+          "l_orderkey", "l_partkey")
+        try {
+          val wRec = Window.partitionBy(col("src"))
+            .orderBy(col("w").desc, col("dst"))
+          val recs = Graph.symmetrizeWeighted(wtrain)
+            .withColumn("rk", row_number().over(wRec))
+            .filter(col("rk") <= RecTopN)
+            .select(col("src"), col("dst"))
+          val scored = testPairs
+            .join(recs.select(col("src").as("a"), col("dst").as("b"),
+              lit(1L).as("h1")), Seq("a", "b"), "left_outer")
+            .join(recs.select(col("dst").as("a"), col("src").as("b"),
+              lit(1L).as("h2")), Seq("a", "b"), "left_outer")
+            .agg(count(lit(1)).as("n_test_pairs"),
+              sum(when(col("h1").isNotNull || col("h2").isNotNull, 1L)
+                .otherwise(0L)).as("n_hits"))
+          scored
+            .crossJoin(broadcast(
+              wtrain.agg(count(lit(1)).as("n_train_pairs"))))
+            .select(col("n_train_pairs"), col("n_test_pairs"),
+              col("n_hits"),
+              expr("""CAST(n_hits * 1000000
+                      div greatest(n_test_pairs, 1) AS BIGINT)""")
+                .as("hit_rate_ppm"))
+            .auditedCut("q366_recsys_holdout")
+        } finally Graph.release(testPairs)
+      } finally Graph.release(wtrain)
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -1643,6 +1695,35 @@ object GraphQueries {
              // greatest(CAST(n_nodes AS HUGEINT) * (n_nodes - 1), 1)
              AS BIGINT) AS phi_ppm
          FROM nn JOIN ee USING (k) ORDER BY k""",
+
+    "q366_recsys_holdout" ->
+      s"""WITH tr AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+           FROM lineitem WHERE l_orderkey % 5 <> 0),
+         te AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+           FROM lineitem WHERE l_orderkey % 5 = 0),
+         wtr AS (SELECT la.item AS a, lb.item AS b, COUNT(*) AS w
+           FROM tr la JOIN tr lb ON la.g = lb.g AND la.item < lb.item
+           GROUP BY 1, 2),
+         symw AS (SELECT a AS src, b AS dst, w FROM wtr
+           UNION ALL SELECT b, a, w FROM wtr),
+         recs AS (SELECT src, dst FROM (
+             SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+               ORDER BY w DESC, dst) AS rk FROM symw)
+           WHERE rk <= $RecTopN),
+         tp AS (SELECT DISTINCT la.item AS a, lb.item AS b
+           FROM te la JOIN te lb ON la.g = lb.g AND la.item < lb.item),
+         h AS (SELECT CASE WHEN r1.src IS NOT NULL
+               OR r2.src IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM tp t
+           LEFT JOIN recs r1 ON r1.src = t.a AND r1.dst = t.b
+           LEFT JOIN recs r2 ON r2.src = t.b AND r2.dst = t.a)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM wtr)
+             AS n_train_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           CAST(SUM(hit) * 1000000
+             // greatest(COUNT(*), 1) AS BIGINT) AS hit_rate_ppm
+         FROM h""",
 
     "q349_brand_closeness" ->
       """WITH RECURSIVE ob AS (SELECT DISTINCT l_orderkey AS o,

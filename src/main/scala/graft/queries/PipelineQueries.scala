@@ -1291,6 +1291,26 @@ object PipelineQueries {
         .orderBy(col("source"), col("predicted"))
     },
 
+    // NB RELIABILITY DIAGRAM: accuracy as a function of the classifier's
+    // own confidence — the best-vs-runner-up cost margin in bits, banded
+    // by 8 and capped at band 8 — the "does a wide margin actually mean
+    // a correct prediction" calibration read a pipeline needs before it
+    // thresholds q128's classifier for filtering. Integer-bits margins,
+    // truncating ppm accuracy; the band relation is ≤ 9 rows.
+    "q367_nb_reliability" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Classifier.nbSelfClassifyMargin(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(least(expr("margin_bits div 8"), lit(8L)).as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source") === col("predicted"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .select(col("band"), col("n_docs"), col("n_correct"),
+          expr("CAST(n_correct * 1000000 div n_docs AS BIGINT)")
+            .as("accuracy_ppm"))
+        .orderBy(col("band"))
+    },
+
     // Encoding-anomaly scan: mojibake digraphs, U+FFFD, C1 controls —
     // per-source damage report. The fixture is ASCII, so the query
     // injects a deterministic mojibake suffix on doc_id % 7 = 0 (same
@@ -3059,6 +3079,24 @@ object PipelineQueries {
          FROM pred p JOIN documents d USING (doc_id)
          GROUP BY d.source, p.predicted
          ORDER BY d.source, p.predicted""",
+
+    "q367_nb_reliability" ->
+      s"""WITH ${graft.operators.Classifier.selfClassifyOracleCtes},
+         marg AS (SELECT r1.doc_id, r1.label AS predicted,
+             CAST(r2.cost_bits - r1.cost_bits AS BIGINT) AS margin_bits
+           FROM ranked r1 JOIN ranked r2
+             ON r1.doc_id = r2.doc_id AND r1.rk = 1 AND r2.rk = 2),
+         rel AS (SELECT least(margin_bits // 8, 8) AS band,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN d.source = m.predicted THEN 1 ELSE 0 END)
+               AS n_correct
+           FROM marg m JOIN documents d USING (doc_id) GROUP BY 1)
+         SELECT CAST(band AS BIGINT) AS band,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           CAST(n_correct * 1000000 // n_docs AS BIGINT)
+             AS accuracy_ppm
+         FROM rel ORDER BY band""",
 
     "q129_mojibake" ->
       s"""WITH aug AS (SELECT doc_id, source,

@@ -50,6 +50,43 @@ class ClassifierSpec extends SparkSpec {
     assert(out.getAs[Long]("cost_bits") == 2L + 8L)
   }
 
+  test("nbSelfClassifyMargin: margin = runner-up minus best cost, " +
+      "non-negative, prediction agrees with nbScore") {
+    val margins = Classifier.nbSelfClassifyMargin(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("predicted"), r.getAs[Long]("margin_bits")))
+      .toMap
+    assert(margins.size == 6)
+    assert(margins.values.forall(_._2 >= 0L))
+    val pred = Classifier.nbSelfClassify(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted"))
+      .toMap
+    assert(margins.view.mapValues(_._1).toMap === pred)
+    // brute-force doc 3's margin from the full cost relation
+    val costs = Classifier.nbCosts(corpus, Classifier.nbTrain(corpus),
+        Classifier.nbPriors(corpus)).collect()
+      .filter(_.getAs[Long]("sid") == 3L)
+      .map(_.getAs[Long]("cost_bits")).sorted
+    assert(margins(3L)._2 === costs(1) - costs(0))
+  }
+
+  test("q367 reliability diagram: bands conserve the corpus, accuracy " +
+      "in [0, 1e6], bands within [0, 8]") {
+    val dir = sf("sf0.001")
+    val rows = graft.queries.PipelineQueries.defs("q367_nb_reliability")(
+      spark, dir).collect()
+    val docs = graft.Tables.load(spark, dir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs)
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("band"); b >= 0L && b <= 8L
+    })
+    assert(rows.forall { r =>
+      val a = r.getAs[Long]("accuracy_ppm"); a >= 0L && a <= 1000000L
+    })
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_correct") <= r.getAs[Long]("n_docs")))
+  }
+
   test("priors shift predictions when token evidence is balanced") {
     // identical token distributions, skewed doc counts: the prior decides
     val docs = (Seq((1L, "x", "tok tok")) ++

@@ -545,6 +545,37 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("q366 recsys holdout: matches the brute-force split/train/score " +
+      "replay; hits bounded by test pairs") {
+    val dir = sf("sf0.001")
+    val row = graft.queries.GraphQueries.defs("q366_recsys_holdout")(
+      spark, dir).head()
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def pairsOf(rows: Array[(Long, Long)]): Map[(Long, Long), Long] =
+      rows.groupBy(_._1).values.flatMap { g =>
+        val items = g.map(_._2).distinct.toSeq
+        for (a <- items; b <- items if a < b) yield (a, b)
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val train = pairsOf(li.filter(_._1 % 5 != 0))
+    val test = pairsOf(li.filter(_._1 % 5 == 0)).keySet
+    // top-3 by (weight desc, dst asc) over both orientations
+    val recs = train.toSeq
+      .flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+      .groupBy(_._1).toSeq.flatMap { case (src, es) =>
+        es.sortBy(e => (-e._3, e._2)).take(3).map(e => (src, e._2))
+      }.toSet
+    val hits = test.count(p =>
+      recs.contains((p._1, p._2)) || recs.contains((p._2, p._1))).toLong
+    assert(row.getAs[Long]("n_train_pairs") === train.size.toLong)
+    assert(row.getAs[Long]("n_test_pairs") === test.size.toLong)
+    assert(row.getAs[Long]("n_hits") === hits)
+    assert(hits <= test.size.toLong)
+    assert(row.getAs[Long]("hit_rate_ppm") ===
+      (BigInt(hits) * 1000000 / BigInt(test.size max 1)).toLong)
+  }
+
   /** Single-threaded synchronous LPA — the executable definition the
     * distributed operator must match bit-for-bit: most frequent
     * neighbour label, ties to the smallest label. */
