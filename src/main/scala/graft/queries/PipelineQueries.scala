@@ -186,6 +186,44 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // CROSS-SOURCE DUPLICATION MATRIX: the q28 banded near-dup pairs
+    // rolled up to the (source, source) grain — who copies from whom,
+    // the leakage read a curation pipeline takes BEFORE mixing sources
+    // (a heavy off-diagonal cell means two "independent" sources share
+    // provenance and their mixing weights double-count it; the diagonal
+    // is within-source dup pressure). Pair generation stays banded
+    // (never all-pairs); the rollup is two metadata-scale aggregates
+    // over the near-duplicate-scale pair relation.
+    "q368_cross_source_dup_matrix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val pairs = Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          col("id_a"), col("id_b"))
+        .localCheckpoint(true) // feeds the pair count AND the doc count
+      try {
+        val nPairs = pairs.groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val nDocs = pairs
+          .select(col("source_a"), col("source_b"),
+            col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("source_a"), col("source_b"),
+            col("id_b").as("doc_id")))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+        graft.tools.ExplainAudit.auditedCut(
+          nPairs.join(nDocs, Seq("source_a", "source_b"))
+            .orderBy(col("source_a"), col("source_b")),
+          "q368_cross_source_dup_matrix")
+      } finally graft.operators.Graph.release(pairs)
+    },
+
     // The default-named simhash dedup drives the scale-safe pigeonhole
     // plan (4×16-bit chunk equi-joins, 65,536 keys/chunk — per-chunk
     // fan-out measured in graft.tools.DedupProfile); the legacy 256-key
@@ -4135,6 +4173,30 @@ object PipelineQueries {
          FROM bands a JOIN bands b USING (band, band_key)
          WHERE a.doc_id < b.doc_id
          ORDER BY id_a, id_b""",
+
+    "q368_cross_source_dup_matrix" ->
+      s"""WITH $shingleCte, $minhashSigSql, $bandSql,
+         cp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         sp AS (SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             c.id_a, c.id_b
+           FROM cp c JOIN documents da ON c.id_a = da.doc_id
+                     JOIN documents db ON c.id_b = db.doc_id),
+         m AS (SELECT source_a, source_b, COUNT(*) AS n_pairs
+           FROM sp GROUP BY 1, 2),
+         dd AS (SELECT source_a, source_b,
+             COUNT(DISTINCT doc_id) AS n_docs
+           FROM (SELECT source_a, source_b, id_a AS doc_id FROM sp
+                 UNION ALL
+                 SELECT source_a, source_b, id_b FROM sp)
+           GROUP BY 1, 2)
+         SELECT source_a, source_b,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_docs AS BIGINT) AS n_docs
+         FROM m JOIN dd USING (source_a, source_b)
+         ORDER BY source_a, source_b""",
 
     "q29_dedup_simhash" ->
       s"""WITH $toksCte, $simhash64SigSql,

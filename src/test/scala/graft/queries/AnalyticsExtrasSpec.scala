@@ -144,6 +144,22 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(realized > 0L)
   }
 
+  test("q368: cross-source matrix conserves the q28 pair count and " +
+      "bounds docs by pair endpoints") {
+    val matrix = PipelineQueries.defs("q368_cross_source_dup_matrix")(
+      spark, dir).collect()
+    val pairTotal = PipelineQueries.defs("q28_dedup_minhash")(spark, dir)
+      .count()
+    assert(matrix.map(_.getAs[Long]("n_pairs")).sum === pairTotal)
+    assert(matrix.forall { r =>
+      val d = r.getAs[Long]("n_docs")
+      d >= 2L && d <= 2L * r.getAs[Long]("n_pairs")
+    })
+    // canonical ordering of the unordered source pair
+    assert(matrix.forall(r =>
+      r.getAs[String]("source_a") <= r.getAs[String]("source_b")))
+  }
+
   test("q232: cluster purity is a valid majority share") {
     val out = AnalyticsExtras.defs("q232_cluster_purity")(spark, dir)
     val bad = out.filter(col("n_docs") < 2 ||
