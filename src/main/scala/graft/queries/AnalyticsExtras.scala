@@ -1315,6 +1315,68 @@ object AnalyticsExtras {
                   ELSE -CAST((-num) * 1000000 div greatest(den, 1)
                     AS BIGINT) END""").as("slope_ppm"))
         .orderBy(col("lag"))
+    },
+
+    // PEAK CONCURRENT SESSIONS per day — the sweep-line interval
+    // pattern: each 30-minute session becomes a (+1 at start, −1 at
+    // end) endpoint pair, a per-day running sum walks the tagged
+    // endpoints, and the day's max is its peak concurrency — the
+    // capacity-planning number a per-bucket distinct count
+    // structurally cannot produce (intervals overlap across bucket
+    // edges). Endpoint ordering (ts, delta DESC, user, session) makes
+    // touching intervals count as concurrent and the walk
+    // deterministic in both engines; sessions are attributed to their
+    // START day (the tail past midnight stays with the start —
+    // documented grain, mirrored by the oracle). Windows are per-day
+    // partitions; the output is the bounded day relation.
+    "q369_peak_concurrency" -> { (s, dir) =>
+      val sess = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val pts = sess.select(to_date(col("st")).as("day"),
+          col("st").as("pt"), lit(1L).as("delta"),
+          col("user_id"), col("session_idx"))
+        .unionByName(sess.select(to_date(col("st")).as("day"),
+          col("en").as("pt"), lit(-1L).as("delta"),
+          col("user_id"), col("session_idx")))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("pt"), col("delta").desc, col("user_id"),
+          col("session_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("run", sum(col("delta")).over(w))
+        .groupBy(col("day"))
+        .agg(max(col("run")).as("peak_concurrent"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L))
+            .as("n_sessions"))
+        .orderBy(col("day"))
+    },
+
+    // CHURN HAZARD CURVE: the discrete survival view of user
+    // lifetimes — for tenure week w, the share of still-active users
+    // whose LAST event fell in that week of their life (hazard =
+    // churned-at-w / at-risk-at-w) — the retention statistic q344's
+    // calendar cohorts can't express (it is lifetime-aligned, not
+    // calendar-aligned). One per-user min/max aggregate, then
+    // everything lives on the bounded tenure-week relation; the
+    // at-risk denominator is a reverse cumulative sum over it. The
+    // corpus's right-censoring (users still active at data end) is
+    // deliberately included — documented, and identical in the oracle.
+    "q370_churn_hazard" -> { (s, dir) =>
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        .select(expr("CAST(datediff(d1, d0) div 7 AS BIGINT)")
+          .as("week"))
+      val wRev = Window.partitionBy(lit(0)).orderBy(col("week").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+        .withColumn("n_at_risk", sum(col("n_churned")).over(wRev))
+        .select(col("week"), col("n_at_risk"), col("n_churned"),
+          expr("CAST(n_churned * 1000000 div n_at_risk AS BIGINT)")
+            .as("hazard_ppm"))
+        .orderBy(col("week"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -2100,5 +2162,42 @@ object AnalyticsExtras {
              ELSE -CAST((-num) * 1000000 // GREATEST(den, 1)
                AS BIGINT)
            END AS slope_ppm
-         FROM nd ORDER BY lag""")
+         FROM nd ORDER BY lag""",
+
+    "q369_peak_concurrency" ->
+      s"""WITH ${SessionSql.cte("sx", Seq("ts"))},
+         sess AS (SELECT user_id, session_idx,
+             MIN(ts) AS st, MAX(ts) AS en
+           FROM sx GROUP BY 1, 2),
+         pts AS (SELECT CAST(st AS DATE) AS day, st AS pt, 1 AS delta,
+             user_id, session_idx FROM sess
+           UNION ALL
+           SELECT CAST(st AS DATE), en, -1, user_id, session_idx
+           FROM sess),
+         r AS (SELECT day, delta,
+             SUM(delta) OVER (PARTITION BY day
+               ORDER BY pt, delta DESC, user_id, session_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM pts)
+         SELECT day, CAST(MAX(run) AS BIGINT) AS peak_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions
+         FROM r GROUP BY day ORDER BY day""",
+
+    "q370_churn_hazard" ->
+      """WITH u AS (SELECT user_id,
+           CAST((MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE))) // 7
+             AS BIGINT) AS week
+         FROM events GROUP BY 1),
+         b AS (SELECT week, COUNT(*) AS n_churned FROM u GROUP BY 1),
+         c AS (SELECT week, n_churned,
+             SUM(n_churned) OVER (ORDER BY week DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_at_risk
+           FROM b)
+         SELECT week, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CAST(n_churned * 1000000 // n_at_risk AS BIGINT)
+             AS hazard_ppm
+         FROM c ORDER BY week""")
 }

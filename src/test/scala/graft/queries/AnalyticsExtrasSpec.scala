@@ -160,6 +160,55 @@ class AnalyticsExtrasSpec extends SparkSpec {
       r.getAs[String]("source_a") <= r.getAs[String]("source_b")))
   }
 
+  test("q369: peak concurrency matches a brute-force sweep per day and " +
+      "is bounded by the day's session count") {
+    val out = AnalyticsExtras.defs("q369_peak_concurrency")(spark, dir)
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("peak_concurrent"), r.getAs[Long]("n_sessions")))
+      .toMap
+    val sess = graft.streaming.Events
+      .assignSessions(graft.Tables.load(spark, dir, "events"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("st"),
+        r.getAs[java.sql.Timestamp]("en"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")))
+    val byDay = sess.groupBy(s =>
+      s._1.toLocalDateTime.toLocalDate.toString)
+    assert(out.keySet === byDay.keySet)
+    for ((day, ss) <- byDay) {
+      // sweep: endpoints ordered (ts, +1 before -1)
+      val pts = ss.flatMap { case (st, en, u, i) =>
+        Seq((st.getTime, 1L, u, i), (en.getTime, -1L, u, i))
+      }.sortBy(p => (p._1, -p._2, p._3, p._4))
+      var run = 0L; var peak = Long.MinValue
+      pts.foreach { p => run += p._2; peak = peak max run }
+      assert(out(day) === ((peak, ss.length.toLong)))
+      assert(peak >= 1L && peak <= ss.length.toLong)
+    }
+  }
+
+  test("q370: churn hazard conserves the user universe; at-risk is a " +
+      "reverse cumsum; terminal hazard is 1e6") {
+    val rows = AnalyticsExtras.defs("q370_churn_hazard")(spark, dir)
+      .collect()
+    val users = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_churned")).sum === users)
+    // at-risk at week w = total churned at weeks >= w
+    val byWeek = rows.map(r => r.getAs[Long]("week") ->
+      (r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_churned"))).toMap
+    for ((w, (atRisk, _)) <- byWeek)
+      assert(atRisk ===
+        byWeek.filter(_._1 >= w).values.map(_._2).sum)
+    assert(rows.last.getAs[Long]("hazard_ppm") === 1000000L)
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("hazard_ppm"); h >= 0L && h <= 1000000L
+    })
+  }
+
   test("q232: cluster purity is a valid majority share") {
     val out = AnalyticsExtras.defs("q232_cluster_purity")(spark, dir)
     val bad = out.filter(col("n_docs") < 2 ||
