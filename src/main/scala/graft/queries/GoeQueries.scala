@@ -184,6 +184,32 @@ object GoeQueries {
         .orderBy(col("tbl"))
     },
 
+    // VALIDATION DRILLDOWN with column attribution: a deterministic
+    // target perturbation (+1 quantity on the orderkey%97 slice — the
+    // injected-drift fixture pattern q129/q57 use) drives
+    // CrossValidator.diffAttributed, which names WHICH aggregates
+    // moved per group instead of only which groups differ — the
+    // reference's failure report names offending columns, and at
+    // 100 TB that's the difference between re-checking one column and
+    // re-offloading a partition. Same one-shuffle aggregate + keyed
+    // full-outer compare as q11.
+    "q371_validate_drilldown" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val target = li.withColumn("l_quantity",
+        when(pmod(col("l_orderkey"), lit(97)) === 0,
+          col("l_quantity") + 1.0d).otherwise(col("l_quantity")))
+      val g = Seq("l_returnflag")
+      val vals = Seq("l_quantity", "l_extendedprice")
+      CrossValidator.diffAttributed(
+          CrossValidator.aggFrame(li, g, vals),
+          CrossValidator.aggFrame(target, g, vals), g)
+        .select(col("l_returnflag"), col("mismatched_cols"),
+          col("l_row_count"), col("r_row_count"),
+          col("l_min_l_quantity"), col("r_min_l_quantity"),
+          col("l_max_l_quantity"), col("r_max_l_quantity"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "q13_boundary_hwm" -> { (s, dir) =>
       val bounds = Seq[Boundary.Bound](
         Boundary.Value(java.sql.Timestamp.valueOf("1997-06-30 00:00:00")),
@@ -464,6 +490,45 @@ object GoeQueries {
       Tables.names.sorted.map(n =>
         s"SELECT '$n' AS tbl, COUNT(*) AS n_rows FROM $n")
         .mkString("", " UNION ALL ", " ORDER BY tbl"),
+
+    "q371_validate_drilldown" -> {
+      // mirror aggFrame's column order: row_count, then min/max/count
+      // per value column — the attribution concat walks the same order
+      val aggCols = "row_count" +: Seq("l_quantity", "l_extendedprice")
+        .flatMap(c => Seq(s"min_$c", s"max_$c", s"count_$c"))
+      def side(rel: String) =
+        s"""SELECT l_returnflag, COUNT(*) AS row_count,
+             MIN(l_quantity) AS min_l_quantity,
+             MAX(l_quantity) AS max_l_quantity,
+             COUNT(l_quantity) AS count_l_quantity,
+             MIN(l_extendedprice) AS min_l_extendedprice,
+             MAX(l_extendedprice) AS max_l_extendedprice,
+             COUNT(l_extendedprice) AS count_l_extendedprice
+           FROM $rel GROUP BY 1"""
+      val tags = aggCols.map(c =>
+        s"""CASE WHEN NOT (s.$c IS NOT DISTINCT FROM t.$c)
+            THEN '$c' END""").mkString(",\n             ")
+      val any = aggCols.map(c =>
+        s"NOT (s.$c IS NOT DISTINCT FROM t.$c)").mkString(" OR ")
+      s"""WITH pert AS (SELECT l_returnflag, l_extendedprice,
+           CASE WHEN l_orderkey % 97 = 0 THEN l_quantity + 1.0
+                ELSE l_quantity END AS l_quantity
+         FROM lineitem),
+         src AS (${side("lineitem")}),
+         tgt AS (${side("pert")})
+         SELECT s.l_returnflag,
+           concat_ws(',',
+             $tags) AS mismatched_cols,
+           CAST(s.row_count AS BIGINT) AS l_row_count,
+           CAST(t.row_count AS BIGINT) AS r_row_count,
+           s.min_l_quantity AS l_min_l_quantity,
+           t.min_l_quantity AS r_min_l_quantity,
+           s.max_l_quantity AS l_max_l_quantity,
+           t.max_l_quantity AS r_max_l_quantity
+         FROM src s FULL JOIN tgt t USING (l_returnflag)
+         WHERE $any
+         ORDER BY s.l_returnflag"""
+    },
 
     "q13_boundary_hwm" -> q13Sql,
 

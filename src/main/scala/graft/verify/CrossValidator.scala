@@ -43,6 +43,34 @@ object CrossValidator {
     joined.filter(mismatch)
   }
 
+  /** [[diff]] with COLUMN ATTRIBUTION: each mismatching group carries
+    * `mismatched_cols`, the comma-joined (left-column-order) list of the
+    * aggregates that diverged — the reference's validation report names
+    * the offending columns, not just the offending groups
+    * (`offload_validation.py` failure messages), and at 100 TB "which
+    * aggregate moved" is the difference between re-checking one column
+    * and re-offloading a partition. Same full-outer join; the
+    * attribution is a null-skipping concat over per-column inequality
+    * flags, computed in the same pass. */
+  def diffAttributed(left: DataFrame, right: DataFrame,
+                     groupCols: Seq[String]): DataFrame = {
+    val valueCols = left.columns.filterNot(groupCols.contains).toSeq
+    val l = valueCols.foldLeft(left)((d, c) =>
+      d.withColumnRenamed(c, s"l_$c"))
+    val r = valueCols.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"r_$c"))
+    val joined =
+      if (groupCols.isEmpty) l.crossJoin(r)
+      else l.join(r, groupCols, "full_outer")
+    val mismatch = valueCols
+      .map(c => !(col(s"l_$c") <=> col(s"r_$c")))
+      .reduce(_ || _)
+    val tags = valueCols.map(c =>
+      when(!(col(s"l_$c") <=> col(s"r_$c")), lit(c)))
+    joined.filter(mismatch)
+      .withColumn("mismatched_cols", concat_ws(",", tags: _*))
+  }
+
   /** Aggregate validation ("agg_validate"): true iff every group matches. */
   def aggValidate(source: DataFrame, target: DataFrame,
                   groupCols: Seq[String], valueCols: Seq[String]): Boolean =

@@ -323,6 +323,30 @@ class CrossValidatorSpec extends SparkSpec {
       Seq("o_totalprice")))
   }
 
+  test("diffAttributed names exactly the diverging aggregates and " +
+      "returns the same groups as diff") {
+    val a = graft.Tables.load(spark, sf("sf0.001"), "orders")
+    val mutated = a.withColumn("o_totalprice",
+      when(col("o_orderstatus") === "O", col("o_totalprice") + 1)
+        .otherwise(col("o_totalprice")))
+    val g = Seq("o_orderstatus")
+    val vals = Seq("o_totalprice", "o_custkey")
+    val la = CrossValidator.aggFrame(a, g, vals)
+    val ra = CrossValidator.aggFrame(mutated, g, vals)
+    val attributed = CrossValidator.diffAttributed(la, ra, g).collect()
+    // only the "O" group diverges, only on the o_totalprice aggregates
+    assert(attributed.map(_.getAs[String]("o_orderstatus")).toSeq ===
+      Seq("O"))
+    val cols = attributed.head.getAs[String]("mismatched_cols")
+      .split(",").toSet
+    assert(cols.nonEmpty)
+    assert(cols.forall(_.contains("o_totalprice")))
+    assert(!cols.exists(_.contains("o_custkey")))
+    assert(!cols.contains("row_count"))
+    assert(CrossValidator.diff(la, ra, g).count() ===
+      attributed.length.toLong)
+  }
+
   test("count validation with boundary filter") {
     val a = graft.Tables.load(spark, sf("sf0.001"), "orders")
     val (s, t) = CrossValidator.countValidate(a, a,
