@@ -1377,6 +1377,80 @@ object AnalyticsExtras {
           expr("CAST(n_churned * 1000000 div n_at_risk AS BIGINT)")
             .as("hazard_ppm"))
         .orderBy(col("week"))
+    },
+
+    // TRANSITION DWELL-TIME MATRIX: median and p90 seconds spent
+    // between ADJACENT event types within a session — q158's adjacency
+    // counts with the TIMING dimension attached (a view>purchase
+    // median of 3 s vs 300 s are different products). Gaps quantize to
+    // whole seconds (≤ 1800 by the session gap bound), so the exact
+    // quantiles ride the shared histogram operator over the bounded
+    // (transition × second) grain — per-user windows and
+    // vocabulary-scale aggregates only, no fact sort at any size.
+    "q372_transition_dwell" -> { (s, dir) =>
+      import graft.operators.Quantiles
+      val w = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(concat(col("prev_type"), lit(">"), col("event_type"))
+          .as("transition"),
+          expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_s"))
+        .localCheckpoint(true) // histogram quantiles + counts read it
+      try {
+        val cuts = Quantiles.exactGroupQuantiles(gaps, "transition",
+            "gap_s", Seq(50, 90), bucketWidth = 8L)
+          .groupBy(col("transition"))
+          .agg(max(when(col("pct") === 50, col("value"))).as("p50_s"),
+            max(when(col("pct") === 90, col("value"))).as("p90_s"))
+        graft.tools.ExplainAudit.auditedCut(
+          gaps.groupBy(col("transition"))
+            .agg(count(lit(1)).as("n_transitions"))
+            .join(cuts, "transition")
+            .orderBy(col("transition")),
+          "q372_transition_dwell")
+      } finally graft.operators.Graph.release(gaps)
+    },
+
+    // JOIN FAN-OUT PROFILE: the 1:N cardinality distribution of the
+    // star schema's two FK relationships (lines per order, orders per
+    // customer) — exact p50/p90/max from the bounded (relationship ×
+    // fanout) histogram, mean in e3 fixed-point. This is the statistic
+    // the JoinAdvisor's hottest-key probe summarizes into one number,
+    // materialized as the full planning relation: a p90 fan-out of 5
+    // broadcast-joins fine at any scale, a max of 10⁶ is the skew that
+    // needs salting.
+    "q373_fanout_profile" -> { (s, dir) =>
+      import graft.operators.Quantiles
+      def fan(child: DataFrame, key: String, rel: String): DataFrame =
+        child.groupBy(col(key)).agg(count(lit(1)).as("fanout"))
+          .select(lit(rel).as("rel"), col("fanout"))
+      val f = fan(t(s, dir, "lineitem"), "l_orderkey",
+          "orders>lineitem")
+        .unionByName(fan(t(s, dir, "orders"), "o_custkey",
+          "customer>orders"))
+        .localCheckpoint(true) // quantiles + moments both read it
+      try {
+        val cuts = Quantiles.exactGroupQuantiles(f, "rel", "fanout",
+            Seq(50, 90, 100), bucketWidth = 8L)
+          .groupBy(col("rel"))
+          .agg(max(when(col("pct") === 50, col("value"))).as("p50"),
+            max(when(col("pct") === 90, col("value"))).as("p90"),
+            max(when(col("pct") === 100, col("value")))
+              .as("max_fanout"))
+        graft.tools.ExplainAudit.auditedCut(
+          f.groupBy(col("rel"))
+            .agg(count(lit(1)).as("n_keys"),
+              sum(col("fanout")).as("n_rows"),
+              expr("CAST(sum(fanout) * 1000 div count(1) AS BIGINT)")
+                .as("mean_fanout_e3"))
+            .join(cuts, "rel")
+            .orderBy(col("rel")),
+          "q373_fanout_profile")
+      } finally graft.operators.Graph.release(f)
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -2199,5 +2273,58 @@ object AnalyticsExtras {
            CAST(n_churned AS BIGINT) AS n_churned,
            CAST(n_churned * 1000000 // n_at_risk AS BIGINT)
              AS hazard_ppm
-         FROM c ORDER BY week""")
+         FROM c ORDER BY week""",
+
+    "q372_transition_dwell" ->
+      s"""WITH ${SessionSql.cte("sx", Seq("ts", "event_id", "event_type"))},
+         lg AS (SELECT event_type, ts,
+             LAG(event_type) OVER ws AS prev_type,
+             LAG(epoch_us(ts)) OVER ws AS prev_us
+           FROM sx
+           WINDOW ws AS (PARTITION BY user_id, session_idx
+             ORDER BY ts, event_id)),
+         g AS (SELECT prev_type || '>' || event_type AS transition,
+             (epoch_us(ts) - prev_us) // 1000000 AS gap_s
+           FROM lg WHERE prev_type IS NOT NULL),
+         h AS (SELECT transition, gap_s, COUNT(*) AS cnt
+           FROM g GROUP BY 1, 2),
+         tt AS (SELECT transition, SUM(cnt) AS total FROM h GROUP BY 1),
+         c AS (SELECT h.transition, h.gap_s, tt.total,
+             SUM(h.cnt) OVER (PARTITION BY h.transition
+               ORDER BY h.gap_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM h JOIN tt USING (transition))
+         SELECT transition,
+           CAST(MAX(total) AS BIGINT) AS n_transitions,
+           CAST(MIN(CASE WHEN cum * 2 >= total THEN gap_s END)
+             AS BIGINT) AS p50_s,
+           CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN gap_s END)
+             AS BIGINT) AS p90_s
+         FROM c GROUP BY 1 ORDER BY transition""",
+
+    "q373_fanout_profile" ->
+      """WITH f AS (SELECT 'orders>lineitem' AS rel,
+             COUNT(*) AS fanout
+           FROM lineitem GROUP BY l_orderkey
+           UNION ALL
+           SELECT 'customer>orders', COUNT(*)
+           FROM orders GROUP BY o_custkey),
+         h AS (SELECT rel, fanout, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+         tt AS (SELECT rel, SUM(cnt) AS n_keys,
+             SUM(fanout * cnt) AS n_rows
+           FROM h GROUP BY 1),
+         c AS (SELECT h.rel, h.fanout, tt.n_keys, tt.n_rows,
+             SUM(h.cnt) OVER (PARTITION BY h.rel ORDER BY h.fanout
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM h JOIN tt USING (rel))
+         SELECT rel, CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+           CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+           CAST(MAX(n_rows) * 1000 // MAX(n_keys) AS BIGINT)
+             AS mean_fanout_e3,
+           CAST(MIN(CASE WHEN cum * 2 >= n_keys THEN fanout END)
+             AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cum * 10 >= n_keys * 9 THEN fanout END)
+             AS BIGINT) AS p90,
+           CAST(MAX(fanout) AS BIGINT) AS max_fanout
+         FROM c GROUP BY rel ORDER BY rel""")
 }

@@ -209,6 +209,42 @@ class AnalyticsExtrasSpec extends SparkSpec {
     })
   }
 
+  test("q372: transition count conserves events minus sessions; " +
+      "quantiles are ordered") {
+    val rows = AnalyticsExtras.defs("q372_transition_dwell")(spark, dir)
+      .collect()
+    val sess = graft.streaming.Events
+      .assignSessions(graft.Tables.load(spark, dir, "events"))
+    val nEvents = sess.count()
+    val nSessions = sess.select(col("user_id"), col("session_idx"))
+      .distinct().count()
+    // every session of k events contributes exactly k-1 transitions
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum ===
+      nEvents - nSessions)
+    assert(rows.forall { r =>
+      val p50 = r.getAs[Long]("p50_s"); val p90 = r.getAs[Long]("p90_s")
+      p50 >= 0L && p50 <= p90 && p90 <= 1800L
+    })
+  }
+
+  test("q373: fan-out profile conserves child row counts; quantile " +
+      "ladder is ordered; mean is the exact e3 ratio") {
+    val rows = AnalyticsExtras.defs("q373_fanout_profile")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("rel") -> r).toMap
+    assert(rows.keySet === Set("orders>lineitem", "customer>orders"))
+    val li = graft.Tables.load(spark, dir, "lineitem").count()
+    val ord = graft.Tables.load(spark, dir, "orders").count()
+    assert(rows("orders>lineitem").getAs[Long]("n_rows") === li)
+    assert(rows("customer>orders").getAs[Long]("n_rows") === ord)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("p50") <= r.getAs[Long]("p90"))
+      assert(r.getAs[Long]("p90") <= r.getAs[Long]("max_fanout"))
+      assert(r.getAs[Long]("mean_fanout_e3") ===
+        r.getAs[Long]("n_rows") * 1000L / r.getAs[Long]("n_keys"))
+    }
+  }
+
   test("q232: cluster purity is a valid majority share") {
     val out = AnalyticsExtras.defs("q232_cluster_purity")(spark, dir)
     val bad = out.filter(col("n_docs") < 2 ||
