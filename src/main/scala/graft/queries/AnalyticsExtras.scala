@@ -1451,6 +1451,36 @@ object AnalyticsExtras {
             .orderBy(col("rel")),
           "q373_fanout_profile")
       } finally graft.operators.Graph.release(f)
+    },
+
+    // MARKOV NEXT-STEP PREDICTION ACCURACY: the majority-class
+    // baseline of the session transition matrix — per current event
+    // type, the argmax next type and how often it is right — the eval
+    // companion to q221's stationary distribution and q229's paths
+    // (a recommender or prefetcher beats THIS number or it ships
+    // nothing). Both the prediction and its accuracy read off the
+    // types² transition-count relation alone: one corpus pass, then
+    // windows over a bounded grid.
+    "q375_markov_prediction" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("ts"), col("event_id"))
+      val counts = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wP = Window.partitionBy(col("prev_type"))
+      counts
+        .withColumn("rk", row_number().over(
+          wP.orderBy(col("n").desc, col("next_type"))))
+        .withColumn("total", sum(col("n")).over(wP))
+        .filter(col("rk") === 1)
+        .select(col("prev_type"), col("next_type").as("predicted"),
+          col("total").as("n_transitions"), col("n").as("n_correct"),
+          expr("CAST(n * 1000000 div total AS BIGINT)")
+            .as("accuracy_ppm"))
+        .orderBy(col("prev_type"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -2326,5 +2356,24 @@ object AnalyticsExtras {
            CAST(MIN(CASE WHEN cum * 10 >= n_keys * 9 THEN fanout END)
              AS BIGINT) AS p90,
            CAST(MAX(fanout) AS BIGINT) AS max_fanout
-         FROM c GROUP BY rel ORDER BY rel""")
+         FROM c GROUP BY rel ORDER BY rel""",
+
+    "q375_markov_prediction" ->
+      s"""WITH ${SessionSql.cte("sx", Seq("ts", "event_id", "event_type"))},
+         lg AS (SELECT event_type AS next_type,
+             LAG(event_type) OVER (PARTITION BY user_id, session_idx
+               ORDER BY ts, event_id) AS prev_type
+           FROM sx),
+         cnt AS (SELECT prev_type, next_type, COUNT(*) AS n
+           FROM lg WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         rk AS (SELECT prev_type, next_type, n,
+             ROW_NUMBER() OVER (PARTITION BY prev_type
+               ORDER BY n DESC, next_type) AS rk,
+             SUM(n) OVER (PARTITION BY prev_type) AS total
+           FROM cnt)
+         SELECT prev_type, next_type AS predicted,
+           CAST(total AS BIGINT) AS n_transitions,
+           CAST(n AS BIGINT) AS n_correct,
+           CAST(n * 1000000 // total AS BIGINT) AS accuracy_ppm
+         FROM rk WHERE rk = 1 ORDER BY prev_type""")
 }

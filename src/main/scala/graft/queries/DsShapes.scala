@@ -1707,9 +1707,72 @@ object DsShapes {
         .join(ranked(col("avg_e6").asc, "worst_part", "worst_avg_e6"),
           "rk")
         .orderBy(col("rk"))
+    },
+
+    // TOP-K WITH "OTHERS" ROLLUP: per region, the top-3 revenue
+    // nations as named rows and EVERYTHING ELSE folded into one
+    // conservation-preserving OTHERS row — the reporting shape a bare
+    // top-k breaks (its page no longer sums to the total, so shares
+    // drawn from it silently lie). One aggregate to the bounded
+    // (region × nation) grid, a per-region rank window over it, one
+    // re-aggregate; shares in truncating ppm of the region total.
+    "q374_topk_with_others" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(centsCol.cast("decimal(38,0)")).as("cents"))
+      val wRk = Window.partitionBy(col("region"))
+        .orderBy(col("cents").desc, col("nation"))
+      val folded = rev.withColumn("rk", row_number().over(wRk))
+        .select(col("region"),
+          when(col("rk") <= 3, col("nation")).otherwise(lit("OTHERS"))
+            .as("bucket"),
+          col("cents"))
+        .groupBy(col("region"), col("bucket"))
+        .agg(count(lit(1)).as("n_nations"), sum(col("cents")).as("c"))
+      val wTot = Window.partitionBy(col("region"))
+      folded
+        .withColumn("region_total", sum(col("c")).over(wTot))
+        .select(col("region"), col("bucket"), col("n_nations"),
+          col("c").cast("long").as("rev_cents"),
+          expr("CAST(c * 1000000 div region_total AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("region"), col("rev_cents").desc, col("bucket"))
     })
 
   val oracles: Map[String, String] = Map(
+
+    "q374_topk_with_others" ->
+      s"""WITH rev AS (SELECT r_name AS region, n_name AS nation,
+             SUM($CentsSql) AS cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2),
+         rk AS (SELECT region, nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY region
+               ORDER BY cents DESC, nation) AS rk
+           FROM rev),
+         f AS (SELECT region,
+             CASE WHEN rk <= 3 THEN nation ELSE 'OTHERS' END AS bucket,
+             COUNT(*) AS n_nations, SUM(cents) AS c
+           FROM rk GROUP BY 1, 2),
+         tt AS (SELECT region, SUM(c) AS region_total FROM f GROUP BY 1)
+         SELECT f.region, f.bucket,
+           CAST(f.n_nations AS BIGINT) AS n_nations,
+           CAST(f.c AS BIGINT) AS rev_cents,
+           CAST(f.c * 1000000 // tt.region_total AS BIGINT)
+             AS share_ppm
+         FROM f JOIN tt USING (region)
+         ORDER BY region, rev_cents DESC, bucket""",
 
     "q249_rollup_level_topk" ->
       s"""WITH cells AS (SELECT p_brand, p_size // 10 AS size_bucket,

@@ -11,6 +11,46 @@ class DsShapesSpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
 
+  test("q374: OTHERS rollup conserves the full region revenue; at most " +
+      "top-3 named rows; shares sum to ~1e6 per region") {
+    val rows = DsShapes.defs2("q374_topk_with_others")(spark, dir)
+      .collect()
+    val byRegion = rows.groupBy(_.getAs[String]("region"))
+    // total across buckets equals the unfolded all-nation total
+    val full = graft.Tables.load(spark, dir, "orders")
+      .join(graft.Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("rev_cents")).sum === full)
+    for ((_, rs) <- byRegion) {
+      assert(rs.count(_.getAs[String]("bucket") != "OTHERS") <= 3)
+      val shares = rs.map(_.getAs[Long]("share_ppm"))
+      assert(shares.sum <= 1000000L &&
+        shares.sum >= 1000000L - rs.length)
+      val nNamed = rs.filter(_.getAs[String]("bucket") != "OTHERS")
+        .map(_.getAs[Long]("n_nations"))
+      assert(nNamed.forall(_ === 1L))
+    }
+  }
+
+  test("q375: majority-class prediction — correct bounded by total, " +
+      "transition mass equals events minus sessions") {
+    val rows = DsShapes.defs2 ++ AnalyticsExtras.defs
+    val out = rows("q375_markov_prediction")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val a = r.getAs[Long]("accuracy_ppm")
+      r.getAs[Long]("n_correct") <= r.getAs[Long]("n_transitions") &&
+        a >= 0L && a <= 1000000L
+    })
+    val sess = graft.streaming.Events
+      .assignSessions(graft.Tables.load(spark, dir, "events"))
+    val expected = sess.count() -
+      sess.select(col("user_id"), col("session_idx")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_transitions")).sum === expected)
+  }
+
   test("q240: rollup levels conserve — channel subtotals sum to the " +
       "grand total, which counts every joined line") {
     val out = DsShapes.defs("q240_channel_sales_rollup")(spark, dir)
