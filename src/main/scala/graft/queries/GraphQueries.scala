@@ -649,28 +649,46 @@ object GraphQueries {
       val seeds = seedBrandParts(s, dir)
       val deg = sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
-      val common = sym.select(col("src").as("via"), col("dst").as("x"))
+      // seed-adjacent edges, checkpointed once: they are BOTH the wedge
+      // join's x-side AND the via filter that prunes its y-side — only
+      // vias touching a seed can produce a wedge, so semi-joining the
+      // full edge relation down to those vias BEFORE the wedge join
+      // removes the dominant cost (sorting/shuffling every edge) while
+      // producing the identical wedge set (r17 scale probe: the
+      // unpruned join measured exponent 1.37 from the full-relation
+      // sort; pruned, the y-side is the seeds' neighborhood share)
+      val xSide = sym.select(col("src").as("via"), col("dst").as("x"))
         .join(seeds.withColumnRenamed("node", "x"), Seq("x"),
           "left_semi")
-        .join(sym.select(col("src").as("via"), col("dst").as("y")),
-          "via")
-        .filter(col("x") =!= col("y"))
-        .groupBy(col("x"), col("y"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(deg.select(col("node").as("x"), col("deg").as("deg_x")),
-          "x")
-        .join(deg.select(col("node").as("y"), col("deg").as("deg_y")),
-          "y")
-        .withColumn("jaccard_ppm",
-          expr("""CAST(common * 1000000 AS DECIMAL(38,0))
-                  div (deg_x + deg_y - common)"""))
-        .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
-        .limit(20)
-        .select(col("x").as("seed_part"), col("y").as("counterpart"),
-          col("common").as("common_neighbors"),
-          col("deg_x"), col("deg_y"), col("jaccard_ppm"))
-        .auditedCut("q288_neighbor_jaccard")
+        .localCheckpoint(true)
+      try {
+        val ySide = sym.select(col("src").as("via"),
+            col("dst").as("y"))
+          .join(xSide.select(col("via")).distinct(), Seq("via"),
+            "left_semi")
+        val common = xSide
+          .join(ySide, "via")
+          .filter(col("x") =!= col("y"))
+          .groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("common"))
+        // the wedge aggregate STREAMS into the top-20 (never
+        // materialized — pair-scale); the eager cut below runs before
+        // the xSide release in finally
+        common
+          .join(deg.select(col("node").as("x"), col("deg").as("deg_x")),
+            "x")
+          .join(deg.select(col("node").as("y"), col("deg").as("deg_y")),
+            "y")
+          .withColumn("jaccard_ppm",
+            expr("""CAST(common * 1000000 AS DECIMAL(38,0))
+                    div (deg_x + deg_y - common)"""))
+          .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
+          .limit(20)
+          .select(col("x").as("seed_part"), col("y").as("counterpart"),
+            col("common").as("common_neighbors"),
+            col("deg_x"), col("deg_y"), col("jaccard_ppm"))
+          .auditedCut("q288_neighbor_jaccard")
+      } finally Graph.release(xSide)
       }
     },
 
