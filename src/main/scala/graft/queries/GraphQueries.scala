@@ -311,6 +311,75 @@ object GraphQueries {
       .select(col("p_partkey").as("node"))
   }
 
+  /** The SEED-SCOPED LINK-PREDICTION artifact shared by q288
+    * (common-neighbor Jaccard) / q291 (resource allocation): one pruned
+    * wedge enumeration per (data dir, session) — the suite's single
+    * most expensive join at probe scale — scored once and cut to BOTH
+    * top-20s in ONE job; only the 40-row union survives as the
+    * artifact (`ranked_by` ∈ {jaccard, ra} tags the halves). Sharing
+    * pins the pruning contract to one place (the r17 scale probe
+    * caught exactly that drift: q288 got the via prune, q291 kept
+    * shuffling the full edge relation into its wedge join — ×8 probe
+    * 57 s → 16 s from the prune alone), and the bounded artifact keeps
+    * the pair-scale aggregate OUT of block storage — a first cut of
+    * this cache checkpointed the full `(x, y, common, ra_e6)` relation
+    * and thrashed the 8 GB driver heap at the ×32 probe (97 s, GC-
+    * locker stalls). The two TakeOrdered branches consume the same
+    * scored subtree, so the wedge shuffle is planned once and reused
+    * (ReuseExchange), never materialized.
+    *
+    * The seed-adjacent x-side is checkpointed during the build because
+    * it is BOTH the wedge join's x input AND (via its distinct vias)
+    * the semi-join that prunes the y-side: only vias touching a seed
+    * can produce a wedge, so the pruned join enumerates the identical
+    * wedge set while the y-side shrinks to the seeds' neighborhood
+    * share (unpruned, the probe measured exponent 1.37 from the
+    * full-relation sort). `ra_e6` (Σ 1e6 div deg(via)) rides the same
+    * shuffle as `common` for free; the deg enrichment joins never drop
+    * rows (every wedge endpoint has a degree), so the ra cut over the
+    * scored relation is identical to one over the raw stats. */
+  private val seedWedgeCache = new DirCache[String, DataFrame]((s, dir) =>
+    pairsCache.withArtifact(s, dir) { pairs =>
+      val sym = Graph.symmetrize(pairs)
+      val seeds = seedBrandParts(s, dir)
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val xSide = sym.select(col("src").as("via"), col("dst").as("x"))
+        .join(seeds.withColumnRenamed("node", "x"), Seq("x"),
+          "left_semi")
+        .localCheckpoint(true)
+      try {
+        val ySide = sym.select(col("src").as("via"),
+            col("dst").as("y"))
+          .join(xSide.select(col("via")).distinct(), Seq("via"),
+            "left_semi")
+        val scored = xSide.join(ySide, "via")
+          .filter(col("x") =!= col("y"))
+          .join(deg.select(col("node").as("via"),
+            col("deg").as("via_deg")), "via")
+          .groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("common"),
+            sum(expr("1000000 div via_deg")).as("ra_e6"))
+          .join(deg.select(col("node").as("x"),
+            col("deg").as("deg_x")), "x")
+          .join(deg.select(col("node").as("y"),
+            col("deg").as("deg_y")), "y")
+          .withColumn("jaccard_ppm",
+            expr("""CAST(common * 1000000 AS DECIMAL(38,0))
+                    div (deg_x + deg_y - common)"""))
+        scored
+          .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
+          .limit(20)
+          .withColumn("ranked_by", lit("jaccard"))
+          .unionByName(scored
+            .orderBy(col("ra_e6").desc, col("x"), col("y"))
+            .limit(20)
+            .withColumn("ranked_by", lit("ra")))
+          .auditedCut("q288_neighbor_jaccard+q291_resource_allocation")
+      } finally Graph.release(xSide)
+    }, Graph.release)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // PageRank over the part co-purchase graph: parts are linked when
@@ -644,51 +713,13 @@ object GraphQueries {
     // FULL-graph degrees, exact ppm (integral div); top-20 is
     // TakeOrdered, never a full sort.
     "q288_neighbor_jaccard" -> { (s, dir) =>
-      pairsCache.withArtifact(s, dir) { pairs =>
-      val sym = Graph.symmetrize(pairs)
-      val seeds = seedBrandParts(s, dir)
-      val deg = sym.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-      // seed-adjacent edges, checkpointed once: they are BOTH the wedge
-      // join's x-side AND the via filter that prunes its y-side — only
-      // vias touching a seed can produce a wedge, so semi-joining the
-      // full edge relation down to those vias BEFORE the wedge join
-      // removes the dominant cost (sorting/shuffling every edge) while
-      // producing the identical wedge set (r17 scale probe: the
-      // unpruned join measured exponent 1.37 from the full-relation
-      // sort; pruned, the y-side is the seeds' neighborhood share)
-      val xSide = sym.select(col("src").as("via"), col("dst").as("x"))
-        .join(seeds.withColumnRenamed("node", "x"), Seq("x"),
-          "left_semi")
-        .localCheckpoint(true)
-      try {
-        val ySide = sym.select(col("src").as("via"),
-            col("dst").as("y"))
-          .join(xSide.select(col("via")).distinct(), Seq("via"),
-            "left_semi")
-        val common = xSide
-          .join(ySide, "via")
-          .filter(col("x") =!= col("y"))
-          .groupBy(col("x"), col("y"))
-          .agg(count(lit(1)).as("common"))
-        // the wedge aggregate STREAMS into the top-20 (never
-        // materialized — pair-scale); the eager cut below runs before
-        // the xSide release in finally
-        common
-          .join(deg.select(col("node").as("x"), col("deg").as("deg_x")),
-            "x")
-          .join(deg.select(col("node").as("y"), col("deg").as("deg_y")),
-            "y")
-          .withColumn("jaccard_ppm",
-            expr("""CAST(common * 1000000 AS DECIMAL(38,0))
-                    div (deg_x + deg_y - common)"""))
+      seedWedgeCache.withArtifact(s, dir) { art =>
+        art.filter(col("ranked_by") === "jaccard")
           .orderBy(col("jaccard_ppm").desc, col("x"), col("y"))
-          .limit(20)
-          .select(col("x").as("seed_part"), col("y").as("counterpart"),
+          .select(col("x").as("seed_part"),
+            col("y").as("counterpart"),
             col("common").as("common_neighbors"),
             col("deg_x"), col("deg_y"), col("jaccard_ppm"))
-          .auditedCut("q288_neighbor_jaccard")
-      } finally Graph.release(xSide)
       }
     },
 
@@ -699,31 +730,16 @@ object GraphQueries {
     // (the same hub-discounting idea as Adamic-Adar, but 1/deg is
     // EXACTLY representable in fixed point where 1/ln(deg) is not:
     // each term is 1e6 div deg, deterministic and oracle-stable).
-    // Same seed-scoped wedge shape as q288 — semi-join to the seed
-    // brand's parts BEFORE the expansion bounds the join by the seeds'
-    // wedge share; top-20 TakeOrdered.
+    // Same seed-scoped wedge shape as q288 — the shared artifact's
+    // `ra` half (each via votes 1e6 div deg(via)) IS this query's
+    // top-20; the consumer only projects it.
     "q291_resource_allocation" -> { (s, dir) =>
-      pairsCache.withArtifact(s, dir) { pairs =>
-      val sym = Graph.symmetrize(pairs)
-      val seeds = seedBrandParts(s, dir)
-      val deg = sym.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-      sym.select(col("src").as("via"), col("dst").as("x"))
-        .join(seeds.withColumnRenamed("node", "x"), Seq("x"),
-          "left_semi")
-        .join(sym.select(col("src").as("via"), col("dst").as("y")),
-          "via")
-        .filter(col("x") =!= col("y"))
-        .join(deg.select(col("node").as("via"),
-          col("deg").as("via_deg")), "via")
-        .groupBy(col("x"), col("y"))
-        .agg(count(lit(1)).as("common"),
-          sum(expr("1000000 div via_deg")).as("ra_e6"))
-        .orderBy(col("ra_e6").desc, col("x"), col("y"))
-        .limit(20)
-        .select(col("x").as("seed_part"), col("y").as("counterpart"),
-          col("common").as("common_neighbors"), col("ra_e6"))
-        .auditedCut("q291_resource_allocation")
+      seedWedgeCache.withArtifact(s, dir) { art =>
+        art.filter(col("ranked_by") === "ra")
+          .orderBy(col("ra_e6").desc, col("x"), col("y"))
+          .select(col("x").as("seed_part"),
+            col("y").as("counterpart"),
+            col("common").as("common_neighbors"), col("ra_e6"))
       }
     },
 
