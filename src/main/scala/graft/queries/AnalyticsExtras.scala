@@ -1481,6 +1481,58 @@ object AnalyticsExtras {
           expr("CAST(n * 1000000 div total AS BIGINT)")
             .as("accuracy_ppm"))
         .orderBy(col("prev_type"))
+    },
+
+    // TRAILING-QUANTILE INTERVAL COVERAGE (conformal-style backtest):
+    // each day's order count gets a predicted [p10, p90] interval from
+    // the previous 28 OBSERVED order-days' counts (exact order
+    // statistics at ranks ceil(m·p/100)); the query scores the
+    // predictor per year — empirical coverage in ppm (a well-
+    // calibrated 10/90 interval covers ≈ 800000) and mean interval
+    // width. The window is INDEX-based (previous 28 order-days, not
+    // calendar days) so sparse calendars never starve it — the first
+    // 28 observed days are the only exclusion. The day relation is
+    // bounded by the date domain, so both the day index (a global
+    // window over the bounded aggregate) and the 28-way fan-out
+    // equi-join stay metadata-scale — after ONE keyed aggregate over
+    // orders, nothing touches fact scale.
+    "q377_interval_coverage" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val idxd = daily.withColumn("idx",
+        row_number().over(Window.orderBy(col("day"))))
+      val hist = idxd
+        .select(col("day"), col("idx"),
+          explode(sequence(lit(1), lit(28))).as("off"))
+        .withColumn("h_idx", col("idx") - col("off"))
+        .join(idxd.select(col("idx").as("h_idx"),
+          col("n_orders").as("h_n"), col("day").as("h_day")), "h_idx")
+      val wDay = Window.partitionBy(col("day"))
+      val ranked = hist
+        .withColumn("rk", row_number().over(
+          wDay.orderBy(col("h_n"), col("h_day"))))
+        .withColumn("m", count(lit(1)).over(wDay))
+      val bounds = ranked
+        .groupBy(col("day"), col("m"))
+        .agg(min(when(col("rk") === expr("(m * 10 + 99) div 100"),
+          col("h_n"))).as("lo"),
+          min(when(col("rk") === expr("(m * 90 + 99) div 100"),
+            col("h_n"))).as("hi"))
+        .filter(col("m") === 28)
+      bounds.join(daily, "day")
+        .select(year(col("day")).cast("long").as("year"),
+          when(col("n_orders").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L).as("covered"),
+          (col("hi") - col("lo")).as("width"))
+        .groupBy(col("year"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("covered")).as("n_covered"),
+          expr("CAST(sum(covered) * 1000000 div count(1) AS BIGINT)")
+            .as("coverage_ppm"),
+          expr("CAST(sum(width) * 1000 div count(1) AS BIGINT)")
+            .as("mean_width_e3"))
+        .orderBy(col("year"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -2375,5 +2427,37 @@ object AnalyticsExtras {
            CAST(total AS BIGINT) AS n_transitions,
            CAST(n AS BIGINT) AS n_correct,
            CAST(n * 1000000 // total AS BIGINT) AS accuracy_ppm
-         FROM rk WHERE rk = 1 ORDER BY prev_type""")
+         FROM rk WHERE rk = 1 ORDER BY prev_type""",
+
+    "q377_interval_coverage" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           COUNT(*) AS n_orders FROM orders GROUP BY 1),
+         idxd AS (SELECT day, n_orders,
+           ROW_NUMBER() OVER (ORDER BY day) AS idx FROM daily),
+         offs AS (SELECT day, idx,
+           CAST(UNNEST(range(1, 29)) AS BIGINT) AS off FROM idxd),
+         hist AS (SELECT o.day, d2.n_orders AS h_n, d2.day AS h_day
+           FROM offs o JOIN idxd d2 ON d2.idx = o.idx - o.off),
+         ranked AS (SELECT day, h_n, h_day,
+             ROW_NUMBER() OVER (PARTITION BY day
+               ORDER BY h_n, h_day) AS rk,
+             COUNT(*) OVER (PARTITION BY day) AS m
+           FROM hist),
+         bounds AS (SELECT day, m,
+             MIN(CASE WHEN rk = (m * 10 + 99) // 100 THEN h_n END)
+               AS lo,
+             MIN(CASE WHEN rk = (m * 90 + 99) // 100 THEN h_n END)
+               AS hi
+           FROM ranked GROUP BY day, m)
+         SELECT CAST(EXTRACT(year FROM b.day) AS BIGINT) AS year,
+           COUNT(*) AS n_days,
+           CAST(SUM(CASE WHEN d.n_orders BETWEEN lo AND hi
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN d.n_orders BETWEEN lo AND hi
+             THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS coverage_ppm,
+           CAST(SUM(hi - lo) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_width_e3
+         FROM bounds b JOIN daily d USING (day)
+         WHERE m = 28 GROUP BY 1 ORDER BY year""")
 }

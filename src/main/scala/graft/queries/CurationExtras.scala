@@ -1621,6 +1621,47 @@ object CurationExtras {
                   div (CAST(n AS DECIMAL(38,0)) * n)
                   AS BIGINT)""").as("var_e12"))
         .orderBy(col("dim_idx"))
+    },
+
+    // ADOPTION-ORDER TRIPLES: for each ordered type triple (a, b, c),
+    // the sessions whose FIRST occurrences satisfy first(a) < first(b)
+    // < first(c) — the three-step extension of the sequence trio (q158
+    // adjacent, q197 unordered, q218 some-before-some): which feature-
+    // discovery paths users actually walk. First-occurrence ordering
+    // (not some-before-some) keeps the triple a pure function of the
+    // session-type summary, so both joins run on the (session × type)
+    // relation — types³ per session, never events³; timestamp ties
+    // exclude both orders (strict <), deterministically in both
+    // engines. Support is per-session, ppm against all sessions.
+    "q379_adoption_triples" -> { (s, dir) =>
+      val firsts = graft.streaming.Events
+        .assignSessions(t(s, dir, "events"))
+        .select(col("user_id"), col("session_idx"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy(col("user_id"), col("session_idx"), col("event_type"))
+        .agg(min(col("us")).as("f_us"))
+        .localCheckpoint(true) // three join sides + the session total
+      val n = firsts.select(col("user_id"), col("session_idx"))
+        .distinct().agg(count(lit(1)).as("n_sessions"))
+      firsts
+        .join(firsts.select(col("user_id").as("u2"),
+            col("session_idx").as("s2"),
+            col("event_type").as("type_b"), col("f_us").as("fb")),
+          col("user_id") === col("u2") &&
+            col("session_idx") === col("s2") && col("f_us") < col("fb"))
+        .join(firsts.select(col("user_id").as("u3"),
+            col("session_idx").as("s3"),
+            col("event_type").as("type_c"), col("f_us").as("fc")),
+          col("user_id") === col("u3") &&
+            col("session_idx") === col("s3") && col("fb") < col("fc"))
+        .groupBy(col("event_type").as("type_a"), col("type_b"),
+          col("type_c"))
+        .agg(count(lit(1)).as("n_support"))
+        .crossJoin(broadcast(n))
+        .select(col("type_a"), col("type_b"), col("type_c"),
+          col("n_support"),
+          expr("n_support * 1000000 div n_sessions").as("support_ppm"))
+        .orderBy(col("type_a"), col("type_b"), col("type_c"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -2882,5 +2923,27 @@ object CurationExtras {
              * (abs(sp) // n) AS BIGINT) AS mean_e6,
            CAST((n * spp - sp * sp)
              // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_e12
-         FROM a ORDER BY dim_idx""")
+         FROM a ORDER BY dim_idx""",
+
+    "q379_adoption_triples" ->
+      s"""WITH ${SessionSql.cte("se",
+           Seq("event_type", "epoch_us(ts) AS us"))},
+         f AS (SELECT user_id, session_idx, event_type,
+             MIN(us) AS f_us
+           FROM se GROUP BY 1, 2, 3),
+         n AS (SELECT COUNT(*) AS n_sessions FROM
+           (SELECT DISTINCT user_id, session_idx FROM f) x),
+         tr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             c.event_type AS type_c, COUNT(*) AS n_support
+           FROM f a
+           JOIN f b ON a.user_id = b.user_id
+             AND a.session_idx = b.session_idx AND a.f_us < b.f_us
+           JOIN f c ON b.user_id = c.user_id
+             AND b.session_idx = c.session_idx AND b.f_us < c.f_us
+           GROUP BY 1, 2, 3)
+         SELECT type_a, type_b, type_c,
+           CAST(n_support AS BIGINT) AS n_support,
+           CAST(n_support * 1000000 // n.n_sessions AS BIGINT)
+             AS support_ppm
+         FROM tr, n ORDER BY type_a, type_b, type_c""")
 }

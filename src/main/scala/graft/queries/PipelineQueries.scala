@@ -2522,6 +2522,145 @@ object PipelineQueries {
           col("nearest_label"), col("nearest_dist_e8"),
           col("db_worst_ppm"))
         .orderBy(col("label"))
+    },
+
+    // SHUFFLE INTERLEAVE AUDIT: does the deterministic epoch shuffle
+    // (q81's relation) actually disperse each source across the epoch,
+    // or do same-source docs clump? Per source: mean normalized
+    // position plus the hottest/coldest decile shares of the source's
+    // docs — a uniform interleave reads mean ≈ 500000 ppm and every
+    // decile share ≈ 100000 ppm; a clumped source starves late batches
+    // of its gradient signal. Positions quantize into 10 deciles
+    // against the broadcast corpus size, so everything after the
+    // shuffle is (source × 10)-scale; the dense source×decile grid is
+    // built from the bounded source dimension (an empty decile must
+    // read 0 or the cold-side min silently skips it). DECIMAL(38,0)
+    // lift on the rank sum — Σrank is N²-scale and overflows a long
+    // well before 100 TB.
+    "q376_shuffle_dispersion" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sh = graft.operators.DatasetOps
+        .deterministicShuffle(docs, batchSize = 64L)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val nTot = sh.agg(count(lit(1)).as("n_total"))
+      val pos = sh.crossJoin(broadcast(nTot))
+        .select(col("source"), col("shuffle_rank"), col("n_total"),
+          expr("(shuffle_rank - 1) * 10 div n_total").as("decile"))
+      val byDec = pos.groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("c"))
+      val bySrc = pos.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("shuffle_rank").cast("decimal(38,0)")).as("rk_sum"),
+          max(col("n_total")).as("n_total"))
+      val grid = docs.select(col("source")).distinct()
+        .select(col("source"),
+          explode(sequence(lit(0L), lit(9L))).as("decile"))
+      grid.join(byDec, Seq("source", "decile"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .groupBy(col("source"))
+        .agg(max(col("c")).as("hot_c"), min(col("c")).as("cold_c"))
+        .join(bySrc, "source")
+        .select(col("source"), col("n_docs"),
+          expr("""CAST(rk_sum * 1000000
+                  div (CAST(n_docs AS DECIMAL(38,0)) * n_total)
+                  AS BIGINT)""").as("mean_pos_ppm"),
+          expr("CAST(hot_c * 1000000 div n_docs AS BIGINT)")
+            .as("hot_decile_ppm"),
+          expr("CAST(cold_c * 1000000 div n_docs AS BIGINT)")
+            .as("cold_decile_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // MATRYOSHKA TRUNCATION RECALL: top-10 cosine retrieval quality
+    // when the 64-d embeddings are truncated to their 32-/16-d
+    // prefixes — the eval a deployment runs before shipping truncated
+    // vectors (half/quarter the index bytes buys what recall?). 16
+    // query vectors broadcast against the corpus (the audited q33
+    // shape, one scan per level), per-query top-10 via per-group rank
+    // (WindowGroupLimit — never a global sort), recall = overlap with
+    // the full-dim truth set via a left join that PRESERVES
+    // zero-overlap queries. The exact expression-chain kernels
+    // (dotChain/normSqChain) keep the double op order identical to the
+    // oracle's unrolled SQL at every truncation width. Everything
+    // after the scans is (levels × queries × 10)-scale.
+    "q378_matryoshka_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val nq = 16
+      import org.apache.spark.sql.expressions.Window
+      def topAt(d: Int): DataFrame = {
+        val withN = emb.withColumn("nrm",
+          sqrt(Similarity.normSqChain(col("embedding"), d)))
+        val qs = withN.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("q_id"),
+            col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))
+        withN.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("score",
+            Similarity.dotChain(col("embedding"), col("q_vec"), d) /
+              (col("nrm") * col("q_nrm")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("vec_id"))
+      }
+      val truth = topAt(Dim).withColumn("hit", lit(1L))
+      Seq(32, 16).map { d =>
+        topAt(d)
+          .join(truth, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .agg(count(lit(1)).as("n_queries"),
+            expr(s"CAST(sum(hits) * 1000000 div (count(1) * 10) " +
+              "AS BIGINT)").as("mean_recall_ppm"),
+            expr("CAST(min(hits) * 100000 AS BIGINT)")
+              .as("min_recall_ppm"))
+          .select(lit(d.toLong).as("trunc_dim"), col("n_queries"),
+            col("mean_recall_ppm"), col("min_recall_ppm"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("trunc_dim").desc)
+    },
+
+    // IVF REBALANCE PLAN: the index-maintenance query — per cell of
+    // q49's cell scheme, the resident population vs the even-split
+    // target (n_total div nlist); a cell above 2× target is a split
+    // candidate (its probes scan too much), below half target a merge
+    // candidate (its directory overhead buys nothing). One keyed
+    // aggregate over the assignment relation; the plan itself is
+    // nlist-scale. The dense cell grid comes from the MODEL, not the
+    // data — an empty cell must still report 'merge', or the planner
+    // never reclaims it.
+    "q380_ivf_rebalance" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id").isInCollection(IvfSeedIds))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val centroids = seeds.map { c =>
+        val nrm = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / nrm)
+      }
+      val model = IvfIndex.Model(centroids)
+      val counts = IvfIndex.assign(emb, model, Dim)
+        .groupBy(col("ivf_cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val tot = emb.agg(count(lit(1)).as("n_total"))
+      s.range(IvfSeedIds.size.toLong)
+        .select(col("id").as("cell"))
+        .join(counts, Seq("cell"), "left")
+        .withColumn("n_vecs", coalesce(col("n_vecs"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          expr("CAST(n_vecs * 1000000 div n_total AS BIGINT)")
+            .as("share_ppm"),
+          expr(s"CAST(n_total div ${IvfSeedIds.size} AS BIGINT)")
+            .as("target"),
+          expr(s"""CASE
+              WHEN n_vecs > (n_total div ${IvfSeedIds.size}) * 2
+                THEN 'split'
+              WHEN n_vecs * 2 < (n_total div ${IvfSeedIds.size})
+                THEN 'merge'
+              ELSE 'keep' END""").as("action"))
+        .orderBy(col("cell"))
     })
 
   /** The e4-QUANTIZED embedding components (floor(v·1e4) — one double
@@ -5341,5 +5480,102 @@ object PipelineQueries {
            CAST(a.nearest_dist_e8 AS BIGINT) AS nearest_dist_e8,
            a.db_worst_ppm
          FROM ag a JOIN within w ON a.la = w.label
-         ORDER BY label""")
+         ORDER BY label""",
+
+    "q376_shuffle_dispersion" ->
+      """WITH d AS (SELECT doc_id,
+           md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS draw
+           FROM documents),
+         r AS (SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY draw, doc_id) AS rk FROM d),
+         j AS (SELECT r.rk, dd.source FROM r
+           JOIN documents dd USING (doc_id)),
+         n AS (SELECT COUNT(*) AS n_total FROM j),
+         p AS (SELECT source, rk, (rk - 1) * 10 // n_total AS decile
+           FROM j, n),
+         cnt AS (SELECT source, decile, COUNT(*) AS c
+           FROM p GROUP BY 1, 2),
+         grid AS (SELECT s.source, g.decile
+           FROM (SELECT DISTINCT source FROM documents) s
+           CROSS JOIN (SELECT UNNEST(range(0, 10)) AS decile) g),
+         filled AS (SELECT grid.source, grid.decile,
+             COALESCE(cnt.c, 0) AS c
+           FROM grid LEFT JOIN cnt
+             ON grid.source = cnt.source AND grid.decile = cnt.decile),
+         hs AS (SELECT source, MAX(c) AS hot_c, MIN(c) AS cold_c
+           FROM filled GROUP BY 1),
+         src AS (SELECT source, COUNT(*) AS n_docs, SUM(rk) AS rk_sum
+           FROM p GROUP BY 1)
+         SELECT src.source, n_docs,
+           CAST(rk_sum * 1000000
+             // (n_docs * (SELECT n_total FROM n)) AS BIGINT)
+             AS mean_pos_ppm,
+           CAST(hot_c * 1000000 // n_docs AS BIGINT) AS hot_decile_ppm,
+           CAST(cold_c * 1000000 // n_docs AS BIGINT)
+             AS cold_decile_ppm
+         FROM src JOIN hs USING (source) ORDER BY source""",
+
+    "q378_matryoshka_recall" -> {
+      def level(d: Int, name: String): String =
+        s"""$name AS (SELECT q_id, vec_id FROM (
+             SELECT q.vec_id AS q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 (${Similarity.Sql.dot("e.embedding", "q.embedding", d)})
+                   / (sqrt(${Similarity.Sql.normSq("e.embedding", d)})
+                      * sqrt(${Similarity.Sql.normSq("q.embedding", d)}))
+                 DESC, e.vec_id) AS rk
+             FROM embeddings e
+             CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < 16) q
+             WHERE e.vec_id <> q.vec_id) WHERE rk <= 10)"""
+      def recall(d: Int, topName: String): String =
+        s"""SELECT CAST($d AS BIGINT) AS trunc_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(hits) * 1000000 // (COUNT(*) * 10) AS BIGINT)
+             AS mean_recall_ppm,
+           CAST(MIN(hits) * 100000 AS BIGINT) AS min_recall_ppm
+         FROM (SELECT t.q_id, COUNT(tr.vec_id) AS hits
+           FROM $topName t LEFT JOIN t64 tr
+             ON t.q_id = tr.q_id AND t.vec_id = tr.vec_id
+           GROUP BY 1)"""
+      s"""WITH ${level(Dim, "t64")},
+         ${level(32, "t32")},
+         ${level(16, "t16")}
+         SELECT * FROM (${recall(32, "t32")}
+         UNION ALL ${recall(16, "t16")})
+         ORDER BY trunc_dim DESC"""
+    },
+
+    "q380_ivf_rebalance" -> {
+      val ctrNormSq = Similarity.Sql.normSq("embedding", Dim)
+      val cvecNormSq = Similarity.Sql.normSq("c.cvec", Dim)
+      val nlist = IvfSeedIds.size
+      s"""WITH ctr AS (
+           SELECT CAST(vec_id - 1 AS INT) AS cell,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt($ctrNormSq)) AS cvec
+           FROM embeddings
+           WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+         assigned AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY (${Similarity.Sql.dot("e.embedding", "c.cvec", Dim)})
+                 / sqrt($cvecNormSq) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN ctr c),
+         cells AS (SELECT vec_id, cell FROM assigned WHERE rk = 1),
+         cnt AS (SELECT CAST(cell AS BIGINT) AS cell,
+             COUNT(*) AS n_vecs FROM cells GROUP BY 1),
+         grid AS (SELECT CAST(UNNEST(range(0, $nlist)) AS BIGINT)
+           AS cell),
+         tot AS (SELECT COUNT(*) AS n_total FROM embeddings),
+         f AS (SELECT g.cell, COALESCE(cnt.n_vecs, 0) AS n_vecs
+           FROM grid g LEFT JOIN cnt USING (cell))
+         SELECT f.cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(n_vecs * 1000000 // n_total AS BIGINT) AS share_ppm,
+           CAST(n_total // $nlist AS BIGINT) AS target,
+           CASE WHEN n_vecs > (n_total // $nlist) * 2 THEN 'split'
+                WHEN n_vecs * 2 < (n_total // $nlist) THEN 'merge'
+                ELSE 'keep' END AS action
+         FROM f, tot ORDER BY cell"""
+    })
 }

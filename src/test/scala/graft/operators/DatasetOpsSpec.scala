@@ -368,4 +368,24 @@ class DatasetOpsSpec extends SparkSpec {
       .collect().map(_.getLong(4))
     assert(bins.sameElements(bins.sorted))
   }
+
+  test("q376: shuffle dispersion — docs conserved, decile shares bounded, " +
+      "hot >= uniform >= cold") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q376_shuffle_dispersion")(spark, dir).collect()
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    out.foreach { r =>
+      val hot = r.getAs[Long]("hot_decile_ppm")
+      val cold = r.getAs[Long]("cold_decile_ppm")
+      val mean = r.getAs[Long]("mean_pos_ppm")
+      // the max decile holds at least a uniform share, the min at most
+      // (both up to integer-floor slack on tiny sources)
+      assert(hot >= 99000L && hot <= 1000000L, s"hot=$hot")
+      assert(cold >= 0L && cold <= 100001L, s"cold=$cold")
+      assert(hot >= cold)
+      assert(mean > 0L && mean <= 1000000L)
+    }
+  }
 }

@@ -403,6 +403,25 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class MatryoshkaRecallSpec extends SparkSpec {
+
+  test("q378: matryoshka recall — 16 queries per level, ppm in range, " +
+      "per-query min never exceeds the mean") {
+    val out = graft.queries.PipelineQueries
+      .defs("q378_matryoshka_recall")(spark, sf("sf0.001")).collect()
+    assert(out.map(_.getAs[Long]("trunc_dim")).toSeq === Seq(32L, 16L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_queries") === 16L)
+      val mean = r.getAs[Long]("mean_recall_ppm")
+      val min = r.getAs[Long]("min_recall_ppm")
+      assert(mean >= 0L && mean <= 1000000L)
+      assert(min >= 0L && min <= 1000000L)
+      // min*1e5 vs floor(sum*1e6/160): floor slack of 1
+      assert(min <= mean + 1L)
+    }
+  }
+}
+
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 

@@ -956,4 +956,24 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(out.head.getAs[Long]("slope_ppm") ===
       q305.getAs[Long]("ar1_slope_ppm"))
   }
+
+  test("q377: interval coverage — covered bounded by days, ppm in range, " +
+      "scored days only ever have a FULL 28-day trailing window") {
+    val out = AnalyticsExtras.defs("q377_interval_coverage")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_days"))
+      val c = r.getAs[Long]("coverage_ppm")
+      assert(c >= 0L && c <= 1000000L)
+      assert(r.getAs[Long]("mean_width_e3") >= 0L)
+    }
+    // the index-based window scores EVERY observed day except the
+    // 28-day warm-up — exact accounting, sparse calendars included
+    val nDays = graft.Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n")).count()
+    val scored = out.map(_.getAs[Long]("n_days")).sum
+    assert(scored === nDays - 28L)
+  }
 }

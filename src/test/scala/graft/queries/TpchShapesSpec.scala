@@ -1108,4 +1108,63 @@ class TpchShapesSpec extends SparkSpec {
       assert(n <= s0)
     }
   }
+
+  test("q379: adoption triples match a brute-force session walk and are " +
+      "bounded by q218's ordered pair support") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q379_adoption_triples")(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+        r.getAs[String]("type_c")) -> r.getAs[Long]("n_support")).toMap
+    // brute force: first-occurrence ordering per session, all triples
+    val firsts = graft.streaming.Events
+      .assignSessions(graft.Tables.load(spark, dir, "events"))
+      .select(col("user_id"), col("session_idx"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2),
+        r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (_, es) =>
+        es.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).min }
+      }
+    val expected = firsts.toSeq.flatMap { sess =>
+      val ts = sess.toSeq
+      for {
+        (a, fa) <- ts; (b, fb) <- ts if fa < fb
+        (c, fc) <- ts if fb < fc
+      } yield (a, b, c)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out === expected)
+    // cross-query law: first(a)<first(b)<first(c) implies the (a, b)
+    // some-before-some pair, so every triple is bounded by q218's row
+    val pairs = graft.queries.CurationExtras
+      .defs("q218_ordered_pair_support")(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+        -> r.getAs[Long]("n_support")).toMap
+    out.foreach { case ((a, b, _), n) =>
+      assert(n <= pairs.getOrElse((a, b), 0L), s"($a,$b) triple > pair")
+    }
+  }
+
+  test("q380: IVF rebalance plan — dense cell grid, population " +
+      "conserved, actions re-derive from the counts") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q380_ivf_rebalance")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("cell")).toSeq === Seq(0L, 1L, 2L, 3L))
+    val nTotal = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === nTotal)
+    val target = nTotal / 4
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      assert(r.getAs[Long]("target") === target)
+      val want =
+        if (n > target * 2) "split"
+        else if (n * 2 < target) "merge"
+        else "keep"
+      assert(r.getAs[String]("action") === want)
+      assert(r.getAs[Long]("share_ppm") === n * 1000000L / nTotal)
+    }
+  }
 }
