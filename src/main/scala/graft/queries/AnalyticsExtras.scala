@@ -1533,6 +1533,33 @@ object AnalyticsExtras {
           expr("CAST(sum(width) * 1000 div count(1) AS BIGINT)")
             .as("mean_width_e3"))
         .orderBy(col("year"))
+    },
+
+    // SESSION-GAP SENSITIVITY: the sessionizer's one free parameter
+    // swept over {10, 30, 60} minutes — session count, mean events
+    // per session, and bounce share at each gap. Every downstream
+    // session statistic (q24, q161, q206, q360...) inherits the 30-min
+    // choice; this is the curve that justifies it (a cliff between two
+    // gaps means the metric is an artifact of the knob, a plateau
+    // means it is behavior). Three window passes over events — one per
+    // gap, each the standard per-user sessionization — then
+    // session-scale aggregates only.
+    "q383_gap_sensitivity" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      Seq(10, 30, 60).map { g =>
+        graft.streaming.Events.assignSessions(ev, gapMinutes = g)
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events_total"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L))
+              .as("n_bounce"))
+          .select(lit(g.toLong).as("gap_min"), col("n_sessions"),
+            expr("CAST(n_events_total * 1000 div n_sessions AS BIGINT)")
+              .as("mean_events_e3"),
+            expr("CAST(n_bounce * 1000000 div n_sessions AS BIGINT)")
+              .as("bounce_ppm"))
+      }.reduce(_ unionByName _).orderBy(col("gap_min"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -2459,5 +2486,25 @@ object AnalyticsExtras {
            CAST(SUM(hi - lo) * 1000 // COUNT(*) AS BIGINT)
              AS mean_width_e3
          FROM bounds b JOIN daily d USING (day)
-         WHERE m = 28 GROUP BY 1 ORDER BY year""")
+         WHERE m = 28 GROUP BY 1 ORDER BY year""",
+
+    "q383_gap_sensitivity" -> {
+      def arm(g: Int): String =
+        s"""g$g AS (SELECT user_id, session_idx, COUNT(*) AS n
+             FROM se$g GROUP BY 1, 2),
+           r$g AS (SELECT $g AS gap_min, COUNT(*) AS n_sessions,
+             SUM(n) AS tot,
+             SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS nb FROM g$g)"""
+      s"""WITH ${SessionSql.cte("se10", Seq("event_id"), 600L)},
+         ${SessionSql.cte("se30", Seq("event_id"), 1800L)},
+         ${SessionSql.cte("se60", Seq("event_id"), 3600L)},
+         ${arm(10)}, ${arm(30)}, ${arm(60)}
+         SELECT CAST(gap_min AS BIGINT) AS gap_min,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(tot * 1000 // n_sessions AS BIGINT) AS mean_events_e3,
+           CAST(nb * 1000000 // n_sessions AS BIGINT) AS bounce_ppm
+         FROM (SELECT * FROM r10 UNION ALL SELECT * FROM r30
+           UNION ALL SELECT * FROM r60) u
+         ORDER BY gap_min"""
+    })
 }

@@ -2661,6 +2661,109 @@ object PipelineQueries {
                 THEN 'merge'
               ELSE 'keep' END""").as("action"))
         .orderBy(col("cell"))
+    },
+
+    // LSH BAND-COUNT RECALL SWEEP: at the fixed 16-hash signature,
+    // recall of the banded candidate join against the EXACT
+    // jaccard ≥ 0.5 pair truth for bands ∈ {2, 4, 8} — the benefit
+    // curve paired with q231's cost curve (pair budget per band) and
+    // q132's precision curve: together they are the complete
+    // band-count tuning read. The signature relation is computed once
+    // and checkpointed (three band layouts re-slice it); each sweep
+    // point is the banded equi-join (never all-pairs) semi-joined to
+    // the truth relation. The 3-row result is cut eagerly before the
+    // checkpoints release.
+    "q381_lsh_band_sweep" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, NumHashes)
+        .localCheckpoint(true)
+      val truth = Dedup.jaccardPairs(docs, JaccardThreshold)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+      try {
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        graft.tools.ExplainAudit.auditedCut(
+          Seq(2, 4, 8).map { b =>
+            Dedup.lshCandidates(sigs, NumHashes, b)
+              .join(truth, Seq("id_a", "id_b"), "left_semi")
+              .agg(count(lit(1)).as("n_hit"))
+              .crossJoin(broadcast(nTruth))
+              .select(lit(b.toLong).as("bands"), col("n_hit"),
+                col("n_truth"),
+                expr("CAST(n_hit * 1000000 div n_truth AS BIGINT)")
+                  .as("recall_ppm"))
+          }.reduce(_ unionByName _).orderBy(col("bands")),
+          "q381_lsh_band_sweep")
+      } finally {
+        graft.operators.Graph.release(sigs)
+        graft.operators.Graph.release(truth)
+      }
+    },
+
+    // DOMINANT-DIRECTION POWER ITERATION: the top eigen-direction of
+    // the embedding second-moment matrix and its share of the total —
+    // the "how much of the space is one axis" read completing the
+    // geometry trio (q363 says the space leans, q365 says which raw
+    // axes are dead, this finds the LEANING axis even when it is no
+    // raw axis at all; a share near 1e6 means cosine scores are mostly
+    // one component — the rogue-dimension pathology). The corpus is
+    // touched ONCE to build the 64×64 integer moment matrix (e4
+    // quantized grid, DECIMAL(38) sums); three power-iteration rounds
+    // plus the Rayleigh quotient then run entirely on that broadcast-
+    // scale relation with sign-split truncating normalization, so both
+    // engines walk bit-identical integer states. PSD exactness makes
+    // every remaining division non-negative (xᵀMx = Σ_vec (Σ x·p)²
+    // holds EXACTLY in integers), so trunc-vs-floor never diverges.
+    "q382_dominant_direction" -> { (s, dir) =>
+      val q = quantizedEmbeddings(s, dir)
+        .select(col("vec_id"), col("d"), col("qv"))
+      val m = q.select(col("vec_id"), col("d").as("i"),
+          col("qv").as("p"))
+        .join(q.select(col("vec_id"), col("d").as("j"),
+          col("qv").as("p2")), "vec_id")
+        .groupBy(col("i"), col("j"))
+        .agg(sum(expr("CAST(p AS DECIMAL(38,0)) * p2")).as("v"))
+        .localCheckpoint(true) // 64×64 rows; five consumers below
+      try {
+        def step(x: DataFrame): DataFrame = {
+          val y = m.join(x.select(col("i").as("j"), col("xv")), "j")
+            .groupBy(col("i")).agg(sum(expr("v * xv")).as("y"))
+          val sc = y.agg(max(abs(col("y"))).as("s"))
+          y.crossJoin(broadcast(sc))
+            .select(col("i"),
+              expr("""CASE WHEN y < 0 THEN -((-y) * 1000000 div s)
+                      ELSE y * 1000000 div s END""").as("xv"))
+        }
+        val x0 = s.range(Dim.toLong)
+          .select(col("id").as("i"),
+            lit(1000000L).cast("decimal(38,0)").as("xv"))
+        val x3 = step(step(step(x0)))
+        val num = m.join(x3.select(col("i").as("j"), col("xv")), "j")
+          .groupBy(col("i")).agg(sum(expr("v * xv")).as("y"))
+          .join(x3, "i")
+          .agg(sum(expr("y * xv")).as("num"))
+        val den = x3.agg(sum(expr("xv * xv")).as("den"))
+        val tr = m.filter(col("i") === col("j"))
+          .agg(sum(col("v")).as("trace"))
+        val nv = t(s, dir, "embeddings")
+          .agg(countDistinct(col("vec_id")).as("n_vecs"))
+        val top = x3.orderBy(abs(col("xv")).desc, col("i")).limit(1)
+          .select(col("i").cast("long").as("top_dim"),
+            col("xv").cast("long").as("top_loading_e6"))
+        graft.tools.ExplainAudit.auditedCut(
+          num.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+            .crossJoin(broadcast(nv)).crossJoin(broadcast(top))
+            .select(col("n_vecs"),
+              // λ = num div den re-lifted to DECIMAL(38): λ·1e6 is
+              // long-overflow territory well before 100 TB
+              expr("""CAST(CAST(num div den AS DECIMAL(38,0)) * 1000000
+                      div trace AS BIGINT)""").as("share_ppm"),
+              expr("CAST(trace div n_vecs AS BIGINT)").as("mean_trace"),
+              expr("CAST((num div den) div n_vecs AS BIGINT)")
+                .as("mean_lambda"),
+              col("top_dim"), col("top_loading_e6")),
+          "q382_dominant_direction")
+      } finally graft.operators.Graph.release(m)
     })
 
   /** The e4-QUANTIZED embedding components (floor(v·1e4) — one double
@@ -5577,5 +5680,87 @@ object PipelineQueries {
                 WHEN n_vecs * 2 < (n_total // $nlist) THEN 'merge'
                 ELSE 'keep' END AS action
          FROM f, tot ORDER BY cell"""
+    },
+
+    "q381_lsh_band_sweep" -> {
+      def candCtes(b: Int): String = {
+        val rows = NumHashes / b
+        val branches = (0 until b).map { j =>
+          val slice = (j * rows until (j + 1) * rows).map(i => s"sig_$i")
+          s"SELECT doc_id, $j AS band, " +
+            s"md5(${slice.mkString(" || '|' || ")}) AS band_key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""bands$b AS ($branches),
+           cand$b AS (SELECT DISTINCT a.doc_id AS id_a,
+             b.doc_id AS id_b
+           FROM bands$b a JOIN bands$b b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id)"""
+      }
+      def hitRow(b: Int): String =
+        s"""SELECT $b AS bands, COUNT(*) AS n_hit FROM
+           (SELECT * FROM cand$b c SEMI JOIN truth t
+            USING (id_a, id_b)) x$b"""
+      s"""WITH $shingleCte, $minhashSigSql,
+         ${candCtes(2)}, ${candCtes(4)}, ${candCtes(8)},
+         sizes AS (SELECT doc_id, COUNT(*) AS set_size
+           FROM sh GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         truth AS (SELECT id_a, id_b FROM p
+           JOIN sizes sa ON sa.doc_id = p.id_a
+           JOIN sizes sb ON sb.doc_id = p.id_b
+           WHERE CAST(inter AS DOUBLE)
+             / CAST(sa.set_size + sb.set_size - inter AS DOUBLE)
+             >= $JaccardThreshold),
+         nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+         hits AS (${hitRow(2)} UNION ALL ${hitRow(4)}
+           UNION ALL ${hitRow(8)})
+         SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hit * 1000000 // n_truth AS BIGINT) AS recall_ppm
+         FROM hits, nt ORDER BY bands"""
+    },
+
+    "q382_dominant_direction" -> {
+      def iter(k: Int): String =
+        s"""y$k AS (SELECT m.i, SUM(m.v * x.xv) AS y
+             FROM m JOIN x${k - 1} x ON m.j = x.i GROUP BY 1),
+           s$k AS (SELECT MAX(ABS(y)) AS s FROM y$k),
+           x$k AS (SELECT i,
+             CASE WHEN y < 0 THEN -((-y) * 1000000 // s)
+               ELSE y * 1000000 // s END AS xv
+             FROM y$k, s$k)"""
+      s"""WITH q AS (SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS d,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000)
+             AS BIGINT) AS qv
+           FROM embeddings),
+         m AS (SELECT a.d AS i, b.d AS j,
+             SUM(CAST(a.qv AS HUGEINT) * b.qv) AS v
+           FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+         x0 AS (SELECT UNNEST(range(0, $Dim)) AS i,
+           CAST(1000000 AS HUGEINT) AS xv),
+         ${iter(1)}, ${iter(2)}, ${iter(3)},
+         y4 AS (SELECT m.i, SUM(m.v * x.xv) AS y
+           FROM m JOIN x3 x ON m.j = x.i GROUP BY 1),
+         num AS (SELECT SUM(y4.y * x3.xv) AS num
+           FROM y4 JOIN x3 USING (i)),
+         den AS (SELECT SUM(CAST(xv AS HUGEINT) * xv) AS den FROM x3),
+         tr AS (SELECT SUM(v) AS trace FROM m WHERE i = j),
+         nv AS (SELECT COUNT(DISTINCT vec_id) AS n_vecs
+           FROM embeddings),
+         top AS (SELECT i AS top_dim, CAST(xv AS BIGINT)
+             AS top_loading_e6
+           FROM x3 ORDER BY ABS(xv) DESC, i LIMIT 1)
+         SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST((num // den) * 1000000 // trace AS BIGINT)
+             AS share_ppm,
+           CAST(trace // n_vecs AS BIGINT) AS mean_trace,
+           CAST((num // den) // n_vecs AS BIGINT) AS mean_lambda,
+           CAST(top_dim AS BIGINT) AS top_dim, top_loading_e6
+         FROM num, den, tr, nv, top"""
     })
 }

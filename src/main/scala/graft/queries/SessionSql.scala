@@ -22,8 +22,12 @@ object SessionSql {
     * @param carry extra output expressions; anything over the inner
     *              relation's `user_id, ts, event_id, event_type` is legal
     *              (e.g. `"event_type"`, `"ts"`, `"epoch_us(ts) AS us"`).
+    * @param gapSeconds session gap; defaults to the canonical 30 minutes
+    *              (non-default only for the q383 gap-sensitivity sweep —
+    *              every production consumer stays on the one constant).
     */
-  def cte(name: String, carry: Seq[String]): String = {
+  def cte(name: String, carry: Seq[String],
+      gapSeconds: Long = 1800L): String = {
     val cols = ("user_id" +: carry).mkString(", ")
     s"""$name AS (
            SELECT $cols,
@@ -35,7 +39,8 @@ object SessionSql {
              SELECT user_id, ts, event_id, event_type,
                CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
                       PARTITION BY user_id ORDER BY ts, event_id))
-                      > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+                      > CAST($gapSeconds AS BIGINT) * 1000000
+                      THEN 1 ELSE 0 END AS new_s
              FROM events) a)"""
   }
 }

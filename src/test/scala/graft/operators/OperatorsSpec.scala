@@ -422,6 +422,83 @@ class MatryoshkaRecallSpec extends SparkSpec {
   }
 }
 
+class EvalSweepSpec extends SparkSpec {
+
+  test("q381: band-sweep recall is monotone in the band count (aligned " +
+      "bands nest), bounded by the truth, and ties to q27's pair count") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q381_lsh_band_sweep")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("bands")).toSeq === Seq(2L, 4L, 8L))
+    val recalls = out.map(_.getAs[Long]("recall_ppm")).toSeq
+    assert(recalls === recalls.sorted,
+      s"recall must be nondecreasing in bands: $recalls")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    val q27 = graft.operators.Dedup
+      .jaccardPairs(graft.Tables.load(spark, dir, "documents"),
+        graft.queries.PipelineQueries.JaccardThreshold).count()
+    assert(out.head.getAs[Long]("n_truth") === q27)
+  }
+
+  test("q382: dominant direction replays in BigInt and pins the " +
+      "normalization contract") {
+    val dir = sf("sf0.001")
+    val row = graft.queries.PipelineQueries
+      .defs("q382_dominant_direction")(spark, dir).collect().head
+    assert(math.abs(row.getAs[Long]("top_loading_e6")) === 1000000L)
+    val share = row.getAs[Long]("share_ppm")
+    assert(share > 0L && share <= 1000000L)
+    assert(row.getAs[Long]("mean_lambda") <=
+      row.getAs[Long]("mean_trace"))
+    // full BigInt replay: moment matrix, 3 sign-split power rounds,
+    // Rayleigh share — must agree exactly
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).map(v =>
+        BigInt(math.floor(v.toDouble * 10000).toLong)).toArray)
+    val d = 64
+    val m = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum)
+    def step(x: Array[BigInt]): Array[BigInt] = {
+      val y = Array.tabulate(d)(i =>
+        (0 until d).map(j => m(i)(j) * x(j)).sum)
+      val s = y.map(_.abs).max
+      y.map(v => if (v < 0) -((-v) * 1000000 / s)
+        else v * 1000000 / s)
+    }
+    val x3 = step(step(step(Array.fill(d)(BigInt(1000000)))))
+    val num = (0 until d).map(i =>
+      (0 until d).map(j => m(i)(j) * x3(j)).sum * x3(i)).sum
+    val den = x3.map(v => v * v).sum
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    assert(share === ((num / den) * 1000000 / trace).toLong)
+    val topDim = (0 until d).maxBy(i => (x3(i).abs, -i))
+    assert(row.getAs[Long]("top_dim") === topDim.toLong)
+  }
+
+  test("q383: session counts shrink as the gap grows; the mean-events " +
+      "identity holds exactly at every gap") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.AnalyticsExtras
+      .defs("q383_gap_sensitivity")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("gap_min")).toSeq === Seq(10L, 30L, 60L))
+    val ns = out.map(_.getAs[Long]("n_sessions")).toSeq
+    assert(ns === ns.sorted.reverse, s"sessions must shrink: $ns")
+    val nEvents = graft.Tables.load(spark, dir, "events").count()
+    val nUsers = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_sessions")
+      assert(n >= nUsers && n <= nEvents)
+      assert(r.getAs[Long]("mean_events_e3") === nEvents * 1000L / n)
+      assert(r.getAs[Long]("bounce_ppm") <= 1000000L)
+    }
+  }
+}
+
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
