@@ -1560,6 +1560,36 @@ object AnalyticsExtras {
             expr("CAST(n_bounce * 1000000 div n_sessions AS BIGINT)")
               .as("bounce_ppm"))
       }.reduce(_ unionByName _).orderBy(col("gap_min"))
+    },
+
+    // ORDER BACKLOG SWEEP: work-in-progress over the order lifecycle —
+    // +1 on the order day, −1 the day after the LAST line ships, then
+    // a running sum over the bounded day relation = open orders per
+    // day; reported per month as (peak, month-end) backlog — the
+    // fulfillment-capacity read (q369's sweep-line idea pointed at the
+    // order lifecycle instead of sessions). Two keyed aggregates over
+    // the facts, then day-relation windows only; month-end picks the
+    // backlog at the month's last delta day via max_by (deterministic:
+    // days are unique after the delta aggregate).
+    "q385_order_backlog" -> { (s, dir) =>
+      val placed = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("delta"))
+      val closed = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+        .groupBy(expr("date_add(close_day, 1)").as("day"))
+        .agg((count(lit(1)) * -1).as("delta"))
+      val deltas = placed.unionByName(closed)
+        .groupBy(col("day")).agg(sum(col("delta")).as("d"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("backlog", sum(col("d")).over(w))
+        .groupBy((year(col("day")) * 100 + month(col("day")))
+          .cast("long").as("ym"))
+        .agg(max(col("backlog")).as("peak_backlog"),
+          expr("max_by(backlog, day)").as("end_backlog"))
+        .orderBy(col("ym"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -2506,5 +2536,24 @@ object AnalyticsExtras {
          FROM (SELECT * FROM r10 UNION ALL SELECT * FROM r30
            UNION ALL SELECT * FROM r60) u
          ORDER BY gap_min"""
-    })
+    },
+
+    "q385_order_backlog" ->
+      """WITH placed AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           COUNT(*) AS delta FROM orders GROUP BY 1),
+         closed AS (SELECT day, -COUNT(*) AS delta FROM (
+             SELECT l_orderkey,
+               MAX(CAST(l_shipdate AS DATE)) + 1 AS day
+             FROM lineitem GROUP BY 1) c GROUP BY day),
+         d AS (SELECT day, SUM(delta) AS d FROM
+           (SELECT * FROM placed UNION ALL SELECT * FROM closed) u
+           GROUP BY 1),
+         b AS (SELECT day, SUM(d) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS backlog FROM d)
+         SELECT CAST(EXTRACT(year FROM day) * 100
+             + EXTRACT(month FROM day) AS BIGINT) AS ym,
+           CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+           CAST(max_by(backlog, day) AS BIGINT) AS end_backlog
+         FROM b GROUP BY 1 ORDER BY ym""")
 }

@@ -2764,6 +2764,76 @@ object PipelineQueries {
               col("top_dim"), col("top_loading_e6")),
           "q382_dominant_direction")
       } finally graft.operators.Graph.release(m)
+    },
+
+    // DEDUP CHAIN DEPTH: per near-dup cluster, the hop depth from the
+    // canonical doc (the cluster's min id — CC's label convention) to
+    // its farthest member WITHIN 8 HOPS — the star-vs-chain shape
+    // audit q131's size histogram can't see: depth 1 everywhere means
+    // template fan-out (safe to keep one canonical), growing depth
+    // means transitive drift chains where the endpoints may not
+    // resemble each other at all (the known near-dup-closure hazard).
+    // Multi-source BFS from ALL canonicals at once — components are
+    // disjoint, so the nearest seed IS the own-cluster canonical; the
+    // 8-hop cap is the shared contract (the oracle's recursion carries
+    // the same bound, and members beyond it drop from BOTH engines).
+    "q384_dedup_chain_depth" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands)
+        .localCheckpoint(true) // CC + edges + the BFS all read it
+      try {
+        val cc = Dedup.connectedComponents(pairs)
+        val edges = pairs
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"),
+            col("id_a").as("dst")))
+        val seeds = cc.select(col("cluster_id").as("node")).distinct()
+        val hops = graft.operators.Graph
+          .hopDistance(edges, seeds, maxHops = 8)
+        graft.tools.ExplainAudit.auditedCut(
+          cc.join(hops.withColumnRenamed("node", "doc_id"), "doc_id")
+            .groupBy(col("cluster_id"))
+            .agg(count(lit(1)).as("cluster_size"),
+              max(col("hops")).as("chain_depth"))
+            .groupBy(col("chain_depth"))
+            .agg(count(lit(1)).as("n_clusters"),
+              sum(col("cluster_size")).as("n_docs"),
+              max(col("cluster_size")).as("max_cluster_size"))
+            .orderBy(col("chain_depth")),
+          "q384_dedup_chain_depth")
+      } finally graft.operators.Graph.release(pairs)
+    },
+
+    // SHINGLE DOCUMENT-FREQUENCY TAIL: the df distribution of the
+    // 3-gram shingle space, banded by bit length, with each band's
+    // share of the INVERTED-INDEX PAIR BUDGET (Σ df·(df−1)/2) — the
+    // evidence behind q48's hot-shingle cap and q231's per-band
+    // budget: a heavy df tail means a handful of boilerplate shingles
+    // funds almost all candidate pairs, and capping them trades
+    // negligible recall for most of the join. One shingle aggregate;
+    // the band relation is ≤ ~40 rows at any corpus size. DECIMAL(38)
+    // lift on the pair budget — df² overflows a long on web-scale
+    // boilerplate.
+    "q386_shingle_df_tail" -> { (s, dir) =>
+      val sh = Dedup.shingleRelation(t(s, dir, "documents"),
+        "doc_id", "text", 3)
+      val dfRel = sh.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+      val bands = dfRel
+        .groupBy(length(bin(col("df"))).cast("long").as("df_band"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(expr("CAST(df AS DECIMAL(38,0)) * (df - 1) div 2"))
+            .as("pair_budget"))
+      val tot = bands.agg(
+        sum(col("pair_budget")).as("total_budget"))
+      bands.crossJoin(broadcast(tot))
+        .select(col("df_band"), col("n_shingles"),
+          expr("CAST(pair_budget AS BIGINT)").as("pair_budget"),
+          expr("""CAST(pair_budget * 1000000
+                  div greatest(total_budget, 1) AS BIGINT)""")
+            .as("budget_share_ppm"))
+        .orderBy(col("df_band"))
     })
 
   /** The e4-QUANTIZED embedding components (floor(v·1e4) — one double
@@ -5762,5 +5832,52 @@ object PipelineQueries {
            CAST((num // den) // n_vecs AS BIGINT) AS mean_lambda,
            CAST(top_dim AS BIGINT) AS top_dim, top_loading_e6
          FROM num, den, tr, nv, top"""
-    })
+    },
+
+    "q384_dedup_chain_depth" ->
+      s"""WITH RECURSIVE $shingleCte, $minhashSigSql, $bandSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e
+             ON e.src = r.id),
+         clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY id),
+         seeds AS (SELECT DISTINCT cluster_id AS id FROM clusters),
+         walk(id, d) AS (
+           SELECT id, 0 FROM seeds
+           UNION
+           SELECT e.dst, w.d + 1 FROM walk w JOIN edges e
+             ON e.src = w.id WHERE w.d < 8),
+         depth AS (SELECT id AS doc_id, MIN(d) AS hops
+           FROM walk GROUP BY id),
+         pc AS (SELECT c.cluster_id, COUNT(*) AS cluster_size,
+             MAX(d.hops) AS chain_depth
+           FROM clusters c JOIN depth d USING (doc_id) GROUP BY 1)
+         SELECT CAST(chain_depth AS BIGINT) AS chain_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(MAX(cluster_size) AS BIGINT) AS max_cluster_size
+         FROM pc GROUP BY 1 ORDER BY chain_depth""",
+
+    "q386_shingle_df_tail" ->
+      s"""WITH $shingleCte,
+         dfr AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+         b AS (SELECT CAST(length(bin(df)) AS BIGINT) AS df_band,
+             COUNT(*) AS n_shingles,
+             SUM(CAST(df AS HUGEINT) * (df - 1) // 2) AS pair_budget
+           FROM dfr GROUP BY 1),
+         tot AS (SELECT SUM(pair_budget) AS total_budget FROM b)
+         SELECT df_band, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(pair_budget AS BIGINT) AS pair_budget,
+           CAST(pair_budget * 1000000
+             // greatest(total_budget, 1) AS BIGINT)
+             AS budget_share_ppm
+         FROM b, tot ORDER BY df_band"""
+    )
 }

@@ -479,6 +479,84 @@ class EvalSweepSpec extends SparkSpec {
     assert(row.getAs[Long]("top_dim") === topDim.toLong)
   }
 
+  test("q384: chain depth — doc accounting ties to the CC relation and " +
+      "q131's multi-doc clusters; every cluster has depth >= 1") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q384_dedup_chain_depth")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("chain_depth") >= 1L)
+      assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_docs"))
+    }
+    // within the 8-hop cap (always true at this SF) every CC member is
+    // reached, so the histogram's doc total IS the CC relation's size —
+    // and equals q131's docs living in multi-doc clusters
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val cc = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.lshCandidates(
+        graft.operators.Dedup.minhashSignatures(docs,
+          graft.queries.PipelineQueries.NumHashes),
+        graft.queries.PipelineQueries.NumHashes,
+        graft.queries.PipelineQueries.Bands))
+    assert(out.map(_.getAs[Long]("n_docs")).sum === cc.count())
+    val q131 = graft.queries.PipelineQueries
+      .defs("q131_cluster_sizes")(spark, dir).collect()
+      .filter(_.getAs[Long]("cluster_size") >= 2L)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(out.map(_.getAs[Long]("n_docs")).sum === q131)
+  }
+
+  test("q385: order backlog replays from a brute-force sweep; monthly " +
+      "peak dominates month-end") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.AnalyticsExtras
+      .defs("q385_order_backlog")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Long]("peak_backlog") >=
+      r.getAs[Long]("end_backlog")))
+    // brute force in local Scala
+    val placed = graft.Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("day")).collect()
+      .map(_.getDate(0).toLocalDate)
+    val closed = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("d")).collect()
+      .map(_.getDate(1).toLocalDate.plusDays(1))
+    val deltas = (placed.map(_ -> 1L) ++ closed.map(_ -> -1L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.toEpochDay)
+    var run = 0L
+    val monthly = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Long, Long)]
+    deltas.foreach { case (day, d) =>
+      run += d
+      val ym = day.getYear.toLong * 100 + day.getMonthValue
+      val (pk, _) = monthly.getOrElse(ym, (Long.MinValue, 0L))
+      monthly(ym) = (math.max(pk, run), run)
+    }
+    assert(out.map(r => (r.getAs[Long]("ym"),
+      (r.getAs[Long]("peak_backlog"), r.getAs[Long]("end_backlog"))))
+      .toMap === monthly.toMap)
+  }
+
+  test("q386: shingle df tail — shingle and budget accounting conserve; " +
+      "the budget dominates the realized pair space") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val out = graft.queries.PipelineQueries
+      .defs("q386_shingle_df_tail")(spark, dir).collect()
+    val nShingles = graft.operators.Dedup
+      .shingleRelation(docs, "doc_id", "text", 3)
+      .select(col("shingle")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_shingles")).sum === nShingles)
+    assert(out.map(_.getAs[Long]("budget_share_ppm")).sum <= 1000000L)
+    // every pair sharing >= 1 shingle is funded by some shingle's
+    // C(df,2), so the budget dominates the distinct pair count
+    val realized = graft.operators.Dedup.jaccardPairs(docs, 0.0).count()
+    assert(out.map(_.getAs[Long]("pair_budget")).sum >= realized)
+  }
+
   test("q383: session counts shrink as the gap grows; the mean-events " +
       "identity holds exactly at every gap") {
     val dir = sf("sf0.001")
