@@ -1529,6 +1529,41 @@ object GraphQueries {
             .auditedCut("q366_recsys_holdout")
         } finally Graph.release(testPairs)
       } finally Graph.release(wtrain)
+    },
+
+    // EIGENVECTOR CENTRALITY: three UNDAMPED adjacency power rounds
+    // over the co-purchase graph, max-normalized to e6 each round —
+    // the prestige measure PageRank's damping and degree-division
+    // deliberately distort (here a node is central iff its NEIGHBORS
+    // are central, full stop); the suite's missing classical
+    // centrality beside PageRank (q251), HITS (q295/q300) and
+    // closeness (q349). Everything is non-negative from the all-ones
+    // start, so truncating div ≡ floor across engines with no sign
+    // split; contributions are DECIMAL(38)-lifted (deg_max · 1e6
+    // overflows a long on hub-heavy graphs well before 100 TB). Each
+    // round is one edge-scale join + keyed aggregate — the q251 scale
+    // shape — and the oracle unrolls the identical three rounds.
+    "q389_eigencentrality" -> { (s, dir) =>
+      pairsCache.withArtifact(s, dir) { pairs =>
+        val sym = Graph.symmetrize(pairs)
+        def step(x: DataFrame): DataFrame = {
+          val y = sym
+            .join(x.select(col("node").as("dst"), col("v")), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(sum(expr("CAST(v AS DECIMAL(38,0))")).as("y"))
+          val mx = y.agg(max(col("y")).as("mx"))
+          y.crossJoin(broadcast(mx))
+            .select(col("node"),
+              expr("CAST(y * 1000000 div mx AS BIGINT)").as("v"))
+        }
+        val x0 = sym.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(1000000L).as("v"))
+        step(step(step(x0)))
+          .orderBy(col("v").desc, col("node"))
+          .limit(20)
+          .select(col("node").as("part_key"), col("v").as("eigen_e6"))
+          .auditedCut("q389_eigencentrality")
+      }
     })
 
   /** One PageRank step as SQL: contributions by in-neighbor, damped. */
@@ -2484,8 +2519,21 @@ object GraphQueries {
            n_members,
            CAST(n_members * 1000000 // n_nodes AS BIGINT)
              AS member_share_ppm
-         FROM bands, tot ORDER BY band"""
-    )
+         FROM bands, tot ORDER BY band""",
+
+    "q389_eigencentrality" -> {
+      def round(k: Int): String =
+        s"""e$k AS (SELECT s.src AS node, SUM(x.v) AS y
+             FROM sym s JOIN x${k - 1} x ON s.dst = x.node GROUP BY 1),
+           m$k AS (SELECT MAX(y) AS mx FROM e$k),
+           x$k AS (SELECT node, y * 1000000 // mx AS v
+             FROM e$k, m$k)"""
+      s"""WITH $GraphCtes,
+         x0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS v FROM nodes),
+         ${round(1)}, ${round(2)}, ${round(3)}
+         SELECT node AS part_key, CAST(v AS BIGINT) AS eigen_e6
+         FROM x3 ORDER BY eigen_e6 DESC, part_key LIMIT 20"""
+    })
 
   /** One k-truss peel round as SQL (k = [[TrussK]] ⇒ support ≥
     * k − 2): the SHARED degree-ordered enumeration ([[triEnumSql]],

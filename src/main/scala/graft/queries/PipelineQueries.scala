@@ -2834,6 +2834,65 @@ object PipelineQueries {
                   div greatest(total_budget, 1) AS BIGINT)""")
             .as("budget_share_ppm"))
         .orderBy(col("df_band"))
+    },
+
+    // DUPLICATION × QUALITY INTERACTION: mean quality bucket (q94's
+    // integer 0..1023 scale) per dedup-cluster-size band — the "are my
+    // duplicates boilerplate junk or popular good content" read that
+    // decides whether survivorship keeps one copy (high-quality dups)
+    // or drops the whole family (template spam). Cluster sizes come
+    // from the banded CC relation with singletons folded in via a left
+    // join (band 5 = "5 or more"); the quality bucket is per-row
+    // arithmetic, so beyond the dedup join everything is one keyed
+    // aggregate over a 5-row grid.
+    "q387_dup_quality" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val cc = Dedup.connectedComponents(
+        Dedup.lshCandidates(
+          Dedup.minhashSignatures(docs, NumHashes), NumHashes, Bands))
+      val sizes = cc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("csize"))
+      val q = TextAnalysis.qualityScore(col("text"))
+      docs.select(col("doc_id"), col("text"), col("n_chars"))
+        .join(cc.join(sizes, "cluster_id")
+          .select(col("doc_id"), col("csize")), Seq("doc_id"), "left")
+        .withColumn("csize", coalesce(col("csize"), lit(1L)))
+        .withColumn("q_bucket",
+          least(floor(q * lit(1024d)).cast("long"), lit(1023L)))
+        .groupBy(least(col("csize"), lit(5L)).as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(q_bucket) * 1000 div count(1) AS BIGINT)")
+            .as("mean_q_bucket_e3"),
+          expr("CAST(sum(n_chars) div count(1) AS BIGINT)")
+            .as("mean_chars"))
+        .orderBy(col("band"))
+    },
+
+    // TOKEN-BUDGET SWEEP: q94's quality-first selection at budgets
+    // {6k, 12k, 24k} — kept docs, kept tokens, and the corpus token
+    // share per budget; the yield curve a curation rollout reads
+    // before committing to a budget (selection is a budget-independent
+    // per-doc statistic thresholded at B, so the kept sets NEST as the
+    // budget grows — spec-pinned). Three passes of the q94 operator,
+    // each ending in one aggregate row.
+    "q388_budget_sweep" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(sum(TextAnalysis.tokenCount(col("text"))
+        .cast("long")).as("total_toks"))
+      Seq(6000L, 12000L, 24000L).map { b =>
+        graft.operators.DatasetOps
+          .tokenBudgetSelect(docs, tokenBudget = b)
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("tok_sum"),
+            sum(col("doc_id")).as("id_sum"))
+          .crossJoin(broadcast(total))
+          .select(lit(b).as("budget"), col("n_kept"),
+            coalesce(col("tok_sum"), lit(0L)).as("tok_sum"),
+            expr("""CAST(coalesce(tok_sum, 0) * 1000000
+                    div total_toks AS BIGINT)""")
+              .as("token_share_ppm"),
+            coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+      }.reduce(_ unionByName _).orderBy(col("budget"))
     })
 
   /** The e4-QUANTIZED embedding components (floor(v·1e4) — one double
@@ -5878,6 +5937,80 @@ object PipelineQueries {
            CAST(pair_budget * 1000000
              // greatest(total_budget, 1) AS BIGINT)
              AS budget_share_ppm
-         FROM b, tot ORDER BY df_band"""
-    )
+         FROM b, tot ORDER BY df_band""",
+
+    "q387_dup_quality" ->
+      s"""WITH RECURSIVE $shingleCte, $minhashSigSql, $bandSql,
+         $qualityComponentsSql,
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b USING (band, band_key)
+           WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(id, label) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e
+             ON e.src = r.id),
+         clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+           FROM reach GROUP BY id),
+         csz AS (SELECT cluster_id, COUNT(*) AS csize
+           FROM clusters GROUP BY 1),
+         dsz AS (SELECT c.doc_id, s.csize FROM clusters c
+           JOIN csz s USING (cluster_id)),
+         qb AS (SELECT doc_id,
+             LEAST(CAST(floor(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                 - (stopword_ratio * 0.5) - (punct_ratio * 2.0))
+               * 1024.0) AS BIGINT), 1023) AS q_bucket
+           FROM comp),
+         j AS (SELECT d.doc_id, COALESCE(z.csize, 1) AS csize,
+             q.q_bucket, d.n_chars
+           FROM documents d LEFT JOIN dsz z USING (doc_id)
+           JOIN qb q USING (doc_id))
+         SELECT LEAST(csize, 5) AS band, COUNT(*) AS n_docs,
+           CAST(SUM(q_bucket) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_q_bucket_e3,
+           CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
+         FROM j GROUP BY 1 ORDER BY band""",
+
+    "q388_budget_sweep" -> {
+      def arm(b: Long): String =
+        s"""r$b AS (SELECT CAST($b AS BIGINT) AS budget,
+           COUNT(*) AS n_kept,
+           COALESCE(SUM(n_tokens), 0) AS tok_sum,
+           COALESCE(SUM(doc_id), 0) AS id_sum
+           FROM ranked WHERE before_toks + bucket_cum <= $b)"""
+      s"""WITH $toksCte, $qualityComponentsSql,
+         scored AS (SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             LEAST(CAST(floor(greatest(0.0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                 - (stopword_ratio * 0.5) - (punct_ratio * 2.0)) * 1024.0)
+               AS INT), 1023) AS q_bucket
+           FROM comp),
+         bsum AS (SELECT q_bucket, SUM(n_tokens) AS btoks FROM scored
+           GROUP BY q_bucket),
+         brun AS (SELECT q_bucket,
+             SUM(btoks) OVER (ORDER BY q_bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - btoks
+               AS before_toks
+           FROM bsum),
+         ranked AS (SELECT s.doc_id, s.n_tokens, b.before_toks,
+             SUM(s.n_tokens) OVER (PARTITION BY s.q_bucket
+               ORDER BY md5('sel|' || CAST(s.doc_id AS VARCHAR)), s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bucket_cum
+           FROM scored s JOIN brun b USING (q_bucket)),
+         tot AS (SELECT SUM(n_tokens) AS total_toks FROM scored),
+         ${arm(6000L)}, ${arm(12000L)}, ${arm(24000L)}
+         SELECT budget, CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(tok_sum AS BIGINT) AS tok_sum,
+           CAST(tok_sum * 1000000 // total_toks AS BIGINT)
+             AS token_share_ppm,
+           CAST(id_sum AS BIGINT) AS id_sum
+         FROM (SELECT * FROM r6000 UNION ALL SELECT * FROM r12000
+           UNION ALL SELECT * FROM r24000) u, tot
+         ORDER BY budget"""
+    })
 }

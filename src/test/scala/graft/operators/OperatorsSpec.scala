@@ -557,6 +557,82 @@ class EvalSweepSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("pair_budget")).sum >= realized)
   }
 
+  test("q387: dup-quality bands conserve the corpus; singleton band " +
+      "matches the docs outside the CC relation") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q387_dup_quality")(spark, dir).collect()
+    val docs = graft.Tables.load(spark, dir, "documents")
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(out.forall(r => r.getAs[Long]("band") >= 1L &&
+      r.getAs[Long]("band") <= 5L))
+    assert(out.forall(r => r.getAs[Long]("mean_q_bucket_e3") >= 0L &&
+      r.getAs[Long]("mean_q_bucket_e3") <= 1023000L))
+    val inCc = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.lshCandidates(
+        graft.operators.Dedup.minhashSignatures(docs,
+          graft.queries.PipelineQueries.NumHashes),
+        graft.queries.PipelineQueries.NumHashes,
+        graft.queries.PipelineQueries.Bands)).count()
+    val band1 = out.find(_.getAs[Long]("band") === 1L)
+      .map(_.getAs[Long]("n_docs")).getOrElse(0L)
+    assert(band1 === docs.count() - inCc)
+  }
+
+  test("q388: budget sweep — kept sets nest exactly as the budget " +
+      "grows; the 12k row reconciles with q94") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q388_budget_sweep")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("budget")).toSeq ===
+      Seq(6000L, 12000L, 24000L))
+    val kept = out.map(_.getAs[Long]("n_kept")).toSeq
+    assert(kept === kept.sorted, s"kept must grow with budget: $kept")
+    assert(out.forall(_.getAs[Long]("token_share_ppm") <= 1000000L))
+    // exact nesting: the per-doc selection statistic is budget-free
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val k6 = graft.operators.DatasetOps
+      .tokenBudgetSelect(docs, 6000L).select(col("doc_id"))
+    val k24 = graft.operators.DatasetOps
+      .tokenBudgetSelect(docs, 24000L).select(col("doc_id"))
+    assert(k6.exceptAll(k24).count() === 0L)
+    // cross-query law: q94 (per-lang at 12k) sums to the 12k row
+    val q94 = graft.queries.PipelineQueries
+      .defs("q94_token_budget")(spark, dir).collect()
+    assert(out(1).getAs[Long]("n_kept") ===
+      q94.map(_.getAs[Long]("n_kept")).sum)
+  }
+
+  test("q389: eigencentrality replays in BigInt; the hub reads exactly " +
+      "1e6 after max-normalization") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.GraphQueries
+      .defs("q389_eigencentrality")(spark, dir).collect()
+    assert(out.length === 20)
+    assert(out.head.getAs[Long]("eigen_e6") === 1000000L)
+    assert(out.forall(r => r.getAs[Long]("eigen_e6") > 0L &&
+      r.getAs[Long]("eigen_e6") <= 1000000L))
+    // brute replay: adjacency from the canonical pairs, 3 rounds
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = graft.operators.Graph
+      .canonicalPairs(li, "l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var x = adj.keys.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to 3) {
+      val y = adj.map { case (n, ns) => n -> ns.map(x).sum }
+      val mx = y.values.max
+      x = y.map { case (n, v) => n -> v * 1000000 / mx }
+    }
+    val expected = x.toSeq
+      .sortBy { case (n, v) => (-v, n) }.take(20)
+      .map { case (n, v) => (n, v.toLong) }
+    assert(out.map(r => (r.getAs[Long]("part_key"),
+      r.getAs[Long]("eigen_e6"))).toSeq === expected)
+  }
+
   test("q383: session counts shrink as the gap grows; the mean-events " +
       "identity holds exactly at every gap") {
     val dir = sf("sf0.001")
