@@ -1590,6 +1590,39 @@ object AnalyticsExtras {
         .agg(max(col("backlog")).as("peak_backlog"),
           expr("max_by(backlog, day)").as("end_backlog"))
         .orderBy(col("ym"))
+    },
+
+    // BACKLOG AGING: q385's open-order count decomposed by AGE at each
+    // month end — 0-30 / 31-90 / 90+ days since placement — the WIP
+    // aging report that separates a healthy rolling backlog from
+    // stuck orders quietly accumulating in the tail. The month-end
+    // relation is a bounded aggregate (~80 rows), so the open-interval
+    // range join is a broadcast of the month ends against the order
+    // lifecycle relation: each order meets only the month ends it
+    // spans (days-open / 30 of them) — bounded fan-out, fact touched
+    // once to derive the lifecycle.
+    "q391_backlog_aging" -> { (s, dir) =>
+      val life = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("oday"))
+        .join(t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("close_day")),
+          col("o_orderkey") === col("l_orderkey"))
+      val monthEnds = t(s, dir, "orders")
+        .groupBy(last_day(to_date(col("o_orderdate"))).as("m"))
+        .agg(count(lit(1)).as("ignore")).select(col("m"))
+      life.join(broadcast(monthEnds),
+          col("oday") <= col("m") && col("close_day") > col("m"))
+        .withColumn("age", datediff(col("m"), col("oday")))
+        .withColumn("band",
+          when(col("age") <= 30, "a_0_30")
+            .when(col("age") <= 90, "b_31_90")
+            .otherwise("c_90_plus"))
+        .groupBy((year(col("m")) * 100 + month(col("m")))
+          .cast("long").as("ym"), col("band"))
+        .agg(count(lit(1)).as("n_open"))
+        .orderBy(col("ym"), col("band"))
     })
 
   private val stopList = GopherStopwords.map(sw => s"'$sw'").mkString(", ")
@@ -2555,5 +2588,28 @@ object AnalyticsExtras {
              + EXTRACT(month FROM day) AS BIGINT) AS ym,
            CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
            CAST(max_by(backlog, day) AS BIGINT) AS end_backlog
-         FROM b GROUP BY 1 ORDER BY ym""")
+         FROM b GROUP BY 1 ORDER BY ym""",
+
+    "q391_backlog_aging" ->
+      """WITH life AS (SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS oday, c.close_day
+         FROM orders o JOIN (
+           SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+           FROM lineitem GROUP BY 1) c
+           ON o.o_orderkey = c.l_orderkey),
+         me AS (SELECT DISTINCT last_day(CAST(o_orderdate AS DATE)) AS m
+           FROM orders),
+         open_at AS (SELECT l.o_orderkey, me.m,
+             me.m - l.oday AS age
+           FROM life l JOIN me ON l.oday <= me.m
+             AND l.close_day > me.m),
+         banded AS (SELECT m,
+             CASE WHEN age <= 30 THEN 'a_0_30'
+               WHEN age <= 90 THEN 'b_31_90'
+               ELSE 'c_90_plus' END AS band
+           FROM open_at)
+         SELECT CAST(EXTRACT(year FROM m) * 100
+             + EXTRACT(month FROM m) AS BIGINT) AS ym,
+           band, COUNT(*) AS n_open
+         FROM banded GROUP BY 1, 2 ORDER BY ym, band""")
 }

@@ -1662,6 +1662,41 @@ object CurationExtras {
           col("n_support"),
           expr("n_support * 1000000 div n_sessions").as("support_ppm"))
         .orderBy(col("type_a"), col("type_b"), col("type_c"))
+    },
+
+    // VOCABULARY COVERAGE CURVE: share of all token OCCURRENCES
+    // covered by the top-k frequency-ranked types for k ∈ {100, 1000,
+    // 10000} — the vocab-size tuning curve behind any fixed-vocab
+    // tokenizer (the BPE family trains merges; this says how much of
+    // the stream a budget of types can ever explain, the OOV ceiling).
+    // One token pass builds the vocabulary aggregate; the rank window
+    // and every sweep arm run on that Zipf-small relation.
+    "q392_vocab_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TextAnalysis
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val ranked = vocab
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("freq").desc, col("token"))))
+        .localCheckpoint(true) // three sweep arms + the totals read it
+      try {
+        val tot = ranked.agg(count(lit(1)).as("n_types"),
+          sum(col("freq")).as("n_occurrences"))
+        graft.tools.ExplainAudit.auditedCut(
+          Seq(100, 1000, 10000).map { k =>
+            ranked.filter(col("rk") <= k)
+              .agg(coalesce(sum(col("freq")), lit(0L)).as("covered"))
+              .crossJoin(broadcast(tot))
+              .select(lit(k.toLong).as("top_k"), col("n_types"),
+                col("covered"),
+                expr("""CAST(covered * 1000000
+                        div n_occurrences AS BIGINT)""")
+                  .as("coverage_ppm"))
+          }.reduce(_ unionByName _).orderBy(col("top_k")),
+          "q392_vocab_coverage")
+      } finally graft.operators.Graph.release(ranked)
     })
 
   def oracles: Map[String, String] = Map(
@@ -2945,5 +2980,29 @@ object CurationExtras {
            CAST(n_support AS BIGINT) AS n_support,
            CAST(n_support * 1000000 // n.n_sessions AS BIGINT)
              AS support_ppm
-         FROM tr, n ORDER BY type_a, type_b, type_c""")
+         FROM tr, n ORDER BY type_a, type_b, type_c""",
+
+    "q392_vocab_coverage" -> {
+      def arm(k: Int): String =
+        s"""r$k AS (SELECT CAST($k AS BIGINT) AS top_k,
+           COALESCE(SUM(freq), 0) AS covered
+           FROM ranked WHERE rk <= $k)"""
+      s"""WITH toks AS (SELECT
+           unnest(string_split_regex(trim(text), '\\s+')) AS token
+           FROM documents),
+         v AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1),
+         ranked AS (SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk
+           FROM v),
+         tot AS (SELECT COUNT(*) AS n_types,
+           SUM(freq) AS n_occurrences FROM ranked),
+         ${arm(100)}, ${arm(1000)}, ${arm(10000)}
+         SELECT top_k, CAST(n_types AS BIGINT) AS n_types,
+           CAST(covered AS BIGINT) AS covered,
+           CAST(covered * 1000000 // n_occurrences AS BIGINT)
+             AS coverage_ppm
+         FROM (SELECT * FROM r100 UNION ALL SELECT * FROM r1000
+           UNION ALL SELECT * FROM r10000) u, tot
+         ORDER BY top_k"""
+    })
 }

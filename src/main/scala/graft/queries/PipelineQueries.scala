@@ -2893,6 +2893,51 @@ object PipelineQueries {
               .as("token_share_ppm"),
             coalesce(col("id_sum"), lit(0L)).as("id_sum"))
       }.reduce(_ unionByName _).orderBy(col("budget"))
+    },
+
+    // PQ SUBSPACE DISTORTION: per subspace j, the mean quantization
+    // error and each subspace's share of the total — the
+    // index-maintenance read beside q380's cell balance (a subspace
+    // carrying most of the distortion is where recall leaks, and the
+    // fix — more centroids there, or a rotation — is per-subspace).
+    // Distances quantize to the 1e-9 integer grid PER ROW before any
+    // aggregation (sums of raw doubles are partitioning-dependent;
+    // floor-then-sum is exact on any plan), and the per-row chain
+    // mirrors the oracle's left-associated subDistChain term for term
+    // over the SAME trained-codebook literals q90 pins.
+    "q390_pq_subspace_distortion" -> { (s, dir) =>
+      import graft.operators.ProductQuantizer
+      val model = PqModels.trained(s, dir)
+      val subDim = Dim / PqM
+      val cbLit = typedlit(model.codebookSeq)
+      val distAt = (j: org.apache.spark.sql.Column) => {
+        val cw = element_at(element_at(cbLit, j + 1),
+          element_at(col("pq_codes"), j + 1) + 1)
+        (1 to subDim).map { d =>
+          val diff = element_at(col("embedding"),
+            (j * subDim + d).cast("int")).cast("double") -
+            element_at(cw, d)
+          diff * diff
+        }.reduce(_ + _)
+      }
+      // one corpus pass → the 16-row per-subspace aggregate is cut
+      // eagerly; the total then reads the 16 rows, not the corpus
+      val agg = graft.tools.ExplainAudit.auditedCut(
+        PqModels.encoded(s, dir)
+          .select(col("vec_id"),
+            posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+              j => floor(distAt(j) * lit(1e9)).cast("long"))))
+          .select(col("pos").cast("long").as("subspace"),
+            col("col").as("qd"))
+          .groupBy(col("subspace"))
+          .agg(count(lit(1)).as("n"), sum(col("qd")).as("sq")),
+        "q390_pq_subspace_distortion")
+      agg.crossJoin(broadcast(agg.agg(sum(col("sq")).as("t"))))
+        .select(col("subspace"),
+          expr("CAST(sq div n AS BIGINT)").as("mean_dist_e9"),
+          expr("CAST(sq * 1000000 div greatest(t, 1) AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("subspace"))
     })
 
   /** The e4-QUANTIZED embedding components (floor(v·1e4) — one double
@@ -6012,5 +6057,31 @@ object PipelineQueries {
          FROM (SELECT * FROM r6000 UNION ALL SELECT * FROM r12000
            UNION ALL SELECT * FROM r24000) u, tot
          ORDER BY budget"""
+    },
+
+    "q390_pq_subspace_distortion" -> {
+      import graft.operators.ProductQuantizer.{Sql => PQ}
+      val subDim = Dim / PqM
+      s"""WITH $pqCbCte,
+         assigned AS (
+           SELECT e.vec_id, cb.j, cb.c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+               ORDER BY ${PQ.subDistChain("e.embedding", "cb.j", "cb.cw",
+                 subDim)} ASC, cb.c) AS rk
+           FROM embeddings e, cb),
+         codes AS (SELECT vec_id, j, c FROM assigned WHERE rk = 1),
+         dist AS (SELECT codes.vec_id, codes.j,
+             CAST(floor((${PQ.subDistChain("e.embedding", "codes.j",
+               "cb.cw", subDim)}) * 1000000000.0) AS BIGINT) AS qd
+           FROM codes
+           JOIN cb ON cb.j = codes.j AND cb.c = codes.c
+           JOIN embeddings e ON e.vec_id = codes.vec_id),
+         agg AS (SELECT j AS subspace, COUNT(*) AS n, SUM(qd) AS sq
+           FROM dist GROUP BY 1),
+         tot AS (SELECT SUM(sq) AS t FROM agg)
+         SELECT CAST(subspace AS BIGINT) AS subspace,
+           CAST(sq // n AS BIGINT) AS mean_dist_e9,
+           CAST(sq * 1000000 // greatest(t, 1) AS BIGINT) AS share_ppm
+         FROM agg, tot ORDER BY subspace"""
     })
 }

@@ -633,6 +633,102 @@ class EvalSweepSpec extends SparkSpec {
       r.getAs[Long]("eigen_e6"))).toSeq === expected)
   }
 
+  test("q390: PQ subspace distortion replays exactly from the trained " +
+      "model; shares conserve") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q390_pq_subspace_distortion")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("subspace")).toSeq ===
+      (0L until 16L).toSeq)
+    assert(out.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+    assert(out.forall(_.getAs[Long]("mean_dist_e9") >= 0L))
+    // exact replay: same codebooks, same assignment, same 1e-9 floor
+    val model = graft.queries.PipelineQueries.PqModels
+      .trained(spark, dir)
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val subDim = 64 / 16
+    val sums = Array.fill(16)(0L)
+    vecs.foreach { v =>
+      for (j <- 0 until 16) {
+        val cands = model.codebooks(j).zipWithIndex.map { case (cw, c) =>
+          val d = (0 until subDim).map { i =>
+            val x = v(j * subDim + i) - cw(i); x * x
+          }.sum
+          (d, c)
+        }
+        val best = cands.minBy(identity)
+        sums(j) += math.floor(best._1 * 1e9).toLong
+      }
+    }
+    val total = sums.sum
+    out.foreach { r =>
+      val j = r.getAs[Long]("subspace").toInt
+      val n = vecs.length.toLong
+      assert(r.getAs[Long]("mean_dist_e9") === sums(j) / n)
+      assert(r.getAs[Long]("share_ppm") ===
+        sums(j) * 1000000L / math.max(total, 1L))
+    }
+  }
+
+  test("q391: backlog aging replays from a brute-force month-end walk") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.AnalyticsExtras
+      .defs("q391_backlog_aging")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ym"), r.getAs[String]("band"))
+        -> r.getAs[Long]("n_open")).toMap
+    assert(out.nonEmpty)
+    val life = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .join(graft.Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("cd")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("od"), col("cd")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate))
+    val monthEnds = life.map(_._1)
+      .map(d => d.withDayOfMonth(d.lengthOfMonth)).distinct
+    val expected = (for {
+      m <- monthEnds
+      (od, cd) <- life
+      if !od.isAfter(m) && cd.isAfter(m)
+    } yield {
+      val age = java.time.temporal.ChronoUnit.DAYS.between(od, m)
+      val band = if (age <= 30) "a_0_30"
+        else if (age <= 90) "b_31_90" else "c_90_plus"
+      (m.getYear.toLong * 100 + m.getMonthValue, band)
+    }).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out === expected)
+  }
+
+  test("q392: vocab coverage is monotone in k and replays from the " +
+      "ranked vocabulary") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.CurationExtras
+      .defs("q392_vocab_coverage")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("top_k")).toSeq ===
+      Seq(100L, 1000L, 10000L))
+    val cov = out.map(_.getAs[Long]("coverage_ppm")).toSeq
+    assert(cov === cov.sorted)
+    assert(cov.forall(_ <= 1000000L))
+    val freqs = graft.Tables.load(spark, dir, "documents")
+      .select(explode(graft.operators.TextAnalysis
+        .tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ranked = freqs.sortBy { case (t, f) => (-f, t) }.map(_._2)
+    val totalOcc = ranked.sum
+    out.foreach { r =>
+      val k = r.getAs[Long]("top_k").toInt
+      val covered = ranked.take(k).sum
+      assert(r.getAs[Long]("n_types") === ranked.length.toLong)
+      assert(r.getAs[Long]("covered") === covered)
+      assert(r.getAs[Long]("coverage_ppm") ===
+        covered * 1000000L / totalOcc)
+    }
+  }
+
   test("q383: session counts shrink as the gap grows; the mean-events " +
       "identity holds exactly at every gap") {
     val dir = sf("sf0.001")
