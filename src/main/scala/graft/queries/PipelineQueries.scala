@@ -2938,6 +2938,50 @@ object PipelineQueries {
           expr("CAST(sq * 1000000 div greatest(t, 1) AS BIGINT)")
             .as("share_ppm"))
         .orderBy(col("subspace"))
+    },
+
+    // IVF PROBE COST CURVE: scanned rows per probe width — the COST
+    // side of q104's recall sweep over the same cell scheme (together
+    // they are the curve a deployment tunes: nprobe buys recall at
+    // scan_share_ppm of the corpus per probe). Cell choice replicates
+    // the probe's own driver-side centroid ranking (identical double
+    // arithmetic to the oracle's chain); the corpus is touched once
+    // for the 4-row cell histogram, each sweep arm then reads cells.
+    "q393_ivf_cost_curve" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id").isInCollection(IvfSeedIds))
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val centroids = seeds.map { c =>
+        val nrm = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / nrm)
+      }
+      val model = IvfIndex.Model(centroids)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toDouble).toArray
+      // centroid ranking: dot(q, ĉ)/‖ĉ‖ desc, cell asc — the same
+      // left-fold double chains the oracle unrolls
+      val order = centroids.zipWithIndex.map { case (c, i) =>
+        val dot = (0 until Dim).map(d => query(d) * c(d)).sum
+        (dot / math.sqrt((0 until Dim).map(d => c(d) * c(d)).sum), i)
+      }.sortBy { case (sc, i) => (-sc, i) }.map(_._2)
+      val counts = graft.tools.ExplainAudit.auditedCut(
+        IvfIndex.assign(emb.filter(col("vec_id") =!= 0), model, Dim)
+          .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n_rows")),
+        "q393_ivf_cost_curve")
+      val tot = counts.agg(sum(col("n_rows")).as("n_total"))
+      IvfSweepNprobes.map { np =>
+        counts
+          .filter(col("ivf_cell").isInCollection(order.take(np).toSeq))
+          .agg(count(lit(1)).as("n_cells_hit"),
+            coalesce(sum(col("n_rows")), lit(0L)).as("rows_scanned"))
+          .crossJoin(broadcast(tot))
+          .select(lit(np.toLong).as("nprobe"), col("n_cells_hit"),
+            col("rows_scanned"),
+            expr("""CAST(rows_scanned * 1000000
+                    div n_total AS BIGINT)""").as("scan_share_ppm"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
     })
 
   /** The e4-QUANTIZED embedding components (floor(v·1e4) — one double
@@ -6083,5 +6127,48 @@ object PipelineQueries {
            CAST(sq // n AS BIGINT) AS mean_dist_e9,
            CAST(sq * 1000000 // greatest(t, 1) AS BIGINT) AS share_ppm
          FROM agg, tot ORDER BY subspace"""
+    },
+
+    "q393_ivf_cost_curve" -> {
+      val ctrNormSq = Similarity.Sql.normSq("embedding", Dim)
+      val cvecNormSq = Similarity.Sql.normSq("c.cvec", Dim)
+      def arm(np: Int): String =
+        s"""a$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+           COUNT(cnt.cell) AS n_cells_hit,
+           COALESCE(SUM(cnt.n_rows), 0) AS rows_scanned
+           FROM rc LEFT JOIN cnt ON rc.cell = cnt.cell
+           WHERE rc.crk <= $np)"""
+      s"""WITH ctr AS (
+           SELECT CAST(vec_id - 1 AS INT) AS cell,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt($ctrNormSq)) AS cvec
+           FROM embeddings
+           WHERE vec_id IN (${IvfSeedIds.mkString(", ")})),
+         assigned AS (
+           SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY (${Similarity.Sql.dot("e.embedding", "c.cvec", Dim)})
+                 / sqrt($cvecNormSq) DESC, c.cell) AS rk
+           FROM embeddings e CROSS JOIN ctr c
+           WHERE e.vec_id <> 0),
+         cells AS (SELECT vec_id, cell FROM assigned WHERE rk = 1),
+         cnt AS (SELECT cell, COUNT(*) AS n_rows FROM cells
+           GROUP BY 1),
+         q AS (SELECT embedding AS q_vec FROM embeddings
+           WHERE vec_id = 0),
+         rc AS (SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+             (${Similarity.Sql.dot("q.q_vec", "c.cvec", Dim)})
+               / sqrt($cvecNormSq) DESC, c.cell) AS crk
+           FROM ctr c, q),
+         tot AS (SELECT COUNT(*) AS n_total FROM embeddings
+           WHERE vec_id <> 0),
+         ${arm(1)}, ${arm(2)}, ${arm(4)}
+         SELECT nprobe, CAST(n_cells_hit AS BIGINT) AS n_cells_hit,
+           CAST(rows_scanned AS BIGINT) AS rows_scanned,
+           CAST(rows_scanned * 1000000 // n_total AS BIGINT)
+             AS scan_share_ppm
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+           UNION ALL SELECT * FROM a4) u, tot
+         ORDER BY nprobe"""
     })
 }

@@ -729,6 +729,26 @@ class EvalSweepSpec extends SparkSpec {
     }
   }
 
+  test("q393: probe cost is monotone in nprobe, conserves at full " +
+      "width, and the probed cells match IvfIndex.probe's choice") {
+    val dir = sf("sf0.001")
+    val out = graft.queries.PipelineQueries
+      .defs("q393_ivf_cost_curve")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 4L))
+    val rows = out.map(_.getAs[Long]("rows_scanned")).toSeq
+    assert(rows === rows.sorted)
+    val nTotal = graft.Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= 0).count()
+    // nprobe = nlist scans the whole corpus exactly once
+    assert(rows.last === nTotal)
+    assert(out.last.getAs[Long]("scan_share_ppm") === 1000000L)
+    // cost × recall coherence: the nprobe=2 arm scans exactly the rows
+    // the q49 probe scores (same cells, same corpus slice)
+    val q49n = graft.queries.PipelineQueries
+      .defs("q49_ivf_probe")(spark, dir).count()
+    assert(q49n <= rows(1))
+  }
+
   test("q383: session counts shrink as the gap grows; the mean-events " +
       "identity holds exactly at every gap") {
     val dir = sf("sf0.001")
