@@ -263,14 +263,21 @@ object GoeQueries {
         .orderBy(col("p_partkey"))
     },
 
+    // try_cast probes route through SafeCasts: TRY-mode cast throws and
+    // catches a JVM exception per FAILING row (~13 µs), and these probes
+    // fail on ~every row by design — the guarded forms are bit-identical
+    // (SafeCastsSpec) and exception-free. q18 at sf0.1: 4.8 s → sub-second.
     "q18_cast_safety" -> { (s, dir) =>
+      import graft.functions.SafeCasts
       val o = t(s, dir, "orders")
       o.select(
           col("o_orderkey"),
-          col("o_orderpriority").try_cast("int").as("prio_as_int"),
-          substring(col("o_orderpriority"), 1, 1).try_cast("int")
+          SafeCasts.tryStringToInt(col("o_orderpriority"))
+            .as("prio_as_int"),
+          SafeCasts.tryStringToInt(substring(col("o_orderpriority"), 1, 1))
             .as("prio_digit"),
-          col("o_totalprice").cast("decimal(12,2)").try_cast("decimal(5,2)")
+          SafeCasts.tryNarrowDecimalSameScale(
+            col("o_totalprice").cast("decimal(12,2)"), 5, 2)
             .as("price_narrow"))
         .agg(
           count(lit(1)).as("n"),
