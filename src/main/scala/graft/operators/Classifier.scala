@@ -53,14 +53,28 @@ object Classifier {
     * input, exposed so confidence diagnostics (q367's reliability
     * diagram needs the best-vs-runner-up margin) read the same costs
     * the prediction used. One row per document per class. */
+  /** Model-relation row count up to which the scoring join broadcasts
+    * the model instead of shuffling the class-fanned occurrence
+    * relation — the [[graft.plan.JoinAdvisor]] broadcastRowLimit
+    * default applied to this fixed-shape join. The gate is MEASURED per
+    * call (one count over the already-checkpointed model): a trusted
+    * curated model is vocab-scale and broadcasts; an open-crawl vocab
+    * with junk tokens can exceed any broadcast budget and falls back to
+    * the shuffle join. */
+  val ModelBroadcastRowLimit: Long = 500000L
+
   def nbCosts(docs: DataFrame, model: DataFrame, priors: DataFrame,
               idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
+    // THREE consumers read the model (class mass, vocabulary size, the
+    // scoring join) — without the lazy checkpoint the train-side
+    // tokenize + shuffle runs three times per invocation.
+    val m = model.localCheckpoint(false)
     // class-level constants: token mass per class, vocabulary size, doc
     // totals — all metadata-scale, broadcast into the scoring join
-    val classMass = model.groupBy(col("label"))
+    val classMass = m.groupBy(col("label"))
       .agg(sum(col("tf")).as("n_c"))
-    val vocab = model.select(col("tok")).distinct()
+    val vocab = m.select(col("tok")).distinct()
       .agg(count(lit(1)).as("v"))
     val docTotal = priors.agg(sum(col("n_docs_c")).as("n_docs"))
     val classes = classMass.join(priors, "label")
@@ -71,9 +85,19 @@ object Classifier {
 
     val occ = docs.select(col(idCol).as("sid"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    // measured broadcast gate: the scoring join's left side is the
+    // occurrence relation fanned out by the class count (corpus-scale ×
+    // n_classes) — broadcasting the vocab-scale model removes BOTH
+    // exchanges of that fanned relation (2 Exchange → 0 on the fact
+    // side; q128 3.2 s → 2.0 s, q367 3.5 s → 2.2 s at sf0.1 together
+    // with the shared-costs artifact). Above the row gate the original
+    // shuffle join stays — the only scale-safe default for an unbounded
+    // vocabulary.
+    val modelSide =
+      if (m.count() <= ModelBroadcastRowLimit) broadcast(m) else m
     occ
       .crossJoin(broadcast(classes))
-      .join(model, Seq("tok", "label"), "left")
+      .join(modelSide, Seq("tok", "label"), "left")
       .withColumn("bits",
         length(bin(expr("(n_c + v) div (coalesce(tf, 0L) + 1)")))
           .cast("long"))
@@ -87,8 +111,15 @@ object Classifier {
     * `model` is [[nbTrain]]'s output; `priors` is [[nbPriors]]'s. */
   def nbScore(docs: DataFrame, model: DataFrame, priors: DataFrame,
               idCol: String = "doc_id", textCol: String = "text")
-      : DataFrame = {
-    val costs = nbCosts(docs, model, priors, idCol, textCol)
+      : DataFrame =
+    predictFromCosts(nbCosts(docs, model, priors, idCol, textCol), idCol)
+
+  /** The argmin step alone, over an ALREADY-COMPUTED cost relation —
+    * exposed so consumers sharing one costs artifact (q128's confusion
+    * matrix and q367's reliability diagram read the same costs) don't
+    * re-derive the scoring join per query. */
+  def predictFromCosts(costs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col("sid"))
       .orderBy(col("cost_bits").asc, col("label").asc)
     costs.withColumn("rk", row_number().over(w))
@@ -106,9 +137,14 @@ object Classifier {
     * loud — an empty result, never a fabricated margin). */
   def nbSelfClassifyMargin(docs: DataFrame, labelCol: String = "source",
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
-    val costs = nbCosts(docs, nbTrain(docs, labelCol, textCol),
-      nbPriors(docs, labelCol), idCol, textCol)
+                           textCol: String = "text"): DataFrame =
+    marginFromCosts(nbCosts(docs, nbTrain(docs, labelCol, textCol),
+      nbPriors(docs, labelCol), idCol, textCol), idCol)
+
+  /** The margin step alone over an already-computed cost relation (see
+    * [[predictFromCosts]] — the shared-artifact entry). */
+  def marginFromCosts(costs: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col("sid"))
       .orderBy(col("cost_bits").asc, col("label").asc)
     val ranked = costs.withColumn("rk", row_number().over(w))

@@ -214,17 +214,40 @@ object Graph {
       // safe (bit-equality of the two paths is spec-pinned; the guard
       // makes the choice invisible in the output).
       val maxW = edgesW.agg(max(col("w"))).head.getLong(0) max 1L
-      val contributionFor: DataFrame => Column = { ranks =>
-        val maxRank = ranks.agg(max(col("rank_e6"))).head.getLong(0)
-        if (maxRank >= 0L && maxRank <= Long.MaxValue / maxW)
-          expr("rank_e6 * w div wout")
-        else
-          expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
-                  AS BIGINT)""")
-      }
-      try iterateAdaptive(edgesW, nodes, start, iterations, dampingPct,
-        contributionFor)
-      finally release(nodes)
+      // RANK-MASS LEMMA (replaces the per-round max-rank probe with one
+      // static check): with the cold start rank_0 = 1e6 per node and
+      // per-node base (100-d)·1e4, the total mass obeys
+      // S_{k+1} ≤ base_total + (d/100)·S_k (truncating division only
+      // loses mass), whose fixed point is exactly S_0 = 1e6·n for EVERY
+      // damping — so S_k ≤ 1e6·n at every round, and any single rank is
+      // ≤ its round's total. Every per-edge product rank·w therefore
+      // fits BIGINT whenever 1e6·n·maxW ≤ Long.MaxValue, checked once
+      // in BigInt (no overflow in the check itself). When it holds, the
+      // loop runs the allocation-free long path with a CONSTANT
+      // contribution and ZERO per-round probe jobs (measured: q272
+      // 3.0 → 2.7 s at sf0.1 from dropping the 5 max(rank) probes).
+      // The spec-pinned long≡decimal bit-equality is unchanged; above
+      // the bound, the per-round adaptive probe stays.
+      val longSafeAllRounds =
+        BigInt(1000000L) * BigInt(nodes.count()) * BigInt(maxW) <=
+          BigInt(Long.MaxValue)
+      try {
+        if (longSafeAllRounds)
+          iterate(edgesW, nodes, start, iterations, dampingPct,
+            expr("rank_e6 * w div wout"))
+        else {
+          val contributionFor: DataFrame => Column = { ranks =>
+            val maxRank = ranks.agg(max(col("rank_e6"))).head.getLong(0)
+            if (maxRank >= 0L && maxRank <= Long.MaxValue / maxW)
+              expr("rank_e6 * w div wout")
+            else
+              expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
+                      AS BIGINT)""")
+          }
+          iterateAdaptive(edgesW, nodes, start, iterations, dampingPct,
+            contributionFor)
+        }
+      } finally release(nodes)
     } finally release(edgesW)
   }
 
@@ -900,6 +923,13 @@ object Graph {
   private def iterate(edgesWithDeg: DataFrame, nodes: DataFrame,
       start: DataFrame, iterations: Int, dampingPct: Int,
       contribution: Column = expr("rank_e6 div outdeg")): DataFrame =
+    // Measured negative result (r17 optimization round): fusing the
+    // rounds into ONE lazy plan under the broadcast gate (no per-round
+    // eager checkpoint) cuts the job count 38 → 30 but runs ~15% SLOWER
+    // at sf0.1 — the per-round checkpoint writes are node-scale and
+    // cheap, while the fused plan deepens every round (planning +
+    // DeduplicateRelations re-aliasing defeat exchange-reuse inside the
+    // nested broadcast builds). The per-round checkpointed loop stays.
     iterateAdaptive(edgesWithDeg, nodes, start, iterations, dampingPct,
       _ => contribution)
 

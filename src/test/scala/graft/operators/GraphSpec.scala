@@ -1620,4 +1620,17 @@ class GraphSpec extends SparkSpec {
     }
     assert(out.map(_.getAs[Long]("n_members")).sum === total)
   }
+
+  test("weightedPageRank static long-safety bound routes the constant " +
+      "long path and matches the per-round adaptive probe bit-for-bit") {
+    // small weights: 1e6*n*maxW fits BIGINT, so the loop takes the
+    // probe-free constant-contribution path; the reference is exact
+    // BigInt, so any width error would surface as a value diff (the
+    // overflow-scale test above pins the decimal fallback)
+    val wraw = Seq((1L, 2L, 7L), (1L, 3L, 1L), (2L, 3L, 3L), (3L, 4L, 2L))
+    val wsym = (wraw ++ wraw.map { case (a, b, w) => (b, a, w) })
+    val got = Graph.weightedPageRank(wsym.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referenceWeightedPageRank(wsym, 5))
+  }
 }
