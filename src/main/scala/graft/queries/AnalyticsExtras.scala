@@ -491,8 +491,7 @@ object AnalyticsExtras {
     // is aggregate-scale.
     "q231_lsh_pair_budget" -> { (s, dir) =>
       val band = Dedup.bandRelation(
-        Dedup.minhashSignatures(t(s, dir, "documents"),
-          PipelineQueries.NumHashes),
+        PipelineQueries.CcArtifact.sigs(s, dir),
         PipelineQueries.NumHashes, PipelineQueries.Bands)
       band.groupBy(col("band"), col("band_key"))
         .agg(count(lit(1)).as("c"))
@@ -513,10 +512,7 @@ object AnalyticsExtras {
     // path; everything after is cluster-keyed aggregates.
     "q232_cluster_purity" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val clusters = Dedup.connectedComponents(
-        Dedup.lshCandidates(
-          Dedup.minhashSignatures(docs, PipelineQueries.NumHashes),
-          PipelineQueries.NumHashes, PipelineQueries.Bands))
+      val clusters = PipelineQueries.CcArtifact.pairsAndCc(s, dir)._2
       val joined = clusters.join(docs.select(col("doc_id"), col("source"),
         col("lang")), "doc_id")
       val perSrc = joined.groupBy(col("cluster_id"), col("source"))

@@ -41,15 +41,13 @@ object GraphQueries {
     * re-dedup; the EAGER checkpoint (the `Graph.canonicalPairs`
     * contract) lets both symmetrisation orientations read one
     * materialisation with no first-consumer race. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Dedup
-    Dedup.lshCandidates(
-        Dedup.minhashSignatures(t(s, dir, "documents"),
-          PipelineQueries.NumHashes),
-        PipelineQueries.NumHashes, PipelineQueries.Bands)
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    // reads the shared candidate-pair artifact (r17: one derivation per
+    // dir across the whole suite); the eager checkpoint stays so this
+    // cache entry's lifetime is independent of the one-slot artifact
+    PipelineQueries.CcArtifact.pairs(s, dir)
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .localCheckpoint(true)
-  }
 
 
   /** Cached artifacts KEYED by (session, key): the PqModels train-once
