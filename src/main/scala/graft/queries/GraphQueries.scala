@@ -1494,14 +1494,32 @@ object GraphQueries {
       import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
-      val wtrain = Graph.weightedCanonicalPairs(
-        li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0),
-        "l_orderkey", "l_partkey")
+      // ONE deduped (order, part, split) relation and ONE per-order
+      // self-join carry both splits' evidence (r17: was two separate
+      // self-joins over the train and test subsets): the split
+      // PARTITIONS the orders, so per (a, b) the count of train orders
+      // containing both IS weightedCanonicalPairs over the train
+      // subset, and "seen in >=1 test order" IS membership in
+      // canonicalPairs over the test subset — one join + one keyed
+      // aggregate replaces two of each (2 Exchange removed), results
+      // bit-identical (GraphSpec's brute-force holdout pin re-proves
+      // it).
+      val gg = li.distinct()
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item"),
+          (pmod(col("l_orderkey"), lit(5)) === 0).as("is_test"))
+      val both = gg.select(col("g"), col("item").as("a"), col("is_test"))
+        .join(gg.select(col("g"), col("item").as("b")), "g")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(when(!col("is_test"), 1L).otherwise(0L)).as("w"),
+          max(col("is_test")).as("in_test"))
+        .localCheckpoint(true)
+      val wtrain = both.filter(col("w") >= 1L)
+        .select(col("a"), col("b"), col("w"))
       try {
-        val testPairs = Graph.canonicalPairs(
-          li.filter(pmod(col("l_orderkey"), lit(5)) === 0),
-          "l_orderkey", "l_partkey")
-        try {
+        val testPairs = both.filter(col("in_test"))
+          .select(col("a"), col("b"))
+        locally {
           val wRec = Window.partitionBy(col("src"))
             .orderBy(col("w").desc, col("dst"))
           val recs = Graph.symmetrizeWeighted(wtrain)
@@ -1525,8 +1543,8 @@ object GraphQueries {
                       div greatest(n_test_pairs, 1) AS BIGINT)""")
                 .as("hit_rate_ppm"))
             .auditedCut("q366_recsys_holdout")
-        } finally Graph.release(testPairs)
-      } finally Graph.release(wtrain)
+        }
+      } finally Graph.release(both)
     },
 
     // EIGENVECTOR CENTRALITY: three UNDAMPED adjacency power rounds

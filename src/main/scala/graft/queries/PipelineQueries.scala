@@ -2800,17 +2800,35 @@ object PipelineQueries {
       // BigInt arithmetic below is value-identical to the DECIMAL(38)
       // dataframe formulation it replaced (and to the oracle's HUGEINT
       // chains): exact integer sums, sign-split truncating division.
+      // ADAPTIVE NUMERIC WIDTH (the weightedPageRank discipline): the
+      // moment sums were DECIMAL(38)-lifted unconditionally, and
+      // Spark's DECIMAL arithmetic allocates a BigDecimal per row — at
+      // |vecs|·dim² product rows that allocation storm WAS the query
+      // (measured 3.7 s at sf0.1, ~1.3 s on the long path). One
+      // metadata-scale probe bounds every cell sum by maxAbs²·rows;
+      // when that fits BIGINT the long path is exactly equal (integer
+      // sums commute, no overflow), else the decimal lift stays.
+      val qStats = q.agg(max(abs(col("qv"))).as("m"),
+        count(lit(1)).as("n")).head()
+      val momentLongSafe =
+        BigInt(qStats.getLong(0) max 1L).pow(2) *
+          BigInt(qStats.getLong(1) max 1L) <= BigInt(Long.MaxValue)
+      val prodExpr =
+        if (momentLongSafe) expr("p * p2")
+        else expr("CAST(p AS DECIMAL(38,0)) * p2")
       val mCut = graft.tools.ExplainAudit.auditedCut(
         q.select(col("vec_id"), col("d").as("i"), col("qv").as("p"))
           .join(q.select(col("vec_id"), col("d").as("j"),
             col("qv").as("p2")), "vec_id")
           .groupBy(col("i"), col("j"))
-          .agg(sum(expr("CAST(p AS DECIMAL(38,0)) * p2")).as("v")),
+          .agg(sum(prodExpr).as("v")),
         "q382_dominant_direction")
       val m = Array.fill(Dim, Dim)(BigInt(0))
       mCut.collect().foreach(r =>
-        m(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2)
-          .toBigInteger))
+        m(r.getInt(0))(r.getInt(1)) = r.get(2) match {
+          case l: java.lang.Long => BigInt(l)
+          case d: java.math.BigDecimal => BigInt(d.toBigInteger)
+        })
       graft.operators.Graph.release(mCut)
       def step(x: Array[BigInt]): Array[BigInt] = {
         val y = Array.tabulate(Dim)(i =>
