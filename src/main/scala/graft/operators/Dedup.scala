@@ -732,8 +732,13 @@ object Dedup {
                 idCol: String = "doc_id", textCol: String = "text",
                 sep: String = "\n"): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(sep)
+    // lazy checkpoint: the hot-line aggregate AND the anti-join both
+    // read the exploded relation — without it the split/posexplode (and
+    // any caller-side lineification expression, q84's nested HOFs) runs
+    // twice per invocation
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
+      .localCheckpoint(false)
     val hot = lines.groupBy("line")
       .agg(countDistinct(col(idCol)).as("ndocs"))
       .filter(col("ndocs") >= minDocFreq)

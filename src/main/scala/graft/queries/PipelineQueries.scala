@@ -203,6 +203,26 @@ object PipelineQueries {
     }
   }
 
+  /** The BPE MERGE-LIST model store (the [[PqModels]] train-once
+    * discipline): q119/q121/q127/q130 all train the identical
+    * rounds=[[BpeRounds]] merge list on the corpus — the model is a
+    * driver-side Seq of a few merges, trained once per data dir; every
+    * oracle still unrolls the training rounds in SQL. */
+  object BpeModels {
+    @volatile private var cached:
+        Option[(String, Seq[graft.operators.Bpe.Merge])] = None
+    def trained(s: SparkSession, dir: String)
+        : Seq[graft.operators.Bpe.Merge] = synchronized {
+      cached match {
+        case Some((d, m)) if d == dir => m
+        case _ =>
+          val m = graft.operators.Bpe.train(
+            t(s, dir, "documents"), rounds = BpeRounds)
+          cached = Some((dir, m)); m
+      }
+    }
+  }
+
   /** Winnowing gram size / window size. */
   val WinnowK = 8
   val WinnowW = 8
@@ -1337,8 +1357,9 @@ object PipelineQueries {
     // trains on its own corpus — most-frequent adjacent symbol pair per
     // round, ties to the smallest pair, merged everywhere.
     "q119_bpe_merges" -> { (s, dir) =>
-      graft.operators.Bpe.merges(s, t(s, dir, "documents"),
-          rounds = BpeRounds)
+      import s.implicits._
+      BpeModels.trained(s, dir)
+        .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
         .orderBy(col("merge_round"))
     },
 
@@ -1347,8 +1368,7 @@ object PipelineQueries {
     // once the tokenizer is real).
     "q121_bpe_encode" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      graft.operators.Bpe.encode(docs,
-          graft.operators.Bpe.train(docs, rounds = BpeRounds))
+      graft.operators.Bpe.encode(docs, BpeModels.trained(s, dir))
         .orderBy(col("doc_id"))
     },
 
@@ -1400,8 +1420,7 @@ object PipelineQueries {
     // artifact a tokenizer ships next to its merge list.
     "q127_bpe_vocab" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      graft.operators.Bpe.vocabulary(docs,
-          graft.operators.Bpe.train(docs, rounds = BpeRounds))
+      graft.operators.Bpe.vocabulary(docs, BpeModels.trained(s, dir))
         .orderBy(col("symbol"))
     },
 
@@ -1464,8 +1483,7 @@ object PipelineQueries {
     // merges don't cover its vocabulary).
     "q130_bpe_fertility" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      graft.operators.Bpe.encode(docs,
-          graft.operators.Bpe.train(docs, rounds = BpeRounds))
+      graft.operators.Bpe.encode(docs, BpeModels.trained(s, dir))
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(sum(col("ws_tokens")).as("ws_tokens"),
