@@ -31,6 +31,25 @@ object Tables {
     normalizeTs(df)
   }
 
+  /** Fan a scan out to the session's parallelism WHEN THE FILE LAYOUT
+    * CANNOT: a single-row-group parquet file is one indivisible split, so
+    * the whole pre-exchange pipeline — decode, projections, expand,
+    * partial aggregation — runs on one core while the rest idle (the
+    * "one huge unsplittable file" input-skew case; fix: repartition
+    * immediately after the read). Scale-adaptive, not a local constant:
+    * the exchange is added ONLY when the planned scan has fewer than
+    * half `defaultParallelism` partitions — at production file counts
+    * the scan already fans out and this is the identity. Round-robin
+    * repartition is deterministic under retries (sortBeforeRepartition
+    * stays on), and every consumer is partitioning-invariant by the
+    * engine's exact-arithmetic contract, so results are unchanged.
+    * Apply to COMPUTE-HEAVY consumers only: for a short scan-and-go
+    * query the extra exchange costs more than the idle cores. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < n) df.repartition(n) else df
+  }
+
   /** Exposed separately so callers holding an events-shaped frame from any
     * source (not just parquet) can apply the same timestamp contract. */
   def normalizeTs(df: DataFrame): DataFrame = {

@@ -284,7 +284,7 @@ object DsShapes {
   /** The channel-tagged sales fact: one lineitem ⋈ orders pass shared by
     * the channel shapes (rev e4, return flag, order year). */
   private def channelSales(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    Tables.fanOut(t(s, dir, "lineitem"))
       .join(t(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .select(channelCol.as("channel"), col("o_orderstatus"),
@@ -320,7 +320,9 @@ object DsShapes {
     // native grouping sets (Spark compiles them to a shared partial
     // aggregate, not four scans).
     "q241_brand_size_grouping_sets" -> { (s, dir) =>
-      val base = t(s, dir, "lineitem")
+      // fanOut: the 4-way Expand + decimal partial aggregation otherwise
+      // run inside the single-split scan stage on one core (guide §2.5)
+      val base = Tables.fanOut(t(s, dir, "lineitem"))
         .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"),
@@ -373,7 +375,7 @@ object DsShapes {
     // is touched once, by the aggregate.
     "q244_brand_bucket_topk" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val cells = t(s, dir, "lineitem")
+      val cells = Tables.fanOut(t(s, dir, "lineitem"))
         .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"),
@@ -961,7 +963,7 @@ object DsShapes {
     // partitioned window over it, one truncating division per cell.
     "q361_brand_share_stability" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val yb = t(s, dir, "lineitem")
+      val yb = Tables.fanOut(t(s, dir, "lineitem"))
         .join(broadcast(t(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
@@ -1051,7 +1053,7 @@ object DsShapes {
     // both divisions are truncating over non-negative integers.
     "q354_discount_lift" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val bands = t(s, dir, "lineitem")
+      val bands = Tables.fanOut(t(s, dir, "lineitem"))
         .groupBy((col("l_discount").cast("decimal(12,2)") * 100)
           .cast("long").as("disc_pct"))
         .agg(count(lit(1)).as("n_lines"),
@@ -1079,7 +1081,7 @@ object DsShapes {
     // bounded rollup relation, never the fact.
     "q249_rollup_level_topk" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val base = t(s, dir, "lineitem")
+      val base = Tables.fanOut(t(s, dir, "lineitem"))
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"),
           expr("p_size div 10").cast("long").as("size_bucket"),
@@ -1111,7 +1113,7 @@ object DsShapes {
     // the brand rollup then joins only the part-scale aggregate to the
     // dimension. Never a per-channel INTERSECT cascade over the fact.
     "q250_cross_channel_parts" -> { (s, dir) =>
-      val per = t(s, dir, "lineitem")
+      val per = Tables.fanOut(t(s, dir, "lineitem"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(channelCol.as("channel"), col("l_partkey"),
           revE4.as("rev_e4"))
@@ -1465,7 +1467,7 @@ object DsShapes {
     // non-negative terms (truncation ≡ floor).
     "q298_return_outliers" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ret = t(s, dir, "lineitem")
+      val ret = Tables.fanOut(t(s, dir, "lineitem"))
         .filter(col("l_returnflag") === "R")
         .join(t(s, dir, "orders")
             .select(col("o_orderkey"), col("o_custkey")),

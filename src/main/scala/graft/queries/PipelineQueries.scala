@@ -18,6 +18,16 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** [[t]] + [[Tables.fanOut]] for queries whose heaviest per-row work
+    * (shingling, n-gram explosion, regex projections) sits in the
+    * pre-exchange scan stage of a single-split file (guide §2.5).
+    * Applied SELECTIVELY on measurement: a blanket fan-out of every
+    * fact read was tried and regressed the artifact-backed and
+    * short queries (q115 1.4→2.0, q33 0.17→0.35 — the extra exchange
+    * costs more than the idle cores there). */
+  private def tf(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.fanOut(t(s, dir, name))
+
   val Dim = 64          // embeddings dimension (FIXTURES.md)
   val NumHashes = 16    // minhash signature length
   val Bands = 4         // LSH bands
@@ -135,7 +145,7 @@ object PipelineQueries {
       cachedSigs match {
         case Some((d, sg)) if d == dir => sg
         case _ =>
-          val sg = Dedup.minhashSignatures(t(s, dir, "documents"),
+          val sg = Dedup.minhashSignatures(tf(s, dir, "documents"),
             NumHashes).localCheckpoint(true)
           cachedSigs.foreach { case (_, o) =>
             graft.operators.Graph.release(o)
@@ -147,7 +157,7 @@ object PipelineQueries {
       cachedJacc0 match {
         case Some((d, j)) if d == dir => j
         case _ =>
-          val j = Dedup.jaccardPairs(t(s, dir, "documents"), 0.0)
+          val j = Dedup.jaccardPairs(tf(s, dir, "documents"), 0.0)
             .localCheckpoint(true)
           cachedJacc0.foreach { case (_, o) =>
             graft.operators.Graph.release(o)
@@ -482,7 +492,7 @@ object PipelineQueries {
     // selection, the position-robust sketch complementing q32's
     // sorted-token fingerprint.
     "q54_winnow_fingerprint" -> { (s, dir) =>
-      TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+      TextAnalysis.winnowFingerprints(tf(s, dir, "documents"),
           k = WinnowK, w = WinnowW)
         .orderBy(col("doc_id"))
     },
@@ -1445,7 +1455,7 @@ object PipelineQueries {
     // thresholds q128's classifier for filtering. Integer-bits margins,
     // truncating ppm accuracy; the band relation is ≤ 9 rows.
     "q367_nb_reliability" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = tf(s, dir, "documents")
       graft.operators.Classifier.marginFromCosts(NbArtifact.costs(s, dir))
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(least(expr("margin_bits div 8"), lit(8L)).as("band"))
@@ -1758,7 +1768,7 @@ object PipelineQueries {
     // exact-dup incidence per decile — does the score actually separate
     // boilerplate? The curation-policy sanity check.
     "q159_quality_calibration" -> { (s, dir) =>
-      val scored = t(s, dir, "documents")
+      val scored = tf(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           (TextAnalysis.qualityScore(col("text")) * lit(1000000.0))
             .cast("long").as("q6"))
@@ -2168,7 +2178,7 @@ object PipelineQueries {
     // exact-truth columns so the false-positive rate is measured, not
     // assumed (the exact pass q58 then confirms only flagged docs).
     "q140_bloom_decontam" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      val docs = tf(s, dir, "documents")
       val bench = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
       val bits = graft.operators.Sketches.bloomBits(
         bench, BloomDepth, BloomHexChars)

@@ -28,6 +28,13 @@ object TpchShapes {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** [[t]] + [[Tables.fanOut]] — the fact read for compute-heavy shapes
+    * whose pre-exchange pipeline would otherwise run inside the single
+    * indivisible scan split (guide §2.5); identity at production file
+    * counts. */
+  private def tf(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.fanOut(t(s, dir, name))
+
   /** l_extendedprice*(1-l_discount) in e4 fixed-point (exact). */
   private def revE4: org.apache.spark.sql.Column =
     (col("l_extendedprice").cast("decimal(12,2)") *
@@ -169,7 +176,9 @@ object TpchShapes {
             .select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name")))
-      t(s, dir, "lineitem")
+      // fanOut: three broadcast joins + decimal profit arithmetic
+      // otherwise run inside the single-split scan stage (guide §2.5)
+      tf(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), revE4.as("rev_e4"))
         .join(broadcast(t(s, dir, "part")
