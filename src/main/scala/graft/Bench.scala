@@ -28,6 +28,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // AFTER setLogLevel (which resets all logger levels): the r17 driver
+    // bench tail was thousands of per-release checkpoint WARN lines,
+    // burying the totals line the log capture needed.
+    tools.LogQuiet.quietNoise()
     // Warm the session (codegen/JIT, FS metadata) so the first timed query
     // doesn't absorb startup cost.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -84,10 +88,47 @@ object Bench {
         else ((tools.BenchStats.median(ok), None), tools.BenchStats.spread(ok))
       }
 
+    // COLD MODE (r17 verdict ask #3): every cross-query artifact
+    // (DirCache / CcArtifact / NbArtifact / BpeModels / PqModels / grain)
+    // is built on first use — under the untimed warmup rep that build
+    // cost lands in NO timed number, so warm medians conflate "shared
+    // artifact" with "query got faster". With SPARK_GRAFT_BENCH_COLD=1
+    // each query ADDITIONALLY runs SPARK_GRAFT_BENCH_COLD_REPS (default
+    // 1) reps with ArtifactCaches.clearAll() immediately before each, so
+    // the artifact carries a cold_median_sec — the
+    // first-invocation-in-a-session cost, artifact build included — next
+    // to the warm number. JIT/page-cache stay warm (the warmup and warm
+    // reps ran first); only the engine's own artifacts go cold. The warm
+    // contract (totals line, per-query medians, ring) is unchanged: cold
+    // numbers never enter total_sec or the ring.
+    val coldMode = sys.env.get("SPARK_GRAFT_BENCH_COLD")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val coldReps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_REPS", "1").toInt)
+    def runColdMedian(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] =
+      if (!coldMode) None
+      else {
+        val runs = Seq.fill(coldReps) {
+          ArtifactCaches.clearAll(spark)
+          runOne(fn)
+        }
+        val ok = runs.collect { case (t, None) => t }
+        if (ok.isEmpty) None else Some(tools.BenchStats.median(ok))
+      }
+
+    val coldByName = scala.collection.mutable.Map.empty[String, Double]
     val first0 = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val (r, spread) = runMedian(fn)
+      runColdMedian(fn).foreach(c => coldByName(name) = c)
       (name, fn, r, spread)
     }
+    // Cold-mode caveat, recorded for the artifact's reader: any
+    // escalation re-measure below runs AFTER the suite pass, i.e. with
+    // caches left cold by the last query's clear — its first of 5 runs
+    // may pay an artifact rebuild (the median of 5 absorbs it). Cold
+    // mode is an audit mode; the driver's warm contract never sets it.
     // A spread beyond this is not residual jitter — it is one rep colliding
     // with a machine-level event (GC storm, another JVM, page-cache
     // eviction), and a median of 3 can still land on a contaminated rep
@@ -135,6 +176,35 @@ object Bench {
     // suppress exactly the contamination events the escalation exists
     // to catch — such spreads are withheld from the ring line
     val unhealedSpread = scala.collection.mutable.Set.empty[String]
+    // ESCALATION BUDGET (r17 ask #1): the r17 driver bench timed out at
+    // 32 cores in part because 46 escalations each added 5 full runs —
+    // ~25 minutes of re-measurement the fixed driver budget could not
+    // absorb. Escalations now draw from a shared wall-clock budget
+    // (estimated as 5× the query's first-pass median before running,
+    // charged with actual elapsed after); once exhausted, further
+    // escalations are SKIPPED — the first-pass number is recorded with
+    // an explicit "escalation_skipped" flag (and withheld from the ring
+    // like an unhealed spread), so the artifact stays auditable instead
+    // of the whole run being lost to a timeout. Default scales with the
+    // rep count the driver asked for; override with
+    // SPARK_GRAFT_ESCALATION_BUDGET_SEC.
+    val escBudget = sys.env.get("SPARK_GRAFT_ESCALATION_BUDGET_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(60.0 * reps)
+    var escSpent = 0.0
+    val escSkipped = scala.collection.mutable.Set.empty[String]
+    def escalationRuns(name: String, estSec: Double,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Seq[(Double, Option[String])]] =
+      if (escSpent + 5 * estSec > escBudget) {
+        escSkipped += name
+        unhealedSpread += name // first-pass spread must not raise the ring envelope
+        None
+      } else {
+        val t0 = System.nanoTime()
+        val runs = Seq.fill(5)(runOne(fn))
+        escSpent += (System.nanoTime() - t0) / 1e9
+        Some(runs)
+      }
     // the trailing Int counts EXTRA RUNS this query executed beyond the
     // reps+warmup everyone pays — escalations stack (a spread re-measure
     // whose healed median still trips the cross-run check runs 5 + 5),
@@ -143,22 +213,26 @@ object Bench {
       case (name, fn, (t, None), s)
           if tools.BenchStats.needsRemeasure(reps, s, spreadThresh,
             spreadHist(name)) =>
-        val runs = Seq.fill(5)(runOne(fn))
-        val ok = runs.collect { case (t2, None) => t2 }
-        if (ok.isEmpty) {
-          // escalation itself failed: keep the first-pass number but say
-          // so loudly — the artifact's signature for this case is a
-          // spread above the threshold WITHOUT a remeasured flag
-          System.err.println(s"bench: re-measure of $name failed in all " +
-            s"5 runs (${runs.head._2.getOrElse("?")}); recording the " +
-            "first-pass median with its " +
-            "%.1f".formatLocal(java.util.Locale.ROOT, s) +
-            "x spread unhealed")
-          unhealedSpread += name
-          (name, fn, (t, Option.empty[String]), s, false, 5)
-        } else (name, fn,
-          (tools.BenchStats.median(ok), Option.empty[String]),
-          tools.BenchStats.spread(ok), true, 5)
+        escalationRuns(name, t, fn) match {
+          case None => // budget exhausted: first-pass number, flagged
+            (name, fn, (t, Option.empty[String]), s, false, 0)
+          case Some(runs) =>
+            val ok = runs.collect { case (t2, None) => t2 }
+            if (ok.isEmpty) {
+              // escalation itself failed: keep the first-pass number but
+              // say so loudly — the artifact's signature for this case is
+              // a spread above the threshold WITHOUT a remeasured flag
+              System.err.println(s"bench: re-measure of $name failed in " +
+                s"all 5 runs (${runs.head._2.getOrElse("?")}); recording " +
+                "the first-pass median with its " +
+                "%.1f".formatLocal(java.util.Locale.ROOT, s) +
+                "x spread unhealed")
+              unhealedSpread += name
+              (name, fn, (t, Option.empty[String]), s, false, 5)
+            } else (name, fn,
+              (tools.BenchStats.median(ok), Option.empty[String]),
+              tools.BenchStats.spread(ok), true, 5)
+        }
       case (name, fn, r, s) => (name, fn, r, s, false, 0)
     }
     // UNIFORM sustained load is the spread escalation's blind spot: a
@@ -225,16 +299,23 @@ object Bench {
             val (b, bc, _) = baseline(name)
             tools.BenchStats.crossRunSuspect(t, b, bc, suspectFactor)
           } =>
-        val ok = Seq.fill(5)(runOne(fn)).collect { case (t2, None) => t2 }
-        if (ok.isEmpty) unhealedSpread += name
-        else unhealedSpread -= name // a fresh clean sample replaces it
-        val healed = if (ok.isEmpty) t else tools.BenchStats.median(ok)
-        val (b, bc, src) = baseline(name)
-        val stillSuspect = tools.BenchStats.crossRunSuspect(healed,
-          b, bc, suspectFactor)
-        (name, fn, (healed, Option.empty[String]),
-          if (ok.isEmpty) s else tools.BenchStats.spread(ok), true,
-          if (stillSuspect) b.map(v => (v, src)) else None, extra + 5)
+        escalationRuns(name, t, fn) match {
+          case None => // budget exhausted: record as suspect, unhealed
+            val (b, _, src) = baseline(name)
+            (name, fn, (t, Option.empty[String]), s, rm,
+              b.map(v => (v, src)), extra)
+          case Some(runs) =>
+            val ok = runs.collect { case (t2, None) => t2 }
+            if (ok.isEmpty) unhealedSpread += name
+            else unhealedSpread -= name // a fresh clean sample replaces it
+            val healed = if (ok.isEmpty) t else tools.BenchStats.median(ok)
+            val (b, bc, src) = baseline(name)
+            val stillSuspect = tools.BenchStats.crossRunSuspect(healed,
+              b, bc, suspectFactor)
+            (name, fn, (healed, Option.empty[String]),
+              if (ok.isEmpty) s else tools.BenchStats.spread(ok), true,
+              if (stillSuspect) b.map(v => (v, src)) else None, extra + 5)
+        }
       case (name, fn, r, s, rm, extra) =>
         (name, fn, r, s, rm, None, extra)
     }
@@ -313,11 +394,14 @@ object Bench {
     val resultByName = results.toMap
     val extraRunSec = extraRunsByName.toSeq.flatMap { case (n, e) =>
       resultByName.get(n).collect { case (t, None) => e.toDouble * t }
-    }.sum
+    }.sum +
+      // cold-mode reps execute outside the reps+warmup accounting; a
+      // cold run must not self-label contended on an idle machine
+      coldByName.values.sum * coldReps
     val contended = tools.BenchStats.looksContended(wallSec, total,
       reps + warm, extraRunSec, load1Start,
       Runtime.getRuntime.availableProcessors)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"remeasured":${remeasured.size},"suspect":${suspect.size},"wall_sec":${ms(wallSec)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failed":${errs.size},"n_queries":${results.size},"reps":$reps,"warmup":$warm,"remeasured":${remeasured.size},"suspect":${suspect.size},"esc_skipped":${escSkipped.size},"wall_sec":${ms(wallSec)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended,"top5_slowest":$top5,"top5_spread":$noisy5,"sf":"$sfDir"}""")
     // The stdout line above is captured as a LOG TAIL and has truncated
     // mid-map two rounds running, making most per-query regressions
     // unadjudicable. The engine therefore persists its own COMPLETE
@@ -353,7 +437,10 @@ object Bench {
             s""","baseline_src":${jstr(src)}"""
         }.getOrElse("")
         val er = err.map(e => s""","error":${jstr(e)}""").getOrElse("")
-        s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$rm$su$er}"""
+        val es = if (escSkipped(k)) ""","escalation_skipped":true""" else ""
+        val cd = coldByName.get(k)
+          .map(c => s""","cold_median_sec":${ms(c)}""").getOrElse("")
+        s"""    ${jstr(k)}: {"median_sec":${ms(v)}$sp$rm$su$es$cd$er}"""
       }
       // Machine-load fingerprint: loadavg at start/end plus total wall vs
       // the expected executed time ((reps+warmup) x summed medians + each
@@ -371,6 +458,10 @@ object Bench {
            |  "spread_rerun_threshold": ${ms(spreadThresh)},
            |  "n_remeasured": ${remeasured.size},
            |  "n_suspect": ${suspect.size},
+           |  "n_escalation_skipped": ${escSkipped.size},
+           |  "escalation_budget_sec": ${ms(escBudget)},
+           |  "cold_mode": $coldMode,
+           |  "cold_reps": ${if (coldMode) coldReps else 0},
            |  "loadavg_start": ${jstr(loadStart)},
            |  "loadavg_end": ${jstr(loadEnd)},
            |  "host_cpus": ${Runtime.getRuntime.availableProcessors},

@@ -98,6 +98,87 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** [[DotProduct]] over the FIRST `n` elements of both arrays — the
+  * truncated-embedding (matryoshka) scorer. Why a dedicated kernel: the
+  * expression-chain formulation (`dotChain`) builds `n` literal-indexed
+  * terms; at n = 128 the generated method blows past janino/JIT size
+  * limits and execution silently falls back to interpreted per-row eval
+  * (measured on q378: ~2 s of executor time for a 2 000-row corpus).
+  * Same sequential accumulation in element order — bitwise-identical to
+  * the n-term left-associated chain (spec-pinned). Null when either
+  * array is shorter than `n` or holds a null element in the prefix. */
+case class DotPrefix(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (n >= 0 && ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_prefix expects array<float|double> and n >= 0, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}, n=$n")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() < n || b.numElements() < n) return null
+    val aF = elemIsFloat(left)
+    val bF = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double $acc = 0.0;
+         |if ($a.numElements() < $n || $b.numElements() < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotPrefix =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot_prefix"
+}
+
 /** Argmax-of-cosine cell assignment against a LITERAL centroid table:
   * `score_i = dot(v, c_i) / ||c_i||` (the query/vector norm is constant per
   * row, so dividing by it cannot change the argmax), first index wins ties.
@@ -440,6 +521,145 @@ case class PqEncode(left: Expression, right: Expression)
   override def prettyName: String = "graft_pq_encode"
 }
 
+/** Per-subspace PQ quantization error on the 1e-9 integer grid:
+  * for each subspace j, `floor(Σ_d (vec[j·sub+d] − cb[j][codes[j]][d])²
+  * · 1e9)` as a long — `array<long>` of length m. The distortion read
+  * behind q390: the expression formulation (a transform() lambda over a
+  * 32k-double literal) runs INTERPRETED per row — higher-order
+  * functions never enter whole-stage codegen — and measured ~2.5 s of
+  * per-row eval on a 2 000-row corpus. This kernel is the same
+  * arithmetic as the lambda, term for term: distances accumulate in
+  * element order (left-associated), double subtraction against the
+  * codeword, one floor at the end — so the DuckDB oracle's unrolled
+  * subDistChain still hash-matches exactly.
+  *
+  * `third` must be a FOLDABLE [m][k][dim/m] codebook (the [[PqEncode]]
+  * contract). Null semantics: null vector/codes/element or any
+  * dimension mismatch yields null. */
+case class PqSubspaceDistE9(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(first, second, third)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vecOk = first.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    val codesOk = second.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    val cbOk = third.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) =>
+        third.foldable
+      case _ => false
+    }
+    if (vecOk && codesOk && cbOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "pq_subspace_dist_e9 expects (array<float|double>, array<int>, " +
+          s"foldable [m][k][sub] double codebook), got ${first.dataType.sql}, " +
+          s"${second.dataType.sql}, ${third.dataType.sql}")
+  }
+
+  private def vecIsFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, cd: Any, cb: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val codes = cd.asInstanceOf[ArrayData]
+    val cbs = cb.asInstanceOf[ArrayData]
+    val m = cbs.numElements()
+    if (m == 0 || codes.numElements() != m) return null
+    val subDim = cbs.getArray(0).getArray(0).numElements()
+    if (vec.numElements() != m * subDim) return null
+    val vF = vecIsFloat
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      val book = cbs.getArray(j)
+      if (c < 0 || c >= book.numElements()) return null
+      val cw = book.getArray(c)
+      if (cw.numElements() != subDim) return null
+      var dist = 0.0
+      var d = 0
+      while (d < subDim) {
+        val off = j * subDim + d
+        if (vec.isNullAt(off)) return null
+        val x = if (vF) vec.getFloat(off).toDouble else vec.getDouble(off)
+        val diff = x - cw.getDouble(d)
+        dist += diff * diff
+        d += 1
+      }
+      out(j) = math.floor(dist * 1e9).toLong
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val vGet = if (vecIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (v, cd, cbs) => {
+      val m = ctx.freshName("m")
+      val subDim = ctx.freshName("subDim")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val off = ctx.freshName("off")
+      val book = ctx.freshName("book")
+      val cw = ctx.freshName("cw")
+      val dist = ctx.freshName("dist")
+      val diff = ctx.freshName("diff")
+      val arrayData = classOf[ArrayData].getName
+      val genericArrayData = classOf[GenericArrayData].getName
+      s"""
+         |int $m = $cbs.numElements();
+         |int $subDim = ($m == 0 || $cbs.getArray(0).numElements() == 0)
+         |  ? -1 : $cbs.getArray(0).getArray(0).numElements();
+         |if ($subDim < 0 || $cd.numElements() != $m
+         |    || $v.numElements() != $m * $subDim) {
+         |  ${ev.isNull} = true;
+         |}
+         |long[] $out = new long[$m < 0 ? 0 : $m];
+         |for (int $j = 0; !${ev.isNull} && $j < $m; $j++) {
+         |  if ($cd.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  int $c = $cd.getInt($j);
+         |  $arrayData $book = $cbs.getArray($j);
+         |  if ($c < 0 || $c >= $book.numElements()) { ${ev.isNull} = true; break; }
+         |  $arrayData $cw = $book.getArray($c);
+         |  if ($cw.numElements() != $subDim) { ${ev.isNull} = true; break; }
+         |  double $dist = 0.0;
+         |  for (int $d = 0; $d < $subDim; $d++) {
+         |    int $off = $j * $subDim + $d;
+         |    if ($v.isNullAt($off)) { ${ev.isNull} = true; break; }
+         |    double $diff = ((double) $v.$vGet($off)) - $cw.getDouble($d);
+         |    $dist += $diff * $diff;
+         |  }
+         |  $out[$j] = (long) Math.floor($dist * 1e9);
+         |}
+         |${ev.value} = new $genericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqSubspaceDistE9 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "graft_pq_subspace_dist_e9"
+}
+
 object VectorFunctions {
   /** Dot product as a Column — codegen'd loop, order-identical to the
     * left-associated expression chain. */
@@ -449,6 +669,11 @@ object VectorFunctions {
   /** Exact integer dot product over `array<int>` (quantized vectors). */
   def intDotNative(a: Column, b: Column): Column =
     ColumnBridge.column(IntDotProduct(expr(a), expr(b)))
+
+  /** Dot product over the first `n` elements — the matryoshka scorer
+    * (bitwise-identical to the n-term left-associated chain). */
+  def dotPrefixNative(a: Column, b: Column, n: Int): Column =
+    ColumnBridge.column(DotPrefix(expr(a), expr(b), n))
 
   /** L2 norm via the same kernel (`sqrt(dot(a, a))`). */
   def normNative(a: Column): Column =
@@ -464,6 +689,12 @@ object VectorFunctions {
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     ColumnBridge.column(NearestCentroid(expr(vec),
       expr(org.apache.spark.sql.functions.typedlit(centroids))))
+
+  /** Per-subspace floored-e9 PQ quantization errors (`array<long>`). */
+  def pqSubspaceDistE9(vec: Column, codes: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqSubspaceDistE9(expr(vec), expr(codes),
+      expr(org.apache.spark.sql.functions.typedlit(codebooks))))
 
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 }

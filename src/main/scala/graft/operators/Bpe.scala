@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -102,7 +103,7 @@ object Bpe {
     try {
       var rep: DataFrame =
         if (small) {
-          val one = vocab.coalesce(1).localCheckpoint(true)
+          val one = vocab.coalesce(1).cut(true)
           vocab.unpersist()
           cut = Some(one)
           one
@@ -132,7 +133,7 @@ object Bpe {
           // vocabulary relation is Zipf-small, so the materialisation is
           // metadata-scale; the superseded snapshot is released at once.
           if (r % 8 == 0) {
-            val next = rep.localCheckpoint(true)
+            val next = rep.cut(true)
             cut.foreach(Graph.release)
             cut = Some(next)
             rep = next

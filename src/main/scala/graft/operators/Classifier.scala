@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -69,7 +70,7 @@ object Classifier {
     // THREE consumers read the model (class mass, vocabulary size, the
     // scoring join) — without the lazy checkpoint the train-side
     // tokenize + shuffle runs three times per invocation.
-    val m = model.localCheckpoint(false)
+    val m = model.cut(false)
     // class-level constants: token mass per class, vocabulary size, doc
     // totals — all metadata-scale, broadcast into the scoring join
     val classMass = m.groupBy(col("label"))

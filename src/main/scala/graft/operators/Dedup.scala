@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -77,7 +78,7 @@ object Dedup {
     // executor loss; the relation is re-derivable by re-running the
     // operator.
     val rel = shingleRelation(docs, idCol, textCol, n)
-      .localCheckpoint(false)
+      .cut(false)
     // set sizes BEFORE any frequency pruning: |A| and |B| must stay exact
     val sizes = rel.groupBy(col("sid")).agg(count(lit(1)).as("set_size"))
     // Hot-shingle cut: a shingle present in k docs contributes k·(k−1)/2
@@ -133,7 +134,7 @@ object Dedup {
                             textCol: String = "text"): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would count a doc's own occurrence")
     val rel = shingleRelation(docs, idCol, textCol, n)
-      .localCheckpoint(false)
+      .cut(false)
     val df_ = rel.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     rel.join(df_, "shingle")
       .groupBy(col("sid"))
@@ -172,7 +173,7 @@ object Dedup {
     val rel = docs.select(col(idCol).as("sid"),
         posexplode(graft.functions.TextFunctions.wordShinglesAll(
           col(textCol), n)).as(Seq("pos", "shingle")))
-      .localCheckpoint(false)
+      .cut(false)
     val owner = rel.groupBy(col("shingle"))
       .agg(min(col("sid")).as("first_sid"))
     val dup = rel.join(owner, "shingle")
@@ -211,7 +212,7 @@ object Dedup {
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val rel = shingleRelation(docs, idCol, textCol, n)
-      .localCheckpoint(false)
+      .cut(false)
     val owner = rel.groupBy(col("shingle"))
       .agg(min(col("sid")).as("first_sid"))
     rel.join(owner, "shingle")
@@ -252,7 +253,7 @@ object Dedup {
     val Base = Scale * 15L / 100L
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(false)
+      .cut(false)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     var rank = nodes.withColumn("rank", lit(Scale))
@@ -273,7 +274,7 @@ object Dedup {
       val next = nodes.join(contrib, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(Base) + coalesce(col("in_sum"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
+        .cut(true)
       superseded.foreach(graft.operators.Graph.release)
       superseded = Some(next)
       rank = next
@@ -318,7 +319,7 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val rel = shingleRelation(docs, idCol, textCol, n)
-      .localCheckpoint(false)
+      .cut(false)
     val sizes = rel.groupBy(col("sid")).agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(rel.select(col("sid").as("id_a"), col("shingle")), "id_a")
@@ -366,7 +367,7 @@ object Dedup {
     val withSigs = docs.select(col(idCol).as("sid"),
         graft.functions.TextFunctions.minhashSigs(
           shingles(col(textCol), n), numHashes).as("sigs"))
-      .localCheckpoint(false)
+      .cut(false)
     val slots = (0 until numHashes).map(s =>
       col("sigs").getItem(s).as(s"sig_$s"))
     withSigs.select((col("sid") +: slots): _*)
@@ -379,7 +380,7 @@ object Dedup {
                            n: Int = 3): DataFrame = {
     val withSh = docs.select(col(idCol).as("sid"),
         shingles(col(textCol), n).as("sh"))
-      .localCheckpoint(false)
+      .cut(false)
     val sigs = (0 until numHashes).map(s =>
       array_min(transform(col("sh"), x => seededHash(s, x))).as(s"sig_$s"))
     withSh.select((col("sid") +: sigs): _*)
@@ -413,7 +414,7 @@ object Dedup {
                     bands: Int = 4): DataFrame = {
     // checkpoint — the banded index feeds both sides of the self-join
     val banded = bandRelation(signatures, numHashes, bands)
-      .localCheckpoint(false)
+      .cut(false)
     val l = banded.select(col("band"), col("band_key"), col("sid").as("id_a"))
     val r = banded.select(col("band"), col("band_key"), col("sid").as("id_b"))
     l.join(r, Seq("band", "band_key"))
@@ -434,7 +435,7 @@ object Dedup {
                                bands: Int = 4): DataFrame = {
     val eb = bandRelation(existingSigs, numHashes, bands)
     val fb = bandRelation(freshSigs, numHashes, bands)
-      .localCheckpoint(false)
+      .cut(false)
     val cross = fb.select(col("band"), col("band_key"), col("sid").as("id_f"))
       .join(eb.select(col("band"), col("band_key"), col("sid").as("id_e")),
         Seq("band", "band_key"))
@@ -503,7 +504,7 @@ object Dedup {
     // size — mandatory for any iterative DataFrame algorithm.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .cut(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -512,7 +513,7 @@ object Dedup {
         .select(col("src").as("id"), col("label"))
       val next = labels.unionByName(neighbourLabels)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .cut(true)
       val changed = next.withColumnRenamed("label", "new_label")
         .join(labels, Seq("id"))
         .filter(col("new_label") =!= col("label")).count()
@@ -573,7 +574,7 @@ object Dedup {
       .select(col("sid").as("corpus_id"), col("shingle"))
     val b = shingleRelation(benchmark, idCol, textCol, n)
       .select(col("sid").as("bench_id"), col("shingle"))
-      .localCheckpoint(false)
+      .cut(false)
     val bSizes = b.groupBy(col("bench_id"))
       .agg(count(lit(1)).as("bench_size"))
     c.join(broadcast(b), Seq("shingle"))
@@ -660,7 +661,7 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("sid"),
                            simhash64(col(textCol)).as("sig"))
       // two interpreted 32-fold passes per row: must run once, not per side
-      .localCheckpoint(false)
+      .cut(false)
     val chunks = (0 until 4).map { j =>
       struct(lit(j).as("ck"),
         shiftright(col("sig"), 16 * j).bitwiseAND(lit(65535L)).as("cv"))
@@ -697,7 +698,7 @@ object Dedup {
       .withColumn("block", col("sig").bitwiseAND(lit(255L)))
       // signature computation (32 interpreted folds) must run once, not
       // once per join side
-      .localCheckpoint(false)
+      .cut(false)
     val l = sigs.select(col("block"), col("sid").as("id_a"),
                         col("sig").as("sig_a"))
     val r = sigs.select(col("block"), col("sid").as("id_b"),
@@ -738,7 +739,7 @@ object Dedup {
     // twice per invocation
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
-      .localCheckpoint(false)
+      .cut(false)
     val hot = lines.groupBy("line")
       .agg(countDistinct(col(idCol)).as("ndocs"))
       .filter(col("ndocs") >= minDocFreq)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -58,7 +59,7 @@ object Graph {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .cut(true)
   }
 
   /** [[canonicalPairs]] carrying the co-occurrence count as the edge
@@ -84,7 +85,7 @@ object Graph {
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
+      .cut(true)
   }
 
   /** Canonical pairs `(a, b)` symmetrised to both orientations `(src,
@@ -135,8 +136,6 @@ object Graph {
     * nodes). */
   def pageRankFrom(edges: DataFrame, init: Option[DataFrame],
       iterations: Int, dampingPct: Int = 85): DataFrame = {
-    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val base = (100 - dampingPct).toLong * 10000L
     val (edgesWithDeg, deg) = degreeJoin(edges)
     // supporting checkpoints release in `finally`: on success the eager
     // loop has already materialised `result` (so this is their last
@@ -144,26 +143,63 @@ object Graph {
     // failure the same blocks must not stay pinned for the session — a
     // long-lived refresher retrying a failing refresh would otherwise
     // leak node-scale RDDs per attempt
-    try {
-      val nodes =
+    try pageRankOnDegreed(edgesWithDeg, deg, init, iterations,
+      dampingPct, ownDeg = true)
+    finally release(edgesWithDeg)
+  }
+
+  /** [[pageRankFrom]] over a PRE-DEGREED edge relation — the r18 shape
+    * for callers holding the `(edges ⋈ outdeg, deg)` pair as a shared
+    * artifact (the GraphQueries symDegCache): the edge-scale degree
+    * join, previously re-run (and re-checkpointed) on EVERY PageRank
+    * call, runs once per (session, dir). `ownDeg = false` leaves both
+    * inputs alive for the cache; `true` keeps the old single-call
+    * lifetime (deg released the moment the node list materialises). */
+  private[graft] def pageRankOnDegreed(edgesWithDeg: DataFrame,
+      deg: DataFrame, init: Option[DataFrame], iterations: Int,
+      dampingPct: Int, ownDeg: Boolean,
+      knownCounts: Option[(Long, Long)] = None): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val base = (100 - dampingPct).toLong * 10000L
+    // artifact-owned deg (ownDeg = false) outlives this call, so the
+    // node list can stay a LAZY projection over its checkpoint — no
+    // per-call cut job; the single-call path must still cut before it
+    // releases deg (the projection would otherwise read freed blocks)
+    val nodes =
+      if (!ownDeg) deg.select(col("src").as("node"), lit(base).as("base_e6"))
+      else
         try deg.select(col("src").as("node"), lit(base).as("base_e6"))
-          .localCheckpoint(true)
-        finally release(deg) // node list materialised (or failed); no reader left
-      try {
-        val start = init match {
-          case Some(prev) =>
-            nodes.join(prev.select(col("node"),
-                col("rank_e6").as("prev_e6")), Seq("node"), "left_outer")
-              .select(col("node"),
-                coalesce(col("prev_e6"), lit(1000000L)).as("rank_e6"))
-              .localCheckpoint(false)
-          case None =>
-            nodes.select(col("node"), lit(1000000L).as("rank_e6"))
-        }
-        try iterate(edgesWithDeg, nodes, start, iterations, dampingPct)
-        finally { if (init.isDefined) release(start) }
-      } finally release(nodes)
-    } finally release(edgesWithDeg)
+          .cut(true)
+        finally release(deg) // node list materialised (or failed)
+    try {
+      val start = init match {
+        case Some(prev) =>
+          nodes.join(prev.select(col("node"),
+              col("rank_e6").as("prev_e6")), Seq("node"), "left_outer")
+            .select(col("node"),
+              coalesce(col("prev_e6"), lit(1000000L)).as("rank_e6"))
+            .cut(false)
+        case None =>
+          nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+      }
+      try iterate(edgesWithDeg, nodes, start, iterations, dampingPct)
+      finally { if (init.isDefined) release(start) }
+    } finally release(nodes)
+  }
+
+  /** The degreed-edge artifact a DirCache holds for the PageRank
+    * family: both materialisations PLUS their row counts, measured once
+    * at build — the per-call broadcast-gate probe
+    * (`edgesWithDeg.count(); nodes.count()`) was two jobs on every
+    * q251/q256 invocation for numbers that cannot change while the
+    * artifact lives. Caller releases both frames. */
+  final case class DegreedGraph(edgesWithDeg: DataFrame, deg: DataFrame,
+      edgeRows: Long, nodeRows: Long)
+
+  private[graft] def degreedGraph(edges: DataFrame): DegreedGraph = {
+    val (e, d) = degreeJoin(edges)
+    try DegreedGraph(e, d, e.count(), d.count())
+    catch { case t: Throwable => release(e); release(d); throw t }
   }
 
   /** Weighted PageRank over `(src, dst, w)` with integer weights
@@ -187,15 +223,15 @@ object Graph {
     // edge relation and the node list derive from it, so the edge
     // relation is scanned once, not once per derivation
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-      .localCheckpoint(true)
+      .cut(true)
     // same finally-release discipline as [[pageRankFrom]]: success-path
     // ordering unchanged (results are eagerly materialised before the
     // releases run), failure paths no longer pin the checkpoints
     val (edgesW, nodes) =
       try {
-        val e = edges.join(wdeg, "src").localCheckpoint(true)
+        val e = edges.join(wdeg, "src").cut(true)
         try (e, wdeg.select(col("src").as("node"),
-            lit(base).as("base_e6")).localCheckpoint(true))
+            lit(base).as("base_e6")).cut(true))
         catch { case t: Throwable => release(e); throw t }
       } finally release(wdeg) // both derivations materialised (or failed)
     try {
@@ -260,32 +296,43 @@ object Graph {
     * loop). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int, dampingPct: Int = 85): DataFrame = {
+    val (edgesWithDeg, deg) = degreeJoin(edges)
+    try personalizedPageRankOnDegreed(edgesWithDeg, deg, seeds,
+      iterations, dampingPct, ownDeg = true)
+    finally release(edgesWithDeg)
+  }
+
+  /** [[personalizedPageRank]] over a PRE-DEGREED edge relation (the
+    * [[pageRankOnDegreed]] contract: `ownDeg = false` leaves the shared
+    * artifact pair alive for its cache). */
+  private[graft] def personalizedPageRankOnDegreed(
+      edgesWithDeg: DataFrame, deg: DataFrame, seeds: DataFrame,
+      iterations: Int, dampingPct: Int, ownDeg: Boolean,
+      knownCounts: Option[(Long, Long)] = None): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val base = (100 - dampingPct).toLong * 10000L
-    val (edgesWithDeg, deg) = degreeJoin(edges)
     // nodes and start are projections over the ONE `flagged` checkpoint;
     // finally-release keeps the success ordering (the eager loop
     // materialises `result` first) and stops failure paths pinning
     // flagged / the degreed edges
+    val flagged =
+      try deg.select(col("src").as("node"))
+        .join(seeds.select(col("node"), lit(true).as("is_seed")),
+          Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .cut(true)
+      finally { if (ownDeg) release(deg) } // flagged materialised (or failed)
     try {
-      val flagged =
-        try deg.select(col("src").as("node"))
-          .join(seeds.select(col("node"), lit(true).as("is_seed")),
-            Seq("node"), "left_outer")
-          .select(col("node"),
-            coalesce(col("is_seed"), lit(false)).as("is_seed"))
-          .localCheckpoint(true)
-        finally release(deg) // flagged materialised (or failed); no reader left
-      try {
-        val nodes = flagged.select(col("node"),
-          when(col("is_seed"), lit(base)).otherwise(lit(0L))
-            .as("base_e6"))
-        val start = flagged.select(col("node"),
-          when(col("is_seed"), lit(1000000L)).otherwise(lit(0L))
-            .as("rank_e6"))
-        iterate(edgesWithDeg, nodes, start, iterations, dampingPct)
-      } finally release(flagged)
-    } finally release(edgesWithDeg)
+      val nodes = flagged.select(col("node"),
+        when(col("is_seed"), lit(base)).otherwise(lit(0L))
+          .as("base_e6"))
+      val start = flagged.select(col("node"),
+        when(col("is_seed"), lit(1000000L)).otherwise(lit(0L))
+          .as("rank_e6"))
+      iterate(edgesWithDeg, nodes, start, iterations, dampingPct,
+        knownCounts = knownCounts)
+    } finally release(flagged)
   }
 
   /** Fixed-round multi-source BFS over a directed edge relation
@@ -309,17 +356,28 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
     var dist = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .cut(true)
+    // One measured gate before the loop (the [[iterate]] discipline):
+    // the frontier is node-scale bounded (reached ⊆ nodes ⊆ 2·edges'
+    // endpoints), so when the graph's node count clears the broadcast
+    // limit every round's edges ⋈ frontier join runs as a broadcast
+    // map-join — no per-round shuffle of the edge relation. The
+    // checkpointed frontier has no stats, so the planner cannot make
+    // this call alone (guide §3.1); shuffle fallback above the limit.
+    val smallFrontier = broadcastRanks(e.count(),
+      e.select(col("src")).distinct().count())
     var superseded: Option[DataFrame] = Some(dist)
     try {
       for (round <- 1 to maxHops) {
         val frontier = dist.filter(col("hops") === (round - 1).toLong)
+          .select(col("node").as("src"), col("hops"))
         val next = dist
-          .unionByName(e.join(frontier.select(col("node").as("src"),
-              col("hops")), "src")
+          .unionByName(e
+            .join(if (smallFrontier) broadcast(frontier) else frontier,
+              "src")
             .select(col("dst").as("node"), (col("hops") + 1L).as("hops")))
           .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-          .localCheckpoint(true)
+          .cut(true)
         superseded.foreach(release)
         superseded = Some(next)
         dist = next
@@ -350,7 +408,7 @@ object Graph {
       .distinct()
       .select(col("s").as("src"), col("s").as("node"),
         lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .cut(true)
     var superseded: Option[DataFrame] = Some(dist)
     try {
       for (round <- 1 to maxHops) {
@@ -364,7 +422,7 @@ object Graph {
               (col("hops") + 1L).as("hops")))
           .groupBy(col("src"), col("node"))
           .agg(min(col("hops")).as("hops"))
-          .localCheckpoint(true)
+          .cut(true)
         superseded.foreach(release)
         superseded = Some(next)
         dist = next
@@ -405,7 +463,7 @@ object Graph {
       maxNodes: Long = FusedBfsNodeLimit): DataFrame = {
     require(maxHops >= 1)
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .cut(true)
     try {
       val nNodes = e.select(col("src").as("s"))
         .unionByName(e.select(col("dst").as("s"))).distinct().count()
@@ -488,7 +546,7 @@ object Graph {
     * eventually releases) the returned node-scale artifact. */
   def kCoreArtifact(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     val cur = kCorePeel(pairs, k, rounds)
-    try kCoreDegrees(cur).localCheckpoint(true)
+    try kCoreDegrees(cur).cut(true)
     finally release(cur)
   }
 
@@ -518,7 +576,7 @@ object Graph {
     val oriented = ends.select(
       when(smaller, col("a")).otherwise(col("b")).as("src"),
       when(smaller, col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint(true)
+      .cut(true)
     try {
       val closed = oriented.select(col("src"), col("dst").as("v"))
         .join(oriented.select(col("src"), col("dst").as("w")), "src")
@@ -540,7 +598,7 @@ object Graph {
       pairs
         .join(support, Seq("a", "b"), "left_outer")
         .na.fill(0L, Seq("support"))
-        .localCheckpoint(true)
+        .cut(true)
     } finally release(oriented)
   }
 
@@ -574,7 +632,7 @@ object Graph {
         val next =
           try supp.filter(col("support") >= k - 2)
             .select(col("a"), col("b"))
-            .localCheckpoint(true)
+            .cut(true)
           finally release(supp)
         val nIn = cur.count()
         val nKept = next.count()
@@ -618,7 +676,7 @@ object Graph {
           .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
           .select(col("a"), col("b"))
-          .localCheckpoint(true)
+          .cut(true)
         superseded.foreach(release)
         superseded = Some(next)
         cur = next
@@ -736,7 +794,7 @@ object Graph {
     require(rounds >= 1)
     require(!withDiag || rounds >= 2,
       "the oscillation diagnostic compares labels(r−2): need rounds >= 2")
-    val sym = symWeighted.localCheckpoint(true)
+    val sym = symWeighted.cut(true)
     try {
       val nodes = sym.select(col("src").as("node")).distinct()
       // warm start: previously-labelled nodes keep their label, new
@@ -748,7 +806,7 @@ object Graph {
               col("label").as("prev_label")), Seq("node"), "left_outer")
             .select(col("node"),
               coalesce(col("prev_label"), col("node")).as("label")))
-        .localCheckpoint(true)
+        .cut(true)
       var labels = seed
       // live snapshots, NEWEST FIRST. The plain loop keeps one (the
       // superseded-release rule); the diagnostic variant keeps three —
@@ -773,7 +831,7 @@ object Graph {
               (-col("label")).as("neg_label"))).as("m"))
             .select(col("dst").as("node"),
               (-col("m.neg_label")).as("label"))
-            .localCheckpoint(true)
+            .cut(true)
           trail = next :: trail
           trail.drop(keep).foreach(release)
           trail = trail.take(keep)
@@ -842,7 +900,7 @@ object Graph {
     * the artifact. */
   def sCoreArtifact(pairs: DataFrame, s: Long, rounds: Int): DataFrame = {
     val cur = sCorePeel(pairs, s, rounds)
-    try sCoreStrengths(cur).localCheckpoint(true)
+    try sCoreStrengths(cur).cut(true)
     finally release(cur)
   }
 
@@ -867,7 +925,7 @@ object Graph {
           .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
           .select(col("a"), col("b"), col("w"))
-          .localCheckpoint(true)
+          .cut(true)
         superseded.foreach(release)
         superseded = Some(next)
         cur = next
@@ -889,8 +947,8 @@ object Graph {
     // Callers must release(deg) once their node-list checkpoint exists.
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    try (edges.join(deg, "src").localCheckpoint(true), deg)
+      .cut(true)
+    try (edges.join(deg, "src").cut(true), deg)
     catch { case t: Throwable => release(deg); throw t }
   }
 
@@ -922,7 +980,8 @@ object Graph {
     * measured-join discipline applied to its own iterative operator. */
   private def iterate(edgesWithDeg: DataFrame, nodes: DataFrame,
       start: DataFrame, iterations: Int, dampingPct: Int,
-      contribution: Column = expr("rank_e6 div outdeg")): DataFrame =
+      contribution: Column = expr("rank_e6 div outdeg"),
+      knownCounts: Option[(Long, Long)] = None): DataFrame =
     // Measured negative result (r17 optimization round): fusing the
     // rounds into ONE lazy plan under the broadcast gate (no per-round
     // eager checkpoint) cuts the job count 38 → 30 but runs ~15% SLOWER
@@ -931,7 +990,7 @@ object Graph {
     // DeduplicateRelations re-aliasing defeat exchange-reuse inside the
     // nested broadcast builds). The per-round checkpointed loop stays.
     iterateAdaptive(edgesWithDeg, nodes, start, iterations, dampingPct,
-      _ => contribution)
+      _ => contribution, knownCounts)
 
   /** [[iterate]] with a per-iteration contribution chooser: called with
     * the CURRENT rank snapshot before each pass, so a caller can probe
@@ -940,11 +999,18 @@ object Graph {
     * [[weightedPageRank]]'s adaptive numeric width. */
   private def iterateAdaptive(edgesWithDeg: DataFrame, nodes: DataFrame,
       start: DataFrame, iterations: Int, dampingPct: Int,
-      contributionFor: DataFrame => Column): DataFrame = {
+      contributionFor: DataFrame => Column,
+      knownCounts: Option[(Long, Long)] = None): DataFrame = {
     // both counts read already-materialised checkpoints (node-scale and
     // one pass over the edge blocks) — the cheap probe before a loop of
     // `iterations` full joins, the advisor's own cost discipline
-    val smallRanks = broadcastRanks(edgesWithDeg.count(), nodes.count())
+    // counts come from the caller's artifact when it holds them (the
+    // symDegCache measures once at build); only artifact-less callers
+    // pay the two probe jobs per call
+    val smallRanks = knownCounts match {
+      case Some((e, n)) => broadcastRanks(e, n)
+      case None => broadcastRanks(edgesWithDeg.count(), nodes.count())
+    }
     var ranks = start
     // Checkpoint LIFETIME rule: the loop holds at most the LIVE rank
     // snapshot and the one it is computing from. Each iteration's cut is
@@ -959,18 +1025,33 @@ object Graph {
     var superseded: Option[DataFrame] = None
     try {
       for (_ <- 1 to iterations) {
-        val rankSide = if (smallRanks) broadcast(ranks) else ranks
+        // zero-rank nodes contribute nothing (contrib = rank div outdeg
+        // = 0, and absent groups coalesce to 0 downstream) — dropping
+        // them is exact, a no-op for plain PageRank (every rank ≥ base
+        // > 0) and a frontier prune for personalized PageRank, whose
+        // early rounds carry mass on the seed neighbourhood only: the
+        // broadcast/shuffled rank side shrinks to the reached set
+        // (guide §2.3 shuffle fewer bytes).
+        val live = ranks.filter(col("rank_e6") > 0L)
+        val rankSide = if (smallRanks) broadcast(live) else live
         val contribs = edgesWithDeg
           .join(rankSide, col("src") === col("node"))
           .select(col("dst"), contributionFor(ranks).as("contrib"))
           .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        // the damping update joins two NODE-SCALE relations; under the
+        // same broadcast gate the aggregated contributions side is
+        // broadcast (BuildRight is legal under LEFT OUTER), removing
+        // the sort-merge's two per-iteration exchanges — the planner
+        // can't see this alone because the checkpointed node list has
+        // no stats (guide §3.1: hint when you know a side is small)
+        val updSide = if (smallRanks) broadcast(contribs) else contribs
         val next = nodes
-          .join(contribs, col("node") === col("dst"), "left_outer")
+          .join(updSide, col("node") === col("dst"), "left_outer")
           .select(col("node"),
             (col("base_e6") +
               expr(s"$dampingPct * coalesce(s, 0L) div 100"))
               .as("rank_e6"))
-          .localCheckpoint(true)
+          .cut(true)
         superseded.foreach(release)
         superseded = Some(next)
         ranks = next

@@ -122,6 +122,49 @@ object Quantiles {
       .select(col("pct"), col("v").as("value"))
   }
 
+  /** Exact percentiles of SEVERAL long columns of one relation in ONE
+    * derivation (r18, for q309's R/F/M bounds): the naive form runs
+    * [[exactQuantiles]] once per column — three histogram shuffles,
+    * three count passes, three owning-bucket ranks over the SAME input
+    * (guide §1.2: don't re-scan what one pass can carry). This melts
+    * the columns to `(metric, v)` rows carrying a PER-METRIC bucket
+    * width and runs the group machinery once — identical answers (the
+    * width routes work, it never changes the rank-`ceil(p·n/100)`
+    * selection; `QuantilesSpec` pins equality against the per-column
+    * calls). Output: `(metric, pct, value)`. */
+  def exactMetricQuantiles(df: DataFrame, metrics: Seq[(String, Long)],
+                           pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    require(metrics.nonEmpty && metrics.forall(_._2 > 0),
+      "bucket widths must be positive")
+    val v = df.select(explode(array(metrics.map { case (c, w) =>
+        struct(lit(c).as("g"), col(c).cast("long").as("v"),
+          lit(w).as("bw"))
+      }: _*)).as("x"))
+      .select(col("x.g").as("g"), col("x.v").as("v"),
+        expr("x.v div x.bw").as("b"))
+    val wOff = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = v.groupBy(col("g"), col("b")).agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum(col("bn")).over(wOff))
+      .withColumn("cum_prev", col("cum") - col("bn"))
+    val targets = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .select(col("g"),
+        col("n"), explode(array(pcts.map(lit(_)): _*)).as("pct"))
+      .withColumn("target", targetRank(col("n"), col("pct")))
+    val owner = targets.join(offs.withColumnRenamed("g", "og"),
+        col("g") === col("og") &&
+          col("target") > col("cum_prev") && col("target") <= col("cum"))
+      .select(col("g"), col("pct"), col("target"), col("b"),
+        col("cum_prev"))
+    val wIn = Window.partitionBy(col("g"), col("pct")).orderBy(col("v"))
+    v.join(broadcast(owner), Seq("g", "b"))
+      .withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") === col("target") - col("cum_prev"))
+      .select(col("g").as("metric"), col("pct"), col("v").as("value"))
+  }
+
   /** Per-group exact WEIGHTED percentiles — [[exactWeightedQuantiles]]
     * with the group key carried through every stage, same bounded-window
     * guarantees per (group, pct). Output: `(group, pct, value)`. */

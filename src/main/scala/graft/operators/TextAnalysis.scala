@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -115,7 +116,7 @@ object TextAnalysis {
     // the Dedup.shingleOverlap discipline)
     val toks = docs.select(col(idCol).as("sid"),
       explode(tokens(col(textCol))).as("tok"))
-      .localCheckpoint(false)
+      .cut(false)
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     toks.join(tf, "tok")
       .withColumn("bits", length(bin(col("tf"))).cast("long"))
@@ -432,7 +433,7 @@ object TextAnalysis {
     // twice (same materialised-index rationale as lexicalSurprisal)
     val tf = occ.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .cut(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(dfreq), "term")
@@ -479,7 +480,7 @@ object TextAnalysis {
     val pos = docs.select(col(idCol).as("doc_id"),
         posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
       .filter(col("tok").isin(words.distinct: _*))
-      .localCheckpoint(false)
+      .cut(false)
     val base = pos.filter(col("tok") === words.head)
       .select(col("doc_id"), col("pos"))
     val matched = words.zipWithIndex.tail.foldLeft(base) {
@@ -713,13 +714,13 @@ object TextAnalysis {
     val g3 = gramRel(reference, 3)
       .withColumn("ctx",
         concat_ws(" ", slice(split(col("gram"), " "), 1, 2)))
-      .localCheckpoint(false)
+      .cut(false)
     val c3 = g3.groupBy(col("gram")).agg(count(lit(1)).as("c3"))
       .withColumnRenamed("gram", "g3")
     val c3s = g3.groupBy(col("ctx")).agg(count(lit(1)).as("c3s"))
     val g2 = gramRel(reference, 2)
       .withColumn("prev", split(col("gram"), " ").getItem(0))
-      .localCheckpoint(false)
+      .cut(false)
     val c2 = g2.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
       .withColumnRenamed("gram", "g2")
     val c2s = g2.groupBy(col("prev")).agg(count(lit(1)).as("c2s"))
@@ -785,7 +786,7 @@ object TextAnalysis {
         explode(graft.functions.TextFunctions.wordShinglesAll(
           col(textCol), 2)).as("gram"))
       .withColumn("prev", split(col("gram"), " ").getItem(0))
-      .localCheckpoint(false)
+      .cut(false)
     val cb = grams.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
     val cu = grams.groupBy(col("prev")).agg(count(lit(1)).as("cu_starts"))
     grams.join(cb, "gram").join(cu, "prev")

@@ -315,6 +315,10 @@ object OffloadRunner {
     // the delta across the stage is the transport's own row count
     val preStageWritten = if (cfg.dryRun) 0L else settledRecordsWritten()
 
+    // the staged row count stageAndLoad already computed is REUSED by
+    // verify_counts and task_metrics below (r18, guide §1.2): the serial
+    // offload previously re-counted the staging directory twice more
+    var stagedCount: Option[Long] = None
     r.step("stage_and_load",
         s"staging=${cfg.stagingPath} final=${cfg.finalPath} " +
         s"mode=$finalMode partitionBy=${cfg.partitionCols.mkString(",")}") {
@@ -324,7 +328,7 @@ object OffloadRunner {
           case Left(violations) =>
             throw new IllegalStateException(
               s"staged-data validation failed: ${violations.count()} rows")
-          case Right(_) => ()
+          case Right(n) => stagedCount = Some(n)
         }
       }
     }
@@ -348,8 +352,12 @@ object OffloadRunner {
 
     r.step("verify_counts", "count source slice vs staged slice") {
       planned.foreach { df =>
-        val staged = spark.read.parquet(cfg.stagingPath)
-        val (s, t) = CrossValidator.countValidate(df, staged)
+        // the source slice is counted fresh (that is the row-loss gate);
+        // the staged side reuses stageAndLoad's count of the exact same
+        // directory rather than scanning it again
+        val s = df.count()
+        val t = stagedCount.getOrElse(
+          spark.read.parquet(cfg.stagingPath).count())
         if (s != t)
           throw new IllegalStateException(s"row count mismatch: $s vs $t")
       }
@@ -361,9 +369,14 @@ object OffloadRunner {
         // An empty increment must NOT regress the HWM: keep the previous one.
         val previousHwm = MetadataStore.load(cfg.metadataDir, cfg.sourceTable)
           .map(_.incrementalHighValue).getOrElse(Nil)
+        // the HWM probes the STAGED slice: verify_counts has already
+        // gated it row-equal to the source slice, and the plain parquet
+        // scan skips re-running the source's predicate/HWM filter chain
+        // a third time (r18, §1.2)
         val newHwm: Seq[String] =
           if (cfg.incrementalKey.nonEmpty)
-            CrossValidator.maxProbe(df, cfg.incrementalKey)
+            CrossValidator.maxProbe(spark.read.parquet(cfg.stagingPath),
+                cfg.incrementalKey)
               .map(_.map(String.valueOf)).getOrElse(previousHwm)
           else Nil
         MetadataStore.save(cfg.metadataDir, OffloadMetadata(
@@ -395,8 +408,7 @@ object OffloadRunner {
     // slice, which throws).
     if (!cfg.dryRun) {
       val transportRows = postStageWritten - preStageWritten
-      val stagedRows = planned.map(_ =>
-        spark.read.parquet(cfg.stagingPath).count()).getOrElse(0L)
+      val stagedRows = planned.flatMap(_ => stagedCount).getOrElse(0L)
       // settle again for the RAW total: a later Spark-writing step (an
       // executing BigQuery sink) may still have task events in flight
       val totalWritten = settledRecordsWritten()

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -625,7 +626,7 @@ object AnalyticsExtras {
       val du = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
-        .localCheckpoint(true) // feeds DAU, the 7-day expansion, and the day filter
+        .cut(true) // feeds DAU, the 7-day expansion, and the day filter
       val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       val wau = du
         .select(col("user_id"),
@@ -898,7 +899,7 @@ object AnalyticsExtras {
             .select(col("c_custkey"), col("c_mktsegment"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"), col("gap"))
-        .localCheckpoint(true) // quantile passes + the count both read it
+        .cut(true) // quantile passes + the count both read it
       try {
         val q = graft.operators.Quantiles
           .exactGroupQuantiles(gaps, "segment", "gap", Seq(50, 90), 1L)
@@ -1180,7 +1181,7 @@ object AnalyticsExtras {
           col("p_size").cast("long").as("sz"))
         .groupBy(col("p_brand"), col("price_e2"), col("sz"))
         .agg(count(lit(1)).as("m"))
-        .localCheckpoint(true) // ceiling + ties + band space read it
+        .cut(true) // ceiling + ties + band space read it
       try {
         val withCeil = cells.crossJoin(broadcast(
           cells.agg(greatest(max(col("sz")), lit(50L)).as("dmax"))))
@@ -1395,7 +1396,7 @@ object AnalyticsExtras {
         .select(concat(col("prev_type"), lit(">"), col("event_type"))
           .as("transition"),
           expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_s"))
-        .localCheckpoint(true) // histogram quantiles + counts read it
+        .cut(true) // histogram quantiles + counts read it
       try {
         val cuts = Quantiles.exactGroupQuantiles(gaps, "transition",
             "gap_s", Seq(50, 90), bucketWidth = 8L)
@@ -1428,7 +1429,7 @@ object AnalyticsExtras {
           "orders>lineitem")
         .unionByName(fan(t(s, dir, "orders"), "o_custkey",
           "customer>orders"))
-        .localCheckpoint(true) // quantiles + moments both read it
+        .cut(true) // quantiles + moments both read it
       try {
         val cuts = Quantiles.exactGroupQuantiles(f, "rel", "fanout",
             Seq(50, 90, 100), bucketWidth = 8L)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -102,7 +103,7 @@ object CurationExtras {
       // never unpersist)
       val assigned = IvfIndex.assign(emb, IvfIndex.Model(centroids), dim)
         .withColumn("nrm", Similarity.norm(col("embedding"), dim))
-        .localCheckpoint(true)
+        .cut(true)
       val a = assigned.select(col("ivf_cell"), col("vec_id").as("id_a"),
         col("embedding").as("va"), col("nrm").as("na"))
       val b = assigned.select(col("ivf_cell").as("cell_b"),
@@ -173,7 +174,7 @@ object CurationExtras {
       // localCheckpoint: k slots per source — without it the
       // corpus-scale shingle+sketch pass runs once per join side
       val sk = Sketches.kmvSketch(sh, k, "source", "shingle")
-        .localCheckpoint(true)
+        .cut(true)
       Sketches.kmvPairSimilarity(sk, k)
         .orderBy(col("src_lo"), col("src_hi"))
     },
@@ -201,7 +202,7 @@ object CurationExtras {
         .assignSessions(t(s, dir, "events"))
         .select(col("user_id"), col("session_idx"), col("event_type"))
         .distinct()
-        .localCheckpoint(true) // session-type presence feeds counts and both pair sides
+        .cut(true) // session-type presence feeds counts and both pair sides
       val nSessions = se.select(col("user_id"), col("session_idx"))
         .distinct().agg(count(lit(1)).as("n_sessions"))
       val tc = se.groupBy(col("event_type").as("t"))
@@ -292,17 +293,32 @@ object CurationExtras {
     // validators. Each relationship costs one anti-join + two distinct
     // aggregates, all on the key.
     "q202_integrity_audit" -> { (s, dir) =>
+      // r18: one key-grain pass per relationship instead of three fact
+      // scans (orphan anti-join + referenced semi-join + row count each
+      // re-read the child): the per-key child counts left-joined to the
+      // parent keys carry ALL three measures — n_child = Σcnt,
+      // n_orphans = Σcnt over unmatched keys (a NULL child key never
+      // matches, exactly as the anti-join counted it), n_ref = matched
+      // key count (≡ distinct-semi-join count). Guide §1.2 / §2.3;
+      // 42 jobs → ~17 at sf0.1, and at 100 TB one fact pass per FK
+      // instead of three.
       def rel(name: String, child: DataFrame, ck: String,
               parent: DataFrame, pk: String): DataFrame = {
-        val orphans = child.select(col(ck))
-          .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-        val referenced = child.select(col(ck)).distinct()
-          .join(parent.select(col(pk)), col(ck) === col(pk), "left_semi")
-          .agg(count(lit(1)).as("n_ref"))
-        child.agg(count(lit(1)).as("n_child"))
-          .crossJoin(broadcast(orphans))
-          .crossJoin(broadcast(referenced))
+        val perKey = child.groupBy(col(ck).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+        // parent keys DEDUPED before the join: the anti/semi joins this
+        // replaces never duplicate child rows, so a (hypothetical)
+        // duplicate parent key must not inflate the counts here either
+        // — this is an integrity AUDIT, it cannot assume parent
+        // uniqueness
+        perKey
+          .join(parent.select(col(pk).as("k")).distinct()
+              .withColumn("hit", lit(1)),
+            Seq("k"), "left_outer")
+          .agg(sum(col("cnt")).cast("long").as("n_child"),
+            sum(when(col("hit").isNull, col("cnt")).otherwise(0L))
+              .cast("long").as("n_orphans"),
+            count(when(col("hit").isNotNull, lit(1))).as("n_ref"))
           .crossJoin(broadcast(parent.agg(count(lit(1)).as("n_parents"))))
           .select(lit(name).as("relationship"), col("n_child"),
             col("n_orphans"),
@@ -331,7 +347,7 @@ object CurationExtras {
       val dayUser = t(s, dir, "events")
         .select(to_date(col("ts")).as("day"), col("user_id"))
         .distinct()
-        .localCheckpoint(true) // feeds the day list, the exact path and the sketch
+        .cut(true) // feeds the day list, the exact path and the sketch
       val days = dayUser.select(col("day").as("d2")).distinct()
       val exact = dayUser
         .join(days, col("day") >= date_sub(col("d2"), 6) &&
@@ -365,7 +381,7 @@ object CurationExtras {
       val docs = t(s, dir, "documents")
       val cells = docs.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("observed"))
-        .localCheckpoint(true) // margins and the cell report both read it
+        .cut(true) // margins and the cell report both read it
       val langM = cells.groupBy(col("lang").as("l2"))
         .agg(sum(col("observed")).as("r"))
       val srcM = cells.groupBy(col("source").as("s2"))
@@ -466,7 +482,7 @@ object CurationExtras {
       val toks = t(s, dir, "documents")
         .select(col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
-        .localCheckpoint(true) // both quantile passes and the deviation read it
+        .cut(true) // both quantile passes and the deviation read it
       val med = Quantiles
         .exactGroupQuantiles(toks, "source", "v", Seq(50), 16L)
         .select(col("source").as("ms"), col("value").as("median"))
@@ -513,7 +529,7 @@ object CurationExtras {
         .assignSessions(t(s, dir, "events"))
         .select(col("user_id"), col("session_idx"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-        .localCheckpoint(true) // view-min and purchase-probe both read it
+        .cut(true) // view-min and purchase-probe both read it
       val keys = Seq("user_id", "session_idx")
       val v = ev.filter(col("event_type") === "view")
         .groupBy(keys.map(col): _*).agg(min(col("us")).as("v_us"))
@@ -537,7 +553,7 @@ object CurationExtras {
         .assignSessions(t(s, dir, "events"))
         .select(col("user_id"), col("session_idx"), col("event_type"),
           col("event_id"), unix_micros(col("ts")).as("us"))
-        .localCheckpoint(true) // entry ranking and the purchase probe both read it
+        .cut(true) // entry ranking and the purchase probe both read it
       val wFirst = Window.partitionBy(col("user_id"), col("session_idx"))
         .orderBy(col("us"), col("event_id"))
       val entry = ev.withColumn("rn", row_number().over(wFirst))
@@ -580,7 +596,7 @@ object CurationExtras {
       val cents = t(s, dir, "orders")
         .select((col("o_totalprice").cast("decimal(12,2)") * lit(100))
           .cast("long").as("cents"))
-        .localCheckpoint(true) // boundary pass and bucketing pass both read it
+        .cut(true) // boundary pass and bucketing pass both read it
       val bCols = (10 to 90 by 10).map(p =>
         max(when(col("pct") === p, col("value"))).as(s"b$p"))
       val bounds = graft.operators.Quantiles
@@ -641,7 +657,7 @@ object CurationExtras {
       val du = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
-        .localCheckpoint(true) // five readers: firsts, prev, flags, churn, days
+        .cut(true) // five readers: firsts, prev, flags, churn, days
       val firsts = du.groupBy(col("user_id"))
         .agg(min(col("day")).as("first_day"))
       val prev = du.select(col("user_id"),
@@ -738,7 +754,7 @@ object CurationExtras {
           unix_micros(col("ts")).as("us"))
         .groupBy(col("user_id"), col("session_idx"), col("event_type"))
         .agg(min(col("us")).as("min_us"), max(col("us")).as("max_us"))
-        .localCheckpoint(true) // both pair sides and the session total read it
+        .cut(true) // both pair sides and the session total read it
       val n = bounds.select(col("user_id"), col("session_idx"))
         .distinct().agg(count(lit(1)).as("n_sessions"))
       bounds
@@ -848,7 +864,7 @@ object CurationExtras {
           explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
       val per = tok.groupBy(col("source"), col("tok"))
         .agg(count(lit(1)).as("c_st"))
-        .localCheckpoint(false)
+        .cut(false)
       val glob = per.groupBy(col("tok"))
         .agg(sum(col("c_st")).as("c_t"))
       val nTot = glob.agg(sum(col("c_t")).as("n"))
@@ -1138,22 +1154,29 @@ object CurationExtras {
           datediff(col("mxd"), col("last_d")).cast("long")
             .as("rec_days"),
           col("freq"), col("mon_e2").cast("long").as("mon_e2"))
-        .localCheckpoint(true) // three boundary passes + coding read it
+        .cut(true) // three boundary passes + coding read it
       try {
-        def bounds(vCol: String, bw: Long, p: String): DataFrame =
-          Quantiles.exactQuantiles(rfm, vCol, Seq(33, 66), bw)
-            .groupBy()
-            .agg(max(when(col("pct") === 33, col("value")))
-                .as(s"${p}33"),
-              max(when(col("pct") === 66, col("value")))
-                .as(s"${p}66"))
+        // r18: ONE melted quantile derivation for all three metrics
+        // (Quantiles.exactMetricQuantiles) instead of three separate
+        // histogram+rank pipelines over the same cut relation — one
+        // boundary pass and one broadcast where there were three each
+        // (guide §1.2; 32 jobs → ~12 at sf0.1). Same rank definition
+        // per metric ⇒ identical bounds, spec-pinned.
+        val cuts = Quantiles.exactMetricQuantiles(rfm,
+          Seq(("rec_days", 1L), ("freq", 1L), ("mon_e2", 100000L)),
+          Seq(33, 66))
+        def cell(m: String, p: Int): Column =
+          max(when(col("metric") === m && col("pct") === p,
+            col("value")))
+        val bounds = cuts.groupBy().agg(
+          cell("rec_days", 33).as("r33"), cell("rec_days", 66).as("r66"),
+          cell("freq", 33).as("f33"), cell("freq", 66).as("f66"),
+          cell("mon_e2", 33).as("m33"), cell("mon_e2", 66).as("m66"))
         def code(v: String, p: String): Column =
           (lit(1L) + when(col(v) > col(s"${p}33"), 1L).otherwise(0L)
             + when(col(v) > col(s"${p}66"), 1L).otherwise(0L)).as(s"${p}_b")
         val out = rfm
-          .crossJoin(broadcast(bounds("rec_days", 1L, "r")))
-          .crossJoin(broadcast(bounds("freq", 1L, "f")))
-          .crossJoin(broadcast(bounds("mon_e2", 100000L, "m")))
+          .crossJoin(broadcast(bounds))
           .select(code("rec_days", "r"), code("freq", "f"),
             code("mon_e2", "m"), col("mon_e2"))
           .groupBy(col("r_b"), col("f_b"), col("m_b"))
@@ -1190,7 +1213,7 @@ object CurationExtras {
         .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
         .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
             .cast("decimal(38,0)")).cast("long").as("spend_e2"))
-        .localCheckpoint(true) // quantile passes + coding read it
+        .cut(true) // quantile passes + coding read it
       try {
         val cuts = Quantiles
           .exactGroupQuantiles(sp, "yr", "spend_e2", Seq(25, 50, 75),
@@ -1293,7 +1316,7 @@ object CurationExtras {
         // the fact is folded ONCE into this cell-grid checkpoint; the
         // marginal windows and the broadcast total both read the
         // ≤(regions × brands) materialisation, never the fact again
-        .localCheckpoint(true)
+        .cut(true)
       try {
         val wR = Window.partitionBy(col("region"))
         val wB = Window.partitionBy(col("p_brand"))
@@ -1330,7 +1353,7 @@ object CurationExtras {
       val last = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(to_date(col("o_orderdate"))).as("last_d"))
-        .localCheckpoint(true) // max pass + the curve both read it
+        .cut(true) // max pass + the curve both read it
       try {
         val out = last
           .crossJoin(broadcast(last.agg(max(col("last_d")).as("mxd"))))
@@ -1640,7 +1663,7 @@ object CurationExtras {
           unix_micros(col("ts")).as("us"))
         .groupBy(col("user_id"), col("session_idx"), col("event_type"))
         .agg(min(col("us")).as("f_us"))
-        .localCheckpoint(true) // three join sides + the session total
+        .cut(true) // three join sides + the session total
       val n = firsts.select(col("user_id"), col("session_idx"))
         .distinct().agg(count(lit(1)).as("n_sessions"))
       firsts
@@ -1680,7 +1703,7 @@ object CurationExtras {
       val ranked = vocab
         .withColumn("rk", row_number().over(
           Window.orderBy(col("freq").desc, col("token"))))
-        .localCheckpoint(true) // three sweep arms + the totals read it
+        .cut(true) // three sweep arms + the totals read it
       try {
         val tot = ranked.agg(count(lit(1)).as("n_types"),
           sum(col("freq")).as("n_occurrences"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -173,7 +174,7 @@ object DsShapes {
             channelCol.as("channel"), col("p_type"))
           .agg(countDistinct(col("l_orderkey")).as("n_orders"),
             sum(revE4).as("rev_e4"))
-          .localCheckpoint(true)
+          .cut(true)
         grainCache.foreach { case (_, o) =>
           graft.operators.Graph.release(o)
         }
@@ -181,6 +182,17 @@ object DsShapes {
     }
   }
   @volatile private var grainCache: Option[(String, DataFrame)] = None
+  locally {
+    graft.ArtifactCaches.register { s =>
+      synchronized {
+        grainCache.foreach { case (_, g) =>
+          if (g.sparkSession eq s) {
+            graft.operators.Graph.release(g); grainCache = None
+          }
+        }
+      }
+    }
+  }
 
   /** [[partYearChannelGrain]]'s DuckDB face (CTE named `r`). */
   private lazy val PartYearChannelSql =
@@ -351,7 +363,7 @@ object DsShapes {
       val yearly = channelSales(s, dir)
         .groupBy(col("channel"), col("order_year"))
         .agg(sum(col("rev_e4")).as("rev_e4"))
-        .localCheckpoint(true) // both self-join sides — one fact pass, not two
+        .cut(true) // both self-join sides — one fact pass, not two
       val prev = yearly.select(col("channel"),
         (col("order_year") + 1).as("order_year"),
         col("rev_e4").as("prev_e4"))
@@ -405,7 +417,7 @@ object DsShapes {
       val w = Window.partitionBy(col("channel")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = daily.withColumn("cum_e2", sum(col("d_e2")).over(w))
-        .localCheckpoint(true) // store and web branches — one orders pass, not two
+        .cut(true) // store and web branches — one orders pass, not two
       val store = cum.filter(col("channel") === "store")
         .select(col("day"), col("cum_e2").as("store_cum"))
       val web = cum.filter(col("channel") === "web")
@@ -572,7 +584,7 @@ object DsShapes {
     // totals ride a broadcast 1-row cross join.
     "q328_ks_channel_values" -> { (s, dir) =>
       val vals = channelValueGrain(s, dir)
-        .localCheckpoint(true) // both phases + totals read it
+        .cut(true) // both phases + totals read it
       try {
         val out = channelCum(vals)
           .crossJoin(broadcast(vals.agg(
@@ -639,7 +651,7 @@ object DsShapes {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
         .distinct()
-        .localCheckpoint(true) // marginals + self-join all read it
+        .cut(true) // marginals + self-join all read it
       try {
         val marg = ob.groupBy(col("b"))
           .agg(count(lit(1)).as("n_b"))
@@ -709,7 +721,7 @@ object DsShapes {
         .groupBy(col("o_custkey"))
         .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
             .cast("decimal(38,0)")).cast("long").as("spend_e2"))
-        .localCheckpoint(true) // quantile pass + share pass read it
+        .cut(true) // quantile pass + share pass read it
       try {
         val cut = Quantiles
           .exactQuantiles(spend, "spend_e2", Seq(99), 10000L)
@@ -745,7 +757,7 @@ object DsShapes {
     // one scale shape).
     "q337_channel_auc" -> { (s, dir) =>
       val vals = channelValueGrain(s, dir)
-        .localCheckpoint(true) // both phases + totals read it
+        .cut(true) // both phases + totals read it
       try {
         // the raw u2 landing is BIGINT — quadratic in side sizes, so
         // it overflows past ~2e9 rows per side; auc_ppm (the
@@ -1022,7 +1034,7 @@ object DsShapes {
     // DECIMAL-lifted quotient) is the scale-safe output.
     "q357_channel_tv_distance" -> { (s, dir) =>
       val vals = channelValueGrain(s, dir)
-        .localCheckpoint(true) // totals + the TV sum both read it
+        .cut(true) // totals + the TV sum both read it
       try {
         val out = vals
           .crossJoin(broadcast(vals.agg(
@@ -1113,14 +1125,26 @@ object DsShapes {
     // the brand rollup then joins only the part-scale aggregate to the
     // dimension. Never a per-channel INTERSECT cascade over the fact.
     "q250_cross_channel_parts" -> { (s, dir) =>
-      val per = Tables.fanOut(t(s, dir, "lineitem"))
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(channelCol.as("channel"), col("l_partkey"),
-          revE4.as("rev_e4"))
+      // r18: the orders join carried NOTHING but the channel, and
+      // channel ≡ pmod(orderkey, 3) is derivable from l_orderkey
+      // directly (the q279 precedent — one channelCol definition, keyed
+      // on either side). lineitem→orders referential integrity
+      // (o_orderkey unique, every l_orderkey present — the Expectations
+      // FK rule, re-verified on all SFs) makes the inner join
+      // row-preserving, so skipping it removes the fact-scale join
+      // shuffle outright (guide §2.4). countDistinct(channel) planned
+      // an Expand (3× the pre-shuffle rows); the 3-value channel domain
+      // packs into one bit_or bitmask instead — single-pass partial
+      // aggregation (§2.3), n_ch = 3 ⟺ mask = 0b111. Results
+      // bit-identical; the oracle still derives via the join.
+      val per = t(s, dir, "lineitem")
+        .select(expr("shiftleft(1, cast(pmod(l_orderkey, 3) as int))")
+            .as("chbit"),
+          col("l_partkey"), revE4.as("rev_e4"))
         .groupBy(col("l_partkey"))
-        .agg(countDistinct(col("channel")).as("n_ch"),
+        .agg(expr("bit_or(chbit)").as("ch_mask"),
           count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("r_e4"))
-        .filter(col("n_ch") === 3)
+        .filter(col("ch_mask") === 7)
       per.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"),
@@ -1231,7 +1255,7 @@ object DsShapes {
           year(col("l_shipdate")).as("ship_yr"),
           (col("l_quantity").cast("decimal(12,2)") * 100)
             .cast("decimal(38,0)").as("qty_e2"))
-        .localCheckpoint(false)
+        .cut(false)
       val zero = lit(0).cast("decimal(38,0)")
       val hot = li.groupBy(col("l_partkey"))
         .agg(sum(col("qty_e2")).cast("long").as("q_all"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +64,17 @@ object PipelineQueries {
     * cache is always populated when the oracle is rendered). */
   object PqModels {
     @volatile private var cached: Option[(String, graft.operators.ProductQuantizer.Model)] = None
+    graft.ArtifactCaches.register(clear _)
+    /** Cold-mode hook: drop the trained model (driver-side, no Spark
+      * storage — cleared unconditionally) and unpersist the encoded
+      * index when it belongs to `s`, so the next probe re-trains and
+      * re-encodes from the parquet inputs. */
+    private[graft] def clear(s: SparkSession): Unit = synchronized {
+      cached = None
+      cachedEnc.foreach { case (_, df) =>
+        if (df.sparkSession eq s) { df.unpersist(); cachedEnc = None }
+      }
+    }
     def trained(s: SparkSession, dir: String): graft.operators.ProductQuantizer.Model =
       synchronized {
         import graft.operators.ProductQuantizer
@@ -127,6 +139,28 @@ object PipelineQueries {
   object CcArtifact {
     @volatile private var cached:
         Option[(String, DataFrame, DataFrame)] = None
+    graft.ArtifactCaches.register(clear _)
+    /** Cold-mode hook: release every slot whose artifact belongs to
+      * `s` so the next consumer re-derives from the parquet inputs. */
+    private[graft] def clear(s: SparkSession): Unit = synchronized {
+      cached.foreach { case (_, p, c) =>
+        if (p.sparkSession eq s) {
+          graft.operators.Graph.release(p)
+          graft.operators.Graph.release(c)
+          cached = None
+        }
+      }
+      cachedSigs.foreach { case (_, sg) =>
+        if (sg.sparkSession eq s) {
+          graft.operators.Graph.release(sg); cachedSigs = None
+        }
+      }
+      cachedJacc0.foreach { case (_, j) =>
+        if (j.sparkSession eq s) {
+          graft.operators.Graph.release(j); cachedJacc0 = None
+        }
+      }
+    }
     // r17 optimization round: the MINHASH SIGNATURE relation and the
     // EXACT-JACCARD pair relation (threshold 0 — every consumer's
     // threshold is a filter over it, since jaccardPairs only filters
@@ -146,7 +180,7 @@ object PipelineQueries {
         case Some((d, sg)) if d == dir => sg
         case _ =>
           val sg = Dedup.minhashSignatures(tf(s, dir, "documents"),
-            NumHashes).localCheckpoint(true)
+            NumHashes).cut(true)
           cachedSigs.foreach { case (_, o) =>
             graft.operators.Graph.release(o)
           }
@@ -158,7 +192,7 @@ object PipelineQueries {
         case Some((d, j)) if d == dir => j
         case _ =>
           val j = Dedup.jaccardPairs(tf(s, dir, "documents"), 0.0)
-            .localCheckpoint(true)
+            .cut(true)
           cachedJacc0.foreach { case (_, o) =>
             graft.operators.Graph.release(o)
           }
@@ -173,8 +207,8 @@ object PipelineQueries {
         case Some((d, p, c)) if d == dir => (p, c)
         case _ =>
           val p = Dedup.lshCandidates(sigs(s, dir), NumHashes, Bands)
-            .localCheckpoint(true)
-          val c = Dedup.connectedComponents(p).localCheckpoint(true)
+            .cut(true)
+          val c = Dedup.connectedComponents(p).cut(true)
           cached.foreach { case (_, op, oc) =>
             graft.operators.Graph.release(op)
             graft.operators.Graph.release(oc)
@@ -196,6 +230,14 @@ object PipelineQueries {
     * stored-vs-recomputed is unobservable in any result. */
   object NbArtifact {
     @volatile private var cached: Option[(String, DataFrame)] = None
+    graft.ArtifactCaches.register(clear _)
+    private[graft] def clear(s: SparkSession): Unit = synchronized {
+      cached.foreach { case (_, c) =>
+        if (c.sparkSession eq s) {
+          graft.operators.Graph.release(c); cached = None
+        }
+      }
+    }
     def costs(s: SparkSession, dir: String): DataFrame = synchronized {
       cached match {
         case Some((d, c)) if d == dir => c
@@ -204,7 +246,7 @@ object PipelineQueries {
           val c = graft.operators.Classifier.nbCosts(docs,
               graft.operators.Classifier.nbTrain(docs),
               graft.operators.Classifier.nbPriors(docs))
-            .localCheckpoint(true)
+            .cut(true)
           cached.foreach { case (_, oc) =>
             graft.operators.Graph.release(oc)
           }
@@ -221,6 +263,8 @@ object PipelineQueries {
   object BpeModels {
     @volatile private var cached:
         Option[(String, Seq[graft.operators.Bpe.Merge])] = None
+    // driver-side merge list, no Spark storage: cleared unconditionally
+    graft.ArtifactCaches.register(_ => synchronized { cached = None })
     def trained(s: SparkSession, dir: String)
         : Seq[graft.operators.Bpe.Merge] = synchronized {
       cached match {
@@ -334,7 +378,7 @@ object PipelineQueries {
         .select(least(col("sa"), col("sb")).as("source_a"),
           greatest(col("sa"), col("sb")).as("source_b"),
           col("id_a"), col("id_b"))
-        .localCheckpoint(true) // feeds the pair count AND the doc count
+        .cut(true) // feeds the pair count AND the doc count
       try {
         val nPairs = pairs.groupBy(col("source_a"), col("source_b"))
           .agg(count(lit(1)).as("n_pairs"))
@@ -424,7 +468,7 @@ object PipelineQueries {
         .select(col("doc_id"), posexplode(TextAnalysis.tokens(
           lower(col("text")))))
         .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
-        .localCheckpoint(false)
+        .cut(false)
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       val big = pos
         .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
@@ -2684,17 +2728,23 @@ object PipelineQueries {
     // shape, one scan per level), per-query top-10 via per-group rank
     // (WindowGroupLimit — never a global sort), recall = overlap with
     // the full-dim truth set via a left join that PRESERVES
-    // zero-overlap queries. The exact expression-chain kernels
-    // (dotChain/normSqChain) keep the double op order identical to the
-    // oracle's unrolled SQL at every truncation width. Everything
+    // zero-overlap queries. Scoring rides the PREFIX dot kernel
+    // (graft_dot_prefix — r18): the unrolled dotChain/normSqChain at
+    // d = 128 blew past the codegen method-size limit, so the whole
+    // scoring stage silently fell back to interpreted per-row eval
+    // (~2 s of executor time for a 2 000-row corpus, measured); the
+    // kernel is a fixed-size loop, bitwise-identical to the chain term
+    // for term (VectorFunctionsSpec pins it), so the oracle's unrolled
+    // SQL still hash-matches at every truncation width. Everything
     // after the scans is (levels × queries × 10)-scale.
     "q378_matryoshka_recall" -> { (s, dir) =>
+      import graft.functions.VectorFunctions.dotPrefixNative
       val emb = t(s, dir, "embeddings")
       val nq = 16
       import org.apache.spark.sql.expressions.Window
       def topAt(d: Int): DataFrame = {
         val withN = emb.withColumn("nrm",
-          sqrt(Similarity.normSqChain(col("embedding"), d)))
+          sqrt(dotPrefixNative(col("embedding"), col("embedding"), d)))
         val qs = withN.filter(col("vec_id") < nq)
           .select(col("vec_id").as("q_id"),
             col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
@@ -2703,7 +2753,7 @@ object PipelineQueries {
         withN.crossJoin(broadcast(qs))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("score",
-            Similarity.dotChain(col("embedding"), col("q_vec"), d) /
+            dotPrefixNative(col("embedding"), col("q_vec"), d) /
               (col("nrm") * col("q_nrm")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 10)
@@ -2786,7 +2836,7 @@ object PipelineQueries {
       val truth = CcArtifact.jacc0(s, dir)
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("id_a"), col("id_b"))
-        .localCheckpoint(false) // three band probes read it
+        .cut(false) // three band probes read it
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       graft.tools.ExplainAudit.auditedCut(
         Seq(2, 4, 8).map { b =>

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -216,7 +217,7 @@ object TpchShapes {
         .select(col("l_partkey"), revE4.as("rev_e4"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("rev_e4")).as("value_e4"))
-        .localCheckpoint(true)
+        .cut(true)
       val total = vals.agg(sum(col("value_e4")).as("total_e4"),
         count(lit(1)).as("n_parts"))
       vals.crossJoin(broadcast(total))
@@ -275,7 +276,7 @@ object TpchShapes {
         .select(col("l_suppkey"), revE4.as("rev_e4"))
         .groupBy(col("l_suppkey"))
         .agg(sum(col("rev_e4")).as("supp_e4"))
-        .localCheckpoint(true) // supplier-scale aggregate read by both MAX and probe
+        .cut(true) // supplier-scale aggregate read by both MAX and probe
       val mx = rev.agg(max(col("supp_e4")).as("max_e4"))
       rev.crossJoin(broadcast(mx))
         .filter(col("supp_e4") === col("max_e4"))
@@ -441,7 +442,7 @@ object TpchShapes {
             .cast("long").as("qty_e2"))
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(col("qty_e2")).as("sq_e2"))
-        .localCheckpoint(true) // derived partsupp-scale aggregate, read twice
+        .cut(true) // derived partsupp-scale aggregate, read twice
       val pq = sq.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("sq_e2")).as("pq_e2"), count(lit(1)).as("n_supp"))
       val dom = sq.join(pq, col("l_partkey") === col("pk"))

@@ -1,5 +1,6 @@
 package graft.sink
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -79,10 +80,25 @@ object IncrementalUpdate {
     //    serves both anti-joins: the second's left side is the first's
     //    output, a subset of `current`, so its skew can only shrink.
     val changeKeys = changes.select(keyCols.map(col): _*)
+    // SHORT-CIRCUIT probe (r18, guide §1.2): the full adviseKeys probe
+    // profiles per-key skew on BOTH sides and runs a two-sided CMS
+    // size estimate — three extra passes over relations this merge
+    // scans anyway — but skew and size only influence the decision on
+    // the SORT-MERGE path. A typical incremental batch is small:
+    // count the change keys first (metadata-scale), and when they fit
+    // the broadcast limit the decision is already made by two counts —
+    // the expensive skew/CMS probe runs only when the batch is big
+    // enough that sort-merge (and its skew hazard) is on the table.
     val advice =
-      if (adviseJoins)
-        Some(graft.plan.JoinAdvisor.adviseKeys(current, changeKeys, keyCols,
-          adviseBroadcastRowLimit, adviseSkewSharePpm))
+      if (adviseJoins) Some {
+        val rRows = changeKeys.count()
+        if (rRows <= adviseBroadcastRowLimit)
+          graft.plan.JoinAdvisor.adviseMeasured(current.count(), rRows,
+            broadcastRowLimit = adviseBroadcastRowLimit,
+            skewSharePpm = adviseSkewSharePpm)
+        else graft.plan.JoinAdvisor.adviseKeys(current, changeKeys,
+          keyCols, adviseBroadcastRowLimit, adviseSkewSharePpm)
+      }
       else None
     def antiJoin(l: org.apache.spark.sql.DataFrame,
                  r: org.apache.spark.sql.DataFrame) = advice match {
@@ -98,12 +114,27 @@ object IncrementalUpdate {
     val merged = survivors.withColumn("_iu_src", lit("kept"))
       .unionByName(incoming.select(current.columns.map(col): _*)
         .withColumn("_iu_src", lit("upserted")))
+      // CLUSTER BY (PARTITION, bounded salt) before materializing
+      // (guide §6 file sizing + §2.5): without it every one of the N
+      // shuffle tasks holds rows of every affected partition, and the
+      // dynamic overwrite writes N × |partitions| splinter files —
+      // slower to commit, and every later read pays the listing +
+      // per-file open cost. Clustering on the partition column ALONE
+      // would serialize each partition into one task (a huge affected
+      // partition at scale = one straggler writer), so the cluster key
+      // adds a DETERMINISTIC key-hash salt (never rand() — retry
+      // safety) bounded so writer slots ≈ the session's parallelism:
+      // ≤ salt files per partition, parallel within partitions.
+      .repartition(col(partitionCol),
+        pmod(xxhash64(keyCols.map(col): _*),
+          lit(math.max(1, spark.sparkContext.defaultParallelism /
+            math.max(1, affected.size)))))
       // Materialize BEFORE overwriting: the plan reads targetPath, and a
       // lazy write that overwrites the path it is reading is committer- and
       // object-store-dependent (a task retry after commit would re-read
-      // overwritten data). localCheckpoint truncates the lineage so the
+      // overwritten data). The eager cut truncates the lineage so the
       // write consumes only materialized blocks.
-      .localCheckpoint(true)
+      .cut(true)
 
     // One metadata-scale aggregate off the checkpoint serves both the
     // provenance counts and the surviving-partition set.

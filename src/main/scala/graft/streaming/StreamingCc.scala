@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Cut.CutOps
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -63,7 +64,7 @@ object StreamingCc {
   private[streaming] def aliasClosure(aliases: DataFrame,
                                       maxChase: Int): DataFrame = {
     var closed = aliases.select(col("old_root"), col("new_root"))
-      .localCheckpoint(true)
+      .cut(true)
     // the release must target the CHECKPOINTED step itself: `closed`
     // after hop one is a Project over it, which Graph.release's
     // bare-LogicalRDD match deliberately ignores
@@ -77,7 +78,7 @@ object StreamingCc {
         .select(col("c.old_root"),
           coalesce(col("a.new_root"), col("c.new_root")).as("new_root"),
           col("a.new_root").isNotNull.as("moved"))
-        .localCheckpoint(true)
+        .cut(true)
       done = step.filter(col("moved")).isEmpty
       // step is materialised: the previous hop's snapshot had its last
       // read and is released (the Graph.iterate lifetime rule — at most

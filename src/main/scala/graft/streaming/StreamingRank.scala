@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Cut.CutOps
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -117,7 +118,7 @@ object StreamingRank {
       .distinct()
       .withColumn("bucket",
         pmod(col("a"), lit(nBuckets.toLong)).cast("int"))
-      .localCheckpoint(true)
+      .cut(true)
     // All-self-pair (or all-null) batches write NOTHING — an empty
     // first write would leave a parquet-less edges directory that
     // wedges every later read ("unable to infer schema"); the HWM

@@ -34,6 +34,7 @@ object QueryProfile {
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.quietNoise()
     import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()

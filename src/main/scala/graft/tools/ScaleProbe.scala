@@ -144,6 +144,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.quietNoise()
 
     val queries = (slowestFromBench("bench/last_run.json", nSlow) ++
       ExplainAudit.QuadraticAllowlist.toSeq.sorted ++ extra)

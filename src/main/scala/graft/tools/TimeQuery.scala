@@ -26,6 +26,7 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogQuiet.quietNoise()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     val hits = graft.SparkEntry.queries.keys.filter(_.startsWith(name))

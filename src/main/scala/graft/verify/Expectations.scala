@@ -1,5 +1,6 @@
 package graft.verify
 
+import graft.Cut.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -362,7 +363,7 @@ object Expectations {
           case Some(cs) => load(table).select(cs.map(col): _*)
           case None => load(table)
         }
-        if (uses(table) > 1) projected.localCheckpoint(false)
+        if (uses(table) > 1) projected.cut(false)
         else projected
       })
 

@@ -101,6 +101,25 @@ class QuantilesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("multi-metric quantiles equal the per-column operator (r18 q309)") {
+    // three columns with different scales and widths, like q309's R/F/M
+    val df = values.zipWithIndex.map { case (v, i) =>
+      (v, (i % 37).toLong, v * 1000L + i)
+    }.toDF("rec", "freq", "mon")
+    val pcts = Seq(33, 66)
+    val metrics = Seq(("rec", 1L), ("freq", 1L), ("mon", 100000L))
+    val got = Quantiles.exactMetricQuantiles(df, metrics, pcts)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    metrics.foreach { case (c, w) =>
+      val expected = Quantiles.exactQuantiles(df, c, pcts, w)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      pcts.foreach { p =>
+        assert(got((c, p)) == expected(p), s"metric $c pct $p")
+      }
+    }
+  }
+
   test("plans carry no scale-unsafe shapes (audit clean)") {
     val df = values.toDF("v")
     val grouped = values.zipWithIndex
