@@ -218,73 +218,94 @@ object Graph {
   def weightedPageRank(edges: DataFrame, iterations: Int,
       dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val base = (100 - dampingPct).toLong * 10000L
+    val g = weightedDegreedGraph(edges)
+    try weightedPageRankOnDegreed(g, iterations, dampingPct)
+    finally { release(g.edgesW); release(g.wdeg) }
+  }
+
+  /** [[DegreedGraph]]'s weighted twin: `edges ⋈ Σw(src)` plus the
+    * node-scale weighted out-degree relation, their row counts, and the
+    * max edge weight — everything [[weightedPageRankOnDegreed]] needs
+    * to run ZERO probe jobs per call. Counts and maxW are static
+    * properties of the graph, measured once at build (one combined
+    * aggregate over the already-materialised edge checkpoint). Caller
+    * releases both frames. */
+  final case class WeightedDegreedGraph(edgesW: DataFrame,
+      wdeg: DataFrame, edgeRows: Long, nodeRows: Long, maxW: Long)
+
+  private[graft] def weightedDegreedGraph(
+      edges: DataFrame): WeightedDegreedGraph = {
     // checkpoint the node-scale weighted degrees ONCE: both the degreed
     // edge relation and the node list derive from it, so the edge
     // relation is scanned once, not once per derivation
     val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
       .cut(true)
-    // same finally-release discipline as [[pageRankFrom]]: success-path
-    // ordering unchanged (results are eagerly materialised before the
-    // releases run), failure paths no longer pin the checkpoints
-    val (edgesW, nodes) =
-      try {
-        val e = edges.join(wdeg, "src").cut(true)
-        try (e, wdeg.select(col("src").as("node"),
-            lit(base).as("base_e6")).cut(true))
-        catch { case t: Throwable => release(e); throw t }
-      } finally release(wdeg) // both derivations materialised (or failed)
     try {
-      val start = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
-      // ADAPTIVE NUMERIC WIDTH (measured guard, not a guess): the
-      // decimal lift exists because rank_e6 · w can overflow BIGINT on
-      // heavy edges — but Spark's DECIMAL(38,0) arithmetic drops to
-      // per-row BigDecimal allocation, and at 10⁸ edges × iterations
-      // that allocation storm dominates the loop (measured at the x32
-      // scale probe: the decimal path was ~2× the whole-loop cost).
-      // For non-negative integers, BIGINT mult/div-trunc equals
-      // DECIMAL(38,0) mult/div-trunc EXACTLY whenever the product
-      // fits, so each iteration checks max(rank) against
-      // Long.MaxValue / max(w) — one metadata-scale aggregate per
-      // side — and takes the allocation-free long path when provably
-      // safe (bit-equality of the two paths is spec-pinned; the guard
-      // makes the choice invisible in the output).
-      val maxW = edgesW.agg(max(col("w"))).head.getLong(0) max 1L
-      // RANK-MASS LEMMA (replaces the per-round max-rank probe with one
-      // static check): with the cold start rank_0 = 1e6 per node and
-      // per-node base (100-d)·1e4, the total mass obeys
-      // S_{k+1} ≤ base_total + (d/100)·S_k (truncating division only
-      // loses mass), whose fixed point is exactly S_0 = 1e6·n for EVERY
-      // damping — so S_k ≤ 1e6·n at every round, and any single rank is
-      // ≤ its round's total. Every per-edge product rank·w therefore
-      // fits BIGINT whenever 1e6·n·maxW ≤ Long.MaxValue, checked once
-      // in BigInt (no overflow in the check itself). When it holds, the
-      // loop runs the allocation-free long path with a CONSTANT
-      // contribution and ZERO per-round probe jobs (measured: q272
-      // 3.0 → 2.7 s at sf0.1 from dropping the 5 max(rank) probes).
-      // The spec-pinned long≡decimal bit-equality is unchanged; above
-      // the bound, the per-round adaptive probe stays.
-      val longSafeAllRounds =
-        BigInt(1000000L) * BigInt(nodes.count()) * BigInt(maxW) <=
-          BigInt(Long.MaxValue)
+      val e = edges.join(wdeg, "src").cut(true)
       try {
-        if (longSafeAllRounds)
-          iterate(edgesW, nodes, start, iterations, dampingPct,
-            expr("rank_e6 * w div wout"))
-        else {
-          val contributionFor: DataFrame => Column = { ranks =>
-            val maxRank = ranks.agg(max(col("rank_e6"))).head.getLong(0)
-            if (maxRank >= 0L && maxRank <= Long.MaxValue / maxW)
-              expr("rank_e6 * w div wout")
-            else
-              expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
-                      AS BIGINT)""")
-          }
-          iterateAdaptive(edgesW, nodes, start, iterations, dampingPct,
-            contributionFor)
-        }
-      } finally release(nodes)
-    } finally release(edgesW)
+        val st = e.agg(count(lit(1)), max(col("w"))).head
+        WeightedDegreedGraph(e, wdeg, st.getLong(0), wdeg.count(),
+          (if (st.isNullAt(1)) 1L else st.getLong(1)) max 1L)
+      } catch { case t: Throwable => release(e); throw t }
+    } catch { case t: Throwable => release(wdeg); throw t }
+  }
+
+  /** [[weightedPageRank]] over a PRE-BUILT [[WeightedDegreedGraph]] —
+    * the [[pageRankOnDegreed]] shape for callers holding the artifact
+    * (GraphQueries wSymDegCache): the edge-scale degree join and every
+    * probe job (maxW, node count, broadcast gate) run once per
+    * (session, dir) instead of per call. Both frames stay alive for
+    * the artifact's owner. */
+  private[graft] def weightedPageRankOnDegreed(g: WeightedDegreedGraph,
+      iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val base = (100 - dampingPct).toLong * 10000L
+    // artifact-owned wdeg outlives the call: the node list stays a
+    // LAZY projection over its checkpoint — no per-call cut job
+    val nodes = g.wdeg.select(col("src").as("node"),
+      lit(base).as("base_e6"))
+    val start = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+    // ADAPTIVE NUMERIC WIDTH (measured guard, not a guess): the
+    // decimal lift exists because rank_e6 · w can overflow BIGINT on
+    // heavy edges — but Spark's DECIMAL(38,0) arithmetic drops to
+    // per-row BigDecimal allocation, and at 10⁸ edges × iterations
+    // that allocation storm dominates the loop (measured at the x32
+    // scale probe: the decimal path was ~2× the whole-loop cost).
+    // For non-negative integers, BIGINT mult/div-trunc equals
+    // DECIMAL(38,0) mult/div-trunc EXACTLY whenever the product fits.
+    // RANK-MASS LEMMA (replaces the per-round max-rank probe with one
+    // static check): with the cold start rank_0 = 1e6 per node and
+    // per-node base (100-d)·1e4, the total mass obeys
+    // S_{k+1} ≤ base_total + (d/100)·S_k (truncating division only
+    // loses mass), whose fixed point is exactly S_0 = 1e6·n for EVERY
+    // damping — so S_k ≤ 1e6·n at every round, and any single rank is
+    // ≤ its round's total. Every per-edge product rank·w therefore
+    // fits BIGINT whenever 1e6·n·maxW ≤ Long.MaxValue, checked once
+    // in BigInt (no overflow in the check itself). When it holds, the
+    // loop runs the allocation-free long path with a CONSTANT
+    // contribution and ZERO per-round probe jobs (measured: q272
+    // 3.0 → 2.7 s at sf0.1 from dropping the 5 max(rank) probes).
+    // The spec-pinned long≡decimal bit-equality is unchanged; above
+    // the bound, the per-round adaptive probe stays.
+    val longSafeAllRounds =
+      BigInt(1000000L) * BigInt(g.nodeRows) * BigInt(g.maxW) <=
+        BigInt(Long.MaxValue)
+    if (longSafeAllRounds)
+      iterate(g.edgesW, nodes, start, iterations, dampingPct,
+        expr("rank_e6 * w div wout"),
+        knownCounts = Some((g.edgeRows, g.nodeRows)))
+    else {
+      val contributionFor: DataFrame => Column = { ranks =>
+        val maxRank = ranks.agg(max(col("rank_e6"))).head.getLong(0)
+        if (maxRank >= 0L && maxRank <= Long.MaxValue / g.maxW)
+          expr("rank_e6 * w div wout")
+        else
+          expr("""CAST(CAST(rank_e6 AS DECIMAL(38,0)) * w div wout
+                  AS BIGINT)""")
+      }
+      iterateAdaptive(g.edgesW, nodes, start, iterations, dampingPct,
+        contributionFor, knownCounts = Some((g.edgeRows, g.nodeRows)))
+    }
   }
 
   /** Personalized PageRank: random-walk-with-restart relevance from a
@@ -351,7 +372,7 @@ object Graph {
     * of re-shuffling the whole incident edge set. Same checkpoint
     * lifetime rule as [[iterate]]. */
   def hopDistance(edges: DataFrame, seeds: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int, knownCounts: Option[(Long, Long)] = None): DataFrame = {
     require(maxHops >= 1)
     val e = edges.select(col("src"), col("dst"))
     var dist = seeds.select(col("node")).distinct()
@@ -364,8 +385,13 @@ object Graph {
     // map-join — no per-round shuffle of the edge relation. The
     // checkpointed frontier has no stats, so the planner cannot make
     // this call alone (guide §3.1); shuffle fallback above the limit.
-    val smallFrontier = broadcastRanks(e.count(),
-      e.select(col("src")).distinct().count())
+    // Callers holding a measured artifact (symDegCache) pass the
+    // counts in and skip both probe jobs.
+    val smallFrontier = knownCounts match {
+      case Some((er, nr)) => broadcastRanks(er, nr)
+      case None => broadcastRanks(e.count(),
+        e.select(col("src")).distinct().count())
+    }
     var superseded: Option[DataFrame] = Some(dist)
     try {
       for (round <- 1 to maxHops) {

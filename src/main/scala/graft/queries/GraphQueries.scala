@@ -164,6 +164,17 @@ object GraphQueries {
         Graph.degreedGraph(Graph.symmetrize(p))),
       g => { Graph.release(g.edgesWithDeg); Graph.release(g.deg) })
 
+  /** [[symDegCache]]'s WEIGHTED twin: `symmetrizeWeighted(wpairs)` ⋈
+    * weighted out-degree plus the node list, row counts and max edge
+    * weight measured once at build — q272 previously re-ran the
+    * edge-scale degree join and three probe jobs (maxW, node count,
+    * broadcast gate) on every call and bench rep. */
+  private val wSymDegCache =
+    new DirCache[String, Graph.WeightedDegreedGraph]((s, dir) =>
+      wpairsCache.withArtifact(s, dir)(p =>
+        Graph.weightedDegreedGraph(Graph.symmetrizeWeighted(p))),
+      g => { Graph.release(g.edgesW); Graph.release(g.wdeg) })
+
   /** LPA rounds for the co-purchase community family — one constant so
     * the stored label artifact, its consumers and their oracles can
     * never disagree on the round count. */
@@ -590,9 +601,8 @@ object GraphQueries {
     // (rank·w) div Σw in DECIMAL(38,0) — exact, order-free, and the
     // per-edge quotient is bounded by the rank, so sums stay BIGINT.
     "q272_weighted_copurchase_rank" -> { (s, dir) =>
-      wpairsCache.withArtifact(s, dir) { wpairs =>
-        val r = Graph.weightedPageRank(
-          Graph.symmetrizeWeighted(wpairs), iterations = 5)
+      wSymDegCache.withArtifact(s, dir) { g =>
+        val r = Graph.weightedPageRankOnDegreed(g, iterations = 5)
         try r.select(col("node").as("part_key"), col("rank_e6"))
           .orderBy(col("rank_e6").desc, col("part_key"))
           .limit(20).auditedCut("q272_weighted_copurchase_rank")
@@ -608,16 +618,21 @@ object GraphQueries {
     // so the distributed rounds and the unrolled UNION+MIN oracle are
     // bit-identical; the histogram output is hop-scale.
     "q274_brand_hop_profile" -> { (s, dir) =>
-      pairsCache.withArtifact(s, dir) { pairs =>
-        val edges = Graph.symmetrize(pairs)
+      symDegCache.withArtifact(s, dir) { g =>
+        // the shared degreed artifact IS symmetrize(pairs) (plus a
+        // degree column hopDistance ignores); its measured counts feed
+        // the broadcast gate, so the per-call edge count + distinct
+        // node count probe jobs are gone
+        val edges = g.edgesWithDeg.select(col("src"), col("dst"))
         // seeds intersected with the GRAPH's nodes — the q256 PPR seed
         // semantics (a brand part in no co-purchase pair is outside the
         // graph, not a hop-0 member; counting it would overstate
-        // coverage)
+        // coverage). g.deg is already one row per node — no distinct.
         val seeds = seedBrandParts(s, dir)
-          .join(edges.select(col("src").as("node")).distinct(),
+          .join(g.deg.select(col("src").as("node")),
             Seq("node"), "left_semi")
-        val dist = Graph.hopDistance(edges, seeds, maxHops = 4)
+        val dist = Graph.hopDistance(edges, seeds, maxHops = 4,
+          knownCounts = Some((g.edgeRows, g.nodeRows)))
         try dist.groupBy(col("hops"))
           .agg(count(lit(1)).as("n_parts"))
           .orderBy(col("hops"))

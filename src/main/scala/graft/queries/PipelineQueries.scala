@@ -3066,27 +3066,17 @@ object PipelineQueries {
     // mirrors the oracle's left-associated subDistChain term for term
     // over the SAME trained-codebook literals q90 pins.
     "q390_pq_subspace_distortion" -> { (s, dir) =>
-      import graft.operators.ProductQuantizer
       val model = PqModels.trained(s, dir)
-      val subDim = Dim / PqM
-      val cbLit = typedlit(model.codebookSeq)
-      val distAt = (j: org.apache.spark.sql.Column) => {
-        val cw = element_at(element_at(cbLit, j + 1),
-          element_at(col("pq_codes"), j + 1) + 1)
-        (1 to subDim).map { d =>
-          val diff = element_at(col("embedding"),
-            (j * subDim + d).cast("int")).cast("double") -
-            element_at(cw, d)
-          diff * diff
-        }.reduce(_ + _)
-      }
       // one corpus pass → the 16-row per-subspace aggregate is cut
-      // eagerly; the total then reads the 16 rows, not the corpus
+      // eagerly; the total then reads the 16 rows, not the corpus.
+      // The per-row distances come from the codegen'd PqSubspaceDistE9
+      // kernel — same left-associated arithmetic as the oracle's
+      // subDistChain, floored to the 1e-9 grid per row.
       val agg = graft.tools.ExplainAudit.auditedCut(
         PqModels.encoded(s, dir)
           .select(col("vec_id"),
-            posexplode(transform(sequence(lit(0), lit(PqM - 1)),
-              j => floor(distAt(j) * lit(1e9)).cast("long"))))
+            posexplode(graft.functions.VectorFunctions.pqSubspaceDistE9(
+              col("embedding"), col("pq_codes"), model.codebookSeq)))
           .select(col("pos").cast("long").as("subspace"),
             col("col").as("qd"))
           .groupBy(col("subspace"))
