@@ -626,8 +626,8 @@ case class PqSubspaceDistE9(first: Expression, second: Expression,
          |int $m = $cbs.numElements();
          |int $subDim = ($m == 0 || $cbs.getArray(0).numElements() == 0)
          |  ? -1 : $cbs.getArray(0).getArray(0).numElements();
-         |if ($subDim < 0 || $cd.numElements() != $m
-         |    || $v.numElements() != $m * $subDim) {
+         |if ($subDim < 0 || $cd.numElements() != $m ||
+         |    $v.numElements() != $m * $subDim) {
          |  ${ev.isNull} = true;
          |}
          |long[] $out = new long[$m < 0 ? 0 : $m];

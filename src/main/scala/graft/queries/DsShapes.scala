@@ -645,19 +645,34 @@ object DsShapes {
     // expansion is per-order C(brands-in-order, 2) — bounded by the
     // brand universe squared, never catalog-scale.
     "q334_brand_affinity" -> { (s, dir) =>
+      // r18: the order-keyed SELF-JOIN (two sorted exchanges of the
+      // (order, brand) relation) is replaced by IN-ROW pair expansion:
+      // one shuffle builds the per-order SORTED brand set (collect_set
+      // partial-aggregates map-side), and C(brands-in-order, 2) pairs
+      // are generated inside the row — sorted + distinct set ⟹ the
+      // expansion enumerates exactly the brand_a < brand_b pairs the
+      // self-join filter kept (guide §2.4 remove shuffles outright;
+      // §3.3 explode after the join, not before). Arrays are bounded
+      // by the 25-brand universe, so per-row HOF cost is trivial.
       val ob = t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part")
             .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-        .distinct()
-        .cut(true) // marginals + self-join all read it
+        .groupBy(col("o"))
+        .agg(sort_array(collect_set(col("b"))).as("bs"))
+        .cut(true) // marginals, pair expansion and the total read it
       try {
-        val marg = ob.groupBy(col("b"))
+        val marg = ob.select(explode(col("bs")).as("b"))
+          .groupBy(col("b"))
           .agg(count(lit(1)).as("n_b"))
-        val out = ob.toDF("o", "brand_a")
-          .join(ob.toDF("o", "brand_b"), "o")
-          .filter(col("brand_a") < col("brand_b"))
+        val out = ob
+          .select(explode(expr(
+            """flatten(transform(bs, (x, i) ->
+                 transform(slice(bs, i + 2, size(bs)),
+                   y -> struct(x AS brand_a, y AS brand_b))))"""))
+            .as("p"))
+          .select(col("p.brand_a"), col("p.brand_b"))
           .groupBy(col("brand_a"), col("brand_b"))
           .agg(count(lit(1)).as("n_ab"))
           .join(broadcast(marg.select(col("b").as("brand_a"),
@@ -665,7 +680,7 @@ object DsShapes {
           .join(broadcast(marg.select(col("b").as("brand_b"),
             col("n_b").as("n_b"))), "brand_b")
           .crossJoin(broadcast(ob.select(
-            countDistinct(col("o")).as("n_orders"))))
+            count(lit(1)).as("n_orders"))))
           .select(col("brand_a"), col("brand_b"), col("n_ab"),
             col("n_a"), col("n_b"),
             expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders

@@ -581,7 +581,10 @@ object PipelineQueries {
     // distinct docs is dropped and docs are reassembled in order. The
     // boilerplate-removal pass of a web-corpus pipeline.
     "q84_line_dedup" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      // fanOut: the nested lineification HOFs + posexplode otherwise run
+      // in the single-split scan task while 31 cores idle (profiled
+      // 7 jobs / 7 tasks, 2.25 s — a fully serial chain)
+      val docs = tf(s, dir, "documents")
       val toks = split(col("text"), " ")
       val nl = ((size(toks) + lit(2)) / lit(3)).cast("int")
       val lineified = docs.select(col("doc_id"),

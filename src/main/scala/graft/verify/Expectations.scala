@@ -368,46 +368,77 @@ object Expectations {
       })
 
     try {
-      // one aggregate pass per table covering all its single-table rules
-      val perTable = aggRules.groupBy(_.table).toSeq.map {
-        case (table, tableRules) =>
-          val df = rel(table)
-          val aggs = count(lit(1)).as("_n_rows") +:
-            tableRules.zipWithIndex.map { case (r, i) =>
-              violationCol(r).as(s"_v$i")
-            }
-          val row = df.agg(aggs.head, aggs.tail: _*).head
-          (table, row.getAs[Long]("_n_rows"), tableRules, row)
-      }
-      val aggReports = perTable.flatMap { case (_, n, tableRules, row) =>
-        tableRules.zipWithIndex.map { case (r, i) =>
-          (r.id, r.ruleType, r.table, r.columnDesc, n,
-            row.getAs[Long](s"_v$i"))
+      // Resolve every table's shared relation up front (plan-building
+      // only, no jobs) so the concurrent actions below never touch the
+      // mutable `shared` map from two threads.
+      (aggRules.map(_.table) ++
+        refRules.flatMap(r => Seq(r.table, r.parentTable)) ++
+        distRules.map(_.table)).distinct.foreach(rel)
+      // The per-table aggregate passes, referential anti-joins and
+      // distribution scans are INDEPENDENT Spark actions that were run
+      // sequentially — each one's straggler tail left the executors
+      // idle (guide §2.6: submit independent jobs from a small thread
+      // pool so the next job back-fills the tail). A suite of k tables
+      // now costs ~max(scan) wall instead of Σ(scan). Results are
+      // collected per future and reassembled in rule order, so the
+      // report is unchanged.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        // one aggregate pass per table covering all its single-table
+        // rules
+        val perTableF = aggRules.groupBy(_.table).toSeq.map {
+          case (table, tableRules) => Future {
+            val df = rel(table)
+            val aggs = count(lit(1)).as("_n_rows") +:
+              tableRules.zipWithIndex.map { case (r, i) =>
+                violationCol(r).as(s"_v$i")
+              }
+            val row = df.agg(aggs.head, aggs.tail: _*).head
+            (table, row.getAs[Long]("_n_rows"), tableRules, row)
+          }
         }
-      }
-      // the agg pass already counted each covered table's rows — reuse
-      // them so a ref rule on a covered table costs only its anti-join
-      val tableRows = scala.collection.mutable.Map(
-        perTable.map(t => t._1 -> t._2): _*)
-      val refReports = refRules.map { r =>
-        val child = rel(r.table)
-        val n = tableRows.getOrElseUpdate(r.table, child.count())
-        // distinct child keys first: the anti-join runs at key scale
-        val orphans = child.select(col(r.column)).na.drop().distinct()
-          .join(rel(r.parentTable)
-            .select(col(r.parentColumn).as(r.column)).distinct(),
-            Seq(r.column), "left_anti")
-        // orphan KEYS are the violation unit (each missing key is one
-        // defect regardless of its row multiplicity)
-        (r.id, r.ruleType, r.table, r.columnDesc, n, orphans.count())
-      }
-      val distReports = distRules.map { r =>
-        val child = rel(r.table)
-        val n = tableRows.getOrElseUpdate(r.table, child.count())
-        (r.id, r.ruleType, r.table, r.columnDesc, n,
-          movedRows(child, r))
-      }
-      aggReports ++ refReports ++ distReports
+        val perTable =
+          perTableF.map(Await.result(_, Duration.Inf))
+        val aggReports = perTable.flatMap {
+          case (_, n, tableRules, row) =>
+            tableRules.zipWithIndex.map { case (r, i) =>
+              (r.id, r.ruleType, r.table, r.columnDesc, n,
+                row.getAs[Long](s"_v$i"))
+            }
+        }
+        // the agg pass already counted each covered table's rows —
+        // reuse them so a ref rule on a covered table costs only its
+        // anti-join (row-count fallbacks for uncovered tables run
+        // once per table, before the concurrent fan-out)
+        val tableRows = scala.collection.mutable.Map(
+          perTable.map(t => t._1 -> t._2): _*)
+        (refRules.map(_.table) ++ distRules.map(_.table)).distinct
+          .foreach(t => tableRows.getOrElseUpdate(t, rel(t).count()))
+        val refReportsF = refRules.map { r => Future {
+          val child = rel(r.table)
+          // distinct child keys first: the anti-join runs at key scale
+          val orphans = child.select(col(r.column)).na.drop().distinct()
+            .join(rel(r.parentTable)
+              .select(col(r.parentColumn).as(r.column)).distinct(),
+              Seq(r.column), "left_anti")
+          // orphan KEYS are the violation unit (each missing key is one
+          // defect regardless of its row multiplicity)
+          (r.id, r.ruleType, r.table, r.columnDesc, tableRows(r.table),
+            orphans.count())
+        }}
+        val distReportsF = distRules.map { r => Future {
+          val child = rel(r.table)
+          (r.id, r.ruleType, r.table, r.columnDesc, tableRows(r.table),
+            movedRows(child, r))
+        }}
+        aggReports ++
+          refReportsF.map(Await.result(_, Duration.Inf)) ++
+          distReportsF.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
     } finally {
       // every consumer ran its action above; the shared checkpoints
       // have had their last read (the returned report is a local
