@@ -1577,13 +1577,21 @@ object GraphQueries {
       // pair SET is unchanged; w and in_test are the same integer
       // counts — results bit-identical (GraphSpec's brute-force
       // holdout pin re-proves it).
-      val testg = t(s, dir, "lineitem")
+      // in-row pair expansion (the q334 shape): one shuffle builds the
+      // per-test-order SORTED item set, and C(items, 2) pairs are
+      // enumerated inside the row — the order-keyed self-join's two
+      // sorted exchanges are gone (§2.4); sorted + distinct set ⟹
+      // exactly the a < b pairs the join filter kept.
+      val wtest = t(s, dir, "lineitem")
         .filter(pmod(col("l_orderkey"), lit(5)) === 0)
         .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
-        .distinct()
-      val wtest = testg.toDF("g", "a")
-        .join(testg.toDF("g", "b"), "g")
-        .filter(col("a") < col("b"))
+        .groupBy(col("g"))
+        .agg(sort_array(collect_set(col("item"))).as("items"))
+        .select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+               transform(slice(items, i + 2, size(items)),
+                 y -> struct(x AS a, y AS b))))""")).as("p"))
+        .select(col("p.a"), col("p.b"))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("w_test"))
       val both = wpairsCache.withArtifact(s, dir) { wpairs =>
