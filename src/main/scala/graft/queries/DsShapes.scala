@@ -1359,7 +1359,7 @@ object DsShapes {
     // |m - ysum/n| > 0.1 * ysum/n, all in DECIMAL(38,0) fixed-point.
     "q279_brand_monthly_deviation" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val monthly = t(s, dir, "lineitem")
+      val monthly = Tables.fanOut(t(s, dir, "lineitem"))
         .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"),

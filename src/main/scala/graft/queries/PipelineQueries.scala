@@ -948,7 +948,9 @@ object PipelineQueries {
     // with itself. Same LSH scheme as q28 — the result is q28's pairs
     // restricted to those touching the batch.
     "q97_incremental_dedup" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      // fanOut: two shingling passes over a single-split scan (profiled
+      // 5 jobs / 6 tasks — fully serial)
+      val docs = tf(s, dir, "documents")
       val existing = Dedup.minhashSignatures(
         docs.filter(col("doc_id") < 400), NumHashes)
       val fresh = Dedup.minhashSignatures(
@@ -998,7 +1000,9 @@ object PipelineQueries {
     // their COMPOSITION — column contracts, filter ordering, survivor
     // join — as a single declarative plan Catalyst optimizes whole.
     "q100_corpus_pipeline" -> { (s, dir) =>
-      val staged = t(s, dir, "documents")
+      // fanOut: NFC normalize + quality + md5 keys on one scan task
+      // (profiled 5 jobs / 5 tasks — fully serial)
+      val staged = tf(s, dir, "documents")
         // decomposed suffix: NFC must actually compose characters here
         .withColumn("text_norm",
           graft.functions.TextFunctions.nfcNormalize(
@@ -1345,6 +1349,8 @@ object PipelineQueries {
     // spans of each doc whose 3-grams all first occurred in an earlier
     // doc; the first owner keeps its copy.
     "q112_dup_spans" -> { (s, dir) =>
+      // fanOut measured FLAT here (1.09 → 1.14 s): duplicateSpans
+      // shuffles by n-gram immediately, so the exchange buys nothing
       Dedup.duplicateSpans(t(s, dir, "documents"), n = 3)
         .orderBy(col("doc_id"), col("span_start"))
     },
