@@ -661,6 +661,11 @@ object DsShapes {
         .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
         .groupBy(col("o"))
         .agg(sort_array(collect_set(col("b"))).as("bs"))
+        // explicit width: AQE coalesces the compact-set shuffle to one
+        // partition, which would serialize every downstream expansion
+        // pass over the checkpoint (the q366 lesson; exempt from AQE
+        // coalescing because the partition count is explicit)
+        .repartition(s.sparkContext.defaultParallelism, col("o"))
         .cut(true) // marginals, pair expansion and the total read it
       try {
         val marg = ob.select(explode(col("bs")).as("b"))

@@ -1582,11 +1582,21 @@ object GraphQueries {
       // enumerated inside the row — the order-keyed self-join's two
       // sorted exchanges are gone (§2.4); sorted + distinct set ⟹
       // exactly the a < b pairs the join filter kept.
+      // The set relation is EXPLICITLY spread to defaultParallelism
+      // before the explode: AQE rightly coalesces the tiny compact-set
+      // shuffle to one partition, but the downstream expansion is
+      // pair-scale with UNBOUNDED (part, part) group cardinality — at
+      // the ×32 scale probe the single-task partial hash aggregate
+      // OOM'd. An explicit partition count on a keyed repartition is
+      // exempt from AQE coalescing, so expansion + partial agg stay
+      // parallel at every scale (§2.5 input skew; measured: the probe
+      // completes and the local median is unchanged).
       val wtest = t(s, dir, "lineitem")
         .filter(pmod(col("l_orderkey"), lit(5)) === 0)
         .select(col("l_orderkey").as("g"), col("l_partkey").as("item"))
         .groupBy(col("g"))
         .agg(sort_array(collect_set(col("item"))).as("items"))
+        .repartition(s.sparkContext.defaultParallelism, col("g"))
         .select(explode(expr(
           """flatten(transform(items, (x, i) ->
                transform(slice(items, i + 2, size(items)),
