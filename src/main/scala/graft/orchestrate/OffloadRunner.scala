@@ -298,16 +298,14 @@ object OffloadRunner {
 
     expectationsStep(r, spark, cfg, planned)
 
-    // listener events are posted asynchronously; settle until the
-    // counter stops moving before reading it (bounded wait)
+    // listener events are posted asynchronously; drain the bus before
+    // reading the counter. The old settle loop POLLED with 50 ms sleeps
+    // (≥100 ms per read, two reads per offload — pure driver idle time,
+    // guide §1.2) and was in principle racy; waitUntilEmpty is the
+    // engine's exact completion barrier for the same condition.
     def settledRecordsWritten(): Long = {
-      var last = -1L
-      var settle = 0
-      while (settle < 20 && metrics.totalRecordsWritten != last) {
-        last = metrics.totalRecordsWritten
-        Thread.sleep(50)
-        settle += 1
-      }
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
       metrics.totalRecordsWritten
     }
     // transport-window baseline: rows written BEFORE stage_and_load
